@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 otherwise
+      // rejects; surfaced as epoch-nanos BIGINT and canonicalized by
+      // Tables.events (D4: second truncation).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

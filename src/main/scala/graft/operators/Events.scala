@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{Dsl, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / event-stream surface: range & as-of joins, distinct aggregation,
+  * grouping sets, JSON extraction, sessionization, tumbling & sliding windows
+  * (SURVEY.md §2.3 Q08, Q09, Q11, Q14, Q25, Q31-Q33).
+  *
+  * D4 applies throughout: `events.ts` is nanosecond parquet, truncated to whole
+  * seconds before any comparison or output. The batch formulations here have
+  * Structured Streaming twins in [[graft.streaming.Windows]].
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  /** Q08: range (theta) join — pairs of same-user events within (t, t+5min].
+    * Planned as an equi-join on user_id with the range as a join filter; the
+    * per-user sort-merge bounds the quadratic blowup to within-user windows.
+    */
+  def q08RangeJoin: Q = (s, d) => {
+    val e = events(s, d).select(col("event_id"), col("user_id"), col("ts2"))
+    val e1 = e.toDF("id1", "u1", "t1")
+    val e2 = e.toDF("id2", "u2", "t2")
+    e1.join(e2, col("u1") === col("u2")
+        && col("t2") > col("t1")
+        && col("t2") <= col("t1") + expr("INTERVAL 5 MINUTES"))
+      .select(col("id1"), col("id2"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Q09: as-of join — each purchase matched to the latest preceding signup of
+    * the same user (stream order = (ts, event_id), strictly-preceding frame).
+    * Single windowed pass over the union — no per-row subquery, no shuffle
+    * beyond one hash partitioning by user.
+    */
+  def q09AsofJoin: Q = (s, d) => {
+    val e = events(s, d).filter(col("event_type").isin("signup", "purchase"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts2"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts2")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsStr(col("ts2")).as("purchase_ts"),
+        tsStr(col("signup_ts")).as("signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q11: exact distinct aggregation (D6 — `approx_count_distinct` is the
+    * engine-only scale path, tested separately for error bound).
+    */
+  def q11DistinctAgg: Q = (s, d) => {
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("uniq_users"), count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q14: GROUPING SETS — (type), (type, hour), () in one pass. */
+  def q14GroupingSets: Q = (s, d) => {
+    val e = events(s, d).withColumn("h", date_trunc("hour", col("ts2")).cast("string"))
+    e.createOrReplaceTempView("graft_q14_events")
+    s.sql(
+      """SELECT event_type, h,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_t, CAST(GROUPING(h) AS BIGINT) AS g_h
+        |FROM graft_q14_events
+        |GROUP BY GROUPING SETS ((event_type), (event_type, h), ())
+        |ORDER BY g_t, g_h, event_type ASC NULLS FIRST, h ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Q25: JSON extraction + aggregation over the `props` payload. */
+  def q25Json: Q = (s, d) => {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q31: sessionization (gaps-and-islands): 30-min inactivity gap splits a
+    * user's events into sessions; reports per-user session count + average
+    * session length in seconds. Two windowed passes + one aggregate, all
+    * partitioned by user — scales linearly with users.
+    */
+  def q31Sessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = events(s, d).select(col("user_id"), col("event_id"), epochSec(col("ts2")).as("es"))
+    val flagged = e.withColumn("new_sess",
+      when(lag(col("es"), 1).over(w).isNull || col("es") - lag(col("es"), 1).over(w) > 1800, 1L)
+        .otherwise(0L))
+    val sessions = flagged
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg((max(col("es")) - min(col("es"))).as("len_sec"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum(col("len_sec")).cast("double") / count(lit(1))).as("avg_len_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Q32: tumbling window (batch analog) — hourly counts and exact-decimal
+    * value sums per event type. Streaming twin: `window($"ts", "1 hour")` with
+    * a watermark in [[graft.streaming.Windows]].
+    */
+  def q32Tumbling: Q = (s, d) => {
+    events(s, d)
+      .withColumn("h", date_trunc("hour", col("ts2")).cast("string"))
+      .groupBy(col("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
+  /** Q33: sliding window — per-event trailing 10-minute value sum per user,
+    * via a RANGE frame over epoch seconds (inclusive 600s lower bound in both
+    * engines; decimal sum is order-independent).
+    */
+  def q33Sliding: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es")).rangeBetween(-600, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), epochSec(col("ts2")).as("es"), col("value"))
+      .withColumn("trailing_sum", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("trailing_sum"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q08_range_join" -> q08RangeJoin,
+    "q09_asof_join" -> q09AsofJoin,
+    "q11_distinct_agg" -> q11DistinctAgg,
+    "q14_grouping_sets" -> q14GroupingSets,
+    "q25_json" -> q25Json,
+    "q31_sessionize" -> q31Sessionize,
+    "q32_tumbling" -> q32Tumbling,
+    "q33_sliding" -> q33Sliding)
+
+  val oracles: Map[String, String] = Map(
+    "q08_range_join" ->
+      """SELECT e1.event_id AS id1, e2.event_id AS id2
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND date_trunc('second', e2.ts) > date_trunc('second', e1.ts)
+        | AND date_trunc('second', e2.ts) <= date_trunc('second', e1.ts) + INTERVAL 5 MINUTE
+        |ORDER BY id1, id2""".stripMargin,
+    "q09_asof_join" ->
+      """SELECT event_id, user_id,
+        |  CAST(ts2 AS VARCHAR) AS purchase_ts, CAST(signup_ts AS VARCHAR) AS signup_ts
+        |FROM (
+        |  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts2,
+        |    last_value(CASE WHEN event_type = 'signup' THEN date_trunc('second', ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS signup_ts
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_grouping_sets" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS h,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_t,
+        |  CAST(GROUPING(CAST(date_trunc('hour', ts) AS VARCHAR)) AS BIGINT) AS g_h
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (event_type, CAST(date_trunc('hour', ts) AS VARCHAR)), ())
+        |ORDER BY g_t, g_h, event_type ASC NULLS FIRST, h ASC NULLS FIRST""".stripMargin,
+    "q25_json" ->
+      """SELECT event_type,
+        |  SUM(k) AS sum_k, MAX(k) AS max_k,
+        |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q31_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (
+        |  SELECT user_id, es,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, session_id, MAX(es) - MIN(es) AS len_sec
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(len_sec) AS DOUBLE) / COUNT(*) AS avg_len_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q32_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+    "q33_sliding" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum
+        |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{Dsl, Tables}
+import graft.Dsl._
+import graft.importer.Enrich
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents`: string functions, reference
+  * enrich/array-parse parity, exact dedup, token analytics, quality scoring,
+  * fingerprinting, n-gram Jaccard (SURVEY.md §2.3 Q21, Q26-Q29 + north-star
+  * text ops). All tokenization is native `split`/`explode` — codegen'd, no UDFs.
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Non-empty whitespace tokens of `text`. */
+  private def toks = filter(split(col("text"), " "), t => t =!= "")
+
+  /** Q21: string function battery (substr/concat/upper/lower/trim/replace/
+    * length/split/regexp_extract/array_contains).
+    */
+  def q21StringFuncs: Q = (s, d) => {
+    Tables(s, d, "documents").select(
+      col("doc_id"),
+      substring(col("text"), 1, 10).as("sub10"),
+      upper(substring(col("text"), 1, 10)).as("up10"),
+      lower(col("lang")).as("lang_lo"),
+      concat(col("lang"), lit(":"), col("source")).as("lang_src"),
+      trim(concat(lit("  "), col("source"), lit("  "))).as("src_trim"),
+      regexp_replace(col("source"), "src", "s-").as("src_repl"),
+      big(length(col("text"))).as("text_len"),
+      big(size(split(col("text"), " "))).as("n_splits"),
+      regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+      array_contains(split(col("text"), " "), "spark").as("has_spark"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q26: reference date-enrich parity (R9-R12) — a `yyyy-MM-dd HH:mm` string
+    * column derived from event time, enriched via [[Enrich]]'s native
+    * expressions (incl. the `""` sentinel contract).
+    */
+  def q26DateEnrich: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), date_format(col("ts2"), "yyyy-MM-dd HH:mm").as("tstr"))
+    Enrich.dateEnrich("tstr", e)
+      .select(col("event_id"), col("tstr"), col("date"), col("year"), col("month"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q27: reference array-parse parity (R13) + generator surface — bracketed
+    * list string → array → explode → count by token.
+    */
+  def q27ArrayParse: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+      .select(concat(lit("["), col("l_returnflag"), lit(", "), col("l_linestatus"), lit("]")).as("tags"))
+    Enrich.parseAndAppendArrayCol("tags", li)
+      .select(explode(col("tags_array")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("token"))
+  }
+
+  /** Q28: exact dedup — keep-first row per (lang, source) key by smallest
+    * doc_id (window dedup generalizing `SELECT DISTINCT`).
+    */
+  def q28DedupExact: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    Tables(s, d, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Q29: token analytics — explode + count, global top-20 (TakeOrdered). */
+  def q29TokenTopK: Q = (s, d) => {
+    Tables(s, d, "documents")
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+  }
+
+  /** Q34 (north-star): text quality scoring — token counts, average token
+    * length, stopword ratio. Everything from native higher-order functions.
+    */
+  def q34TextQuality: Q = (s, d) => {
+    val stop = Seq("the", "a", "of", "and")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => t.isin(stop: _*)))
+    Tables(s, d, "documents").select(
+      col("doc_id"),
+      big(nTok).as("n_tokens"),
+      big(length(regexp_replace(col("text"), " ", ""))).as("n_chars_nospace"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / nTok).as("avg_token_len"),
+      (nStop.cast("double") / nTok).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q36 (north-star): document fingerprinting — md5 content hash (identical
+    * across engines) for exact-dup detection at scale; engine-only rolling
+    * hashes live in [[graft.dedup]].
+    */
+  def q36Fingerprint: Q = (s, d) => {
+    Tables(s, d, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Q38 (north-star): exact n-gram (token) Jaccard similarity between each
+    * doc and its successor — the exactness oracle that MinHash approximates.
+    * Token-level join keeps it linear in corpus size (no cross product).
+    */
+  def q38NgramJaccard: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val t = docs.select(col("doc_id"), explode(toks).as("token")).distinct()
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // The successor-pair condition is folded INTO the equi-join key (join on
+    // (id, token) against a shifted copy) — a plain token join + filter would
+    // enumerate every same-token doc pair, quadratic in corpus size.
+    val t1 = t.select(col("doc_id").as("id1"), col("token"))
+    val t2 = t.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"), col("token"))
+    val inter = t1.join(t2, Seq("id1", "token"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id1", "n1"), Seq("id1"))
+      .join(sizes.toDF("id2", "n2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("id1"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q21_string_funcs" -> q21StringFuncs,
+    "q26_date_enrich" -> q26DateEnrich,
+    "q27_array_parse" -> q27ArrayParse,
+    "q28_dedup_exact" -> q28DedupExact,
+    "q29_token_topk" -> q29TokenTopK,
+    "q34_text_quality" -> q34TextQuality,
+    "q36_fingerprint" -> q36Fingerprint,
+    "q38_ngram_jaccard" -> q38NgramJaccard)
+
+  val oracles: Map[String, String] = Map(
+    "q21_string_funcs" ->
+      """SELECT doc_id,
+        |  substr(text, 1, 10) AS sub10,
+        |  upper(substr(text, 1, 10)) AS up10,
+        |  lower(lang) AS lang_lo,
+        |  lang || ':' || source AS lang_src,
+        |  trim('  ' || source || '  ') AS src_trim,
+        |  regexp_replace(source, 'src', 's-') AS src_repl,
+        |  CAST(length(text) AS BIGINT) AS text_len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_splits,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_date_enrich" ->
+      """SELECT event_id, tstr,
+        |  split_part(tstr, ' ', 1) AS date,
+        |  regexp_extract(tstr, '([0-9]{4})-([0-9]{2})-([0-9]{2}) ([0-9]{2}):([0-9]{2})', 1) AS year,
+        |  regexp_extract(tstr, '([0-9]{4})-([0-9]{2})-([0-9]{2}) ([0-9]{2}):([0-9]{2})', 2) AS month
+        |FROM (SELECT event_id, strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M') AS tstr FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q27_array_parse" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT trim(u.t) AS token
+        |  FROM (SELECT '[' || l_returnflag || ', ' || l_linestatus || ']' AS tags FROM lineitem),
+        |       unnest(string_split(regexp_replace(tags, '^\[|\]$', '', 'g'), ',')) AS u(t))
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q28_dedup_exact" ->
+      """SELECT lang, source, doc_id FROM (
+        |  SELECT lang, source, doc_id,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+    "q29_token_topk" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT u.t AS token FROM documents, unnest(string_split(text, ' ')) AS u(t))
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q34_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_fingerprint" ->
+      """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM (SELECT doc_id, md5(text) AS fp FROM documents)
+        |GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "q38_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, u.t AS token
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (
+        |  SELECT t1.doc_id AS id1, t2.doc_id AS id2, COUNT(*) AS inter
+        |  FROM t t1 JOIN t t2 ON t1.token = t2.token AND t2.doc_id = t1.doc_id + 1
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = id1
+        |JOIN sizes s2 ON s2.doc_id = id2
+        |ORDER BY id1""".stripMargin)
+}
