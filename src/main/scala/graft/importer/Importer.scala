@@ -1,0 +1,73 @@
+package graft.importer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Import pipeline configuration (reference Config.scala:5-24). */
+case class ImportConfig(
+    srcFile: String,
+    destFile: String,
+    delimiter: String = ",",
+    schemaFile: Option[String] = None,
+    slashEscapes: Boolean = false,
+    dateEnrich: Option[String] = None,
+    arrayCols: Seq[String] = Nil,
+    removeArraySrc: Boolean = false,
+    sortCols: Seq[String] = Nil,
+    partitionCols: Seq[String] = Nil,
+    twitterCleanse: Boolean = false)
+
+/** CSV → Parquet import pipeline (reference `readCSVWriteParquet`,
+  * package.scala:108-164): read → [cleanse] → [enrich] → [sort] → write,
+  * each stage gated on its option.
+  *
+  * Documented divergences from the reference (SURVEY.md §2.1, §7.2 M1):
+  *   - no `--schemaFile` ⇒ REAL schema inference (`inferSchema=true`); the
+  *     reference logged "Inferring schema" but read everything as String
+  *     (package.scala:122);
+  *   - partitioned writes use `repartition(partitionCols)` +
+  *     `sortWithinPartitions(sortCols)` so files are internally sorted — the
+  *     reference's global sort-then-repartition destroyed the order it had
+  *     just paid a range-shuffle for (package.scala:147→155);
+  *   - the cleanse is a single distributed anti-join, not a driver collect
+  *     (see [[Cleanse]]);
+  *   - `removeArraySrc` is honored (the reference accepted and ignored it).
+  */
+object Importer {
+
+  def readCsv(conf: ImportConfig)(implicit spark: SparkSession): DataFrame = {
+    val reader = spark.read
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .option("charset", "utf-8") // the reference's "UTF8" spelling is rejected by Spark 4
+      .option("delimiter", conf.delimiter)
+      .option("escape", if (conf.slashEscapes) "\\" else "\"")
+    conf.schemaFile match {
+      case Some(f) => reader.schema(SchemaFile.parse(f)).csv(conf.srcFile)
+      case None    => reader.option("inferSchema", "true").csv(conf.srcFile)
+    }
+  }
+
+  /** Full pipeline; returns the DataFrame that was written (reference
+    * package.scala:158, 162 contract for programmatic callers).
+    */
+  def readCsvWriteParquet(conf: ImportConfig)(implicit spark: SparkSession): DataFrame = {
+    var df = readCsv(conf)
+    if (conf.twitterCleanse) df = Cleanse.twitterCleanse(df)
+    conf.dateEnrich.foreach(c => df = Enrich.dateEnrich(c, df))
+    conf.arrayCols.foreach(c => df = Enrich.parseAndAppendArrayCol(c, df, conf.removeArraySrc))
+
+    if (conf.partitionCols.nonEmpty) {
+      val partitioned = df.repartition(conf.partitionCols.map(col): _*)
+      val out =
+        if (conf.sortCols.nonEmpty) partitioned.sortWithinPartitions(conf.sortCols.map(col): _*)
+        else partitioned
+      out.write.partitionBy(conf.partitionCols: _*).parquet(conf.destFile)
+      out
+    } else {
+      val out = if (conf.sortCols.nonEmpty) df.sort(conf.sortCols.map(col): _*) else df
+      out.write.parquet(conf.destFile)
+      out
+    }
+  }
+}

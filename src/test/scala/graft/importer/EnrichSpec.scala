@@ -1,0 +1,67 @@
+package graft.importer
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Edge-case micro-fixtures from FIXTURES.md A.3: date-enrich sentinel
+  * semantics, array-parse quirks (incl. the reference's `"[]"` → `[""]`),
+  * schema-file parsing, and cleanse NULL semantics.
+  */
+class EnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("date enrich: null / empty / non-matching / valid inputs (R9-R12 sentinels)") {
+    val df = Seq[Option[String]](None, Some(""), Some("2015-1-1 9:5"), Some("2015-03-04 05:06"))
+      .toDF("ts")
+    val out = Enrich.dateEnrich("ts", df)
+      .select("date", "year", "month").collect().toSeq
+    assert(out(0) === Row("", "", ""))            // null -> "" sentinels
+    assert(out(1) === Row("", "", ""))            // empty -> ""
+    assert(out(2) === Row("2015-1-1", "", ""))    // date has NO regex validation (ref asymmetry)
+    assert(out(3) === Row("2015-03-04", "2015", "03"))
+  }
+
+  test("array parse: null / empty / brackets / singleton / pair (R13 quirks)") {
+    val df = Seq[Option[String]](None, Some(""), Some("[]"), Some("[a]"), Some("[a, b]"))
+      .toDF("src")
+    val out = Enrich.parseAndAppendArrayCol("src", df)
+      .select("src_array").as[Seq[String]].collect().toSeq
+    assert(out(0) === Seq.empty)
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq(""))        // reference quirk pinned: "[]" -> [""]
+    assert(out(3) === Seq("a"))
+    assert(out(4) === Seq("a", "b"))
+  }
+
+  test("array parse honors removeSrc (documented divergence from dead-code param)") {
+    val df = Seq("[x]").toDF("src")
+    val kept = Enrich.parseAndAppendArrayCol("src", df, removeSrc = false)
+    val dropped = Enrich.parseAndAppendArrayCol("src", df, removeSrc = true)
+    assert(kept.columns.toSeq === Seq("src", "src_array"))
+    assert(dropped.columns.toSeq === Seq("src_array"))
+  }
+
+  test("schema file: comments and blanks skipped, positional order kept, bad type raises") {
+    val st = SchemaFile.parseLines(Iterator(
+      "# comment", "", "a=Long", "  b = String ", "c=Boolean"))
+    assert(st.fieldNames.toSeq === Seq("a", "b", "c"))
+    assert(st("a").dataType.typeName === "long")
+    assertThrows[IllegalArgumentException] {
+      SchemaFile.parseLines(Iterator("x=Complex"))
+    }
+    assertThrows[IllegalArgumentException] {
+      SchemaFile.parseLines(Iterator("not a schema line"))
+    }
+  }
+
+  test("cleanse removes rows sharing a suspect tweetid (NOT IN contract)") {
+    val df = Seq(
+      (Some(1L), "2015-01-01 10:00"),  // good
+      (Some(2L), "garbage"),           // bad time
+      (Some(2L), "2015-01-01 11:00"),  // good time but shares tweetid 2 -> removed
+      (None: Option[Long], "2015-01-01 12:00")) // null id -> removed
+      .toDF("tweetid", "tweet_time")
+    val out = Cleanse.twitterCleanse(df).select("tweetid").as[Long].collect().toSeq
+    assert(out === Seq(1L))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.importer
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Reference-parity golden suite (SURVEY.md §5.2 item 1): the six assertions
+  * of the reference's ImporterTests (ImportTest.scala:38-77) against the
+  * recreated tweet fixtures (FIXTURES.md A), run through the full pipeline
+  * with cleanse + date enrich + partitioned write.
+  */
+class ImporterSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private var outDir: Path = _
+  private var result: DataFrame = _
+
+  override def beforeAll(): Unit = {
+    outDir = Files.createTempDirectory("graft-importer-test")
+    Files.delete(outDir) // parquet writer wants to create it
+    result = Importer.readCsvWriteParquet(ImportConfig(
+      srcFile = "src/test/data/test-tweets.csv",
+      destFile = outDir.toString,
+      schemaFile = Some("src/test/data/tweets.schema"),
+      dateEnrich = Some("tweet_time"),
+      partitionCols = Seq("year", "month"),
+      twitterCleanse = true))(spark)
+  }
+
+  test("golden 1: output parquet exists") {
+    assert(Files.exists(outDir))
+    assert(Files.list(outDir).iterator().asScala.nonEmpty)
+  }
+
+  test("golden 2: corrupt-time and null-id rows cleansed -> 10 rows") {
+    assert(spark.read.parquet(outDir.toString).count() === 10)
+  }
+
+  test("golden 3: 34 columns = 31 schema + date/year/month") {
+    assert(spark.read.parquet(outDir.toString).columns.length === 34)
+  }
+
+  test("golden 4: enrichment columns present") {
+    val cols = spark.read.parquet(outDir.toString).columns.toSet
+    assert(Set("date", "year", "month").subsetOf(cols))
+  }
+
+  test("golden 5: no NULL tweetid survives the cleanse (NOT IN 3VL semantics)") {
+    assert(spark.read.parquet(outDir.toString).filter("tweetid IS NULL").count() === 0)
+  }
+
+  test("golden 6: exact year=/month= partition directory layout") {
+    def dirs(p: Path): Seq[String] =
+      Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    assert(dirs(outDir) === Seq("year=2014", "year=2015", "year=2016", "year=2017"))
+    assert(dirs(outDir.resolve("year=2014")) === Seq("month=07", "month=11"))
+    assert(dirs(outDir.resolve("year=2015")) === Seq("month=02", "month=03", "month=05", "month=11"))
+    assert(dirs(outDir.resolve("year=2016")) === Seq("month=04"))
+    assert(dirs(outDir.resolve("year=2017")) === Seq("month=02", "month=03"))
+  }
+
+  test("schema file drives column names and types positionally") {
+    val df = spark.read.parquet(outDir.toString)
+    assert(df.schema("tweetid").dataType.typeName === "long")
+    assert(df.schema("is_retweet").dataType.typeName === "boolean")
+    assert(df.schema("tweet_time").dataType.typeName === "string")
+  }
+}
