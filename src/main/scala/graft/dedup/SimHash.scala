@@ -1,0 +1,56 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash fingerprinting + Hamming-distance near-dup candidates.
+  *
+  * A document's 64-bit SimHash is the sign vector of per-bit sums of its
+  * token hashes (+1 when the token's hash has the bit set, −1 otherwise);
+  * near-identical documents differ in few bits. Pair search splits the 64
+  * bits into `blocks` chunks and bucket-joins on (block, chunk-value): by
+  * pigeonhole, any pair within Hamming distance < blocks collides on ≥1
+  * exact chunk — no O(n²) scan.
+  */
+object SimHash {
+
+  /** 64-bit SimHash of a token array, as a signed long. */
+  def simhash(tokens: Column): Column = {
+    val counts = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        (a, x) => a + x))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints (as BIGINT). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Near-dup candidate pairs with Hamming distance ≤ maxDist.
+    * Guaranteed complete for maxDist < blocks (pigeonhole on exact-matching
+    * 64/blocks-bit chunks).
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+    val w = 64 / blocks
+    val fp = df.select(col(idCol).as("id"),
+      simhash(filter(split(col(textCol), " "), t => t =!= "")).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(blocks - 1)),
+        b => call_function("shiftrightunsigned", col("fp"), b * lit(w)).bitwiseAND((1L << w) - 1))))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "chunk")
+    val a = chunked.select(col("block"), col("chunk"), col("id").as("id1"), col("fp").as("fp1"))
+    val b = chunked.select(col("block"), col("chunk"), col("id").as("id2"), col("fp").as("fp2"))
+    a.join(b, Seq("block", "chunk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("fp1"), col("fp2")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

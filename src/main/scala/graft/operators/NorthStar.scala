@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{Dsl, Tables}
+import graft.Dsl._
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine-only north-star operators (no DuckDB oracle — rows-only check;
+  * correctness is property-tested in NorthStarSpec instead): approximate
+  * distinct, MinHash/SimHash near-dup, ANN, language ID, rolling-hash
+  * fingerprints, multimodal decode.
+  */
+object NorthStar {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q35: approx_count_distinct (HLL) next to the exact count — the scale
+    * path for D6; the spec asserts the documented error bound.
+    */
+  def q35ApproxDistinct: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q37: MinHash-LSH near-duplicate candidates over documents — top pairs
+    * by estimated Jaccard (banded LSH; no O(n²) cross join).
+    */
+  def q37MinhashPairs: Q = (s, d) => {
+    MinHashLSH.candidatePairs(Tables(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
+      .limit(50)
+  }
+
+  /** Q39: SimHash fingerprints — per-document 64-bit hash plus the most
+    * similar (lowest-Hamming) candidate pairs via chunk bucketing.
+    */
+  def q39SimhashPairs: Q = (s, d) => {
+    SimHash.candidatePairs(Tables(s, d, "documents"), "doc_id", "text", maxDist = 40)
+      .orderBy(col("hamming"), col("id1"), col("id2"))
+      .limit(50)
+  }
+
+  /** Q40: embedding near-dup pairs via random-hyperplane LSH buckets,
+    * exact-cosine verified.
+    */
+  def q40AnnLsh: Q = (s, d) => {
+    Ann.lshNearDupPairs(Tables(s, d, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .limit(50)
+  }
+
+  /** Q41: IVF top-k probe around vec_id 0 — searches only the nearest
+    * clusters (the 100 TB path where brute force stops being free).
+    */
+  def q41AnnIvf: Q = (s, d) =>
+    Ann.ivfTopK(Tables(s, d, "embeddings"), "vec_id", "embedding", probeId = 0L)
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Q42: heuristic language ID — stopword-profile scoring, highest score
+    * wins (ties break to the lexicographically larger tag, deterministically).
+    */
+  def q42LangId: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        array_max(array(scored: _*)).getField("lang").as("pred_lang"),
+        array_max(array(scored: _*)).getField("score").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q43: rolling-hash document fingerprint (position-sensitive, unlike the
+    * md5 content hash of Q36): left-to-right polynomial fold of token hashes
+    * modulo a large prime — keeps every step within long range (Spark 4's
+    * ANSI mode raises on silent wraparound).
+    */
+  def q43RollingFp: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val p = lit(1000000007L)
+    val fp = aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), p), p))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), fp.as("rolling_fp"))
+      .groupBy(col("rolling_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** Q44: multimodal decode pipeline — binary payloads + typed metadata,
+    * stub-decoded per partition, aggregated per format.
+    */
+  def q44Multimodal: Q = (s, d) => {
+    Multimodal.features(s, Tables(s, d, "documents")).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(dec(col("mean_byte"))).cast("double") / count(lit(1))).as("avg_mean_byte"),
+        sum(col("frames")).as("total_frames"))
+      .orderBy(col("format"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q35_approx_distinct" -> q35ApproxDistinct,
+    "q37_minhash_pairs" -> q37MinhashPairs,
+    "q39_simhash_pairs" -> q39SimhashPairs,
+    "q40_ann_lsh" -> q40AnnLsh,
+    "q41_ann_ivf" -> q41AnnIvf,
+    "q42_langid" -> q42LangId,
+    "q43_rolling_fp" -> q43RollingFp,
+    "q44_multimodal" -> q44Multimodal)
+
+  /** Engine-only: no oracle entries. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,82 @@
+package graft.similarity
+
+import graft.operators.Similarity.{asDouble, cosine, dot}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor scale paths over an embedding column —
+  * complements the exact brute-force probe (Q30). Two variants:
+  *
+  *   - Random-hyperplane LSH: sign-bit signatures from deterministic
+  *     pseudo-random planes; same-bucket vectors are candidates. Many-to-many
+  *     near-dup discovery without the O(n²) cross join.
+  *   - IVF (inverted file): vectors clustered to the nearest of K fixed
+  *     centroids; a probe searches only the closest `nprobe` clusters.
+  *
+  * Plane/centroid choice is deterministic (hash-derived / fixed ids), so all
+  * results are stable across runs and partitionings.
+  */
+object Ann {
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * derived from xxhash64(plane, dim) — no RNG state, reproducible anywhere.
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(lit("plane"), plane, dim), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+
+  /** `nPlanes`-bit LSH signature of an embedding (sign of projection per plane). */
+  def lshSignature(emb: Column, nPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+        when(aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, i) => x * planeComponent(p, i)),
+          lit(0.0), (acc, x) => acc + x) >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Candidate near-dup pairs from same-bucket LSH collisions, verified with
+    * exact cosine. Returns (id1, id2, cos) sorted by similarity.
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                      nPlanes: Int = 8): DataFrame = {
+    val sig = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"),
+      lshSignature(asDouble(col(embCol)), nPlanes).as("bucket"))
+    val a = sig.select(col("bucket"), col("id").as("id1"), col("ev").as("ev1"))
+    val b = sig.select(col("bucket"), col("id").as("id2"), col("ev").as("ev2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(cosine(col("ev1"), col("ev2")), 6).as("cos"))
+  }
+
+  /** IVF index: assign every vector to its nearest centroid (centroids =
+    * the vectors with the K smallest ids — fixed, deterministic; a k-means
+    * refinement would slot in here without changing the query shape).
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val vecs = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"))
+    val centroids = vecs.filter(col("id") < k).select(col("id").as("cid"), col("ev").as("cv"))
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("id"), col("ev"), col("cid"), cosine(col("ev"), col("cv")).as("sim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+        first(col("ev")).as("ev"))
+  }
+
+  /** IVF probe: search only the `nprobe` clusters nearest to the query
+    * vector; exact cosine within them; top-k out.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
+              probeId: Long, k: Int = 16, nprobe: Int = 4, topK: Int = 10): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, embCol, k)
+    val probe = assigned.filter(col("id") === probeId).select(col("ev").as("pv"))
+    val centroids = assigned.filter(col("id") < k).select(col("id").as("cid2"), col("ev").as("cv"))
+    val nearClusters = centroids.crossJoin(broadcast(probe))
+      .select(col("cid2"), cosine(col("cv"), col("pv")).as("csim"))
+      .orderBy(col("csim").desc, col("cid2")).limit(nprobe)
+    assigned
+      .join(broadcast(nearClusters), col("cid") === col("cid2"))
+      .crossJoin(broadcast(probe))
+      .select(col("id"), round(cosine(col("ev"), col("pv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(topK)
+  }
+}

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.Tables
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch windowing queries (SURVEY.md §2.3
+  * Q31/Q32 streaming analogs, engine-only): the same `events` parquet drives
+  * a file-source stream; results must match the batch formulations, which the
+  * StreamingSpec asserts.
+  *
+  * At scale this is the real shape: `readStream` over an append-only
+  * directory, event-time watermarks bounding state, and either built-in
+  * windows or `flatMapGroupsWithState` for custom session state. Local runs
+  * use a memory sink + `processAllAvailable()` for synchronous verification.
+  */
+object Windows {
+
+  /** File-source stream of `events` with the canonical second-truncated
+    * `ts2` event-time column (same nanos handling as [[Tables.events]]).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables(spark, dir, "events").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    raw.withColumn("ts2",
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_seconds(expr("ts DIV 1000000000"))
+      else date_trunc("second", col("ts")))
+  }
+
+  /** Streaming twin of Q32: tumbling 1-hour windows per event type, with a
+    * 2-hour watermark bounding aggregation state.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts2", "2 hours")
+      .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").cast("string").as("h"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Streaming twin of Q31 (built-in): 30-minute-gap session windows. The
+    * session_window end is lastEvent + gap, so span = end - start - gap.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts2", "2 hours")
+      .groupBy(session_window(col("ts2"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("start_es"),
+        (col("session_window.end").cast("long") - 1800).as("last_es"),
+        col("n_events"))
+
+  case class Ev(user_id: Long, ts2: java.sql.Timestamp) {
+    def es: Long = ts2.getTime / 1000
+  }
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, start_es: Long, last_es: Long, n_events: Long)
+
+  /** Streaming twin of Q31 (custom state): per-user sessionization with
+    * `flatMapGroupsWithState` — explicit session state with event-time
+    * timeout, emitting a session when a 30-min gap closes it. The custom-state
+    * escape hatch for semantics the built-in windows can't express.
+    */
+  def statefulSessions(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked ts2 column must flow INTO the stateful operator —
+    // projecting it away would drop the event-time watermark the timeout needs
+    val typed = events
+      .withWatermark("ts2", "2 hours")
+      .select(col("user_id"), col("ts2")).as[Ev]
+    typed.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFn)
+  }
+
+  private def sessionFn: (Long, Iterator[Ev], GroupState[SessionState]) => Iterator[SessionOut] =
+    (userId, rows, state) => {
+      if (state.hasTimedOut) {
+        // watermark passed last + gap: the open session is closed and emitted
+        val st = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, st.start, st.last, st.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.es)
+        var cur = state.getOption
+        val out = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          cur match {
+            case Some(st) if e.es - st.last <= 1800 =>
+              cur = Some(st.copy(last = e.es, n = st.n + 1))
+            case Some(st) =>
+              out += SessionOut(userId, st.start, st.last, st.n)
+              cur = Some(SessionState(e.es, e.es, 1))
+            case None =>
+              cur = Some(SessionState(e.es, e.es, 1))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp((st.last + 1800) * 1000)
+        }
+        out.result().iterator
+      }
+    }
+
+  /** Run a streaming aggregation to completion against the (static) test
+    * directory and return the final result — memory sink + a single
+    * availability pass; the production path would `writeStream` to a real
+    * sink with the same plan.
+    */
+  def runToBatch(agg: DataFrame, name: String, mode: OutputMode = OutputMode.Complete): DataFrame = {
+    val spark = agg.sparkSession
+    val unique = s"${name}_${runCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode(mode).format("memory").queryName(unique).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(unique)
+  }
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q45: Structured Streaming twin of Q32 — declared with Q32's oracle, so
+    * the streaming path is hash-checked against DuckDB, not just rows>0.
+    */
+  def q45StreamTumbling: Q = (s, d) =>
+    runToBatch(tumblingHourly(eventsStream(s, d)), "graft_q45")
+      .orderBy(col("h"), col("event_type"))
+
+  /** Q46: Structured Streaming twin of Q31 via session_window, reduced to
+    * per-user session count + average length — Q31's oracle applies.
+    */
+  def q46StreamSessions: Q = (s, d) =>
+    runToBatch(sessionWindows(eventsStream(s, d)), "graft_q46")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum(col("last_es") - col("start_es")).cast("double") / count(lit(1))).as("avg_len_sec"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q45_stream_tumbling" -> q45StreamTumbling,
+    "q46_stream_sessions" -> q46StreamSessions)
+
+  /** Streaming results are checked against the SAME SQL as their batch twins. */
+  val oracles: Map[String, String] = Map(
+    "q45_stream_tumbling" -> graft.operators.Events.oracles("q32_tumbling"),
+    "q46_stream_sessions" -> graft.operators.Events.oracles("q31_sessionize"))
+}

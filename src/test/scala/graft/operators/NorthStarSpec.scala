@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+/** Property/golden tests for the engine-only north-star operators
+  * (SURVEY.md §2.3 "engine-only capabilities"): these are the correctness
+  * checks the DuckDB oracle can't provide.
+  */
+class NorthStarSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash estimate tracks exact jaccard on crafted near-dups") {
+    // two near-identical docs (1 token changed of 20), one unrelated
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 19).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val other = (100 to 119).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // near-dup pair must be found with a high estimate...
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(pairs((1L, 2L)) > 0.5)
+    // ...and the unrelated doc must not pair with a high score
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.3)
+  }
+
+  test("simhash: identical docs collide at distance 0; unrelated docs are far") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely different words entirely other thing")).toDF("doc_id", "text")
+    val fp = docs.select(SimHash.simhash(split($"text", " ")).as("fp")).as[Long].collect()
+    assert(fp(0) === fp(1))
+    val pairs = SimHash.candidatePairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("hll approx distinct within documented error bound of exact") {
+    val rows = NorthStar.q35ApproxDistinct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("ivf top-k finds the probe itself and overlaps brute-force top-10") {
+    val ivf = Ann.ivfTopK(Tables_embeddings, "vec_id", "embedding", probeId = 0L)
+      .select("id").as[Long].collect().toSet
+    val brute = Similarity.q30CosineTopK(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.contains(0L)) // probe's own cluster is always searched
+    // nprobe=4/16 clusters: expect meaningful overlap with exact top-10
+    assert((ivf intersect brute).size >= 3, s"ivf=$ivf brute=$brute")
+  }
+  private def Tables_embeddings = graft.Tables(spark, sf0001, "embeddings")
+
+  test("ann lsh pairs are exact-cosine-verified and deduplicated") {
+    val pairs = Ann.lshNearDupPairs(Tables_embeddings, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // 8-bit signatures over 500 vectors must collide
+    assert(pairs.distinct.length === pairs.length)
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("multimodal stub decode: metadata-derived features are consistent") {
+    val feats = Multimodal.features(spark, graft.Tables(spark, sf0001, "documents")).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0)
+      assert(f.mean_byte > 0 && f.mean_byte < 256)
+      if (f.format == "mp4") assert(f.frames > 1) else assert(f.frames === 1)
+    }
+    val frames = Multimodal.sampleFrames(Multimodal.mediaTable(
+      graft.Tables(spark, sf0001, "documents")))
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq === Seq("doc_id", "frame_no", "frame_bytes"))
+  }
+
+  test("rolling fingerprint is position-sensitive where md5 groups only exact dups") {
+    val docs = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val p = lit(1000000007L)
+    val fps = docs.select(
+      aggregate(filter(split($"text", " "), t => t =!= ""), lit(0L),
+        (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), p), p)).as("fp")).as[Long].collect()
+    assert(fps(0) === fps(2)) // identical docs agree
+    assert(fps(0) !== fps(1)) // permuted tokens differ
+  }
+
+  test("langid predicts from stopword profiles deterministically") {
+    val rows = NorthStar.q42LangId(spark, sf0001).limit(5).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => Set("en", "es", "de", "fr", "zh").contains(r.getString(2))))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Batch-vs-stream equivalence (SURVEY.md §5.2 item 5): the streaming twins
+  * must reproduce the batch window results on the same events data.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling hourly == batch q32") {
+    val stream = Windows.runToBatch(
+      Windows.tumblingHourly(Windows.eventsStream(spark, sf0001)), "t_tumbling")
+      .select($"h", $"event_type", $"cnt", $"sum_value")
+      .orderBy($"h", $"event_type")
+      .collect().toSeq
+    val batch = Events.q32Tumbling(spark, sf0001).collect().toSeq
+    assert(stream === batch)
+  }
+
+  test("streaming session_window == batch gaps-and-islands sessions") {
+    val stream = Windows.runToBatch(
+      Windows.sessionWindows(Windows.eventsStream(spark, sf0001)), "t_sessions")
+    // per-user session count + avg length from the session_window result
+    val fromStream = stream
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum($"last_es" - $"start_es").cast("double") / count(lit(1))).as("avg_len_sec"))
+      .orderBy($"user_id")
+      .collect().toSeq
+    val batch = Events.q31Sessionize(spark, sf0001).collect().toSeq
+    assert(fromStream === batch)
+  }
+
+  test("flatMapGroupsWithState sessions are a prefix of the batch sessions") {
+    val out = Windows.runToBatch(
+      Windows.statefulSessions(Windows.eventsStream(spark, sf0001)).toDF(),
+      "t_stateful", OutputMode.Append)
+      .select($"user_id", $"start_es", $"last_es", $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch truth: all sessions via the q31 intermediate formulation
+    val e = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"ts2".cast("long").as("es"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"es", $"event_id")
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val batchSessions = e
+      .withColumn("new_sess", when(lag($"es", 1).over(w).isNull || $"es" - lag($"es", 1).over(w) > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"es").as("start_es"), max($"es").as("last_es"), count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_es", $"last_es", $"n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // every emitted (closed) session must be a true batch session; open
+    // sessions at end-of-stream legitimately remain unemitted
+    assert(out.nonEmpty)
+    assert(out.subsetOf(batchSessions),
+      s"stream emitted ${out.size} sessions, ${(out -- batchSessions).size} not in batch truth")
+  }
+}
