@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * the scale path for corpus dedup (exact pairwise Jaccard is O(n²);
   * LSH only pairs documents that collide in ≥1 band bucket).
   *
-  * Everything is native Catalyst higher-order functions over arrays:
-  * shingling (`slice` over a `sequence`), per-seed minhash (`array_min` of
-  * `xxhash64`), banding (`slice` + `xxhash64`), bucket pairing (equi-join on
-  * (band, hash)), and signature-agreement Jaccard estimation (`zip_with`).
-  * No UDFs, no driver-side state; all shuffles are hash joins on bucket keys.
+  * Formulated as explode → partial aggregate, the shape that scales AND
+  * avoids a Catalyst trap: computing the k-permutation signature as one
+  * nested array expression gets duplicated by projection collapse (the whole
+  * k×shingles hash loop re-evaluates per reference — observed 50× slowdowns).
+  * Here each (doc, shingle) row is hashed once per seed inside a hash
+  * aggregate with map-side combine; the only shuffles are the per-doc
+  * aggregation and the band-bucket join.
   *
   * Determinism: `xxhash64` is a fixed algorithm; seeds are literal ints.
   */
@@ -24,25 +26,32 @@ object MinHashLSH {
         sequence(lit(0), size(tokens) - w),
         i => array_join(slice(tokens, i + lit(1), lit(w)), " ")))
 
-  /** k-permutation MinHash signature of a shingle array. */
-  def signature(sh: Column, k: Int): Column =
-    array((0 until k).map(seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))): _*)
+  /** Per-document k-minimum signature as k partial-aggregated mins over
+    * exploded shingles (duplicate shingles don't affect the min — no
+    * distinct needed).
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 k: Int, shingleWidth: Int): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val exploded = df.select(col(idCol).as("id"),
+      explode(shingles(toks, shingleWidth)).as("sh"))
+    exploded.groupBy(col("id"))
+      .agg(min(xxhash64(lit(0), col("sh"))).as("m0"),
+        (1 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j")): _*)
+      .select(col("id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** Candidate pairs + estimated Jaccard from banded LSH.
     *
-    * @param df        input with `idCol` and `textCol`
-    * @param k         signature length (bands × rowsPerBand)
-    * @param bands     number of bands; more bands → lower collision threshold
+    * @param k     signature length (bands × rowsPerBand)
+    * @param bands number of bands; more bands → lower collision threshold
     * @return (id1, id2, est_jaccard) for pairs colliding in ≥1 band
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 32, bands: Int = 8, shingleWidth: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = df
-      .select(col(idCol).as("id"),
-        signature(shingles(filter(split(col(textCol), " "), t => t =!= ""), shingleWidth), k).as("sig"))
+    val sig = signatures(df, idCol, textCol, k, shingleWidth)
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit SimHash of a token array, as a signed long. */
+  /** 64-bit SimHash of a token array, as a signed long (single-expression
+    * form — fine for one-off columns; [[fingerprints]] is the scale path).
+    */
   def simhash(tokens: Column): Column = {
     val counts = aggregate(
       tokens,
@@ -23,10 +25,30 @@ object SimHash {
         transform(sequence(lit(0), lit(63)),
           b => when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1)),
         (a, x) => a + x))
+    packBits(counts)
+  }
+
+  /** Sign-vector counts → packed 64-bit fingerprint. */
+  private def packBits(counts: Column): Column =
     aggregate(
       zip_with(counts, sequence(lit(0), lit(63)),
         (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Per-document fingerprints as explode → 64 partial-aggregated bit sums —
+    * the scale formulation (map-side combine; each token hashed ONCE, not
+    * re-evaluated per projection reference; one exchange by doc id).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      explode(filter(split(col(textCol), " "), t => t =!= "")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = hashed.groupBy(col("id"))
+      .agg(sum(when(col("h").bitwiseAND(1L) =!= 0, 1).otherwise(-1)).as("c0"),
+        (1 until 64).map(b =>
+          sum(when(col("h").bitwiseAND(1L << b) =!= 0, 1).otherwise(-1)).as(s"c$b")): _*)
+    bitSums.select(col("id"),
+      packBits(array((0 until 64).map(b => col(s"c$b").cast("int")): _*)).as("fp"))
   }
 
   /** Hamming distance between two 64-bit fingerprints (as BIGINT). */
@@ -39,8 +61,7 @@ object SimHash {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3, blocks: Int = 4): DataFrame = {
     val w = 64 / blocks
-    val fp = df.select(col(idCol).as("id"),
-      simhash(filter(split(col(textCol), " "), t => t =!= "")).as("fp"))
+    val fp = fingerprints(df, idCol, textCol)
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
         b => call_function("shiftrightunsigned", col("fp"), b * lit(w)).bitwiseAND((1L << w) - 1))))
