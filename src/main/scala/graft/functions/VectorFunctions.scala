@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column-API surface for the custom vector expressions.
+  *
+  * Expressions are exposed through the session `FunctionRegistry` (temp
+  * functions) and invoked via `call_function` — the registry path keeps the
+  * Column API version-stable and also makes the function available to
+  * `spark.sql("... graft_cosine(a, b) ...")`.
+  */
+object VectorFunctions {
+
+  val CosineName = "graft_cosine"
+
+  /** Idempotently register the vector functions in this session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CosineName, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+
+  /** Cosine similarity of two ARRAY<DOUBLE> columns (requires [[register]]). */
+  def cosineSim(a: Column, b: Column): Column = call_function(CosineName, a, b)
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Dsl._
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,7 +26,11 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity of two double arrays: dot / (|a|·|b|). */
+  /** Cosine similarity composed from built-in higher-order functions — the
+    * reference formulation that [[graft.functions.CosineSimilarity]] must
+    * match bit-for-bit (CosineExprSpec asserts it); query paths use the fused
+    * codegen'd expression.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -47,11 +52,12 @@ object Similarity {
     * TakeOrderedAndProject. D5: scores rounded to 6 dp, ties broken by vec_id.
     */
   def q30CosineTopK: Q = (s, d) => {
+    VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings").withColumn("ev", asDouble(col("embedding")))
     val probe = emb.filter(col("vec_id") === 0).select(col("ev").as("pv"))
     emb.crossJoin(broadcast(probe))
       .select(col("vec_id"),
-        round(cosine(col("ev"), col("pv")), 6).as("score"),
+        round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("score"),
         big(col("label")).as("label"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)

@@ -1,6 +1,7 @@
 package graft.similarity
 
-import graft.operators.Similarity.{asDouble, cosine, dot}
+import graft.functions.VectorFunctions
+import graft.operators.Similarity.asDouble
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -39,13 +40,14 @@ object Ann {
     */
   def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                       nPlanes: Int = 8): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val sig = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"),
       lshSignature(asDouble(col(embCol)), nPlanes).as("bucket"))
     val a = sig.select(col("bucket"), col("id").as("id1"), col("ev").as("ev1"))
     val b = sig.select(col("bucket"), col("id").as("id2"), col("ev").as("ev2"))
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), round(cosine(col("ev1"), col("ev2")), 6).as("cos"))
+      .select(col("id1"), col("id2"), round(VectorFunctions.cosineSim(col("ev1"), col("ev2")), 6).as("cos"))
   }
 
   /** IVF index: assign every vector to its nearest centroid (centroids =
@@ -53,10 +55,11 @@ object Ann {
     * refinement would slot in here without changing the query shape).
     */
   def ivfAssign(emb: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val vecs = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"))
     val centroids = vecs.filter(col("id") < k).select(col("id").as("cid"), col("ev").as("cv"))
     vecs.crossJoin(broadcast(centroids))
-      .select(col("id"), col("ev"), col("cid"), cosine(col("ev"), col("cv")).as("sim"))
+      .select(col("id"), col("ev"), col("cid"), VectorFunctions.cosineSim(col("ev"), col("cv")).as("sim"))
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
         first(col("ev")).as("ev"))
@@ -71,12 +74,12 @@ object Ann {
     val probe = assigned.filter(col("id") === probeId).select(col("ev").as("pv"))
     val centroids = assigned.filter(col("id") < k).select(col("id").as("cid2"), col("ev").as("cv"))
     val nearClusters = centroids.crossJoin(broadcast(probe))
-      .select(col("cid2"), cosine(col("cv"), col("pv")).as("csim"))
+      .select(col("cid2"), VectorFunctions.cosineSim(col("cv"), col("pv")).as("csim"))
       .orderBy(col("csim").desc, col("cid2")).limit(nprobe)
     assigned
       .join(broadcast(nearClusters), col("cid") === col("cid2"))
       .crossJoin(broadcast(probe))
-      .select(col("id"), round(cosine(col("ev"), col("pv")), 6).as("score"))
+      .select(col("id"), round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("score"))
       .orderBy(col("score").desc, col("id")).limit(topK)
   }
 }
