@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session factory with the scale-oriented defaults every entry point shares.
   *
@@ -23,5 +23,21 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+  }
+
+  /** Register every test table as a temp view (events additionally as
+    * `events_ts2` with the canonical D4 timestamp) and the custom functions —
+    * after this, the whole declared surface is reachable via `spark.sql`.
+    */
+  def openCatalog(spark: SparkSession, dir: String): Unit = {
+    Tables.all.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
+    Tables.events(spark, dir).createOrReplaceTempView("events_ts2")
+    graft.functions.VectorFunctions.register(spark)
+  }
+
+  /** `openCatalog` + `spark.sql` in one call. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    openCatalog(spark, dir)
+    spark.sql(query)
   }
 }

@@ -1,0 +1,104 @@
+package graft.props
+
+import graft.dedup.MinHashLSH
+import graft.importer.{ImportConfig, Importer}
+import graft.sources.Writers
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import java.nio.file.Files
+
+/** ScalaCheck properties (SURVEY.md §5.2 item 4): randomized invariants the
+  * golden suites can't cover — round-trips, ordering, idempotence, layout,
+  * and the MinHash error bound. Sample counts are reduced because every
+  * sample runs real Spark jobs.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("GraftProperties")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val nameGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+  private val rowGen = for {
+    id <- Gen.choose(0L, 1000000L)
+    name <- nameGen
+    score <- Gen.choose(-1000000L, 1000000L).map(_ / 100.0) // finite, csv-stable
+    flag <- Gen.oneOf(true, false)
+  } yield (id, name, score, flag)
+
+  property("csv->parquet round-trip preserves typed values") =
+    forAll(Gen.nonEmptyListOf(rowGen).map(_.take(50))) { rows =>
+      val s = spark; import s.implicits._
+      val dir = Files.createTempDirectory("graft-prop-csv").toString
+      val df = rows.toDF("id", "name", "score", "flag")
+      Writers.csv(df, s"$dir/in")
+      val schemaFile = s"$dir/schema"
+      Files.writeString(java.nio.file.Paths.get(schemaFile),
+        "id=Long\nname=String\nscore=Double\nflag=Boolean\n")
+      val out = Importer.readCsvWriteParquet(ImportConfig(
+        srcFile = s"$dir/in", destFile = s"$dir/out", schemaFile = Some(schemaFile)))(spark)
+      val back = spark.read.parquet(s"$dir/out")
+        .as[(Long, String, Double, Boolean)].collect().toSet
+      back == rows.toSet
+    }
+
+  property("sort output is totally ordered") =
+    forAll(Gen.listOf(Gen.choose(-1000L, 1000L))) { xs =>
+      val s = spark; import s.implicits._
+      xs.isEmpty || {
+        val sorted = xs.toDF("x").sort("x").as[Long].collect().toSeq
+        sorted == xs.sorted
+      }
+    }
+
+  property("exact dedup is idempotent and keeps one row per key") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 20), nameGen))) { pairs =>
+      val s = spark; import s.implicits._
+      val df = pairs.toDF("k", "v")
+      val once = df.select("k").distinct()
+      val twice = once.distinct()
+      once.count() == pairs.map(_._1).distinct.size &&
+        twice.count() == once.count()
+    }
+
+  property("partition layout = distinct value set of the partition column") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(0, 100)))) { rows =>
+      val s = spark; import s.implicits._
+      val dir = Files.createTempDirectory("graft-prop-part").toString + "/out"
+      Writers.partitionedParquet(rows.toDF("part", "v"), dir, Seq("part"))
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+      dirs == rows.map(r => s"part=${r._1}").toSet
+    }
+
+  private val docGen: Gen[(List[String], List[String])] = for {
+    shared <- Gen.listOfN(30, Gen.identifier.map(_.take(8)))
+    extraA <- Gen.listOfN(10, Gen.identifier.map(_.take(8)))
+    extraB <- Gen.listOfN(10, Gen.identifier.map(_.take(8)))
+  } yield (shared ++ extraA, shared ++ extraB)
+
+  property("minhash signature agreement tracks exact shingle jaccard") =
+    forAll(docGen) { case (tokensA, tokensB) =>
+      val s = spark; import s.implicits._
+      val df = Seq((1L, tokensA.mkString(" ")), (2L, tokensB.mkString(" ")))
+        .toDF("doc_id", "text")
+      val sigs = MinHashLSH.signatures(df, "doc_id", "text", k = 32, shingleWidth = 3)
+        .orderBy("id").collect()
+      val s1 = sigs(0).getSeq[Long](1)
+      val s2 = sigs(1).getSeq[Long](1)
+      val est = s1.zip(s2).count { case (a, b) => a == b }.toDouble / 32
+      def shingleSet(t: List[String]) = t.sliding(3).map(_.mkString(" ")).toSet
+      val (sa, sb) = (shingleSet(tokensA), shingleSet(tokensB))
+      val exact = (sa intersect sb).size.toDouble / (sa union sb).size
+      // k=32 => sigma ~ sqrt(j(1-j)/32) <= 0.09; 4-sigma bound
+      math.abs(est - exact) <= 0.36
+    }
+}
