@@ -20,16 +20,24 @@ object Events {
   private def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
   /** Q08: range (theta) join — pairs of same-user events within (t, t+5min].
-    * Planned as an equi-join on user_id with the range as a join filter; the
-    * per-user sort-merge bounds the quadratic blowup to within-user windows.
+    *
+    * Banded/binned formulation: time is bucketed into 300-second bins and the
+    * left side is exploded to (bin, bin+1), making the range join a pure
+    * EQUI-join on (user, bin) plus a residual filter. A plain join on user_id
+    * with the range as a filter compares every same-user pair — O(m²) per
+    * user, which a hot user (or device firehose) turns into a straggler at
+    * 100 TB; binning bounds the work to genuinely-nearby pairs at 2× fan-out.
     */
   def q08RangeJoin: Q = (s, d) => {
-    val e = events(s, d).select(col("event_id"), col("user_id"), col("ts2"))
-    val e1 = e.toDF("id1", "u1", "t1")
-    val e2 = e.toDF("id2", "u2", "t2")
-    e1.join(e2, col("u1") === col("u2")
-        && col("t2") > col("t1")
-        && col("t2") <= col("t1") + expr("INTERVAL 5 MINUTES"))
+    val e = events(s, d)
+      .select(col("event_id"), col("user_id"), epochSec(col("ts2")).as("es"))
+    val bin = floor(col("es") / 300).cast("long")
+    val e1 = e.select(col("event_id").as("id1"), col("user_id").as("u"),
+      col("es").as("t1"), explode(array(bin, bin + 1)).as("bin"))
+    val e2 = e.select(col("event_id").as("id2"), col("user_id").as("u"),
+      col("es").as("t2"), bin.as("bin"))
+    e1.join(e2, Seq("u", "bin"))
+      .filter(col("t2") > col("t1") && col("t2") <= col("t1") + 300)
       .select(col("id1"), col("id2"))
       .orderBy(col("id1"), col("id2"))
   }
