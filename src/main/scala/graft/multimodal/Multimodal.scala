@@ -70,6 +70,24 @@ object Multimodal {
           i => substring(col("payload"), (i * (16 * stride) + lit(1)).cast("int"), lit(16)))))
       .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame_bytes")
 
+  /** STUB resize: stride-sample the payload (every factor-th byte) and scale
+    * the metadata dims — a real deployment swaps the body for a codec resize;
+    * the per-partition iterator shape and schema are the contract.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        m.copy(width = math.max(1, m.width / factor),
+          height = math.max(1, m.height / factor), payload = out)
+      }
+    }
+  }
+
   /** End-to-end: documents → media table → decoded features (typed). */
   def features(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -89,9 +89,12 @@ object Text {
     val stop = Seq("the", "a", "of", "and")
     val nTok = size(toks)
     val nStop = size(filter(toks, t => t.isin(stop: _*)))
+    // BPE-ish subword segmentation: letter runs, digit runs, single symbols
+    val bpeTokens = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
     Tables(s, d, "documents").select(
       col("doc_id"),
       big(nTok).as("n_tokens"),
+      big(size(bpeTokens)).as("n_bpe_tokens"),
       big(length(regexp_replace(col("text"), " ", ""))).as("n_chars_nospace"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") / nTok).as("avg_token_len"),
       (nStop.cast("double") / nTok).as("stop_ratio"))
@@ -183,6 +186,7 @@ object Text {
     "q34_text_quality" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.dedup.{MinHashLSH, SimHash}
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaRow, Multimodal}
 import graft.similarity.Ann
 import org.apache.spark.sql.functions._
 
@@ -83,6 +83,14 @@ class NorthStarSpec extends SparkSpec {
       graft.Tables(spark, sf0001, "documents")))
     assert(frames.count() > 0)
     assert(frames.columns.toSeq === Seq("doc_id", "frame_no", "frame_bytes"))
+    // resize stub: stride-2 halves payloads and dims
+    val media = Multimodal.mediaTable(graft.Tables(spark, sf0001, "documents")).as[MediaRow]
+    val resized = Multimodal.resize(media, 2).collect().map(m => m.doc_id -> m).toMap
+    media.collect().foreach { m =>
+      val r = resized(m.doc_id)
+      assert(r.payload.length === (m.payload.length + 1) / 2)
+      assert(r.width === math.max(1, m.width / 2))
+    }
   }
 
   test("rolling fingerprint is position-sensitive where md5 groups only exact dups") {
