@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions at session build time, so any deployment can opt in with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (spark-submit,
+  * thrift server, notebooks) without calling [[VectorFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier(VectorFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}
