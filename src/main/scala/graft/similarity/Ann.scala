@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions
 import graft.operators.Similarity.asDouble
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate nearest-neighbor scale paths over an embedding column —
   * complements the exact brute-force probe (Q30). Two variants:
@@ -11,11 +12,13 @@ import org.apache.spark.sql.functions._
   *   - Random-hyperplane LSH: sign-bit signatures from deterministic
   *     pseudo-random planes; same-bucket vectors are candidates. Many-to-many
   *     near-dup discovery without the O(n²) cross join.
-  *   - IVF (inverted file): vectors clustered to the nearest of K fixed
-  *     centroids; a probe searches only the closest `nprobe` clusters.
+  *   - IVF (inverted file): vectors clustered to the nearest of K centroids
+  *     (fixed-id seeds + deterministic k-means refinement); a probe searches
+  *     only the closest `nprobe` clusters.
   *
-  * Plane/centroid choice is deterministic (hash-derived / fixed ids), so all
-  * results are stable across runs and partitionings.
+  * Everything is deterministic at any parallelism: planes and seed centroids
+  * are hash/id-derived, and centroid means use exact decimal per-dimension
+  * sums (order-independent) before the double division.
   */
 object Ann {
 
@@ -50,31 +53,61 @@ object Ann {
       .select(col("id1"), col("id2"), round(VectorFunctions.cosineSim(col("ev1"), col("ev2")), 6).as("cos"))
   }
 
-  /** IVF index: assign every vector to its nearest centroid (centroids =
-    * the vectors with the K smallest ids — fixed, deterministic; a k-means
-    * refinement would slot in here without changing the query shape).
+  /** Assign each vector to its most-similar centroid (broadcast K rows;
+    * deterministic tie-break toward the smaller centroid id).
     */
-  def ivfAssign(emb: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
-    VectorFunctions.register(emb.sparkSession)
-    val vecs = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"))
-    val centroids = vecs.filter(col("id") < k).select(col("id").as("cid"), col("ev").as("cv"))
+  private def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(centroids))
-      .select(col("id"), col("ev"), col("cid"), VectorFunctions.cosineSim(col("ev"), col("cv")).as("sim"))
+      .select(col("id"), col("ev"), col("cid"),
+        VectorFunctions.cosineSim(col("ev"), col("cv")).as("sim"))
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
         first(col("ev")).as("ev"))
+
+  /** One deterministic Lloyd step: per-cluster per-dimension means via exact
+    * decimal sums (order-independent at any partitioning), reassembled into
+    * centroid vectors ordered by dimension. Empty clusters drop out.
+    */
+  private def refineCentroids(assigned: DataFrame): DataFrame = {
+    val byDim = assigned
+      .select(col("cid"), posexplode(col("ev")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col").cast(DecimalType(28, 14))).cast("double") / count(lit(1))).as("m"))
+    byDim.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
   }
+
+  /** IVF index: (assignments, centroids) after seeding with the K smallest
+    * ids and `refineIters` deterministic k-means refinements.
+    */
+  def ivfIndex(emb: DataFrame, idCol: String, embCol: String,
+               k: Int = 16, refineIters: Int = 1): (DataFrame, DataFrame) = {
+    VectorFunctions.register(emb.sparkSession)
+    val vecs = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"))
+    var centroids = vecs.filter(col("id") < k).select(col("id").as("cid"), col("ev").as("cv"))
+    var assigned = assignTo(vecs, centroids)
+    for (_ <- 0 until refineIters) {
+      centroids = refineCentroids(assigned)
+      assigned = assignTo(vecs, centroids)
+    }
+    (assigned, centroids)
+  }
+
+  /** Backward-compatible assignment-only view of [[ivfIndex]]. */
+  def ivfAssign(emb: DataFrame, idCol: String, embCol: String, k: Int): DataFrame =
+    ivfIndex(emb, idCol, embCol, k, refineIters = 0)._1
 
   /** IVF probe: search only the `nprobe` clusters nearest to the query
     * vector; exact cosine within them; top-k out.
     */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
-              probeId: Long, k: Int = 16, nprobe: Int = 4, topK: Int = 10): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, embCol, k)
+              probeId: Long, k: Int = 16, nprobe: Int = 4, topK: Int = 10,
+              refineIters: Int = 1): DataFrame = {
+    val (assigned, centroids) = ivfIndex(emb, idCol, embCol, k, refineIters)
     val probe = assigned.filter(col("id") === probeId).select(col("ev").as("pv"))
-    val centroids = assigned.filter(col("id") < k).select(col("id").as("cid2"), col("ev").as("cv"))
     val nearClusters = centroids.crossJoin(broadcast(probe))
-      .select(col("cid2"), VectorFunctions.cosineSim(col("cv"), col("pv")).as("csim"))
+      .select(col("cid").as("cid2"), VectorFunctions.cosineSim(col("cv"), col("pv")).as("csim"))
       .orderBy(col("csim").desc, col("cid2")).limit(nprobe)
     assigned
       .join(broadcast(nearClusters), col("cid") === col("cid2"))
