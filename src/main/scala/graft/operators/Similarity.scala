@@ -63,6 +63,29 @@ object Similarity {
       .limit(10)
   }
 
+  /** Batch multi-probe exact top-k: every probe row gets its k nearest
+    * neighbors in one pass — probes broadcast against the (arbitrarily
+    * large) corpus, per-probe winners kept by the bounded-state
+    * [[graft.functions.TopKByScore]] aggregator instead of a rank window
+    * (no per-group full sort; state is O(k) per probe at any corpus size).
+    */
+  def topKNeighbors(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, embCol: String, k: Int = 10): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    VectorFunctions.register(s)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"))
+    val p = probes.select(col(idCol).as("pid"), asDouble(col(embCol)).as("pv"))
+    c.crossJoin(broadcast(p))
+      .select(col("pid"), col("id"),
+        round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(new graft.functions.TopKByScore(k).toColumn)
+      .toDF("pid", "neighbors")
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_array" -> q24Array,
     "q30_cosine_topk" -> q30CosineTopK)

@@ -55,8 +55,13 @@ object Text {
   def q27ArrayParse: Q = (s, d) => {
     val li = Tables(s, d, "lineitem")
       .select(concat(lit("["), col("l_returnflag"), lit(", "), col("l_linestatus"), lit("]")).as("tags"))
+    // explode_outer + null filter, not explode: InferFiltersFromGenerate would
+    // duplicate the whole parse expression into a pre-Generate filter,
+    // evaluating the regex work twice per row (measured 2x at sf0.1); the
+    // outer variant skips that rule, and no array here is null/empty anyway.
     Enrich.parseAndAppendArrayCol("tags", li)
-      .select(explode(col("tags_array")).as("token"))
+      .select(explode_outer(col("tags_array")).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("token"))
   }

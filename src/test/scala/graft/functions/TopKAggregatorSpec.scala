@@ -21,6 +21,23 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(viaAgg === viaSort)
   }
 
+  test("batch multi-probe neighbors agree with the single-probe q30") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val probes = emb.filter($"vec_id".isin(0L, 7L, 42L))
+    val batch = graft.operators.Similarity
+      .topKNeighbors(emb, probes, "vec_id", "embedding", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getDouble(1)))).toMap
+    // probe 0's neighbor list must equal the declared q30 result exactly
+    val q30 = graft.operators.Similarity.q30CosineTopK(spark, sf0001)
+      .select($"vec_id", $"score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch(0L) === q30)
+    assert(batch.keySet === Set(0L, 7L, 42L))
+    assert(batch.values.forall(_.length === 10))
+    // every probe is its own best neighbor at score 1.0
+    batch.foreach { case (pid, ns) => assert(ns.head._1 === pid && ns.head._2 === 1.0) }
+  }
+
   test("per-group top-3 equals the rank-window filter (q16 semantics)") {
     val cust = Tables(spark, sf0001, "customer")
     val perGroup = cust
