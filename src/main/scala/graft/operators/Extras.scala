@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inventory extensions beyond SURVEY §2.3 Q01-Q33: percentiles, moment
+  * statistics, FILTER aggregation, PIVOT, ordered string aggregation, and
+  * correlated scalar subqueries (Catalyst decorrelation, SURVEY §4.3).
+  *
+  * Determinism notes: variance/stddev are NOT computed with the built-in
+  * aggregates (double sum-of-squares is order-dependent) but from exact
+  * decimal moments surfaced as doubles with an identical arithmetic shape in
+  * both engines; percentiles interpolate between the same sorted doubles and
+  * are D5-rounded to absorb formula-association differences.
+  */
+object Extras {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q47: exact interpolated percentiles (median / p90) per group. */
+  def q47Percentile: Q = (s, d) => {
+    Tables(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q48: sample variance / stddev from exact decimal moments. */
+  def q48Stats: Q = (s, d) => {
+    val x = col("l_quantity")
+    val s1 = sum(dec(x)).cast("double")
+    val s2 = sum(dec12(x) * dec12(x)).cast(org.apache.spark.sql.types.DecimalType(38, 4)).cast("double")
+    val n = count(lit(1)).cast("double")
+    Tables(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(s1.as("s1"), s2.as("s2"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 4).as("var_samp"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4).as("stddev_samp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q49: conditional (FILTER-clause) aggregation in one pass. */
+  def q49FilterAgg: Q = (s, d) => {
+    Tables(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_all"),
+        count(when(col("o_totalprice") > 250000, 1)).as("n_big"),
+        moneySum(col("o_totalprice")).as("sum_all"),
+        sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))).cast("double").as("sum_f"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q50: PIVOT — revenue by priority pivoted over return flags. */
+  def q50Pivot: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+    val orders = Tables(s, d, "orders")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sumExactDouble(revenueTerm(col("l_extendedprice"), col("l_discount"))))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q51: ordered string aggregation (listagg) per group. */
+  def q51StringAgg: Q = (s, d) => {
+    Tables(s, d, "documents")
+      .select(col("source"), col("lang")).distinct()
+      .groupBy(col("source"))
+      .agg(concat_ws(",", array_sort(collect_list(col("lang")))).as("langs"))
+      .orderBy(col("source"))
+  }
+
+  /** Q52: correlated scalar subquery — orders above their customer's own
+    * (exact-decimal) average; Catalyst decorrelates to an aggregate + join.
+    */
+  def q52CorrSubquery: Q = (s, d) => {
+    Tables(s, d, "orders").createOrReplaceTempView("graft_q52_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_q52_orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM graft_q52_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q47_percentile" -> q47Percentile,
+    "q48_stats" -> q48Stats,
+    "q49_filter_agg" -> q49FilterAgg,
+    "q50_pivot" -> q50Pivot,
+    "q51_string_agg" -> q51StringAgg,
+    "q52_corr_subquery" -> q52CorrSubquery)
+
+  val oracles: Map[String, String] = Map(
+    "q47_percentile" ->
+      """SELECT o_orderpriority,
+        |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+        |  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q48_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS s2,
+        |  ROUND((CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE)
+        |         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |        / (CAST(COUNT(*) AS DOUBLE) - 1), 4) AS var_samp,
+        |  ROUND(sqrt((CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE)
+        |         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |        / (CAST(COUNT(*) AS DOUBLE) - 1)), 4) AS stddev_samp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q49_filter_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 250000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_all,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q50_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) FILTER (WHERE l_returnflag = 'A'), 4) AS DOUBLE) AS "A",
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) FILTER (WHERE l_returnflag = 'N'), 4) AS DOUBLE) AS "N",
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(12,4))) FILTER (WHERE l_returnflag = 'R'), 4) AS DOUBLE) AS "R"
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q51_string_agg" ->
+      """SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs
+        |FROM (SELECT DISTINCT source, lang FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q52_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+}
