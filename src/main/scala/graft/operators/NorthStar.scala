@@ -112,7 +112,21 @@ object NorthStar {
       .orderBy(col("format"))
   }
 
+  /** Q53: deterministic hash-based train/test split + per-split stats —
+    * training-pipeline plumbing (reproducible at any parallelism, unlike
+    * rand(seed); see [[TrainingOps]]).
+    */
+  def q53TrainTestSplit: Q = (s, d) => {
+    Tables(s, d, "documents")
+      .withColumn("split", TrainingOps.splitLabel("doc_id", 0.2))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q53_train_test_split" -> q53TrainTestSplit,
     "q35_approx_distinct" -> q35ApproxDistinct,
     "q37_minhash_pairs" -> q37MinhashPairs,
     "q39_simhash_pairs" -> q39SimhashPairs,

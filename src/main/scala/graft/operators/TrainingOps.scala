@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline plumbing: splits, shuffles and samples that are
+  * HASH-based rather than RNG-based — `rand(seed)` depends on partition
+  * layout, so its results change under repartitioning, AQE re-planning or
+  * input file re-bucketing; `xxhash64(id, salt)` is a pure function of the
+  * row, giving splits that are reproducible on any cluster at any
+  * parallelism, stable across reruns, and consistent when new data arrives
+  * (a row never silently migrates between train and test).
+  */
+object TrainingOps {
+
+  private def bucket(id: Column, salt: Long, buckets: Int = 10000): Column =
+    pmod(xxhash64(id, lit(salt)), lit(buckets))
+
+  /** Deterministic disjoint train/test split by id hash. */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
+                     salt: Long = 0L): (DataFrame, DataFrame) = {
+    val cut = math.round(testFraction * 10000).toInt
+    val b = bucket(col(idCol), salt)
+    (df.filter(b >= cut), df.filter(b < cut))
+  }
+
+  /** Split-label column (train/test) for single-pass pipelines. */
+  def splitLabel(idCol: String, testFraction: Double, salt: Long = 0L): Column =
+    when(bucket(col(idCol), salt) < math.round(testFraction * 10000).toInt, "test")
+      .otherwise("train")
+
+  /** Deterministic global shuffle: order by id hash — same permutation on
+    * any cluster, unlike `orderBy(rand(seed))`.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 0L): DataFrame =
+    df.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+
+  /** Deterministic per-stratum sampling: within each stratum value, keep the
+    * given fraction of ids by hash threshold (absent strata keep 0).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       fractions: Map[String, Double], salt: Long = 0L): DataFrame = {
+    val cutExpr = fractions.foldLeft(lit(0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, math.round(f * 10000).toInt).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), salt) < cutExpr)
+  }
+}
