@@ -142,12 +142,54 @@ object Windows {
         (sum(col("last_es") - col("start_es")).cast("double") / count(lit(1))).as("avg_len_sec"))
       .orderBy(col("user_id"))
 
+  /** Q54: streaming SLIDING window (10-minute windows every 5 minutes) —
+    * counts + exact-decimal sums per (window, type). Every event lands in
+    * exactly two epoch-aligned windows, which is how the DuckDB oracle
+    * reproduces it relationally (double assignment + group).
+    */
+  def q54StreamSliding: Q = (s, d) =>
+    runToBatch(
+      eventsStream(s, d)
+        .withWatermark("ts2", "2 hours")
+        .groupBy(window(col("ts2"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_value")),
+      "graft_q54")
+      .select(col("window.start").cast("long").as("wstart"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** Q55: streaming exact dedup — `dropDuplicates` over the key columns on
+    * the event stream; emitting only the keys makes the result equal to a
+    * batch DISTINCT regardless of which arrival survived.
+    */
+  def q55StreamDedup: Q = (s, d) =>
+    runToBatch(
+      eventsStream(s, d).select(col("user_id"), col("event_type")).dropDuplicates(),
+      "graft_q55", OutputMode.Append)
+      .orderBy(col("user_id"), col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "q45_stream_tumbling" -> q45StreamTumbling,
-    "q46_stream_sessions" -> q46StreamSessions)
+    "q46_stream_sessions" -> q46StreamSessions,
+    "q54_stream_sliding" -> q54StreamSliding,
+    "q55_stream_dedup" -> q55StreamDedup)
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
     "q45_stream_tumbling" -> graft.operators.Events.oracles("q32_tumbling"),
-    "q46_stream_sessions" -> graft.operators.Events.oracles("q31_sessionize"))
+    "q46_stream_sessions" -> graft.operators.Events.oracles("q31_sessionize"),
+    "q54_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, event_type, value
+        |  FROM events),
+        |a AS (
+        |  SELECT (es // 300) * 300 AS wstart, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT (es // 300) * 300 - 300 AS wstart, event_type, value FROM e)
+        |SELECT wstart, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM a GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
+    "q55_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
 }
