@@ -85,6 +85,41 @@ object GraftProperties extends Properties("graft") {
     extraB <- Gen.listOfN(10, Gen.identifier.map(_.take(8)))
   } yield (shared ++ extraA, shared ++ extraB)
 
+  private val eventGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 10000L))).map(_.take(60))
+
+  property("as-of join: every match is the latest right row at or before left") =
+    forAll(eventGen, eventGen) { (leftRows, rightRows) =>
+      val s = spark; import s.implicits._
+      import graft.operators.AsOf
+      val left = leftRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rightRows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "rid")
+      val out = AsOf.asofJoin(left, right, "k", "t", "t", rightTieBreak = Some("rid"))
+        .select($"k", $"t", $"matched.t".as("mt"))
+        .collect()
+      val byKey = rightRows.groupBy(_._1)
+      out.forall { r =>
+        val (k, t) = (r.getLong(0), r.getLong(1))
+        val expected = byKey.getOrElse(k, Nil).map(_._2).filter(_ <= t)
+        if (r.isNullAt(2)) expected.isEmpty
+        else expected.nonEmpty && r.getLong(2) == expected.max
+      }
+    }
+
+  property("simhash fingerprints: hamming is symmetric, zero iff equal tokens") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier.map(_.take(6))).map(_.take(20))) { tokens =>
+      val s = spark; import s.implicits._
+      import graft.dedup.SimHash
+      val df = Seq((1L, tokens.mkString(" ")), (2L, tokens.reverse.mkString(" ")))
+        .toDF("doc_id", "text")
+      val fps = SimHash.fingerprints(df, "doc_id", "text")
+        .orderBy("id").select("fp").as[Long].collect()
+      // simhash is order-insensitive (bag of tokens): permuted doc -> same fp
+      fps(0) == fps(1)
+    }
+
   property("minhash signature agreement tracks exact shingle jaccard") =
     forAll(docGen) { case (tokensA, tokensB) =>
       val s = spark; import s.implicits._
