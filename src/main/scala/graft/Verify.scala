@@ -19,11 +19,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Per-query timeout with job-group cancellation: one pathological query
+    // (or a stuck streaming trigger) must not stall the whole correctness
+    // round — it's reported as a failure and the run continues.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val fut = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(fut, 600.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+          System.err.println(s"[verify] $name timed out after 600s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate candidate-pair graph — the
+  * step that turns LSH pairs into dedup GROUPS with one canonical survivor.
+  *
+  * Iterative minimum-label propagation WITH pointer jumping: each round every
+  * node adopts the smallest label in its neighborhood, then labels are
+  * compressed through the label graph (comp := comp-of-comp), giving
+  * O(log diameter) rounds instead of O(diameter). Each round is two joins on
+  * the (small) edge/label sets — shuffle volume proportional to edges.
+  * Deterministic: labels are min() folds.
+  *
+  * Results are checkpointed to plain datasets between iterations via
+  * `localCheckpoint` so the lineage doesn't grow exponentially.
+  */
+object Components {
+
+  /** @param edges two BIGINT columns (src, dst), undirected
+    * @return (node, component) — component = smallest node id reachable
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .union(edges.select(col(dst).cast("long").as("a"), col(src).cast("long").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label per node: min over its own label and neighbors' labels
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("node", "b").withColumnRenamed("comp", "nb_comp"), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("nb_comp")).as("nb_min"))
+      val propagated = labels.join(viaNeighbors, Seq("node"), "left_outer")
+        .select(col("node"), least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"))
+      // pointer jumping: comp := comp's own comp (labels are node ids, so the
+      // lookup always hits) — collapses chains logarithmically
+      val next = propagated
+        .join(propagated.select(col("node").as("cnode"), col("comp").as("ccomp")),
+          col("comp") === col("cnode"))
+        .select(col("node"), col("ccomp").as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full dedup resolution: candidate pairs → components → per-document
+    * (component, is_canonical) where the canonical survivor is the smallest
+    * id in its component; unpaired documents are their own canonical.
+    */
+  def resolveDuplicates(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        id1: String = "id1", id2: String = "id2"): DataFrame = {
+    val comps = connectedComponents(pairs, id1, id2)
+    docs.select(col(idCol).as("node"))
+      .join(comps, Seq("node"), "left_outer")
+      .select(col("node").as(idCol),
+        coalesce(col("comp"), col("node")).as("component"))
+      .withColumn("is_canonical", col(idCol) === col("component"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.dedup
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Connected components + dedup resolution over candidate pairs. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chains, cliques and singletons resolve to min labels") {
+    // graph: chain 1-2-3-4, pair 10-11, triangle 20-21-22 (+ edge 22-20)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id1", "id2")
+    val comps = Components.connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
+  }
+
+  test("long path converges within the iteration budget") {
+    val n = 30
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    val comps = Components.connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet === Set(0L))
+  }
+
+  test("resolveDuplicates: every doc gets a component; one canonical each") {
+    val docs = Tables(spark, sf0001, "documents")
+    val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")
+      .filter($"est_jaccard" >= 0.5).select($"id1", $"id2")
+    val resolved = Components.resolveDuplicates(docs, "doc_id", pairs)
+    assert(resolved.count() === 500)
+    // exactly one canonical per component
+    val perComp = resolved.groupBy($"component")
+      .agg(sum(when($"is_canonical", 1).otherwise(0)).as("n_canon"))
+      .collect()
+    assert(perComp.forall(_.getLong(1) === 1L))
+    // canonical is the component id itself (smallest member)
+    assert(resolved.filter($"is_canonical" && $"doc_id" =!= $"component").count() === 0)
+  }
+}
