@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Dsl, Tables}
 import graft.Dsl._
-import graft.dedup.{MinHashLSH, SimHash}
+import graft.dedup.{Components, MinHashLSH, SimHash}
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -125,8 +125,25 @@ object NorthStar {
       .orderBy(col("split"))
   }
 
+  /** Q56: full dedup resolution — MinHash-LSH pairs → connected components
+    * → one canonical survivor per near-dup group; reports group-size stats.
+    */
+  def q56DedupResolve: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5).select(col("id1"), col("id2"))
+    Components.resolveDuplicates(docs, "doc_id", pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("group_size"),
+        min(col("doc_id")).as("survivor"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q53_train_test_split" -> q53TrainTestSplit,
+    "q56_dedup_resolve" -> q56DedupResolve,
     "q35_approx_distinct" -> q35ApproxDistinct,
     "q37_minhash_pairs" -> q37MinhashPairs,
     "q39_simhash_pairs" -> q39SimhashPairs,
