@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * the (small) edge/label sets — shuffle volume proportional to edges.
   * Deterministic: labels are min() folds.
   *
-  * Results are checkpointed to plain datasets between iterations via
-  * `localCheckpoint` so the lineage doesn't grow exponentially.
+  * Results are checkpointed between iterations via `localCheckpoint` so the
+  * lineage doesn't grow exponentially. (On a long-lived production cluster,
+  * prefer `sparkContext.setCheckpointDir` + `checkpoint()` — localCheckpoint
+  * blocks are lost with executor failures; for this bounded iteration count
+  * the local variant's zero-HDFS-dependency wins.)
   */
 object Components {
 
