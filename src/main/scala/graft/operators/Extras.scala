@@ -87,7 +87,52 @@ object Extras {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Q57: distribution window functions — ntile / percent_rank / cume_dist
+    * (rank-derived ratios of exact ints: cross-engine deterministic).
+    */
+  def q57WindowExtras: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        big(ntile(4).over(w)).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Q58: array-function battery — sort / distinct / slice / contains-all
+    * reductions over tokenized text, output as scalars (D-rule: no array
+    * columns in oracle-compared output).
+    */
+  def q58ArrayFuncs: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    Tables(s, d, "documents").select(
+      col("doc_id"),
+      big(size(array_distinct(toks))).as("n_distinct"),
+      element_at(array_sort(filter(toks, t => t =!= "")), 1).as("first_sorted"),
+      element_at(array_sort(filter(toks, t => t =!= "")), -1).as("last_sorted"),
+      big(size(slice(toks, 1, 5))).as("n_head5"),
+      array_join(slice(array_sort(array_distinct(filter(toks, t => t =!= ""))), 1, 3), "|").as("top3_alpha"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q59: conditional expressions — CASE, coalesce, nullif, greatest, least. */
+  def q59Conditionals: Q = (s, d) => {
+    Tables(s, d, "lineitem").select(
+      col("l_orderkey"), big(col("l_linenumber")).as("l_linenumber"),
+      when(col("l_quantity") >= 40, "high").when(col("l_quantity") >= 15, "mid")
+        .otherwise("low").as("qty_band"),
+      coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+      greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+      least(col("l_discount"), col("l_tax")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_window_extras" -> q57WindowExtras,
+    "q58_array_funcs" -> q58ArrayFuncs,
+    "q59_conditionals" -> q59Conditionals,
     "q47_percentile" -> q47Percentile,
     "q48_stats" -> q48Stats,
     "q49_filter_agg" -> q49FilterAgg,
@@ -96,6 +141,30 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q57_window_extras" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pr,
+        |  ROUND(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q58_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  list_sort(list_filter(string_split(text, ' '), t -> t <> ''))[1] AS first_sorted,
+        |  list_sort(list_filter(string_split(text, ' '), t -> t <> ''))[-1] AS last_sorted,
+        |  CAST(len(string_split(text, ' ')[1:5]) AS BIGINT) AS n_head5,
+        |  array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))[1:3], '|') AS top3_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q59_conditionals" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CASE WHEN l_quantity >= 40 THEN 'high'
+        |       WHEN l_quantity >= 15 THEN 'mid' ELSE 'low' END AS qty_band,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  GREATEST(l_discount, l_tax) AS max_rate,
+        |  LEAST(l_discount, l_tax) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q47_percentile" ->
       """SELECT o_orderpriority,
         |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
