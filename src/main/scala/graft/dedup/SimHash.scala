@@ -55,8 +55,16 @@ object SimHash {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** Near-dup candidate pairs with Hamming distance ≤ maxDist.
-    * Guaranteed complete for maxDist < blocks (pigeonhole on exact-matching
-    * 64/blocks-bit chunks).
+    *
+    * Recall contract: COMPLETE only for maxDist < blocks — a pair differing
+    * in d bits has at most d non-matching chunks, so d < blocks forces ≥1
+    * exact chunk collision (pigeonhole). For maxDist ≥ blocks recall is
+    * partial (pairs whose differing bits touch every chunk are missed);
+    * callers wanting a larger radius must raise `blocks` accordingly.
+    * Trade-off at scale: chunk width is 64/blocks bits, so bucket count per
+    * block is 2^(64/blocks) — more blocks = full recall at larger radii but
+    * coarser buckets (blocks=8 → 256-value chunks, fine to ~10⁹ docs;
+    * blocks=4 → 65536-value chunks for the tightest-radius scale path).
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3, blocks: Int = 4): DataFrame = {

@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Enrich {
 
-  /** Reference regex (package.scala:47): `yyyy-MM-dd HH:mm` validator. */
-  private val DatePattern = "([0-9]{4})-([0-9]{2})-([0-9]{2}) ([0-9]{2}):([0-9]{2})"
+  /** Reference regex (package.scala:47): `yyyy-MM-dd HH:mm` validator. Anchored
+    * both ends because Scala's `case regex(...)` match is a whole-string match
+    * (`Matcher.matches`), while Spark's `regexp_extract` substring-matches —
+    * without anchors "2015-03-04 05:06:30" would wrongly yield year=2015 here
+    * where the reference returns "".
+    */
+  private val DatePattern = "^([0-9]{4})-([0-9]{2})-([0-9]{2}) ([0-9]{2}):([0-9]{2})$"
 
   /** package.scala:48 — date part = everything before the first space; null → "".
     * No regex validation, matching the reference's asymmetry vs year/month.

@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   ImporterCli --srcFile in.csv --destFile out.parquet [--delimiter ,]
+  *     (`--delimeter`, the reference's misspelled long option from
+  *     Config.scala, is accepted as an alias so existing invocations work)
   *     [--schemaFile f] [--slashEscapes] [--dateEnrich col]
   *     [--arrayCols a,b] [--removeArraySrc] [--sortCols a,b]
   *     [--partitionCols a,b] [--twitterCleanse] [--sparkOpts k=v,k=v]
@@ -23,8 +25,11 @@ object ImporterCli {
     while (i < args.length) {
       val a = args(i)
       if (!a.startsWith("--")) throw new IllegalArgumentException(s"Unexpected argument '$a'")
-      if (flags.contains(a)) { opts += (a.drop(2) -> "true"); i += 1 }
-      else if (i + 1 < args.length) { opts += (a.drop(2) -> args(i + 1)); i += 2 }
+      // The reference's long option is the misspelled "--delimeter"
+      // (Config.scala:5-24); alias it so reference invocations keep working.
+      val key = if (a == "--delimeter") "delimiter" else a.drop(2)
+      if (flags.contains(a)) { opts += (key -> "true"); i += 1 }
+      else if (i + 1 < args.length) { opts += (key -> args(i + 1)); i += 2 }
       else throw new IllegalArgumentException(s"Missing value for '$a'")
     }
     def list(k: String): Seq[String] =

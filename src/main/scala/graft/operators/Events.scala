@@ -183,7 +183,7 @@ object Events {
         |ORDER BY g_t, g_h, event_type ASC NULLS FIRST, h ASC NULLS FIRST""".stripMargin,
     "q25_json" ->
       """SELECT event_type,
-        |  SUM(k) AS sum_k, MAX(k) AS max_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
         |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

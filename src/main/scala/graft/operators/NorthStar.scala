@@ -36,11 +36,16 @@ object NorthStar {
       .limit(50)
   }
 
-  /** Q39: SimHash fingerprints — per-document 64-bit hash plus the most
-    * similar (lowest-Hamming) candidate pairs via chunk bucketing.
+  /** Q39: SimHash fingerprints — all candidate pairs within Hamming radius 7
+    * via 8-bit-chunk bucketing. maxDist (7) < blocks (8) keeps the pigeonhole
+    * completeness guarantee: every pair within the radius collides on ≥1
+    * exact chunk, so the result is the COMPLETE ≤7-bit pair set, not a
+    * partial-recall sample (the round-1 maxDist=40/blocks=4 combination
+    * silently missed pairs beyond distance 3).
     */
   def q39SimhashPairs: Q = (s, d) => {
-    SimHash.candidatePairs(Tables(s, d, "documents"), "doc_id", "text", maxDist = 40)
+    SimHash.candidatePairs(Tables(s, d, "documents"), "doc_id", "text",
+        maxDist = 7, blocks = 8)
       .orderBy(col("hamming"), col("id1"), col("id2"))
       .limit(50)
   }

@@ -21,6 +21,21 @@ class EnrichSpec extends SparkSpec {
     assert(out(3) === Row("2015-03-04", "2015", "03"))
   }
 
+  test("date enrich: whole-string match — trailing/embedded content yields sentinels") {
+    // Scala `case regex(...)` is Matcher.matches (full string); regexp_extract
+    // substring-matches, so the pattern must be anchored to agree with the
+    // reference on these inputs.
+    val df = Seq(
+      "2015-03-04 05:06:30",            // trailing seconds -> non-match
+      "x 2015-03-04 05:06",             // leading junk -> non-match
+      "tweeted at 2015-03-04 05:06 ok") // embedded datetime -> non-match
+      .toDF("ts")
+    val out = Enrich.dateEnrich("ts", df).select("year", "month").collect().toSeq
+    assert(out(0) === Row("", ""))
+    assert(out(1) === Row("", ""))
+    assert(out(2) === Row("", ""))
+  }
+
   test("array parse: null / empty / brackets / singleton / pair (R13 quirks)") {
     val df = Seq[Option[String]](None, Some(""), Some("[]"), Some("[a]"), Some("[a, b]"))
       .toDF("src")
@@ -79,5 +94,36 @@ class EnrichSpec extends SparkSpec {
       .toDF("tweetid", "tweet_time")
     val out = Cleanse.twitterCleanse(df).select("tweetid").as[Long].collect().toSeq
     assert(out === Seq(1L))
+  }
+
+  test("cleanse flags trailing content after yyyy-MM-dd HH:mm (full-string match)") {
+    val df = Seq(
+      (1L, "2015-01-01 10:00"),         // good
+      (2L, "2015-01-01 10:00:30"),      // trailing seconds -> suspect
+      (3L, "2015-01-01 10:00 \"junk"))  // corrupt-row junk -> suspect
+      .toDF("tweetid", "tweet_time")
+    val out = Cleanse.twitterCleanse(df).select("tweetid").as[Long].collect().toSeq
+    assert(out === Seq(1L))
+  }
+
+  test("cleanse keeps NULL tweetids when there are no suspect rows (NOT IN gating)") {
+    // Reference only applies the NOT IN filter when badTweetIds is non-empty;
+    // with a clean dataset NULL ids must survive.
+    val clean = Seq(
+      (Some(1L), "2015-01-01 10:00"),
+      (None: Option[Long], "2015-01-01 12:00"))
+      .toDF("tweetid", "tweet_time")
+    val out = Cleanse.twitterCleanse(clean).select("tweetid").collect()
+    assert(out.length === 2)
+    assert(out.count(_.isNullAt(0)) === 1)
+  }
+
+  test("cli accepts the reference's misspelled --delimeter alias") {
+    val (conf, _, _) = ImporterCli.parseArgs(Array(
+      "--srcFile", "in.csv", "--destFile", "out.parquet", "--delimeter", "\t"))
+    assert(conf.delimiter === "\t")
+    val (conf2, _, _) = ImporterCli.parseArgs(Array(
+      "--srcFile", "in.csv", "--destFile", "out.parquet", "--delimiter", ";"))
+    assert(conf2.delimiter === ";")
   }
 }

@@ -50,8 +50,19 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: columns spark={scols} duck={dcols}")
                 n_fail += 1
                 continue
-            srows = spark_rel.project(", ".join(f'"{c}"' for c in scols)).fetchall()
-            drows = duck_rel.project(", ".join(f'"{c}"' for c in dcols)).fetchall()
+            sproj = spark_rel.project(", ".join(f'"{c}"' for c in scols))
+            dproj = duck_rel.project(", ".join(f'"{c}"' for c in dcols))
+            stypes = [str(t) for t in sproj.types]
+            dtypes = [str(t) for t in dproj.types]
+            if stypes != dtypes:
+                # the driver hashes TYPED values (arrow), so e.g. DuckDB's
+                # HUGEINT from SUM(BIGINT) vs Spark's BIGINT is a real FAIL
+                # even though Python int equality would hide it
+                print(f"FAIL {name}: result types differ spark={stypes} duck={dtypes}")
+                n_fail += 1
+                continue
+            srows = sproj.fetchall()
+            drows = dproj.fetchall()
             srows = [tuple(canon(v) for v in r) for r in srows]
             drows = [tuple(canon(v) for v in r) for r in drows]
             if len(srows) != len(drows):
