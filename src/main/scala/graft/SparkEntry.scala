@@ -27,5 +27,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Text.oracles ++ Similarity.oracles ++
-      Extras.oracles ++ graft.streaming.Windows.oracles
+      NorthStar.oracles ++ Extras.oracles ++ graft.streaming.Windows.oracles
 }

@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(VectorFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
       exprs => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier(VectorFunctions.DotName),
+      new ExpressionInfo(classOf[DotProduct].getName, VectorFunctions.DotName),
+      exprs => DotProduct(exprs.head, exprs(1))))
   }
 }

@@ -13,12 +13,19 @@ import org.apache.spark.sql.functions.call_function
 object VectorFunctions {
 
   val CosineName = "graft_cosine"
+  val DotName = "graft_dot"
 
   /** Idempotently register the vector functions in this session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  }
 
   /** Cosine similarity of two ARRAY<DOUBLE> columns (requires [[register]]). */
   def cosineSim(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Dot product of two ARRAY<DOUBLE> columns (requires [[register]]). */
+  def dotProduct(a: Column, b: Column): Column = call_function(DotName, a, b)
 }

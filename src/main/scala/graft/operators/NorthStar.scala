@@ -2,16 +2,20 @@ package graft.operators
 
 import graft.{Dsl, Tables}
 import graft.Dsl._
-import graft.dedup.{Components, MinHashLSH, SimHash}
+import graft.dedup.{Components, JaccardJoin, MinHashLSH, SimHash}
 import graft.multimodal.Multimodal
 import graft.similarity.Ann
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Engine-only north-star operators (no DuckDB oracle — rows-only check;
-  * correctness is property-tested in NorthStarSpec instead): approximate
-  * distinct, MinHash/SimHash near-dup, ANN, language ID, rolling-hash
-  * fingerprints, multimodal decode.
+/** North-star operators. Oracle-checked since round 2: language ID (q42),
+  * rolling fingerprints (q43), train/test split (q53) and full dedup
+  * resolution (q56) — each formulated over engine-portable primitives
+  * (md5, mod-prime integer arithmetic, exact set Jaccard) so DuckDB can
+  * replicate them bit-for-bit. Engine-only (rows-only check, property-tested
+  * in NorthStarSpec): the inherently approximate ones — HLL distinct (q35),
+  * MinHash estimation (q37), SimHash bucketing (q39), LSH/IVF ANN (q40/q41)
+  * — and the binary-stub multimodal pipeline (q44).
   */
 object NorthStar {
   type Q = (SparkSession, String) => DataFrame
@@ -77,8 +81,12 @@ object NorthStar {
     */
   def q42LangId: Q = (s, d) => {
     val toks = filter(split(col("text"), " "), t => t =!= "")
+    // score is cast to long INSIDE the struct: struct comparison is
+    // field-order lexicographic in both engines, and DuckDB's len() is
+    // BIGINT, so the typed hash needs long here too
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+      struct(size(filter(toks, t => t.isin(words: _*))).cast("long").as("score"),
+        lit(lang).as("lang"))
     }
     Tables(s, d, "documents")
       .select(col("doc_id"), col("lang").as("labeled_lang"),
@@ -89,16 +97,23 @@ object NorthStar {
 
   /** Q43: rolling-hash document fingerprint (position-sensitive, unlike the
     * md5 content hash of Q36): left-to-right polynomial fold of token hashes
-    * modulo a large prime — keeps every step within long range (Spark 4's
-    * ANSI mode raises on silent wraparound).
+    * modulo a large prime — every step stays within long range (Spark 4's
+    * ANSI mode raises on silent wraparound; acc < 2^30, ×1000003 < 2^50).
+    * The per-token hash is the first 8 hex digits of md5 — md5 is the one
+    * strong hash every engine spells identically, which is what makes this
+    * fingerprint DuckDB-oracle-checkable (xxhash64 isn't portable).
     */
-  def q43RollingFp: Q = (s, d) => {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
+  def rollingFingerprint(textCol: Column): Column = {
+    val toks = filter(split(textCol, " "), t => t =!= "")
     val p = lit(1000000007L)
-    val fp = aggregate(toks, lit(0L),
-      (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), p), p))
+    val tokHash = (t: Column) =>
+      pmod(conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"), p)
+    aggregate(toks, lit(0L), (acc, t) => pmod(acc * 1000003L + tokHash(t), p))
+  }
+
+  def q43RollingFp: Q = (s, d) => {
     Tables(s, d, "documents")
-      .select(col("doc_id"), fp.as("rolling_fp"))
+      .select(col("doc_id"), rollingFingerprint(col("text")).as("rolling_fp"))
       .groupBy(col("rolling_fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
@@ -123,20 +138,24 @@ object NorthStar {
     */
   def q53TrainTestSplit: Q = (s, d) => {
     Tables(s, d, "documents")
-      .withColumn("split", TrainingOps.splitLabel("doc_id", 0.2))
+      .withColumn("split", TrainingOps.portableSplitLabel("doc_id", 0.2))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_id"))
       .orderBy(col("split"))
   }
 
-  /** Q56: full dedup resolution — MinHash-LSH pairs → connected components
-    * → one canonical survivor per near-dup group; reports group-size stats.
+  /** Q56: full dedup resolution — EXACT 3-gram-Jaccard ≥ 1/2 pairs (complete
+    * prefix-filtered self-join, [[JaccardJoin]]) → connected components →
+    * one canonical survivor per near-dup group; reports group-size stats.
+    * Exact pairs make the whole resolution oracle-checkable end-to-end
+    * (DuckDB: all-pairs Jaccard + recursive-CTE closure); the estimated
+    * MinHash-LSH candidate path remains q37 for the super-scale regime.
     */
   def q56DedupResolve: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
-    val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")
-      .filter(col("est_jaccard") >= 0.5).select(col("id1"), col("id2"))
+    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+      .select(col("id1"), col("id2"))
     Components.resolveDuplicates(docs, "doc_id", pairs)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("group_size"),
@@ -158,6 +177,64 @@ object NorthStar {
     "q43_rolling_fp" -> q43RollingFp,
     "q44_multimodal" -> q44Multimodal)
 
-  /** Engine-only: no oracle entries. */
-  val oracles: Map[String, String] = Map.empty
+  /** DuckDB twins of the deterministic north-star queries (q35/q37/q39/q40/
+    * q41/q44 stay engine-only: approximate or binary-stub by design).
+    */
+  val oracles: Map[String, String] = Map(
+    "q42_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |p AS (SELECT doc_id, lang, list_max([
+        |    {'score': len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))), 'lang': 'de'},
+        |    {'score': len(list_filter(tk, x -> x IN ('the','a','of','and','to'))), 'lang': 'en'},
+        |    {'score': len(list_filter(tk, x -> x IN ('el','la','de','los','que'))), 'lang': 'es'},
+        |    {'score': len(list_filter(tk, x -> x IN ('le','la','et','les','des'))), 'lang': 'fr'},
+        |    {'score': len(list_filter(tk, x -> x IN ('的','是','了','在','和'))), 'lang': 'zh'}]) AS best
+        |  FROM t)
+        |SELECT doc_id, lang AS labeled_lang, best.lang AS pred_lang, best.score AS score
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q43_rolling_fp" ->
+      """WITH f AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1000000007)),
+        |      (a, h) -> (a * 1000003 + h) % 1000000007) AS rolling_fp
+        |  FROM documents)
+        |SELECT rolling_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+        |FROM f GROUP BY rolling_fp ORDER BY keep_id""".stripMargin,
+    "q53_train_test_split" ->
+      """SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_id
+        |FROM (SELECT *,
+        |  CASE WHEN ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |         % 2147483647 % 10000 < 2000
+        |       THEN 'test' ELSE 'train' END AS split
+        |  FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "q56_dedup_resolve" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |          WHERE 3 * i >= a.n + b.n),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.lab),
+        |comp AS (SELECT node, MIN(lab) AS mn FROM walk GROUP BY node),
+        |labeled AS (SELECT d.doc_id, COALESCE(LEAST(c.node, c.mn), d.doc_id) AS component
+        |            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |groups AS (SELECT component, COUNT(*) AS group_size FROM labeled GROUP BY component)
+        |SELECT group_size, COUNT(*) AS n_groups FROM groups
+        |GROUP BY group_size ORDER BY group_size""".stripMargin)
 }

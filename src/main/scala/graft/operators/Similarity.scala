@@ -86,9 +86,36 @@ object Similarity {
       .toDF("pid", "neighbors")
   }
 
+  /** Q60: exact embedding near-dup scan — all-pairs cosine over the corpus,
+    * top-50 most-similar distinct pairs (D5 rounding, id tiebreaks). The
+    * brute-force pair scan is the exactness baseline: one side broadcasts
+    * (5k × 64 doubles ≈ 2.5 MB at sf0.1), so the plan is a shuffle-free
+    * nested loop over partitions of the streamed side. Sub-quadratic scale
+    * path: q40's random-hyperplane LSH bucketing over the same kernel.
+    */
+  def q60CosinePairs: Q = (s, d) => {
+    VectorFunctions.register(s)
+    // norms are computed ONCE per row (n per side), not per pair — each of
+    // the O(n²) pairs then costs a single dot product; n1*n2 multiplies the
+    // exact same doubles the oracle's sqrt(aa)*sqrt(bb) produces, so scores
+    // stay bit-identical
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+    val a = emb.select(col("vec_id").as("id1"), col("ev").as("e1"), col("nrm").as("n1"))
+    val b = emb.select(col("vec_id").as("id2"), col("ev").as("e2"), col("nrm").as("n2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(VectorFunctions.dotProduct(col("e1"), col("e2"))
+          / (col("n1") * col("n2")), 6).as("score"))
+      .orderBy(col("score").desc, col("id1"), col("id2"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_array" -> q24Array,
-    "q30_cosine_topk" -> q30CosineTopK)
+    "q30_cosine_topk" -> q30CosineTopK,
+    "q60_cosine_pairs" -> q60CosinePairs)
 
   val oracles: Map[String, String] = Map(
     "q24_array" ->
@@ -106,5 +133,12 @@ object Similarity {
         |        / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6) AS score,
         |  CAST(label AS BIGINT) AS label
         |FROM e, p
-        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q60_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_dot_product(a.ev, b.ev)
+        |        / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS score
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY score DESC, id1, id2 LIMIT 50""".stripMargin)
 }

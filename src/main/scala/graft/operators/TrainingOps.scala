@@ -16,6 +16,28 @@ object TrainingOps {
   private def bucket(id: Column, salt: Long, buckets: Int = 10000): Column =
     pmod(xxhash64(id, lit(salt)), lit(buckets))
 
+  /** Portable arithmetic id-hash bucket in [0, buckets): two multiplicative-
+    * congruential rounds mod the Mersenne prime 2^31-1. Every intermediate
+    * stays below 2^62, so the arithmetic is exact (and ANSI-overflow-safe) in
+    * any engine's 64-bit integers — unlike xxhash64, a DuckDB oracle can
+    * replicate it in plain SQL. Mixing is weaker than xxhash64 but plenty for
+    * split assignment (MINSTD constants 48271/16807).
+    */
+  def portableBucket(id: Column, buckets: Int = 10000): Column = {
+    val p = 2147483647L
+    val h1 = pmod(pmod(id, lit(p)) * 48271L, lit(p))
+    val h2 = pmod((h1 + 1L) * 16807L, lit(p))
+    pmod(h2, lit(buckets.toLong))
+  }
+
+  /** Split-label column via [[portableBucket]] — same contract as
+    * [[splitLabel]] (pure function of the id, reproducible at any
+    * parallelism) but DuckDB-oracle-checkable.
+    */
+  def portableSplitLabel(idCol: String, testFraction: Double): Column =
+    when(portableBucket(col(idCol)) < math.round(testFraction * 10000).toInt, "test")
+      .otherwise("train")
+
   /** Deterministic disjoint train/test split by id hash. */
   def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double,
                      salt: Long = 0L): (DataFrame, DataFrame) = {

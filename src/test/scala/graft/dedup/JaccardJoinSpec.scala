@@ -1,0 +1,62 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered exact Jaccard join: completeness + exactness against a
+  * brute-force all-pairs computation, both on crafted docs and on real
+  * sf0.001 documents.
+  */
+class JaccardJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(df: org.apache.spark.sql.DataFrame, t: Double,
+                         w: Int): Set[(Long, Long, Long)] = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val sh = df.select(col("doc_id").cast("long").as("id"),
+      explode(MinHashLSH.shingles(toks, w)).as("sh")).distinct()
+    val sets = sh.as[(Long, String)].collect().groupBy(_._1)
+      .map { case (id, rows) => id -> rows.map(_._2).toSet }
+    val ids = sets.keys.toSeq.sorted
+    (for {
+      i <- ids; j <- ids if i < j
+      inter = (sets(i) & sets(j)).size
+      if inter.toDouble / (sets(i).size + sets(j).size - inter) >= t
+    } yield (i, j, inter.toLong)).toSet
+  }
+
+  test("crafted corpus: exact pairs, no false negatives from the prefix filter") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g x"),      // near-dup of 0
+      (2L, "a b c d e f g h"),      // exact dup of 0
+      (3L, "p q r s t u v w"),      // unrelated
+      (4L, "p q r s t u zz ww"),    // borderline vs 3
+      (5L, "short"),                // < w tokens -> whole-text shingle
+      (6L, "short"),                // exact dup of 5
+      (7L, "the the the the a a")   // repeated tokens collapse via distinct
+    ).toDF("doc_id", "text")
+    val got = JaccardJoin.pairs(docs, "doc_id", "text", 1L, 2L, shingleWidth = 3)
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    assert(got === bruteForce(docs, 0.5, 3))
+  }
+
+  test("sf0.001 documents match brute force at t=1/2, w=3") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = JaccardJoin.pairs(docs, "doc_id", "text", 1L, 2L)
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    assert(got === bruteForce(docs, 0.5, 3))
+    assert(got.nonEmpty) // fixtures plant near-dups; empty would be vacuous
+  }
+
+  test("threshold is applied with integer arithmetic (no float boundary)") {
+    // J exactly 1/2: |A|=|B|=3 shingles, inter=2 -> 2/(3+3-2) = 0.5 kept
+    val docs = Seq(
+      (0L, "a b c d e"),   // shingles: abc bcd cde
+      (1L, "a b c d x")    // shingles: abc bcd cdx -> inter=2, union 4
+    ).toDF("doc_id", "text")
+    val got = JaccardJoin.pairs(docs, "doc_id", "text", 1L, 2L)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L)))
+  }
+}

@@ -30,6 +30,23 @@ class CosineExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_dot is bit-identical to the HOF dot product on all embeddings") {
+    VectorFunctions.register(spark)
+    val emb = Tables(spark, sf0001, "embeddings")
+      .withColumn("ev", Similarity.asDouble($"embedding"))
+    val probe = emb.filter($"vec_id" === 0).select($"ev".as("pv"))
+    val both = emb.crossJoin(broadcast(probe))
+      .select(
+        VectorFunctions.dotProduct($"ev", $"pv").as("fast"),
+        Similarity.dot($"ev", $"pv").as("hof"))
+      .collect()
+    assert(both.length === 500)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("null input yields null; zero vector yields NaN; SQL name resolves") {
     VectorFunctions.register(spark)
     val df = Seq(

@@ -95,10 +95,8 @@ class NorthStarSpec extends SparkSpec {
 
   test("rolling fingerprint is position-sensitive where md5 groups only exact dups") {
     val docs = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
-    val p = lit(1000000007L)
-    val fps = docs.select(
-      aggregate(filter(split($"text", " "), t => t =!= ""), lit(0L),
-        (acc, t) => pmod(acc * 1000003L + pmod(xxhash64(t), p), p)).as("fp")).as[Long].collect()
+    val fps = docs.select(NorthStar.rollingFingerprint($"text").as("fp"))
+      .as[Long].collect()
     assert(fps(0) === fps(2)) // identical docs agree
     assert(fps(0) !== fps(1)) // permuted tokens differ
   }

@@ -26,6 +26,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(train3.select("doc_id").as[Long].collect().toSet !== trainIds)
   }
 
+  test("portable split: near-fraction, complete, and pure-arithmetic (oracle-replicable)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val labeled = docs.withColumn("split", TrainingOps.portableSplitLabel("doc_id", 0.2))
+    val byLabel = labeled.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet === Set("train", "test"))
+    assert(byLabel.values.sum === docs.count())
+    assert(math.abs(byLabel("test").toDouble / docs.count() - 0.2) < 0.06)
+    // the bucket is the documented closed-form arithmetic on the id — verify
+    // against a Scala reimplementation (this is the DuckDB-oracle contract)
+    val p = 2147483647L
+    def bucket(id: Long): Long = ((((id % p) * 48271 % p) + 1) * 16807) % p % 10000
+    labeled.select($"doc_id", $"split").as[(Long, String)].collect().foreach {
+      case (id, split) =>
+        assert(split === (if (bucket(id) < 2000) "test" else "train"), s"id $id")
+    }
+  }
+
   test("deterministic shuffle is a stable permutation") {
     val docs = Tables(spark, sf0001, "documents")
     val once = TrainingOps.deterministicShuffle(docs, "doc_id")
