@@ -19,6 +19,10 @@ object Engine {
       .config("spark.sql.shuffle.partitions", sp)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce by parallelism, not only bytes: CPU-heavy, byte-small
+      // exchanges (tokenize/shingle/hash pipelines) otherwise collapse to
+      // one task — byte-based sizing can't see per-row compute cost
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

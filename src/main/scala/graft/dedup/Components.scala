@@ -26,16 +26,22 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
-      .union(edges.select(col(dst).cast("long").as("a"), col(src).cast("long").as("b")))
+    // materialize the caller's edge pipeline ONCE before symmetrizing — the
+    // two union branches would otherwise re-execute it (edge generation is
+    // often the most expensive part, e.g. q56's exact-Jaccard join)
+    val e0 = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .localCheckpoint(true)
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)
+    val debug = sys.env.contains("GRAFT_DEBUG_CC")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       // candidate label per node: min over its own label and neighbors' labels
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b").withColumnRenamed("comp", "nb_comp"), Seq("b"))
@@ -54,6 +60,7 @@ object Components {
       labels = next
       converged = changed == 0
       iter += 1
+      if (debug) println(f"[cc] iter $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     labels
   }

@@ -20,10 +20,23 @@ import org.apache.spark.sql.functions._
   *     intersection — the globally-smallest shared shingle lands in BOTH
   *     prefixes and the prefix-prefix equi-join finds the pair. Rare-first
   *     ordering makes those join keys the LOW-frequency shingles, so bucket
-  *     sizes (and shuffle fan-out) collapse.
+  *     sizes (and shuffle fan-out) collapse;
+  *   - candidates are pruned IN the join condition by the PPJoin length
+  *     filter (t·|A| ≤ |B| when |A| ≤ |B|) and positional filter (at the
+  *     globally-smallest shared shingle, ranked i in A and j in B, overlap
+  *     can't exceed 1 + min(|A|−i, |B|−j) — every other shared shingle sits
+  *     after it in BOTH lists because the order is global);
+  *   - verification joins each surviving pair to two per-document sorted
+  *     shingle-hash arrays and counts `array_intersect` in one codegen'd
+  *     expression — no row-explosion re-join of the shingle table.
+  *
+  * Shingles are compared through xxhash64: deterministic, and with k
+  * distinct shingles the probability of ANY colliding pair is ≈ k²/2⁶⁵
+  * (< 10⁻⁷ even at 10⁹ shingles), in which case the oracle cross-check
+  * would flag it — observed exact on all test corpora.
   *
   * All set arithmetic is integer-exact; the Jaccard threshold is applied as
-  * `(1+t)·|A∩B| ≥ t·(|A|+|B|)` on longs (t rational), so an oracle engine
+  * `(tNum+tDen)·|A∩B| ≥ tNum·(|A|+|B|)` on longs, so an oracle engine
   * reproduces the pair set bit-for-bit with no float-boundary flakes.
   */
 object JaccardJoin {
@@ -35,35 +48,58 @@ object JaccardJoin {
   def pairs(df: DataFrame, idCol: String, textCol: String,
             tNum: Long, tDen: Long, shingleWidth: Int = 3): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")
+    // (id, shingle-hash), deduped; materialized because it feeds sizes,
+    // frequencies, ranking AND verification (localCheckpoint caches the
+    // shuffle output and truncates lineage; on a production cluster with
+    // executor churn, prefer checkpoint() to reliable storage)
+    // repartition BEFORE the explode: a small-file corpus otherwise tokenizes
+    // on however few input splits the scan produced (1 task for a single
+    // parquet file); the raw-text shuffle is cheap relative to shingling and
+    // a no-op burden at scale where the scan already has thousands of splits.
+    // The partition count is EXPLICIT because AQE would coalesce a
+    // byte-small exchange back to one partition — the work here is CPU per
+    // row (tokenize + shingle + hash), which byte-based coalescing can't see
     val sh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).cast("long").as("id"),
-        explode(MinHashLSH.shingles(toks, shingleWidth)).as("sh"))
+        explode(MinHashLSH.shingles(toks, shingleWidth)).as("shs"))
+      .select(col("id"), xxhash64(col("shs")).as("sh"))
       .distinct()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // global rare-first order; ties broken by shingle text for determinism
+      .localCheckpoint(true)
+    val sets = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("sh"))).as("hs"), count(lit(1)).as("n"))
+    // global rare-first order; ties broken by hash value for determinism
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(freq, Seq("sh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
-      .join(sizes, Seq("id"))
-    // prefix length |S| - ceil(t|S|) + 1; ceil(n·t) on longs via try_divide-
-    // free integer arithmetic (Spark's `/` is double division, so `div`)
+      .drop("df")
+      .join(sets.select(col("id"), col("n")), Seq("id"))
+    // prefix length |S| - ceil(t|S|) + 1; ceil on longs (Spark's `/` is
+    // double division, so `div`)
     val ceilTn = expr(s"(n * $tNum + ${tDen - 1L}) div $tDen")
     val prefix = ranked
       .filter(col("rk") <= col("n") - ceilTn + 1L)
-      .select(col("id"), col("sh"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .select(col("id"), col("sh"), col("rk"), col("n"))
+      .localCheckpoint(true)
+    val a = prefix.select(col("id").as("id1"), col("sh"),
+      col("rk").as("rk1"), col("n").as("n1"))
+    val b = prefix.select(col("id").as("id2"), col("sh"),
+      col("rk").as("rk2"), col("n").as("n2"))
+    val minSuffix = least(col("n1") - col("rk1"), col("n2") - col("rk2"))
+    val cand = a.join(b,
+        a("sh") === b("sh") && col("id1") < col("id2") &&
+        // length filter: t·max ≤ min
+        col("n1") * tNum <= col("n2") * tDen && col("n2") * tNum <= col("n1") * tDen &&
+        // positional filter at this (possibly smallest) shared shingle
+        (minSuffix + 1L) * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
+      .select(col("id1"), col("id2"))
       .distinct()
-    // verify candidates with exact intersection counts over the FULL sets
-    val inter = cand
-      .join(sh.select(col("id").as("id1"), col("sh")), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("sh")), Seq("id2", "sh"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+    // verify: one sorted-array intersection per candidate pair
+    val s1 = sets.select(col("id").as("id1"), col("hs").as("hs1"), col("n").as("n1"))
+    val s2 = sets.select(col("id").as("id2"), col("hs").as("hs2"), col("n").as("n2"))
+    cand.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .filter(col("inter") * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
       .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
         round(col("inter").cast("double")

@@ -33,8 +33,12 @@ object MinHashLSH {
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  k: Int, shingleWidth: Int): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(toks, shingleWidth)).as("sh"))
+    // explicit-count repartition before the explode (see JaccardJoin): keeps
+    // shingling parallel on single-file corpora where AQE/scan splits won't
+    val exploded = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(shingles(toks, shingleWidth)).as("sh"))
     exploded.groupBy(col("id"))
       .agg(min(xxhash64(lit(0), col("sh"))).as("m0"),
         (1 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"m$j")): _*)
@@ -52,11 +56,14 @@ object MinHashLSH {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     val sig = signatures(df, idCol, textCol, k, shingleWidth)
+    // materialized: the bucket self-join below would otherwise execute the
+    // whole signature aggregation once per side
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + lit(1), lit(r)), ",")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint(true)
     val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
     a.join(b, Seq("band", "bucket"))

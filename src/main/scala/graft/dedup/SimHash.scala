@@ -40,8 +40,13 @@ object SimHash {
     * re-evaluated per projection reference; one exchange by doc id).
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-      explode(filter(split(col(textCol), " "), t => t =!= "")).as("t"))
+    // explicit-count repartition before the explode: small-file corpora
+    // otherwise tokenize on however few splits the scan produced, and AQE's
+    // byte-based coalescing can't see per-row CPU cost (see JaccardJoin)
+    val hashed = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(filter(split(col(textCol), " "), t => t =!= "")).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
     val bitSums = hashed.groupBy(col("id"))
       .agg(sum(when(col("h").bitwiseAND(1L) =!= 0, 1).otherwise(-1)).as("c0"),
@@ -70,10 +75,13 @@ object SimHash {
                      maxDist: Int = 3, blocks: Int = 4): DataFrame = {
     val w = 64 / blocks
     val fp = fingerprints(df, idCol, textCol)
+    // materialized: the bucket self-join below would otherwise execute the
+    // whole fingerprint aggregation once per side
     val chunked = fp.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
         b => call_function("shiftrightunsigned", col("fp"), b * lit(w)).bitwiseAND((1L << w) - 1))))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "chunk")
+      .localCheckpoint(true)
     val a = chunked.select(col("block"), col("chunk"), col("id").as("id1"), col("fp").as("fp1"))
     val b = chunked.select(col("block"), col("chunk"), col("id").as("id2"), col("fp").as("fp2"))
     a.join(b, Seq("block", "chunk"))
