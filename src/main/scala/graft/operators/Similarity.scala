@@ -102,7 +102,13 @@ object Similarity {
     val emb = Tables(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
-    val a = emb.select(col("vec_id").as("id1"), col("ev").as("e1"), col("nrm").as("n1"))
+    // the nested-loop join's parallelism IS the streamed side's partition
+    // count — a single-file corpus would otherwise scan (and pair) on one
+    // task; explicit count because AQE byte-coalescing can't see the O(n)
+    // broadcast work per streamed row
+    val a = emb
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("id1"), col("ev").as("e1"), col("nrm").as("n1"))
     val b = emb.select(col("vec_id").as("id2"), col("ev").as("e2"), col("nrm").as("n2"))
     a.join(broadcast(b), col("id1") < col("id2"))
       .select(col("id1"), col("id2"),

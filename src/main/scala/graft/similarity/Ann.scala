@@ -44,8 +44,14 @@ object Ann {
   def lshNearDupPairs(emb: DataFrame, idCol: String, embCol: String,
                       nPlanes: Int = 8): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
-    val sig = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"),
-      lshSignature(asDouble(col(embCol)), nPlanes).as("bucket"))
+    // repartitioned so signature projection parallelizes on few-split
+    // corpora; materialized so the bucket self-join doesn't compute the
+    // nPlanes×dim signature fold once per side
+    val sig = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"),
+        lshSignature(asDouble(col(embCol)), nPlanes).as("bucket"))
+      .localCheckpoint(true)
     val a = sig.select(col("bucket"), col("id").as("id1"), col("ev").as("ev1"))
     val b = sig.select(col("bucket"), col("id").as("id2"), col("ev").as("ev2"))
     a.join(b, Seq("bucket"))
@@ -84,12 +90,16 @@ object Ann {
   def ivfIndex(emb: DataFrame, idCol: String, embCol: String,
                k: Int = 16, refineIters: Int = 1): (DataFrame, DataFrame) = {
     VectorFunctions.register(emb.sparkSession)
+    // materialized per step: assignments feed refinement AND multiple probe
+    // consumers, and iteration would otherwise stack re-executed crossJoin+
+    // aggregate lineage per refinement round
     val vecs = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("id"))
     var centroids = vecs.filter(col("id") < k).select(col("id").as("cid"), col("ev").as("cv"))
-    var assigned = assignTo(vecs, centroids)
+    var assigned = assignTo(vecs, centroids).localCheckpoint(true)
     for (_ <- 0 until refineIters) {
-      centroids = refineCentroids(assigned)
-      assigned = assignTo(vecs, centroids)
+      centroids = refineCentroids(assigned).localCheckpoint(true)
+      assigned = assignTo(vecs, centroids).localCheckpoint(true)
     }
     (assigned, centroids)
   }

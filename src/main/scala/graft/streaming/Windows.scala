@@ -117,7 +117,17 @@ object Windows {
   def runToBatch(agg: DataFrame, name: String, mode: OutputMode = OutputMode.Complete): DataFrame = {
     val spark = agg.sparkSession
     val unique = s"${name}_${runCounter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode(mode).format("memory").queryName(unique).start()
+    // shuffle.partitions fixes the STATE STORE partition count for the
+    // query's lifetime; a state store instance must init/commit per partition
+    // per micro-batch, so a local all-at-once drain wants few fat partitions
+    // (a production deployment sizing for incremental 100 TB ingest would
+    // instead set this high BEFORE first start — it is frozen thereafter)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        agg.writeStream.outputMode(mode).format("memory").queryName(unique).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     spark.table(unique)
   }
