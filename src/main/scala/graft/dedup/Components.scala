@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components over a near-duplicate candidate-pair graph — the
   * step that turns LSH pairs into dedup GROUPS with one canonical survivor.
@@ -34,10 +35,16 @@ object Components {
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // iteration 0 folded into init: with labels = node ids, the neighbor-min
+    // is just min(b) — one aggregate instead of a join round
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("nb_min"))
+      .select(col("a").as("node"), least(col("a"), col("nb_min")).as("comp"))
       .localCheckpoint(true)
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
     val debug = sys.env.contains("GRAFT_DEBUG_CC")
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -55,12 +62,14 @@ object Components {
           col("comp") === col("cnode"))
         .select(col("node"), col("ccomp").as("comp"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("node"))
-        .filter(col("comp") =!= col("old")).limit(1).count()
+      // labels only ever DECREASE (min folds), so an unchanged exact sum ⇔
+      // a fixpoint — one cheap aggregate instead of a join-based diff count
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
-      if (debug) println(f"[cc] iter $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (debug) println(f"[cc] iter $iter sum=$s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     labels
   }

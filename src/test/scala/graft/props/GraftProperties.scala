@@ -136,4 +136,30 @@ object GraftProperties extends Properties("graft") {
       // k=32 => sigma ~ sqrt(j(1-j)/32) <= 0.09; 4-sigma bound
       math.abs(est - exact) <= 0.36
     }
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 12)
+    vocab <- Gen.nonEmptyListOf(Gen.identifier.map(_.take(4))).map(_.take(8))
+    docs <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(15)))
+  } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+
+  property("prefix-filtered jaccard join = brute force (complete, exact)") =
+    forAll(corpusGen) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.dedup.JaccardJoin.pairs(df, "doc_id", "text", 1L, 2L, shingleWidth = 3)
+        .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+      def shingleSet(t: String): Set[String] = {
+        val toks = t.split(" ").filter(_.nonEmpty).toList
+        if (toks.size < 3) Set(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val want = (for {
+        i <- sets.keys; j <- sets.keys if i < j
+        inter = (sets(i) & sets(j)).size
+        if 3 * inter >= sets(i).size + sets(j).size
+      } yield (i, j, inter.toLong)).toSet
+      got == want
+    }
 }
