@@ -123,12 +123,29 @@ object Windows {
     // (a production deployment sizing for incremental 100 TB ingest would
     // instead set this high BEFORE first start — it is frozen thereafter)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // checkpoint to shared memory when available: the ephemeral local drain
+    // writes offset/commit/state files per micro-batch, and that fsync cost
+    // is pure overhead for a throwaway checkpoint (durable deployments pass
+    // a real checkpointLocation to writeStream instead)
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase =
+      if (shm.isDirectory && shm.canWrite) s"/dev/shm/graft-ckpt/$unique"
+      else s"${System.getProperty("java.io.tmpdir")}/graft-ckpt/$unique"
     val q =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
-        agg.writeStream.outputMode(mode).format("memory").queryName(unique).start()
+        agg.writeStream.outputMode(mode).format("memory")
+          .option("checkpointLocation", ckptBase).queryName(unique).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      // best-effort cleanup of the throwaway checkpoint
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckptBase))
+    }
     spark.table(unique)
   }
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
