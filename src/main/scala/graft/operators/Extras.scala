@@ -129,7 +129,35 @@ object Extras {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Q61: skew-resistant two-phase salted aggregation — `event_type` has 5
+    * values, so a direct groupBy of 100 TB lands on 5 reducers; salting
+    * spreads each hot key over 16 partial groups first. The final result is
+    * salt-count- and partitioning-independent because the money sum is exact
+    * decimal (D3, associative), which is exactly what the direct-GROUP-BY
+    * oracle certifies.
+    */
+  def q61SkewSalted: Q = (s, d) =>
+    Skew.saltedSumCount(graft.Tables.events(s, d), col("event_type"), col("value"))
+      .select(col("key").as("event_type"), col("sum_v").as("sum_value"), col("cnt"))
+      .orderBy(col("event_type"))
+
+  /** Q62: deterministic stratified sampling over the portable id-hash — each
+    * language keeps its configured fraction; reproducible at any parallelism
+    * and replicated row-for-row by the oracle's arithmetic.
+    */
+  def q62Stratified: Q = (s, d) => {
+    val fractions = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 0.1, "zh" -> 0.75)
+    TrainingOps.portableStratifiedSample(
+        Tables(s, d, "documents"), "lang", "doc_id", fractions)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q61_skew_salted" -> q61SkewSalted,
+    "q62_stratified" -> q62Stratified,
     "q57_window_extras" -> q57WindowExtras,
     "q58_array_funcs" -> q58ArrayFuncs,
     "q59_conditionals" -> q59Conditionals,
@@ -141,6 +169,21 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q61_skew_salted" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q62_stratified" ->
+      """WITH b AS (SELECT *,
+        |    ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |      % 2147483647 % 10000 AS bucket
+        |  FROM documents),
+        |kept AS (SELECT * FROM b WHERE bucket <
+        |  CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 WHEN 'de' THEN 2500
+        |            WHEN 'fr' THEN 1000 WHEN 'zh' THEN 7500 ELSE 0 END)
+        |SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "q57_window_extras" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -53,8 +53,12 @@ object Text {
     * list string → array → explode → count by token.
     */
   def q27ArrayParse: Q = (s, d) => {
+    // the per-row regex parse dominates IO here; explicit-count repartition
+    // of the two short columns keeps it parallel on single-row-group inputs
+    // (AQE byte-coalescing can't see per-row CPU cost — see BENCH.md)
     val li = Tables(s, d, "lineitem")
       .select(concat(lit("["), col("l_returnflag"), lit(", "), col("l_linestatus"), lit("]")).as("tags"))
+      .repartition(s.sparkContext.defaultParallelism)
     // explode_outer + null filter, not explode: InferFiltersFromGenerate would
     // duplicate the whole parse expression into a pre-Generate filter,
     // evaluating the regex work twice per row (measured 2x at sf0.1); the

@@ -67,4 +67,15 @@ object TrainingOps {
     }
     df.filter(bucket(col(idCol), salt) < cutExpr)
   }
+
+  /** [[stratifiedSample]] over [[portableBucket]] — same contract, but a
+    * DuckDB oracle can replicate the kept-row set exactly in SQL.
+    */
+  def portableStratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                               fractions: Map[String, Double]): DataFrame = {
+    val cutExpr = fractions.toSeq.sortBy(_._1).foldLeft(lit(0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, math.round(f * 10000).toInt).otherwise(acc)
+    }
+    df.filter(portableBucket(col(idCol)) < cutExpr)
+  }
 }
