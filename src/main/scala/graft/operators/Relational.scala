@@ -95,6 +95,24 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Q64: FULL OUTER join — wealthy customers vs their high-value order
+    * aggregates, keeping unmatched rows from BOTH sides (the one outer
+    * variant q05/q06/q07 don't cover). The order side is pre-aggregated to
+    * one row per key, so the join is 1:1 and the output deterministic.
+    */
+  def q64FullOuter: Q = (s, d) => {
+    val cust = Tables(s, d, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ords = Tables(s, d, "orders").filter(col("o_totalprice") > 450000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("big_orders"), moneySum(col("o_totalprice")).as("big_total"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), coalesce(col("big_orders"), lit(0L)).as("big_orders"),
+        col("big_total"))
+      .orderBy(col("custkey"))
+  }
+
   /** Q10: TPC-H Q1-shaped hash aggregate with partial (map-side) aggregation.
     * All monetary math goes through exact decimal (D3) so results are
     * partitioning-independent.
@@ -253,6 +271,7 @@ object Relational {
     "q03_join_agg" -> q03JoinAgg,
     "q04_star_join" -> q04StarJoin,
     "q05_left_join" -> q05LeftJoin,
+    "q64_full_outer" -> q64FullOuter,
     "q06_semi_join" -> q06SemiJoin,
     "q07_anti_join" -> q07AntiJoin,
     "q10_hash_agg" -> q10HashAgg,
@@ -295,6 +314,16 @@ object Relational {
       """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q64_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal,
+        |  COALESCE(big_orders, 0) AS big_orders, big_total
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, COUNT(*) AS big_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS big_total
+        |  FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q06_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -144,7 +144,24 @@ object Text {
       .orderBy(col("id1"))
   }
 
+  /** Q63: fuzzy lexical matching — Levenshtein distance between successive
+    * documents' 40-char prefixes (the successor condition is IN the join key,
+    * as in q38, so no quadratic pair space). Both engines implement the same
+    * character-based DP, so distances hash-match exactly.
+    */
+  def q63EditDistance: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+    val a = docs.select(col("doc_id").as("id1"), col("head").as("h1"))
+    val b = docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"),
+      col("head").as("h2"))
+    a.join(b, Seq("id1"))
+      .select(col("id1"), col("id2"), big(levenshtein(col("h1"), col("h2"))).as("edit_dist"))
+      .orderBy(col("id1"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q63_edit_distance" -> q63EditDistance,
     "q21_string_funcs" -> q21StringFuncs,
     "q26_date_enrich" -> q26DateEnrich,
     "q27_array_parse" -> q27ArrayParse,
@@ -155,6 +172,11 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q63_edit_distance" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin,
     "q21_string_funcs" ->
       """SELECT doc_id,
         |  substr(text, 1, 10) AS sub10,
