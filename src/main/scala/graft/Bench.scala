@@ -39,9 +39,10 @@ object Bench {
     }
     names.foreach(runOnce) // warm-up
     val results = names.map { name =>
-      val t1 = runOnce(name)
-      val t2 = runOnce(name)
-      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+      // min of three: JVM/GC noise at these sub-second magnitudes is ~±8%
+      // run-to-run; the min is the stable estimate of the plan's cost
+      val ts = Seq.fill(3)(runOnce(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -239,6 +239,21 @@ object Relational {
       .orderBy(col("op"), col("c_custkey"))
   }
 
+  /** Q65: multiset set ops — INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicities (min / truncated difference of per-value counts), the
+    * ALL variants q20's distinct set ops don't cover.
+    */
+  def q65SetOpsAll: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+    val a = li.filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    val b = li.filter(col("l_discount") > 0.08).select(col("l_orderkey"))
+    val tagged =
+      a.intersectAll(b).select(lit("1_intersect_all").as("op"), col("l_orderkey"))
+        .union(a.exceptAll(b).select(lit("2_except_all").as("op"), col("l_orderkey")))
+    tagged.groupBy(col("op"), col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("op"), col("l_orderkey"))
+  }
+
   /** Q22: date/time functions over midnight-precision order dates. */
   def q22DateTime: Q = (s, d) => {
     val od = col("o_orderdate")
@@ -283,6 +298,7 @@ object Relational {
     "q18_frames" -> q18Frames,
     "q19_topk" -> q19TopK,
     "q20_set_ops" -> q20SetOps,
+    "q65_set_ops_all" -> q65SetOpsAll,
     "q22_datetime" -> q22DateTime,
     "q23_math" -> q23Math)
 
@@ -405,6 +421,17 @@ object Relational {
         |       UNION ALL SELECT '4_except' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
         |SELECT op, c_custkey, COUNT(*) AS cnt FROM tagged
         |GROUP BY op, c_custkey ORDER BY op, c_custkey""".stripMargin,
+    "q65_set_ops_all" ->
+      """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45),
+        |     b AS (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08),
+        |     tagged AS (
+        |       SELECT '1_intersect_all' AS op, l_orderkey
+        |       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |       UNION ALL
+        |       SELECT '2_except_all' AS op, l_orderkey
+        |       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        |SELECT op, l_orderkey, COUNT(*) AS cnt FROM tagged
+        |GROUP BY op, l_orderkey ORDER BY op, l_orderkey""".stripMargin,
     "q22_datetime" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS y,

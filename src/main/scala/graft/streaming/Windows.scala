@@ -185,6 +185,47 @@ object Windows {
         col("cnt"), col("sum_value"))
       .orderBy(col("wstart"), col("event_type"))
 
+  /** Q66: the `flatMapGroupsWithState` sessionizer driven to COMPLETION —
+    * the file stream is unioned with a one-row in-memory punctuation stream
+    * (the production "end-of-stream control message" pattern): after the
+    * data drains, a single far-future heartbeat advances the event-time
+    * watermark past every open session's timeout, so EventTimeTimeout fires
+    * and the custom state flushes. Result equals the batch sessionization,
+    * which is why q31's oracle applies; the punctuation row (user_id −1) is
+    * filtered out of the output.
+    */
+  def q66StreamStateful: Q = (s, d) => {
+    import s.implicits._
+    // horizon for the heartbeat: past max(ts) + watermark delay + gap
+    val maxEs = graft.Tables.events(s, d)
+      .agg(max(epochSec(col("ts2")))).head().getLong(0)
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val punct = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val punctDf = punct.toDF()
+      .select(lit(-1L).as("user_id"), timestamp_seconds(col("value")).as("ts2"))
+    val union = eventsStream(s, d).select(col("user_id"), col("ts2")).union(punctDf)
+    val sessions = statefulSessions(union).toDF()
+    val unique = s"graft_q66_${runCounter.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        sessions.writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName(unique).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try {
+      q.processAllAvailable()               // drain the file data
+      punct.addData(maxEs + 2 * 3600 + 1800 + 60)
+      q.processAllAvailable()               // watermark passes every timeout
+    } finally q.stop()
+    s.table(unique)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum(col("last_es") - col("start_es")).cast("double") / count(lit(1))).as("avg_len_sec"))
+      .orderBy(col("user_id"))
+  }
+
   /** Q55: streaming exact dedup — `dropDuplicates` over the key columns on
     * the event stream; emitting only the keys makes the result equal to a
     * batch DISTINCT regardless of which arrival survived.
@@ -199,12 +240,14 @@ object Windows {
     "q45_stream_tumbling" -> q45StreamTumbling,
     "q46_stream_sessions" -> q46StreamSessions,
     "q54_stream_sliding" -> q54StreamSliding,
-    "q55_stream_dedup" -> q55StreamDedup)
+    "q55_stream_dedup" -> q55StreamDedup,
+    "q66_stream_stateful" -> q66StreamStateful)
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
     "q45_stream_tumbling" -> graft.operators.Events.oracles("q32_tumbling"),
     "q46_stream_sessions" -> graft.operators.Events.oracles("q31_sessionize"),
+    "q66_stream_stateful" -> graft.operators.Events.oracles("q31_sessionize"),
     "q54_stream_sliding" ->
       """WITH e AS (
         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, event_type, value
