@@ -101,6 +101,39 @@ object Extras {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
+  /** Q67: window navigation — first_value / nth_value / last_value over an
+    * explicit full-partition frame (UNBOUNDED PRECEDING → UNBOUNDED
+    * FOLLOWING; the default frame would make last_value the running row).
+    * Total order inside the frame (acctbal DESC, custkey) keeps every
+    * navigator deterministic.
+    */
+  def q67WindowNav: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        big(first(col("c_custkey")).over(w)).as("richest"),
+        big(nth_value(col("c_custkey"), 3).over(w)).as("third_richest"),
+        big(last(col("c_custkey")).over(w)).as("poorest"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** Q68: UNPIVOT — wide per-flag money aggregates melted to (flag, metric,
+    * value) rows, the inverse reshaping of q50's pivot. All measures are
+    * exact decimal sums surfaced as double, so values hash-match.
+    */
+  def q68Unpivot: Q = (s, d) => {
+    val base = Tables(s, d, "lineitem").groupBy(col("l_returnflag"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneySum(col("l_discount")).as("sum_disc"))
+    base.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")), "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
   /** Q58: array-function battery — sort / distinct / slice / contains-all
     * reductions over tokenized text, output as scalars (D-rule: no array
     * columns in oracle-compared output).
@@ -159,6 +192,8 @@ object Extras {
     "q61_skew_salted" -> q61SkewSalted,
     "q62_stratified" -> q62Stratified,
     "q57_window_extras" -> q57WindowExtras,
+    "q67_window_nav" -> q67WindowNav,
+    "q68_unpivot" -> q68Unpivot,
     "q58_array_funcs" -> q58ArrayFuncs,
     "q59_conditionals" -> q59Conditionals,
     "q47_percentile" -> q47Percentile,
@@ -169,6 +204,25 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q68_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value
+        |FROM base UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q67_window_nav" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(first_value(c_custkey) OVER w AS BIGINT) AS richest,
+        |  CAST(nth_value(c_custkey, 3) OVER w AS BIGINT) AS third_richest,
+        |  CAST(last_value(c_custkey) OVER w AS BIGINT) AS poorest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q61_skew_salted" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,

@@ -127,7 +127,14 @@ object Text {
     */
   def q38NgramJaccard: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
-    val t = docs.select(col("doc_id"), explode(toks).as("token")).distinct()
+    // materialized: consumed by BOTH self-join sides and the size aggregate
+    // (three re-executions of the explode+distinct otherwise), with an
+    // explicit-count repartition so tokenizing parallelizes on a single-file
+    // corpus (see BENCH.md round-2 findings)
+    val t = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("token")).distinct()
+      .localCheckpoint(true)
     val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // The successor-pair condition is folded INTO the equi-join key (join on
     // (id, token) against a shifted copy) — a plain token join + filter would
