@@ -8,14 +8,15 @@ import graft.similarity.Ann
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** North-star operators. Oracle-checked since round 2: language ID (q42),
-  * rolling fingerprints (q43), train/test split (q53) and full dedup
-  * resolution (q56) — each formulated over engine-portable primitives
-  * (md5, mod-prime integer arithmetic, exact set Jaccard) so DuckDB can
-  * replicate them bit-for-bit. Engine-only (rows-only check, property-tested
-  * in NorthStarSpec): the inherently approximate ones — HLL distinct (q35),
-  * MinHash estimation (q37), SimHash bucketing (q39), LSH/IVF ANN (q40/q41)
-  * — and the binary-stub multimodal pipeline (q44).
+/** North-star operators. Oracle-checked: language ID (q42), rolling
+  * fingerprints (q43), multimodal decode (q44, since round 3), train/test
+  * split (q53) and full dedup resolution (q56) — each formulated over
+  * engine-portable primitives (md5, mod-prime integer arithmetic, exact set
+  * Jaccard, GM1 blob construct/decode) so DuckDB can replicate them
+  * bit-for-bit. Engine-only (rows-only check, property-tested in
+  * NorthStarSpec): only the inherently approximate ones — HLL distinct
+  * (q35), MinHash estimation (q37), SimHash bucketing (q39), LSH/IVF ANN
+  * (q40/q41).
   */
 object NorthStar {
   type Q = (SparkSession, String) => DataFrame
@@ -88,10 +89,18 @@ object NorthStar {
       struct(size(filter(toks, t => t.isin(words: _*))).cast("long").as("score"),
         lit(lang).as("lang"))
     }
+    // the winning struct is computed ONCE in its own projection; the field
+    // extractions live in a second one. CollapseProject declines to merge
+    // them (the producer expression is non-cheap and referenced twice), so
+    // the 5-language stopword-filter fold appears exactly once in the
+    // physical plan instead of being inlined per consumer — the projection
+    // -collapse trap BENCH.md documents (MinHash's 46× case).
     Tables(s, d, "documents")
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        array_max(array(scored: _*)).getField("lang").as("pred_lang"),
-        array_max(array(scored: _*)).getField("score").as("score"))
+        array_max(array(scored: _*)).as("best"))
+      .select(col("doc_id"), col("labeled_lang"),
+        col("best").getField("lang").as("pred_lang"),
+        col("best").getField("score").as("score"))
       .orderBy(col("doc_id"))
   }
 
@@ -119,15 +128,23 @@ object NorthStar {
       .orderBy(col("keep_id"))
   }
 
-  /** Q44: multimodal decode pipeline — binary payloads + typed metadata,
-    * stub-decoded per partition, aggregated per format.
+  /** Q44: multimodal decode pipeline — GM1 binary payloads decoded with
+    * native expressions (header metadata + body byte stats, all read from
+    * the blob), aggregated per format. Oracle-checked end-to-end: DuckDB
+    * constructs bit-identical blobs and decodes them with its own BLOB
+    * functions (octet_length / hex / byte extraction), so the whole
+    * construct→decode→aggregate chain is hash-pinned. Integer byte sums
+    * keep the aggregate exact; the single final division is the only
+    * float op (D5 rounding).
     */
   def q44Multimodal: Q = (s, d) => {
-    Multimodal.features(s, Tables(s, d, "documents")).toDF()
+    Multimodal.decode(Multimodal.mediaTable(Tables(s, d, "documents")))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("total_bytes"),
-        (sum(dec(col("mean_byte"))).cast("double") / count(lit(1))).as("avg_mean_byte"),
+        round(sum(col("byte_sum")) / sum(col("n_bytes")), 6).as("avg_byte"),
+        max(col("width")).as("max_w"),
+        max(col("height")).as("max_h"),
         sum(col("frames")).as("total_frames"))
       .orderBy(col("format"))
   }
@@ -178,9 +195,34 @@ object NorthStar {
     "q44_multimodal" -> q44Multimodal)
 
   /** DuckDB twins of the deterministic north-star queries (q35/q37/q39/q40/
-    * q41/q44 stay engine-only: approximate or binary-stub by design).
+    * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q44_multimodal" ->
+      """WITH m AS (SELECT doc_id,
+        |    unhex('474D01' || printf('%02x', doc_id % 4) ||
+        |      printf('%02x', 1 + doc_id % 8) || printf('%02x', 1 + doc_id % 4) ||
+        |      array_to_string(list_transform(range(0, 32 + doc_id % 97),
+        |        i -> printf('%02x', (doc_id * 31 + i * 17) % 256)), '')) AS payload
+        |  FROM documents),
+        |d AS (SELECT doc_id, payload, hex(payload) AS hx,
+        |    octet_length(payload) - 6 AS n_bytes FROM m),
+        |f AS (SELECT doc_id,
+        |    list_extract(['png','jpeg','wav','mp4'],
+        |      CAST(('0x' || substr(hx, 7, 2)) AS INT) + 1) AS format,
+        |    CAST(('0x' || substr(hx, 9, 2)) AS INT) * 64 AS width,
+        |    CAST(('0x' || substr(hx, 11, 2)) AS INT) * 64 AS height,
+        |    n_bytes,
+        |    CAST(list_sum(list_transform(range(0, n_bytes),
+        |      i -> CAST(('0x' || substr(hx, i*2+13, 2)) AS BIGINT))) AS BIGINT) AS byte_sum,
+        |    CASE WHEN CAST(('0x' || substr(hx, 7, 2)) AS INT) = 3
+        |         THEN GREATEST(1, n_bytes // 16) ELSE 1 END AS frames
+        |  FROM d)
+        |SELECT format, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  ROUND(CAST(SUM(byte_sum) AS DOUBLE) / CAST(SUM(n_bytes) AS BIGINT), 6) AS avg_byte,
+        |  MAX(width) AS max_w, MAX(height) AS max_h,
+        |  CAST(SUM(frames) AS BIGINT) AS total_frames
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
     "q42_langid" ->
       """WITH t AS (SELECT doc_id, lang,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),

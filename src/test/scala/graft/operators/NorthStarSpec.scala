@@ -71,25 +71,38 @@ class NorthStarSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
-  test("multimodal stub decode: metadata-derived features are consistent") {
-    val feats = Multimodal.features(spark, graft.Tables(spark, sf0001, "documents")).collect()
-    assert(feats.length === 500)
-    feats.foreach { f =>
-      assert(f.n_bytes > 0)
-      assert(f.mean_byte > 0 && f.mean_byte < 256)
-      if (f.format == "mp4") assert(f.frames > 1) else assert(f.frames === 1)
+  test("multimodal GM1: expression and typed decoders agree over a binary parquet fixture") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+    // real binary fixture: the media table (binary payload column) round-trips
+    // through parquet; every decode below reads the fixture, not the builder
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.mediaTable(docs).write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val exprF = Multimodal.decode(back)
+      .select("doc_id", "format", "width", "height", "n_bytes", "byte_sum", "frames")
+      .as[(Long, String, Int, Int, Long, Long, Long)].collect().sortBy(_._1)
+    val typedF = Multimodal.decodeFeatures(back.as[MediaRow]).collect()
+      .map(f => (f.doc_id, f.format, f.width, f.height, f.n_bytes, f.byte_sum, f.frames))
+      .sortBy(_._1)
+    assert(exprF.length === 500)
+    assert(exprF.toSeq === typedF.toSeq) // codegen'd path == codec-boundary path
+    exprF.foreach { case (_, fmt, w, h, n, sum, frames) =>
+      assert(Multimodal.Formats.contains(fmt))
+      assert(w >= 64 && w <= 512 && h >= 64 && h <= 256)
+      assert(n >= 32 && n < 32 + 97)
+      assert(sum > 0 && sum <= 255L * n)
+      if (fmt == "mp4") assert(frames >= 2) else assert(frames === 1L)
     }
-    val frames = Multimodal.sampleFrames(Multimodal.mediaTable(
-      graft.Tables(spark, sf0001, "documents")))
+    // frame sampling + header-rewriting resize keep their contracts
+    val frames = Multimodal.sampleFrames(back)
     assert(frames.count() > 0)
     assert(frames.columns.toSeq === Seq("doc_id", "frame_no", "frame_bytes"))
-    // resize stub: stride-2 halves payloads and dims
-    val media = Multimodal.mediaTable(graft.Tables(spark, sf0001, "documents")).as[MediaRow]
-    val resized = Multimodal.resize(media, 2).collect().map(m => m.doc_id -> m).toMap
-    media.collect().foreach { m =>
+    val resized = Multimodal.resize(back.as[MediaRow], 2).collect().map(m => m.doc_id -> m).toMap
+    back.as[MediaRow].collect().foreach { m =>
       val r = resized(m.doc_id)
-      assert(r.payload.length === (m.payload.length + 1) / 2)
-      assert(r.width === math.max(1, m.width / 2))
+      assert(r.payload.length - 6 === (m.payload.length - 6 + 1) / 2)
+      assert((r.payload(4) & 0xff) === math.max(1, (m.payload(4) & 0xff) / 2))
+      assert(r.payload(0) == 0x47 && r.payload(1) == 0x4d) // still a valid GM1 blob
     }
   }
 
