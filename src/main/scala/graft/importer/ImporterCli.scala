@@ -4,33 +4,55 @@ import graft.Engine
 import org.apache.spark.sql.SparkSession
 
 /** CLI entry point (reference App.scala:11-36, Config.scala:5-24): same
-  * option surface, `k=v,k=v` Spark conf passthrough, `--threads` session
-  * control, wall-clock + schema logging.
+  * option surface — long AND short forms, `k=v,k=v` Spark conf passthrough,
+  * `--threads` session control, wall-clock + schema logging. Unknown or
+  * misspelled options are REJECTED (a silently-dropped `--partitonCols`
+  * would mean a user's partitioning just doesn't apply).
   *
   * Usage:
-  *   ImporterCli --srcFile in.csv --destFile out.parquet [--delimiter ,]
-  *     (`--delimeter`, the reference's misspelled long option from
-  *     Config.scala, is accepted as an alias so existing invocations work)
-  *     [--schemaFile f] [--slashEscapes] [--dateEnrich col]
-  *     [--arrayCols a,b] [--removeArraySrc] [--sortCols a,b]
-  *     [--partitionCols a,b] [--twitterCleanse] [--sparkOpts k=v,k=v]
-  *     [--threads n]
+  *   ImporterCli --srcFile|-s in.csv --destFile|-d out.parquet
+  *     [--delimiter|-l ,] (`--delimeter`, the reference's misspelled long
+  *     option from Config.scala:19, is accepted as an alias)
+  *     [--schemaFile|-f f] [--slashEscapes|-q] [--dateEnrich|-e col]
+  *     [--sortCols|-o a,b] [--partitionCols|-p a,b] [--twitterCleanse|-w]
+  *     [--sparkOpts|--sparkOpt|-k k=v,k=v] [--threads|-t n]
+  *     [--arrayCols a,b] [--removeArraySrc]   (graft extensions, long-only)
   */
 object ImporterCli {
 
+  /** Long-form aliases: the reference's misspelled `--delimeter` and its
+    * singular `--sparkOpt` (Config.scala:19,22) both resolve to the
+    * canonical keys so verbatim reference invocations keep working.
+    */
+  private val longAliases = Map("delimeter" -> "delimiter", "sparkOpt" -> "sparkOpts")
+
+  /** Short-option table — reference Config.scala:11-22 (Scallop `short=`). */
+  private val shortOpts = Map(
+    "-s" -> "srcFile", "-d" -> "destFile", "-f" -> "schemaFile",
+    "-e" -> "dateEnrich", "-p" -> "partitionCols", "-o" -> "sortCols",
+    "-q" -> "slashEscapes", "-l" -> "delimiter", "-t" -> "threads",
+    "-w" -> "twitterCleanse", "-k" -> "sparkOpts")
+
+  private val flagKeys = Set("slashEscapes", "removeArraySrc", "twitterCleanse")
+  private val valueKeys = Set("srcFile", "destFile", "delimiter", "schemaFile",
+    "dateEnrich", "arrayCols", "sortCols", "partitionCols", "sparkOpts", "threads")
+
   private[importer] def parseArgs(args: Array[String]): (ImportConfig, Map[String, String], String) = {
-    val flags = Set("--slashEscapes", "--removeArraySrc", "--twitterCleanse")
     var opts = Map.empty[String, String]
     var i = 0
     while (i < args.length) {
       val a = args(i)
-      if (!a.startsWith("--")) throw new IllegalArgumentException(s"Unexpected argument '$a'")
-      // The reference's long option is the misspelled "--delimeter"
-      // (Config.scala:5-24); alias it so reference invocations keep working.
-      val key = if (a == "--delimeter") "delimiter" else a.drop(2)
-      if (flags.contains(a)) { opts += (key -> "true"); i += 1 }
-      else if (i + 1 < args.length) { opts += (key -> args(i + 1)); i += 2 }
-      else throw new IllegalArgumentException(s"Missing value for '$a'")
+      val key =
+        if (a.startsWith("--")) { val raw = a.drop(2); longAliases.getOrElse(raw, raw) }
+        else if (a.startsWith("-")) shortOpts.getOrElse(a,
+          throw new IllegalArgumentException(s"Unknown option '$a'"))
+        else throw new IllegalArgumentException(s"Unexpected argument '$a'")
+      if (flagKeys.contains(key)) { opts += (key -> "true"); i += 1 }
+      else if (valueKeys.contains(key)) {
+        if (i + 1 >= args.length) throw new IllegalArgumentException(s"Missing value for '$a'")
+        opts += (key -> args(i + 1)); i += 2
+      }
+      else throw new IllegalArgumentException(s"Unknown option '$a'")
     }
     def list(k: String): Seq[String] =
       opts.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -55,8 +77,35 @@ object ImporterCli {
     (conf, sparkOpts, opts.getOrElse("threads", "*"))
   }
 
+  /** Usage banner printed on parse failure (reference Config.scala:6-10). */
+  private val usage =
+    """
+      |Parquet CSV file importer (graft)
+      |
+      |Usage: ImporterCli [OPTION]...
+      |  -s, --srcFile <path>        CSV file to import (required)
+      |  -d, --destFile <path>       Destination Parquet file (required)
+      |  -f, --schemaFile <path>     Schema file path
+      |  -e, --dateEnrich <col>      Append date/year/month columns from a date/time column
+      |  -p, --partitionCols <a,b>   Partition columns
+      |  -o, --sortCols <a,b>        Sort columns
+      |  -q, --slashEscapes          Use '\' as quote escape instead of '""'
+      |  -l, --delimiter <char>      CSV delimiter, default ','  (--delimeter accepted)
+      |  -t, --threads <n>           Spark threads, default # processors
+      |  -w, --twitterCleanse        Remove corrupted rows in Twitter-sourced CSVs
+      |  -k, --sparkOpts <k=v,k=v>   Additional Spark options (--sparkOpt accepted)
+      |      --arrayCols <a,b>       Parse "[a, b]" string columns into arrays (graft extension)
+      |      --removeArraySrc        Drop source columns after array parse (graft extension)
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
-    val (conf, sparkOpts, threads) = parseArgs(args)
+    val (conf, sparkOpts, threads) =
+      try parseArgs(args)
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"error: ${e.getMessage}\n$usage")
+          sys.exit(2)
+      }
     val builder = SparkSession.builder()
       .master(s"local[$threads]")
       .appName("graft-importer")

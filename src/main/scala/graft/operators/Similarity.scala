@@ -86,22 +86,26 @@ object Similarity {
       .toDF("pid", "neighbors")
   }
 
-  /** Q60: exact embedding near-dup scan — all-pairs cosine over the corpus,
-    * top-50 most-similar distinct pairs (D5 rounding, id tiebreaks). The
-    * brute-force pair scan is the exactness baseline: one side broadcasts
-    * (5k × 64 doubles ≈ 2.5 MB at sf0.1), so the plan is a shuffle-free
-    * nested loop over partitions of the streamed side. Sub-quadratic scale
-    * path: q40's random-hyperplane LSH bucketing over the same kernel.
+  /** Exact all-pairs cosine scores over a normalized corpus
+    * (`vec_id`, `ev`, `nrm`) — block-nested-loop with a BOUNDED broadcast:
+    * the build side is split into `ceil(n / maxBroadcastRows)` hash chunks
+    * (`pmod(vec_id, nChunks)`), each joined against the full streamed side
+    * and unioned. Every pair lands in exactly one chunk (its id2's), so the
+    * union is the exact pair set; broadcast memory stays ≤ maxBroadcastRows
+    * rows at ANY corpus size instead of O(n) — the scan degrades to more
+    * chunks, not to a driver/executor OOM. The O(n²) compare itself is the
+    * price of exactness (sub-quadratic path: q40's LSH over the same
+    * kernel).
+    *
+    * The one `count()` is control-plane (a scalar to size the chunking);
+    * the streamed side is re-scanned once per chunk — the standard BNL
+    * trade, and a column-pruned parquet re-scan, not a shuffle.
     */
-  def q60CosinePairs: Q = (s, d) => {
+  def exactCosinePairs(emb: DataFrame, maxBroadcastRows: Long = 65536L): DataFrame = {
+    val s = emb.sparkSession
     VectorFunctions.register(s)
-    // norms are computed ONCE per row (n per side), not per pair — each of
-    // the O(n²) pairs then costs a single dot product; n1*n2 multiplies the
-    // exact same doubles the oracle's sqrt(aa)*sqrt(bb) produces, so scores
-    // stay bit-identical
-    val emb = Tables(s, d, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+    val n = emb.count()
+    val nChunks = math.max(1L, (n + maxBroadcastRows - 1) / maxBroadcastRows).toInt
     // the nested-loop join's parallelism IS the streamed side's partition
     // count — a single-file corpus would otherwise scan (and pair) on one
     // task; explicit count because AQE byte-coalescing can't see the O(n)
@@ -109,11 +113,29 @@ object Similarity {
     val a = emb
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("id1"), col("ev").as("e1"), col("nrm").as("n1"))
-    val b = emb.select(col("vec_id").as("id2"), col("ev").as("e2"), col("nrm").as("n2"))
-    a.join(broadcast(b), col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        round(VectorFunctions.dotProduct(col("e1"), col("e2"))
-          / (col("n1") * col("n2")), 6).as("score"))
+    (0 until nChunks).map { j =>
+      val b = emb.filter(pmod(col("vec_id"), lit(nChunks)) === j)
+        .select(col("vec_id").as("id2"), col("ev").as("e2"), col("nrm").as("n2"))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (VectorFunctions.dotProduct(col("e1"), col("e2"))
+            / (col("n1") * col("n2"))).as("cos"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Q60: exact embedding near-dup scan — all-pairs cosine over the corpus,
+    * top-50 most-similar distinct pairs (D5 rounding, id tiebreaks), via the
+    * bounded [[exactCosinePairs]] scan (one ~2.5 MB chunk at sf0.1; more
+    * chunks, never a bigger broadcast, at scale). Norms are computed ONCE
+    * per row, not per pair; n1*n2 multiplies the exact same doubles the
+    * oracle's sqrt(aa)*sqrt(bb) produces, so scores stay bit-identical.
+    */
+  def q60CosinePairs: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+    exactCosinePairs(emb)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("score"))
       .orderBy(col("score").desc, col("id1"), col("id2"))
       .limit(50)
   }

@@ -76,4 +76,21 @@ class CosineExprSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("graft_cosine") && l.trim.startsWith("*")),
       plan.take(500))
   }
+
+  test("chunked exact pair scan equals the single-broadcast pair set") {
+    // force multiple bounded-broadcast chunks (500 vectors / 100-row cap = 5)
+    // and assert the block-nested-loop union reproduces exactly the pairs of
+    // the one-chunk plan — the q60 degrade-gracefully contract
+    val emb = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", Similarity.asDouble($"embedding").as("ev"))
+      .withColumn("nrm", sqrt(Similarity.dot($"ev", $"ev")))
+    def pairSet(maxRows: Long) =
+      Similarity.exactCosinePairs(emb, maxRows)
+        .select($"id1", $"id2", round($"cos", 6).as("score"))
+        .as[(Long, Long, Double)].collect().toSet
+    val chunked = pairSet(100L)
+    val single = pairSet(Long.MaxValue)
+    assert(chunked.size === 500 * 499 / 2)
+    assert(chunked === single)
+  }
 }
