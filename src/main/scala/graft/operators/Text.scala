@@ -127,25 +127,24 @@ object Text {
     */
   def q38NgramJaccard: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
-    // materialized: consumed by BOTH self-join sides and the size aggregate
-    // (three re-executions of the explode+distinct otherwise), with an
-    // explicit-count repartition so tokenizing parallelizes on a single-file
-    // corpus (see BENCH.md round-2 findings)
-    val t = docs
+    // Each doc's distinct-token SET is computed once as an array column —
+    // successor Jaccard then needs only a 1:1 equi-join on the shifted id
+    // plus one hash-set array_intersect per pair. This replaces the r2
+    // token-relation plan (explode → distinct shuffle → token-level join →
+    // re-aggregate), which shuffled one row per token occurrence; here the
+    // shuffle is one row per DOCUMENT (the token set riding along), linear
+    // at any corpus size. The explicit-count repartition keeps tokenizing
+    // parallel on a single-file corpus (BENCH.md round-2 finding).
+    val sets = docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(toks).as("token")).distinct()
-      .localCheckpoint(true)
-    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // The successor-pair condition is folded INTO the equi-join key (join on
-    // (id, token) against a shifted copy) — a plain token join + filter would
-    // enumerate every same-token doc pair, quadratic in corpus size.
-    val t1 = t.select(col("doc_id").as("id1"), col("token"))
-    val t2 = t.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"), col("token"))
-    val inter = t1.join(t2, Seq("id1", "token"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("id1", "n1"), Seq("id1"))
-      .join(sizes.toDF("id2", "n2"), Seq("id2"))
+      .select(col("doc_id"), array_distinct(toks).as("tkset"))
+    val a = sets.select(col("doc_id").as("id1"), col("tkset").as("s1"))
+    val b = sets.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"),
+      col("tkset").as("s2"))
+    a.join(b, Seq("id1"))
+      .select(col("id1"), col("id2"),
+        size(col("s1")).as("n1"), size(col("s2")).as("n2"),
+        size(array_intersect(col("s1"), col("s2"))).as("inter"))
       .select(col("id1"), col("id2"),
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
       .orderBy(col("id1"))
