@@ -14,33 +14,43 @@ import org.apache.spark.sql.types.DecimalType
   * the (small) edge/label sets — shuffle volume proportional to edges.
   * Deterministic: labels are min() folds.
   *
-  * Results are checkpointed between iterations via `localCheckpoint` so the
-  * lineage doesn't grow exponentially. (On a long-lived production cluster,
-  * prefer `sparkContext.setCheckpointDir` + `checkpoint()` — localCheckpoint
-  * blocks are lost with executor failures; for this bounded iteration count
-  * the local variant's zero-HDFS-dependency wins.)
+  * Results are checkpointed between iterations so the lineage doesn't grow
+  * exponentially. Two modes:
+  *
+  *   - default: `localCheckpoint` — zero-HDFS-dependency, right for bounded
+  *     local iteration (blocks are lost with executor failures);
+  *   - `checkpointDir = Some(dir)`: RELIABLE checkpoints — sets the
+  *     SparkContext checkpoint dir and uses `checkpoint()`, so a
+  *     1000-executor run survives executor loss mid-iteration. This is the
+  *     100 TB mode; pass a durable (HDFS/object-store) path.
   */
 object Components {
 
   /** @param edges two BIGINT columns (src, dst), undirected
+    * @param checkpointDir durable checkpoint location (reliable mode); None
+    *                      = localCheckpoint (single-app local mode)
     * @return (node, component) — component = smallest node id reachable
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(eager = true)
+    }
     // materialize the caller's edge pipeline ONCE before symmetrizing — the
     // two union branches would otherwise re-execute it (edge generation is
     // often the most expensive part, e.g. q56's exact-Jaccard join)
-    val e0 = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
-      .localCheckpoint(true)
-    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint(true)
+    val e0 = ckpt(edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b")))
+    val sym = ckpt(e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
     // iteration 0 folded into init: with labels = node ids, the neighbor-min
     // is just min(b) — one aggregate instead of a join round
-    var labels = sym.groupBy(col("a"))
+    var labels = ckpt(sym.groupBy(col("a"))
       .agg(min(col("b")).as("nb_min"))
-      .select(col("a").as("node"), least(col("a"), col("nb_min")).as("comp"))
-      .localCheckpoint(true)
+      .select(col("a").as("node"), least(col("a"), col("nb_min")).as("comp")))
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
     val debug = sys.env.contains("GRAFT_DEBUG_CC")
@@ -57,11 +67,10 @@ object Components {
         .select(col("node"), least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"))
       // pointer jumping: comp := comp's own comp (labels are node ids, so the
       // lookup always hits) — collapses chains logarithmically
-      val next = propagated
+      val next = ckpt(propagated
         .join(propagated.select(col("node").as("cnode"), col("comp").as("ccomp")),
           col("comp") === col("cnode"))
-        .select(col("node"), col("ccomp").as("comp"))
-        .localCheckpoint(true)
+        .select(col("node"), col("ccomp").as("comp")))
       // labels only ever DECREASE (min folds), so an unchanged exact sum ⇔
       // a fixpoint — one cheap aggregate instead of a join-based diff count
       val s = labelSum(next)

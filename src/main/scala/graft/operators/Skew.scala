@@ -16,6 +16,17 @@ object Skew {
 
   /** Two-phase salted sum+count aggregation: returns one row per key with
     * `sum_<value>` (exact decimal surfaced as double) and `cnt`.
+    *
+    * CONTRACT — associative aggregates only. The salt
+    * (`spark_partition_id() + monotonically_increasing_id()`) is
+    * NONDETERMINISTIC across runs/retries: the partial grouping differs
+    * between executions, which is invisible to sum/count/min/max (salt-
+    * decomposable — any partial grouping folds to the same total, and the
+    * decimal sum is order-independent) but would be silently wrong for
+    * non-decomposable aggregates (median, first-value, collect_list order).
+    * Do not extend this helper with such aggregates; give them a
+    * deterministic salt (e.g. `pmod(hash(idCols), salts)`) and a merge step
+    * that is correct under re-grouping.
     */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
                      salts: Int = 16): DataFrame = {

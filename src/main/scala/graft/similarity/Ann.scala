@@ -59,16 +59,24 @@ object Ann {
       .select(col("id1"), col("id2"), round(VectorFunctions.cosineSim(col("ev1"), col("ev2")), 6).as("cos"))
   }
 
-  /** Assign each vector to its most-similar centroid (broadcast K rows;
-    * deterministic tie-break toward the smaller centroid id).
+  /** Assign each vector to its `replicas` most-similar centroids (broadcast
+    * K rows; deterministic tie-break toward the smaller centroid id).
+    * `crank` = 1 is the primary assignment (used for refinement); ranks 2..r
+    * are index REPLICAS — the standard IVF multi-assignment trade: r× index
+    * entries buy recall at a fixed nprobe, because near-boundary vectors sit
+    * in every cluster they straddle instead of exactly one.
     */
-  private def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame =
+  private def assignTo(vecs: DataFrame, centroids: DataFrame,
+                       replicas: Int = 1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("sim").desc, col("cid"))
     vecs.crossJoin(broadcast(centroids))
       .select(col("id"), col("ev"), col("cid"),
         VectorFunctions.cosineSim(col("ev"), col("cv")).as("sim"))
-      .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
-        first(col("ev")).as("ev"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= replicas)
+      .select(col("id"), col("cid"), col("ev"), col("crank"))
+  }
 
   /** One deterministic Lloyd step: per-cluster per-dimension means via exact
     * decimal sums (order-independent at any partitioning), reassembled into
@@ -84,23 +92,63 @@ object Ann {
         s => s.getField("m")).as("cv"))
   }
 
-  /** IVF index: (assignments, centroids) after seeding with the K smallest
-    * ids and `refineIters` deterministic k-means refinements.
+  /** Farthest-point seeds (k-means++-style, deterministic): a BOUNDED
+    * hash-ordered sample (distributed top-`sampleSize` by xxhash64 — constant
+    * driver memory at ANY corpus size, ~256 KB at 512×64 doubles) is swept
+    * greedily, always adding the vector least similar to its closest chosen
+    * seed. Replaces first-k-ids seeding, which at round 3 measured 0.60
+    * recall@10 — ids cluster by insertion order, so whole regions of the
+    * corpus got no seed and their neighborhoods split across foreign
+    * clusters (numbers in BENCH.md).
+    */
+  private def farthestPointSeeds(vecs: DataFrame, k: Int,
+                                 sampleSize: Int = 512): Array[(Long, Array[Double])] = {
+    val sample = vecs
+      .orderBy(xxhash64(lit("seed"), col("id")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.minBy(_._1))
+    while (chosen.size < k && chosen.size < sample.length) {
+      val next = sample.iterator
+        .filterNot(s => chosen.exists(_._1 == s._1))
+        .minBy(s => chosen.iterator.map(c => cos(s._2, c._2)).max)
+      chosen += next
+    }
+    chosen.toArray
+  }
+
+  /** IVF index: (assignments, centroids) after deterministic farthest-point
+    * seeding and `refineIters` deterministic k-means refinements.
     */
   def ivfIndex(emb: DataFrame, idCol: String, embCol: String,
-               k: Int = 16, refineIters: Int = 1): (DataFrame, DataFrame) = {
+               k: Int = 16, refineIters: Int = 1,
+               assignReplicas: Int = 1): (DataFrame, DataFrame) = {
     VectorFunctions.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
     // materialized per step: assignments feed refinement AND multiple probe
     // consumers, and iteration would otherwise stack re-executed crossJoin+
     // aggregate lineage per refinement round
     val vecs = emb.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"))
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("id"))
-    var centroids = vecs.filter(col("id") < k).select(col("id").as("cid"), col("ev").as("cv"))
+    var centroids = farthestPointSeeds(vecs, k).toSeq
+      .map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cv")
     var assigned = assignTo(vecs, centroids).localCheckpoint(true)
     for (_ <- 0 until refineIters) {
-      centroids = refineCentroids(assigned).localCheckpoint(true)
-      assigned = assignTo(vecs, centroids).localCheckpoint(true)
+      // refinement means use PRIMARY assignments only — replicas would
+      // double-count boundary vectors and drag centroids together
+      centroids = refineCentroids(assigned.filter(col("crank") === 1))
+        .localCheckpoint(true)
+      assigned = assignTo(vecs, centroids, assignReplicas).localCheckpoint(true)
     }
+    if (refineIters == 0 && assignReplicas > 1)
+      assigned = assignTo(vecs, centroids, assignReplicas).localCheckpoint(true)
     (assigned, centroids)
   }
 
@@ -109,18 +157,29 @@ object Ann {
     ivfIndex(emb, idCol, embCol, k, refineIters = 0)._1
 
   /** IVF probe: search only the `nprobe` clusters nearest to the query
-    * vector; exact cosine within them; top-k out.
+    * vector; exact cosine within them; top-k out (replica hits dedup'd by
+    * id before ranking).
+    *
+    * Knobs (measured on the sf0.01 embeddings, recall@10 averaged over 4
+    * probes — see BENCH.md round-3): nprobe=4/k=16 with single assignment
+    * ≈ 0.65; raising nprobe to 6 ≈ 0.78; assignReplicas=2 at nprobe=4
+    * ≥ 0.8 for ~2× index entries — the default here. Recall rises with
+    * nprobe (linear probe cost) and with assignReplicas (index size);
+    * exactness is q30's brute-force path.
     */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               probeId: Long, k: Int = 16, nprobe: Int = 4, topK: Int = 10,
-              refineIters: Int = 1): DataFrame = {
-    val (assigned, centroids) = ivfIndex(emb, idCol, embCol, k, refineIters)
-    val probe = assigned.filter(col("id") === probeId).select(col("ev").as("pv"))
+              refineIters: Int = 1, assignReplicas: Int = 2): DataFrame = {
+    val (assigned, centroids) =
+      ivfIndex(emb, idCol, embCol, k, refineIters, assignReplicas)
+    val probe = assigned.filter(col("id") === probeId && col("crank") === 1)
+      .select(col("ev").as("pv"))
     val nearClusters = centroids.crossJoin(broadcast(probe))
       .select(col("cid").as("cid2"), VectorFunctions.cosineSim(col("cv"), col("pv")).as("csim"))
       .orderBy(col("csim").desc, col("cid2")).limit(nprobe)
     assigned
       .join(broadcast(nearClusters), col("cid") === col("cid2"))
+      .select(col("id"), col("ev")).dropDuplicates("id")
       .crossJoin(broadcast(probe))
       .select(col("id"), round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("score"))
       .orderBy(col("score").desc, col("id")).limit(topK)

@@ -26,6 +26,22 @@ class ComponentsSpec extends SparkSpec {
     assert(comps.values.toSet === Set(0L))
   }
 
+  test("reliable-checkpoint mode matches localCheckpoint mode") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id1", "id2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = Components.connectedComponents(edges, "id1", "id2",
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Components.connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    // reliable mode actually wrote RDD checkpoint data to the durable dir
+    def anyFiles(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(anyFiles))
+    assert(anyFiles(new java.io.File(dir)), s"no checkpoint data under $dir")
+  }
+
   test("resolveDuplicates: every doc gets a component; one canonical each") {
     val docs = Tables(spark, sf0001, "documents")
     val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")

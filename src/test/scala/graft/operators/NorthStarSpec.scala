@@ -63,6 +63,33 @@ class NorthStarSpec extends SparkSpec {
   }
   private def Tables_embeddings = graft.Tables(spark, sf0001, "embeddings")
 
+  test("ivf recall@10 vs exact top-10 at sf0.01 (nprobe=4 of k=16)") {
+    graft.functions.VectorFunctions.register(spark)
+    val sf001 = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, sf001, "embeddings")
+    def exactTop10(probe: Long): Set[Long] = {
+      val e = emb.withColumn("ev", Similarity.asDouble(col("embedding")))
+      val p = e.filter(col("vec_id") === probe).select(col("ev").as("pv"))
+      e.crossJoin(broadcast(p))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.cosineSim(col("ev"), col("pv")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val probes = Seq(0L, 101L, 250L, 499L)
+    val hits = probes.map { p =>
+      val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", probeId = p)
+        .select("id").as[Long].collect().toSet
+      (ivf intersect exactTop10(p)).size
+    }
+    // defaults (nprobe=4 of k=16, assignReplicas=2): measured 32/40 hits —
+    // recall@10 = 0.8 average. Single assignment measures 0.65 and
+    // assignReplicas=3 reaches 0.95 (curve in BENCH.md); integer hit
+    // counting keeps the 0.8 threshold float-exact.
+    assert(hits.sum >= 32, s"recall ${hits.sum}/40, per-probe ${probes.zip(hits)}")
+    assert(hits.forall(_ >= 5), s"per-probe ${probes.zip(hits)}")
+  }
+
   test("ann lsh pairs are exact-cosine-verified and deduplicated") {
     val pairs = Ann.lshNearDupPairs(Tables_embeddings, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
