@@ -140,10 +140,30 @@ object Similarity {
       .limit(50)
   }
 
+  /** Q69: batch multi-probe exact top-k — each of the 5 probe vectors gets
+    * its 10 nearest neighbors in one pass: probes broadcast against the
+    * (arbitrarily large) corpus, per-probe winners kept by the bounded-state
+    * [[graft.functions.TopKByScore]] aggregator (O(k) state per group, no
+    * rank-window full sort), exploded to (pid, rank, id, score) rows. This
+    * puts the custom typed aggregate itself under the DuckDB oracle gate —
+    * its score ordering and id tie-breaks must reproduce ROW_NUMBER OVER
+    * (ORDER BY score DESC, id) exactly.
+    */
+  def q69MultiTopK: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    topKNeighbors(emb, probes, "vec_id", "embedding", k = 10)
+      .select(col("pid"), posexplode(col("neighbors")))
+      .select(col("pid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("score"))
+      .orderBy(col("pid"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_array" -> q24Array,
     "q30_cosine_topk" -> q30CosineTopK,
-    "q60_cosine_pairs" -> q60CosinePairs)
+    "q60_cosine_pairs" -> q60CosinePairs,
+    "q69_multi_topk" -> q69MultiTopK)
 
   val oracles: Map[String, String] = Map(
     "q24_array" ->
@@ -162,6 +182,19 @@ object Similarity {
         |  CAST(label AS BIGINT) AS label
         |FROM e, p
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q69_multi_topk" ->
+      """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+        |          FROM embeddings WHERE vec_id < 5),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |s AS (SELECT pid, vec_id AS id,
+        |        ROUND(list_dot_product(ev, pv)
+        |              / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6) AS score
+        |      FROM e, p),
+        |r AS (SELECT pid, id, score,
+        |        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY score DESC, id) AS rank
+        |      FROM s)
+        |SELECT pid, CAST(rank AS BIGINT) AS rank, id, score FROM r
+        |WHERE rank <= 10 ORDER BY pid, rank""".stripMargin,
     "q60_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,

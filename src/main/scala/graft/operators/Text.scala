@@ -166,8 +166,26 @@ object Text {
       .orderBy(col("id1"))
   }
 
+  /** Q70: regex token counting — the BPE-ish path next to q29's whitespace
+    * path: word tokens by regex, greedy fixed-width subword chunks (a greedy
+    * `[a-z]{1,4}` scan approximates a fixed-vocab subword tokenizer's
+    * max-munch), alpha char mass, and mean subword length. Map-only native
+    * regex expressions (regexp_extract_all / regexp_replace), codegen'd.
+    */
+  def q70RegexTokens: Q = (s, d) => {
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        big(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))).as("n_words"),
+        big(size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))).as("n_subwords"),
+        big(length(regexp_replace(col("text"), "[^a-z]", ""))).as("n_alpha"))
+      .withColumn("avg_subword_len",
+        round(col("n_alpha").cast("double") / col("n_subwords"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_edit_distance" -> q63EditDistance,
+    "q70_regex_tokens" -> q70RegexTokens,
     "q21_string_funcs" -> q21StringFuncs,
     "q26_date_enrich" -> q26DateEnrich,
     "q27_array_parse" -> q27ArrayParse,
@@ -235,6 +253,15 @@ object Text {
       """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
         |FROM (SELECT doc_id, md5(text) AS fp FROM documents)
         |GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "q70_regex_tokens" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_subwords,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_subwords, n_alpha,
+        |  ROUND(CAST(n_alpha AS DOUBLE) / n_subwords, 6) AS avg_subword_len
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q38_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id, u.t AS token

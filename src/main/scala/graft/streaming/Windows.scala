@@ -230,6 +230,37 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Q71: STREAM-STREAM inner join with event-time constraints — every
+    * `view` event joined to the same user's `click` events in the following
+    * 30 minutes. Both sides carry watermarks and the join condition bounds
+    * click_ts relative to view_ts, so each side's buffered state is evicted
+    * once the other side's watermark passes the range — bounded state at
+    * any stream length, the canonical funnel-join shape. Reduced to
+    * per-user pair counts + exact gap sums so the batch-join DuckDB oracle
+    * hash-pins the result.
+    */
+  def q71StreamJoin: Q = (s, d) => {
+    val views = eventsStream(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts2").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("ts2").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val pairs = views.join(clicks,
+      col("user_id") === col("cuser") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+    runToBatch(
+      pairs.select(col("user_id"),
+        col("view_ts").cast("long").as("view_es"),
+        col("click_ts").cast("long").as("click_es")),
+      "graft_q71", OutputMode.Append)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("click_es") - col("view_es")).as("gap_sum"))
+      .orderBy(col("user_id"))
+  }
+
   /** Q55: streaming exact dedup — `dropDuplicates` over the key columns on
     * the event stream; emitting only the keys makes the result equal to a
     * batch DISTINCT regardless of which arrival survived.
@@ -245,7 +276,8 @@ object Windows {
     "q46_stream_sessions" -> q46StreamSessions,
     "q54_stream_sliding" -> q54StreamSliding,
     "q55_stream_dedup" -> q55StreamDedup,
-    "q66_stream_stateful" -> q66StreamStateful)
+    "q66_stream_stateful" -> q66StreamStateful,
+    "q71_stream_join" -> q71StreamJoin)
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
@@ -265,5 +297,16 @@ object Windows {
         |FROM a GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin,
     "q55_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q71_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events)
+        |SELECT v.user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(c.es - v.es) AS BIGINT) AS gap_sum
+        |FROM e v JOIN e c
+        |  ON v.user_id = c.user_id AND v.event_type = 'view'
+        | AND c.event_type = 'click' AND c.es >= v.es AND c.es <= v.es + 1800
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin)
 }
