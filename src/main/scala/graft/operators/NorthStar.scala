@@ -182,8 +182,33 @@ object NorthStar {
       .orderBy(col("group_size"))
   }
 
+  /** Q72: embedding-space dedup resolution — the vector twin of q56's
+    * lexical pipeline: exact cosine pairs over the bounded chunked scan
+    * ([[Similarity.exactCosinePairs]]) thresholded at 0.4, connected
+    * components, group-size histogram. Oracle-checked end-to-end (DuckDB:
+    * all-pairs cosine + recursive-CTE closure). The LSH candidate path
+    * (q40) remains the super-scale regime; this is its exactness baseline
+    * with the same downstream resolution machinery.
+    */
+  def q72EmbedDedup: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("ev"), col("ev"))))
+    val pairs = Similarity.exactCosinePairs(emb)
+      .filter(round(col("cos"), 6) >= 0.4)
+      .select(col("id1"), col("id2"))
+    Components.resolveDuplicates(
+        Tables(s, d, "embeddings").select(col("vec_id")), "vec_id", pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q53_train_test_split" -> q53TrainTestSplit,
+    "q72_embed_dedup" -> q72EmbedDedup,
     "q56_dedup_resolve" -> q56DedupResolve,
     "q35_approx_distinct" -> q35ApproxDistinct,
     "q37_minhash_pairs" -> q37MinhashPairs,
@@ -198,6 +223,25 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q72_embed_dedup" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(ROUND(list_dot_product(a.ev, b.ev)
+        |    / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6), 6) >= 0.4),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT w.node, e2.b FROM walk w JOIN edges e2 ON e2.a = w.lab),
+        |comp AS (SELECT node, MIN(lab) AS mn FROM walk GROUP BY node),
+        |labeled AS (SELECT v.vec_id, COALESCE(LEAST(c.node, c.mn), v.vec_id) AS component
+        |            FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node),
+        |groups AS (SELECT component, COUNT(*) AS group_size FROM labeled GROUP BY component)
+        |SELECT group_size, COUNT(*) AS n_groups FROM groups
+        |GROUP BY group_size ORDER BY group_size""".stripMargin,
     "q44_multimodal" ->
       """WITH m AS (SELECT doc_id,
         |    unhex('474D01' || printf('%02x', doc_id % 4) ||

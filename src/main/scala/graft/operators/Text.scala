@@ -183,9 +183,26 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q73: subword vocabulary build — the corpus-level companion of q70's
+    * per-doc counts: explode the greedy `[a-z]{1,4}` subword chunks, count
+    * corpus-wide, keep the top 20 (count desc, chunk asc — deterministic).
+    * This is the vocab-construction step of a fixed-width subword
+    * tokenizer; partial aggregation does the heavy lifting map-side, the
+    * exchange carries one row per DISTINCT chunk.
+    */
+  def q73SubwordVocab: Q = (s, d) => {
+    Tables(s, d, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("chunk"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_edit_distance" -> q63EditDistance,
     "q70_regex_tokens" -> q70RegexTokens,
+    "q73_subword_vocab" -> q73SubwordVocab,
     "q21_string_funcs" -> q21StringFuncs,
     "q26_date_enrich" -> q26DateEnrich,
     "q27_array_parse" -> q27ArrayParse,
@@ -262,6 +279,10 @@ object Text {
         |SELECT doc_id, n_words, n_subwords, n_alpha,
         |  ROUND(CAST(n_alpha AS DOUBLE) / n_subwords, 6) AS avg_subword_len
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q73_subword_vocab" ->
+      """SELECT u.c AS chunk, COUNT(*) AS n
+        |FROM documents, unnest(regexp_extract_all(text, '[a-z]{1,4}')) AS u(c)
+        |GROUP BY u.c ORDER BY n DESC, chunk LIMIT 20""".stripMargin,
     "q38_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id, u.t AS token
