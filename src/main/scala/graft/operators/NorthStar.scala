@@ -206,9 +206,43 @@ object NorthStar {
       .orderBy(col("group_size"))
   }
 
+  /** Q74: the end-to-end training-data prep pipeline — the composition a
+    * reference user actually runs, as ONE declarative query: quality filter
+    * (≥ 40 tokens) → exact content dedup (md5 keep-first) → language tag
+    * (q42's stopword profiles, single-eval) → deterministic split (q53's
+    * portable hash) → per-(split, lang) corpus stats. Every stage is an
+    * already-oracle-pinned operator; this query pins their COMPOSITION
+    * (filter ordering, dedup-before-tag semantics) end-to-end. One shuffle
+    * per aggregation boundary: the dedup window and the final group.
+    */
+  def q74PrepPipeline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toksQ = filter(split(col("text"), " "), t => t =!= "")
+    val quality = Tables(s, d, "documents").filter(size(toksQ) >= 40)
+    val deduped = quality
+      .withColumn("fp", md5(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    }
+    deduped
+      .select(col("doc_id"), col("n_chars"),
+        array_max(array(scored: _*)).as("best"))
+      .select(col("doc_id"), col("n_chars"), col("best").getField("lang").as("pred_lang"))
+      .withColumn("split", TrainingOps.portableSplitLabel("doc_id", 0.2))
+      .groupBy(col("split"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("pred_lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q53_train_test_split" -> q53TrainTestSplit,
     "q72_embed_dedup" -> q72EmbedDedup,
+    "q74_prep_pipeline" -> q74PrepPipeline,
     "q56_dedup_resolve" -> q56DedupResolve,
     "q35_approx_distinct" -> q35ApproxDistinct,
     "q37_minhash_pairs" -> q37MinhashPairs,
@@ -223,6 +257,32 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q74_prep_pipeline" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 40),
+        |d AS (
+        |  SELECT doc_id, text, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q),
+        |t AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM d WHERE rn = 1),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    list_max([
+        |      {'score': len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))), 'lang': 'de'},
+        |      {'score': len(list_filter(tk, x -> x IN ('the','a','of','and','to'))), 'lang': 'en'},
+        |      {'score': len(list_filter(tk, x -> x IN ('el','la','de','los','que'))), 'lang': 'es'},
+        |      {'score': len(list_filter(tk, x -> x IN ('le','la','et','les','des'))), 'lang': 'fr'},
+        |      {'score': len(list_filter(tk, x -> x IN ('的','是','了','在','和'))), 'lang': 'zh'}]) AS best,
+        |    CASE WHEN ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |           % 2147483647 % 10000 < 2000
+        |         THEN 'test' ELSE 'train' END AS split
+        |  FROM t)
+        |SELECT split, best.lang AS pred_lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM p GROUP BY split, best.lang ORDER BY split, pred_lang""".stripMargin,
     "q72_embed_dedup" ->
       """WITH RECURSIVE
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
