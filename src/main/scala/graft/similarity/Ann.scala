@@ -113,6 +113,7 @@ object Ann {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    if (sample.isEmpty) return Array.empty
     val chosen = scala.collection.mutable.ArrayBuffer(sample.minBy(_._1))
     while (chosen.size < k && chosen.size < sample.length) {
       val next = sample.iterator

@@ -131,9 +131,10 @@ object Windows {
     val ckptBase =
       if (shm.isDirectory && shm.canWrite) s"/dev/shm/graft-ckpt/$unique"
       else s"${System.getProperty("java.io.tmpdir")}/graft-ckpt/$unique"
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
     val q =
       try {
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", stateParts)
         agg.writeStream.outputMode(mode).format("memory")
           .option("checkpointLocation", ckptBase).queryName(unique).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)

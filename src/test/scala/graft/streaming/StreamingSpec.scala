@@ -63,6 +63,21 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted ${out.size} sessions, ${(out -- batchSessions).size} not in batch truth")
   }
 
+  test("stream-stream funnel join == batch range join") {
+    val stream = Windows.q71StreamJoin(spark, sf0001).collect().toSeq
+    val e = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", $"ts2".cast("long").as("es"))
+    val v = e.filter($"event_type" === "view").select($"user_id", $"es".as("ves"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"es".as("ces"))
+    val batch = v.join(c, $"user_id" === $"cu" && $"ces" >= $"ves" && $"ces" <= $"ves" + 1800)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum($"ces" - $"ves").as("gap_sum"))
+      .orderBy($"user_id").collect().toSeq
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("restart from checkpoint: state survives a stop/start across a two-batch feed") {
     import java.nio.file.Files
     val ev = graft.Tables.events(spark, sf0001)
