@@ -145,6 +145,11 @@ object Text {
       .select(col("id1"), col("id2"),
         size(col("s1")).as("n1"), size(col("s2")).as("n2"),
         size(array_intersect(col("s1"), col("s2"))).as("inter"))
+      // pairs sharing ZERO tokens never existed in the token-level INNER
+      // join (and the oracle's), so the set-column plan must drop them too
+      // — caught by the sf0.1 all-SF sweep, the only SF with disjoint
+      // successor pairs
+      .filter(col("inter") > 0)
       .select(col("id1"), col("id2"),
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
       .orderBy(col("id1"))
