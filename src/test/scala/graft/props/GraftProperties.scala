@@ -143,6 +143,23 @@ object GraftProperties extends Properties("graft") {
     docs <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.take(15)))
   } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
 
+  property("GM1 container: typed decode inverts construction for arbitrary ids") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue / 64)).map(_.take(20))) { ids =>
+      val s = spark; import s.implicits._
+      import graft.multimodal.{MediaRow, Multimodal}
+      val media = Multimodal.mediaTable(ids.distinct.toDF("doc_id"))
+      val feats = Multimodal.decodeFeatures(media.as[MediaRow]).collect()
+        .map(f => f.doc_id -> f).toMap
+      ids.distinct.forall { id =>
+        val f = feats(id)
+        f.format == Multimodal.Formats((id % 4).toInt) &&
+          f.width == (1 + id % 8).toInt * 64 &&
+          f.height == (1 + id % 4).toInt * 64 &&
+          f.n_bytes == 32 + id % 97 &&
+          f.byte_sum == (0L until f.n_bytes).map(i => (id * 31 + i * 17) % 256).sum
+      }
+    }
+
   property("prefix-filtered jaccard join = brute force (complete, exact)") =
     forAll(corpusGen) { docs =>
       val s = spark; import s.implicits._
