@@ -141,7 +141,51 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Q75: cohort retention — users bucketed by their FIRST-seen hour, then
+    * counted per (cohort, age) over their distinct active hours: the classic
+    * retention table. Two aggregates and one equi-join on user_id; at scale
+    * every step shuffles on user_id so the exchanges line up (Catalyst
+    * reuses the partitioning between the distinct, the min-aggregate and
+    * the join).
+    */
+  def q75Retention: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("user_id"), (epochSec(col("ts2")) / 3600).cast("long").as("hr"))
+    val firstHr = ev.groupBy(col("user_id")).agg(min(col("hr")).as("cohort_hr"))
+    ev.distinct()
+      .join(firstHr, Seq("user_id"))
+      .groupBy(col("cohort_hr"), (col("hr") - col("cohort_hr")).as("age_hours"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_hr"), col("age_hours"))
+  }
+
+  /** Q76: strict-order funnel conversion — users whose first view precedes
+    * a click precedes a purchase, counted per stage. Each stage is an
+    * aggregate + equi-join on user_id (all exchanges align on the same
+    * key), so the funnel is three shuffle-sharing hash joins at any scale,
+    * never a window over the full event history.
+    */
+  def q76Funnel: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("user_id"), col("event_type"), epochSec(col("ts2")).as("es"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("es")).as("ves"))
+    val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+      .filter(col("es") >= col("ves"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("ces"))
+    val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+      .filter(col("es") >= col("ces"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("pes"))
+    v.select(lit(1L).as("stage"), lit("view").as("name"), col("user_id"))
+      .union(c.select(lit(2L).as("stage"), lit("click").as("name"), col("user_id")))
+      .union(p.select(lit(3L).as("stage"), lit("purchase").as("name"), col("user_id")))
+      .groupBy(col("stage"), col("name"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_funnel" -> q76Funnel,
     "q08_range_join" -> q08RangeJoin,
     "q09_asof_join" -> q09AsofJoin,
     "q11_distinct_agg" -> q11DistinctAgg,
@@ -149,9 +193,38 @@ object Events {
     "q25_json" -> q25Json,
     "q31_sessionize" -> q31Sessionize,
     "q32_tumbling" -> q32Tumbling,
-    "q33_sliding" -> q33Sliding)
+    "q33_sliding" -> q33Sliding,
+    "q75_retention" -> q75Retention)
 
   val oracles: Map[String, String] = Map(
+    "q76_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |v AS (SELECT user_id, MIN(es) AS ves FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(es) AS ces FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND es >= ves GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(es) AS pes FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND es >= ces GROUP BY e.user_id),
+        |st AS (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name, user_id FROM v
+        |  UNION ALL SELECT 2, 'click', user_id FROM c
+        |  UNION ALL SELECT 3, 'purchase', user_id FROM p)
+        |SELECT stage, name, COUNT(DISTINCT user_id) AS n_users
+        |FROM st GROUP BY stage, name ORDER BY stage""".stripMargin,
+    "q75_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS hr
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(hr) AS cohort_hr FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, hr FROM e)
+        |SELECT cohort_hr, hr - cohort_hr AS age_hours,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_hr, age_hours
+        |ORDER BY cohort_hr, age_hours""".stripMargin,
     "q08_range_join" ->
       """SELECT e1.event_id AS id1, e2.event_id AS id2
         |FROM events e1 JOIN events e2
