@@ -241,10 +241,14 @@ object Windows {
     * hash-pins the result.
     */
   def q71StreamJoin: Q = (s, d) => {
-    val views = eventsStream(s, d).filter(col("event_type") === "view")
+    // ONE stream instance feeding both join branches (a streaming self-join)
+    // — two eventsStream() calls would register two file sources, each with
+    // its own directory listing and scan per micro-batch
+    val ev = eventsStream(s, d)
+    val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts2").as("view_ts"))
       .withWatermark("view_ts", "2 hours")
-    val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+    val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cuser"), col("ts2").as("click_ts"))
       .withWatermark("click_ts", "2 hours")
     val pairs = views.join(clicks,
