@@ -201,7 +201,31 @@ object Extras {
       .orderBy(col("lang"))
   }
 
+  /** Q79: equi-width histogram of `l_extendedprice` — fixed bins of width
+    * 5200.00 from 0, top edge clamped into bin 20. The bin id is computed in
+    * INTEGER CENTS (`DECIMAL(18,4) · 100 → BIGINT`, then integer division):
+    * double→bigint casts truncate in Spark but round in DuckDB, and
+    * double division puts bin-edge values on either side of the boundary
+    * depending on the engine's rounding — integer arithmetic is exact and
+    * portable. One partial+final aggregate over 21 groups; the scan reads
+    * exactly one column.
+    */
+  def q79Histogram: Q = (s, d) => {
+    Tables(s, d, "lineitem")
+      .select(col("l_extendedprice"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .select(col("l_extendedprice"),
+        least(expr("cents div 520000"), lit(20L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_histogram" -> q79Histogram,
     "q61_skew_salted" -> q61SkewSalted,
     "q62_stratified" -> q62Stratified,
     "q57_window_extras" -> q57WindowExtras,
@@ -217,6 +241,13 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q79_histogram" ->
+      """SELECT CAST(least(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 520000, 20) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+        |  MIN(l_extendedprice) AS lo,
+        |  MAX(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q68_unpivot" ->
       """WITH base AS (
         |  SELECT l_returnflag,

@@ -239,7 +239,58 @@ object NorthStar {
       .orderBy(col("split"), col("pred_lang"))
   }
 
+  /** Q78: train/test contamination detection — the eval-hygiene op every
+    * training pipeline needs before publishing a split: which TEST documents
+    * share enough rare word-3-shingles with some TRAIN document that the
+    * eval set leaks training content. Report = one row per contaminated test
+    * doc with its best-matching train doc (most shared rare shingles,
+    * train_id tiebreak).
+    *
+    * Scale shape: shingles join only through the docfreq ≤ 4 filter, the
+    * same stop-shingle removal that makes [[graft.dedup.JaccardJoin]]
+    * sub-quadratic — per-shingle join fan-out is capped at docfreq², so the
+    * candidate volume is ≤ 16× the rare-shingle count no matter how hot the
+    * corpus vocabulary is. The shingle relation is localCheckpoint'd once and
+    * feeds both join sides (the round-2 lesson: an uncached subplan behind a
+    * self-join re-executes per branch). The docfreq count is a window over
+    * the one exchange on `sh`; at extreme corpus scale swap it for a
+    * partial-agg groupBy + join-back (map-side combine absorbs hot
+    * stop-shingles) at the price of a second materialization — downstream is
+    * identical since the cap removes those keys anyway.
+    */
+  def q78Contamination: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tk = filter(split(col("text"), " "), t => t =!= "")
+    val shingles = when(size(tk) < lit(3), array(array_join(tk, " ")))
+      .otherwise(transform(sequence(lit(0), size(tk) - 3),
+        i => array_join(slice(tk, i + lit(1), lit(3)), " ")))
+    val sh = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        TrainingOps.portableSplitLabel("doc_id", 0.2).as("split"),
+        explode(array_distinct(shingles)).as("sh"))
+    val rare = sh
+      .withColumn("docfreq", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("docfreq") <= 4)
+      .select(col("doc_id"), col("split"), col("sh"))
+      .localCheckpoint()
+    val te = rare.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("sh"))
+    val tr = rare.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("sh"))
+    val hits = te.join(tr, Seq("sh"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val w = Window.partitionBy(col("test_id")).orderBy(col("shared").desc, col("train_id"))
+    hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("test_id"), col("train_id"), big(col("shared")).as("shared"))
+      .orderBy(col("test_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
     "q72_embed_dedup" -> q72EmbedDedup,
     "q74_prep_pipeline" -> q74PrepPipeline,
@@ -257,6 +308,29 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q78_contamination" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |              FROM documents),
+        |split AS (SELECT doc_id, tk,
+        |    CASE WHEN ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |           % 2147483647 % 10000 < 2000
+        |         THEN 'test' ELSE 'train' END AS split FROM toks),
+        |sh AS (SELECT DISTINCT doc_id, split, u.s AS sh FROM split,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |df AS (SELECT sh, COUNT(*) AS docfreq FROM sh GROUP BY sh),
+        |rare AS (SELECT s.doc_id, s.split, s.sh FROM sh s JOIN df USING (sh)
+        |         WHERE df.docfreq <= 4),
+        |hits AS (
+        |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS shared
+        |  FROM rare te JOIN rare tr ON te.sh = tr.sh AND te.split = 'test' AND tr.split = 'train'
+        |  GROUP BY 1, 2)
+        |SELECT test_id, train_id, shared FROM (
+        |  SELECT test_id, train_id, shared,
+        |    row_number() OVER (PARTITION BY test_id ORDER BY shared DESC, train_id) AS rn
+        |  FROM hits WHERE shared >= 2)
+        |WHERE rn = 1 ORDER BY test_id""".stripMargin,
     "q74_prep_pipeline" ->
       """WITH q AS (
         |  SELECT doc_id, text, n_chars FROM documents

@@ -204,7 +204,32 @@ object Text {
       .limit(20)
   }
 
+  /** Q77: within-document repetition scoring — the Gopher/C4-style
+    * boilerplate filters: distinct-token ratio and most-frequent-token share
+    * per document. Two-level aggregation with ONE exchange: the explicit
+    * repartition on doc_id parallelizes tokenizing on a small-file corpus
+    * AND satisfies ClusteredDistribution for BOTH aggregations (grouping by
+    * (doc_id, token) then doc_id — hash partitioning on the doc_id subset
+    * co-locates each), so the token-count rows never shuffle. At scale the
+    * map-side partial aggregate bounds the exchange at one row per distinct
+    * (doc, token).
+    */
+  def q77DocRepetition: Q = (s, d) => {
+    val tc = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"))
+      .agg(big(sum(col("c"))).as("n_tokens"),
+        big(count(lit(1))).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6).as("distinct_ratio"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_share"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q77_doc_repetition" -> q77DocRepetition,
     "q63_edit_distance" -> q63EditDistance,
     "q70_regex_tokens" -> q70RegexTokens,
     "q73_subword_vocab" -> q73SubwordVocab,
@@ -218,6 +243,18 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q77_doc_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.t AS token
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_ratio,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q63_edit_distance" ->
       """SELECT a.doc_id AS id1, b.doc_id AS id2,
         |  levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
