@@ -228,7 +228,26 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q80: positional tokenization — the `posexplode` Generator surface
+    * (position-aware explode, the one generator variant q27/q29 don't
+    * exercise): per document, token count, 0-based position of the first
+    * "the" (−1 when absent), and the final token via `max_by` over
+    * positions. Same one-exchange shape as q77: repartition on doc_id
+    * parallelizes the generator and co-locates the aggregation.
+    */
+  def q80PosExplode: Q = (s, d) => {
+    Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .groupBy(col("doc_id"))
+      .agg(big(count(lit(1))).as("n_tokens"),
+        big(coalesce(min(when(col("token") === "the", col("pos"))), lit(-1L))).as("first_the_pos"),
+        max_by(col("token"), col("pos")).as("last_token"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q80_posexplode" -> q80PosExplode,
     "q77_doc_repetition" -> q77DocRepetition,
     "q63_edit_distance" -> q63EditDistance,
     "q70_regex_tokens" -> q70RegexTokens,
@@ -243,6 +262,17 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q80_posexplode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, tk, u.i AS i
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents),
+        |       unnest(range(1, len(tk) + 1)) AS u(i))
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(MIN(CASE WHEN tk[i] = 'the' THEN i - 1 END), -1) AS BIGINT) AS first_the_pos,
+        |  arg_max(tk[i], i) AS last_token
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q77_doc_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, u.t AS token

@@ -52,6 +52,25 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within rank-error bound of exact percentile") {
+    // the sketch path for q47's exact percentiles: with accuracy a, the
+    // documented rank error is n/a — at a=10000 and sf0.001 sizes that means
+    // the approximate p50/p90 must land within a few ranks of exact, so
+    // value error is bounded by the local value spread; assert a loose 5%
+    // relative band, far wider than the rank bound implies
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables(spark, sf0001, "orders")
+    val r = o.agg(
+      expr("percentile(o_totalprice, 0.5)").as("p50"),
+      expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+      expr("percentile(o_totalprice, 0.9)").as("p90"),
+      expr("approx_percentile(o_totalprice, 0.9, 10000)").as("ap90")).head()
+    assert(math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0) <= 0.05,
+      s"p50 approx=${r.getDouble(1)} exact=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(3) - r.getDouble(2)) / r.getDouble(2) <= 0.05,
+      s"p90 approx=${r.getDouble(3)} exact=${r.getDouble(2)}")
+  }
+
   test("ivf top-k finds the probe itself and overlaps brute-force top-10") {
     val ivf = Ann.ivfTopK(Tables_embeddings, "vec_id", "embedding", probeId = 0L)
       .select("id").as[Long].collect().toSet
