@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Extras, NorthStar, Relational, Similarity, Text}
+import graft.operators.{Events, Extras, Graph, NorthStar, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Text.queries ++ Similarity.queries ++
-      NorthStar.queries ++ Extras.queries ++ graft.streaming.Windows.queries
+      NorthStar.queries ++ Extras.queries ++ Graph.queries ++
+      graft.streaming.Windows.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys are engine-only → weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Text.oracles ++ Similarity.oracles ++
-      NorthStar.oracles ++ Extras.oracles ++ graft.streaming.Windows.oracles
+      NorthStar.oracles ++ Extras.oracles ++ Graph.oracles ++
+      graft.streaming.Windows.oracles
 }

@@ -246,7 +246,42 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q82: distinctive-term extraction — TF-IDF-shaped relevance with an
+    * EXACT portable score: `tf · N / df` (inverse document frequency without
+    * the log — same ranking for fixed tf, and the integer numerator
+    * `tf · N` is float-exact, so the single double division is bit-identical
+    * in any engine; a `log`-based idf would hang the oracle on libm ulp
+    * differences). Top-5 most distinctive tokens per document.
+    *
+    * Scale shape: tf is the q77 one-exchange two-level aggregate; df is one
+    * aggregate over distinct (doc, token) pairs, one row per distinct token;
+    * N is a 1-row broadcast (no driver round-trip). The tf⋈df join carries
+    * one row per distinct (doc, token) — linear in corpus size.
+    */
+  def q82Tfidf: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val tf = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"),
+        round((col("tf") * col("n")).cast("double") / col("df"), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), big(col("rn")).as("rnk"), col("token"), big(col("tf")).as("tf"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q82_tfidf" -> q82Tfidf,
     "q80_posexplode" -> q80PosExplode,
     "q77_doc_repetition" -> q77DocRepetition,
     "q63_edit_distance" -> q63EditDistance,
@@ -262,6 +297,23 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q82_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.t AS token
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    ROUND(CAST(tf.tf * n.n AS DOUBLE) / df.df, 6) AS score
+        |  FROM tf JOIN df USING (token), n)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rnk, token, CAST(tf AS BIGINT) AS tf, score FROM (
+        |  SELECT doc_id, token, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY doc_id, rnk""".stripMargin,
     "q80_posexplode" ->
       """WITH tok AS (
         |  SELECT doc_id, tk, u.i AS i
