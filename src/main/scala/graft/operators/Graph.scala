@@ -38,14 +38,22 @@ object Graph {
     * correction is needed.
     */
   def q81CopurchaseRank: Q = (s, d) => {
+    val par = s.sparkContext.defaultParallelism
+    // explicit-count repartition on the join key: the testdata's
+    // one-row-group-per-file layout gives the scan a single split, and AQE's
+    // byte-based coalescing can't see the pair-expansion CPU behind it
+    // (BENCH.md's recorded trap) — measured 3.5 s → 1.0 s for the edge
+    // build at sf0.1. The same exchange co-partitions both self-join sides.
     val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(par, col("l_orderkey"))
     val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), Seq("l_orderkey"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val contrib = edges.join(deg, Seq("src")).localCheckpoint()
+    val contrib = edges.join(deg, Seq("src"))
+      .repartition(par, col("src")).localCheckpoint()
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       rank = contrib.join(rank, contrib("src") === rank("node"))
