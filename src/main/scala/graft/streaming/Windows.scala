@@ -266,6 +266,69 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Q83: STREAM-STREAM LEFT OUTER join — q71's funnel join shape, plus the
+    * hardest streaming corner: null-extended rows for views with no click in
+    * the 30-minute window. An outer stream join can only emit the
+    * null-extended row when the view's buffered state is EVICTED (the
+    * watermark proves no matching click can still arrive), so a static-file
+    * drain would silently drop every unmatched view in the final watermark
+    * window. The q66 punctuation pattern closes that: after the file data
+    * drains, a MemoryStream heartbeat past max(ts) + delay + join-range
+    * advances BOTH sides' watermarks (the global watermark is their min — the
+    * punctuation must flow into each branch), every view evicts, and the
+    * result equals the batch LEFT JOIN exactly — so DuckDB hash-pins an
+    * operator whose semantics live in eviction timing. State remains
+    * (watermark window × arrival rate)-bounded, as in q71.
+    */
+  def q83StreamOuterJoin: Q = (s, d) => {
+    import s.implicits._
+    val maxEs = graft.Tables.events(s, d)
+      .agg(max(epochSec(col("ts2")))).head().getLong(0)
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val punct = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val punctDf = punct.toDF()
+      .select(lit(-1L).as("user_id"), lit("punct").as("event_type"),
+        timestamp_seconds(col("value")).as("ts2"))
+    val ev = eventsStream(s, d)
+      .select(col("user_id"), col("event_type"), col("ts2"))
+      .union(punctDf)
+    val views = ev.filter(col("event_type").isin("view", "punct"))
+      .select(col("user_id"), col("ts2").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = ev.filter(col("event_type").isin("click", "punct"))
+      .select(col("user_id").as("cuser"), col("ts2").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = views.join(clicks,
+      col("user_id") === col("cuser") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("user_id"),
+        col("view_ts").cast("long").as("view_es"),
+        col("click_ts").cast("long").as("click_es"))
+    val unique = s"graft_q83_${runCounter.incrementAndGet()}"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
+        joined.writeStream.outputMode(OutputMode.Append)
+          .format("memory").queryName(unique).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try {
+      q.processAllAvailable()               // drain the file data
+      punct.addData(maxEs + 2 * 3600 + 1800 + 60)
+      q.processAllAvailable()               // watermark passes every view's window
+    } finally q.stop()
+    s.table(unique)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("click_es")).as("n_matched"),
+        coalesce(sum(col("click_es") - col("view_es")), lit(0L)).as("gap_sum"))
+      .orderBy(col("user_id"))
+  }
+
   /** Q55: streaming exact dedup — `dropDuplicates` over the key columns on
     * the event stream; emitting only the keys makes the result equal to a
     * batch DISTINCT regardless of which arrival survived.
@@ -282,7 +345,8 @@ object Windows {
     "q54_stream_sliding" -> q54StreamSliding,
     "q55_stream_dedup" -> q55StreamDedup,
     "q66_stream_stateful" -> q66StreamStateful,
-    "q71_stream_join" -> q71StreamJoin)
+    "q71_stream_join" -> q71StreamJoin,
+    "q83_stream_outer_join" -> q83StreamOuterJoin)
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
@@ -303,6 +367,19 @@ object Windows {
     "q55_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "q83_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |v AS (SELECT user_id, es FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, es FROM e WHERE event_type = 'click')
+        |SELECT v.user_id, COUNT(*) AS n_rows,
+        |  COUNT(c.es) AS n_matched,
+        |  CAST(coalesce(SUM(c.es - v.es), 0) AS BIGINT) AS gap_sum
+        |FROM v LEFT JOIN c
+        |  ON v.user_id = c.user_id AND c.es >= v.es AND c.es <= v.es + 1800
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     "q71_stream_join" ->
       """WITH e AS (
         |  SELECT user_id, event_type,
