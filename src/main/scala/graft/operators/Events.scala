@@ -184,7 +184,33 @@ object Events {
       .orderBy(col("stage"))
   }
 
+  /** Q85: MapType functions — the map-column surface (construction, lookup,
+    * keys/values introspection) over a per-event-type hour→count profile.
+    * `collect_list` order is partitioning-dependent, so the entries are
+    * `array_sort`ed BEFORE `map_from_entries` — the map value is then a pure
+    * function of the data (hr is unique per group, making the sort total)
+    * and every extraction is deterministic. Lookups of absent keys null-fill
+    * through `coalesce`. The collect is per (event_type, hour) AGGREGATE
+    * rows — 24 entries per group, bounded regardless of event volume.
+    */
+  def q85MapFuncs: Q = (s, d) => {
+    val h = events(s, d)
+      .groupBy(col("event_type"), big(hour(col("ts2"))).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    h.groupBy(col("event_type"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("hr"), col("c")))))
+        .as("hm"))
+      .select(col("event_type"),
+        big(size(col("hm"))).as("n_keys"),
+        big(coalesce(element_at(col("hm"), lit(9L)), lit(0L))).as("c9"),
+        big(coalesce(element_at(col("hm"), lit(21L)), lit(0L))).as("c21"),
+        big(array_min(map_keys(col("hm")))).as("first_hr"),
+        big(array_max(map_values(col("hm")))).as("max_c"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q85_map_funcs" -> q85MapFuncs,
     "q76_funnel" -> q76Funnel,
     "q08_range_join" -> q08RangeJoin,
     "q09_asof_join" -> q09AsofJoin,
@@ -197,6 +223,21 @@ object Events {
     "q75_retention" -> q75Retention)
 
   val oracles: Map[String, String] = Map(
+    "q85_map_funcs" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(hour(date_trunc('second', ts)) AS BIGINT) AS hr, COUNT(*) AS c
+        |  FROM events GROUP BY event_type, hr),
+        |m AS (
+        |  SELECT event_type,
+        |    map_from_entries(list_sort(list((hr, c)))) AS hm
+        |  FROM h GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(cardinality(hm) AS BIGINT) AS n_keys,
+        |  CAST(coalesce(map_extract(hm, 9)[1], 0) AS BIGINT) AS c9,
+        |  CAST(coalesce(map_extract(hm, 21)[1], 0) AS BIGINT) AS c21,
+        |  CAST(list_min(map_keys(hm)) AS BIGINT) AS first_hr,
+        |  CAST(list_max(map_values(hm)) AS BIGINT) AS max_c
+        |FROM m ORDER BY event_type""".stripMargin,
     "q76_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

@@ -224,7 +224,36 @@ object Extras {
       .orderBy(col("bucket"))
   }
 
+  /** Q84: recursive CTE — dense calendar fill, the canonical WITH RECURSIVE
+    * use in analytics (Spark supports recursive CTEs since 4.0): generate
+    * every month between min and max order date, LEFT JOIN the monthly
+    * order aggregate, zero-fill the gaps. Recursion depth is the number of
+    * months in the data's time span — bounded and SF-independent (~80 for
+    * this corpus, under Spark's default 100-level recursion limit), unlike
+    * row-recursive formulations whose depth grows with the data. The
+    * per-month aggregate is an ordinary partial+final HashAggregate; the
+    * generated spine is tiny and broadcast.
+    */
+  def q84RecursiveCte: Q = (s, d) => {
+    Tables(s, d, "orders").createOrReplaceTempView("graft_q84_orders")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT (SELECT date_trunc('month', MIN(o_orderdate)) FROM graft_q84_orders)
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM graft_q84_orders)),
+        |agg AS (
+        |  SELECT date_trunc('month', o_orderdate) AS mm, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM graft_q84_orders GROUP BY mm)
+        |SELECT CAST(CAST(m AS DATE) AS STRING) AS month,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+        |  coalesce(total, 0.0) AS total
+        |FROM months LEFT JOIN agg ON months.m = agg.mm ORDER BY month""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q84_recursive_cte" -> q84RecursiveCte,
     "q79_histogram" -> q79Histogram,
     "q61_skew_salted" -> q61SkewSalted,
     "q62_stratified" -> q62Stratified,
@@ -241,6 +270,20 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q84_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT (SELECT date_trunc('month', MIN(o_orderdate)) FROM orders)
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM months
+        |  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)),
+        |agg AS (
+        |  SELECT date_trunc('month', o_orderdate) AS mm, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY mm)
+        |SELECT CAST(CAST(m AS DATE) AS VARCHAR) AS month,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+        |  coalesce(total, 0.0) AS total
+        |FROM months LEFT JOIN agg ON months.m = agg.mm ORDER BY month""".stripMargin,
     "q79_histogram" ->
       """SELECT CAST(least(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 520000, 20) AS BIGINT) AS bucket,
         |  COUNT(*) AS n,
