@@ -57,4 +57,49 @@ class UtilitiesSpec extends SparkSpec {
     assert(spark.read.json(s"$dir/json").count() === 25)
     assert(spark.read.orc(s"$dir/orc").count() === 25)
   }
+
+  test("q77 repetition invariants: ratios in (0,1], distinct <= total") {
+    Text.q77DocRepetition(spark, sf0001).collect().foreach { r =>
+      val (n, d) = (r.getLong(1), r.getLong(2))
+      val (dr, ts) = (r.getDouble(3), r.getDouble(4))
+      assert(d >= 1 && d <= n, s"doc ${r.getLong(0)}: distinct $d vs total $n")
+      assert(dr > 0 && dr <= 1.0 && ts > 0 && ts <= 1.0)
+      // the most frequent token accounts for at least the mean share
+      assert(ts >= 1.0 / d - 1e-6)
+    }
+  }
+
+  test("q81 pagerank invariants: floor rank, mass bound, total order") {
+    val rows = Graph.q81CopurchaseRank(spark, sf0001).collect()
+    assert(rows.length === 25)
+    val ranks = rows.map(_.getLong(1))
+    // every node keeps the teleport floor; damping bounds the total mass,
+    // so no single rank can exceed the whole graph's injected mass
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks.forall(_ <= 1000000L * 2000))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "not rank-descending")
+  }
+
+  test("q82 tf-idf invariants: score >= tf, at most 5 per doc, rank dense") {
+    val rows = Text.q82Tfidf(spark, sf0001).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, docRows) =>
+      assert(docRows.length <= 5)
+      assert(docRows.map(_.getLong(1)).sorted.sameElements(1L to docRows.length))
+    }
+    // tf*N/df >= tf because df <= N
+    rows.foreach(r => assert(r.getDouble(4) >= r.getLong(3).toDouble - 1e-6))
+  }
+
+  test("q84 calendar fill: contiguous months, counts conserve") {
+    val rows = Extras.q84RecursiveCte(spark, sf0001).collect()
+    val months = rows.map(_.getString(0))
+    assert(months.length >= 2)
+    // contiguous: each successive month is the +1-month successor
+    months.sliding(2).foreach { case Array(a, b) =>
+      val next = java.time.LocalDate.parse(a).plusMonths(1)
+      assert(next.toString === b, s"gap between $a and $b")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables(spark, sf0001, "orders").count())
+  }
 }

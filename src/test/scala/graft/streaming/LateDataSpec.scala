@@ -49,4 +49,50 @@ class LateDataSpec extends SparkSpec {
     // 10:02 arrival did not resurrect or grow it
     assert(out.get("2024-01-01 10:00:00").contains(1L), s"got $out")
   }
+
+  test("stream-stream join drops a late click whose view state was evicted") {
+    val dir = Files.createTempDirectory("graft-late-join").toString
+    def write(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ts2", "user_id", "event_type").repartition(1)
+        .write.mode("append").parquet(dir)
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: a matched view/click pair for user 1, plus far-future events
+    // on BOTH sides (user 99) so both watermark columns advance to 12:50
+    write(Seq((t(10, 0), 1L, "view"), (t(10, 5), 1L, "click"),
+      (t(13, 0), 99L, "view"), (t(13, 0), 99L, "click")))
+
+    val ev = spark.readStream
+      .schema("ts2 TIMESTAMP, user_id BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts2".as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cuser"), $"ts2".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val joined = views.join(clicks,
+      $"user_id" === $"cuser" &&
+        $"click_ts" >= $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"user_id", $"view_ts".cast("long").as("ves"), $"click_ts".cast("long").as("ces"))
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("late_join_t").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a click at 10:10 — inside the 10:00 view's 30-min join
+      // window, but behind the 12:50 watermark: the view's buffered state
+      // was already evicted, so no pair may appear
+      write(Seq((t(10, 10), 1L, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = spark.table("late_join_t")
+      .filter($"user_id" === 1L).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val es = (h: Int, m: Int) => t(h, m).getTime / 1000
+    assert(pairs === Set((es(10, 0), es(10, 5))),
+      s"late click must not join an evicted view: $pairs")
+  }
 }
