@@ -233,15 +233,28 @@ object Extras {
     * row-recursive formulations whose depth grows with the data. The
     * per-month aggregate is an ordinary partial+final HashAggregate; the
     * generated spine is tiny and broadcast.
+    *
+    * The recursion CARRIES the stop bound as a column instead of testing a
+    * scalar subquery in the step: Spark re-evaluates the step's subplan —
+    * including any scalar subquery and its table scan — at EVERY recursion
+    * level, so a `WHERE m < (SELECT max(..) ..)` step costs one aggregate
+    * job per month (measured 12.7 s at sf0.1; carried bound 0.68 s, 19×).
+    * Where a spine needs no per-row recursion at all, non-recursive
+    * `explode(sequence(lo, hi, interval))` is cheaper still (0.21 s) — the
+    * recursive form is the general tool for genuinely self-referential
+    * steps.
     */
   def q84RecursiveCte: Q = (s, d) => {
     Tables(s, d, "orders").createOrReplaceTempView("graft_q84_orders")
     s.sql(
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT (SELECT date_trunc('month', MIN(o_orderdate)) FROM graft_q84_orders)
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+        |         date_trunc('month', MAX(o_orderdate)) AS hi
+        |  FROM graft_q84_orders),
+        |months(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM months
-        |  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM graft_q84_orders)),
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi),
         |agg AS (
         |  SELECT date_trunc('month', o_orderdate) AS mm, COUNT(*) AS n,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
@@ -271,11 +284,14 @@ object Extras {
 
   val oracles: Map[String, String] = Map(
     "q84_recursive_cte" ->
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT (SELECT date_trunc('month', MIN(o_orderdate)) FROM orders)
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+        |         date_trunc('month', MAX(o_orderdate)) AS hi
+        |  FROM orders),
+        |months(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM months
-        |  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)),
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi),
         |agg AS (
         |  SELECT date_trunc('month', o_orderdate) AS mm, COUNT(*) AS n,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
