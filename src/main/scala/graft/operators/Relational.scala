@@ -280,7 +280,29 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Q86: NULL-semantics battery over outer-join misses — the classic
+    * cross-engine divergence corner pinned under the oracle hash: null-safe
+    * equality (`<=>` / IS NOT DISTINCT FROM), `coalesce` fill, `nullif`
+    * round-trip, CASE-on-NULL, and an EXPLICIT `NULLS FIRST` order (Spark
+    * defaults nulls first on ASC, DuckDB defaults nulls last — D2 requires
+    * spelling it out in both engines).
+    */
+  def q86NullSemantics: Q = (s, d) => {
+    val c = Tables(s, d, "customer").select(col("c_custkey"))
+    val o = Tables(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    c.join(o, col("c_custkey") === col("o_custkey") && col("o_totalprice") > 300000,
+        "left_outer")
+      .select(col("c_custkey"), col("o_orderkey"),
+        (col("o_orderkey") <=> lit(null).cast("long")).as("is_miss"),
+        coalesce(col("o_totalprice"), lit(-1.0)).as("price_f"),
+        nullif(coalesce(col("o_totalprice"), lit(0.0)), lit(0.0)).isNull.as("zeroed"),
+        when(col("o_orderkey").isNull, "none").otherwise("some").as("tag"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q86_null_semantics" -> q86NullSemantics,
     "q01_scan_filter" -> q01ScanFilter,
     "q02_string_pred" -> q02StringPred,
     "q03_join_agg" -> q03JoinAgg,
@@ -303,6 +325,15 @@ object Relational {
     "q23_math" -> q23Math)
 
   val oracles: Map[String, String] = Map(
+    "q86_null_semantics" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  (o.o_orderkey IS NOT DISTINCT FROM NULL) AS is_miss,
+        |  coalesce(o.o_totalprice, -1.0) AS price_f,
+        |  nullif(coalesce(o.o_totalprice, 0.0), 0.0) IS NULL AS zeroed,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'none' ELSE 'some' END AS tag
+        |FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+        |ORDER BY c.c_custkey ASC, o.o_orderkey ASC NULLS FIRST""".stripMargin,
     "q01_scan_filter" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
         |FROM lineitem WHERE l_quantity > 45

@@ -58,6 +58,28 @@ class UtilitiesSpec extends SparkSpec {
     assert(spark.read.orc(s"$dir/orc").count() === 25)
   }
 
+  test("dynamic partition overwrite makes reprocessing idempotent") {
+    // the 100 TB operations concern: re-running a day's batch must replace
+    // that day's partitions, not append duplicates or truncate the table
+    val out = Files.createTempDirectory("graft-dyn").toString + "/t"
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val orders = Tables(spark, sf0001, "orders")
+        .withColumn("y", year($"o_orderdate"))
+      orders.write.partitionBy("y").mode("overwrite").parquet(out)
+      val full = spark.read.parquet(out).count()
+      // "reprocess" one partition: same rows, overwrite mode
+      val oneYear = orders.filter($"y" === 1995)
+      oneYear.write.partitionBy("y").mode("overwrite").parquet(out)
+      val after = spark.read.parquet(out)
+      assert(after.count() === full, "reprocessing a partition changed the total")
+      assert(after.filter($"y" === 1995).count() === oneYear.count())
+      assert(after.filter($"y" =!= 1995).count() === full - oneYear.count(),
+        "untouched partitions must survive a dynamic overwrite")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("q77 repetition invariants: ratios in (0,1], distinct <= total") {
     Text.q77DocRepetition(spark, sf0001).collect().foreach { r =>
       val (n, d) = (r.getLong(1), r.getLong(2))
