@@ -3,7 +3,10 @@ package graft.importer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-/** Import pipeline configuration (reference Config.scala:5-24). */
+/** Import pipeline configuration (reference Config.scala:5-24).
+  * `badRowsDest` is a graft extension (no reference equivalent): when set,
+  * malformed rows are QUARANTINED to that path instead of silently dropped.
+  */
 case class ImportConfig(
     srcFile: String,
     destFile: String,
@@ -15,7 +18,8 @@ case class ImportConfig(
     removeArraySrc: Boolean = false,
     sortCols: Seq[String] = Nil,
     partitionCols: Seq[String] = Nil,
-    twitterCleanse: Boolean = false)
+    twitterCleanse: Boolean = false,
+    badRowsDest: Option[String] = None)
 
 /** CSV → Parquet import pipeline (reference `readCSVWriteParquet`,
   * package.scala:108-164): read → [cleanse] → [enrich] → [sort] → write,
@@ -36,16 +40,40 @@ case class ImportConfig(
 object Importer {
 
   def readCsv(conf: ImportConfig)(implicit spark: SparkSession): DataFrame = {
+    val quarantine = conf.badRowsDest.isDefined
     val reader = spark.read
       .option("header", "true")
-      .option("mode", "DROPMALFORMED")
+      // DROPMALFORMED keeps the reference's silent-drop contract
+      // (package.scala:112); with a quarantine destination we read PERMISSIVE
+      // instead so malformed rows survive into _corrupt_record for audit
+      .option("mode", if (quarantine) "PERMISSIVE" else "DROPMALFORMED")
       .option("charset", "utf-8") // the reference's "UTF8" spelling is rejected by Spark 4
       .option("delimiter", conf.delimiter)
       .option("escape", if (conf.slashEscapes) "\\" else "\"")
     conf.schemaFile match {
-      case Some(f) => reader.schema(SchemaFile.parse(f)).csv(conf.srcFile)
-      case None    => reader.option("inferSchema", "true").csv(conf.srcFile)
+      case Some(f) =>
+        val base = SchemaFile.parse(f)
+        if (quarantine) {
+          val withCorrupt = base.add("_corrupt_record", "string", nullable = true)
+          reader.schema(withCorrupt)
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(conf.srcFile)
+        } else reader.schema(base).csv(conf.srcFile)
+      case None => reader.option("inferSchema", "true").csv(conf.srcFile)
     }
+  }
+
+  /** Split a PERMISSIVE read into (clean, corrupt): corrupt rows are written
+    * raw to `dest` for audit — the at-scale alternative to silently losing
+    * data — and the clean side continues the pipeline without the marker
+    * column. One pass over the source feeds both sinks via the cached split.
+    */
+  private def quarantineBadRows(df: DataFrame, dest: String): DataFrame = {
+    val marked = df.cache()
+    marked.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+      .write.mode("overwrite").text(dest)
+    marked.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
   }
 
   /** Full pipeline; returns the DataFrame that was written (reference
@@ -53,6 +81,7 @@ object Importer {
     */
   def readCsvWriteParquet(conf: ImportConfig)(implicit spark: SparkSession): DataFrame = {
     var df = readCsv(conf)
+    conf.badRowsDest.foreach(dest => df = quarantineBadRows(df, dest))
     if (conf.twitterCleanse) df = Cleanse.twitterCleanse(df)
     conf.dateEnrich.foreach(c => df = Enrich.dateEnrich(c, df))
     conf.arrayCols.foreach(c => df = Enrich.parseAndAppendArrayCol(c, df, conf.removeArraySrc))

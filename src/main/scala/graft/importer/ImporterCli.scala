@@ -35,7 +35,8 @@ object ImporterCli {
 
   private val flagKeys = Set("slashEscapes", "removeArraySrc", "twitterCleanse")
   private val valueKeys = Set("srcFile", "destFile", "delimiter", "schemaFile",
-    "dateEnrich", "arrayCols", "sortCols", "partitionCols", "sparkOpts", "threads")
+    "dateEnrich", "arrayCols", "sortCols", "partitionCols", "sparkOpts", "threads",
+    "badRowsDest")
 
   private[importer] def parseArgs(args: Array[String]): (ImportConfig, Map[String, String], String) = {
     var opts = Map.empty[String, String]
@@ -67,7 +68,8 @@ object ImporterCli {
       removeArraySrc = opts.contains("removeArraySrc"),
       sortCols = list("sortCols"),
       partitionCols = list("partitionCols"),
-      twitterCleanse = opts.contains("twitterCleanse"))
+      twitterCleanse = opts.contains("twitterCleanse"),
+      badRowsDest = opts.get("badRowsDest"))
     val sparkOpts = list("sparkOpts").map { kv =>
       kv.split("=", 2) match {
         case Array(k, v) => k -> v
@@ -96,6 +98,8 @@ object ImporterCli {
       |  -k, --sparkOpts <k=v,k=v>   Additional Spark options (--sparkOpt accepted)
       |      --arrayCols <a,b>       Parse "[a, b]" string columns into arrays (graft extension)
       |      --removeArraySrc        Drop source columns after array parse (graft extension)
+      |      --badRowsDest <path>    Quarantine malformed rows to this path instead of
+      |                              silently dropping them (graft extension; needs --schemaFile)
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

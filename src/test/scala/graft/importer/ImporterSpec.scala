@@ -67,4 +67,24 @@ class ImporterSpec extends SparkSpec with BeforeAndAfterAll {
     assert(df.schema("is_retweet").dataType.typeName === "boolean")
     assert(df.schema("tweet_time").dataType.typeName === "string")
   }
+
+  test("badRowsDest quarantines malformed rows instead of silently dropping them") {
+    val dir = Files.createTempDirectory("graft-quarantine")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv, "id,name\n1,alpha\n2,beta\nnot-a-long,gamma\n3,delta\n")
+    val schema = dir.resolve("in.schema")
+    Files.writeString(schema, "id=Long\nname=String\n")
+    val dest = dir.resolve("out").toString
+    val quarantine = dir.resolve("bad").toString
+    val out = Importer.readCsvWriteParquet(ImportConfig(
+      srcFile = csv.toString, destFile = dest,
+      schemaFile = Some(schema.toString),
+      badRowsDest = Some(quarantine)))(spark)
+    assert(out.count() === 3)
+    assert(spark.read.parquet(dest).count() === 3)
+    assert(!spark.read.parquet(dest).columns.contains("_corrupt_record"))
+    val bad = spark.read.text(quarantine).collect().map(_.getString(0))
+    assert(bad.toSeq === Seq("not-a-long,gamma"),
+      s"quarantine must hold exactly the malformed raw line, got ${bad.toSeq}")
+  }
 }
