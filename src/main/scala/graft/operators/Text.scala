@@ -256,7 +256,11 @@ object Text {
     * Scale shape: tf is the q77 one-exchange two-level aggregate; df is one
     * aggregate over distinct (doc, token) pairs, one row per distinct token;
     * N is a 1-row broadcast (no driver round-trip). The tf⋈df join carries
-    * one row per distinct (doc, token) — linear in corpus size.
+    * one row per distinct (doc, token) — linear in corpus size. tf feeds
+    * BOTH the df aggregate and the join, so it is localCheckpoint'd once —
+    * the plan audit showed the full tokenize+aggregate subtree evaluated
+    * twice otherwise (the recorded uncached-reuse trap; on a production
+    * cluster prefer `checkpoint()` to reliable storage).
     */
   def q82Tfidf: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
@@ -265,6 +269,7 @@ object Text {
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
