@@ -159,13 +159,50 @@ object Similarity {
       .orderBy(col("pid"), col("rank"))
   }
 
+  /** Q87: higher-order-function battery — the HOF surfaces q24/q58 don't
+    * touch: `aggregate` (left fold), `zip_with`, `reverse`, `exists`,
+    * `forall`, `transform`, under the oracle hash. Float determinism: both
+    * engines fold the SAME double sequence strictly left-to-right (Spark
+    * `aggregate` with 0.0 init vs DuckDB `list_reduce` seeded by the first
+    * element — `0.0 + x₁` is exactly `x₁` in IEEE, so every subsequent
+    * addition is bit-identical), then D5-round. Note these HOFs are
+    * CodegenFallback (BENCH.md): fine here as map-only projections with one
+    * pass per row, but never put them behind a reused uncached subplan.
+    */
+  def q87HofBattery: Q = (s, d) => {
+    val v = asDouble(col("embedding"))
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x), 6).as("comp_sum"),
+        big(size(filter(v, x => x > 0))).as("n_pos"),
+        exists(v, x => x > 0.25).as("has_big"),
+        forall(v, x => abs(x) < 1.0).as("all_small"),
+        round(aggregate(zip_with(v, reverse(v), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x), 6).as("rev_dot"),
+        round(element_at(transform(v, x => x * 2), 1), 6).as("first_doubled"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_hof_battery" -> q87HofBattery,
     "q24_array" -> q24Array,
     "q30_cosine_topk" -> q30CosineTopK,
     "q60_cosine_pairs" -> q60CosinePairs,
     "q69_multi_topk" -> q69MultiTopK)
 
   val oracles: Map[String, String] = Map(
+    "q87_hof_battery" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  ROUND(list_reduce(v, (a, b) -> a + b), 6) AS comp_sum,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  len(list_filter(v, x -> x > 0.25)) > 0 AS has_big,
+        |  len(list_filter(v, x -> NOT (abs(x) < 1.0))) = 0 AS all_small,
+        |  ROUND(list_reduce(list_transform(list_zip(v, list_reverse(v)),
+        |        s -> s[1] * s[2]), (a, b) -> a + b), 6) AS rev_dot,
+        |  ROUND(list_transform(v, x -> 2 * x)[1], 6) AS first_doubled
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q24_array" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
