@@ -112,4 +112,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("stream-stream join state survives a restart: view buffered before the stop joins a click after it") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    val streamDir = Files.createTempDirectory("graft-join-restart-src").toString
+    val ckpt = Files.createTempDirectory("graft-join-restart-ckpt").toString
+    // the memory sink cannot recover an append-mode query from a checkpoint;
+    // a durable FILE sink is also the faithful production shape
+    val outDir = Files.createTempDirectory("graft-join-restart-out").toString
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def write(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ts2", "user_id", "event_type").repartition(1)
+        .write.mode("append").parquet(streamDir)
+
+    // batch 1: user 1's view (its click comes only after the restart) and a
+    // complete pair for user 2 (sanity that the join works pre-restart)
+    write(Seq((t(10, 0), 1L, "view"), (t(10, 0), 2L, "view"), (t(10, 1), 2L, "click")))
+
+    def start() = {
+      val ev = spark.readStream
+        .schema("ts2 TIMESTAMP, user_id BIGINT, event_type STRING")
+        .parquet(streamDir)
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts2".as("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cuser"), $"ts2".as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      views.join(clicks,
+          $"user_id" === $"cuser" &&
+            $"click_ts" >= $"view_ts" &&
+            $"click_ts" <= $"view_ts" + expr("INTERVAL 30 MINUTES"))
+        .select($"user_id", $"view_ts".cast("long").as("ves"), $"click_ts".cast("long").as("ces"))
+        .writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).filter($"user_id" === 2L).count() === 1)
+
+    // user 1's click lands while the query is DOWN; after restart the pair
+    // can only emit if the buffered view was recovered from the checkpoint
+    write(Seq((t(10, 10), 1L, "click")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val cross = spark.read.parquet(outDir).filter($"user_id" === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val es = (h: Int, m: Int) => t(h, m).getTime / 1000
+    assert(cross === Set((es(10, 0), es(10, 10))),
+      s"cross-restart pair missing or wrong: $cross")
+  }
 }
