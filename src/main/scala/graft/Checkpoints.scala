@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-cut materialization for reused or iterated relations.
+  *
+  * Operators that feed one relation to several consumers (self-joins, df/tf
+  * aggregates, iteration loops) must materialize it once — an uncached
+  * subplan behind reuse re-executes per consumer (the recorded round-2
+  * lesson). Two modes, selected per session:
+  *
+  *   - default: `localCheckpoint` — executor-local blocks, zero storage
+  *     dependency; right for single-app/local runs, but blocks are lost with
+  *     executor failures;
+  *   - `spark.conf.set("graft.checkpointDir", hdfsPath)`: RELIABLE
+  *     `checkpoint()` into durable storage — a 1000-executor run survives
+  *     executor loss mid-query. This is the 100 TB mode; one conf switch
+  *     flips every operator in the library, no signature changes.
+  *
+  * Reliable mode sets the SparkContext checkpoint dir (a documented GLOBAL
+  * side effect — Spark appends a per-context UUID subdir, so distinct
+  * sessions never collide on the same base path). Spark does not delete
+  * checkpoint files on its own; operate the base path with a TTL/cleanup
+  * policy, or use [[graft.dedup.Components]]' explicit parameter for the
+  * iterative case where superseded snapshots are deleted eagerly.
+  */
+object Checkpoints {
+
+  /** Session conf key holding the durable checkpoint base path. */
+  val ConfKey = "graft.checkpointDir"
+
+  /** Materialize `df` eagerly and cut its lineage; mode per the session conf
+    * (explicit `checkpointDir` overrides it).
+    */
+  def materialize(df: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
+    val dir = checkpointDir
+      .orElse(df.sparkSession.conf.getOption(ConfKey))
+      .filter(_.nonEmpty)
+    dir match {
+      case Some(d) =>
+        df.sparkSession.sparkContext.setCheckpointDir(d)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+  }
+}

@@ -23,6 +23,17 @@ import org.apache.spark.sql.types.DecimalType
   *     SparkContext checkpoint dir and uses `checkpoint()`, so a
   *     1000-executor run survives executor loss mid-iteration. This is the
   *     100 TB mode; pass a durable (HDFS/object-store) path.
+  *
+  * Reliable-mode caveats: `setCheckpointDir` is a GLOBAL SparkContext
+  * mutation — concurrent jobs in the same session that also checkpoint will
+  * land under this dir (harmless but shared; Spark appends a per-context
+  * UUID subdir so separate sessions never collide). Spark itself never
+  * deletes checkpoint files (`spark.cleaner.referenceTracking.cleanCheckpoints`
+  * defaults to false and only triggers on GC), so each iteration would leave
+  * its superseded label snapshot on durable storage forever; this
+  * implementation instead deletes an iteration's checkpoint as soon as the
+  * next one is materialized — only the edge set and the final labels remain
+  * on disk when the function returns.
   */
 object Components {
 
@@ -34,21 +45,44 @@ object Components {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir) // global side effect — see scaladoc
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(eager = true)
+    }
+    // reliable-mode checkpoint hygiene: snapshot the rdd-* dirs around each
+    // checkpoint so a superseded iteration's files can be deleted as soon as
+    // its successor is materialized (Spark never cleans them itself)
+    val fsRoot = checkpointDir.flatMap(_ => sc.getCheckpointDir).map { resolved =>
+      val p = new org.apache.hadoop.fs.Path(resolved)
+      (p.getFileSystem(sc.hadoopConfiguration), p)
+    }
+    def rddDirs(): Set[String] = fsRoot match {
+      case Some((fs, root)) if fs.exists(root) =>
+        fs.listStatus(root).map(_.getPath.toString).toSet
+      case _ => Set.empty
+    }
+    def ckptTracked(df: DataFrame): (DataFrame, Set[String]) = {
+      val before = rddDirs()
+      val out = ckpt(df)
+      (out, rddDirs() -- before)
+    }
+    def deleteDirs(dirs: Set[String]): Unit = fsRoot.foreach { case (fs, _) =>
+      dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     }
     // materialize the caller's edge pipeline ONCE before symmetrizing — the
     // two union branches would otherwise re-execute it (edge generation is
     // often the most expensive part, e.g. q56's exact-Jaccard join)
-    val e0 = ckpt(edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b")))
-    val sym = ckpt(e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val (e0, e0Dirs) = ckptTracked(
+      edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b")))
+    val (sym, _) = ckptTracked(e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct())
+    deleteDirs(e0Dirs) // sym is materialized; the raw edge snapshot is dead
     // iteration 0 folded into init: with labels = node ids, the neighbor-min
     // is just min(b) — one aggregate instead of a join round
-    var labels = ckpt(sym.groupBy(col("a"))
+    var (labels, labelDirs) = ckptTracked(sym.groupBy(col("a"))
       .agg(min(col("b")).as("nb_min"))
       .select(col("a").as("node"), least(col("a"), col("nb_min")).as("comp")))
     def labelSum(l: DataFrame): java.math.BigDecimal =
@@ -67,14 +101,16 @@ object Components {
         .select(col("node"), least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"))
       // pointer jumping: comp := comp's own comp (labels are node ids, so the
       // lookup always hits) — collapses chains logarithmically
-      val next = ckpt(propagated
+      val (next, nextDirs) = ckptTracked(propagated
         .join(propagated.select(col("node").as("cnode"), col("comp").as("ccomp")),
           col("comp") === col("cnode"))
         .select(col("node"), col("ccomp").as("comp")))
       // labels only ever DECREASE (min folds), so an unchanged exact sum ⇔
       // a fixpoint — one cheap aggregate instead of a join-based diff count
       val s = labelSum(next)
+      deleteDirs(labelDirs) // `next` is materialized; its predecessor is dead
       labels = next
+      labelDirs = nextDirs
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1

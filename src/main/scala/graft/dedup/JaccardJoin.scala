@@ -65,7 +65,7 @@ object JaccardJoin {
         explode(MinHashLSH.shingles(toks, shingleWidth)).as("shs"))
       .select(col("id"), xxhash64(col("shs")).as("sh"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.materialize(_))
     val sets = sh.groupBy(col("id"))
       .agg(sort_array(collect_list(col("sh"))).as("hs"), count(lit(1)).as("n"))
     // global rare-first order; ties broken by hash value for determinism
@@ -81,7 +81,7 @@ object JaccardJoin {
     val prefix = ranked
       .filter(col("rk") <= col("n") - ceilTn + 1L)
       .select(col("id"), col("sh"), col("rk"), col("n"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.materialize(_))
     val a = prefix.select(col("id").as("id1"), col("sh"),
       col("rk").as("rk1"), col("n").as("n1"))
     val b = prefix.select(col("id").as("id2"), col("sh"),

@@ -63,7 +63,7 @@ object MinHashLSH {
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + lit(1), lit(r)), ",")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.materialize(_))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id1"), col("sig").as("sig1"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id2"), col("sig").as("sig2"))
     a.join(b, Seq("band", "bucket"))

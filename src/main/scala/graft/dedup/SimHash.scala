@@ -81,7 +81,7 @@ object SimHash {
       posexplode(transform(sequence(lit(0), lit(blocks - 1)),
         b => call_function("shiftrightunsigned", col("fp"), b * lit(w)).bitwiseAND((1L << w) - 1))))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "chunk")
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.materialize(_))
     val a = chunked.select(col("block"), col("chunk"), col("id").as("id1"), col("fp").as("fp1"))
     val b = chunked.select(col("block"), col("chunk"), col("id").as("id2"), col("fp").as("fp2"))
     a.join(b, Seq("block", "chunk"))

@@ -40,6 +40,12 @@ case class ImportConfig(
 object Importer {
 
   def readCsv(conf: ImportConfig)(implicit spark: SparkSession): DataFrame = {
+    // PERMISSIVE's _corrupt_record column only exists when the schema is
+    // explicit; without this guard the quarantine filter dies later with an
+    // opaque unresolved-column AnalysisException
+    require(conf.badRowsDest.isEmpty || conf.schemaFile.isDefined,
+      "badRowsDest requires schemaFile: quarantining malformed rows needs an " +
+        "explicit schema to attach the corrupt-record column to")
     val quarantine = conf.badRowsDest.isDefined
     val reader = spark.read
       .option("header", "true")
@@ -66,14 +72,17 @@ object Importer {
   /** Split a PERMISSIVE read into (clean, corrupt): corrupt rows are written
     * raw to `dest` for audit — the at-scale alternative to silently losing
     * data — and the clean side continues the pipeline without the marker
-    * column. One pass over the source feeds both sinks via the cached split.
+    * column. One pass over the source feeds both sinks via the cached split;
+    * the caller unpersists the returned cache handle once the clean side has
+    * been written (the cache would otherwise hold the whole import in
+    * executor memory for the rest of the session).
     */
-  private def quarantineBadRows(df: DataFrame, dest: String): DataFrame = {
+  private def quarantineBadRows(df: DataFrame, dest: String): (DataFrame, DataFrame) = {
     val marked = df.cache()
     marked.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw"))
       .write.mode("overwrite").text(dest)
-    marked.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    (marked.filter(col("_corrupt_record").isNull).drop("_corrupt_record"), marked)
   }
 
   /** Full pipeline; returns the DataFrame that was written (reference
@@ -81,22 +90,38 @@ object Importer {
     */
   def readCsvWriteParquet(conf: ImportConfig)(implicit spark: SparkSession): DataFrame = {
     var df = readCsv(conf)
-    conf.badRowsDest.foreach(dest => df = quarantineBadRows(df, dest))
+    var quarantineCache: Option[DataFrame] = None
+    conf.badRowsDest.foreach { dest =>
+      val (clean, cache) = quarantineBadRows(df, dest)
+      df = clean
+      quarantineCache = Some(cache)
+    }
     if (conf.twitterCleanse) df = Cleanse.twitterCleanse(df)
     conf.dateEnrich.foreach(c => df = Enrich.dateEnrich(c, df))
     conf.arrayCols.foreach(c => df = Enrich.parseAndAppendArrayCol(c, df, conf.removeArraySrc))
 
-    if (conf.partitionCols.nonEmpty) {
-      val partitioned = df.repartition(conf.partitionCols.map(col): _*)
-      val out =
-        if (conf.sortCols.nonEmpty) partitioned.sortWithinPartitions(conf.sortCols.map(col): _*)
-        else partitioned
-      out.write.partitionBy(conf.partitionCols: _*).parquet(conf.destFile)
-      out
-    } else {
-      val out = if (conf.sortCols.nonEmpty) df.sort(conf.sortCols.map(col): _*) else df
-      out.write.parquet(conf.destFile)
-      out
-    }
+    val out =
+      if (conf.partitionCols.nonEmpty) {
+        val partitioned = df.repartition(conf.partitionCols.map(col): _*)
+        val o =
+          if (conf.sortCols.nonEmpty) partitioned.sortWithinPartitions(conf.sortCols.map(col): _*)
+          else partitioned
+        o.write.partitionBy(conf.partitionCols: _*).parquet(conf.destFile)
+        o
+      } else {
+        val o = if (conf.sortCols.nonEmpty) df.sort(conf.sortCols.map(col): _*) else df
+        o.write.parquet(conf.destFile)
+        o
+      }
+    // both sinks are written; drop the quarantine split cache so the import
+    // data doesn't occupy executor memory for the rest of the session. The
+    // returned DataFrame then re-reads the written Parquet: without the
+    // cache, a pruned action on the original lineage could reduce the CSV
+    // scan to only `_corrupt_record`, which Spark disallows — and Parquet is
+    // the cheaper source for follow-up actions anyway.
+    if (quarantineCache.isDefined) {
+      quarantineCache.foreach(_.unpersist())
+      spark.read.parquet(conf.destFile)
+    } else out
   }
 }

@@ -70,6 +70,10 @@ object ImporterCli {
       partitionCols = list("partitionCols"),
       twitterCleanse = opts.contains("twitterCleanse"),
       badRowsDest = opts.get("badRowsDest"))
+    // fail at parse time, before a Spark session exists — the runtime check
+    // in Importer.readCsv would surface the same error much later
+    if (conf.badRowsDest.isDefined && conf.schemaFile.isEmpty)
+      throw new IllegalArgumentException("--badRowsDest requires --schemaFile")
     val sparkOpts = list("sparkOpts").map { kv =>
       kv.split("=", 2) match {
         case Array(k, v) => k -> v

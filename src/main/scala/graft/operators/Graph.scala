@@ -27,11 +27,11 @@ object Graph {
     * Scale shape: the edge build is a self-join on `l_orderkey` whose
     * fan-out is bounded by order size squared (TPC-H ≤ 7 lines/order; a
     * retail basket is similarly small — this is NOT an unbounded self-join),
-    * deduped to one row per directed edge. Edges are localCheckpoint'd once:
-    * they feed the degree aggregate and all three iterations, and an
-    * uncached subplan behind reuse re-executes per consumer (the recorded
-    * round-2 lesson; on a production cluster prefer `checkpoint()` to
-    * reliable storage, as [[graft.dedup.Components]] documents). Each
+    * deduped to one row per directed edge. Edges are materialized once via
+    * [[graft.Checkpoints]]: they feed the degree aggregate and all three
+    * iterations, and an uncached subplan behind reuse re-executes per
+    * consumer (the recorded round-2 lesson); setting `graft.checkpointDir`
+    * flips the materialization to reliable durable-storage checkpoints. Each
     * iteration is one shuffle proportional to EDGES (join rank → groupBy
     * dst); rank/degree relations are one row per NODE. The co-purchase
     * graph is symmetric, so every node has in-edges and no dangling-mass
@@ -52,8 +52,8 @@ object Graph {
       .select(col("src"), col("dst"))
       .distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val contrib = edges.join(deg, Seq("src"))
-      .repartition(par, col("src")).localCheckpoint()
+    val contrib = graft.Checkpoints.materialize(
+      edges.join(deg, Seq("src")).repartition(par, col("src")))
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       rank = contrib.join(rank, contrib("src") === rank("node"))

@@ -250,7 +250,8 @@ object NorthStar {
     * same stop-shingle removal that makes [[graft.dedup.JaccardJoin]]
     * sub-quadratic — per-shingle join fan-out is capped at docfreq², so the
     * candidate volume is ≤ 16× the rare-shingle count no matter how hot the
-    * corpus vocabulary is. The shingle relation is localCheckpoint'd once and
+    * corpus vocabulary is. The shingle relation is materialized once via
+    * [[graft.Checkpoints]] (reliable mode via `graft.checkpointDir`) and
     * feeds both join sides (the round-2 lesson: an uncached subplan behind a
     * self-join re-executes per branch). The docfreq count is a window over
     * the one exchange on `sh`; at extreme corpus scale swap it for a
@@ -269,11 +270,10 @@ object NorthStar {
       .select(col("doc_id"),
         TrainingOps.portableSplitLabel("doc_id", 0.2).as("split"),
         explode(array_distinct(shingles)).as("sh"))
-    val rare = sh
+    val rare = graft.Checkpoints.materialize(sh
       .withColumn("docfreq", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("docfreq") <= 4)
-      .select(col("doc_id"), col("split"), col("sh"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("split"), col("sh")))
     val te = rare.filter(col("split") === "test")
       .select(col("doc_id").as("test_id"), col("sh"))
     val tr = rare.filter(col("split") === "train")

@@ -40,4 +40,41 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum(col("psum")).cast("double").as("sum_v"), sum(col("pcnt")).as("cnt"))
   }
+
+  /** Salt-decomposable aggregates: (partial on the value, merge of partials).
+    * The whitelist IS the guard — anything outside it is rejected before the
+    * nondeterministic salt can silently mis-aggregate it.
+    */
+  private val decomposable: Map[String, (Column => Column, Column => Column)] = Map(
+    "sum" -> ((v: Column) => sum(v.cast(org.apache.spark.sql.types.DecimalType(18, 4))),
+      (p: Column) => sum(p).cast("double")),
+    "count" -> ((v: Column) => count(v), (p: Column) => sum(p)),
+    "min" -> ((v: Column) => min(v), (p: Column) => min(p)),
+    "max" -> ((v: Column) => max(v), (p: Column) => max(p)))
+
+  /** General two-phase salted aggregation over a whitelist of associative,
+    * salt-decomposable aggregates. Output: one row per key with `<agg>_v`
+    * per requested aggregate. Misuse THROWS: requesting any aggregate
+    * outside {sum, count, min, max} (avg, median, first, collect_list, …)
+    * raises IllegalArgumentException instead of returning silently wrong
+    * results under the nondeterministic salt.
+    */
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+                aggs: Seq[String], salts: Int = 16): DataFrame = {
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    val unknown = aggs.filterNot(decomposable.contains)
+    require(unknown.isEmpty,
+      s"saltedAgg supports only associative, salt-decomposable aggregates " +
+        s"${decomposable.keys.toSeq.sorted.mkString("{", ", ", "}")}; rejected: " +
+        s"${unknown.mkString(", ")}. Non-decomposable aggregates would be " +
+        "silently wrong under the nondeterministic salt — use a deterministic " +
+        "salt (e.g. pmod(hash(id), salts)) and a re-grouping-safe merge instead.")
+    val salted = df.select(key.as("key"), value.as("v"),
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).as("salt"))
+    val partials = aggs.map(a => decomposable(a)._1(col("v")).as(s"p_$a"))
+    val partial = salted.groupBy(col("key"), col("salt"))
+      .agg(partials.head, partials.tail: _*)
+    val finals = aggs.map(a => decomposable(a)._2(col(s"p_$a")).as(s"${a}_v"))
+    partial.groupBy(col("key")).agg(finals.head, finals.tail: _*)
+  }
 }

@@ -183,8 +183,11 @@ object Text {
         big(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))).as("n_words"),
         big(size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))).as("n_subwords"),
         big(length(regexp_replace(col("text"), "[^a-z]", ""))).as("n_alpha"))
+      // guard the empty-alpha corner: Spark's x/0 yields NULL while DuckDB
+      // float division yields inf — both engines take the explicit NULL branch
       .withColumn("avg_subword_len",
-        round(col("n_alpha").cast("double") / col("n_subwords"), 6))
+        when(col("n_subwords") > 0,
+          round(col("n_alpha").cast("double") / col("n_subwords"), 6)))
       .orderBy(col("doc_id"))
   }
 
@@ -257,19 +260,19 @@ object Text {
     * aggregate over distinct (doc, token) pairs, one row per distinct token;
     * N is a 1-row broadcast (no driver round-trip). The tf⋈df join carries
     * one row per distinct (doc, token) — linear in corpus size. tf feeds
-    * BOTH the df aggregate and the join, so it is localCheckpoint'd once —
-    * the plan audit showed the full tokenize+aggregate subtree evaluated
-    * twice otherwise (the recorded uncached-reuse trap; on a production
-    * cluster prefer `checkpoint()` to reliable storage).
+    * BOTH the df aggregate and the join, so it is materialized once via
+    * [[graft.Checkpoints]] — the plan audit showed the full
+    * tokenize+aggregate subtree evaluated twice otherwise (the recorded
+    * uncached-reuse trap); `graft.checkpointDir` selects reliable
+    * durable-storage checkpoints for production clusters.
     */
   def q82Tfidf: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
-    val tf = docs
+    val tf = graft.Checkpoints.materialize(docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(toks).as("token"))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
@@ -406,7 +409,8 @@ object Text {
         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
         |  FROM documents)
         |SELECT doc_id, n_words, n_subwords, n_alpha,
-        |  ROUND(CAST(n_alpha AS DOUBLE) / n_subwords, 6) AS avg_subword_len
+        |  CASE WHEN n_subwords > 0
+        |       THEN ROUND(CAST(n_alpha AS DOUBLE) / n_subwords, 6) END AS avg_subword_len
         |FROM b ORDER BY doc_id""".stripMargin,
     "q73_subword_vocab" ->
       """SELECT u.c AS chunk, COUNT(*) AS n

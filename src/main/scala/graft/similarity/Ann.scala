@@ -47,11 +47,10 @@ object Ann {
     // repartitioned so signature projection parallelizes on few-split
     // corpora; materialized so the bucket self-join doesn't compute the
     // nPlanes×dim signature fold once per side
-    val sig = emb
+    val sig = graft.Checkpoints.materialize(emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"),
-        lshSignature(asDouble(col(embCol)), nPlanes).as("bucket"))
-      .localCheckpoint(true)
+        lshSignature(asDouble(col(embCol)), nPlanes).as("bucket")))
     val a = sig.select(col("bucket"), col("id").as("id1"), col("ev").as("ev1"))
     val b = sig.select(col("bucket"), col("id").as("id2"), col("ev").as("ev2"))
     a.join(b, Seq("bucket"))
@@ -140,16 +139,18 @@ object Ann {
       .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("id"))
     var centroids = farthestPointSeeds(vecs, k).toSeq
       .map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cv")
-    var assigned = assignTo(vecs, centroids).localCheckpoint(true)
+    // replicas from the FIRST assignment: refinement filters to crank === 1
+    // anyway (identical primaries at any replica count), and computing the
+    // single-replica assignment separately would be a wasted crossJoin+window
+    // pass when refineIters == 0
+    var assigned = graft.Checkpoints.materialize(assignTo(vecs, centroids, assignReplicas))
     for (_ <- 0 until refineIters) {
       // refinement means use PRIMARY assignments only — replicas would
       // double-count boundary vectors and drag centroids together
-      centroids = refineCentroids(assigned.filter(col("crank") === 1))
-        .localCheckpoint(true)
-      assigned = assignTo(vecs, centroids, assignReplicas).localCheckpoint(true)
+      centroids = graft.Checkpoints.materialize(
+        refineCentroids(assigned.filter(col("crank") === 1)))
+      assigned = graft.Checkpoints.materialize(assignTo(vecs, centroids, assignReplicas))
     }
-    if (refineIters == 0 && assignReplicas > 1)
-      assigned = assignTo(vecs, centroids, assignReplicas).localCheckpoint(true)
     (assigned, centroids)
   }
 

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+/** Two-mode materialization: localCheckpoint by default, reliable
+  * `checkpoint()` when the session conf names a durable dir — same results
+  * either way, and the reliable mode actually writes to the dir.
+  */
+class CheckpointsSpec extends SparkSpec {
+
+  private def anyFiles(f: java.io.File): Boolean =
+    f.isFile || Option(f.listFiles()).exists(_.exists(anyFiles))
+
+  test("graft.checkpointDir flips iterative operators to reliable checkpoints") {
+    val local = operators.Graph.q81CopurchaseRank(spark, sf0001).collect().toSeq
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val reliable = operators.Graph.q81CopurchaseRank(spark, sf0001).collect().toSeq
+      assert(reliable === local, "reliable-checkpoint mode changed q81's result")
+      assert(anyFiles(new java.io.File(dir)), s"no checkpoint data under $dir")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("reused-relation operators (q82 tf, q78 shingles) agree across modes") {
+    val q82Local = operators.Text.q82Tfidf(spark, sf0001).collect().toSeq
+    val q78Local = operators.NorthStar.q78Contamination(spark, sf0001).collect().toSeq
+    val dir = Files.createTempDirectory("graft-ckpt2").toString
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      assert(operators.Text.q82Tfidf(spark, sf0001).collect().toSeq === q82Local)
+      assert(operators.NorthStar.q78Contamination(spark, sf0001).collect().toSeq === q78Local)
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("explicit checkpointDir argument overrides the session default") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ckpt3").toString
+    val df = Seq(1, 2, 3).toDF("x")
+    val out = Checkpoints.materialize(df, Some(dir))
+    assert(out.collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
+    assert(anyFiles(new java.io.File(dir)), s"no checkpoint data under $dir")
+  }
+}

@@ -40,6 +40,13 @@ class ComponentsSpec extends SparkSpec {
     def anyFiles(f: java.io.File): Boolean =
       f.isFile || Option(f.listFiles()).exists(_.exists(anyFiles))
     assert(anyFiles(new java.io.File(dir)), s"no checkpoint data under $dir")
+    // superseded per-iteration checkpoints were deleted as the loop advanced:
+    // only the symmetrized edge set and the final labels remain on disk
+    val rddDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap(u => Option(u.listFiles()).getOrElse(Array.empty[java.io.File]))
+      .filter(_.getName.startsWith("rdd-"))
+    assert(rddDirs.length <= 2,
+      s"superseded checkpoints not cleaned: ${rddDirs.map(_.getName).mkString(", ")}")
   }
 
   test("resolveDuplicates: every doc gets a component; one canonical each") {

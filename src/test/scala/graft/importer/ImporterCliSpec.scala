@@ -44,6 +44,16 @@ class ImporterCliSpec extends AnyFunSuite {
       "--srcFile", "a", "--destFile")))
   }
 
+  test("badRowsDest without schemaFile fails at parse time with a clear error") {
+    val e = intercept[IllegalArgumentException](ImporterCli.parseArgs(Array(
+      "--srcFile", "a", "--destFile", "b", "--badRowsDest", "q")))
+    assert(e.getMessage.contains("--badRowsDest requires --schemaFile"))
+    // with a schema file the combination parses
+    val (conf, _, _) = ImporterCli.parseArgs(Array(
+      "--srcFile", "a", "--destFile", "b", "--badRowsDest", "q", "--schemaFile", "s"))
+    assert(conf.badRowsDest === Some("q"))
+  }
+
   test("graft extensions stay available in long form") {
     val (conf, _, _) = ImporterCli.parseArgs(Array(
       "--srcFile", "a", "--destFile", "b", "--arrayCols", "hashtags,urls",

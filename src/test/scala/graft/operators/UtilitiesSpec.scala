@@ -36,6 +36,25 @@ class UtilitiesSpec extends SparkSpec {
     assert(salted === direct) // decimal sums are associative -> bit-equal
   }
 
+  test("saltedAgg: whitelist matches direct aggregation; misuse throws") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val direct = li.groupBy($"l_returnflag".as("key"))
+      .agg(sum($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double").as("sum_v"),
+        min($"l_quantity").as("min_v"), max($"l_quantity").as("max_v"))
+      .orderBy($"key").collect().toSeq
+    val salted = Skew.saltedAgg(li, $"l_returnflag", $"l_quantity", Seq("sum", "min", "max"))
+      .orderBy($"key").collect().toSeq
+    assert(salted === direct)
+    // non-decomposable aggregates are rejected up front, not silently wrong
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedAgg(li, $"l_returnflag", $"l_quantity", Seq("sum", "median"))
+    }
+    assert(e.getMessage.contains("median"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedAgg(li, $"l_returnflag", $"l_quantity", Seq("avg"))
+    }
+  }
+
   test("partitioned writer: bounded files, hive layout, sorted within files") {
     val out = Files.createTempDirectory("graft-writer").toString + "/out"
     Writers.partitionedParquet(
