@@ -207,10 +207,12 @@ object Windows {
     val union = eventsStream(s, d).select(col("user_id"), col("ts2")).union(punctDf)
     val sessions = statefulSessions(union).toDF()
     val unique = s"graft_q66_${runCounter.incrementAndGet()}"
-    // measured: 8 vs 32 state partitions is a wash here (~7-8 s either way;
-    // the cost is per-row object encoding in the typed path, not state-store
-    // init or parallelism) — keep the same 8-partition pin as the other
-    // local drains
+    // measured (DebugQ66 same-JVM A/B, sf0.1): case-class state 1.77 s,
+    // all-tuple primitive state 1.80 s, and the codegen'd session_window
+    // formulation 2.00 s in THIS two-phase punctuated drain — the cost is
+    // the drain lifecycle (two micro-batch passes + memory-sink collect),
+    // not per-row typed encoding, and 8 vs 32 state partitions is a wash;
+    // keep the same 8-partition pin as the other local drains
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
