@@ -160,6 +160,29 @@ class NorthStarSpec extends SparkSpec {
     assert(fps(0) !== fps(1)) // permuted tokens differ
   }
 
+  test("engine-only five are bit-reproducible across shuffle parallelisms") {
+    // the 5 non-hash-checked queries (inherently approximate) must still be
+    // DETERMINISTIC: same rows, same order, bit-equal floats, whether every
+    // exchange lands on 8 or 32 partitions (VERDICT r3 item 6). All seeds
+    // are hash/id-derived and every aggregation is order-independent, so a
+    // difference here would mean a hidden partition-order dependence.
+    val five = Seq("q35_approx_distinct", "q37_minhash_pairs",
+      "q39_simhash_pairs", "q40_ann_lsh", "q41_ann_ivf")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(): Map[String, Seq[org.apache.spark.sql.Row]] =
+      five.map(n => n -> NorthStar.queries(n)(spark, sf0001).collect().toSeq).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val at8 = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val at32 = runAll()
+      five.foreach { n =>
+        assert(at8(n).nonEmpty, s"$n returned no rows")
+        assert(at8(n) === at32(n), s"$n rows differ across shuffle parallelisms")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("langid predicts from stopword profiles deterministically") {
     val rows = NorthStar.q42LangId(spark, sf0001).limit(5).collect()
     assert(rows.length === 5)
