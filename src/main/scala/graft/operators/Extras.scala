@@ -265,7 +265,59 @@ object Extras {
         |FROM months LEFT JOIN agg ON months.m = agg.mm ORDER BY month""".stripMargin)
   }
 
+  /** Q88: bloom-prefiltered semi-join — the explicit runtime-filter pattern.
+    * The selective dim side (orders over a price threshold) builds a compact
+    * bloom filter in a SCALAR SUBQUERY (one aggregate job, a few hundred KB
+    * at this key count); the fact side applies the codegen'd
+    * `might_contain` BEFORE its exchange, so the semi-join shuffle carries
+    * only candidate rows; the exact IN-subquery (left semi join) then
+    * closes the bloom's false positives. Result is EXACTLY the plain
+    * semi-join — which is the oracle — making the bloom a pure plan
+    * transform under the hash gate. At 100 TB this prunes the fact scan's
+    * shuffle by the dim selectivity without waiting for the optimizer's
+    * own InjectRuntimeFilter heuristics to fire.
+    */
+  def q88BloomSemi: Q = (s, d) => {
+    graft.functions.BloomFunctions.register(s)
+    Tables(s, d, "orders").filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey")).createOrReplaceTempView("graft_q88_keys")
+    Tables(s, d, "lineitem").createOrReplaceTempView("graft_q88_li")
+    s.sql(
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM graft_q88_li
+        |WHERE graft_bloom_contains(
+        |        (SELECT graft_bloom_agg(o_orderkey, 100000) FROM graft_q88_keys),
+        |        l_orderkey)
+        |  AND l_orderkey IN (SELECT o_orderkey FROM graft_q88_keys)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Q91: exact equi-depth binning — decile cuts via a global ntile window
+    * with a total order (price, key tiebreak), then per-bin stats. The
+    * global window is the EXACTNESS baseline (one range-partitioned sort —
+    * fine when the binned relation is an aggregate or sample); at full
+    * 100 TB fact scale the approximate path is percentile cutoffs +
+    * width_bucket, which needs no global sort.
+    */
+  def q91EquidepthBins: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bin", big(ntile(10).over(w)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_bloom_semi" -> q88BloomSemi,
+    "q91_equidepth_bins" -> q91EquidepthBins,
     "q84_recursive_cte" -> q84RecursiveCte,
     "q79_histogram" -> q79Histogram,
     "q61_skew_salted" -> q61SkewSalted,
@@ -283,6 +335,20 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q88_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q91_equidepth_bins" ->
+      """WITH b AS (
+        |  SELECT o_totalprice,
+        |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bin
+        |  FROM orders)
+        |SELECT bin, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q84_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
         |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,

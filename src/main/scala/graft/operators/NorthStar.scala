@@ -289,7 +289,43 @@ object NorthStar {
       .orderBy(col("test_id"))
   }
 
+  /** Q90: changeset merge (MERGE INTO / CDC apply) — the incremental-refresh
+    * operator a continuously-updated training corpus needs: apply a batch of
+    * upserts and deletes to the base table in ONE relational pass instead of
+    * rewriting the corpus. The changeset is derived deterministically from
+    * the base (updates: doc_id ≡ 0 mod 10 — re-crawled docs get truncated
+    * uppercase text; deletes: doc_id ≡ 0 mod 17, delete wins over update;
+    * inserts: fresh ids at +1,000,000 for doc_id ≡ 0 mod 23), then applied
+    * with a single FULL OUTER join on the key: base-only rows pass through,
+    * matched rows take the new text or drop (delete), changeset-only rows
+    * are inserts. One shuffle on the key; at 100 TB this co-partitions with
+    * a bucketed base table and the small changeset side broadcasts.
+    */
+  def q90MergeUpsert: Q = (s, d) => {
+    val base = Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val cs = base
+      .filter(col("doc_id") % 10 === 0 || col("doc_id") % 17 === 0 || col("doc_id") % 23 === 0)
+      .select(
+        when(col("doc_id") % 17 === 0, col("doc_id"))
+          .when(col("doc_id") % 10 === 0, col("doc_id"))
+          .otherwise(col("doc_id") + 1000000L).as("cs_id"),
+        when(col("doc_id") % 17 === 0, lit("delete"))
+          .when(col("doc_id") % 10 === 0, lit("update"))
+          .otherwise(lit("insert")).as("op"),
+        when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 10 === 0, upper(substring(col("text"), 1, 50)))
+          .otherwise(concat(lit("synthetic refresh "), col("doc_id"))).as("new_text"))
+    base.join(cs, col("doc_id") === col("cs_id"), "full_outer")
+      .filter(!(col("op") <=> "delete"))
+      .select(
+        coalesce(col("doc_id"), col("cs_id")).as("doc_id"),
+        coalesce(col("op"), lit("keep")).as("provenance"),
+        big(length(coalesce(col("new_text"), col("text")))).as("n_chars_new"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
     "q72_embed_dedup" -> q72EmbedDedup,
@@ -308,6 +344,25 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q90_merge_upsert" ->
+      """WITH cs AS (
+        |  SELECT CASE WHEN doc_id % 17 = 0 THEN doc_id
+        |              WHEN doc_id % 10 = 0 THEN doc_id
+        |              ELSE doc_id + 1000000 END AS cs_id,
+        |         CASE WHEN doc_id % 17 = 0 THEN 'delete'
+        |              WHEN doc_id % 10 = 0 THEN 'update'
+        |              ELSE 'insert' END AS op,
+        |         CASE WHEN doc_id % 17 = 0 THEN NULL
+        |              WHEN doc_id % 10 = 0 THEN upper(substr(text, 1, 50))
+        |              ELSE 'synthetic refresh ' || doc_id END AS new_text
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 OR doc_id % 17 = 0 OR doc_id % 23 = 0)
+        |SELECT coalesce(d.doc_id, cs.cs_id) AS doc_id,
+        |  coalesce(cs.op, 'keep') AS provenance,
+        |  CAST(length(coalesce(cs.new_text, d.text)) AS BIGINT) AS n_chars_new
+        |FROM documents d FULL JOIN cs ON d.doc_id = cs.cs_id
+        |WHERE NOT (cs.op IS NOT DISTINCT FROM 'delete')
+        |ORDER BY doc_id""".stripMargin,
     "q78_contamination" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |              FROM documents),

@@ -183,7 +183,41 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Q89: int8 scalar quantization of embeddings — the 4× storage cut a
+    * 100 TB vector corpus takes before ANN indexing. Per-vector affine
+    * quantization (codebook = the row's own [min, max] split into 255
+    * steps): q_i = round((x_i − lo)/scale), reconstruction x̂_i = lo +
+    * q_i·scale. Map-only per row — no shuffle, no cross-row state, embeds
+    * in any scan. Outputs are exact integers (code sum/first/last — the
+    * quantizer itself under the hash gate) plus the D5-rounded RMS
+    * reconstruction error, whose left-to-right IEEE fold is bit-identical
+    * in both engines (the q87 discipline: explicit e·e products, no pow).
+    */
+  def q89EmbedQuant: Q = (s, d) => {
+    val v = asDouble(col("embedding"))
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), v.as("v"),
+        array_min(v).as("lo"), array_max(v).as("hi"))
+      .withColumn("scale",
+        when(col("hi") > col("lo"), (col("hi") - col("lo")) / 255.0))
+      .withColumn("q",
+        transform(col("v"), x => round((x - col("lo")) / col("scale"), 0).cast("long")))
+      .select(col("vec_id"),
+        big(size(col("v"))).as("n_dims"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        element_at(col("q"), 1).as("q_first"),
+        element_at(col("q"), -1).as("q_last"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("q"), (x, qq) => {
+            val e = x - (col("lo") + qq * col("scale"))
+            e * e
+          }),
+          lit(0.0), (a, x) => a + x) / size(col("v"))), 6).as("rmse"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q89_embed_quant" -> q89EmbedQuant,
     "q87_hof_battery" -> q87HofBattery,
     "q24_array" -> q24Array,
     "q30_cosine_topk" -> q30CosineTopK,
@@ -191,6 +225,25 @@ object Similarity {
     "q69_multi_topk" -> q69MultiTopK)
 
   val oracles: Map[String, String] = Map(
+    "q89_embed_quant" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e),
+        |sc AS (SELECT vec_id, v, lo,
+        |         CASE WHEN hi > lo THEN (hi - lo) / 255.0 END AS scale
+        |       FROM b),
+        |q AS (SELECT vec_id, v, lo, scale,
+        |        list_transform(v, x -> CAST(round((x - lo) / scale, 0) AS BIGINT)) AS qv
+        |      FROM sc)
+        |SELECT vec_id,
+        |  CAST(len(v) AS BIGINT) AS n_dims,
+        |  CAST(list_reduce(qv, (a, x) -> a + x) AS BIGINT) AS q_sum,
+        |  qv[1] AS q_first,
+        |  qv[-1] AS q_last,
+        |  ROUND(sqrt(list_reduce(list_transform(list_zip(v, qv),
+        |          s -> (s[1] - (lo + s[2] * scale)) * (s[1] - (lo + s[2] * scale))),
+        |        (a, x) -> a + x) / len(v)), 6) AS rmse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q87_hof_battery" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)
