@@ -59,6 +59,28 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Q94: FORWARD as-of join with tolerance — q09's mirror: each signup
+    * matched to the EARLIEST subsequent purchase of the same user, but only
+    * if it lands within 1 hour (the attribution-window shape: does a signup
+    * convert quickly). Same single-windowed-pass design as q09 (one hash
+    * exchange on user, strictly-following frame, no per-row subquery);
+    * the tolerance is a post-filter that nulls out late conversions.
+    */
+  def q94AsofForward: Q = (s, d) => {
+    val e = events(s, d).filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochSec(col("ts2")).as("es"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("np",
+        first(when(col("event_type") === "purchase", col("es")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("es").as("signup_es"),
+        when(col("np") <= col("es") + 3600, col("np")).as("purchase_es"))
+      .withColumn("gap_sec", col("purchase_es") - col("signup_es"))
+      .orderBy(col("event_id"))
+  }
+
   /** Q11: exact distinct aggregation (D6 — `approx_count_distinct` is the
     * engine-only scale path, tested separately for error bound).
     */
@@ -214,6 +236,7 @@ object Events {
     "q76_funnel" -> q76Funnel,
     "q08_range_join" -> q08RangeJoin,
     "q09_asof_join" -> q09AsofJoin,
+    "q94_asof_forward" -> q94AsofForward,
     "q11_distinct_agg" -> q11DistinctAgg,
     "q14_grouping_sets" -> q14GroupingSets,
     "q25_json" -> q25Json,
@@ -286,6 +309,21 @@ object Events {
     "q11_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q94_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |f AS (
+        |  SELECT event_id, user_id, event_type, es,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN es END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY es, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        |  FROM e)
+        |SELECT event_id, user_id, es AS signup_es,
+        |  CASE WHEN np <= es + 3600 THEN np END AS purchase_es,
+        |  CASE WHEN np <= es + 3600 THEN np END - es AS gap_sec
+        |FROM f WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
     "q14_grouping_sets" ->
       """SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS h,
         |  COUNT(*) AS cnt,

@@ -315,9 +315,33 @@ object Extras {
       .orderBy(col("bin"))
   }
 
+  /** Q93: key-continuity audit (gaps-and-islands over an id space) — the
+    * data-integrity report an ingestion pipeline runs after every batch:
+    * which id ranges are missing from a slice, and where the largest holes
+    * are (top-20, so the report is bounded at any corpus size). Audited
+    * space: event ids of the `purchase` slice — sparse by construction
+    * since types interleave in the id sequence. One lag over the globally
+    * ordered distinct keys; the global-order window is the exactness
+    * baseline, and at full scale the same report computes per
+    * range-partition with a one-row boundary exchange (partition i's first
+    * key closes partition i−1's last gap).
+    */
+  def q93KeyGaps: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("k")).distinct()
+      .withColumn("prev", lag(col("k"), 1).over(w))
+      .filter(col("k") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("k") - 1).as("gap_end"),
+        (col("k") - col("prev") - 1).as("n_missing"))
+      .orderBy(col("n_missing").desc, col("gap_start"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_bloom_semi" -> q88BloomSemi,
     "q91_equidepth_bins" -> q91EquidepthBins,
+    "q93_key_gaps" -> q93KeyGaps,
     "q84_recursive_cte" -> q84RecursiveCte,
     "q79_histogram" -> q79Histogram,
     "q61_skew_salted" -> q61SkewSalted,
@@ -335,6 +359,11 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q93_key_gaps" ->
+      """WITH k AS (SELECT DISTINCT event_id AS k FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)
+        |SELECT prev + 1 AS gap_start, k - 1 AS gap_end, k - prev - 1 AS n_missing
+        |FROM g WHERE k - prev > 1 ORDER BY n_missing DESC, gap_start LIMIT 20""".stripMargin,
     "q88_bloom_semi" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -216,7 +216,36 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Q92: per-label centroids + every vector's cosine to its own centroid —
+    * the embedding-space class-coherence audit (how tight is each label's
+    * cluster; low cos_centroid rows are mislabeled-data candidates).
+    * Grouped VECTOR aggregation under the hash gate: per-(label, dim) means
+    * from exact DECIMAL(18,8) sums (order-independent at any partitioning;
+    * scaled ints stay < 2^53 so both engines' decimal→double casts are
+    * exactly correct — the Dsl.sumExactDouble bound), centroids reassembled
+    * dimension-ordered, broadcast back (K rows), one codegen'd graft_cosine
+    * pass. Shuffle = one exchange on (label, dim), rows ∝ K·dims.
+    */
+  def q92LabelCentroid: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), big(col("label")).as("label"),
+        asDouble(col("embedding")).as("v"))
+    val byDim = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+        .cast("double") / count(lit(1))).as("m"))
+    val centroids = byDim.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+    emb.join(broadcast(centroids), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(VectorFunctions.cosineSim(col("v"), col("cv")), 6).as("cos_centroid"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q92_label_centroid" -> q92LabelCentroid,
     "q89_embed_quant" -> q89EmbedQuant,
     "q87_hof_battery" -> q87HofBattery,
     "q24_array" -> q24Array,
@@ -225,6 +254,21 @@ object Similarity {
     "q69_multi_topk" -> q69MultiTopK)
 
   val oracles: Map[String, String] = Map(
+    "q92_label_centroid" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |dims AS (SELECT label, u.i AS pos, v[u.i] AS x
+        |         FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+        |cent AS (SELECT label, pos,
+        |           CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
+        |         FROM dims GROUP BY label, pos),
+        |cv AS (SELECT label, list(m ORDER BY pos) AS cv FROM cent GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  ROUND(list_dot_product(e.v, cv.cv)
+        |        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cv, cv.cv))),
+        |    6) AS cos_centroid
+        |FROM e JOIN cv USING (label) ORDER BY vec_id""".stripMargin,
     "q89_embed_quant" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -191,6 +191,39 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q95: bigram collocation strength — phrase-mining for tokenizer/vocab
+    * construction: which adjacent word pairs co-occur far more than their
+    * unigram frequencies predict. Lift = n(l,r) · N_bigrams / (n(l) · n(r)),
+    * kept EXACT-deterministic: every factor is an integer count (products
+    * stay < 2^53, so the doubles are exact and the single division is
+    * correctly rounded identically in both engines — no log, the q82
+    * lesson). Bigram relation is materialized once ([[graft.Checkpoints]])
+    * since it feeds both the pair counts and the corpus total; unigram
+    * counts join in with one exchange each, rows ∝ distinct tokens.
+    */
+  def q95Collocations: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val pairs = graft.Checkpoints.materialize(docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("l"), b.as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("bg"))
+      .select(col("bg.l").as("l"), col("bg.r").as("r")))
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val bg = pairs.groupBy(col("l"), col("r")).agg(count(lit(1)).as("nxy"))
+    val nb = pairs.agg(count(lit(1)).as("total_bg"))
+    bg.filter(col("nxy") >= 3)
+      .join(uni.select(col("t").as("l"), col("n").as("nl")), Seq("l"))
+      .join(uni.select(col("t").as("r"), col("n").as("nr")), Seq("r"))
+      .crossJoin(broadcast(nb))
+      .select(col("l"), col("r"), col("nxy"),
+        round(col("nxy").cast("double") * col("total_bg") / (col("nl") * col("nr")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("l"), col("r"))
+      .limit(25)
+  }
+
   /** Q73: subword vocabulary build — the corpus-level companion of q70's
     * per-doc counts: explode the greedy `[a-z]{1,4}` subword chunks, count
     * corpus-wide, keep the top 20 (count desc, chunk asc — deterministic).
@@ -295,6 +328,7 @@ object Text {
     "q63_edit_distance" -> q63EditDistance,
     "q70_regex_tokens" -> q70RegexTokens,
     "q73_subword_vocab" -> q73SubwordVocab,
+    "q95_collocations" -> q95Collocations,
     "q21_string_funcs" -> q21StringFuncs,
     "q26_date_enrich" -> q26DateEnrich,
     "q27_array_parse" -> q27ArrayParse,
@@ -416,6 +450,23 @@ object Text {
       """SELECT u.c AS chunk, COUNT(*) AS n
         |FROM documents, unnest(regexp_extract_all(text, '[a-z]{1,4}')) AS u(c)
         |GROUP BY u.c ORDER BY n DESC, chunk LIMIT 20""".stripMargin,
+    "q95_collocations" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |            FROM documents),
+        |bg AS (SELECT u.i AS i, tk[u.i] AS l, tk[u.i + 1] AS r
+        |       FROM tk, unnest(range(1, len(tk))) AS u(i)),
+        |uni AS (SELECT u.t AS t, COUNT(*) AS n
+        |        FROM tk, unnest(tk.tk) AS u(t) GROUP BY u.t),
+        |bgc AS (SELECT l, r, COUNT(*) AS nxy FROM bg GROUP BY l, r),
+        |tot AS (SELECT COUNT(*) AS total_bg FROM bg)
+        |SELECT b.l, b.r, b.nxy,
+        |  ROUND(CAST(b.nxy AS DOUBLE) * tot.total_bg / (ul.n * ur.n), 6) AS lift
+        |FROM bgc b
+        |JOIN uni ul ON b.l = ul.t
+        |JOIN uni ur ON b.r = ur.t
+        |CROSS JOIN tot
+        |WHERE b.nxy >= 3
+        |ORDER BY lift DESC, b.l, b.r LIMIT 25""".stripMargin,
     "q38_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id, u.t AS token
