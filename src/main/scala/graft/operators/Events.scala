@@ -81,6 +81,29 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Q97: SLIDING DISTINCT — trailing-6-hour distinct users per event type,
+    * one row per (type, hour). COUNT(DISTINCT) over a sliding frame is not
+    * expressible as a window aggregate in either engine; the scalable
+    * formulation is bounded replication: each distinct (type, user, hour)
+    * observation is exploded to the 6 window-hours it contributes to
+    * (fan-out = window span, map-side), then deduped and counted — two
+    * exchanges, no per-row subquery, no self-join. The exact-distinct shape;
+    * at extreme cardinalities the sketch path is per-hour HLL merged across
+    * the frame (q35's family).
+    */
+  def q97SlidingDistinct: Q = (s, d) => {
+    val base = events(s, d)
+      .select(col("event_type"), col("user_id"), epochSec(col("ts2")).as("es"))
+      .select(col("event_type"), col("user_id"), expr("es div 3600").as("h"))
+      .distinct()
+    base.select(col("event_type"), col("user_id"),
+        explode(sequence(col("h"), col("h") + 5)).as("wh"))
+      .distinct()
+      .groupBy(col("event_type"), col("wh"))
+      .agg(count(lit(1)).as("uniq_users"))
+      .orderBy(col("event_type"), col("wh"))
+  }
+
   /** Q11: exact distinct aggregation (D6 — `approx_count_distinct` is the
     * engine-only scale path, tested separately for error bound).
     */
@@ -237,6 +260,7 @@ object Events {
     "q08_range_join" -> q08RangeJoin,
     "q09_asof_join" -> q09AsofJoin,
     "q94_asof_forward" -> q94AsofForward,
+    "q97_sliding_distinct" -> q97SlidingDistinct,
     "q11_distinct_agg" -> q11DistinctAgg,
     "q14_grouping_sets" -> q14GroupingSets,
     "q25_json" -> q25Json,
@@ -309,6 +333,16 @@ object Events {
     "q11_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q97_sliding_distinct" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h
+        |  FROM events),
+        |x AS (
+        |  SELECT DISTINCT event_type, user_id, u.wh
+        |  FROM b, unnest(range(h, h + 6)) AS u(wh))
+        |SELECT event_type, wh, COUNT(*) AS uniq_users
+        |FROM x GROUP BY event_type, wh ORDER BY event_type, wh""".stripMargin,
     "q94_asof_forward" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -301,20 +301,25 @@ object NorthStar {
     * are inserts. One shuffle on the key; at 100 TB this co-partitions with
     * a bucketed base table and the small changeset side broadcasts.
     */
+  /** The deterministic synthetic changeset over a documents base — shared by
+    * the batch MERGE (q90) and its streaming foreachBatch twin (q98).
+    */
+  def changeset(base: DataFrame): DataFrame = base
+    .filter(col("doc_id") % 10 === 0 || col("doc_id") % 17 === 0 || col("doc_id") % 23 === 0)
+    .select(
+      when(col("doc_id") % 17 === 0, col("doc_id"))
+        .when(col("doc_id") % 10 === 0, col("doc_id"))
+        .otherwise(col("doc_id") + 1000000L).as("cs_id"),
+      when(col("doc_id") % 17 === 0, lit("delete"))
+        .when(col("doc_id") % 10 === 0, lit("update"))
+        .otherwise(lit("insert")).as("op"),
+      when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+        .when(col("doc_id") % 10 === 0, upper(substring(col("text"), 1, 50)))
+        .otherwise(concat(lit("synthetic refresh "), col("doc_id"))).as("new_text"))
+
   def q90MergeUpsert: Q = (s, d) => {
     val base = Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
-    val cs = base
-      .filter(col("doc_id") % 10 === 0 || col("doc_id") % 17 === 0 || col("doc_id") % 23 === 0)
-      .select(
-        when(col("doc_id") % 17 === 0, col("doc_id"))
-          .when(col("doc_id") % 10 === 0, col("doc_id"))
-          .otherwise(col("doc_id") + 1000000L).as("cs_id"),
-        when(col("doc_id") % 17 === 0, lit("delete"))
-          .when(col("doc_id") % 10 === 0, lit("update"))
-          .otherwise(lit("insert")).as("op"),
-        when(col("doc_id") % 17 === 0, lit(null).cast("string"))
-          .when(col("doc_id") % 10 === 0, upper(substring(col("text"), 1, 50)))
-          .otherwise(concat(lit("synthetic refresh "), col("doc_id"))).as("new_text"))
+    val cs = changeset(base)
     base.join(cs, col("doc_id") === col("cs_id"), "full_outer")
       .filter(!(col("op") <=> "delete"))
       .select(
@@ -324,7 +329,50 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q96: sequence packing — the pretraining batch-construction operator:
+    * documents are concatenated in a deterministic order (doc_id) and
+    * chopped into fixed token-budget sequences (budget 2048), documents
+    * splitting across boundaries exactly as a packed pretraining loader
+    * does. Pure window arithmetic: one running-sum exchange gives each doc
+    * its token interval [start, end); the sequences it touches are
+    * `floor(start/B) .. floor((end−1)/B)`, exploded with `sequence()`
+    * (fan-out = spans, ≈ 1 for typical docs ≪ B). Per sequence: docs
+    * touching it, tokens filling it (= B everywhere but the tail), and how
+    * many docs were split at its boundaries. The global cumsum order is the
+    * exactness spine; at 100 TB packing runs per shard with shard-local
+    * budgets (the loaders' actual practice), which is this same plan inside
+    * a partitionBy.
+    */
+  def q96SamplePacking: Q = (s, d) => {
+    val budget = 2048L
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toksCol = filter(split(col("text"), " "), t => t =!= "")
+    val spans = Tables(s, d, "documents")
+      .select(col("doc_id"), big(size(toksCol)).as("n_tok"))
+      .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("en", col("st") + col("n_tok"))
+      .filter(col("n_tok") > 0)
+      // integer div, not `/`: Spark's `/` on longs is double division
+      .select(col("doc_id"), col("st"), col("en"),
+        explode(sequence(expr(s"st div $budget"),
+          expr(s"(en - 1) div $budget"))).as("seq_id"))
+    spans
+      .select(col("seq_id"), col("doc_id"),
+        (least(col("en"), (col("seq_id") + 1) * budget) -
+          greatest(col("st"), col("seq_id") * budget)).as("tok_in_seq"),
+        (col("st") < col("seq_id") * budget ||
+          col("en") > (col("seq_id") + 1) * budget).as("split"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_seq")).as("n_tokens"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"))
+      .orderBy(col("seq_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q96_sample_packing" -> q96SamplePacking,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -344,6 +392,24 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q96_sample_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, s AS st, s + n_tok AS en, u.q AS seq_id
+        |  FROM sp, unnest(range(s // 2048, (s + n_tok - 1) // 2048 + 1)) AS u(q)
+        |  WHERE n_tok > 0)
+        |SELECT seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(least(en, (seq_id + 1) * 2048) - greatest(st, seq_id * 2048)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN st < seq_id * 2048 OR en > (seq_id + 1) * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "q90_merge_upsert" ->
       """WITH cs AS (
         |  SELECT CASE WHEN doc_id % 17 = 0 THEN doc_id

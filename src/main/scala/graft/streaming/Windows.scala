@@ -341,7 +341,67 @@ object Windows {
       "graft_q55", OutputMode.Append)
       .orderBy(col("user_id"), col("event_type"))
 
+  /** Q98: STREAMING CDC apply — the incremental corpus-refresh shape: the
+    * q90 changeset arrives as a stream in key-disjoint micro-batches and is
+    * applied with `foreachBatch`, each batch one FULL OUTER merge against
+    * the current base snapshot written to an alternating state dir
+    * (swap-on-commit — the table-format pattern without a table format).
+    * Disjoint batch keys make sequential application equal the one-shot
+    * MERGE, so the final state hash-matches q90's oracle verbatim. The
+    * MemoryStream feed is the local harness (production reads Kafka/files);
+    * the per-batch merge IS the production shape — state size rows ∝ base,
+    * shuffle ∝ base + batch per micro-batch, and at 100 TB the base is
+    * bucketed on the key so the merge join co-partitions.
+    */
+  def q98StreamMerge: Q = (s, d) => {
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val docs = graft.Tables(s, d, "documents")
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("provenance", lit("keep"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q98_").toString
+    val dirs = Array(s"$tmp/state0", s"$tmp/state1")
+    base.write.mode("overwrite").parquet(dirs(0))
+    val cur = new java.util.concurrent.atomic.AtomicInteger(0)
+    // bounded driver feed for the MemoryStream harness (the changeset is
+    // ~10% of the corpus; a real source streams it)
+    val rows = graft.operators.NorthStar.changeset(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val sdf = stream.toDF().toDF("cs_id", "op", "new_text")
+    val q = sdf.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val c = cur.get()
+          val state = s.read.parquet(dirs(c))
+          val merged = state.join(batch, state("doc_id") === batch("cs_id"), "full_outer")
+            .filter(!(col("op") <=> "delete"))
+            .select(
+              coalesce(col("doc_id"), col("cs_id")).as("doc_id"),
+              coalesce(col("new_text"), col("text")).as("text"),
+              col("lang"),
+              coalesce(col("op"), col("provenance")).as("provenance"))
+          merged.write.mode("overwrite").parquet(dirs(1 - c))
+          cur.set(1 - c)
+        }
+        ()
+      }
+      .start()
+    try {
+      val (even, odd) = rows.partition(_._1 % 2 == 0)
+      stream.addData(even.toSeq)
+      q.processAllAvailable()
+      stream.addData(odd.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(dirs(cur.get()))
+      .select(col("doc_id"), col("provenance"),
+        length(col("text")).cast("long").as("n_chars_new"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q98_stream_merge" -> q98StreamMerge,
     "q45_stream_tumbling" -> q45StreamTumbling,
     "q46_stream_sessions" -> q46StreamSessions,
     "q54_stream_sliding" -> q54StreamSliding,
@@ -352,6 +412,7 @@ object Windows {
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
+    "q98_stream_merge" -> graft.operators.NorthStar.oracles("q90_merge_upsert"),
     "q45_stream_tumbling" -> graft.operators.Events.oracles("q32_tumbling"),
     "q46_stream_sessions" -> graft.operators.Events.oracles("q31_sessionize"),
     "q66_stream_stateful" -> graft.operators.Events.oracles("q31_sessionize"),
