@@ -104,6 +104,35 @@ object Events {
       .orderBy(col("event_type"), col("wh"))
   }
 
+  /** Q99: volume-anomaly detection — per event type, the 20 hours whose
+    * event counts deviate most from that type's mean in z-score terms (the
+    * pipeline-monitoring query: traffic spikes and ingestion holes). All
+    * moments are exact integer sums (s1, s2 stay < 2^53, so the double
+    * conversions are exact and the identical arithmetic shape makes z
+    * bit-equal across engines — the q48 discipline); two aggregations plus
+    * a broadcast-size join of per-type stats back onto hourly counts.
+    */
+  def q99HourlyAnomaly: Q = (s, d) => {
+    val hourly = events(s, d)
+      .select(col("event_type"), epochSec(col("ts2")).as("es"))
+      .select(col("event_type"), expr("es div 3600").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val st = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+        count(lit(1)).as("cnt"))
+    val s1d = col("s1").cast("double")
+    val cntd = col("cnt").cast("double")
+    val variance = (col("s2").cast("double") - s1d * s1d / cntd) / (cntd - 1)
+    hourly.join(broadcast(st), Seq("event_type"))
+      .filter(variance > 0)
+      .withColumn("z",
+        round((col("n").cast("double") - s1d / cntd) / sqrt(variance), 6))
+      .select(col("event_type"), col("h"), col("n"), col("z"))
+      .orderBy(abs(col("z")).desc, col("event_type"), col("h"))
+      .limit(20)
+  }
+
   /** Q11: exact distinct aggregation (D6 — `approx_count_distinct` is the
     * engine-only scale path, tested separately for error bound).
     */
@@ -261,6 +290,7 @@ object Events {
     "q09_asof_join" -> q09AsofJoin,
     "q94_asof_forward" -> q94AsofForward,
     "q97_sliding_distinct" -> q97SlidingDistinct,
+    "q99_hourly_anomaly" -> q99HourlyAnomaly,
     "q11_distinct_agg" -> q11DistinctAgg,
     "q14_grouping_sets" -> q14GroupingSets,
     "q25_json" -> q25Json,
@@ -333,6 +363,24 @@ object Events {
     "q11_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q99_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type, h),
+        |st AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS s1,
+        |    CAST(SUM(n * n) AS BIGINT) AS s2, COUNT(*) AS cnt
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.h, h.n,
+        |  ROUND((CAST(h.n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |           / (CAST(cnt AS DOUBLE) - 1)), 6) AS z
+        |FROM hourly h JOIN st USING (event_type)
+        |WHERE (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |      / (CAST(cnt AS DOUBLE) - 1) > 0
+        |ORDER BY abs(z) DESC, h.event_type, h.h LIMIT 20""".stripMargin,
     "q97_sliding_distinct" ->
       """WITH b AS (
         |  SELECT DISTINCT event_type, user_id,

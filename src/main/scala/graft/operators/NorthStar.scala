@@ -371,7 +371,22 @@ object NorthStar {
       .orderBy(col("seq_id"))
   }
 
+  /** Q100: weight-proportional corpus sampling — build a training subsample
+    * where longer (higher-weight) documents are proportionally more likely
+    * to be kept: p = 0.25 · min(n_chars, 800)/800 via
+    * [[TrainingOps.portableWeightedSample]]'s division-free integer
+    * comparison on the portable id-hash. Map-only (embeds in any scan),
+    * exact kept-row set at any parallelism.
+    */
+  def q100WeightedSample: Q = (s, d) => {
+    TrainingOps.portableWeightedSample(
+        Tables(s, d, "documents"), "doc_id", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q100_weighted_sample" -> q100WeightedSample,
     "q96_sample_packing" -> q96SamplePacking,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
@@ -392,6 +407,15 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q100_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |      % 2147483647 % 10000 AS b
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM h
+        |WHERE b * 800 < 2500 * least(n_chars, 800)
+        |ORDER BY doc_id""".stripMargin,
     "q96_sample_packing" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -68,6 +68,18 @@ object TrainingOps {
     df.filter(bucket(col(idCol), salt) < cutExpr)
   }
 
+  /** Deterministic weight-proportional sampling: inclusion probability
+    * `baseFraction · min(w, cap)/cap` — long documents are kept more often,
+    * the quality/length-weighted corpus-subsampling shape. Decided as a
+    * pure integer comparison (`bucket·cap < frac₁₀ₖ·min(w,cap)` — no
+    * division anywhere), so the kept-row set is exact, reproducible at any
+    * parallelism, and replicable by a SQL oracle with 64-bit arithmetic.
+    */
+  def portableWeightedSample(df: DataFrame, idCol: String, weightCol: String,
+                             baseFraction: Double = 0.25, cap: Long = 800L): DataFrame =
+    df.filter(portableBucket(col(idCol)) * cap <
+      lit(math.round(baseFraction * 10000)) * least(col(weightCol), lit(cap)))
+
   /** [[stratifiedSample]] over [[portableBucket]] — same contract, but a
     * DuckDB oracle can replicate the kept-row set exactly in SQL.
     */
