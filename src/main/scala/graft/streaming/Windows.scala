@@ -400,7 +400,35 @@ object Windows {
       .orderBy(col("doc_id"))
   }
 
+  /** Q101: STREAM-STATIC join — the dimension-enrichment shape that was
+    * missing between the stream-stream joins (q71/q83) and the windowed
+    * aggregates: a static per-user cohort dimension (first-seen day,
+    * derived from the same events data read as a batch table) broadcast
+    * against the stream, then a daily windowed aggregate per cohort. The
+    * static side needs no watermark and holds no state — it is planned as
+    * an ordinary broadcast join inside every micro-batch, which is exactly
+    * the 100 TB shape (dim snapshot broadcast; stream state only for the
+    * window aggregate). Batch twin is the oracle.
+    */
+  def q101StreamStatic: Q = (s, d) => {
+    val dim = graft.Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(epochSec(col("ts2"))).as("first_es"))
+      .select(col("user_id"), expr("first_es div 86400").as("cohort"))
+    val joined = eventsStream(s, d)
+      .withWatermark("ts2", "2 hours")
+      .select(col("user_id"), col("ts2"), col("value"))
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts2"), "1 day"), col("cohort"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_value"))
+    runToBatch(joined, "graft_q101")
+      .select(col("window.start").cast("long").as("wstart"), col("cohort"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("wstart"), col("cohort"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q101_stream_static" -> q101StreamStatic,
     "q98_stream_merge" -> q98StreamMerge,
     "q45_stream_tumbling" -> q45StreamTumbling,
     "q46_stream_sessions" -> q46StreamSessions,
@@ -412,6 +440,16 @@ object Windows {
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
+    "q101_stream_static" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value
+        |  FROM events),
+        |dim AS (SELECT user_id, CAST(MIN(es) // 86400 AS BIGINT) AS cohort
+        |        FROM e GROUP BY user_id)
+        |SELECT (e.es // 86400) * 86400 AS wstart, dim.cohort, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e JOIN dim USING (user_id)
+        |GROUP BY wstart, cohort ORDER BY wstart, cohort""".stripMargin,
     "q98_stream_merge" -> graft.operators.NorthStar.oracles("q90_merge_upsert"),
     "q45_stream_tumbling" -> graft.operators.Events.oracles("q32_tumbling"),
     "q46_stream_sessions" -> graft.operators.Events.oracles("q31_sessionize"),
