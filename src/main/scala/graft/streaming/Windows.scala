@@ -353,6 +353,21 @@ object Windows {
     * shuffle ∝ base + batch per micro-batch, and at 100 TB the base is
     * bucketed on the key so the merge join co-partitions.
     */
+  /** One CDC micro-batch merge (shared by q98 and the restart test): FULL
+    * OUTER on the key, delete-wins, provenance carried forward. IDEMPOTENT
+    * per batch content — re-applying the same changeset batch reproduces the
+    * same state, which is what makes foreachBatch's at-least-once redelivery
+    * after a restart safe without a transactional sink.
+    */
+  def mergeCdcBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.join(batch, state("doc_id") === batch("cs_id"), "full_outer")
+      .filter(!(col("op") <=> "delete"))
+      .select(
+        coalesce(col("doc_id"), col("cs_id")).as("doc_id"),
+        coalesce(col("new_text"), col("text")).as("text"),
+        col("lang"),
+        coalesce(col("op"), col("provenance")).as("provenance"))
+
   def q98StreamMerge: Q = (s, d) => {
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
@@ -373,15 +388,8 @@ object Windows {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val c = cur.get()
-          val state = s.read.parquet(dirs(c))
-          val merged = state.join(batch, state("doc_id") === batch("cs_id"), "full_outer")
-            .filter(!(col("op") <=> "delete"))
-            .select(
-              coalesce(col("doc_id"), col("cs_id")).as("doc_id"),
-              coalesce(col("new_text"), col("text")).as("text"),
-              col("lang"),
-              coalesce(col("op"), col("provenance")).as("provenance"))
-          merged.write.mode("overwrite").parquet(dirs(1 - c))
+          mergeCdcBatch(s.read.parquet(dirs(c)), batch)
+            .write.mode("overwrite").parquet(dirs(1 - c))
           cur.set(1 - c)
         }
         ()

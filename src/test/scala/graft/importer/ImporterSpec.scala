@@ -68,6 +68,22 @@ class ImporterSpec extends SparkSpec with BeforeAndAfterAll {
     assert(df.schema("tweet_time").dataType.typeName === "string")
   }
 
+  test("gzip-compressed CSV imports transparently (multi-GB dumps ship compressed)") {
+    val dir = Files.createTempDirectory("graft-gz")
+    val gz = dir.resolve("in.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write("id,name\n1,alpha\n2,beta\n3,gamma\n".getBytes("UTF-8")); out.close()
+    val schema = dir.resolve("in.schema")
+    Files.writeString(schema, "id=Long\nname=String\n")
+    val dest = dir.resolve("out.parquet").toString
+    Importer.readCsvWriteParquet(ImportConfig(
+      srcFile = gz.toString, destFile = dest,
+      schemaFile = Some(schema.toString)))(spark)
+    val back = spark.read.parquet(dest)
+    assert(back.count() === 3)
+    assert(back.schema("id").dataType.typeName === "long")
+  }
+
   test("badRowsDest quarantines malformed rows instead of silently dropping them") {
     val dir = Files.createTempDirectory("graft-quarantine")
     val csv = dir.resolve("in.csv")

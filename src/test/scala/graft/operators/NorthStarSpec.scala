@@ -183,6 +183,31 @@ class NorthStarSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("q96 packing invariants: token conservation, full sequences, contiguity") {
+    val rows = NorthStar.q96SamplePacking(spark, sf0001).collect()
+    val totalTok = graft.Tables(spark, sf0001, "documents")
+      .select(size(filter(split($"text", " "), t => t =!= "")).cast("long").as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    // every token lands in exactly one sequence
+    assert(rows.map(_.getLong(2)).sum === totalTok, "token mass not conserved")
+    // sequences are contiguous 0..N-1 and all but the last are exactly full
+    val seqIds = rows.map(_.getLong(0))
+    assert(seqIds.sameElements(seqIds.indices.map(_.toLong)), "sequence ids not contiguous")
+    rows.init.foreach(r => assert(r.getLong(2) === 2048L,
+      s"non-tail sequence ${r.getLong(0)} not full: ${r.getLong(2)}"))
+    assert(rows.last.getLong(2) <= 2048L)
+  }
+
+  test("q89 quantization invariants: codes in [0,255], rmse within half a step") {
+    Similarity.q89EmbedQuant(spark, sf0001).collect().foreach { r =>
+      val (lo, hi) = (r.getLong(3), r.getLong(4)) // q_first, q_last sanity via bounds below
+      assert(lo >= 0 && lo <= 255 && hi >= 0 && hi <= 255)
+      // per-dim |err| <= scale/2 => rmse <= scale/2; with 64 dims and values
+      // in ~[-1,1], scale <= 2/255 so rmse < 0.004
+      assert(r.getDouble(5) <= 0.004, s"vec ${r.getLong(0)} rmse ${r.getDouble(5)}")
+    }
+  }
+
   test("langid predicts from stopword profiles deterministically") {
     val rows = NorthStar.q42LangId(spark, sf0001).limit(5).collect()
     assert(rows.length === 5)

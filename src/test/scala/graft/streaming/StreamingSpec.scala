@@ -165,4 +165,46 @@ class StreamingSpec extends SparkSpec {
     assert(cross === Set((es(10, 0), es(10, 10))),
       s"cross-restart pair missing or wrong: $cross")
   }
+
+  test("foreachBatch CDC merge: restart resumes from checkpoint; final state equals one-shot MERGE") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-cdc-restart").toString
+    val dirs = Array(s"$tmp/s0", s"$tmp/s1")
+    val streamDir = s"$tmp/cs"
+    val ckpt = s"$tmp/ckpt"
+    val docs = graft.Tables(spark, sf0001, "documents")
+    docs.select($"doc_id", $"text", $"lang").withColumn("provenance", lit("keep"))
+      .write.mode("overwrite").parquet(dirs(0))
+    val cur = new java.util.concurrent.atomic.AtomicInteger(0)
+    val cs = graft.operators.NorthStar.changeset(docs)
+    // batch 1: even keys, landed before the first query run
+    cs.filter($"cs_id" % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    def start() = spark.readStream.schema(cs.schema).parquet(streamDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val c = cur.get()
+          Windows.mergeCdcBatch(spark.read.parquet(dirs(c)), batch)
+            .write.mode("overwrite").parquet(dirs(1 - c))
+          cur.set(1 - c)
+        }
+        ()
+      }
+      .start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 lands while the query is DOWN; the restart must pick up ONLY
+    // the new file (checkpointed source log) — re-reading batch 1 would be
+    // survivable (the merge is idempotent) but the source must not lose it
+    cs.filter($"cs_id" % 2 === 1).coalesce(1).write.mode("append").parquet(streamDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(dirs(cur.get()))
+      .select($"doc_id", $"provenance", length($"text").cast("long").as("n_chars_new"))
+      .orderBy($"doc_id").collect().toSeq
+    val want = graft.operators.NorthStar.q90MergeUpsert(spark, sf0001)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want, "restarted incremental CDC state diverged from the one-shot MERGE")
+  }
 }
