@@ -338,10 +338,53 @@ object Extras {
       .limit(20)
   }
 
+  /** Q102: DISCRETE percentiles (order statistics) — q47's interpolated
+    * `percentile` returns values not in the data; the disc variant returns
+    * the ceil(p·n)-th smallest actual value. Engines disagree on
+    * `quantile_disc` index conventions, so BOTH run the same relational
+    * formulation (row_number pick over a per-group sort) — the value at a
+    * sorted position is deterministic even among duplicate values.
+    */
+  def q102PercentileDisc: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(col("n") * p).cast("long"), col("o_totalprice")))
+    Tables(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        pick(0.25).as("p25_disc"), pick(0.5).as("p50_disc"), pick(0.9).as("p90_disc"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q105: bitwise function battery — AND/OR/XOR/shifts/bit_count over the
+    * event id space (the hash/partition-arithmetic primitives every custom
+    * bucketing scheme builds on), hash-pinned across engines.
+    */
+  def q105Bitwise: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"))
+      .select(col("event_id"),
+        (col("event_id").bitwiseAND(col("user_id"))).as("b_and"),
+        (col("event_id").bitwiseOR(col("user_id"))).as("b_or"),
+        (col("event_id").bitwiseXOR(col("user_id"))).as("b_xor"),
+        expr("shiftleft(event_id, 3)").as("shl3"),
+        expr("shiftright(event_id, 2)").as("shr2"),
+        big(bit_count(col("event_id"))).as("popcount"))
+      .orderBy(col("event_id"))
+      .limit(5000)
+  }
+
   val queries: Map[String, Q] = Map(
     "q88_bloom_semi" -> q88BloomSemi,
     "q91_equidepth_bins" -> q91EquidepthBins,
     "q93_key_gaps" -> q93KeyGaps,
+    "q102_percentile_disc" -> q102PercentileDisc,
+    "q105_bitwise" -> q105Bitwise,
     "q84_recursive_cte" -> q84RecursiveCte,
     "q79_histogram" -> q79Histogram,
     "q61_skew_salted" -> q61SkewSalted,
@@ -359,6 +402,27 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q102_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN o_totalprice END) AS p25_disc,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50_disc,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN o_totalprice END) AS p90_disc
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q105_bitwise" ->
+      """SELECT event_id,
+        |  event_id & user_id AS b_and,
+        |  event_id | user_id AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  event_id << 3 AS shl3,
+        |  event_id >> 2 AS shr2,
+        |  CAST(bit_count(event_id) AS BIGINT) AS popcount
+        |FROM events ORDER BY event_id LIMIT 5000""".stripMargin,
     "q93_key_gaps" ->
       """WITH k AS (SELECT DISTINCT event_id AS k FROM events WHERE event_type = 'purchase'),
         |g AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)

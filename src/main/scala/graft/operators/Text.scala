@@ -224,6 +224,44 @@ object Text {
       .limit(25)
   }
 
+  /** Q103: array SET operations — union/intersect/except with dedup
+    * semantics (the §2.2 array-function surface q24/q58 left untouched).
+    * Engines order set-op results differently, so outputs are array_sort'd
+    * and joined to strings for the hash.
+    */
+  def q103ArraySetOps: Q = (s, d) => {
+    val a = slice(toks, lit(1), lit(10))
+    val b = filter(toks, t => t.contains("a"))
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        array_sort(array_union(a, b)).as("u"),
+        array_sort(array_intersect(a, b)).as("i"),
+        array_sort(array_except(a, b)).as("x"))
+      .select(col("doc_id"),
+        big(size(col("u"))).as("n_union"),
+        big(size(col("i"))).as("n_inter"),
+        big(size(col("x"))).as("n_except"),
+        array_join(col("i"), "|").as("inter_str"),
+        array_join(col("x"), "|").as("except_str"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q104: string shaping battery — lpad/rpad/translate/repeat/reverse/
+    * ascii, the formatting surface q21 didn't cover, hash-pinned.
+    */
+  def q104StringShape: Q = (s, d) => {
+    Tables(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("s12"))
+      .select(col("doc_id"),
+        lpad(col("s12"), 16, "*").as("lp"),
+        rpad(col("s12"), 16, "-").as("rp"),
+        translate(col("s12"), "aeiou", "AEIOU").as("tr"),
+        repeat(substring(col("s12"), 1, 3), 3).as("rep"),
+        reverse(col("s12")).as("rev"),
+        big(ascii(col("s12"))).as("first_code"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q73: subword vocabulary build — the corpus-level companion of q70's
     * per-doc counts: explode the greedy `[a-z]{1,4}` subword chunks, count
     * corpus-wide, keep the top 20 (count desc, chunk asc — deterministic).
@@ -329,6 +367,8 @@ object Text {
     "q70_regex_tokens" -> q70RegexTokens,
     "q73_subword_vocab" -> q73SubwordVocab,
     "q95_collocations" -> q95Collocations,
+    "q103_array_setops" -> q103ArraySetOps,
+    "q104_string_shape" -> q104StringShape,
     "q21_string_funcs" -> q21StringFuncs,
     "q26_date_enrich" -> q26DateEnrich,
     "q27_array_parse" -> q27ArrayParse,
@@ -450,6 +490,36 @@ object Text {
       """SELECT u.c AS chunk, COUNT(*) AS n
         |FROM documents, unnest(regexp_extract_all(text, '[a-z]{1,4}')) AS u(c)
         |GROUP BY u.c ORDER BY n DESC, chunk LIMIT 20""".stripMargin,
+    "q103_array_setops" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |ab AS (
+        |  SELECT doc_id, tk[1:10] AS a, list_filter(tk, x -> contains(x, 'a')) AS b
+        |  FROM t),
+        |so AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_cat(a, b))) AS u,
+        |    list_sort(list_intersect(a, b)) AS i,
+        |    list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS x
+        |  FROM ab)
+        |SELECT doc_id,
+        |  CAST(len(u) AS BIGINT) AS n_union,
+        |  CAST(len(i) AS BIGINT) AS n_inter,
+        |  CAST(len(x) AS BIGINT) AS n_except,
+        |  coalesce(array_to_string(i, '|'), '') AS inter_str,
+        |  coalesce(array_to_string(x, '|'), '') AS except_str
+        |FROM so ORDER BY doc_id""".stripMargin,
+    "q104_string_shape" ->
+      """WITH s AS (SELECT doc_id, substr(text, 1, 12) AS s12 FROM documents)
+        |SELECT doc_id,
+        |  lpad(s12, 16, '*') AS lp,
+        |  rpad(s12, 16, '-') AS rp,
+        |  translate(s12, 'aeiou', 'AEIOU') AS tr,
+        |  repeat(substr(s12, 1, 3), 3) AS rep,
+        |  reverse(s12) AS rev,
+        |  CAST(ascii(s12) AS BIGINT) AS first_code
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q95_collocations" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |            FROM documents),
