@@ -160,6 +160,21 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("weighted sample: inclusion is weight-monotone and hash-deterministic") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L)).map(_.distinct.take(100))) { ids =>
+      val s = spark; import s.implicits._
+      // same ids with two weights: every id kept at weight w must also be
+      // kept at weight 2w (inclusion probability is monotone in the weight),
+      // and repeated evaluation is identical (pure hash, no RNG)
+      val lo = ids.map(i => (i, 200L)).toDF("id", "w")
+      val hi = ids.map(i => (i, 400L)).toDF("id", "w")
+      def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        graft.operators.TrainingOps.portableWeightedSample(df, "id", "w")
+          .select($"id").as[Long].collect().toSet
+      val keptLo = kept(lo)
+      keptLo.subsetOf(kept(hi)) && kept(lo) == keptLo
+    }
+
   property("prefix-filtered jaccard join = brute force (complete, exact)") =
     forAll(corpusGen) { docs =>
       val s = spark; import s.implicits._
