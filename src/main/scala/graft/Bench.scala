@@ -57,7 +57,14 @@ object Bench {
       srcFile = part.getAbsolutePath,
       destFile = tmp.resolve("out.parquet").toString,
       schemaFile = Some(schemaFile.toString)))(spark)
-    Some((rows, (System.nanoTime() - t0) / 1e9, bytes))
+    val sec = (System.nanoTime() - t0) / 1e9
+    // best-effort cleanup: the round-trip leaves ~120 MB in /tmp per run
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+    Some((rows, sec, bytes))
   } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
