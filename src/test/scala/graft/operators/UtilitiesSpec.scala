@@ -99,6 +99,46 @@ class UtilitiesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  test("partition pruning: a partition-column filter reads only matching directories") {
+    val out = Files.createTempDirectory("graft-prune").toString + "/t"
+    Tables(spark, sf0001, "orders").withColumn("y", year($"o_orderdate"))
+      .write.partitionBy("y").parquet(out)
+    val pruned = spark.read.parquet(out).filter($"y" === 1995)
+    // the scan must touch only y=1995 files — the property that makes a
+    // date-partitioned 100 TB table cheap to query
+    val files = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("y=1995")), s"unpruned files: ${files.filterNot(_.contains("y=1995")).take(3).toSeq}")
+    assert(pruned.count() === Tables(spark, sf0001, "orders")
+      .filter(year($"o_orderdate") === 1995).count())
+  }
+
+  test("schema evolution: mergeSchema unifies files written with added columns") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    val nation = Tables(spark, sf0001, "nation")
+    nation.select($"n_nationkey", $"n_name").write.parquet(dir)
+    nation.select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("n_nationkey", "n_name", "n_regionkey"))
+    assert(merged.count() === 50)
+    // rows from the old-schema files surface the new column as NULL
+    assert(merged.filter($"n_regionkey".isNull).count() === 25)
+  }
+
+  test("ignoreCorruptFiles: a torn file degrades to a warning, not a failed job") {
+    val dir = Files.createTempDirectory("graft-corrupt").toString + "/t"
+    Tables(spark, sf0001, "nation").write.parquet(dir)
+    // plant a torn/garbage file alongside the good ones
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-junk.parquet"),
+      Array.fill(128)(0x42.toByte))
+    val prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      assert(spark.read.parquet(dir).count() === 25)
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+  }
+
   test("q77 repetition invariants: ratios in (0,1], distinct <= total") {
     Text.q77DocRepetition(spark, sf0001).collect().foreach { r =>
       val (n, d) = (r.getLong(1), r.getLong(2))
