@@ -301,7 +301,30 @@ object Relational {
       .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
   }
 
+  /** Q106: incremental aggregate maintenance — the materialized-view delta
+    * pattern: yesterday's aggregate state plus today's delta rows produce
+    * the updated aggregate WITHOUT rescanning the base, because
+    * sum/count partials merge associatively (exact decimal sums, the same
+    * property D3 buys). Declared as partial(base) ∪ partial(delta) →
+    * re-reduce; the oracle is the full recompute, so the merge's
+    * exactness — not approximate refresh — is what the hash pins. At
+    * 100 TB this is the difference between an O(delta) nightly refresh
+    * and an O(corpus) rescan.
+    */
+  def q106IncrementalAgg: Q = (s, d) => {
+    val orders = Tables(s, d, "orders")
+    def partial(df: DataFrame) = df.groupBy(col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).as("psum"), count(lit(1)).as("pcnt"))
+    val base = partial(orders.filter(col("o_orderkey") % 10 =!= 0))
+    val delta = partial(orders.filter(col("o_orderkey") % 10 === 0))
+    base.union(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("psum")).cast("double").as("sum_price"), sum(col("pcnt")).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q106_incremental_agg" -> q106IncrementalAgg,
     "q86_null_semantics" -> q86NullSemantics,
     "q01_scan_filter" -> q01ScanFilter,
     "q02_string_pred" -> q02StringPred,
@@ -325,6 +348,11 @@ object Relational {
     "q23_math" -> q23Math)
 
   val oracles: Map[String, String] = Map(
+    "q106_incremental_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q86_null_semantics" ->
       """SELECT c.c_custkey, o.o_orderkey,
         |  (o.o_orderkey IS NOT DISTINCT FROM NULL) AS is_miss,
