@@ -182,6 +182,29 @@ object NorthStar {
       .orderBy(col("group_size"))
   }
 
+  /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
+    * survivor rule production pipelines actually use: within each near-dup
+    * component keep the highest-quality copy (longest text, id tiebreak),
+    * not the smallest id. Same prefix-filtered pair generation and
+    * pointer-jumping components; the policy is one window over components
+    * (state ∝ component size). Output is per-document, so the oracle hash
+    * pins every survivor decision, not just the histogram.
+    */
+  def q107DedupKeepBest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, d, "documents")
+    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+      .select(col("id1"), col("id2"))
+    val resolved = Components.resolveDuplicates(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("component"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    resolved.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("n_chars"), col("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q72: embedding-space dedup resolution — the vector twin of q56's
     * lexical pipeline: exact cosine pairs over the bounded chunked scan
     * ([[Similarity.exactCosinePairs]]) thresholded at 0.4, connected
@@ -394,6 +417,7 @@ object NorthStar {
     "q72_embed_dedup" -> q72EmbedDedup,
     "q74_prep_pipeline" -> q74PrepPipeline,
     "q56_dedup_resolve" -> q56DedupResolve,
+    "q107_dedup_keep_best" -> q107DedupKeepBest,
     "q35_approx_distinct" -> q35ApproxDistinct,
     "q37_minhash_pairs" -> q37MinhashPairs,
     "q39_simhash_pairs" -> q39SimhashPairs,
@@ -601,5 +625,34 @@ object NorthStar {
         |            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
         |groups AS (SELECT component, COUNT(*) AS group_size FROM labeled GROUP BY component)
         |SELECT group_size, COUNT(*) AS n_groups FROM groups
-        |GROUP BY group_size ORDER BY group_size""".stripMargin)
+        |GROUP BY group_size ORDER BY group_size""".stripMargin,
+    "q107_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |          WHERE 3 * i >= a.n + b.n),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.lab),
+        |comp AS (SELECT node, MIN(lab) AS mn FROM walk GROUP BY node),
+        |labeled AS (SELECT d.doc_id, COALESCE(LEAST(c.node, c.mn), d.doc_id) AS component
+        |            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |sel AS (SELECT l.doc_id, l.component, d.n_chars,
+        |          row_number() OVER (PARTITION BY l.component
+        |            ORDER BY d.n_chars DESC, l.doc_id) AS rk
+        |        FROM labeled l JOIN documents d USING (doc_id))
+        |SELECT doc_id, component, n_chars, rk = 1 AS is_survivor
+        |FROM sel ORDER BY doc_id""".stripMargin)
 }
