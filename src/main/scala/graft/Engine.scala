@@ -37,6 +37,7 @@ object Engine {
     Tables.all.foreach(n => Tables(spark, dir, n).createOrReplaceTempView(n))
     Tables.events(spark, dir).createOrReplaceTempView("events_ts2")
     graft.functions.VectorFunctions.register(spark)
+    graft.functions.BloomFunctions.register(spark)
   }
 
   /** `openCatalog` + `spark.sql` in one call. */
