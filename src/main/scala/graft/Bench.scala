@@ -24,9 +24,22 @@ object Bench {
     * stringified — the importer's declared surface is the reference's six),
     * then time the full schema-file import back to Parquet.
     */
-  private def importerBench(spark: SparkSession, sfDir: String): Option[(Long, Double, Long)] = try {
-    import org.apache.spark.sql.functions.col
+  private def importerBench(spark: SparkSession, sfDir: String): Option[(Long, Double, Long)] = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-imp")
+    try importerBenchIn(spark, sfDir, tmp)
+    catch { case _: Throwable => None }
+    finally { // cleanup on BOTH paths — a failed run otherwise leaves ~120 MB in /tmp
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  private def importerBenchIn(spark: SparkSession, sfDir: String,
+                              tmp: java.nio.file.Path): Option[(Long, Double, Long)] = {
+    import org.apache.spark.sql.functions.col
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val supported = Set("long", "integer", "double", "float", "boolean", "string")
     val casted = li0.select(li0.schema.fields.map { f =>
@@ -58,14 +71,8 @@ object Bench {
       destFile = tmp.resolve("out.parquet").toString,
       schemaFile = Some(schemaFile.toString)))(spark)
     val sec = (System.nanoTime() - t0) / 1e9
-    // best-effort cleanup: the round-trip leaves ~120 MB in /tmp per run
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
     Some((rows, sec, bytes))
-  } catch { case _: Throwable => None }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,7 +114,10 @@ object Bench {
         name -> (s(2), s(3) - s(1))
       }
     }
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.4f"
+    // Locale.ROOT: the f-interpolator honors the default JVM locale, which
+    // under e.g. de_DE emits decimal COMMAS and corrupts the JSON contract
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val iqrs = results.map { case (k, (_, i)) => "\"" + k + "\":" + fmt(i) }
@@ -116,7 +126,9 @@ object Bench {
     // importer throughput point (skipped during SPARK_GRAFT_ONLY iteration)
     val imp = if (only.isEmpty) importerBench(spark, sfDir) else None
     val impJson = imp.map { case (rows, sec, bytes) =>
-      f""","importer":{"rows":$rows,"sec":$sec%.2f,"rows_per_sec":${rows / sec}%.0f,"csv_bytes":$bytes}"""
+      val secS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
+      val rps = if (sec > 0) String.format(java.util.Locale.ROOT, "%.0f", Double.box(rows / sec)) else "-1"
+      s""","importer":{"rows":$rows,"sec":$secS,"rows_per_sec":$rps,"csv_bytes":$bytes}"""
     }.getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-5-warm","queries":$qs,"iqr":$iqrs$impJson,"sf":"$sfDir"}"""
     println(line)

@@ -25,9 +25,12 @@ import org.apache.spark.sql.types.DecimalType
   *     100 TB mode; pass a durable (HDFS/object-store) path.
   *
   * Reliable-mode caveats: `setCheckpointDir` is a GLOBAL SparkContext
-  * mutation — concurrent jobs in the same session that also checkpoint will
-  * land under this dir (harmless but shared; Spark appends a per-context
-  * UUID subdir so separate sessions never collide). Spark itself never
+  * mutation. Because this implementation DELETES superseded checkpoint
+  * directories (below), each invocation isolates itself under a fresh
+  * per-call subdirectory (`dir/cc-<uuid>`) — so the listing-diff that
+  * attributes rdd-* dirs to an iteration can never capture (and later
+  * delete) a checkpoint written concurrently by another job sharing the
+  * same root. Spark itself never
   * deletes checkpoint files (`spark.cleaner.referenceTracking.cleanCheckpoints`
   * defaults to false and only triggers on GC), so each iteration would leave
   * its superseded label snapshot on durable storage forever; this
@@ -46,7 +49,11 @@ object Components {
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     val sc = edges.sparkSession.sparkContext
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
+    // per-call isolation: a fresh subdir means the rdd-* listing-diff below
+    // only ever sees THIS run's checkpoints — safe to delete aggressively
+    // even when other jobs checkpoint concurrently under the caller's root
+    val callDir = checkpointDir.map(_ + "/cc-" + java.util.UUID.randomUUID())
+    val ckpt: DataFrame => DataFrame = callDir match {
       case Some(dir) =>
         sc.setCheckpointDir(dir) // global side effect — see scaladoc
         df => df.checkpoint(eager = true)
@@ -55,7 +62,7 @@ object Components {
     // reliable-mode checkpoint hygiene: snapshot the rdd-* dirs around each
     // checkpoint so a superseded iteration's files can be deleted as soon as
     // its successor is materialized (Spark never cleans them itself)
-    val fsRoot = checkpointDir.flatMap(_ => sc.getCheckpointDir).map { resolved =>
+    val fsRoot = callDir.flatMap(_ => sc.getCheckpointDir).map { resolved =>
       val p = new org.apache.hadoop.fs.Path(resolved)
       (p.getFileSystem(sc.hadoopConfiguration), p)
     }

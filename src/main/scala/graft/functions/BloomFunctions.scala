@@ -40,7 +40,11 @@ object BloomFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ContainsName,
-      exprs => BloomFilterMightContain(exprs.head, exprs(1)),
+      {
+        case Seq(bloom, value) => BloomFilterMightContain(bloom, value)
+        case other => throw new IllegalArgumentException(
+          s"$ContainsName takes (bloom, value); got ${other.length} args")
+      },
       "built-in")
   }
 }

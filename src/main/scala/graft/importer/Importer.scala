@@ -118,10 +118,15 @@ object Importer {
     // returned DataFrame then re-reads the written Parquet: without the
     // cache, a pruned action on the original lineage could reduce the CSV
     // scan to only `_corrupt_record`, which Spark disallows — and Parquet is
-    // the cheaper source for follow-up actions anyway.
+    // the cheaper source for follow-up actions anyway. The written schema is
+    // pinned and columns re-selected in writing order: a bare partitioned
+    // read would otherwise re-infer partition-column types (string "1995" →
+    // int) and move partition columns to the end, breaking the "returns the
+    // DataFrame that was written" contract.
     if (quarantineCache.isDefined) {
       quarantineCache.foreach(_.unpersist())
-      spark.read.parquet(conf.destFile)
+      spark.read.schema(out.schema).parquet(conf.destFile)
+        .select(out.columns.map(col): _*)
     } else out
   }
 }

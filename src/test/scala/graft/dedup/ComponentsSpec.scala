@@ -40,13 +40,35 @@ class ComponentsSpec extends SparkSpec {
     def anyFiles(f: java.io.File): Boolean =
       f.isFile || Option(f.listFiles()).exists(_.exists(anyFiles))
     assert(anyFiles(new java.io.File(dir)), s"no checkpoint data under $dir")
+    // each invocation isolates under a fresh cc-<uuid> subdir so its
+    // aggressive cleanup can never delete another job's checkpoints
+    val callDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("cc-"))
+    assert(callDirs.length === 1, s"expected one per-call subdir under $dir")
     // superseded per-iteration checkpoints were deleted as the loop advanced:
     // only the symmetrized edge set and the final labels remain on disk
-    val rddDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .flatMap(u => Option(u.listFiles()).getOrElse(Array.empty[java.io.File]))
-      .filter(_.getName.startsWith("rdd-"))
-    assert(rddDirs.length <= 2,
-      s"superseded checkpoints not cleaned: ${rddDirs.map(_.getName).mkString(", ")}")
+    def rddDirs(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      kids.filter(k => k.isDirectory && k.getName.startsWith("rdd-")) ++
+        kids.filter(_.isDirectory).flatMap(rddDirs)
+    }
+    val remaining = rddDirs(new java.io.File(dir)).distinct
+    assert(remaining.length <= 2,
+      s"superseded checkpoints not cleaned: ${remaining.map(_.getName).mkString(", ")}")
+  }
+
+  test("shared checkpoint root: foreign rdd dirs are never deleted") {
+    // another job's checkpoint data already lives under the shared root —
+    // the per-call cc-<uuid> isolation must leave it untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-shared")
+    val foreign = dir.resolve("ctx-uuid-other").resolve("rdd-999")
+    java.nio.file.Files.createDirectories(foreign)
+    java.nio.file.Files.writeString(foreign.resolve("part-00000"), "live data")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    Components.connectedComponents(edges, "id1", "id2",
+      checkpointDir = Some(dir.toString)).collect()
+    assert(java.nio.file.Files.exists(foreign.resolve("part-00000")),
+      "foreign checkpoint data under the shared root was destroyed")
   }
 
   test("resolveDuplicates: every doc gets a component; one canonical each") {

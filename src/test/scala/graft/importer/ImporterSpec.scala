@@ -103,4 +103,27 @@ class ImporterSpec extends SparkSpec with BeforeAndAfterAll {
     assert(bad.toSeq === Seq("not-a-long,gamma"),
       s"quarantine must hold exactly the malformed raw line, got ${bad.toSeq}")
   }
+
+  test("badRowsDest + partitionCols preserves the written schema and column order") {
+    val dir = Files.createTempDirectory("graft-quarantine-part")
+    val csv = dir.resolve("in.csv")
+    // year is a STRING partition column: a bare partitioned read-back would
+    // re-infer it as int and move it to the end — the contract says the
+    // returned frame matches what was written
+    Files.writeString(csv,
+      "id,year,name\n1,1995,alpha\n2,1996,beta\nnot-a-long,1995,gamma\n3,1995,delta\n")
+    val schema = dir.resolve("in.schema")
+    Files.writeString(schema, "id=Long\nyear=String\nname=String\n")
+    val dest = dir.resolve("out").toString
+    val out = Importer.readCsvWriteParquet(ImportConfig(
+      srcFile = csv.toString, destFile = dest,
+      schemaFile = Some(schema.toString),
+      partitionCols = Seq("year"),
+      badRowsDest = Some(dir.resolve("bad").toString)))(spark)
+    assert(out.columns.toSeq === Seq("id", "year", "name"),
+      "partition column must stay in its written position")
+    assert(out.schema("year").dataType.typeName === "string",
+      "partition column must keep its written type, not the re-inferred one")
+    assert(out.count() === 3)
+  }
 }
