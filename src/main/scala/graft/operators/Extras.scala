@@ -338,6 +338,72 @@ object Extras {
       .limit(20)
   }
 
+  /** Q108: scale-safe equi-depth binning — [[q91EquidepthBins]]' 100 TB
+    * twin. The global ntile sort (every row through ONE partition) is
+    * replaced by (a) one partial-aggregate pass building a bounded-memory
+    * GK sketch (`approx_percentile`, accuracy 10000 ⇒ rank error ≤ n/10000)
+    * for the nine decile cutoffs, and (b) a map-only second scan binning
+    * each row against the broadcast 1-row cutoff array — no row ever leaves
+    * its input partition. Bin populations are n/10 ± sketch error (ties
+    * land in ONE bin where ntile splits them by key); ScaleTwinsSpec pins
+    * the equivalence envelope vs the exact baseline at sf0.01. Engine-only:
+    * DuckDB's approx_quantile is a different sketch, so cutoffs differ by
+    * design.
+    */
+  def q108EquidepthScale: Q = (s, d) => {
+    val orders = Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val cuts = orders.agg(expr(
+      "approx_percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+      .as("cuts"))
+    orders.crossJoin(broadcast(cuts))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (lit(1L) + expr("aggregate(cuts, 0, (a, c) -> a + IF(o_totalprice >= c, 1, 0))")
+          .cast("long")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bin"))
+  }
+
+  /** Q109: scale-safe key-gap audit — [[q93KeyGaps]]' 100 TB twin,
+    * implementing the boundary-exchange plan q93's scaladoc promises: the
+    * distinct keys range-partition across the cluster, each partition
+    * computes its own gaps under a `partitionBy(pid)` window (no global
+    * sort), and the cross-partition boundaries close via a per-partition
+    * summary relation — ONE row per partition, so the only un-partitioned
+    * window runs over ≤ numPartitions rows, bounded by CLUSTER size, not
+    * data size. The gap set of a key sequence is partition-invariant, so
+    * the result is identical to q93's at any partitioning — it shares q93's
+    * DuckDB oracle verbatim, which IS the equivalence check.
+    */
+  def q109KeyGapsScale: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("k")).distinct()
+      .repartitionByRange(32, col("k"))
+      .withColumn("pid", spark_partition_id())
+    // within-partition gaps: the window shuffles by hash(pid), keeping each
+    // range-partition's keys together — never a single-partition sort
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("k"))
+    val inner = keys.withColumn("prev", lag(col("k"), 1).over(wIn))
+      .filter(col("k") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("k") - 1).as("gap_end"),
+        (col("k") - col("prev") - 1).as("n_missing"))
+    // boundary exchange: partition i's min closes partition i-1's last gap;
+    // lag (not a pid self-join) so empty partitions can't hide a boundary
+    val bounds = keys.groupBy(col("pid"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+    val wB = Window.orderBy(col("pid")) // ≤ numPartitions summary rows
+    val boundary = bounds.withColumn("prev_hi", lag(col("hi"), 1).over(wB))
+      .filter(col("lo") - col("prev_hi") > 1)
+      .select((col("prev_hi") + 1).as("gap_start"), (col("lo") - 1).as("gap_end"),
+        (col("lo") - col("prev_hi") - 1).as("n_missing"))
+    inner.union(boundary)
+      .orderBy(col("n_missing").desc, col("gap_start")).limit(20)
+  }
+
   /** Q102: DISCRETE percentiles (order statistics) — q47's interpolated
     * `percentile` returns values not in the data; the disc variant returns
     * the ceil(p·n)-th smallest actual value. Engines disagree on
@@ -383,6 +449,8 @@ object Extras {
     "q88_bloom_semi" -> q88BloomSemi,
     "q91_equidepth_bins" -> q91EquidepthBins,
     "q93_key_gaps" -> q93KeyGaps,
+    "q108_equidepth_scale" -> q108EquidepthScale,
+    "q109_key_gaps_scale" -> q109KeyGapsScale,
     "q102_percentile_disc" -> q102PercentileDisc,
     "q105_bitwise" -> q105Bitwise,
     "q84_recursive_cte" -> q84RecursiveCte,
@@ -424,6 +492,14 @@ object Extras {
         |  CAST(bit_count(event_id) AS BIGINT) AS popcount
         |FROM events ORDER BY event_id LIMIT 5000""".stripMargin,
     "q93_key_gaps" ->
+      """WITH k AS (SELECT DISTINCT event_id AS k FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)
+        |SELECT prev + 1 AS gap_start, k - 1 AS gap_end, k - prev - 1 AS n_missing
+        |FROM g WHERE k - prev > 1 ORDER BY n_missing DESC, gap_start LIMIT 20""".stripMargin,
+    // q109 is the partition-parallel plan for the SAME report: the gap set
+    // of a key sequence is partition-invariant, so q93's oracle applies
+    // verbatim — the hash compare IS the scale-twin equivalence proof
+    "q109_key_gaps_scale" ->
       """WITH k AS (SELECT DISTINCT event_id AS k FROM events WHERE event_type = 'purchase'),
         |g AS (SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM k)
         |SELECT prev + 1 AS gap_start, k - 1 AS gap_end, k - prev - 1 AS n_missing

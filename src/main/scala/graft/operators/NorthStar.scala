@@ -394,6 +394,45 @@ object NorthStar {
       .orderBy(col("seq_id"))
   }
 
+  /** Q110: shard-local sequence packing — [[q96SamplePacking]]'s 100 TB
+    * twin and the pretraining loaders' real practice: the corpus shards
+    * deterministically (doc_id mod 8 here; in production the input-file
+    * grouping), each shard packs independently with its own token-budget
+    * running sum, and sequence ids are per-shard. The cumsum window runs
+    * INSIDE `partitionBy(shard)` — a hash shuffle on shard, never a global
+    * single-partition sort — so the plan scales out linearly with shard
+    * count. The shard function is portable SQL, so unlike the other scale
+    * twins this one carries a full DuckDB hash oracle.
+    */
+  def q110PackingShard: Q = (s, d) => {
+    val budget = 2048L
+    val nShards = 8
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toksCol = filter(split(col("text"), " "), t => t =!= "")
+    val spans = Tables(s, d, "documents")
+      .select(col("doc_id"), big(size(toksCol)).as("n_tok"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards)).cast("long"))
+      .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("en", col("st") + col("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("shard"), col("doc_id"), col("st"), col("en"),
+        explode(sequence(expr(s"st div $budget"),
+          expr(s"(en - 1) div $budget"))).as("seq_id"))
+    spans
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (least(col("en"), (col("seq_id") + 1) * budget) -
+          greatest(col("st"), col("seq_id") * budget)).as("tok_in_seq"),
+        (col("st") < col("seq_id") * budget ||
+          col("en") > (col("seq_id") + 1) * budget).as("split"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_seq")).as("n_tokens"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** Q100: weight-proportional corpus sampling — build a training subsample
     * where longer (higher-weight) documents are proportionally more likely
     * to be kept: p = 0.25 · min(n_chars, 800)/800 via
@@ -411,6 +450,7 @@ object NorthStar {
   val queries: Map[String, Q] = Map(
     "q100_weighted_sample" -> q100WeightedSample,
     "q96_sample_packing" -> q96SamplePacking,
+    "q110_packing_shard" -> q110PackingShard,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -458,6 +498,24 @@ object NorthStar {
         |  CAST(SUM(least(en, (seq_id + 1) * 2048) - greatest(st, seq_id * 2048)) AS BIGINT) AS n_tokens,
         |  CAST(SUM(CASE WHEN st < seq_id * 2048 OR en > (seq_id + 1) * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
         |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "q110_packing_shard" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(coalesce(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM t),
+        |x AS (
+        |  SELECT shard, doc_id, s AS st, s + n_tok AS en, u.q AS seq_id
+        |  FROM sp, unnest(range(s // 2048, (s + n_tok - 1) // 2048 + 1)) AS u(q)
+        |  WHERE n_tok > 0)
+        |SELECT shard, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(least(en, (seq_id + 1) * 2048) - greatest(st, seq_id * 2048)) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN st < seq_id * 2048 OR en > (seq_id + 1) * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+        |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     "q90_merge_upsert" ->
       """WITH cs AS (
         |  SELECT CASE WHEN doc_id % 17 = 0 THEN doc_id

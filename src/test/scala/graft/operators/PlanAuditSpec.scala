@@ -32,7 +32,21 @@ class PlanAuditSpec extends SparkSpec {
     "q72_embed_dedup",   // bounded chunk scan (q60 family)
     "q74_prep_pipeline", // 1-row stats relation in the composition
     "q53_train_test_split", // 1-row split-total relation
-    "q62_stratified")    // 1-row per-stratum totals
+    "q62_stratified",    // 1-row per-stratum totals
+    "q108_equidepth_scale") // 1-row broadcast decile-cutoff array
+
+  /** Queries allowed to plan an un-partitioned Window (single-partition
+    * sort). Three are the documented EXACTNESS baselines whose scale twins
+    * (q108/q109/q110) avoid the global window entirely; the rest run the
+    * global window over a provably bounded relation, noted per entry.
+    * Everything else planning `WindowExec` with an empty partitionSpec
+    * fails — that's the classic silent 100 TB scale regression.
+    */
+  private val globalWindowAllowed = Map(
+    "q91_equidepth_bins" -> "exactness baseline; scale twin q108",
+    "q93_key_gaps" -> "exactness baseline; scale twin q109",
+    "q96_sample_packing" -> "exactness baseline; scale twin q110",
+    "q109_key_gaps_scale" -> "window over the <=numPartitions-row boundary summary")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -50,5 +64,97 @@ class PlanAuditSpec extends SparkSpec {
           assert(!plan.contains("BroadcastNestedLoopJoin"),
             s"$name plans a BroadcastNestedLoopJoin but is not in the documented bounded-broadcast set")
       }
+      if (!globalWindowAllowed.contains(name))
+        test(s"$name plans no un-partitioned Window") {
+          val global = globalWindows(fn(spark, sf0001).queryExecution.executedPlan)
+          assert(global.isEmpty,
+            s"$name plans a Window with no PARTITION BY — every row moves to one " +
+              s"partition (the silent scale regression); partition it or document " +
+              s"it in globalWindowAllowed:\n${global.mkString("\n")}")
+        }
     }
+
+  /** Collect un-partitioned Window operators, descending through
+    * AdaptiveSparkPlanExec — a plain `collect` on the AQE root sees no
+    * children and would pass VACUOUSLY.
+    */
+  private def globalWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case other => other.children
+    }
+    val here = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => Seq(w)
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Nil
+    }
+    here ++ kids.flatMap(globalWindows)
+  }
+
+  test("window audit traversal actually sees global windows (not vacuous)") {
+    // q91 is the documented global-ntile exactness baseline: the traversal
+    // MUST find its un-partitioned window, or every pass above is meaningless
+    val exec = SparkEntry.queries("q91_equidepth_bins")(spark, sf0001)
+      .queryExecution.executedPlan
+    assert(globalWindows(exec).nonEmpty,
+      "traversal failed to find q91's global window — the audit is blind")
+  }
+
+  /** The BENCH.md plan audits as regression tests: pushdown, broadcast and
+    * top-k physical shapes the design relies on at 100 TB. A silent
+    * Catalyst behavior change (or a refactor dropping a filter below a
+    * barrier) now fails `sbt test` instead of surfacing in a bench.
+    */
+  private def executedPlanOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01/q02 scans push their filters into the parquet source") {
+    for (q <- Seq("q01_scan_filter", "q02_string_pred")) {
+      val plan = executedPlanOf(q)
+      assert(plan.contains("PushedFilters: ["),
+        s"$q plan carries no PushedFilters section")
+      assert(!plan.contains("PushedFilters: []"),
+        s"$q pushed an EMPTY filter list to the scan — predicate pushdown regressed")
+    }
+  }
+
+  test("q23 scan prunes to the referenced columns (no full-width read)") {
+    // q23 is filterless by design; its scan discipline is COLUMN pruning —
+    // 6 referenced lineitem columns, not the table's full 16-column width
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other => other.children
+      }
+      (p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s.output.length)
+        case _ => Nil
+      }) ++ kids.flatMap(scans)
+    }
+    val widths = scans(SparkEntry.queries("q23_math")(spark, sf0001).queryExecution.executedPlan)
+    assert(widths.nonEmpty, "q23 plans no parquet FileScan")
+    assert(widths.forall(_ <= 6),
+      s"q23's scan reads ${widths.max} columns — column pruning regressed (needs 6)")
+  }
+
+  test("q04 star join broadcasts its dimension sides") {
+    val plan = executedPlanOf("q04_star_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q04's dimension joins must be broadcast hash joins (small dims, big fact)")
+    assert(!plan.contains("SortMergeJoin"),
+      "q04 planned a SortMergeJoin — a dim side exceeded the broadcast threshold " +
+        "or a hint was lost; at 100 TB this shuffles the fact table five times")
+  }
+
+  test("q19/q30 top-k queries plan TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q19_topk", "q30_cosine_topk")) {
+      val plan = executedPlanOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q must plan TakeOrderedAndProject (per-partition heap + driver merge); " +
+          s"a global Sort+Limit materializes the full order")
+    }
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Equivalence properties for the scale-safe twins of the three
+  * global-window exactness baselines (VERDICT r4 item 2), run at sf0.01 —
+  * the same scale the driver's oracle gate uses.
+  *
+  *   - q108 vs q91 (equi-depth bins): the sketch-cutoff path must land
+  *     within the GK error envelope of the exact ntile bins;
+  *   - q109 vs q93 (key gaps): the gap set is partition-invariant, so the
+  *     twins must agree EXACTLY (q109 also shares q93's DuckDB oracle);
+  *   - q110 vs q96 (packing): shard-local packing must conserve the token
+  *     mass and keep every non-tail sequence exactly full per shard.
+  */
+class ScaleTwinsSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("q108 equi-depth twin: bins within the sketch error envelope of exact q91") {
+    val exact = Extras.q91EquidepthBins(spark, sf001).collect()
+    val approx = Extras.q108EquidepthScale(spark, sf001).collect()
+    assert(approx.map(_.getLong(0)).toSeq === (1L to 10L),
+      "twin must produce exactly bins 1..10")
+    val n = exact.map(_.getLong(1)).sum
+    assert(approx.map(_.getLong(1)).sum === n, "twin must bin every row exactly once")
+    // approx_percentile accuracy 10000 ⇒ rank error ≤ n/10000 per cutoff;
+    // each bin is bounded by two cutoffs, plus ties all land in one bin
+    // where ntile splits them — allow 1% of the ideal bin population
+    val ideal = n / 10.0
+    for (r <- approx) {
+      val dev = math.abs(r.getLong(1) - ideal)
+      assert(dev <= math.max(5.0, 0.01 * ideal),
+        s"bin ${r.getLong(0)} holds ${r.getLong(1)} rows vs ideal $ideal — " +
+          s"outside the sketch error envelope")
+    }
+    // bins are value-disjoint and ordered: hi(b) <= lo(b+1)
+    val sorted = approx.sortBy(_.getLong(0))
+    for (Array(a, b) <- sorted.sliding(2).map(_.toArray)) {
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"bins ${a.getLong(0)} and ${b.getLong(0)} overlap in value range")
+    }
+  }
+
+  test("q109 key-gap twin: exactly equal to the global-window baseline") {
+    def rows(r: Array[Row]) = r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    val exact = rows(Extras.q93KeyGaps(spark, sf001).collect())
+    val scaled = rows(Extras.q109KeyGapsScale(spark, sf001).collect())
+    assert(scaled === exact,
+      "per-partition gaps + boundary exchange must reproduce the exact gap report")
+  }
+
+  test("q110 packing twin: conserves token mass and packs every shard fully") {
+    val exact = NorthStar.q96SamplePacking(spark, sf001).collect()
+    val sharded = NorthStar.q110PackingShard(spark, sf001).collect()
+    // token conservation: both pack the identical corpus token mass
+    val exactTokens = exact.map(_.getLong(2)).sum
+    assert(sharded.map(_.getLong(3)).sum === exactTokens,
+      "shard-local packing lost or duplicated tokens vs the exact baseline")
+    // within each shard: every sequence but the last is exactly full (2048)
+    val byShard = sharded.groupBy(_.getLong(0))
+    assert(byShard.size === 8, "doc_id mod 8 must populate all 8 shards at sf0.01")
+    for ((shard, rows) <- byShard) {
+      val ordered = rows.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq === ordered.indices.map(_.toLong),
+        s"shard $shard sequence ids must be dense from 0")
+      for (r <- ordered.dropRight(1))
+        assert(r.getLong(3) === 2048L,
+          s"shard $shard seq ${r.getLong(1)} holds ${r.getLong(3)} tokens — " +
+            s"non-tail sequences must be exactly full")
+      assert(ordered.last.getLong(3) <= 2048L)
+    }
+  }
+}
