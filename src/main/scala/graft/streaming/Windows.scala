@@ -348,10 +348,12 @@ object Windows {
     * (swap-on-commit — the table-format pattern without a table format).
     * Disjoint batch keys make sequential application equal the one-shot
     * MERGE, so the final state hash-matches q90's oracle verbatim. The
-    * MemoryStream feed is the local harness (production reads Kafka/files);
-    * the per-batch merge IS the production shape — state size rows ∝ base,
-    * shuffle ∝ base + batch per micro-batch, and at 100 TB the base is
-    * bucketed on the key so the merge join co-partitions.
+    * feed is a FILE-SOURCE stream: the changeset is written to parquet
+    * executor-side and streamed back file-by-file (`maxFilesPerTrigger=1`),
+    * so no declared query path ever materializes data on the driver — the
+    * production shape reads the same files (or Kafka) unbounded. State size
+    * rows ∝ base, shuffle ∝ base + batch per micro-batch, and at 100 TB the
+    * base is bucketed on the key so the merge join co-partitions.
     */
   /** One CDC micro-batch merge (shared by q98 and the restart test): FULL
     * OUTER on the key, delete-wins, provenance carried forward. IDEMPOTENT
@@ -369,8 +371,6 @@ object Windows {
         coalesce(col("op"), col("provenance")).as("provenance"))
 
   def q98StreamMerge: Q = (s, d) => {
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    import s.implicits._
     val docs = graft.Tables(s, d, "documents")
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
       .withColumn("provenance", lit("keep"))
@@ -378,12 +378,16 @@ object Windows {
     val dirs = Array(s"$tmp/state0", s"$tmp/state1")
     base.write.mode("overwrite").parquet(dirs(0))
     val cur = new java.util.concurrent.atomic.AtomicInteger(0)
-    // bounded driver feed for the MemoryStream harness (the changeset is
-    // ~10% of the corpus; a real source streams it)
-    val rows = graft.operators.NorthStar.changeset(docs)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
-    val sdf = stream.toDF().toDF("cs_id", "op", "new_text")
+    // executor-side feed: the changeset lands as 4 parquet files and
+    // streams back file-by-file — no changeset row ever touches the
+    // driver. Any file-partition of the changeset keeps batches
+    // key-disjoint (each cs_id occurs exactly once), so sequential
+    // application still equals the one-shot MERGE at any trigger slicing.
+    val feedDir = s"$tmp/feed"
+    val cs = graft.operators.NorthStar.changeset(docs)
+    cs.repartition(4, col("cs_id")).write.mode("overwrite").parquet(feedDir)
+    val sdf = s.readStream.schema(cs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
     val q = sdf.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
@@ -395,13 +399,7 @@ object Windows {
         ()
       }
       .start()
-    try {
-      val (even, odd) = rows.partition(_._1 % 2 == 0)
-      stream.addData(even.toSeq)
-      q.processAllAvailable()
-      stream.addData(odd.toSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     s.read.parquet(dirs(cur.get()))
       .select(col("doc_id"), col("provenance"),
         length(col("text")).cast("long").as("n_chars_new"))
