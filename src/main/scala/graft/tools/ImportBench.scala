@@ -10,21 +10,32 @@ import java.nio.file.Files
   * SF as CSV, then times the full pipeline: schema application → date-derived
   * partitioning column → partitioned parquet write.
   *
-  * Usage: runMain graft.tools.ImportBench [sfDir]
+  * Usage: runMain graft.tools.ImportBench [sfDir] [replication]
+  *
+  * `replication` unions the sf lineitem N times before the CSV
+  * materialization, producing a multi-hundred-MB MULTI-FILE dump — the
+  * reference's actual "multi-GB dumps" workload shape (README.md:11) —
+  * so the throughput trend line has a point beyond a single small file.
   */
 object ImportBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val spark = Engine.session("graft-import-bench")
     spark.sparkContext.setLogLevel("WARN")
     val work = Files.createTempDirectory("graft-import-bench").toString
 
     // materialize CSV input (timestamp as string, like real CSV dumps)
     import org.apache.spark.sql.functions._
-    val li = Tables(spark, sfDir, "lineitem")
+    val li0 = Tables(spark, sfDir, "lineitem")
       .withColumn("l_shipdate", date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm"))
+    val li = Seq.fill(rep)(li0).reduce(_ union _)
     Writers.csv(li, s"$work/lineitem_csv")
     val rows = li.count()
+    val csvBytes = new java.io.File(s"$work/lineitem_csv").listFiles()
+      .filter(_.getName.endsWith(".csv")).map(_.length()).sum
+    val csvFiles = new java.io.File(s"$work/lineitem_csv").listFiles()
+      .count(_.getName.endsWith(".csv"))
 
     val schemaFile = s"$work/lineitem.schema"
     Files.writeString(java.nio.file.Paths.get(schemaFile),
@@ -51,7 +62,13 @@ object ImportBench {
       partitionCols = Seq("year")))(spark)
     val sec = (System.nanoTime() - t0) / 1e9
     val outRows = spark.read.parquet(s"$work/out").count()
-    println(s"""{"metric":"import_csv_to_partitioned_parquet","rows":$rows,"out_rows":$outRows,"sec":$sec,"rows_per_sec":${(rows / sec).toLong},"sf":"$sfDir"}""")
+    println(s"""{"metric":"import_csv_to_partitioned_parquet","rows":$rows,"out_rows":$outRows,"sec":$sec,"rows_per_sec":${(rows / sec).toLong},"csv_bytes":$csvBytes,"csv_files":$csvFiles,"replication":$rep,"sf":"$sfDir"}""")
+    // the replicated dump can reach ~0.5 GB — don't leave it in /tmp
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(work)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
