@@ -433,6 +433,59 @@ object NorthStar {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** Q111: temperature-resampled corpus mixing weights — the multi-source
+    * sampling schedule a pretraining run derives before reading a byte:
+    * per-source exact token counts, sampling weight w ∝ n_tokens^alpha
+    * (alpha = 0.3 flattens the head exactly as multilingual/multi-domain
+    * recipes do), and the expected document draw from a 10k-doc budget.
+    * One aggregate + a 1-row broadcast total — embeds at any corpus size.
+    * Float discipline: pow values are rounded to 6 dp and summed as exact
+    * DECIMAL(18,6) (order-independent), then the weight division runs in
+    * doubles with the same arithmetic shape in both engines, D4-rounded.
+    */
+  def q111MixWeights: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val perSource = Tables(s, d, "documents")
+      .select(col("source"), big(size(toks)).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("wraw", round(pow(col("n_tokens").cast("double"), 0.3), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val total = perSource.agg(sum(col("wraw")).as("wsum"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("wraw").cast("double") / col("wsum").cast("double"), 4).as("mix_weight"),
+        round(lit(10000) * col("wraw").cast("double") / col("wsum").cast("double"), 2).as("target_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Q112: quality-gate funnel — the per-source observability report a
+    * cleaning pipeline emits every batch: documents passing each gate
+    * (length ≥ 40 tokens, stopword ratio ≥ 2%, distinct-token ratio
+    * ≥ 0.4) and all three together. Division-free integer comparisons on
+    * exact token counts, so the report is portable to the oracle verbatim;
+    * map + one aggregate at any scale.
+    */
+  def q112FilterFunnel: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val en = Seq("the", "a", "of", "and", "to")
+    val gLen = col("n_tok") >= 40
+    val gStop = col("n_stop") * 50 >= col("n_tok")
+    val gRep = col("n_uniq") * 5 >= col("n_tok") * 2
+    Tables(s, d, "documents")
+      .select(col("source"),
+        big(size(toks)).as("n_tok"),
+        big(size(array_distinct(toks))).as("n_uniq"),
+        big(size(filter(toks, t => t.isin(en: _*)))).as("n_stop"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(gLen, 1L).otherwise(0L)).as("pass_len"),
+        sum(when(gStop, 1L).otherwise(0L)).as("pass_stop"),
+        sum(when(gRep, 1L).otherwise(0L)).as("pass_rep"),
+        sum(when(gLen && gStop && gRep, 1L).otherwise(0L)).as("pass_all"))
+      .orderBy(col("source"))
+  }
+
   /** Q100: weight-proportional corpus sampling — build a training subsample
     * where longer (higher-weight) documents are proportionally more likely
     * to be kept: p = 0.25 · min(n_chars, 800)/800 via
@@ -451,6 +504,8 @@ object NorthStar {
     "q100_weighted_sample" -> q100WeightedSample,
     "q96_sample_packing" -> q96SamplePacking,
     "q110_packing_shard" -> q110PackingShard,
+    "q111_mix_weights" -> q111MixWeights,
+    "q112_filter_funnel" -> q112FilterFunnel,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -516,6 +571,33 @@ object NorthStar {
         |  CAST(SUM(least(en, (seq_id + 1) * 2048) - greatest(st, seq_id * 2048)) AS BIGINT) AS n_tokens,
         |  CAST(SUM(CASE WHEN st < seq_id * 2048 OR en > (seq_id + 1) * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
         |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+    "q111_mix_weights" ->
+      """WITH t AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.3), 6) AS DECIMAL(18,6)) AS wraw
+        |  FROM t),
+        |s AS (SELECT SUM(wraw) AS wsum FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(wraw AS DOUBLE) / CAST(wsum AS DOUBLE), 4) AS mix_weight,
+        |  round(10000 * CAST(wraw AS DOUBLE) / CAST(wsum AS DOUBLE), 2) AS target_docs
+        |FROM w, s ORDER BY source""".stripMargin,
+    "q112_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_uniq,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN n_tok >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+        |  CAST(SUM(CASE WHEN n_stop * 50 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+        |  CAST(SUM(CASE WHEN n_uniq * 5 >= n_tok * 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
+        |  CAST(SUM(CASE WHEN n_tok >= 40 AND n_stop * 50 >= n_tok AND n_uniq * 5 >= n_tok * 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q90_merge_upsert" ->
       """WITH cs AS (
         |  SELECT CASE WHEN doc_id % 17 = 0 THEN doc_id
