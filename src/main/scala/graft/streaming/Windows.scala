@@ -378,14 +378,15 @@ object Windows {
     val dirs = Array(s"$tmp/state0", s"$tmp/state1")
     base.write.mode("overwrite").parquet(dirs(0))
     val cur = new java.util.concurrent.atomic.AtomicInteger(0)
-    // executor-side feed: the changeset lands as 4 parquet files and
+    // executor-side feed: the changeset lands as 2 parquet files and
     // streams back file-by-file — no changeset row ever touches the
     // driver. Any file-partition of the changeset keeps batches
     // key-disjoint (each cs_id occurs exactly once), so sequential
-    // application still equals the one-shot MERGE at any trigger slicing.
+    // application still equals the one-shot MERGE at any trigger slicing;
+    // 2 files = 2 micro-batches, matching the pre-file-source drain count.
     val feedDir = s"$tmp/feed"
     val cs = graft.operators.NorthStar.changeset(docs)
-    cs.repartition(4, col("cs_id")).write.mode("overwrite").parquet(feedDir)
+    cs.repartition(2, col("cs_id")).write.mode("overwrite").parquet(feedDir)
     val sdf = s.readStream.schema(cs.schema)
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
     val q = sdf.writeStream.outputMode(OutputMode.Append)
