@@ -380,20 +380,27 @@ object Extras {
     */
   def q109KeyGapsScale: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val keys = Tables.events(s, d).filter(col("event_type") === "purchase")
-      .select(col("event_id").as("k")).distinct()
-      .repartitionByRange(32, col("k"))
-      .withColumn("pid", spark_partition_id())
     // within-partition gaps: the window shuffles by hash(pid), keeping each
-    // range-partition's keys together — never a single-partition sort
+    // range-partition's keys together — never a single-partition sort. The
+    // windowed relation is materialized ONCE (the library's reused-relation
+    // discipline): its two consumers below would otherwise each re-run the
+    // scan → distinct → range exchange → window chain, doubling the
+    // dominant cost at scale (spark_partition_id's non-determinism blocks
+    // Catalyst's own exchange reuse here — verified in the plan).
     val wIn = Window.partitionBy(col("pid")).orderBy(col("k"))
-    val inner = keys.withColumn("prev", lag(col("k"), 1).over(wIn))
+    val withPrev = graft.Checkpoints.materialize(
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("k")).distinct()
+        .repartitionByRange(32, col("k"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("prev", lag(col("k"), 1).over(wIn)))
+    val inner = withPrev
       .filter(col("k") - col("prev") > 1)
       .select((col("prev") + 1).as("gap_start"), (col("k") - 1).as("gap_end"),
         (col("k") - col("prev") - 1).as("n_missing"))
     // boundary exchange: partition i's min closes partition i-1's last gap;
     // lag (not a pid self-join) so empty partitions can't hide a boundary
-    val bounds = keys.groupBy(col("pid"))
+    val bounds = withPrev.groupBy(col("pid"))
       .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
     val wB = Window.orderBy(col("pid")) // ≤ numPartitions summary rows
     val boundary = bounds.withColumn("prev_hi", lag(col("hi"), 1).over(wB))
