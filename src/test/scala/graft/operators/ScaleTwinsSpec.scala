@@ -43,6 +43,23 @@ class ScaleTwinsSpec extends SparkSpec {
     }
   }
 
+  test("q108 is bit-reproducible across shuffle parallelisms") {
+    // the sixth engine-only query joins the determinism contract of the
+    // other five (NorthStarSpec): the GK sketch's partial merges run in
+    // partition-index order, so the cutoffs — and therefore every bin —
+    // must be identical whether exchanges land on 8 or 32 partitions
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run() = Extras.q108EquidepthScale(spark, sf001).collect().toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val at8 = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val at32 = run()
+      assert(at8.nonEmpty)
+      assert(at8 === at32, "q108 bins differ across shuffle parallelisms")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q109 key-gap twin: exactly equal to the global-window baseline") {
     def rows(r: Array[Row]) = r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
     val exact = rows(Extras.q93KeyGaps(spark, sf001).collect())
