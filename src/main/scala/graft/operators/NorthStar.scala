@@ -229,6 +229,49 @@ object NorthStar {
       .orderBy(col("group_size"))
   }
 
+  /** Candidate pairs for [[q113EmbedDedupBlocked]]: vectors co-assigned to
+    * any shared IVF cluster (3-replica multi-assignment so near-boundary
+    * vectors co-occur with BOTH neighborhoods they straddle), exact-verified
+    * at the q72 threshold. Factored out so ScaleTwinsSpec can pin precision
+    * and recall against the exact all-pairs baseline.
+    */
+  def ivfBlockedPairs(emb: DataFrame): DataFrame = {
+    val (assigned, _) = graft.similarity.Ann.ivfIndex(
+      emb, "vec_id", "embedding", k = 16, refineIters = 1, assignReplicas = 3)
+    val a = assigned.select(col("cid"), col("id").as("id1"), col("ev").as("ev1"))
+    val b = assigned.select(col("cid"), col("id").as("id2"), col("ev").as("ev2"))
+    a.join(b, Seq("cid"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        graft.functions.VectorFunctions.cosineSim(col("ev1"), col("ev2")).as("cos"))
+      .filter(round(col("cos"), 6) >= 0.4)
+      .select(col("id1"), col("id2"))
+      .distinct() // replica co-assignments emit the same pair up to r² times
+  }
+
+  /** Q113: IVF-blocked embedding dedup — [[q72EmbedDedup]]'s scale twin
+    * (the last `weak`-by-design pair's scale path, same move as
+    * q108/q109/q110 for the window trio): candidate pairs are generated
+    * only WITHIN shared IVF cluster assignments instead of the exact
+    * all-pairs compare, cutting compare volume from n²/2 to ~r²·n²/2K
+    * (K=16 clusters, r=3 replicas — measured at sf0.01 in ScaleTwinsSpec),
+    * then exact-verified at the same threshold and resolved with the SAME
+    * components + histogram machinery. Precision is 1.0 by construction
+    * (every emitted pair passes the exact cosine test); recall < 1 by
+    * design is the blocking trade, pinned in the spec. Engine-only; the
+    * exactness baseline remains q72.
+    */
+  def q113EmbedDedupBlocked: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    Components.resolveDuplicates(
+        emb.select(col("vec_id")), "vec_id", ivfBlockedPairs(emb))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+  }
+
   /** Q74: the end-to-end training-data prep pipeline — the composition a
     * reference user actually runs, as ONE declarative query: quality filter
     * (≥ 40 tokens) → exact content dedup (md5 keep-first) → language tag
@@ -506,6 +549,7 @@ object NorthStar {
     "q110_packing_shard" -> q110PackingShard,
     "q111_mix_weights" -> q111MixWeights,
     "q112_filter_funnel" -> q112FilterFunnel,
+    "q113_embed_dedup_blocked" -> q113EmbedDedupBlocked,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,

@@ -68,6 +68,30 @@ class ScaleTwinsSpec extends SparkSpec {
       "per-partition gaps + boundary exchange must reproduce the exact gap report")
   }
 
+  test("q113 IVF-blocked dedup: precision 1.0, recall pinned vs exact q72 pairs") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables(spark, sf001, "embeddings")
+    // exact >= 0.4 pair set (q72's own candidate relation)
+    val withNorm = emb
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("ev"), col("ev"))))
+    val exact = Similarity.exactCosinePairs(withNorm)
+      .filter(round(col("cos"), 6) >= 0.4)
+      .select(col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = NorthStar.ivfBlockedPairs(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "baseline produced no pairs — threshold drifted")
+    // precision 1.0: blocking may MISS pairs, never invent them
+    assert(blocked.subsetOf(exact),
+      s"blocked pairs not a subset of exact: ${(blocked -- exact).take(5)}")
+    // recall: the K=16/r=3 blocking must keep the large majority of true
+    // pairs at sf0.01 (measured 0.8-0.9 when written; bound leaves margin)
+    val recall = blocked.size.toDouble / exact.size
+    info(f"q113 blocking recall: ${recall}%.3f (${blocked.size}/${exact.size} pairs)")
+    assert(recall >= 0.6, f"blocking recall $recall%.3f fell below 0.6")
+  }
+
   test("q110 packing twin: conserves token mass and packs every shard fully") {
     val exact = NorthStar.q96SamplePacking(spark, sf001).collect()
     val sharded = NorthStar.q110PackingShard(spark, sf001).collect()
