@@ -235,7 +235,7 @@ object NorthStar {
     * at the q72 threshold. Factored out so ScaleTwinsSpec can pin precision
     * and recall against the exact all-pairs baseline.
     */
-  def ivfBlockedPairs(emb: DataFrame): DataFrame = {
+  def ivfBlockedPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
     val (assigned, _) = graft.similarity.Ann.ivfIndex(
       emb, "vec_id", "embedding", k = 16, refineIters = 1, assignReplicas = 3)
     val a = assigned.select(col("cid"), col("id").as("id1"), col("ev").as("ev1"))
@@ -244,9 +244,10 @@ object NorthStar {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         graft.functions.VectorFunctions.cosineSim(col("ev1"), col("ev2")).as("cos"))
-      .filter(round(col("cos"), 6) >= 0.4)
-      .select(col("id1"), col("id2"))
-      .distinct() // replica co-assignments emit the same pair up to r² times
+      .filter(round(col("cos"), 6) >= minCos)
+      // replica co-assignments emit the same pair up to r² times (same cos
+      // — it's the exact verify); one survivor per pair
+      .dropDuplicates("id1", "id2")
   }
 
   /** Q113: IVF-blocked embedding dedup — [[q72EmbedDedup]]'s scale twin
@@ -270,6 +271,20 @@ object NorthStar {
       .groupBy(col("group_size"))
       .agg(count(lit(1)).as("n_groups"))
       .orderBy(col("group_size"))
+  }
+
+  /** Q114: blocked top-k cosine pairs — [[Similarity.q60CosinePairs]]'
+    * scale twin, closing the weak-by-design list entirely: the same
+    * top-50 most-similar-pairs report, with candidates from the IVF
+    * blocking (exact scores — cosine is verified, not estimated) instead
+    * of the exact all-pairs compare. Recall@50 vs the exact baseline is
+    * pinned in ScaleTwinsSpec; q60 remains the exactness reference.
+    */
+  def q114CosineTopkBlocked: Q = (s, d) => {
+    ivfBlockedPairs(Tables(s, d, "embeddings"), minCos = -1.0)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("score"))
+      .orderBy(col("score").desc, col("id1"), col("id2"))
+      .limit(50)
   }
 
   /** Q74: the end-to-end training-data prep pipeline — the composition a
@@ -550,6 +565,7 @@ object NorthStar {
     "q111_mix_weights" -> q111MixWeights,
     "q112_filter_funnel" -> q112FilterFunnel,
     "q113_embed_dedup_blocked" -> q113EmbedDedupBlocked,
+    "q114_cosine_topk_blocked" -> q114CosineTopkBlocked,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,

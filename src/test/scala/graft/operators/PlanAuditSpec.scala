@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "q62_stratified",    // 1-row per-stratum totals
     "q108_equidepth_scale", // 1-row broadcast decile-cutoff array
     "q111_mix_weights",  // 1-row broadcast weight-normalization total
-    "q113_embed_dedup_blocked") // K-centroid broadcast (q41's IVF index)
+    "q113_embed_dedup_blocked", // K-centroid broadcast (q41's IVF index)
+    "q114_cosine_topk_blocked") // K-centroid broadcast (q41's IVF index)
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins

@@ -92,6 +92,16 @@ class ScaleTwinsSpec extends SparkSpec {
     assert(recall >= 0.6, f"blocking recall $recall%.3f fell below 0.6")
   }
 
+  test("q114 blocked top-k pairs: exact scores, recall@50 pinned vs exact q60") {
+    val exactTop = Similarity.q60CosinePairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockedTop = NorthStar.q114CosineTopkBlocked(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (blockedTop & exactTop).size.toDouble / exactTop.size
+    info(f"q114 recall@50: ${recall}%.3f")
+    assert(recall >= 0.7, f"blocked top-50 recall $recall%.3f fell below 0.7")
+  }
+
   test("q110 packing twin: conserves token mass and packs every shard fully") {
     val exact = NorthStar.q96SamplePacking(spark, sf001).collect()
     val sharded = NorthStar.q110PackingShard(spark, sf001).collect()
