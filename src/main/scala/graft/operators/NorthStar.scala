@@ -232,12 +232,18 @@ object NorthStar {
   /** Candidate pairs for [[q113EmbedDedupBlocked]]: vectors co-assigned to
     * any shared IVF cluster (3-replica multi-assignment so near-boundary
     * vectors co-occur with BOTH neighborhoods they straddle), exact-verified
-    * at the q72 threshold. Factored out so ScaleTwinsSpec can pin precision
-    * and recall against the exact all-pairs baseline.
+    * at the q72 threshold. K grows as √n so the EXPECTED CLUSTER SIZE —
+    * and with it the per-cluster pair quadratic — stays bounded relative
+    * to the corpus: compare volume ~r²·n²/2K = r²·n^1.5/2, against the
+    * baseline's n²/2. (A fixed K would quietly decay to all-pairs as the
+    * corpus grows — the silent blocking regression.) Factored out so
+    * ScaleTwinsSpec can pin precision and recall against the exact
+    * all-pairs baseline.
     */
   def ivfBlockedPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+    val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     val (assigned, _) = graft.similarity.Ann.ivfIndex(
-      emb, "vec_id", "embedding", k = 16, refineIters = 1, assignReplicas = 3)
+      emb, "vec_id", "embedding", k = k, refineIters = 1, assignReplicas = 3)
     val a = assigned.select(col("cid"), col("id").as("id1"), col("ev").as("ev1"))
     val b = assigned.select(col("cid"), col("id").as("id2"), col("ev").as("ev2"))
     a.join(b, Seq("cid"))
