@@ -31,4 +31,19 @@ class QueriesGoldenSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- qs
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
+
+  test("every query is oracle-checked or in the DOCUMENTED engine-only set") {
+    // the declared engine-only queries (SURVEY §2.4): approximate or
+    // sketch-cutoff by design, each carrying property + reproducibility
+    // tests instead of a DuckDB hash. A new query missing its oracle must
+    // be added HERE deliberately, not slip through silently unchecked.
+    val engineOnly = Set(
+      "q35_approx_distinct", "q37_minhash_pairs", "q39_simhash_pairs",
+      "q40_ann_lsh", "q41_ann_ivf", "q108_equidepth_scale",
+      "q113_embed_dedup_blocked", "q114_cosine_topk_blocked")
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked === engineOnly,
+      s"oracle-less queries drifted from the documented engine-only set; " +
+        s"undocumented: ${unchecked -- engineOnly}; stale: ${engineOnly -- unchecked}")
+  }
 }
