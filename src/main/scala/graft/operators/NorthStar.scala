@@ -182,6 +182,39 @@ object NorthStar {
       .orderBy(col("group_size"))
   }
 
+  /** Q115: cross-source near-dup leakage — the contamination report for
+    * multi-corpus training sets: the same COMPLETE exact-Jaccard pair set
+    * as q56 (prefix-filtered self-join, shuffle ∝ rare-shingle joins),
+    * joined back to document provenance and reduced to pairs whose two
+    * members live in DIFFERENT sources — content leaking between corpora
+    * (dataset overlap / benchmark contamination across files). Per
+    * unordered source pair: leak-pair count and distinct leaked documents.
+    * The pair relation is materialized once for its two aggregations
+    * (pair generation is the expensive part; the pair set itself is tiny).
+    */
+  def q115CrossSourceLeakage: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val tagged = graft.Checkpoints.materialize(
+      JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+        .select(col("id1"), col("id2"))
+        .join(src.toDF("id1", "src1"), Seq("id1"))
+        .join(src.toDF("id2", "src2"), Seq("id2"))
+        .filter(col("src1") =!= col("src2"))
+        .select(least(col("src1"), col("src2")).as("source_a"),
+          greatest(col("src1"), col("src2")).as("source_b"),
+          col("id1"), col("id2")))
+    val nPairs = tagged.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tagged
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("id1"), col("id2"))).as("docid"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("docid")).as("n_docs"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
     * survivor rule production pipelines actually use: within each near-dup
     * component keep the highest-quality copy (longest text, id tiebreak),
@@ -572,6 +605,7 @@ object NorthStar {
     "q112_filter_funnel" -> q112FilterFunnel,
     "q113_embed_dedup_blocked" -> q113EmbedDedupBlocked,
     "q114_cosine_topk_blocked" -> q114CosineTopkBlocked,
+    "q115_cross_source_leakage" -> q115CrossSourceLeakage,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -637,6 +671,35 @@ object NorthStar {
         |  CAST(SUM(least(en, (seq_id + 1) * 2048) - greatest(st, seq_id * 2048)) AS BIGINT) AS n_tokens,
         |  CAST(SUM(CASE WHEN st < seq_id * 2048 OR en > (seq_id + 1) * 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
         |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+    "q115_cross_source_leakage" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |          WHERE 3 * i >= a.n + b.n),
+        |d AS (SELECT doc_id, source FROM documents),
+        |tagged AS (
+        |  SELECT least(d1.source, d2.source) AS source_a,
+        |         greatest(d1.source, d2.source) AS source_b, id1, id2
+        |  FROM pairs JOIN d d1 ON id1 = d1.doc_id JOIN d d2 ON id2 = d2.doc_id
+        |  WHERE d1.source <> d2.source),
+        |np AS (SELECT source_a, source_b, COUNT(*) AS n_pairs
+        |       FROM tagged GROUP BY 1, 2),
+        |nd AS (SELECT source_a, source_b, COUNT(DISTINCT docid) AS n_docs FROM (
+        |         SELECT source_a, source_b, id1 AS docid FROM tagged
+        |         UNION ALL SELECT source_a, source_b, id2 FROM tagged)
+        |       GROUP BY 1, 2)
+        |SELECT np.source_a, np.source_b, n_pairs, n_docs
+        |FROM np JOIN nd ON np.source_a = nd.source_a AND np.source_b = nd.source_b
+        |ORDER BY np.source_a, np.source_b""".stripMargin,
     "q111_mix_weights" ->
       """WITH t AS (
         |  SELECT source, COUNT(*) AS n_docs,
