@@ -19,7 +19,16 @@ import org.apache.spark.sql.DataFrame
   *
   * Reliable mode sets the SparkContext checkpoint dir (a documented GLOBAL
   * side effect — Spark appends a per-context UUID subdir, so distinct
-  * sessions never collide on the same base path). Spark does not delete
+  * sessions never collide on the same base path). Because the dir is
+  * context-global, the set-dir + checkpoint pair is made atomic under
+  * [[checkpointDirLock]]: without it, two concurrent reliable-mode calls in
+  * the one driver JVM race — the last `setCheckpointDir` wins and call A's
+  * checkpoint lands in call B's directory. The lock serializes the
+  * checkpoint JOBS of concurrent library calls (a priced trade: reliable
+  * mode buys fault tolerance, not parallel-call throughput); user code that
+  * calls `sc.setCheckpointDir` directly while a library checkpoint is in
+  * flight is outside the lock and remains the caller's responsibility.
+  * Spark does not delete
   * checkpoint files on its own; operate the base path with a TTL/cleanup
   * policy, or use [[graft.dedup.Components]]' explicit parameter for the
   * iterative case where superseded snapshots are deleted eagerly.
@@ -29,6 +38,13 @@ object Checkpoints {
   /** Session conf key holding the durable checkpoint base path. */
   val ConfKey = "graft.checkpointDir"
 
+  /** JVM-wide lock making the (context-global) `setCheckpointDir` +
+    * `checkpoint()` pair atomic across every reliable-mode call in this
+    * library — [[materialize]] here and [[graft.dedup.Components]]'
+    * iteration checkpoints share it.
+    */
+  private[graft] val checkpointDirLock = new Object
+
   /** Materialize `df` eagerly and cut its lineage; mode per the session conf
     * (explicit `checkpointDir` overrides it).
     */
@@ -37,9 +53,10 @@ object Checkpoints {
       .orElse(df.sparkSession.conf.getOption(ConfKey))
       .filter(_.nonEmpty)
     dir match {
-      case Some(d) =>
+      case Some(d) => checkpointDirLock.synchronized {
         df.sparkSession.sparkContext.setCheckpointDir(d)
         df.checkpoint(eager = true)
+      }
       case None => df.localCheckpoint(eager = true)
     }
   }

@@ -27,10 +27,19 @@ import org.apache.spark.sql.types.DecimalType
   * Reliable-mode caveats: `setCheckpointDir` is a GLOBAL SparkContext
   * mutation. Because this implementation DELETES superseded checkpoint
   * directories (below), each invocation isolates itself under a fresh
-  * per-call subdirectory (`dir/cc-<uuid>`) — so the listing-diff that
-  * attributes rdd-* dirs to an iteration can never capture (and later
-  * delete) a checkpoint written concurrently by another job sharing the
-  * same root. Spark itself never
+  * per-call subdirectory (`dir/cc-<uuid>`), which protects the listing-diff
+  * against FOREIGN data: pre-existing files and checkpoints from other
+  * sessions/applications sharing the same root are never captured or
+  * deleted. Same-context concurrency is handled separately — the dir is
+  * re-set and the checkpoint run atomically under
+  * [[graft.Checkpoints.checkpointDirLock]] each iteration, so a concurrent
+  * `connectedComponents` or `Checkpoints.materialize` call in the same
+  * driver JVM cannot redirect this call's checkpoint into its own directory
+  * (the pre-lock failure mode: last set-dir wins, call A's LIVE checkpoint
+  * lands in call B's dir and B's listing-diff deletes it). The lock
+  * serializes concurrent reliable-mode checkpoint jobs; direct user calls
+  * to `sc.setCheckpointDir` outside this library are not covered.
+  * Spark itself never
   * deletes checkpoint files (`spark.cleaner.referenceTracking.cleanCheckpoints`
   * defaults to false and only triggers on GC), so each iteration would leave
   * its superseded label snapshot on durable storage forever; this
@@ -53,31 +62,33 @@ object Components {
     // only ever sees THIS run's checkpoints — safe to delete aggressively
     // even when other jobs checkpoint concurrently under the caller's root
     val callDir = checkpointDir.map(_ + "/cc-" + java.util.UUID.randomUUID())
-    val ckpt: DataFrame => DataFrame = callDir match {
-      case Some(dir) =>
-        sc.setCheckpointDir(dir) // global side effect — see scaladoc
-        df => df.checkpoint(eager = true)
-      case None => df => df.localCheckpoint(eager = true)
+    // reliable-mode checkpoint hygiene: re-set the (context-global) dir and
+    // run the checkpoint ATOMICALLY under the shared lock — a concurrent
+    // reliable-mode call may have moved the global dir since the last
+    // iteration (scaladoc: the pre-lock race put call A's live checkpoint
+    // inside call B's dir). Spark appends a fresh UUID subdir on every
+    // setCheckpointDir, so each checkpoint here gets a private parent dir;
+    // the listing-diff of that parent identifies exactly this checkpoint's
+    // rdd-* files, and a superseded iteration's parent can be deleted whole
+    // as soon as its successor is materialized (Spark never cleans them).
+    def ckptTracked(df: DataFrame): (DataFrame, Set[String]) = callDir match {
+      case Some(dir) => graft.Checkpoints.checkpointDirLock.synchronized {
+        sc.setCheckpointDir(dir)
+        val resolved = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = resolved.getFileSystem(sc.hadoopConfiguration)
+        def ls(): Set[String] =
+          if (fs.exists(resolved)) fs.listStatus(resolved).map(_.getPath.toString).toSet
+          else Set.empty
+        val before = ls()
+        val out = df.checkpoint(eager = true)
+        (out, ls() -- before)
+      }
+      case None => (df.localCheckpoint(eager = true), Set.empty[String])
     }
-    // reliable-mode checkpoint hygiene: snapshot the rdd-* dirs around each
-    // checkpoint so a superseded iteration's files can be deleted as soon as
-    // its successor is materialized (Spark never cleans them itself)
-    val fsRoot = callDir.flatMap(_ => sc.getCheckpointDir).map { resolved =>
-      val p = new org.apache.hadoop.fs.Path(resolved)
-      (p.getFileSystem(sc.hadoopConfiguration), p)
-    }
-    def rddDirs(): Set[String] = fsRoot match {
-      case Some((fs, root)) if fs.exists(root) =>
-        fs.listStatus(root).map(_.getPath.toString).toSet
-      case _ => Set.empty
-    }
-    def ckptTracked(df: DataFrame): (DataFrame, Set[String]) = {
-      val before = rddDirs()
-      val out = ckpt(df)
-      (out, rddDirs() -- before)
-    }
-    def deleteDirs(dirs: Set[String]): Unit = fsRoot.foreach { case (fs, _) =>
-      dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    def deleteDirs(dirs: Set[String]): Unit = dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      // delete the per-checkpoint UUID parent too — it held only this rdd
+      p.getFileSystem(sc.hadoopConfiguration).delete(p.getParent, true)
     }
     // materialize the caller's edge pipeline ONCE before symmetrizing — the
     // two union branches would otherwise re-execute it (edge generation is

@@ -349,12 +349,28 @@ object Extras {
     * the equivalence envelope vs the exact baseline at sf0.01. Engine-only:
     * DuckDB's approx_quantile is a different sketch, so cutoffs differ by
     * design.
+    *
+    * Heavy-tie inputs: a value spanning more than one decile makes
+    * `approx_percentile` return DUPLICATE cutoffs. Those are deduplicated
+    * (`array_distinct`), and cutoffs equal to the global minimum are
+    * dropped (they would bound an unconditionally empty "below the first
+    * decile" bin), so the affected deciles MERGE into one wider bin — bin
+    * ids stay dense 1..m with m < 10 (guaranteed: every surviving cutoff
+    * is an observed value strictly above the min, so each bin contains at
+    * least the cutoff that closes it) and every row still lands in exactly
+    * one bin — rather than leaving empty bins and skipping tied values to
+    * the highest duplicate. Equi-depth binning cannot split a tie group
+    * without an arbitrary secondary key, so merged bins are the honest
+    * answer; ScaleTwinsSpec pins this contract on a heavy-tie input.
+    * On o_totalprice (near-unique) all nine cutoffs are distinct and the
+    * result is exactly bins 1..10.
     */
   def q108EquidepthScale: Q = (s, d) => {
     val orders = Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
     val cuts = orders.agg(expr(
-      "approx_percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
-      .as("cuts"))
+        "approx_percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+        .as("rawcuts"), min(col("o_totalprice")).as("mn"))
+      .select(expr("filter(array_distinct(rawcuts), c -> c > mn)").as("cuts"))
     orders.crossJoin(broadcast(cuts))
       .select(col("o_orderkey"), col("o_totalprice"),
         (lit(1L) + expr("aggregate(cuts, 0, (a, c) -> a + IF(o_totalprice >= c, 1, 0))")

@@ -293,9 +293,11 @@ object NorthStar {
     * (the last `weak`-by-design pair's scale path, same move as
     * q108/q109/q110 for the window trio): candidate pairs are generated
     * only WITHIN shared IVF cluster assignments instead of the exact
-    * all-pairs compare, cutting compare volume from n²/2 to ~r²·n²/2K
-    * (K=16 clusters, r=3 replicas — measured at sf0.01 in ScaleTwinsSpec),
-    * then exact-verified at the same threshold and resolved with the SAME
+    * all-pairs compare, cutting compare volume from n²/2 to ~r²·n^1.5/2
+    * (K grows as √n so cluster size stays bounded — a fixed K would decay
+    * to all-pairs as the corpus grows; r=3 replicas — measured at sf0.01
+    * in ScaleTwinsSpec), then exact-verified at the same threshold and
+    * resolved with the SAME
     * components + histogram machinery. Precision is 1.0 by construction
     * (every emitted pair passes the exact cosine test); recall < 1 by
     * design is the blocking trade, pinned in the spec. Engine-only; the

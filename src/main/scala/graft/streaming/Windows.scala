@@ -382,8 +382,10 @@ object Windows {
     // streams back file-by-file — no changeset row ever touches the
     // driver. Any file-partition of the changeset keeps batches
     // key-disjoint (each cs_id occurs exactly once), so sequential
-    // application still equals the one-shot MERGE at any trigger slicing;
-    // 2 files = 2 micro-batches, matching the pre-file-source drain count.
+    // application still equals the one-shot MERGE at any trigger slicing —
+    // at most one non-empty batch per file (the file-stream lifecycle may
+    // add empty/extra triggers; the !batch.isEmpty guard skips them), and
+    // any slicing is merge-equivalent.
     val feedDir = s"$tmp/feed"
     val cs = graft.operators.NorthStar.changeset(docs)
     cs.repartition(2, col("cs_id")).write.mode("overwrite").parquet(feedDir)

@@ -71,6 +71,25 @@ class ComponentsSpec extends SparkSpec {
       "foreign checkpoint data under the shared root was destroyed")
   }
 
+  test("concurrent reliable-mode calls in one context do not cross-delete checkpoints") {
+    // pre-lock failure mode: last setCheckpointDir wins, call A's checkpoint
+    // lands in call B's cc-dir, B's listing-diff deletes A's LIVE checkpoint
+    // and A's next iteration reads a missing file. The shared
+    // Checkpoints.checkpointDirLock makes set-dir + checkpoint atomic.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-conc").toString
+    val chain = (0 until 24).map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = (1 to 2).map { _ =>
+      Future(Components.connectedComponents(chain, "id1", "id2",
+        checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    val results = Await.result(Future.sequence(futures), 300.seconds)
+    results.foreach(m => assert(m.values.toSet === Set(0L)))
+  }
+
   test("resolveDuplicates: every doc gets a component; one canonical each") {
     val docs = Tables(spark, sf0001, "documents")
     val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "text")

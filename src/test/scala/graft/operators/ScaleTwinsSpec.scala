@@ -43,6 +43,33 @@ class ScaleTwinsSpec extends SparkSpec {
     }
   }
 
+  test("q108 heavy-tie input: duplicate cutoffs merge bins, never skip rows") {
+    // one value spans >10% of rows ⇒ approx_percentile returns duplicate
+    // cutoffs; the operator dedupes them so the affected deciles MERGE into
+    // one wider bin (ids stay dense 1..m, m < 10) instead of leaving empty
+    // bins and skipping tied values past them
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q108-ties").toString
+    val n = 10000
+    // 40% of rows tied at 100.0 ⇒ cutoffs 0.3/0.4/0.5/0.6 all duplicate
+    val rows = (1 to n).map { i =>
+      val v = if (i <= n * 4 / 10) 100.0 else 100.0 + i
+      (i.toLong, v)
+    }
+    rows.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val bins = Extras.q108EquidepthScale(spark, dir).collect()
+    val ids = bins.map(_.getLong(0)).toSeq
+    assert(ids === (1L to ids.length), s"bin ids not dense: $ids")
+    assert(ids.length < 10, "duplicate cutoffs must merge bins on heavy ties")
+    assert(bins.map(_.getLong(1)).sum === n, "every row binned exactly once")
+    assert(bins.forall(_.getLong(1) > 0), "merged binning leaves no empty bin")
+    // the tie bin holds the whole tie group (plus any sketch error)
+    val tieBin = bins.filter(r => r.getDouble(2) <= 100.0 && r.getDouble(3) >= 100.0)
+    assert(tieBin.length === 1 && tieBin.head.getLong(1) >= n * 4 / 10,
+      "tie group must land in one bin")
+  }
+
   test("q108 is bit-reproducible across shuffle parallelisms") {
     // the sixth engine-only query joins the determinism contract of the
     // other five (NorthStarSpec): the GK sketch's partial merges run in
