@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * matters)? Recall measured against the exact pair set at sf0.01.
   */
 object DebugBlocked {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = BenchLock.exclusive("DebugBlocked") {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   *     cross-run validation already tags it load-correlated).
   */
 object DebugDeltas {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = BenchLock.exclusive("DebugDeltas") {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 /** IVF recall grid: seeding strategy × refineIters, recall@10 on 3 probes. */
 object DebugIvf {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = BenchLock.exclusive("DebugIvf") {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 object DebugIvf2 {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = BenchLock.exclusive("DebugIvf2") {
     val spark = SparkSession.builder()
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

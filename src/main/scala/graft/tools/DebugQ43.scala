@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_SF_DIR to pick the scale.
   */
 object DebugQ43 {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = BenchLock.exclusive("DebugQ43") {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

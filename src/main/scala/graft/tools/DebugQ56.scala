@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * driver contract). SPARK_GRAFT_QUERY selects the query (default q56).
   */
 object DebugQ56 {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = BenchLock.exclusive("DebugQ56") {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val qname = sys.env.getOrElse("SPARK_GRAFT_QUERY", "q56_dedup_resolve")

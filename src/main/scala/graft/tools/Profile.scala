@@ -34,7 +34,7 @@ object Profile {
     }
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = BenchLock.exclusive("Profile") {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names =
       if (args.length > 1) args.tail.toSeq
