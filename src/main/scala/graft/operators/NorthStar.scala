@@ -275,7 +275,11 @@ object NorthStar {
     */
   def ivfBlockedPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
     val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
-    val (assigned, _) = graft.similarity.Ann.ivfIndex(
+    // build-once: q113 and q114 run over the same embeddings relation in
+    // one sweep; the memoized index makes the second caller pay only the
+    // pair join, not the k-means seeding + 3 materializations (the
+    // dominant fixed cost in the sf0.1 crossover table)
+    val (assigned, _) = graft.similarity.Ann.ivfIndexCached(
       emb, "vec_id", "embedding", k = k, refineIters = 1, assignReplicas = 3)
     val a = assigned.select(col("cid"), col("id").as("id1"), col("ev").as("ev1"))
     val b = assigned.select(col("cid"), col("id").as("id2"), col("ev").as("ev2"))

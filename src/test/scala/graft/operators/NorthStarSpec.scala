@@ -82,6 +82,34 @@ class NorthStarSpec extends SparkSpec {
   }
   private def Tables_embeddings = graft.Tables(spark, sf0001, "embeddings")
 
+  test("ivfIndexCached: one build per (plan, params) per session") {
+    Ann.clearIndexCache()
+    val emb = Tables_embeddings
+    val (a1, c1) = Ann.ivfIndexCached(emb, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 3)
+    // a fresh DataFrame over the SAME plan hits the cache: the handles are
+    // the very same materialized objects, so no second index build ran
+    val (a2, c2) = Ann.ivfIndexCached(Tables_embeddings, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 3)
+    assert((a1 eq a2) && (c1 eq c2), "same plan+params must reuse the built index")
+    // different params miss (a different index is a different index)
+    val (a3, _) = Ann.ivfIndexCached(emb, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 1)
+    assert(!(a3 eq a1), "different params must not share an index")
+    // different plan misses
+    val (a4, _) = Ann.ivfIndexCached(emb.filter(col("vec_id") < 250),
+      "vec_id", "embedding", k = 16, refineIters = 1, assignReplicas = 3)
+    assert(!(a4 eq a1), "different input plan must not share an index")
+    // and the cached index is the real thing: same assignments as a cold build
+    val cold = Ann.ivfIndex(emb, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 3)._1
+      .select("id", "cid", "crank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cached = a2.select("id", "cid", "crank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cached === cold, "cached index must equal a cold build bit-for-bit")
+    Ann.clearIndexCache()
+  }
+
   test("ivf recall@10 vs exact top-10 at sf0.01 (nprobe=4 of k=16)") {
     graft.functions.VectorFunctions.register(spark)
     val sf001 = "/root/testdata/sf0.01"
