@@ -2,29 +2,25 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Same-JVM adjudication of the four r3→r4 bench deltas (VERDICT r4 item 1:
-  * q42 2.5×, q50 2.3×, q41 1.9×, q38 1.8× — all spanning the single-run →
-  * median-of-5 protocol switch, so "regression" is unproven until measured
-  * warm in ONE JVM against queries that did NOT move).
+/** Same-JVM adjudication of bench deltas between rounds — r6 edition for
+  * the six r4→r5 suspects (VERDICT r5 item 1: q60 0.29→1.14 s, q59
+  * 0.79→2.14 s, q61 0.23→0.62 s, q62 0.15→0.33 s, q58 0.49→0.95 s, q78
+  * 0.75→1.20 s — all code-unchanged in r5 per the git diff, all matching
+  * the load-window signature that the r4 four showed before all four were
+  * adjudicated as noise and recovered).
   *
-  * Design: each suspect runs median-of-5 (+IQR) interleaved with two stable
-  * sentinels (q01 0.3 s-class scan-agg, q04 broadcast star join) whose r3/r4
-  * numbers were flat. If a suspect's same-JVM median sits at its r4 level
-  * while sentinels sit at theirs, the r4 number is real (machine-honest) and
-  * the r3 point was the jitter; if it recovers to the r3 level, r4 caught a
-  * slow JVM.
+  * Design (the protocol that settled the r4 four): each suspect runs
+  * median-of-5 (+IQR) interleaved with two stable sentinels (q01 0.3
+  * s-class scan-agg, q04 broadcast star join) whose r4/r5 numbers were
+  * flat. If a suspect's same-JVM median sits back at its r4 level while
+  * the sentinels sit at theirs, the r5 point was a loaded machine window;
+  * if it stays at the r5 level on a quiet box (the bench lock now
+  * guarantees quiet), the regression is real and needs a plan-level
+  * explanation.
   *
-  * Plus per-suspect structural checks:
-  *   - q42: the physical plan must contain the 5-language stopword fold
-  *     exactly ONCE (the projection barrier vs CollapseProject — BENCH.md's
-  *     46× MinHash trap);
-  *   - q50: scan parallelism of the pivot input (the one-row-group
-  *     lineitem.parquet suspicion) — measured against a variant that
-  *     repartitions after the scan;
-  *   - q41: assignReplicas=2 (shipped, recall ≥0.8) vs =1 — quantifies the
-  *     honest price of the r4 recall fix;
-  *   - q38: median + IQR only (r4 IQR was 64% of the median — the
-  *     cross-run validation already tags it load-correlated).
+  * Plus one structural check: q78's shingle relation must still be
+  * materialized ONCE for its consumers (the checkpoint-reuse discipline
+  * its r5 number was suspected of losing).
   */
 object DebugDeltas {
   def main(args: Array[String]): Unit = BenchLock.exclusive("DebugDeltas") {
@@ -55,51 +51,30 @@ object DebugDeltas {
     }
 
     // interleave sentinels around each suspect so a machine-speed drift
-    // during this run is visible in the output itself
-    Seq("q01_scan_filter", "q42_langid", "q04_star_join", "q50_pivot",
-      "q01_scan_filter", "q41_ann_ivf", "q04_star_join", "q38_ngram_jaccard",
-      "q01_scan_filter").foreach(run)
+    // during this run is visible in the output itself; args override the
+    // suspect list for a targeted re-measure (sentinels stay interleaved)
+    val suspects =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q60_cosine_pairs", "q59_conditionals", "q61_skew_salted",
+        "q62_stratified", "q58_array_funcs", "q78_contamination")
+    val sentinels = Iterator.continually(Seq("q01_scan_filter", "q04_star_join")).flatten
+    (suspects.flatMap(s => Seq(sentinels.next(), s)) :+ sentinels.next())
+      .foreach(run)
 
-    // q42 structural check: stopword fold must appear exactly once
+    // q78 structural check: the shingle pair relation feeds its aggregate
+    // through ONE materialization — if the checkpoint reuse were lost, the
+    // doc-pair generation would re-execute per consumer and the plan would
+    // show the expensive join chain more than once
     {
-      val plan = graft.SparkEntry.queries("q42_langid")(spark, sfDir)
+      val plan = graft.SparkEntry.queries("q78_contamination")(spark, sfDir)
         .queryExecution.executedPlan.toString
-      // the fold's signature: the es-profile literal appears once per
-      // materialization of the scored array
-      val occurrences = "\\bel\\b".r.findAllIn(plan).length
-      println(s"CHECK q42 stopword-fold materializations in plan: $occurrences (expect 1)")
-    }
-
-    // q50 scan-parallelism A/B: as-shipped vs repartition after scan
-    {
-      import org.apache.spark.sql.functions._
-      import graft.Dsl._
-      import graft.Tables
-      val parts = Tables(spark, sfDir, "lineitem").rdd.getNumPartitions
-      println(s"CHECK q50 lineitem scan partitions: $parts")
-      def pivotFrom(li: org.apache.spark.sql.DataFrame): Unit = {
-        li.join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_orderpriority"))
-          .pivot("l_returnflag", Seq("A", "N", "R"))
-          .agg(sumExactDouble(revenueTerm(col("l_extendedprice"), col("l_discount"))))
-          .write.format("noop").mode("overwrite").save()
-      }
-      val (asIs, i1) = medianOf5(pivotFrom(Tables(spark, sfDir, "lineitem")))
-      val (reparted, i2) = medianOf5(pivotFrom(
-        Tables(spark, sfDir, "lineitem").repartition(cpus.toInt)))
-      println(f"AB q50 as-shipped ${asIs}%.3f s (iqr ${i1}%.3f) vs post-scan repartition ${reparted}%.3f s (iqr ${i2}%.3f)")
-    }
-
-    // q41 replica A/B: the r4 recall fix doubled index entries — price it
-    {
-      import graft.Tables
-      def ivf(reps: Int): Unit =
-        graft.similarity.Ann.ivfTopK(Tables(spark, sfDir, "embeddings"),
-          "vec_id", "embedding", probeId = 0L, assignReplicas = reps)
-          .write.format("noop").mode("overwrite").save()
-      val (r2, i2) = medianOf5(ivf(2))
-      val (r1, i1) = medianOf5(ivf(1))
-      println(f"AB q41 assignReplicas=2 ${r2}%.3f s (iqr ${i2}%.3f) vs =1 ${r1}%.3f s (iqr ${i1}%.3f)")
+      val scans = "ExistingRDD|LocalTableScan|Scan ExistingRDD".r
+        .findAllIn(plan).length
+      val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+        .findAllIn(plan).length
+      println(s"CHECK q78 executed plan: $scans checkpoint-scan nodes, " +
+        s"$joins join nodes (expensive shingle join must NOT appear — " +
+        "it runs once behind the checkpoint)")
     }
 
     spark.stop()
