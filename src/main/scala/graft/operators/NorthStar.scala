@@ -263,24 +263,30 @@ object NorthStar {
   }
 
   /** Candidate pairs for [[q113EmbedDedupBlocked]]: vectors co-assigned to
-    * any shared IVF cluster (3-replica multi-assignment so near-boundary
-    * vectors co-occur with BOTH neighborhoods they straddle), exact-verified
+    * any shared IVF cluster (4-replica multi-assignment so near-boundary
+    * vectors co-occur with EVERY neighborhood they straddle), exact-verified
     * at the q72 threshold. K grows as √n so the EXPECTED CLUSTER SIZE —
     * and with it the per-cluster pair quadratic — stays bounded relative
     * to the corpus: compare volume ~r²·n²/2K = r²·n^1.5/2, against the
     * baseline's n²/2. (A fixed K would quietly decay to all-pairs as the
-    * corpus grows — the silent blocking regression.) Factored out so
+    * corpus grows — the silent blocking regression.) r=4 is the measured
+    * operating point (DebugBlocked curve, sf0.01): recall 0.644/0.847/
+    * 0.983/1.000 at r=2/3/4/5 for 21k/44k/69k/91k candidate pairs — the
+    * r=4 step buys +13.6 recall points for 1.57× compare volume (still
+    * ~n^1.5) at flat sf0.1 wall-clock; r=5's last 1.7 points cost another
+    * 1.33× and are left to callers who need exactness. Factored out so
     * ScaleTwinsSpec can pin precision and recall against the exact
     * all-pairs baseline.
     */
-  def ivfBlockedPairs(emb: DataFrame, minCos: Double = 0.4): DataFrame = {
+  def ivfBlockedPairs(emb: DataFrame, minCos: Double = 0.4,
+                      replicas: Int = 4): DataFrame = {
     val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     // build-once: q113 and q114 run over the same embeddings relation in
     // one sweep; the memoized index makes the second caller pay only the
     // pair join, not the k-means seeding + 3 materializations (the
     // dominant fixed cost in the sf0.1 crossover table)
     val (assigned, _) = graft.similarity.Ann.ivfIndexCached(
-      emb, "vec_id", "embedding", k = k, refineIters = 1, assignReplicas = 3)
+      emb, "vec_id", "embedding", k = k, refineIters = 1, assignReplicas = replicas)
     val a = assigned.select(col("cid"), col("id").as("id1"), col("ev").as("ev1"))
     val b = assigned.select(col("cid"), col("id").as("id2"), col("ev").as("ev2"))
     a.join(b, Seq("cid"))
@@ -299,9 +305,9 @@ object NorthStar {
     * only WITHIN shared IVF cluster assignments instead of the exact
     * all-pairs compare, cutting compare volume from n²/2 to ~r²·n^1.5/2
     * (K grows as √n so cluster size stays bounded — a fixed K would decay
-    * to all-pairs as the corpus grows; r=3 replicas — measured at sf0.01
-    * in ScaleTwinsSpec), then exact-verified at the same threshold and
-    * resolved with the SAME
+    * to all-pairs as the corpus grows; r=4 replicas per the measured
+    * recall/cost curve — see [[ivfBlockedPairs]]), then exact-verified at
+    * the same threshold and resolved with the SAME
     * components + histogram machinery. Precision is 1.0 by construction
     * (every emitted pair passes the exact cosine test); recall < 1 by
     * design is the blocking trade, pinned in the spec. Engine-only; the

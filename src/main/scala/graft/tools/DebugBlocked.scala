@@ -29,10 +29,11 @@ object DebugBlocked {
       .select(col("id1"), col("id2"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    def blockedPairs(emb: org.apache.spark.sql.DataFrame, refine: Int) = {
+    def blockedPairs(emb: org.apache.spark.sql.DataFrame, refine: Int,
+                     replicas: Int = 3) = {
       val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
       val (assigned, _) = graft.similarity.Ann.ivfIndex(
-        emb, "vec_id", "embedding", k = k, refineIters = refine, assignReplicas = 3)
+        emb, "vec_id", "embedding", k = k, refineIters = refine, assignReplicas = replicas)
       val a = assigned.select(col("cid"), col("id").as("id1"), col("ev").as("ev1"))
       val b = assigned.select(col("cid"), col("id").as("id2"), col("ev").as("ev2"))
       a.join(b, Seq("cid")).filter(col("id1") < col("id2"))
@@ -45,6 +46,23 @@ object DebugBlocked {
       val got = blockedPairs(emb001, refine).select(col("id1"), col("id2"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"RECALL refineIters=$refine: ${got.size.toDouble / exact.size}%.3f (${got.size}/${exact.size}); precision_ok=${got.subsetOf(exact)}")
+    }
+
+    // replica curve (r5 VERDICT item 6): recall + candidate-pair compare
+    // volume per assignReplicas at refine=1 — the compare volume scales as
+    // r², so each recall point must be priced against it
+    for (reps <- Seq(2, 3, 4, 5)) {
+      val k = math.max(16, math.ceil(math.sqrt(emb001.count().toDouble)).toInt)
+      val (assigned, _) = graft.similarity.Ann.ivfIndex(
+        emb001, "vec_id", "embedding", k = k, refineIters = 1, assignReplicas = reps)
+      val a = assigned.select(col("cid"), col("id").as("id1"))
+      val b = assigned.select(col("cid"), col("id").as("id2"))
+      val candidates = a.join(b, Seq("cid")).filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct().count()
+      val got = blockedPairs(emb001, 1, reps).select(col("id1"), col("id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"CURVE replicas=$reps: recall ${got.size.toDouble / exact.size}%.3f " +
+        f"(${got.size}/${exact.size}), candidate pairs $candidates, precision_ok=${got.subsetOf(exact)}")
     }
 
     // wall-clock split at sf0.1
@@ -63,6 +81,12 @@ object DebugBlocked {
       }
       time(s"full pairs refine=$refine") {
         blockedPairs(emb01, refine).write.format("noop").mode("overwrite").save()
+      }
+    }
+    // replica wall-clock price at sf0.1 (cold index per run — no cache)
+    for (reps <- Seq(3, 4)) {
+      time(s"full pairs replicas=$reps") {
+        blockedPairs(emb01, 1, reps).write.format("noop").mode("overwrite").save()
       }
     }
     spark.stop()
