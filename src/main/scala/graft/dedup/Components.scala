@@ -51,17 +51,23 @@ object Components {
 
   /** @param edges two BIGINT columns (src, dst), undirected
     * @param checkpointDir durable checkpoint location (reliable mode); None
-    *                      = localCheckpoint (single-app local mode)
+    *                      falls back to the `graft.checkpointDir` session
+    *                      conf ([[graft.Checkpoints.ConfKey]] — the one-conf
+    *                      switch that flips EVERY operator in the library,
+    *                      including the dedup family's component iterations),
+    *                      and to localCheckpoint when neither is set
     * @return (node, component) — component = smallest node id reachable
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     val sc = edges.sparkSession.sparkContext
+    val effectiveDir = checkpointDir.orElse(
+      edges.sparkSession.conf.getOption(graft.Checkpoints.ConfKey).filter(_.nonEmpty))
     // per-call isolation: a fresh subdir means the rdd-* listing-diff below
     // only ever sees THIS run's checkpoints — safe to delete aggressively
     // even when other jobs checkpoint concurrently under the caller's root
-    val callDir = checkpointDir.map(_ + "/cc-" + java.util.UUID.randomUUID())
+    val callDir = effectiveDir.map(_ + "/cc-" + java.util.UUID.randomUUID())
     // reliable-mode checkpoint hygiene: re-set the (context-global) dir and
     // run the checkpoint ATOMICALLY under the shared lock — a concurrent
     // reliable-mode call may have moved the global dir since the last

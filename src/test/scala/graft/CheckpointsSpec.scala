@@ -33,6 +33,28 @@ class CheckpointsSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
+  test("graft.checkpointDir flips connected components too (the dedup family)") {
+    // the one-conf contract: component iterations (q56/q107/q113/q115's
+    // resolution stage) must also switch to reliable checkpoints — a dedup
+    // run that survives executor loss everywhere EXCEPT its iteration state
+    // would be the worst kind of 100 TB surprise
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val local = dedup.Components.connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = Files.createTempDirectory("graft-ckpt-cc").toString
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val reliable = dedup.Components.connectedComponents(edges, "id1", "id2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === local, "conf-flipped components changed the result")
+      val ccDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("cc-"))
+      assert(ccDirs.length === 1,
+        s"components did not checkpoint under the session conf dir $dir")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
   test("explicit checkpointDir argument overrides the session default") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ckpt3").toString
