@@ -41,35 +41,42 @@ import org.apache.spark.sql.functions._
   */
 object JaccardJoin {
 
-  /** Exact-Jaccard pairs (id1 < id2, jaccard ≥ tNum/tDen) over word-level
-    * w-shingles of `textCol`. Returns (id1, id2, inter, n1, n2, jaccard)
-    * with jaccard rounded to 6 dp (D5) — the threshold itself is integer.
+  /** (id, shingle-hash), deduped and materialized — it feeds sizes,
+    * frequencies, ranking AND verification (localCheckpoint caches the
+    * shuffle output and truncates lineage; on a production cluster with
+    * executor churn, prefer checkpoint() to reliable storage).
+    * Repartition BEFORE the explode: a small-file corpus otherwise tokenizes
+    * on however few input splits the scan produced (1 task for a single
+    * parquet file); the raw-text shuffle is cheap relative to shingling and
+    * a no-op burden at scale where the scan already has thousands of splits.
+    * The partition count is EXPLICIT because AQE would coalesce a
+    * byte-small exchange back to one partition — the work here is CPU per
+    * row (tokenize + shingle + hash), which byte-based coalescing can't see.
     */
-  def pairs(df: DataFrame, idCol: String, textCol: String,
-            tNum: Long, tDen: Long, shingleWidth: Int = 3): DataFrame = {
+  private def shingleRel(df: DataFrame, idCol: String, textCol: String,
+                         shingleWidth: Int): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")
-    // (id, shingle-hash), deduped; materialized because it feeds sizes,
-    // frequencies, ranking AND verification (localCheckpoint caches the
-    // shuffle output and truncates lineage; on a production cluster with
-    // executor churn, prefer checkpoint() to reliable storage)
-    // repartition BEFORE the explode: a small-file corpus otherwise tokenizes
-    // on however few input splits the scan produced (1 task for a single
-    // parquet file); the raw-text shuffle is cheap relative to shingling and
-    // a no-op burden at scale where the scan already has thousands of splits.
-    // The partition count is EXPLICIT because AQE would coalesce a
-    // byte-small exchange back to one partition — the work here is CPU per
-    // row (tokenize + shingle + hash), which byte-based coalescing can't see
-    val sh = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         explode(MinHashLSH.shingles(toks, shingleWidth)).as("shs"))
       .select(col("id"), xxhash64(col("shs")).as("sh"))
       .distinct()
       .transform(graft.Checkpoints.materialize(_))
-    val sets = sh.groupBy(col("id"))
+  }
+
+  /** Per-document sorted shingle-hash array + set size (verification side). */
+  private def setsOf(sh: DataFrame): DataFrame =
+    sh.groupBy(col("id"))
       .agg(sort_array(collect_list(col("sh"))).as("hs"), count(lit(1)).as("n"))
-    // global rare-first order; ties broken by hash value for determinism
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+
+  /** Prefix relation (id, sh, rk, n) under the GIVEN global rare-first
+    * order: rank each document's shingles by ascending `freq` df (hash
+    * tiebreak for determinism) and keep the first |S| - ceil(t·|S|) + 1.
+    * The `freq` relation must span every document that will be joined —
+    * completeness needs both sides of a pair ranked under the SAME order.
+    */
+  private def prefixOf(sh: DataFrame, freq: DataFrame, sets: DataFrame,
+                       tNum: Long, tDen: Long): DataFrame = {
     val ranked = sh.join(freq, Seq("sh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
@@ -78,31 +85,81 @@ object JaccardJoin {
     // prefix length |S| - ceil(t|S|) + 1; ceil on longs (Spark's `/` is
     // double division, so `div`)
     val ceilTn = expr(s"(n * $tNum + ${tDen - 1L}) div $tDen")
-    val prefix = ranked
+    ranked
       .filter(col("rk") <= col("n") - ceilTn + 1L)
       .select(col("id"), col("sh"), col("rk"), col("n"))
       .transform(graft.Checkpoints.materialize(_))
-    val a = prefix.select(col("id").as("id1"), col("sh"),
+  }
+
+  /** PPJoin candidate join + exact verify between two prefix relations;
+    * `cond` carries the caller's pair constraint (id1 < id2 for the
+    * symmetric self-join; none for the asymmetric two-corpus join).
+    */
+  private def joinVerified(prefixA: DataFrame, prefixB: DataFrame,
+                           setsA: DataFrame, setsB: DataFrame,
+                           tNum: Long, tDen: Long,
+                           symmetric: Boolean): DataFrame = {
+    val a = prefixA.select(col("id").as("id1"), col("sh"),
       col("rk").as("rk1"), col("n").as("n1"))
-    val b = prefix.select(col("id").as("id2"), col("sh"),
+    val b = prefixB.select(col("id").as("id2"), col("sh"),
       col("rk").as("rk2"), col("n").as("n2"))
     val minSuffix = least(col("n1") - col("rk1"), col("n2") - col("rk2"))
-    val cand = a.join(b,
-        a("sh") === b("sh") && col("id1") < col("id2") &&
-        // length filter: t·max ≤ min
-        col("n1") * tNum <= col("n2") * tDen && col("n2") * tNum <= col("n1") * tDen &&
-        // positional filter at this (possibly smallest) shared shingle
-        (minSuffix + 1L) * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
+    val base = a("sh") === b("sh") &&
+      // length filter: t·max ≤ min
+      col("n1") * tNum <= col("n2") * tDen && col("n2") * tNum <= col("n1") * tDen &&
+      // positional filter at this (possibly smallest) shared shingle
+      (minSuffix + 1L) * (tNum + tDen) >= (col("n1") + col("n2")) * tNum
+    val cand = a.join(b, if (symmetric) base && col("id1") < col("id2") else base)
       .select(col("id1"), col("id2"))
       .distinct()
     // verify: one sorted-array intersection per candidate pair
-    val s1 = sets.select(col("id").as("id1"), col("hs").as("hs1"), col("n").as("n1"))
-    val s2 = sets.select(col("id").as("id2"), col("hs").as("hs2"), col("n").as("n2"))
+    val s1 = setsA.select(col("id").as("id1"), col("hs").as("hs1"), col("n").as("n1"))
+    val s2 = setsB.select(col("id").as("id2"), col("hs").as("hs2"), col("n").as("n2"))
     cand.join(s1, Seq("id1")).join(s2, Seq("id2"))
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))).cast("long"))
       .filter(col("inter") * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
       .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
         round(col("inter").cast("double")
           / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+  }
+
+  /** Exact-Jaccard pairs (id1 < id2, jaccard ≥ tNum/tDen) over word-level
+    * w-shingles of `textCol`. Returns (id1, id2, inter, n1, n2, jaccard)
+    * with jaccard rounded to 6 dp (D5) — the threshold itself is integer.
+    */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+            tNum: Long, tDen: Long, shingleWidth: Int = 3): DataFrame = {
+    val sh = shingleRel(df, idCol, textCol, shingleWidth)
+    val sets = setsOf(sh)
+    // global rare-first order; ties broken by hash value for determinism
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = prefixOf(sh, freq, sets, tNum, tDen)
+    joinVerified(prefix, prefix, sets, sets, tNum, tDen, symmetric = true)
+  }
+
+  /** Asymmetric exact-Jaccard join: every (left id, right id) pair with
+    * jaccard ≥ tNum/tDen — the INCREMENTAL dedup shape (today's crawl delta
+    * vs the standing corpus): compare volume is delta-prefix × corpus-prefix
+    * joins, never corpus × corpus, so a daily increment against a 100 TB
+    * standing index costs ∝ |delta|'s rare-shingle joins, not the corpus
+    * quadratic. The document-frequency order spans BOTH sides (one shared
+    * `freq` relation): the prefix-filtering completeness proof needs the
+    * globally-smallest shared shingle of a qualifying pair to land in both
+    * prefixes under the SAME order, which per-side frequencies would break.
+    * Left and right ids must be disjoint (they are distinct corpora).
+    */
+  def pairsBetween(left: DataFrame, right: DataFrame,
+                   idCol: String, textCol: String,
+                   tNum: Long, tDen: Long, shingleWidth: Int = 3): DataFrame = {
+    val shL = shingleRel(left, idCol, textCol, shingleWidth)
+    val shR = shingleRel(right, idCol, textCol, shingleWidth)
+    // (id, sh) rows are distinct per side and ids are disjoint across sides,
+    // so the plain union double-counts nothing
+    val freq = shL.union(shR).groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val setsL = setsOf(shL)
+    val setsR = setsOf(shR)
+    val pL = prefixOf(shL, freq, setsL, tNum, tDen)
+    val pR = prefixOf(shR, freq, setsR, tNum, tDen)
+    joinVerified(pL, pR, setsL, setsR, tNum, tDen, symmetric = false)
   }
 }

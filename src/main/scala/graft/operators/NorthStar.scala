@@ -215,6 +215,35 @@ object NorthStar {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Q116: INCREMENTAL dedup — the production crawl pattern q56's batch
+    * resolution doesn't cover: a new delta (here source src18, "today's
+    * crawl") checked against the standing corpus (every other source)
+    * WITHOUT re-comparing the corpus against itself. [[JaccardJoin
+    * .pairsBetween]] runs the same complete prefix-filtered exact-Jaccard
+    * join asymmetrically — delta-prefix × corpus-prefix only — so the daily
+    * cost scales with the increment's rare-shingle joins, not the standing
+    * corpus quadratic. Per delta document with ≥1 match: match count and
+    * the best corpus match (highest jaccard, smallest id tiebreak) — the
+    * keep/drop/canonical-link decision record an ingest pipeline writes.
+    */
+  def q116IncrementalDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, d, "documents")
+    val delta = docs.filter(col("source") === "src18")
+    val corpus = docs.filter(col("source") =!= "src18")
+    val matches = JaccardJoin.pairsBetween(delta, corpus, "doc_id", "text",
+      tNum = 1L, tDen = 2L)
+    // per-delta-doc window: bounded by a doc's match count, never global
+    val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
+    matches
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("id1"))))
+      .filter(col("rk") === 1)
+      .select(col("id1").as("doc_id"), col("n_matches"),
+        col("id2").as("best_match_id"), col("jaccard").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
     * survivor rule production pipelines actually use: within each near-dup
     * component keep the highest-quality copy (longest text, id tiebreak),
@@ -618,6 +647,7 @@ object NorthStar {
     "q113_embed_dedup_blocked" -> q113EmbedDedupBlocked,
     "q114_cosine_topk_blocked" -> q114CosineTopkBlocked,
     "q115_cross_source_leakage" -> q115CrossSourceLeakage,
+    "q116_incremental_dedup" -> q116IncrementalDedup,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -712,6 +742,32 @@ object NorthStar {
         |SELECT np.source_a, np.source_b, n_pairs, n_docs
         |FROM np JOIN nd ON np.source_a = nd.source_a AND np.source_b = nd.source_b
         |ORDER BY np.source_a, np.source_b""".stripMargin,
+    "q116_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh
+        |          JOIN documents d1 ON s1.doc_id = d1.doc_id
+        |          JOIN documents d2 ON s2.doc_id = d2.doc_id
+        |          WHERE d1.source = 'src18' AND d2.source <> 'src18'
+        |          GROUP BY 1, 2),
+        |matched AS (SELECT id1, id2, i, a.n AS n1, b.n AS n2 FROM inter
+        |            JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |            WHERE 3 * i >= a.n + b.n),
+        |scored AS (SELECT id1, id2,
+        |             ROUND(CAST(i AS DOUBLE) / (n1 + n2 - i), 6) AS j FROM matched),
+        |best AS (SELECT id1, id2, j,
+        |           row_number() OVER (PARTITION BY id1 ORDER BY j DESC, id2) AS rk,
+        |           COUNT(*) OVER (PARTITION BY id1) AS nm
+        |         FROM scored)
+        |SELECT id1 AS doc_id, nm AS n_matches, id2 AS best_match_id,
+        |       j AS best_jaccard
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q111_mix_weights" ->
       """WITH t AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -359,7 +359,66 @@ object Text {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Q117: context-window chunking — splitting long documents into
+    * overlapping token windows (chunk 40 tokens, stride 30 ⇒ 10-token
+    * overlap), the other half of sequence preparation next to q96/q110's
+    * PACKING (packing concatenates short docs; chunking splits long ones).
+    * The chunks are REAL (`transform` over chunk starts + `slice`), built
+    * entirely inside the row — a map-only plan with zero shuffle, so it
+    * runs at any corpus size as a projection over the scan. The aggregate
+    * columns read off the materialized chunk array and must equal the
+    * closed form (n_chunks = 1 + ⌈(n−40)/30⌉, total = n + 10·(k−1) — each
+    * overlap region is counted twice, the token-duplication cost of
+    * training on overlapped windows), which is exactly what the DuckDB
+    * oracle computes arithmetically: the hash match proves the chunker
+    * against the formula.
+    */
+  def q117ContextChunks: Q = (s, d) => {
+    val chunkLen = 40
+    val stride = 30
+    val n = size(toks)
+    // dense chunk count: 1 + ceil((n - chunk)/stride) on longs; single
+    // chunk when the doc fits
+    // integer ceil division on the positive branch: double-exact at any
+    // document length (int sizes << 2^53), truncating cast = floor
+    val nChunks = when(n <= chunkLen, lit(1L)).otherwise(
+      lit(1L) + ((n - chunkLen + stride - 1).cast("double") / stride).cast("long"))
+    val chunks = transform(sequence(lit(0L), nChunks - 1L),
+      i => slice(toks, (i * stride + 1L).cast("int"), lit(chunkLen)))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), big(n).as("n_tokens"), chunks.as("chunks"))
+      .select(col("doc_id"), col("n_tokens"),
+        big(size(col("chunks"))).as("n_chunks"),
+        aggregate(col("chunks"), lit(0L), (a, c) => a + size(c)).as("total_chunk_tokens"),
+        big(size(element_at(col("chunks"), -1))).as("last_chunk_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q118: token-distribution entropy — the gibberish/boilerplate quality
+    * signal next to q77's repetition ratios: Shannon entropy of each
+    * document's token frequencies, in the sum-preserving form
+    * H = log2(n) − (Σ c·log2 c)/n so both engines evaluate the same
+    * per-term values (c are small integers) before one division. One
+    * shuffle to the (doc, token) counts, one to the per-doc aggregate —
+    * both keyed, no global funnel.
+    */
+  def q118TokenEntropy: Q = (s, d) => {
+    val tc = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"))
+      .agg(big(sum(col("c"))).as("n_tokens"),
+        round(log(2.0, sum(col("c")).cast("double"))
+          - sum(col("c").cast("double") * log(2.0, col("c").cast("double")))
+            / sum(col("c")).cast("double"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q117_context_chunks" -> q117ContextChunks,
+    "q118_token_entropy" -> q118TokenEntropy,
     "q82_tfidf" -> q82Tfidf,
     "q80_posexplode" -> q80PosExplode,
     "q77_doc_repetition" -> q77DocRepetition,
@@ -379,6 +438,32 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    // closed-form twin of the real chunker: n_chunks = 1 + ceil((n-40)/30),
+    // total = n + overlap·(k−1), last = n − stride·(k−1) — the hash match
+    // proves the slice-built chunks against the arithmetic
+    "q117_context_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |k AS (SELECT doc_id, n,
+        |    CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 29) // 30 END AS n_chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n + 10 * (n_chunks - 1) AS BIGINT) AS total_chunk_tokens,
+        |  CAST(n - 30 * (n_chunks - 1) AS BIGINT) AS last_chunk_len
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q118_token_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, u.t AS token, COUNT(*) AS c
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  ROUND(log2(CAST(SUM(c) AS DOUBLE))
+        |    - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |      / CAST(SUM(c) AS DOUBLE), 4) AS entropy
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q82_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, u.t AS token

@@ -49,6 +49,27 @@ class JaccardJoinSpec extends SparkSpec {
     assert(got.nonEmpty) // fixtures plant near-dups; empty would be vacuous
   }
 
+  test("pairsBetween equals the delta-filtered symmetric pair set (complete)") {
+    // the asymmetric incremental join must find EXACTLY the symmetric pairs
+    // that cross the delta/corpus boundary — no corpus×corpus compare, no
+    // missed boundary pair (the shared global frequency order is what makes
+    // the prefix-filter completeness proof carry over)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val delta = docs.filter($"source" === "src18")
+    val corpus = docs.filter($"source" =!= "src18")
+    val deltaIds = delta.select($"doc_id").as[Long].collect().toSet
+    val sym = JaccardJoin.pairs(docs, "doc_id", "text", 1L, 2L)
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect()
+      .collect {
+        case (a, b, i) if deltaIds(a) && !deltaIds(b) => (a, b, i)
+        case (a, b, i) if deltaIds(b) && !deltaIds(a) => (b, a, i)
+      }.toSet
+    val asym = JaccardJoin.pairsBetween(delta, corpus, "doc_id", "text", 1L, 2L)
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    assert(asym === sym)
+    assert(asym.nonEmpty, "fixtures plant cross-source near-dups; empty would be vacuous")
+  }
+
   test("threshold is applied with integer arithmetic (no float boundary)") {
     // J exactly 1/2: |A|=|B|=3 shingles, inter=2 -> 2/(3+3-2) = 0.5 kept
     val docs = Seq(
