@@ -364,8 +364,9 @@ object Text {
     * overlap), the other half of sequence preparation next to q96/q110's
     * PACKING (packing concatenates short docs; chunking splits long ones).
     * The chunks are REAL (`transform` over chunk starts + `slice`), built
-    * entirely inside the row — a map-only plan with zero shuffle, so it
-    * runs at any corpus size as a projection over the scan. The aggregate
+    * entirely inside the row — the chunking itself is a projection over the
+    * scan with no shuffle (the query's one exchange is the presentation
+    * sort on doc_id), so it runs at any corpus size. The aggregate
     * columns read off the materialized chunk array and must equal the
     * closed form (n_chunks = 1 + ⌈(n−40)/30⌉, total = n + 10·(k−1) — each
     * overlap region is counted twice, the token-duplication cost of
