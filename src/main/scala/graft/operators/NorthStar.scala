@@ -244,6 +244,66 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q119: benchmark decontamination — the n-gram overlap filter run
+    * before training so eval data can't leak into the train set (the
+    * GPT-3-style 13-gram method, here 8-gram on short synthetic docs):
+    * treating source src0 as the BENCHMARK, report every training doc
+    * (any other source) whose distinct-8-gram set overlaps the benchmark's
+    * union 8-gram set, with the contaminated fraction. Distinct from
+    * q78/q115: those score doc-PAIR similarity; decontamination asks set
+    * membership against the benchmark union, which is why a doc quoting
+    * one benchmark passage is caught even when pair-Jaccard stays tiny.
+    * Shape: one equi-join of (doc, ngram-hash) against the distinct
+    * benchmark set — at 100 TB the benchmark side is an eval set (small,
+    * broadcast-able) while shuffle is bounded by the match relation;
+    * n-grams compare through xxhash64 (the q56-family collision argument:
+    * P(any colliding pair) ≈ k²/2⁶⁵). Docs with < 8 tokens carry a single
+    * whole-text shingle (exact short-text match still caught).
+    */
+  def q119BenchmarkDecontamination: Q = (s, d) => {
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val ng = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(MinHashLSH.shingles(toks, w)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .transform(graft.Checkpoints.materialize(_))
+    val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
+    val train = ng.filter(col("source") =!= "src0")
+    val hits = train.join(bench, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_ngrams"), 6).as("contaminated_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q120: padding-waste analysis for length-bucketed batching — the
+    * MEASURED motivation for q96/q110's sequence packing: bucket each doc's
+    * token count up to the next multiple of 32 (the naive dynamic-batching
+    * policy), and report per bucket the docs, real tokens, padding tokens
+    * and utilization. Map-only derivation + one keyed aggregate; the
+    * integer bucket arithmetic and one final rounded division keep it
+    * exact cross-engine.
+    */
+  def q120PaddingWaste: Q = (s, d) => {
+    val b = 32
+    val n = size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+    val bucket = (((n + (b - 1)) / b).cast("long") * b).as("bucket_len")
+    Tables(s, d, "documents")
+      .select(n.as("n"), bucket)
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("bucket_len") - col("n")).as("n_padding"),
+        round(sum(col("n")).cast("double")
+          / sum(col("bucket_len")).cast("double"), 6).as("utilization"))
+      .orderBy(col("bucket_len"))
+  }
+
   /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
     * survivor rule production pipelines actually use: within each near-dup
     * component keep the highest-quality copy (longest text, id tiebreak),
@@ -648,6 +708,8 @@ object NorthStar {
     "q114_cosine_topk_blocked" -> q114CosineTopkBlocked,
     "q115_cross_source_leakage" -> q115CrossSourceLeakage,
     "q116_incremental_dedup" -> q116IncrementalDedup,
+    "q119_benchmark_decontamination" -> q119BenchmarkDecontamination,
+    "q120_padding_waste" -> q120PaddingWaste,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -768,6 +830,30 @@ object NorthStar {
         |SELECT id1 AS doc_id, nm AS n_matches, id2 AS best_match_id,
         |       j AS best_jaccard
         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q119_benchmark_decontamination" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |ng AS (SELECT DISTINCT doc_id, source, u.g FROM toks,
+        |  unnest(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 7),
+        |                        i -> array_to_string(tk[i+1:i+8], ' ')) END) AS u(g)),
+        |bench AS (SELECT DISTINCT g FROM ng WHERE source = 'src0'),
+        |train AS (SELECT doc_id, g FROM ng WHERE source <> 'src0'),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM train GROUP BY 1),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_hits
+        |         FROM train JOIN bench USING (g) GROUP BY 1)
+        |SELECT t.doc_id, t.n_ngrams, h.n_hits,
+        |       ROUND(CAST(h.n_hits AS DOUBLE) / t.n_ngrams, 6) AS contaminated_frac
+        |FROM tot t JOIN hits h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "q120_padding_waste" ->
+      """WITH t AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |           FROM documents),
+        |b AS (SELECT n, ((n + 31) // 32) * 32 AS bucket_len FROM t)
+        |SELECT CAST(bucket_len AS BIGINT) AS bucket_len, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(bucket_len - n) AS BIGINT) AS n_padding,
+        |  ROUND(CAST(SUM(n) AS DOUBLE) / SUM(bucket_len), 6) AS utilization
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q111_mix_weights" ->
       """WITH t AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -217,9 +217,19 @@ object Ann {
     */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String,
               probeId: Long, k: Int = 16, nprobe: Int = 4, topK: Int = 10,
-              refineIters: Int = 1, assignReplicas: Int = 2): DataFrame = {
-    val (assigned, centroids) =
-      ivfIndex(emb, idCol, embCol, k, refineIters, assignReplicas)
+              refineIters: Int = 1, assignReplicas: Int = 2): DataFrame =
+    ivfProbe(ivfIndex(emb, idCol, embCol, k, refineIters, assignReplicas),
+      probeId, nprobe, topK)
+
+  /** Probe a PREBUILT IVF index — the batch-probe API: a pipeline that
+    * searches many times builds the index once ([[ivfIndex]] or
+    * [[ivfIndexCached]]) and pays only nprobe-cluster scans per probe,
+    * instead of [[ivfTopK]]'s build-per-call (which remains the declared
+    * cold-probe semantics of q41).
+    */
+  def ivfProbe(index: (DataFrame, DataFrame),
+               probeId: Long, nprobe: Int = 4, topK: Int = 10): DataFrame = {
+    val (assigned, centroids) = index
     val probe = assigned.filter(col("id") === probeId && col("crank") === 1)
       .select(col("ev").as("pv"))
     val nearClusters = centroids.crossJoin(broadcast(probe))

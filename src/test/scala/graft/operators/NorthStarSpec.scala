@@ -110,6 +110,21 @@ class NorthStarSpec extends SparkSpec {
     Ann.clearIndexCache()
   }
 
+  test("ivfProbe on a prebuilt index equals build-per-call ivfTopK") {
+    // the batch-probe API: one index, many probes — each probe must return
+    // exactly what the cold path returns for the same parameters
+    val emb = Tables_embeddings
+    val index = Ann.ivfIndex(emb, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 2)
+    for (p <- Seq(0L, 101L, 250L)) {
+      val cold = Ann.ivfTopK(emb, "vec_id", "embedding", probeId = p)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val warm = Ann.ivfProbe(index, probeId = p)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(warm === cold, s"probe $p diverged between prebuilt and cold index")
+    }
+  }
+
   test("ivf recall@10 vs exact top-10 at sf0.01 (nprobe=4 of k=16)") {
     graft.functions.VectorFunctions.register(spark)
     val sf001 = "/root/testdata/sf0.01"
