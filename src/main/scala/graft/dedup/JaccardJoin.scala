@@ -162,4 +162,56 @@ object JaccardJoin {
     val pR = prefixOf(shR, freq, setsR, tNum, tDen)
     joinVerified(pL, pR, setsL, setsR, tNum, tDen, symmetric = false)
   }
+
+  /** A prebuilt standing-corpus index for repeated [[pairsAgainst]] probes:
+    * the corpus's shingle frequencies (which DEFINE the rare-first order),
+    * verification sets and prefix relation, each materialized once.
+    */
+  final case class Index(freq: DataFrame, sets: DataFrame, prefix: DataFrame,
+                         tNum: Long, tDen: Long, shingleWidth: Int)
+
+  /** Build the standing-corpus side once — the continuous-ingest shape:
+    * every arriving delta batch probes this index instead of re-shingling
+    * and re-ranking the corpus per batch.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+                 tNum: Long, tDen: Long, shingleWidth: Int = 3): Index = {
+    val sh = shingleRel(corpus, idCol, textCol, shingleWidth)
+    val freq = graft.Checkpoints.materialize(
+      sh.groupBy(col("sh")).agg(count(lit(1)).as("df")))
+    val sets = setsOf(sh)
+    Index(freq, sets, prefixOf(sh, freq, sets, tNum, tDen), tNum, tDen, shingleWidth)
+  }
+
+  /** Exact-Jaccard pairs between a (small) delta and a prebuilt corpus
+    * index: (delta id, corpus id, inter, n1, n2, jaccard ≥ tNum/tDen).
+    * The total order here is the INDEX's — corpus document frequency with
+    * hash tiebreak; delta shingles unseen in the corpus take df = 0 and
+    * rank rarest-first. Any fixed total order satisfies the prefix-filter
+    * completeness theorem (the globally-smallest shared shingle of a
+    * qualifying pair lands in both prefixes), and the exact verify step
+    * makes the emitted pair set identical to [[pairsBetween]]'s regardless
+    * of which order generated the candidates — pinned in JaccardJoinSpec.
+    * This is also why per-micro-batch probes compose: the pair set is a
+    * per-pair predicate, so probing batch-by-batch unions to exactly the
+    * whole-delta result at any batch slicing.
+    */
+  def pairsAgainst(index: Index, delta: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val shL = shingleRel(delta, idCol, textCol, index.shingleWidth)
+    val setsL = setsOf(shL)
+    // rank under the index's order; corpus-unseen shingles get df 0
+    val ranked = shL.join(index.freq, Seq("sh"), "left_outer")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
+      .drop("df")
+      .join(setsL.select(col("id"), col("n")), Seq("id"))
+    val ceilTn = expr(s"(n * ${index.tNum} + ${index.tDen - 1L}) div ${index.tDen}")
+    val pL = ranked
+      .filter(col("rk") <= col("n") - ceilTn + 1L)
+      .select(col("id"), col("sh"), col("rk"), col("n"))
+    joinVerified(pL, index.prefix, setsL, index.sets,
+      index.tNum, index.tDen, symmetric = false)
+  }
 }

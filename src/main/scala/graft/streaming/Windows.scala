@@ -409,6 +409,58 @@ object Windows {
       .orderBy(col("doc_id"))
   }
 
+  /** Q121: STREAMING incremental dedup — [[graft.operators.NorthStar
+    * .q116IncrementalDedup]] as the continuous-ingest pipeline it models:
+    * the standing corpus's Jaccard index ([[graft.dedup.JaccardJoin
+    * .buildIndex]] — shingle frequencies, verification sets, prefix
+    * relation) is built ONCE before the stream starts; the delta then
+    * arrives as a file-source stream and every micro-batch probes the
+    * index (`pairsAgainst`), appending its matches. Because the qualifying
+    * pair set is a per-pair predicate (exact verify), batch-by-batch
+    * probing unions to exactly the whole-delta result at ANY trigger
+    * slicing — so the drained result shares q116's DuckDB oracle verbatim,
+    * which IS the batch≡stream equivalence check. Per-batch cost is the
+    * batch's rare-shingle joins against the prebuilt prefix relation; the
+    * corpus is never re-shingled or re-ranked.
+    */
+  def q121StreamIncrementalDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables(s, d, "documents")
+    val delta = docs.filter(col("source") === "src18").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("source") =!= "src18")
+    val index = graft.dedup.JaccardJoin.buildIndex(corpus, "doc_id", "text",
+      tNum = 1L, tDen = 2L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q121_").toString
+    val feedDir = s"$tmp/feed"
+    val outDir = s"$tmp/matches"
+    delta.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+    // seed the accumulator with the (empty) match schema so a matchless
+    // drain still reads back cleanly
+    graft.dedup.JaccardJoin.pairsAgainst(index, delta.limit(0), "doc_id", "text")
+      .write.mode("overwrite").parquet(outDir)
+    val sdf = s.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+    val q = sdf.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.JaccardJoin.pairsAgainst(index, batch, "doc_id", "text")
+            .write.mode("append").parquet(outDir)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // same per-delta-doc decision record as q116 (bounded per-doc windows)
+    val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
+    s.read.parquet(outDir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("id1"))))
+      .filter(col("rk") === 1)
+      .select(col("id1").as("doc_id"), col("n_matches"),
+        col("id2").as("best_match_id"), col("jaccard").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q101: STREAM-STATIC join — the dimension-enrichment shape that was
     * missing between the stream-stream joins (q71/q83) and the windowed
     * aggregates: a static per-user cohort dimension (first-seen day,
@@ -445,10 +497,13 @@ object Windows {
     "q55_stream_dedup" -> q55StreamDedup,
     "q66_stream_stateful" -> q66StreamStateful,
     "q71_stream_join" -> q71StreamJoin,
-    "q83_stream_outer_join" -> q83StreamOuterJoin)
+    "q83_stream_outer_join" -> q83StreamOuterJoin,
+    "q121_stream_incremental_dedup" -> q121StreamIncrementalDedup)
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
+    "q121_stream_incremental_dedup" ->
+      graft.operators.NorthStar.oracles("q116_incremental_dedup"),
     "q101_stream_static" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value

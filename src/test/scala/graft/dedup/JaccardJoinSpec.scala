@@ -70,6 +70,23 @@ class JaccardJoinSpec extends SparkSpec {
     assert(asym.nonEmpty, "fixtures plant cross-source near-dups; empty would be vacuous")
   }
 
+  test("pairsAgainst a prebuilt index equals pairsBetween (order-invariance)") {
+    // the index ranks by corpus-only frequency (delta-unseen shingles df=0);
+    // pairsBetween ranks by union frequency — different candidate orders,
+    // but the exact verify must make the emitted pair sets identical
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val delta = docs.filter($"source" === "src18")
+    val corpus = docs.filter($"source" =!= "src18")
+    val viaIndex = JaccardJoin.pairsAgainst(
+      JaccardJoin.buildIndex(corpus, "doc_id", "text", 1L, 2L),
+      delta, "doc_id", "text")
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    val direct = JaccardJoin.pairsBetween(delta, corpus, "doc_id", "text", 1L, 2L)
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty, "empty pair set would make this vacuous")
+  }
+
   test("threshold is applied with integer arithmetic (no float boundary)") {
     // J exactly 1/2: |A|=|B|=3 shingles, inter=2 -> 2/(3+3-2) = 0.5 kept
     val docs = Seq(
