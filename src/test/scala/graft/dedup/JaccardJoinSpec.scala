@@ -87,6 +87,27 @@ class JaccardJoinSpec extends SparkSpec {
     assert(viaIndex.nonEmpty, "empty pair set would make this vacuous")
   }
 
+  test("buildIndexCached: one corpus build per (plan, params); results equal cold") {
+    JaccardJoin.clearIndexCache()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docs.filter($"source" =!= "src18")
+    val delta = docs.filter($"source" === "src18")
+    val i1 = JaccardJoin.buildIndexCached(corpus, "doc_id", "text", 1L, 2L)
+    val i2 = JaccardJoin.buildIndexCached(
+      docs.filter($"source" =!= "src18"), "doc_id", "text", 1L, 2L)
+    assert(i1.prefix eq i2.prefix, "same plan+params must reuse the built index")
+    val i3 = JaccardJoin.buildIndexCached(corpus, "doc_id", "text", 1L, 3L)
+    assert(!(i3.prefix eq i1.prefix), "different threshold must not share an index")
+    val cached = JaccardJoin.pairsAgainst(i2, delta, "doc_id", "text")
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    val cold = JaccardJoin.pairsAgainst(
+      JaccardJoin.buildIndex(corpus, "doc_id", "text", 1L, 2L),
+      delta, "doc_id", "text")
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    assert(cached === cold, "cached index must give the cold build's pairs")
+    JaccardJoin.clearIndexCache()
+  }
+
   test("threshold is applied with integer arithmetic (no float boundary)") {
     // J exactly 1/2: |A|=|B|=3 shingles, inter=2 -> 2/(3+3-2) = 0.5 kept
     val docs = Seq(
