@@ -149,6 +149,32 @@ object NorthStar {
       .orderBy(col("format"))
   }
 
+  /** Q122: video frame sampling — [[Multimodal.sampleFrames]] as a declared
+    * query: every 4th 16-byte body block of each mp4 payload stands in for
+    * a decoded frame (the stride-sampling pattern a real pipeline applies
+    * before feature extraction), then per-video frame count / bytes / byte
+    * sums — all decoded FROM the sampled binary slices, so the DuckDB twin
+    * (same GM1 construction, same blob slicing) hash-checks the sampling
+    * offsets and the extraction end-to-end. Metadata pruning runs before
+    * any body byte is touched (non-video payloads never reach the slicer).
+    */
+  def q122FrameSample: Q = (s, d) => {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaTable(Tables(s, d, "documents")), stride = 4)
+    val fhx = hex(col("frame_bytes"))
+    frames
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame_bytes")).cast("long").as("flen"),
+        aggregate(sequence(lit(0), length(col("frame_bytes")) - 1), lit(0L),
+          (acc, j) => acc + conv(fhx.substr((j * 2 + 1).cast("int"), lit(2)), 16, 10)
+            .cast("long")).as("fsum"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("flen")).as("total_frame_bytes"),
+        sum(col("fsum")).as("frames_byte_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q53: deterministic hash-based train/test split + per-split stats —
     * training-pipeline plumbing (reproducible at any parallelism, unlike
     * rand(seed); see [[TrainingOps]]).
@@ -724,7 +750,8 @@ object NorthStar {
     "q41_ann_ivf" -> q41AnnIvf,
     "q42_langid" -> q42LangId,
     "q43_rolling_fp" -> q43RollingFp,
-    "q44_multimodal" -> q44Multimodal)
+    "q44_multimodal" -> q44Multimodal,
+    "q122_frame_sample" -> q122FrameSample)
 
   /** DuckDB twins of the deterministic north-star queries (q35/q37/q39/q40/
     * q41 stay engine-only: approximate by design).
@@ -993,6 +1020,27 @@ object NorthStar {
         |  MAX(width) AS max_w, MAX(height) AS max_h,
         |  CAST(SUM(frames) AS BIGINT) AS total_frames
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+    "q122_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |    unhex('474D01' || printf('%02x', doc_id % 4) ||
+        |      printf('%02x', 1 + doc_id % 8) || printf('%02x', 1 + doc_id % 4) ||
+        |      array_to_string(list_transform(range(0, 32 + doc_id % 97),
+        |        i -> printf('%02x', (doc_id * 31 + i * 17) % 256)), '')) AS payload
+        |  FROM documents),
+        |d AS (SELECT doc_id, hex(payload) AS hx,
+        |    octet_length(payload) - 6 AS n_bytes FROM m
+        |  WHERE doc_id % 4 = 3),
+        |fr AS (SELECT doc_id, hx, u.i AS frame_no FROM d,
+        |    unnest(range(0, GREATEST(n_bytes // 64, 1))) AS u(i)),
+        |fb AS (SELECT doc_id, frame_no,
+        |    CAST(list_sum(list_transform(range(0, 16),
+        |      j -> CAST(('0x' || substr(hx, CAST((frame_no*64 + j)*2 + 13 AS INT), 2)) AS BIGINT)))
+        |      AS BIGINT) AS fsum
+        |  FROM fr)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(16 * COUNT(*) AS BIGINT) AS total_frame_bytes,
+        |  CAST(SUM(fsum) AS BIGINT) AS frames_byte_sum
+        |FROM fb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q42_langid" ->
       """WITH t AS (SELECT doc_id, lang,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
