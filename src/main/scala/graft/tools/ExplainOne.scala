@@ -13,9 +13,11 @@ object ExplainOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { q =>
+    // a path-looking arg overrides the data dir (else SPARK_GRAFT_SF_DIR)
+    val dir = args.find(_.startsWith("/")).getOrElse(sfDir)
+    args.filterNot(_.startsWith("/")).foreach { q =>
       println(s"===== $q =====")
-      graft.SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
     spark.stop()
   }
