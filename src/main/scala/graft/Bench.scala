@@ -74,7 +74,7 @@ object Bench {
     Some((rows, sec, bytes))
   }
 
-  def main(args: Array[String]): Unit = tools.BenchLock.exclusive("Bench") {
+  def main(args: Array[String]): Unit = tools.BenchLock.exclusiveWait("Bench") {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // contract default: local[32] with shuffle.partitions=32 (capped by the
     // actual core count); SPARK_GRAFT_CPUS overrides for local iteration

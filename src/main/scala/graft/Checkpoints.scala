@@ -53,10 +53,20 @@ object Checkpoints {
       .orElse(df.sparkSession.conf.getOption(ConfKey))
       .filter(_.nonEmpty)
     dir match {
-      case Some(d) => checkpointDirLock.synchronized {
-        df.sparkSession.sparkContext.setCheckpointDir(d)
-        df.checkpoint(eager = true)
-      }
+      case Some(d) =>
+        // the lock guards only the set-dir + checkpoint REGISTRATION pair:
+        // the checkpoint path is captured when `checkpoint()` is called
+        // (ReliableRDDCheckpointData resolves it at construction), so the
+        // materializing job itself can run OUTSIDE the lock — one long
+        // reliable-mode materialize no longer serializes every concurrent
+        // reliable checkpoint in the JVM (dedup iterations, q121 stream
+        // batches), only the microsecond dir-swap does
+        val lazyCp = checkpointDirLock.synchronized {
+          df.sparkSession.sparkContext.setCheckpointDir(d)
+          df.checkpoint(eager = false)
+        }
+        lazyCp.count() // materialize + write the checkpoint, lock-free
+        lazyCp
       case None => df.localCheckpoint(eager = true)
     }
   }

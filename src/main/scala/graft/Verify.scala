@@ -4,7 +4,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
+  // exclusiveWait, not exclusive: the correctness sweep shares the box's 32
+  // cores with any bench run; overlapping them contaminated the r6 driver
+  // sweep (8 queries, IQR ≈ median). The correctness dump must never FAIL
+  // because a bench holds the lock — it serializes behind it instead.
+  def main(args: Array[String]): Unit = tools.BenchLock.exclusiveWait("Verify") {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)

@@ -78,17 +78,23 @@ object Components {
     // rdd-* files, and a superseded iteration's parent can be deleted whole
     // as soon as its successor is materialized (Spark never cleans them).
     def ckptTracked(df: DataFrame): (DataFrame, Set[String]) = callDir match {
-      case Some(dir) => graft.Checkpoints.checkpointDirLock.synchronized {
-        sc.setCheckpointDir(dir)
-        val resolved = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      case Some(dir) =>
+        // lock only the set-dir + checkpoint REGISTRATION (the path is
+        // captured when checkpoint() is called); the materializing job and
+        // the rdd-* listing run outside — the listed dir is this call's
+        // private UUID subdir, which no concurrent call writes into
+        val (lazyCp, resolved) = graft.Checkpoints.checkpointDirLock.synchronized {
+          sc.setCheckpointDir(dir)
+          (df.checkpoint(eager = false),
+            new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get))
+        }
         val fs = resolved.getFileSystem(sc.hadoopConfiguration)
         def ls(): Set[String] =
           if (fs.exists(resolved)) fs.listStatus(resolved).map(_.getPath.toString).toSet
           else Set.empty
         val before = ls()
-        val out = df.checkpoint(eager = true)
-        (out, ls() -- before)
-      }
+        lazyCp.count() // materialize + write the checkpoint, lock-free
+        (lazyCp, ls() -- before)
       case None => (df.localCheckpoint(eager = true), Set.empty[String])
     }
     def deleteDirs(dirs: Set[String]): Unit = dirs.foreach { d =>

@@ -137,20 +137,38 @@ object JaccardJoin {
     joinVerified(prefix, prefix, sets, sets, tNum, tDen, symmetric = true)
   }
 
-  /** Asymmetric exact-Jaccard join: every (left id, right id) pair with
-    * jaccard ≥ tNum/tDen — the INCREMENTAL dedup shape (today's crawl delta
-    * vs the standing corpus): compare volume is delta-prefix × corpus-prefix
-    * joins, never corpus × corpus, so a daily increment against a 100 TB
-    * standing index costs ∝ |delta|'s rare-shingle joins, not the corpus
-    * quadratic. The document-frequency order spans BOTH sides (one shared
-    * `freq` relation): the prefix-filtering completeness proof needs the
-    * globally-smallest shared shingle of a qualifying pair to land in both
-    * prefixes under the SAME order, which per-side frequencies would break.
-    * Left and right ids must be disjoint (they are distinct corpora).
+  /** Session-conf key enabling the (job-running) disjoint-id precondition
+    * guard in [[pairsBetween]]/[[incrementalPairs]]/[[pairsAgainst]]. Off by
+    * default — the check is one extra join job per call, which a production
+    * run should not pay — and turned on in tests so a violated contract
+    * fails loudly instead of emitting plausible self-pairs (jaccard 1.0)
+    * and skewed union frequencies.
     */
-  def pairsBetween(left: DataFrame, right: DataFrame,
-                   idCol: String, textCol: String,
-                   tNum: Long, tDen: Long, shingleWidth: Int = 3): DataFrame = {
+  val CheckDisjointConf = "graft.dedup.checkDisjoint"
+
+  private def assertDisjoint(left: DataFrame, leftId: String,
+                             right: DataFrame, rightId: String,
+                             caller: String): Unit =
+    if (left.sparkSession.conf.getOption(CheckDisjointConf).contains("true")) {
+      val overlap = left.select(col(leftId).cast("long").as("id")).distinct()
+        .join(right.select(col(rightId).cast("long").as("id")).distinct(), Seq("id"))
+        .limit(1).count()
+      require(overlap == 0L,
+        s"$caller: left/right id sets overlap — the two corpora must be " +
+          "disjoint (an overlapping id would emit a jaccard-1.0 self-pair " +
+          "and double-count its shingles in the shared frequency order)")
+    }
+
+  /** Shared two-corpus plumbing: shingle both sides once, rank BOTH under
+    * one union-frequency order (the prefix-filtering completeness proof
+    * needs the globally-smallest shared shingle of a qualifying pair to
+    * land in both prefixes under the SAME order, which per-side frequencies
+    * would break), and return each side's (prefix, sets).
+    */
+  private def twoSidedPrefixes(left: DataFrame, right: DataFrame,
+                               idCol: String, textCol: String,
+                               tNum: Long, tDen: Long, shingleWidth: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val shL = shingleRel(left, idCol, textCol, shingleWidth)
     val shR = shingleRel(right, idCol, textCol, shingleWidth)
     // (id, sh) rows are distinct per side and ids are disjoint across sides,
@@ -158,16 +176,60 @@ object JaccardJoin {
     val freq = shL.union(shR).groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val setsL = setsOf(shL)
     val setsR = setsOf(shR)
-    val pL = prefixOf(shL, freq, setsL, tNum, tDen)
-    val pR = prefixOf(shR, freq, setsR, tNum, tDen)
+    (prefixOf(shL, freq, setsL, tNum, tDen), setsL,
+      prefixOf(shR, freq, setsR, tNum, tDen), setsR)
+  }
+
+  /** Asymmetric exact-Jaccard join: every (left id, right id) pair with
+    * jaccard ≥ tNum/tDen — the INCREMENTAL dedup shape (today's crawl delta
+    * vs the standing corpus): compare volume is delta-prefix × corpus-prefix
+    * joins, never corpus × corpus, so a daily increment against a 100 TB
+    * standing index costs ∝ |delta|'s rare-shingle joins, not the corpus
+    * quadratic. Left and right ids must be disjoint (they are distinct
+    * corpora) — guarded when [[CheckDisjointConf]] is set. Note this emits
+    * CROSS pairs only; an ingest that must also catch two near-dups arriving
+    * in the same delta wants [[incrementalPairs]].
+    */
+  def pairsBetween(left: DataFrame, right: DataFrame,
+                   idCol: String, textCol: String,
+                   tNum: Long, tDen: Long, shingleWidth: Int = 3): DataFrame = {
+    assertDisjoint(left, idCol, right, idCol, "pairsBetween")
+    val (pL, setsL, pR, setsR) =
+      twoSidedPrefixes(left, right, idCol, textCol, tNum, tDen, shingleWidth)
     joinVerified(pL, pR, setsL, setsR, tNum, tDen, symmetric = false)
+  }
+
+  /** The COMPLETE incremental-dedup pair set: [[pairsBetween]]'s delta ×
+    * corpus cross pairs UNIONED with the delta's self-pairs (id1 < id2,
+    * both in the delta) — closing the hole where two near-dup documents
+    * that both arrive in today's crawl are never compared (neither is in
+    * the standing corpus yet). Cost stays incremental: the self-join is
+    * delta-prefix × delta-prefix (|delta| ≪ |corpus|), and both joins
+    * reuse ONE shingling/ranking of each side under the shared
+    * union-frequency order — any fixed total order satisfies the prefix
+    * completeness theorem, for the self-join exactly as for the cross join.
+    * Output: cross pairs carry (id1 ∈ delta, id2 ∈ corpus); self-pairs
+    * carry (id1 < id2, both ∈ delta) — each unordered pair exactly once,
+    * like [[pairs]].
+    */
+  def incrementalPairs(delta: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       tNum: Long, tDen: Long, shingleWidth: Int = 3): DataFrame = {
+    assertDisjoint(delta, idCol, corpus, idCol, "incrementalPairs")
+    val (pL, setsL, pR, setsR) =
+      twoSidedPrefixes(delta, corpus, idCol, textCol, tNum, tDen, shingleWidth)
+    joinVerified(pL, pR, setsL, setsR, tNum, tDen, symmetric = false)
+      .unionByName(joinVerified(pL, pL, setsL, setsL, tNum, tDen, symmetric = true))
   }
 
   /** A prebuilt standing-corpus index for repeated [[pairsAgainst]] probes:
     * the corpus's shingle frequencies (which DEFINE the rare-first order),
-    * verification sets and prefix relation, each materialized once.
+    * verification sets, prefix relation, and the raw (id, shingle-hash)
+    * relation (kept so [[foldIn]] can re-rank after a frequency shift),
+    * each materialized once.
     */
   final case class Index(freq: DataFrame, sets: DataFrame, prefix: DataFrame,
+                         sh: DataFrame,
                          tNum: Long, tDen: Long, shingleWidth: Int)
 
   /** Build the standing-corpus side once — the continuous-ingest shape:
@@ -180,7 +242,48 @@ object JaccardJoin {
     val freq = graft.Checkpoints.materialize(
       sh.groupBy(col("sh")).agg(count(lit(1)).as("df")))
     val sets = setsOf(sh)
-    Index(freq, sets, prefixOf(sh, freq, sets, tNum, tDen), tNum, tDen, shingleWidth)
+    Index(freq, sets, prefixOf(sh, freq, sets, tNum, tDen), sh,
+      tNum, tDen, shingleWidth)
+  }
+
+  /** Fold accepted delta documents INTO a standing index — the update half
+    * of the continuous-ingest story: after today's delta is deduped and
+    * accepted, tomorrow's delta must be able to match today's docs without
+    * a full corpus rebuild. The merge is EXACT — the result probes
+    * identically to `buildIndex(corpus ∪ delta)` (pinned in
+    * JaccardJoinSpec):
+    *   - the delta is shingled fresh (the only per-doc CPU paid);
+    *   - frequencies merge by one outer join of the standing `freq` with
+    *     the delta's counts — never a re-aggregate of the corpus shingles;
+    *   - verification sets union (ids are disjoint corpora);
+    *   - the PREFIX relation is recomputed over the merged shingle relation:
+    *     a document-frequency shift can change ANY document's rare-first
+    *     ranking (and thereby its prefix), so an exact fold-in cannot patch
+    *     prefixes locally. This is the priced part of the merge — one
+    *     join + per-doc rank window over the merged (id, sh) relation,
+    *     skipping only the corpus re-shingling (the CPU-dominant cost at
+    *     scale: tokenize + shingle + hash + distinct of every document).
+    *     A pipeline that wants cheaper fold-ins trades exactness for a
+    *     rebuild cadence: probe against a slightly-stale prefix relation
+    *     and re-rank every N deltas — measured drift, not silent loss,
+    *     because the verify step keeps emitted pairs exact; only candidate
+    *     COMPLETENESS decays as the frozen order diverges.
+    */
+  def foldIn(index: Index, delta: DataFrame,
+             idCol: String, textCol: String): Index = {
+    assertDisjoint(delta, idCol, index.sets, "id", "foldIn")
+    val shD = shingleRel(delta, idCol, textCol, index.shingleWidth)
+    val shNew = graft.Checkpoints.materialize(index.sh.union(shD))
+    val freqD = shD.groupBy(col("sh")).agg(count(lit(1)).as("dfD"))
+    val freqNew = graft.Checkpoints.materialize(
+      index.freq.join(freqD, Seq("sh"), "full_outer")
+        .select(col("sh"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("dfD"), lit(0L))).as("df")))
+    val setsNew = graft.Checkpoints.materialize(
+      index.sets.unionByName(setsOf(shD)))
+    Index(freqNew, setsNew,
+      prefixOf(shNew, freqNew, setsNew, index.tNum, index.tDen), shNew,
+      index.tNum, index.tDen, index.shingleWidth)
   }
 
   private final case class IndexKey(session: String, semanticHash: Int,
@@ -236,6 +339,7 @@ object JaccardJoin {
     */
   def pairsAgainst(index: Index, delta: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
+    assertDisjoint(delta, idCol, index.sets, "id", "pairsAgainst")
     val shL = shingleRel(delta, idCol, textCol, index.shingleWidth)
     val setsL = setsOf(shL)
     // rank under the index's order; corpus-unseen shingles get df 0
@@ -251,5 +355,77 @@ object JaccardJoin {
       .select(col("id"), col("sh"), col("rk"), col("n"))
     joinVerified(pL, index.prefix, setsL, index.sets,
       index.tNum, index.tDen, symmetric = false)
+  }
+
+  /** Cheap order-independent corpus fingerprint for persisted-index
+    * validation: row count + sum of per-row hash residues (residues mod a
+    * prime keep the sum inside a long up to ~9×10⁹ rows; xxhash64 over
+    * (id, text) so any changed/added/dropped document moves it). One scan
+    * of the raw corpus — NO shingling — so validation stays cheap enough
+    * to run on every load.
+    */
+  private def corpusFingerprint(corpus: DataFrame,
+                                idCol: String, textCol: String): (Long, Long) = {
+    val r = corpus.agg(
+      count(lit(1)),
+      coalesce(sum(pmod(xxhash64(col(idCol), col(textCol)), lit(1000000007L))), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Persist a standing index to `dir` (freq/sets/prefix/sh parquet + a
+    * one-row meta relation carrying the build params and the CORPUS
+    * fingerprint) — so a daily pipeline stops paying the per-session
+    * corpus rebuild ([[buildIndexCached]] only memoizes within one
+    * session). The fingerprint is computed from the corpus the index was
+    * built from; [[loadIndexValidated]] recomputes it on load and refuses
+    * an index whose corpus has drifted.
+    */
+  def saveIndex(index: Index, corpus: DataFrame,
+                idCol: String, textCol: String, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (fpN, fpSum) = corpusFingerprint(corpus, idCol, textCol)
+    index.freq.write.mode("overwrite").parquet(s"$dir/freq")
+    index.sets.write.mode("overwrite").parquet(s"$dir/sets")
+    index.prefix.write.mode("overwrite").parquet(s"$dir/prefix")
+    index.sh.write.mode("overwrite").parquet(s"$dir/sh")
+    Seq((index.tNum, index.tDen, index.shingleWidth, fpN, fpSum))
+      .toDF("tNum", "tDen", "shingleWidth", "fpCount", "fpSum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted index; relations are served straight from the parquet
+    * scans (that IS the point of persistence — the scan replaces the
+    * rebuild; wrap in [[buildIndexCached]]-style memoization only if a
+    * session probes it very many times and the scans show up).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    Index(spark.read.parquet(s"$dir/freq"),
+      spark.read.parquet(s"$dir/sets"),
+      spark.read.parquet(s"$dir/prefix"),
+      spark.read.parquet(s"$dir/sh"),
+      m.getAs[Long]("tNum"), m.getAs[Long]("tDen"), m.getAs[Int]("shingleWidth"))
+  }
+
+  /** [[loadIndex]] + validity check: recompute the corpus fingerprint and
+    * refuse (IllegalStateException) when it no longer matches what the
+    * index was built from — a stale index would silently emit an incomplete
+    * pair set (candidates ranked under dead frequencies), which is worse
+    * than failing.
+    */
+  def loadIndexValidated(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         corpus: DataFrame,
+                         idCol: String, textCol: String): Index = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (fpN, fpSum) = corpusFingerprint(corpus, idCol, textCol)
+    if (m.getAs[Long]("fpCount") != fpN || m.getAs[Long]("fpSum") != fpSum)
+      throw new IllegalStateException(
+        s"persisted index at $dir was built from a different corpus " +
+          s"(stored fingerprint (${m.getAs[Long]("fpCount")}, ${m.getAs[Long]("fpSum")}) " +
+          s"vs current ($fpN, $fpSum)) — rebuild with buildIndex/foldIn " +
+          "or point at the matching corpus snapshot")
+    loadIndex(spark, dir)
   }
 }

@@ -70,6 +70,24 @@ object NorthStar {
   def q41AnnIvf: Q = (s, d) =>
     Ann.ivfTopK(Tables(s, d, "embeddings"), "vec_id", "embedding", probeId = 0L)
 
+  /** Q124: BATCHED IVF probe — the ANN twin of q69's exact multi-probe: a
+    * probe RELATION (vec_id < 5, q69's probe set) resolved against one
+    * prebuilt IVF index in a single pass, instead of q41's
+    * build-and-probe-per-call. Same index params as q41's cold path
+    * (k=16, one refinement, 2 assignment replicas), built through the
+    * session cache so repeated sweeps pay the k-means once. Engine-only
+    * (IVF is not SQL-reproducible); NorthStarSpec pins each qid's rows
+    * equal to a loop of single [[Ann.ivfProbe]] calls and recall vs q69's
+    * exact answers.
+    */
+  def q124AnnIvfBatch: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    val index = Ann.ivfIndexCached(emb, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 2)
+    Ann.ivfProbeAll(index,
+      emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid")))
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "es" -> Seq("el", "la", "de", "los", "que"),
@@ -260,6 +278,45 @@ object NorthStar {
     val matches = JaccardJoin.pairsBetween(delta, corpus, "doc_id", "text",
       tNum = 1L, tDen = 2L)
     // per-delta-doc window: bounded by a doc's match count, never global
+    val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
+    matches
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("id1"))))
+      .filter(col("rk") === 1)
+      .select(col("id1").as("doc_id"), col("n_matches"),
+        col("id2").as("best_match_id"), col("jaccard").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q123: COMPLETE incremental dedup — q116 with the intra-delta hole
+    * closed: a real crawl ingest must catch two near-dup documents that
+    * BOTH arrive in today's delta (neither is in the standing corpus yet),
+    * which q116's declared delta × corpus scope silently admits.
+    * [[JaccardJoin.incrementalPairs]] unions the cross pairs with the
+    * delta's self-pairs, reusing ONE shingling/ranking of each side; the
+    * self-join is delta-prefix × delta-prefix, so the daily cost stays
+    * ∝ the increment. Delta here is src7 — the one source with an
+    * intra-source near-dup pair in the sf0.01 fixtures, so the oracle hash
+    * pins the delta-delta path on real data, not vacuously. The decision
+    * record matches q116's shape, with delta-delta matches counted from
+    * BOTH ends (each same-day twin sees the other as its match — the
+    * symmetrize step is one broadcast semi-join against the delta ids).
+    */
+  def q123IncrementalDedupFull: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, d, "documents")
+    val delta = docs.filter(col("source") === "src7")
+    val corpus = docs.filter(col("source") =!= "src7")
+    val p = JaccardJoin.incrementalPairs(delta, corpus, "doc_id", "text",
+      tNum = 1L, tDen = 2L)
+    // intra-delta pairs (id2 ∈ delta) are matches for BOTH members; cross
+    // pairs only for their delta end. The delta-id relation is tiny →
+    // broadcast semi-join, no shuffle of the pair relation.
+    val deltaIds = delta.select(col("doc_id").cast("long").as("id2"))
+    val reversed = p.join(broadcast(deltaIds), Seq("id2"), "left_semi")
+      .select(col("id2").as("id1"), col("id1").as("id2"), col("jaccard"))
+    val matches = p.select(col("id1"), col("id2"), col("jaccard"))
+      .unionByName(reversed)
     val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
     matches
       .withColumn("rk", row_number().over(w))
@@ -734,6 +791,7 @@ object NorthStar {
     "q114_cosine_topk_blocked" -> q114CosineTopkBlocked,
     "q115_cross_source_leakage" -> q115CrossSourceLeakage,
     "q116_incremental_dedup" -> q116IncrementalDedup,
+    "q123_incremental_dedup_full" -> q123IncrementalDedupFull,
     "q119_benchmark_decontamination" -> q119BenchmarkDecontamination,
     "q120_padding_waste" -> q120PaddingWaste,
     "q90_merge_upsert" -> q90MergeUpsert,
@@ -748,6 +806,7 @@ object NorthStar {
     "q39_simhash_pairs" -> q39SimhashPairs,
     "q40_ann_lsh" -> q40AnnLsh,
     "q41_ann_ivf" -> q41AnnIvf,
+    "q124_ann_ivf_batch" -> q124AnnIvfBatch,
     "q42_langid" -> q42LangId,
     "q43_rolling_fp" -> q43RollingFp,
     "q44_multimodal" -> q44Multimodal,
@@ -844,6 +903,31 @@ object NorthStar {
         |          JOIN documents d1 ON s1.doc_id = d1.doc_id
         |          JOIN documents d2 ON s2.doc_id = d2.doc_id
         |          WHERE d1.source = 'src18' AND d2.source <> 'src18'
+        |          GROUP BY 1, 2),
+        |matched AS (SELECT id1, id2, i, a.n AS n1, b.n AS n2 FROM inter
+        |            JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |            WHERE 3 * i >= a.n + b.n),
+        |scored AS (SELECT id1, id2,
+        |             ROUND(CAST(i AS DOUBLE) / (n1 + n2 - i), 6) AS j FROM matched),
+        |best AS (SELECT id1, id2, j,
+        |           row_number() OVER (PARTITION BY id1 ORDER BY j DESC, id2) AS rk,
+        |           COUNT(*) OVER (PARTITION BY id1) AS nm
+        |         FROM scored)
+        |SELECT id1 AS doc_id, nm AS n_matches, id2 AS best_match_id,
+        |       j AS best_jaccard
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q123_incremental_dedup_full" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh
+        |          JOIN documents d1 ON s1.doc_id = d1.doc_id
+        |          WHERE d1.source = 'src7' AND s1.doc_id <> s2.doc_id
         |          GROUP BY 1, 2),
         |matched AS (SELECT id1, id2, i, a.n AS n1, b.n AS n2 FROM inter
         |            JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id

@@ -204,6 +204,60 @@ object Ann {
   /** Drop every memoized index (use after overwriting an input table). */
   def clearIndexCache(): Unit = indexCache.clear()
 
+  /** Order-independent corpus fingerprint (count + sum of per-row hash
+    * residues over (id, embedding)) for persisted-index validation: one
+    * scan of the raw embeddings, no index math — cheap enough for every
+    * load. Same scheme as JaccardJoin's.
+    */
+  private def corpusFingerprint(emb: DataFrame,
+                                idCol: String, embCol: String): (Long, Long) = {
+    val r = emb.agg(
+      count(lit(1)),
+      coalesce(sum(pmod(xxhash64(col(idCol), col(embCol)), lit(1000000007L))), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Persist an IVF index (assignments + centroids + one-row meta with the
+    * corpus fingerprint) so a daily pipeline stops paying the per-session
+    * k-means rebuild — [[ivfIndexCached]] only memoizes within a session.
+    */
+  def saveIvfIndex(index: (DataFrame, DataFrame), emb: DataFrame,
+                   idCol: String, embCol: String, dir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (fpN, fpSum) = corpusFingerprint(emb, idCol, embCol)
+    index._1.write.mode("overwrite").parquet(s"$dir/assigned")
+    index._2.write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((fpN, fpSum)).toDF("fpCount", "fpSum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted IVF index; relations are served from the parquet
+    * scans — the scan replaces the rebuild.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/assigned"), spark.read.parquet(s"$dir/centroids"))
+
+  /** [[loadIvfIndex]] + validity check against the current corpus: a stale
+    * index silently misassigns new/changed vectors (recall loss with no
+    * error), so a fingerprint mismatch refuses loudly instead.
+    */
+  def loadIvfIndexValidated(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            emb: DataFrame,
+                            idCol: String, embCol: String): (DataFrame, DataFrame) = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (fpN, fpSum) = corpusFingerprint(emb, idCol, embCol)
+    if (m.getAs[Long]("fpCount") != fpN || m.getAs[Long]("fpSum") != fpSum)
+      throw new IllegalStateException(
+        s"persisted IVF index at $dir was built from a different corpus " +
+          s"(stored (${m.getAs[Long]("fpCount")}, ${m.getAs[Long]("fpSum")}) vs " +
+          s"current ($fpN, $fpSum)) — rebuild with ivfIndex or point at the " +
+          "matching corpus snapshot")
+    loadIvfIndex(spark, dir)
+  }
+
   /** IVF probe: search only the `nprobe` clusters nearest to the query
     * vector; exact cosine within them; top-k out (replica hits dedup'd by
     * id before ranking).
@@ -227,6 +281,52 @@ object Ann {
     * instead of [[ivfTopK]]'s build-per-call (which remains the declared
     * cold-probe semantics of q41).
     */
+  /** Batched IVF probe — the pipeline shape [[ivfProbe]]'s single-id API
+    * only models one row of: a whole RELATION of query ids resolved to
+    * their top-k in ONE pass (the ANN twin of q69's exact multi-probe).
+    * Per stage: probe vectors come from one broadcast semi-join against
+    * the primary assignments; each query ranks the K broadcast centroids
+    * and keeps its `nprobe` nearest; ONE join of that (qid, cluster)
+    * relation against the index yields all candidates, deduped per
+    * (qid, id) across replicas, exact-cosine scored, and top-k'd by a
+    * per-qid window (state bounded by candidate count per query, never a
+    * global sort). The probe side is broadcast throughout — it is the
+    * small side by design (a query batch vs the corpus index); a probe
+    * relation too big to broadcast is corpus-sized and wants the q113
+    * blocked-pairs shape instead. Returns (qid, rank, id, score); each
+    * qid's rows equal [[ivfProbe]] of that id verbatim (pinned in
+    * NorthStarSpec).
+    */
+  def ivfProbeAll(index: (DataFrame, DataFrame), probeIds: DataFrame,
+                  nprobe: Int = 4, topK: Int = 10): DataFrame = {
+    val (assigned, centroids) = index
+    val probes = assigned.filter(col("crank") === 1)
+      .join(broadcast(probeIds.select(col(probeIds.columns.head).cast("long").as("qid"))),
+        col("id") === col("qid"))
+      .select(col("qid"), col("ev").as("pv"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("csim").desc, col("cid2"))
+    val near = probes.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("pv"), col("cid").as("cid2"),
+        VectorFunctions.cosineSim(col("cv"), col("pv")).as("csim"))
+      .withColumn("nrk", row_number().over(wN))
+      .filter(col("nrk") <= nprobe)
+      .select(col("qid"), col("pv"), col("cid2"))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    assigned
+      .join(broadcast(near), col("cid") === col("cid2"))
+      .select(col("qid"), col("id"), col("ev"), col("pv"))
+      .dropDuplicates("qid", "id")
+      .select(col("qid"), col("id"),
+        round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("score"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def ivfProbe(index: (DataFrame, DataFrame),
                probeId: Long, nprobe: Int = 4, topK: Int = 10): DataFrame = {
     val (assigned, centroids) = index

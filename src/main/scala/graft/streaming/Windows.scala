@@ -423,6 +423,29 @@ object Windows {
     * batch's rare-shingle joins against the prebuilt prefix relation; the
     * corpus is never re-shingled or re-ranked.
     */
+  /** One micro-batch's probe results, written IDEMPOTENTLY: each batch
+    * owns the partition directory `outDir/batch=<batchId>` and OVERWRITES
+    * it, so an at-least-once redelivery (crash between sink write and
+    * offset commit, then replay) rewrites identical content instead of
+    * appending duplicate pair rows and inflating n_matches — the q98
+    * swap-on-commit idea applied per batch (redelivery test in
+    * WindowsSpec). Structured Streaming replays a batch with the SAME
+    * batchId and the same input slice, which is what makes
+    * directory-per-batch + overwrite exactly-once in effect.
+    */
+  private[streaming] def writeProbeBatch(index: graft.dedup.JaccardJoin.Index,
+                                         batch: org.apache.spark.sql.DataFrame,
+                                         outDir: String, batchId: Long): Unit =
+    graft.dedup.JaccardJoin.pairsAgainst(index, batch, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
   def q121StreamIncrementalDedup: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables(s, d, "documents")
@@ -435,34 +458,37 @@ object Windows {
     val index = graft.dedup.JaccardJoin.buildIndexCached(corpus, "doc_id", "text",
       tNum = 1L, tDen = 2L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q121_").toString
-    val feedDir = s"$tmp/feed"
-    val outDir = s"$tmp/matches"
-    delta.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
-    // seed the accumulator with the (empty) match schema so a matchless
-    // drain still reads back cleanly
-    graft.dedup.JaccardJoin.pairsAgainst(index, delta.limit(0), "doc_id", "text")
-      .write.mode("overwrite").parquet(outDir)
-    val sdf = s.readStream.schema(delta.schema)
-      .option("maxFilesPerTrigger", "1").parquet(feedDir)
-    val q = sdf.writeStream.outputMode(OutputMode.Append)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          graft.dedup.JaccardJoin.pairsAgainst(index, batch, "doc_id", "text")
-            .write.mode("append").parquet(outDir)
+    try {
+      val feedDir = s"$tmp/feed"
+      val outDir = s"$tmp/matches"
+      delta.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+      // seed the accumulator with the (empty) match schema under a batch id
+      // no real trigger uses, so a matchless drain still reads back cleanly
+      writeProbeBatch(index, delta.limit(0), outDir, batchId = -1L)
+      val sdf = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) writeProbeBatch(index, batch, outDir, batchId)
+          ()
         }
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    // same per-delta-doc decision record as q116 (bounded per-doc windows)
-    val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
-    s.read.parquet(outDir)
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("id1"))))
-      .filter(col("rk") === 1)
-      .select(col("id1").as("doc_id"), col("n_matches"),
-        col("id2").as("best_match_id"), col("jaccard").as("best_jaccard"))
-      .orderBy(col("doc_id"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // same per-delta-doc decision record as q116 (bounded per-doc windows);
+      // `batch` is the partition-discovery column from the per-batch dirs
+      val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
+      val res = s.read.parquet(outDir).drop("batch")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("id1"))))
+        .filter(col("rk") === 1)
+        .select(col("id1").as("doc_id"), col("n_matches"),
+          col("id2").as("best_match_id"), col("jaccard").as("best_jaccard"))
+        .orderBy(col("doc_id"))
+      // materialize BEFORE the feed/matches dirs are deleted below — the
+      // caller gets a lineage-cut result, and a bench's median-of-5 no
+      // longer leaks several corpus-delta copies into /tmp per run
+      graft.Checkpoints.materialize(res)
+    } finally deleteRecursively(tmp)
   }
 
   /** Q101: STREAM-STATIC join — the dimension-enrichment shape that was

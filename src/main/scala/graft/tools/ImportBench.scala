@@ -18,7 +18,7 @@ import java.nio.file.Files
   * so the throughput trend line has a point beyond a single small file.
   */
 object ImportBench {
-  def main(args: Array[String]): Unit = BenchLock.exclusive("ImportBench") {
+  def main(args: Array[String]): Unit = BenchLock.exclusiveWait("ImportBench") {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val spark = Engine.session("graft-import-bench")

@@ -108,6 +108,129 @@ class JaccardJoinSpec extends SparkSpec {
     JaccardJoin.clearIndexCache()
   }
 
+  test("incrementalPairs: crafted delta-delta twins are caught, corpus self-pairs are not") {
+    // the production-crawl hole q116's declared scope admits: docs 100/101
+    // are near-dups that BOTH arrive in today's delta — pairsBetween never
+    // compares them; incrementalPairs must. Corpus docs 0/1 are near-dups
+    // of EACH OTHER and must NOT be re-compared (that's the standing
+    // corpus's own batch resolution, already done).
+    val corpus = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g x"),
+      (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "m n o p q r s t"),
+      (101L, "m n o p q r s z"),   // same-day twin of 100
+      (102L, "a b c d e f g h")    // cross dup of corpus doc 0
+    ).toDF("doc_id", "text")
+    spark.conf.set(JaccardJoin.CheckDisjointConf, "true")
+    try {
+      val got = JaccardJoin.incrementalPairs(delta, corpus, "doc_id", "text", 1L, 2L)
+        .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+      val deltaIds = Set(100L, 101L, 102L)
+      val want = bruteForce(corpus.unionByName(delta), 0.5, 3)
+        .collect {
+          case (a, b, i) if deltaIds(a) && deltaIds(b) => (a, b, i)
+          case (a, b, i) if deltaIds(a) => (a, b, i)
+          case (a, b, i) if deltaIds(b) => (b, a, i)
+        }
+      assert(got === want)
+      assert(got.exists { case (a, b, _) => deltaIds(a) && deltaIds(b) },
+        "the delta-delta twin pair must be present")
+      assert(got.exists { case (a, b, _) => deltaIds(a) && !deltaIds(b) },
+        "cross delta-corpus pairs must be present")
+      assert(!got.exists { case (a, b, _) => !deltaIds(a) && !deltaIds(b) },
+        "no corpus-corpus pair may be emitted")
+    } finally spark.conf.unset(JaccardJoin.CheckDisjointConf)
+  }
+
+  test("incrementalPairs on sf0.001 equals the delta-restricted symmetric set (delta=src0)") {
+    // src0 is a source with an INTRA-source near-dup pair in the sf0.001
+    // fixtures, so both components of the union are exercised on real data
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val delta = docs.filter($"source" === "src0")
+    val corpus = docs.filter($"source" =!= "src0")
+    val deltaIds = delta.select($"doc_id").as[Long].collect().toSet
+    val sym = JaccardJoin.pairs(docs, "doc_id", "text", 1L, 2L)
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect()
+      .collect {
+        case (a, b, i) if deltaIds(a) && deltaIds(b) => (a, b, i)
+        case (a, b, i) if deltaIds(a) && !deltaIds(b) => (a, b, i)
+        case (a, b, i) if deltaIds(b) && !deltaIds(a) => (b, a, i)
+      }.toSet
+    val got = JaccardJoin.incrementalPairs(delta, corpus, "doc_id", "text", 1L, 2L)
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    assert(got === sym)
+    assert(got.exists { case (a, b, _) => deltaIds(a) && deltaIds(b) },
+      "fixtures plant an intra-src0 near-dup at sf0.001; empty would be vacuous")
+    assert(got.exists { case (a, b, _) => !deltaIds(b) },
+      "cross pairs must be present too")
+  }
+
+  test("foldIn(indexA, corpusB) probes identically to buildIndex(corpusA ∪ corpusB)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpusA = docs.filter($"source" =!= "src18" && $"source" =!= "src19")
+    val corpusB = docs.filter($"source" === "src19")
+    val delta = docs.filter($"source" === "src18")
+    val folded = JaccardJoin.foldIn(
+      JaccardJoin.buildIndex(corpusA, "doc_id", "text", 1L, 2L),
+      corpusB, "doc_id", "text")
+    val full = JaccardJoin.buildIndex(
+      corpusA.unionByName(corpusB), "doc_id", "text", 1L, 2L)
+    // the merged relations are EXACTLY the full build's (frequencies sum,
+    // sets union, prefixes re-rank under the merged order)
+    def sym(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Long =
+      a.except(b).count() + b.except(a).count()
+    assert(sym(folded.freq, full.freq) === 0L, "merged freq must equal full-build freq")
+    assert(sym(folded.prefix, full.prefix) === 0L, "re-ranked prefix must equal full-build prefix")
+    val viaFold = JaccardJoin.pairsAgainst(folded, delta, "doc_id", "text")
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    val viaFull = JaccardJoin.pairsAgainst(full, delta, "doc_id", "text")
+      .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    assert(viaFold === viaFull)
+    assert(viaFold.nonEmpty, "src18 has cross-source near-dups; empty would be vacuous")
+  }
+
+  test("persisted index: loaded probe equals fresh probe; corpus drift refuses") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docs.filter($"source" =!= "src18")
+    val delta = docs.filter($"source" === "src18")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jidx_").toString
+    try {
+      val fresh = JaccardJoin.buildIndex(corpus, "doc_id", "text", 1L, 2L)
+      JaccardJoin.saveIndex(fresh, corpus, "doc_id", "text", dir)
+      val loaded = JaccardJoin.loadIndexValidated(spark, dir, corpus, "doc_id", "text")
+      assert((loaded.tNum, loaded.tDen, loaded.shingleWidth) === (1L, 2L, 3))
+      val viaLoaded = JaccardJoin.pairsAgainst(loaded, delta, "doc_id", "text")
+        .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+      val viaFresh = JaccardJoin.pairsAgainst(fresh, delta, "doc_id", "text")
+        .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+      assert(viaLoaded === viaFresh)
+      assert(viaLoaded.nonEmpty, "empty pair set would make this vacuous")
+      // a drifted corpus (dropped docs) must refuse, not silently emit an
+      // incomplete pair set
+      intercept[IllegalStateException] {
+        JaccardJoin.loadIndexValidated(spark, dir,
+          corpus.filter($"doc_id" % 2 === 0), "doc_id", "text")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("disjoint-id precondition guard fails loudly under the debug conf") {
+    val docs = Seq((0L, "a b c d e"), (1L, "f g h i j")).toDF("doc_id", "text")
+    spark.conf.set(JaccardJoin.CheckDisjointConf, "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        JaccardJoin.pairsBetween(docs, docs, "doc_id", "text", 1L, 2L)
+      }
+      assert(e.getMessage.contains("disjoint"))
+    } finally spark.conf.unset(JaccardJoin.CheckDisjointConf)
+  }
+
   test("threshold is applied with integer arithmetic (no float boundary)") {
     // J exactly 1/2: |A|=|B|=3 shingles, inter=2 -> 2/(3+3-2) = 0.5 kept
     val docs = Seq(

@@ -125,6 +125,68 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("ivfProbeAll equals a loop of single ivfProbe calls, probe by probe") {
+    // the batched relation API must be a pure vectorization: each qid's
+    // (id, score) rows in rank order are exactly the single-probe answer
+    val emb = Tables_embeddings
+    val index = Ann.ivfIndex(emb, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 2)
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val batched = Ann.ivfProbeAll(index,
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    for (p <- probeIds) {
+      val single = Ann.ivfProbe(index, probeId = p)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batched(p) === single, s"qid $p diverged from the single-probe path")
+    }
+  }
+
+  test("q124 batched-probe recall vs q69's exact multi-probe answers") {
+    // same probes, same k=10: the IVF answer set per probe must overlap the
+    // exact set at the q41-class recall (nprobe=4/k=16/replicas=2 measured
+    // 0.8 average at sf0.01 — see the recall curve in BENCH.md); integer
+    // hit-counting keeps the floor float-exact. sf0.001 here measures 39/50
+    // (per-probe 10/7/6/8/8); floor 35 leaves headroom for nothing — the
+    // index is deterministic, the floor just documents the margin class.
+    val batched = NorthStar.q124AnnIvfBatch(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.q69MultiTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.sorted.map(p => (batched(p) intersect exact(p)).size)
+    assert(hits.sum >= 35, s"recall ${hits.sum}/50, per-probe $hits")
+    assert(hits.forall(_ >= 5), s"per-probe $hits")
+  }
+
+  test("persisted IVF index: loaded probe equals fresh probe; corpus drift refuses") {
+    val emb = Tables_embeddings
+    val index = Ann.ivfIndex(emb, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    try {
+      Ann.saveIvfIndex(index, emb, "vec_id", "embedding", dir)
+      val loaded = Ann.loadIvfIndexValidated(spark, dir, emb, "vec_id", "embedding")
+      for (p <- Seq(0L, 101L, 250L)) {
+        val fresh = Ann.ivfProbe(index, probeId = p)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val persisted = Ann.ivfProbe(loaded, probeId = p)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(persisted === fresh, s"probe $p diverged after a save/load round-trip")
+      }
+      intercept[IllegalStateException] {
+        Ann.loadIvfIndexValidated(spark, dir,
+          emb.filter(col("vec_id") < 250), "vec_id", "embedding")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("ivf recall@10 vs exact top-10 at sf0.01 (nprobe=4 of k=16)") {
     graft.functions.VectorFunctions.register(spark)
     val sf001 = "/root/testdata/sf0.01"

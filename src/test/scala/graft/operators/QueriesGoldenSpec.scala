@@ -40,7 +40,8 @@ class QueriesGoldenSpec extends SparkSpec {
     val engineOnly = Set(
       "q35_approx_distinct", "q37_minhash_pairs", "q39_simhash_pairs",
       "q40_ann_lsh", "q41_ann_ivf", "q108_equidepth_scale",
-      "q113_embed_dedup_blocked", "q114_cosine_topk_blocked")
+      "q113_embed_dedup_blocked", "q114_cosine_topk_blocked",
+      "q124_ann_ivf_batch")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

@@ -207,4 +207,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got === want, "restarted incremental CDC state diverged from the one-shot MERGE")
   }
+
+  test("q121 probe sink is idempotent: a redelivered batch leaves the output unchanged") {
+    // at-least-once redelivery: a crash between sink write and offset commit
+    // replays the SAME batch with the SAME batchId. The per-batch
+    // directory-overwrite sink must make the double-apply invisible — the
+    // old append-mode sink duplicated every pair row and inflated n_matches.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val delta = docs.filter($"source" === "src18").select($"doc_id", $"text")
+    val corpus = docs.filter($"source" =!= "src18")
+    val index = graft.dedup.JaccardJoin.buildIndex(corpus, "doc_id", "text", 1L, 2L)
+    val out = java.nio.file.Files.createTempDirectory("graft_q121_redeliver_").toString
+    try {
+      def snapshot(): Seq[(Long, Long, Long)] =
+        spark.read.parquet(out).drop("batch")
+          .select($"id1", $"id2", $"inter").as[(Long, Long, Long)]
+          .collect().toSeq.sorted
+      Windows.writeProbeBatch(index, delta.limit(0).toDF(), out, batchId = -1L)
+      Windows.writeProbeBatch(index, delta.toDF(), out, batchId = 0L)
+      val once = snapshot()
+      assert(once.nonEmpty, "src18 has cross-source near-dups; empty would be vacuous")
+      Windows.writeProbeBatch(index, delta.toDF(), out, batchId = 0L) // redelivery
+      assert(snapshot() === once,
+        "double-applied batch must rewrite identical content, not append duplicates")
+      // and a GENUINE second batch still accumulates
+      Windows.writeProbeBatch(index, delta.toDF(), out, batchId = 1L)
+      assert(snapshot().size === once.size * 2)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
