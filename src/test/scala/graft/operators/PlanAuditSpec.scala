@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "q108_equidepth_scale", // 1-row broadcast decile-cutoff array
     "q111_mix_weights",  // 1-row broadcast weight-normalization total
     "q113_embed_dedup_blocked", // K-centroid broadcast (q41's IVF index)
-    "q114_cosine_topk_blocked") // K-centroid broadcast (q41's IVF index)
+    "q114_cosine_topk_blocked", // K-centroid broadcast (q41's IVF index)
+    "q124_ann_ivf_batch") // probe-batch × K-centroid broadcast (bounded both sides)
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins
