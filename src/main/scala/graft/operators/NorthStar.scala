@@ -327,6 +327,40 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q125: TWO-DAY ingest via standing-index fold-in — the continuous
+    * lifecycle q121 starts and [[JaccardJoin.foldIn]] completes: day 1's
+    * accepted delta (src19) is folded INTO the standing corpus index
+    * (frequencies merged, sets unioned, prefixes re-ranked — the corpus is
+    * NOT re-shingled), then day 2's delta (src18) probes the folded index.
+    * Because the fold is exact (probe-equal to a full rebuild, pinned in
+    * JaccardJoinSpec), day 2's decision record is IDENTICAL to checking
+    * src18 against all other sources at once — so this query shares q116's
+    * DuckDB oracle verbatim, which hash-checks the fold-in path end-to-end
+    * on the declared surface (the q121 batch≡stream trick, applied to
+    * index mutation). The base corpus index is session-memoized
+    * ([[JaccardJoin.buildIndexCached]]); each run then pays fold + probe,
+    * the daily steady state.
+    */
+  def q125FoldinIngest: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, d, "documents")
+    val day2 = docs.filter(col("source") === "src18")
+    val day1 = docs.filter(col("source") === "src19")
+    val corpus = docs.filter(col("source") =!= "src18" && col("source") =!= "src19")
+    val folded = JaccardJoin.foldIn(
+      JaccardJoin.buildIndexCached(corpus, "doc_id", "text", tNum = 1L, tDen = 2L),
+      day1, "doc_id", "text")
+    val matches = JaccardJoin.pairsAgainst(folded, day2, "doc_id", "text")
+    val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
+    matches
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("id1"))))
+      .filter(col("rk") === 1)
+      .select(col("id1").as("doc_id"), col("n_matches"),
+        col("id2").as("best_match_id"), col("jaccard").as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q119: benchmark decontamination — the n-gram overlap filter run
     * before training so eval data can't leak into the train set (the
     * GPT-3-style 13-gram method, here 8-gram on short synthetic docs):
@@ -792,6 +826,7 @@ object NorthStar {
     "q115_cross_source_leakage" -> q115CrossSourceLeakage,
     "q116_incremental_dedup" -> q116IncrementalDedup,
     "q123_incremental_dedup_full" -> q123IncrementalDedupFull,
+    "q125_foldin_ingest" -> q125FoldinIngest,
     "q119_benchmark_decontamination" -> q119BenchmarkDecontamination,
     "q120_padding_waste" -> q120PaddingWaste,
     "q90_merge_upsert" -> q90MergeUpsert,
@@ -891,6 +926,35 @@ object NorthStar {
         |FROM np JOIN nd ON np.source_a = nd.source_a AND np.source_b = nd.source_b
         |ORDER BY np.source_a, np.source_b""".stripMargin,
     "q116_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh
+        |          JOIN documents d1 ON s1.doc_id = d1.doc_id
+        |          JOIN documents d2 ON s2.doc_id = d2.doc_id
+        |          WHERE d1.source = 'src18' AND d2.source <> 'src18'
+        |          GROUP BY 1, 2),
+        |matched AS (SELECT id1, id2, i, a.n AS n1, b.n AS n2 FROM inter
+        |            JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |            WHERE 3 * i >= a.n + b.n),
+        |scored AS (SELECT id1, id2,
+        |             ROUND(CAST(i AS DOUBLE) / (n1 + n2 - i), 6) AS j FROM matched),
+        |best AS (SELECT id1, id2, j,
+        |           row_number() OVER (PARTITION BY id1 ORDER BY j DESC, id2) AS rk,
+        |           COUNT(*) OVER (PARTITION BY id1) AS nm
+        |         FROM scored)
+        |SELECT id1 AS doc_id, nm AS n_matches, id2 AS best_match_id,
+        |       j AS best_jaccard
+        |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // q125 probes src18 against corpus ∪ folded-in src19 = all non-src18
+    // sources — exactly q116's relation, so the oracle is q116's verbatim
+    // (the fold-in exactness IS what the shared hash then checks)
+    "q125_foldin_ingest" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |         FROM documents),
         |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
