@@ -421,6 +421,41 @@ object NorthStar {
       .orderBy(col("bucket_len"))
   }
 
+  /** Q126: marginal n-gram novelty per source — the "value of the next
+    * crawl source" curve curation teams use to order acquisitions: sources
+    * are ranked by ingest order (the numeric suffix of `source`), and each
+    * source is scored by how many of its distinct 3-gram shingles occur in
+    * NO earlier-ranked source — the diminishing-returns measure that says
+    * when more of the same crawl stops adding information. Shape: the same
+    * hashed shingle relation q119 shuffles (explode → distinct (rank,
+    * hash)), then ONE window-min partitioned by shingle hash for the
+    * first-occurrence rank and one keyed aggregate per source; per-source
+    * doc counts join back as a ~20-row broadcast. At 100 TB the shingle
+    * relation is the dedup family's working set — nothing here exceeds
+    * what q116/q119 already shuffle.
+    */
+  def q126NgramNovelty: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val rank = substring(col("source"), 4, 10).cast("long").as("src_rank")
+    val docs = Tables(s, d, "documents")
+    val gr = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(rank, explode(MinHashLSH.shingles(toks, 3)).as("g"))
+      .select(col("src_rank"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val perSource = gr
+      .withColumn("first_rank", min(col("src_rank")).over(Window.partitionBy(col("h"))))
+      .groupBy(col("src_rank"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("src_rank") === col("first_rank"), 1L).otherwise(0L)).as("n_novel"))
+    val nd = docs.groupBy(rank).agg(count(lit(1)).as("n_docs"))
+    perSource.join(broadcast(nd), Seq("src_rank"))
+      .select(col("src_rank"), col("n_docs"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+      .orderBy(col("src_rank"))
+  }
+
   /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
     * survivor rule production pipelines actually use: within each near-dup
     * component keep the highest-quality copy (longest text, id tiebreak),
@@ -829,6 +864,7 @@ object NorthStar {
     "q125_foldin_ingest" -> q125FoldinIngest,
     "q119_benchmark_decontamination" -> q119BenchmarkDecontamination,
     "q120_padding_waste" -> q120PaddingWaste,
+    "q126_ngram_novelty" -> q126NgramNovelty,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -1029,6 +1065,26 @@ object NorthStar {
         |  CAST(SUM(bucket_len - n) AS BIGINT) AS n_padding,
         |  ROUND(CAST(SUM(n) AS DOUBLE) / SUM(bucket_len), 6) AS utilization
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle dedups shingle STRINGS where Spark dedups xxhash64 values —
+    // counts agree exactly unless a 64-bit collision occurs in-corpus
+    "q126_ngram_novelty" ->
+      """WITH toks AS (SELECT CAST(substr(source, 4) AS BIGINT) AS src_rank,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |sh AS (SELECT DISTINCT src_rank, u.g FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(g)),
+        |fo AS (SELECT src_rank, MIN(src_rank) OVER (PARTITION BY g) AS first_rank
+        |       FROM sh),
+        |per AS (SELECT src_rank, COUNT(*) AS n_shingles,
+        |          CAST(SUM(CASE WHEN src_rank = first_rank THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_novel
+        |        FROM fo GROUP BY 1),
+        |nd AS (SELECT CAST(substr(source, 4) AS BIGINT) AS src_rank,
+        |         COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT src_rank, n_docs, n_shingles, n_novel,
+        |  ROUND(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+        |FROM per JOIN nd USING (src_rank) ORDER BY src_rank""".stripMargin,
     "q111_mix_weights" ->
       """WITH t AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -244,8 +244,52 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Q127: embedding outlier filter — the quality gate run after q92's
+    * coherence audit: per label, flag the vectors whose cosine-to-centroid
+    * falls at or below the label's 5th-percentile cutoff (mislabeled /
+    * noise-embedding candidates a curation pipeline drops or re-labels).
+    * The cutoff is a DISCRETE order statistic (q102's row_number pick over
+    * rounded scores — an actual score from the data, deterministic across
+    * engines), computed per label where label count K is small, so the
+    * cutoff relation broadcasts. The scored relation is materialized ONCE
+    * (q115's discipline) — cutoff derivation and final filter both read
+    * the materialized scores rather than re-running the centroid
+    * aggregation. Shuffle = q92's (label, dim) exchange + one K-partition
+    * window; the filter itself is a broadcast join, map-side.
+    */
+  def q127EmbedOutliers: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), big(col("label")).as("label"),
+        asDouble(col("embedding")).as("v"))
+    val byDim = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+        .cast("double") / count(lit(1))).as("m"))
+    val centroids = byDim.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+    val scored = graft.Checkpoints.materialize(
+      emb.join(broadcast(centroids), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(VectorFunctions.cosineSim(col("v"), col("cv")), 6).as("cos_centroid")))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos_centroid"), col("vec_id"))
+    val cut = scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .groupBy(col("label"))
+      .agg(max(when(col("rn") === ceil(col("n") * 0.05).cast("long"),
+        col("cos_centroid"))).as("cutoff_p05"))
+    scored.join(broadcast(cut), Seq("label"))
+      .filter(col("cos_centroid") <= col("cutoff_p05"))
+      .select(col("vec_id"), col("label"), col("cos_centroid"), col("cutoff_p05"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q92_label_centroid" -> q92LabelCentroid,
+    "q127_embed_outliers" -> q127EmbedOutliers,
     "q89_embed_quant" -> q89EmbedQuant,
     "q87_hof_battery" -> q87HofBattery,
     "q24_array" -> q24Array,
@@ -269,6 +313,34 @@ object Similarity {
         |        / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cv, cv.cv))),
         |    6) AS cos_centroid
         |FROM e JOIN cv USING (label) ORDER BY vec_id""".stripMargin,
+    "q127_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |dims AS (SELECT label, u.i AS pos, v[u.i] AS x
+        |         FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+        |cent AS (SELECT label, pos,
+        |           CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
+        |         FROM dims GROUP BY label, pos),
+        |cv AS (SELECT label, list(m ORDER BY pos) AS cv FROM cent GROUP BY label),
+        |scored AS (SELECT e.vec_id, e.label,
+        |    ROUND(list_dot_product(e.v, cv.cv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cv, cv.cv))),
+        |      6) AS cos_centroid
+        |  FROM e JOIN cv USING (label)),
+        |r AS (SELECT vec_id, label, cos_centroid,
+        |        CAST(row_number() OVER (PARTITION BY label
+        |          ORDER BY cos_centroid, vec_id) AS BIGINT) AS rn,
+        |        COUNT(*) OVER (PARTITION BY label) AS n
+        |      FROM scored),
+        |cut AS (SELECT label,
+        |          MAX(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT)
+        |              THEN cos_centroid END) AS cutoff_p05
+        |        FROM r GROUP BY label)
+        |SELECT s.vec_id, s.label, s.cos_centroid, c.cutoff_p05
+        |FROM scored s JOIN cut c USING (label)
+        |WHERE s.cos_centroid <= c.cutoff_p05
+        |ORDER BY s.vec_id""".stripMargin,
     "q89_embed_quant" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -318,4 +318,50 @@ class NorthStarSpec extends SparkSpec {
     assert(rows.length === 5)
     assert(rows.forall(r => Set("en", "es", "de", "fr", "zh").contains(r.getString(2))))
   }
+
+  test("q126 novelty invariants: rank-0 fully novel, novel mass = corpus distinct") {
+    // columns: src_rank, n_docs, n_shingles, n_novel, novelty
+    val rows = NorthStar.q126NgramNovelty(spark, sf0001).collect()
+    val byRank = rows.map(r => r.getLong(0) -> r).toMap
+    // the first-ranked source has no predecessors: every shingle is novel
+    val first = byRank(byRank.keySet.min)
+    assert(first.getLong(3) === first.getLong(2), "first source not fully novel")
+    assert(first.getDouble(4) === 1.0)
+    // each distinct shingle is novel in EXACTLY one source (its first), so
+    // the novel counts partition the corpus-wide distinct shingle set
+    val corpusDistinct = graft.Tables(spark, sf0001, "documents")
+      .select(explode(graft.dedup.MinHashLSH.shingles(
+        filter(split($"text", " "), t => t =!= ""), 3)).as("g"))
+      .select(xxhash64($"g")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum === corpusDistinct,
+      "novel counts do not partition the corpus distinct-shingle set")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "novel exceeds distinct")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q127 outlier gate: cutoff is the per-label p05 order statistic") {
+    // columns: vec_id, label, cos_centroid, cutoff_p05
+    val flagged = Similarity.q127EmbedOutliers(spark, sf0001).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach(r => assert(r.getDouble(2) <= r.getDouble(3),
+      s"vec ${r.getLong(0)} flagged above its label cutoff"))
+    // against the full scored relation: strictly-below-cutoff count stays
+    // under ceil(0.05 n) (the discrete-percentile definition), and every
+    // label flags at least its rank-1 vector
+    val scored = Similarity.q92LabelCentroid(spark, sf0001).collect()
+      .groupBy(_.getLong(1))
+    val cutoffByLabel = flagged.map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    cutoffByLabel.foreach { case (label, cut) =>
+      val cs = scored(label).map(_.getDouble(2))
+      val below = cs.count(_ < cut)
+      val atOrBelow = cs.count(_ <= cut)
+      val k = math.ceil(cs.length * 0.05).toLong
+      assert(below < k, s"label $label: $below scores strictly below the p05 pick")
+      assert(atOrBelow >= k, s"label $label: cutoff excludes the p05 position")
+      val nFlagged = flagged.count(_.getLong(1) == label)
+      assert(nFlagged === atOrBelow, s"label $label: flagged $nFlagged != $atOrBelow at-or-below")
+    }
+  }
 }
