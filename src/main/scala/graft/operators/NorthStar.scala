@@ -456,6 +456,55 @@ object NorthStar {
       .orderBy(col("src_rank"))
   }
 
+  /** Q128: exact-substring duplication coverage — the window-level dedup
+    * signal doc-level Jaccard misses (two long documents sharing one
+    * verbatim paragraph have low Jaccard but a real duplication problem):
+    * per document, how many token positions are covered by an 8-token
+    * window that also occurs verbatim in ANOTHER document. Positions under
+    * overlapping duplicated windows are counted ONCE via merged-interval
+    * arithmetic — a running `max(i+len)` over one window partitioned by
+    * doc — not by exploding the 8 positions per window. Shape: the q119
+    * position-indexed window-hash relation (explode → (doc, pos, hash)),
+    * one two-phase count-distinct per hash to find recurring windows, one
+    * hash-keyed join back, one partitioned window + keyed aggregate. Docs
+    * shorter than the window contribute their whole text as one window —
+    * q119's convention — so exact short-doc duplicates still count.
+    */
+  def q128SubstringDup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val base = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(MinHashLSH.shingles(col("tk"), w)))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("i"),
+        xxhash64(col("col")).as("h"))
+      .transform(graft.Checkpoints.materialize(_))
+    val dup = base.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val winLen = least(lit(w.toLong), col("n_tokens"))
+    val prevEnd = max(col("i") + winLen).over(
+      Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val dstats = base.join(dup, Seq("h"))
+      .withColumn("c", greatest(lit(0L),
+        col("i") + winLen - greatest(coalesce(prevEnd, lit(0L)), col("i"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("c")).as("covered"))
+    base.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"), count(lit(1)).as("n_windows"))
+      .join(dstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_coverage"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
     * survivor rule production pipelines actually use: within each near-dup
     * component keep the highest-quality copy (longest text, id tiebreak),
@@ -865,6 +914,7 @@ object NorthStar {
     "q119_benchmark_decontamination" -> q119BenchmarkDecontamination,
     "q120_padding_waste" -> q120PaddingWaste,
     "q126_ngram_novelty" -> q126NgramNovelty,
+    "q128_substring_dup" -> q128SubstringDup,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -1085,6 +1135,33 @@ object NorthStar {
         |SELECT src_rank, n_docs, n_shingles, n_novel,
         |  ROUND(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
         |FROM per JOIN nd USING (src_rank) ORDER BY src_rank""".stripMargin,
+    // positions are 0-based window-start indices in both engines; the oracle
+    // dedups window STRINGS where Spark counts distinct docs per xxhash64
+    "q128_substring_dup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |sized AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+        |base AS (SELECT doc_id, n_tokens, u.j AS i,
+        |    CASE WHEN n_tokens < 8 THEN array_to_string(tk, ' ')
+        |         ELSE array_to_string(tk[u.j+1:u.j+8], ' ') END AS g
+        |  FROM sized, unnest(range(0, greatest(n_tokens - 7, 1))) AS u(j)),
+        |dup AS (SELECT g FROM base GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT b.doc_id, b.i, LEAST(8, b.n_tokens) AS L
+        |       FROM base b JOIN dup USING (g)),
+        |cov AS (SELECT doc_id,
+        |          GREATEST(0, i + L - GREATEST(COALESCE(
+        |            MAX(i + L) OVER (PARTITION BY doc_id ORDER BY i
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), i)) AS c
+        |        FROM dw),
+        |dstats AS (SELECT doc_id, COUNT(*) AS n_dup_windows,
+        |             CAST(SUM(c) AS BIGINT) AS covered FROM cov GROUP BY doc_id),
+        |stats AS (SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS n_windows
+        |          FROM base GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens, s.n_windows,
+        |  COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+        |  COALESCE(d.covered, 0) AS covered_tokens,
+        |  ROUND(CAST(COALESCE(d.covered, 0) AS DOUBLE) / s.n_tokens, 6) AS dup_coverage
+        |FROM stats s LEFT JOIN dstats d USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     "q111_mix_weights" ->
       """WITH t AS (
         |  SELECT source, COUNT(*) AS n_docs,

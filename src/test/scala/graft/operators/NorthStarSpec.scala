@@ -341,6 +341,40 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("q128 merged-interval coverage on a crafted shared-paragraph fixture") {
+    // doc0/doc1 share the 12-token run a4..a15 (5 overlapping dup 8-windows
+    // merging to exactly 12 covered positions on each side); doc2 is unique;
+    // doc3/doc4 are identical 5-token docs (whole-doc window, coverage 1.0)
+    val shared = (4 to 15).map(i => s"a$i").mkString(" ")
+    val rows = Seq(
+      (0L, ((0 to 19).map(i => s"a$i")).mkString(" "), "en", "src0", 0L),
+      (1L, s"b0 b1 b2 $shared b3 b4", "en", "src0", 0L),
+      (2L, (0 to 19).map(i => s"c$i").mkString(" "), "en", "src1", 0L),
+      (3L, "d0 d1 d2 d3 d4", "en", "src1", 0L),
+      (4L, "d0 d1 d2 d3 d4", "en", "src2", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("q128fix").toString
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = NorthStar.q128SubstringDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc0: 20 tokens, 13 windows, dup windows start at 4..8, union [4,16) = 12
+    assert(out(0L).getLong(2) === 13L)
+    assert(out(0L).getLong(3) === 5L, "doc0 dup-window count")
+    assert(out(0L).getLong(4) === 12L, "doc0 merged coverage")
+    assert(out(0L).getDouble(5) === 0.6)
+    // doc1: 17 tokens, dup windows start at 3..7, union [3,15) = 12 of 17
+    assert(out(1L).getLong(3) === 5L, "doc1 dup-window count")
+    assert(out(1L).getLong(4) === 12L, "doc1 merged coverage")
+    // doc2: untouched
+    assert(out(2L).getLong(3) === 0L && out(2L).getLong(4) === 0L)
+    assert(out(2L).getDouble(5) === 0.0)
+    // doc3/doc4: whole-doc window duplicated, full coverage
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id).getLong(2) === 1L && out(id).getLong(3) === 1L)
+      assert(out(id).getLong(4) === 5L && out(id).getDouble(5) === 1.0)
+    }
+  }
+
   test("q127 outlier gate: cutoff is the per-label p05 order statistic") {
     // columns: vec_id, label, cos_centroid, cutoff_p05
     val flagged = Similarity.q127EmbedOutliers(spark, sf0001).collect()
