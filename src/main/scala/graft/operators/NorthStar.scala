@@ -505,6 +505,38 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q129: corpus snapshot diff — the dataset-versioning primitive a
+    * managed training corpus needs between releases: classify every
+    * document as added / removed / changed / unchanged across two snapshot
+    * versions by comparing content FINGERPRINTS, never texts. The two
+    * versions are derived deterministically from the one fixture corpus:
+    * v1 ("yesterday") lacks the doc_id%7==0 docs and carries doc_id%5==0
+    * texts reversed (modeling in-place edits); v2 ("today") lacks the
+    * doc_id%11==0 docs. Shape: each side reduces map-side to
+    * (doc_id, md5, source) before one full-outer join on doc_id — at
+    * 100 TB the shuffle carries ids + 16-byte fingerprints, not documents,
+    * and in production the v1 side IS the previous run's stored manifest,
+    * so yesterday's corpus is never re-scanned at all.
+    */
+  def q129CorpusDiff: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("src1"),
+        md5(when(col("doc_id") % 5 === 0, reverse(col("text")))
+          .otherwise(col("text"))).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source").as("src2"),
+        md5(col("text")).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("src2"), col("src1")).as("source"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
     * survivor rule production pipelines actually use: within each near-dup
     * component keep the highest-quality copy (longest text, id tiebreak),
@@ -915,6 +947,7 @@ object NorthStar {
     "q120_padding_waste" -> q120PaddingWaste,
     "q126_ngram_novelty" -> q126NgramNovelty,
     "q128_substring_dup" -> q128SubstringDup,
+    "q129_corpus_diff" -> q129CorpusDiff,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -1162,6 +1195,21 @@ object NorthStar {
         |  COALESCE(d.covered, 0) AS covered_tokens,
         |  ROUND(CAST(COALESCE(d.covered, 0) AS DOUBLE) / s.n_tokens, 6) AS dup_coverage
         |FROM stats s LEFT JOIN dstats d USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // both engines: md5 emits lowercase hex of the raw string bytes;
+    // reverse() reverses the string; v1/v2 membership is pure modular
+    // arithmetic on the non-negative doc_id, so the derived snapshots agree
+    "q129_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source AS src1,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN reverse(text) ELSE text END) AS fp1
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id, source AS src2, md5(text) AS fp2
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT doc_id, COALESCE(src2, src1) AS source,
+        |  CASE WHEN fp1 IS NULL THEN 'added'
+        |       WHEN fp2 IS NULL THEN 'removed'
+        |       WHEN fp1 <> fp2 THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q111_mix_weights" ->
       """WITH t AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -375,6 +375,25 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("q129 snapshot diff statuses follow the modular version definition") {
+    val rows = NorthStar.q129CorpusDiff(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    rows.foreach { case (id, st) =>
+      val inV1 = id % 7 != 0
+      val inV2 = id % 11 != 0
+      val expected =
+        if (!inV1 && inV2) "added"
+        else if (inV1 && !inV2) "removed"
+        else if (id % 5 == 0) "changed"
+        else "unchanged"
+      assert(st === expected, s"doc $id")
+      assert(inV1 || inV2, s"doc $id present in neither version")
+    }
+    // non-degenerate: all four decision classes occur in the fixture corpus
+    assert(rows.map(_._2).distinct.sorted ===
+      Seq("added", "changed", "removed", "unchanged"))
+  }
+
   test("q127 outlier gate: cutoff is the per-label p05 order statistic") {
     // columns: vec_id, label, cos_centroid, cutoff_p05
     val flagged = Similarity.q127EmbedOutliers(spark, sf0001).collect()
