@@ -537,6 +537,41 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q130: epoch shard shuffle — the data-loader manifest a training run
+    * reads: every document hash-assigned to a fixed shard (epoch-invariant,
+    * so shard files are written once), and within each shard given a fresh
+    * deterministic pseudo-random position per epoch (the global shuffle
+    * between epochs), with positions contiguous 1..n so a crashed run can
+    * resume at (epoch, shard, pos). Hashes are [[TrainingOps.portableBucket]]'s
+    * exact MINSTD arithmetic — a pure function of (doc_id, epoch), so the
+    * permutation is reproducible at any parallelism and replicable by a
+    * DuckDB oracle, unlike `orderBy(rand(seed))` which silently re-deals
+    * under AQE re-planning. The ranking window is partitioned by
+    * (epoch, shard) — bounded by shard size, never a global sort; at 100 TB
+    * each shard's manifest ranks independently and the output is written
+    * `partitionBy(shard)` exactly like q110's packed shards.
+    */
+  def q130ShardShuffle: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = 2147483647L
+    val h1 = pmod(pmod(col("doc_id"), lit(p)) * 48271L, lit(p))
+    val h2 = pmod((h1 + 1L) * 16807L, lit(p))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), pmod(h2, lit(16L)).as("shard"), h2.as("h"))
+      .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+      // the epoch must enter MULTIPLICATIVELY: an additive salt is an
+      // affine shift mod p, which preserves intra-shard order except at
+      // the single wrap point — i.e. no reshuffle at all between epochs
+      .withColumn("oh", pmod(
+        pmod((col("h") + col("epoch") + 1L) * 48271L, lit(p))
+          * (col("epoch") + 16807L), lit(p)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("oh"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
     * survivor rule production pipelines actually use: within each near-dup
     * component keep the highest-quality copy (longest text, id tiebreak),
@@ -948,6 +983,7 @@ object NorthStar {
     "q126_ngram_novelty" -> q126NgramNovelty,
     "q128_substring_dup" -> q128SubstringDup,
     "q129_corpus_diff" -> q129CorpusDiff,
+    "q130_shard_shuffle" -> q130ShardShuffle,
     "q90_merge_upsert" -> q90MergeUpsert,
     "q78_contamination" -> q78Contamination,
     "q53_train_test_split" -> q53TrainTestSplit,
@@ -1210,6 +1246,20 @@ object NorthStar {
         |       WHEN fp1 <> fp2 THEN 'changed' ELSE 'unchanged' END AS status
         |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // same exact MINSTD arithmetic as q100's oracle; all operands stay
+    // below 2^48 so 64-bit integer math agrees bit-for-bit across engines
+    "q130_shard_shuffle" ->
+      """WITH h1 AS (SELECT doc_id,
+        |    ((doc_id % 2147483647) * 48271) % 2147483647 AS h1 FROM documents),
+        |h2 AS (SELECT doc_id, ((h1 + 1) * 16807) % 2147483647 AS h FROM h1),
+        |e AS (SELECT doc_id, h, h % 16 AS shard, CAST(u.e AS BIGINT) AS epoch,
+        |    ((((h + u.e + 1) * 48271) % 2147483647) * (u.e + 16807))
+        |      % 2147483647 AS oh
+        |  FROM h2, unnest([0, 1]) AS u(e))
+        |SELECT epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY oh, doc_id) AS BIGINT) AS pos, doc_id
+        |FROM e ORDER BY epoch, shard, pos""".stripMargin,
     "q111_mix_weights" ->
       """WITH t AS (
         |  SELECT source, COUNT(*) AS n_docs,

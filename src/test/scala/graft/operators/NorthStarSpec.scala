@@ -394,6 +394,25 @@ class NorthStarSpec extends SparkSpec {
       Seq("added", "changed", "removed", "unchanged"))
   }
 
+  test("q130 shard shuffle: stable shards, contiguous positions, epoch reshuffle") {
+    val rows = NorthStar.q130ShardShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L))
+    // shard assignment is epoch-invariant (shard files written once)
+    val shardOf = (e: Long) => byEpoch(e).map(t => t._4 -> t._2).toMap
+    assert(shardOf(0L) === shardOf(1L))
+    // positions are contiguous 1..n within every (epoch, shard) — resumable
+    byEpoch.values.flatten.groupBy(t => (t._1, t._2)).foreach { case (k, g) =>
+      assert(g.map(_._3).toSeq.sorted === (1L to g.size).toSeq, s"gap in $k")
+    }
+    // the epochs actually reshuffle: some shard's intra-shard order differs
+    val orderOf = (e: Long) => byEpoch(e).toSeq.sortBy(t => (t._2, t._3)).map(_._4)
+    assert(orderOf(0L) !== orderOf(1L), "epoch reshuffle degenerate")
+    // and membership is the whole corpus, no dupes per epoch
+    assert(shardOf(0L).size === byEpoch(0L).length)
+  }
+
   test("q127 outlier gate: cutoff is the per-label p05 order statistic") {
     // columns: vec_id, label, cos_centroid, cutoff_p05
     val flagged = Similarity.q127EmbedOutliers(spark, sf0001).collect()
