@@ -159,6 +159,41 @@ object Similarity {
       .orderBy(col("pid"), col("rank"))
   }
 
+  /** Q131: hard-negative mining — the contrastive-training data op: for
+    * each probe vector, the top-10 most-similar vectors whose LABEL
+    * DIFFERS (the near-misses a contrastive or reranker objective trains
+    * against). Same broadcast + bounded [[graft.functions.TopKByScore]]
+    * kernel as q69, but the label-exclusion predicate is pairwise and must
+    * run BEFORE the top-k (a post-filter would leave probes with fewer
+    * than k negatives whenever same-label vectors crowd the true top-k) —
+    * so it sits on the broadcast-join output, map-side, adding zero
+    * shuffle. At 100 TB: corpus streams, probes broadcast, per-probe state
+    * stays O(k).
+    */
+  def q131HardNegatives: Q = (s, d) => {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+    val c = emb.select(col("vec_id").as("id"),
+      col("label").cast("long").as("lbl"), asDouble(col("embedding")).as("ev"))
+    val p = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"),
+        col("label").cast("long").as("plbl"), asDouble(col("embedding")).as("pv"))
+    c.crossJoin(broadcast(p))
+      .filter(col("lbl") =!= col("plbl"))
+      .select(col("pid"), col("id"),
+        round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(new graft.functions.TopKByScore(10).toColumn)
+      .toDF("pid", "neighbors")
+      .select(col("pid"), posexplode(col("neighbors")))
+      .select(col("pid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("score"))
+      .orderBy(col("pid"), col("rank"))
+  }
+
   /** Q87: higher-order-function battery — the HOF surfaces q24/q58 don't
     * touch: `aggregate` (left fold), `zip_with`, `reverse`, `exists`,
     * `forall`, `transform`, under the oracle hash. Float determinism: both
@@ -295,7 +330,8 @@ object Similarity {
     "q24_array" -> q24Array,
     "q30_cosine_topk" -> q30CosineTopK,
     "q60_cosine_pairs" -> q60CosinePairs,
-    "q69_multi_topk" -> q69MultiTopK)
+    "q69_multi_topk" -> q69MultiTopK,
+    "q131_hard_negatives" -> q131HardNegatives)
 
   val oracles: Map[String, String] = Map(
     "q92_label_centroid" ->
@@ -396,6 +432,22 @@ object Similarity {
         |        ROUND(list_dot_product(ev, pv)
         |              / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6) AS score
         |      FROM e, p),
+        |r AS (SELECT pid, id, score,
+        |        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY score DESC, id) AS rank
+        |      FROM s)
+        |SELECT pid, CAST(rank AS BIGINT) AS rank, id, score FROM r
+        |WHERE rank <= 10 ORDER BY pid, rank""".stripMargin,
+    // q69's oracle with the pairwise label-exclusion predicate before rank
+    "q131_hard_negatives" ->
+      """WITH p AS (SELECT vec_id AS pid, CAST(label AS BIGINT) AS plbl,
+        |            CAST(embedding AS DOUBLE[]) AS pv
+        |          FROM embeddings WHERE vec_id < 5),
+        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |        CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |s AS (SELECT pid, vec_id AS id,
+        |        ROUND(list_dot_product(ev, pv)
+        |              / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6) AS score
+        |      FROM e, p WHERE lbl <> plbl),
         |r AS (SELECT pid, id, score,
         |        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY score DESC, id) AS rank
         |      FROM s)

@@ -413,6 +413,18 @@ class NorthStarSpec extends SparkSpec {
     assert(shardOf(0L).size === byEpoch(0L).length)
   }
 
+  test("q131 hard negatives: every mined neighbor crosses the label boundary") {
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.q131HardNegatives(spark, sf0001).collect()
+    assert(rows.length === 50) // 5 probes × k=10: enough cross-label corpus
+    rows.foreach { r =>
+      val (pid, id) = (r.getLong(0), r.getLong(2))
+      assert(emb(pid) !== emb(id), s"probe $pid mined same-label $id")
+    }
+  }
+
   test("q127 outlier gate: cutoff is the per-label p05 order statistic") {
     // columns: vec_id, label, cos_centroid, cutoff_p05
     val flagged = Similarity.q127EmbedOutliers(spark, sf0001).collect()
