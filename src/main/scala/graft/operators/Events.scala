@@ -190,6 +190,35 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Q132: trajectory assembly — turning interaction logs into ordered
+    * training sequences (the SFT/agent-trajectory construction step): q31's
+    * 30-minute-gap sessionization, then per session the event-type sequence
+    * in exact temporal order as one space-joined string, with event count
+    * and duration. Order determinism: `collect_list` gives no ordering
+    * guarantee under parallel aggregation, so the structs are
+    * `array_sort`ed on (es, event_id) AFTER collection — a per-group
+    * O(n log n) on bounded session sizes, not a global sort. At 100 TB the
+    * shuffle is the same one keyed aggregate as q31; the assembled text
+    * rides the existing session partitioning.
+    */
+  def q132TrajectoryAssembly: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), epochSec(col("ts2")).as("es"))
+    val flagged = e.withColumn("new_sess",
+      when(lag(col("es"), 1).over(w).isNull || col("es") - lag(col("es"), 1).over(w) > 1800, 1L)
+        .otherwise(0L))
+    flagged.withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("es")) - min(col("es"))).as("len_sec"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("es"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), " ").as("trajectory"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Q32: tumbling window (batch analog) — hourly counts and exact-decimal
     * value sums per event type. Streaming twin: `window($"ts", "1 hour")` with
     * a watermark in [[graft.streaming.Windows]].
@@ -295,6 +324,7 @@ object Events {
     "q14_grouping_sets" -> q14GroupingSets,
     "q25_json" -> q25Json,
     "q31_sessionize" -> q31Sessionize,
+    "q132_trajectory_assembly" -> q132TrajectoryAssembly,
     "q32_tumbling" -> q32Tumbling,
     "q33_sliding" -> q33Sliding,
     "q75_retention" -> q75Retention)
@@ -421,6 +451,28 @@ object Events {
         |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q31's session derivation; unique event_id totally orders each
+    // session, so string_agg(ORDER BY es, event_id) ≡ Spark's post-collect
+    // array_sort on (es, event_id, event_type) structs
+    "q132_trajectory_assembly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, es,
+        |    CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, es,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MAX(es) - MIN(es) AS len_sec,
+        |  string_agg(event_type, ' ' ORDER BY es, event_id) AS trajectory
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q31_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "q111_mix_weights",  // 1-row broadcast weight-normalization total
     "q113_embed_dedup_blocked", // K-centroid broadcast (q41's IVF index)
     "q114_cosine_topk_blocked", // K-centroid broadcast (q41's IVF index)
-    "q124_ann_ivf_batch") // probe-batch × K-centroid broadcast (bounded both sides)
+    "q124_ann_ivf_batch", // probe-batch × K-centroid broadcast (bounded both sides)
+    "q131_hard_negatives") // 5-row probe set (q69's kernel + label exclusion)
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins

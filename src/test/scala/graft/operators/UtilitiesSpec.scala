@@ -183,4 +183,36 @@ class UtilitiesSpec extends SparkSpec {
     val total = rows.map(_.getLong(1)).sum
     assert(total === Tables(spark, sf0001, "orders").count())
   }
+
+  test("q132 trajectories: deterministic order, counts conserve per session") {
+    val rows = Events.q132TrajectoryAssembly(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // n_events must equal the trajectory's token count for every session
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      val traj = r.getString(4)
+      assert(traj.split(" ").length.toLong === n, s"token count != n_events: $r")
+      assert(r.getLong(3) >= 0L)
+    }
+    // value pin: the busiest user's first session must equal an independent
+    // driver-side reconstruction ordered by (epoch-second, event_id) — the
+    // post-collect array_sort, not collect_list's arrival order, decides
+    val u = rows.groupBy(_.getLong(0)).maxBy(_._2.map(_.getLong(2)).sum)._1
+    val raw = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts2".cast("long").as("es"))
+      .where($"user_id" === u).collect()
+      .map(r => (r.getLong(3), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    // replay the 30-min-gap sessionization on the driver
+    var sess = 0L; var prev = Long.MinValue
+    val firstSession = raw.takeWhile { case (es, _, _) =>
+      if (prev == Long.MinValue || es - prev > 1800) sess += 1
+      prev = es
+      sess == 1
+    }
+    val expected = firstSession.map(_._3).mkString(" ")
+    val got = rows.filter(r => r.getLong(0) == u && r.getLong(1) == 1L)
+    assert(got.length === 1 && got(0).getString(4) === expected)
+  }
 }
