@@ -417,9 +417,137 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q133: per-domain quality rank blending — the multi-signal quality
+    * score every curation pipeline ends with: three cheap signals (chars,
+    * distinct-token ratio, token count) each rank-normalized to [0,1] with
+    * `percent_rank` WITHIN (lang, source), then blended 0.5/0.3/0.2 and
+    * bucketed into deciles. The window is partitioned by (lang, domain)
+    * deliberately: domain count grows with corpus size, so each partition
+    * stays bounded at 100 TB — a GLOBAL percent_rank would sort the world
+    * (and PlanAuditSpec would reject it); cross-domain comparability comes
+    * from rank-normalizing per bucket, which is also the statistically
+    * honest choice (quality signals aren't comparable across domains).
+    * Determinism: rank ratios are int/int single divisions and the blend is
+    * one fixed-shape double expression, bit-identical in both engines;
+    * singleton partitions yield percent_rank 0 in both (verified).
+    */
+  def q133QualityBlend: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"), col("source"))
+    val sig = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(toks).as("n_toks"), size(array_distinct(toks)).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_toks").cast("double"))
+    val blend = lit(0.5) * percent_rank().over(w.orderBy(col("n_chars"))) +
+      lit(0.3) * percent_rank().over(w.orderBy(col("distinct_ratio"))) +
+      lit(0.2) * percent_rank().over(w.orderBy(col("n_toks")))
+    sig.select(col("doc_id"), col("lang"), col("source"), blend.as("blend"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("blend"), 4).as("quality_blend"),
+        big(least(floor(col("blend") * 10), lit(9.0))).as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q134: duplicate-aware source attribution — global vocabulary-set dedup
+    * (fingerprint = the sorted DISTINCT token set; docs reusing the same
+    * vocabulary are one group) with min-doc_id survivorship, rolled up into
+    * the per-source dedup report a mixture designer reads: how many docs
+    * each source REALLY contributes after global dedup, and how much
+    * character mass it wastes on duplicates. All-integer aggregates (the
+    * one ratio is an int/int division) — no float-order hazard. Scale: the
+    * survivor window partitions by fingerprint (group size bounded by the
+    * dup cluster, never the corpus) and the rollup is a keyed aggregate.
+    */
+  def q134DupAttribution: Q = (s, d) => {
+    val fp = array_join(array_sort(array_distinct(toks)), " ")
+    val marked = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
+      .withColumn("survivor",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    marked.groupBy(col("source"))
+      .agg(big(count(lit(1))).as("n_docs"),
+        big(sum(when(col("survivor"), 1L).otherwise(0L))).as("n_survivors"),
+        big(sum(when(col("survivor"), 0L).otherwise(1L))).as("dup_docs"),
+        big(sum(when(col("survivor"), 0L).otherwise(col("n_chars")))).as("dup_chars"))
+      .withColumn("dup_ratio",
+        round(col("dup_docs").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy(col("source"))
+  }
+
+  /** Q135: corpus datasheet — the one-row-per-source dataset-card table
+    * (docs, chars, tokens, vocabulary size, type-token ratio, language-mix
+    * entropy, share of corpus characters) that documents a training mix.
+    * Three keyed aggregates joined on source plus ONE 1-row broadcast for
+    * the corpus total (q111's pattern); the lang-entropy uses q118's
+    * sum-preserving H = log2 n − (Σ c·log2 c)/n form over the ≤|langs|
+    * per-source language counts. Every join side after aggregation is
+    * |sources| rows — at 100 TB the only big operations are the two scans'
+    * partial aggregates.
+    */
+  def q135CorpusDatasheet: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val base = docs.groupBy(col("source"))
+      .agg(big(count(lit(1))).as("n_docs"), big(sum(col("n_chars"))).as("total_chars"))
+    val tok = docs.select(col("source"), explode(toks).as("token"))
+      .groupBy(col("source"))
+      .agg(big(count(lit(1))).as("total_tokens"),
+        big(countDistinct(col("token"))).as("distinct_tokens"))
+    val ent = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(round(log(2.0, sum(col("c")).cast("double"))
+        - sum(col("c").cast("double") * log(2.0, col("c").cast("double")))
+          / sum(col("c")).cast("double"), 4).as("lang_entropy"))
+    val total = docs.agg(sum(col("n_chars")).as("corpus_chars"))
+    base.join(tok, Seq("source")).join(ent, Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("distinct_tokens"),
+        round(col("distinct_tokens").cast("double")
+          / col("total_tokens").cast("double"), 4).as("ttr"),
+        col("lang_entropy"),
+        round(col("total_chars").cast("double")
+          / col("corpus_chars").cast("double"), 4).as("share_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Q136: contrastive chunk pairs — SimCSE-style (anchor, positive)
+    * training pairs from ADJACENT context windows of the same document,
+    * built on q117's exact chunker (len 40, stride 30, so each pair shares
+    * a 10-token overlap — the hard-positive signal). Map-only: chunk array
+    * per doc, posexplode of the first k−1 chunks as anchors, positive
+    * looked up at index+2 in the same array — no join, no shuffle beyond
+    * the final sort. The oracle rebuilds both slices arithmetically in
+    * DuckDB, so the hash proves the chunk CONTENT, not just counts
+    * (q117 proved the counts).
+    */
+  def q136ChunkPairs: Q = (s, d) => {
+    val chunkLen = 40
+    val stride = 30
+    val n = size(toks)
+    val nChunks = when(n <= chunkLen, lit(1L)).otherwise(
+      lit(1L) + ((n - chunkLen + stride - 1).cast("double") / stride).cast("long"))
+    val chunks = transform(sequence(lit(0L), nChunks - 1L),
+      i => slice(toks, (i * stride + 1L).cast("int"), lit(chunkLen)))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), chunks.as("chunks"))
+      .filter(size(col("chunks")) >= 2)
+      .select(col("doc_id"), col("chunks"),
+        posexplode(slice(col("chunks"), lit(1), size(col("chunks")) - 1)))
+      .toDF("doc_id", "chunks", "pair_idx", "anchor_arr")
+      .select(col("doc_id"), big(col("pair_idx")).as("pair_idx"),
+        array_join(col("anchor_arr"), " ").as("anchor"),
+        array_join(element_at(col("chunks"), (col("pair_idx") + 2).cast("int")), " ")
+          .as("positive"))
+      .orderBy(col("doc_id"), col("pair_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q117_context_chunks" -> q117ContextChunks,
     "q118_token_entropy" -> q118TokenEntropy,
+    "q133_quality_blend" -> q133QualityBlend,
+    "q134_dup_attribution" -> q134DupAttribution,
+    "q135_corpus_datasheet" -> q135CorpusDatasheet,
+    "q136_chunk_pairs" -> q136ChunkPairs,
     "q82_tfidf" -> q82Tfidf,
     "q80_posexplode" -> q80PosExplode,
     "q77_doc_repetition" -> q77DocRepetition,
@@ -439,6 +567,84 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q133_quality_blend" ->
+      """WITH sig AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+        |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source,
+        |    0.5 * percent_rank() OVER (PARTITION BY lang, source ORDER BY n_chars)
+        |    + 0.3 * percent_rank() OVER (PARTITION BY lang, source
+        |        ORDER BY CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE))
+        |    + 0.2 * percent_rank() OVER (PARTITION BY lang, source ORDER BY n_toks) AS blend
+        |  FROM sig)
+        |SELECT doc_id, lang, source, ROUND(blend, 4) AS quality_blend,
+        |  CAST(LEAST(FLOOR(blend * 10), 9) AS BIGINT) AS decile
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q134_dup_attribution" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ') AS fp
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, n_chars,
+        |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS survivor
+        |  FROM f)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+        |  CAST(SUM(CASE WHEN survivor THEN 0 ELSE 1 END) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(CASE WHEN survivor THEN 0 ELSE n_chars END) AS BIGINT) AS dup_chars,
+        |  ROUND(CAST(SUM(CASE WHEN survivor THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q135_corpus_datasheet" ->
+      """WITH base AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source),
+        |tok AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(DISTINCT u.t) AS BIGINT) AS distinct_tokens
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)
+        |  GROUP BY source),
+        |lc AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT source,
+        |    ROUND(log2(CAST(SUM(c) AS DOUBLE))
+        |      - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+        |        / CAST(SUM(c) AS DOUBLE), 4) AS lang_entropy
+        |  FROM lc GROUP BY source),
+        |total AS (SELECT SUM(n_chars) AS corpus_chars FROM documents)
+        |SELECT base.source, n_docs, total_chars, total_tokens, distinct_tokens,
+        |  ROUND(CAST(distinct_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 4) AS ttr,
+        |  lang_entropy,
+        |  ROUND(CAST(total_chars AS DOUBLE) / CAST(corpus_chars AS DOUBLE), 4) AS share_chars
+        |FROM base JOIN tok USING (source) JOIN ent USING (source), total
+        |ORDER BY base.source""".stripMargin,
+    // the slices are rebuilt arithmetically: anchor = tokens[i·30+1 .. i·30+40],
+    // positive = the next chunk = tokens[i·30+31 .. i·30+70], both clamped by
+    // the engines' slice semantics — hash proves chunk CONTENT equality
+    "q136_chunk_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 40 THEN 1
+        |         ELSE 1 + (len(toks) - 40 + 29) // 30 END AS n_chunks
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, CAST(n_chunks AS BIGINT) - 2)) AS pair_idx
+        |  FROM k WHERE n_chunks >= 2)
+        |SELECT doc_id, CAST(pair_idx AS BIGINT) AS pair_idx,
+        |  array_to_string(toks[CAST(pair_idx * 30 + 1 AS BIGINT):CAST(pair_idx * 30 + 40 AS BIGINT)], ' ') AS anchor,
+        |  array_to_string(toks[CAST(pair_idx * 30 + 31 AS BIGINT):CAST(pair_idx * 30 + 70 AS BIGINT)], ' ') AS positive
+        |FROM p ORDER BY doc_id, pair_idx""".stripMargin,
     // closed-form twin of the real chunker: n_chunks = 1 + ceil((n-40)/30),
     // total = n + overlap·(k−1), last = n − stride·(k−1) — the hash match
     // proves the slice-built chunks against the arithmetic

@@ -215,4 +215,72 @@ class UtilitiesSpec extends SparkSpec {
     val got = rows.filter(r => r.getLong(0) == u && r.getLong(1) == 1L)
     assert(got.length === 1 && got(0).getString(4) === expected)
   }
+
+  test("q133 quality blend: every doc scored once, blend in [0,1], decile consistent") {
+    val rows = Text.q133QualityBlend(spark, sf0001).collect()
+    assert(rows.length.toLong === Tables(spark, sf0001, "documents").count())
+    rows.foreach { r =>
+      val blend = r.getDouble(3)
+      val decile = r.getLong(4)
+      assert(blend >= 0.0 && blend <= 1.0, s"blend out of [0,1]: $r")
+      // decile derives from the unrounded blend in [decile/10, (decile+1)/10)
+      // (decile 9 also admits blend = 1.0); the ROUNDED blend can sit at most
+      // 5e-5 past either bucket edge
+      assert(decile >= 0L && decile <= 9L, s"decile out of range: $r")
+      assert(decile.toDouble / 10 - 5e-5 <= blend && blend <= (decile + 1).toDouble / 10 + 5e-5,
+        s"decile inconsistent with rounded blend: $r")
+    }
+  }
+
+  test("q134 dup attribution: survivors+dups conserve, survivors = distinct vocab sets") {
+    val rows = Text.q134DupAttribution(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1),
+        s"n_survivors + dup_docs != n_docs: $r")
+    }
+    // total survivors across sources must equal the corpus' distinct
+    // vocabulary-set count, computed independently
+    val expected = Tables(spark, sf0001, "documents")
+      .select(array_join(array_sort(array_distinct(
+        filter(split($"text", " "), t => t =!= ""))), " ").as("fp"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
+  test("q135 datasheet: shares sum to 1, ttr bounded, totals cross-check") {
+    val rows = Text.q135CorpusDatasheet(spark, sf0001).collect()
+    val docs = Tables(spark, sf0001, "documents")
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    assert(rows.map(_.getLong(2)).sum ===
+      docs.agg(sum($"n_chars")).collect()(0).getLong(0))
+    assert(math.abs(rows.map(_.getDouble(7)).sum - 1.0) < 1e-2,
+      "share_chars must sum to ~1 (each share rounded to 4 places)")
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"ttr out of (0,1]: $r")
+      assert(r.getDouble(6) >= 0.0, s"negative entropy: $r")
+    }
+  }
+
+  test("q136 chunk pairs: anchors full-width, 10-token overlap with positive") {
+    val rows = Text.q136ChunkPairs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val anchor = r.getString(2).split(" ")
+      val positive = r.getString(3).split(" ")
+      // anchors are never the last chunk, so always exactly chunkLen tokens
+      assert(anchor.length === 40, s"anchor not full-width: $r")
+      // stride 30 < chunkLen 40 → the pair shares the anchor's last 10
+      // tokens as the positive's first tokens (fewer only if the positive
+      // is a short final chunk)
+      val overlap = math.min(10, positive.length)
+      assert(anchor.slice(30, 30 + overlap).sameElements(positive.take(overlap)),
+        s"anchor/positive overlap mismatch: $r")
+    }
+    // pair count per doc = n_chunks - 1 over the >1-chunk docs
+    val expected = Tables(spark, sf0001, "documents")
+      .select(size(filter(split($"text", " "), t => t =!= "")).as("n"))
+      .collect().map(_.getInt(0))
+      .map(n => if (n <= 40) 0L else (n - 40 + 29) / 30).sum
+    assert(rows.length.toLong === expected)
+  }
 }
