@@ -322,9 +322,55 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Q137: embedding-space margin diagnostic — the labeled-embedding health
+    * check run before training a classifier or using labels as dedup
+    * strata: every vector scored against ALL label centroids (q92's
+    * exact-decimal centroid kernel), reporting cosine to its OWN centroid,
+    * the best OTHER centroid, the margin between them, and a misassignment
+    * flag (nearest-centroid disagrees with the label). Per-vector output —
+    * no floating aggregate of cosines anywhere, so no summation-order
+    * hazard. Scale: the K-row centroid relation broadcasts (K = labels,
+    * bounded); the vec × K score relation is a map-side nested loop per
+    * vector; the best-other pick is a keyed max of (cos, label) structs
+    * with a deterministic smaller-label tie-break.
+    */
+  def q137EmbedMargin: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), big(col("label")).as("label"),
+        asDouble(col("embedding")).as("v"))
+    val byDim = emb.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+        .cast("double") / count(lit(1))).as("m"))
+    val centroids = byDim.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cv"))
+      .withColumnRenamed("label", "clabel")
+    val scored = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(VectorFunctions.cosineSim(col("v"), col("cv")), 6).as("cos"))
+    val own = scored.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("cos").as("cos_own"))
+    // deterministic arg-max: larger cos wins, equal cos falls to the
+    // SMALLER label (negated label in the comparison struct)
+    val other = scored.filter(col("label") =!= col("clabel"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos").as("c"), (-col("clabel")).as("nl"))).as("b"))
+      .select(col("vec_id"), (-col("b.nl")).as("best_other_label"),
+        col("b.c").as("cos_best_other"))
+    own.join(other, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("cos_own"),
+        col("best_other_label"), col("cos_best_other"),
+        round(col("cos_own") - col("cos_best_other"), 6).as("margin"),
+        (col("cos_best_other") > col("cos_own")).as("misassigned"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q92_label_centroid" -> q92LabelCentroid,
     "q127_embed_outliers" -> q127EmbedOutliers,
+    "q137_embed_margin" -> q137EmbedMargin,
     "q89_embed_quant" -> q89EmbedQuant,
     "q87_hof_battery" -> q87HofBattery,
     "q24_array" -> q24Array,
@@ -334,6 +380,29 @@ object Similarity {
     "q131_hard_negatives" -> q131HardNegatives)
 
   val oracles: Map[String, String] = Map(
+    "q137_embed_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |dims AS (SELECT label, u.i AS pos, v[u.i] AS x
+        |         FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+        |cent AS (SELECT label, pos,
+        |           CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
+        |         FROM dims GROUP BY label, pos),
+        |cv AS (SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM cent GROUP BY label),
+        |sc AS (SELECT e.vec_id, e.label, cv.clabel,
+        |         ROUND(list_dot_product(e.v, cv.cv)
+        |               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.cv, cv.cv))),
+        |           6) AS cos
+        |       FROM e, cv),
+        |own AS (SELECT vec_id, label, cos AS cos_own FROM sc WHERE label = clabel),
+        |oth AS (SELECT vec_id, clabel AS best_other_label, cos AS cos_best_other
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+        |              FROM sc WHERE label <> clabel) WHERE rn = 1)
+        |SELECT own.vec_id, own.label, cos_own, best_other_label, cos_best_other,
+        |  ROUND(cos_own - cos_best_other, 6) AS margin,
+        |  cos_best_other > cos_own AS misassigned
+        |FROM own JOIN oth USING (vec_id) ORDER BY own.vec_id""".stripMargin,
     "q92_label_centroid" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -448,4 +448,23 @@ class NorthStarSpec extends SparkSpec {
       assert(nFlagged === atOrBelow, s"label $label: flagged $nFlagged != $atOrBelow at-or-below")
     }
   }
+
+  test("q137 margin: cos_own matches q92, best-other beats every other centroid") {
+    // columns: vec_id, label, cos_own, best_other_label, cos_best_other,
+    //          margin, misassigned
+    val rows = Similarity.q137EmbedMargin(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // cross-query consistency: the own-centroid score IS q92's cos_centroid
+    val q92 = Similarity.q92LabelCentroid(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(2) === q92(r.getLong(0)),
+        s"vec ${r.getLong(0)}: cos_own disagrees with q92")
+      assert(r.getLong(3) !== r.getLong(1), s"best OTHER label equals own: $r")
+      assert(math.abs((r.getDouble(2) - r.getDouble(4)) - r.getDouble(5)) < 1e-6,
+        s"margin != cos_own - cos_best_other: $r")
+      assert(r.getBoolean(6) === (r.getDouble(4) > r.getDouble(2)),
+        s"misassigned flag inconsistent: $r")
+    }
+  }
 }

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q114_cosine_topk_blocked", // K-centroid broadcast (q41's IVF index)
     "q124_ann_ivf_batch", // probe-batch × K-centroid broadcast (bounded both sides)
     "q131_hard_negatives", // 5-row probe set (q69's kernel + label exclusion)
-    "q135_corpus_datasheet") // 1-row broadcast corpus-chars total (q111's pattern)
+    "q135_corpus_datasheet", // 1-row broadcast corpus-chars total (q111's pattern)
+    "q137_embed_margin") // K-row label-centroid broadcast (q92's kernel, all-labels scoring)
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins
