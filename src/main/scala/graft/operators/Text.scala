@@ -541,10 +541,75 @@ object Text {
       .orderBy(col("doc_id"), col("pair_idx"))
   }
 
+  /** Q138: vocabulary coverage curve — for each candidate vocab size k, the
+    * fraction of corpus token OCCURRENCES covered by the k most frequent
+    * tokens: the measurement behind choosing a tokenizer vocab size (the
+    * knee of this curve). Scale design is the point: never rank the vocab
+    * relation directly. Token→count is a keyed aggregate; counts collapse
+    * to the count-of-counts summary (distinct frequency VALUES — O(√mass)
+    * rows); the global cumulative sum runs over THAT bounded summary
+    * (q109's window-over-boundary-summary pattern), and per-k coverage is
+    * exact integer arithmetic over tie groups: a threshold k inside a tie
+    * group takes (k − prev_cum) tokens × count, so coverage is independent
+    * of which equal-frequency tokens are "chosen".
+    */
+  def q138VocabCoverage: Q = (s, d) => {
+    import s.implicits._
+    val tc = Tables(s, d, "documents")
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val cc = tc.groupBy(col("c")).agg(count(lit(1)).as("n_toks"))
+    // distinct c values → no window ties; bounded summary → global window OK
+    val cum = cc.withColumn("cum_toks",
+      sum(col("n_toks")).over(Window.orderBy(col("c").desc)))
+    val total = tc.agg(sum(col("c")).as("total_mass"), count(lit(1)).as("vocab_size"))
+    Seq(1L, 5L, 10L, 25L, 50L, 100L).toDF("k")
+      .crossJoin(broadcast(cum))
+      .withColumn("take", greatest(lit(0L),
+        least(col("n_toks"), col("k") - (col("cum_toks") - col("n_toks")))))
+      .groupBy(col("k"))
+      .agg(sum(col("c") * col("take")).as("covered_mass"))
+      .crossJoin(broadcast(total))
+      .select(big(col("k")).as("k"),
+        big(col("covered_mass")).as("covered_mass"),
+        big(col("vocab_size")).as("vocab_size"),
+        round(col("covered_mass").cast("double")
+          / col("total_mass").cast("double"), 4).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  /** Q139: duplicate-cluster capping — the SOFT dedup between "keep all"
+    * and q107's "keep best 1": at most 3 documents survive per
+    * vocabulary-set cluster (q134's fingerprint), chosen by a portable
+    * MINSTD hash of doc_id (TrainingOps.portableBucket's arithmetic, so the
+    * oracle replicates the selection exactly) — the standard curation move
+    * when templated near-dups carry SOME signal but shouldn't dominate.
+    * Both windows partition by fingerprint: work per cluster, never per
+    * corpus.
+    */
+  def q139ClusterCap: Q = (s, d) => {
+    val p = 2147483647L
+    val h1 = pmod(pmod(col("doc_id"), lit(p)) * 48271L, lit(p))
+    val h2 = pmod((h1 + 1L) * 16807L, lit(p))
+    val fp = array_join(array_sort(array_distinct(toks)), " ")
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), fp.as("fp"), h2.as("h"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("keep_rank", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("keep_rank") <= 3)
+      .select(col("doc_id"), col("source"),
+        big(col("cluster_size")).as("cluster_size"),
+        big(col("keep_rank")).as("keep_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q117_context_chunks" -> q117ContextChunks,
     "q118_token_entropy" -> q118TokenEntropy,
     "q133_quality_blend" -> q133QualityBlend,
+    "q138_vocab_coverage" -> q138VocabCoverage,
+    "q139_cluster_cap" -> q139ClusterCap,
     "q134_dup_attribution" -> q134DupAttribution,
     "q135_corpus_datasheet" -> q135CorpusDatasheet,
     "q136_chunk_pairs" -> q136ChunkPairs,
@@ -567,6 +632,39 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q138_vocab_coverage" ->
+      """WITH tc AS (
+        |  SELECT u.t AS token, COUNT(*) AS c
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)
+        |  GROUP BY 1),
+        |cc AS (SELECT c, COUNT(*) AS n_toks FROM tc GROUP BY c),
+        |cum AS (SELECT c, n_toks,
+        |    SUM(n_toks) OVER (ORDER BY c DESC) AS cum_toks FROM cc),
+        |total AS (SELECT SUM(c) AS total_mass, COUNT(*) AS vocab_size FROM tc),
+        |ks AS (SELECT unnest([1, 5, 10, 25, 50, 100]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(SUM(c * GREATEST(0, LEAST(n_toks, k - (cum_toks - n_toks)))) AS BIGINT) AS covered_mass,
+        |  CAST(vocab_size AS BIGINT) AS vocab_size,
+        |  ROUND(CAST(SUM(c * GREATEST(0, LEAST(n_toks, k - (cum_toks - n_toks)))) AS DOUBLE)
+        |    / CAST(total_mass AS DOUBLE), 4) AS coverage
+        |FROM ks, cum, total
+        |GROUP BY k, vocab_size, total_mass ORDER BY k""".stripMargin,
+    "q139_cluster_cap" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ') AS fp,
+        |    ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807) % 2147483647 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    COUNT(*) OVER (PARTITION BY fp) AS cluster_size,
+        |    row_number() OVER (PARTITION BY fp ORDER BY h, doc_id) AS keep_rank
+        |  FROM f)
+        |SELECT doc_id, source, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(keep_rank AS BIGINT) AS keep_rank
+        |FROM r WHERE keep_rank <= 3 ORDER BY doc_id""".stripMargin,
     "q133_quality_blend" ->
       """WITH sig AS (
         |  SELECT doc_id, lang, source, n_chars,

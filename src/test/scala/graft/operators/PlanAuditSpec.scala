@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "q124_ann_ivf_batch", // probe-batch × K-centroid broadcast (bounded both sides)
     "q131_hard_negatives", // 5-row probe set (q69's kernel + label exclusion)
     "q135_corpus_datasheet", // 1-row broadcast corpus-chars total (q111's pattern)
-    "q137_embed_margin") // K-row label-centroid broadcast (q92's kernel, all-labels scoring)
+    "q137_embed_margin", // K-row label-centroid broadcast (q92's kernel, all-labels scoring)
+    "q138_vocab_coverage") // 6-row threshold relation x count-of-counts summary + 1-row total
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins
@@ -53,7 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "q91_equidepth_bins" -> "exactness baseline; scale twin q108",
     "q93_key_gaps" -> "exactness baseline; scale twin q109",
     "q96_sample_packing" -> "exactness baseline; scale twin q110",
-    "q109_key_gaps_scale" -> "window over the <=numPartitions-row boundary summary")
+    "q109_key_gaps_scale" -> "window over the <=numPartitions-row boundary summary",
+    "q138_vocab_coverage" -> "cumsum over the count-of-counts summary (distinct frequency values, O(sqrt mass) rows), never the vocab relation")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

@@ -261,6 +261,41 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q138 vocab coverage: monotone, exact at k=1, saturates at vocab size") {
+    val rows = Text.q138VocabCoverage(spark, sf0001).collect()
+    assert(rows.length === 6)
+    // monotone nondecreasing in k, bounded by 1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(3) + 1e-12, s"coverage not monotone: $a -> $b")
+    }
+    // k=1 covers exactly the most frequent token's occurrence count
+    val topCount = Tables(spark, sf0001, "documents")
+      .select(explode(filter(split($"text", " "), t => t =!= "")).as("t"))
+      .groupBy($"t").count().agg(max($"count")).collect()(0).getLong(0)
+    assert(rows.head.getLong(1) === topCount)
+    // any k >= vocab_size covers everything
+    val vocab = rows.head.getLong(2)
+    rows.filter(_.getLong(0) >= vocab).foreach(r =>
+      assert(r.getDouble(3) === 1.0, s"k >= vocab must cover all: $r"))
+  }
+
+  test("q139 cluster cap: min(3, size) survivors per cluster, singletons untouched") {
+    val kept = Text.q139ClusterCap(spark, sf0001).collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(3) <= 3L))
+    // independent cluster sizes from the same fingerprint
+    val sizes = Tables(spark, sf0001, "documents")
+      .select(array_join(array_sort(array_distinct(
+        filter(split($"text", " "), t => t =!= ""))), " ").as("fp"))
+      .groupBy($"fp").count().collect().map(_.getLong(1))
+    val expectedKept = sizes.map(n => math.min(3L, n)).sum
+    assert(kept.length.toLong === expectedKept,
+      s"kept ${kept.length} != sum of min(3, cluster_size) = $expectedKept")
+    // every singleton survives with rank 1
+    val singletons = sizes.count(_ == 1L).toLong
+    assert(kept.count(r => r.getLong(2) == 1L && r.getLong(3) == 1L).toLong === singletons)
+  }
+
   test("q136 chunk pairs: anchors full-width, 10-token overlap with positive") {
     val rows = Text.q136ChunkPairs(spark, sf0001).collect()
     assert(rows.nonEmpty)
