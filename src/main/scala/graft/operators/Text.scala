@@ -604,12 +604,37 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q141: leakage-safe group-wise train/test split — q53 splits by doc_id,
+    * which lets near-duplicates straddle train and test (the classic eval
+    * contamination); q141 splits by DUP CLUSTER instead: every doc carries
+    * its vocabulary-set cluster's key (min doc_id over the fingerprint
+    * partition — an integer, so TrainingOps' portable MINSTD hash applies
+    * verbatim), the 20% test cut hashes THAT key, and whole clusters land
+    * on one side by construction. Output is the per-(split, source)
+    * manifest with doc and cluster counts — all-integer. Scale: one
+    * fingerprint-partitioned window + one keyed rollup; the split is a
+    * pure map function of the cluster key at any parallelism.
+    */
+  def q141GroupSplit: Q = (s, d) => {
+    val fp = array_join(array_sort(array_distinct(toks)), " ")
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"), fp.as("fp"))
+      .withColumn("ck", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .withColumn("split",
+        when(TrainingOps.portableBucket(col("ck")) < 2000, "test").otherwise("train"))
+      .groupBy(col("split"), col("source"))
+      .agg(big(count(lit(1))).as("n_docs"),
+        big(countDistinct(col("ck"))).as("n_clusters"))
+      .orderBy(col("split"), col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q117_context_chunks" -> q117ContextChunks,
     "q118_token_entropy" -> q118TokenEntropy,
     "q133_quality_blend" -> q133QualityBlend,
     "q138_vocab_coverage" -> q138VocabCoverage,
     "q139_cluster_cap" -> q139ClusterCap,
+    "q141_group_split" -> q141GroupSplit,
     "q134_dup_attribution" -> q134DupAttribution,
     "q135_corpus_datasheet" -> q135CorpusDatasheet,
     "q136_chunk_pairs" -> q136ChunkPairs,
@@ -632,6 +657,23 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q141_group_split" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ') AS fp
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, MIN(doc_id) OVER (PARTITION BY fp) AS ck FROM f),
+        |s AS (
+        |  SELECT doc_id, source, ck,
+        |    CASE WHEN ((((ck % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |           % 2147483647 % 10000 < 2000
+        |         THEN 'test' ELSE 'train' END AS split
+        |  FROM c)
+        |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_clusters
+        |FROM s GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
     "q138_vocab_coverage" ->
       """WITH tc AS (
         |  SELECT u.t AS token, COUNT(*) AS c

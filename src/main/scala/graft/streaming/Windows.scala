@@ -518,7 +518,49 @@ object Windows {
       .orderBy(col("wstart"), col("cohort"))
   }
 
+  /** Q140: streaming distribution-drift monitor — the data-quality alarm a
+    * continuous ingest runs: per tumbling event-time hour, the L1 distance
+    * between the window's event-type distribution and the static global
+    * profile. The math is INTEGER-EXACT until one final division:
+    * L1 = [Σ_present |c_w·n_g − c_g·n_w| + (n_g − Σ_present c_g)·n_w]
+    *      / (n_w·n_g)
+    * where the second term is the mass of profile types ABSENT from the
+    * window — so no window × all-types expansion is ever built, just a
+    * keyed join of per-window counts to the broadcast global profile. At
+    * bench scale every product stays far below 2^53 (exact in both
+    * engines' doubles); a 100 TB deployment where n_w·n_g approaches 2^63
+    * would switch the numerator to DECIMAL(38,0) — the shape is unchanged.
+    * The streaming aggregate is q45's watermarked tumbling count; drift is
+    * computed on the drained result, so q140 is hash-checked against the
+    * batch formula like every stream twin.
+    */
+  def q140StreamDrift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.Tables.events(s, d)
+    val global = events.groupBy(col("event_type")).agg(count(lit(1)).as("c_g"))
+    val ng = events.count()
+    val windowed = runToBatch(
+      eventsStream(s, d).withWatermark("ts2", "2 hours")
+        .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("c_w"))
+        .select(col("window.start").cast("string").as("h"),
+          col("event_type"), col("c_w")),
+      "graft_q140")
+    windowed.join(broadcast(global), Seq("event_type"))
+      .withColumn("n_w", sum(col("c_w")).over(Window.partitionBy(col("h"))))
+      .withColumn("term", abs(col("c_w") * lit(ng) - col("c_g") * col("n_w")))
+      .groupBy(col("h"))
+      .agg(max(col("n_w")).as("n_w"), count(lit(1)).as("n_types"),
+        sum(col("term")).as("p_numer"), sum(col("c_g")).as("cg_present"))
+      .select(col("h"), big(col("n_w")).as("n_events"),
+        big(col("n_types")).as("n_types"),
+        round((col("p_numer") + (lit(ng) - col("cg_present")) * col("n_w")).cast("double")
+          / (col("n_w") * lit(ng)).cast("double"), 6).as("drift_l1"))
+      .orderBy(col("h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_stream_drift" -> q140StreamDrift,
     "q101_stream_static" -> q101StreamStatic,
     "q98_stream_merge" -> q98StreamMerge,
     "q45_stream_tumbling" -> q45StreamTumbling,
@@ -532,6 +574,21 @@ object Windows {
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
+    "q140_stream_drift" ->
+      """WITH wc AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS c_w
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, COUNT(*) AS c_g FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_g FROM events),
+        |j AS (
+        |  SELECT h, wc.event_type, c_w, c_g,
+        |    SUM(c_w) OVER (PARTITION BY h) AS n_w
+        |  FROM wc JOIN g USING (event_type))
+        |SELECT h, CAST(MAX(n_w) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  ROUND(CAST(SUM(ABS(c_w * n_g - c_g * n_w)) + (n_g - SUM(c_g)) * MAX(n_w) AS DOUBLE)
+        |    / CAST(MAX(n_w) * n_g AS DOUBLE), 6) AS drift_l1
+        |FROM j, tot GROUP BY h, n_g ORDER BY h""".stripMargin,
     "q121_stream_incremental_dedup" ->
       graft.operators.NorthStar.oracles("q116_incremental_dedup"),
     "q101_stream_static" ->

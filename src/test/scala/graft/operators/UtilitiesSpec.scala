@@ -296,6 +296,36 @@ class UtilitiesSpec extends SparkSpec {
     assert(kept.count(r => r.getLong(2) == 1L && r.getLong(3) == 1L).toLong === singletons)
   }
 
+  test("q141 group split: driver replay agrees, both splits populated") {
+    val rows = Text.q141GroupSplit(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("train", "test"))
+    assert(rows.map(_.getLong(2)).sum === Tables(spark, sf0001, "documents").count())
+    // replay the whole assignment driver-side: fingerprint -> cluster key
+    // (min doc_id) -> portable MINSTD bucket -> split; per-(split, source)
+    // doc counts must match exactly (split is a pure function of the
+    // cluster, so no cluster can straddle — this verifies the function)
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"source",
+        array_join(array_sort(array_distinct(
+          filter(split($"text", " "), t => t =!= ""))), " ").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val clusterKey = docs.groupBy(_._3).map { case (fp, xs) => fp -> xs.map(_._1).min }
+    def bucket(id: Long): Long = {
+      val p = 2147483647L
+      val h1 = ((id % p) * 48271L) % p
+      (((h1 + 1L) * 16807L) % p) % 10000L
+    }
+    val expected = docs.groupBy { case (_, source, fp) =>
+      (if (bucket(clusterKey(fp)) < 2000L) "test" else "train", source)
+    }.map { case (k, xs) => k -> (xs.length.toLong, xs.map(x => clusterKey(x._3)).distinct.length.toLong) }
+    rows.foreach { r =>
+      val (nDocs, nClusters) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === nDocs && r.getLong(3) === nClusters,
+        s"driver replay disagrees at (${r.getString(0)}, ${r.getString(1)})")
+    }
+    assert(rows.count(_.getString(0) == "test") > 0 && rows.count(_.getString(0) == "train") > 0)
+  }
+
   test("q136 chunk pairs: anchors full-width, 10-token overlap with positive") {
     val rows = Text.q136ChunkPairs(spark, sf0001).collect()
     assert(rows.nonEmpty)

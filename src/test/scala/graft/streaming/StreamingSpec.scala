@@ -239,4 +239,31 @@ class StreamingSpec extends SparkSpec {
         .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("q140 drift: L1 in [0,2], window totals conserve, one window checked by hand") {
+    val rows = Windows.q140StreamDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val events = graft.Tables.events(spark, sf0001)
+    assert(rows.map(_.getLong(1)).sum === events.count(),
+      "per-window event totals must conserve the corpus")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.0,
+      s"L1 distance out of [0,2]: $r"))
+    // hand-check the busiest window against a driver-side recomputation
+    val global = events.groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ng = global.values.sum
+    val h = rows.maxBy(_.getLong(1)).getString(0)
+    val wc = events
+      .filter(date_trunc("hour", $"ts2").cast("string") === h)
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nw = wc.values.sum
+    val numer = global.map { case (t, cg) =>
+      math.abs(wc.getOrElse(t, 0L) * ng - cg * nw)
+    }.sum
+    val expected = BigDecimal(numer.toDouble / (nw * ng).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_.getString(0) == h).get.getDouble(3)
+    assert(got === expected, s"window $h: drift $got != hand-computed $expected")
+  }
 }
