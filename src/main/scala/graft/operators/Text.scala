@@ -628,6 +628,74 @@ object Text {
       .orderBy(col("split"), col("source"))
   }
 
+  /** Q142: BM25 retrieval ranking — the classic lexical scorer (k1 = 1.2,
+    * b = 0.75, Lucene's idf = ln(1 + (N − df + ½)/(df + ½))) for a fixed
+    * 3-term query, top 20 documents. Scale/determinism design:
+    *   - the tf relation is filtered to the probe terms BEFORE aggregation,
+    *     so the scored relation is |matching docs| × ≤3, never the corpus
+    *     posting list;
+    *   - df (3 rows) and the (N, avgdl) totals (1 row) broadcast;
+    *   - the per-term score SUM is the double-summation-order trap: instead
+    *     of sum(score) over an unordered group, each term's contribution
+    *     becomes its own conditional-aggregate column and the final score
+    *     adds the three columns in FIXED left-to-right order — bit-identical
+    *     in both engines at any parallelism;
+    *   - top-20 is TakeOrdered (score desc, doc_id), never a global sort.
+    */
+  def q142Bm25: Q = (s, d) => {
+    val terms = Seq("spark", "window", "merge")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables(s, d, "documents")
+    val lens = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val totals = lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+    val scored = tf.join(broadcast(df), Seq("token"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(lit(1.0)
+        + (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+      // literals written as the same decimal text the oracle parses: a
+      // Scala-side k1+1 could land one ulp off DuckDB's literal 2.2
+      .withColumn("contrib", col("idf") * (col("tf").cast("double") * lit(2.2))
+        / (col("tf").cast("double")
+          + lit(k1) * (lit(0.25) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // one conditional-aggregate column per term: ≤1 non-zero value each, so
+    // the "sum" never actually adds floats across rows
+    val cols = terms.map(t =>
+      sum(when(col("token") === t, col("contrib")).otherwise(lit(0.0))).as(s"c_$t"))
+    scored.groupBy(col("doc_id"))
+      .agg(cols.head, cols.tail: _*)
+      .select(col("doc_id"),
+        round(terms.map(t => col(s"c_$t")).reduceLeft(_ + _), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Q143: denylist scrubbing — blocklist-based token redaction (the
+    * mechanics of PII / banned-term scrubbing, with a fixed 3-token
+    * denylist standing in for the pattern bank): per document, the token
+    * count, the number of redacted hits, and the scrubbed text with each
+    * hit replaced by `[REDACTED]`. Pure projection — tokenize, count
+    * membership, regexp-replace with word boundaries — no shuffle but the
+    * presentation sort; runs at any corpus size.
+    */
+  def q143DenylistScrub: Q = (s, d) => {
+    val deny = Seq("customer", "vector", "secret")
+    val pattern = "\\b(" + deny.mkString("|") + ")\\b"
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        big(size(toks)).as("n_tokens"),
+        big(size(filter(toks, t => t.isin(deny: _*)))).as("n_hits"),
+        regexp_replace(col("text"), pattern, "[REDACTED]").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q117_context_chunks" -> q117ContextChunks,
     "q118_token_entropy" -> q118TokenEntropy,
@@ -635,6 +703,8 @@ object Text {
     "q138_vocab_coverage" -> q138VocabCoverage,
     "q139_cluster_cap" -> q139ClusterCap,
     "q141_group_split" -> q141GroupSplit,
+    "q142_bm25" -> q142Bm25,
+    "q143_denylist_scrub" -> q143DenylistScrub,
     "q134_dup_attribution" -> q134DupAttribution,
     "q135_corpus_datasheet" -> q135CorpusDatasheet,
     "q136_chunk_pairs" -> q136ChunkPairs,
@@ -657,6 +727,41 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q142_bm25" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, u.t AS token, COUNT(*) AS tf
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)
+        |  WHERE u.t IN ('spark', 'window', 'merge')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM lens),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf AS DOUBLE)
+        |       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                       / (CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE)))) AS contrib
+        |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id), tot)
+        |SELECT doc_id,
+        |  ROUND(SUM(CASE WHEN token = 'spark' THEN contrib ELSE 0.0 END)
+        |      + SUM(CASE WHEN token = 'window' THEN contrib ELSE 0.0 END)
+        |      + SUM(CASE WHEN token = 'merge' THEN contrib ELSE 0.0 END), 4) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q143_denylist_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('customer', 'vector', 'secret'))) AS BIGINT) AS n_hits,
+        |  regexp_replace(text, '\b(customer|vector|secret)\b', '[REDACTED]', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q141_group_split" ->
       """WITH f AS (
         |  SELECT doc_id, source,

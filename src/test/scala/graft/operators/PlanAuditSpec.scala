@@ -41,7 +41,8 @@ class PlanAuditSpec extends SparkSpec {
     "q131_hard_negatives", // 5-row probe set (q69's kernel + label exclusion)
     "q135_corpus_datasheet", // 1-row broadcast corpus-chars total (q111's pattern)
     "q137_embed_margin", // K-row label-centroid broadcast (q92's kernel, all-labels scoring)
-    "q138_vocab_coverage") // 6-row threshold relation x count-of-counts summary + 1-row total
+    "q138_vocab_coverage", // 6-row threshold relation x count-of-counts summary + 1-row total
+    "q142_bm25") // 1-row (N, avgdl) totals broadcast (q82's pattern)
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins
