@@ -966,7 +966,47 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q145: preference-pair construction — the DPO/RLHF-style (chosen,
+    * rejected) pairing: within each source, rank docs by a deterministic
+    * quality score (distinct-token count, doc_id tiebreak), pair the i-th
+    * best with the i-th worst for i ≤ ⌊n/2⌋ (top half vs bottom half, so a
+    * doc never appears on both sides), and report the score margin. Scale/
+    * determinism design: both rank windows and the count window partition by
+    * source — work per group, never per corpus (the production key is the
+    * prompt/task id; source stands in); the half-cutoff is the pure-integer
+    * predicate 2·rank ≤ n, so no float division anywhere; the pair join is
+    * keyed on (source, pair_id). All-integer output — hash-exact in any
+    * engine.
+    */
+  def q145PreferencePairs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val scored = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        big(size(array_distinct(toks))).as("score"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wBot = Window.partitionBy(col("source"))
+      .orderBy(col("score").asc, col("doc_id").desc)
+    val ranked = scored
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("r_top", big(row_number().over(wTop)))
+      .withColumn("r_bot", big(row_number().over(wBot)))
+    val chosen = ranked.filter(col("r_top") * lit(2L) <= col("cnt"))
+      .select(col("source"), col("r_top").as("pair_id"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"))
+    val rejected = ranked.filter(col("r_bot") * lit(2L) <= col("cnt"))
+      .select(col("source"), col("r_bot").as("pair_id"),
+        col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+    chosen.join(rejected, Seq("source", "pair_id"))
+      .select(col("source"), col("pair_id"), col("chosen_id"),
+        col("rejected_id"), col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+      .orderBy(col("source"), col("pair_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q145_preference_pairs" -> q145PreferencePairs,
     "q100_weighted_sample" -> q100WeightedSample,
     "q96_sample_packing" -> q96SamplePacking,
     "q110_packing_shard" -> q110PackingShard,
@@ -1006,6 +1046,32 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q145_preference_pairs" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, score,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS r_top,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score ASC, doc_id DESC) AS BIGINT) AS r_bot
+        |  FROM scored),
+        |chosen AS (
+        |  SELECT source, r_top AS pair_id, doc_id AS chosen_id,
+        |    score AS chosen_score
+        |  FROM ranked WHERE r_top * 2 <= cnt),
+        |rejected AS (
+        |  SELECT source, r_bot AS pair_id, doc_id AS rejected_id,
+        |    score AS rejected_score
+        |  FROM ranked WHERE r_bot * 2 <= cnt)
+        |SELECT source, pair_id, chosen_id, rejected_id, chosen_score,
+        |  rejected_score, chosen_score - rejected_score AS margin
+        |FROM chosen JOIN rejected USING (source, pair_id)
+        |ORDER BY source, pair_id""".stripMargin,
     "q100_weighted_sample" ->
       """WITH h AS (
         |  SELECT doc_id, lang, n_chars,

@@ -642,7 +642,14 @@ object Text {
     *     in both engines at any parallelism;
     *   - top-20 is TakeOrdered (score desc, doc_id), never a global sort.
     */
-  def q142Bm25: Q = (s, d) => {
+  def q142Bm25: Q = (s, d) =>
+    bm25Scored(s, d).orderBy(col("score").desc, col("doc_id")).limit(20)
+
+  /** Q142/Q144 kernel: (doc_id, score) BM25 relation for the fixed 3-term
+    * probe query, score rounded to 4 decimals. See [[q142Bm25]] for the
+    * scale/determinism notes.
+    */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "window", "merge")
     val k1 = 1.2
     val b = 0.75
@@ -673,7 +680,49 @@ object Text {
       .agg(cols.head, cols.tail: _*)
       .select(col("doc_id"),
         round(terms.map(t => col(s"c_$t")).reduceLeft(_ + _), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Q144: hybrid-retrieval fusion — reciprocal rank fusion (k = 60) of two
+    * lexical rankers' top-100 lists: BM25 ([[bm25Scored]], frequency-aware)
+    * and query-token-set Jaccard (set-based, frequency-blind). The fusion is
+    * the operator: in a production retrieval pipeline the fused lists come
+    * from BM25 + a dense ANN ranker, and RRF is how they combine without
+    * score calibration. Scale/determinism design:
+    *   - each ranker's candidate list is cut to top-100 by TakeOrdered
+    *     (score desc, doc_id) BEFORE ranking — the un-partitioned
+    *     `row_number` window then runs over a bounded ≤100-row relation
+    *     (PlanAuditSpec allow-list), never the corpus;
+    *   - Jaccard = inter/union where inter counts probe terms present
+    *     (three 0/1 ints) and union = |distinct tokens| + 3 − inter: all
+    *     integer until ONE division;
+    *   - the RRF score adds exactly two doubles in fixed order
+    *     (1/(60+r_bm25) + 1/(60+r_jac), absent rank → 0) — bit-identical
+    *     in both engines; ranks themselves are integers over already-
+    *     deterministic (rounded score, doc_id) orderings.
+    */
+  def q144RrfFusion: Q = (s, d) => {
+    val terms = Seq("spark", "window", "merge")
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    val topBm = bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(100)
+      .select(col("doc_id"), big(row_number().over(w)).as("rank_bm25"))
+    val docs = Tables(s, d, "documents")
+    val inter = terms.map(t =>
+      when(array_contains(toks, t), 1L).otherwise(0L)).reduceLeft(_ + _)
+    val jac = docs
+      .select(col("doc_id"), inter.as("inter"),
+        big(size(array_distinct(toks))).as("n_distinct"))
+      .select(col("doc_id"), (col("inter").cast("double")
+        / (col("n_distinct") + lit(3L) - col("inter")).cast("double")).as("score"))
+    val topJac = jac.orderBy(col("score").desc, col("doc_id")).limit(100)
+      .select(col("doc_id"), big(row_number().over(w)).as("rank_jac"))
+    topBm.join(topJac, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_bm25"), col("rank_jac"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_bm25").cast("double")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("rank_jac").cast("double")), lit(0.0)),
+          6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(20)
   }
 
@@ -705,6 +754,7 @@ object Text {
     "q141_group_split" -> q141GroupSplit,
     "q142_bm25" -> q142Bm25,
     "q143_denylist_scrub" -> q143DenylistScrub,
+    "q144_rrf_fusion" -> q144RrfFusion,
     "q134_dup_attribution" -> q134DupAttribution,
     "q135_corpus_datasheet" -> q135CorpusDatasheet,
     "q136_chunk_pairs" -> q136ChunkPairs,
@@ -727,6 +777,62 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q144_rrf_fusion" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, u.t AS token, COUNT(*) AS tf
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)
+        |  WHERE u.t IN ('spark', 'window', 'merge')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM lens),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf AS DOUBLE)
+        |       + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                       / (CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE)))) AS contrib
+        |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id), tot),
+        |bm AS (
+        |  SELECT doc_id,
+        |    ROUND(SUM(CASE WHEN token = 'spark' THEN contrib ELSE 0.0 END)
+        |        + SUM(CASE WHEN token = 'window' THEN contrib ELSE 0.0 END)
+        |        + SUM(CASE WHEN token = 'merge' THEN contrib ELSE 0.0 END), 4) AS score
+        |  FROM sc GROUP BY doc_id),
+        |topbm AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 100),
+        |rbm AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rank_bm25
+        |  FROM topbm),
+        |jac AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(tk, 'window') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(tk, 'merge') THEN 1 ELSE 0 END AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents)),
+        |jsc AS (
+        |  SELECT doc_id,
+        |    CAST(inter AS DOUBLE) / CAST(n_distinct + 3 - inter AS DOUBLE) AS score
+        |  FROM jac),
+        |topj AS (SELECT doc_id, score FROM jsc ORDER BY score DESC, doc_id LIMIT 100),
+        |rj AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rank_jac
+        |  FROM topj)
+        |SELECT COALESCE(rbm.doc_id, rj.doc_id) AS doc_id, rank_bm25, rank_jac,
+        |  ROUND(COALESCE(1.0 / (60.0 + CAST(rank_bm25 AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(rank_jac AS DOUBLE)), 0.0), 6) AS rrf_score
+        |FROM rbm FULL OUTER JOIN rj ON rbm.doc_id = rj.doc_id
+        |ORDER BY rrf_score DESC, COALESCE(rbm.doc_id, rj.doc_id) LIMIT 20""".stripMargin,
     "q142_bm25" ->
       """WITH lens AS (
         |  SELECT doc_id,

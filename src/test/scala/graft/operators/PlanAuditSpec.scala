@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "q135_corpus_datasheet", // 1-row broadcast corpus-chars total (q111's pattern)
     "q137_embed_margin", // K-row label-centroid broadcast (q92's kernel, all-labels scoring)
     "q138_vocab_coverage", // 6-row threshold relation x count-of-counts summary + 1-row total
-    "q142_bm25") // 1-row (N, avgdl) totals broadcast (q82's pattern)
+    "q142_bm25", // 1-row (N, avgdl) totals broadcast (q82's pattern)
+    "q144_rrf_fusion") // q142's 1-row totals broadcast via the shared BM25 kernel
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins
@@ -56,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     "q93_key_gaps" -> "exactness baseline; scale twin q109",
     "q96_sample_packing" -> "exactness baseline; scale twin q110",
     "q109_key_gaps_scale" -> "window over the <=numPartitions-row boundary summary",
-    "q138_vocab_coverage" -> "cumsum over the count-of-counts summary (distinct frequency values, O(sqrt mass) rows), never the vocab relation")
+    "q138_vocab_coverage" -> "cumsum over the count-of-counts summary (distinct frequency values, O(sqrt mass) rows), never the vocab relation",
+    "q144_rrf_fusion" -> "row_number over the two TakeOrdered-bounded <=100-row top-k relations, never the corpus")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

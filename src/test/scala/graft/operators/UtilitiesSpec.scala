@@ -326,6 +326,73 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.count(_.getString(0) == "test") > 0 && rows.count(_.getString(0) == "train") > 0)
   }
 
+  test("q142 bm25: descending top-20, every hit contains a probe term") {
+    val rows = Text.q142Bm25(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(1) > b.getDouble(1)
+          || (a.getDouble(1) == b.getDouble(1) && a.getLong(0) < b.getLong(0)))
+      case _ => ()
+    }
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    val withTerm = Tables(spark, sf0001, "documents")
+      .filter($"text".rlike("\\b(spark|window|merge)\\b"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(withTerm(r.getLong(0)),
+      s"doc ${r.getLong(0)} scored but contains no probe term"))
+  }
+
+  test("q143 denylist scrub: redaction count matches hits, no survivor tokens") {
+    val rows = Text.q143DenylistScrub(spark, sf0001).collect()
+    assert(rows.length === Tables(spark, sf0001, "documents").count())
+    val deny = Set("customer", "vector", "secret")
+    rows.foreach { r =>
+      val hits = r.getLong(2)
+      assert(hits <= r.getLong(1))
+      val scrubbed = r.getString(3)
+      assert(scrubbed.split(" ").filter(_.nonEmpty).forall(t => !deny(t)),
+        s"doc ${r.getLong(0)}: denylist token survived scrubbing")
+      assert("\\[REDACTED\\]".r.findAllIn(scrubbed).length.toLong === hits,
+        s"doc ${r.getLong(0)}: redaction count != n_hits")
+    }
+  }
+
+  test("q144 rrf fusion: ranks bounded by the top-100 cut, score replays from ranks") {
+    val rows = Text.q144RrfFusion(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val ra = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rb = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(ra.nonEmpty || rb.nonEmpty)
+      (ra.toSeq ++ rb.toSeq).foreach(x => assert(x >= 1L && x <= 100L))
+      val expected = BigDecimal(
+        ra.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+          + rb.map(x => 1.0 / (60.0 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+        s"doc ${r.getLong(0)}: rrf_score ${r.getDouble(3)} != $expected from ranks $ra/$rb")
+    }
+  }
+
+  test("q145 preference pairs: sides disjoint, count = sum floor(n/2), margin >= 0") {
+    val rows = NorthStar.q145PreferencePairs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val chosen = rows.map(_.getLong(2)).toSet
+    val rejected = rows.map(_.getLong(3)).toSet
+    assert(chosen.intersect(rejected).isEmpty,
+      "a doc appears as both chosen and rejected")
+    val perSource = Tables(spark, sf0001, "documents")
+      .groupBy($"source").count().collect()
+      .map(r => r.getLong(1) / 2L).sum
+    assert(rows.length.toLong === perSource,
+      s"${rows.length} pairs != sum of floor(n_source/2) = $perSource")
+    rows.foreach { r =>
+      assert(r.getLong(6) >= 0L && r.getLong(4) >= r.getLong(5),
+        s"pair (${r.getString(0)}, ${r.getLong(1)}): chosen score below rejected")
+    }
+  }
+
   test("q136 chunk pairs: anchors full-width, 10-token overlap with positive") {
     val rows = Text.q136ChunkPairs(spark, sf0001).collect()
     assert(rows.nonEmpty)
