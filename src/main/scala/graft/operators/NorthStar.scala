@@ -1005,7 +1005,45 @@ object NorthStar {
       .orderBy(col("source"), col("pair_id"))
   }
 
+  /** Q147: split-leakage audit — measures what q141 fixes: over the COMPLETE
+    * exact 3-gram-Jaccard ≥ ½ near-dup pair relation (q56's kernel), count
+    * pairs that straddle train/test under (a) the naive per-doc hash split
+    * (q53's assignment) and (b) the cluster-hash split (q141's assignment,
+    * vocabulary-fingerprint cluster key). A pair straddling the split means
+    * a test document has a near-duplicate in train — memorization leaking
+    * into eval. Scale/determinism: the pair relation is built once and
+    * joined twice to the tiny per-doc label relation (keyed joins); split
+    * labels are the portable MINSTD hash, so the whole audit is
+    * integer-exact. One-row output: pair total + straddle count per method.
+    * By construction, identical-fingerprint pairs can never straddle the
+    * cluster split; residual cluster straddles are Jaccard-near-dups whose
+    * vocabularies differ — the audit reports them honestly.
+    */
+  def q147SplitLeakage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, d, "documents")
+    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+      .select(col("id1"), col("id2"))
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val fp = array_join(array_sort(array_distinct(toks)), " ")
+    val splitOf = (k: Column) =>
+      when(TrainingOps.portableBucket(k) < 2000, "test").otherwise("train")
+    val labels = docs
+      .withColumn("ck", min(col("doc_id")).over(Window.partitionBy(fp)))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("naive_split"),
+        splitOf(col("ck")).as("cluster_split"))
+    pairs
+      .join(labels.select(col("doc_id").as("id1"),
+        col("naive_split").as("n1"), col("cluster_split").as("c1")), Seq("id1"))
+      .join(labels.select(col("doc_id").as("id2"),
+        col("naive_split").as("n2"), col("cluster_split").as("c2")), Seq("id2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("n1") =!= col("n2"), 1L).otherwise(0L)).as("naive_straddle"),
+        sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L)).as("cluster_straddle"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q147_split_leakage" -> q147SplitLeakage,
     "q145_preference_pairs" -> q145PreferencePairs,
     "q100_weighted_sample" -> q100WeightedSample,
     "q96_sample_packing" -> q96SamplePacking,
@@ -1046,6 +1084,36 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q147_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |          WHERE 3 * i >= a.n + b.n),
+        |ck AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY
+        |         array_to_string(list_sort(list_distinct(
+        |           list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS ck
+        |       FROM documents),
+        |lab AS (SELECT doc_id,
+        |  CASE WHEN ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |         % 2147483647 % 10000 < 2000 THEN 'test' ELSE 'train' END AS naive_split,
+        |  CASE WHEN ((((ck % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |         % 2147483647 % 10000 < 2000 THEN 'test' ELSE 'train' END AS cluster_split
+        |  FROM ck)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS naive_straddle,
+        |  CAST(SUM(CASE WHEN a.cluster_split <> b.cluster_split THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS cluster_straddle
+        |FROM pairs JOIN lab a ON id1 = a.doc_id JOIN lab b ON id2 = b.doc_id""".stripMargin,
     "q145_preference_pairs" ->
       """WITH scored AS (
         |  SELECT doc_id, source,

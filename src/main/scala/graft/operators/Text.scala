@@ -745,7 +745,34 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q146: heavy hitters — the two-pass sketch-then-verify pattern for
+    * frequent-item mining at corpus scale: pass 1 runs Spark's bounded
+    * counting sketch (`stat.freqItems`, Karp/Shenker/Papadimitriou — ≤ 1/s
+    * candidates, guaranteed SUPERSET of every token with share > s = 2%);
+    * pass 2 broadcast-semi-joins the token stream to the candidate set and
+    * takes exact counts for candidates only. The sketch's false positives
+    * are removed by the exact integer share gate (50·cnt > N), so the final
+    * answer EQUALS the true heavy-hitter set — deterministic and
+    * oracle-checkable even though the sketch itself is partition-order
+    * dependent. No full token-frequency shuffle ever happens: the grouped
+    * relation is candidates-only (≤ 50 keys), and the total-count row
+    * broadcasts.
+    */
+  def q146HeavyHitters: Q = (s, d) => {
+    val tokens = Tables(s, d, "documents").select(explode(toks).as("token"))
+    val cand = tokens.stat.freqItems(Seq("token"), 0.02)
+      .select(explode(col("token_freqItems")).as("token"))
+    val totals = tokens.agg(count(lit(1)).as("n_total"))
+    tokens.join(broadcast(cand), Seq("token"), "left_semi")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * lit(50L) > col("n_total"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q146_heavy_hitters" -> q146HeavyHitters,
     "q117_context_chunks" -> q117ContextChunks,
     "q118_token_entropy" -> q118TokenEntropy,
     "q133_quality_blend" -> q133QualityBlend,
@@ -777,6 +804,16 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q146_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT u.t AS token
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_total FROM t)
+        |SELECT token, cnt FROM c, n
+        |WHERE cnt * 50 > n_total
+        |ORDER BY cnt DESC, token""".stripMargin,
     "q144_rrf_fusion" ->
       """WITH lens AS (
         |  SELECT doc_id,

@@ -415,4 +415,53 @@ class UtilitiesSpec extends SparkSpec {
       .map(n => if (n <= 40) 0L else (n - 40 + 29) / 30).sum
     assert(rows.length.toLong === expected)
   }
+
+  test("q146 heavy hitters: sketch-then-verify equals exact full-shuffle answer") {
+    val got = Text.q146HeavyHitters(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // exact twin: full token-frequency groupBy (the shuffle q146 avoids)
+    val tokens = Tables(spark, sf0001, "documents")
+      .select(explode(filter(split($"text", " "), t => t =!= "")).as("token"))
+    val total = tokens.count()
+    val exact = tokens.groupBy($"token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (_, c) => c * 50L > total }
+      .sortBy { case (t, c) => (-c, t) }
+    // the KSP sketch's candidate superset + exact gate must reproduce the
+    // true heavy-hitter set exactly — false positives filtered, none missed
+    assert(got.toSeq === exact.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("q147 split leakage: counts equal a brute-force audit of the pair relation") {
+    val row = NorthStar.q147SplitLeakage(spark, sf0001).collect()(0)
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    def shingles(tk: Array[String]): Set[String] =
+      if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, tk) => (id, shingles(tk)) }
+    val pairs = for {
+      i <- sh.indices; j <- (i + 1) until sh.length
+      (idA, sA) = sh(i); (idB, sB) = sh(j)
+      inter = (sA intersect sB).size
+      if 3L * inter >= sA.size + sB.size
+    } yield (math.min(idA, idB), math.max(idA, idB))
+    val fp = docs.map { case (id, tk) => (id, tk.distinct.sorted.mkString(" ")) }
+    val ck = fp.groupBy(_._2).iterator.flatMap { case (_, g) =>
+      val m = g.map(_._1).min; g.map { case (id, _) => (id, m) }
+    }.toMap
+    def isTest(id: Long): Boolean = {
+      val p = 2147483647L
+      val h1 = ((id % p) * 48271L) % p
+      (((h1 + 1L) * 16807L) % p) % 10000L < 2000L
+    }
+    val naive = pairs.count { case (a, b) => isTest(a) != isTest(b) }
+    val cluster = pairs.count { case (a, b) => isTest(ck(a)) != isTest(ck(b)) }
+    assert(row.getLong(0) === pairs.length.toLong)
+    assert(row.getLong(1) === naive.toLong)
+    assert(row.getLong(2) === cluster.toLong)
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — audit vacuous")
+  }
 }
