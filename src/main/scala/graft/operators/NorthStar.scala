@@ -1042,7 +1042,58 @@ object NorthStar {
         sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L)).as("cluster_straddle"))
   }
 
+  /** Q149: contamination COVERAGE — the decontamination decision rule
+    * production filters actually apply (Llama/PaLM-style): not "does the
+    * doc share ANY 8-gram with the benchmark" (q119's membership test) but
+    * "what FRACTION of the doc's token positions lies under a benchmark
+    * 8-gram", counting positions under overlapping hits once via q128's
+    * merged-interval arithmetic. A doc quoting one benchmark passage
+    * verbatim scores high; a doc that happens to share scattered common
+    * 8-grams scores low — the coverage threshold separates them where
+    * q119's any-hit rule can't. Shape: the position-indexed window-hash
+    * relation, one hash-keyed semi-join against the distinct benchmark
+    * union set (small, broadcast-able at 100 TB), one per-doc window +
+    * keyed aggregate; short docs carry their whole text as one window
+    * (q119's convention).
+    */
+  def q149ContaminationCoverage: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val base = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(MinHashLSH.shingles(col("tk"), w)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pos").cast("long").as("i"), xxhash64(col("col")).as("h"))
+      .transform(graft.Checkpoints.materialize(_))
+    val bench = base.filter(col("source") === "src0").select(col("h")).distinct()
+    val train = base.filter(col("source") =!= "src0")
+    val winLen = least(lit(w.toLong), col("n_tokens"))
+    val prevEnd = max(col("i") + winLen).over(
+      Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val hits = train.join(bench, Seq("h"), "left_semi")
+      .withColumn("c", greatest(lit(0L),
+        col("i") + winLen - greatest(coalesce(prevEnd, lit(0L)), col("i"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_windows"), sum(col("c")).as("covered"))
+    train.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hit_windows"), lit(0L)).as("n_hit_windows"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("contam_coverage"))
+      .filter(col("n_hit_windows") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q149_contamination_coverage" -> q149ContaminationCoverage,
     "q147_split_leakage" -> q147SplitLeakage,
     "q145_preference_pairs" -> q145PreferencePairs,
     "q100_weighted_sample" -> q100WeightedSample,
@@ -1084,6 +1135,32 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q149_contamination_coverage" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |sized AS (SELECT doc_id, source, tk,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+        |base AS (SELECT doc_id, source, n_tokens, u.j AS i,
+        |    CASE WHEN n_tokens < 8 THEN array_to_string(tk, ' ')
+        |         ELSE array_to_string(tk[u.j+1:u.j+8], ' ') END AS g
+        |  FROM sized, unnest(range(0, greatest(n_tokens - 7, 1))) AS u(j)),
+        |bench AS (SELECT DISTINCT g FROM base WHERE source = 'src0'),
+        |train AS (SELECT * FROM base WHERE source <> 'src0'),
+        |hw AS (SELECT t.doc_id, t.i, LEAST(8, t.n_tokens) AS L
+        |       FROM train t SEMI JOIN bench USING (g)),
+        |cov AS (SELECT doc_id,
+        |          GREATEST(0, i + L - GREATEST(COALESCE(
+        |            MAX(i + L) OVER (PARTITION BY doc_id ORDER BY i
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), i)) AS c
+        |        FROM hw),
+        |hstats AS (SELECT doc_id, COUNT(*) AS n_hit_windows,
+        |             CAST(SUM(c) AS BIGINT) AS covered FROM cov GROUP BY doc_id),
+        |stats AS (SELECT doc_id, MAX(n_tokens) AS n_tokens FROM train GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  h.n_hit_windows, h.covered AS covered_tokens,
+        |  ROUND(CAST(h.covered AS DOUBLE) / s.n_tokens, 6) AS contam_coverage
+        |FROM stats s JOIN hstats h USING (doc_id)
+        |WHERE h.n_hit_windows > 0 ORDER BY s.doc_id""".stripMargin,
     "q147_split_leakage" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |         FROM documents),

@@ -771,7 +771,52 @@ object Text {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Q148: bigram-LM quality scoring — the perplexity-proxy filter every
+    * curation pipeline runs (CCNet/Gopher-style: score text under a cheap
+    * corpus LM, drop the tails): train an add-one-smoothed bigram model ON
+    * the corpus itself and report each doc's mean log2 conditional
+    * probability, P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V). Shape: one map-side
+    * zip of consecutive tokens (no position self-join), doc-keyed and
+    * corpus-keyed counts off the same instance relation, two keyed joins
+    * ((w1,w2) then w1), the vocab size V as a 1-row broadcast, one keyed
+    * final aggregate — every shuffle is on bigram/doc keys, so the model
+    * "training" is just the aggregation a 100 TB corpus already pays for
+    * its frequency tables. Per-term values (c are small integers, V a
+    * constant) are identical in both engines before the single rounded
+    * division (q118's discipline). Docs with < 2 tokens have no bigrams
+    * and drop out by construction.
+    */
+  def q148BigramLm: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("tk"))
+    val bi = docs.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .transform(graft.Checkpoints.materialize(_))
+    val docBi = bi.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = docs.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    docBi.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(big(sum(col("m"))).as("n_bigrams"),
+        round(sum(col("m").cast("double")
+            * log(2.0, (col("cb") + lit(1L)).cast("double")
+              / (col("cu") + col("v")).cast("double")))
+          / sum(col("m")).cast("double"), 4).as("avg_logp2"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_bigram_lm" -> q148BigramLm,
     "q146_heavy_hitters" -> q146HeavyHitters,
     "q117_context_chunks" -> q117ContextChunks,
     "q118_token_entropy" -> q118TokenEntropy,
@@ -804,6 +849,22 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard)
 
   val oracles: Map[String, String] = Map(
+    "q148_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |bi AS (SELECT doc_id, tk[u.i+1] AS w1, tk[u.i+2] AS w2
+        |       FROM toks, unnest(range(0, len(tk) - 1)) AS u(i)
+        |       WHERE len(tk) >= 2),
+        |db AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bi GROUP BY 1, 2, 3),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+        |cu AS (SELECT w1, COUNT(*) AS cu FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT u.t) AS v FROM toks, unnest(tk) AS u(t))
+        |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |  ROUND(SUM(CAST(m AS DOUBLE)
+        |      * log2(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE)))
+        |    / CAST(SUM(m) AS DOUBLE), 4) AS avg_logp2
+        |FROM db JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q146_heavy_hitters" ->
       """WITH t AS (
         |  SELECT u.t AS token

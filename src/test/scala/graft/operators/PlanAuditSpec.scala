@@ -44,7 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     "q138_vocab_coverage", // 6-row threshold relation x count-of-counts summary + 1-row total
     "q142_bm25", // 1-row (N, avgdl) totals broadcast (q82's pattern)
     "q144_rrf_fusion", // q142's 1-row totals broadcast via the shared BM25 kernel
-    "q146_heavy_hitters") // 1-row broadcast token-count total gating the candidates
+    "q146_heavy_hitters", // 1-row broadcast token-count total gating the candidates
+    "q148_bigram_lm") // 1-row broadcast vocab-size V in the smoothing denominator
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins

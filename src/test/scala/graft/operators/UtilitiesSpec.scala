@@ -464,4 +464,64 @@ class UtilitiesSpec extends SparkSpec {
     assert(row.getLong(2) === cluster.toLong)
     assert(pairs.nonEmpty, "fixture has no near-dup pairs — audit vacuous")
   }
+
+  test("q148 bigram LM: scores equal a brute-force add-one bigram model") {
+    val got = Text.q148BigramLm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val bi = docs.flatMap { case (id, tk) =>
+      tk.iterator.zip(tk.iterator.drop(1)).map { case (a, b) => (id, a, b) }.toSeq
+    }
+    val cb = bi.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    val cu = bi.groupBy(_._2).view.mapValues(_.length).toMap
+    val v = docs.flatMap(_._2).distinct.length
+    val expected = bi.groupBy(_._1).view.mapValues { g =>
+      val n = g.length.toLong
+      val s = g.iterator.map { case (_, a, b) =>
+        math.log((cb((a, b)) + 1.0) / (cu(a) + v.toDouble)) / math.log(2.0)
+      }.sum
+      (n, BigDecimal(s / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got.nonEmpty && got.length === expected.size)
+    got.foreach { case (id, n, avg) =>
+      val (en, eavg) = expected(id)
+      assert(n === en, s"doc $id: n_bigrams $n != $en")
+      assert(math.abs(avg - eavg) <= 1e-4 + 1e-12,
+        s"doc $id: avg_logp2 $avg != $eavg")
+    }
+  }
+
+  test("q149 contamination coverage: doc set equals q119's, coverage equals interval merge") {
+    val got = NorthStar.q149ContaminationCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty, "fixture has no contaminated docs — query vacuous")
+    // any-hit membership (q119) and coverage > 0 (q149) select the same docs
+    val q119Docs = NorthStar.q119BenchmarkDecontamination(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet === q119Docs)
+    // brute-force: benchmark 8-gram set + merged-interval coverage per doc
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty)))
+    def wins(tk: Array[String]): Seq[(Int, String)] =
+      if (tk.length < 8) Seq((0, tk.mkString(" ")))
+      else tk.sliding(8).zipWithIndex.map { case (w, i) => (i, w.mkString(" ")) }.toSeq
+    val bench = docs.filter(_._2 == "src0").flatMap(d => wins(d._3).map(_._2)).toSet
+    got.foreach { case (id, nTok, nHit, covered, cov) =>
+      val tk = docs.find(_._1 == id).get._3
+      assert(nTok === tk.length.toLong)
+      val hits = wins(tk).filter(w => bench(w._2))
+      assert(nHit === hits.length.toLong)
+      val L = math.min(8, tk.length)
+      var end = 0L; var c = 0L
+      hits.foreach { case (i, _) =>
+        c += math.max(0L, i + L - math.max(end, i.toLong)); end = math.max(end, i + L)
+      }
+      assert(covered === c, s"doc $id: covered $covered != merged-interval $c")
+      assert(math.abs(cov - BigDecimal(c.toDouble / tk.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }
