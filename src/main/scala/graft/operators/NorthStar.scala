@@ -1092,7 +1092,49 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q150: fixed-budget eval-set apportionment — the held-out-set
+    * construction q62's per-stratum FRACTIONS can't express: a fixed total
+    * budget (200 docs) allocated across (lang, source) cells by
+    * largest-remainder (Hamilton) apportionment — floor(B·n/N) seats per
+    * cell exactly (integer div/mod, no float quotas), the leftover seats
+    * to the cells with the largest remainders — then filled per cell by
+    * the portable MINSTD hash order (deterministic at any parallelism).
+    * Σ quota = B exactly, and quota ≤ n per cell whenever B < N (floor
+    * strictly below n), so the set is always exactly B docs. Shape: the
+    * cell relation is bounded (|langs|×|sources|), so its apportionment
+    * window is a few-row driver-side-scale sort (allow-listed); the
+    * per-cell fill is a keyed window over docs — the only corpus-sized
+    * work, partitioned by cell.
+    */
+  def q150EvalQuota: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val B = 200L
+    val docs = Tables(s, d, "documents")
+    val cells = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nn"))))
+      .withColumn("f", (lit(B) * col("n") - pmod(lit(B) * col("n"), col("nn"))) / col("nn"))
+      .withColumn("f", col("f").cast("long"))
+      .withColumn("r", pmod(lit(B) * col("n"), col("nn")))
+    val quotas = cells
+      .crossJoin(broadcast(cells.agg(sum(col("f")).as("sf"))))
+      .withColumn("cr", row_number().over(
+        Window.orderBy(col("r").desc, col("lang"), col("source"))))
+      .withColumn("quota",
+        col("f") + when(col("cr") <= lit(B) - col("sf"), 1L).otherwise(0L))
+      .select(col("lang"), col("source"), col("quota"))
+    val drk = row_number().over(
+      Window.partitionBy(col("lang"), col("source"))
+        .orderBy(TrainingOps.portableBucket(col("doc_id")), col("doc_id")))
+    docs.select(col("lang"), col("source"), col("doc_id"))
+      .withColumn("rk", drk.cast("long"))
+      .join(quotas, Seq("lang", "source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q150_eval_quota" -> q150EvalQuota,
     "q149_contamination_coverage" -> q149ContaminationCoverage,
     "q147_split_leakage" -> q147SplitLeakage,
     "q145_preference_pairs" -> q145PreferencePairs,
@@ -1135,6 +1177,29 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q150_eval_quota" ->
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |               FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        |c2 AS (SELECT lang, source, n,
+        |         CAST((200 * n) // nn AS BIGINT) AS f,
+        |         CAST((200 * n) % nn AS BIGINT) AS r
+        |       FROM cells, tot),
+        |lv AS (SELECT CAST(SUM(f) AS BIGINT) AS sf FROM c2),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, lang, source) AS cr
+        |       FROM c2),
+        |q AS (SELECT lang, source,
+        |        f + CASE WHEN cr <= 200 - sf THEN 1 ELSE 0 END AS quota
+        |      FROM rk, lv),
+        |scored AS (SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY
+        |      ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |        % 2147483647 % 10000, doc_id) AS drk
+        |  FROM documents)
+        |SELECT s.lang, s.source, CAST(s.drk AS BIGINT) AS rk, s.doc_id
+        |FROM scored s JOIN q USING (lang, source)
+        |WHERE s.drk <= q.quota
+        |ORDER BY s.lang, s.source, s.drk""".stripMargin,
     "q149_contamination_coverage" ->
       """WITH toks AS (SELECT doc_id, source,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),

@@ -367,7 +367,40 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Q151: matryoshka-truncation retrieval — the serving trade every
+    * matryoshka-trained embedding stack makes: retrieve with only the
+    * FIRST 8 of 64 dimensions (8× cheaper dot products, 8× smaller index)
+    * and measure, probe by probe, how the truncated ranking agrees with
+    * the full-dimension exact answer. Both rankings run the same
+    * broadcast-probe + bounded [[graft.functions.TopKByScore]] kernel as
+    * q69 (corpus streams, per-probe state O(k)); the truncation itself is
+    * a map-side `slice`, and the full-dim top-10 relation (50 rows) joins
+    * back broadcast. Output: the truncated top-10 per probe with an
+    * `in_full10` flag — sum(in_full10)/10 per probe IS agreement@10, kept
+    * at row grain so the oracle hash pins every rank, id, and score.
+    * Cosine over a PREFIX is not proportional to full-dim cosine (norms
+    * change), so the flag genuinely measures ranking drift, not rounding.
+    */
+  def q151MatryoshkaTopK: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val full = topKNeighbors(emb, probes, "vec_id", "embedding", k = 10)
+      .select(col("pid"), explode(col("neighbors")).as("nb"))
+      .select(col("pid"), col("nb.id").as("id"), lit(1L).as("in_full10"))
+    val t8 = (df: DataFrame) =>
+      df.select(col("vec_id"), slice(col("embedding"), 1, 8).as("e8"))
+    topKNeighbors(t8(emb), t8(probes), "vec_id", "e8", k = 10)
+      .select(col("pid"), posexplode(col("neighbors")))
+      .select(col("pid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("score8"))
+      .join(broadcast(full), Seq("pid", "id"), "left")
+      .select(col("pid"), col("rank"), col("id"), col("score8"),
+        coalesce(col("in_full10"), lit(0L)).as("in_full10"))
+      .orderBy(col("pid"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_matryoshka_topk" -> q151MatryoshkaTopK,
     "q92_label_centroid" -> q92LabelCentroid,
     "q127_embed_outliers" -> q127EmbedOutliers,
     "q137_embed_margin" -> q137EmbedMargin,
@@ -380,6 +413,29 @@ object Similarity {
     "q131_hard_negatives" -> q131HardNegatives)
 
   val oracles: Map[String, String] = Map(
+    "q151_matryoshka_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |p AS (SELECT vec_id AS pid, ev AS pv FROM e WHERE vec_id < 5),
+        |fs AS (SELECT pid, vec_id AS id,
+        |         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY
+        |           ROUND(list_dot_product(ev, pv)
+        |             / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6)
+        |           DESC, vec_id) AS rnk
+        |       FROM e, p),
+        |full10 AS (SELECT pid, id FROM fs WHERE rnk <= 10),
+        |e8 AS (SELECT vec_id, ev[1:8] AS ev FROM e),
+        |p8 AS (SELECT vec_id AS pid, ev AS pv FROM e8 WHERE vec_id < 5),
+        |ts AS (SELECT pid, vec_id AS id,
+        |         ROUND(list_dot_product(ev, pv)
+        |           / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6) AS score8
+        |       FROM e8, p8),
+        |tr AS (SELECT pid, id, score8,
+        |         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY score8 DESC, id) AS rank
+        |       FROM ts)
+        |SELECT t.pid, CAST(t.rank AS BIGINT) AS rank, t.id, t.score8,
+        |  CAST(CASE WHEN f.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_full10
+        |FROM tr t LEFT JOIN full10 f ON t.pid = f.pid AND t.id = f.id
+        |WHERE t.rank <= 10 ORDER BY t.pid, t.rank""".stripMargin,
     "q137_embed_margin" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

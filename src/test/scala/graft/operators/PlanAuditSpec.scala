@@ -45,7 +45,9 @@ class PlanAuditSpec extends SparkSpec {
     "q142_bm25", // 1-row (N, avgdl) totals broadcast (q82's pattern)
     "q144_rrf_fusion", // q142's 1-row totals broadcast via the shared BM25 kernel
     "q146_heavy_hitters", // 1-row broadcast token-count total gating the candidates
-    "q148_bigram_lm") // 1-row broadcast vocab-size V in the smoothing denominator
+    "q148_bigram_lm", // 1-row broadcast vocab-size V in the smoothing denominator
+    "q150_eval_quota", // 1-row broadcast corpus total + floor-sum relations
+    "q151_matryoshka_topk") // 5-row probe set x2 (q69's kernel) + 50-row full-topk broadcast
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins
@@ -60,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "q96_sample_packing" -> "exactness baseline; scale twin q110",
     "q109_key_gaps_scale" -> "window over the <=numPartitions-row boundary summary",
     "q138_vocab_coverage" -> "cumsum over the count-of-counts summary (distinct frequency values, O(sqrt mass) rows), never the vocab relation",
-    "q144_rrf_fusion" -> "row_number over the two TakeOrdered-bounded <=100-row top-k relations, never the corpus")
+    "q144_rrf_fusion" -> "row_number over the two TakeOrdered-bounded <=100-row top-k relations, never the corpus",
+    "q150_eval_quota" -> "apportionment rank over the bounded (lang x source) cell relation, never the docs")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

@@ -524,4 +524,71 @@ class UtilitiesSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     }
   }
+
+  test("q150 eval quota: exactly B docs, Hamilton apportionment, MINSTD fill order") {
+    val rows = NorthStar.q150EvalQuota(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 200, s"selected ${rows.length} docs, budget is 200")
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val n = docs.length.toLong
+    val cellN = docs.groupBy(d => (d._2, d._3)).view.mapValues(_.length.toLong).toMap
+    val gotPerCell = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.length.toLong).toMap
+    // every cell's count is within 1 of its exact share (the Hamilton bound)
+    cellN.foreach { case (cell, cn) =>
+      val exact = 200.0 * cn / n
+      val got = gotPerCell.getOrElse(cell, 0L)
+      assert(got <= cn, s"cell $cell: quota $got exceeds cell size $cn")
+      assert(math.abs(got - exact) < 1.0,
+        s"cell $cell: quota $got not within 1 of exact share $exact")
+    }
+    // fill order: each cell's picks are its MINSTD-first docs
+    def h(id: Long): Long = {
+      val p = 2147483647L
+      ((((id % p) * 48271L) % p + 1L) * 16807L) % p % 10000L
+    }
+    rows.groupBy(r => (r._1, r._2)).foreach { case (cell, sel) =>
+      val expected = docs.filter(d => (d._2, d._3) == cell)
+        .sortBy(d => (h(d._1), d._1)).take(sel.length).map(_._1).toSet
+      assert(sel.map(_._4).toSet === expected, s"cell $cell: wrong fill set")
+      assert(sel.sortBy(_._3).map(_._4).toSeq ===
+        sel.map(_._4).toSeq.sortBy(id => (h(id), id)), s"cell $cell: wrong rank order")
+    }
+  }
+
+  test("q151 matryoshka top-k: both rankings equal a brute-force cosine on collected vectors") {
+    val rows = Similarity.q151MatryoshkaTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val embs = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def top10(vecs: Array[(Long, Array[Double])], pv: Array[Double]) =
+      vecs.map { case (id, v) => (id, r6(cos(v, pv))) }
+        .sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val probes = embs.filter(_._1 < 5)
+    assert(rows.length === probes.length * 10)
+    probes.foreach { case (pid, pv) =>
+      val fullSet = top10(embs, pv).map(_._1).toSet
+      val e8 = embs.map { case (id, v) => (id, v.take(8)) }
+      val expected = top10(e8, pv.take(8))
+      val got = rows.filter(_._1 == pid).sortBy(_._2)
+      got.zip(expected).zipWithIndex.foreach { case (((_, rk, id, s8, inF), (eid, es8)), i) =>
+        assert(rk === i + 1L)
+        assert(id === eid, s"probe $pid rank ${i + 1}: id $id != $eid")
+        assert(math.abs(s8 - es8) < 1e-9)
+        assert(inF === (if (fullSet(id)) 1L else 0L), s"probe $pid id $id: flag wrong")
+      }
+    }
+    // the truncation must actually cost some agreement somewhere, or the
+    // fixture makes the drift measurement vacuous
+    assert(rows.exists(_._5 == 0L), "all truncated hits are in full top-10")
+  }
 }
