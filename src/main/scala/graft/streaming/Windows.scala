@@ -491,6 +491,71 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** One micro-batch's decontamination records, written idempotently under
+    * `outDir/batch=<batchId>` with overwrite ([[writeProbeBatch]]'s
+    * exactly-once-in-effect discipline: a redelivered batch rewrites
+    * identical content). Per-doc counts are complete within the batch —
+    * a file-source doc arrives in exactly one micro-batch — so the union
+    * over batches is the whole-corpus answer at any trigger slicing.
+    */
+  private[streaming] def writeDecontamBatch(bench: org.apache.spark.sql.DataFrame,
+                                            batch: org.apache.spark.sql.DataFrame,
+                                            outDir: String, batchId: Long): Unit = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val ng = batch
+      .select(col("doc_id"), explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val hits = ng.join(bench, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_ngrams"), 6).as("contaminated_frac"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Q152: STREAMING decontamination — [[graft.operators.NorthStar
+    * .q119BenchmarkDecontamination]] as the ingest-time filter it models:
+    * the benchmark's union 8-gram set is built ONCE (one aggregate over
+    * the eval corpus, materialized — at 100 TB this is the small side and
+    * broadcast-able), then training documents arrive as a file-source
+    * stream and every micro-batch semi-joins its n-grams against the
+    * standing set, appending per-doc contamination records idempotently
+    * ([[writeDecontamBatch]]). Because the record is a per-doc aggregate
+    * and each doc lands in exactly one micro-batch, the drained result
+    * equals the batch answer at ANY trigger slicing — so q152 shares
+    * q119's DuckDB oracle verbatim, the batch≡stream equivalence check
+    * (q121's contract, applied to the membership-filter family).
+    */
+  def q152StreamDecontam: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val docs = graft.Tables(s, d, "documents")
+    val bench = graft.Checkpoints.materialize(
+      docs.filter(col("source") === "src0")
+        .select(explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
+        .select(xxhash64(col("g")).as("h")).distinct())
+    val train = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q152_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val outDir = s"$tmp/contam"
+      train.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+      writeDecontamBatch(bench, train.limit(0), outDir, batchId = -1L)
+      val sdf = s.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) writeDecontamBatch(bench, batch.toDF(), outDir, batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(outDir).drop("batch").orderBy(col("doc_id"))
+      graft.Checkpoints.materialize(res)
+    } finally deleteRecursively(tmp)
+  }
+
   /** Q101: STREAM-STATIC join — the dimension-enrichment shape that was
     * missing between the stream-stream joins (q71/q83) and the windowed
     * aggregates: a static per-user cohort dimension (first-seen day,
@@ -570,7 +635,8 @@ object Windows {
     "q66_stream_stateful" -> q66StreamStateful,
     "q71_stream_join" -> q71StreamJoin,
     "q83_stream_outer_join" -> q83StreamOuterJoin,
-    "q121_stream_incremental_dedup" -> q121StreamIncrementalDedup)
+    "q121_stream_incremental_dedup" -> q121StreamIncrementalDedup,
+    "q152_stream_decontam" -> q152StreamDecontam)
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
@@ -591,6 +657,8 @@ object Windows {
         |FROM j, tot GROUP BY h, n_g ORDER BY h""".stripMargin,
     "q121_stream_incremental_dedup" ->
       graft.operators.NorthStar.oracles("q116_incremental_dedup"),
+    "q152_stream_decontam" ->
+      graft.operators.NorthStar.oracles("q119_benchmark_decontamination"),
     "q101_stream_static" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value

@@ -240,6 +240,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q152 streaming decontam equals q119's batch answer; sink idempotent under redelivery") {
+    val got = Windows.q152StreamDecontam(spark, sf0001).collect().toSeq
+    val want = graft.operators.NorthStar.q119BenchmarkDecontamination(spark, sf0001)
+      .collect().toSeq
+    assert(got.nonEmpty, "fixture has no contaminated docs — equivalence vacuous")
+    assert(got === want, "drained stream diverged from the batch decontamination")
+    // redelivery: double-applying a batch must rewrite identical content
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val toks = filter(split($"text", " "), t => t =!= "")
+    val bench = docs.filter($"source" === "src0")
+      .select(explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
+      .select(xxhash64($"g").as("h")).distinct()
+    val train = docs.filter($"source" =!= "src0").select($"doc_id", $"text")
+    val out = java.nio.file.Files.createTempDirectory("graft_q152_redeliver_").toString
+    try {
+      def snapshot(): Seq[(Long, Long, Long)] =
+        spark.read.parquet(out).drop("batch")
+          .select($"doc_id", $"n_ngrams", $"n_hits").as[(Long, Long, Long)]
+          .collect().toSeq.sorted
+      Windows.writeDecontamBatch(bench, train.limit(0), out, batchId = -1L)
+      Windows.writeDecontamBatch(bench, train, out, batchId = 0L)
+      val once = snapshot()
+      assert(once.nonEmpty)
+      Windows.writeDecontamBatch(bench, train, out, batchId = 0L) // redelivery
+      assert(snapshot() === once,
+        "double-applied batch must rewrite identical content, not append duplicates")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q140 drift: L1 in [0,2], window totals conserve, one window checked by hand") {
     val rows = Windows.q140StreamDrift(spark, sf0001).collect()
     assert(rows.nonEmpty)
