@@ -88,6 +88,29 @@ object NorthStar {
       emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid")))
   }
 
+  /** Q153: IVF fold-in ingest — the ANN half of q125's two-day lifecycle:
+    * the standing index is built on yesterday's corpus (vec_id ≥ 100,
+    * session-cached k-means), today's delta (vec_id < 100) FOLDS IN via
+    * [[Ann.foldInIvf]] — one bounded assignment join against the frozen
+    * centroids, never a re-cluster — and the q124 probe batch then runs
+    * against the merged index, finding neighbors from BOTH sides. Same
+    * index params as q41/q124 (k=16, 1 refinement, 2 replicas).
+    * Engine-only (IVF is not SQL-reproducible); NorthStarSpec pins
+    * fold-in≡full-assignment equality, fold-in order invariance, and
+    * recall vs q69's exact answers.
+    */
+  def q153AnnIvfFoldin: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val delta = emb.filter(col("vec_id") < 100)
+    val standing = Ann.ivfIndexCached(corpus, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 2)
+    val folded = Ann.foldInIvf(standing, delta, "vec_id", "embedding",
+      assignReplicas = 2)
+    Ann.ivfProbeAll(folded,
+      emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid")))
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "es" -> Seq("el", "la", "de", "los", "que"),
@@ -1168,6 +1191,7 @@ object NorthStar {
     "q40_ann_lsh" -> q40AnnLsh,
     "q41_ann_ivf" -> q41AnnIvf,
     "q124_ann_ivf_batch" -> q124AnnIvfBatch,
+    "q153_ann_ivf_foldin" -> q153AnnIvfFoldin,
     "q42_langid" -> q42LangId,
     "q43_rolling_fp" -> q43RollingFp,
     "q44_multimodal" -> q44Multimodal,

@@ -258,6 +258,33 @@ object Ann {
     loadIvfIndex(spark, dir)
   }
 
+  /** Fold NEW vectors into a standing IVF index — the update half of the
+    * continuous-ingest story, [[graft.dedup.JaccardJoin.foldIn]]'s ANN
+    * twin: the delta is assigned to the EXISTING centroids (one bounded
+    * broadcast join, the only per-delta cost — never a re-cluster of the
+    * corpus) and unioned into the assignment relation. Centroids are
+    * deliberately NOT re-fit: assignment is per-vector, so probing the
+    * folded index is EXACTLY probing an index whose assignments were
+    * computed over corpus ∪ delta against the same centroids (pinned in
+    * NorthStarSpec, along with fold-in order invariance). What a k-means
+    * refit would change is centroid PLACEMENT — as folded deltas shift the
+    * distribution, frozen centroids drift from it and recall at fixed
+    * nprobe decays; that is the documented rebuild-cadence policy, the
+    * same trade as JaccardJoin.foldIn's prefix re-rank note. Delta ids
+    * must be disjoint from the standing index's (distinct corpora).
+    */
+  def foldInIvf(index: (DataFrame, DataFrame), delta: DataFrame,
+                idCol: String, embCol: String,
+                assignReplicas: Int = 1): (DataFrame, DataFrame) = {
+    val (assigned, centroids) = index
+    VectorFunctions.register(delta.sparkSession)
+    val vecs = delta.select(col(idCol).as("id"), asDouble(col(embCol)).as("ev"))
+      .repartition(delta.sparkSession.sparkContext.defaultParallelism, col("id"))
+    val deltaAssigned =
+      graft.Checkpoints.materialize(assignTo(vecs, centroids, assignReplicas))
+    (assigned.unionByName(deltaAssigned), centroids)
+  }
+
   /** IVF probe: search only the `nprobe` clusters nearest to the query
     * vector; exact cosine within them; top-k out (replica hits dedup'd by
     * id before ranking).

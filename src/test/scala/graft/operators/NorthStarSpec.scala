@@ -161,6 +161,58 @@ class NorthStarSpec extends SparkSpec {
     assert(hits.forall(_ >= 5), s"per-probe $hits")
   }
 
+  test("foldInIvf: corpus rows untouched, delta assigned argmax-exact, order-invariant; q153 recall") {
+    val emb = Tables_embeddings
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val delta = emb.filter(col("vec_id") < 100)
+    val standing = Ann.ivfIndex(corpus, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 2)
+    def snap(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("id", "cid", "crank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val folded = Ann.foldInIvf(standing, delta, "vec_id", "embedding", assignReplicas = 2)
+    val foldedSnap = snap(folded._1)
+    // the standing corpus assignments pass through bit-identical
+    assert(foldedSnap.filter(_._1 >= 100L) === snap(standing._1))
+    // every delta vector lands on its TRUE argmax centroid (brute force on
+    // the collected 16-centroid relation; ties toward the smaller cid)
+    val cents = folded._2.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val dvecs = delta.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val primary = foldedSnap.filter(t => t._1 < 100L && t._3 == 1)
+      .map(t => (t._1, t._2)).toMap
+    dvecs.foreach { case (id, v) =>
+      val best = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, sim) => (sim, -cid) }._1
+      assert(primary(id) === best, s"delta vec $id assigned to ${primary(id)}, argmax is $best")
+    }
+    // fold-in is order-invariant: one shot == two half-deltas, either order
+    val d1 = delta.filter(col("vec_id") < 50)
+    val d2 = delta.filter(col("vec_id") >= 50)
+    val twoStep = Ann.foldInIvf(Ann.foldInIvf(standing, d1, "vec_id", "embedding", 2),
+      d2, "vec_id", "embedding", 2)
+    val twoStepRev = Ann.foldInIvf(Ann.foldInIvf(standing, d2, "vec_id", "embedding", 2),
+      d1, "vec_id", "embedding", 2)
+    assert(snap(twoStep._1) === foldedSnap)
+    assert(snap(twoStepRev._1) === foldedSnap)
+    // q153's probe over the folded index reaches q124-class recall vs exact
+    val got = NorthStar.q153AnnIvfFoldin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.q69MultiTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.sorted.map(p => (got(p) intersect exact(p)).size)
+    assert(hits.sum >= 30, s"recall ${hits.sum}/50, per-probe $hits")
+    Ann.clearIndexCache()
+  }
+
   test("persisted IVF index: loaded probe equals fresh probe; corpus drift refuses") {
     val emb = Tables_embeddings
     val index = Ann.ivfIndex(emb, "vec_id", "embedding",

@@ -41,7 +41,7 @@ class QueriesGoldenSpec extends SparkSpec {
       "q35_approx_distinct", "q37_minhash_pairs", "q39_simhash_pairs",
       "q40_ann_lsh", "q41_ann_ivf", "q108_equidepth_scale",
       "q113_embed_dedup_blocked", "q114_cosine_topk_blocked",
-      "q124_ann_ivf_batch")
+      "q124_ann_ivf_batch", "q153_ann_ivf_foldin")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +
