@@ -1156,7 +1156,45 @@ object NorthStar {
       .orderBy(col("lang"), col("source"), col("rk"))
   }
 
+  /** Q154: language rebalancing — the downsample-to-target pass between
+    * q111 (which only DERIVES mixing weights) and q62 (which needs
+    * configured fractions): rebalance the corpus toward a UNIFORM
+    * per-language share computed from the data itself, by accepting each
+    * doc iff its portable MINSTD bucket clears the language's acceptance
+    * threshold t_l = min(10000, (10000·N) div (L·n_l)) — pure integer
+    * arithmetic, so overrepresented languages are thinned to ≈ N/L docs
+    * while minority languages keep everything, deterministically at any
+    * parallelism. Shape: one keyed per-lang count, a 1-row (N, L)
+    * broadcast, the tiny threshold relation broadcast back against the
+    * corpus for a map-side accept predicate, one final keyed aggregate —
+    * nothing corpus-sized ever shuffles twice.
+    */
+  def q154LangRebalance: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+    val tot = counts.agg(sum(col("n_before")).as("nn"),
+      count(lit(1)).as("nl"))
+    val thresholds = counts.crossJoin(broadcast(tot))
+      .withColumn("denom", col("nl") * col("n_before"))
+      .withColumn("threshold", least(lit(10000L),
+        (lit(10000L) * col("nn") - pmod(lit(10000L) * col("nn"), col("denom")))
+          .cast("long") / col("denom")))
+      .withColumn("threshold", col("threshold").cast("long"))
+      .select(col("lang"), col("n_before"), col("threshold"))
+    docs.select(col("lang"), col("doc_id"))
+      .join(broadcast(thresholds), Seq("lang"))
+      .withColumn("accept",
+        when(TrainingOps.portableBucket(col("doc_id")) < col("threshold"), 1L)
+          .otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(max(col("n_before")).as("n_before"),
+        max(col("threshold")).as("threshold"),
+        sum(col("accept")).as("n_after"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q154_lang_rebalance" -> q154LangRebalance,
     "q150_eval_quota" -> q150EvalQuota,
     "q149_contamination_coverage" -> q149ContaminationCoverage,
     "q147_split_leakage" -> q147SplitLeakage,
@@ -1201,6 +1239,22 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q154_lang_rebalance" ->
+      """WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before
+        |                FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_before) AS BIGINT) AS nn,
+        |               CAST(COUNT(*) AS BIGINT) AS nl FROM counts),
+        |th AS (SELECT lang, n_before,
+        |         LEAST(10000, (10000 * nn) // (nl * n_before)) AS threshold
+        |       FROM counts, tot)
+        |SELECT d.lang, MAX(th.n_before) AS n_before,
+        |  CAST(MAX(th.threshold) AS BIGINT) AS threshold,
+        |  CAST(SUM(CASE WHEN
+        |      ((((d.doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |        % 2147483647 % 10000 < th.threshold
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+        |FROM documents d JOIN th USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q150_eval_quota" ->
       """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
         |               FROM documents GROUP BY 1, 2),

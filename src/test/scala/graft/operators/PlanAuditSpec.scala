@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     "q148_bigram_lm", // 1-row broadcast vocab-size V in the smoothing denominator
     "q150_eval_quota", // 1-row broadcast corpus total + floor-sum relations
     "q151_matryoshka_topk", // 5-row probe set x2 (q69's kernel) + 50-row full-topk broadcast
-    "q153_ann_ivf_foldin") // K-centroid broadcast (q41's IVF family: fold-in assignment + probe)
+    "q153_ann_ivf_foldin", // K-centroid broadcast (q41's IVF family: fold-in assignment + probe)
+    "q154_lang_rebalance") // 1-row (N, L) totals broadcast deriving the thresholds
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins

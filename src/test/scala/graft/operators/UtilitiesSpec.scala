@@ -591,4 +591,32 @@ class UtilitiesSpec extends SparkSpec {
     // fixture makes the drift measurement vacuous
     assert(rows.exists(_._5 == 0L), "all truncated hits are in full top-10")
   }
+
+  test("q154 lang rebalance: thresholds and accept counts equal integer brute force") {
+    val rows = NorthStar.q154LangRebalance(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    val l = counts.size.toLong
+    def h(id: Long): Long = {
+      val p = 2147483647L
+      ((((id % p) * 48271L) % p + 1L) * 16807L) % p % 10000L
+    }
+    assert(rows.length === counts.size)
+    rows.foreach { case (lang, nb, t, na) =>
+      assert(nb === counts(lang))
+      assert(t === math.min(10000L, (10000L * n) / (l * counts(lang))),
+        s"$lang: threshold $t wrong")
+      val expected = docs.count { case (id, lg) => lg == lang && h(id) < t }.toLong
+      assert(na === expected, s"$lang: n_after $na != $expected")
+      assert(na <= nb)
+    }
+    // the rebalance must actually thin SOMETHING and keep a minority whole
+    assert(rows.exists(r => r._4 < r._2), "no language was downsampled")
+    assert(rows.exists(r => r._3 == 10000L && r._4 == r._2),
+      "no minority language kept everything")
+  }
 }
