@@ -556,6 +556,101 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** One ingest micro-batch: probe the CURRENT index (cross pairs vs
+    * corpus + every previously accepted batch), self-join the batch (the
+    * same-batch twins no index can see — the fold happens after the
+    * probe), canonicalize delta-delta pairs to (min,max), write the
+    * batch's pair rows idempotently, then fold the batch into the index
+    * and return it. Sink idempotence is [[writeProbeBatch]]'s
+    * directory-per-batch overwrite; the FOLD state is in-memory for this
+    * drain-to-completion harness — a durable deployment re-folds from the
+    * accepted log on restart (or persists via [[graft.dedup.JaccardJoin
+    * .saveIndex]] per fold), which is the documented recovery policy.
+    */
+  private[streaming] def writeIngestBatch(idx: graft.dedup.JaccardJoin.Index,
+                                          batch: org.apache.spark.sql.DataFrame,
+                                          deltaIds: org.apache.spark.sql.DataFrame,
+                                          outDir: String, batchId: Long)
+      : graft.dedup.JaccardJoin.Index = {
+    val cross = graft.dedup.JaccardJoin.pairsAgainst(idx, batch, "doc_id", "text")
+    val intra = graft.dedup.JaccardJoin.pairs(batch, "doc_id", "text",
+      tNum = idx.tNum, tDen = idx.tDen, shingleWidth = idx.shingleWidth)
+    val inDelta = deltaIds.select(col("did"))
+    val canon = cross
+      .join(broadcast(inDelta), cross("id2") === inDelta("did"), "left")
+      .select(
+        when(col("did").isNotNull, least(col("id1"), col("id2")))
+          .otherwise(col("id1")).as("id1"),
+        when(col("did").isNotNull, greatest(col("id1"), col("id2")))
+          .otherwise(col("id2")).as("id2"),
+        col("jaccard"))
+    canon.unionByName(intra.select(col("id1"), col("id2"), col("jaccard")))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    graft.dedup.JaccardJoin.foldIn(idx, batch, "doc_id", "text")
+  }
+
+  /** Q155: the COMPLETE streaming ingest dedup — q121's probe loop with
+    * the fold-in closing the loop, [[graft.operators.NorthStar
+    * .q123IncrementalDedupFull]] as a continuous pipeline: each
+    * micro-batch probes the standing index (catching corpus dups AND
+    * dups against every EARLIER accepted batch), self-joins itself
+    * (same-batch twins), and then folds in, so the next batch can match
+    * it. The union over batches is exactly q123's cross + intra-delta
+    * pair set at ANY trigger slicing — each unordered pair is produced
+    * exactly once (corpus pairs by their batch's probe; cross-batch delta
+    * pairs by the LATER member's probe; same-batch pairs by the
+    * self-join) — so q155 shares q123's DuckDB oracle verbatim. This is
+    * the operational answer to "the standing index is static": per-batch
+    * cost stays ∝ the batch's rare-shingle joins plus one frequency
+    * merge, never a corpus rebuild.
+    */
+  def q155StreamIngestDedup: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables(s, d, "documents")
+    val delta = docs.filter(col("source") === "src7").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("source") =!= "src7")
+    val deltaIds = graft.Checkpoints.materialize(
+      delta.select(col("doc_id").cast("long").as("did")))
+    // NOT the session-cached index: the fold mutates the standing state,
+    // and sharing q121's cache entry would poison its static-index contract
+    var idx = graft.dedup.JaccardJoin.buildIndex(corpus, "doc_id", "text",
+      tNum = 1L, tDen = 2L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q155_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val outDir = s"$tmp/pairs"
+      delta.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+      writeIngestBatch(idx, delta.limit(0), deltaIds, outDir, batchId = -1L)
+      val sdf = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // foreachBatch is sequential by contract, so the fold ordering
+          // (probe batch N against folds of 0..N-1) is well-defined
+          if (!batch.isEmpty)
+            idx = writeIngestBatch(idx, batch.toDF(), deltaIds, outDir, batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // q123's decision record verbatim: intra-delta pairs count for BOTH
+      // members; one broadcast semi-join symmetrizes, then best-match window
+      val p = s.read.parquet(outDir).drop("batch")
+      val reversed = p.join(broadcast(deltaIds), p("id2") === deltaIds("did"), "left_semi")
+        .select(col("id2").as("id1"), col("id1").as("id2"), col("jaccard"))
+      val matches = p.select(col("id1"), col("id2"), col("jaccard")).unionByName(reversed)
+      val w = Window.partitionBy(col("id1")).orderBy(col("jaccard").desc, col("id2"))
+      val res = matches
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_matches", count(lit(1)).over(Window.partitionBy(col("id1"))))
+        .filter(col("rk") === 1)
+        .select(col("id1").as("doc_id"), col("n_matches"),
+          col("id2").as("best_match_id"), col("jaccard").as("best_jaccard"))
+        .orderBy(col("doc_id"))
+      graft.Checkpoints.materialize(res)
+    } finally deleteRecursively(tmp)
+  }
+
   /** Q101: STREAM-STATIC join — the dimension-enrichment shape that was
     * missing between the stream-stream joins (q71/q83) and the windowed
     * aggregates: a static per-user cohort dimension (first-seen day,
@@ -636,7 +731,8 @@ object Windows {
     "q71_stream_join" -> q71StreamJoin,
     "q83_stream_outer_join" -> q83StreamOuterJoin,
     "q121_stream_incremental_dedup" -> q121StreamIncrementalDedup,
-    "q152_stream_decontam" -> q152StreamDecontam)
+    "q152_stream_decontam" -> q152StreamDecontam,
+    "q155_stream_ingest_dedup" -> q155StreamIngestDedup)
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
@@ -659,6 +755,8 @@ object Windows {
       graft.operators.NorthStar.oracles("q116_incremental_dedup"),
     "q152_stream_decontam" ->
       graft.operators.NorthStar.oracles("q119_benchmark_decontamination"),
+    "q155_stream_ingest_dedup" ->
+      graft.operators.NorthStar.oracles("q123_incremental_dedup_full"),
     "q101_stream_static" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value

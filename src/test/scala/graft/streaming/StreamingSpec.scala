@@ -273,6 +273,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q155 streaming ingest dedup equals q123's complete batch answer") {
+    // the fold-in loop closed: probe-then-fold per batch + intra-batch
+    // self-join must union to exactly the batch cross + intra-delta pair
+    // set at this trigger slicing (2 feed files); the sf0.01 oracle hash
+    // additionally pins the delta-delta path on the src7 twin fixture
+    val got = Windows.q155StreamIngestDedup(spark, sf0001).collect().toSeq
+    val want = graft.operators.NorthStar.q123IncrementalDedupFull(spark, sf0001)
+      .collect().toSeq
+    assert(got.nonEmpty, "src7 has no near-dups at sf0.001 — equivalence vacuous")
+    assert(got === want, "drained ingest stream diverged from the complete batch dedup")
+  }
+
   test("q140 drift: L1 in [0,2], window totals conserve, one window checked by hand") {
     val rows = Windows.q140StreamDrift(spark, sf0001).collect()
     assert(rows.nonEmpty)
