@@ -263,11 +263,12 @@ object JaccardJoin {
     *     join + per-doc rank window over the merged (id, sh) relation,
     *     skipping only the corpus re-shingling (the CPU-dominant cost at
     *     scale: tokenize + shingle + hash + distinct of every document).
-    *     A pipeline that wants cheaper fold-ins trades exactness for a
-    *     rebuild cadence: probe against a slightly-stale prefix relation
-    *     and re-rank every N deltas — measured drift, not silent loss,
-    *     because the verify step keeps emitted pairs exact; only candidate
-    *     COMPLETENESS decays as the frozen order diverges.
+    *     A pipeline that wants per-batch cost ∝ the batch takes
+    *     [[foldInFrozen]] instead — still EXACT (the prefix completeness
+    *     theorem holds for ANY total order applied consistently to both
+    *     sides), paying only degraded PRUNING power as the frozen order's
+    *     stale rarities diverge from the true ones; re-rank with this
+    *     method every N deltas as the measured-candidate-volume cadence.
     */
   def foldIn(index: Index, delta: DataFrame,
              idCol: String, textCol: String): Index = {
@@ -283,6 +284,46 @@ object JaccardJoin {
       index.sets.unionByName(setsOf(shD)))
     Index(freqNew, setsNew,
       prefixOf(shNew, freqNew, setsNew, index.tNum, index.tDen), shNew,
+      index.tNum, index.tDen, index.shingleWidth)
+  }
+
+  /** FROZEN-ORDER fold-in — per-batch cost ∝ the batch, the shape a
+    * per-micro-batch ingest loop (q155) needs where [[foldIn]]'s exact
+    * frequency merge + full prefix re-rank is corpus-relation-sized per
+    * call: the delta is shingled and ranked under the STANDING frequency
+    * order (corpus-unseen shingles get df 0 — rarest — exactly
+    * [[pairsAgainst]]'s probe ranking), its prefix/sets rows are appended,
+    * and `freq` / the corpus prefixes are left untouched. Still EXACT:
+    * the PPJoin prefix completeness theorem requires only that both join
+    * sides rank under the SAME total order — (frozen df, shingle-hash) is
+    * one — so the candidate set stays a superset and the verify step
+    * emits the identical pair set (pinned ≡ [[foldIn]] in
+    * JaccardJoinSpec). The trade is PRUNING power, not correctness: as
+    * true frequencies drift from the frozen ones, prefixes stop being
+    * truly rare-first and candidate volume grows. Re-rank by folding the
+    * accumulated `sh` through [[foldIn]] (or rebuilding) every N deltas —
+    * candidate-volume growth is the measured cadence trigger.
+    */
+  def foldInFrozen(index: Index, delta: DataFrame,
+                   idCol: String, textCol: String): Index = {
+    assertDisjoint(delta, idCol, index.sets, "id", "foldInFrozen")
+    val shD = graft.Checkpoints.materialize(
+      shingleRel(delta, idCol, textCol, index.shingleWidth))
+    val setsD = graft.Checkpoints.materialize(setsOf(shD))
+    val ranked = shD.join(index.freq, Seq("sh"), "left_outer")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))))
+      .drop("df")
+      .join(setsD.select(col("id"), col("n")), Seq("id"))
+    val ceilTn = expr(s"(n * ${index.tNum} + ${index.tDen - 1L}) div ${index.tDen}")
+    val prefixD = graft.Checkpoints.materialize(ranked
+      .filter(col("rk") <= col("n") - ceilTn + 1L)
+      .select(col("id"), col("sh"), col("rk"), col("n")))
+    // sh accumulates LAZILY (unioned plans, not re-materialized): it is
+    // only read again by an exact re-rank ([[foldIn]]) at cadence time
+    Index(index.freq, index.sets.unionByName(setsD),
+      index.prefix.unionByName(prefixD), index.sh.union(shD),
       index.tNum, index.tDen, index.shingleWidth)
   }
 

@@ -586,7 +586,7 @@ object Windows {
         col("jaccard"))
     canon.unionByName(intra.select(col("id1"), col("id2"), col("jaccard")))
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    graft.dedup.JaccardJoin.foldIn(idx, batch, "doc_id", "text")
+    graft.dedup.JaccardJoin.foldInFrozen(idx, batch, "doc_id", "text")
   }
 
   /** Q155: the COMPLETE streaming ingest dedup — q121's probe loop with
@@ -600,9 +600,11 @@ object Windows {
     * exactly once (corpus pairs by their batch's probe; cross-batch delta
     * pairs by the LATER member's probe; same-batch pairs by the
     * self-join) — so q155 shares q123's DuckDB oracle verbatim. This is
-    * the operational answer to "the standing index is static": per-batch
-    * cost stays ∝ the batch's rare-shingle joins plus one frequency
-    * merge, never a corpus rebuild.
+    * the operational answer to "the standing index is static": the fold is
+    * [[graft.dedup.JaccardJoin.foldInFrozen]] — the batch ranks under the
+    * FROZEN standing frequency order (still exact; pruning power is the
+    * documented drift trade), so per-batch cost stays ∝ the batch's
+    * shingling + rare-shingle joins, never a corpus-sized re-rank.
     */
   def q155StreamIngestDedup: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -611,9 +613,11 @@ object Windows {
     val corpus = docs.filter(col("source") =!= "src7")
     val deltaIds = graft.Checkpoints.materialize(
       delta.select(col("doc_id").cast("long").as("did")))
-    // NOT the session-cached index: the fold mutates the standing state,
-    // and sharing q121's cache entry would poison its static-index contract
-    var idx = graft.dedup.JaccardJoin.buildIndex(corpus, "doc_id", "text",
+    // session-cached like q121: folds never MUTATE the standing index —
+    // foldInFrozen returns fresh Index values whose relations union the
+    // (untouched) cached frames — so repeated invocations pay the corpus
+    // shingling/ranking once and each run measures the per-batch loop
+    var idx = graft.dedup.JaccardJoin.buildIndexCached(corpus, "doc_id", "text",
       tNum = 1L, tDen = 2L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q155_").toString
     try {

@@ -191,6 +191,37 @@ class JaccardJoinSpec extends SparkSpec {
     assert(viaFold.nonEmpty, "src18 has cross-source near-dups; empty would be vacuous")
   }
 
+  test("foldInFrozen probes the identical pair set as the exact foldIn") {
+    // the frozen order is a DIFFERENT total order than the merged one, so
+    // prefixes (and candidate sets) may differ — but the verified pair set
+    // must be identical: completeness holds for any consistently applied
+    // order, and the verify step is exact either way
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpusA = docs.filter($"source" =!= "src18" && $"source" =!= "src19")
+    val corpusB = docs.filter($"source" === "src19")
+    val delta = docs.filter($"source" === "src18")
+    val standing = JaccardJoin.buildIndex(corpusA, "doc_id", "text", 1L, 2L)
+    val frozen = JaccardJoin.foldInFrozen(standing, corpusB, "doc_id", "text")
+    val exact = JaccardJoin.foldIn(standing, corpusB, "doc_id", "text")
+    // frozen leaves the standing order untouched...
+    def sym(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Long =
+      a.except(b).count() + b.except(a).count()
+    assert(sym(frozen.freq, standing.freq) === 0L, "frozen fold must not touch freq")
+    // ...and still yields the exact probe answer
+    def probe(ix: JaccardJoin.Index): Set[(Long, Long, Long)] =
+      JaccardJoin.pairsAgainst(ix, delta, "doc_id", "text")
+        .select($"id1", $"id2", $"inter").as[(Long, Long, Long)].collect().toSet
+    val viaFrozen = probe(frozen)
+    assert(viaFrozen === probe(exact))
+    assert(viaFrozen.nonEmpty, "src18 has cross-source near-dups; empty would be vacuous")
+    // and chained frozen folds keep the exactness (the q155 batch loop)
+    val b1 = corpusB.filter($"doc_id" % 2 === 0)
+    val b2 = corpusB.filter($"doc_id" % 2 =!= 0)
+    val chained = JaccardJoin.foldInFrozen(
+      JaccardJoin.foldInFrozen(standing, b1, "doc_id", "text"), b2, "doc_id", "text")
+    assert(probe(chained) === viaFrozen)
+  }
+
   test("persisted index: loaded probe equals fresh probe; corpus drift refuses") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val corpus = docs.filter($"source" =!= "src18")
