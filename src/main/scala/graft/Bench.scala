@@ -13,6 +13,26 @@ import org.apache.spark.sql.SparkSession
   * of single-run jitter (recorded at ±20-30% per BENCH.md). A query that
   * fails reports -1.
   *
+  * Self-adjudication: four consecutive rounds of driver sweeps recorded
+  * machine contention as phantom 10-20x regressions (round-7 VERDICT
+  * adjudicated 9 of the 10 worst deltas back to committed levels on an
+  * idle box). The bench therefore measures its own measurement window:
+  * single runs of two cheap sentinels with flat cross-round history (q01
+  * 0.2 s-class scan-agg, q04 broadcast star join — the DebugDeltas
+  * protocol that settled the r4-r7 disputes) are interleaved around every
+  * query's 5-run block, and each sentinel's elevation over its session
+  * floor (the minimum that sentinel has shown this JVM) estimates external
+  * load during that block. A block is DIRTY when a bracketing sentinel is
+  * ≥1.4x its floor or the query's IQR/median exceeds 0.5 (for medians
+  * ≥0.3 s — below that the ratio is JIT noise); dirty blocks re-measure up
+  * to twice, and the first clean block wins. A query with no clean block
+  * in 3 attempts keeps its fastest attempt flagged `contaminated` — the
+  * honest record is "this number is an upper bound taken under load", not
+  * a silent 20x. The JSON line carries per-query `iqr` and `sentinel`
+  * (max bracketing elevation of the kept block), `reruns`/`contaminated`
+  * for the affected queries, and the absolute `sentinel_floor` seconds so
+  * cross-round artifacts can also be compared on sentinel levels.
+  *
   * The line also carries one importer throughput point: the sf lineitem
   * table round-tripped through a headered CSV and imported with the full
   * schema-file path (the reference's actual use case — multi-GB CSV dumps),
@@ -105,24 +125,84 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
     names.foreach(runOnce) // warm-up
-    // (median, iqr) over 5 warm runs
-    val results = names.map { name =>
-      val ts = Seq.fill(5)(runOnce(name))
-      if (ts.exists(_ < 0)) name -> (-1.0, -1.0)
-      else {
-        val s = ts.sorted
-        name -> (s(2), s(3) - s(1))
+
+    // --- sentinel machinery (scaladoc: self-adjudication) -----------------
+    val sentinelNames = Seq("q01_scan_filter", "q04_star_join")
+    val floors = scala.collection.mutable.Map.empty[String, Double]
+    def sentinelRun(s: String): Double = {
+      val t = runOnce(s)
+      // floor = session minimum: contention only ever slows a sentinel, so
+      // the min is the clean level and later clean runs self-correct a
+      // floor primed during an early loaded window
+      if (t >= 0) floors(s) = math.min(floors.getOrElse(s, t), t)
+      t
+    }
+    sentinelNames.foreach(s => (1 to 3).foreach(_ => sentinelRun(s)))
+    val sentIter = Iterator.continually(sentinelNames).flatten
+
+    final case class Row(median: Double, iqr: Double, sentinel: Double,
+                         contaminated: Boolean, reruns: Int)
+
+    // Before a re-measure, wait (bounded) for the contention window to pass:
+    // probe the cheap sentinel every 5 s until it sits near its floor. The
+    // global budget caps total added wall-clock at 300 s per bench run so a
+    // permanently-loaded box degrades to flagged-contaminated rows rather
+    // than a hung sweep.
+    var quietBudgetMs = 300000L
+    def waitForQuiet(): Unit = {
+      var tries = 0
+      while (tries < 12 && quietBudgetMs > 0) {
+        val t = sentinelRun("q01_scan_filter")
+        val ratio = if (t > 0 && floors.get("q01_scan_filter").exists(_ > 0))
+          t / floors("q01_scan_filter") else 1.0
+        if (ratio <= 1.2) return
+        Thread.sleep(5000); quietBudgetMs -= 5000; tries += 1
       }
     }
+
+    def measure(name: String): Row = {
+      var attempts = List.empty[(Double, Double, Double)] // (median, iqr, ratio)
+      var kept = Option.empty[(Double, Double, Double)]
+      var n = 0
+      while (n < 3 && kept.isEmpty) {
+        if (n > 0) waitForQuiet() // a rerun straight into the same load window is wasted
+        val s1 = sentIter.next(); val r1 = sentinelRun(s1)
+        val ts = Seq.fill(5)(runOnce(name))
+        val s2 = sentIter.next(); val r2 = sentinelRun(s2)
+        val ratio = Seq((s1, r1), (s2, r2)).collect {
+          case (s, t) if t > 0 && floors.get(s).exists(_ > 0) => t / floors(s)
+        }.foldLeft(1.0)(math.max)
+        n += 1
+        if (ts.exists(_ < 0)) return Row(-1.0, -1.0, ratio, contaminated = false, n - 1)
+        val sorted = ts.sorted
+        val med = sorted(2); val iqr = sorted(3) - sorted(1)
+        attempts = (med, iqr, ratio) :: attempts
+        val clean = ratio <= 1.4 && (med < 0.3 || iqr / med <= 0.5)
+        if (clean) kept = Some((med, iqr, ratio))
+      }
+      kept match {
+        case Some((m, i, r)) => Row(m, i, r, contaminated = false, reruns = n - 1)
+        case None => // fastest attempt = tightest upper bound taken under load
+          val (m, i, r) = attempts.minBy(_._1)
+          Row(m, i, r, contaminated = true, reruns = n - 1)
+      }
+    }
+
+    val results = names.map(name => name -> measure(name))
     // Locale.ROOT: the f-interpolator honors the default JVM locale, which
     // under e.g. de_DE emits decimal COMMAS and corrupts the JSON contract
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, (m, _)) => "\"" + k + "\":" + fmt(m) }
-      .mkString("{", ",", "}")
-    val iqrs = results.map { case (k, (_, i)) => "\"" + k + "\":" + fmt(i) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, r) => k -> fmt(r.median) })
+    val iqrs = jmap(results.map { case (k, r) => k -> fmt(r.iqr) })
+    val sents = jmap(results.map { case (k, r) => k -> fmt(r.sentinel) })
+    val reruns = jmap(results.collect { case (k, r) if r.reruns > 0 => k -> r.reruns.toString })
+    val contaminated = results.collect { case (k, r) if r.contaminated => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val floorJson = jmap(sentinelNames.map(s => s -> fmt(floors.getOrElse(s, -1.0))))
+    val total = results.map(_._2.median).filter(_ >= 0).sum
     // importer throughput point (skipped during SPARK_GRAFT_ONLY iteration)
     val imp = if (only.isEmpty) importerBench(spark, sfDir) else None
     val impJson = imp.map { case (rows, sec, bytes) =>
@@ -130,7 +210,7 @@ object Bench {
       val rps = if (sec > 0) String.format(java.util.Locale.ROOT, "%.0f", Double.box(rows / sec)) else "-1"
       s""","importer":{"rows":$rows,"sec":$secS,"rows_per_sec":$rps,"csv_bytes":$bytes}"""
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-5-warm","queries":$qs,"iqr":$iqrs$impJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-5-warm-adjudicated","queries":$qs,"iqr":$iqrs,"sentinel":$sents,"sentinel_floor":$floorJson,"reruns":$reruns,"contaminated":$contaminated$impJson,"sf":"$sfDir"}"""
     println(line)
     // stdout passes through sbt's logger ([info] prefixes); also drop the
     // bare line in a file so consumers get clean JSON either way
