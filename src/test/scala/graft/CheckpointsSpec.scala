@@ -63,4 +63,26 @@ class CheckpointsSpec extends SparkSpec {
     assert(out.collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
     assert(anyFiles(new java.io.File(dir)), s"no checkpoint data under $dir")
   }
+
+  test("materializeCached memoizes per semantic plan (the q119 standing-set fix)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two syntactically separate but semantically equal plans → ONE
+    // materialization, returned by reference both times (no per-run copy
+    // accumulating in the block manager — the round-7 q119 variance cause)
+    def plan = Seq(1, 2, 3, 4).toDF("x").filter(col("x") > 1)
+    val a = Checkpoints.materializeCached(plan)
+    val b = Checkpoints.materializeCached(plan)
+    assert(a eq b, "semantically-equal plan did not hit the materialize cache")
+    assert(b.collect().map(_.getInt(0)).sorted.sameElements(Array(2, 3, 4)))
+    // a different plan must NOT collide
+    val c = Checkpoints.materializeCached(Seq(1, 2, 3, 4).toDF("x").filter(col("x") > 2))
+    assert(!(c eq a))
+    assert(c.collect().map(_.getInt(0)).sorted.sameElements(Array(3, 4)))
+    // the escape hatch: clearing the cache forces a rebuild
+    Checkpoints.clearMaterializeCache()
+    val d = Checkpoints.materializeCached(plan)
+    assert(!(d eq a), "clearMaterializeCache did not drop the memoized copy")
+    assert(d.collect().map(_.getInt(0)).sorted.sameElements(Array(2, 3, 4)))
+  }
 }
