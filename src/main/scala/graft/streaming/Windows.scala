@@ -375,6 +375,7 @@ object Windows {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
       .withColumn("provenance", lit("keep"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q98_").toString
+    try {
     val dirs = Array(s"$tmp/state0", s"$tmp/state1")
     base.write.mode("overwrite").parquet(dirs(0))
     val cur = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -403,10 +404,16 @@ object Windows {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(dirs(cur.get()))
-      .select(col("doc_id"), col("provenance"),
-        length(col("text")).cast("long").as("n_chars_new"))
-      .orderBy(col("doc_id"))
+    // materialize the final state so the temp dirs can be deleted before
+    // returning (the q121/q152 fix applied to the remaining leaker —
+    // round-7 VERDICT item 7); the returned DataFrame reads the
+    // checkpointed blocks, not dirs(cur)
+    graft.Checkpoints.materialize(
+      s.read.parquet(dirs(cur.get()))
+        .select(col("doc_id"), col("provenance"),
+          length(col("text")).cast("long").as("n_chars_new"))
+        .orderBy(col("doc_id")))
+    } finally deleteRecursively(tmp)
   }
 
   /** Q121: STREAMING incremental dedup — [[graft.operators.NorthStar
