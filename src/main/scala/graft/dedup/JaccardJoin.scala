@@ -230,7 +230,8 @@ object JaccardJoin {
     */
   final case class Index(freq: DataFrame, sets: DataFrame, prefix: DataFrame,
                          sh: DataFrame,
-                         tNum: Long, tDen: Long, shingleWidth: Int)
+                         tNum: Long, tDen: Long, shingleWidth: Int,
+                         frozenFolds: Int = 0)
 
   /** Build the standing-corpus side once — the continuous-ingest shape:
     * every arriving delta batch probes this index instead of re-shingling
@@ -305,7 +306,8 @@ object JaccardJoin {
     * candidate-volume growth is the measured cadence trigger.
     */
   def foldInFrozen(index: Index, delta: DataFrame,
-                   idCol: String, textCol: String): Index = {
+                   idCol: String, textCol: String,
+                   compactEvery: Int = 32): Index = {
     assertDisjoint(delta, idCol, index.sets, "id", "foldInFrozen")
     val shD = graft.Checkpoints.materialize(
       shingleRel(delta, idCol, textCol, index.shingleWidth))
@@ -320,12 +322,54 @@ object JaccardJoin {
     val prefixD = graft.Checkpoints.materialize(ranked
       .filter(col("rk") <= col("n") - ceilTn + 1L)
       .select(col("id"), col("sh"), col("rk"), col("n")))
-    // sh accumulates LAZILY (unioned plans, not re-materialized): it is
-    // only read again by an exact re-rank ([[foldIn]]) at cadence time
-    Index(index.freq, index.sets.unionByName(setsD),
+    // sets/prefix/sh accumulate LAZILY (unioned plans over materialized
+    // legs): each fold adds ONE leg, so logical-plan depth — and with it
+    // per-batch analyzer time and driver stack — grows with the fold count
+    // until [[compactFrozen]] merges the legs. The auto-trigger below
+    // bounds the leg count at `compactEvery` (round-7 VERDICT item 3: a
+    // 10⁴-micro-batch stream would otherwise pay O(N) analysis per batch
+    // and eventually OOM the driver on plan trees).
+    val folded = Index(index.freq, index.sets.unionByName(setsD),
       index.prefix.unionByName(prefixD), index.sh.union(shD),
-      index.tNum, index.tDen, index.shingleWidth)
+      index.tNum, index.tDen, index.shingleWidth,
+      frozenFolds = index.frozenFolds + 1)
+    if (compactEvery > 0 && folded.frozenFolds >= compactEvery)
+      compactFrozen(folded)
+    else folded
   }
+
+  /** Merge the lazy union legs a chain of [[foldInFrozen]] calls
+    * accumulates into ONE materialized leg per relation, resetting the
+    * fold counter — plan-depth compaction, NOT a re-rank: the frozen
+    * order (and so the prefix relation's CONTENT) is untouched, only its
+    * plan shape changes, so probe equality is trivially preserved (pinned
+    * across 50 chained folds in JaccardJoinSpec). Cost is one pass over
+    * the accumulated relations — corpus-sized, paid every `compactEvery`
+    * folds, so amortized per batch at corpus/compactEvery: the same
+    * cadence arithmetic as a table format's compaction pass, and strictly
+    * cheaper than [[foldIn]]'s exact re-rank at the same cadence (no
+    * frequency merge, no rank window — just the union scans). Pipelines
+    * re-ranking with [[foldIn]] at their candidate-volume cadence get
+    * compaction for free there (foldIn materializes everything fresh);
+    * this is the bound for streams BETWEEN re-ranks.
+    *
+    * Cadence choice (measured, BENCH.md round 8): the compaction pass is
+    * corpus-sized while the per-fold union-analysis overhead it removes
+    * grows only with LEG COUNT, so aggressive cadences overpay — at
+    * sf0.01, cadence 8 over a 50-fold chain costs 18.8 s vs 10.4 s
+    * uncompacted, while cadence 32 over a 300-fold chain costs 57.4 s vs
+    * 67.6 s uncompacted (compaction paying for itself once chains run
+    * deep) with leaf count bounded at cadence+2 vs 301 and climbing. The
+    * default 32 takes the deep-chain win; a pipeline whose corpus is huge
+    * relative to its batch rate should raise it — the bound only needs to
+    * hold BELOW driver plan-depth limits, not minimize leg count.
+    */
+  def compactFrozen(index: Index): Index =
+    Index(index.freq,
+      graft.Checkpoints.materialize(index.sets),
+      graft.Checkpoints.materialize(index.prefix),
+      graft.Checkpoints.materialize(index.sh),
+      index.tNum, index.tDen, index.shingleWidth, frozenFolds = 0)
 
   private final case class IndexKey(session: String, semanticHash: Int,
                                     idCol: String, textCol: String,
