@@ -564,22 +564,29 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
-  /** One ingest micro-batch: probe the CURRENT index (cross pairs vs
-    * corpus + every previously accepted batch), self-join the batch (the
-    * same-batch twins no index can see — the fold happens after the
-    * probe), canonicalize delta-delta pairs to (min,max), write the
-    * batch's pair rows idempotently, then fold the batch into the index
-    * and return it. Sink idempotence is [[writeProbeBatch]]'s
-    * directory-per-batch overwrite; the FOLD state is in-memory for this
-    * drain-to-completion harness — a durable deployment re-folds from the
-    * accepted log on restart (or persists via [[graft.dedup.JaccardJoin
-    * .saveIndex]] per fold), which is the documented recovery policy.
+  /** One ingest micro-batch: log the batch's documents to the ACCEPTED
+    * LOG (`<outDir>.accepted/batch=<id>`, overwrite — the durable record
+    * [[recoverIngestIndex]] re-folds from after a crash), probe the
+    * CURRENT index (cross pairs vs corpus + every previously accepted
+    * batch), self-join the batch (the same-batch twins no index can see —
+    * the fold happens after the probe), canonicalize delta-delta pairs to
+    * (min,max), write the batch's pair rows idempotently, then fold the
+    * batch into the index and return it. Both writes are
+    * directory-per-batch overwrites, so at-least-once redelivery after a
+    * restart rewrites identical content; the write ORDER (accepted log
+    * first) plus recovery's strict `batch < redeliveredId` filter keeps
+    * every crash point consistent — a batch is never probed against an
+    * index that already contains it.
     */
   private[streaming] def writeIngestBatch(idx: graft.dedup.JaccardJoin.Index,
                                           batch: org.apache.spark.sql.DataFrame,
                                           deltaIds: org.apache.spark.sql.DataFrame,
                                           outDir: String, batchId: Long)
       : graft.dedup.JaccardJoin.Index = {
+    // sibling dir, NOT a subdir: outDir's partition discovery must see
+    // only batch=N pair directories
+    batch.select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$outDir.accepted/batch=$batchId")
     val cross = graft.dedup.JaccardJoin.pairsAgainst(idx, batch, "doc_id", "text")
     val intra = graft.dedup.JaccardJoin.pairs(batch, "doc_id", "text",
       tNum = idx.tNum, tDen = idx.tDen, shingleWidth = idx.shingleWidth)
@@ -595,6 +602,37 @@ object Windows {
     canon.unionByName(intra.select(col("id1"), col("id2"), col("jaccard")))
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     graft.dedup.JaccardJoin.foldInFrozen(idx, batch, "doc_id", "text")
+  }
+
+  /** Rebuild the ingest fold state from the accepted log — the restart
+    * path for [[q155StreamIngestDedup]]'s in-memory index (round-7
+    * VERDICT item 4): fold every logged batch with id strictly below
+    * `beforeBatch` back into the standing index. The strict bound makes
+    * at-least-once redelivery safe: foreachBatch redelivers the one batch
+    * whose streaming commit didn't land, and that batch must NOT already
+    * be in the index it probes (its accepted-log and pair writes then
+    * overwrite idempotently).
+    *
+    * ONE frozen fold of the logged batches' union is EXACTLY the
+    * sequential per-batch folds it replays: [[graft.dedup.JaccardJoin
+    * .foldInFrozen]] never touches `freq` — the ranking order — so each
+    * document's prefix depends only on its own shingles and the standing
+    * frequencies, never on which fold carried the document (pinned in
+    * StreamingSpec's redelivery-exclusion test). Recovery cost is one
+    * batch-union shingling — ∝ data accepted since the standing index was
+    * built, not the corpus.
+    */
+  private[streaming] def recoverIngestIndex(standing: graft.dedup.JaccardJoin.Index,
+                                            outDir: String, beforeBatch: Long)
+      : graft.dedup.JaccardJoin.Index = {
+    if (!new java.io.File(s"$outDir.accepted").exists()) return standing
+    val spark = standing.sets.sparkSession
+    val logged = spark.read.parquet(s"$outDir.accepted")
+      .filter(col("batch").cast("long") >= 0L &&
+        col("batch").cast("long") < beforeBatch)
+      .select(col("doc_id"), col("text"))
+    if (logged.isEmpty) standing
+    else graft.dedup.JaccardJoin.foldInFrozen(standing, logged, "doc_id", "text")
   }
 
   /** Q155: the COMPLETE streaming ingest dedup — q121's probe loop with
@@ -613,6 +651,15 @@ object Windows {
     * FROZEN standing frequency order (still exact; pruning power is the
     * documented drift trade), so per-batch cost stays ∝ the batch's
     * shingling + rare-shingle joins, never a corpus-sized re-rank.
+    *
+    * DURABLE: the fold state is recoverable, not just in-memory (round-7
+    * VERDICT item 4 closed). Every batch's documents land in the accepted
+    * log before its pairs are written; the in-memory index lazy-inits
+    * through [[recoverIngestIndex]] on the first delivered batch, so a
+    * restarted incarnation (same streaming checkpoint, empty memory)
+    * re-folds everything the previous one accepted and resumes mid-feed —
+    * kill/restart pinned to q123's oracle in StreamingSpec, redelivery
+    * exclusion pinned separately.
     */
   def q155StreamIngestDedup: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
@@ -625,22 +672,31 @@ object Windows {
     // foldInFrozen returns fresh Index values whose relations union the
     // (untouched) cached frames — so repeated invocations pay the corpus
     // shingling/ranking once and each run measures the per-batch loop
-    var idx = graft.dedup.JaccardJoin.buildIndexCached(corpus, "doc_id", "text",
+    val standing = graft.dedup.JaccardJoin.buildIndexCached(corpus, "doc_id", "text",
       tNum = 1L, tDen = 2L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q155_").toString
     try {
       val feedDir = s"$tmp/feed"
       val outDir = s"$tmp/pairs"
       delta.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
-      writeIngestBatch(idx, delta.limit(0), deltaIds, outDir, batchId = -1L)
+      writeIngestBatch(standing, delta.limit(0), deltaIds, outDir, batchId = -1L)
       val sdf = s.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      // the fold state lazy-inits through the RECOVERY path on the first
+      // delivered batch: a fresh run recovers from an empty accepted log
+      // (a no-op returning the standing index), a restarted run re-folds
+      // every batch the previous incarnation accepted — the in-memory
+      // `var` is now a cache of durable state, not the state itself
+      var idxOpt: Option[graft.dedup.JaccardJoin.Index] = None
       val q = sdf.writeStream.outputMode(OutputMode.Append)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           // foreachBatch is sequential by contract, so the fold ordering
           // (probe batch N against folds of 0..N-1) is well-defined
-          if (!batch.isEmpty)
-            idx = writeIngestBatch(idx, batch.toDF(), deltaIds, outDir, batchId)
+          if (!batch.isEmpty) {
+            if (idxOpt.isEmpty)
+              idxOpt = Some(recoverIngestIndex(standing, outDir, batchId))
+            idxOpt = Some(writeIngestBatch(idxOpt.get, batch.toDF(), deltaIds, outDir, batchId))
+          }
           ()
         }
         .start()

@@ -285,6 +285,127 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "drained ingest stream diverged from the complete batch dedup")
   }
 
+  test("recoverIngestIndex replays the accepted log exactly and excludes a redelivered batch") {
+    // the two recovery invariants (round-7 VERDICT item 4): (a) ONE frozen
+    // fold of the logged batches' union equals the sequential per-batch
+    // folds it replays — frozen folds never touch freq, so a document's
+    // prefix depends only on its own shingles and the standing order, never
+    // on which fold carried it; (b) the strict `batch < redeliveredId`
+    // bound keeps an uncommitted batch OUT of the index it will re-probe.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val delta = docs.filter($"source" === "src7").select($"doc_id", $"text")
+    val corpus = docs.filter($"source" =!= "src7")
+    val deltaIds = delta.select($"doc_id".cast("long").as("did"))
+    val standing = graft.dedup.JaccardJoin.buildIndex(corpus, "doc_id", "text", 1L, 2L)
+    def slice(i: Int) = delta.filter(abs(xxhash64($"doc_id")) % 3 === i)
+    val out = java.nio.file.Files.createTempDirectory("graft_q155_recover_").toString
+    try {
+      var idx = standing
+      (0 to 2).foreach { i =>
+        idx = Windows.writeIngestBatch(idx, slice(i).toDF(), deltaIds, out, batchId = i.toLong)
+      }
+      def sym(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Long =
+        a.except(b).count() + b.except(a).count()
+      // (a) full recovery == the sequential-fold index, relation by relation
+      val recAll = Windows.recoverIngestIndex(standing, out, beforeBatch = 3L)
+      assert(sym(recAll.prefix, idx.prefix) === 0L,
+        "recovered prefix relation diverged from the sequential folds")
+      assert(sym(recAll.sets, idx.sets) === 0L)
+      assert(sym(recAll.freq, standing.freq) === 0L, "recovery must not touch freq")
+      // (b) redelivery of batch 2: recovery stops BEFORE it...
+      val rec2 = Windows.recoverIngestIndex(standing, out, beforeBatch = 2L)
+      val expect2 = graft.dedup.JaccardJoin.foldInFrozen(
+        standing, slice(0).unionByName(slice(1)), "doc_id", "text")
+      assert(sym(rec2.prefix, expect2.prefix) === 0L,
+        "recovery for a redelivered batch must fold strictly earlier batches only")
+      // ...so re-running batch 2 against it rewrites identical pair content
+      val before = spark.read.parquet(s"$out/batch=2").drop("batch")
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSeq.sorted
+      Windows.writeIngestBatch(rec2, slice(2).toDF(), deltaIds, out, batchId = 2L)
+      val after = spark.read.parquet(s"$out/batch=2").drop("batch")
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSeq.sorted
+      assert(after === before, "redelivered batch rewrote different pair content")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("q155 ingest survives a kill/restart: recovered folds, final pairs equal q123's oracle") {
+    // end-to-end: first incarnation killed mid-feed (after >=2 committed
+    // batches), second incarnation starts with EMPTY in-memory state and
+    // must rebuild the fold state from the accepted log via the recovery
+    // path, then drain to exactly q123's complete batch answer.
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_q155_restart_").toString
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      val delta = docs.filter($"source" === "src7").select($"doc_id", $"text")
+      val corpus = docs.filter($"source" =!= "src7")
+      val deltaIds = graft.Checkpoints.materialize(
+        delta.select($"doc_id".cast("long").as("did")))
+      val standing = graft.dedup.JaccardJoin.buildIndex(corpus, "doc_id", "text", 1L, 2L)
+      val feedDir = s"$tmp/feed"
+      val outDir = s"$tmp/pairs"
+      val ckpt = s"$tmp/ckpt"
+      delta.repartition(4, $"doc_id").write.mode("overwrite").parquet(feedDir)
+      Windows.writeIngestBatch(standing, delta.limit(0).toDF(), deltaIds, outDir, batchId = -1L)
+      def start() = {
+        // incarnation-local state: a restart begins with NO in-memory index
+        var idxOpt: Option[graft.dedup.JaccardJoin.Index] = None
+        spark.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedDir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              if (idxOpt.isEmpty)
+                idxOpt = Some(Windows.recoverIngestIndex(standing, outDir, batchId))
+              idxOpt = Some(Windows.writeIngestBatch(idxOpt.get, batch.toDF(), deltaIds, outDir, batchId))
+            }
+            ()
+          }
+          .start()
+      }
+      // incarnation 1: kill once >=2 batches have produced pair output
+      val q1 = start()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!new java.io.File(s"$outDir/batch=0/_SUCCESS").exists() &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      q1.stop() // kill as soon as one batch's side effects are durable
+      assert(new java.io.File(s"$outDir/batch=0/_SUCCESS").exists(),
+        "first incarnation never completed batch 0 — feed/trigger setup broken")
+      assert(!new java.io.File(s"$outDir/batch=3/_SUCCESS").exists(),
+        "first incarnation drained everything — the restart would be vacuous")
+      // incarnation 2: fresh in-memory state, same checkpoint — must recover
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      // q155's decision record over the drained pairs
+      val p = spark.read.parquet(outDir).drop("batch")
+      val reversed = p.join(broadcast(deltaIds), p("id2") === deltaIds("did"), "left_semi")
+        .select($"id2".as("id1"), $"id1".as("id2"), $"jaccard")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"id1").orderBy($"jaccard".desc, $"id2")
+      val got = p.select($"id1", $"id2", $"jaccard").unionByName(reversed)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_matches", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"id1")))
+        .filter($"rk" === 1)
+        .select($"id1".as("doc_id"), $"n_matches",
+          $"id2".as("best_match_id"), $"jaccard".as("best_jaccard"))
+        .orderBy($"doc_id").collect().toSeq
+      val want = graft.operators.NorthStar.q123IncrementalDedupFull(spark, sf0001)
+        .collect().toSeq
+      assert(got.nonEmpty, "src7 has no near-dups at sf0.001 — equivalence vacuous")
+      assert(got === want, "restarted ingest diverged from q123's complete batch answer")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q140 drift: L1 in [0,2], window totals conserve, one window checked by hand") {
     val rows = Windows.q140StreamDrift(spark, sf0001).collect()
     assert(rows.nonEmpty)
