@@ -538,6 +538,75 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q156: span REWRITE — the production step q128's measurement exists to
+    * drive (round-7 VERDICT item 5): cut every token position covered by a
+    * cross-document duplicated 8-gram window out of the text, emitting the
+    * rewritten corpus with per-doc removed-token counts — dedup below the
+    * document level, where boilerplate headers/footers and quoted passages
+    * live. The cut list is exactly q128's merged-interval coverage (union
+    * of dup windows [i, i+winLen)); the rewrite keeps every uncovered
+    * token in order.
+    *
+    * Shape: token positions and dup-window STARTS union into one
+    * per-doc position-ordered relation; coverage is one RANGE window
+    * (`max(marker) over rangeBetween(-(w-1), 0)`) — a token at j is
+    * covered iff some dup window starts in [j-winLen+1, j], and the
+    * constant -(w-1) bound is exact for short docs too (their single
+    * whole-text window starts at 0 and every j ≤ n-1 < w falls in range).
+    * No token×window join, no per-position interval explode: cost is the
+    * token relation's one partitioned window plus the doc-bounded
+    * collect_list rebuild (q132's bounded-session precedent). At 100 TB
+    * every stage is doc-partitioned; the dup-hash relation is the q128
+    * working set already priced.
+    *
+    * The oracle rebuilds the cut text arithmetically in DuckDB (q136's
+    * technique: `string_agg(tok ORDER BY j)` over the anti-joined
+    * position relation), so the hash proves the rewritten CONTENT, not
+    * just the removal counts.
+    */
+  def q156SpanRewrite: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val base = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(MinHashLSH.shingles(col("tk"), w)))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("i"),
+        xxhash64(col("col")).as("h"))
+      .transform(graft.Checkpoints.materializeCached)
+    val dup = base.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dupStarts = base.join(dup, Seq("h"))
+      .select(col("doc_id"), col("i").as("j"),
+        lit(null).cast("string").as("tok"), lit(1L).as("marker"))
+    val pos = Tables(s, d, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        posexplode(toks))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("j"),
+        col("col").as("tok"), lit(null).cast("long").as("marker"))
+    val covWin = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+      .rangeBetween(-(w - 1L), 0L)
+    val kept = pos.select(col("doc_id"), col("j"), col("tok"), col("marker"))
+      .unionByName(dupStarts)
+      .withColumn("covered", max(col("marker")).over(covWin))
+      .filter(col("tok").isNotNull && col("covered").isNull)
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q129: corpus snapshot diff — the dataset-versioning primitive a
     * managed training corpus needs between releases: classify every
     * document as added / removed / changed / unchanged across two snapshot
@@ -1225,6 +1294,7 @@ object NorthStar {
     "q120_padding_waste" -> q120PaddingWaste,
     "q126_ngram_novelty" -> q126NgramNovelty,
     "q128_substring_dup" -> q128SubstringDup,
+    "q156_span_rewrite" -> q156SpanRewrite,
     "q129_corpus_diff" -> q129CorpusDiff,
     "q130_shard_shuffle" -> q130ShardShuffle,
     "q90_merge_upsert" -> q90MergeUpsert,
@@ -1596,6 +1666,38 @@ object NorthStar {
         |  COALESCE(d.covered, 0) AS covered_tokens,
         |  ROUND(CAST(COALESCE(d.covered, 0) AS DOUBLE) / s.n_tokens, 6) AS dup_coverage
         |FROM stats s LEFT JOIN dstats d USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // q128's dup-window detection (n-gram STRINGS stand in for the hashes —
+    // equality of strings == equality of hashes, no collisions at fixture
+    // scale), then the rewrite rebuilt arithmetically: token j survives iff
+    // no dup window starts in [j-L+1, j]; string_agg(... ORDER BY j)
+    // reassembles the kept tokens so the hash pins the rewritten content
+    "q156_span_rewrite" ->
+      """WITH toksrc AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |sized AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM toksrc),
+        |base AS (SELECT doc_id, n_tokens, u.j AS i,
+        |    CASE WHEN n_tokens < 8 THEN array_to_string(tk, ' ')
+        |         ELSE array_to_string(tk[u.j+1:u.j+8], ' ') END AS g
+        |  FROM sized, unnest(range(0, greatest(n_tokens - 7, 1))) AS u(j)),
+        |dup AS (SELECT g FROM base GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT b.doc_id, b.i, LEAST(8, b.n_tokens) AS L
+        |       FROM base b JOIN dup USING (g)),
+        |tok AS (SELECT doc_id, n_tokens, u.j AS j, tk[CAST(u.j AS INT)+1] AS tok
+        |        FROM sized, unnest(range(0, n_tokens)) AS u(j)),
+        |cov AS (SELECT DISTINCT t.doc_id, t.j
+        |        FROM tok t JOIN dw d ON t.doc_id = d.doc_id
+        |          AND t.j BETWEEN d.i AND d.i + d.L - 1),
+        |kept AS (SELECT t.doc_id, t.j, t.tok
+        |         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+        |         WHERE c.j IS NULL),
+        |kagg AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+        |           string_agg(tok, ' ' ORDER BY j) AS text_clean
+        |         FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  s.n_tokens - COALESCE(k.kept_tokens, 0) AS removed_tokens,
+        |  COALESCE(k.text_clean, '') AS text_clean
+        |FROM (SELECT doc_id, n_tokens FROM sized) s
+        |LEFT JOIN kagg k USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     // both engines: md5 emits lowercase hex of the raw string bytes;
     // reverse() reverses the string; v1/v2 membership is pure modular
     // arithmetic on the non-negative doc_id, so the derived snapshots agree

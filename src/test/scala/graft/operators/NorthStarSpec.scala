@@ -427,6 +427,37 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("q156 span rewrite cuts exactly the merged dup intervals from the text") {
+    // q128's crafted fixture, now asserting the REWRITE: the cut list is
+    // the merged coverage, and the surviving tokens keep their order
+    val shared = (4 to 15).map(i => s"a$i").mkString(" ")
+    val rows = Seq(
+      (0L, ((0 to 19).map(i => s"a$i")).mkString(" "), "en", "src0", 0L),
+      (1L, s"b0 b1 b2 $shared b3 b4", "en", "src0", 0L),
+      (2L, (0 to 19).map(i => s"c$i").mkString(" "), "en", "src1", 0L),
+      (3L, "d0 d1 d2 d3 d4", "en", "src1", 0L),
+      (4L, "d0 d1 d2 d3 d4", "en", "src2", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("q156fix").toString
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = NorthStar.q156SpanRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc0: covered [4,16) of 20 → head + tail survive in order
+    assert(out(0L).getLong(1) === 20L)
+    assert(out(0L).getLong(2) === 12L, "doc0 removed tokens")
+    assert(out(0L).getString(3) === "a0 a1 a2 a3 a16 a17 a18 a19")
+    // doc1: covered [3,15) of 17 → the b-frame survives
+    assert(out(1L).getLong(2) === 12L, "doc1 removed tokens")
+    assert(out(1L).getString(3) === "b0 b1 b2 b3 b4")
+    // doc2: untouched
+    assert(out(2L).getLong(2) === 0L)
+    assert(out(2L).getString(3) === (0 to 19).map(i => s"c$i").mkString(" "))
+    // doc3/doc4: whole-doc dup → everything cut, empty rewrite
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id).getLong(2) === 5L && out(id).getString(3) === "")
+    }
+  }
+
   test("q129 snapshot diff statuses follow the modular version definition") {
     val rows = NorthStar.q129CorpusDiff(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(2)))
