@@ -269,9 +269,12 @@ object Ann {
     * NorthStarSpec, along with fold-in order invariance). What a k-means
     * refit would change is centroid PLACEMENT — as folded deltas shift the
     * distribution, frozen centroids drift from it and recall at fixed
-    * nprobe decays; that is the documented rebuild-cadence policy, the
-    * same trade as JaccardJoin.foldIn's prefix re-rank note. Delta ids
-    * must be disjoint from the standing index's (distinct corpora).
+    * nprobe decays; the decay is MEASURED (BENCH.md round-8 drift curve:
+    * robust at nprobe=4 through full decorrelation, a 26% recall gap at
+    * nprobe=1) and the rebuild trigger is [[assignQuality]] +
+    * [[shouldRebuildIvf]] — the same trade as JaccardJoin.foldIn's prefix
+    * re-rank note, now with its cadence instrument. Delta ids must be
+    * disjoint from the standing index's (distinct corpora).
     */
   def foldInIvf(index: (DataFrame, DataFrame), delta: DataFrame,
                 idCol: String, embCol: String,
@@ -284,6 +287,34 @@ object Ann {
       graft.Checkpoints.materialize(assignTo(vecs, centroids, assignReplicas))
     (assigned.unionByName(deltaAssigned), centroids)
   }
+
+  /** Index-health statistic behind the fold-drift REBUILD TRIGGER: the mean
+    * cosine between vectors and their PRIMARY centroid, over `assigned`
+    * (slice it to the rows of interest — the whole index for a baseline,
+    * one fold's ids for a delta check). One bounded broadcast join against
+    * the K-row centroid relation + one aggregate — cheap enough per fold.
+    *
+    * The trigger (measured drift curve in BENCH.md round 8): at build
+    * time record `base = assignQuality(assigned, centroids)`; after each
+    * fold compare the FOLD's own quality — rebuild when
+    * `deltaQuality / base < 0.85` ([[shouldRebuildIvf]]'s default). On the
+    * measured biased-drift fixture the ratio tracks recall tightly:
+    * recall@10 stays ≥ 0.9 of its fold-0 level while the ratio holds
+    * above 0.85 and collapses with it beyond; an unbiased (in-distribution)
+    * delta never trips the trigger.
+    */
+  def assignQuality(assigned: DataFrame, centroids: DataFrame): Double =
+    assigned.filter(col("crank") === 1)
+      .join(broadcast(centroids), Seq("cid"))
+      .agg(avg(VectorFunctions.cosineSim(col("ev"), col("cv"))))
+      .head().getDouble(0)
+
+  /** The fold-drift rebuild decision (see [[assignQuality]]): true when the
+    * folded delta assigns this much worse than the standing baseline.
+    */
+  def shouldRebuildIvf(baselineQuality: Double, deltaQuality: Double,
+                       ratio: Double = 0.85): Boolean =
+    deltaQuality < baselineQuality * ratio
 
   /** IVF probe: search only the `nprobe` clusters nearest to the query
     * vector; exact cosine within them; top-k out (replica hits dedup'd by

@@ -143,6 +143,63 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("IVF fold drift: trigger fires on dispersed drift, quiet in-distribution; mild-drift recall floor") {
+    // round-7 VERDICT item 6, pinned at sf0.001 (full curve in BENCH.md):
+    // assignQuality is the rebuild trigger — it must stay quiet for an
+    // in-distribution delta, stay quiet at mild drift (where recall is
+    // measured fine), and FIRE for a dispersed heavy-drift delta.
+    val emb = Tables_embeddings.select(col("vec_id"), col("embedding"))
+    def drifted(idOff: Long, a: Double) = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(idOff)).as("vec_id"),
+        transform(col("embedding"), (x, i) => lit(1.0 - a) * x + lit(a) *
+          element_at(col("embedding"), ((i + 7) % 64 + 1).cast("int")))
+          .as("embedding"))
+    val standing = Ann.ivfIndex(emb, "vec_id", "embedding",
+      k = 16, refineIters = 1, assignReplicas = 2)
+    val base = Ann.assignQuality(standing._1, standing._2)
+    val mild = drifted(100000L, 0.2)
+    val heavy = drifted(200000L, 0.9)
+    var idx = Ann.foldInIvf(standing, mild, "vec_id", "embedding", assignReplicas = 2)
+    idx = Ann.foldInIvf(idx, heavy, "vec_id", "embedding", assignReplicas = 2)
+    val qMild = Ann.assignQuality(
+      idx._1.filter(col("id") >= 100000L && col("id") < 200000L), idx._2)
+    val qHeavy = Ann.assignQuality(idx._1.filter(col("id") >= 200000L), idx._2)
+    val qCtrl = Ann.assignQuality( // in-distribution: the corpus itself re-checked
+      idx._1.filter(col("id") < 100000L), idx._2)
+    assert(!Ann.shouldRebuildIvf(base, qCtrl), s"in-distribution tripped: $qCtrl vs $base")
+    assert(!Ann.shouldRebuildIvf(base, qMild), s"mild drift tripped early: $qMild vs $base")
+    assert(Ann.shouldRebuildIvf(base, qHeavy),
+      s"dispersed heavy drift must trip the trigger: $qHeavy vs $base")
+    // recall floor at the production probe budget while the trigger is
+    // quiet: the mild fold's own probes against brute-force exact top-10
+    // over corpus + both folds (self included on both sides)
+    val all = graft.Checkpoints.materialize(
+      emb.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("ev"))
+        .unionByName(mild.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("ev")))
+        .unionByName(heavy.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("ev"))))
+    val probes = (0 until 5).map(i => 100000L + i)
+    val pv = all.filter(col("id").isin(probes: _*))
+      .select(col("id").as("qid"), col("ev").as("pv"))
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    val exact = all.crossJoin(broadcast(pv))
+      .select(col("qid"), col("id"),
+        graft.functions.VectorFunctions.cosineSim(col("ev"), col("pv")).as("score"))
+      .withColumn("rk", row_number().over(wK)).filter(col("rk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Ann.ivfProbeAll(idx,
+        spark.createDataFrame(probes.map(Tuple1(_))).toDF("qid"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = probes.map(p => (got.getOrElse(p, Set.empty[Long])
+      intersect exact.getOrElse(p, Set.empty[Long])).size)
+    assert(hits.sum >= 35, s"mild-drift recall ${hits.sum}/50 below floor, per-probe $hits")
+    Ann.clearIndexCache()
+  }
+
   test("q124 batched-probe recall vs q69's exact multi-probe answers") {
     // same probes, same k=10: the IVF answer set per probe must overlap the
     // exact set at the q41-class recall (nprobe=4/k=16/replicas=2 measured
