@@ -607,6 +607,63 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q157: decontamination REWRITE — [[q156SpanRewrite]]'s coverage kernel
+    * pointed at q149's measurement: instead of flagging or dropping a
+    * training document that quotes a benchmark passage, cut exactly the
+    * token positions lying under a benchmark 8-gram (src0's union set) and
+    * keep the rest — the surgical alternative to q119's doc-level drop
+    * that saves the un-contaminated remainder of long documents. Same
+    * range-window coverage (marker rows at benchmark-hit window starts,
+    * `max(marker) over rangeBetween(-(w-1), 0)`), train docs only; the
+    * benchmark side is the q119-family standing set (session-memoized,
+    * broadcast-able at 100 TB). Output: every train doc with its token
+    * count, removed-token count and the rewritten text; the oracle
+    * reassembles the cut text arithmetically (q156's technique), so the
+    * hash pins the rewrite content.
+    */
+  def q157DecontamRewrite: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    // q149's position-indexed kernel VERBATIM — the plans are semantically
+    // equal, so materializeCached serves both queries from ONE standing copy
+    val ng = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(MinHashLSH.shingles(col("tk"), w)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pos").cast("long").as("i"), xxhash64(col("col")).as("h"))
+      .transform(graft.Checkpoints.materializeCached)
+    val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
+    val hitStarts = ng.filter(col("source") =!= "src0")
+      .join(bench, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("i").as("j"),
+        lit(null).cast("string").as("tok"), lit(1L).as("marker"))
+    val train = Tables(s, d, "documents").filter(col("source") =!= "src0")
+    val pos = train
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), col("pos").cast("long").as("j"),
+        col("col").as("tok"), lit(null).cast("long").as("marker"))
+    val covWin = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+      .rangeBetween(-(w - 1L), 0L)
+    val kept = pos.unionByName(hitStarts)
+      .withColumn("covered", max(col("marker")).over(covWin))
+      .filter(col("tok").isNotNull && col("covered").isNull)
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    train.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q129: corpus snapshot diff — the dataset-versioning primitive a
     * managed training corpus needs between releases: classify every
     * document as added / removed / changed / unchanged across two snapshot
@@ -1295,6 +1352,7 @@ object NorthStar {
     "q126_ngram_novelty" -> q126NgramNovelty,
     "q128_substring_dup" -> q128SubstringDup,
     "q156_span_rewrite" -> q156SpanRewrite,
+    "q157_decontam_rewrite" -> q157DecontamRewrite,
     "q129_corpus_diff" -> q129CorpusDiff,
     "q130_shard_shuffle" -> q130ShardShuffle,
     "q90_merge_upsert" -> q90MergeUpsert,
@@ -1697,6 +1755,38 @@ object NorthStar {
         |  s.n_tokens - COALESCE(k.kept_tokens, 0) AS removed_tokens,
         |  COALESCE(k.text_clean, '') AS text_clean
         |FROM (SELECT doc_id, n_tokens FROM sized) s
+        |LEFT JOIN kagg k USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // q156's rebuild arithmetic with q119/q149's benchmark membership rule:
+    // cut positions lie under a window whose 8-gram is in src0's union set;
+    // only train (non-src0) docs are rewritten
+    "q157_decontam_rewrite" ->
+      """WITH toksrc AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |sized AS (SELECT doc_id, source, tk,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens FROM toksrc),
+        |base AS (SELECT doc_id, source, n_tokens, u.j AS i,
+        |    CASE WHEN n_tokens < 8 THEN array_to_string(tk, ' ')
+        |         ELSE array_to_string(tk[u.j+1:u.j+8], ' ') END AS g
+        |  FROM sized, unnest(range(0, greatest(n_tokens - 7, 1))) AS u(j)),
+        |bench AS (SELECT DISTINCT g FROM base WHERE source = 'src0'),
+        |dw AS (SELECT b.doc_id, b.i, LEAST(8, b.n_tokens) AS L
+        |       FROM base b JOIN bench USING (g) WHERE b.source <> 'src0'),
+        |tok2 AS (SELECT s.doc_id, s.n_tokens, u.j AS j, s.tk[CAST(u.j AS INT)+1] AS tok
+        |        FROM sized s, unnest(range(0, s.n_tokens)) AS u(j)
+        |        WHERE s.source <> 'src0'),
+        |cov AS (SELECT DISTINCT t.doc_id, t.j
+        |        FROM tok2 t JOIN dw d ON t.doc_id = d.doc_id
+        |          AND t.j BETWEEN d.i AND d.i + d.L - 1),
+        |kept AS (SELECT t.doc_id, t.j, t.tok
+        |         FROM tok2 t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+        |         WHERE c.j IS NULL),
+        |kagg AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+        |           string_agg(tok, ' ' ORDER BY j) AS text_clean
+        |         FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  s.n_tokens - COALESCE(k.kept_tokens, 0) AS removed_tokens,
+        |  COALESCE(k.text_clean, '') AS text_clean
+        |FROM (SELECT doc_id, n_tokens FROM sized WHERE source <> 'src0') s
         |LEFT JOIN kagg k USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     // both engines: md5 emits lowercase hex of the raw string bytes;
     // reverse() reverses the string; v1/v2 membership is pure modular

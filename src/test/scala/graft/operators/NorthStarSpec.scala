@@ -515,6 +515,32 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("q157 decontam rewrite cuts exactly the benchmark-covered spans from train docs") {
+    // src0 is the benchmark; doc1 quotes its 8-gram verbatim mid-text,
+    // doc2 is clean, doc4 is a short doc identical to a short benchmark
+    // doc (whole-text window). Benchmark docs themselves are not emitted.
+    val rows = Seq(
+      (0L, (0 to 9).map(i => s"e$i").mkString(" "), "en", "src0", 0L),
+      (1L, "t0 t1 " + (0 to 7).map(i => s"e$i").mkString(" ") + " t2 t3", "en", "src1", 0L),
+      (2L, (0 to 11).map(i => s"c$i").mkString(" "), "en", "src1", 0L),
+      (3L, "s0 s1 s2", "en", "src0", 0L),
+      (4L, "s0 s1 s2", "en", "src2", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("q157fix").toString
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = NorthStar.q157DecontamRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 4L), "only train docs are rewritten")
+    // doc1: the quoted passage [2,10) is cut, the frame survives in order
+    assert(out(1L).getLong(1) === 12L && out(1L).getLong(2) === 8L)
+    assert(out(1L).getString(3) === "t0 t1 t2 t3")
+    // doc2: untouched
+    assert(out(2L).getLong(2) === 0L)
+    assert(out(2L).getString(3) === (0 to 11).map(i => s"c$i").mkString(" "))
+    // doc4: whole-doc benchmark hit → everything cut
+    assert(out(4L).getLong(2) === 3L && out(4L).getString(3) === "")
+  }
+
   test("q129 snapshot diff statuses follow the modular version definition") {
     val rows = NorthStar.q129CorpusDiff(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(2)))
