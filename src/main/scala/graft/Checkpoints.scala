@@ -81,8 +81,16 @@ object Checkpoints {
     }
   }
 
-  private val matCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+  // same LRU bound as the Jaccard/IVF index caches: entries are lineage-cut
+  // handles, eviction drops the handle (blocks follow via GC + cleaner),
+  // and a long-lived session touching many distinct standing relations
+  // (or a test run over many fixture dirs) must not grow without bound
+  private val matCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), (DataFrame, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), (DataFrame, DataFrame)]): Boolean =
+        size() > 8
+    })
 
   /** Drop every memoized materialization (use after overwriting an input
     * table mid-session).
