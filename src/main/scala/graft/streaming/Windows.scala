@@ -564,6 +564,90 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** One micro-batch of the streaming decontamination REWRITE: [[graft
+    * .operators.NorthStar.q157DecontamRewrite]]'s coverage + rebuild
+    * kernel applied to the batch's documents against the standing
+    * benchmark hash set, written idempotently per batch. Every window of
+    * a document lives in the document's own batch, so the per-doc rewrite
+    * is complete within the batch and the union over batches equals the
+    * batch answer at any trigger slicing.
+    */
+  private[streaming] def writeDecontamRewriteBatch(bench: org.apache.spark.sql.DataFrame,
+                                                   batch: org.apache.spark.sql.DataFrame,
+                                                   outDir: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val hitStarts = batch
+      .select(col("doc_id"), posexplode(graft.dedup.MinHashLSH.shingles(toks, w)))
+      .select(col("doc_id"), col("pos").cast("long").as("j"), xxhash64(col("col")).as("h"))
+      .join(bench, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("j"),
+        lit(null).cast("string").as("tok"), lit(1L).as("marker"))
+    val pos = batch.select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), col("pos").cast("long").as("j"),
+        col("col").as("tok"), lit(null).cast("long").as("marker"))
+    val covWin = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+      .rangeBetween(-(w - 1L), 0L)
+    val kept = pos.unionByName(hitStarts)
+      .withColumn("covered", max(col("marker")).over(covWin))
+      .filter(col("tok").isNotNull && col("covered").isNull)
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    batch.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Q158: STREAMING decontamination rewrite — the ingest-time form of
+    * [[graft.operators.NorthStar.q157DecontamRewrite]], completing the
+    * measurement → rewrite → streaming chain (q119/q149 measure, q156/
+    * q157 rewrite, q152 streams the measurement, this streams the
+    * rewrite): the benchmark's union 8-gram set is built once
+    * (session-memoized, broadcast-able at 100 TB); training documents
+    * arrive as a file-source stream and every micro-batch emits its docs
+    * REWRITTEN — benchmark-covered spans cut — via [[
+    * writeDecontamRewriteBatch]]'s idempotent per-batch sink. Per-doc
+    * rewrites are complete within a doc's own batch, so the drained
+    * result equals q157's batch answer at ANY trigger slicing and q158
+    * shares q157's DuckDB oracle verbatim (the q121/q152 batch≡stream
+    * contract, applied to the rewrite family).
+    */
+  def q158StreamDecontamRewrite: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val docs = graft.Tables(s, d, "documents")
+    // standing benchmark set — the q152 kernel, shared via the memo cache
+    val bench = graft.Checkpoints.materializeCached(
+      docs.filter(col("source") === "src0")
+        .select(explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
+        .select(xxhash64(col("g")).as("h")).distinct())
+    val train = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q158_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val outDir = s"$tmp/clean"
+      train.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+      writeDecontamRewriteBatch(bench, train.limit(0), outDir, batchId = -1L)
+      val sdf = s.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) writeDecontamRewriteBatch(bench, batch.toDF(), outDir, batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(outDir).drop("batch").orderBy(col("doc_id"))
+      graft.Checkpoints.materialize(res)
+    } finally deleteRecursively(tmp)
+  }
+
   /** One ingest micro-batch: log the batch's documents to the ACCEPTED
     * LOG (`<outDir>.accepted/batch=<id>`, overwrite — the durable record
     * [[recoverIngestIndex]] re-folds from after a crash), probe the
@@ -800,7 +884,8 @@ object Windows {
     "q83_stream_outer_join" -> q83StreamOuterJoin,
     "q121_stream_incremental_dedup" -> q121StreamIncrementalDedup,
     "q152_stream_decontam" -> q152StreamDecontam,
-    "q155_stream_ingest_dedup" -> q155StreamIngestDedup)
+    "q155_stream_ingest_dedup" -> q155StreamIngestDedup,
+    "q158_stream_decontam_rewrite" -> q158StreamDecontamRewrite)
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
@@ -825,6 +910,8 @@ object Windows {
       graft.operators.NorthStar.oracles("q119_benchmark_decontamination"),
     "q155_stream_ingest_dedup" ->
       graft.operators.NorthStar.oracles("q123_incremental_dedup_full"),
+    "q158_stream_decontam_rewrite" ->
+      graft.operators.NorthStar.oracles("q157_decontam_rewrite"),
     "q101_stream_static" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value

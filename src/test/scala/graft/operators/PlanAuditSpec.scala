@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "q55_stream_dedup", "q66_stream_stateful", "q71_stream_join",
     "q83_stream_outer_join", "q98_stream_merge", "q101_stream_static",
     "q121_stream_incremental_dedup", "q140_stream_drift",
-    "q152_stream_decontam", "q155_stream_ingest_dedup")
+    "q152_stream_decontam", "q155_stream_ingest_dedup",
+    "q158_stream_decontam_rewrite")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

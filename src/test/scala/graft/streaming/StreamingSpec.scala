@@ -285,6 +285,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "drained ingest stream diverged from the complete batch dedup")
   }
 
+  test("q158 streaming decontam rewrite equals q157's batch answer; sink idempotent under redelivery") {
+    val got = Windows.q158StreamDecontamRewrite(spark, sf0001).collect().toSeq
+    val want = graft.operators.NorthStar.q157DecontamRewrite(spark, sf0001)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(want.exists(_.getLong(2) > 0L),
+      "fixture has no benchmark-contaminated train docs — equivalence vacuous")
+    assert(got === want, "drained stream rewrite diverged from the batch rewrite")
+    // redelivery: double-applying a batch must rewrite identical content
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val toks = filter(split($"text", " "), t => t =!= "")
+    val bench = docs.filter($"source" === "src0")
+      .select(explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
+      .select(xxhash64($"g").as("h")).distinct()
+    val train = docs.filter($"source" =!= "src0").select($"doc_id", $"text")
+    val out = java.nio.file.Files.createTempDirectory("graft_q158_redeliver_").toString
+    try {
+      def snapshot(): Seq[(Long, Long, Long, String)] =
+        spark.read.parquet(out).drop("batch")
+          .select($"doc_id", $"n_tokens", $"removed_tokens", $"text_clean")
+          .as[(Long, Long, Long, String)].collect().toSeq.sorted
+      Windows.writeDecontamRewriteBatch(bench, train.limit(0), out, batchId = -1L)
+      Windows.writeDecontamRewriteBatch(bench, train, out, batchId = 0L)
+      val once = snapshot()
+      assert(once.nonEmpty)
+      Windows.writeDecontamRewriteBatch(bench, train, out, batchId = 0L) // redelivery
+      assert(snapshot() === once,
+        "double-applied batch must rewrite identical content, not append duplicates")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("recoverIngestIndex replays the accepted log exactly and excludes a redelivered batch") {
     // the two recovery invariants (round-7 VERDICT item 4): (a) ONE frozen
     // fold of the logged batches' union equals the sequential per-batch
