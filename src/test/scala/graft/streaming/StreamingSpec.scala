@@ -362,8 +362,11 @@ class StreamingSpec extends SparkSpec {
       assert(after === before, "redelivered batch rewrote different pair content")
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
-        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // the accepted log lands in the SIBLING <out>.accepted dir — delete both
+      Seq(out, s"$out.accepted").map(java.nio.file.Paths.get(_))
+        .filter(java.nio.file.Files.exists(_))
+        .foreach(root => java.nio.file.Files.walk(root).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p)))
     }
   }
 
