@@ -607,6 +607,64 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q159: INCREMENTAL span rewrite — the q116/q123 incremental axis
+    * applied to the span-rewrite family: only the arriving delta (src7,
+    * "today's crawl") is rewritten, cutting every token position under an
+    * 8-gram window that also occurs in ANY other document — the standing
+    * corpus or a same-day sibling — the ingest-time boilerplate strip a
+    * crawl pipeline runs before the accepted docs are published. The dup
+    * criterion is exactly [[q156SpanRewrite]]'s (a window in ≥2 distinct
+    * docs), and the position-indexed window relation is q156's VERBATIM —
+    * `materializeCached` serves both queries (and repeated delta runs)
+    * from one standing copy, so the daily cost is the delta's coverage
+    * window + rebuild, not a corpus re-shingle: the q125 steady-state
+    * story at the span level. Output shape is q156's, restricted to the
+    * delta.
+    */
+  def q159IncrementalSpanRewrite: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    // q156's base plan VERBATIM (shared memoized standing relation)
+    val base = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(MinHashLSH.shingles(col("tk"), w)))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("i"),
+        xxhash64(col("col")).as("h"))
+      .transform(graft.Checkpoints.materializeCached)
+    val dup = base.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val delta = Tables(s, d, "documents").filter(col("source") === "src7")
+    val deltaIds = delta.select(col("doc_id"))
+    val dupStarts = base.join(dup, Seq("h"))
+      .join(broadcast(deltaIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("i").as("j"),
+        lit(null).cast("string").as("tok"), lit(1L).as("marker"))
+    val pos = delta
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), col("pos").cast("long").as("j"),
+        col("col").as("tok"), lit(null).cast("long").as("marker"))
+    val covWin = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+      .rangeBetween(-(w - 1L), 0L)
+    val kept = pos.unionByName(dupStarts)
+      .withColumn("covered", max(col("marker")).over(covWin))
+      .filter(col("tok").isNotNull && col("covered").isNull)
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    delta.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q157: decontamination REWRITE — [[q156SpanRewrite]]'s coverage kernel
     * pointed at q149's measurement: instead of flagging or dropping a
     * training document that quotes a benchmark passage, cut exactly the
@@ -1353,6 +1411,7 @@ object NorthStar {
     "q128_substring_dup" -> q128SubstringDup,
     "q156_span_rewrite" -> q156SpanRewrite,
     "q157_decontam_rewrite" -> q157DecontamRewrite,
+    "q159_incremental_span_rewrite" -> q159IncrementalSpanRewrite,
     "q129_corpus_diff" -> q129CorpusDiff,
     "q130_shard_shuffle" -> q130ShardShuffle,
     "q90_merge_upsert" -> q90MergeUpsert,
@@ -1755,6 +1814,37 @@ object NorthStar {
         |  s.n_tokens - COALESCE(k.kept_tokens, 0) AS removed_tokens,
         |  COALESCE(k.text_clean, '') AS text_clean
         |FROM (SELECT doc_id, n_tokens FROM sized) s
+        |LEFT JOIN kagg k USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    // q156's dup rule and rebuild arithmetic, output restricted to the
+    // src7 delta (dup detection still spans ALL documents)
+    "q159_incremental_span_rewrite" ->
+      """WITH toksrc AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |sized AS (SELECT doc_id, source, tk,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens FROM toksrc),
+        |base AS (SELECT doc_id, source, n_tokens, u.j AS i,
+        |    CASE WHEN n_tokens < 8 THEN array_to_string(tk, ' ')
+        |         ELSE array_to_string(tk[u.j+1:u.j+8], ' ') END AS g
+        |  FROM sized, unnest(range(0, greatest(n_tokens - 7, 1))) AS u(j)),
+        |dup AS (SELECT g FROM base GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT b.doc_id, b.i, LEAST(8, b.n_tokens) AS L
+        |       FROM base b JOIN dup USING (g) WHERE b.source = 'src7'),
+        |tok2 AS (SELECT s.doc_id, s.n_tokens, u.j AS j, s.tk[CAST(u.j AS INT)+1] AS tok
+        |        FROM sized s, unnest(range(0, s.n_tokens)) AS u(j)
+        |        WHERE s.source = 'src7'),
+        |cov AS (SELECT DISTINCT t.doc_id, t.j
+        |        FROM tok2 t JOIN dw d ON t.doc_id = d.doc_id
+        |          AND t.j BETWEEN d.i AND d.i + d.L - 1),
+        |kept AS (SELECT t.doc_id, t.j, t.tok
+        |         FROM tok2 t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+        |         WHERE c.j IS NULL),
+        |kagg AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+        |           string_agg(tok, ' ' ORDER BY j) AS text_clean
+        |         FROM kept GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  s.n_tokens - COALESCE(k.kept_tokens, 0) AS removed_tokens,
+        |  COALESCE(k.text_clean, '') AS text_clean
+        |FROM (SELECT doc_id, n_tokens FROM sized WHERE source = 'src7') s
         |LEFT JOIN kagg k USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     // q156's rebuild arithmetic with q119/q149's benchmark membership rule:
     // cut positions lie under a window whose 8-gram is in src0's union set;

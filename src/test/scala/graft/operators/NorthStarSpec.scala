@@ -541,6 +541,34 @@ class NorthStarSpec extends SparkSpec {
     assert(out(4L).getLong(2) === 3L && out(4L).getString(3) === "")
   }
 
+  test("q159 incremental span rewrite cuts delta docs only, against corpus AND same-day siblings") {
+    // doc2 quotes a corpus paragraph (cut against the standing corpus);
+    // doc3/doc4 share an 8-gram that exists NOWHERE in the corpus (the
+    // intra-delta path); doc5 is clean; corpus docs are not emitted
+    val rows = Seq(
+      (0L, (0 to 19).map(i => s"a$i").mkString(" "), "en", "src1", 0L),
+      (1L, (0 to 19).map(i => s"c$i").mkString(" "), "en", "src1", 0L),
+      (2L, "x0 x1 " + (4 to 15).map(i => s"a$i").mkString(" ") + " x2", "en", "src7", 0L),
+      (3L, (0 to 7).map(i => s"p$i").mkString(" ") + " z0", "en", "src7", 0L),
+      (4L, "y0 " + (0 to 7).map(i => s"p$i").mkString(" "), "en", "src7", 0L),
+      (5L, (0 to 9).map(i => s"w$i").mkString(" "), "en", "src7", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("q159fix").toString
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = NorthStar.q159IncrementalSpanRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(2L, 3L, 4L, 5L), "only delta docs are rewritten")
+    // doc2: quoted corpus run a4..a15 → dup windows start 2..6, covered [2,14)
+    assert(out(2L).getLong(1) === 15L && out(2L).getLong(2) === 12L)
+    assert(out(2L).getString(3) === "x0 x1 x2")
+    // doc3/doc4: the shared intra-delta 8-gram is cut from BOTH members
+    assert(out(3L).getLong(2) === 8L && out(3L).getString(3) === "z0")
+    assert(out(4L).getLong(2) === 8L && out(4L).getString(3) === "y0")
+    // doc5: untouched
+    assert(out(5L).getLong(2) === 0L)
+    assert(out(5L).getString(3) === (0 to 9).map(i => s"w$i").mkString(" "))
+  }
+
   test("q129 snapshot diff statuses follow the modular version definition") {
     val rows = NorthStar.q129CorpusDiff(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(2)))
