@@ -110,6 +110,86 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q160 (north-star): PII redaction — the corpus-hygiene rewrite a training
+    * pipeline runs before anything else. The synthetic corpus carries no real
+    * contact strings, so a contact surface is synthesized deterministically
+    * from doc fields first (the q26/q27 input-synthesis technique), then
+    * scrubbed: emails, IPv4s, and phone-shaped tokens replaced by typed
+    * placeholders via codegen'd `regexp_replace`, with per-category match
+    * counts taken from `regexp_extract_all` BEFORE rewriting. All three
+    * patterns are RE2-safe (no backtracking, no lookaround) so Java and
+    * DuckDB agree, and none can match inside another's replacement. Narrow
+    * projection, zero shuffle — at 100 TB this is a pure map over the scan.
+    */
+  def q160PiiRedaction: Q = (s, d) => {
+    val emailRe = "[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+    def m(k: Int, mod: Int, add: Int) =
+      (pmod(col("doc_id") * k, lit(mod)) + add).cast("string")
+    val email = concat(col("source"), lit("."), col("doc_id").cast("string"),
+      lit("@mail.example.org"))
+    val ip = concat(m(1, 223, 10), lit("."), m(7, 256, 0), lit("."),
+      m(13, 256, 0), lit("."), m(17, 254, 1))
+    val phone = concat(lit("+1-"), m(1, 900, 100), lit("-"), m(3, 900, 100),
+      lit("-"), m(11, 9000, 1000))
+    Tables(s, d, "documents")
+      .withColumn("body", concat(substring(col("text"), 1, 60), lit(" "),
+        email, lit(" "), ip, lit(" "), phone, lit(" "),
+        substring(col("text"), 61, 60)))
+      .select(col("doc_id"),
+        big(size(regexp_extract_all(col("body"), lit(emailRe), lit(0)))).as("n_emails"),
+        big(size(regexp_extract_all(col("body"), lit(ipRe), lit(0)))).as("n_ips"),
+        big(size(regexp_extract_all(col("body"), lit(phoneRe), lit(0)))).as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("body"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>").as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Q161 (north-star): Gopher-style repetition filters — the multi-n
+    * complement to q77's unigram ratios. Per doc: duplicate-bigram and
+    * duplicate-trigram fractions, the top bigram's share, and the longest
+    * consecutive-token repeat run. EVERYTHING is per-row array arithmetic:
+    * n-grams via `slice`+`zip_with`, distinct counts via `array_distinct`,
+    * and both the max n-gram multiplicity and the max repeat run via a
+    * single `aggregate` longest-run fold (over the sorted array for
+    * multiplicity, the raw array for runs) — zero shuffles, zero windows;
+    * at 100 TB the whole filter battery rides the document scan.
+    */
+  def q161GopherRepetition: Q = (s, d) => {
+    // longest run of equal adjacent elements in `arr` (0 for empty)
+    def maxRun(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = aggregate(
+      arr,
+      struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, t) => {
+        val cur = when(t === acc.getField("prev"), acc.getField("cur") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+    def grams(n: Int): org.apache.spark.sql.Column = {
+      val len = greatest(lit(0), size(col("tk")) - (n - 1))
+      val parts = (0 until n).map(i => slice(col("tk"), lit(i + 1), len))
+      parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    }
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("bi", grams(2)).withColumn("tri", grams(3))
+    docs.select(
+      col("doc_id"),
+      big(size(col("tk"))).as("n_tokens"),
+      big(size(col("bi"))).as("n_bigrams"),
+      round(lit(1.0) - size(array_distinct(col("bi"))).cast("double")
+        / size(col("bi")), 6).as("dup_bi_frac"),
+      round(maxRun(array_sort(col("bi"))).cast("double")
+        / size(col("bi")), 6).as("top_bi_share"),
+      round(lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+        / size(col("tri")), 6).as("dup_tri_frac"),
+      big(maxRun(col("tk"))).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q36 (north-star): document fingerprinting — md5 content hash (identical
     * across engines) for exact-dup detection at scale; engine-only rolling
     * hashes live in [[graft.dedup]].
@@ -846,9 +926,62 @@ object Text {
     "q29_token_topk" -> q29TokenTopK,
     "q34_text_quality" -> q34TextQuality,
     "q36_fingerprint" -> q36Fingerprint,
-    "q38_ngram_jaccard" -> q38NgramJaccard)
+    "q38_ngram_jaccard" -> q38NgramJaccard,
+    "q160_pii_redaction" -> q160PiiRedaction,
+    "q161_gopher_repetition" -> q161GopherRepetition)
 
   val oracles: Map[String, String] = Map(
+    "q160_pii_redaction" ->
+      """WITH b AS (SELECT doc_id,
+        |  substr(text, 1, 60) || ' '
+        |    || source || '.' || CAST(doc_id AS VARCHAR) || '@mail.example.org' || ' '
+        |    || CAST(doc_id % 223 + 10 AS VARCHAR) || '.'
+        |    || CAST(doc_id * 7 % 256 AS VARCHAR) || '.'
+        |    || CAST(doc_id * 13 % 256 AS VARCHAR) || '.'
+        |    || CAST(doc_id * 17 % 254 + 1 AS VARCHAR) || ' '
+        |    || '+1-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        |    || CAST(doc_id * 3 % 900 + 100 AS VARCHAR) || '-'
+        |    || CAST(doc_id * 11 % 9000 + 1000 AS VARCHAR) || ' '
+        |    || substr(text, 61, 60) AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body, '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(body, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(body, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(body,
+        |    '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS clean
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q161_gopher_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |bi AS (SELECT doc_id, tk[u.i] || ' ' || tk[u.i+1] AS g, u.i AS i
+        |       FROM toks, unnest(range(1, len(tk))) AS u(i)),
+        |tri AS (SELECT doc_id, tk[u.i] || ' ' || tk[u.i+1] || ' ' || tk[u.i+2] AS g
+        |        FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)),
+        |bis AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bi,
+        |          COUNT(*) AS d_bi, MAX(c) AS top_bi
+        |        FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+        |        GROUP BY doc_id),
+        |tris AS (SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS d_tri
+        |         FROM tri GROUP BY doc_id),
+        |runs AS (SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run
+        |         FROM (SELECT doc_id, COUNT(*) AS rl
+        |               FROM (SELECT doc_id, t, i,
+        |                       i - ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY i) AS grp
+        |                     FROM (SELECT doc_id, tk[u.i] AS t, u.i AS i
+        |                           FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)))
+        |               GROUP BY doc_id, t, grp)
+        |         GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, n_bi AS n_bigrams,
+        |  ROUND(1.0 - CAST(d_bi AS DOUBLE) / n_bi, 6) AS dup_bi_frac,
+        |  ROUND(CAST(top_bi AS DOUBLE) / n_bi, 6) AS top_bi_share,
+        |  ROUND(1.0 - CAST(d_tri AS DOUBLE) / n_tri, 6) AS dup_tri_frac,
+        |  max_run
+        |FROM toks t JOIN bis USING (doc_id) JOIN tris USING (doc_id)
+        |  JOIN runs USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q148_bigram_lm" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),

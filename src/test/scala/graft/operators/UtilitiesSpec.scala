@@ -619,4 +619,52 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.exists(r => r._3 == 10000L && r._4 == r._2),
       "no minority language kept everything")
   }
+
+  test("q160 PII redaction: nothing PII-shaped survives, every category hit once") {
+    val emailRe = "[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+    val phoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}".r
+    val rows = Text.q160PiiRedaction(spark, sf0001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (nE, nI, nP, clean) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      // we synthesized exactly one contact of each category per doc
+      assert(nE === 1L && nI === 1L && nP === 1L, s"counts off: $r")
+      assert(emailRe.findFirstIn(clean).isEmpty, s"email survived: $clean")
+      assert(ipRe.findFirstIn(clean).isEmpty, s"ip survived: $clean")
+      assert(phoneRe.findFirstIn(clean).isEmpty, s"phone survived: $clean")
+      assert(clean.contains("<EMAIL>") && clean.contains("<IP>") && clean.contains("<PHONE>"))
+    }
+  }
+
+  test("q161 gopher repetition: array-fold metrics equal a brute-force token replay") {
+    val rows = Text.q161GopherRepetition(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.size === docs.length)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty).toSeq
+      val bi = tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tri = tk.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      def runs(xs: Seq[String]) =
+        if (xs.isEmpty) 0L
+        else xs.foldLeft(("", 0L, 0L)) { case ((p, c, b), t) =>
+          val c2 = if (t == p) c + 1 else 1L; (t, c2, math.max(b, c2))
+        }._3
+      val r = rows(id)
+      assert(r.getLong(1) === tk.size.toLong)
+      assert(r.getLong(2) === bi.size.toLong)
+      assert(r.getDouble(3) === round6(1.0 - bi.distinct.size.toDouble / bi.size))
+      assert(r.getDouble(4) === round6(
+        bi.groupBy(identity).values.map(_.size).max.toDouble / bi.size))
+      assert(r.getDouble(5) === round6(1.0 - tri.distinct.size.toDouble / tri.size))
+      assert(r.getLong(6) === runs(tk))
+    }
+    // the corpus must exercise the filters: some doc repeats an n-gram
+    assert(rows.values.exists(_.getDouble(3) > 0), "no duplicate bigram anywhere")
+    assert(rows.values.exists(_.getLong(6) >= 2), "no consecutive repeat anywhere")
+  }
 }
