@@ -789,6 +789,38 @@ object NorthStar {
       .orderBy(col("epoch"), col("shard"), col("pos"))
   }
 
+  /** Q163 (north-star): curriculum ordering — the deterministic easy→hard
+    * schedule a training run consumes. Difficulty is an exact integer metric
+    * (per-mille average token length), banded by FIXED portable thresholds —
+    * a pure map with no distribution pass (quantile banding would add an
+    * approx-quantile scan; fixed cut points are what production curricula
+    * pin anyway, so reruns are stable under corpus growth). Within a band,
+    * docs land in a MINSTD-shuffled shard and take their position from a
+    * window partitioned by (band, shard) — q130's bounded-manifest shape,
+    * never one global sequence. Shard count scales with corpus size
+    * (n / target shard rows); 8 here.
+    */
+  def q163Curriculum: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = 2147483647L
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"),
+        expr("CAST(length(replace(text, ' ', '')) * 1000 AS BIGINT) DIV " +
+          "size(filter(split(text, ' '), t -> t != ''))").as("diff"))
+    val h1 = pmod(pmod(col("doc_id"), lit(p)) * 48271L, lit(p))
+    val h2 = pmod((h1 + 1L) * 16807L, lit(p))
+    docs
+      .withColumn("band", when(col("diff") < 4350, 0L).when(col("diff") < 4500, 1L)
+        .when(col("diff") < 4650, 2L).otherwise(3L))
+      .withColumn("shard", pmod(h2, lit(8L)))
+      .withColumn("oh", pmod((h2 + col("band") + 1L) * 48271L, lit(p)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("band"), col("shard"))
+          .orderBy(col("oh"), col("doc_id"))).cast("long"))
+      .select(col("band"), col("shard"), col("pos"), col("doc_id"), col("diff"))
+      .orderBy(col("band"), col("shard"), col("pos"))
+  }
+
   /** Q107: dedup with KEEP-BEST survivor policy — q56's resolution with the
     * survivor rule production pipelines actually use: within each near-dup
     * component keep the highest-quality copy (longest text, id tiebreak),
@@ -1389,6 +1421,7 @@ object NorthStar {
   }
 
   val queries: Map[String, Q] = Map(
+    "q163_curriculum" -> q163Curriculum,
     "q154_lang_rebalance" -> q154LangRebalance,
     "q150_eval_quota" -> q150EvalQuota,
     "q149_contamination_coverage" -> q149ContaminationCoverage,
@@ -1437,6 +1470,21 @@ object NorthStar {
     * q41 stay engine-only: approximate by design).
     */
   val oracles: Map[String, String] = Map(
+    "q163_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+        |    (length(replace(text, ' ', '')) * 1000)
+        |      // len(list_filter(string_split(text, ' '), x -> x <> '')) AS diff
+        |  FROM documents),
+        |b AS (SELECT doc_id, diff,
+        |    CASE WHEN diff < 4350 THEN 0 WHEN diff < 4500 THEN 1
+        |         WHEN diff < 4650 THEN 2 ELSE 3 END AS band,
+        |    ((doc_id % 2147483647) * 48271 % 2147483647 + 1) * 16807 % 2147483647 AS h2
+        |  FROM t)
+        |SELECT CAST(band AS BIGINT) AS band, CAST(h2 % 8 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY band, h2 % 8
+        |    ORDER BY (h2 + band + 1) * 48271 % 2147483647, doc_id) AS BIGINT) AS pos,
+        |  doc_id, CAST(diff AS BIGINT) AS diff
+        |FROM b ORDER BY band, shard, pos""".stripMargin,
     "q154_lang_rebalance" ->
       """WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before
         |                FROM documents GROUP BY 1),

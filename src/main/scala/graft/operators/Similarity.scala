@@ -399,7 +399,43 @@ object Similarity {
       .orderBy(col("pid"), col("rank"))
   }
 
+  /** Q162 (north-star): cluster-scoped semantic dedup (the SemDeDup shape) —
+    * given a cluster-assignment column (`label` here; at scale the k-means
+    * assignment q41/q153's IVF path already computes), candidate pairs are
+    * generated ONLY within clusters (O(Σ cᵢ²), never corpus²), scored with
+    * the exact cosine kernel, and resolved by the deterministic dominated
+    * rule: a vector is dropped iff a LOWER-id clustermate sits at or above
+    * the threshold; its minimum such witness is reported. Output is the full
+    * per-vector verdict so downstream filters join on it. The synthetic
+    * labels are not embedding-space clusters (within-label cos ≤ 0.47), so
+    * τ=0.3 is tuned to exercise the drop path on this corpus — τ is the
+    * operator's parameter, not part of its semantics. Shuffle shape at
+    * 100 TB: one hash partition by cluster id; per-cluster self-join cost is
+    * bounded by the cluster-size cap the assignment step enforces (q139's
+    * cap operator is the guard).
+    */
+  def q162SemanticDedup: Q = (s, d) => {
+    val tau = 0.3
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+    val a = emb.select(col("label"), col("vec_id").as("id1"),
+      col("ev").as("e1"), col("nrm").as("n1"))
+    val b = emb.select(col("label"), col("vec_id").as("id2"),
+      col("ev").as("e2"), col("nrm").as("n2"))
+    val witness = a.join(b, Seq("label")).where(col("id1") < col("id2"))
+      .where(round(VectorFunctions.dotProduct(col("e1"), col("e2"))
+        / (col("n1") * col("n2")), 6) >= tau)
+      .groupBy(col("id2")).agg(min(col("id1")).as("witness"))
+    emb.join(witness, emb("vec_id") === witness("id2"), "left")
+      .select(col("vec_id"), big(col("label")).as("label"),
+        col("witness").isNull.as("kept"), col("witness"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q162_semantic_dedup" -> q162SemanticDedup,
     "q151_matryoshka_topk" -> q151MatryoshkaTopK,
     "q92_label_centroid" -> q92LabelCentroid,
     "q127_embed_outliers" -> q127EmbedOutliers,
@@ -413,6 +449,18 @@ object Similarity {
     "q131_hard_negatives" -> q131HardNegatives)
 
   val oracles: Map[String, String] = Map(
+    "q162_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |p AS (SELECT b.vec_id AS id2, MIN(a.vec_id) AS witness
+        |      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE ROUND(list_dot_product(a.ev, b.ev)
+        |            / (sqrt(list_dot_product(a.ev, a.ev))
+        |               * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.3
+        |      GROUP BY b.vec_id)
+        |SELECT e.vec_id, CAST(label AS BIGINT) AS label,
+        |  p.witness IS NULL AS kept, p.witness
+        |FROM e LEFT JOIN p ON e.vec_id = p.id2
+        |ORDER BY e.vec_id""".stripMargin,
     "q151_matryoshka_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
         |p AS (SELECT vec_id AS pid, ev AS pv FROM e WHERE vec_id < 5),

@@ -667,4 +667,57 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.values.exists(_.getDouble(3) > 0), "no duplicate bigram anywhere")
     assert(rows.values.exists(_.getLong(6) >= 2), "no consecutive repeat anywhere")
   }
+
+  test("q162 semantic dedup: verdicts equal a brute-force dominated-rule replay") {
+    val emb = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = emb.map { case (id, lab, v) =>
+      val ws = emb.filter(o => o._2 == lab && o._1 < id && cos(o._3, v) >= 0.3).map(_._1)
+      (id, lab.toLong, ws.isEmpty, if (ws.isEmpty) null else Long.box(ws.min))
+    }
+    val got = Similarity.q162SemanticDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else Long.box(r.getLong(3))))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.exists(!_._3), "dedup gate never fired — vacuous threshold")
+  }
+
+  test("q163 curriculum: deterministic permutation, dense per-manifest positions") {
+    val rows = NorthStar.q163Curriculum(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._4).sorted.toSeq === docs.map(_._1).sorted.toSeq) // permutation
+    val p = 2147483647L
+    def replay(id: Long, text: String) = {
+      val nt = text.split(" ").count(_.nonEmpty)
+      val diff = text.replace(" ", "").length.toLong * 1000L / nt
+      val band = if (diff < 4350) 0L else if (diff < 4500) 1L else if (diff < 4650) 2L else 3L
+      val h2 = ((id % p) * 48271L % p + 1L) * 16807L % p
+      (band, h2 % 8L, (h2 + band + 1L) * 48271L % p, diff)
+    }
+    val exp = docs.map { case (id, t) => id -> replay(id, t) }.toMap
+    rows.foreach { case (band, shard, _, id, diff) =>
+      val (eb, es, _, ed) = exp(id)
+      assert(band === eb && shard === es && diff === ed, s"doc $id mis-assigned")
+    }
+    // per-(band,shard) positions are 1..n in the MINSTD-shuffle order
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((b, sh), rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq, s"holes in ($b,$sh)")
+      val ordered = rs.sortBy(_._3).map(_._4)
+      val want = rs.map(_._4).sortBy(id => (exp(id)._3, id))
+      assert(ordered.toSeq === want.toSeq, s"shuffle order wrong in ($b,$sh)")
+    }
+    assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
+  }
 }
