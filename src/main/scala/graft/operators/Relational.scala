@@ -45,6 +45,56 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Q164: co-located fact-fact join over BUCKETED tables — the layout
+    * investment that removes the shuffle q04 pays on lineitem⋈orders. Both
+    * sides are written `bucketBy(8, key).sortBy(key)` as managed tables
+    * (one shuffle each, paid ONCE at ingest), then the join reads
+    * pre-partitioned buckets: sort-merge with NO exchange on either side —
+    * at 100 TB the join cost is a co-partitioned streamed merge, and every
+    * later join on the same key rides the same layout for free. (The
+    * per-side Sort nodes survive — Spark ≥3.0 only propagates bucket sort
+    * order under a legacy flag — but over one pre-sorted file per bucket
+    * they are near-no-op local sorts; the ELIMINATED shuffle is the cost
+    * that matters.) BucketingSpec pins the exchange-free plan; the oracle
+    * pins that the layout changes nothing semantically. Tables live in the
+    * session warehouse under fixed names and are overwritten per run
+    * (idempotent re-ingest, the q90 upsert discipline).
+    */
+  def q164BucketedJoin: Q = (s, d) => {
+    // the default catalog is in-memory: a PREVIOUS JVM's table dirs survive
+    // in the warehouse while its catalog entries don't, so clear both
+    Seq("graft_li_bucketed", "graft_o_bucketed").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = java.nio.file.Paths.get(wh).resolve(t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    // repartition by the bucket key first: one file per bucket, so the scan
+    // is both co-partitioned AND per-bucket sorted (no small files, and the
+    // join needs neither exchange nor sort)
+    Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(8, col("l_orderkey"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_bucketed")
+    Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(8, col("o_orderkey"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_o_bucketed")
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sumExactDouble(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Q04: 5-way star join. All three dimension chains broadcast; the only
     * shuffle is lineitem⋈orders (AQE may broadcast orders at small SF).
     */
@@ -330,6 +380,7 @@ object Relational {
     "q02_string_pred" -> q02StringPred,
     "q03_join_agg" -> q03JoinAgg,
     "q04_star_join" -> q04StarJoin,
+    "q164_bucketed_join" -> q164BucketedJoin,
     "q05_left_join" -> q05LeftJoin,
     "q64_full_outer" -> q64FullOuter,
     "q06_semi_join" -> q06SemiJoin,
@@ -370,6 +421,12 @@ object Relational {
       """SELECT p_partkey, p_name, p_type FROM part
         |WHERE p_name LIKE '%red%' AND upper(p_type) LIKE 'S%'
         |ORDER BY p_partkey""".stripMargin,
+    "q164_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q03_join_agg" ->
       """SELECT c_mktsegment, COUNT(*) AS order_cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
