@@ -66,10 +66,70 @@ object Graph {
       .limit(25)
   }
 
+  /** Q165: triangle counting over the co-purchase graph — the clustering
+    * primitive (community strength, recommendation quality) done the way it
+    * survives scale: DEGREE-ORIENTED. Every undirected edge is directed from
+    * its lower-(degree, id) endpoint to the higher, a total order so the
+    * orientation is acyclic and each triangle closes exactly once; the
+    * 2-path join then fans out from LOW-degree sources only, bounding
+    * intermediate paths by Σ outdeg² with outdeg = O(√m) instead of the
+    * unbounded Σ deg² a naive id-orientation pays on skewed graphs (the
+    * hub node never fans out — it only terminates paths). Three shuffles:
+    * degree agg, 2-path join on the middle node, closing join on the
+    * (src, dst) pair. Output: top-20 parts by triangle participation.
+    */
+  def q165Triangles: Q = (s, d) => {
+    val par = s.sparkContext.defaultParallelism
+    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(par, col("l_orderkey"))
+    val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
+      .distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    // orient each edge from the endpoint with smaller (degree, id) to the
+    // larger; the edge relation is reused 3 times -> materialize once
+    val o = graft.Checkpoints.materialize(
+      e.join(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du"), Seq("u"))
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("dg", "dv"), Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+            .otherwise(col("v")).as("s"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+            .otherwise(col("u")).as("t")))
+    val paths = o.select(col("s").as("a"), col("t").as("b"))
+      .join(o.select(col("s").as("b"), col("t").as("c")), Seq("b"))
+    val tri = paths.join(o.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("part"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q81_copurchase_rank" -> q81CopurchaseRank)
+    "q81_copurchase_rank" -> q81CopurchaseRank,
+    "q165_triangles" -> q165Triangles)
 
   val oracles: Map[String, String] = Map(
+    "q165_triangles" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT x, COUNT(*) AS dg
+        |        FROM (SELECT u AS x FROM pe UNION ALL SELECT v FROM pe)
+        |        GROUP BY x),
+        |o AS (SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS s,
+        |             CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS t
+        |      FROM pe JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v),
+        |tri AS (SELECT p1.s AS a, p1.t AS b, p2.t AS c
+        |        FROM o p1 JOIN o p2 ON p1.t = p2.s
+        |        JOIN o p3 ON p3.s = p1.s AND p3.t = p2.t)
+        |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([a, b, c]) AS part FROM tri)
+        |GROUP BY part ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
     "q81_copurchase_rank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -668,6 +668,27 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.values.exists(_.getLong(6) >= 2), "no consecutive repeat anywhere")
   }
 
+  test("q165 triangles: oriented count equals a brute-force adjacency replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) if c > b && adj(b).contains(c)) {
+      triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+    }
+    val want = triPerNode.toSeq.sortBy { case (id, n) => (-n, id) }.take(20)
+    val got = Graph.q165Triangles(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    assert(want.head._2 > 0, "corpus has no triangles — vacuous")
+  }
+
   test("q162 semantic dedup: verdicts equal a brute-force dominated-rule replay") {
     val emb = Tables(spark, sf0001, "embeddings")
       .select($"vec_id", $"label", $"embedding").collect()
