@@ -190,6 +190,65 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The BPE merge fixpoint on a word-frequency dictionary: at each step,
+    * count adjacent symbol pairs weighted by word frequency, take the
+    * (freq desc, lhs asc, rhs asc)-best pair, splice it left-to-right into
+    * every word. Pure function of the dict — independently unit-testable
+    * against hand-computed merges.
+    */
+  def bpeMergeLoop(dict0: Array[(Array[String], Long)], steps: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var dict = dict0
+    val out = collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to steps) {
+      val pc = collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      dict.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) { pc((syms(i), syms(i + 1))) += n; i += 1 }
+      }
+      if (pc.nonEmpty) {
+        val ((l, rr), f) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r.toLong, l, rr, l + rr, f))
+        dict = dict.map { case (syms, n) =>
+          val buf = collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+              buf += l + rr; i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.toArray, n)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Q166 (north-star, engine-only): BPE merge training — the first 10 merge
+    * rules learned from the corpus, the step that sits between raw text and
+    * every token count downstream. The DISTRIBUTED stage is the corpus-wide
+    * word-frequency aggregate (one shuffle, map-side combined — at 100 TB
+    * this is the only corpus-proportional cost); the merge fixpoint then
+    * runs on the top-V word dictionary (TakeOrdered, V=1000 — bounded by
+    * construction like q69's probe set), which is how production BPE
+    * trainers work: pair statistics over a word-freq dict, never a corpus
+    * rescan per merge. Engine-only: a 10-step fixpoint has no single-SQL
+    * twin; the spec pins hand-computed merges on a crafted corpus and
+    * invariants on the real one. Ties broken (freq desc, lhs, rhs); dict
+    * cut by (freq desc, word).
+    */
+  def q166BpeMerges: Q = (s, d) => {
+    import s.implicits._
+    val words = Tables(s, d, "documents")
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(1000)
+      .as[(String, Long)].collect() // bounded: <= V rows by construction
+    val dict = words.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    bpeMergeLoop(dict, 10).toDF("rank", "lhs", "rhs", "merged", "pair_freq")
+  }
+
   /** Q36 (north-star): document fingerprinting — md5 content hash (identical
     * across engines) for exact-dup detection at scale; engine-only rolling
     * hashes live in [[graft.dedup]].
@@ -928,7 +987,8 @@ object Text {
     "q36_fingerprint" -> q36Fingerprint,
     "q38_ngram_jaccard" -> q38NgramJaccard,
     "q160_pii_redaction" -> q160PiiRedaction,
-    "q161_gopher_repetition" -> q161GopherRepetition)
+    "q161_gopher_repetition" -> q161GopherRepetition,
+    "q166_bpe_merges" -> q166BpeMerges)
 
   val oracles: Map[String, String] = Map(
     "q160_pii_redaction" ->

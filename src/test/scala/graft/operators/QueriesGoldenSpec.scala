@@ -41,7 +41,10 @@ class QueriesGoldenSpec extends SparkSpec {
       "q35_approx_distinct", "q37_minhash_pairs", "q39_simhash_pairs",
       "q40_ann_lsh", "q41_ann_ivf", "q108_equidepth_scale",
       "q113_embed_dedup_blocked", "q114_cosine_topk_blocked",
-      "q124_ann_ivf_batch", "q153_ann_ivf_foldin")
+      "q124_ann_ivf_batch", "q153_ann_ivf_foldin",
+      // q166: a 10-step BPE merge fixpoint has no single-SQL twin; pinned
+      // by hand-computed merges on a crafted corpus (UtilitiesSpec)
+      "q166_bpe_merges")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

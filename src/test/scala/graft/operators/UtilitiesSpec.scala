@@ -668,6 +668,44 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.values.exists(_.getLong(6) >= 2), "no consecutive repeat anywhere")
   }
 
+  test("q166 BPE merges: hand-computed merges on the classic crafted corpus") {
+    // the standard BPE teaching corpus: hug x10, pug x5, pun x12, bun x4, hugs x5
+    val dir = Files.createTempDirectory("q166fix").toString
+    try {
+      val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun")
+        ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")).mkString(" ")
+      Seq((0L, text)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Text.q166BpeMerges(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      // initial pairs: (u,g)=20, (p,u)=17, (u,n)=16, (h,u)=15, (g,s)=5,
+      // (b,u)=4 -> merge "ug"; then (p,u) falls to 12 (pug is now [p,ug]),
+      // so (u,n)=16 leads; then (h,ug)=15
+      assert(got.take(3).toSeq === Seq(
+        (1L, "u", "g", "ug", 20L),
+        (2L, "u", "n", "un", 16L),
+        (3L, "h", "ug", "hug", 15L)))
+      // full fixpoint invariants
+      assert(got.map(_._1).toSeq === (1L to got.length).toSeq)
+      got.foreach { case (_, l, r, m, f) => assert(m === l + r && f > 0) }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("q166 BPE merges on the corpus: valid fixpoint, merges actually compose") {
+    val got = Text.q166BpeMerges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.length === 10)
+    assert(got.map(_._1).toSeq === (1L to 10L).toSeq)
+    got.foreach { case (_, l, r, m, f) => assert(m === l + r && f > 0) }
+    // a later merge must build on an earlier one (multi-char side), or the
+    // corpus would be trivially 1-char — the word-soup corpus composes
+    assert(got.exists(g => g._2.length > 1 || g._3.length > 1))
+  }
+
   test("q165 triangles: oriented count equals a brute-force adjacency replay") {
     val li = Tables(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").collect()
