@@ -249,6 +249,82 @@ object Text {
     bpeMergeLoop(dict, 10).toDF("rank", "lhs", "rhs", "merged", "pair_freq")
   }
 
+  /** Q167 (north-star): winnowing fingerprints (the MOSS scheme) — the
+    * position-robust dup/plagiarism signature q43's whole-doc rolling hash
+    * can't give: from every window of `w`=4 consecutive 5-gram hashes,
+    * select the minimum (rightmost on ties, the winnowing guarantee that
+    * any shared run of ≥ w+k-1 tokens shares a fingerprint), dedup
+    * repeated selections. The (hash, rightmost-pos) argmin rides ONE
+    * portable integer encoding — `h·2²⁰ + (2²⁰−1−pos)` — so a plain
+    * window MIN computes it in both engines with no struct/min_by
+    * portability risk. Per-doc windows only (bounded), gram hashes are the
+    * md5-prefix technique q43 pinned; at 100 TB the whole selection is one
+    * doc-partitioned window over the scan, and the emitted fingerprint
+    * relation is the ~2/(w+1)-density index a cross-doc match joins on.
+    */
+  def q167Winnowing: Q = (s, d) => {
+    val w = 4
+    val prime = lit(1000000007L)
+    val len5 = greatest(lit(0), size(col("tk")) - 4)
+    val gramArr = (0 until 5).map(i => slice(col("tk"), lit(i + 1), len5))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    val g = Tables(s, d, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("ntk"),
+        posexplode(gramArr).as(Seq("pos0", "gram")))
+    val h = pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
+      .cast("long"), prime)
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    g.select(col("doc_id"), col("ntk"), (col("pos0") + 1L).as("pos"),
+        (h * 1048576L + (lit(1048575L) - (col("pos0") + 1L))).as("key"))
+      .withColumn("wmin", min(col("key")).over(win))
+      // only full windows select: starts 1 .. n_grams - (w-1), n_grams = ntk-4
+      .where(col("pos") <= col("ntk") - 4L - (w - 1))
+      .select(col("doc_id"),
+        (lit(1048575L) - pmod(col("wmin"), lit(1048576L))).as("sel_pos"),
+        expr("wmin DIV 1048576").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("sel_pos"))
+  }
+
+  /** Q168 (north-star): corpus distribution drift — triangular
+    * discrimination Δ(P,Q) = Σ (p−q)²/(p+q) of the per-language token
+    * distribution between two dataset snapshots (id-parity split here, the
+    * deterministic stand-in for two version manifests; q129 is the
+    * identity-level diff, this is the distribution-level one a mixture
+    * dashboard tracks). Δ is the transcendental-FREE f-divergence (bounded
+    * by 2, same drift-detection role as Jensen–Shannon): log-based JS would
+    * hinge on cross-engine `log2` BIT-parity, which only holds behind
+    * coarse rounding — Δ's +,−,×,÷ are IEEE-identical everywhere. Per-token
+    * contributions need only the token's two counts and the broadcast
+    * per-language totals, so the measure is one (lang, token) count
+    * aggregate + one tiny join — shuffle ∝ distinct vocabulary, never
+    * corpus size. D5 float-sum determinism: each contribution is rounded to
+    * 12 dp and summed as DECIMAL(28,12) — exact, associative,
+    * order-independent; Δ ≤ 2 keeps the scaled integer < 2⁵³ so the final
+    * decimal→double cast is exact in both engines.
+    */
+  def q168DistributionDrift: Q = (s, d) => {
+    val tc = Tables(s, d, "documents")
+      .select(col("lang"), pmod(col("doc_id"), lit(2L)).as("v"), explode(toks).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = tc.groupBy(col("lang")).agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    val p = col("ca").cast("double") / col("ta")
+    val q = col("cb").cast("double") / col("tb")
+    val term = (p - q) * (p - q) / (p + q) // ca+cb >= 1 by construction
+    tc.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("ta"), col("tb"),
+        round(term, 12).cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("t12"))
+      .groupBy(col("lang"), col("ta"), col("tb"))
+      .agg(round(sum(col("t12")).cast("double"), 6).as("delta_div"))
+      .select(col("lang"), big(col("ta")).as("tok_a"), big(col("tb")).as("tok_b"),
+        col("delta_div"))
+      .orderBy(col("lang"))
+  }
+
   /** Q36 (north-star): document fingerprinting — md5 content hash (identical
     * across engines) for exact-dup detection at scale; engine-only rolling
     * hashes live in [[graft.dedup]].
@@ -988,9 +1064,49 @@ object Text {
     "q38_ngram_jaccard" -> q38NgramJaccard,
     "q160_pii_redaction" -> q160PiiRedaction,
     "q161_gopher_repetition" -> q161GopherRepetition,
-    "q166_bpe_merges" -> q166BpeMerges)
+    "q166_bpe_merges" -> q166BpeMerges,
+    "q167_winnowing" -> q167Winnowing,
+    "q168_distribution_drift" -> q168DistributionDrift)
 
   val oracles: Map[String, String] = Map(
+    "q168_distribution_drift" ->
+      """WITH tok AS (SELECT lang, doc_id % 2 AS v, u.t AS token
+        |             FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |             WHERE u.t <> ''),
+        |tc AS (SELECT lang, token,
+        |         SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS ca,
+        |         SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS cb
+        |       FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(ca) AS ta, SUM(cb) AS tb FROM tc GROUP BY 1),
+        |terms AS (SELECT t.lang, ta, tb,
+        |    CAST(ROUND(
+        |      (CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+        |        * (CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+        |        / (CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb),
+        |      12) AS DECIMAL(28,12)) AS t12
+        |  FROM tc t JOIN tot USING (lang))
+        |SELECT lang, CAST(ta AS BIGINT) AS tok_a, CAST(tb AS BIGINT) AS tok_b,
+        |  ROUND(CAST(SUM(t12) AS DOUBLE), 6) AS delta_div
+        |FROM terms GROUP BY lang, ta, tb ORDER BY lang""".stripMargin,
+    "q167_winnowing" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |g AS (SELECT doc_id, len(tk) - 4 AS ng, u.i AS pos,
+        |        array_to_string(tk[u.i:u.i+4], ' ') AS gram
+        |      FROM toks, unnest(range(1, len(tk) - 3)) AS u(i)
+        |      WHERE len(tk) >= 5),
+        |k AS (SELECT doc_id, ng, pos,
+        |        (CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1000000007)
+        |          * 1048576 + (1048575 - pos) AS key
+        |      FROM g),
+        |wm AS (SELECT doc_id, ng, pos,
+        |        MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |       FROM k)
+        |SELECT DISTINCT doc_id, 1048575 - (wmin % 1048576) AS sel_pos,
+        |  wmin // 1048576 AS fp
+        |FROM wm WHERE pos <= ng - 3
+        |ORDER BY doc_id, sel_pos""".stripMargin,
     "q160_pii_redaction" ->
       """WITH b AS (SELECT doc_id,
         |  substr(text, 1, 60) || ' '

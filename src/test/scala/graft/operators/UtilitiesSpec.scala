@@ -706,6 +706,64 @@ class UtilitiesSpec extends SparkSpec {
     assert(got.exists(g => g._2.length > 1 || g._3.length > 1))
   }
 
+  test("q167 winnowing: selections equal a brute-force window-argmin replay") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val grams = tk.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toArray
+      val keys = grams.zipWithIndex.map { case (g, i) =>
+        (java.lang.Long.parseLong(md5hex(g).take(8), 16) % 1000000007L) * 1048576L +
+          (1048575L - (i + 1L))
+      }
+      (0 to grams.length - 4).map { j =>
+        val wmin = keys.slice(j, j + 4).min
+        (id, 1048575L - (wmin % 1048576L), wmin / 1048576L)
+      }.distinct
+    }.distinct.sortBy(t => (t._1, t._2)).toSeq
+    val got = Text.q167Winnowing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // density sanity: winnowing selects ~2/(w+1) of windows, never all
+    val perDoc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    docs.foreach { case (id, text) =>
+      val ng = text.split(" ").count(_.nonEmpty) - 4
+      if (ng >= 4) assert(perDoc(id) < ng, s"doc $id selected every gram")
+    }
+  }
+
+  test("q168 distribution drift: delta equals a brute-force replay, bounded by 2") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byLang = docs.groupBy(_._2)
+    def round12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val got = Text.q168DistributionDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === byLang.keys.toSeq.sorted)
+    got.foreach { case (lang, ta, tb, dd) =>
+      val toks = byLang(lang).flatMap { case (id, _, text) =>
+        text.split(" ").filter(_.nonEmpty).map(t => (t, id % 2))
+      }
+      val ca = toks.filter(_._2 == 0).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val cb = toks.filter(_._2 == 1).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val (sa, sb) = (ca.values.sum, cb.values.sum)
+      assert(ta === sa && tb === sb)
+      val sum = (ca.keySet ++ cb.keySet).toSeq.map { t =>
+        val p = ca.getOrElse(t, 0L).toDouble / sa
+        val q = cb.getOrElse(t, 0L).toDouble / sb
+        round12((p - q) * (p - q) / (p + q))
+      }.sum
+      val want = sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(dd === want, s"$lang: $dd != $want")
+      assert(dd >= 0.0 && dd <= 2.0)
+    }
+    assert(got.exists(_._4 > 0), "no drift measured anywhere — vacuous split")
+  }
+
   test("q165 triangles: oriented count equals a brute-force adjacency replay") {
     val li = Tables(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").collect()
