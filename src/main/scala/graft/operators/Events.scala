@@ -312,7 +312,32 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Q170: SCD Type-2 history construction — the warehouse primitive that
+    * turns a change stream into validity intervals: per user, consecutive
+    * runs of the same event_type collapse to one [valid_from, valid_to)
+    * row with a version number; the current row's valid_to is NULL. Change
+    * detection (lag) and interval stitching (lead) ride the same
+    * user-partitioned window — bounded by per-user activity, ONE shuffle
+    * on user_id, no self-join (the naive formulation joins each row to its
+    * successor — a second shuffle and a skew hazard on hot users).
+    * Deterministic under timestamp ties via the event_id tiebreak.
+    */
+  def q170Scd2: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts2"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts2"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts2"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        tsStr(col("ts2")).as("valid_from"),
+        tsStr(col("valid_to_ts")).as("valid_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_scd2" -> q170Scd2,
     "q85_map_funcs" -> q85MapFuncs,
     "q76_funnel" -> q76Funnel,
     "q08_range_join" -> q08RangeJoin,
@@ -330,6 +355,21 @@ object Events {
     "q75_retention" -> q75Retention)
 
   val oracles: Map[String, String] = Map(
+    "q170_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             date_trunc('second', ts) AS ts2 FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts2, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_id, event_type, ts2 FROM c
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts2, event_id)
+        |    AS BIGINT) AS version,
+        |  event_type,
+        |  CAST(ts2 AS VARCHAR) AS valid_from,
+        |  CAST(lead(ts2) OVER (PARTITION BY user_id ORDER BY ts2, event_id)
+        |    AS VARCHAR) AS valid_to
+        |FROM ch ORDER BY user_id, version""".stripMargin,
     "q85_map_funcs" ->
       """WITH h AS (
         |  SELECT event_type, CAST(hour(date_trunc('second', ts)) AS BIGINT) AS hr, COUNT(*) AS c

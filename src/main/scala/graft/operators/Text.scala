@@ -262,7 +262,13 @@ object Text {
     * doc-partitioned window over the scan, and the emitted fingerprint
     * relation is the ~2/(w+1)-density index a cross-doc match joins on.
     */
-  def q167Winnowing: Q = (s, d) => {
+  def q167Winnowing: Q = (s, d) =>
+    winnowedSelections(s, d).orderBy(col("doc_id"), col("sel_pos"))
+
+  /** The winnowed (doc_id, sel_pos, fp) selection relation — q167's body,
+    * shared with q169's cross-doc matcher.
+    */
+  def winnowedSelections(s: SparkSession, d: String): DataFrame = {
     val w = 4
     val prime = lit(1000000007L)
     val len5 = greatest(lit(0), size(col("tk")) - 4)
@@ -285,7 +291,37 @@ object Text {
         (lit(1048575L) - pmod(col("wmin"), lit(1048576L))).as("sel_pos"),
         expr("wmin DIV 1048576").as("fp"))
       .distinct()
-      .orderBy(col("doc_id"), col("sel_pos"))
+  }
+
+  /** Q169 (north-star): cross-doc near-dup matching over q167's winnowed
+    * fingerprints — the index-side half of the MOSS scheme. Per-doc distinct
+    * fingerprints self-join on fp, doc pairs sharing ≥ 5 survive, scored by
+    * overlap coefficient (shared / smaller retained set). The join is
+    * guarded the way a 100 TB index must be: fingerprints appearing in > 64
+    * documents are DROPPED FIRST (non-discriminative boilerplate shingles
+    * are exactly what makes an inverted-index self-join quadratic — the
+    * df-cap is the winnowing twin of the q56 family's prefix filter), so
+    * per-fp fan-out is bounded and the shuffle stays edge-proportional.
+    */
+  def q169WinnowMatch: Q = (s, d) => {
+    val sel = winnowedSelections(s, d).select(col("doc_id"), col("fp")).distinct()
+    val rare = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 64).select(col("fp"))
+    val kept = sel.join(rare, Seq("fp"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 5)
+      .join(sizes.select(col("doc_id").as("id1"), col("nfp").as("na")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("nfp").as("nb")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("shared"),
+        big(col("na")).as("na"), big(col("nb")).as("nb"),
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
+          .as("overlap"))
+      .orderBy(col("shared").desc, col("id1"), col("id2"))
   }
 
   /** Q168 (north-star): corpus distribution drift — triangular
@@ -1066,9 +1102,42 @@ object Text {
     "q161_gopher_repetition" -> q161GopherRepetition,
     "q166_bpe_merges" -> q166BpeMerges,
     "q167_winnowing" -> q167Winnowing,
-    "q168_distribution_drift" -> q168DistributionDrift)
+    "q168_distribution_drift" -> q168DistributionDrift,
+    "q169_winnow_match" -> q169WinnowMatch)
 
   val oracles: Map[String, String] = Map(
+    "q169_winnow_match" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |g AS (SELECT doc_id, len(tk) - 4 AS ng, u.i AS pos,
+        |        array_to_string(tk[u.i:u.i+4], ' ') AS gram
+        |      FROM toks, unnest(range(1, len(tk) - 3)) AS u(i)
+        |      WHERE len(tk) >= 5),
+        |k AS (SELECT doc_id, ng, pos,
+        |        (CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1000000007)
+        |          * 1048576 + (1048575 - pos) AS key
+        |      FROM g),
+        |wm AS (SELECT doc_id, ng, pos,
+        |        MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |       FROM k),
+        |sel AS (SELECT DISTINCT doc_id, wmin // 1048576 AS fp
+        |        FROM wm WHERE pos <= ng - 3),
+        |rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM sel GROUP BY 1)
+        |         WHERE df <= 64),
+        |kept AS (SELECT doc_id, fp FROM sel JOIN rare USING (fp)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM kept GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+        |          FROM kept a JOIN kept b
+        |            ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
+        |  CAST(sa.nfp AS BIGINT) AS na, CAST(sb.nfp AS BIGINT) AS nb,
+        |  ROUND(CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) AS overlap
+        |FROM pairs JOIN sizes sa ON sa.doc_id = id1
+        |  JOIN sizes sb ON sb.doc_id = id2
+        |WHERE shared >= 5
+        |ORDER BY shared DESC, id1, id2""".stripMargin,
     "q168_distribution_drift" ->
       """WITH tok AS (SELECT lang, doc_id % 2 AS v, u.t AS token
         |             FROM documents, unnest(string_split(text, ' ')) AS u(t)

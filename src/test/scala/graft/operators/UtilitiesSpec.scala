@@ -734,6 +734,54 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q169 winnow match: pairs replay from q167's fingerprint relation") {
+    val sel = Text.q167Winnowing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct
+    val df = sel.groupBy(_._2).view.mapValues(_.length).toMap
+    val kept = sel.filter(t => df(t._2) <= 64)
+    val sizes = kept.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byFp = kept.groupBy(_._2)
+    val shared = collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    byFp.values.foreach { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) shared((ids(i), ids(j))) += 1
+    }
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = shared.toSeq.filter(_._2 >= 5).map { case ((a, b), sh) =>
+      (a, b, sh, sizes(a), sizes(b), round6(sh.toDouble / math.min(sizes(a), sizes(b))))
+    }.sortBy(t => (-t._3, t._1, t._2))
+    val got = Text.q169WinnowMatch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "no near-dup pair shares >= 5 fingerprints — vacuous")
+    got.foreach { case (_, _, sh, na, nb, ov) =>
+      assert(sh <= math.min(na, nb) && ov > 0 && ov <= 1.0)
+    }
+  }
+
+  test("q170 SCD2: intervals chain, runs collapse, versions dense per user") {
+    val rows = Events.q170Scd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, h) =>
+      val hist = h.sortBy(_._2)
+      assert(hist.map(_._2).toSeq === (1L to hist.length).toSeq, s"user $u versions not dense")
+      hist.sliding(2).foreach {
+        case Array((_, _, t1, _, to1), (_, _, t2, from2, _)) =>
+          assert(t1 !== t2, s"user $u: consecutive identical types not collapsed")
+          assert(to1 === from2, s"user $u: interval chain broken ($to1 != $from2)")
+        case _ => ()
+      }
+      assert(hist.last._5 == null, s"user $u: current row must be open-ended")
+      hist.init.foreach(r => assert(r._5 != null, s"user $u: closed row missing valid_to"))
+    }
+    // the stream must actually change types somewhere
+    assert(rows.groupBy(_._1).values.exists(_.length > 1), "no user ever changed type")
+  }
+
   test("q168 distribution drift: delta equals a brute-force replay, bounded by 2") {
     val docs = Tables(spark, sf0001, "documents")
       .select($"doc_id", $"lang", $"text").collect()
