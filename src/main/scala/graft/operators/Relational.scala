@@ -95,6 +95,28 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q171: salted skew JOIN — q61's two-phase salting applied to the join
+    * side of the problem: the events fact table concentrates on few hot
+    * user_ids (~67 events/user at sf0.01, arbitrarily hot in production),
+    * so the equi-join to customer runs through [[Skew.saltedJoin]]: probe
+    * rows deterministically salted on event_id, the small build side
+    * replicated 8×, join on (key, salt) — a hot key spreads over 8 reducers
+    * instead of serializing on one. The oracle is the PLAIN join + aggregate
+    * (salting must change nothing semantically); the broadcast threshold is
+    * untouched, so at test SF Spark may still broadcast — the salted SHAPE
+    * is what the query declares and the spec pins the row-spread property.
+    */
+  def q171SaltedJoin: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val cust = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, col("user_id"), col("event_id"), cust, col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Q04: 5-way star join. All three dimension chains broadcast; the only
     * shuffle is lineitem⋈orders (AQE may broadcast orders at small SF).
     */
@@ -381,6 +403,7 @@ object Relational {
     "q03_join_agg" -> q03JoinAgg,
     "q04_star_join" -> q04StarJoin,
     "q164_bucketed_join" -> q164BucketedJoin,
+    "q171_salted_join" -> q171SaltedJoin,
     "q05_left_join" -> q05LeftJoin,
     "q64_full_outer" -> q64FullOuter,
     "q06_semi_join" -> q06SemiJoin,
@@ -421,6 +444,11 @@ object Relational {
       """SELECT p_partkey, p_name, p_type FROM part
         |WHERE p_name LIKE '%red%' AND upper(p_type) LIKE 'S%'
         |ORDER BY p_partkey""".stripMargin,
+    "q171_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q164_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))

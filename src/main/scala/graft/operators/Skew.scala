@@ -77,4 +77,25 @@ object Skew {
     val finals = aggs.map(a => decomposable(a)._2(col(s"p_$a")).as(s"${a}_v"))
     partial.groupBy(col("key")).agg(finals.head, finals.tail: _*)
   }
+
+  /** Salted equi-JOIN for a skewed probe side: the probe gets a
+    * DETERMINISTIC salt (`pmod(saltSrc, salts)` — pass a stable row id, so
+    * retries re-salt identically), the build side is replicated `salts`×,
+    * and the join runs on (key, salt) — one hot key's probe rows spread
+    * over `salts` reducers instead of serializing on one. Correct for any
+    * 1:N equi-join (every probe row still meets every matching build row,
+    * exactly once, in its salt slice). Use where AQE's skew splitting can't
+    * reach: it only splits sort-merge shuffle partitions post-hoc, not
+    * broadcast-ineligible hash joins mid-pipeline, and replication cost is
+    * `salts × |build|` — keep the build side the small one.
+    */
+  def saltedJoin(probe: DataFrame, probeKey: Column, saltSrc: Column,
+                 build: DataFrame, buildKey: Column, salts: Int = 8): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val p = probe.withColumn("__salt", pmod(saltSrc, lit(salts)))
+    val b = build.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    p.join(b, p("__salt") === b("__salt") && probeKey === buildKey)
+      .drop("__salt")
+  }
 }

@@ -36,6 +36,26 @@ class UtilitiesSpec extends SparkSpec {
     assert(salted === direct) // decimal sums are associative -> bit-equal
   }
 
+  test("saltedJoin equals the plain join row-for-row and actually spreads hot keys") {
+    val ev = Tables(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"value")
+    val cust = Tables(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val salted = Skew.saltedJoin(ev, $"user_id", $"event_id", cust, $"c_custkey")
+      .select($"event_id", $"user_id", $"c_custkey", $"c_mktsegment")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val plain = ev.join(cust, $"user_id" === $"c_custkey")
+      .select($"event_id", $"user_id", $"c_custkey", $"c_mktsegment")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(salted.toSeq === plain.toSeq)
+    // spread: the hottest key's probe rows land in >1 salt slice
+    val hot = ev.groupBy($"user_id").count().orderBy(desc("count"), $"user_id")
+      .head.getLong(0)
+    val slices = ev.filter($"user_id" === hot)
+      .select(pmod($"event_id", lit(8)).as("s")).distinct().count()
+    assert(slices > 1, s"hot key $hot not spread across salt slices")
+  }
+
   test("saltedAgg: whitelist matches direct aggregation; misuse throws") {
     val li = Tables(spark, sf0001, "lineitem")
     val direct = li.groupBy($"l_returnflag".as("key"))
