@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.Dsl._
 import graft.functions.VectorFunctions
+import graft.similarity.Pq
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -434,7 +435,34 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Q172 (north-star, engine-only): product-quantization codebook training
+    * — the memory side of ANN at 100 TB (256 B float vector → 8 one-byte
+    * codes, 32×). [[graft.similarity.Pq]] trains M=8 per-subspace K=16
+    * codebooks with deterministic seeds, struct-min tie-breaks, and exact
+    * decimal centroid means, so the output is bit-stable under any
+    * partitioning; the query reports per-subspace k_used / membership /
+    * 12-dp-rounded decimal-summed distortion. Engine-only: a Lloyd fixpoint
+    * has no single-SQL twin; PqSpec pins determinism, distortion descent
+    * vs the seed codebook, code validity, and an energy upper bound.
+    */
+  def q172PqCodebook: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    val (_, assigned) = Pq.codebook(emb, "vec_id", "embedding")
+    assigned
+      .select(col("m"), col("cid"),
+        round(col("dist"), 12).cast(org.apache.spark.sql.types.DecimalType(28, 12))
+          .as("e12"))
+      .groupBy(col("m"))
+      .agg(countDistinct(col("cid")).as("k_used"),
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("e12")).cast("double"), 6).as("total_sq_err"))
+      .select(big(col("m")).as("m"), big(col("k_used")).as("k_used"),
+        big(col("n_vecs")).as("n_vecs"), col("total_sq_err"))
+      .orderBy(col("m"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q172_pq_codebook" -> q172PqCodebook,
     "q162_semantic_dedup" -> q162SemanticDedup,
     "q151_matryoshka_topk" -> q151MatryoshkaTopK,
     "q92_label_centroid" -> q92LabelCentroid,

@@ -44,7 +44,11 @@ class QueriesGoldenSpec extends SparkSpec {
       "q124_ann_ivf_batch", "q153_ann_ivf_foldin",
       // q166: a 10-step BPE merge fixpoint has no single-SQL twin; pinned
       // by hand-computed merges on a crafted corpus (UtilitiesSpec)
-      "q166_bpe_merges")
+      "q166_bpe_merges",
+      // q172: a Lloyd kmeans fixpoint has no single-SQL twin; PqSpec pins
+      // determinism under re-partitioning, distortion descent, code
+      // validity, and the energy upper bound
+      "q172_pq_codebook")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +
