@@ -461,7 +461,62 @@ object Similarity {
       .orderBy(col("m"))
   }
 
+  /** Q173 (north-star, engine-only): PQ asymmetric-distance search (ADC) +
+    * recall audit — the query side of q172's codebooks. Per probe, a
+    * ≤ 5·8·16-row distance TABLE (probe subvector × centroid) is broadcast;
+    * each stored vector's approximate distance is then just the sum of its
+    * 8 code lookups — the corpus is never touched beyond its 8-byte codes,
+    * which is the entire point of PQ at 100 TB. Per-part distances are
+    * 12-dp-rounded and decimal-summed (order-independent), top-10 per probe
+    * via the bounded-state [[graft.functions.TopKByScore]] aggregator (no
+    * rank window over the corpus), and the same machinery computes the
+    * EXACT subvector-sum distances so the output row per probe carries its
+    * measured recall@10 — the quantization-quality number an ANN deployment
+    * watches. Engine-only (kmeans-derived); PqSpec pins determinism and a
+    * recall floor.
+    */
+  def q173PqAdcRecall: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+    val (centroids, assigned) = Pq.codebook(emb, "vec_id", "embedding")
+    val probes = Pq.subvectors(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 8, 8)
+      .select(col("vec_id").as("pid"), col("m"), col("sub").as("pv"))
+    def top10(parts: DataFrame): DataFrame = parts
+      .groupBy(col("pid"), col("vec_id"))
+      .agg(sum(round(col("dpart"), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("dist"))
+      .select(col("pid"), col("vec_id"), (-col("dist").cast("double")).as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(new graft.functions.TopKByScore(10).toColumn)
+      .toDF("pid", "nb")
+      .select(col("pid"), posexplode(col("nb")).as(Seq("rank0", "e")))
+      .select(col("pid"), col("rank0"), col("e.id").as("id"))
+    // ADC: codes join the broadcast distance table — corpus vectors never move
+    val dtab = probes.join(centroids, Seq("m"))
+      .select(col("pid"), col("m"), col("cid"), Pq.l2sq(col("pv"), col("cv")).as("dpart"))
+    val approx = top10(assigned.select(col("vec_id"), col("m"), col("cid"))
+      .join(broadcast(dtab), Seq("m", "cid")))
+    // exact: same decimal-summed subvector distances, full vectors
+    val exact = top10(Pq.subvectors(emb, "vec_id", "embedding", 8, 8)
+      .join(broadcast(probes), Seq("m"))
+      .select(col("pid"), col("vec_id"), Pq.l2sq(col("sub"), col("pv")).as("dpart")))
+    val hits = approx.join(exact.select(col("pid"), col("id")), Seq("pid", "id"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+    val aTop = approx.where(col("rank0") === 0)
+      .select(col("pid"), col("id").as("adc_top1"))
+    approx.groupBy(col("pid")).agg(count(lit(1)).as("n_adc"))
+      .join(hits, Seq("pid"), "left")
+      .join(aTop, Seq("pid"))
+      .select(col("pid"), big(col("n_adc")).as("n_adc"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / 10.0, 2).as("recall10"),
+        col("adc_top1"))
+      .orderBy(col("pid"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q173_pq_adc_recall" -> q173PqAdcRecall,
     "q172_pq_codebook" -> q172PqCodebook,
     "q162_semantic_dedup" -> q162SemanticDedup,
     "q151_matryoshka_topk" -> q151MatryoshkaTopK,

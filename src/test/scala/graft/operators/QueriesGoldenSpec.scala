@@ -48,7 +48,10 @@ class QueriesGoldenSpec extends SparkSpec {
       // q172: a Lloyd kmeans fixpoint has no single-SQL twin; PqSpec pins
       // determinism under re-partitioning, distortion descent, code
       // validity, and the energy upper bound
-      "q172_pq_codebook")
+      "q172_pq_codebook",
+      // q173: ADC search over the q172 codebooks (kmeans-derived, no SQL
+      // twin); PqSpec pins determinism and the recall floor
+      "q173_pq_adc_recall")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

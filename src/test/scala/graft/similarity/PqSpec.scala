@@ -53,6 +53,24 @@ class PqSpec extends SparkSpec {
     assert(cids.forall(c => c >= 0 && c < 16))
   }
 
+  test("q173 ADC search: full top-10 lists, recall floor, self as top-1, deterministic") {
+    val rows = Similarity.q173PqAdcRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0L to 4L).toSeq)
+    rows.foreach { case (pid, nAdc, recall, top1) =>
+      assert(nAdc === 10L, s"probe $pid ADC list not full")
+      // the deterministic pipeline makes observed recall a stable regression
+      // pin; random 64-dim data is PQ's worst case, so the floor is modest
+      assert(recall >= 0.1, s"probe $pid recall collapsed: $recall")
+      // ADC quantizes the probe's OWN codes too, but its cell stays nearest
+      assert(top1 === pid, s"probe $pid ADC top-1 drifted to $top1")
+    }
+    assert(rows.map(_._3).sum / 5 >= 0.3, "mean recall@10 below the pinned floor")
+    val again = Similarity.q173PqAdcRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("distortion is bounded by corpus energy and k_used stays near K") {
     val rows = Similarity.q172PqCodebook(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
