@@ -336,7 +336,63 @@ object Events {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Q174: time-series resampling with linear interpolation — the alignment
+    * step multimodal/sensor pipelines run before fusing streams on a common
+    * clock: each user's irregular `value` series is resampled onto the
+    * hourly grid spanning their activity, every grid point linearly
+    * interpolated between its neighboring events. ONE user-partitioned
+    * window over the union of events and grid rows does both directions
+    * (running `last` over preceding event rows for the left neighbor, ONE
+    * `first` over strictly-following rows for the right) — no as-of
+    * self-join, no range join; the grid explodes from a per-user
+    * `sequence()` so its size is span-bounded, never event-bounded. Ties:
+    * an event at exactly a grid instant sorts BEFORE the grid row, so it
+    * becomes the left neighbor (tp = t → the interpolation returns the
+    * event's own value) and the denominator tn − tp stays > 0.
+    */
+  def q174ResampleInterpolate: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), epochSec(col("ts2")).as("es"), col("value"),
+        col("event_id").as("eid"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("es")).as("lo"), max(col("es")).as("hi"))
+      // integer ceil/floor to the hour — pmod keeps it exact and portable
+      .select(col("user_id"),
+        (col("lo") + pmod(lit(3600L) - pmod(col("lo"), lit(3600L)), lit(3600L))).as("lo_c"),
+        (col("hi") - pmod(col("hi"), lit(3600L))).as("hi_f"))
+      .where(col("lo_c") <= col("hi_f"))
+      .select(col("user_id"),
+        explode(sequence(col("lo_c"), col("hi_f"), lit(3600L))).as("es"))
+      .withColumn("is_grid", lit(1)).withColumn("eid", lit(0L))
+    val both = ev.withColumn("is_grid", lit(0))
+      .unionByName(grid.withColumn("value", lit(null).cast("double")),
+        allowMissingColumns = false)
+    // eid tiebreak: two events in the same second must resolve to ONE
+    // deterministic left neighbor (the larger eid) in both engines
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"), col("is_grid"), col("eid"))
+    val prevF = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextF = w.rowsBetween(1, Window.unboundedFollowing)
+    val evEs = when(col("is_grid") === 0, col("es"))
+    val evV = when(col("is_grid") === 0, col("value"))
+    both
+      .withColumn("tp", last(evEs, ignoreNulls = true).over(prevF))
+      .withColumn("vp", last(evV, ignoreNulls = true).over(prevF))
+      .withColumn("tn", first(evEs, ignoreNulls = true).over(nextF))
+      .withColumn("vn", first(evV, ignoreNulls = true).over(nextF))
+      .where(col("is_grid") === 1 && col("tp").isNotNull && col("tn").isNotNull)
+      // micro-unit floor, not round(…, 6): floor has no ties, so the output
+      // is bit-portable even when the interpolated double lands exactly on
+      // a decimal rounding boundary (1 in ~10⁵ grid points did)
+      .select(col("user_id"), col("es").as("grid_es"),
+        floor((col("vp") + (col("vn") - col("vp"))
+          * ((col("es") - col("tp")).cast("double") / (col("tn") - col("tp"))))
+          * 1000000d).cast("long").as("v_micro"))
+      .orderBy(col("user_id"), col("grid_es"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_resample_interpolate" -> q174ResampleInterpolate,
     "q170_scd2" -> q170Scd2,
     "q85_map_funcs" -> q85MapFuncs,
     "q76_funnel" -> q76Funnel,
@@ -355,6 +411,38 @@ object Events {
     "q75_retention" -> q75Retention)
 
   val oracles: Map[String, String] = Map(
+    "q174_resample_interpolate" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    value, 0 AS is_grid, event_id AS eid FROM events),
+        |b AS (SELECT user_id,
+        |        MIN(es) + (3600 - MIN(es) % 3600) % 3600 AS lo_c,
+        |        MAX(es) - MAX(es) % 3600 AS hi_f
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT user_id, u.es AS es, CAST(NULL AS DOUBLE) AS value,
+        |        1 AS is_grid, CAST(0 AS BIGINT) AS eid
+        |      FROM b, unnest(range(lo_c, hi_f + 1, 3600)) AS u(es)
+        |      WHERE lo_c <= hi_f),
+        |un AS (SELECT * FROM e UNION ALL SELECT * FROM g),
+        |wn AS (SELECT user_id, es, is_grid,
+        |        last_value(CASE WHEN is_grid = 0 THEN es END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY es, is_grid, eid
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |        last_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY es, is_grid, eid
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+        |        first_value(CASE WHEN is_grid = 0 THEN es END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY es, is_grid, eid
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS tn,
+        |        first_value(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY es, is_grid, eid
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn
+        |       FROM un)
+        |SELECT user_id, es AS grid_es,
+        |  CAST(floor((vp + (vn - vp) * (CAST(es - tp AS DOUBLE) / (tn - tp)))
+        |    * 1000000) AS BIGINT) AS v_micro
+        |FROM wn WHERE is_grid = 1 AND tp IS NOT NULL AND tn IS NOT NULL
+        |ORDER BY user_id, grid_es""".stripMargin,
     "q170_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |             date_trunc('second', ts) AS ts2 FROM events),

@@ -802,6 +802,31 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.groupBy(_._1).values.exists(_.length > 1), "no user ever changed type")
   }
 
+  test("q174 resample: interpolation equals a per-user brute-force replay") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts2".cast("long"), $"value", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      // left neighbor = max (es, eid) among events <= t; right = min strictly after
+      val sorted = rows.map(r => (r._2, r._4, r._3)).sortBy(t => (t._1, t._2))
+      val lo = sorted.map(_._1).min; val hi = sorted.map(_._1).max
+      val loC = lo + (3600 - lo % 3600) % 3600
+      val hiF = hi - hi % 3600
+      (loC to hiF by 3600).flatMap { t =>
+        val prev = sorted.filter(_._1 <= t).lastOption
+        val next = sorted.filter(_._1 > t).headOption
+        for (p <- prev; n <- next) yield {
+          val v = p._3 + (n._3 - p._3) * ((t - p._1).toDouble / (n._1 - p._1))
+          (u, t, math.floor(v * 1000000d).toLong)
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Events.q174ResampleInterpolate(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q168 distribution drift: delta equals a brute-force replay, bounded by 2") {
     val docs = Tables(spark, sf0001, "documents")
       .select($"doc_id", $"lang", $"text").collect()
