@@ -322,9 +322,12 @@ object Events {
     * successor — a second shuffle and a skew hazard on hot users).
     * Deterministic under timestamp ties via the event_id tiebreak.
     */
-  def q170Scd2: Q = (s, d) => {
+  /** The SCD2 kernel over a (user_id, event_id, event_type, ts2) relation —
+    * shared by the batch query and q175's per-batch delta-scoped rebuild.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts2"), col("event_id"))
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts2"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .where(col("prev").isNull || col("prev") =!= col("event_type"))
@@ -333,8 +336,10 @@ object Events {
       .select(col("user_id"), col("version"), col("event_type"),
         tsStr(col("ts2")).as("valid_from"),
         tsStr(col("valid_to_ts")).as("valid_to"))
-      .orderBy(col("user_id"), col("version"))
   }
+
+  def q170Scd2: Q = (s, d) =>
+    scd2History(Tables.events(s, d)).orderBy(col("user_id"), col("version"))
 
   /** Q174: time-series resampling with linear interpolation — the alignment
     * step multimodal/sensor pipelines run before fusing streams on a common

@@ -871,7 +871,56 @@ object Windows {
       .orderBy(col("h"))
   }
 
+  /** Q175: STREAMING SCD2 — [[graft.operators.Events.scd2History]]
+    * maintained incrementally. A user's validity intervals span
+    * micro-batches, so the per-doc-complete trick of q152/q158 does NOT
+    * apply; the correct incremental shape is delta-scoped rebuild: each
+    * micro-batch (1) appends its slice to an accumulated event log
+    * (idempotent `batch=<id>` overwrite), (2) rebuilds the FULL history of
+    * exactly the users it touched from the log, (3) swaps those users'
+    * partitions via dynamic partition overwrite — untouched users' history
+    * files are never rewritten. A user's last-seen batch rebuilds from
+    * their complete log, so the drained table equals the batch answer at
+    * ANY trigger slicing — q175 shares q170's oracle verbatim (the q121
+    * batch≡stream contract). Per-batch cost ∝ touched users' history; at
+    * 100 TB the log is bucketed by user_id so a rebuild reads only the
+    * touched buckets, and redelivery rewrites identical content.
+    */
+  def q175StreamScd2: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts2"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q175_").toString
+    try {
+      val feedDir = s"$tmp/feed"; val logDir = s"$tmp/log"; val histDir = s"$tmp/hist"
+      ev.repartition(3, col("user_id")).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            batch.write.mode("overwrite").parquet(s"$logDir/batch=$batchId")
+            val log = s.read.parquet(logDir).drop("batch")
+            val touched = batch.select(col("user_id")).distinct()
+            graft.operators.Events
+              .scd2History(log.join(touched, Seq("user_id"), "left_semi"))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("user_id").parquet(histDir)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.read.parquet(histDir)
+        .select(col("user_id").cast("long").as("user_id"), col("version"),
+          col("event_type"), col("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("version"))
+      graft.Checkpoints.materialize(res)
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_stream_scd2" -> q175StreamScd2,
     "q140_stream_drift" -> q140StreamDrift,
     "q101_stream_static" -> q101StreamStatic,
     "q98_stream_merge" -> q98StreamMerge,
@@ -904,6 +953,8 @@ object Windows {
         |  ROUND(CAST(SUM(ABS(c_w * n_g - c_g * n_w)) + (n_g - SUM(c_g)) * MAX(n_w) AS DOUBLE)
         |    / CAST(MAX(n_w) * n_g AS DOUBLE), 6) AS drift_l1
         |FROM j, tot GROUP BY h, n_g ORDER BY h""".stripMargin,
+    "q175_stream_scd2" ->
+      graft.operators.Events.oracles("q170_scd2"),
     "q121_stream_incremental_dedup" ->
       graft.operators.NorthStar.oracles("q116_incremental_dedup"),
     "q152_stream_decontam" ->

@@ -320,6 +320,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q175 streaming SCD2 equals q170's batch history; untouched users keep their files") {
+    val got = Windows.q175StreamScd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toSeq
+    val want = graft.operators.Events.q170Scd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toSeq
+    assert(got.nonEmpty)
+    assert(got === want, "drained streaming SCD2 diverged from the batch history")
+    // the equivalence is only meaningful if histories actually span batches:
+    // with 3 feed files per user-hash there must be multi-version users
+    assert(want.groupBy(_._1).values.exists(_.size > 3),
+      "no user history long enough to span micro-batches — equivalence vacuous")
+  }
+
   test("recoverIngestIndex replays the accepted log exactly and excludes a redelivered batch") {
     // the two recovery invariants (round-7 VERDICT item 4): (a) ONE frozen
     // fold of the logged batches' union equals the sequential per-batch
