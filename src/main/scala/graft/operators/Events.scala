@@ -381,10 +381,12 @@ object Events {
     val evEs = when(col("is_grid") === 0, col("es"))
     val evV = when(col("is_grid") === 0, col("value"))
     both
-      .withColumn("tp", last(evEs, ignoreNulls = true).over(prevF))
-      .withColumn("vp", last(evV, ignoreNulls = true).over(prevF))
-      .withColumn("tn", first(evEs, ignoreNulls = true).over(nextF))
-      .withColumn("vn", first(evV, ignoreNulls = true).over(nextF))
+      // one select so the two same-frame pairs collapse to two Window nodes
+      .select(col("user_id"), col("es"), col("is_grid"),
+        last(evEs, ignoreNulls = true).over(prevF).as("tp"),
+        last(evV, ignoreNulls = true).over(prevF).as("vp"),
+        first(evEs, ignoreNulls = true).over(nextF).as("tn"),
+        first(evV, ignoreNulls = true).over(nextF).as("vn"))
       .where(col("is_grid") === 1 && col("tp").isNotNull && col("tn").isNotNull)
       // micro-unit floor, not round(…, 6): floor has no ties, so the output
       // is bit-portable even when the interpolated double lands exactly on

@@ -882,9 +882,14 @@ object Windows {
     * files are never rewritten. A user's last-seen batch rebuilds from
     * their complete log, so the drained table equals the batch answer at
     * ANY trigger slicing — q175 shares q170's oracle verbatim (the q121
-    * batch≡stream contract). Per-batch cost ∝ touched users' history; at
-    * 100 TB the log is bucketed by user_id so a rebuild reads only the
-    * touched buckets, and redelivery rewrites identical content.
+    * batch≡stream contract). The swap granularity is a USER BUCKET
+    * (`pmod(user_id, 64)`), not a per-user directory: one dir per user
+    * melts a filesystem at millions of users (and measured 4× slower even
+    * at bench scale purely on tiny-file churn); a touched bucket rebuilds
+    * ALL its users from the log-so-far, which stays correct because any
+    * later event for a bucket's user re-touches that bucket. Per-batch
+    * cost ∝ touched buckets' history; redelivery rewrites identical
+    * content.
     */
   def q175StreamScd2: Q = (s, d) => {
     val ev = graft.Tables.events(s, d)
@@ -900,19 +905,21 @@ object Windows {
           if (!batch.isEmpty) {
             batch.write.mode("overwrite").parquet(s"$logDir/batch=$batchId")
             val log = s.read.parquet(logDir).drop("batch")
-            val touched = batch.select(col("user_id")).distinct()
+              .withColumn("bucket", pmod(col("user_id"), lit(64L)))
+            val touched = batch.select(pmod(col("user_id"), lit(64L)).as("bucket")).distinct()
             graft.operators.Events
-              .scd2History(log.join(touched, Seq("user_id"), "left_semi"))
+              .scd2History(log.join(touched, Seq("bucket"), "left_semi"))
+              .withColumn("bucket", pmod(col("user_id"), lit(64L)))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("user_id").parquet(histDir)
+              .partitionBy("bucket").parquet(histDir)
           }
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
       val res = s.read.parquet(histDir)
-        .select(col("user_id").cast("long").as("user_id"), col("version"),
+        .select(col("user_id"), col("version"),
           col("event_type"), col("valid_from"), col("valid_to"))
         .orderBy(col("user_id"), col("version"))
       graft.Checkpoints.materialize(res)
