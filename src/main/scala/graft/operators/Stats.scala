@@ -1,0 +1,405 @@
+package graft.operators
+
+import graft.Tables
+import graft.Dsl._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical analytics and data-quality auditing — the regression /
+  * hypothesis-test / robust-statistics / profiling family a warehouse
+  * ships as built-ins and a training-data pipeline runs as gates.
+  *
+  * Determinism: every statistic reduces to exact decimal moments (the q48
+  * recipe) surfaced as doubles, with the final float arithmetic written in
+  * the SAME textual shape in the oracle SQL — one IEEE expression tree, so
+  * both engines round identically; medians are LOWER medians (the sorted
+  * element at position `(n+1) div 2` under a total order), never the
+  * float average of two middles.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q177: per-group simple linear regression (slope / intercept / R²) of
+    * extended price on quantity, from exact decimal moments — the
+    * `REGR_SLOPE` family computed the deterministic way. One pass, one
+    * shuffle on the 3-value group key; every moment is an associative
+    * decimal sum, so the result is partitioning-independent — at 100 TB
+    * this is a map-side-combined aggregate, nothing else.
+    */
+  def q177GroupLinreg: Q = (s, d) => {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val sxx = sum(dec(x) * dec(x)).cast(DecimalType(38, 4)).cast("double")
+    val syy = sum(dec(y) * dec(y)).cast(DecimalType(38, 4)).cast("double")
+    val sxy = sum(dec(x) * dec(y)).cast(DecimalType(38, 4)).cast("double")
+    val a = Tables(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).cast("double").as("sx"),
+        sum(dec(y)).cast("double").as("sy"),
+        sxx.as("sxx"), syy.as("syy"), sxy.as("sxy"))
+    val nD = col("n").cast("double")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    a.select(col("l_returnflag"), col("n"),
+      round(num / den, 6).as("slope"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")) / den, 6).as("intercept"),
+      round(num * num / (den * (nD * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q178: Welch's two-sample t-test of each experiment arm against the
+    * `view` baseline over event values — the A/B-test primitive. Arm
+    * moments are exact decimal sums; the t statistic and
+    * Welch–Satterthwaite df are one shared IEEE expression tree over
+    * those moments. The baseline is a 1-row broadcast; total cost is one
+    * group-by over events.
+    */
+  def q178AbWelch: Q = (s, d) => {
+    val v = col("value")
+    val s2e = sum(dec(v) * dec(v)).cast(DecimalType(38, 4)).cast("double")
+    val arms = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(v)).cast("double").as("s1"), s2e.as("s2"))
+    def vr(s1: Column, s2: Column, n: Column): Column =
+      (s2 - s1 * s1 / n) / (n - lit(1.0))
+    val base = arms.filter(col("event_type") === "view")
+      .select(col("n").as("n0"), col("s1").as("b1"), col("s2").as("b2"))
+    val j = arms.filter(col("event_type") =!= "view").crossJoin(broadcast(base))
+    val n1 = col("n").cast("double")
+    val n0 = col("n0").cast("double")
+    val v1 = vr(col("s1"), col("s2"), n1)
+    val v0 = vr(col("b1"), col("b2"), n0)
+    val se2 = v1 / n1 + v0 / n0
+    j.select(col("event_type"), col("n"),
+      round(col("s1") / n1, 6).as("mean"),
+      round((col("s1") / n1 - col("b1") / n0) / sqrt(se2), 6).as("t"),
+      round(se2 * se2 / (v1 / n1 * (v1 / n1) / (n1 - lit(1.0))
+        + v0 / n0 * (v0 / n0) / (n0 - lit(1.0))), 4).as("df"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q179: robust outlier detection per event type via median / MAD — the
+    * quality gate that survives heavy tails where mean/stddev (q99's
+    * z-score) saturates. Both medians are LOWER medians under the total
+    * order `(value, event_id)`, picked by row_number inside the bounded
+    * per-type window; deviations are exact decimals, and the outlier
+    * predicate `|x − med| > 3·MAD` is pure decimal arithmetic. Two
+    * windowed passes + two ≤5-row broadcast joins; per-type partitions
+    * keep the windows distributed at any scale.
+    */
+  def q179MadOutliers: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"), col("event_id"), dec(col("value")).as("v"))
+    val w1 = Window.partitionBy(col("event_type")).orderBy(col("v"), col("event_id"))
+    val wc = Window.partitionBy(col("event_type"))
+    val r1 = e.withColumn("rn", row_number().over(w1)).withColumn("cnt", count(lit(1)).over(wc))
+    val med = r1.filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("v").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("v") - col("med")))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("ad"), col("event_id"))
+    val r2 = dev.withColumn("rn", row_number().over(w2)).withColumn("cnt", count(lit(1)).over(wc))
+    val mad = r2.filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("ad").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("ad") > col("mad") * 3, 1)).as("n_outliers"))
+      .join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("med").cast("double").as("med"),
+        col("mad").cast("double").as("mad"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q180: association rules over order baskets — pair support /
+    * confidence / lift, the market-basket mining primitive. The Apriori
+    * property is the scale story: item supports are computed FIRST and
+    * items below min-support (5) are pruned BEFORE the pair self-join, so
+    * the join fans out only over frequent items × small baskets (TPC-H
+    * baskets ≤ 7 lines) — the same bounded-expansion discipline as q56's
+    * prefix filter. Lift compares pair frequency against independence;
+    * all ratios are integer-over-integer doubles.
+    */
+  def q180AssocRules: Q = (s, d) => {
+    val minSup = 5
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val nOrders = items.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSup)
+    val freq = items.join(supp, Seq("item"))
+    val pairs = freq.select(col("o"), col("item").as("a"), col("cnt").as("ca"))
+      .join(freq.select(col("o"), col("item").as("b"), col("cnt").as("cb")), Seq("o"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("ca"), col("cb"))
+      .agg(count(lit(1)).as("pc"))
+    pairs.crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("pc"), col("ca"), col("cb"),
+        round(col("pc").cast("double") / col("ca").cast("double"), 6).as("conf"),
+        round(col("pc").cast("double") * col("n_orders").cast("double")
+          / (col("ca").cast("double") * col("cb").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
+  /** Q186: column profiling (ANALYZE) over `customer` — per-column row /
+    * null / distinct counts, min/max, and the modal value with a
+    * deterministic `(count desc, value asc)` tie-break. Numeric min/max
+    * surface as doubles; the mode is profiled only for discrete columns
+    * (keys, codes, names — a continuous double's mode is noise, and its
+    * string form is engine-dependent). Each column is one scan-side
+    * aggregate plus one TakeOrdered(1) mode pass — embarrassingly
+    * parallel per column, the shape ANALYZE TABLE runs at any scale.
+    */
+  def q186ColumnProfile: Q = (s, d) => {
+    val t = Tables(s, d, "customer")
+    val numeric = Seq("c_custkey", "c_nationkey", "c_acctbal")
+    val discrete = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val parts = cols.map { c =>
+      val isNum = numeric.contains(c)
+      val agg = t.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("ndv"),
+        (if (isNum) round(min(col(c)).cast("double"), 4) else lit(null).cast("double")).as("min_num"),
+        (if (isNum) round(max(col(c)).cast("double"), 4) else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else min(col(c))).as("min_str"),
+        (if (isNum) lit(null).cast("string") else max(col(c))).as("max_str"))
+      val withMode =
+        if (discrete.contains(c)) {
+          val mode = t.groupBy(col(c).cast("string").as("top_val"))
+            .agg(count(lit(1)).as("top_cnt"))
+            .orderBy(col("top_cnt").desc, col("top_val"))
+            .limit(1)
+          agg.crossJoin(broadcast(mode))
+        } else {
+          agg.withColumn("top_val", lit(null).cast("string"))
+            .withColumn("top_cnt", lit(null).cast("long"))
+        }
+      withMode.select(lit(c).as("col_name"), col("n"), col("n_null"), col("ndv"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        col("top_val"), col("top_cnt"))
+    }
+    parts.reduce(_.unionAll(_)).orderBy(col("col_name"))
+  }
+
+  /** Q187: referential-integrity audit — orphan detection across every
+    * foreign-key edge of the schema, the data-quality gate an ingest
+    * pipeline runs before publishing. Each edge is one anti-join of the
+    * child against a broadcast parent key set (dims are the small side by
+    * construction); the output is one row per edge with child cardinality
+    * and orphan row / key counts. Seven independent bounded jobs — at
+    * 100 TB each edge is a broadcast-hash anti-join over one fact scan.
+    */
+  def q187FkAudit: Q = (s, d) => {
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val keys = parent.select(col(pk)).distinct()
+      val orphans = child.join(broadcast(keys), col(fk) === col(pk), "left_anti")
+      val tot = child.agg(count(lit(1)).as("child_rows"))
+      val orp = orphans.agg(count(lit(1)).as("orphan_rows"),
+        countDistinct(col(fk)).as("orphan_keys"))
+      tot.crossJoin(broadcast(orp))
+        .select(lit(name).as("fk_edge"), col("child_rows"),
+          col("orphan_rows"), col("orphan_keys"))
+    }
+    val li = Tables(s, d, "lineitem")
+    val o = Tables(s, d, "orders")
+    val c = Tables(s, d, "customer")
+    val p = Tables(s, d, "part")
+    val su = Tables(s, d, "supplier")
+    val n = Tables(s, d, "nation")
+    val r = Tables(s, d, "region")
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+      edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+      edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"),
+      edge("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("fk_edge"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q177_group_linreg" -> q177GroupLinreg,
+    "q178_ab_welch" -> q178AbWelch,
+    "q179_mad_outliers" -> q179MadOutliers,
+    "q180_assoc_rules" -> q180AssocRules,
+    "q186_column_profile" -> q186ColumnProfile,
+    "q187_fk_audit" -> q187FkAudit)
+
+  val oracles: Map[String, String] = Map(
+    "q177_group_linreg" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |        / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy * sxx - sx * sxy)
+        |        / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS intercept,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |        / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q178_ab_welch" ->
+      """WITH arms AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |b AS (SELECT n AS n0, s1 AS b1, s2 AS b2 FROM arms WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) AS n1, CAST(n0 AS DOUBLE) AS n0d, s1, b1,
+        |    (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS v1,
+        |    (b2 - b1 * b1 / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) AS v0
+        |  FROM arms, b WHERE event_type <> 'view')
+        |SELECT event_type, n,
+        |  ROUND(s1 / n1, 6) AS mean,
+        |  ROUND((s1 / n1 - b1 / n0d) / SQRT(v1 / n1 + v0 / n0d), 6) AS t,
+        |  ROUND((v1 / n1 + v0 / n0d) * (v1 / n1 + v0 / n0d)
+        |        / (v1 / n1 * (v1 / n1) / (n1 - 1.0)
+        |           + v0 / n0d * (v0 / n0d) / (n0d - 1.0)), 4) AS df
+        |FROM j ORDER BY event_type""".stripMargin,
+    "q179_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |r1 AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM e),
+        |med AS (SELECT event_type, v AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, e.v, ABS(e.v - med.med) AS ad, med.med
+        |  FROM e JOIN med ON e.event_type = med.event_type),
+        |r2 AS (
+        |  SELECT event_type, ad,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM dev),
+        |mad AS (SELECT event_type, ad AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+        |SELECT dev.event_type, COUNT(*) AS n,
+        |  CAST(MIN(med.med) AS DOUBLE) AS med,
+        |  CAST(MIN(mad.mad) AS DOUBLE) AS mad,
+        |  COUNT(*) FILTER (WHERE dev.ad > mad.mad * 3) AS n_outliers
+        |FROM dev
+        |  JOIN med ON dev.event_type = med.event_type
+        |  JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin,
+    "q180_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |no AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+        |supp AS (
+        |  SELECT item, COUNT(*) AS cnt FROM items GROUP BY item HAVING COUNT(*) >= 5),
+        |freq AS (SELECT i.o, i.item, s.cnt FROM items i JOIN supp s ON i.item = s.item),
+        |pairs AS (
+        |  SELECT a.item AS a, b.item AS b, a.cnt AS ca, b.cnt AS cb, COUNT(*) AS pc
+        |  FROM freq a JOIN freq b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY a.item, b.item, a.cnt, b.cnt)
+        |SELECT a, b, pc, ca, cb,
+        |  ROUND(CAST(pc AS DOUBLE) / CAST(ca AS DOUBLE), 6) AS conf,
+        |  ROUND(CAST(pc AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |        / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)), 6) AS lift
+        |FROM pairs, no
+        |ORDER BY lift DESC, a, b LIMIT 30""".stripMargin,
+    "q186_column_profile" ->
+      """WITH
+        |m_custkey AS (SELECT CAST(c_custkey AS VARCHAR) AS top_val, COUNT(*) AS top_cnt
+        |  FROM customer GROUP BY 1 ORDER BY top_cnt DESC, top_val LIMIT 1),
+        |m_name AS (SELECT CAST(c_name AS VARCHAR) AS top_val, COUNT(*) AS top_cnt
+        |  FROM customer GROUP BY 1 ORDER BY top_cnt DESC, top_val LIMIT 1),
+        |m_nationkey AS (SELECT CAST(c_nationkey AS VARCHAR) AS top_val, COUNT(*) AS top_cnt
+        |  FROM customer GROUP BY 1 ORDER BY top_cnt DESC, top_val LIMIT 1),
+        |m_mktsegment AS (SELECT CAST(c_mktsegment AS VARCHAR) AS top_val, COUNT(*) AS top_cnt
+        |  FROM customer GROUP BY 1 ORDER BY top_cnt DESC, top_val LIMIT 1)
+        |SELECT 'c_custkey' AS col_name, COUNT(*) AS n,
+        |  CAST(COALESCE(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+        |  COUNT(DISTINCT c_custkey) AS ndv,
+        |  ROUND(CAST(MIN(c_custkey) AS DOUBLE), 4) AS min_num,
+        |  ROUND(CAST(MAX(c_custkey) AS DOUBLE), 4) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |  (SELECT top_val FROM m_custkey) AS top_val,
+        |  (SELECT top_cnt FROM m_custkey) AS top_cnt
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  COUNT(DISTINCT c_acctbal),
+        |  ROUND(CAST(MIN(c_acctbal) AS DOUBLE), 4), ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 4),
+        |  NULL, NULL, NULL, NULL
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_name', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  COUNT(DISTINCT c_name),
+        |  NULL, NULL, MIN(c_name), MAX(c_name),
+        |  (SELECT top_val FROM m_name), (SELECT top_cnt FROM m_name)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  COUNT(DISTINCT c_nationkey),
+        |  ROUND(CAST(MIN(c_nationkey) AS DOUBLE), 4), ROUND(CAST(MAX(c_nationkey) AS DOUBLE), 4),
+        |  NULL, NULL,
+        |  (SELECT top_val FROM m_nationkey), (SELECT top_cnt FROM m_nationkey)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', COUNT(*),
+        |  CAST(COALESCE(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  COUNT(DISTINCT c_mktsegment),
+        |  NULL, NULL, MIN(c_mktsegment), MAX(c_mktsegment),
+        |  (SELECT top_val FROM m_mktsegment), (SELECT top_cnt FROM m_mktsegment)
+        |FROM customer
+        |ORDER BY col_name""".stripMargin,
+    "q187_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge, COUNT(*) AS child_rows,
+        |  COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows,
+        |  COUNT(DISTINCT l_orderkey) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_keys
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', COUNT(*),
+        |  COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+        |  COUNT(DISTINCT l_partkey) FILTER (WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+        |  COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+        |  COUNT(DISTINCT l_suppkey) FILTER (WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |FROM lineitem l
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', COUNT(*),
+        |  COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  COUNT(DISTINCT o_custkey) FILTER (WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |FROM orders o
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation', COUNT(*),
+        |  COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+        |  COUNT(DISTINCT c_nationkey) FILTER (WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |FROM customer c
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation', COUNT(*),
+        |  COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)),
+        |  COUNT(DISTINCT s_nationkey) FILTER (WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |FROM supplier s
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region', COUNT(*),
+        |  COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+        |  COUNT(DISTINCT n_regionkey) FILTER (WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |FROM nation n
+        |ORDER BY fk_edge""".stripMargin)
+}

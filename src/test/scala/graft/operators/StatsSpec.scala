@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Brute-force replay pins for the Stats family (q177-q180, q186-q187):
+  * each statistic is recomputed in plain Scala from collected sf0.001 rows
+  * and compared against the distributed result. The DuckDB oracle owns the
+  * bit-exact cross-engine check; these pins prove the SEMANTICS (the right
+  * formula, the right median convention, the right pruning) independent of
+  * the oracle's SQL.
+  */
+class StatsSpec extends SparkSpec {
+
+  test("q177 linreg: slope/intercept/r2 match closed-form on collected rows") {
+    val rows = graft.Tables(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val got = Stats.q177GroupLinreg(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (flag, n, slope, intercept, r2) =>
+      val g = rows.filter(_._1 == flag)
+      assert(g.length == n)
+      val nn = g.length.toDouble
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val syy = g.map(t => t._3 * t._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val den = nn * sxx - sx * sx
+      val wantSlope = (nn * sxy - sx * sy) / den
+      val wantIcpt = (sy * sxx - sx * sxy) / den
+      val wantR2 = math.pow(nn * sxy - sx * sy, 2) / (den * (nn * syy - sy * sy))
+      assert(math.abs(slope - wantSlope) < 1e-4, s"$flag slope $slope vs $wantSlope")
+      assert(math.abs(intercept - wantIcpt) < 1e-2, s"$flag intercept")
+      assert(math.abs(r2 - wantR2) < 1e-4, s"$flag r2")
+    }
+  }
+
+  test("q178 welch: means match, t sign tracks mean delta, df within bounds") {
+    val vals = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val base = vals.filter(_._1 == "view").map(_._2)
+    val m0 = base.sum / base.length
+    val got = Stats.q178AbWelch(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == Set("click", "error", "purchase", "signup"))
+    got.foreach { case (arm, n, mean, t, df) =>
+      val g = vals.filter(_._1 == arm).map(_._2)
+      assert(g.length == n)
+      val m1 = g.sum / g.length
+      assert(math.abs(mean - m1) < 1e-6, s"$arm mean")
+      assert(t == 0.0 || (t > 0) == (m1 > m0), s"$arm t sign")
+      assert(df >= math.min(n, base.length) - 1 && df <= n + base.length - 2.0, s"$arm df")
+    }
+  }
+
+  test("q179 MAD: lower median and MAD match a sorted-array replay") {
+    val vals = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(4)))
+    def lowerMedian(xs: Seq[BigDecimal]): BigDecimal = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1)
+    }
+    val got = Stats.q179MadOutliers(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    got.foreach { case (tpe, n, med, mad, nOut) =>
+      val g = vals.filter(_._1 == tpe)
+      assert(g.length == n)
+      val wantMed = lowerMedian(g.map(_._3))
+      val devs = g.map(t => (t._3 - wantMed).abs)
+      val wantMad = lowerMedian(devs)
+      assert(BigDecimal(med).setScale(4) == wantMed, s"$tpe med $med vs $wantMed")
+      assert(BigDecimal(mad).setScale(4) == wantMad, s"$tpe mad")
+      assert(nOut == devs.count(_ > wantMad * 3), s"$tpe outliers")
+    }
+  }
+
+  test("q180 assoc rules: supports exact, apriori prune honored, lift formula holds") {
+    val items = graft.Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = items.map(_._1).distinct.length
+    val supp = items.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val baskets = items.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val got = Stats.q180AssocRules(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(got.nonEmpty && got.length <= 30)
+    got.foreach { case (a, b, pc, ca, cb, conf, lift) =>
+      assert(a < b)
+      assert(ca >= 5 && cb >= 5, "apriori prune violated")
+      assert(supp(a) == ca && supp(b) == cb, s"support mismatch for ($a,$b)")
+      val wantPc = baskets.values.count(s => s.contains(a) && s.contains(b))
+      assert(wantPc == pc, s"pair count ($a,$b): $pc vs $wantPc")
+      assert(math.abs(conf - pc.toDouble / ca) < 1e-6)
+      assert(math.abs(lift - pc.toDouble * nOrders / (ca.toDouble * cb)) < 1e-6)
+    }
+    // descending lift order
+    assert(got.map(_._7).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("q186 profile: counts, ndv, and modal value match brute force") {
+    val cust = graft.Tables(spark, sf0001, "customer").collect()
+    val got = Stats.q186ColumnProfile(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    got.values.foreach(r => assert(r.getLong(1) == cust.length && r.getLong(2) == 0L))
+    val seg = got("c_mktsegment")
+    val segCounts = cust.groupBy(_.getAs[String]("c_mktsegment")).map { case (k, v) => k -> v.length }
+    assert(seg.getLong(3) == segCounts.size) // ndv
+    val wantMode = segCounts.toSeq.sortBy { case (v, c) => (-c, v) }.head
+    assert(seg.getString(8) == wantMode._1 && seg.getLong(9) == wantMode._2)
+    // continuous double column: no mode profiled, numeric min/max populated
+    val bal = got("c_acctbal")
+    assert(bal.isNullAt(8) && bal.isNullAt(9) && !bal.isNullAt(4) && !bal.isNullAt(5))
+  }
+
+  test("q187 fk audit: clean reference data has zero orphans on every edge") {
+    val got = Stats.q187FkAudit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 7)
+    val li = graft.Tables(spark, sf0001, "lineitem").count()
+    assert(got.filter(_._1.startsWith("lineitem.")).forall(_._2 == li))
+    got.foreach { case (edge, _, orows, okeys) =>
+      assert(orows == 0L && okeys == 0L, s"$edge unexpectedly has orphans")
+    }
+  }
+
+  test("q187 fk audit detects injected orphans (crafted fixture semantics)") {
+    // the edge kernel is an anti-join against the parent key set; replay it
+    // on crafted frames to pin that orphans are counted by ROW and by KEY
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L), (5L, 99L))
+      .toDF("id", "fk")
+    val parent = Seq(10L).toDF("pk")
+    val orphans = child.join(broadcast(parent), col("fk") === col("pk"), "left_anti")
+    assert(orphans.count() == 3)
+    assert(orphans.select(countDistinct(col("fk"))).head().getLong(0) == 2)
+  }
+}
