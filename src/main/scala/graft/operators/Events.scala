@@ -398,7 +398,70 @@ object Events {
       .orderBy(col("user_id"), col("grid_es"))
   }
 
+  /** Q184: multi-touch marketing attribution — credit each purchase
+    * (conversion) to the FIRST and LAST non-purchase touch since the user's
+    * previous purchase. The conversion epoch is a running purchase count
+    * over the per-user event stream (ROWS frame, `(es, event_id)` total
+    * order); touches carry the epoch they sit in, each purchase closes
+    * epoch `ep − 1`, and first/last touch are `row_number` endpoints inside
+    * the bounded (user, epoch) partition. All windows are user-partitioned
+    * — distributed at any scale — and the credited value is an exact
+    * decimal sum per channel.
+    */
+  def q184Attribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        dec(col("value")).as("v"), epochSec(col("ts2")).as("es"))
+      .withColumn("ep", sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+    val we = Window.partitionBy(col("user_id"), col("ep"))
+    val touches = r.filter(col("event_type") =!= "purchase")
+      .withColumn("rf", row_number().over(we.orderBy(col("es"), col("event_id"))))
+      .withColumn("rl", row_number().over(we.orderBy(col("es").desc, col("event_id").desc)))
+    val purchases = r.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("ep") - 1).as("ep"), col("v"))
+    def credit(flagCol: String, prefix: String) =
+      purchases.join(touches.filter(col(flagCol) === 1)
+          .select(col("user_id"), col("ep"), col("event_type").as("channel")),
+        Seq("user_id", "ep"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as(s"${prefix}_convs"),
+          sum(col("v")).cast("double").as(s"${prefix}_value"))
+    credit("rf", "first").join(credit("rl", "last"), Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_convs"), lit(0L)).as("first_convs"),
+        coalesce(col("first_value"), lit(0.0)).as("first_value"),
+        coalesce(col("last_convs"), lit(0L)).as("last_convs"),
+        coalesce(col("last_value"), lit(0.0)).as("last_value"))
+      .orderBy(col("channel"))
+  }
+
+  /** Q185: first-order Markov transition matrix over per-user event streams
+    * — the sequence-mining primitive behind next-event prediction and
+    * journey analysis. One per-user `lag` window under the `(es, event_id)`
+    * total order, one count aggregate per (prev, next) pair, and row
+    * probabilities as integer-over-integer doubles against a ≤5-row
+    * broadcast of per-source totals. Shuffle ∝ |event types|², bounded.
+    */
+  def q185MarkovTransitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val tr = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), epochSec(col("ts2")).as("es"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = tr.groupBy(col("prev")).agg(sum(col("cnt")).as("tot"))
+    tr.join(broadcast(totals), Seq("prev"))
+      .select(col("prev"), col("next"), col("cnt"), col("tot"),
+        round(col("cnt").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy(col("prev"), col("next"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q184_attribution" -> q184Attribution,
+    "q185_markov_transitions" -> q185MarkovTransitions,
     "q174_resample_interpolate" -> q174ResampleInterpolate,
     "q170_scd2" -> q170Scd2,
     "q85_map_funcs" -> q85MapFuncs,
@@ -418,6 +481,55 @@ object Events {
     "q75_retention" -> q75Retention)
 
   val oracles: Map[String, String] = Map(
+    "q184_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(value AS DECIMAL(18,4)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |r AS (
+        |  SELECT *, SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY es, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+        |  FROM e),
+        |t AS (
+        |  SELECT user_id, ep, event_type,
+        |    row_number() OVER (PARTITION BY user_id, ep ORDER BY es, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, ep ORDER BY es DESC, event_id DESC) AS rl
+        |  FROM r WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, ep - 1 AS ep, v FROM r WHERE event_type = 'purchase'),
+        |ft AS (
+        |  SELECT t.event_type AS channel, COUNT(*) AS first_convs,
+        |    CAST(SUM(p.v) AS DOUBLE) AS first_value
+        |  FROM p JOIN t ON p.user_id = t.user_id AND p.ep = t.ep AND t.rf = 1
+        |  GROUP BY 1),
+        |lt AS (
+        |  SELECT t.event_type AS channel, COUNT(*) AS last_convs,
+        |    CAST(SUM(p.v) AS DOUBLE) AS last_value
+        |  FROM p JOIN t ON p.user_id = t.user_id AND p.ep = t.ep AND t.rl = 1
+        |  GROUP BY 1)
+        |SELECT COALESCE(ft.channel, lt.channel) AS channel,
+        |  COALESCE(first_convs, 0) AS first_convs,
+        |  COALESCE(first_value, 0.0) AS first_value,
+        |  COALESCE(last_convs, 0) AS last_convs,
+        |  COALESCE(last_value, 0.0) AS last_value
+        |FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+        |ORDER BY channel""".stripMargin,
+    "q185_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev,
+        |    event_type AS next
+        |  FROM e),
+        |c AS (SELECT prev, next, COUNT(*) AS cnt FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev, c.next, c.cnt, tot.tot,
+        |  ROUND(CAST(c.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN tot ON c.prev = tot.prev
+        |ORDER BY c.prev, c.next""".stripMargin,
     "q174_resample_interpolate" ->
       """WITH e AS (SELECT user_id,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,

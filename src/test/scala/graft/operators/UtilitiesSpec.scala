@@ -930,4 +930,59 @@ class UtilitiesSpec extends SparkSpec {
     }
     assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
   }
+
+  test("q184 attribution: first/last-touch credit matches a sequential replay") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type", $"value", $"ts2".cast("long").as("es"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        BigDecimal(r.getDouble(3)).setScale(4), r.getLong(4)))
+    // replay: walk each user's stream in (es, event_id) order, keeping the
+    // touches since the last purchase; each purchase credits first & last
+    val first = collection.mutable.Map[String, (Long, BigDecimal)]().withDefaultValue((0L, BigDecimal(0)))
+    val last = collection.mutable.Map[String, (Long, BigDecimal)]().withDefaultValue((0L, BigDecimal(0)))
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      var touches = Vector.empty[String]
+      es.sortBy(e => (e._5, e._2)).foreach {
+        case (_, _, "purchase", v, _) =>
+          if (touches.nonEmpty) {
+            val f = first(touches.head); first(touches.head) = (f._1 + 1, f._2 + v)
+            val l = last(touches.last); last(touches.last) = (l._1 + 1, l._2 + v)
+          }
+          touches = Vector.empty
+        case (_, _, t, _, _) => touches :+= t
+      }
+    }
+    val got = Events.q184Attribution(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(4),
+        r.getLong(3), BigDecimal(r.getDouble(4)).setScale(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (ch, fc, fv, lc, lv) =>
+      assert((fc, fv) === first(ch), s"$ch first-touch")
+      assert((lc, lv) === last(ch), s"$ch last-touch")
+    }
+    assert(got.map(_._2).sum === first.values.map(_._1).sum, "conversions lost")
+  }
+
+  test("q185 markov: transition counts match a lag replay, rows sum to 1 per source") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type", $"ts2".cast("long").as("es"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ord = es.sortBy(e => (e._4, e._2)).map(_._3)
+      ord.zip(ord.drop(1))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Events.q185MarkovTransitions(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).distinct.length === got.length, "duplicate transition rows")
+    got.foreach { case (k, cnt, _, _) => assert(want(k) === cnt, s"$k count") }
+    assert(want.keySet === got.map(_._1).toSet)
+    got.groupBy(_._1._1).foreach { case (prev, rows) =>
+      val psum = rows.map(_._4).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$prev row sums to $psum")
+      val tot = rows.head._3
+      assert(rows.map(_._2).sum === tot, s"$prev total")
+    }
+  }
 }
