@@ -108,11 +108,70 @@ object Graph {
       .limit(20)
   }
 
+  /** Q176: bounded-hop BFS — minimum hop count from a seed set (the 3
+    * smallest co-purchase nodes) out to 3 hops, the reachability primitive
+    * behind blast-radius and recommendation-expansion queries. FRONTIER
+    * form: each round joins only the nodes SETTLED LAST ROUND against the
+    * edge relation, dedups candidates, and anti-joins the settled set — so
+    * per-round shuffle is ∝ frontier-adjacent edges, never re-expanding
+    * settled nodes (the difference between O(hops·reached) and
+    * O(hops·graph) at scale). Frontier and settled relations are
+    * materialized per round ([[graft.Checkpoints]]) — an uncached
+    * iterative plan re-executes the whole prefix per round and grows
+    * analyzer-depth linearly (the q81 lesson).
+    */
+  def q176BfsHops: Q = (s, d) => {
+    val par = s.sparkContext.defaultParallelism
+    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(par, col("l_orderkey"))
+    val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+      .distinct()
+    val edges = graft.Checkpoints.materialize(e.repartition(par, col("u")))
+    val seeds = edges.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(3)
+    var settled = graft.Checkpoints.materialize(seeds.withColumn("hops", lit(0L)))
+    var frontier = settled
+    for (h <- 1 to 3) {
+      val cand = frontier.select(col("node"))
+        .join(edges, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+      frontier = graft.Checkpoints.materialize(
+        cand.join(settled.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("hops", lit(h.toLong)))
+      settled = graft.Checkpoints.materialize(settled.unionAll(frontier))
+    }
+    settled.orderBy(col("hops"), col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_copurchase_rank" -> q81CopurchaseRank,
-    "q165_triangles" -> q165Triangles)
+    "q165_triangles" -> q165Triangles,
+    "q176_bfs_hops" -> q176BfsHops)
 
   val oracles: Map[String, String] = Map(
+    "q176_bfs_hops" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT u AS node FROM e0 GROUP BY u ORDER BY u LIMIT 3),
+        |h0 AS (SELECT node, 0 AS hops FROM seeds),
+        |n1 AS (SELECT DISTINCT e0.v AS node FROM h0 JOIN e0 ON e0.u = h0.node),
+        |h1 AS (SELECT node, 1 AS hops FROM n1
+        |       WHERE node NOT IN (SELECT node FROM h0)),
+        |a1 AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1),
+        |n2 AS (SELECT DISTINCT e0.v AS node FROM h1 JOIN e0 ON e0.u = h1.node),
+        |h2 AS (SELECT node, 2 AS hops FROM n2
+        |       WHERE node NOT IN (SELECT node FROM a1)),
+        |a2 AS (SELECT * FROM a1 UNION ALL SELECT * FROM h2),
+        |n3 AS (SELECT DISTINCT e0.v AS node FROM h2 JOIN e0 ON e0.u = h2.node),
+        |h3 AS (SELECT node, 3 AS hops FROM n3
+        |       WHERE node NOT IN (SELECT node FROM a2)),
+        |a3 AS (SELECT * FROM a2 UNION ALL SELECT * FROM h3)
+        |SELECT node, CAST(hops AS BIGINT) AS hops FROM a3 ORDER BY hops, node""".stripMargin,
     "q165_triangles" ->
       """WITH pe AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -931,6 +931,27 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
   }
 
+  test("q176 BFS: hop counts match an in-memory BFS over the same edges") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = li.toSeq.groupBy(_._1).values.toSeq
+      .flatMap(g => for (a <- g; b <- g if a._2 != b._2) yield (a._2, b._2))
+      .distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = adj.keySet.toSeq.sorted.take(3)
+    val dist = collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds.toSet
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      frontier.foreach(n => dist(n) = h.toLong)
+    }
+    val got = Graph.q176BfsHops(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist.toMap)
+    assert(got.values.toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    assert(seeds.forall(s => got(s) == 0L))
+  }
+
   test("q184 attribution: first/last-touch credit matches a sequential replay") {
     val evs = Tables.events(spark, sf0001)
       .select($"user_id", $"event_id", $"event_type", $"value", $"ts2".cast("long").as("es"))
