@@ -49,7 +49,11 @@ class PlanAuditSpec extends SparkSpec {
     "q150_eval_quota", // 1-row broadcast corpus total + floor-sum relations
     "q151_matryoshka_topk", // 5-row probe set x2 (q69's kernel) + 50-row full-topk broadcast
     "q153_ann_ivf_foldin", // K-centroid broadcast (q41's IVF family: fold-in assignment + probe)
-    "q154_lang_rebalance") // 1-row (N, L) totals broadcast deriving the thresholds
+    "q154_lang_rebalance", // 1-row (N, L) totals broadcast deriving the thresholds
+    "q178_ab_welch", // 1-row broadcast baseline-arm moments (view arm)
+    "q180_assoc_rules", // 1-row broadcast n_orders total in the lift denominator
+    "q186_column_profile", // per-column 1-row agg x 1-row TakeOrdered mode
+    "q187_fk_audit") // per-edge 1-row child-total x 1-row orphan-count joins
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins
