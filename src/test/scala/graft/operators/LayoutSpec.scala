@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Replay pins for the Layout family: the skyline against a brute-force
+  * dominance scan, the Morton interleave against a bit-twiddling replay,
+  * and the pruning audit against an in-memory bucket walk.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def orderXY = Tables(spark, sf0001, "orders")
+    .select($"o_custkey",
+      datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")).cast("long"))
+    .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  private def morton(x: Long, y: Long): Long =
+    (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+
+  private def normalized(xs: Array[(Long, Long)]): Array[(Long, Long, Long, Long)] = {
+    val xmin = xs.map(_._1).min; val xmax = xs.map(_._1).max
+    val ymin = xs.map(_._2).min; val ymax = xs.map(_._2).max
+    xs.map { case (x, y) =>
+      (x, y, (x - xmin) * 65535 / math.max(xmax - xmin, 1),
+        (y - ymin) * 65535 / math.max(ymax - ymin, 1))
+    }
+  }
+
+  test("q181 skyline equals the brute-force dominance scan") {
+    val parts = Tables(spark, sf0001, "part")
+      .select($"p_partkey", $"p_retailprice", $"p_size".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val want = parts.filter { case (_, pi, si) =>
+      !parts.exists { case (_, pj, sj) =>
+        pj <= pi && sj >= si && (pj < pi || sj > si)
+      }
+    }.map(_._1).sorted
+    val got = Layout.q181Skyline(spark, sf0001).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === want.toSeq)
+    // skyline sanity for (min price, max size): each pricier front point
+    // must be strictly larger, else the cheaper one would dominate it
+    val sky = Layout.q181Skyline(spark, sf0001).collect()
+      .map(r => (r.getDouble(1), r.getLong(2)))
+    assert(sky.sliding(2).forall(w => w.length < 2 ||
+      (w(0)._1 < w(1)._1 && w(0)._2 < w(1)._2) ||
+      (w(0)._1 == w(1)._1 && w(0)._2 == w(1)._2)))
+  }
+
+  test("q182 z-order buckets match a bit-twiddling replay; all rows accounted") {
+    val xs = normalized(orderXY)
+    val wantBuckets = xs.groupBy { case (_, _, xb, yb) => morton(xb, yb) / 67108864L }
+    val got = Layout.q182Zorder(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.map(_._2).sum === xs.length)
+    assert(got.length === wantBuckets.size)
+    got.foreach { case (b, n, xmin, xmax, ymin, ymax) =>
+      val g = wantBuckets(b)
+      assert(g.length === n, s"bucket $b count")
+      assert(xmin === g.map(_._1).min && xmax === g.map(_._1).max, s"bucket $b x-envelope")
+      assert(ymin === g.map(_._2).min && ymax === g.map(_._2).max, s"bucket $b y-envelope")
+    }
+  }
+
+  test("q183 pruning audit matches an in-memory bucket walk; zorder never scans more") {
+    val xs = normalized(orderXY)
+    val trueRows = xs.count { case (x, y, _, _) => x >= 100 && x <= 199 && y >= 730 && y <= 1094 }
+    def replay(bucketOf: ((Long, Long, Long, Long)) => Long): (Long, Long, Long) = {
+      val bs = xs.groupBy(bucketOf)
+      val kept = bs.filter { case (_, g) =>
+        g.map(_._1).min <= 199 && g.map(_._1).max >= 100 &&
+          g.map(_._2).min <= 1094 && g.map(_._2).max >= 730
+      }
+      (bs.size.toLong, kept.size.toLong, kept.values.map(_.length.toLong).sum)
+    }
+    val wantDate = replay { case (_, y, _, _) => y / 38 }
+    val wantZ = replay { case (_, _, xb, yb) => morton(xb, yb) / 67108864L }
+    val got = Layout.q183MinmaxPrune(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("date") === ((wantDate._1, wantDate._2, wantDate._3, trueRows.toLong)))
+    assert(got("zorder") === ((wantZ._1, wantZ._2, wantZ._3, trueRows.toLong)))
+    assert(got("zorder")._3 <= got("date")._3,
+      "z-order layout scanned MORE rows than the single-dimension layout")
+  }
+}

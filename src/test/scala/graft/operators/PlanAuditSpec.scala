@@ -53,7 +53,10 @@ class PlanAuditSpec extends SparkSpec {
     "q178_ab_welch", // 1-row broadcast baseline-arm moments (view arm)
     "q180_assoc_rules", // 1-row broadcast n_orders total in the lift denominator
     "q186_column_profile", // per-column 1-row agg x 1-row TakeOrdered mode
-    "q187_fk_audit") // per-edge 1-row child-total x 1-row orphan-count joins
+    "q187_fk_audit", // per-edge 1-row child-total x 1-row orphan-count joins
+    "q181_skyline", // 1-row min/max broadcast + non-equi dominance join over the pruned survivor set
+    "q182_zorder", // 1-row min/max broadcast normalizing both curve dimensions
+    "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
     * sort). Three are the documented EXACTNESS baselines whose scale twins
@@ -69,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "q109_key_gaps_scale" -> "window over the <=numPartitions-row boundary summary",
     "q138_vocab_coverage" -> "cumsum over the count-of-counts summary (distinct frequency values, O(sqrt mass) rows), never the vocab relation",
     "q144_rrf_fusion" -> "row_number over the two TakeOrdered-bounded <=100-row top-k relations, never the corpus",
-    "q150_eval_quota" -> "apportionment rank over the bounded (lang x source) cell relation, never the docs")
+    "q150_eval_quota" -> "apportionment rank over the bounded (lang x source) cell relation, never the docs",
+    "q181_skyline" -> "running max over the <=256-row price-bucket summary, never the parts")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
