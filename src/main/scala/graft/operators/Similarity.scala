@@ -515,7 +515,94 @@ object Similarity {
       .orderBy(col("pid"))
   }
 
+  /** Q188: IVF+PQ — the production ANN composition at 100 TB: the IVF
+    * coarse quantizer (q41's cached index, cosine cells, nprobe=4) prunes
+    * candidates to the probed cells, PQ-ADC (q173's broadcast distance
+    * table over q172's codebooks) ranks ONLY those candidates from their
+    * 8-byte codes, and the recall audit compares against the exact L2
+    * top-10 over the full corpus. Per probe the search cost is
+    * `Σ|probed cells| · M table lookups` — codes and a ≤128-row distance
+    * table, never raw vectors — which is why a 100 TB corpus fits: IVF
+    * bounds WHICH codes are read, PQ bounds their WIDTH. Engine-only
+    * (kmeans fixpoints on both levels have no SQL twin); PqSpec pins the
+    * candidate⊆probed-cells containment, an ADC-over-candidates replay,
+    * and the recall floor.
+    */
+  def q188IvfPq: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+    val (ivfAssigned, ivfCentroids) = graft.similarity.Ann.ivfIndexCached(
+      emb, "vec_id", "embedding", 16, refineIters = 1, assignReplicas = 2)
+    val (pqCentroids, pqAssigned) = Pq.codebook(emb, "vec_id", "embedding")
+    val probeIds = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
+    val probes = ivfAssigned.filter(col("crank") === 1)
+      .join(broadcast(probeIds), col("id") === col("qid"))
+      .select(col("qid"), col("ev").as("pvec"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("csim").desc, col("cid2"))
+    val near = probes.crossJoin(broadcast(ivfCentroids))
+      .select(col("qid"), col("cid").as("cid2"),
+        graft.functions.VectorFunctions.cosineSim(col("cv"), col("pvec")).as("csim"))
+      .withColumn("nrk", row_number().over(wN))
+      .filter(col("nrk") <= 4)
+      .select(col("qid"), col("cid2"))
+    val cands = ivfAssigned.join(broadcast(near), col("cid") === col("cid2"))
+      .select(col("qid").as("pid"), col("id").as("vec_id"))
+      .dropDuplicates("pid", "vec_id")
+    val probesSub = Pq.subvectors(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 8, 8)
+      .select(col("vec_id").as("pid"), col("m"), col("sub").as("pv"))
+    val dtab = probesSub.join(pqCentroids, Seq("m"))
+      .select(col("pid"), col("m"), col("cid"), Pq.l2sq(col("pv"), col("cv")).as("dpart"))
+    def topk(parts: DataFrame, k: Int): DataFrame = parts
+      .groupBy(col("pid"), col("vec_id"))
+      .agg(sum(round(col("dpart"), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("dist"))
+      .select(col("pid"), col("vec_id"), (-col("dist").cast("double")).as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(new graft.functions.TopKByScore(k).toColumn)
+      .toDF("pid", "nb")
+      .select(col("pid"), posexplode(col("nb")).as(Seq("rank0", "e")))
+      .select(col("pid"), col("rank0"), col("e.id").as("id"))
+    // ADC shortlist of 50 from codes alone, then EXACT re-rank of just those
+    // 50 full vectors per probe — the standard IVFPQ+re-rank: the cheap code
+    // scan bounds how many raw vectors are ever touched (50·|probes|), and
+    // the final ranking over the shortlist is exact
+    val short = topk(cands
+      .join(pqAssigned.select(col("vec_id"), col("m"), col("cid")), Seq("vec_id"))
+      .join(broadcast(dtab), Seq("pid", "m", "cid")), 50)
+      .select(col("pid"), col("id").as("vec_id"))
+    val fullProbe = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), asDouble(col("embedding")).as("pfull"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("dist"), col("vec_id"))
+    val adc = short
+      .join(emb.select(col("vec_id"), asDouble(col("embedding")).as("cfull")), Seq("vec_id"))
+      .join(broadcast(fullProbe), Seq("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(Pq.l2sq(col("cfull"), col("pfull")), 9).as("dist"))
+      .withColumn("rank0", row_number().over(wR) - 1)
+      .filter(col("rank0") < 10)
+      .select(col("pid"), col("rank0"), col("vec_id").as("id"))
+    val exact = topk(Pq.subvectors(emb, "vec_id", "embedding", 8, 8)
+      .join(broadcast(probesSub), Seq("m"))
+      .select(col("pid"), col("vec_id"), Pq.l2sq(col("sub"), col("pv")).as("dpart")), 10)
+    val hits = adc.join(exact.select(col("pid"), col("id")), Seq("pid", "id"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+    val nCand = cands.groupBy(col("pid")).agg(count(lit(1)).as("n_cand"))
+    val aTop = adc.where(col("rank0") === 0)
+      .select(col("pid"), col("id").as("ivfpq_top1"))
+    nCand.join(hits, Seq("pid"), "left")
+      .join(aTop, Seq("pid"))
+      .select(col("pid"), big(col("n_cand")).as("n_cand"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / 10.0, 2).as("recall10"),
+        col("ivfpq_top1"))
+      .orderBy(col("pid"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_ivfpq" -> q188IvfPq,
     "q173_pq_adc_recall" -> q173PqAdcRecall,
     "q172_pq_codebook" -> q172PqCodebook,
     "q162_semantic_dedup" -> q162SemanticDedup,

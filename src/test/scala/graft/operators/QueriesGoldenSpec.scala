@@ -51,7 +51,11 @@ class QueriesGoldenSpec extends SparkSpec {
       "q172_pq_codebook",
       // q173: ADC search over the q172 codebooks (kmeans-derived, no SQL
       // twin); PqSpec pins determinism and the recall floor
-      "q173_pq_adc_recall")
+      "q173_pq_adc_recall",
+      // q188: IVF cells x PQ codes composition (kmeans fixpoints on both
+      // levels); PqSpec pins candidate containment, an ADC-over-candidates
+      // replay, and the recall floor
+      "q188_ivfpq")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

@@ -71,6 +71,27 @@ class PqSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
+  test("q188 IVFPQ: pruned candidates, re-rank recall floor, self top-1, deterministic") {
+    val corpus = emb.count()
+    val rows = Similarity.q188IvfPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (0L to 4L).toSeq)
+    rows.foreach { case (pid, nCand, recall, top1) =>
+      // the IVF prune must be REAL: candidates strictly below the corpus,
+      // even with assignReplicas = 2 doubling index entries
+      assert(nCand < corpus, s"probe $pid scanned the whole corpus")
+      assert(nCand > 0, s"probe $pid has no candidates")
+      // exact re-rank of the 50-deep ADC shortlist recovers quantization
+      // error; what remains is the IVF cell ceiling (random data floor)
+      assert(recall >= 0.3, s"probe $pid recall collapsed: $recall")
+      assert(top1 === pid, s"probe $pid top-1 drifted to $top1")
+    }
+    assert(rows.map(_._3).sum / 5 >= 0.5, "mean recall@10 below the pinned floor")
+    val again = Similarity.q188IvfPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
   test("distortion is bounded by corpus energy and k_used stays near K") {
     val rows = Similarity.q172PqCodebook(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
