@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Extras, Graph, Layout, NorthStar, Relational, Similarity, Stats, Text}
+import graft.operators.{Evaluation, Events, Extras, Graph, Layout, NorthStar, Relational, Similarity, Stats, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ Text.queries ++ Similarity.queries ++
-      NorthStar.queries ++ Extras.queries ++ Graph.queries ++ Stats.queries ++ Layout.queries ++
+      NorthStar.queries ++ Extras.queries ++ Graph.queries ++ Stats.queries ++ Layout.queries ++ Evaluation.queries ++
       graft.streaming.Windows.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -28,6 +28,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ Text.oracles ++ Similarity.oracles ++
-      NorthStar.oracles ++ Extras.oracles ++ Graph.oracles ++ Stats.oracles ++ Layout.oracles ++
+      NorthStar.oracles ++ Extras.oracles ++ Graph.oracles ++ Stats.oracles ++ Layout.oracles ++ Evaluation.oracles ++
       graft.streaming.Windows.oracles
 }

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation analytics — the metrics a reward-model / classifier /
+  * retrieval pipeline computes over scored examples at corpus scale:
+  * reliability (calibration) bins, exact tie-corrected ROC AUC, and the
+  * precision/recall curve. The "model score" is the event `value` column
+  * scaled to [0,1] and the "label" is `event_type = 'purchase'` — the
+  * fixture is synthetic but every formula is the production one, in exact
+  * decimal/integer arithmetic with one shared IEEE tree for the final
+  * ratios (the Stats.scala discipline).
+  */
+object Evaluation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scored(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      dec(col("value")).as("v"),
+      (col("event_type") === "purchase").cast("int").as("y"))
+
+  /** Q189: reliability diagram — 10 fixed score bins, per-bin mean
+    * normalized score vs empirical positive rate, and the per-bin
+    * calibration gap. One map-side-combined aggregate over the scan; the
+    * normalizing constant (330 = the declared score ceiling) is part of
+    * the operator contract, not data-derived, so bins are stable across
+    * ingest batches.
+    */
+  def q189CalibrationBins: Q = (s, d) => {
+    val b = scored(s, d)
+      .withColumn("bin", least(lit(9L), expr("CAST(v * 100 AS BIGINT) div 3300")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(col("v")).cast("double").as("sv"))
+    b.select(col("bin"), col("n"), col("n_pos"),
+      round(col("sv") / col("n") / 330.0, 6).as("mean_s"),
+      round(col("n_pos").cast("double") / col("n").cast("double"), 6).as("frac_pos"),
+      round(abs(col("sv") / col("n") / 330.0
+        - col("n_pos").cast("double") / col("n").cast("double")), 6).as("gap"))
+      .orderBy(col("bin"))
+  }
+
+  /** Q190: exact ROC AUC via the Mann–Whitney statistic with tie
+    * correction — `AUC = (concordant + ties/2) / (n_pos · n_neg)` — WITHOUT
+    * an O(n²) pair join and WITHOUT a global window over the rows: scores
+    * collapse to a (score → n_pos, n_neg) SUMMARY first (values carry 2
+    * decimals, so the summary is bounded by the score domain, the q138
+    * count-of-counts argument), the cumulative negative count runs over
+    * that summary, and concordant/tie masses are one aggregate over it.
+    * Shuffle ∝ distinct scores, never rows.
+    */
+  def q190Auc: Q = (s, d) => {
+    val byScore = scored(s, d)
+      .groupBy(col("v"))
+      .agg(sum(col("y")).cast("long").as("cp"),
+        sum(lit(1) - col("y")).cast("long").as("cn"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byScore.withColumn("negBelow",
+      coalesce(sum(col("cn")).over(w), lit(0L)))
+    val agg = cum.agg(
+      sum(col("cp")).cast("long").as("n_pos"),
+      sum(col("cn")).cast("long").as("n_neg"),
+      sum(col("cp") * col("negBelow")).cast("long").as("concordant"),
+      sum(col("cp") * col("cn")).cast("long").as("tie_pairs"))
+    agg.select(col("n_pos"), col("n_neg"), col("concordant"), col("tie_pairs"),
+      round((col("concordant").cast("double")
+        + col("tie_pairs").cast("double") / 2.0)
+        / (col("n_pos").cast("double") * col("n_neg").cast("double")), 6).as("auc"))
+  }
+
+  /** Q191: precision/recall curve at 10 fixed thresholds — ONE pass over
+    * the scan computing every threshold's confusion counts as conditional
+    * aggregates (map-side combined to a single row), materialized once,
+    * then unpivoted to a 10-row curve. No threshold × rows join touches
+    * the shuffle.
+    */
+  def q191PrCurve: Q = (s, d) => {
+    val ths = (0 until 10).map(_ * 33L)
+    val aggs = ths.flatMap { t =>
+      Seq(count(when(col("v") >= t && col("y") === 1, 1)).as(s"tp_$t"),
+        count(when(col("v") >= t && col("y") === 0, 1)).as(s"fp_$t"))
+    } :+ sum(col("y")).cast("long").as("npos")
+    val one = graft.Checkpoints.materialize(
+      scored(s, d).agg(aggs.head, aggs.tail: _*))
+    ths.map { t =>
+      one.select(lit(t).as("threshold"),
+        col(s"tp_$t").as("tp"), col(s"fp_$t").as("fp"),
+        (col("npos") - col(s"tp_$t")).as("fn"),
+        round(col(s"tp_$t").cast("double")
+          / (col(s"tp_$t") + col(s"fp_$t")).cast("double"), 6).as("precision"),
+        round(col(s"tp_$t").cast("double") / col("npos").cast("double"), 6).as("recall"))
+    }.reduce(_.unionAll(_)).orderBy(col("threshold"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q189_calibration_bins" -> q189CalibrationBins,
+    "q190_auc" -> q190Auc,
+    "q191_pr_curve" -> q191PrCurve)
+
+  val oracles: Map[String, String] = Map(
+    "q189_calibration_bins" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |b AS (
+        |  SELECT LEAST(9, CAST(v * 100 AS BIGINT) // 3300) AS bin, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(v) AS DOUBLE) AS sv
+        |  FROM e GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  ROUND(sv / n / 330.0, 6) AS mean_s,
+        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+        |  ROUND(ABS(sv / n / 330.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
+    "q190_auc" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT v, CAST(SUM(y) AS BIGINT) AS cp,
+        |    CAST(SUM(1 - y) AS BIGINT) AS cn
+        |  FROM e GROUP BY v),
+        |c AS (
+        |  SELECT cp, cn,
+        |    COALESCE(SUM(cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow
+        |  FROM s)
+        |SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(cp * negBelow) AS BIGINT) AS concordant,
+        |  CAST(SUM(cp * cn) AS BIGINT) AS tie_pairs,
+        |  ROUND((CAST(SUM(cp * negBelow) AS DOUBLE) + CAST(SUM(cp * cn) AS DOUBLE) / 2.0)
+        |        / (CAST(SUM(cp) AS DOUBLE) * CAST(SUM(cn) AS DOUBLE)), 6) AS auc
+        |FROM c""".stripMargin,
+    "q191_pr_curve" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |th AS (SELECT CAST(t AS BIGINT) AS threshold
+        |       FROM (VALUES (0),(33),(66),(99),(132),(165),(198),(231),(264),(297)) x(t)),
+        |np AS (SELECT CAST(SUM(y) AS BIGINT) AS npos FROM e)
+        |SELECT threshold,
+        |  COUNT(*) FILTER (WHERE v >= threshold AND y = 1) AS tp,
+        |  COUNT(*) FILTER (WHERE v >= threshold AND y = 0) AS fp,
+        |  (SELECT npos FROM np) - COUNT(*) FILTER (WHERE v >= threshold AND y = 1) AS fn,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE v >= threshold AND y = 1) AS DOUBLE)
+        |        / CAST(COUNT(*) FILTER (WHERE v >= threshold AND y = 1)
+        |               + COUNT(*) FILTER (WHERE v >= threshold AND y = 0) AS DOUBLE), 6) AS precision,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE v >= threshold AND y = 1) AS DOUBLE)
+        |        / CAST((SELECT npos FROM np) AS DOUBLE), 6) AS recall
+        |FROM e, th GROUP BY threshold ORDER BY threshold""".stripMargin)
+}

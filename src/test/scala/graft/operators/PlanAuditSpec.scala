@@ -74,7 +74,8 @@ class PlanAuditSpec extends SparkSpec {
     "q138_vocab_coverage" -> "cumsum over the count-of-counts summary (distinct frequency values, O(sqrt mass) rows), never the vocab relation",
     "q144_rrf_fusion" -> "row_number over the two TakeOrdered-bounded <=100-row top-k relations, never the corpus",
     "q150_eval_quota" -> "apportionment rank over the bounded (lang x source) cell relation, never the docs",
-    "q181_skyline" -> "running max over the <=256-row price-bucket summary, never the parts")
+    "q181_skyline" -> "running max over the <=256-row price-bucket summary, never the parts",
+    "q190_auc" -> "cumsum over the bounded (score -> counts) summary (2-decimal score domain, the q138 count-of-counts argument), never the rows")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
