@@ -54,11 +54,21 @@ object Evaluation {
     * that summary, and concordant/tie masses are one aggregate over it.
     * Shuffle ∝ distinct scores, never rows.
     */
-  def q190Auc: Q = (s, d) => {
-    val byScore = scored(s, d)
-      .groupBy(col("v"))
+  def q190Auc: Q = (s, d) => aucFromSummary(scoreSummary(scored(s, d)))
+
+  /** The mergeable AUC state: `(v → cp, cn)`. Summaries of disjoint row
+    * sets MERGE by summing counts per score — the property q192's
+    * streaming fold relies on.
+    */
+  def scoreSummary(rows: DataFrame): DataFrame =
+    rows.groupBy(col("v"))
       .agg(sum(col("y")).cast("long").as("cp"),
         sum(lit(1) - col("y")).cast("long").as("cn"))
+
+  /** AUC from a (v, cp, cn) summary — q190's kernel, shared with the
+    * streaming fold (q192).
+    */
+  def aucFromSummary(byScore: DataFrame): DataFrame = {
     val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
     val cum = byScore.withColumn("negBelow",
       coalesce(sum(col("cn")).over(w), lit(0L)))

@@ -227,7 +227,58 @@ object Stats {
       .orderBy(col("fk_edge"))
   }
 
+  /** Q193: weighted median per group — the smallest price whose cumulative
+    * quantity reaches half the group's total (lower weighted median, the
+    * q179 convention). Prices collapse to a per-(group, price) weight
+    * summary FIRST, the cumulative weight runs over that summary inside
+    * the group partition, and the threshold compare is pure decimal
+    * (`2·cw ≥ tw`) — no float boundary. Shuffle ∝ distinct prices per
+    * group, never line items.
+    */
+  def q193WeightedMedian: Q = (s, d) => {
+    val byPrice = Tables(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        dec(col("l_extendedprice")).as("price"), dec(col("l_quantity")).as("w"))
+      .groupBy(col("flag"), col("price"))
+      .agg(sum(col("w")).as("wsum"))
+    val win = Window.partitionBy(col("flag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byPrice.withColumn("cw", sum(col("wsum")).over(win))
+    val tot = byPrice.groupBy(col("flag")).agg(sum(col("wsum")).as("tw"))
+    cum.join(broadcast(tot), Seq("flag"))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(col("price")).cast("double").as("wmedian"),
+        min(col("tw")).cast("double").as("total_weight"))
+      .orderBy(col("flag"))
+  }
+
+  /** Q194: Gini coefficient of order value per priority class — the
+    * concentration metric, exact:
+    * `G = 2·Σ(rankᵢ·xᵢ) / (n·Σx) − (n+1)/n` with x ascending under the
+    * `(price, orderkey)` total order. The rank-weighted sum is an exact
+    * decimal (rank · decimal price, summed associatively); the window is
+    * partitioned per priority class.
+    */
+  def q194Gini: Q = (s, d) => {
+    val w = Window.partitionBy(col("pri")).orderBy(col("x"), col("o_orderkey"))
+    val r = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("x"))
+      .withColumn("rn", row_number().over(w))
+    val a = r.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("rn") * col("x")).cast(DecimalType(38, 4)).cast("double").as("srx"))
+    val nD = col("n").cast("double")
+    a.select(col("pri"), col("n"),
+      round(col("srx") * 2.0 / (nD * col("sx")) - (nD + 1.0) / nD, 6).as("gini"))
+      .orderBy(col("pri"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q193_weighted_median" -> q193WeightedMedian,
+    "q194_gini" -> q194Gini,
     "q177_group_linreg" -> q177GroupLinreg,
     "q178_ab_welch" -> q178AbWelch,
     "q179_mad_outliers" -> q179MadOutliers,
@@ -236,6 +287,40 @@ object Stats {
     "q187_fk_audit" -> q187FkAudit)
 
   val oracles: Map[String, String] = Map(
+    "q193_weighted_median" ->
+      """WITH bp AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS wsum
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, price, wsum,
+        |    SUM(wsum) OVER (PARTITION BY flag ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |  FROM bp),
+        |t AS (SELECT flag, SUM(wsum) AS tw FROM bp GROUP BY 1)
+        |SELECT c.flag,
+        |  CAST(MIN(price) AS DOUBLE) AS wmedian,
+        |  CAST(MIN(t.tw) AS DOUBLE) AS total_weight
+        |FROM c JOIN t ON c.flag = t.flag
+        |WHERE cw * 2 >= t.tw
+        |GROUP BY c.flag ORDER BY c.flag""".stripMargin,
+    "q194_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS pri, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS rn
+        |  FROM orders),
+        |a AS (
+        |  SELECT pri, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(rn * x) AS DECIMAL(38,4)) AS DOUBLE) AS srx
+        |  FROM r GROUP BY pri)
+        |SELECT pri, n,
+        |  ROUND(srx * 2.0 / (CAST(n AS DOUBLE) * sx)
+        |        - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM a ORDER BY pri""".stripMargin,
     "q177_group_linreg" ->
       """WITH a AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -926,7 +926,48 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q192: streaming incremental AUC — the mergeable-metric pattern: each
+    * micro-batch reduces to its own `(score → n_pos, n_neg)` summary
+    * ([[graft.operators.Evaluation.scoreSummary]]), written idempotently
+    * under `batch=<id>`; summaries of disjoint batches MERGE by summing
+    * counts per score, so the drained union re-aggregated per score is
+    * exactly the batch summary and the final AUC
+    * ([[graft.operators.Evaluation.aucFromSummary]]) equals q190's batch
+    * answer at ANY trigger slicing — shared oracle, the q152 discipline.
+    * Per-batch state is ∝ the batch's distinct scores; the standing state
+    * lives as compact parquet summaries, never raw rows — the shape that
+    * lets a 100 TB score stream keep an exact running AUC.
+    */
+  def q192StreamAuc: Q = (s, d) => {
+    val rows = Tables.events(s, d).select(
+      dec(col("value")).as("v"),
+      (col("event_type") === "purchase").cast("int").as("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q192_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      rows.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Evaluation.scoreSummary(batch.toDF())
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = s.read.parquet(sumDir)
+        .groupBy(col("v"))
+        .agg(sum(col("cp")).cast("long").as("cp"), sum(col("cn")).cast("long").as("cn"))
+      graft.Checkpoints.materialize(
+        graft.operators.Evaluation.aucFromSummary(merged))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q192_stream_auc" -> q192StreamAuc,
     "q175_stream_scd2" -> q175StreamScd2,
     "q140_stream_drift" -> q140StreamDrift,
     "q101_stream_static" -> q101StreamStatic,
@@ -945,6 +986,28 @@ object Windows {
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
+    // q192 shares q190's oracle verbatim: the drained merge equals the batch
+    // summary at any trigger slicing
+    "q192_stream_auc" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT v, CAST(SUM(y) AS BIGINT) AS cp,
+        |    CAST(SUM(1 - y) AS BIGINT) AS cn
+        |  FROM e GROUP BY v),
+        |c AS (
+        |  SELECT cp, cn,
+        |    COALESCE(SUM(cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow
+        |  FROM s)
+        |SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(cp * negBelow) AS BIGINT) AS concordant,
+        |  CAST(SUM(cp * cn) AS BIGINT) AS tie_pairs,
+        |  ROUND((CAST(SUM(cp * negBelow) AS DOUBLE) + CAST(SUM(cp * cn) AS DOUBLE) / 2.0)
+        |        / (CAST(SUM(cp) AS DOUBLE) * CAST(SUM(cn) AS DOUBLE)), 6) AS auc
+        |FROM c""".stripMargin,
     "q140_stream_drift" ->
       """WITH wc AS (
         |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS c_w

@@ -83,7 +83,7 @@ class PlanAuditSpec extends SparkSpec {
     "q83_stream_outer_join", "q98_stream_merge", "q101_stream_static",
     "q121_stream_incremental_dedup", "q140_stream_drift",
     "q152_stream_decontam", "q155_stream_ingest_dedup",
-    "q158_stream_decontam_rewrite")
+    "q158_stream_decontam_rewrite", "q192_stream_auc")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -120,6 +120,45 @@ class StatsSpec extends SparkSpec {
     assert(bal.isNullAt(8) && bal.isNullAt(9) && !bal.isNullAt(4) && !bal.isNullAt(5))
   }
 
+  test("q193 weighted median: matches a sequential cumulative-weight walk") {
+    val rows = graft.Tables(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(4),
+        BigDecimal(r.getDouble(2)).setScale(4)))
+    val got = Stats.q193WeightedMedian(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq("A", "N", "R"))
+    got.foreach { case (flag, wmed, tw) =>
+      val g = rows.filter(_._1 == flag).groupBy(_._2).toSeq
+        .map { case (p, v) => (p, v.map(_._3).sum) }.sortBy(_._1)
+      val total = g.map(_._2).sum
+      assert(BigDecimal(tw).setScale(4) === total)
+      var cw = BigDecimal(0)
+      val want = g.find { case (_, w) => { cw += w; cw * 2 >= total } }.get._1
+      assert(BigDecimal(wmed).setScale(4) === want, s"$flag weighted median")
+    }
+  }
+
+  test("q194 Gini: matches the sorted-rank formula; bounds hold") {
+    val rows = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = Stats.q194Gini(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (pri, n, gini) =>
+      val xs = rows.filter(_._1 == pri).sortBy(t => (t._3, t._2)).map(_._3)
+      assert(xs.length == n)
+      val sx = xs.sum
+      val srx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val want = srx * 2.0 / (n * sx) - (n + 1.0) / n
+      assert(math.abs(gini - want) < 1e-4, s"$pri gini $gini vs $want")
+      assert(gini >= 0.0 && gini < 1.0, s"$pri gini out of range")
+    }
+  }
+
   test("q187 fk audit: clean reference data has zero orphans on every edge") {
     val got = Stats.q187FkAudit(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

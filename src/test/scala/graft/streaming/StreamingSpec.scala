@@ -320,6 +320,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q192 streaming AUC equals q190's batch answer; summaries genuinely merge") {
+    val batch = graft.operators.Evaluation.q190Auc(spark, sf0001).head()
+    val stream = Windows.q192StreamAuc(spark, sf0001).head()
+    assert(stream === batch,
+      "drained merge of per-batch score summaries diverged from the batch AUC")
+    // the merge is non-vacuous: the same score value must appear in more
+    // than one micro-batch summary, or the fold never exercised merging
+    val rows = graft.Tables.events(spark, sf0001)
+      .select(graft.Dsl.dec(col("value")).as("v"),
+        (col("event_type") === "purchase").cast("int").as("y"))
+    import spark.implicits._
+    val parts = rows.repartition(3).rdd.mapPartitionsWithIndex { (i, it) =>
+      it.map(r => (i, r.getDecimal(0).toString))
+    }.collect()
+    val dupAcross = parts.groupBy(_._2).values.exists(g => g.map(_._1).distinct.length > 1)
+    assert(dupAcross, "no score value spans two feed partitions — merge untested")
+  }
+
   test("q175 streaming SCD2 equals q170's batch history; untouched users keep their files") {
     val got = Windows.q175StreamScd2(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
