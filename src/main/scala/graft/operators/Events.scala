@@ -459,7 +459,44 @@ object Events {
       .orderBy(col("prev"), col("next"))
   }
 
+  /** Q195: time-series ML feature generation per user stream — lag-1,
+    * rolling mean-of-4, and a 16-tap EWMA with α = 1/2 computed in EXACT
+    * DYADIC fixed point: weights 2^(15−k) over integer cents, so the
+    * weighted sum is pure long arithmetic (the usual αᵏ float recursion is
+    * neither associative nor cross-engine stable; truncating the tail at
+    * 16 taps costs < 2⁻¹⁶ of the mass and buys exactness). Early rows
+    * normalize by the weight mass of the lags that EXIST (`den`), not the
+    * full 2¹⁶−… mass. One per-user window carries all 16 taps; shuffle is
+    * one user-keyed exchange.
+    */
+  def q195TsFeatures: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val wr = w.rowsBetween(-3, 0)
+    val cents = (dec(col("value")) * 100).cast("long")
+    val taps = (0 until 16).map { k =>
+      val wt = 1L << (15 - k)
+      if (k == 0) (col("cents") * wt, lit(wt))
+      else (coalesce(lag(col("cents"), k).over(w), lit(0L)) * wt,
+        when(lag(col("cents"), k).over(w).isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = taps.map(_._1).reduce(_ + _)
+    val den = taps.map(_._2).reduce(_ + _)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), epochSec(col("ts2")).as("es"),
+        col("value"), cents.as("cents"))
+      .select(col("user_id"), col("event_id"), col("es"), col("value"),
+        col("cents"),
+        lag(col("value"), 1).over(w).as("lag1"),
+        (sum(dec(col("value"))).over(wr).cast("double")
+          / count(lit(1)).over(wr)).as("roll4"),
+        num.as("ewma_num"), den.as("ewma_den"),
+        round(num.cast("double") / den.cast("double") / 100.0, 6).as("ewma"))
+      .drop("cents")
+      .orderBy(col("user_id"), col("es"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q195_ts_features" -> q195TsFeatures,
     "q184_attribution" -> q184Attribution,
     "q185_markov_transitions" -> q185MarkovTransitions,
     "q174_resample_interpolate" -> q174ResampleInterpolate,
@@ -480,7 +517,40 @@ object Events {
     "q33_sliding" -> q33Sliding,
     "q75_retention" -> q75Retention)
 
+  private val ewmaNumSql: String =
+    (0 until 16).map { k =>
+      val wt = 1L << (15 - k)
+      if (k == 0) s"cents * $wt"
+      else s"COALESCE(lag(cents, $k) OVER w, 0) * $wt"
+    }.mkString(" + ")
+
+  private val ewmaDenSql: String =
+    (0 until 16).map { k =>
+      val wt = 1L << (15 - k)
+      if (k == 0) s"$wt"
+      else s"CASE WHEN lag(cents, $k) OVER w IS NOT NULL THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q195_ts_features" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    value, CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, es, value,
+        |    lag(value, 1) OVER w AS lag1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+        |        ORDER BY es, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / COUNT(*) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll4,
+        |    CAST($ewmaNumSql AS BIGINT) AS ewma_num,
+        |    CAST($ewmaDenSql AS BIGINT) AS ewma_den
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id))
+        |SELECT user_id, event_id, es, value, lag1, roll4, ewma_num, ewma_den,
+        |  ROUND(CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) / 100.0, 6) AS ewma
+        |FROM f ORDER BY user_id, es, event_id""".stripMargin,
     "q184_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

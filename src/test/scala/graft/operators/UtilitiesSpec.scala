@@ -931,6 +931,34 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
   }
 
+  test("q195 ts features: dyadic EWMA, roll4 and lag1 match a sequential replay") {
+    val rows = Events.q195TsFeatures(spark, sf0001).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (_, rs) =>
+      // output is globally ordered; within a user rows are stream-ordered
+      val cents = rs.map(r => math.round(r.getDouble(3) * 100))
+      rs.zipWithIndex.foreach { case (r, i) =>
+        // lag1
+        if (i == 0) assert(r.isNullAt(4))
+        else assert(math.abs(r.getDouble(4) - rs(i - 1).getDouble(3)) < 1e-9)
+        // rolling mean of last <=4 (exact decimal -> double)
+        val wnd = (math.max(0, i - 3) to i).map(j => BigDecimal(rs(j).getDouble(3)).setScale(4))
+        assert(math.abs(r.getDouble(5) - (wnd.sum / wnd.length).toDouble) < 1e-9, s"roll4 at $i")
+        // dyadic EWMA in integer arithmetic
+        var num = 0L; var den = 0L
+        for (k <- 0 to math.min(15, i)) {
+          val wt = 1L << (15 - k)
+          num += cents(i - k) * wt; den += wt
+        }
+        assert(r.getLong(6) === num && r.getLong(7) === den, s"ewma taps at $i")
+        val want = BigDecimal(num.toDouble / den.toDouble / 100.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(8) - want) < 1e-9, s"ewma at $i")
+      }
+    }
+  }
+
   test("q176 BFS: hop counts match an in-memory BFS over the same edges") {
     val li = Tables(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").collect()
