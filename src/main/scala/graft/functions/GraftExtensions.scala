@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(VectorFunctions.DotName),
       new ExpressionInfo(classOf[DotProduct].getName, VectorFunctions.DotName),
       exprs => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier(VectorFunctions.HilbertName),
+      new ExpressionInfo(classOf[HilbertIndex].getName, VectorFunctions.HilbertName),
+      exprs => HilbertIndex(exprs.head, exprs(1))))
   }
 }

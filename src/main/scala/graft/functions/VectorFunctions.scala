@@ -14,6 +14,7 @@ object VectorFunctions {
 
   val CosineName = "graft_cosine"
   val DotName = "graft_dot"
+  val HilbertName = "graft_hilbert"
 
   /** Idempotently register the vector functions in this session. */
   def register(spark: SparkSession): Unit = {
@@ -21,6 +22,8 @@ object VectorFunctions {
       CosineName, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HilbertName, exprs => HilbertIndex(exprs.head, exprs(1)), "built-in")
   }
 
   /** Cosine similarity of two ARRAY<DOUBLE> columns (requires [[register]]). */
@@ -28,4 +31,7 @@ object VectorFunctions {
 
   /** Dot product of two ARRAY<DOUBLE> columns (requires [[register]]). */
   def dotProduct(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** 16-bit Hilbert-curve index of two BIGINT coordinates (requires [[register]]). */
+  def hilbert(x: Column, y: Column): Column = call_function(HilbertName, x, y)
 }

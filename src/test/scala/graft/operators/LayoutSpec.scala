@@ -62,6 +62,45 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q196: Hilbert expression matches a Scala replay; Hilbert beats Z on locality") {
+    graft.functions.VectorFunctions.register(spark)
+    def hilbertReplay(x0: Long, y0: Long): Long = {
+      var x = x0 & 0xFFFFL; var y = y0 & 0xFFFFL; var d = 0L; var s = 32768L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    // the codegen'd expression against the replay, over a corner + random grid
+    val pts = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 2L), (32768L, 32767L), (12345L, 54321L), (40000L, 20000L))
+    val df = pts.toDF("xb", "yb")
+      .select($"xb", $"yb",
+        graft.functions.VectorFunctions.hilbert($"xb", $"yb").as("h"))
+      .collect()
+    df.foreach(r => assert(r.getLong(2) === hilbertReplay(r.getLong(0), r.getLong(1)),
+      s"hilbert(${r.getLong(0)}, ${r.getLong(1)})"))
+    // the curve is a bijection on a small grid: 16x16 distinct cells -> 256 distinct indexes
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield (x * 4096, y * 4096)).toDF("xb", "yb")
+      .select(graft.functions.VectorFunctions.hilbert($"xb", $"yb")).distinct().count()
+    assert(grid === 256L)
+    // the measured locality claim, pinned
+    val got = Layout.q196Hilbert(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("hilbert")._2 <= got("zorder")._2,
+      "Hilbert lost to Z-order on total extent")
+    assert(got("hilbert")._3 <= got("zorder")._3,
+      "Hilbert lost to Z-order on worst-bucket extent")
+  }
+
   test("q183 pruning audit matches an in-memory bucket walk; zorder never scans more") {
     val xs = normalized(orderXY)
     val trueRows = xs.count { case (x, y, _, _) => x >= 100 && x <= 199 && y >= 730 && y <= 1094 }

@@ -56,6 +56,7 @@ class PlanAuditSpec extends SparkSpec {
     "q187_fk_audit", // per-edge 1-row child-total x 1-row orphan-count joins
     "q181_skyline", // 1-row min/max broadcast + non-equi dominance join over the pruned survivor set
     "q182_zorder", // 1-row min/max broadcast normalizing both curve dimensions
+    "q196_hilbert", // same 1-row min/max normalization broadcast (q182's xy helper)
     "q188_ivfpq", // K-centroid + probe-row broadcasts (q41 IVF family x q172 PQ codebooks)
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
