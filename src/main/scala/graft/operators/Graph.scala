@@ -146,12 +146,58 @@ object Graph {
     settled.orderBy(col("hops"), col("node"))
   }
 
+  /** Q197: generic connected components, exposed as a query — the
+    * [[graft.dedup.Components]] min-label-with-pointer-jumping kernel
+    * (O(log diameter) rounds, reliable-checkpoint mode via the one-conf
+    * switch) run over the FREQUENT co-purchase graph: edges are part
+    * pairs co-bought in ≥ 3 orders, which is sparse where the raw
+    * co-purchase graph is one giant blob (measured: 119 nodes / 56
+    * components at sf0.01 vs a 1 860-node single component at ≥ 2). The
+    * support prune IS the q180 apriori discipline, so edge construction
+    * stays bounded. The oracle computes the same components by recursive
+    * reachability closure — tractable exactly because the frequent graph
+    * is small; the Spark side never materializes reachability, only
+    * labels.
+    */
+  def q197ConnectedComponents: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val edges = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("pc"))
+      .filter(col("pc") >= 3)
+      .select(col("u"), col("v"))
+    graft.dedup.Components.connectedComponents(edges, "u", "v")
+      .withColumnRenamed("comp", "component")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("component"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q81_copurchase_rank" -> q81CopurchaseRank,
     "q165_triangles" -> q165Triangles,
-    "q176_bfs_hops" -> q176BfsHops)
+    "q176_bfs_hops" -> q176BfsHops,
+    "q197_connected_components" -> q197ConnectedComponents)
 
   val oracles: Map[String, String] = Map(
+    "q197_connected_components" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |pe AS (
+        |  SELECT a.item AS u, b.item AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
+        |reach(node, r) AS (
+        |  SELECT u AS node, u AS r FROM e
+        |  UNION
+        |  SELECT e.u AS node, reach.r FROM e JOIN reach ON reach.node = e.v),
+        |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+        |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM comp GROUP BY component
+        |ORDER BY n_nodes DESC, component""".stripMargin,
     "q176_bfs_hops" ->
       """WITH e0 AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -931,6 +931,34 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
   }
 
+  test("q197 connected components: sizes match a union-find replay on the same edges") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // n.b. `Map.collect` over key tuples would REBUILD a map keyed by the
+    // edge source and silently drop parallel edges — filter + keys instead
+    val edges = li.toSeq.groupBy(_._1).values.toSeq
+      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2))
+      .groupBy(identity).filter(_._2.size >= 3).keys.toSeq
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.map(n => (find(n), n)).groupBy(_._1)
+      .map { case (c, ns) => (ns.map(_._2).min, ns.size.toLong) } // canonical = min node
+    val got = Graph.q197ConnectedComponents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toMap === want)
+    // sf0.001's frequent graph is one 189-node component (DuckDB-confirmed);
+    // the 56-component structure is exercised by the sf0.01 oracle hash
+    assert(got.map(_._2).sum === want.values.sum)
+  }
+
   test("q195 ts features: dyadic EWMA, roll4 and lag1 match a sequential replay") {
     val rows = Events.q195TsFeatures(spark, sf0001).collect()
     val byUser = rows.groupBy(_.getLong(0))
