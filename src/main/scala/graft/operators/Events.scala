@@ -495,7 +495,70 @@ object Events {
       .orderBy(col("user_id"), col("es"), col("event_id"))
   }
 
+  /** Q198: CUSUM change-point detection on hourly volumes per event type —
+    * the monitoring primitive that localizes WHERE a level shift happened
+    * (q99's z-score only says THAT an hour is anomalous). Exact integer
+    * form: with T hours and total volume V, the cumulative deviation at
+    * hour t is `Σ_{i≤t}(T·nᵢ − V) = T·Σnᵢ − t·V` — all longs, no float
+    * mean. The change point is the argmax of |CUSUM| under an
+    * `(|c| desc, hour asc)` total order, picked by one row_number inside
+    * the per-type window; hourly collapse first, so the windows run over
+    * the bounded per-type hour summaries.
+    */
+  def q198Changepoint: Q = (s, d) => {
+    val hourly = events(s, d)
+      .select(col("event_type"), epochSec(col("ts2")).as("es"))
+      .select(col("event_type"), expr("es div 3600").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("v"), count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cus = hourly.join(broadcast(tot), Seq("event_type"))
+      .withColumn("rt", count(lit(1)).over(w))
+      .withColumn("cusum", col("t") * sum(col("n")).over(w) - col("rt") * col("v"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("h"))
+    cus.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("h").as("cp_hour"), col("cusum"),
+        col("t").as("n_hours"), col("v").as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q199: top session paths — the most frequent length-3 event-type
+    * sequences inside 30-minute-gap sessions (q31's sessionization), the
+    * journey-mining query behind "how do users actually reach purchase".
+    * Session ids are the q31 gap+cumsum windows; trigrams are two lags
+    * inside the (user, session) partition; one count aggregate, top-20
+    * under `(cnt desc, path)`.
+    */
+  def q199PathTrigrams: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("es"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochSec(col("ts2")).as("es"))
+      .withColumn("newSess",
+        when(col("es") - lag(col("es"), 1).over(w) > 1800
+          || lag(col("es"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("newSess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t1", lag(col("event_type"), 1).over(ws))
+      .withColumn("t2", lag(col("event_type"), 2).over(ws))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("t2"), col("t1"), col("event_type")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q198_changepoint" -> q198Changepoint,
+    "q199_path_trigrams" -> q199PathTrigrams,
     "q195_ts_features" -> q195TsFeatures,
     "q184_attribution" -> q184Attribution,
     "q185_markov_transitions" -> q185MarkovTransitions,
@@ -532,6 +595,49 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q198_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS v, COUNT(*) AS t
+        |  FROM hourly GROUP BY 1),
+        |cus AS (
+        |  SELECT hourly.event_type, h, t, v,
+        |    t * SUM(n) OVER (PARTITION BY hourly.event_type ORDER BY h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (COUNT(*) OVER (PARTITION BY hourly.event_type ORDER BY h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * v AS cusum
+        |  FROM hourly JOIN tot ON hourly.event_type = tot.event_type),
+        |r AS (
+        |  SELECT event_type, h, cusum, t, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ABS(cusum) DESC, h) AS rn
+        |  FROM cus)
+        |SELECT event_type, h AS cp_hour, CAST(cusum AS BIGINT) AS cusum,
+        |  t AS n_hours, v AS total
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q199_path_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |    THEN 1 ELSE 0 END AS newSess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |g AS (
+        |  SELECT *, SUM(newSess) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f),
+        |t AS (
+        |  SELECT lag(event_type, 2) OVER ws AS t2, lag(event_type, 1) OVER ws AS t1,
+        |    event_type AS t0
+        |  FROM g WINDOW ws AS (PARTITION BY user_id, sess ORDER BY es, event_id))
+        |SELECT t2 || '>' || t1 || '>' || t0 AS path, COUNT(*) AS cnt
+        |FROM t WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""".stripMargin,
     "q195_ts_features" ->
       s"""WITH e AS (
         |  SELECT user_id, event_id,

@@ -209,11 +209,57 @@ object Layout {
          |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS hry FROM h$i))""".stripMargin
     }.mkString(",\n")
 
+  /** Q200: small-file compaction — the lakehouse OPTIMIZE primitive. A
+    * fragmented ingest (64 files for a corpus that needs a handful) is
+    * compacted by sizing the output partition count from the data
+    * (`ceil(total_chars / target)` — the 128 MB-per-file knob scaled to
+    * the fixture) and rewriting; the audit row carries file counts before
+    * and after plus a full-content symmetric difference (`exceptAll` both
+    * ways), so "compaction changed nothing but the layout" is an asserted
+    * property, not an assumption. Engine-only: file counts live outside
+    * SQL's data model; LayoutSpec pins rows/content preserved and
+    * `files_after = target ≤ files_before`. At cluster scale the knob is
+    * bytes from the file footers and the rewrite is per-partition-dir —
+    * same shape, bigger constants.
+    */
+  def q200Compaction: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q200_").toString
+    try {
+      val frag = s"$tmp/fragmented"
+      val comp = s"$tmp/compacted"
+      docs.repartition(64).write.mode("overwrite").parquet(frag)
+      val in = s.read.parquet(frag)
+      val filesBefore = in.select(input_file_name()).distinct().count()
+      val rowsBefore = in.count()
+      val totalChars = in.agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+      val target = 200000L
+      val nOut = math.max(1L, (totalChars + target - 1) / target)
+      in.repartition(nOut.toInt).write.mode("overwrite").parquet(comp)
+      val out = s.read.parquet(comp)
+      val filesAfter = out.select(input_file_name()).distinct().count()
+      val rowsAfter = out.count()
+      val diff = in.exceptAll(out).count() + out.exceptAll(in).count()
+      Seq((filesBefore, filesAfter, rowsBefore, rowsAfter, totalChars, diff, nOut))
+        .toDF("files_before", "files_after", "rows_before", "rows_after",
+          "total_chars", "content_diff", "target_files")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q181_skyline" -> q181Skyline,
     "q182_zorder" -> q182Zorder,
     "q183_minmax_prune" -> q183MinmaxPrune,
-    "q196_hilbert" -> q196Hilbert)
+    "q196_hilbert" -> q196Hilbert,
+    "q200_compaction" -> q200Compaction)
 
   val oracles: Map[String, String] = Map(
     "q196_hilbert" ->

@@ -101,6 +101,18 @@ class LayoutSpec extends SparkSpec {
       "Hilbert lost to Z-order on worst-bucket extent")
   }
 
+  test("q200 compaction: content preserved bit-for-bit, file count collapses to target") {
+    val r = Layout.q200Compaction(spark, sf0001).head()
+    val (fb, fa, rb, ra) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (chars, diff, target) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(rb === ra, "compaction changed the row count")
+    assert(diff === 0L, "compaction changed row CONTENT")
+    assert(fa === target, s"wrote $fa files, sized $target")
+    assert(fa < fb, "compaction did not reduce the file count")
+    assert(target === math.max(1L, (chars + 199999L) / 200000L))
+    assert(rb === graft.Tables(spark, sf0001, "documents").count())
+  }
+
   test("q183 pruning audit matches an in-memory bucket walk; zorder never scans more") {
     val xs = normalized(orderXY)
     val trueRows = xs.count { case (x, y, _, _) => x >= 100 && x <= 199 && y >= 730 && y <= 1094 }

@@ -55,7 +55,10 @@ class QueriesGoldenSpec extends SparkSpec {
       // q188: IVF cells x PQ codes composition (kmeans fixpoints on both
       // levels); PqSpec pins candidate containment, an ADC-over-candidates
       // replay, and the recall floor
-      "q188_ivfpq")
+      "q188_ivfpq",
+      // q200: file counts live outside SQL's data model; LayoutSpec pins
+      // rows/content preserved and files_after = target <= files_before
+      "q200_compaction")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

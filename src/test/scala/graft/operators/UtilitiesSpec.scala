@@ -931,6 +931,56 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
   }
 
+  test("q198 CUSUM change point: argmax of the integer cumulative deviation") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"event_type", ($"ts2".cast("long") / 3600).cast("long").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Events.q198Changepoint(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.foreach { case (tpe, cpHour, cusum, nHours, total) =>
+      val hours = evs.filter(_._1 == tpe).groupBy(_._2).toSeq
+        .map { case (h, v) => (h, v.length.toLong) }.sortBy(_._1)
+      assert(hours.length.toLong === nHours && hours.map(_._2).sum === total)
+      var run = 0L
+      val cs = hours.zipWithIndex.map { case ((h, n), i) =>
+        run += n
+        (h, nHours * run - (i + 1) * total)
+      }
+      val want = cs.minBy { case (h, c) => (-math.abs(c), h) }
+      assert((cpHour, cusum) === want, s"$tpe change point")
+    }
+  }
+
+  test("q199 path trigrams: counts match a sequential sessionized walk") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type", $"ts2".cast("long").as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    evs.groupBy(_._1).values.foreach { g =>
+      val ord = g.toSeq.sortBy(e => (e._4, e._2))
+      var sess = Vector.empty[String]
+      var lastEs = Long.MinValue
+      def flush(): Unit = {
+        sess.sliding(3).foreach { w =>
+          if (w.length == 3) want(w.mkString(">")) += 1
+        }
+        sess = Vector.empty
+      }
+      ord.foreach { e =>
+        if (lastEs != Long.MinValue && e._4 - lastEs > 1800) flush()
+        sess :+= e._3; lastEs = e._4
+      }
+      flush()
+    }
+    val got = Events.q199PathTrigrams(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { case (p, c) => assert(want(p) === c, s"path $p") }
+    val floor = got.map(_._2).min
+    assert(want.values.count(_ > floor) <= got.length,
+      "a path with more occurrences than the cut was left out of the top-20")
+  }
+
   test("q197 connected components: sizes match a union-find replay on the same edges") {
     val li = Tables(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct().collect()
