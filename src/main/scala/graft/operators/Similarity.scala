@@ -447,7 +447,7 @@ object Similarity {
     */
   def q172PqCodebook: Q = (s, d) => {
     val emb = Tables(s, d, "embeddings")
-    val (_, assigned) = Pq.codebook(emb, "vec_id", "embedding")
+    val (_, assigned) = Pq.codebookCached(emb, "vec_id", "embedding")
     assigned
       .select(col("m"), col("cid"),
         round(col("dist"), 12).cast(org.apache.spark.sql.types.DecimalType(28, 12))
@@ -478,7 +478,7 @@ object Similarity {
   def q173PqAdcRecall: Q = (s, d) => {
     import s.implicits._
     val emb = Tables(s, d, "embeddings")
-    val (centroids, assigned) = Pq.codebook(emb, "vec_id", "embedding")
+    val (centroids, assigned) = Pq.codebookCached(emb, "vec_id", "embedding")
     val probes = Pq.subvectors(emb.filter(col("vec_id") < 5), "vec_id", "embedding", 8, 8)
       .select(col("vec_id").as("pid"), col("m"), col("sub").as("pv"))
     def top10(parts: DataFrame): DataFrame = parts
@@ -533,7 +533,7 @@ object Similarity {
     val emb = Tables(s, d, "embeddings")
     val (ivfAssigned, ivfCentroids) = graft.similarity.Ann.ivfIndexCached(
       emb, "vec_id", "embedding", 16, refineIters = 1, assignReplicas = 2)
-    val (pqCentroids, pqAssigned) = Pq.codebook(emb, "vec_id", "embedding")
+    val (pqCentroids, pqAssigned) = Pq.codebookCached(emb, "vec_id", "embedding")
     val probeIds = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
     val probes = ivfAssigned.filter(col("crank") === 1)
       .join(broadcast(probeIds), col("id") === col("qid"))

@@ -81,4 +81,46 @@ object Pq {
       centroids = graft.Checkpoints.materialize(refine(assign(subs, centroids)))
     (centroids, assign(subs, centroids))
   }
+
+  private final case class CbKey(sessionUUID: String, semanticHash: Int,
+                                 idCol: String, embCol: String,
+                                 mSub: Int, subDim: Int, k: Int, iters: Int)
+
+  private val cbCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[CbKey, (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CbKey, (org.apache.spark.sql.DataFrame,
+            org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]): Boolean =
+        size() > 8
+    })
+
+  /** Train-once view of [[codebook]] — the [[graft.similarity.Ann
+    * .ivfIndexCached]] discipline applied to the PQ side: q172 (codebook
+    * audit), q173 (ADC recall) and q188 (IVFPQ) all train over the same
+    * embeddings relation, and the 2-round Lloyd fixpoint is their shared
+    * dominant fixed cost. Keyed by (session, canonical plan, params) with
+    * `sameSemantics` confirming the hash; both relations are materialized
+    * (lineage-cut) before caching. Overwrite the input table →
+    * [[clearCodebookCache]].
+    */
+  def codebookCached(emb: DataFrame, idCol: String, embCol: String,
+                     mSub: Int = 8, subDim: Int = 8, k: Int = 16,
+                     iters: Int = 2): (DataFrame, DataFrame) = {
+    val key = CbKey(System.identityHashCode(emb.sparkSession).toString,
+      emb.semanticHash(), idCol, embCol, mSub, subDim, k, iters)
+    val hit = cbCache.get(key)
+    if (hit != null && (hit._1.sparkSession eq emb.sparkSession) &&
+        hit._1.sameSemantics(emb)) (hit._2, hit._3)
+    else {
+      val (centroids, assigned) = codebook(emb, idCol, embCol, mSub, subDim, k, iters)
+      val cM = graft.Checkpoints.materialize(centroids)
+      val aM = graft.Checkpoints.materialize(assigned)
+      cbCache.put(key, (emb, cM, aM))
+      (cM, aM)
+    }
+  }
+
+  /** Drop every memoized codebook (use after overwriting an input table). */
+  def clearCodebookCache(): Unit = cbCache.clear()
 }
