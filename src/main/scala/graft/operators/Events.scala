@@ -505,12 +505,19 @@ object Events {
     * the per-type window; hourly collapse first, so the windows run over
     * the bounded per-type hour summaries.
     */
-  def q198Changepoint: Q = (s, d) => {
-    val hourly = events(s, d)
-      .select(col("event_type"), epochSec(col("ts2")).as("es"))
-      .select(col("event_type"), expr("es div 3600").as("h"))
-      .groupBy(col("event_type"), col("h"))
-      .agg(count(lit(1)).as("n"))
+  def q198Changepoint: Q = (s, d) =>
+    changepointFromHourly(
+      events(s, d)
+        .select(col("event_type"), epochSec(col("ts2")).as("es"))
+        .select(col("event_type"), expr("es div 3600").as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n")))
+
+  /** q198's kernel over a mergeable `(event_type, h, n)` hourly summary —
+    * shared with the streaming fold (q201): summaries of disjoint row sets
+    * merge by summing `n` per (type, hour).
+    */
+  def changepointFromHourly(hourly: DataFrame): DataFrame = {
     val tot = hourly.groupBy(col("event_type"))
       .agg(sum(col("n")).cast("long").as("v"), count(lit(1)).as("t"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
@@ -556,7 +563,75 @@ object Events {
       .limit(20)
   }
 
+  /** Q202: time-weighted average (TWAP) over an IRREGULAR series — the
+    * financial/telemetry average that a plain mean gets wrong when
+    * observations cluster: each value is weighted by how long it was the
+    * current one (Δt to the next same-user event that day). All exact:
+    * Δt is integer seconds from a `lead` window, the weighted mass is a
+    * decimal·long product summed associatively, and the final division is
+    * one double op. Per-(user, day) windows, bounded and distributed.
+    */
+  def q202Twap: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("es"), col("event_id"))
+    val r = events(s, d)
+      .select(col("user_id"), col("event_id"), dec(col("value")).as("v"),
+        epochSec(col("ts2")).as("es"),
+        col("ts2").cast("date").cast("string").as("day"))
+      .withColumn("nes", lead(col("es"), 1).over(w))
+      .filter(col("nes").isNotNull)
+      .withColumn("dt", col("nes") - col("es"))
+    r.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).cast("long").as("total_dt"),
+        sum(col("v") * col("dt")).cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("mass"))
+      .filter(col("total_dt") > 0)
+      .select(col("user_id"), col("day"), col("n_intervals"), col("total_dt"),
+        round(col("mass") / col("total_dt").cast("double"), 6).as("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  case class BalRow(user_id: Long, event_id: Long, es: Long, delta: java.math.BigDecimal)
+
+  /** Q203: clamped running balance — per-user ledger where purchases add
+    * `value`, errors subtract it, and the balance FLOORS at zero (refund /
+    * credit semantics). The clamp makes the fold NON-ASSOCIATIVE: no
+    * window or aggregate expresses it, so this is the documented typed
+    * escape hatch (`groupByKey.flatMapGroups`, the q66 discipline) — the
+    * group is one user's bounded stream, sorted in memory under the
+    * `(es, event_id)` total order, folded with exact BigDecimal
+    * arithmetic. The ORACLE is a recursive CTE stepping all users in
+    * lockstep by row number — proof that even the non-associative
+    * operator is cross-engine pinned. Shuffle: one user-keyed exchange.
+    */
+  def q203ClampedBalance: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val rows = events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), epochSec(col("ts2")).as("es"),
+        when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(-dec(col("value"))).as("delta"))
+      .as[BalRow]
+    rows.groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        var bal = java.math.BigDecimal.ZERO
+        var hits = 0L
+        it.toSeq.sortBy(r => (r.es, r.event_id)).foreach { r =>
+          val next = bal.add(r.delta)
+          if (next.signum() < 0) { bal = java.math.BigDecimal.ZERO; hits += 1 }
+          else bal = next
+        }
+        Iterator.single((uid, bal.doubleValue(), hits))
+      }
+      .toDF("user_id", "final_balance", "floor_hits")
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q202_twap" -> q202Twap,
+    "q203_clamped_balance" -> q203ClampedBalance,
     "q198_changepoint" -> q198Changepoint,
     "q199_path_trigrams" -> q199PathTrigrams,
     "q195_ts_features" -> q195TsFeatures,
@@ -595,6 +670,45 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q202_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,4)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    CAST(CAST(date_trunc('second', ts) AS DATE) AS VARCHAR) AS day
+        |  FROM events),
+        |r AS (
+        |  SELECT *, lead(es) OVER (PARTITION BY user_id, day
+        |    ORDER BY es, event_id) - es AS dt
+        |  FROM e)
+        |SELECT user_id, day, COUNT(*) AS n_intervals,
+        |  CAST(SUM(dt) AS BIGINT) AS total_dt,
+        |  ROUND(CAST(CAST(SUM(v * dt) AS DECIMAL(38,4)) AS DOUBLE)
+        |        / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE), 6) AS twap
+        |FROM r WHERE dt IS NOT NULL
+        |GROUP BY user_id, day HAVING SUM(dt) > 0
+        |ORDER BY user_id, day""".stripMargin,
+    "q203_clamped_balance" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS rn,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
+        |         ELSE -CAST(value AS DECIMAL(18,4)) END AS delta
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |m AS (SELECT user_id, MAX(rn) AS mx FROM e GROUP BY user_id),
+        |r(user_id, rn, bal, hits) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS DECIMAL(18,4)), CAST(0 AS BIGINT)
+        |  FROM m
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn + 1,
+        |    CAST(CASE WHEN r.bal + e.delta < 0 THEN 0
+        |              ELSE r.bal + e.delta END AS DECIMAL(18,4)),
+        |    r.hits + CASE WHEN r.bal + e.delta < 0 THEN 1 ELSE 0 END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT r.user_id, CAST(r.bal AS DOUBLE) AS final_balance,
+        |  CAST(r.hits AS BIGINT) AS floor_hits
+        |FROM r JOIN m ON r.user_id = m.user_id AND r.rn = m.mx
+        |ORDER BY r.user_id""".stripMargin,
     "q198_changepoint" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -276,7 +276,43 @@ object Stats {
       .orderBy(col("pri"))
   }
 
+  /** Leading-digit Benford expectations `log10(1 + 1/d)`, shared between
+    * the Spark plan and the oracle as IDENTICAL double literals.
+    */
+  private val benford: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124, 3 -> 0.12493873660829992,
+    4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514)
+
+  /** Q204: Benford's-law first-digit audit over order totals — the fraud /
+    * synthetic-data screen. The leading digit is extracted in pure integer
+    * arithmetic (exact cents, integer division, then the first character
+    * of the integer's string form — identical in both engines; a
+    * float log10 would straddle power-of-ten boundaries differently per
+    * engine). One 9-group aggregate + a 1-row broadcast total; expected
+    * shares are fixed double literals.
+    */
+  def q204Benford: Q = (s, d) => {
+    val cents = (dec(col("o_totalprice")) * 100).cast("long")
+    val counts = Tables(s, d, "orders")
+      .select(cents.as("cents"))
+      .select(substring(expr("CAST(cents div 100 AS STRING)"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("long").as("total"))
+    val expected = benford.tail.foldLeft(
+      when(col("digit") === benford.head._1.toString, lit(benford.head._2))) {
+      case (acc, (dg, p)) => acc.when(col("digit") === dg.toString, lit(p))
+    }
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n").cast("double") / col("total").cast("double"), 6))
+      .withColumn("expected", expected)
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        round(col("share") - col("expected"), 6).as("delta"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q204_benford" -> q204Benford,
     "q193_weighted_median" -> q193WeightedMedian,
     "q194_gini" -> q194Gini,
     "q177_group_linreg" -> q177GroupLinreg,
@@ -286,7 +322,24 @@ object Stats {
     "q186_column_profile" -> q186ColumnProfile,
     "q187_fk_audit" -> q187FkAudit)
 
+  private val benfordCaseSql: String =
+    benford.map { case (dg, p) => s"WHEN digit = '$dg' THEN CAST($p AS DOUBLE)" }
+      .mkString("CASE ", " ", " END")
+
   val oracles: Map[String, String] = Map(
+    "q204_benford" ->
+      s"""WITH c AS (
+        |  SELECT SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 100 AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
+        |r AS (
+        |  SELECT digit, n,
+        |    ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        |    $benfordCaseSql AS expected
+        |  FROM g, t)
+        |SELECT digit, n, share, expected, ROUND(share - expected, 6) AS delta
+        |FROM r ORDER BY digit""".stripMargin,
     "q193_weighted_median" ->
       """WITH bp AS (
         |  SELECT l_returnflag AS flag,

@@ -966,7 +966,46 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q201: streaming CUSUM change-point — q192's mergeable-summary
+    * pattern applied to the monitoring kernel: each micro-batch collapses
+    * to its own `(event_type, hour, n)` counts (written idempotently per
+    * batch), disjoint batches merge by summing `n`, and the drained merge
+    * feeds [[graft.operators.Events.changepointFromHourly]] — so the
+    * result equals q198's batch answer at any trigger slicing and shares
+    * its oracle verbatim. Standing state ∝ distinct (type, hour) cells,
+    * never rows.
+    */
+  def q201StreamChangepoint: Q = (s, d) => {
+    val rows = Tables.events(s, d).select(
+      col("event_type"),
+      expr("CAST(ts2 AS LONG) div 3600").as("h"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q201_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      rows.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            batch.groupBy(col("event_type"), col("h"))
+              .agg(count(lit(1)).as("n"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = s.read.parquet(sumDir)
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("n")).cast("long").as("n"))
+      graft.Checkpoints.materialize(
+        graft.operators.Events.changepointFromHourly(merged))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q201_stream_changepoint" -> q201StreamChangepoint,
     "q192_stream_auc" -> q192StreamAuc,
     "q175_stream_scd2" -> q175StreamScd2,
     "q140_stream_drift" -> q140StreamDrift,
@@ -986,6 +1025,30 @@ object Windows {
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
+    // q201 shares q198's oracle verbatim (merge ≡ batch at any slicing)
+    "q201_stream_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS v, COUNT(*) AS t
+        |  FROM hourly GROUP BY 1),
+        |cus AS (
+        |  SELECT hourly.event_type, h, t, v,
+        |    t * SUM(n) OVER (PARTITION BY hourly.event_type ORDER BY h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (COUNT(*) OVER (PARTITION BY hourly.event_type ORDER BY h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * v AS cusum
+        |  FROM hourly JOIN tot ON hourly.event_type = tot.event_type),
+        |r AS (
+        |  SELECT event_type, h, cusum, t, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ABS(cusum) DESC, h) AS rn
+        |  FROM cus)
+        |SELECT event_type, h AS cp_hour, CAST(cusum AS BIGINT) AS cusum,
+        |  t AS n_hours, v AS total
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // q192 shares q190's oracle verbatim: the drained merge equals the batch
     // summary at any trigger slicing
     "q192_stream_auc" ->

@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     "q182_zorder", // 1-row min/max broadcast normalizing both curve dimensions
     "q196_hilbert", // same 1-row min/max normalization broadcast (q182's xy helper)
     "q188_ivfpq", // K-centroid + probe-row broadcasts (q41 IVF family x q172 PQ codebooks)
+    "q204_benford", // 1-row broadcast digit-count total in the share denominator
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -84,7 +85,8 @@ class PlanAuditSpec extends SparkSpec {
     "q83_stream_outer_join", "q98_stream_merge", "q101_stream_static",
     "q121_stream_incremental_dedup", "q140_stream_drift",
     "q152_stream_decontam", "q155_stream_ingest_dedup",
-    "q158_stream_decontam_rewrite", "q192_stream_auc")
+    "q158_stream_decontam_rewrite", "q192_stream_auc",
+    "q201_stream_changepoint")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -931,6 +931,72 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
   }
 
+  test("q202 TWAP: matches a sequential interval-weighted replay") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"value", $"ts2".cast("long").as("es"),
+        $"ts2".cast("date").cast("string").as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(4),
+        r.getLong(3), r.getString(4)))
+    val got = Events.q202Twap(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.nonEmpty)
+    evs.groupBy(e => (e._1, e._5)).foreach { case (key, g) =>
+      val ord = g.sortBy(e => (e._4, e._2))
+      val iv = ord.zip(ord.drop(1)).map { case (a, b) => (a._3, b._4 - a._4) }
+      val totalDt = iv.map(_._2).sum
+      if (iv.nonEmpty && totalDt > 0) {
+        val mass = iv.map { case (v, dt) => v * dt }.sum
+        val (n, dt, twap) = got(key)
+        assert(n === iv.length.toLong && dt === totalDt, s"$key intervals")
+        assert(math.abs(twap - (mass / totalDt).toDouble) < 1e-5, s"$key twap")
+      } else assert(!got.contains(key), s"$key should be filtered")
+    }
+  }
+
+  test("q203 clamped balance: non-associative fold matches a sequential replay") {
+    val evs = Tables.events(spark, sf0001)
+      .filter($"event_type".isin("purchase", "error"))
+      .select($"user_id", $"event_id", $"event_type", $"value", $"ts2".cast("long").as("es"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        BigDecimal(r.getDouble(3)).setScale(4), r.getLong(4)))
+    val got = Events.q203ClampedBalance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    evs.groupBy(_._1).foreach { case (uid, g) =>
+      var bal = BigDecimal(0); var hits = 0L
+      g.sortBy(e => (e._5, e._2)).foreach { e =>
+        val delta = if (e._3 == "purchase") e._4 else -e._4
+        val next = bal + delta
+        if (next < 0) { bal = BigDecimal(0); hits += 1 } else bal = next
+      }
+      val (gb, gh) = got(uid)
+      assert(BigDecimal(gb).setScale(4) === bal && gh === hits, s"user $uid")
+    }
+    // clamping must actually fire somewhere, or the operator is untested
+    assert(got.values.map(_._2).sum > 0, "no user ever hit the floor")
+  }
+
+  test("q204 Benford audit: digit extraction exact, shares partition the rows") {
+    val prices = Tables(spark, sf0001, "orders")
+      .select($"o_totalprice").collect().map(_.getDouble(0))
+    val wantCounts = prices
+      .map(p => (BigDecimal(p).setScale(4) * 100).toLongExact / 100)
+      .map(_.toString.head.toString)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Stats.q204Benford(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet.subsetOf((1 to 9).map(_.toString).toSet))
+    got.foreach { case (dg, n, share, expected, delta) =>
+      assert(wantCounts(dg) === n, s"digit $dg count")
+      assert(math.abs(share - n.toDouble / prices.length) < 1e-6)
+      assert(math.abs(delta - (share - expected)) < 1e-5)
+    }
+    assert(got.map(_._2).sum === prices.length.toLong)
+  }
+
   test("q198 CUSUM change point: argmax of the integer cumulative deviation") {
     val evs = Tables.events(spark, sf0001)
       .select($"event_type", ($"ts2".cast("long") / 3600).cast("long").as("h"))

@@ -320,6 +320,13 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q201 streaming change point equals q198's batch answer") {
+    val batch = graft.operators.Events.q198Changepoint(spark, sf0001).collect()
+    val stream = Windows.q201StreamChangepoint(spark, sf0001).collect()
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "drained merge of per-batch hourly summaries diverged from the batch CUSUM")
+  }
+
   test("q192 streaming AUC equals q190's batch answer; summaries genuinely merge") {
     val batch = graft.operators.Evaluation.q190Auc(spark, sf0001).head()
     val stream = Windows.q192StreamAuc(spark, sf0001).head()
