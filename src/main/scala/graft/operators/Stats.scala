@@ -311,7 +311,44 @@ object Stats {
       .orderBy(col("digit"))
   }
 
+  /** Q205: join-key skew diagnosis — the report that decides WHEN q171's
+    * salted join (or AQE skew handling) is worth its replication cost.
+    * For each candidate key column, one count aggregate derives the key
+    * histogram; from it: cardinality, mean/max key mass, the top key and
+    * its share, and the skew factor `max/mean`. Everything integer or a
+    * single double ratio; per-column work is one shuffle ∝ distinct keys,
+    * and the per-column summaries are 1-row relations unioned into the
+    * report. A planner consults exactly this shape before choosing a
+    * distribution strategy.
+    */
+  def q205SkewReport: Q = (s, d) => {
+    def report(table: String, column: String): DataFrame = {
+      val hist = Tables(s, d, table)
+        .groupBy(col(column).as("k")).agg(count(lit(1)).as("n"))
+      val top = hist.orderBy(col("n").desc, col("k")).limit(1)
+        .select(col("k").cast("string").as("top_key"), col("n").as("top_n"))
+      hist.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).cast("long").as("rows"),
+        max(col("n")).as("max_n"))
+        .crossJoin(broadcast(top))
+        .select(lit(s"$table.$column").as("key_col"),
+          col("n_keys"), col("rows"), col("max_n"), col("top_key"), col("top_n"),
+          round(col("max_n").cast("double")
+            / (col("rows").cast("double") / col("n_keys").cast("double")), 4).as("skew_factor"))
+    }
+    Seq(
+      report("lineitem", "l_orderkey"),
+      report("lineitem", "l_partkey"),
+      report("lineitem", "l_suppkey"),
+      report("orders", "o_custkey"),
+      report("events", "user_id"),
+      report("events", "event_type"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("key_col"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_skew_report" -> q205SkewReport,
     "q204_benford" -> q204Benford,
     "q193_weighted_median" -> q193WeightedMedian,
     "q194_gini" -> q194Gini,
@@ -327,6 +364,39 @@ object Stats {
       .mkString("CASE ", " ", " END")
 
   val oracles: Map[String, String] = Map(
+    "q205_skew_report" ->
+      """WITH
+        |h1 AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |h2 AS (SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |h3 AS (SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |h4 AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+        |h5 AS (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1),
+        |h6 AS (SELECT event_type AS k, COUNT(*) AS n FROM events GROUP BY 1),
+        |t1 AS (SELECT CAST(k AS VARCHAR) AS top_key, n AS top_n FROM h1 ORDER BY n DESC, k LIMIT 1),
+        |t2 AS (SELECT CAST(k AS VARCHAR) AS top_key, n AS top_n FROM h2 ORDER BY n DESC, k LIMIT 1),
+        |t3 AS (SELECT CAST(k AS VARCHAR) AS top_key, n AS top_n FROM h3 ORDER BY n DESC, k LIMIT 1),
+        |t4 AS (SELECT CAST(k AS VARCHAR) AS top_key, n AS top_n FROM h4 ORDER BY n DESC, k LIMIT 1),
+        |t5 AS (SELECT CAST(k AS VARCHAR) AS top_key, n AS top_n FROM h5 ORDER BY n DESC, k LIMIT 1),
+        |t6 AS (SELECT CAST(k AS VARCHAR) AS top_key, n AS top_n FROM h6 ORDER BY n DESC, k LIMIT 1),
+        |r AS (
+        |  SELECT 'lineitem.l_orderkey' AS key_col, COUNT(*) AS n_keys,
+        |    CAST(SUM(n) AS BIGINT) AS rows, MAX(n) AS max_n,
+        |    (SELECT top_key FROM t1) AS top_key, (SELECT top_n FROM t1) AS top_n
+        |  FROM h1
+        |  UNION ALL SELECT 'lineitem.l_partkey', COUNT(*), CAST(SUM(n) AS BIGINT), MAX(n),
+        |    (SELECT top_key FROM t2), (SELECT top_n FROM t2) FROM h2
+        |  UNION ALL SELECT 'lineitem.l_suppkey', COUNT(*), CAST(SUM(n) AS BIGINT), MAX(n),
+        |    (SELECT top_key FROM t3), (SELECT top_n FROM t3) FROM h3
+        |  UNION ALL SELECT 'orders.o_custkey', COUNT(*), CAST(SUM(n) AS BIGINT), MAX(n),
+        |    (SELECT top_key FROM t4), (SELECT top_n FROM t4) FROM h4
+        |  UNION ALL SELECT 'events.user_id', COUNT(*), CAST(SUM(n) AS BIGINT), MAX(n),
+        |    (SELECT top_key FROM t5), (SELECT top_n FROM t5) FROM h5
+        |  UNION ALL SELECT 'events.event_type', COUNT(*), CAST(SUM(n) AS BIGINT), MAX(n),
+        |    (SELECT top_key FROM t6), (SELECT top_n FROM t6) FROM h6)
+        |SELECT key_col, n_keys, rows, max_n, top_key, top_n,
+        |  ROUND(CAST(max_n AS DOUBLE)
+        |        / (CAST(rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4) AS skew_factor
+        |FROM r ORDER BY key_col""".stripMargin,
     "q204_benford" ->
       s"""WITH c AS (
         |  SELECT SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 100 AS VARCHAR), 1, 1) AS digit

@@ -59,6 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     "q196_hilbert", // same 1-row min/max normalization broadcast (q182's xy helper)
     "q188_ivfpq", // K-centroid + probe-row broadcasts (q41 IVF family x q172 PQ codebooks)
     "q204_benford", // 1-row broadcast digit-count total in the share denominator
+    "q205_skew_report", // per-column 1-row summary x 1-row TakeOrdered top-key join
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

@@ -159,6 +159,26 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q205 skew report: histogram stats match brute force; constant column is maximally skewed") {
+    val got = Stats.q205SkewReport(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getDouble(6)))
+    assert(got.length === 6)
+    val li = graft.Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val hist = li.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val row = got.find(_._1 == "lineitem.l_orderkey").get
+    assert(row._2 === hist.size.toLong && row._3 === li.length.toLong)
+    assert(row._4 === hist.values.max)
+    val wantTop = hist.toSeq.sortBy { case (k, n) => (-n, k) }.head
+    assert(row._5 === wantTop._1.toString && row._6 === wantTop._2)
+    assert(math.abs(row._7 - hist.values.max.toDouble
+      / (li.length.toDouble / hist.size)) < 1e-3)
+    // event_type has 5 keys over ~1000 rows: near-uniform, skew_factor ~1;
+    // every factor is >= 1 by construction
+    got.foreach(r => assert(r._7 >= 1.0, s"${r._1} factor < 1"))
+  }
+
   test("q187 fk audit: clean reference data has zero orphans on every edge") {
     val got = Stats.q187FkAudit(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
