@@ -336,6 +336,7 @@ class NorthStarSpec extends SparkSpec {
     // real binary fixture: the media table (binary payload column) round-trips
     // through parquet; every decode below reads the fixture, not the builder
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    try {
     Multimodal.mediaTable(docs).write.mode("overwrite").parquet(dir)
     val back = spark.read.parquet(dir)
     val exprF = Multimodal.decode(back)
@@ -363,6 +364,15 @@ class NorthStarSpec extends SparkSpec {
       assert(r.payload.length - 6 === (m.payload.length - 6 + 1) / 2)
       assert((r.payload(4) & 0xff) === math.max(1, (m.payload(4) & 0xff) / 2))
       assert(r.payload(0) == 0x47 && r.payload(1) == 0x4d) // still a valid GM1 blob
+    }
+    } finally {
+      // every consumer above collects eagerly, so the fixture dir can go
+      // (it used to leak one graft_media dir per suite run)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
     }
   }
 
