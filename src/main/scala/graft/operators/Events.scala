@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Dsl, Tables}
 import graft.Dsl._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -629,7 +629,81 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Q206: cohort LTV curves — users cohorted by signup week, cumulative
+    * purchase revenue per cohort at each week-age: the
+    * lifetime-value curve growth teams read. Revenue mass is an exact
+    * decimal sum per (cohort, age) cell; the cumulative curve is a window
+    * over the BOUNDED cohort×age cell grid (never the events), and
+    * per-user LTV divides by the cohort's fixed user count. Extends q75
+    * (retention counts) with monetary mass.
+    */
+  def q206CohortLtv: Q = (s, d) => {
+    val e = events(s, d)
+    val cohort = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(expr("CAST(ts2 AS LONG) div 604800")).as("cw"))
+    val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("cohort_users"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), dec(col("value")).as("v"),
+        expr("CAST(ts2 AS LONG) div 604800").as("pw"))
+      .join(cohort, Seq("user_id"))
+      .filter(col("pw") >= col("cw"))
+      .groupBy(col("cw"), (col("pw") - col("cw")).as("age"))
+      .agg(sum(col("v")).as("wk_rev"))
+    val w = Window.partitionBy(col("cw")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_rev", sum(col("wk_rev")).over(w))
+      .join(broadcast(sizes), Seq("cw"))
+      .select(col("cw").as("cohort_week"), col("age"),
+        col("wk_rev").cast("double").as("wk_rev"),
+        col("cum_rev").cast("double").as("cum_rev"),
+        col("cohort_users"),
+        round(col("cum_rev").cast("double")
+          / col("cohort_users").cast("double"), 6).as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("age"))
+  }
+
+  /** Q207: RFM segmentation —each user's recency / frequency / monetary
+    * quintile scores, the classic marketing segmentation. The five
+    * boundaries per dimension come from ONE exact-percentile aggregate
+    * (a 1-row broadcast — no global ntile window, the banned shape);
+    * scoring is then a pure map over the per-user summary. Recency is
+    * integer days-before-horizon; monetary is an exact decimal sum cast
+    * once.
+    */
+  def q207Rfm: Q = (s, d) => {
+    val horizon = 20000L
+    val per = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg((lit(horizon) - max(expr("CAST(ts2 AS LONG) div 86400"))).as("rec"),
+        count(lit(1)).as("freq"),
+        sum(dec(col("value"))).cast("double").as("mon"))
+    // cuts rounded to 4 dp BEFORE comparison: the interpolated percentile
+    // is float arithmetic whose ulps may differ across engines, and an
+    // unrounded cut could flip a boundary user's score
+    val cuts = per.agg(
+      expr("transform(percentile(rec, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))").as("rc"),
+      expr("transform(percentile(freq, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))").as("fc"),
+      expr("transform(percentile(mon, array(0.2, 0.4, 0.6, 0.8)), x -> round(x, 4))").as("mc"))
+    def score(v: Column, cutsCol: Column, reverse: Boolean): Column = {
+      val raw = lit(1L) + when(v > element_at(cutsCol, 1), 1L).otherwise(0L) +
+        when(v > element_at(cutsCol, 2), 1L).otherwise(0L) +
+        when(v > element_at(cutsCol, 3), 1L).otherwise(0L) +
+        when(v > element_at(cutsCol, 4), 1L).otherwise(0L)
+      if (reverse) lit(6L) - raw else raw
+    }
+    per.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("rec"), col("freq"),
+        round(col("mon"), 4).as("mon"),
+        score(col("rec").cast("double"), col("rc"), reverse = true).as("r_score"),
+        score(col("freq").cast("double"), col("fc"), reverse = false).as("f_score"),
+        score(col("mon"), col("mc"), reverse = false).as("m_score"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_cohort_ltv" -> q206CohortLtv,
+    "q207_rfm" -> q207Rfm,
     "q202_twap" -> q202Twap,
     "q203_clamped_balance" -> q203ClampedBalance,
     "q198_changepoint" -> q198Changepoint,
@@ -670,6 +744,74 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q206_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,4)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(wk) AS cw FROM e WHERE event_type = 'signup'
+        |  GROUP BY user_id),
+        |sizes AS (SELECT cw, COUNT(*) AS cohort_users FROM cohort GROUP BY cw),
+        |rev AS (
+        |  SELECT c.cw, e.wk - c.cw AS age, SUM(e.v) AS wk_rev
+        |  FROM e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.wk >= c.cw
+        |  GROUP BY c.cw, e.wk - c.cw),
+        |cum AS (
+        |  SELECT cw, age, wk_rev,
+        |    SUM(wk_rev) OVER (PARTITION BY cw ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM rev)
+        |SELECT cum.cw AS cohort_week, age,
+        |  CAST(wk_rev AS DOUBLE) AS wk_rev,
+        |  CAST(cum_rev AS DOUBLE) AS cum_rev,
+        |  cohort_users,
+        |  ROUND(CAST(cum_rev AS DOUBLE) / CAST(cohort_users AS DOUBLE), 6) AS ltv_per_user
+        |FROM cum JOIN sizes ON cum.cw = sizes.cw
+        |ORDER BY cohort_week, age""".stripMargin,
+    "q207_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    20000 - MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400) AS rec,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mon
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |cuts AS (
+        |  SELECT
+        |    ROUND(percentile_cont(0.2) WITHIN GROUP (ORDER BY rec), 4) AS r1,
+        |    ROUND(percentile_cont(0.4) WITHIN GROUP (ORDER BY rec), 4) AS r2,
+        |    ROUND(percentile_cont(0.6) WITHIN GROUP (ORDER BY rec), 4) AS r3,
+        |    ROUND(percentile_cont(0.8) WITHIN GROUP (ORDER BY rec), 4) AS r4,
+        |    ROUND(percentile_cont(0.2) WITHIN GROUP (ORDER BY freq), 4) AS f1,
+        |    ROUND(percentile_cont(0.4) WITHIN GROUP (ORDER BY freq), 4) AS f2,
+        |    ROUND(percentile_cont(0.6) WITHIN GROUP (ORDER BY freq), 4) AS f3,
+        |    ROUND(percentile_cont(0.8) WITHIN GROUP (ORDER BY freq), 4) AS f4,
+        |    ROUND(percentile_cont(0.2) WITHIN GROUP (ORDER BY mon), 4) AS m1,
+        |    ROUND(percentile_cont(0.4) WITHIN GROUP (ORDER BY mon), 4) AS m2,
+        |    ROUND(percentile_cont(0.6) WITHIN GROUP (ORDER BY mon), 4) AS m3,
+        |    ROUND(percentile_cont(0.8) WITHIN GROUP (ORDER BY mon), 4) AS m4
+        |  FROM per)
+        |SELECT user_id, rec, freq, mon,
+        |  CAST(r_score_i AS BIGINT) AS r_score,
+        |  CAST(f_score_i AS BIGINT) AS f_score,
+        |  CAST(m_score_i AS BIGINT) AS m_score
+        |FROM (
+        |SELECT user_id, rec, freq, ROUND(mon, 4) AS mon,
+        |  6 - (1 + CASE WHEN CAST(rec AS DOUBLE) > r1 THEN 1 ELSE 0 END
+        |         + CASE WHEN CAST(rec AS DOUBLE) > r2 THEN 1 ELSE 0 END
+        |         + CASE WHEN CAST(rec AS DOUBLE) > r3 THEN 1 ELSE 0 END
+        |         + CASE WHEN CAST(rec AS DOUBLE) > r4 THEN 1 ELSE 0 END) AS r_score_i,
+        |  1 + CASE WHEN CAST(freq AS DOUBLE) > f1 THEN 1 ELSE 0 END
+        |    + CASE WHEN CAST(freq AS DOUBLE) > f2 THEN 1 ELSE 0 END
+        |    + CASE WHEN CAST(freq AS DOUBLE) > f3 THEN 1 ELSE 0 END
+        |    + CASE WHEN CAST(freq AS DOUBLE) > f4 THEN 1 ELSE 0 END AS f_score_i,
+        |  1 + CASE WHEN mon > m1 THEN 1 ELSE 0 END
+        |    + CASE WHEN mon > m2 THEN 1 ELSE 0 END
+        |    + CASE WHEN mon > m3 THEN 1 ELSE 0 END
+        |    + CASE WHEN mon > m4 THEN 1 ELSE 0 END AS m_score_i
+        |FROM per, cuts)
+        |ORDER BY user_id""".stripMargin,
     "q202_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,4)) AS v,

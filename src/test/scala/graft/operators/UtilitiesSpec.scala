@@ -931,6 +931,59 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
   }
 
+  test("q206 cohort LTV: curves match a sequential cohort walk; monotone cumulative") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", $"value",
+        ($"ts2".cast("long") / 604800).cast("long").as("wk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), BigDecimal(r.getDouble(2)).setScale(4), r.getLong(3)))
+    val cohort = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._4).min }
+    val got = Events.q206CohortLtv(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (BigDecimal(r.getDouble(2)).setScale(4), BigDecimal(r.getDouble(3)).setScale(4), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty)
+    val cells = evs.filter(e => e._2 == "purchase" && cohort.contains(e._1) && e._4 >= cohort(e._1))
+      .groupBy(e => (cohort(e._1), e._4 - cohort(e._1)))
+      .map { case (k, g) => k -> g.map(_._3).sum }
+    assert(got.keySet === cells.keySet)
+    cells.foreach { case (k, wkRev) => assert(got(k)._1 === wkRev, s"cell $k") }
+    // cumulative equals running sum per cohort; sizes match signup cohorts
+    got.groupBy(_._1._1).foreach { case (cw, rows) =>
+      val ord = rows.toSeq.sortBy(_._1._2)
+      var run = BigDecimal(0)
+      ord.foreach { case (k, (wk, cum, users)) =>
+        run += wk
+        assert(cum === run, s"cum at $k")
+        assert(users.toInt === cohort.values.count(_ == cw))
+      }
+    }
+  }
+
+  test("q207 RFM: per-user aggregates exact; scores are valid quintiles honoring the cuts") {
+    val got = Events.q207Rfm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    val evs = Tables.events(spark, sf0001).filter($"event_type" === "purchase")
+      .select($"user_id", $"value", ($"ts2".cast("long") / 86400).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(4), r.getLong(2)))
+    got.foreach { case (u, rec, freq, mon, rs, fs, ms) =>
+      val g = evs.filter(_._1 == u)
+      assert(rec === 20000L - g.map(_._3).max)
+      assert(freq === g.length.toLong)
+      assert(BigDecimal(mon).setScale(4) === g.map(_._2).sum)
+      Seq(rs, fs, ms).foreach(sc => assert(sc >= 1 && sc <= 5))
+    }
+    // monotone: a strictly larger monetary total never gets a lower m_score
+    val byMon = got.sortBy(_._4)
+    assert(byMon.map(_._7).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    // recency is REVERSED: larger rec (staler) never gets a higher r_score
+    val byRec = got.sortBy(_._2)
+    assert(byRec.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("q202 TWAP: matches a sequential interval-weighted replay") {
     val evs = Tables.events(spark, sf0001)
       .select($"user_id", $"event_id", $"value", $"ts2".cast("long").as("es"),
