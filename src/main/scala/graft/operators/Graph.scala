@@ -175,13 +175,82 @@ object Graph {
       .orderBy(col("n_nodes").desc, col("component"))
   }
 
+  /** Q208: degree distribution + power-law tail diagnosis — the graph
+    * shape report (is there a hub problem? does q165's degree-oriented
+    * bound matter here?). The co-purchase degree histogram collapses to a
+    * count-of-counts summary (degree → #nodes, the q138 argument:
+    * bounded by O(√m) distinct degrees), and the log-log tail slope is
+    * q177's closed-form regression over `(ln degree, ln count)` of that
+    * bounded summary — a slope near −2..−3 is the power-law signature.
+    * Log terms are rounded to 6 dp before the moment sums so the float
+    * path stays cross-engine stable on the ≤O(√m)-row summary.
+    */
+  def q208DegreeDist: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val hist = deg.groupBy(col("dg")).agg(count(lit(1)).as("cnt"))
+    // per-point logs are rounded to 6 dp then summed as DECIMALS: the
+    // moment sums stay associative/partition-independent, so the only
+    // float step is the per-point ln (shared libm, 6-dp-rounded)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val pts = hist.select(
+      round(log(col("dg").cast("double")), 6).cast(dec6).as("lx"),
+      round(log(col("cnt").cast("double")), 6).cast(dec6).as("ly"))
+    val a = pts.agg(count(lit(1)).as("n"),
+      sum(col("lx")).cast("double").as("sx"), sum(col("ly")).cast("double").as("sy"),
+      sum(col("lx") * col("lx")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+        .cast("double").as("sxx"),
+      sum(col("lx") * col("ly")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+        .cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    a.select(col("n").as("n_degrees"),
+      round((nD * col("sxy") - col("sx") * col("sy"))
+        / (nD * col("sxx") - col("sx") * col("sx")), 4).as("tail_slope"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        max(col("dg")).as("max_degree"),
+        sum(col("dg")).cast("long").as("degree_mass"))))
+      .select(col("n_nodes"), col("max_degree"), col("degree_mass"),
+        col("n_degrees"), col("tail_slope"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q208_degree_dist" -> q208DegreeDist,
     "q81_copurchase_rank" -> q81CopurchaseRank,
     "q165_triangles" -> q165Triangles,
     "q176_bfs_hops" -> q176BfsHops,
     "q197_connected_components" -> q197ConnectedComponents)
 
   val oracles: Map[String, String] = Map(
+    "q208_degree_dist" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT x, COUNT(*) AS dg
+        |        FROM (SELECT u AS x FROM pe UNION ALL SELECT v FROM pe)
+        |        GROUP BY x),
+        |hist AS (SELECT dg, COUNT(*) AS cnt FROM deg GROUP BY dg),
+        |pts AS (
+        |  SELECT CAST(ROUND(LN(CAST(dg AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx,
+        |         CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+        |  FROM hist),
+        |a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(lx * lx) AS DECIMAL(38,6)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(lx * ly) AS DECIMAL(38,6)) AS DOUBLE) AS sxy
+        |  FROM pts),
+        |g AS (SELECT COUNT(*) AS n_nodes, MAX(dg) AS max_degree,
+        |      CAST(SUM(dg) AS BIGINT) AS degree_mass FROM deg)
+        |SELECT n_nodes, max_degree, degree_mass, n AS n_degrees,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |        / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS tail_slope
+        |FROM a, g""".stripMargin,
     "q197_connected_components" ->
       """WITH RECURSIVE items AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),

@@ -1066,7 +1066,35 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q209: cross-source vocabulary overlap matrix — pairwise Jaccard and
+    * overlap coefficients between the distinct token sets of every source
+    * pair: the corpus-level similarity report behind mixture design and
+    * contamination triage (q129 compares document SNAPSHOTS; this
+    * compares corpus VOCABULARIES). Per-source vocab relations join on
+    * token, so fan-out per token is bounded by (#sources carrying it)² —
+    * sources are few by construction; all ratios integer-over-integer.
+    */
+  def q209SourceOverlap: Q = (s, d) => {
+    val vocab = Tables(s, d, "documents")
+      .select(col("source"), explode(toks).as("tok")).distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("vs"))
+    val inter = vocab.select(col("source").as("sa"), col("tok"))
+      .join(vocab.select(col("source").as("sb"), col("tok")), Seq("tok"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("sa"), col("vs").as("va"))), Seq("sa"))
+      .join(broadcast(sizes.select(col("source").as("sb"), col("vs").as("vb"))), Seq("sb"))
+      .select(col("sa"), col("sb"), col("inter"), col("va"), col("vb"),
+        round(col("inter").cast("double")
+          / (col("va") + col("vb") - col("inter")).cast("double"), 6).as("jaccard"),
+        round(col("inter").cast("double")
+          / least(col("va"), col("vb")).cast("double"), 6).as("overlap_coef"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q209_source_overlap" -> q209SourceOverlap,
     "q148_bigram_lm" -> q148BigramLm,
     "q146_heavy_hitters" -> q146HeavyHitters,
     "q117_context_chunks" -> q117ContextChunks,
@@ -1106,6 +1134,21 @@ object Text {
     "q169_winnow_match" -> q169WinnowMatch)
 
   val oracles: Map[String, String] = Map(
+    "q209_source_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, tok
+        |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |sz AS (SELECT source, COUNT(*) AS vs FROM v GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, inter, x.vs AS va, y.vs AS vb,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(x.vs + y.vs - inter AS DOUBLE), 6) AS jaccard,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(LEAST(x.vs, y.vs) AS DOUBLE), 6) AS overlap_coef
+        |FROM i JOIN sz x ON i.sa = x.source JOIN sz y ON i.sb = y.source
+        |ORDER BY sa, sb""".stripMargin,
     "q169_winnow_match" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),

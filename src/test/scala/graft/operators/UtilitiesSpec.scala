@@ -931,6 +931,53 @@ class UtilitiesSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === 4, "a difficulty band is empty")
   }
 
+  test("q208 degree distribution: histogram and tail slope match a replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.toSeq.groupBy(_._1).values.toSeq
+      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2)).distinct
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val hist = deg.values.groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    val r = Graph.q208DegreeDist(spark, sf0001).head()
+    assert(r.getLong(0) === deg.size.toLong)
+    assert(r.getLong(1) === deg.values.max)
+    assert(r.getLong(2) === deg.values.sum)
+    assert(r.getLong(3) === hist.size.toLong)
+    val pts = hist.toSeq.map { case (d, c) =>
+      (BigDecimal(math.log(d.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(math.log(c.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(4) - want) < 1e-3, s"slope ${r.getDouble(4)} vs $want")
+  }
+
+  test("q209 source overlap: Jaccard matches a set replay; matrix covers all pairs") {
+    val vocab = Tables(spark, sf0001, "documents")
+      .select($"source", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty).map(t => (r.getString(0), t)))
+      .distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val got = Text.q209SourceOverlap(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val sources = vocab.keys.toSeq.sorted
+    val wantPairs = (for (a <- sources; b <- sources if a < b
+      && (vocab(a) & vocab(b)).nonEmpty) yield (a, b)).toSet
+    assert(got.keySet === wantPairs)
+    got.foreach { case ((a, b), (inter, va, vb, jac, oc)) =>
+      val i = (vocab(a) & vocab(b)).size.toLong
+      assert(i === inter && vocab(a).size.toLong === va && vocab(b).size.toLong === vb, s"($a,$b)")
+      assert(math.abs(jac - i.toDouble / (va + vb - i)) < 1e-6)
+      assert(math.abs(oc - i.toDouble / math.min(va, vb)) < 1e-6)
+    }
+  }
+
   test("q206 cohort LTV: curves match a sequential cohort walk; monotone cumulative") {
     val evs = Tables.events(spark, sf0001)
       .select($"user_id", $"event_type", $"value",
