@@ -196,9 +196,12 @@ object Graph {
     val hist = deg.groupBy(col("dg")).agg(count(lit(1)).as("cnt"))
     // per-point logs are rounded to 6 dp then summed as DECIMALS: the
     // moment sums stay associative/partition-independent, so the only
-    // float step is the per-point ln (shared libm, 6-dp-rounded)
+    // float step is the per-point ln (shared libm, 6-dp-rounded).
+    // Regression moments AND graph totals come out of ONE aggregate over
+    // the bounded histogram — the expensive co-purchase self-join upstream
+    // runs exactly once (the first cut consumed `deg` twice and re-ran it).
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val pts = hist.select(
+    val pts = hist.select(col("dg"), col("cnt"),
       round(log(col("dg").cast("double")), 6).cast(dec6).as("lx"),
       round(log(col("cnt").cast("double")), 6).cast(dec6).as("ly"))
     val a = pts.agg(count(lit(1)).as("n"),
@@ -206,16 +209,15 @@ object Graph {
       sum(col("lx") * col("lx")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
         .cast("double").as("sxx"),
       sum(col("lx") * col("ly")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
-        .cast("double").as("sxy"))
+        .cast("double").as("sxy"),
+      sum(col("cnt")).as("n_nodes"),
+      max(col("dg")).as("max_degree"),
+      sum(col("dg") * col("cnt")).cast("long").as("degree_mass"))
     val nD = col("n").cast("double")
-    a.select(col("n").as("n_degrees"),
+    a.select(col("n_nodes"), col("max_degree"), col("degree_mass"),
+      col("n").as("n_degrees"),
       round((nD * col("sxy") - col("sx") * col("sy"))
         / (nD * col("sxx") - col("sx") * col("sx")), 4).as("tail_slope"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
-        max(col("dg")).as("max_degree"),
-        sum(col("dg")).cast("long").as("degree_mass"))))
-      .select(col("n_nodes"), col("max_degree"), col("degree_mass"),
-        col("n_degrees"), col("tail_slope"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -61,7 +61,6 @@ class PlanAuditSpec extends SparkSpec {
     "q204_benford", // 1-row broadcast digit-count total in the share denominator
     "q205_skew_report", // per-column 1-row summary x 1-row TakeOrdered top-key join
     "q207_rfm", // 1-row broadcast quintile-cut arrays scoring the per-user summary
-    "q208_degree_dist", // 1-row regression moments x 1-row graph totals join
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
