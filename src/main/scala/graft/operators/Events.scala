@@ -701,7 +701,54 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Q212: golden-record survivorship merge — entity resolution's last
+    * step, distinct from q107's keep-best dedup: q107 elects one whole
+    * ROW; survivorship composes the golden record from DIFFERENT source
+    * rows under per-field rules. Per customer: RECENCY fields (status and
+    * date of the latest order, total order under (date, key) desc),
+    * FREQUENCY field (modal order priority, lexicographic tie-break), and
+    * EXTREME fields (first date, order count, exact decimal spend total
+    * and max).
+    *
+    * Scale shape: one explicit exchange on `o_custkey` feeds all three
+    * rule branches — the recency window, the (cust, priority) mode
+    * aggregate, and the extremes aggregate — so the plan reuses a single
+    * shuffle (ReusedExchange) and the branch joins are co-partitioned.
+    * Everything is keyed by customer; no global state anywhere.
+    */
+  def q212Survivorship: Q = (s, d) => {
+    val par = s.sparkContext.defaultParallelism
+    val o = Tables(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"), col("o_orderdate"))
+      .repartition(par, col("o_custkey"))
+    val wRec = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val recency = o.withColumn("rn", row_number().over(wRec))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderstatus").as("last_status"),
+        dateStr(col("o_orderdate")).as("last_order_date"))
+    val wFreq = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("c").desc, col("o_orderpriority"))
+    val mode = o.groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wFreq))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"))
+    val ext = o.groupBy(col("o_custkey"))
+      .agg(big(count(lit(1))).as("n_orders"),
+        dateStr(min(col("o_orderdate"))).as("first_order_date"),
+        round(moneySum(col("o_totalprice")), 4).as("total_spend"),
+        round(max(dec(col("o_totalprice"))).cast("double"), 4).as("max_order"))
+    ext.join(recency, Seq("o_custkey")).join(mode, Seq("o_custkey"))
+      .select(col("o_custkey"), col("n_orders"), col("first_order_date"),
+        col("last_order_date"), col("last_status"), col("mode_priority"),
+        col("total_spend"), col("max_order"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q212_survivorship" -> q212Survivorship,
     "q206_cohort_ltv" -> q206CohortLtv,
     "q207_rfm" -> q207Rfm,
     "q202_twap" -> q202Twap,
@@ -744,6 +791,36 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q212_survivorship" ->
+      """WITH rec AS (
+        |  SELECT o_custkey, o_orderstatus AS last_status,
+        |    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS last_order_date,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |freq AS (
+        |  SELECT o_custkey, o_orderpriority, COUNT(*) AS c FROM orders
+        |  GROUP BY 1, 2),
+        |md AS (
+        |  SELECT o_custkey, o_orderpriority AS mode_priority,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY c DESC, o_orderpriority) AS rn
+        |  FROM freq),
+        |ext AS (
+        |  SELECT o_custkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_order_date,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |      AS total_spend,
+        |    ROUND(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |      AS max_order
+        |  FROM orders GROUP BY 1)
+        |SELECT ext.o_custkey, n_orders, first_order_date, last_order_date,
+        |  last_status, mode_priority, total_spend, max_order
+        |FROM ext
+        |JOIN (SELECT * FROM rec WHERE rn = 1) r ON r.o_custkey = ext.o_custkey
+        |JOIN (SELECT * FROM md WHERE rn = 1) m ON m.o_custkey = ext.o_custkey
+        |ORDER BY ext.o_custkey""".stripMargin,
     "q206_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,4)) AS v,

@@ -468,7 +468,44 @@ object Extras {
       .limit(5000)
   }
 
+  /** Q213: exponentially time-decayed popularity top-k — the trending
+    * leaderboard where last month's purchase counts double next month's:
+    * each lineitem contributes `quantity · 2^-age`, age in months from the
+    * corpus horizon, capped at 12 (beyond a year everything weighs the
+    * floor). The decay stays EXACT by scaling to INTEGERS: the per-line
+    * term is `qty · 2^(12−age)` (a long), the sum is associative long
+    * arithmetic, and the single float op is the final division by 4096 —
+    * exact dyadic division of a < 2^53 integer, bit-identical in any
+    * engine and partitioning, unlike the usual `sum(qty · exp(-λ·age))`
+    * (or a decimal reduction, whose midpoint rounding Spark and DuckDB
+    * disagree on: HALF_UP vs half-even, measured at landing).
+    *
+    * Scale shape: one fact-fact join on the order key (AQE/broadcast
+    * decides by sf), a 1-row broadcast horizon, then one map-side-combined
+    * aggregate per part and TakeOrdered(25) — no global sort, no window.
+    */
+  def q213DecayedTopk: Q = (s, d) => {
+    val om = Tables(s, d, "orders")
+      .select(col("o_orderkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+    val horizon = om.agg(max(col("m")).as("mmax"))
+    Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(om, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("age", least(col("mmax") - col("m"), lit(12L)))
+      .withColumn("term", col("l_quantity").cast("long")
+        * pow(lit(2.0), lit(12L) - col("age")).cast("long"))
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("term")).cast("double") / lit(4096.0)).as("decayed_qty"),
+        big(count(lit(1))).as("n_lines"))
+      .orderBy(col("decayed_qty").desc, col("l_partkey"))
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_decayed_topk" -> q213DecayedTopk,
     "q88_bloom_semi" -> q88BloomSemi,
     "q91_equidepth_bins" -> q91EquidepthBins,
     "q93_key_gaps" -> q93KeyGaps,
@@ -493,6 +530,22 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q213_decayed_topk" ->
+      """WITH om AS (
+        |  SELECT o_orderkey,
+        |    YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS m
+        |  FROM orders),
+        |h AS (SELECT MAX(m) AS mmax FROM om),
+        |t AS (
+        |  SELECT l.l_partkey,
+        |    CAST(l.l_quantity AS BIGINT) *
+        |    CAST(POW(2, 12 - LEAST(mmax - m, 12)) AS BIGINT) AS term
+        |  FROM lineitem l JOIN om ON l.l_orderkey = om.o_orderkey, h)
+        |SELECT l_partkey,
+        |  CAST(SUM(term) AS DOUBLE) / 4096.0 AS decayed_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM t GROUP BY 1
+        |ORDER BY decayed_qty DESC, l_partkey LIMIT 25""".stripMargin,
     "q102_percentile_disc" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_totalprice,

@@ -347,7 +347,64 @@ object Stats {
       .orderBy(col("key_col"))
   }
 
+  /** Q210: Kaplan-Meier survival curve for customer lifetime — the
+    * right-censored retention estimator q75's retention table can't give
+    * (it drops customers still active at the horizon; KM keeps them in the
+    * at-risk set until censoring). Lifetime is months from first to last
+    * order; a customer whose last order is > 6 months before the corpus
+    * horizon "churned" (death at that duration), anyone else is censored.
+    * S(t) = Π_{s≤t, deaths>0} (1 − d_s/n_s), the product-limit estimator.
+    *
+    * Scale shape: one per-customer aggregate (map-side-combined), then
+    * everything else — at-risk counts, the log-sum product, the survival
+    * curve — lives on the duration GRID: one row per distinct lifetime
+    * month, bounded by the corpus month span (≤ ~81 rows at any sf), so the
+    * global ordered window runs over the bounded summary, never customers.
+    * Determinism: the product is exp(Σ ln-factors) with each per-step ln
+    * rounded to 6 dp and summed as DECIMAL(18,6) (exact, associative — the
+    * q208 log-log discipline); a step that kills the whole at-risk set
+    * pins survival to exactly 0 thereafter instead of exp(−∞).
+    */
+  def q210KaplanMeier: Q = (s, d) => {
+    def mIdx(c: Column) = (year(c) * 12 + month(c)).cast("long")
+    val per = Tables(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(mIdx(col("o_orderdate"))).as("m0"),
+        max(mIdx(col("o_orderdate"))).as("ml"))
+    val horizon = per.agg(max(col("ml")).as("mmax"))
+    val durs = per.crossJoin(broadcast(horizon))
+      .select(
+        when(col("mmax") - col("ml") > 6, col("ml") - col("m0"))
+          .otherwise(col("mmax") - col("m0")).as("dur"),
+        when(col("mmax") - col("ml") > 6, 1L).otherwise(0L).as("death"))
+    val grid = durs.groupBy(col("dur"))
+      .agg(sum(col("death")).as("n_deaths"),
+        sum(lit(1L) - col("death")).as("n_censored"))
+    val w = Window.orderBy(col("dur"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec6 = DecimalType(18, 6)
+    grid
+      .withColumn("total", sum(col("n_deaths") + col("n_censored")).over(wAll))
+      .withColumn("n_risk", col("total")
+        - coalesce(sum(col("n_deaths") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("term",
+        when(col("n_deaths") === 0 || col("n_deaths") >= col("n_risk"),
+          lit(0).cast(dec6))
+          .otherwise(round(log((col("n_risk") - col("n_deaths")).cast("double")
+            / col("n_risk").cast("double")), 6).cast(dec6)))
+      .withColumn("wiped",
+        max(when(col("n_deaths") >= col("n_risk"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("survival", when(col("wiped") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("term")).over(wCum).cast("double")), 4)))
+      .select(col("dur"), col("n_risk"), col("n_deaths"), col("n_censored"),
+        col("survival"))
+      .orderBy(col("dur"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q210_kaplan_meier" -> q210KaplanMeier,
     "q205_skew_report" -> q205SkewReport,
     "q204_benford" -> q204Benford,
     "q193_weighted_median" -> q193WeightedMedian,
@@ -364,6 +421,45 @@ object Stats {
       .mkString("CASE ", " ", " END")
 
   val oracles: Map[String, String] = Map(
+    "q210_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS m0,
+        |    MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS ml
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT MAX(ml) AS mmax FROM per),
+        |durs AS (
+        |  SELECT CASE WHEN mmax - ml > 6 THEN CAST(ml - m0 AS BIGINT)
+        |              ELSE CAST(mmax - m0 AS BIGINT) END AS dur,
+        |         CASE WHEN mmax - ml > 6 THEN 1 ELSE 0 END AS death
+        |  FROM per, h),
+        |grid AS (SELECT dur, CAST(SUM(death) AS BIGINT) AS n_deaths,
+        |                CAST(SUM(1 - death) AS BIGINT) AS n_censored
+        |         FROM durs GROUP BY dur),
+        |g2 AS (SELECT dur, n_deaths, n_censored,
+        |         SUM(n_deaths + n_censored) OVER () AS total,
+        |         COALESCE(SUM(n_deaths + n_censored) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |       FROM grid),
+        |g3 AS (SELECT dur, n_deaths, n_censored,
+        |              CAST(total - prev AS BIGINT) AS n_risk FROM g2),
+        |g4 AS (SELECT *,
+        |         CASE WHEN n_deaths = 0 OR n_deaths >= n_risk
+        |              THEN CAST(0 AS DECIMAL(18,6))
+        |              ELSE CAST(ROUND(LN(CAST(n_risk - n_deaths AS DOUBLE)
+        |                / CAST(n_risk AS DOUBLE)), 6) AS DECIMAL(18,6)) END AS term,
+        |         CASE WHEN n_deaths >= n_risk THEN 1 ELSE 0 END AS wf
+        |       FROM g3),
+        |g5 AS (SELECT dur, n_deaths, n_censored, n_risk,
+        |         MAX(wf) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wiped,
+        |         SUM(term) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM g4)
+        |SELECT dur, n_risk, n_deaths, n_censored,
+        |  CASE WHEN wiped = 1 THEN 0.0
+        |       ELSE ROUND(EXP(CAST(cum AS DOUBLE)), 4) END AS survival
+        |FROM g5 ORDER BY dur""".stripMargin,
     "q205_skew_report" ->
       """WITH
         |h1 AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),

@@ -1093,7 +1093,61 @@ object Text {
       .orderBy(col("sa"), col("sb"))
   }
 
+  /** Q211: phrase search through a POSITIONAL inverted index — the
+    * retrieval shape BM25 (q142) can't express: exact multi-word phrase
+    * occurrence, answered by joining per-term posting lists on adjacent
+    * positions instead of scanning text. The probe phrase is the corpus's
+    * most frequent word trigram (computed first, so the query is fully
+    * deterministic and self-contained), then each of its three words pulls
+    * its postings (doc_id, pos), aligned by shifting the 2nd/3rd lists'
+    * positions back and equi-joining on (doc_id, pos) — the standard
+    * positional-index intersection.
+    *
+    * Scale shape: postings are built once per doc partition (posexplode
+    * behind one doc_id exchange, the q80 layout); the trigram count is a
+    * per-doc lag window + one aggregate; the probe joins touch only the
+    * three terms' postings (each term's list is ~1/|vocab| of the corpus —
+    * at 100 TB with a real vocab that's the entire point of the index),
+    * and the phrase row is a 1-row broadcast. Top-20 matching docs.
+    */
+  def q211PhraseSearch: Q = (s, d) => {
+    val par = s.sparkContext.defaultParallelism
+    // the positional index is a STANDING relation: built once per
+    // (session, corpus) via the semantics-keyed cache — the q119/PQ
+    // discipline — and consumed four times here (trigram election + three
+    // posting probes); an uncached subplan would re-run the corpus explode
+    // per consumer and per run
+    val postings = graft.Checkpoints.materializeCached(Tables(s, d, "documents")
+      .repartition(par, col("doc_id"))
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token"))))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ph = postings
+      .withColumn("w1", lag(col("token"), 2).over(wd))
+      .withColumn("w2", lag(col("token"), 1).over(wd))
+      .filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("token").as("w3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"), col("w3"))
+      .limit(1)
+      .select(col("w1"), col("w2"), col("w3"))
+    val p0 = postings.join(broadcast(ph), col("token") === col("w1"))
+      .select(col("doc_id"), col("pos"))
+    val p1 = postings.join(broadcast(ph), col("token") === col("w2"))
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val p2 = postings.join(broadcast(ph), col("token") === col("w3"))
+      .select(col("doc_id"), (col("pos") - 2).as("pos"))
+    p0.join(p1, Seq("doc_id", "pos")).join(p2, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(big(count(lit(1))).as("n_occurrences"))
+      .crossJoin(broadcast(ph.select(
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))))
+      .select(col("phrase"), col("doc_id"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q211_phrase_search" -> q211PhraseSearch,
     "q209_source_overlap" -> q209SourceOverlap,
     "q148_bigram_lm" -> q148BigramLm,
     "q146_heavy_hitters" -> q146HeavyHitters,
@@ -1134,6 +1188,30 @@ object Text {
     "q169_winnow_match" -> q169WinnowMatch)
 
   val oracles: Map[String, String] = Map(
+    "q211_phrase_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, tk, u.i AS i
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents),
+        |       unnest(range(1, len(tk) + 1)) AS u(i)),
+        |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS token FROM tok),
+        |tri AS (
+        |  SELECT a.token AS w1, b.token AS w2, c.token AS w3, COUNT(*) AS cnt
+        |  FROM p a
+        |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |  GROUP BY 1, 2, 3),
+        |ph AS (SELECT w1, w2, w3 FROM tri
+        |       ORDER BY cnt DESC, w1, w2, w3 LIMIT 1),
+        |m AS (
+        |  SELECT a.doc_id, COUNT(*) AS n
+        |  FROM p a JOIN ph ON a.token = ph.w1
+        |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.token = ph.w2
+        |  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.token = ph.w3
+        |  GROUP BY 1)
+        |SELECT (SELECT w1 || ' ' || w2 || ' ' || w3 FROM ph) AS phrase,
+        |       doc_id, CAST(n AS BIGINT) AS n_occurrences
+        |FROM m ORDER BY n DESC, doc_id LIMIT 20""".stripMargin,
     "q209_source_overlap" ->
       """WITH v AS (
         |  SELECT DISTINCT source, tok

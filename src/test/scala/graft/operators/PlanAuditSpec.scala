@@ -61,6 +61,9 @@ class PlanAuditSpec extends SparkSpec {
     "q204_benford", // 1-row broadcast digit-count total in the share denominator
     "q205_skew_report", // per-column 1-row summary x 1-row TakeOrdered top-key join
     "q207_rfm", // 1-row broadcast quintile-cut arrays scoring the per-user summary
+    "q210_kaplan_meier", // 1-row broadcast corpus-horizon month joined to the per-customer summary
+    "q211_phrase_search", // 1-row broadcast probe phrase selecting three posting lists
+    "q213_decayed_topk", // 1-row broadcast corpus-horizon month in the decay exponent
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -79,7 +82,8 @@ class PlanAuditSpec extends SparkSpec {
     "q144_rrf_fusion" -> "row_number over the two TakeOrdered-bounded <=100-row top-k relations, never the corpus",
     "q150_eval_quota" -> "apportionment rank over the bounded (lang x source) cell relation, never the docs",
     "q181_skyline" -> "running max over the <=256-row price-bucket summary, never the parts",
-    "q190_auc" -> "cumsum over the bounded (score -> counts) summary (2-decimal score domain, the q138 count-of-counts argument), never the rows")
+    "q190_auc" -> "cumsum over the bounded (score -> counts) summary (2-decimal score domain, the q138 count-of-counts argument), never the rows",
+    "q210_kaplan_meier" -> "at-risk/product-limit cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span), never the customers")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

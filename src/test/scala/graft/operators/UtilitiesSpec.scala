@@ -1278,4 +1278,96 @@ class UtilitiesSpec extends SparkSpec {
       assert(rows.map(_._2).sum === tot, s"$prev total")
     }
   }
+  test("q210 Kaplan-Meier: at-risk, deaths and product-limit survival match a replay") {
+    val months = Tables(spark, sf0001, "orders")
+      .select($"o_custkey", (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val per = months.groupBy(_._1).map { case (c, g) =>
+      c -> (g.map(_._2).min, g.map(_._2).max) }
+    val mmax = per.values.map(_._2).max
+    val durs = per.values.toSeq.map { case (m0, ml) =>
+      if (mmax - ml > 6) (ml - m0, true) else (mmax - m0, false) }
+    val got = Stats.q210KaplanMeier(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    assert(got.map(_._1).toSet === durs.map(_._1).toSet)
+    var surv = 1.0
+    var atRisk = durs.length.toLong
+    got.foreach { case (dur, nRisk, nDeaths, nCens, s5) =>
+      assert(nRisk === atRisk, s"at-risk at $dur")
+      assert(nDeaths === durs.count(x => x._1 == dur && x._2).toLong, s"deaths at $dur")
+      assert(nCens === durs.count(x => x._1 == dur && !x._2).toLong, s"censored at $dur")
+      if (nDeaths > 0) surv *= (nRisk - nDeaths).toDouble / nRisk
+      assert(math.abs(s5 - surv) < 2e-4, s"survival at $dur: $s5 vs $surv")
+      atRisk -= nDeaths + nCens
+    }
+    // survival is non-increasing and starts <= 1
+    assert(got.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1) - 1e-12))
+  }
+
+  test("q211 phrase search: the probe is the top trigram and counts match a scan replay") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val tris = docs.flatMap { case (_, t) => t.sliding(3).filter(_.length == 3).map(_.mkString(" ")) }
+    val top = tris.groupBy(identity).map { case (k, v) => (k, v.size) }
+      .toSeq.sortBy { case (k, n) => (-n, k) }.head._1
+    val got = Text.q211PhraseSearch(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 == top), s"probe phrase ${got.head._1} vs replay $top")
+    val want = docs.map { case (id, t) =>
+      id -> t.sliding(3).count(w => w.length == 3 && w.mkString(" ") == top).toLong
+    }.filter(_._2 > 0).sortBy { case (id, n) => (-n, id) }.take(20)
+    assert(got.map(r => (r._2, r._3)).toSeq === want.toSeq)
+  }
+
+  test("q212 survivorship: per-field golden record matches rule-by-rule replay") {
+    val os = Tables(spark, sf0001, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+        $"o_totalprice", $"o_orderdate".cast("date").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        BigDecimal(r.getDouble(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP), r.getString(5)))
+    val got = Events.q212Survivorship(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    val byCust = os.groupBy(_._1)
+    assert(got.keySet === byCust.keySet)
+    byCust.foreach { case (c, g) =>
+      val (n, first, last, st, pr, spend, mx) = got(c)
+      assert(n === g.length.toLong)
+      assert(first === g.map(_._6).min && last === g.map(_._6).max)
+      val latest = g.maxBy(o => (o._6, o._2))
+      assert(st === latest._3, s"cust $c last_status")
+      val modal = g.groupBy(_._4).map { case (p, v) => (p, v.size) }
+        .toSeq.sortBy { case (p, cnt) => (-cnt, p) }.head._1
+      assert(pr === modal, s"cust $c mode_priority")
+      assert(BigDecimal(spend).setScale(4, BigDecimal.RoundingMode.HALF_UP) === g.map(_._5).sum.setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      assert(BigDecimal(mx).setScale(4, BigDecimal.RoundingMode.HALF_UP) === g.map(_._5).max)
+    }
+  }
+
+  test("q213 decayed top-k: integer-scaled decay matches an exact replay") {
+    val om = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", (year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val mmax = om.values.max
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toLong))
+    val scores = li.groupBy(_._2).map { case (p, g) =>
+      val s = g.map { case (ok, _, q) =>
+        val age = math.min(mmax - om(ok), 12L)
+        q * (1L << (12 - age).toInt)
+      }.sum
+      (p, s, g.length.toLong)
+    }
+    val want = scores.toSeq.sortBy { case (p, s, _) => (-s, p) }.take(25)
+      .map { case (p, s, n) => (p, s.toDouble / 4096.0, n) }
+    val res = Extras.q213DecayedTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(res.toSeq === want.toSeq)
+  }
 }
