@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(VectorFunctions.HilbertName),
       new ExpressionInfo(classOf[HilbertIndex].getName, VectorFunctions.HilbertName),
       exprs => HilbertIndex(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier(VectorFunctions.BpeName),
+      new ExpressionInfo(classOf[BpeEncode].getName, VectorFunctions.BpeName),
+      exprs => BpeEncode(exprs.head, exprs(1))))
   }
 }

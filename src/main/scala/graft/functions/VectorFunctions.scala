@@ -15,9 +15,12 @@ object VectorFunctions {
   val CosineName = "graft_cosine"
   val DotName = "graft_dot"
   val HilbertName = "graft_hilbert"
+  val BpeName = "graft_bpe"
 
   /** Idempotently register the vector functions in this session. */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BpeName, exprs => BpeEncode(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -34,4 +37,10 @@ object VectorFunctions {
 
   /** 16-bit Hilbert-curve index of two BIGINT coordinates (requires [[register]]). */
   def hilbert(x: Column, y: Column): Column = call_function(HilbertName, x, y)
+
+  /** BPE-encode a STRING word with a foldable ARRAY<STRING> of "lhs rhs"
+    * merge rules, returning its subword tokens (requires [[register]]).
+    */
+  def bpe(word: Column, merges: Column): Column =
+    call_function(BpeName, word, merges)
 }

@@ -220,14 +220,95 @@ object Graph {
         / (nD * col("sxx") - col("sx") * col("sx")), 4).as("tail_slope"))
   }
 
+  /** Q215: k-core decomposition membership (k = 3, BOUNDED 12 peel
+    * rounds) — the density-pruning step between q208's degree report and
+    * q197's components: repeatedly remove nodes of degree < k until the
+    * dense core remains. The round bound is part of the DECLARED
+    * semantics (the q176 bounded-hop discipline): both engines run
+    * exactly 12 restriction rounds — enough for full convergence at the
+    * oracle scale (measured: 11 rounds at sf0.01) and deterministic
+    * regardless; the spec asserts convergence within the bound at
+    * sf0.001.
+    *
+    * Scale shape: each round is one degree aggregate + two semi-shaped
+    * joins against the shrinking keep-set, all edge-proportional, with
+    * the round result materialized ([[graft.Checkpoints]]) so round r+1
+    * consumes a lineage-cut relation instead of a 2^r-deep plan — the
+    * q197 pointer-jumping discipline. A converged round is a no-op join
+    * on the (small) final core. The support-2 co-purchase graph keeps
+    * edge construction bounded (order-size² fan-out, q81's argument).
+    */
+  def q215Kcore: Q = (s, d) => {
+    val k = 3
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val pe = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("pc"))
+      .filter(col("pc") >= 2)
+      .select(col("u"), col("v"))
+    var edges = graft.Checkpoints.materialize(
+      pe.union(pe.select(col("v"), col("u"))).toDF("u", "v"))
+    // early exit is SEMANTICS-preserving, not approximate: peeling only
+    // ever removes edges, so an unchanged count means the restriction was
+    // the identity and every remaining declared round would be too
+    var prev = edges.count()
+    var r = 0
+    var stable = false
+    while (r < 12 && !stable) {
+      val keep = edges.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("u"))
+      edges = graft.Checkpoints.materialize(
+        edges.join(keep, Seq("u"))
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"))
+          .select(col("u"), col("v")))
+      val c = edges.count()
+      stable = c == prev
+      prev = c
+      r += 1
+    }
+    edges.groupBy(col("u"))
+      .agg(big(count(lit(1))).as("core_deg"))
+      .select(col("u").as("node"), col("core_deg"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q215_kcore" -> q215Kcore,
     "q208_degree_dist" -> q208DegreeDist,
     "q81_copurchase_rank" -> q81CopurchaseRank,
     "q165_triangles" -> q165Triangles,
     "q176_bfs_hops" -> q176BfsHops,
     "q197_connected_components" -> q197ConnectedComponents)
 
+  /** The q215 oracle: the same 12 peel rounds unrolled as CTEs (the q176
+    * unrolled-BFS technique, generated instead of hand-written).
+    */
+  private val kcoreSql: String = {
+    // AS MATERIALIZED: each round references the previous round twice
+    // (degree pass + restriction), so inlined CTEs would re-evaluate e0
+    // 2^12 times — materialization keeps the oracle linear in rounds
+    val rounds = (1 to 12).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT u, COUNT(*) AS dg FROM e${i - 1} GROUP BY u),
+         |k$i AS MATERIALIZED (SELECT u FROM d$i WHERE dg >= 3),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |        JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+       |pe AS MATERIALIZED (
+       |  SELECT a.item AS u, b.item AS v
+       |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
+       |$rounds
+       |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM e12 GROUP BY u ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q215_kcore" -> kcoreSql,
     "q208_degree_dist" ->
       """WITH pe AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -403,7 +403,49 @@ object Stats {
       .orderBy(col("dur"))
   }
 
+  /** Q216: mutual information between event type and UTC hour-of-day —
+    * the dependence screen a feature-selection pass runs before modeling
+    * (is behavior time-patterned, and which event type carries the
+    * pattern?). Reports each type's contribution to
+    * I(type; hour) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), its entropy-style
+    * marginal count, and the pointwise-MI extremes.
+    *
+    * Scale shape: one scan feeds three map-side-combined aggregates
+    * (cells, type marginals, hour marginals — 120/|types|/24 rows); all
+    * arithmetic then happens on the bounded cell grid with broadcast
+    * joins. Determinism: the ln ratio is computed in DOUBLES with one
+    * fixed expression shape (counts as doubles — at warehouse scale the
+    * integer product n_x·n_y would overflow a long), rounded to 6 dp,
+    * weighted by the exact long n_xy into a DECIMAL sum, with the single
+    * closing division by N in doubles — the q208/q210 log discipline.
+    */
+  def q216MutualInfo: Q = (s, d) => {
+    val base = Tables.events(s, d)
+      .select(col("event_type"), expr("pmod(CAST(ts2 AS LONG) div 3600, 24)").as("hr"))
+    val cells = base.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("nxy"))
+    val byType = base.groupBy(col("event_type")).agg(count(lit(1)).as("nx"))
+    val byHour = base.groupBy(col("hr")).agg(count(lit(1)).as("ny"))
+    val tot = base.agg(count(lit(1)).as("nn"))
+    val dec6 = DecimalType(18, 6)
+    val pmi = round(log((col("nxy").cast("double") * col("nn").cast("double"))
+      / (col("nx").cast("double") * col("ny").cast("double"))), 6)
+    cells.join(byType, Seq("event_type")).join(broadcast(byHour), Seq("hr"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", pmi)
+      .groupBy(col("event_type"))
+      .agg(max(col("nx")).as("n_events"),
+        big(count(lit(1))).as("n_cells"),
+        round((sum(col("nxy") * col("pmi").cast(dec6))
+          .cast(DecimalType(38, 6)).cast("double"))
+          / max(col("nn")).cast("double"), 6).as("mi_contrib"),
+        max(col("pmi")).as("max_pmi"),
+        min(col("pmi")).as("min_pmi"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q216_mutual_info" -> q216MutualInfo,
     "q210_kaplan_meier" -> q210KaplanMeier,
     "q205_skew_report" -> q205SkewReport,
     "q204_benford" -> q204Benford,
@@ -421,6 +463,26 @@ object Stats {
       .mkString("CASE ", " ", " END")
 
   val oracles: Map[String, String] = Map(
+    "q216_mutual_info" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 24 AS hr
+        |  FROM events),
+        |cells AS (SELECT event_type, hr, COUNT(*) AS nxy FROM base GROUP BY 1, 2),
+        |bt AS (SELECT event_type, COUNT(*) AS nx FROM base GROUP BY 1),
+        |bh AS (SELECT hr, COUNT(*) AS ny FROM base GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn FROM base),
+        |j AS (
+        |  SELECT c.event_type, c.nxy, bt.nx, bh.ny, nn,
+        |    ROUND(LN((CAST(c.nxy AS DOUBLE) * CAST(nn AS DOUBLE))
+        |      / (CAST(bt.nx AS DOUBLE) * CAST(bh.ny AS DOUBLE))), 6) AS pmi
+        |  FROM cells c JOIN bt USING (event_type) JOIN bh USING (hr), tot)
+        |SELECT event_type, CAST(MAX(nx) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  ROUND(CAST(CAST(SUM(nxy * CAST(pmi AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+        |    / CAST(MAX(nn) AS DOUBLE), 6) AS mi_contrib,
+        |  MAX(pmi) AS max_pmi, MIN(pmi) AS min_pmi
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q210_kaplan_meier" ->
       """WITH per AS (
         |  SELECT o_custkey,

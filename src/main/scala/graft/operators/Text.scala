@@ -1146,7 +1146,53 @@ object Text {
       .limit(20)
   }
 
+  /** Q214 (north-star, engine-only): tokenizer APPLICATION — q166 trains the
+    * BPE merges; this runs them over the corpus through the codegen'd
+    * [[graft.functions.BpeEncode]] expression and reports the metrics a
+    * tokenizer owner watches per source: fertility (BPE tokens per word)
+    * and compression (chars per BPE token).
+    *
+    * Scale shape: training stays q166's (corpus-proportional word count,
+    * bounded top-V dict on the driver); application encodes each DISTINCT
+    * (source, word) once — the per-(source,word) count aggregate comes
+    * first, so the encoder runs over the vocab relation, not every token
+    * occurrence — and the merge rules ride the plan as one foldable array
+    * literal, parsed once per executor, looped in generated Java. All
+    * aggregates are exact integer sums; the two ratios are single double
+    * divisions. Engine-only: sequential merge application has no SQL twin
+    * (q166's argument); the spec replays encoding in Scala at sf0.001 and
+    * pins crafted-merge cases + the round-trip property.
+    */
+  def q214BpeFertility: Q = (s, d) => {
+    import s.implicits._
+    val words = Tables(s, d, "documents")
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(1000)
+      .as[(String, Long)].collect() // bounded: <= V rows by construction
+    val dict = words.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val rules = bpeMergeLoop(dict, 30).map { case (_, l, r, _, _) => s"$l $r" }
+    graft.functions.VectorFunctions.register(s)
+    Tables(s, d, "documents")
+      .select(col("source"), explode(toks).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("tok", size(graft.functions.VectorFunctions.bpe(
+        col("w"), typedLit(rules))).cast("long"))
+      .withColumn("chars", length(col("w")).cast("long"))
+      .groupBy(col("source"))
+      .agg(big(sum(col("n"))).as("n_words"),
+        big(count(lit(1))).as("n_distinct_words"),
+        big(sum(col("n") * col("tok"))).as("n_tokens"),
+        round(sum(col("n") * col("tok")).cast("double")
+          / sum(col("n")), 6).as("fertility"),
+        round(sum(col("n") * col("chars")).cast("double")
+          / sum(col("n") * col("tok")), 6).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_bpe_fertility" -> q214BpeFertility,
     "q211_phrase_search" -> q211PhraseSearch,
     "q209_source_overlap" -> q209SourceOverlap,
     "q148_bigram_lm" -> q148BigramLm,

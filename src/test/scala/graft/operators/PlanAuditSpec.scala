@@ -64,6 +64,7 @@ class PlanAuditSpec extends SparkSpec {
     "q210_kaplan_meier", // 1-row broadcast corpus-horizon month joined to the per-customer summary
     "q211_phrase_search", // 1-row broadcast probe phrase selecting three posting lists
     "q213_decayed_topk", // 1-row broadcast corpus-horizon month in the decay exponent
+    "q216_mutual_info", // 1-row broadcast grand total against the bounded 120-cell grid
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

@@ -58,7 +58,11 @@ class QueriesGoldenSpec extends SparkSpec {
       "q188_ivfpq",
       // q200: file counts live outside SQL's data model; LayoutSpec pins
       // rows/content preserved and files_after = target <= files_before
-      "q200_compaction")
+      "q200_compaction",
+      // q214: BPE ENCODING with q166's merges (sequential rule application,
+      // q166's no-SQL-twin argument); UtilitiesSpec replays the encode in
+      // Scala at sf0.001 and pins crafted merges + token round-trip
+      "q214_bpe_fertility")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

@@ -1370,4 +1370,101 @@ class UtilitiesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(res.toSeq === want.toSeq)
   }
+  test("q214 BPE fertility: aggregates match a Scala encode replay at sf0.001") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val wc = docs.flatMap { case (src, ts) => ts.map(t => (src, t)) }
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val vocabAll = docs.flatMap(_._2).groupBy(identity).map { case (w, v) => (w, v.size.toLong) }
+    val top = vocabAll.toSeq.sortBy { case (w, n) => (-n, w) }.take(1000)
+    val merges = Text.bpeMergeLoop(
+      top.map { case (w, n) => (w.map(_.toString).toArray, n) }.toArray, 30)
+      .map { case (_, l, r, _, _) => (l, r) }
+    def enc(w: String): Int = {
+      var syms: Array[String] = w.map(_.toString).toArray
+      merges.foreach { case (l, r) =>
+        val buf = collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            buf += l + r; i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        syms = buf.toArray
+      }
+      syms.length
+    }
+    val got = Text.q214BpeFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val bySrc = wc.groupBy(_._1._1)
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (src, cells) =>
+      val nWords = cells.values.sum
+      val nTok = cells.map { case ((_, w), n) => n * enc(w) }.sum
+      val nChars = cells.map { case ((_, w), n) => n * w.length }.sum
+      val (gw, gd, gt, fert, cpt) = got(src)
+      assert(gw === nWords && gd === cells.size.toLong && gt === nTok, s"$src counts")
+      assert(math.abs(fert - nTok.toDouble / nWords) < 1e-6, s"$src fertility")
+      assert(math.abs(cpt - nChars.toDouble / nTok) < 1e-6, s"$src chars/token")
+    }
+  }
+
+  test("q215 k-core: matches a peel-to-convergence replay and converges within the bound") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.toSeq.distinct.groupBy(_._1).values.toSeq
+      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2))
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    var edges = pairs.flatMap(e => Seq(e, e.swap))
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val deg = edges.groupBy(_._1).map { case (n, g) => n -> g.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val ne = edges.filter(e => keep(e._1) && keep(e._2))
+      rounds += 1
+      stable = ne.size == edges.size
+      edges = ne
+    }
+    assert(rounds <= 12, s"replay needed $rounds rounds — raise the declared bound")
+    val want = edges.groupBy(_._1).map { case (n, g) => (n, g.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Graph.q215Kcore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    assert(got.forall(_._2 >= 3), "a sub-k node survived the peel")
+  }
+
+  test("q216 mutual information: contributions match an exact replay; MI is sane") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"event_type", ($"ts2".cast("long") / 3600).cast("long") % 24)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nn = evs.length.toLong
+    val cells = evs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nx = evs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val ny = evs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val got = Stats.q216MutualInfo(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === nx.keySet)
+    nx.foreach { case (t, n) =>
+      val mine = cells.filter(_._1._1 == t)
+      val pmis = mine.map { case ((_, h), c) =>
+        BigDecimal(math.log(c.toDouble * nn / (n.toDouble * ny(h))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val contrib = mine.zip(pmis).map { case (((_, _), c), p) => p * c }.sum.toDouble / nn
+      val (gn, gc, gm, gmax, gmin) = got(t)
+      assert(gn === n && gc === mine.size.toLong, s"$t marginals")
+      assert(math.abs(gm - contrib) < 2e-6, s"$t contribution $gm vs $contrib")
+      assert(math.abs(gmax - pmis.max.toDouble) < 2e-6 && math.abs(gmin - pmis.min.toDouble) < 2e-6)
+    }
+    // total MI over a contingency table is non-negative
+    assert(got.values.map(_._3).sum > -1e-9)
+  }
 }
