@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.Dsl._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relations — the iterative-fixpoint operator class
@@ -274,7 +275,51 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Q218: item-item cosine recommender — "customers who bought X also
+    * bought Y" scored properly: co-occurrence normalized by both items'
+    * basket counts, `cos(i,j) = co(i,j) / √(deg_i · deg_j)`, which q180's
+    * lift and q81's PageRank don't give (lift over-ranks rare
+    * coincidences; rank isn't pairwise). Per probe item (the 20
+    * highest-degree parts, tie by key) the top-5 neighbors.
+    *
+    * Scale shape: pair counts are the bounded co-purchase build (order
+    * size² fan-out, q81's argument), degrees one aggregate; the u<v pair
+    * relation is consumed in both directions via a union BEFORE the probe
+    * semi-join, so only probe-incident pairs survive into scoring, and
+    * the per-probe top-5 is a window over probe-bounded partitions. The
+    * probe set is a 20-row broadcast. Determinism: integer co/deg, one
+    * `co / √(di·dj)` double expression, 6-dp round, (cos desc, j) ties.
+    */
+  def q218ItemCosine: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    // the co-occurrence model is a STANDING relation (trained once, probed
+    // per recommendation request) and is consumed twice here by the
+    // symmetric union — semantics-cached, or the order self-join runs twice
+    val pairs = graft.Checkpoints.materializeCached(
+      items.select(col("o"), col("item").as("u"))
+        .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co")))
+    val deg = items.groupBy(col("item")).agg(count(lit(1)).as("dg"))
+    val probes = deg.orderBy(col("dg").desc, col("item")).limit(20)
+      .select(col("item").as("i"), col("dg").as("di"))
+    val sym = pairs.select(col("u").as("i"), col("v").as("j"), col("co"))
+      .union(pairs.select(col("v"), col("u"), col("co")))
+    val scored = sym.join(broadcast(probes), Seq("i"))
+      .join(deg.withColumnRenamed("item", "j").withColumnRenamed("dg", "dj"), Seq("j"))
+      .withColumn("cos", round(col("co").cast("double")
+        / sqrt((col("di") * col("dj")).cast("double")), 6))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("i").as("item"), big(col("rn")).as("rank"), col("j").as("rec"),
+        col("co"), col("cos"))
+      .orderBy(col("item"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_item_cosine" -> q218ItemCosine,
     "q215_kcore" -> q215Kcore,
     "q208_degree_dist" -> q208DegreeDist,
     "q81_copurchase_rank" -> q81CopurchaseRank,
@@ -308,6 +353,28 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q218_item_cosine" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |pairs AS (
+        |  SELECT a.item AS u, b.item AS v, COUNT(*) AS co
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT item, COUNT(*) AS dg FROM items GROUP BY 1),
+        |probes AS (SELECT item AS i, dg AS di FROM deg
+        |           ORDER BY dg DESC, item LIMIT 20),
+        |sym AS (SELECT u AS i, v AS j, co FROM pairs
+        |        UNION ALL SELECT v, u, co FROM pairs),
+        |scored AS (
+        |  SELECT s.i, s.j, s.co, p.di, d.dg AS dj,
+        |    ROUND(CAST(s.co AS DOUBLE)
+        |      / SQRT(CAST(p.di * d.dg AS DOUBLE)), 6) AS cos
+        |  FROM sym s JOIN probes p ON s.i = p.i JOIN deg d ON s.j = d.item),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+        |    ORDER BY cos DESC, j) AS rn FROM scored)
+        |SELECT i AS item, CAST(rn AS BIGINT) AS rank, j AS rec, co, cos
+        |FROM rk WHERE rn <= 5 ORDER BY item, rank""".stripMargin,
     "q215_kcore" -> kcoreSql,
     "q208_degree_dist" ->
       """WITH pe AS (

@@ -444,7 +444,86 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Q217: information-gain decision stump — the supervised split search
+    * under every tree learner's hood, run as a data-parallel screen:
+    * which single test on (price bucket, order month, order status) best
+    * separates URGENT orders? Numeric features contribute one "≤ b"
+    * split per bucket boundary (cumulative class counts over the ordered
+    * bucket summary), the categorical feature one one-vs-rest split per
+    * value; gain = H(parent) − weighted child entropies.
+    *
+    * Scale shape: one pass over orders builds per-feature (bucket, class)
+    * count summaries (map-side combined, ≤16 rows each); every window is
+    * partitioned BY FEATURE over those bounded summaries; the price-range
+    * normalizer is a 1-row broadcast and bucket arithmetic is integer
+    * cents. Determinism: gain·n expands to Σ ±x·ln x of COUNTS — each ln
+    * rounded to 6 dp, weighted by the exact long count into decimals, one
+    * closing /n double — so no float ever multiplies a float (the
+    * q216/q210 discipline applied to entropy).
+    */
+  def q217InfoGainStump: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val dec28 = DecimalType(28, 6)
+    def xlx(c: Column): Column =
+      when(c === 0L, lit(0).cast(dec28))
+        .otherwise((c * round(log(c.cast("double")), 6).cast(dec6)).cast(dec28))
+    val o = Tables(s, d, "orders").select(
+      (col("o_orderpriority") === "1-URGENT").cast("long").as("y"),
+      col("o_orderstatus"),
+      month(col("o_orderdate")).cast("long").as("mon"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+    val bucketed = o.crossJoin(broadcast(mm))
+      .withColumn("price_b", expr("((cents - cmin) * 16) div (cmax - cmin + 1)"))
+    def numSummary(b: Column, name: String) = bucketed
+      .groupBy(b.as("b"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+      .withColumn("feature", lit(name))
+    val wOrd = Window.partitionBy(col("feature")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("feature"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val numSplits = numSummary(col("price_b"), "price16")
+      .union(numSummary(col("mon"), "month"))
+      .withColumn("l1", sum(col("c1")).over(wOrd))
+      .withColumn("l0", sum(col("c0")).over(wOrd))
+      .withColumn("p1", sum(col("c1")).over(wAll))
+      .withColumn("p0", sum(col("c0")).over(wAll))
+      .withColumn("maxb", max(col("b")).over(wAll))
+      .filter(col("b") < col("maxb"))
+      .select(col("feature"), concat(lit("<="), col("b")).as("split"),
+        col("l1"), col("l0"),
+        (col("p1") - col("l1")).as("r1"), (col("p0") - col("l0")).as("r0"))
+    // a `PARTITION BY lit("status")` window would constant-fold into a
+    // GLOBAL window (caught by the plan audit at landing) — the parent
+    // totals come from a 1-row broadcast instead
+    val statusSum = bucketed.groupBy(col("o_orderstatus").as("v"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+    val statusTot = statusSum.agg(sum(col("c1")).as("p1"), sum(col("c0")).as("p0"))
+    val catSplits = statusSum.crossJoin(broadcast(statusTot))
+      .select(lit("status").as("feature"), col("v").as("split"),
+        col("c1").as("l1"), col("c0").as("l0"),
+        (col("p1") - col("c1")).as("r1"), (col("p0") - col("c0")).as("r0"))
+    val nTot = col("l1") + col("l0") + col("r1") + col("r0")
+    val gainNum = xlx(nTot) -
+      xlx(col("l1") + col("r1")) - xlx(col("l0") + col("r0")) -
+      xlx(col("l1") + col("l0")) - xlx(col("r1") + col("r0")) +
+      xlx(col("l1")) + xlx(col("l0")) + xlx(col("r1")) + xlx(col("r0"))
+    val wBest = Window.partitionBy(col("feature"))
+      .orderBy(col("gain").desc, col("split"))
+    numSplits.union(catSplits)
+      .withColumn("gain", round(gainNum.cast("double") / nTot.cast("double"), 6))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("feature"), col("split"),
+        (col("l1") + col("l0")).as("n_left"),
+        (col("r1") + col("r0")).as("n_right"),
+        col("l1").as("n_left_pos"), col("r1").as("n_right_pos"), col("gain"))
+      .orderBy(col("feature"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q217_infogain_stump" -> q217InfoGainStump,
     "q216_mutual_info" -> q216MutualInfo,
     "q210_kaplan_meier" -> q210KaplanMeier,
     "q205_skew_report" -> q205SkewReport,
@@ -462,7 +541,67 @@ object Stats {
     benford.map { case (dg, p) => s"WHEN digit = '$dg' THEN CAST($p AS DOUBLE)" }
       .mkString("CASE ", " ", " END")
 
+  /** `x·ln(x)` with 0·ln 0 = 0, the 6-dp-rounded-ln decimal shape of the
+    * Spark side, as oracle SQL.
+    */
+  private def xlxSql(c: String): String =
+    s"CASE WHEN ($c) = 0 THEN CAST(0 AS DECIMAL(28,6)) " +
+      s"ELSE CAST(($c) * CAST(ROUND(LN(CAST(($c) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS DECIMAL(28,6)) END"
+
+  private val stumpSql: String = {
+    val gainNum = Seq(
+      ("+", "l1 + l0 + r1 + r0"),
+      ("-", "l1 + r1"), ("-", "l0 + r0"),
+      ("-", "l1 + l0"), ("-", "r1 + r0"),
+      ("+", "l1"), ("+", "l0"), ("+", "r1"), ("+", "r0"))
+      .map { case (sg, e) => s"$sg ${xlxSql(e)}" }.mkString(" ")
+    s"""WITH o AS (
+       |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+       |    o_orderstatus,
+       |    CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM orders),
+       |mm AS (SELECT MIN(cents) AS cmin, MAX(cents) AS cmax FROM o),
+       |b AS (SELECT y, o_orderstatus, mon,
+       |        ((cents - cmin) * 16) // (cmax - cmin + 1) AS price_b
+       |      FROM o, mm),
+       |sp AS (SELECT 'price16' AS feature, price_b AS bk,
+       |         CAST(SUM(y) AS BIGINT) AS c1, CAST(SUM(1 - y) AS BIGINT) AS c0
+       |       FROM b GROUP BY 2
+       |       UNION ALL
+       |       SELECT 'month', mon, CAST(SUM(y) AS BIGINT),
+       |         CAST(SUM(1 - y) AS BIGINT) FROM b GROUP BY 2),
+       |num AS (
+       |  SELECT feature, '<=' || CAST(bk AS VARCHAR) AS split,
+       |    CAST(SUM(c1) OVER (PARTITION BY feature ORDER BY bk) AS BIGINT) AS l1,
+       |    CAST(SUM(c0) OVER (PARTITION BY feature ORDER BY bk) AS BIGINT) AS l0,
+       |    CAST(SUM(c1) OVER (PARTITION BY feature) AS BIGINT) AS p1,
+       |    CAST(SUM(c0) OVER (PARTITION BY feature) AS BIGINT) AS p0,
+       |    MAX(bk) OVER (PARTITION BY feature) AS maxb, bk
+       |  FROM sp),
+       |numsp AS (SELECT feature, split, l1, l0, p1 - l1 AS r1, p0 - l0 AS r0
+       |          FROM num WHERE bk < maxb),
+       |cat0 AS (SELECT 'status' AS feature, o_orderstatus AS split,
+       |           CAST(SUM(y) AS BIGINT) AS c1, CAST(SUM(1 - y) AS BIGINT) AS c0
+       |         FROM b GROUP BY 2),
+       |catsp AS (SELECT feature, split, c1 AS l1, c0 AS l0,
+       |            CAST(SUM(c1) OVER () - c1 AS BIGINT) AS r1,
+       |            CAST(SUM(c0) OVER () - c0 AS BIGINT) AS r0 FROM cat0),
+       |alls AS (SELECT * FROM numsp UNION ALL SELECT * FROM catsp),
+       |g AS (SELECT feature, split, l1, l0, r1, r0,
+       |        ROUND(CAST(($gainNum) AS DOUBLE)
+       |          / CAST(l1 + l0 + r1 + r0 AS DOUBLE), 6) AS gain
+       |      FROM alls),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+       |         ORDER BY gain DESC, split) AS rn FROM g)
+       |SELECT feature, split, CAST(l1 + l0 AS BIGINT) AS n_left,
+       |  CAST(r1 + r0 AS BIGINT) AS n_right,
+       |  l1 AS n_left_pos, r1 AS n_right_pos, gain
+       |FROM rk WHERE rn = 1 ORDER BY feature""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q217_infogain_stump" -> stumpSql,
     "q216_mutual_info" ->
       """WITH base AS (
         |  SELECT event_type,

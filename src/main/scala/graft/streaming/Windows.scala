@@ -1004,7 +1004,47 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q219: streaming top-k leaderboard — the continuously-updated "top
+    * parts by quantity" board, built the mergeable way: each micro-batch
+    * collapses to ITS OWN (part, qty-sum) summary written idempotently
+    * under `batch=<id>`; disjoint batch summaries merge by addition, so
+    * the drained board equals the batch aggregate at any trigger slicing
+    * (exact, unlike a per-batch top-k-of-top-ks, which can drop a part
+    * that is never locally top-k but globally is — the classic
+    * distributed-top-k mistake this operator exists to avoid). Standing
+    * state ∝ distinct parts, never rows; quantities are exact longs.
+    */
+  def q219StreamTopk: Q = (s, d) => {
+    val rows = Tables(s, d, "lineitem").select(
+      col("l_partkey"), col("l_quantity").cast("long").as("q"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q219_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      rows.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            batch.groupBy(col("l_partkey"))
+              .agg(sum(col("q")).as("qty"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        s.read.parquet(sumDir)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("qty")).cast("long").as("total_qty"))
+          .orderBy(col("total_qty").desc, col("l_partkey"))
+          .limit(25))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q219_stream_topk" -> q219StreamTopk,
     "q201_stream_changepoint" -> q201StreamChangepoint,
     "q192_stream_auc" -> q192StreamAuc,
     "q175_stream_scd2" -> q175StreamScd2,
@@ -1025,6 +1065,11 @@ object Windows {
 
   /** Streaming results are checked against the SAME SQL as their batch twins. */
   val oracles: Map[String, String] = Map(
+    "q219_stream_topk" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem GROUP BY 1
+        |ORDER BY total_qty DESC, l_partkey LIMIT 25""".stripMargin,
     // q201 shares q198's oracle verbatim (merge ≡ batch at any slicing)
     "q201_stream_changepoint" ->
       """WITH hourly AS (

@@ -65,6 +65,7 @@ class PlanAuditSpec extends SparkSpec {
     "q211_phrase_search", // 1-row broadcast probe phrase selecting three posting lists
     "q213_decayed_topk", // 1-row broadcast corpus-horizon month in the decay exponent
     "q216_mutual_info", // 1-row broadcast grand total against the bounded 120-cell grid
+    "q217_infogain_stump", // 1-row broadcast price-range normalizer for integer bucketing
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -93,7 +94,7 @@ class PlanAuditSpec extends SparkSpec {
     "q121_stream_incremental_dedup", "q140_stream_drift",
     "q152_stream_decontam", "q155_stream_ingest_dedup",
     "q158_stream_decontam_rewrite", "q192_stream_auc",
-    "q201_stream_changepoint")
+    "q201_stream_changepoint", "q219_stream_topk")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -1467,4 +1467,93 @@ class UtilitiesSpec extends SparkSpec {
     // total MI over a contingency table is non-negative
     assert(got.values.map(_._3).sum > -1e-9)
   }
+  test("q217 info-gain stump: gains match an exact entropy replay; best split per feature") {
+    val os = Tables(spark, sf0001, "orders")
+      .select(($"o_orderpriority" === "1-URGENT").cast("long"),
+        $"o_orderstatus", month($"o_orderdate").cast("long"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cmin = os.map(_._4).min; val cmax = os.map(_._4).max
+    def xlx(c: Long): BigDecimal =
+      if (c == 0L) BigDecimal(0)
+      else BigDecimal(c) * BigDecimal(math.log(c.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def gain(l1: Long, l0: Long, r1: Long, r0: Long): Double = {
+      val num = xlx(l1 + l0 + r1 + r0) - xlx(l1 + r1) - xlx(l0 + r0) -
+        xlx(l1 + l0) - xlx(r1 + r0) + xlx(l1) + xlx(l0) + xlx(r1) + xlx(r0)
+      BigDecimal(num.toDouble / (l1 + l0 + r1 + r0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def best(cells: Map[Long, (Long, Long)], numeric: Boolean): (String, Double, Long, Long, Long, Long) = {
+      val keys = cells.keys.toSeq.sorted
+      val splits =
+        if (numeric) keys.init.map { t =>
+          val (l1, l0) = keys.filter(_ <= t).map(cells).foldLeft((0L, 0L)) {
+            case ((a, b), (c, d)) => (a + c, b + d) }
+          val (p1, p0) = keys.map(cells).foldLeft((0L, 0L)) {
+            case ((a, b), (c, d)) => (a + c, b + d) }
+          (s"<=$t", l1, l0, p1 - l1, p0 - l0)
+        }
+        else keys.map { v =>
+          val (l1, l0) = cells(v)
+          val (p1, p0) = keys.map(cells).foldLeft((0L, 0L)) {
+            case ((a, b), (c, d)) => (a + c, b + d) }
+          (v.toString, l1, l0, p1 - l1, p0 - l0)
+        }
+      splits.map { case (sp, l1, l0, r1, r0) => (sp, gain(l1, l0, r1, r0), l1, l0, r1, r0) }
+        .sortBy { case (sp, g, _, _, _, _) => (-g, sp) }.head
+    }
+    val priceCells = os.groupBy(o => ((o._4 - cmin) * 16) / (cmax - cmin + 1))
+      .map { case (b, g) => b -> (g.count(_._1 == 1L).toLong, g.count(_._1 == 0L).toLong) }
+    val monthCells = os.groupBy(_._3)
+      .map { case (m, g) => m -> (g.count(_._1 == 1L).toLong, g.count(_._1 == 0L).toLong) }
+    val statusCells = os.groupBy(_._2)
+      .map { case (st, g) => st -> (g.count(_._1 == 1L).toLong, g.count(_._1 == 0L).toLong) }
+    val got = Stats.q217InfoGainStump(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet === Set("price16", "month", "status"))
+    Seq(("price16", best(priceCells, numeric = true)),
+        ("month", best(monthCells, numeric = true))).foreach { case (f, (sp, g, l1, l0, r1, r0)) =>
+      val (gsp, nl, nr, nlp, nrp, gg) = got(f)
+      assert(gsp === sp, s"$f split")
+      assert(nl === l1 + l0 && nr === r1 + r0 && nlp === l1 && nrp === r1, s"$f counts")
+      assert(math.abs(gg - g) < 2e-6, s"$f gain $gg vs $g")
+    }
+    // categorical: same check over the one-vs-rest splits
+    val stBest = statusCells.map { case (v, (c1, c0)) =>
+      val p1 = statusCells.values.map(_._1).sum; val p0 = statusCells.values.map(_._2).sum
+      (v, gain(c1, c0, p1 - c1, p0 - c0), c1, c0, p1 - c1, p0 - c0)
+    }.toSeq.sortBy { case (sp, g, _, _, _, _) => (-g, sp) }.head
+    val (gsp, nl, nr, nlp, nrp, gg) = got("status")
+    assert(gsp === stBest._1 && nlp === stBest._3 && nrp === stBest._5)
+    assert(nl === stBest._3 + stBest._4 && nr === stBest._5 + stBest._6)
+    assert(math.abs(gg - stBest._2) < 2e-6)
+    // every reported gain is non-negative (information never hurts)
+    assert(got.values.forall(_._6 >= -1e-9))
+  }
+
+  test("q218 item-item cosine: scores match a set replay; top-5 per probe item") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = li.groupBy(_._2).map { case (p, g) => p -> g.map(_._1).toSet }
+    val probes = baskets.toSeq.sortBy { case (p, b) => (-b.size, p) }.take(20).map(_._1)
+    val got = Graph.q218ItemCosine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).distinct.toSet === probes.toSet)
+    got.groupBy(_._1).foreach { case (i, rows) =>
+      val want = baskets.keys.filter(j => j != i && (baskets(i) & baskets(j)).nonEmpty)
+        .map { j =>
+          val co = (baskets(i) & baskets(j)).size.toLong
+          val cos = BigDecimal(co.toDouble / math.sqrt((baskets(i).size.toLong * baskets(j).size).toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (j, co, cos)
+        }.toSeq.sortBy { case (j, _, c) => (-c, j) }.take(5)
+      val mine = rows.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq
+      assert(mine === want, s"probe $i")
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
 }

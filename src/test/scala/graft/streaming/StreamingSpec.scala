@@ -510,4 +510,22 @@ class StreamingSpec extends SparkSpec {
     val got = rows.find(_.getString(0) == h).get.getDouble(3)
     assert(got === expected, s"window $h: drift $got != hand-computed $expected")
   }
+  test("q219 streaming top-k equals the batch leaderboard; parts genuinely span batches") {
+    val stream = Windows.q219StreamTopk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (p, q) => (-q, p) }.take(25).toSeq
+    assert(stream === batch,
+      "drained merge of per-batch part summaries diverged from the batch top-25")
+    // non-vacuous: at least one leaderboard part appears in >1 feed partition,
+    // so a per-batch top-k-of-top-ks shortcut would have been WRONG to rely on
+    val parts = graft.Tables(spark, sf0001, "lineitem")
+      .select(col("l_partkey")).repartition(3).rdd
+      .mapPartitionsWithIndex { (i, it) => it.map(r => (i, r.getLong(0))) }.collect()
+    val spans = parts.groupBy(_._2).values.exists(g => g.map(_._1).distinct.length > 1)
+    assert(spans, "no part spans two feed partitions - merge untested")
+  }
 }
