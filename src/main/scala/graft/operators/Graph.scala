@@ -5,6 +5,7 @@ import graft.Dsl._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph analytics over relations — the iterative-fixpoint operator class
   * beyond [[graft.dedup.Components]]' label propagation. The graph is
@@ -318,7 +319,49 @@ object Graph {
       .orderBy(col("item"), col("rank"))
   }
 
+  /** Q221: Adamic-Adar link prediction over the customer–part bipartite
+    * graph — which customer pairs share SURPRISING purchases? Each shared
+    * part contributes `1/ln(customers(part))`, so rare parts dominate —
+    * the signal q218's cosine dilutes and raw co-count misses entirely.
+    * Top-20 customer pairs.
+    *
+    * Scale shape: pair generation fans out per part as customers(part)²,
+    * so parts are BOUNDED to 2..64 distinct buyers before the self-join —
+    * the q169 fingerprint-guard discipline, and principled here: a
+    * ubiquitous part's AA term is ~0 while its fan-out is quadratic. The
+    * per-part weight relation is bounded (distinct buyer-counts), the
+    * pair aggregate shuffles edge-proportionally, TakeOrdered closes.
+    * Determinism: weights are 6-dp-rounded `1/ln(c)` decimals summed
+    * exactly; counts are longs; the output score is the exact decimal
+    * surfaced as double.
+    */
+  def q221AdamicAdar: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val cp = Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val pc = cp.groupBy(col("p")).agg(count(lit(1)).as("nc"))
+      .filter(col("nc") >= 2 && col("nc") <= 64)
+      .withColumn("w", round(lit(1.0) / log(col("nc").cast("double")), 6).cast(dec6))
+    // both self-join sides consume the guarded bipartite relation —
+    // materialized once (and pre-partitioned on the join key) or the
+    // lineitem⋈orders+distinct upstream runs twice
+    val bounded = graft.Checkpoints.materialize(
+      cp.join(broadcast(pc), Seq("p"))
+        .repartition(s.sparkContext.defaultParallelism, col("p")))
+    bounded.select(col("p"), col("c").as("c1"), col("w"))
+      .join(bounded.select(col("p"), col("c").as("c2")), Seq("p"))
+      .filter(col("c1") < col("c2"))
+      .groupBy(col("c1"), col("c2"))
+      .agg(big(count(lit(1))).as("shared_parts"),
+        sum(col("w")).cast(DecimalType(38, 6)).cast("double").as("aa_score"))
+      .orderBy(col("aa_score").desc, col("c1"), col("c2"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q221_adamic_adar" -> q221AdamicAdar,
     "q218_item_cosine" -> q218ItemCosine,
     "q215_kcore" -> q215Kcore,
     "q208_degree_dist" -> q208DegreeDist,
@@ -353,6 +396,24 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q221_adamic_adar" ->
+      """WITH cp AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pc AS (SELECT p, COUNT(*) AS nc FROM cp GROUP BY 1
+        |       HAVING COUNT(*) BETWEEN 2 AND 64),
+        |pw AS (SELECT p,
+        |         CAST(ROUND(CAST(1 AS DOUBLE) / LN(CAST(nc AS DOUBLE)), 6)
+        |           AS DECIMAL(18,6)) AS w
+        |       FROM pc),
+        |b AS (SELECT cp.p, cp.c, w FROM cp JOIN pw ON cp.p = pw.p),
+        |pairs AS (
+        |  SELECT a.c AS c1, b2.c AS c2, COUNT(*) AS sp, SUM(a.w) AS aa
+        |  FROM b a JOIN b b2 ON a.p = b2.p AND a.c < b2.c
+        |  GROUP BY 1, 2)
+        |SELECT c1, c2, CAST(sp AS BIGINT) AS shared_parts,
+        |  CAST(CAST(aa AS DECIMAL(38,6)) AS DOUBLE) AS aa_score
+        |FROM pairs ORDER BY aa_score DESC, c1, c2 LIMIT 20""".stripMargin,
     "q218_item_cosine" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),

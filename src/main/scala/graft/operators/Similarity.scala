@@ -601,7 +601,63 @@ object Similarity {
       .orderBy(col("pid"))
   }
 
+  /** Q222: MMR (maximal marginal relevance) diverse re-ranking — the
+    * retrieval closer that q30's raw top-k lacks: from the probe's top-20
+    * candidates, greedily pick 5 maximizing
+    * `0.7·relevance − 0.3·max-similarity-to-already-picked`, so near
+    * duplicates of an already-chosen hit are displaced by diverse ones.
+    *
+    * Scale shape: the DISTRIBUTED work is the corpus-wide relevance scan
+    * (broadcast probe) and the TakeOrdered(20) cut — corpus-proportional,
+    * exactly q30's plan; the candidate pairwise-sim matrix is 20×19 by
+    * construction and the greedy loop runs on those bounded collected
+    * rows (the q166 bounded-driver-step discipline — at any corpus size
+    * the loop sees exactly 20 candidates). Determinism: rel and sims are
+    * 6-dp-rounded IN the engine (the q30 cosine-parity shape), the MMR
+    * expression `0.7·rel − 0.3·maxsim` is one IEEE shape re-rounded to
+    * 6 dp, ties broken by id; the oracle unrolls the same 5 greedy steps
+    * as CTEs.
+    */
+  def q222MmrRerank: Q = (s, d) => {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings").withColumn("ev", asDouble(col("embedding")))
+    val probe = emb.filter(col("vec_id") === 0).select(col("ev").as("pv"))
+    val cand = graft.Checkpoints.materialize(
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("rel"),
+          col("ev"))
+        .orderBy(col("rel").desc, col("id"))
+        .limit(20))
+    val rels = cand.select(col("id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))) // bounded: 20 rows
+    val sim = cand.as("a").join(broadcast(cand.as("b")), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        round(VectorFunctions.cosineSim(col("a.ev"), col("b.ev")), 6).as("s"))
+      .collect() // bounded: 20·19 rows
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def r6(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    var sel = Vector.empty[(Long, Double, Double)]
+    val first = rels.minBy { case (id, rl) => (-rl, id) }
+    sel :+= ((first._1, first._2, first._2))
+    while (sel.length < 5 && sel.length < rels.length) {
+      val scored = rels.filterNot(c => sel.exists(_._1 == c._1))
+        .map { case (id, rl) =>
+          val ms = sel.map(sl => sim((id, sl._1))).max
+          (id, rl, r6(0.7 * rl - 0.3 * ms))
+        }
+      sel :+= scored.minBy { case (id, _, m) => (-m, id) }
+    }
+    sel.zipWithIndex
+      .map { case ((id, rl, m), i) => (i + 1L, id, rl, m) }
+      .toDF("rank", "id", "rel", "mmr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q222_mmr_rerank" -> q222MmrRerank,
     "q188_ivfpq" -> q188IvfPq,
     "q173_pq_adc_recall" -> q173PqAdcRecall,
     "q172_pq_codebook" -> q172PqCodebook,
@@ -618,7 +674,39 @@ object Similarity {
     "q69_multi_topk" -> q69MultiTopK,
     "q131_hard_negatives" -> q131HardNegatives)
 
+  /** The q222 oracle: the same 5 greedy MMR steps unrolled as CTEs over
+    * the list_dot_product cosine (q30's parity shape).
+    */
+  private val mmrSql: String = {
+    val steps = (2 to 5).map { t =>
+      s"""m$t AS (
+         |  SELECT c.id, c.rel,
+         |    ROUND(0.7 * c.rel - 0.3 * (SELECT MAX(s.s) FROM sims s
+         |      WHERE s.ia = c.id AND s.ib IN (SELECT id FROM a${t - 1})), 6) AS mmr
+         |  FROM cand c WHERE c.id NOT IN (SELECT id FROM a${t - 1})),
+         |s$t AS (SELECT id, rel, mmr, $t AS rank FROM m$t ORDER BY mmr DESC, id LIMIT 1),
+         |a$t AS (SELECT * FROM a${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings WHERE vec_id <> 0),
+       |rel0 AS (SELECT vec_id AS id, ev,
+       |    ROUND(list_dot_product(ev, pv)
+       |      / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6) AS rel
+       |  FROM e, p),
+       |cand AS MATERIALIZED (SELECT * FROM rel0 ORDER BY rel DESC, id LIMIT 20),
+       |sims AS MATERIALIZED (
+       |  SELECT a.id AS ia, b.id AS ib,
+       |    ROUND(list_dot_product(a.ev, b.ev)
+       |      / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 6) AS s
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |s1 AS (SELECT id, rel, rel AS mmr, 1 AS rank FROM cand ORDER BY rel DESC, id LIMIT 1),
+       |a1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT CAST(rank AS BIGINT) AS rank, id, rel, mmr FROM a5 ORDER BY rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q222_mmr_rerank" -> mmrSql,
     "q162_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
         |p AS (SELECT b.vec_id AS id2, MIN(a.vec_id) AS witness

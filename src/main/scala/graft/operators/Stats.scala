@@ -522,7 +522,57 @@ object Stats {
       .orderBy(col("feature"))
   }
 
+  /** Q220: Pearson correlation matrix over derived per-order features
+    * (total price, line count, total quantity, distinct parts) — the
+    * multivariate screen q177's single-pair regression doesn't give. All
+    * 4 first moments and 10 second moments ride ONE map-side-combined
+    * aggregate over the per-order feature relation (one lineitem
+    * aggregate + one orders join); the six correlations are then 1-row
+    * arithmetic unpivoted with `stack`. Moments follow the q177/q48
+    * discipline: exact DECIMAL(18,4) products summed to (38,4), surfaced
+    * as doubles, with the r formula written in one identical IEEE shape
+    * in both engines.
+    */
+  def q220CorrMatrix: Q = (s, d) => {
+    val per = Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("f_lines"),
+        sum(col("l_quantity").cast("long")).as("f_qty"),
+        countDistinct(col("l_partkey")).as("f_parts"))
+    val feats = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("f_price"))
+      .join(per, col("o_orderkey") === col("l_orderkey"))
+    val fns = Seq("price", "lines", "qty", "parts")
+    val firsts = fns.map(f => sum(dec(col(s"f_$f"))).cast("double").as(s"s_$f"))
+    val seconds = for {
+      (a, i) <- fns.zipWithIndex; (b, j) <- fns.zipWithIndex if i <= j
+      // (19,4)·(12,4): the 19-digit side forces DuckDB's multiply into
+      // int128 (two 12/18-digit operands overflow its int64 fast path on
+      // price², caught at landing); all products have <= 4 true decimals,
+      // so the (38,4) reduction is EXACT, not a rounding
+    } yield sum(col(s"f_$a").cast(DecimalType(19, 4)) * dec12(col(s"f_$b")))
+      .cast(DecimalType(38, 4)).cast("double").as(s"s_${a}_$b")
+    val a = feats.agg(count(lit(1)).as("n"),
+      (firsts ++ seconds): _*)
+    val nD = col("n").cast("double")
+    def r(x: String, y: String): Column =
+      round((nD * col(s"s_${x}_$y") - col(s"s_$x") * col(s"s_$y"))
+        / (sqrt(nD * col(s"s_${x}_$x") - col(s"s_$x") * col(s"s_$x"))
+          * sqrt(nD * col(s"s_${y}_$y") - col(s"s_$y") * col(s"s_$y"))), 6)
+    val pairs = for {
+      (x, i) <- fns.zipWithIndex; (y, j) <- fns.zipWithIndex if i < j
+    } yield (x, y)
+    val withR = a.select(col("n") +: pairs.map { case (x, y) =>
+      r(x, y).as(s"r_${x}_$y") }: _*)
+    val stackArgs = pairs.map { case (x, y) => s"'$x', '$y', r_${x}_$y" }
+      .mkString(s"stack(${pairs.length}, ", ", ", ") AS (feat_a, feat_b, r)")
+    withR.select(col("n"), expr(stackArgs))
+      .select(col("feat_a"), col("feat_b"), col("n"), col("r"))
+      .orderBy(col("feat_a"), col("feat_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q220_corr_matrix" -> q220CorrMatrix,
     "q217_infogain_stump" -> q217InfoGainStump,
     "q216_mutual_info" -> q216MutualInfo,
     "q210_kaplan_meier" -> q210KaplanMeier,
@@ -600,7 +650,38 @@ object Stats {
        |FROM rk WHERE rn = 1 ORDER BY feature""".stripMargin
   }
 
+  private val corrSql: String = {
+    val fns = Seq("price", "lines", "qty", "parts")
+    val firsts = fns.map(f =>
+      s"CAST(SUM(CAST(f_$f AS DECIMAL(18,4))) AS DOUBLE) AS s_$f")
+    val seconds = for {
+      (a, i) <- fns.zipWithIndex; (b, j) <- fns.zipWithIndex if i <= j
+    } yield s"CAST(CAST(SUM(CAST(f_$a AS DECIMAL(19,4)) * CAST(f_$b AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS s_${a}_$b"
+    def r(x: String, y: String) =
+      s"ROUND((CAST(n AS DOUBLE) * s_${x}_$y - s_$x * s_$y) / " +
+        s"(sqrt(CAST(n AS DOUBLE) * s_${x}_$x - s_$x * s_$x) * " +
+        s"sqrt(CAST(n AS DOUBLE) * s_${y}_$y - s_$y * s_$y)), 6)"
+    val pairRows = (for {
+      (x, i) <- fns.zipWithIndex; (y, j) <- fns.zipWithIndex if i < j
+    } yield s"SELECT '$x' AS feat_a, '$y' AS feat_b, n, ${r(x, y)} AS r FROM a")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT l_orderkey, COUNT(*) AS f_lines,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS f_qty,
+       |    COUNT(DISTINCT l_partkey) AS f_parts
+       |  FROM lineitem GROUP BY 1),
+       |feats AS MATERIALIZED (
+       |  SELECT o_totalprice AS f_price, f_lines, f_qty, f_parts
+       |  FROM orders JOIN per ON o_orderkey = l_orderkey),
+       |a AS MATERIALIZED (
+       |  SELECT COUNT(*) AS n, ${(firsts ++ seconds).mkString(",\n    ")}
+       |  FROM feats)
+       |SELECT feat_a, feat_b, n, r FROM ($pairRows)
+       |ORDER BY feat_a, feat_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q220_corr_matrix" -> corrSql,
     "q217_infogain_stump" -> stumpSql,
     "q216_mutual_info" ->
       """WITH base AS (

@@ -66,6 +66,7 @@ class PlanAuditSpec extends SparkSpec {
     "q213_decayed_topk", // 1-row broadcast corpus-horizon month in the decay exponent
     "q216_mutual_info", // 1-row broadcast grand total against the bounded 120-cell grid
     "q217_infogain_stump", // 1-row broadcast price-range normalizer for integer bucketing
+    "q222_mmr_rerank", // 1-row probe broadcast + 20-row candidate pairwise-sim matrix
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
