@@ -107,12 +107,82 @@ object Evaluation {
     }.reduce(_.unionAll(_)).orderBy(col("threshold"))
   }
 
+  /** Q223: k-NN classifier evaluation — the embedding-quality check a
+    * retrieval pipeline runs before trusting its vectors: classify each of
+    * the first 100 vectors by the majority label of its 5 exact nearest
+    * neighbors (self excluded) and report the confusion matrix. High
+    * off-diagonal mass means the embedding space doesn't separate labels
+    * and every downstream ANN result is suspect.
+    *
+    * Scale shape: probes are a BOUNDED broadcast (100 rows) against one
+    * corpus scan; per-probe winners ride the O(k)-state
+    * [[graft.functions.TopKByScore]] aggregator (q69's plan — no per-group
+    * sort, corpus-size-independent state); voting and the confusion
+    * aggregate run on the bounded 100×5 relation. Determinism: scores
+    * 6-dp-rounded (q30's cosine-parity shape), neighbor ties by id,
+    * vote ties by smallest label.
+    */
+  def q223KnnEval: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("ev"),
+        big(col("label")).as("label"))
+    val labels = emb.select(col("vec_id").as("id"), col("label"))
+    val probes = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("pid"), col("ev").as("pv"), col("label").as("true_label"))
+    val top = emb.crossJoin(broadcast(probes.select(col("pid"), col("pv"))))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("id"),
+        round(graft.functions.VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+      .agg(new graft.functions.TopKByScore(5).toColumn)
+      .toDF("pid", "neighbors")
+    val votes = top.select(col("pid"), explode(col("neighbors")).as("nb"))
+      .select(col("pid"), col("nb.id").as("id"))
+      .join(broadcast(labels), Seq("id"))
+      .groupBy(col("pid"), col("label")).agg(count(lit(1)).as("cnt"))
+    val wVote = Window.partitionBy(col("pid"))
+      .orderBy(col("cnt").desc, col("label"))
+    votes.withColumn("rn", row_number().over(wVote))
+      .filter(col("rn") === 1)
+      .select(col("pid"), col("label").as("pred_label"))
+      .join(broadcast(probes.select(col("pid"), col("true_label"))), Seq("pid"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(big(count(lit(1))).as("n"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q223_knn_eval" -> q223KnnEval,
     "q189_calibration_bins" -> q189CalibrationBins,
     "q190_auc" -> q190Auc,
     "q191_pr_curve" -> q191PrCurve)
 
   val oracles: Map[String, String] = Map(
+    "q223_knn_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |             CAST(label AS BIGINT) AS label FROM embeddings),
+        |p AS (SELECT vec_id AS pid, ev AS pv, label AS true_label
+        |      FROM e WHERE vec_id < 100),
+        |sc AS (
+        |  SELECT p.pid, e.vec_id AS id, e.label,
+        |    ROUND(list_dot_product(ev, pv)
+        |      / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6) AS score
+        |  FROM e, p WHERE e.vec_id <> p.pid),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+        |         ORDER BY score DESC, id) AS rn FROM sc),
+        |votes AS (SELECT pid, label, COUNT(*) AS cnt FROM rk
+        |          WHERE rn <= 5 GROUP BY 1, 2),
+        |pred AS (SELECT pid, label AS pred_label,
+        |           ROW_NUMBER() OVER (PARTITION BY pid
+        |             ORDER BY cnt DESC, label) AS vr FROM votes)
+        |SELECT p.true_label, pred.pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pred JOIN p ON pred.pid = p.pid
+        |WHERE vr = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q189_calibration_bins" ->
       """WITH e AS (
         |  SELECT CAST(value AS DECIMAL(18,4)) AS v,

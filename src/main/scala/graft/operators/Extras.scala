@@ -504,7 +504,80 @@ object Extras {
       .limit(25)
   }
 
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  /** Q224: federated multi-format query — one join across a CSV export, a
+    * JSON export, and an ORC export of three dimension tables, proving
+    * the source surface end-to-end (write → schema-applied read → joined
+    * aggregate) inside a declared oracle-checked query: the oracle runs
+    * the same join on the ORIGINAL tables, so any round-trip corruption
+    * (header loss, JSON type widening, ORC logical types) breaks the
+    * hash. Sides are dimension-sized; the joins broadcast. The result is
+    * materialized before the staging directory is deleted (the q121
+    * temp-dir lesson).
+    */
+  def q224FederatedFormats: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q224_").toString
+    try {
+      val nation = Tables(s, d, "nation")
+      val region = Tables(s, d, "region")
+      val supplier = Tables(s, d, "supplier")
+      graft.sources.Writers.csv(nation, s"$tmp/nation")
+      graft.sources.Writers.json(region, s"$tmp/region")
+      graft.sources.Writers.orc(supplier, s"$tmp/supplier")
+      val n2 = s.read.schema(nation.schema).option("header", "true")
+        .csv(s"$tmp/nation")
+      val r2 = s.read.schema(region.schema).json(s"$tmp/region")
+      val s2 = s.read.orc(s"$tmp/supplier")
+      graft.Checkpoints.materialize(
+        s2.join(n2, col("s_nationkey") === col("n_nationkey"))
+          .join(r2, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(big(count(lit(1))).as("n_suppliers"),
+            round(moneySum(col("s_acctbal")), 4).as("total_bal"))
+          .orderBy(col("r_name")))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Q225: schema-evolution read — the v1/v2 parquet situation every
+    * long-lived dataset hits: v1 files lack a column later added in v2.
+    * Writes the two generations (even order keys as v1 without
+    * `o_orderstatus`, odd as v2 with it), reads them back as ONE relation
+    * via `mergeSchema`, and aggregates with the absent column surfacing
+    * as NULL → 'unknown'. The oracle reconstructs the same view from the
+    * original table, so a wrong merge (column misalignment, type clash,
+    * silent drop) hash-fails. Result materialized before staging cleanup.
+    */
+  def q225SchemaEvolution: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q225_").toString
+    try {
+      val o = Tables(s, d, "orders")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/t/gen=1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$tmp/t/gen=2")
+      val merged = s.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      graft.Checkpoints.materialize(
+        merged
+          .withColumn("status", coalesce(col("o_orderstatus"), lit("unknown")))
+          .groupBy(col("status"))
+          .agg(big(count(lit(1))).as("n"),
+            round(moneySum(col("o_totalprice")), 4).as("total"))
+          .orderBy(col("status")))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_federated_formats" -> q224FederatedFormats,
+    "q225_schema_evolution" -> q225SchemaEvolution,
     "q213_decayed_topk" -> q213DecayedTopk,
     "q88_bloom_semi" -> q88BloomSemi,
     "q91_equidepth_bins" -> q91EquidepthBins,
@@ -530,6 +603,20 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q224_federated_formats" ->
+      """SELECT r_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q225_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'unknown'
+        |            ELSE o_orderstatus END AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q213_decayed_topk" ->
       """WITH om AS (
         |  SELECT o_orderkey,

@@ -1650,4 +1650,68 @@ class UtilitiesSpec extends SparkSpec {
     val maxInterSim = rels.take(5).combinations(2).map { p => cos(embs(p(0)._1), embs(p(1)._1)) }.max
     assert(anyPenalty || maxInterSim < 0.5, "MMR never diverged and top-5 is highly self-similar")
   }
+  test("q223 kNN eval: confusion matrix matches an independent float replay") {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      BigDecimal.valueOf(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val rows = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding", $"label".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getLong(2)))
+    val confusion = collection.mutable.Map.empty[(Long, Long), Long]
+    rows.filter(_._1 < 100).foreach { case (pid, pv, tl) =>
+      val top5 = rows.filter(_._1 != pid)
+        .map { case (id, v, lb) => (id, lb, cos(v, pv)) }
+        .sortBy { case (id, _, sc) => (-sc, id) }.take(5)
+      val pred = top5.groupBy(_._2).map { case (lb, g) => (lb, g.length) }
+        .toSeq.sortBy { case (lb, c) => (-c, lb) }.head._1
+      confusion((tl, pred)) = confusion.getOrElse((tl, pred), 0L) + 1
+    }
+    val got = Evaluation.q223KnnEval(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === confusion.toMap)
+    assert(got.values.sum === 100L)
+  }
+
+  test("q224 federated formats: csv/json/orc round-trip join equals the parquet join") {
+    val direct = Tables(spark, sf0001, "supplier")
+      .join(Tables(spark, sf0001, "nation"), $"s_nationkey" === $"n_nationkey")
+      .join(Tables(spark, sf0001, "region"), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n"), sum($"s_acctbal".cast("decimal(18,4)")).cast("double").as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy(_._1)
+    val got = Extras.q224FederatedFormats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    assert(got === direct.toSeq)
+    // staging directory cleaned up
+    val leftovers = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_q224_"))
+    assert(leftovers.isEmpty, s"staging dirs leaked: ${leftovers.mkString(",")}")
+  }
+
+  test("q225 schema evolution: mergeSchema read reconstructs v1 rows with NULL status") {
+    val want = Tables(spark, sf0001, "orders")
+      .select(when(pmod($"o_orderkey", lit(2)) === 0, lit("unknown"))
+        .otherwise($"o_orderstatus").as("st"), $"o_totalprice")
+      .groupBy($"st")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast("decimal(18,4)")).cast("double").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy(_._1)
+    val got = Extras.q225SchemaEvolution(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    assert(got === want.toSeq)
+    assert(got.exists(_._1 == "unknown"), "v1 generation never surfaced as NULL status")
+    val leftovers = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_q225_"))
+    assert(leftovers.isEmpty, s"staging dirs leaked: ${leftovers.mkString(",")}")
+  }
 }
