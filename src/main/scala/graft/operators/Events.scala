@@ -747,7 +747,106 @@ object Events {
       .orderBy(col("o_custkey"))
   }
 
+  /** Q226: interval sweep-line — max CONCURRENT sessions per day, the
+    * capacity question (peak simultaneous load) that no per-row aggregate
+    * answers: q31's sessions become +1/−1 boundary points, day-clipped,
+    * and the running sum's maximum is the day's peak concurrency.
+    * Releases sort before arrivals at the same second (`(t, delta)`
+    * order), so touching sessions don't double-count; ties among equal
+    * deltas can't perturb the max (a tied block is all +1 or all −1, and
+    * the block's END value is order-independent).
+    *
+    * Scale shape: sessionization is q31's per-user windows; day-splitting
+    * is a bounded explode (sessions are gap-bounded, so they span ≤2
+    * days); the sweep window partitions by DAY — at warehouse scale a
+    * hot day is the honest partition bound, and the two-level refinement
+    * (per-(day, shard) sweeps + boundary merge) is the documented scale
+    * path, same as q108's for the global-window baselines.
+    */
+  def q226MaxConcurrency: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, d)
+      .select(col("user_id"), col("event_id"), epochSec(col("ts2")).as("es"))
+      .withColumn("new_sess",
+        when(lag(col("es"), 1).over(w).isNull
+          || col("es") - lag(col("es"), 1).over(w) > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("es")).as("st"), max(col("es")).as("en"))
+    val segs = sess
+      .select(col("st"), col("en"),
+        explode(sequence(expr("st div 86400"), expr("en div 86400"))).as("day"))
+      .select(col("day"), greatest(col("st"), col("day") * 86400L).as("t0"),
+        least(col("en"), col("day") * 86400L + 86399L).as("t1"))
+    val points = segs.select(col("day"), col("t0").as("t"), lit(1L).as("delta"))
+      .union(segs.filter(col("t1") < col("day") * 86400L + 86399L)
+        .select(col("day"), (col("t1") + 1L).as("t"), lit(-1L).as("delta")))
+    val wd = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points.withColumn("cum", sum(col("delta")).over(wd))
+      .groupBy(col("day"))
+      .agg(max(col("cum")).as("max_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
+      .select(col("day"), col("n_sessions"), col("max_concurrency"))
+      .orderBy(col("day"))
+  }
+
+  /** Q227: SAX symbolization + motif counting — each active user's event
+    * series compressed to an 8-segment PAA (equal-COUNT segments by
+    * position), z-normalized against the user's own 8 segment means, and
+    * quantized to a 4-letter alphabet at the N(0,1) quartile breakpoints
+    * (±0.6745, 0); identical SAX words across users are behavioral
+    * MOTIFS, reported top-15. The time-series-mining primitive none of
+    * the window family gives.
+    *
+    * Scale shape: one per-user ordered window, one (user, segment)
+    * aggregate, everything after on the bounded 8-rows-per-user relation.
+    * Determinism: segment means are rounded to 3 dp and the user moments
+    * computed as exact decimals under 2^53 (the scale chosen so BOTH
+    * engines' decimal→double conversions are exact — scale 6 already is
+    * not, measured at q220's landing); z is one IEEE shape rounded to
+    * 4 dp before the fixed-literal breakpoint compares.
+    */
+  def q227SaxMotifs: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val base = events(s, d)
+      .select(col("user_id"), col("event_id"), epochSec(col("ts2")).as("es"),
+        dec(col("value")).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("n") >= 8)
+      .withColumn("seg", expr("((rn - 1) * 8) div n"))
+    val dec3 = org.apache.spark.sql.types.DecimalType(12, 3)
+    val segMeans = base.groupBy(col("user_id"), col("seg"))
+      .agg(round(sum(col("v")).cast("double") / count(lit(1)), 3)
+        .cast(dec3).as("m3"))
+    val wu = Window.partitionBy(col("user_id"))
+    val z = segMeans
+      .withColumn("s1", sum(col("m3")).over(wu)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 3)).cast("double"))
+      .withColumn("s2", sum(col("m3") * col("m3")).over(wu)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double"))
+      .withColumn("mean", col("s1") / 8)
+      .withColumn("vr", col("s2") / 8 - (col("s1") / 8) * (col("s1") / 8))
+      .withColumn("z", when(col("vr") <= 0, lit(0.0))
+        .otherwise(round((col("m3").cast("double") - col("mean")) / sqrt(col("vr")), 4)))
+      .withColumn("sym",
+        when(col("z") < -0.6745, "a").when(col("z") < 0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d"))
+    z.groupBy(col("user_id"))
+      .agg(concat_ws("", transform(array_sort(
+        collect_list(struct(col("seg"), col("sym")))),
+        t => t.getField("sym"))).as("word"))
+      .groupBy(col("word"))
+      .agg(big(count(lit(1))).as("n_users"))
+      .orderBy(col("n_users").desc, col("word"))
+      .limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q226_max_concurrency" -> q226MaxConcurrency,
+    "q227_sax_motifs" -> q227SaxMotifs,
     "q212_survivorship" -> q212Survivorship,
     "q206_cohort_ltv" -> q206CohortLtv,
     "q207_rfm" -> q207Rfm,
@@ -791,6 +890,78 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q226_max_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, es,
+        |    CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s AS (
+        |  SELECT user_id, es,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |sess AS (SELECT user_id, sid, MIN(es) AS st, MAX(es) AS en
+        |         FROM s GROUP BY 1, 2),
+        |segs AS (
+        |  SELECT u.day, GREATEST(st, u.day * 86400) AS t0,
+        |         LEAST(en, u.day * 86400 + 86399) AS t1
+        |  FROM sess, UNNEST(generate_series(st // 86400, en // 86400)) AS u(day)),
+        |pts AS (
+        |  SELECT day, t0 AS t, CAST(1 AS BIGINT) AS delta FROM segs
+        |  UNION ALL
+        |  SELECT day, t1 + 1, -1 FROM segs WHERE t1 < day * 86400 + 86399),
+        |c AS (
+        |  SELECT day, delta,
+        |    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pts)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(MAX(cum) AS BIGINT) AS max_concurrency
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
+    "q227_sax_motifs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY es, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |f AS (SELECT user_id, v, ((rn - 1) * 8) // n AS seg FROM r WHERE n >= 8),
+        |sg AS (
+        |  SELECT user_id, seg,
+        |    CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 3) AS DECIMAL(12,3)) AS m3
+        |  FROM f GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id,
+        |    CAST(CAST(SUM(m3) AS DECIMAL(38,3)) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(m3 * m3) AS DECIMAL(38,6)) AS DOUBLE) AS s2
+        |  FROM sg GROUP BY 1),
+        |z AS (
+        |  SELECT sg.user_id, sg.seg,
+        |    CASE WHEN s2 / 8 - (s1 / 8) * (s1 / 8) <= 0 THEN 0.0
+        |         ELSE ROUND((CAST(m3 AS DOUBLE) - s1 / 8)
+        |           / sqrt(s2 / 8 - (s1 / 8) * (s1 / 8)), 4) END AS z
+        |  FROM sg JOIN st ON sg.user_id = st.user_id),
+        |sym AS (
+        |  SELECT user_id, seg,
+        |    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+        |         WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sy
+        |  FROM z),
+        |words AS (
+        |  SELECT user_id, STRING_AGG(sy, '' ORDER BY seg) AS word
+        |  FROM sym GROUP BY 1)
+        |SELECT word, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM words GROUP BY 1
+        |ORDER BY n_users DESC, word LIMIT 15""".stripMargin,
     "q212_survivorship" ->
       """WITH rec AS (
         |  SELECT o_custkey, o_orderstatus AS last_status,

@@ -1714,4 +1714,68 @@ class UtilitiesSpec extends SparkSpec {
       .listFiles().filter(_.getName.startsWith("graft_q225_"))
     assert(leftovers.isEmpty, s"staging dirs leaked: ${leftovers.mkString(",")}")
   }
+  test("q226 max concurrency: sweep-line equals a brute-force per-second check") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"ts2".cast("long").as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = evs.groupBy(_._1).values.flatMap { g =>
+      val ordered = g.sortBy(e => (e._3, e._2))
+      val buf = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = ordered.head._3; var en = ordered.head._3
+      ordered.tail.foreach { e =>
+        if (e._3 - en > 1800) { buf += ((st, en)); st = e._3; en = e._3 }
+        else en = e._3
+      }
+      buf += ((st, en))
+      buf
+    }.toSeq
+    val got = Events.q226MaxConcurrency(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val days = sessions.flatMap { case (st, en) => (st / 86400) to (en / 86400) }.distinct.sorted
+    assert(got.map(_._1).toSeq === days)
+    got.foreach { case (day, nSess, maxC) =>
+      val segs = sessions.flatMap { case (st, en) =>
+        val t0 = math.max(st, day * 86400); val t1 = math.min(en, day * 86400 + 86399)
+        if (t0 <= t1 && st / 86400 <= day && day <= en / 86400) Some((t0, t1)) else None
+      }
+      assert(nSess === segs.length.toLong, s"day $day session count")
+      // brute force: evaluate concurrency at every segment start instant
+      val brute = segs.map(_._1).distinct.map { t =>
+        segs.count { case (a, b) => a <= t && t <= b }
+      }.max
+      assert(maxC === brute.toLong, s"day $day: $maxC vs brute $brute")
+    }
+  }
+
+  test("q227 SAX motifs: words match an exact per-user replay") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"ts2".cast("long"),
+        $"value".cast("decimal(18,4)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3))))
+    def r(x: Double, sc: Int) = BigDecimal.valueOf(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val words = evs.groupBy(_._1).filter(_._2.length >= 8).map { case (_, g) =>
+      val ordered = g.sortBy(e => (e._3, e._2)).map(_._4)
+      val n = ordered.length
+      val segs = ordered.zipWithIndex.groupBy { case (_, i) => i * 8 / n }
+      val m3 = (0 until 8).map { sgi =>
+        val vs = segs(sgi).map(_._1)
+        BigDecimal(r((vs.sum / vs.length).toDouble, 3))
+      }
+      val s1 = m3.sum.toDouble
+      val s2 = m3.map(x => x * x).sum.toDouble
+      val mean = s1 / 8; val vr = s2 / 8 - (s1 / 8) * (s1 / 8)
+      m3.map { m =>
+        val z = if (vr <= 0) 0.0 else r((m.toDouble - mean) / math.sqrt(vr), 4)
+        if (z < -0.6745) "a" else if (z < 0) "b" else if (z < 0.6745) "c" else "d"
+      }.mkString
+    }.toSeq
+    val want = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+      .toSeq.sortBy { case (w, n) => (-n, w) }.take(15)
+    val got = Events.q227SaxMotifs(spark, sf0001).collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1))).toSeq
+    assert(got === want)
+    assert(got.forall(_._1.length == 8), "a SAX word is not 8 symbols")
+  }
 }
