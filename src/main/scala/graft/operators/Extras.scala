@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Dsl._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Inventory extensions beyond SURVEY §2.3 Q01-Q33: percentiles, moment
@@ -575,7 +575,75 @@ object Extras {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q229: order-independent table content fingerprints — the replication
+    * / migration audit: per table, row count plus an additive content
+    * hash (sum of per-row md5-prefix integers over a canonical
+    * `'|'`-joined projection), so two copies of a table can be compared
+    * without sorting either. Canonicalization uses only portably-cast
+    * types (longs, strings, date strings, integer cents) — the q43
+    * md5-prefix technique — and the sum is an exact DECIMAL(38,0):
+    * associative, partition-independent, engine-independent.
+    *
+    * Scale shape: one map-side-combined aggregate per table; the hash is
+    * computed in the scan projection. This is the cheap first-line check
+    * before a row-level diff (q129) is worth running.
+    */
+  def q229TableFingerprint: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def fp(canon: Column): Column =
+      sum(conv(substring(md5(canon), 1, 8), 16, 10).cast("long").cast(dec38))
+        .cast(dec38).cast("string")
+    def row(name: String, df: DataFrame, canon: Column): DataFrame =
+      df.agg(big(count(lit(1))).as("n_rows"), fp(canon).as("fingerprint"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
+    val orders = Tables(s, d, "orders")
+    val customer = Tables(s, d, "customer")
+    val li = Tables(s, d, "lineitem")
+    row("customer", customer, concat_ws("|",
+      col("c_custkey"), col("c_name"), col("c_nationkey").cast("long"),
+      (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long"), col("c_mktsegment")))
+      .unionAll(row("orders", orders, concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"), dateStr(col("o_orderdate")), col("o_orderpriority"))))
+      .unionAll(row("lineitem", li, concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber").cast("long"), col("l_quantity").cast("long"),
+        col("l_returnflag"), col("l_linestatus"), dateStr(col("l_shipdate")))))
+      .orderBy(col("table_name"))
+  }
+
+  /** Q230: generated calendar dimension — `sequence()` builds every day
+    * in the order-date span (the generator surface: a relation from no
+    * table), enriched with year/quarter, LEFT-joined to the daily order
+    * aggregate so inactive days survive as zeros, rolled up per (year,
+    * quarter): calendar days vs active days vs volume. The zero-fill via
+    * generated dimension is what a plain `GROUP BY date` silently gets
+    * wrong (absent days just vanish).
+    */
+  def q230CalendarDim: Q = (s, d) => {
+    val o = Tables(s, d, "orders")
+    val span = o.agg(min(col("o_orderdate").cast("date")).as("d0"),
+      max(col("o_orderdate").cast("date")).as("d1"))
+    val cal = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dec384 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val daily = o.groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("rev"))
+    cal.join(daily, Seq("day"), "left")
+      .groupBy(year(col("day")).cast("long").as("yr"),
+        quarter(col("day")).cast("long").as("qtr"))
+      .agg(big(count(lit(1))).as("n_days"),
+        big(sum(when(col("n").isNotNull, 1L).otherwise(0L))).as("n_active_days"),
+        big(sum(coalesce(col("n"), lit(0L)))).as("n_orders"),
+        round(sum(coalesce(col("rev"), lit(0).cast(dec384)))
+          .cast(dec384).cast("double"), 4).as("revenue"))
+      .orderBy(col("yr"), col("qtr"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q229_table_fingerprint" -> q229TableFingerprint,
+    "q230_calendar_dim" -> q230CalendarDim,
     "q224_federated_formats" -> q224FederatedFormats,
     "q225_schema_evolution" -> q225SchemaEvolution,
     "q213_decayed_topk" -> q213DecayedTopk,
@@ -603,6 +671,58 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q229_table_fingerprint" ->
+      """WITH c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(CAST(SUM(CAST(('0x' || substr(md5(
+        |      c_custkey || '|' || c_name || '|' || CAST(c_nationkey AS BIGINT)
+        |      || '|' || CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      || '|' || c_mktsegment), 1, 8)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |      AS fingerprint
+        |  FROM customer),
+        |o AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(CAST(SUM(CAST(('0x' || substr(md5(
+        |      o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+        |      || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |      || '|' || o_orderpriority), 1, 8)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |      AS fingerprint
+        |  FROM orders),
+        |l AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(CAST(SUM(CAST(('0x' || substr(md5(
+        |      l_orderkey || '|' || l_partkey || '|' || l_suppkey
+        |      || '|' || CAST(l_linenumber AS BIGINT)
+        |      || '|' || CAST(l_quantity AS BIGINT)
+        |      || '|' || l_returnflag || '|' || l_linestatus
+        |      || '|' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)), 1, 8))
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+        |  FROM lineitem)
+        |SELECT 'customer' AS table_name, n_rows, fingerprint FROM c
+        |UNION ALL SELECT 'lineitem', n_rows, fingerprint FROM l
+        |UNION ALL SELECT 'orders', n_rows, fingerprint FROM o
+        |ORDER BY table_name""".stripMargin,
+    "q230_calendar_dim" ->
+      """WITH span AS (
+        |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+        |         CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+        |cal AS (SELECT CAST(u.d AS DATE) AS day
+        |        FROM span, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(YEAR(cal.day) AS BIGINT) AS yr,
+        |  CAST(QUARTER(cal.day) AS BIGINT) AS qtr,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(CASE WHEN daily.n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active_days,
+        |  CAST(SUM(COALESCE(daily.n, 0)) AS BIGINT) AS n_orders,
+        |  ROUND(CAST(CAST(SUM(COALESCE(daily.rev, 0)) AS DECIMAL(38,4)) AS DOUBLE), 4)
+        |    AS revenue
+        |FROM cal LEFT JOIN daily ON cal.day = daily.day
+        |GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin,
     "q224_federated_formats" ->
       """SELECT r_name,
         |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,

@@ -1191,7 +1191,65 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Q228: held-out perplexity — the evaluation step q148's bigram LM
+    * exists for: train add-1-smoothed bigram statistics on the EVEN
+    * doc_ids, score the ODD docs' bigrams, report per source the held-out
+    * cross-entropy (bits/bigram) and perplexity 2^H. Unseen contexts fall
+    * back to 1/V exactly as add-1 smoothing dictates (left joins +
+    * coalesce-0, not dropped rows — dropping unseen mass is the classic
+    * perplexity bug this oracle would catch).
+    *
+    * Scale shape: two corpus passes (train counts, eval counts), the join
+    * carries eval bigrams against train statistics keyed by bigram/unigram,
+    * V is a 1-row broadcast. Determinism: per-bigram log2 terms rounded
+    * to 6 dp and weighted into exact decimal sums (NOT the raw
+    * double-sum-over-groups shortcut), one closing division and one
+    * `pow(2, ·)` in identical IEEE shapes.
+    */
+  def q228PerplexityEval: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+    def bigrams(df: DataFrame) = df.select(col("source"),
+      explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // split on the portable MINSTD bucket, NOT doc_id parity — the fixture
+    // assigns sources round-robin by id, so a parity split would put every
+    // source entirely in one side and the eval would score only unseen
+    // contexts (caught at landing: 10 of 20 sources in the output)
+    val bucket = pmod(TrainingOps.portableBucket(col("doc_id")), lit(2L))
+    val train = docs.filter(bucket === 0)
+    val heldOut = docs.filter(bucket === 1)
+    val tb = graft.Checkpoints.materialize(bigrams(train))
+    val cb = tb.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = tb.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = train.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val eb = bigrams(heldOut).groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val h = (sum(col("m") * col("lp"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+      * lit(-1.0)) / sum(col("m")).cast("double")
+    eb.join(cb, Seq("w1", "w2"), "left").join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lp", round(log(2.0,
+        (coalesce(col("cb"), lit(0L)) + 1L).cast("double")
+          / (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")), 6)
+        .cast(dec6))
+      .groupBy(col("source"))
+      .agg(big(sum(col("m"))).as("n_bigrams"),
+        round(h, 6).as("bits_per_bigram"),
+        round(pow(lit(2.0), h), 4).as("perplexity"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q228_perplexity_eval" -> q228PerplexityEval,
     "q214_bpe_fertility" -> q214BpeFertility,
     "q211_phrase_search" -> q211PhraseSearch,
     "q209_source_overlap" -> q209SourceOverlap,
@@ -1234,6 +1292,40 @@ object Text {
     "q169_winnow_match" -> q169WinnowMatch)
 
   val oracles: Map[String, String] = Map(
+    "q228_perplexity_eval" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 2),
+        |sp AS (
+        |  SELECT *, ((((doc_id % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |    % 2147483647 % 2 AS bkt
+        |  FROM docs),
+        |tb AS MATERIALIZED (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM (SELECT tk FROM sp WHERE bkt = 0),
+        |       UNNEST(range(1, len(tk))) AS u(i)),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM tb GROUP BY 1, 2),
+        |cu AS (SELECT w1, COUNT(*) AS cu FROM tb GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT u.t) AS v
+        |      FROM (SELECT tk FROM sp WHERE bkt = 0), UNNEST(tk) AS u(t)),
+        |eb AS (
+        |  SELECT source, tk[i] AS w1, tk[i + 1] AS w2, COUNT(*) AS m
+        |  FROM (SELECT source, tk FROM sp WHERE bkt = 1),
+        |       UNNEST(range(1, len(tk))) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT eb.source, eb.m,
+        |    CAST(ROUND(LN(CAST(COALESCE(cb.cb, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(cu.cu, 0) + v.v AS DOUBLE)) / LN(2.0), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM eb LEFT JOIN cb ON eb.w1 = cb.w1 AND eb.w2 = cb.w2
+        |  LEFT JOIN cu ON eb.w1 = cu.w1, v)
+        |SELECT source, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |  ROUND(-(CAST(CAST(SUM(m * lp) AS DECIMAL(38,6)) AS DOUBLE))
+        |    / CAST(SUM(m) AS DOUBLE), 6) AS bits_per_bigram,
+        |  ROUND(POW(2.0, -(CAST(CAST(SUM(m * lp) AS DECIMAL(38,6)) AS DOUBLE))
+        |    / CAST(SUM(m) AS DOUBLE)), 4) AS perplexity
+        |FROM sc GROUP BY source ORDER BY source""".stripMargin,
     "q211_phrase_search" ->
       """WITH tok AS (
         |  SELECT doc_id, tk, u.i AS i

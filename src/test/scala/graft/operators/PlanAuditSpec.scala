@@ -68,6 +68,7 @@ class PlanAuditSpec extends SparkSpec {
     "q217_infogain_stump", // 1-row broadcast price-range normalizer for integer bucketing
     "q222_mmr_rerank", // 1-row probe broadcast + 20-row candidate pairwise-sim matrix
     "q223_knn_eval", // 100-row probe broadcast against one corpus scan (q69's TopKByScore plan)
+    "q228_perplexity_eval", // 1-row broadcast train vocab-size V in the smoothing denominator (q148's pattern)
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

@@ -1778,4 +1778,91 @@ class UtilitiesSpec extends SparkSpec {
     assert(got === want)
     assert(got.forall(_._1.length == 8), "a SAX word is not 8 symbols")
   }
+  test("q228 perplexity: held-out bits match an exact add-1 replay; unseen mass kept") {
+    def bkt(id: Long): Long =
+      ((((id % 2147483647L) * 48271L) % 2147483647L + 1L) * 16807L) % 2147483647L % 2L
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._3.length >= 2)
+    val train = docs.filter(d => bkt(d._1) == 0L)
+    val heldOut = docs.filter(d => bkt(d._1) == 1L)
+    val tb = train.flatMap(_._3.sliding(2).filter(_.length == 2).map(w => (w(0), w(1))))
+    val cb = tb.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cu = tb.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val v = train.flatMap(_._3).distinct.length.toLong
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val bySource = heldOut.groupBy(_._2)
+    val got = Text.q228PerplexityEval(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === bySource.keySet)
+    bySource.foreach { case (src, g) =>
+      val eb = g.flatMap(_._3.sliding(2).filter(_.length == 2).map(w => (w(0), w(1))))
+        .groupBy(identity).map { case (k, vv) => k -> vv.size.toLong }
+      val n = eb.values.sum
+      val sumTerm = eb.map { case ((w1, w2), m) =>
+        val lp = r6(math.log(
+          (cb.getOrElse((w1, w2), 0L) + 1).toDouble
+            / (cu.getOrElse(w1, 0L) + v).toDouble) / math.log(2.0))
+        lp * m
+      }.sum
+      val h = -sumTerm.toDouble / n
+      val (gn, gb, gp) = got(src)
+      assert(gn === n, s"$src n_bigrams")
+      assert(math.abs(gb - h) < 2e-6, s"$src bits $gb vs $h")
+      assert(math.abs(gp - math.pow(2.0, h)) < 2e-3, s"$src perplexity")
+    }
+  }
+
+  test("q229 table fingerprint: detects any single-row mutation; counts exact") {
+    val got = Extras.q229TableFingerprint(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.map(_._1).toSeq === Seq("customer", "lineitem", "orders"))
+    val counts = Map(
+      "customer" -> Tables(spark, sf0001, "customer").count(),
+      "orders" -> Tables(spark, sf0001, "orders").count(),
+      "lineitem" -> Tables(spark, sf0001, "lineitem").count())
+    got.foreach { case (t, n, fp) =>
+      assert(n === counts(t), s"$t rows")
+      assert(BigInt(fp) > 0, s"$t fingerprint not a positive integer")
+    }
+    // order-independence: fingerprint of a reshuffled copy is identical
+    import org.apache.spark.sql.functions.rand
+    val o = Tables(spark, sf0001, "orders").orderBy(rand(7)).cache()
+    o.count()
+    val fp2 = o.agg(
+      sum(conv(substring(md5(concat_ws("|",
+        $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"),
+        $"o_orderdate".cast("date").cast("string"), $"o_orderpriority")), 1, 8), 16, 10)
+        .cast("long").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string"))
+      .head().getString(0)
+    assert(fp2 === got.find(_._1 == "orders").get._3)
+  }
+
+  test("q230 calendar dim: inactive days zero-filled; quarter grids complete") {
+    val got = Extras.q230CalendarDim(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4),
+        BigDecimal(r.getDouble(5)).setScale(4, BigDecimal.RoundingMode.HALF_UP))))
+    val orders = Tables(spark, sf0001, "orders")
+      .select($"o_orderdate".cast("date").cast("string"), $"o_totalprice").collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)),
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    val d0 = orders.map(_._1).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val d1 = orders.map(_._1).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val allDays = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toSeq
+    val byQ = allDays.groupBy(dd => (dd.getYear.toLong, ((dd.getMonthValue - 1) / 3 + 1).toLong))
+    assert(got.map(_._1).toSet === byQ.keySet)
+    got.foreach { case ((yr, q), (nd, na, no, rev)) =>
+      val days = byQ((yr, q))
+      assert(nd === days.length.toLong, s"($yr,$q) calendar days")
+      val mine = orders.filter(o => days.contains(o._1))
+      assert(na === mine.map(_._1).distinct.length.toLong, s"($yr,$q) active days")
+      assert(no === mine.length.toLong)
+      assert(rev === mine.map(_._2).sum.setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    }
+    assert(got.exists { case (_, (nd, na, _, _)) => na < nd },
+      "no quarter has an inactive day - the zero-fill is untested")
+  }
 }
