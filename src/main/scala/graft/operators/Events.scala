@@ -844,7 +844,43 @@ object Events {
       .limit(15)
   }
 
+  /** Q233: exact audience overlap via BITMAPS — the roaring-bitmap idea
+    * in pure relational form: each segment's user set packed into
+    * (bucket = id div 64, 64-bit word) rows by `bit_or`, pairwise
+    * intersections as popcounts of word-ANDs co-partitioned on bucket.
+    * Exact where q35's HLL estimates, and the bitmap relation is 64×
+    * smaller than the id set it represents — at warehouse scale this is
+    * the difference between shuffling user IDs and shuffling words. The
+    * oracle computes the same overlaps from raw DISTINCT id joins, so
+    * the packing itself is the thing hash-checked.
+    */
+  def q233BitmapOverlap: Q = (s, d) => {
+    val bm = graft.Checkpoints.materialize(
+      events(s, d).select(col("event_type").as("seg"), col("user_id")).distinct()
+        .withColumn("bucket", expr("user_id div 64"))
+        .withColumn("bit",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))"))
+        .groupBy(col("seg"), col("bucket"))
+        .agg(expr("bit_or(bit)").as("bits")))
+    val sizes = bm.groupBy(col("seg"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("nu"))
+    val inter = bm.select(col("seg").as("sa"), col("bucket"), col("bits").as("ba"))
+      .join(bm.select(col("seg").as("sb"), col("bucket"), col("bits").as("bb")),
+        Seq("bucket"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(expr("bit_count(ba & bb)")).cast("long").as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("seg").as("sa"), col("nu").as("na"))), Seq("sa"))
+      .join(broadcast(sizes.select(col("seg").as("sb"), col("nu").as("nb"))), Seq("sb"))
+      .select(col("sa"), col("sb"), col("na"), col("nb"), col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("na") + col("nb") - col("n_both")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q233_bitmap_overlap" -> q233BitmapOverlap,
     "q226_max_concurrency" -> q226MaxConcurrency,
     "q227_sax_motifs" -> q227SaxMotifs,
     "q212_survivorship" -> q212Survivorship,
@@ -890,6 +926,18 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q233_bitmap_overlap" ->
+      """WITH su AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
+        |sz AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS nu FROM su GROUP BY 1),
+        |iv AS (
+        |  SELECT a.seg AS sa, b.seg AS sb, CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM su a JOIN su b ON a.user_id = b.user_id AND a.seg < b.seg
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, x.nu AS na, y.nu AS nb, n_both,
+        |  ROUND(CAST(n_both AS DOUBLE) / CAST(x.nu + y.nu - n_both AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM iv JOIN sz x ON sa = x.seg JOIN sz y ON sb = y.seg
+        |ORDER BY sa, sb""".stripMargin,
     "q226_max_concurrency" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

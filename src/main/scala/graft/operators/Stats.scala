@@ -571,7 +571,44 @@ object Stats {
       .orderBy(col("feat_a"), col("feat_b"))
   }
 
+  /** Q232: winsorization — the robust preprocessing step between q179's
+    * outlier DETECTION and modeling: clip order totals per priority to
+    * the group's exact discrete [p05, p95] (percentile_disc semantics —
+    * smallest rank with cume_dist ≥ p, under the total order
+    * (value, orderkey)), and report the clip audit: cut points, clipped
+    * counts both sides, mean before/after. Clipping happens in exact
+    * decimals; the means are decimal sums with one closing division.
+    * Per-priority windows (5 bounded partitions at any scale... of the
+    * GROUP count — at warehouse scale the per-group sort is the honest
+    * cost, same as q102's, and the q108-style summary refinement is the
+    * documented alternative).
+    */
+  def q232Winsorize: Q = (s, d) => {
+    val wp = Window.partitionBy(col("p")).orderBy(col("vd"), col("o_orderkey"))
+    val base = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("p"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("vd"))
+      .withColumn("rn", big(row_number().over(wp)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p"))))
+    val cuts = base.groupBy(col("p"))
+      .agg(min(when(col("rn") === expr("(n * 5 + 99) div 100"), col("vd"))).as("lo"),
+        min(when(col("rn") === expr("(n * 95 + 99) div 100"), col("vd"))).as("hi"))
+    base.join(broadcast(cuts), Seq("p"))
+      .withColumn("vc", least(greatest(col("vd"), col("lo")), col("hi")))
+      .groupBy(col("p"))
+      .agg(big(count(lit(1))).as("n"),
+        max(col("lo")).cast("double").as("p05"),
+        max(col("hi")).cast("double").as("p95"),
+        big(sum(when(col("vd") < col("lo"), 1L).otherwise(0L))).as("n_clipped_low"),
+        big(sum(when(col("vd") > col("hi"), 1L).otherwise(0L))).as("n_clipped_high"),
+        round(sum(col("vd")).cast("double") / count(lit(1)), 6).as("mean_before"),
+        round(sum(col("vc")).cast("double") / count(lit(1)), 6).as("mean_after"))
+      .withColumnRenamed("p", "priority")
+      .orderBy(col("priority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q232_winsorize" -> q232Winsorize,
     "q220_corr_matrix" -> q220CorrMatrix,
     "q217_infogain_stump" -> q217InfoGainStump,
     "q216_mutual_info" -> q216MutualInfo,
@@ -681,6 +718,29 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q232_winsorize" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS p, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS vd,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |cuts AS (
+        |  SELECT p,
+        |    MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN vd END) AS lo,
+        |    MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN vd END) AS hi
+        |  FROM base GROUP BY 1),
+        |j AS (
+        |  SELECT base.p, vd, LEAST(GREATEST(vd, lo), hi) AS vc, lo, hi
+        |  FROM base JOIN cuts ON base.p = cuts.p)
+        |SELECT p AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(lo) AS DOUBLE) AS p05, CAST(MAX(hi) AS DOUBLE) AS p95,
+        |  CAST(SUM(CASE WHEN vd < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN vd > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS mean_before,
+        |  ROUND(CAST(SUM(vc) AS DOUBLE) / COUNT(*), 6) AS mean_after
+        |FROM j GROUP BY 1 ORDER BY priority""".stripMargin,
     "q220_corr_matrix" -> corrSql,
     "q217_infogain_stump" -> stumpSql,
     "q216_mutual_info" ->

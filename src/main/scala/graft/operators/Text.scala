@@ -1248,7 +1248,41 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Q231: feature hashing (the hashing trick) — each document's token
+    * counts folded into a FIXED 64-dim signed feature vector: dimension
+    * `h(token) mod 64`, sign from the next hash bit, value Σ ±count. The
+    * featurizer that makes unbounded vocabularies trainable at fixed
+    * width; reported per doc as the summary a feature-QA pass checks
+    * (nnz, l1 mass, dominant dimension) rather than the raw vector.
+    * All integer arithmetic over the q43 portable md5-prefix hash; ties
+    * on the dominant dimension break low.
+    *
+    * Scale shape: one (doc, token) count aggregate, one (doc, dim)
+    * aggregate, one per-doc rollup — three map-side-combined shuffles on
+    * the doc key, no windows, no broadcasts.
+    */
+  def q231HashFeatures: Q = (s, d) => {
+    val h = conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+    val tc = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("h64", h)
+      .withColumn("dim", pmod(col("h64"), lit(64L)))
+      .withColumn("sgn", when(pmod(expr("h64 div 64"), lit(2L)) === 0L, 1L).otherwise(-1L))
+    tc.groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("c") * col("sgn")).as("v"))
+      .filter(col("v") =!= 0L)
+      .groupBy(col("doc_id"))
+      .agg(big(count(lit(1))).as("nnz"),
+        big(sum(abs(col("v")))).as("l1"),
+        min_by(col("dim"), struct((-abs(col("v"))).as("na"), col("dim"))).as("top_dim"),
+        max(abs(col("v"))).as("top_abs"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q231_hash_features" -> q231HashFeatures,
     "q228_perplexity_eval" -> q228PerplexityEval,
     "q214_bpe_fertility" -> q214BpeFertility,
     "q211_phrase_search" -> q211PhraseSearch,
@@ -1292,6 +1326,28 @@ object Text {
     "q169_winnow_match" -> q169WinnowMatch)
 
   val oracles: Map[String, String] = Map(
+    "q231_hash_features" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.t AS token FROM documents,
+        |       UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(t)),
+        |tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |hv AS (SELECT doc_id, c,
+        |         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h64
+        |       FROM tc),
+        |dv AS (
+        |  SELECT doc_id, h64 % 64 AS dim,
+        |    CAST(SUM(c * (CASE WHEN (h64 // 64) % 2 = 0 THEN 1 ELSE -1 END))
+        |      AS BIGINT) AS v
+        |  FROM hv GROUP BY 1, 2),
+        |nz AS (SELECT * FROM dv WHERE v <> 0),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY ABS(v) DESC, dim) AS rn FROM nz)
+        |SELECT n.doc_id, n.nnz, n.l1, r.dim AS top_dim, r.top_abs
+        |FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+        |        CAST(SUM(ABS(v)) AS BIGINT) AS l1 FROM nz GROUP BY 1) n
+        |JOIN (SELECT doc_id, dim, CAST(ABS(v) AS BIGINT) AS top_abs
+        |      FROM rk WHERE rn = 1) r ON n.doc_id = r.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "q228_perplexity_eval" ->
       """WITH docs AS (
         |  SELECT doc_id, source,

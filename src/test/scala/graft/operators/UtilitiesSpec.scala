@@ -1865,4 +1865,80 @@ class UtilitiesSpec extends SparkSpec {
     assert(got.exists { case (_, (nd, na, _, _)) => na < nd },
       "no quarter has an inactive day - the zero-fill is untested")
   }
+  test("q231 hash features: vector summaries match an exact signed-fold replay") {
+    def h64(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4)
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString, 16)
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val got = Text.q231HashFeatures(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    docs.foreach { case (id, ts) =>
+      val vec = new Array[Long](64)
+      ts.groupBy(identity).foreach { case (t, g) =>
+        val h = h64(t)
+        val sgn = if ((h / 64) % 2 == 0) 1L else -1L
+        vec((h % 64).toInt) += sgn * g.size
+      }
+      val nz = vec.zipWithIndex.filter(_._1 != 0)
+      if (nz.nonEmpty) {
+        val (nnz, l1, topDim, topAbs) = got(id)
+        assert(nnz === nz.length.toLong, s"doc $id nnz")
+        assert(l1 === nz.map(x => math.abs(x._1)).sum, s"doc $id l1")
+        val best = nz.minBy { case (v, i) => (-math.abs(v), i) }
+        assert(topDim === best._2.toLong && topAbs === math.abs(best._1), s"doc $id top")
+      } else assert(!got.contains(id))
+    }
+  }
+
+  test("q232 winsorize: cut points and clipped means match an exact replay") {
+    val os = Tables(spark, sf0001, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice".cast("decimal(18,4)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    val got = Stats.q232Winsorize(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val byP = os.groupBy(_._1)
+    assert(got.keySet === byP.keySet)
+    byP.foreach { case (p, g) =>
+      val sorted = g.sortBy(o => (o._3, o._2))
+      val n = sorted.length
+      val lo = sorted(((n * 5 + 99) / 100) - 1)._3
+      val hi = sorted(((n * 95 + 99) / 100) - 1)._3
+      val clipped = sorted.map(o => o._3.max(lo).min(hi))
+      val (gn, g05, g95, gl, gh, mb, ma) = got(p)
+      assert(gn === n.toLong)
+      assert(g05 === lo.toDouble && g95 === hi.toDouble, s"$p cuts")
+      assert(gl === sorted.count(_._3 < lo).toLong && gh === sorted.count(_._3 > hi).toLong)
+      assert(math.abs(mb - (sorted.map(_._3).sum / n).toDouble) < 2e-6)
+      assert(math.abs(ma - (clipped.sum / n).toDouble) < 2e-6)
+    }
+  }
+
+  test("q233 bitmap overlap: popcount intersections equal exact distinct-id set math") {
+    val su = Tables.events(spark, sf0001)
+      .select($"event_type", $"user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sets = su.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val segs = sets.keys.toSeq.sorted
+    val want = (for (a <- segs; b <- segs if a < b) yield {
+      val i = (sets(a) & sets(b)).size.toLong
+      ((a, b), (sets(a).size.toLong, sets(b).size.toLong, i,
+        BigDecimal(i.toDouble / (sets(a).size + sets(b).size - i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }).filter(_._2._3 > 0).toMap
+    val got = Events.q233BitmapOverlap(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, (na, nb, i, j)) =>
+      val (gna, gnb, gi, gj) = got(k)
+      assert(gna === na && gnb === nb && gi === i, s"pair $k")
+      assert(math.abs(gj - j) < 2e-6)
+    }
+  }
 }
