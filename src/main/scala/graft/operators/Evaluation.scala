@@ -155,13 +155,76 @@ object Evaluation {
       .orderBy(col("true_label"), col("pred_label"))
   }
 
+  /** Q235: cumulative gains / lift curve — the campaign-targeting view of
+    * q190's ranking quality: if you contact the top d/10 of the
+    * score-ranked population, what share of all positives do you reach,
+    * and at what lift over random? Computed ENTIRELY on the bounded
+    * (score → counts) summary (q190's collapse — the 2-decimal score
+    * domain bounds it): decile boundary ranks are integer arithmetic,
+    * and a boundary falling INSIDE a score group splits it under the
+    * DECLARED positives-first tie rule — `cum_pos(r) = cp_before +
+    * least(pos_in_group, r − rank_before)` — expressible identically in
+    * both engines, so the curve never depends on arbitrary row order
+    * among equal scores (the thing a row-level ntile silently does).
+    */
+  def q235GainsCurve: Q = (s, d) => {
+    val g = scored(s, d).groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("pos"))
+    val w = Window.orderBy(col("v").desc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val summary = g
+      .withColumn("cs", coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+      .withColumn("cp", coalesce(sum(col("pos")).over(wPrev), lit(0L)))
+    val tot = g.agg(sum(col("cnt")).as("n"), sum(col("pos")).as("np"))
+    val deciles = tot.select(explode(sequence(lit(1L), lit(10L))).as("decile"),
+      col("n"), col("np"))
+      .withColumn("r", expr("(decile * n) div 10"))
+    deciles.join(summary,
+      col("cs") < col("r") && col("r") <= col("cs") + col("cnt"))
+      .select(col("decile"), col("r").as("rank"),
+        (col("cp") + least(col("pos"), col("r") - col("cs"))).as("cum_pos"),
+        round((col("cp") + least(col("pos"), col("r") - col("cs"))).cast("double")
+          / col("np").cast("double"), 6).as("gain"),
+        round((col("cp") + least(col("pos"), col("r") - col("cs"))).cast("double")
+          * col("n").cast("double")
+          / (col("r").cast("double") * col("np").cast("double")), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q235_gains_curve" -> q235GainsCurve,
     "q223_knn_eval" -> q223KnnEval,
     "q189_calibration_bins" -> q189CalibrationBins,
     "q190_auc" -> q190Auc,
     "q191_pr_curve" -> q191PrCurve)
 
   val oracles: Map[String, String] = Map(
+    "q235_gains_curve" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT v, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+        |      FROM e GROUP BY 1),
+        |su AS (
+        |  SELECT v, cnt, pos,
+        |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cs,
+        |    CAST(COALESCE(SUM(pos) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cp
+        |  FROM g),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |               CAST(SUM(pos) AS BIGINT) AS np FROM g),
+        |dec AS (SELECT u.d AS decile, n, np, (u.d * n) // 10 AS r
+        |        FROM tot, UNNEST(generate_series(1, 10)) AS u(d))
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(r AS BIGINT) AS rank,
+        |  CAST(cp + LEAST(pos, r - cs) AS BIGINT) AS cum_pos,
+        |  ROUND(CAST(cp + LEAST(pos, r - cs) AS DOUBLE) / CAST(np AS DOUBLE), 6)
+        |    AS gain,
+        |  ROUND(CAST(cp + LEAST(pos, r - cs) AS DOUBLE) * CAST(n AS DOUBLE)
+        |    / (CAST(r AS DOUBLE) * CAST(np AS DOUBLE)), 6) AS lift
+        |FROM dec JOIN su ON cs < r AND r <= cs + cnt
+        |ORDER BY decile""".stripMargin,
     "q223_knn_eval" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
         |             CAST(label AS BIGINT) AS label FROM embeddings),

@@ -879,7 +879,48 @@ object Events {
       .orderBy(col("sa"), col("sb"))
   }
 
+  /** Q236: seasonal-naive forecast evaluation — the baseline every
+    * forecasting effort must beat, evaluated honestly: predict each of
+    * the horizon's last 24 hours as the mean count of the SAME hour-of-
+    * day over all prior observed hours (per event type), and report MAE
+    * and signed bias per type. Missing history predicts 0 (left join +
+    * guard), observed-hours-only means are the declared semantics.
+    * Determinism: predictions are one `s/c` double division; per-hour
+    * errors rounded to 6 dp and summed as decimals (never a raw double
+    * sum over groups); closing divisions rounded to 4 dp.
+    *
+    * Scale shape: one hourly collapse (map-side combined), a 1-row
+    * horizon broadcast, one (type, hour-of-day) training aggregate
+    * joined back to the 24-hour eval slice — all bounded after the
+    * collapse.
+    */
+  def q236SeasonalNaiveEval: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val hourly = events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+    val horizon = hourly.agg(max(col("h")).as("hmax"))
+    val withH = hourly.crossJoin(broadcast(horizon))
+    val train = withH.filter(col("h") <= col("hmax") - 24)
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("n")).as("ts"), count(lit(1)).as("tc"))
+    val eval = withH.filter(col("h") > col("hmax") - 24)
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+    eval.join(train, Seq("event_type", "hod"), "left")
+      .withColumn("pred", when(coalesce(col("tc"), lit(0L)) === 0L, lit(0.0))
+        .otherwise(col("ts").cast("double") / col("tc").cast("double")))
+      .withColumn("ae", round(abs(col("n").cast("double") - col("pred")), 6).cast(dec6))
+      .withColumn("se", round(col("n").cast("double") - col("pred"), 6).cast(dec6))
+      .groupBy(col("event_type"))
+      .agg(big(count(lit(1))).as("n_hours"),
+        round(sum(col("ae")).cast("double") / count(lit(1)), 4).as("mae"),
+        round(sum(col("se")).cast("double") / count(lit(1)), 4).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q236_seasonal_naive_eval" -> q236SeasonalNaiveEval,
     "q233_bitmap_overlap" -> q233BitmapOverlap,
     "q226_max_concurrency" -> q226MaxConcurrency,
     "q227_sax_motifs" -> q227SaxMotifs,
@@ -926,6 +967,34 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q236_seasonal_naive_eval" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hz AS (SELECT MAX(h) AS hmax FROM hourly),
+        |tr AS (
+        |  SELECT event_type, h % 24 AS hod,
+        |    CAST(SUM(n) AS BIGINT) AS ts, COUNT(*) AS tc
+        |  FROM hourly, hz WHERE h <= hmax - 24 GROUP BY 1, 2),
+        |ev AS (SELECT event_type, h % 24 AS hod, n
+        |       FROM hourly, hz WHERE h > hmax - 24),
+        |j AS (
+        |  SELECT ev.event_type, ev.n,
+        |    CASE WHEN COALESCE(tc, 0) = 0 THEN 0.0
+        |         ELSE CAST(ts AS DOUBLE) / CAST(tc AS DOUBLE) END AS pred
+        |  FROM ev LEFT JOIN tr
+        |    ON ev.event_type = tr.event_type AND ev.hod = tr.hod),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(ABS(CAST(n AS DOUBLE) - pred), 6) AS DECIMAL(18,6)) AS ae,
+        |    CAST(ROUND(CAST(n AS DOUBLE) - pred, 6) AS DECIMAL(18,6)) AS se
+        |  FROM j)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  ROUND(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 4) AS mae,
+        |  ROUND(CAST(SUM(se) AS DOUBLE) / COUNT(*), 4) AS bias
+        |FROM t GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q233_bitmap_overlap" ->
       """WITH su AS (SELECT DISTINCT event_type AS seg, user_id FROM events),
         |sz AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS nu FROM su GROUP BY 1),

@@ -360,7 +360,81 @@ object Graph {
       .limit(20)
   }
 
+  /** Q234: recommender hold-out evaluation — the END-TO-END check q218's
+    * scores exist for: hold out each customer's LAST order (by date, then
+    * key), rebuild the co-purchase cosine model from the REMAINING orders
+    * only (no leakage — training through the holdout is the classic rec
+    * eval bug, and the oracle would catch it), anchor each customer on
+    * their most recent training part, recommend its top-5 cosine
+    * neighbors, and score a hit if any held-out part appears. Hit rate
+    * per market segment.
+    *
+    * Scale shape: the model build is q218's bounded co-purchase plan on
+    * the training slice; anchors join the symmetric pair relation keyed
+    * by anchor part (per-anchor bounded windows); the final eval is one
+    * semi-join of 5-row rec lists against held-out parts. Determinism:
+    * cosine 6-dp-rounded, (cos desc, j) ties, anchor = max (date, order,
+    * part) triple.
+    */
+  def q234RecHoldoutEval: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val wLast = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val marked = o.withColumn("rn", row_number().over(wLast))
+    val holdout = marked.filter(col("rn") === 1)
+      .select(col("o_orderkey").as("ho_key"), col("o_custkey"))
+    val train = marked.filter(col("rn") > 1)
+      .select(col("o_orderkey").as("tr_key"), col("o_custkey"),
+        col("o_orderdate"))
+    val items = graft.Checkpoints.materialize(
+      li.join(train, col("l_orderkey") === col("tr_key"))
+        .select(col("tr_key").as("o"), col("l_partkey").as("item"),
+          col("o_custkey"), col("o_orderdate")).distinct())
+    val pairs = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+    val deg = items.select(col("o"), col("item")).distinct()
+      .groupBy(col("item")).agg(count(lit(1)).as("dg"))
+    val anchors = items
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o"), col("item"))).as("a"))
+      .select(col("o_custkey"), col("a.item").as("anchor"))
+    val sym = pairs.select(col("u").as("i"), col("v").as("j"), col("co"))
+      .union(pairs.select(col("v"), col("u"), col("co")))
+    val scored = sym
+      .join(deg.select(col("item").as("i"), col("dg").as("di")), Seq("i"))
+      .join(deg.select(col("item").as("j"), col("dg").as("dj")), Seq("j"))
+      .withColumn("cos", round(col("co").cast("double")
+        / sqrt((col("di") * col("dj")).cast("double")), 6))
+    val wRec = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    val recs = scored.withColumn("rk", row_number().over(wRec))
+      .filter(col("rk") <= 5).select(col("i"), col("j"))
+    val custRecs = anchors.join(recs, col("anchor") === col("i"))
+      .select(col("o_custkey"), col("j"))
+    val hoParts = li.join(holdout, col("l_orderkey") === col("ho_key"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val hits = custRecs.join(hoParts,
+      custRecs("o_custkey") === hoParts("o_custkey")
+        && col("j") === col("l_partkey"))
+      .select(custRecs("o_custkey")).distinct()
+      .withColumn("hit", lit(1L))
+    anchors.select(col("o_custkey"))
+      .join(hits, Seq("o_custkey"), "left")
+      .join(Tables(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(big(count(lit(1))).as("n_eval"),
+        big(sum(coalesce(col("hit"), lit(0L)))).as("n_hits"),
+        round(sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("hit_rate"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q234_rec_holdout_eval" -> q234RecHoldoutEval,
     "q221_adamic_adar" -> q221AdamicAdar,
     "q218_item_cosine" -> q218ItemCosine,
     "q215_kcore" -> q215Kcore,
@@ -396,6 +470,53 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q234_rec_holdout_eval" ->
+      """WITH mk AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |ho AS (SELECT o_orderkey AS ho_key, o_custkey FROM mk WHERE rn = 1),
+        |tr AS (SELECT o_orderkey AS tr_key, o_custkey, o_orderdate
+        |       FROM mk WHERE rn > 1),
+        |items AS MATERIALIZED (
+        |  SELECT DISTINCT tr_key AS o, l_partkey AS item, o_custkey, o_orderdate
+        |  FROM lineitem JOIN tr ON l_orderkey = tr_key),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.item AS u, b.item AS v, COUNT(*) AS co
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |deg AS (SELECT item, COUNT(*) AS dg
+        |        FROM (SELECT DISTINCT o, item FROM items) GROUP BY 1),
+        |anch AS (
+        |  SELECT o_custkey, item AS anchor FROM (
+        |    SELECT o_custkey, item, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o DESC, item DESC) AS rn
+        |    FROM items) WHERE rn = 1),
+        |sym AS (SELECT u AS i, v AS j, co FROM pairs
+        |        UNION ALL SELECT v, u, co FROM pairs),
+        |sc AS (
+        |  SELECT s.i, s.j,
+        |    ROUND(CAST(co AS DOUBLE) / SQRT(CAST(d1.dg * d2.dg AS DOUBLE)), 6) AS cos
+        |  FROM sym s JOIN deg d1 ON s.i = d1.item JOIN deg d2 ON s.j = d2.item),
+        |recs AS (SELECT i, j FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+        |    ORDER BY cos DESC, j) AS rk FROM sc) WHERE rk <= 5),
+        |cr AS (SELECT o_custkey, j FROM anch JOIN recs ON anchor = i),
+        |hop AS (SELECT DISTINCT ho.o_custkey, l_partkey
+        |        FROM lineitem JOIN ho ON l_orderkey = ho_key),
+        |hits AS (SELECT DISTINCT cr.o_custkey
+        |         FROM cr JOIN hop ON cr.o_custkey = hop.o_custkey
+        |           AND cr.j = hop.l_partkey)
+        |SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(CASE WHEN hits.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  ROUND(CAST(SUM(CASE WHEN hits.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate
+        |FROM anch LEFT JOIN hits ON anch.o_custkey = hits.o_custkey
+        |JOIN customer ON anch.o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q221_adamic_adar" ->
       """WITH cp AS (
         |  SELECT DISTINCT o_custkey AS c, l_partkey AS p

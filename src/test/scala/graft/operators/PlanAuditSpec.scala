@@ -69,6 +69,8 @@ class PlanAuditSpec extends SparkSpec {
     "q222_mmr_rerank", // 1-row probe broadcast + 20-row candidate pairwise-sim matrix
     "q223_knn_eval", // 100-row probe broadcast against one corpus scan (q69's TopKByScore plan)
     "q228_perplexity_eval", // 1-row broadcast train vocab-size V in the smoothing denominator (q148's pattern)
+    "q235_gains_curve", // 10-row decile boundary relation range-joined to the bounded score summary
+    "q236_seasonal_naive_eval", // 1-row broadcast horizon hour against the bounded hourly collapse
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -88,7 +90,8 @@ class PlanAuditSpec extends SparkSpec {
     "q150_eval_quota" -> "apportionment rank over the bounded (lang x source) cell relation, never the docs",
     "q181_skyline" -> "running max over the <=256-row price-bucket summary, never the parts",
     "q190_auc" -> "cumsum over the bounded (score -> counts) summary (2-decimal score domain, the q138 count-of-counts argument), never the rows",
-    "q210_kaplan_meier" -> "at-risk/product-limit cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span), never the customers")
+    "q210_kaplan_meier" -> "at-risk/product-limit cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span), never the customers",
+    "q235_gains_curve" -> "prefix sums over the bounded (score -> counts) summary (q190's 2-decimal-domain collapse), never the rows")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

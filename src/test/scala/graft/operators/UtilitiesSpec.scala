@@ -1941,4 +1941,110 @@ class UtilitiesSpec extends SparkSpec {
       assert(math.abs(gj - j) < 2e-6)
     }
   }
+  test("q234 rec holdout eval: hit rates match a leakage-free replay") {
+    val orders = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast("date").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val seg = Tables(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byCust = orders.groupBy(_._2)
+    val holdout = byCust.map { case (c, g) => c -> g.maxBy(o => (o._3, o._1))._1 }
+    val trainOrders = orders.filterNot(o => holdout(o._2) == o._1)
+    val liMap = li.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val trainItems = trainOrders.flatMap(o =>
+      liMap.getOrElse(o._1, Set.empty).map(p => (o._1, p, o._2, o._3)))
+    val pairKey = trainItems.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).toSeq.distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val deg = trainItems.map(t => (t._1, t._2)).distinct.groupBy(_._2)
+      .map { case (k, v) => k -> v.size.toLong }
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val anchors = trainItems.groupBy(_._3).map { case (c, g) =>
+      c -> g.maxBy(t => (t._4, t._1, t._2))._2 }
+    val hitsBySeg = collection.mutable.Map.empty[String, (Long, Long)]
+    anchors.foreach { case (c, a) =>
+      val neigh = deg.keys.filter(j => j != a &&
+        (pairKey.contains((math.min(a, j), math.max(a, j)))))
+        .map { j =>
+          val co = pairKey((math.min(a, j), math.max(a, j)))
+          (j, r6(co.toDouble / math.sqrt((deg(a) * deg(j)).toDouble)))
+        }.toSeq.sortBy { case (j, c0) => (-c0, j) }.take(5).map(_._1).toSet
+      val hoParts = liMap.getOrElse(holdout(c), Set.empty)
+      val hit = if ((neigh & hoParts).nonEmpty) 1L else 0L
+      val sg = seg(c)
+      val (n, h) = hitsBySeg.getOrElse(sg, (0L, 0L))
+      hitsBySeg(sg) = (n + 1, h + hit)
+    }
+    val got = Graph.q234RecHoldoutEval(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === hitsBySeg.keySet)
+    hitsBySeg.foreach { case (sg, (n, h)) =>
+      val (gn, gh, gr) = got(sg)
+      assert(gn === n && gh === h, s"segment $sg counts")
+      assert(math.abs(gr - h.toDouble / n) < 2e-6)
+    }
+  }
+
+  test("q235 gains curve: positives-first tie rule; monotone gain; decile 10 reaches 1") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"value".cast("decimal(18,4)"), ($"event_type" === "purchase").cast("long"))
+      .collect().map(r => (BigDecimal(r.getDecimal(0)), r.getLong(1)))
+    val n = evs.length.toLong
+    val np = evs.map(_._2).sum
+    val groups = evs.groupBy(_._1).map { case (v, g) =>
+      (v, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(-_._1)
+    val got = Evaluation.q235GainsCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === (1L to 10L))
+    got.foreach { case (dd, rank, cumPos, gain, lift) =>
+      assert(rank === dd * n / 10)
+      var cs = 0L; var cp = 0L; var want = -1L
+      groups.foreach { case (_, cnt, pos) =>
+        if (want < 0 && cs < rank && rank <= cs + cnt)
+          want = cp + math.min(pos, rank - cs)
+        cs += cnt; cp += pos
+      }
+      assert(cumPos === want, s"decile $dd")
+      assert(math.abs(gain - cumPos.toDouble / np) < 2e-6)
+      assert(math.abs(lift - cumPos.toDouble * n / (rank.toDouble * np)) < 2e-6)
+    }
+    assert(got.last._3 === np && math.abs(got.last._4 - 1.0) < 1e-9)
+    assert(got.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-12))
+  }
+
+  test("q236 seasonal naive: MAE/bias match an exact hold-out replay") {
+    val hourly = Tables.events(spark, sf0001)
+      .select($"event_type", ($"ts2".cast("long") / 3600).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val hmax = hourly.keys.map(_._2).max
+    val train = hourly.filter(_._1._2 <= hmax - 24)
+    val ev = hourly.filter(_._1._2 > hmax - 24)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val stats = train.groupBy { case ((t, h), _) => (t, h % 24) }
+      .map { case (k, g) => k -> (g.values.sum, g.size.toLong) }
+    val got = Events.q236SeasonalNaiveEval(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val byType = ev.groupBy(_._1._1)
+    assert(got.keySet === byType.keySet)
+    byType.foreach { case (t, g) =>
+      val terms = g.toSeq.map { case ((_, h), nn) =>
+        val pred = stats.get((t, h % 24))
+          .map { case (s0, c0) => s0.toDouble / c0 }.getOrElse(0.0)
+        (r6(math.abs(nn.toDouble - pred)), r6(nn.toDouble - pred))
+      }
+      val (gn, mae, bias) = got(t)
+      assert(gn === g.size.toLong)
+      assert(math.abs(mae - terms.map(_._1).sum.toDouble / g.size) < 2e-4)
+      assert(math.abs(bias - terms.map(_._2).sum.toDouble / g.size) < 2e-4)
+    }
+  }
 }
