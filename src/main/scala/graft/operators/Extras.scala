@@ -641,7 +641,41 @@ object Extras {
       .orderBy(col("yr"), col("qtr"))
   }
 
+  /** Q239: rank movers — which parts moved most between the early era
+    * (< 1998) and the late era, by RANK rather than raw volume (rank
+    * deltas are what a merchandiser reads; volume deltas just restate
+    * scale). Ranks are computed WITHIN the top-100-by-total set — the
+    * TakeOrdered cut comes first, so the global rank windows run over a
+    * bounded 100-row relation, never the catalog — and the top-20
+    * movers by |Δrank| are reported. All integer arithmetic, total
+    * tie orders everywhere.
+    */
+  def q239RankMovers: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("q"))
+    val om = Tables(s, d, "orders").select(col("o_orderkey"),
+      (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("early"))
+    val per = li.join(om, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("q")).as("qt"),
+        sum(when(col("early"), col("q")).otherwise(0L)).as("qa"),
+        sum(when(!col("early"), col("q")).otherwise(0L)).as("qb"))
+    val top = per.orderBy(col("qt").desc, col("l_partkey")).limit(100)
+    val wa = Window.orderBy(col("qa").desc, col("l_partkey"))
+    val wb = Window.orderBy(col("qb").desc, col("l_partkey"))
+    top.withColumn("rank_early", big(row_number().over(wa)))
+      .withColumn("rank_late", big(row_number().over(wb)))
+      .withColumn("delta", col("rank_early") - col("rank_late"))
+      .orderBy(abs(col("delta")).desc, col("l_partkey"))
+      .limit(20)
+      .select(col("l_partkey"), col("qa"), col("qb"),
+        col("rank_early"), col("rank_late"), col("delta"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q239_rank_movers" -> q239RankMovers,
     "q229_table_fingerprint" -> q229TableFingerprint,
     "q230_calendar_dim" -> q230CalendarDim,
     "q224_federated_formats" -> q224FederatedFormats,
@@ -671,6 +705,28 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q239_rank_movers" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qt,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qa,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 0 ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qb
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |top AS (SELECT * FROM per ORDER BY qt DESC, l_partkey LIMIT 100),
+        |rk AS (
+        |  SELECT l_partkey, qa, qb,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY qa DESC, l_partkey) AS BIGINT)
+        |      AS rank_early,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY qb DESC, l_partkey) AS BIGINT)
+        |      AS rank_late
+        |  FROM top)
+        |SELECT l_partkey, qa, qb, rank_early, rank_late,
+        |  rank_early - rank_late AS delta
+        |FROM rk ORDER BY ABS(rank_early - rank_late) DESC, l_partkey
+        |LIMIT 20""".stripMargin,
     "q229_table_fingerprint" ->
       """WITH c AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -433,7 +433,65 @@ object Graph {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Q237: weighted single-source shortest paths (bounded Bellman-Ford) —
+    * the WEIGHTED companion to q176's unweighted BFS: edge cost
+    * `1/co-count` (frequently co-bought = close), distances from the
+    * minimum frequent-graph node, 8 relaxation rounds as DECLARED
+    * semantics (converged ⇒ later rounds are no-ops; the spec asserts
+    * convergence within the bound at sf0.001). Costs are exact
+    * DECIMAL(18,6) (6-dp-rounded reciprocals summed exactly), so
+    * relaxation minima are total-order stable — no float-sum drift
+    * across rounds or engines.
+    *
+    * Scale shape: each round is one edges⋈dist join + one min aggregate
+    * (edge-proportional), materialized per round (the q197/q215
+    * discipline) with count-based early exit — EXACT here because
+    * round r+1's distance set can only improve: an unchanged
+    * (node, dist) relation is the fixpoint.
+    */
+  def q237WeightedSssp: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val pe = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    val edges = graft.Checkpoints.materialize(
+      pe.select(col("u"), col("v"), col("co"))
+        .union(pe.select(col("v"), col("u"), col("co")))
+        .withColumn("w", round(lit(1.0) / col("co").cast("double"), 6).cast(dec6))
+        .select(col("u"), col("v"), col("w")))
+    val src = edges.agg(min(col("u")).as("s0"))
+    var dist = graft.Checkpoints.materialize(
+      src.select(col("s0").as("node"), lit(0).cast(dec6).as("dist")))
+    var prevCount = 1L
+    var r = 0
+    var stable = false
+    while (r < 8 && !stable) {
+      val relaxed = edges.join(dist, edges("u") === dist("node"))
+        .select(col("v").as("node"), (col("dist") + col("w")).cast(dec6).as("dist"))
+        .union(dist.select(col("node"), col("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val next = graft.Checkpoints.materialize(relaxed)
+      val c = next.count()
+      // distances only ever improve; equal count alone is not fixpoint
+      // proof (a shorter path keeps the count), so also check sum of
+      // distances — strictly decreasing until converged, exact decimals
+      stable = c == prevCount &&
+        next.agg(sum(col("dist"))).head().getDecimal(0) ==
+          dist.agg(sum(col("dist"))).head().getDecimal(0)
+      prevCount = c
+      dist = next
+      r += 1
+    }
+    dist.select(col("node"), col("dist").cast("double").as("distance"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q237_weighted_sssp" -> q237WeightedSssp,
     "q234_rec_holdout_eval" -> q234RecHoldoutEval,
     "q221_adamic_adar" -> q221AdamicAdar,
     "q218_item_cosine" -> q218ItemCosine,
@@ -469,7 +527,35 @@ object Graph {
        |FROM e12 GROUP BY u ORDER BY node""".stripMargin
   }
 
+  /** The q237 oracle: 8 Bellman-Ford rounds unrolled as MATERIALIZED CTEs
+    * (each round references the previous twice — the q215 inlining lesson).
+    */
+  private val ssspSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT e.v AS node, CAST(d.dist + e.w AS DECIMAL(18,6)) AS dist
+         |    FROM e JOIN d${i - 1} d ON e.u = d.node
+         |    UNION ALL SELECT node, dist FROM d${i - 1})
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+       |pe AS MATERIALIZED (
+       |  SELECT a.item AS u, b.item AS v, COUNT(*) AS co
+       |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS MATERIALIZED (
+       |  SELECT u, v,
+       |    CAST(ROUND(CAST(1 AS DOUBLE) / CAST(co AS DOUBLE), 6) AS DECIMAL(18,6)) AS w
+       |  FROM (SELECT u, v, co FROM pe UNION ALL SELECT v, u, co FROM pe)),
+       |d0 AS (SELECT MIN(u) AS node, CAST(0 AS DECIMAL(18,6)) AS dist FROM e),
+       |$rounds
+       |SELECT node, CAST(dist AS DOUBLE) AS distance FROM d8 ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q237_weighted_sssp" -> ssspSql,
     "q234_rec_holdout_eval" ->
       """WITH mk AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate,

@@ -607,7 +607,39 @@ object Stats {
       .orderBy(col("priority"))
   }
 
+  /** Q238: Wilson score intervals — the right way to put error bars on a
+    * proportion (urgent-order rate per market segment): unlike the normal
+    * approximation, Wilson never leaves [0,1] and stays honest at small n
+    * or extreme rates. z = 1.96 as a fixed literal; everything else is
+    * one closed-form IEEE expression over exact integer (k, n) — no
+    * simulation, no bootstrap, deterministic in any engine.
+    *
+    * Scale shape: one orders⋈customer join (dimension broadcast), one
+    * map-side-combined aggregate per segment, 5 output rows.
+    */
+  def q238WilsonCi: Q = (s, d) => {
+    val z = lit(1.96)
+    val n = col("n").cast("double")
+    val k = col("k").cast("double")
+    val p = k / n
+    val denom = lit(1.0) + z * z / n
+    val center = (p + z * z / (lit(2.0) * n)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / n
+      + z * z / (lit(4.0) * n * n)) / denom
+    Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("k"))
+      .select(col("c_mktsegment"), big(col("n")).as("n"), big(col("k")).as("k"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q238_wilson_ci" -> q238WilsonCi,
     "q232_winsorize" -> q232Winsorize,
     "q220_corr_matrix" -> q220CorrMatrix,
     "q217_infogain_stump" -> q217InfoGainStump,
@@ -717,7 +749,34 @@ object Stats {
        |ORDER BY feat_a, feat_b""".stripMargin
   }
 
+  /** The q238 oracle: every float literal wrapped `CAST(x AS DOUBLE)` —
+    * a bare `1.96` parses as DECIMAL(3,2) in DuckDB and its exact
+    * decimal z² diverges from the engine's double·double by 1 ulp.
+    */
+  private val wilsonSql: String = {
+    def D(x: String) = s"CAST($x AS DOUBLE)"
+    val z = D("1.96"); val nD = D("n"); val kD = D("k")
+    val p = s"$kD / $nD"
+    val denom = s"(${D("1.0")} + $z * $z / $nD)"
+    val center = s"($p + $z * $z / (${D("2.0")} * $nD)) / $denom"
+    val half = s"$z * sqrt($p * (${D("1.0")} - $p) / $nD" +
+      s" + $z * $z / (${D("4.0")} * $nD * $nD)) / $denom"
+    s"""WITH a AS (
+       |  SELECT c_mktsegment,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS k
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1)
+       |SELECT c_mktsegment, n, k,
+       |  ROUND($p, 6) AS rate,
+       |  ROUND($center - $half, 6) AS ci_lo,
+       |  ROUND($center + $half, 6) AS ci_hi
+       |FROM a ORDER BY c_mktsegment""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q238_wilson_ci" -> wilsonSql,
     "q232_winsorize" ->
       """WITH base AS (
         |  SELECT o_orderpriority AS p, o_orderkey,

@@ -2047,4 +2047,89 @@ class UtilitiesSpec extends SparkSpec {
       assert(math.abs(bias - terms.map(_._2).sum.toDouble / g.size) < 2e-4)
     }
   }
+  test("q237 weighted SSSP: distances match a Dijkstra replay; converged within the bound") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pe = li.toSeq.groupBy(_._1).values.toSeq
+      .flatMap(g => for (a <- g; b <- g if a._2 < b._2) yield (a._2, b._2))
+      .groupBy(identity).filter(_._2.size >= 2)
+      .map { case (k, v) => k -> v.size.toLong }
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val adj = collection.mutable.Map.empty[Long, List[(Long, BigDecimal)]]
+      .withDefaultValue(Nil)
+    pe.foreach { case ((u, v), co) =>
+      val w = r6(1.0 / co.toDouble)
+      adj(u) = (v, w) :: adj(u); adj(v) = (u, w) :: adj(v)
+    }
+    val src = pe.keys.flatMap(k => Seq(k._1, k._2)).min
+    val dist = collection.mutable.Map(src -> BigDecimal(0))
+    val pq = collection.mutable.PriorityQueue((BigDecimal(0), src))(
+      Ordering.by[(BigDecimal, Long), (BigDecimal, Long)](t => (-t._1, -t._2)))
+    while (pq.nonEmpty) {
+      val (dd, u) = pq.dequeue()
+      if (dist(u) == dd)
+        adj(u).foreach { case (v, w) =>
+          val nd = dd + w
+          if (!dist.contains(v) || nd < dist(v)) { dist(v) = nd; pq.enqueue((nd, v)) }
+        }
+    }
+    val got = Graph.q237WeightedSssp(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet === dist.keySet.toSet,
+      "reachable set differs - 8 rounds may not have converged at sf0.001")
+    dist.foreach { case (nn, dd) =>
+      assert(math.abs(got(nn) - dd.toDouble) < 1e-9, s"node $nn")
+    }
+  }
+
+  test("q238 Wilson CI: brackets the rate, inside [0,1], matches the closed form") {
+    val os = Tables(spark, sf0001, "orders")
+      .join(Tables(spark, sf0001, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", ($"o_orderpriority" === "1-URGENT").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Stats.q238WilsonCi(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val byS = os.groupBy(_._1)
+    assert(got.keySet === byS.keySet)
+    byS.foreach { case (sg, g) =>
+      val n = g.length.toDouble; val k = g.map(_._2).sum.toDouble
+      val z = 1.96
+      val denom = 1.0 + z * z / n
+      val center = (k / n + z * z / (2.0 * n)) / denom
+      val half = z * math.sqrt(k / n * (1.0 - k / n) / n + z * z / (4.0 * n * n)) / denom
+      val (gn, gk, rate, lo, hi) = got(sg)
+      assert(gn === g.length.toLong && gk === g.map(_._2).sum)
+      assert(math.abs(rate - k / n) < 1e-6)
+      assert(math.abs(lo - (center - half)) < 2e-6 && math.abs(hi - (center + half)) < 2e-6)
+      assert(lo >= 0.0 - 1e-9 && hi <= 1.0 + 1e-9 && lo <= rate && rate <= hi)
+    }
+  }
+
+  test("q239 rank movers: ranks within the top-100 set match a replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val early = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", ($"o_orderdate" < lit("1998-01-01").cast("timestamp")))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val per = li.groupBy(_._2).map { case (p, g) =>
+      val qa = g.filter(x => early(x._1)).map(_._3).sum
+      val qb = g.filterNot(x => early(x._1)).map(_._3).sum
+      (p, qa + qb, qa, qb)
+    }.toSeq
+    val top = per.sortBy { case (p, qt, _, _) => (-qt, p) }.take(100)
+    val ra = top.sortBy { case (p, _, qa, _) => (-qa, p) }.zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val rb = top.sortBy { case (p, _, _, qb) => (-qb, p) }.zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val want = top.map { case (p, _, qa, qb) => (p, qa, qb, ra(p), rb(p), ra(p) - rb(p)) }
+      .sortBy { case (p, _, _, _, _, dd) => (-math.abs(dd), p) }.take(20)
+    val got = Extras.q239RankMovers(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === want)
+  }
 }
