@@ -919,7 +919,71 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Q241: calendar gap-fill with forward-fill (LOCF) — the time-series
+    * repair q174's interpolation does NOT give (interpolation invents
+    * in-between values; last-observation-carried-forward repeats the
+    * last known state, the correct semantics for balances/settings):
+    * each user's daily last observation, spread over the user's FULL
+    * generated day span (q230's sequence technique, per-user bounded),
+    * missing days carried forward via `last(_, ignoreNulls)` over the
+    * ordered per-user window. Reported per user as the fill audit
+    * (days / observed / filled, final carried value).
+    */
+  def q241ForwardFill: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(col("user_id"), col("event_id"), dec(col("value")).as("v"),
+        expr("CAST(ts2 AS LONG) div 86400").as("day"),
+        epochSec(col("ts2")).as("es"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("v"), struct(col("es"), col("event_id"))).as("v"))
+    val span = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(wFill))
+      .groupBy(col("user_id"))
+      .agg(big(count(lit(1))).as("n_days"),
+        big(sum(when(col("v").isNotNull, 1L).otherwise(0L))).as("n_observed"),
+        big(sum(when(col("v").isNull, 1L).otherwise(0L))).as("n_filled"),
+        round(max_by(col("filled"), col("day")).cast("double"), 4).as("final_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Q242: NEAREST as-of join — the third as-of semantic after backward
+    * (q09) and forward (q94): each error event matched to the same
+    * user's temporally CLOSEST purchase within ±30 minutes, either
+    * side; ties broken earlier-first then by event id (declared). The
+    * band range-join bounds fan-out to the ±30-minute window; errors
+    * with no candidate survive as unmatched (left join semantics — the
+    * nearest-join contract keeps the probe side whole).
+    */
+  def q242NearestAsof: Q = (s, d) => {
+    val e = events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        epochSec(col("ts2")).as("te"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("match_id"),
+        epochSec(col("ts2")).as("tp"))
+    val cands = errors.join(purchases, Seq("user_id"))
+      .filter(abs(col("tp") - col("te")) <= 1800)
+    val wPick = Window.partitionBy(col("error_id"))
+      .orderBy(abs(col("tp") - col("te")), col("tp"), col("match_id"))
+    val picked = cands.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("error_id"), col("match_id"),
+        (col("tp") - col("te")).as("delta_sec"))
+    errors.select(col("error_id"))
+      .join(picked, Seq("error_id"), "left")
+      .orderBy(col("error_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q241_forward_fill" -> q241ForwardFill,
+    "q242_nearest_asof" -> q242NearestAsof,
     "q236_seasonal_naive_eval" -> q236SeasonalNaiveEval,
     "q233_bitmap_overlap" -> q233BitmapOverlap,
     "q226_max_concurrency" -> q226MaxConcurrency,
@@ -967,6 +1031,53 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q241_forward_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,4)) AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, v FROM (
+        |    SELECT user_id, day, v, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, day ORDER BY es DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |         FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, u.day FROM span,
+        |         UNNEST(generate_series(d0, d1)) AS u(day)),
+        |f AS (
+        |  SELECT grid.user_id, grid.day, daily.v,
+        |    last_value(daily.v IGNORE NULLS) OVER (PARTITION BY grid.user_id
+        |      ORDER BY grid.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM grid LEFT JOIN daily
+        |    ON grid.user_id = daily.user_id AND grid.day = daily.day)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_observed,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  ROUND(CAST(arg_max(filled, day) AS DOUBLE), 4) AS final_value
+        |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q242_nearest_asof" ->
+      """WITH er AS (
+        |  SELECT user_id, event_id AS error_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS te
+        |  FROM events WHERE event_type = 'error'),
+        |pu AS (
+        |  SELECT user_id, event_id AS match_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tp
+        |  FROM events WHERE event_type = 'purchase'),
+        |cands AS (
+        |  SELECT er.error_id, pu.match_id, pu.tp - er.te AS delta_sec,
+        |    ROW_NUMBER() OVER (PARTITION BY er.error_id
+        |      ORDER BY ABS(pu.tp - er.te), pu.tp, pu.match_id) AS rn
+        |  FROM er JOIN pu ON er.user_id = pu.user_id
+        |    AND ABS(pu.tp - er.te) <= 1800)
+        |SELECT er.error_id, c.match_id, c.delta_sec
+        |FROM er LEFT JOIN (SELECT * FROM cands WHERE rn = 1) c
+        |  ON er.error_id = c.error_id
+        |ORDER BY er.error_id""".stripMargin,
     "q236_seasonal_naive_eval" ->
       """WITH hourly AS (
         |  SELECT event_type,

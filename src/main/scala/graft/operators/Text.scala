@@ -1281,7 +1281,42 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Q240: asymmetric containment dedup — the "quote inclusion" case
+    * symmetric Jaccard (q56) under-scores: doc A wholly contained in a
+    * larger B has high C(A,B) = |A∩B|/|A| but mediocre J(A,B). Ordered
+    * pairs with 5-gram shingle containment ≥ 0.5, candidates generated
+    * through shared shingles GUARDED to document frequency ≤ 64 (the
+    * q169/q221 index discipline — a stop-shingle's fan-out is quadratic
+    * and its evidence nil). Integer set arithmetic; one double ratio.
+    */
+  def q240ContainmentDedup: Q = (s, d) => {
+    val len5 = greatest(lit(0), size(col("tk")) - 4)
+    val gramArr = (0 until 5).map(i => slice(col("tk"), lit(i + 1), len5))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    val sh = graft.Checkpoints.materialize(
+      Tables(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), explode(gramArr).as("g")).distinct())
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select(col("g"))
+    val guarded = sh.join(rare, Seq("g"))
+    val shared = guarded.select(col("g"), col("doc_id").as("a"))
+      .join(guarded.select(col("g"), col("doc_id").as("b")), Seq("g"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    shared.join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("size_a"))), Seq("a"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("size_a").cast("double"), 6))
+      .filter(col("containment") >= 0.5)
+      .select(col("a"), col("b"), col("inter"), big(col("size_a")).as("size_a"),
+        col("containment"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q240_containment_dedup" -> q240ContainmentDedup,
     "q231_hash_features" -> q231HashFeatures,
     "q228_perplexity_eval" -> q228PerplexityEval,
     "q214_bpe_fertility" -> q214BpeFertility,
@@ -1326,6 +1361,28 @@ object Text {
     "q169_winnow_match" -> q169WinnowMatch)
 
   val oracles: Map[String, String] = Map(
+    "q240_containment_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |g5 AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' ||
+        |    tk[i + 3] || ' ' || tk[i + 4] AS g
+        |  FROM tk, UNNEST(range(1, GREATEST(len(tk) - 3, 1))) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g5 GROUP BY 1),
+        |rare AS (SELECT g FROM g5 GROUP BY g HAVING COUNT(*) <= 64),
+        |gg AS (SELECT g5.doc_id, g5.g FROM g5 JOIN rare ON g5.g = rare.g),
+        |shared AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+        |  FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(sz AS BIGINT) AS size_a,
+        |  ROUND(CAST(inter AS DOUBLE) / CAST(sz AS DOUBLE), 6) AS containment
+        |FROM shared JOIN sizes ON a = sizes.doc_id
+        |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sz AS DOUBLE), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin,
     "q231_hash_features" ->
       """WITH tok AS (
         |  SELECT doc_id, u.t AS token FROM documents,

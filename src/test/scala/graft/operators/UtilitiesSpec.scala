@@ -2132,4 +2132,84 @@ class UtilitiesSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got === want)
   }
+  test("q240 containment: asymmetric ratios match a set replay under the df guard") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val sh = docs.map { case (id, t) =>
+      id -> t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sh.values.flatten.groupBy(identity).map { case (g, v) => g -> v.size }
+    val rare = df.filter(_._2 <= 64).keySet
+    val got = Text.q240ContainmentDedup(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val ids = sh.keys.toSeq
+    val want = (for (a <- ids; b <- ids if a != b) yield {
+      val inter = (sh(a) & sh(b) & rare).size.toLong
+      val c = if (sh(a).nonEmpty)
+        BigDecimal(inter.toDouble / sh(a).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      ((a, b), (inter, sh(a).size.toLong, c))
+    }).filter(_._2._3 >= 0.5).toMap
+    assert(got.keySet === want.keySet)
+    assert(got.nonEmpty, "fixture carries no containment pair - vacuous")
+    want.foreach { case (k, (i, sz, c)) =>
+      val (gi, gsz, gc) = got(k)
+      assert(gi === i && gsz === sz && math.abs(gc - c) < 1e-9, s"pair $k")
+    }
+  }
+
+  test("q241 forward fill: LOCF audit matches a sequential replay") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"value".cast("decimal(18,4)"),
+        $"ts2".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)), r.getLong(3)))
+    val got = Events.q241ForwardFill(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val byUser = evs.groupBy(_._1)
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, g) =>
+      val daily = g.groupBy(_._4 / 86400).map { case (day, rows) =>
+        day -> rows.maxBy(r => (r._4, r._2))._3
+      }
+      val d0 = daily.keys.min; val d1 = daily.keys.max
+      var lastV: Option[BigDecimal] = None
+      var nFilled = 0L
+      (d0 to d1).foreach { day =>
+        daily.get(day) match {
+          case Some(v) => lastV = Some(v)
+          case None => nFilled += 1
+        }
+      }
+      val (nd, no, nf, fv) = got(u)
+      assert(nd === d1 - d0 + 1 && no === daily.size.toLong && nf === nFilled, s"user $u")
+      assert(math.abs(fv - lastV.get.toDouble) < 1e-9, s"user $u final")
+    }
+    assert(got.values.exists(_._3 > 0), "no user had a gap - LOCF untested")
+  }
+
+  test("q242 nearest as-of: picks the closest candidate either side; probes kept whole") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type", $"ts2".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val errors = evs.filter(_._3 == "error")
+    val purchases = evs.filter(_._3 == "purchase").groupBy(_._1)
+    val got = Events.q242NearestAsof(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(got.keySet === errors.map(_._2).toSet, "an unmatched error row was dropped")
+    errors.foreach { case (u, eid, _, te) =>
+      val cands = purchases.getOrElse(u, Array.empty)
+        .filter(p => math.abs(p._4 - te) <= 1800)
+      if (cands.isEmpty) assert(got(eid).isEmpty, s"error $eid spurious match")
+      else {
+        val best = cands.minBy(p => (math.abs(p._4 - te), p._4, p._2))
+        assert(got(eid) === Some((best._2, best._4 - te)), s"error $eid")
+      }
+    }
+    assert(got.values.exists(_.isEmpty) && got.values.exists(_.nonEmpty),
+      "fixture lacks both matched and unmatched errors - weak coverage")
+  }
 }
