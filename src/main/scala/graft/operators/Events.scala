@@ -981,7 +981,67 @@ object Events {
       .orderBy(col("error_id"))
   }
 
+  /** Q243: gaps-and-islands activity streaks — the classic
+    * `day − row_number` island trick: a user's distinct active days
+    * collapse into consecutive runs because subtracting the ordinal from
+    * the day yields one constant per unbroken run; islands aggregate to
+    * streaks. Reports per user the longest streak (with its start day)
+    * and the streak count — engagement's favorite metric, and a shape
+    * (order-sensitive grouping) no plain GROUP BY expresses.
+    *
+    * Scale shape: one distinct-days collapse, one per-user ordered
+    * window, two keyed aggregates — everything user-partitioned.
+    */
+  def q243Streaks: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = events(s, d)
+      .select(col("user_id"), expr("CAST(ts2 AS LONG) div 86400").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("island", col("day") - big(row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands.groupBy(col("user_id"))
+      .agg(big(count(lit(1))).as("n_streaks"),
+        big(sum(col("len"))).as("n_active_days"),
+        max(struct(col("len"), col("start_day"))).as("best"))
+      .select(col("user_id"), col("n_streaks"), col("n_active_days"),
+        big(col("best.len")).as("longest_streak"),
+        big(col("best.start_day")).as("longest_start_day"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Q244: maximum drawdown — the risk metric over each user's running
+    * value balance (+purchases, −errors as the synthetic sign
+    * convention): cumulative sum in exact decimals, running peak via a
+    * window max, drawdown = peak − current, maximum reported with the
+    * day it bottomed. Per-user ordered windows over exact decimal
+    * arithmetic — no float path at all until the final cast.
+    */
+  def q244MaxDrawdown: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flows = events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), epochSec(col("ts2")).as("es"),
+        when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(-dec(col("value"))).as("flow"))
+    flows
+      .withColumn("cum", sum(col("flow")).over(run))
+      .withColumn("peak", max(col("cum")).over(run))
+      .withColumn("dd", col("peak") - col("cum"))
+      .groupBy(col("user_id"))
+      .agg(big(count(lit(1))).as("n_flows"),
+        round(max(col("cum")).cast("double"), 4).as("peak_balance"),
+        round(max(col("dd")).cast("double"), 4).as("max_drawdown"),
+        big(max_by(col("es"), struct(col("dd"), lit(0L) - col("es"))))
+          .as("trough_es"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q243_streaks" -> q243Streaks,
+    "q244_max_drawdown" -> q244MaxDrawdown,
     "q241_forward_fill" -> q241ForwardFill,
     "q242_nearest_asof" -> q242NearestAsof,
     "q236_seasonal_naive_eval" -> q236SeasonalNaiveEval,
@@ -1031,6 +1091,58 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q243_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MIN(day) AS start_day
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, len, start_day, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY len DESC, start_day DESC) AS rn
+        |  FROM runs)
+        |SELECT r.user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(SUM(r.len) AS BIGINT) AS n_active_days,
+        |  CAST(MAX(b.len) AS BIGINT) AS longest_streak,
+        |  CAST(MAX(b.start_day) AS BIGINT) AS longest_start_day
+        |FROM runs r JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON r.user_id = b.user_id
+        |GROUP BY 1 ORDER BY r.user_id""".stripMargin,
+    "q244_max_drawdown" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
+        |         ELSE -CAST(value AS DECIMAL(18,4)) END AS flow
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |c1 AS (
+        |  SELECT user_id, event_id, es, SUM(flow) OVER w AS cum
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT user_id, event_id, es, cum,
+        |    MAX(cum) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c1),
+        |dd AS (SELECT user_id, es, cum, peak, peak - cum AS dd FROM c),
+        |pick AS (
+        |  SELECT user_id, es, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY dd DESC, es) AS rn
+        |  FROM dd)
+        |SELECT dd.user_id, CAST(COUNT(*) AS BIGINT) AS n_flows,
+        |  ROUND(CAST(MAX(cum) AS DOUBLE), 4) AS peak_balance,
+        |  ROUND(CAST(MAX(dd.dd) AS DOUBLE), 4) AS max_drawdown,
+        |  CAST(MAX(p.es) AS BIGINT) AS trough_es
+        |FROM dd JOIN (SELECT * FROM pick WHERE rn = 1) p
+        |  ON dd.user_id = p.user_id
+        |GROUP BY 1 ORDER BY dd.user_id""".stripMargin,
     "q241_forward_fill" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,4)) AS v,

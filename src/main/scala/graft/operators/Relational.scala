@@ -395,7 +395,36 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Q245: share-of-parent hierarchy report — every nation's revenue with
+    * its share of the parent region AND of the grand total, the
+    * ratio-to-parent presentation a BI rollup renders. Parent sums are a
+    * region-partitioned window over the bounded nation grain (25 rows)
+    * and a 1-row broadcast total — exact decimal sums everywhere, the
+    * two ratios are single double divisions. One aggregate over the
+    * star join; the hierarchy math never touches row scale.
+    */
+  def q245ShareOfParent: Q = (s, d) => {
+    val rev = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val wRegion = Window.partitionBy(col("r_name"))
+    val tot = rev.agg(sum(col("rev")).as("total"))
+    rev.withColumn("region_rev", sum(col("rev")).over(wRegion))
+      .crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"),
+        round(col("rev").cast("double"), 4).as("revenue"),
+        round(col("rev").cast("double") / col("region_rev").cast("double"), 6)
+          .as("share_of_region"),
+        round(col("rev").cast("double") / col("total").cast("double"), 6)
+          .as("share_of_total"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q245_share_of_parent" -> q245ShareOfParent,
     "q106_incremental_agg" -> q106IncrementalAgg,
     "q86_null_semantics" -> q86NullSemantics,
     "q01_scan_filter" -> q01ScanFilter,
@@ -422,6 +451,26 @@ object Relational {
     "q23_math" -> q23Math)
 
   val oracles: Map[String, String] = Map(
+    "q245_share_of_parent" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT r_name, n_name, rev,
+        |    SUM(rev) OVER (PARTITION BY r_name) AS region_rev,
+        |    (SELECT SUM(rev) FROM rev) AS total
+        |  FROM rev)
+        |SELECT r_name, n_name,
+        |  ROUND(CAST(rev AS DOUBLE), 4) AS revenue,
+        |  ROUND(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 6)
+        |    AS share_of_region,
+        |  ROUND(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_of_total
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
     "q106_incremental_agg" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,

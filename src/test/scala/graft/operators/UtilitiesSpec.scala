@@ -2212,4 +2212,79 @@ class UtilitiesSpec extends SparkSpec {
     assert(got.values.exists(_.isEmpty) && got.values.exists(_.nonEmpty),
       "fixture lacks both matched and unmatched errors - weak coverage")
   }
+  test("q243 streaks: islands match a sequential run-length replay") {
+    val days = Tables.events(spark, sf0001)
+      .select($"user_id", ($"ts2".cast("long") / 86400).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Events.q243Streaks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val byUser = days.groupBy(_._1)
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, g) =>
+      val sorted = g.map(_._2).sorted
+      val runs = collection.mutable.ArrayBuffer.empty[(Long, Long)] // (start, len)
+      sorted.foreach { day =>
+        if (runs.nonEmpty && runs.last._1 + runs.last._2 == day)
+          runs(runs.length - 1) = (runs.last._1, runs.last._2 + 1)
+        else runs += ((day, 1L))
+      }
+      val (ns, na, ls, lsd) = got(u)
+      assert(ns === runs.length.toLong && na === sorted.length.toLong, s"user $u")
+      val best = runs.maxBy(r => (r._2, r._1))
+      assert(ls === best._2 && lsd === best._1, s"user $u best streak")
+    }
+    assert(got.values.exists(_._3 >= 2), "no user has a multi-day streak - vacuous")
+  }
+
+  test("q244 max drawdown: peak/trough match a sequential fold") {
+    val evs = Tables.events(spark, sf0001)
+      .filter($"event_type".isin("purchase", "error"))
+      .select($"user_id", $"event_id", $"event_type",
+        $"ts2".cast("long"), $"value".cast("decimal(18,4)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), BigDecimal(r.getDecimal(4))))
+    val got = Events.q244MaxDrawdown(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val byUser = evs.groupBy(_._1)
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, g) =>
+      val ordered = g.sortBy(e => (e._4, e._2))
+      var cum = BigDecimal(0); var peak = BigDecimal(0)
+      var peakBal = BigDecimal(Long.MinValue); var maxDd = BigDecimal(Long.MinValue)
+      var trough = 0L
+      var first = true
+      ordered.foreach { e =>
+        val flow = if (e._3 == "purchase") e._5 else -e._5
+        cum += flow
+        peak = if (first) cum else peak.max(cum)
+        first = false
+        if (cum > peakBal) peakBal = cum
+        val dd = peak - cum
+        if (dd > maxDd) { maxDd = dd; trough = e._4 }
+      }
+      val (nf, pb, md, te) = got(u)
+      assert(nf === ordered.length.toLong, s"user $u flows")
+      assert(math.abs(pb - peakBal.toDouble) < 1e-6, s"user $u peak")
+      assert(math.abs(md - maxDd.toDouble) < 1e-6, s"user $u drawdown")
+      assert(te === trough, s"user $u trough")
+    }
+  }
+
+  test("q245 share of parent: shares sum to 1 within region and overall") {
+    val got = Relational.q245ShareOfParent(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length === 25)
+    got.groupBy(_._1).foreach { case (reg, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, s"region $reg shares")
+      val regRev = rows.map(_._3).sum
+      rows.foreach { r =>
+        assert(math.abs(r._4 - r._3 / regRev) < 1e-4, s"${r._2} region share")
+      }
+    }
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-4, "total shares")
+    val totalRev = got.map(_._3).sum
+    got.foreach { r => assert(math.abs(r._5 - r._3 / totalRev) < 1e-4) }
+  }
 }
