@@ -1039,7 +1039,40 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Q246: conversion latency percentiles — signup → first purchase
+    * delay per signup-week cohort, reported as exact discrete p50/p90
+    * (rank-selected under the (delay, user) total order — the SLA view
+    * of q76's funnel counts: not HOW MANY convert but HOW FAST the
+    * median and the tail convert. Users without a later purchase are
+    * excluded (conversion latency is conditional on converting; the
+    * unconditional rate is q76's job).
+    */
+  def q246ConversionLatency: Q = (s, d) => {
+    val e = events(s, d)
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(epochSec(col("ts2"))).as("ts_s"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), epochSec(col("ts2")).as("ts_p"))
+    val delays = signups.join(purchases, Seq("user_id"))
+      .filter(col("ts_p") >= col("ts_s"))
+      .groupBy(col("user_id"), col("ts_s"))
+      .agg(min(col("ts_p") - col("ts_s")).as("delay"))
+      .withColumn("cohort", expr("ts_s div 604800"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("delay"), col("user_id"))
+    delays
+      .withColumn("rn", big(row_number().over(w)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cohort"))))
+      .groupBy(col("cohort"))
+      .agg(big(max(col("n"))).as("n_converted"),
+        big(min(when(col("rn") === expr("(n * 50 + 99) div 100"), col("delay"))))
+          .as("p50_delay_sec"),
+        big(min(when(col("rn") === expr("(n * 90 + 99) div 100"), col("delay"))))
+          .as("p90_delay_sec"))
+      .orderBy(col("cohort"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q246_conversion_latency" -> q246ConversionLatency,
     "q243_streaks" -> q243Streaks,
     "q244_max_drawdown" -> q244MaxDrawdown,
     "q241_forward_fill" -> q241ForwardFill,
@@ -1091,6 +1124,31 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q246_conversion_latency" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS ts_s
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_p
+        |  FROM events WHERE event_type = 'purchase'),
+        |de AS (
+        |  SELECT s.user_id, ts_s, MIN(ts_p - ts_s) AS delay
+        |  FROM s JOIN p ON s.user_id = p.user_id AND ts_p >= ts_s
+        |  GROUP BY 1, 2),
+        |co AS (SELECT user_id, ts_s // 604800 AS cohort, delay FROM de),
+        |rk AS (
+        |  SELECT cohort, delay,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cohort
+        |      ORDER BY delay, user_id) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cohort) AS n
+        |  FROM co)
+        |SELECT cohort, CAST(MAX(n) AS BIGINT) AS n_converted,
+        |  CAST(MIN(CASE WHEN rn = (n * 50 + 99) // 100 THEN delay END) AS BIGINT)
+        |    AS p50_delay_sec,
+        |  CAST(MIN(CASE WHEN rn = (n * 90 + 99) // 100 THEN delay END) AS BIGINT)
+        |    AS p90_delay_sec
+        |FROM rk GROUP BY 1 ORDER BY cohort""".stripMargin,
     "q243_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

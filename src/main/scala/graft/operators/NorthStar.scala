@@ -1291,6 +1291,43 @@ object NorthStar {
         sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L)).as("cluster_straddle"))
   }
 
+  /** Q248: duplication rate by source — the provenance diagnostic a
+    * mixture owner reads before re-weighting (q111): per source, the
+    * share of documents involved in any near-dup pair (the q56/q147
+    * exact-Jaccard kernel at threshold 1/2), split into cross-source
+    * involvement (this source copies / is copied by others — a licensing
+    * and leakage question) and intra-source (internal redundancy — a
+    * crawler-quality question). Pair relation built once; the rest is
+    * label joins and keyed aggregates.
+    */
+  def q248DupRateBySource: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+      .select(col("id1"), col("id2"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val lab = pairs
+      .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), Seq("id1"))
+      .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), Seq("id2"))
+    val involved = lab.select(col("id1").as("doc_id"), col("s1").as("source"),
+      (col("s1") =!= col("s2")).as("cross"))
+      .union(lab.select(col("id2"), col("s2"), col("s1") =!= col("s2")))
+    val perDoc = involved.groupBy(col("source"), col("doc_id"))
+      .agg(max(when(col("cross"), 1L).otherwise(0L)).as("has_cross"),
+        max(when(!col("cross"), 1L).otherwise(0L)).as("has_intra"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_dup_docs"),
+          sum(col("has_cross")).as("n_cross"),
+          sum(col("has_intra")).as("n_intra")), Seq("source"), "left")
+      .select(col("source"), big(col("n_docs")).as("n_docs"),
+        big(coalesce(col("n_dup_docs"), lit(0L))).as("n_dup_docs"),
+        big(coalesce(col("n_cross"), lit(0L))).as("n_cross_source"),
+        big(coalesce(col("n_intra"), lit(0L))).as("n_intra_source"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double")
+          / col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Q149: contamination COVERAGE — the decontamination decision rule
     * production filters actually apply (Llama/PaLM-style): not "does the
     * doc share ANY 8-gram with the benchmark" (q119's membership test) but
@@ -1425,6 +1462,7 @@ object NorthStar {
     "q154_lang_rebalance" -> q154LangRebalance,
     "q150_eval_quota" -> q150EvalQuota,
     "q149_contamination_coverage" -> q149ContaminationCoverage,
+    "q248_dup_rate_by_source" -> q248DupRateBySource,
     "q147_split_leakage" -> q147SplitLeakage,
     "q145_preference_pairs" -> q145PreferencePairs,
     "q100_weighted_sample" -> q100WeightedSample,
@@ -1550,6 +1588,47 @@ object NorthStar {
         |  ROUND(CAST(h.covered AS DOUBLE) / s.n_tokens, 6) AS contam_coverage
         |FROM stats s JOIN hstats h USING (doc_id)
         |WHERE h.n_hit_windows > 0 ORDER BY s.doc_id""".stripMargin,
+    "q248_dup_rate_by_source" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |          WHERE 3 * i >= a.n + b.n),
+        |lab AS (
+        |  SELECT p.id1, p.id2, a.source AS s1, b.source AS s2
+        |  FROM pairs p JOIN documents a ON p.id1 = a.doc_id
+        |  JOIN documents b ON p.id2 = b.doc_id),
+        |inv AS (
+        |  SELECT id1 AS doc_id, s1 AS source, s1 <> s2 AS crs FROM lab
+        |  UNION ALL SELECT id2, s2, s1 <> s2 FROM lab),
+        |perdoc AS (
+        |  SELECT source, doc_id,
+        |    MAX(CASE WHEN crs THEN 1 ELSE 0 END) AS has_cross,
+        |    MAX(CASE WHEN crs THEN 0 ELSE 1 END) AS has_intra
+        |  FROM inv GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs,
+        |    CAST(SUM(has_cross) AS BIGINT) AS n_cross,
+        |    CAST(SUM(has_intra) AS BIGINT) AS n_intra
+        |  FROM perdoc GROUP BY 1),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |        FROM documents GROUP BY 1)
+        |SELECT tot.source, n_docs,
+        |  COALESCE(n_dup_docs, 0) AS n_dup_docs,
+        |  COALESCE(n_cross, 0) AS n_cross_source,
+        |  COALESCE(n_intra, 0) AS n_intra_source,
+        |  ROUND(CAST(COALESCE(n_dup_docs, 0) AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+        |FROM tot LEFT JOIN agg ON tot.source = agg.source
+        |ORDER BY tot.source""".stripMargin,
     "q147_split_leakage" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
         |         FROM documents),

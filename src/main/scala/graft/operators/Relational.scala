@@ -423,7 +423,31 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** Q247: year-over-year growth with same-month alignment — monthly
+    * revenue joined to itself 12 months back (an equi-join on the
+    * bounded month grid, not a lag window — the join states the
+    * alignment explicitly and drops months without a prior-year twin,
+    * which a lag over a gappy grid would silently mis-align). Growth is
+    * one double ratio off exact decimal sums, 6-dp rounded.
+    */
+  def q247YoyGrowth: Q = (s, d) => {
+    val monthly = Tables(s, d, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("rev"))
+    monthly.as("cur")
+      .join(monthly.select((col("m") + 12).as("m"), col("rev").as("rev_prior"))
+        .as("pri"), Seq("m"))
+      .select(col("m").as("month_idx"), big(col("n_orders")).as("n_orders"),
+        round(col("rev").cast("double"), 4).as("revenue"),
+        round(col("rev_prior").cast("double"), 4).as("revenue_prior_year"),
+        round(col("rev").cast("double") / col("rev_prior").cast("double")
+          - lit(1.0), 6).as("yoy_growth"))
+      .orderBy(col("month_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q247_yoy_growth" -> q247YoyGrowth,
     "q245_share_of_parent" -> q245ShareOfParent,
     "q106_incremental_agg" -> q106IncrementalAgg,
     "q86_null_semantics" -> q86NullSemantics,
@@ -451,6 +475,19 @@ object Relational {
     "q23_math" -> q23Math)
 
   val oracles: Map[String, String] = Map(
+    "q247_yoy_growth" ->
+      """WITH m AS (
+        |  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(cur.m AS BIGINT) AS month_idx, cur.n_orders,
+        |  ROUND(CAST(cur.rev AS DOUBLE), 4) AS revenue,
+        |  ROUND(CAST(pri.rev AS DOUBLE), 4) AS revenue_prior_year,
+        |  ROUND(CAST(cur.rev AS DOUBLE) / CAST(pri.rev AS DOUBLE) - 1.0, 6)
+        |    AS yoy_growth
+        |FROM m cur JOIN m pri ON cur.m = pri.m + 12
+        |ORDER BY month_idx""".stripMargin,
     "q245_share_of_parent" ->
       """WITH rev AS (
         |  SELECT r_name, n_name,

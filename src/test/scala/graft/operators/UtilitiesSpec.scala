@@ -2287,4 +2287,82 @@ class UtilitiesSpec extends SparkSpec {
     val totalRev = got.map(_._3).sum
     got.foreach { r => assert(math.abs(r._5 - r._3 / totalRev) < 1e-4) }
   }
+  test("q246 conversion latency: exact discrete percentiles per weekly cohort") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", $"ts2".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val signups = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val delays = signups.flatMap { case (u, ts) =>
+      val ps = evs.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= ts)
+      if (ps.isEmpty) None else Some((u, ts / 604800, ps.map(_._3 - ts).min))
+    }.toSeq
+    val got = Events.q246ConversionLatency(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byC = delays.groupBy(_._2)
+    assert(got.keySet === byC.keySet)
+    byC.foreach { case (c, g) =>
+      val sorted = g.sortBy(x => (x._3, x._1)).map(_._3)
+      val n = sorted.length
+      val (gn, p50, p90) = got(c)
+      assert(gn === n.toLong)
+      assert(p50 === sorted(((n * 50 + 99) / 100) - 1), s"cohort $c p50")
+      assert(p90 === sorted(((n * 90 + 99) / 100) - 1), s"cohort $c p90")
+    }
+  }
+
+  test("q247 YoY growth: same-month alignment matches a map replay") {
+    val os = Tables(spark, sf0001, "orders")
+      .select((year($"o_orderdate") * 12 + month($"o_orderdate")).cast("long"),
+        $"o_totalprice".cast("decimal(18,4)")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDecimal(1))))
+    val monthly = os.groupBy(_._1).map { case (m, g) =>
+      m -> (g.length.toLong, g.map(_._2).sum) }
+    val got = Relational.q247YoyGrowth(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val want = monthly.keys.filter(m => monthly.contains(m - 12)).toSet
+    assert(got.keySet === want)
+    want.foreach { m =>
+      val (n, rev) = monthly(m); val (_, prior) = monthly(m - 12)
+      val (gn, gr, gp, gg) = got(m)
+      assert(gn === n)
+      assert(math.abs(gr - rev.toDouble) < 1e-4 && math.abs(gp - prior.toDouble) < 1e-4)
+      assert(math.abs(gg - (rev.toDouble / prior.toDouble - 1.0)) < 2e-6, s"month $m")
+    }
+  }
+
+  test("q248 dup rate by source: involvement flags match the exact Jaccard kernel") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    val sh = docs.map { case (id, _, t) =>
+      id -> (if (t.length < 3) Set(t.mkString(" "))
+             else t.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val ids = docs.map(_._1)
+    val pairs = for (a <- ids; b <- ids if a < b
+      && 3L * (sh(a) & sh(b)).size >= sh(a).size + sh(b).size) yield (a, b)
+    val cross = collection.mutable.Set.empty[Long]
+    val intra = collection.mutable.Set.empty[Long]
+    pairs.foreach { case (a, b) =>
+      if (srcOf(a) != srcOf(b)) { cross += a; cross += b }
+      else { intra += a; intra += b }
+    }
+    val got = NorthStar.q248DupRateBySource(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val bySrc = docs.groupBy(_._2)
+    assert(got.keySet === bySrc.keySet)
+    bySrc.foreach { case (sc, g) =>
+      val mine = g.map(_._1).toSet
+      val dup = mine.filter(id => cross(id) || intra(id))
+      val (nd, ndup, nc, ni, rate) = got(sc)
+      assert(nd === g.length.toLong && ndup === dup.size.toLong, s"$sc totals")
+      assert(nc === (mine & cross).size.toLong && ni === (mine & intra).size.toLong, s"$sc split")
+      assert(math.abs(rate - dup.size.toDouble / g.length) < 1e-6)
+    }
+    assert(got.values.exists(_._2 > 0), "no source has any dup involvement - vacuous")
+  }
 }
