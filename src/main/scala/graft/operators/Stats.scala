@@ -638,7 +638,72 @@ object Stats {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Q249: behavioral entropy — per-user Shannon entropy of the
+    * event-type distribution (is this account a one-note bot or a
+    * diverse human?), in exact count arithmetic: H = (n·ln n − Σc·ln c)/n
+    * with every ln 6-dp-rounded and weighted into decimal sums (the q217
+    * xlx discipline), normalized by ln(#types observed) into [0,1] where
+    * defined. One (user, type) aggregate, one per-user rollup.
+    */
+  def q249BehaviorEntropy: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val dec28 = DecimalType(28, 6)
+    def xlx(c: Column): Column =
+      when(c === 0L, lit(0).cast(dec28))
+        .otherwise((c * round(log(c.cast("double")), 6).cast(dec6)).cast(dec28))
+    val tc = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        sum(xlx(col("c"))).cast(DecimalType(38, 6)).cast("double").as("sclc"))
+      .withColumn("h", (xlx(col("n")).cast("double") - col("sclc"))
+        / col("n").cast("double"))
+      .select(col("user_id"), big(col("n")).as("n_events"), big(col("k")).as("n_types"),
+        round(col("h"), 4).as("entropy"),
+        when(col("k") === 1L, lit(0.0))
+          .otherwise(round(col("h") / log(col("k").cast("double")), 4))
+          .as("norm_entropy"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Q250: price elasticity of demand — the log-log regression slope of
+    * quantity on price over the 16 equi-width price buckets (q217's
+    * integer-cents bucketing): elasticity ≈ d ln(qty)/d ln(price). The
+    * regression runs over the BOUNDED 16-point (ln avg-price, ln qty)
+    * summary with q208's closed-form moments (6-dp-rounded logs, decimal
+    * sums) — one corpus aggregate, then 16-row arithmetic.
+    */
+  def q250PriceElasticity: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val li = Tables(s, d, "lineitem").select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("q"))
+    val mm = li.agg(min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+    val pts = li.crossJoin(broadcast(mm))
+      .withColumn("b", expr("((cents - cmin) * 16) div (cmax - cmin + 1)"))
+      .groupBy(col("b"))
+      .agg(sum(col("cents")).as("sc"), count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(
+        round(log(col("sc").cast("double") / col("n").cast("double")), 6)
+          .cast(dec6).as("lx"),
+        round(log(col("sq").cast("double")), 6).cast(dec6).as("ly"))
+    val a = pts.agg(count(lit(1)).as("k"),
+      sum(col("lx")).cast("double").as("sx"), sum(col("ly")).cast("double").as("sy"),
+      sum(col("lx") * col("lx")).cast(DecimalType(38, 6)).cast("double").as("sxx"),
+      sum(col("lx") * col("ly")).cast(DecimalType(38, 6)).cast("double").as("sxy"),
+      sum(col("ly") * col("ly")).cast(DecimalType(38, 6)).cast("double").as("syy"))
+    val kD = col("k").cast("double")
+    val den = kD * col("sxx") - col("sx") * col("sx")
+    val num = kD * col("sxy") - col("sx") * col("sy")
+    a.select(big(col("k")).as("n_buckets"),
+      round(num / den, 6).as("elasticity"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")) / den, 6).as("intercept"),
+      round(num * num / (den * (kD * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q249_behavior_entropy" -> q249BehaviorEntropy,
+    "q250_price_elasticity" -> q250PriceElasticity,
     "q238_wilson_ci" -> q238WilsonCi,
     "q232_winsorize" -> q232Winsorize,
     "q220_corr_matrix" -> q220CorrMatrix,
@@ -776,6 +841,57 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q249_behavior_entropy" ->
+      (s"""WITH tc AS (
+          |  SELECT user_id, event_type, COUNT(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |a AS (
+          |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+          |    CAST(COUNT(*) AS BIGINT) AS k,
+          |    CAST(CAST(SUM(${xlxSql("c")}) AS DECIMAL(38,6)) AS DOUBLE) AS sclc
+          |  FROM tc GROUP BY 1),
+          |h AS (
+          |  SELECT user_id, n, k,
+          |    (CAST(${xlxSql("n")} AS DOUBLE) - sclc) / CAST(n AS DOUBLE) AS h
+          |  FROM a)
+          |SELECT user_id, n AS n_events, k AS n_types,
+          |  ROUND(h, 4) AS entropy,
+          |  CASE WHEN k = 1 THEN 0.0
+          |       ELSE ROUND(h / LN(CAST(k AS DOUBLE)), 4) END AS norm_entropy
+          |FROM h ORDER BY user_id""".stripMargin),
+    "q250_price_elasticity" ->
+      """WITH li AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |mm AS (SELECT MIN(cents) AS cmin, MAX(cents) AS cmax FROM li),
+        |pts AS (
+        |  SELECT ((cents - cmin) * 16) // (cmax - cmin + 1) AS b,
+        |    CAST(SUM(cents) AS BIGINT) AS sc, COUNT(*) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS sq
+        |  FROM li, mm GROUP BY 1),
+        |lp AS (
+        |  SELECT
+        |    CAST(ROUND(LN(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS lx,
+        |    CAST(ROUND(LN(CAST(sq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+        |  FROM pts),
+        |a AS (
+        |  SELECT COUNT(*) AS k,
+        |    CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(lx * lx) AS DECIMAL(38,6)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(lx * ly) AS DECIMAL(38,6)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(ly * ly) AS DECIMAL(38,6)) AS DOUBLE) AS syy
+        |  FROM lp)
+        |SELECT CAST(k AS BIGINT) AS n_buckets,
+        |  ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS elasticity,
+        |  ROUND((sy * sxx - sx * sxy)
+        |    / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS intercept,
+        |  ROUND((CAST(k AS DOUBLE) * sxy - sx * sy) * (CAST(k AS DOUBLE) * sxy - sx * sy)
+        |    / ((CAST(k AS DOUBLE) * sxx - sx * sx)
+        |       * (CAST(k AS DOUBLE) * syy - sy * sy)), 6) AS r2
+        |FROM a""".stripMargin,
     "q238_wilson_ci" -> wilsonSql,
     "q232_winsorize" ->
       """WITH base AS (

@@ -72,6 +72,7 @@ class PlanAuditSpec extends SparkSpec {
     "q235_gains_curve", // 10-row decile boundary relation range-joined to the bounded score summary
     "q236_seasonal_naive_eval", // 1-row broadcast horizon hour against the bounded hourly collapse
     "q245_share_of_parent", // 1-row broadcast grand total against the bounded 25-nation grain
+    "q250_price_elasticity", // 1-row broadcast price-range normalizer (q217's bucketing)
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

@@ -2365,4 +2365,52 @@ class UtilitiesSpec extends SparkSpec {
     }
     assert(got.values.exists(_._2 > 0), "no source has any dup involvement - vacuous")
   }
+  test("q249 behavior entropy: per-user H matches an exact count replay") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def r6ln(c: Long) = BigDecimal(math.log(c.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = Stats.q249BehaviorEntropy(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val byU = evs.groupBy(_._1)
+    assert(got.keySet === byU.keySet)
+    byU.foreach { case (u, g) =>
+      val counts = g.groupBy(_._2).map(_._2.size.toLong).toSeq
+      val n = counts.sum
+      val h = ((BigDecimal(n) * r6ln(n)) - counts.map(c => BigDecimal(c) * r6ln(c)).sum)
+        .toDouble / n
+      val (gn, gk, gh, gnorm) = got(u)
+      assert(gn === n && gk === counts.length.toLong, s"user $u counts")
+      assert(math.abs(gh - h) < 2e-4, s"user $u entropy")
+      if (counts.length > 1)
+        assert(math.abs(gnorm - h / math.log(counts.length.toDouble)) < 2e-4)
+      else assert(gnorm === 0.0)
+      assert(gh >= -1e-9 && gnorm <= 1.0 + 1e-6)
+    }
+  }
+
+  test("q250 price elasticity: slope matches a bucketed log-log replay; negative demand curve") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"),
+        $"l_quantity".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cmin = li.map(_._1).min; val cmax = li.map(_._1).max
+    val pts = li.groupBy(x => (x._1 - cmin) * 16 / (cmax - cmin + 1))
+      .map { case (_, g) =>
+        val sc = g.map(_._1).sum; val n = g.size; val sq = g.map(_._2).sum
+        (BigDecimal(math.log(sc.toDouble / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+          BigDecimal(math.log(sq.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }.toSeq
+    val k = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val want = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val r = Stats.q250PriceElasticity(spark, sf0001).head()
+    assert(r.getLong(0) === pts.length.toLong)
+    assert(math.abs(r.getDouble(1) - want) < 2e-4, s"slope ${r.getDouble(1)} vs $want")
+    assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0 + 1e-9, "r2 out of range")
+  }
 }
