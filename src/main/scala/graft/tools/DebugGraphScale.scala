@@ -65,7 +65,8 @@ object DebugGraphScale {
         "q213_decayed_topk" -> graft.operators.Extras.q213DecayedTopk,
         "q215_kcore" -> graft.operators.Graph.q215Kcore,
         "q218_item_cosine" -> graft.operators.Graph.q218ItemCosine,
-        "q221_adamic_adar" -> graft.operators.Graph.q221AdamicAdar)
+        "q221_adamic_adar" -> graft.operators.Graph.q221AdamicAdar,
+        "q237_weighted_sssp" -> graft.operators.Graph.q237WeightedSssp)
       def time(fn: => Unit): Double = {
         val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
       }
