@@ -528,4 +528,42 @@ class StreamingSpec extends SparkSpec {
     val spans = parts.groupBy(_._2).values.exists(g => g.map(_._1).distinct.length > 1)
     assert(spans, "no part spans two feed partitions - merge untested")
   }
+  test("q219-shaped restart: the mergeable leaderboard survives stop/start without double-counting") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.Dataset
+    val rows = graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_partkey", $"l_quantity".cast("long").as("q"))
+    val feed = Files.createTempDirectory("graft-topk-restart-src").toString
+    val ckpt = Files.createTempDirectory("graft-topk-restart-ckpt").toString
+    val sums = Files.createTempDirectory("graft-topk-restart-sums").toString
+    rows.filter(pmod($"l_partkey", lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    def start() = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.groupBy(col("l_partkey")).agg(sum(col("q")).as("qty"))
+            .write.mode("overwrite").parquet(s"$sums/batch=$batchId")
+        ()
+      }
+      .start()
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    // the second half lands while the query is DOWN; the restart must resume
+    // from the checkpointed file log (re-reading batch-0 files would
+    // double-count into a NEW batch id; losing the log would skip them)
+    rows.filter(pmod($"l_partkey", lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(sums)
+      .groupBy($"l_partkey").agg(sum($"qty").cast("long").as("t"))
+      .orderBy($"t".desc, $"l_partkey").limit(25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = rows.groupBy($"l_partkey").agg(sum($"q").cast("long").as("t"))
+      .orderBy($"t".desc, $"l_partkey").limit(25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want,
+      "restarted leaderboard diverged from the batch truth - state loss or double count")
+  }
 }
