@@ -1071,7 +1071,36 @@ object Events {
       .orderBy(col("cohort"))
   }
 
+  /** Q252: strict-adjacency funnel — view → click → purchase as three
+    * CONSECUTIVE events in a user's stream (no intervening event of any
+    * type), the uninterrupted-intent variant of q76's within-a-window
+    * funnel: a user who browses elsewhere mid-path doesn't count. Two
+    * lags over the per-user total order; per user the occurrence count
+    * and first completion time, plus the bottom-line user count rides in
+    * every row (1-row broadcast).
+    */
+  def q252StrictFunnel: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val hits = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochSec(col("ts2")).as("es"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1") === "view" && col("t2") === "click"
+        && col("event_type") === "purchase")
+    val perUser = hits.groupBy(col("user_id"))
+      .agg(big(count(lit(1))).as("n_completions"),
+        min(col("es")).as("first_completion_es"))
+    perUser
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_users"))))
+      .select(col("user_id"), col("n_completions"),
+        big(col("first_completion_es")).as("first_completion_es"),
+        big(col("n_users")).as("n_converting_users"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q252_strict_funnel" -> q252StrictFunnel,
     "q246_conversion_latency" -> q246ConversionLatency,
     "q243_streaks" -> q243Streaks,
     "q244_max_drawdown" -> q244MaxDrawdown,
@@ -1124,6 +1153,25 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q252_strict_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_type, es,
+        |    lag(event_type, 2) OVER w AS t1,
+        |    lag(event_type, 1) OVER w AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |hits AS (SELECT user_id, es FROM l
+        |         WHERE t1 = 'view' AND t2 = 'click' AND event_type = 'purchase'),
+        |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_completions,
+        |         CAST(MIN(es) AS BIGINT) AS first_completion_es
+        |       FROM hits GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM pu)
+        |SELECT user_id, n_completions, first_completion_es,
+        |  n_users AS n_converting_users
+        |FROM pu, t ORDER BY user_id""".stripMargin,
     "q246_conversion_latency" ->
       """WITH s AS (
         |  SELECT user_id,

@@ -674,7 +674,46 @@ object Extras {
         col("rank_early"), col("rank_late"), col("delta"))
   }
 
+  /** Q251: nested-parquet round-trip — orders denormalized into
+    * `array<struct>` line documents (the document-shaped export every
+    * API/feature-store handoff wants), written to parquet, read back,
+    * EXPLODED and re-aggregated; the oracle computes the same aggregate
+    * from the flat relational tables, so schema mangling anywhere in the
+    * nested write/read path (struct field order, array element nulls,
+    * decimal logical types) breaks the hash. Line arrays are
+    * `array_sort`ed before writing so the document form is
+    * deterministic. Result materialized before staging cleanup.
+    */
+  def q251NestedRoundtrip: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q251_").toString
+    try {
+      val lines = Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(
+          col("l_linenumber").cast("long").as("line"),
+          col("l_partkey").as("part"),
+          col("l_quantity").cast("long").as("qty"),
+          dec(col("l_extendedprice")).as("price")))).as("lines"))
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .join(lines, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("lines"))
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+      val back = s.read.parquet(s"$tmp/docs")
+      graft.Checkpoints.materialize(
+        back.select(col("o_orderkey"), col("o_orderstatus"),
+          explode(col("lines")).as("ln"))
+          .groupBy(col("o_orderstatus"))
+          .agg(big(countDistinct(col("o_orderkey"))).as("n_orders"),
+            big(count(lit(1))).as("n_lines"),
+            big(sum(col("ln.qty"))).as("total_qty"),
+            round(sum(col("ln.price")).cast("double"), 4).as("revenue"))
+          .orderBy(col("o_orderstatus")))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q251_nested_roundtrip" -> q251NestedRoundtrip,
     "q239_rank_movers" -> q239RankMovers,
     "q229_table_fingerprint" -> q229TableFingerprint,
     "q230_calendar_dim" -> q230CalendarDim,
@@ -705,6 +744,15 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q251_nested_roundtrip" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q239_rank_movers" ->
       """WITH per AS (
         |  SELECT l_partkey,

@@ -2413,4 +2413,44 @@ class UtilitiesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - want) < 2e-4, s"slope ${r.getDouble(1)} vs $want")
     assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= 1.0 + 1e-9, "r2 out of range")
   }
+  test("q251 nested roundtrip: exploded re-aggregate equals the flat relational truth") {
+    val want = Tables(spark, sf0001, "orders")
+      .join(Tables(spark, sf0001, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_orderkey"), count(lit(1)),
+        sum($"l_quantity".cast("long")),
+        sum($"l_extendedprice".cast("decimal(18,4)")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigDecimal(r.getDouble(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy(_._1)
+    val got = Extras.q251NestedRoundtrip(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigDecimal(r.getDouble(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    assert(got === want.toSeq)
+    val leftovers = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_q251_"))
+    assert(leftovers.isEmpty, s"staging dirs leaked: ${leftovers.mkString(",")}")
+  }
+
+  test("q252 strict funnel: consecutive-triple detection matches a sequential scan") {
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type", $"ts2".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val perUser = evs.groupBy(_._1).flatMap { case (u, g) =>
+      val seq0 = g.sortBy(e => (e._4, e._2))
+      val hits = seq0.sliding(3).filter(w => w.length == 3 &&
+        w(0)._3 == "view" && w(1)._3 == "click" && w(2)._3 == "purchase").toSeq
+      if (hits.isEmpty) None
+      else Some(u -> (hits.length.toLong, hits.map(_(2)._4).min))
+    }
+    val got = Events.q252StrictFunnel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === perUser.keySet)
+    perUser.foreach { case (u, (n, first)) =>
+      val (gn, gf, gu) = got(u)
+      assert(gn === n && gf === first, s"user $u")
+      assert(gu === perUser.size.toLong)
+    }
+    assert(got.nonEmpty, "no strict conversion in the fixture - vacuous")
+  }
 }
