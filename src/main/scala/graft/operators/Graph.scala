@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.Dsl._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -360,23 +360,17 @@ object Graph {
       .limit(20)
   }
 
-  /** Q234: recommender hold-out evaluation — the END-TO-END check q218's
-    * scores exist for: hold out each customer's LAST order (by date, then
-    * key), rebuild the co-purchase cosine model from the REMAINING orders
-    * only (no leakage — training through the holdout is the classic rec
-    * eval bug, and the oracle would catch it), anchor each customer on
-    * their most recent training part, recommend its top-5 cosine
-    * neighbors, and score a hit if any held-out part appears. Hit rate
-    * per market segment.
-    *
-    * Scale shape: the model build is q218's bounded co-purchase plan on
-    * the training slice; anchors join the symmetric pair relation keyed
-    * by anchor part (per-anchor bounded windows); the final eval is one
-    * semi-join of 5-row rec lists against held-out parts. Determinism:
-    * cosine 6-dp-rounded, (cos desc, j) ties, anchor = max (date, order,
-    * part) triple.
+  /** Shared leakage-free recommender run behind q234 (hit rate) and q253
+    * (NDCG@5 / MRR): hold out each customer's LAST order (by date, then
+    * key), build the co-purchase cosine model from the remaining orders
+    * only, anchor each customer on their most recent training part, and
+    * rank its top-5 cosine neighbors. Returns
+    * (anchors(o_custkey, anchor), custRecs(o_custkey, j, rk),
+    * hoParts(o_custkey, l_partkey)). Determinism: cosine 6-dp-rounded,
+    * (cos desc, j) ties, anchor = max (date, order, part) triple.
     */
-  def q234RecHoldoutEval: Q = (s, d) => {
+  private def holdoutRecRun(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val o = Tables(s, d, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
@@ -411,11 +405,90 @@ object Graph {
         / sqrt((col("di") * col("dj")).cast("double")), 6))
     val wRec = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
     val recs = scored.withColumn("rk", row_number().over(wRec))
-      .filter(col("rk") <= 5).select(col("i"), col("j"))
+      .filter(col("rk") <= 5).select(col("i"), col("j"), col("rk"))
     val custRecs = anchors.join(recs, col("anchor") === col("i"))
-      .select(col("o_custkey"), col("j"))
+      .select(col("o_custkey"), col("j"), col("rk"))
     val hoParts = li.join(holdout, col("l_orderkey") === col("ho_key"))
       .select(col("o_custkey"), col("l_partkey")).distinct()
+    (anchors, custRecs, hoParts)
+  }
+
+  /** Q253: graded ranking evaluation — NDCG@5 and MRR over the SAME
+    * leakage-free holdout run q234 hit-rates (shared [[holdoutRecRun]]):
+    * the metrics a retrieval/recommender pipeline actually reports, where
+    * POSITION matters (a relevant item at rank 1 vs rank 5 is invisible to
+    * hit rate). Eval set = anchored customers with ≥1 ranked rec and ≥1
+    * held-out part (NDCG is undefined on an empty ideal list).
+    *
+    * Determinism: the per-rank discount 1/log2(rank+1) and reciprocal 1/rank
+    * are 9-dp-rounded DECIMAL constants (both engines compute the identical
+    * IEEE log2 then round the same non-midpoint digits), so per-customer DCG
+    * is an EXACT decimal sum — order-free; NDCG divides the exactly-cast
+    * doubles (scaled integers < 2^53) and is 6-dp-rounded per customer
+    * BEFORE the exact-decimal segment mean (the Dsl discipline — a raw
+    * double mean would be partition-order dependent).
+    *
+    * Scale shape: the model build is q234's bounded plan; everything after
+    * is keyed aggregates over the ≤5-row-per-customer rec relation — one
+    * customer-keyed shuffle, no windows, no broadcast-nested loops.
+    */
+  def q253NdcgMrr: Q = (s, d) => {
+    val dec9 = DecimalType(18, 9)
+    def c(k: Int): Column =
+      round(lit(1.0) / log2(lit((k + 1).toDouble)), 9).cast(dec9)
+    def m(k: Int): Column = round(lit(1.0) / lit(k.toDouble), 9).cast(dec9)
+    def p(k: Int): Column = (1 to k).map(c).reduce(_ + _)
+    val (_, custRecs, hoParts) = holdoutRecRun(s, d)
+    val ho = hoParts.select(col("o_custkey").as("hc"), col("l_partkey").as("hp"))
+    val rel = custRecs
+      .join(ho, custRecs("o_custkey") === col("hc") && col("j") === col("hp"),
+        "left")
+      .select(custRecs("o_custkey"), col("rk"), col("hp").isNotNull.as("hit"))
+    val cRk = (2 to 5).foldLeft(when(col("rk") === 1, c(1))) { (a, k) =>
+      a.when(col("rk") === k, c(k))
+    }
+    val perC = rel.groupBy(col("o_custkey")).agg(
+      sum(when(col("hit"), cRk).otherwise(lit(0).cast(dec9))).as("dcg"),
+      min(when(col("hit"), col("rk"))).as("minrk"))
+    val nrel = ho.groupBy(col("hc"))
+      .agg(least(count(lit(1)), lit(5L)).as("nr"))
+    val idcgCase = (2 to 5).foldLeft(when(col("nr") === 1, p(1))) { (a, k) =>
+      a.when(col("nr") === k, p(k))
+    }
+    val rrCase = (2 to 5).foldLeft(when(col("minrk") === 1, m(1))) { (a, k) =>
+      a.when(col("minrk") === k, m(k))
+    }.otherwise(lit(0).cast(dec9))
+    val perCust = perC.join(nrel, perC("o_custkey") === col("hc"))
+      .select(perC("o_custkey"),
+        round(col("dcg").cast("double") / idcgCase.cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("ndcg6"),
+        rrCase.as("rr"))
+    perCust
+      .join(Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+        perCust("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(big(count(lit(1))).as("n_eval"),
+        round(sum(col("ndcg6")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("ndcg_at_5"),
+        round(sum(col("rr")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mrr"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q234: recommender hold-out evaluation — the END-TO-END check q218's
+    * scores exist for: hit rate per market segment over the
+    * [[holdoutRecRun]] recs (a hit = any held-out part in the top-5 list;
+    * q253 reports the position-graded metrics on the same run).
+    *
+    * Scale shape: the model build is q218's bounded co-purchase plan on
+    * the training slice; anchors join the symmetric pair relation keyed
+    * by anchor part (per-anchor bounded windows); the final eval is one
+    * semi-join of 5-row rec lists against held-out parts.
+    */
+  def q234RecHoldoutEval: Q = (s, d) => {
+    val (anchors, custRecs0, hoParts) = holdoutRecRun(s, d)
+    val custRecs = custRecs0.select(col("o_custkey"), col("j"))
     val hits = custRecs.join(hoParts,
       custRecs("o_custkey") === hoParts("o_custkey")
         && col("j") === col("l_partkey"))
@@ -491,6 +564,7 @@ object Graph {
   }
 
   val queries: Map[String, Q] = Map(
+    "q253_ndcg_mrr" -> q253NdcgMrr,
     "q237_weighted_sssp" -> q237WeightedSssp,
     "q234_rec_holdout_eval" -> q234RecHoldoutEval,
     "q221_adamic_adar" -> q221AdamicAdar,
@@ -554,7 +628,79 @@ object Graph {
        |SELECT node, CAST(dist AS DOUBLE) AS distance FROM d8 ORDER BY node""".stripMargin
   }
 
+  /** The q253 oracle: q234's CTE chain with the rec RANK kept, then the
+    * exact-decimal NDCG/MRR arithmetic — 9-dp-rounded discount constants
+    * (generated, the kcoreSql technique), 6-dp per-customer round before the
+    * exact-decimal segment mean: the identical shape the Spark side computes.
+    */
+  private val ndcgSql: String = {
+    def c(k: Int) =
+      s"CAST(ROUND(CAST(1 AS DOUBLE) / LOG2(CAST(${k + 1} AS DOUBLE)), 9) AS DECIMAL(18,9))"
+    def mm(k: Int) =
+      s"CAST(ROUND(CAST(1 AS DOUBLE) / CAST($k AS DOUBLE), 9) AS DECIMAL(18,9))"
+    def pp(k: Int) = (1 to k).map(c).mkString("(", " + ", ")")
+    val dcgCase = (1 to 5).map(k => s"WHEN rk = $k THEN ${c(k)}").mkString(" ")
+    val idcgCase = (1 to 5).map(k => s"WHEN nr = $k THEN ${pp(k)}").mkString(" ")
+    val rrCase = (1 to 5).map(k => s"WHEN minrk = $k THEN ${mm(k)}").mkString(" ")
+    s"""WITH mk AS (
+       |  SELECT o_orderkey, o_custkey, o_orderdate,
+       |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+       |  FROM orders),
+       |ho AS (SELECT o_orderkey AS ho_key, o_custkey FROM mk WHERE rn = 1),
+       |tr AS (SELECT o_orderkey AS tr_key, o_custkey, o_orderdate
+       |       FROM mk WHERE rn > 1),
+       |items AS MATERIALIZED (
+       |  SELECT DISTINCT tr_key AS o, l_partkey AS item, o_custkey, o_orderdate
+       |  FROM lineitem JOIN tr ON l_orderkey = tr_key),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.item AS u, b.item AS v, COUNT(*) AS co
+       |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+       |  GROUP BY 1, 2),
+       |deg AS (SELECT item, COUNT(*) AS dg
+       |        FROM (SELECT DISTINCT o, item FROM items) GROUP BY 1),
+       |anch AS (
+       |  SELECT o_custkey, item AS anchor FROM (
+       |    SELECT o_custkey, item, ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate DESC, o DESC, item DESC) AS rn
+       |    FROM items) WHERE rn = 1),
+       |sym AS (SELECT u AS i, v AS j, co FROM pairs
+       |        UNION ALL SELECT v, u, co FROM pairs),
+       |sc AS (
+       |  SELECT s.i, s.j,
+       |    ROUND(CAST(co AS DOUBLE) / SQRT(CAST(d1.dg * d2.dg AS DOUBLE)), 6) AS cos
+       |  FROM sym s JOIN deg d1 ON s.i = d1.item JOIN deg d2 ON s.j = d2.item),
+       |recs AS (SELECT i, j, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+       |    ORDER BY cos DESC, j) AS rk FROM sc) WHERE rk <= 5),
+       |cr AS (SELECT o_custkey, j, rk FROM anch JOIN recs ON anchor = i),
+       |hop AS (SELECT DISTINCT ho.o_custkey AS hc, l_partkey AS hp
+       |        FROM lineitem JOIN ho ON l_orderkey = ho_key),
+       |relv AS (
+       |  SELECT cr.o_custkey, cr.rk, hp IS NOT NULL AS hit
+       |  FROM cr LEFT JOIN hop ON cr.o_custkey = hop.hc AND cr.j = hop.hp),
+       |perc AS (
+       |  SELECT o_custkey,
+       |    SUM(CASE WHEN hit THEN CASE $dcgCase END
+       |        ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg,
+       |    MIN(CASE WHEN hit THEN rk END) AS minrk
+       |  FROM relv GROUP BY 1),
+       |nrel AS (SELECT hc, LEAST(COUNT(*), 5) AS nr FROM hop GROUP BY 1),
+       |sc2 AS (
+       |  SELECT p.o_custkey,
+       |    CAST(ROUND(CAST(dcg AS DOUBLE)
+       |      / CAST(CASE $idcgCase END AS DOUBLE), 6) AS DECIMAL(18,6)) AS ndcg6,
+       |    CASE $rrCase ELSE CAST(0 AS DECIMAL(18,9)) END AS rr
+       |  FROM perc p JOIN nrel ON p.o_custkey = nrel.hc)
+       |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  ROUND(CAST(SUM(ndcg6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ndcg_at_5,
+       |  ROUND(CAST(SUM(rr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mrr
+       |FROM sc2 JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q253_ndcg_mrr" -> ndcgSql,
     "q237_weighted_sssp" -> ssspSql,
     "q234_rec_holdout_eval" ->
       """WITH mk AS (

@@ -701,7 +701,52 @@ object Stats {
       round(num * num / (den * (kD * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** Q254: k-anonymity audit — the privacy gate a dataset release runs
+    * before publishing quasi-identifiers: group customers by their QI tuple
+    * at two generalization levels (level 0: nation × segment × $1000
+    * balance band; level 1: region × segment × $5000 band — one step up the
+    * generalization lattice) and report, for k ∈ {2, 5, 10}, how many
+    * equivalence classes fall below k and what fraction of ROWS sits in
+    * them (re-identification risk). The level-1 rows quantify how much risk
+    * the generalization step buys down.
+    *
+    * Scale shape: two keyed aggregates over one customer scan, then a
+    * 3-way `explode` of the bounded class-size relation (no join, no
+    * cross product) into one final tiny aggregate — at 100 TB this is two
+    * map-side-combined groupBys. Determinism: bands via FLOOR on exactly-
+    * converted doubles (DECIMAL(15,2) cents < 2^53), identical in both
+    * engines including negative balances (floor, not truncation).
+    */
+  def q254Kanonymity: Q = (s, d) => {
+    val base = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .join(Tables(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey"), col("n_regionkey"), col("c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / lit(1000.0)).as("b1"),
+        floor(col("c_acctbal").cast("double") / lit(5000.0)).as("b5"))
+    val l0 = base.groupBy(col("c_nationkey"), col("c_mktsegment"), col("b1"))
+      .agg(count(lit(1)).as("sz")).select(lit(0L).as("lvl"), col("sz"))
+    val l1 = base.groupBy(col("n_regionkey"), col("c_mktsegment"), col("b5"))
+      .agg(count(lit(1)).as("sz")).select(lit(1L).as("lvl"), col("sz"))
+    l0.union(l1)
+      .withColumn("k", explode(array(lit(2L), lit(5L), lit(10L))))
+      .groupBy(col("lvl"), col("k"))
+      .agg(big(count(lit(1))).as("n_classes"),
+        big(sum(when(col("sz") < col("k"), lit(1L)).otherwise(lit(0L))))
+          .as("classes_below"),
+        big(sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L))))
+          .as("rows_below"),
+        big(sum(col("sz"))).as("n_rows"),
+        round(sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L)))
+            .cast("double") / sum(col("sz")).cast("double"), 6).as("risk_pct"))
+      .orderBy(col("lvl"), col("k"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q254_kanonymity" -> q254Kanonymity,
     "q249_behavior_entropy" -> q249BehaviorEntropy,
     "q250_price_elasticity" -> q250PriceElasticity,
     "q238_wilson_ci" -> q238WilsonCi,
@@ -841,6 +886,29 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q254_kanonymity" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, n_regionkey, c_mktsegment,
+        |    FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS b1,
+        |    FLOOR(CAST(c_acctbal AS DOUBLE) / 5000.0) AS b5
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |l0 AS (SELECT 0 AS lvl, COUNT(*) AS sz FROM base
+        |       GROUP BY c_nationkey, c_mktsegment, b1),
+        |l1 AS (SELECT 1 AS lvl, COUNT(*) AS sz FROM base
+        |       GROUP BY n_regionkey, c_mktsegment, b5),
+        |classes AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1),
+        |x AS (SELECT lvl, k, sz FROM classes
+        |      CROSS JOIN (SELECT UNNEST([2, 5, 10]) AS k))
+        |SELECT CAST(lvl AS BIGINT) AS lvl, CAST(k AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below,
+        |  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(sz) AS DOUBLE), 6) AS risk_pct
+        |FROM x GROUP BY lvl, k ORDER BY lvl, k""".stripMargin,
     "q249_behavior_entropy" ->
       (s"""WITH tc AS (
           |  SELECT user_id, event_type, COUNT(*) AS c

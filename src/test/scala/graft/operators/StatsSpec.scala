@@ -201,4 +201,41 @@ class StatsSpec extends SparkSpec {
     assert(orphans.count() == 3)
     assert(orphans.select(countDistinct(col("fk"))).head().getLong(0) == 2)
   }
+
+  test("q254 k-anonymity: class counts and row risk match a driver replay; generalization monotone") {
+    val rows = graft.Tables(spark, sf0001, "customer")
+      .join(graft.Tables(spark, sf0001, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey").cast("long"), col("n_regionkey").cast("long"),
+        col("c_mktsegment"), col("c_acctbal").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    def audit(classSizes: Seq[Long], k: Long): (Long, Long, Long, Long) = {
+      val below = classSizes.filter(_ < k)
+      (classSizes.length.toLong, below.length.toLong, below.sum,
+        classSizes.sum)
+    }
+    val l0 = rows.groupBy(t => (t._1, t._3, math.floor(t._4 / 1000.0)))
+      .values.map(_.length.toLong).toSeq
+    val l1 = rows.groupBy(t => (t._2, t._3, math.floor(t._4 / 5000.0)))
+      .values.map(_.length.toLong).toSeq
+    val got = Stats.q254Kanonymity(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(got.size == 6)
+    for (k <- Seq(2L, 5L, 10L); (lvl, cls) <- Seq(0L -> l0, 1L -> l1)) {
+      val (nc, cb, rb, nr) = audit(cls, k)
+      val (gnc, gcb, grb, gnr, grisk) = got((lvl, k))
+      assert(gnc == nc && gcb == cb && grb == rb && gnr == nr,
+        s"level $lvl k=$k counts")
+      assert(math.abs(grisk - rb.toDouble / nr.toDouble) < 2e-6)
+    }
+    // generalizing (level 0 -> 1) can only merge classes: fewer classes,
+    // and at-risk mass never grows for any k
+    for (k <- Seq(2L, 5L, 10L)) {
+      assert(got((1L, k))._1 <= got((0L, k))._1)
+      assert(got((1L, k))._3 <= got((0L, k))._3, s"k=$k risk mass grew under generalization")
+    }
+  }
 }

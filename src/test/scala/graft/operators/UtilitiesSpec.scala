@@ -1992,6 +1992,78 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q253 ndcg/mrr: graded metrics match a leakage-free ranked replay") {
+    val orders = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast("date").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val seg = Tables(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byCust = orders.groupBy(_._2)
+    val holdout = byCust.map { case (c, g) => c -> g.maxBy(o => (o._3, o._1))._1 }
+    val trainOrders = orders.filterNot(o => holdout(o._2) == o._1)
+    val liMap = li.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val trainItems = trainOrders.flatMap(o =>
+      liMap.getOrElse(o._1, Set.empty).map(p => (o._1, p, o._2, o._3)))
+    val pairKey = trainItems.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).toSeq.distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val deg = trainItems.map(t => (t._1, t._2)).distinct.groupBy(_._2)
+      .map { case (k, v) => k -> v.size.toLong }
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    def r9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val disc = (1 to 5).map(k => k -> r9(1.0 / (math.log(k + 1) / math.log(2)))).toMap
+    val rec = (1 to 5).map(k => k -> r9(1.0 / k)).toMap
+    val anchors = trainItems.groupBy(_._3).map { case (c, g) =>
+      c -> g.maxBy(t => (t._4, t._1, t._2))._2 }
+    case class Acc(var n: Long = 0L, var ndcg: BigDecimal = BigDecimal(0),
+      var rr: BigDecimal = BigDecimal(0))
+    val bySeg = collection.mutable.Map.empty[String, Acc]
+    anchors.foreach { case (c, a) =>
+      val ranked = deg.keys.filter(j => j != a &&
+        pairKey.contains((math.min(a, j), math.max(a, j))))
+        .map { j =>
+          val co = pairKey((math.min(a, j), math.max(a, j)))
+          (j, r6(co.toDouble / math.sqrt((deg(a) * deg(j)).toDouble)))
+        }.toSeq.sortBy { case (j, c0) => (-c0, j) }.take(5).map(_._1)
+      val hoParts = liMap.getOrElse(holdout(c), Set.empty)
+      // eval set = >=1 ranked rec AND >=1 held-out part (the declared rule)
+      if (ranked.nonEmpty && hoParts.nonEmpty) {
+        val rel = ranked.zipWithIndex.map { case (j, i) => (i + 1, hoParts(j)) }
+        val dcg = rel.collect { case (rk, true) => disc(rk) }
+          .foldLeft(BigDecimal(0))(_ + _)
+        val nrel = math.min(hoParts.size, 5)
+        val idcg = (1 to nrel).map(disc).foldLeft(BigDecimal(0))(_ + _)
+        val ndcg6 = BigDecimal(r6((dcg.toDouble / idcg.toDouble)))
+        val rr = rel.collectFirst { case (rk, true) => rec(rk) }
+          .getOrElse(BigDecimal(0))
+        val acc = bySeg.getOrElseUpdate(seg(c), Acc())
+        acc.n += 1; acc.ndcg += ndcg6; acc.rr += rr
+      }
+    }
+    val got = Graph.q253NdcgMrr(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === bySeg.keySet)
+    bySeg.foreach { case (sg, acc) =>
+      val (gn, gndcg, gmrr) = got(sg)
+      assert(gn === acc.n, s"segment $sg n_eval")
+      assert(math.abs(gndcg - acc.ndcg.toDouble / acc.n) < 2e-6, s"segment $sg ndcg")
+      assert(math.abs(gmrr - acc.rr.toDouble / acc.n) < 2e-6, s"segment $sg mrr")
+    }
+    // graded metrics are bounded and MRR >= per-rank floor of a hit-rate:
+    // every metric lands in [0, 1]
+    got.values.foreach { case (_, ndcg, mrr) =>
+      assert(ndcg >= 0.0 && ndcg <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+    }
+  }
+
   test("q235 gains curve: positives-first tie rule; monotone gain; decile 10 reaches 1") {
     val evs = Tables.events(spark, sf0001)
       .select($"value".cast("decimal(18,4)"), ($"event_type" === "purchase").cast("long"))
