@@ -656,7 +656,61 @@ object Similarity {
       .toDF("rank", "id", "rel", "mmr")
   }
 
+  /** Q255: greedy k-center coreset selection (farthest-point traversal) —
+    * the classic 2-approximation for picking k maximally-spread exemplars
+    * from an embedding corpus (diverse few-shot pools, cluster seeding,
+    * eval-set curation). Seed = the min-id vector; each of the 7 further
+    * steps picks the point FARTHEST from its nearest chosen center
+    * (squared-L2, ties by id) and reports the covering radius after each
+    * step — the selection-order trace a curation run logs.
+    *
+    * Determinism: d² = dot(v,v) − 2·dot(v,c) + dot(c,c) over the
+    * codegen'd left-to-right [[graft.functions.DotProduct]] (bit-equal to
+    * DuckDB's `list_dot_product` — q30's parity), 6-dp-rounded before the
+    * min/argmax so ties break identically; argmax by (d DESC, id).
+    *
+    * Scale shape: each step is one broadcast of ONE center row against the
+    * point set (embarrassingly parallel, no shuffle), one TakeOrdered(1)
+    * argmax, one max-aggregate — O(k·n·dim) total, the same plan at 100 TB
+    * with the running min-distance kept in the materialized relation
+    * (re-scored incrementally, never recomputed against all centers).
+    */
+  def q255KcenterCoreset: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val k = 8
+    def d2(v: Column, c: Column): Column =
+      round(VectorFunctions.dotProduct(v, v)
+        - lit(2.0) * VectorFunctions.dotProduct(v, c)
+        + VectorFunctions.dotProduct(c, c), 6)
+    val e = Tables(s, d, "embeddings")
+      .select(col("vec_id").as("id"), asDouble(col("embedding")).as("v"))
+    val seed = graft.Checkpoints.materialize(
+      e.orderBy(col("id")).limit(1)
+        .select(col("id").as("cid"), col("v").as("cv")))
+    var dist = graft.Checkpoints.materialize(
+      e.crossJoin(broadcast(seed))
+        .select(col("id"), col("v"), d2(col("v"), col("cv")).as("dd")))
+    def radiusRow(step: Int, center: DataFrame, distDf: DataFrame): DataFrame =
+      distDf.agg(max(col("dd")).as("radius"))
+        .crossJoin(broadcast(center.select(col("cid"))))
+        .select(lit(step.toLong).as("step"), big(col("cid")).as("center_id"),
+          col("radius"))
+    var out = Seq(radiusRow(1, seed, dist))
+    for (t <- 2 to k) {
+      val sel = graft.Checkpoints.materialize(
+        dist.orderBy(col("dd").desc, col("id")).limit(1)
+          .select(col("id").as("cid"), col("v").as("cv")))
+      dist = graft.Checkpoints.materialize(
+        dist.crossJoin(broadcast(sel))
+          .select(col("id"), col("v"),
+            least(col("dd"), d2(col("v"), col("cv"))).as("dd")))
+      out = out :+ radiusRow(t, sel, dist)
+    }
+    out.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q255_kcenter_coreset" -> q255KcenterCoreset,
     "q222_mmr_rerank" -> q222MmrRerank,
     "q188_ivfpq" -> q188IvfPq,
     "q173_pq_adc_recall" -> q173PqAdcRecall,
@@ -705,7 +759,39 @@ object Similarity {
        |SELECT CAST(rank AS BIGINT) AS rank, id, rel, mmr FROM a5 ORDER BY rank""".stripMargin
   }
 
+  /** The q255 oracle: the same 8 greedy farthest-point steps unrolled as
+    * MATERIALIZED CTEs over `list_dot_product` squared-L2 (q222's unrolled
+    * greedy technique × q30's dot parity), with the 2.0 factor CAST AS
+    * DOUBLE (a bare literal would parse as DECIMAL and diverge by 1 ulp).
+    */
+  private val kcenterSql: String = {
+    def dd(p: String, c: String) =
+      s"ROUND(list_dot_product($p.v, $p.v) - CAST(2 AS DOUBLE) * " +
+        s"list_dot_product($p.v, $c.cv) + list_dot_product($c.cv, $c.cv), 6)"
+    val steps = (2 to 8).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT id AS cid, v AS cv FROM d${t - 1}
+         |  ORDER BY dd DESC, id LIMIT 1),
+         |d$t AS MATERIALIZED (SELECT p.id, p.v,
+         |  LEAST(p.dd, ${dd("p", "c")}) AS dd FROM d${t - 1} p, s$t c)""".stripMargin
+    }.mkString(",\n")
+    val radii = (2 to 8).map { t =>
+      s"r$t AS (SELECT $t AS step, (SELECT cid FROM s$t) AS center_id, MAX(dd) AS radius FROM d$t)"
+    }.mkString(",\n")
+    val unions = (2 to 8).map(t => s"SELECT * FROM r$t").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT e.id, e.v, ${dd("e", "c")} AS dd FROM e, c1 c),
+       |$steps,
+       |r1 AS (SELECT 1 AS step, (SELECT cid FROM c1) AS center_id, MAX(dd) AS radius FROM d1),
+       |$radii
+       |SELECT CAST(step AS BIGINT) AS step, CAST(center_id AS BIGINT) AS center_id,
+       |  radius
+       |FROM (SELECT * FROM r1 UNION ALL $unions) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q255_kcenter_coreset" -> kcenterSql,
     "q222_mmr_rerank" -> mmrSql,
     "q162_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),

@@ -74,6 +74,7 @@ class PlanAuditSpec extends SparkSpec {
     "q245_share_of_parent", // 1-row broadcast grand total against the bounded 25-nation grain
     "q250_price_elasticity", // 1-row broadcast price-range normalizer (q217's bucketing)
     "q252_strict_funnel", // 1-row broadcast converting-user total appended to each row
+    "q255_kcenter_coreset", // 1-row center broadcasts per greedy step (k=8 bounded steps)
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

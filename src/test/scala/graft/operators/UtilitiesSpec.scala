@@ -1992,6 +1992,41 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q255 k-center coreset: selection order and radii match a greedy replay; radius non-increasing") {
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id".cast("long"), Similarity.asDouble($"embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    // same left-to-right fold as the codegen'd graft_dot
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      r6(dot(a, a) - 2.0 * dot(a, b) + dot(b, b))
+    val seed = vecs.minBy(_._1)
+    var dist = vecs.map { case (id, v) => (id, v, d2(v, seed._2)) }
+    val want = collection.mutable.ArrayBuffer((1L, seed._1, dist.map(_._3).max))
+    for (t <- 2 to 8) {
+      val sel = dist.minBy { case (id, _, dd) => (-dd, id) }
+      dist = dist.map { case (id, v, dd) => (id, v, math.min(dd, d2(v, sel._2))) }
+      want += ((t.toLong, sel._1, dist.map(_._3).max))
+    }
+    val got = Similarity.q255KcenterCoreset(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 8)
+    got.zip(want).foreach { case ((gs, gc, gr), (ws, wc, wr)) =>
+      assert(gs === ws && gc === wc, s"step $ws center")
+      assert(math.abs(gr - wr) < 1e-9, s"step $ws radius")
+    }
+    // covering radius can only shrink as centers are added
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(1) <= w(0) + 1e-12))
+    assert(got.map(_._2).distinct.length === 8, "centers must be distinct")
+  }
+
   test("q253 ndcg/mrr: graded metrics match a leakage-free ranked replay") {
     val orders = Tables(spark, sf0001, "orders")
       .select($"o_orderkey", $"o_custkey",
