@@ -191,14 +191,150 @@ object Evaluation {
       .orderBy(col("decile"))
   }
 
+  /** Q257: per-class precision / recall / F1 + macro averages from q223's
+    * kNN confusion matrix — the summary a multi-class eval actually
+    * reports (macro-F1 weights every class equally, so minority-class
+    * collapse is visible where q223's raw matrix and micro-accuracy hide
+    * it). Classes = union of true and predicted labels; a never-predicted
+    * class scores precision 0, an absent-from-truth class recall 0. The
+    * final `label = -1` row carries the micro totals and the macro means.
+    *
+    * Determinism: precision/recall are 6-dp-rounded BEFORE F1 (declared
+    * semantics — one shared IEEE tree on identical rounded inputs), F1 and
+    * the macro means are 6-dp-rounded exact-decimal sums over the bounded
+    * class relation.
+    *
+    * Scale shape: everything after q223's bounded kNN runs on the ≤
+    * |classes|²-row confusion relation — driver-scale arithmetic expressed
+    * as keyed joins, no new corpus pass.
+    */
+  def q257MacroF1: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cm = q223KnnEval(s, d)
+    val cls = cm.select(col("true_label").as("label"))
+      .union(cm.select(col("pred_label"))).distinct()
+    val tp = cm.filter(col("true_label") === col("pred_label"))
+      .select(col("true_label").as("label"), col("n").as("tp"))
+    val act = cm.groupBy(col("true_label"))
+      .agg(sum(col("n")).as("support"))
+      .select(col("true_label").as("label"), col("support"))
+    val prd = cm.groupBy(col("pred_label"))
+      .agg(sum(col("n")).as("predicted"))
+      .select(col("pred_label").as("label"), col("predicted"))
+    val m = cls.join(tp, Seq("label"), "left")
+      .join(act, Seq("label"), "left")
+      .join(prd, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"))
+    val pr = m.select(col("label"), col("tp"), col("support"), col("predicted"),
+      round(when(col("predicted") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / col("predicted").cast("double")), 6)
+        .cast(dec6).as("p6"),
+      round(when(col("support") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / col("support").cast("double")), 6)
+        .cast(dec6).as("r6"))
+    val f = pr.withColumn("f16",
+      round(when(col("p6").cast("double") + col("r6").cast("double") === 0.0,
+        lit(0.0))
+        .otherwise(lit(2.0) * col("p6").cast("double") * col("r6").cast("double")
+          / (col("p6").cast("double") + col("r6").cast("double"))), 6)
+        .cast(dec6))
+    val perClass = f.select(big(col("label")).as("label"), big(col("tp")).as("tp"),
+      big(col("support")).as("support"), big(col("predicted")).as("predicted"),
+      col("p6").cast("double").as("prec"), col("r6").cast("double").as("rec"),
+      col("f16").cast("double").as("f1"))
+    val macroRow = f.agg(
+      big(sum(col("tp"))).as("tp"),
+      big(sum(col("support"))).as("support"),
+      big(sum(col("predicted"))).as("predicted"),
+      round(sum(col("p6")).cast("double") / count(lit(1)).cast("double"), 6)
+        .as("prec"),
+      round(sum(col("r6")).cast("double") / count(lit(1)).cast("double"), 6)
+        .as("rec"),
+      round(sum(col("f16")).cast("double") / count(lit(1)).cast("double"), 6)
+        .as("f1"))
+      .select(lit(-1L).as("label"), col("tp"), col("support"), col("predicted"),
+        col("prec"), col("rec"), col("f1"))
+    perClass.unionByName(macroRow).orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q257_macro_f1" -> q257MacroF1,
     "q235_gains_curve" -> q235GainsCurve,
     "q223_knn_eval" -> q223KnnEval,
     "q189_calibration_bins" -> q189CalibrationBins,
     "q190_auc" -> q190Auc,
     "q191_pr_curve" -> q191PrCurve)
 
+  /** The q257 oracle: q223's kNN confusion chain verbatim, then the
+    * per-class P/R/F1 arithmetic (6-dp rounds BEFORE F1, decimal sums for
+    * the macro means — the identical shape the Spark side computes).
+    */
+  private val macroF1Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+      |             CAST(label AS BIGINT) AS label FROM embeddings),
+      |p AS (SELECT vec_id AS pid, ev AS pv, label AS true_label
+      |      FROM e WHERE vec_id < 100),
+      |sc AS (
+      |  SELECT p.pid, e.vec_id AS id, e.label,
+      |    ROUND(list_dot_product(ev, pv)
+      |      / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(pv, pv))), 6) AS score
+      |  FROM e, p WHERE e.vec_id <> p.pid),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+      |         ORDER BY score DESC, id) AS rn FROM sc),
+      |votes AS (SELECT pid, label, COUNT(*) AS cnt FROM rk
+      |          WHERE rn <= 5 GROUP BY 1, 2),
+      |pred AS (SELECT pid, label AS pred_label,
+      |           ROW_NUMBER() OVER (PARTITION BY pid
+      |             ORDER BY cnt DESC, label) AS vr FROM votes),
+      |cm AS (SELECT p.true_label, pred.pred_label, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM pred JOIN p ON pred.pid = p.pid WHERE vr = 1 GROUP BY 1, 2),
+      |cls AS (SELECT DISTINCT label FROM (
+      |  SELECT true_label AS label FROM cm UNION ALL SELECT pred_label FROM cm)),
+      |tpr AS (SELECT true_label AS label, n AS tp FROM cm
+      |        WHERE true_label = pred_label),
+      |act AS (SELECT true_label AS label, CAST(SUM(n) AS BIGINT) AS support
+      |        FROM cm GROUP BY 1),
+      |prd AS (SELECT pred_label AS label, CAST(SUM(n) AS BIGINT) AS predicted
+      |        FROM cm GROUP BY 1),
+      |m AS (SELECT c.label, COALESCE(tp, 0) AS tp,
+      |        COALESCE(support, 0) AS support,
+      |        COALESCE(predicted, 0) AS predicted
+      |      FROM cls c LEFT JOIN tpr ON c.label = tpr.label
+      |        LEFT JOIN act ON c.label = act.label
+      |        LEFT JOIN prd ON c.label = prd.label),
+      |pr AS (SELECT label, tp, support, predicted,
+      |  CAST(ROUND(CASE WHEN predicted = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) END, 6)
+      |    AS DECIMAL(18,6)) AS p6,
+      |  CAST(ROUND(CASE WHEN support = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END, 6)
+      |    AS DECIMAL(18,6)) AS r6
+      |  FROM m),
+      |f AS (SELECT *, CAST(ROUND(CASE
+      |    WHEN CAST(p6 AS DOUBLE) + CAST(r6 AS DOUBLE) = CAST(0 AS DOUBLE)
+      |      THEN CAST(0 AS DOUBLE)
+      |    ELSE CAST(2 AS DOUBLE) * CAST(p6 AS DOUBLE) * CAST(r6 AS DOUBLE)
+      |      / (CAST(p6 AS DOUBLE) + CAST(r6 AS DOUBLE)) END, 6)
+      |    AS DECIMAL(18,6)) AS f16
+      |  FROM pr),
+      |percls AS (SELECT CAST(label AS BIGINT) AS label, CAST(tp AS BIGINT) AS tp,
+      |  support, predicted, CAST(p6 AS DOUBLE) AS prec, CAST(r6 AS DOUBLE) AS rec,
+      |  CAST(f16 AS DOUBLE) AS f1 FROM f),
+      |mac AS (SELECT CAST(-1 AS BIGINT) AS label, CAST(SUM(tp) AS BIGINT) AS tp,
+      |  CAST(SUM(support) AS BIGINT) AS support,
+      |  CAST(SUM(predicted) AS BIGINT) AS predicted,
+      |  ROUND(CAST(SUM(p6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS prec,
+      |  ROUND(CAST(SUM(r6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS rec,
+      |  ROUND(CAST(SUM(f16) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS f1
+      |  FROM f)
+      |SELECT * FROM (SELECT * FROM percls UNION ALL SELECT * FROM mac)
+      |ORDER BY label""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q257_macro_f1" -> macroF1Sql,
     "q235_gains_curve" ->
       """WITH e AS (
         |  SELECT CAST(value AS DECIMAL(18,4)) AS v,

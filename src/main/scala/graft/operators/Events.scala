@@ -1099,7 +1099,58 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Q256: Bollinger-band breakout detection — per-part price series
+    * (shipdate order), rolling 20-point mean ± 2σ bands over the PRIOR
+    * window (rows -20..-1, so the band never sees the evaluated price —
+    * the lookahead bug this operator exists to avoid), breakouts counted
+    * per brand. The time-series anomaly flag a monitoring pipeline runs,
+    * next to q99's z-score and q198's changepoint.
+    *
+    * Determinism: window moments are exact decimal sums — s2's (12,4)²
+    * products carry exactly ≤4 true decimals, so the (38,4) cut is exact
+    * and the double conversion stays < 2^53 (20 · maxprice² · 10⁴ ≈
+    * 2.2e15); mean/var/σ then follow q99's one-IEEE-expression-tree shape.
+    * A `greatest(var, 0)` guards the σ of constant windows against
+    * negative float residue. Rows are evaluated only at full windows
+    * (n = 20), under the (shipdate, orderkey, linenumber) total order.
+    *
+    * Scale shape: one part-keyed window pass + one brand aggregate —
+    * partition-local sort, no global window, map-side-combined final agg.
+    */
+  def q256BollingerBreakout: Q = (s, d) => {
+    val dec384 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val price = col("l_extendedprice")
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-20, -1)
+    val mean = col("s1") / lit(20.0)
+    val variance = (col("s2") - col("s1") * col("s1") / lit(20.0)) / lit(19.0)
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    val scored = Tables(s, d, "lineitem")
+      .select(col("l_partkey"), price.cast("double").as("px"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(dec(col("px"))).over(w).cast(dec384).cast("double"))
+      .withColumn("s2", sum(dec12(col("px")) * dec12(col("px"))).over(w)
+        .cast(dec384).cast("double"))
+      .filter(col("n") === 20)
+      .select(col("l_partkey"),
+        (col("px") > mean + lit(2.0) * sd).as("up"),
+        (col("px") < mean - lit(2.0) * sd).as("down"))
+    scored
+      .join(Tables(s, d, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(big(count(lit(1))).as("evaluated"),
+        big(sum(when(col("up"), lit(1L)).otherwise(lit(0L)))).as("breakouts_up"),
+        big(sum(when(col("down"), lit(1L)).otherwise(lit(0L)))).as("breakouts_down"),
+        round((sum(when(col("up") || col("down"), lit(1L)).otherwise(lit(0L))))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("breakout_rate"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q256_bollinger_breakout" -> q256BollingerBreakout,
     "q252_strict_funnel" -> q252StrictFunnel,
     "q246_conversion_latency" -> q246ConversionLatency,
     "q243_streaks" -> q243Streaks,
@@ -1153,6 +1204,38 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q256_bollinger_breakout" ->
+      """WITH s AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DOUBLE) AS px,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w
+        |      AS DECIMAL(38,4)) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+        |        * CAST(l_extendedprice AS DECIMAL(12,4))) OVER w
+        |      AS DECIMAL(38,4)) AS DOUBLE) AS s2
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |b AS (
+        |  SELECT l_partkey, px,
+        |    s1 / CAST(20 AS DOUBLE) AS mean,
+        |    SQRT(GREATEST((s2 - s1 * s1 / CAST(20 AS DOUBLE))
+        |      / CAST(19 AS DOUBLE), CAST(0 AS DOUBLE))) AS sd
+        |  FROM s WHERE n = 20),
+        |f AS (
+        |  SELECT l_partkey,
+        |    px > mean + CAST(2 AS DOUBLE) * sd AS up,
+        |    px < mean - CAST(2 AS DOUBLE) * sd AS down
+        |  FROM b)
+        |SELECT p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS evaluated,
+        |  CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS breakouts_up,
+        |  CAST(SUM(CASE WHEN down THEN 1 ELSE 0 END) AS BIGINT) AS breakouts_down,
+        |  ROUND(CAST(SUM(CASE WHEN up OR down THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS breakout_rate
+        |FROM f JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q252_strict_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -1992,6 +1992,80 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q256 bollinger: breakout counts match a rolling-window replay; bands never see the evaluated row") {
+    val rows = Tables(spark, sf0001, "lineitem")
+      .join(Tables(spark, sf0001, "part"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_extendedprice".cast("double"),
+        unix_timestamp($"l_shipdate".cast("timestamp")), $"l_orderkey",
+        $"l_linenumber".cast("long"), $"p_brand")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    def d4(x: Double) = BigDecimal.valueOf(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val bySeg = collection.mutable.Map.empty[String, (Long, Long, Long)]
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val series = g.sortBy(t => (t._3, t._4, t._5))
+      for (i <- series.indices if i >= 20) {
+        val win = series.slice(i - 20, i).map(_._2)
+        val s1 = win.map(d4).sum.toDouble
+        val s2 = win.map(x => d4(x) * d4(x)).sum.toDouble
+        val mean = s1 / 20.0
+        val sd = math.sqrt(math.max((s2 - s1 * s1 / 20.0) / 19.0, 0.0))
+        val px = series(i)._2
+        val up = if (px > mean + 2.0 * sd) 1L else 0L
+        val dn = if (px < mean - 2.0 * sd) 1L else 0L
+        val br = series(i)._6
+        val (n, u, dd) = bySeg.getOrElse(br, (0L, 0L, 0L))
+        bySeg(br) = (n + 1, u + up, dd + dn)
+      }
+    }
+    val got = Events.q256BollingerBreakout(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet === bySeg.keySet)
+    bySeg.foreach { case (br, (n, u, dn)) =>
+      val (gn, gu, gd, gr) = got(br)
+      assert(gn === n && gu === u && gd === dn, s"brand $br counts")
+      assert(math.abs(gr - (u + dn).toDouble / n) < 2e-6, s"brand $br rate")
+    }
+  }
+
+  test("q257 macro F1: per-class P/R/F1 and macro row match the confusion-matrix arithmetic") {
+    val cm = Evaluation.q223KnnEval(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val classes = (cm.map(_._1) ++ cm.map(_._2)).distinct.sorted
+    val per = classes.map { c =>
+      val tp = cm.filter(t => t._1 == c && t._2 == c).map(_._3).sum
+      val support = cm.filter(_._1 == c).map(_._3).sum
+      val predicted = cm.filter(_._2 == c).map(_._3).sum
+      val p = if (predicted == 0) 0.0 else r6(tp.toDouble / predicted)
+      val r = if (support == 0) 0.0 else r6(tp.toDouble / support)
+      val f1 = if (p + r == 0.0) 0.0 else r6(2.0 * p * r / (p + r))
+      (c, tp, support, predicted, p, r, f1)
+    }
+    val got = Evaluation.q257MacroF1(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.length === per.length + 1)
+    got.filter(_._1 >= 0).zip(per).foreach { case (g, w) =>
+      assert(g._1 === w._1 && g._2 === w._2 && g._3 === w._3 && g._4 === w._4,
+        s"class ${w._1} counts")
+      assert(math.abs(g._5 - w._5) < 2e-6 && math.abs(g._6 - w._6) < 2e-6 &&
+        math.abs(g._7 - w._7) < 2e-6, s"class ${w._1} metrics")
+    }
+    val mac = got.find(_._1 == -1L).get
+    assert(mac._2 === per.map(_._2).sum && mac._3 === per.map(_._3).sum)
+    val n = per.length.toDouble
+    assert(math.abs(mac._5 - per.map(_._5).sum / n) < 2e-6)
+    assert(math.abs(mac._7 - per.map(_._7).sum / n) < 2e-6)
+    // micro sanity: diagonal mass == supports == predictions in total
+    assert(mac._3 === mac._4)
+  }
+
   test("q255 k-center coreset: selection order and radii match a greedy replay; radius non-increasing") {
     val vecs = Tables(spark, sf0001, "embeddings")
       .select($"vec_id".cast("long"), Similarity.asDouble($"embedding"))
