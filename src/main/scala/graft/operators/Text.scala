@@ -1315,7 +1315,88 @@ object Text {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Q258: blocked fuzzy join — entity-resolution-style near-match of
+    * 40-char document heads (q63's fixture, generalized from adjacent-id
+    * pairs to a real candidate join) under a BLOCKING key (first two raw
+    * tokens), the standard trick that turns an O(n²) string-similarity
+    * join into a block-keyed equi-join whose fan-out is bounded by block
+    * size (token-vocabulary² blocks); candidates ranked by Levenshtein
+    * distance (integer DP — bit-identical across engines), global top-20
+    * under the (dist, k1, k2) total order, with a normalized similarity
+    * alongside. The distance is computed ONCE and the similarity derived
+    * from the carried column — a second levenshtein call would double the
+    * hot-path cost.
+    *
+    * Scale shape: one shuffle on the blocking key, per-block bounded pair
+    * fan-out, TakeOrdered(20) — no cartesian product ever reaches the
+    * plan; at 100 TB the block histogram (q205's skew report) is the knob
+    * that keeps fan-out flat, and a too-common token pair shows up there
+    * before it shows up as a straggler.
+    */
+  def q258FuzzyBlockedJoin: Q = (s, d) => {
+    val names = Tables(s, d, "documents")
+      .select(col("doc_id").as("k"), substring(col("text"), 1, 40).as("nm"),
+        coalesce(element_at(split(col("text"), " "), 1), lit("")).as("w0"),
+        coalesce(element_at(split(col("text"), " "), 2), lit("")).as("w1"))
+    val a = names.select(col("k").as("k1"), col("nm").as("n1"),
+      col("w0"), col("w1"))
+    val b = names.select(col("k").as("k2"), col("nm").as("n2"),
+      col("w0"), col("w1"))
+    a.join(b, Seq("w0", "w1")).filter(col("k1") < col("k2"))
+      .select(col("k1"), col("k2"),
+        big(levenshtein(col("n1"), col("n2"))).as("dist"),
+        greatest(length(col("n1")), length(col("n2"))).as("mxl"))
+      .select(col("k1"), col("k2"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double")
+          / col("mxl").cast("double"), 6).as("sim"))
+      .orderBy(col("dist"), col("k1"), col("k2"))
+      .limit(20)
+  }
+
+  /** Q259: TextRank keyword extraction — q81's integer fixed-point PageRank
+    * run over the word CO-OCCURRENCE graph instead of the co-purchase
+    * graph: undirected edges between adjacent tokens (q95's bigram kernel)
+    * that co-occur ≥ 2 times, 3 damped iterations in pure long arithmetic
+    * (init 10⁶ micro-units, `150000 + (85·Σ r div d) div 100`), top-25
+    * tokens by stationary weight — the classic unsupervised keyword scorer.
+    *
+    * Scale shape: edge build = one token-adjacency pass + one count
+    * aggregate; each iteration one edges⋈rank join + dst-keyed aggregate
+    * (edge-proportional shuffle); the edge relation is materialized once
+    * for the degree pass and all three iterations (q81's discipline).
+    */
+  def q259TextrankKeywords: Q = (s, d) => {
+    val bg = Tables(s, d, "documents")
+      .select(explode(when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("l"), b.as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("bg"))
+      .select(col("bg.l").as("l"), col("bg.r").as("r"))
+      .filter(col("l") =!= col("r"))
+    val edges = graft.Checkpoints.materialize(
+      bg.select(col("l").as("src"), col("r").as("dst"))
+        .union(bg.select(col("r"), col("l")))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("src"), col("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val contrib = graft.Checkpoints.materialize(edges.join(deg, Seq("src")))
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      rank = contrib.join(rank, contrib("src") === rank("node"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + expr("(85 * sum(r div d)) div 100")).as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    rank.select(col("node").as("token"), big(col("r")).as("r"))
+      .orderBy(col("r").desc, col("token"))
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q258_fuzzy_blocked_join" -> q258FuzzyBlockedJoin,
+    "q259_textrank_keywords" -> q259TextrankKeywords,
     "q240_containment_dedup" -> q240ContainmentDedup,
     "q231_hash_features" -> q231HashFeatures,
     "q228_perplexity_eval" -> q228PerplexityEval,
@@ -1361,6 +1442,47 @@ object Text {
     "q169_winnow_match" -> q169WinnowMatch)
 
   val oracles: Map[String, String] = Map(
+    "q258_fuzzy_blocked_join" ->
+      """WITH nm AS (
+        |  SELECT doc_id AS k, substring(text, 1, 40) AS nm,
+        |    split_part(text, ' ', 1) AS w0,
+        |    split_part(text, ' ', 2) AS w1
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.k AS k1, b.k AS k2,
+        |    CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+        |    GREATEST(length(a.nm), length(b.nm)) AS mxl
+        |  FROM nm a JOIN nm b ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.k < b.k)
+        |SELECT k1, k2, dist,
+        |  ROUND(CAST(1 AS DOUBLE) - CAST(dist AS DOUBLE)
+        |    / CAST(mxl AS DOUBLE), 6) AS sim
+        |FROM pairs ORDER BY dist, k1, k2 LIMIT 20""".stripMargin,
+    "q259_textrank_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT tk[u.i] AS l, tk[u.i + 1] AS r
+        |       FROM tk, unnest(range(1, len(tk))) AS u(i)),
+        |sym AS (SELECT l AS src, r AS dst FROM bg WHERE l <> r
+        |        UNION ALL SELECT r, l FROM bg WHERE l <> r),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM (SELECT src, dst, COUNT(*) AS c FROM sym
+        |    GROUP BY 1, 2) WHERE c >= 2),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |r1 AS MATERIALIZED (
+        |  SELECT e.dst AS node, CAST(150000 + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r2 AS MATERIALIZED (
+        |  SELECT e.dst AS node, CAST(150000 + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT e.dst AS node, CAST(150000 + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst)
+        |SELECT node AS token, r FROM r3 ORDER BY r DESC, token LIMIT 25""".stripMargin,
     "q240_containment_dedup" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk

@@ -1992,6 +1992,73 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q258 fuzzy blocked join: top pairs match a brute-force replay restricted to blocks") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tok(t: String, i: Int): String = {
+      val parts = t.split(" ", -1)
+      if (parts.length > i) parts(i) else ""
+    }
+    val heads = docs.map { case (id, t) => (id, t.take(40), tok(t, 0), tok(t, 1)) }
+    val byBlock = heads.groupBy(t => (t._3, t._4))
+    val want = byBlock.values.flatMap { g0 =>
+      val g = g0.toSeq
+      for (a <- g; b <- g if a._1 < b._1) yield {
+        val d0 = lev(a._2, b._2)
+        (d0.toLong, a._1, b._1, math.max(a._2.length, b._2.length))
+      }
+    }.toSeq.sortBy(t => (t._1, t._2, t._3)).take(20)
+    val got = Text.q258FuzzyBlockedJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((k1, k2, dist, sim), (wd, wa, wb, wl)) =>
+      assert(k1 === wa && k2 === wb && dist === wd)
+      assert(math.abs(sim - (1.0 - wd.toDouble / wl)) < 2e-6)
+    }
+    // blocking is a candidate FILTER: every returned pair shares the block key
+    val headOf = heads.map(t => t._1 -> t).toMap
+    got.foreach { case (k1, k2, _, _) =>
+      assert(headOf(k1)._3 === headOf(k2)._3 && headOf(k1)._4 === headOf(k2)._4)
+    }
+  }
+
+  test("q259 textrank: top keywords match an integer PageRank replay over the bigram graph") {
+    val texts = Tables(spark, sf0001, "documents")
+      .select($"text").collect().map(_.getString(0))
+    val bg = texts.flatMap { t =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      tk.sliding(2).collect { case Array(l, r) if l != r => (l, r) }
+    }
+    val sym = bg ++ bg.map { case (l, r) => (r, l) }
+    val edges = sym.groupBy(identity).filter(_._2.length >= 2).keys.toSeq
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank: Map[String, Long] = deg.map { case (k, _) => k -> 1000000L }
+    for (_ <- 1 to 3) {
+      rank = edges.groupBy(_._2).map { case (dst, es) =>
+        val s0 = es.map { case (src, _) => rank(src) / deg(src) }.sum
+        dst -> (150000L + 85L * s0 / 100L)
+      }
+    }
+    val want = rank.toSeq.sortBy { case (t, r) => (-r, t) }.take(25)
+    val got = Text.q259TextrankKeywords(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === want)
+  }
+
   test("q256 bollinger: breakout counts match a rolling-window replay; bands never see the evaluated row") {
     val rows = Tables(spark, sf0001, "lineitem")
       .join(Tables(spark, sf0001, "part"),
