@@ -709,7 +709,60 @@ object Similarity {
     out.reduce(_ unionByName _).orderBy(col("step"))
   }
 
+  /** Q260: distributed power iteration — the dominant eigenvector of the
+    * (uncentered) Gram matrix XᵀX over the embedding corpus, the top
+    * principal direction an embedding-quality audit reports (a single
+    * direction soaking up most variance = collapsed representations). Four
+    * iterations of v ← XᵀXv with ∞-NORM normalization — max is
+    * order-independent where an L2 norm's float sum is not, so every step
+    * stays deterministic: per-row weights w = round(x·v, 9) as exact
+    * decimals (codegen'd left-to-right dot), per-dimension accumulation of
+    * round(w·xⱼ, 9) as exact decimal sums, then vⱼ = round(uⱼ/max|u|, 9).
+    * Output: the 64 loadings + the ∞-norm eigenvalue estimate max|u|.
+    *
+    * Scale shape: each iteration is one broadcast-dot pass over the corpus
+    * (no shuffle) plus one 64-key posexplode aggregate (map-side
+    * combined); the 64-element vector is bounded driver state between
+    * iterations (the Ann.scala seed-sample precedent), and the final
+    * iteration's vector is computed IN-ENGINE so the returned relation is
+    * distributed end-to-end.
+    */
+  def q260PowerIteration: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    def r9(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val e = graft.Checkpoints.materialize(
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("x")))
+    def contrib(v: Seq[Double]): DataFrame = {
+      val vLit = array(v.map(lit): _*)
+      e.select(
+        round(VectorFunctions.dotProduct(col("x"), vLit), 9).cast(dec9).as("w"),
+        col("x"))
+        .select(col("w"), posexplode(col("x")).as(Seq("pos", "xv")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          round(col("w").cast("double") * col("xv"), 9).cast(dec9).as("c"))
+        .groupBy(col("dim")).agg(sum(col("c")).as("s"))
+    }
+    var v: Seq[Double] = Seq.fill(64)(0.125)
+    for (_ <- 1 to 3) {
+      val u = contrib(v).collect().map(r => (r.getLong(0),
+        r.getDecimal(1).doubleValue)).sortBy(_._1)
+      val mx = u.map(t => math.abs(t._2)).max
+      v = u.map(t => r9(t._2 / mx)).toSeq
+    }
+    val u4 = contrib(v)
+    val mx4 = u4.agg(max(abs(col("s").cast("double"))).as("lambda_inf"))
+    u4.crossJoin(broadcast(mx4))
+      .select(col("dim"),
+        round(col("s").cast("double") / col("lambda_inf"), 9).as("loading"),
+        col("lambda_inf"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q260_power_iteration" -> q260PowerIteration,
     "q255_kcenter_coreset" -> q255KcenterCoreset,
     "q222_mmr_rerank" -> q222MmrRerank,
     "q188_ivfpq" -> q188IvfPq,
@@ -790,7 +843,43 @@ object Similarity {
        |FROM (SELECT * FROM r1 UNION ALL $unions) ORDER BY step""".stripMargin
   }
 
+  /** The q260 oracle: 4 power-iteration steps unrolled as MATERIALIZED
+    * CTEs — per-row weights via `list_dot_product` against the previous
+    * vector's ordered list, per-dimension exact-decimal accumulation,
+    * ∞-norm normalization (MAX is order-free where an L2 float sum is
+    * not): the identical arithmetic the Spark side computes.
+    */
+  private val powerIterSql: String = {
+    def step(t: Int, prevV: String) =
+      s"""w$t AS MATERIALIZED (SELECT vec_id, x,
+         |  CAST(ROUND(list_dot_product(x,
+         |    (SELECT list(v ORDER BY dim) FROM $prevV)), 9) AS DECIMAL(18,9)) AS w
+         |  FROM e),
+         |u$t AS MATERIALIZED (SELECT d.dim,
+         |  SUM(CAST(ROUND(CAST(w AS DOUBLE) * x[d.dim], 9) AS DECIMAL(18,9))) AS s
+         |  FROM w$t, dims d GROUP BY d.dim),
+         |m$t AS (SELECT MAX(ABS(CAST(s AS DOUBLE))) AS mx FROM u$t)""".stripMargin
+    val steps = (1 to 4).map { t =>
+      val base = step(t, s"v${t - 1}")
+      if (t < 4)
+        base + s""",
+          |v$t AS MATERIALIZED (SELECT dim,
+          |  ROUND(CAST(s AS DOUBLE) / (SELECT mx FROM m$t), 9) AS v FROM u$t)""".stripMargin
+      else base
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |dims AS (SELECT UNNEST(range(1, 65)) AS dim),
+       |v0 AS (SELECT dim, CAST(1 AS DOUBLE) / CAST(8 AS DOUBLE) AS v FROM dims),
+       |$steps
+       |SELECT CAST(dim AS BIGINT) AS dim,
+       |  ROUND(CAST(s AS DOUBLE) / (SELECT mx FROM m4), 9) AS loading,
+       |  (SELECT mx FROM m4) AS lambda_inf
+       |FROM u4 ORDER BY dim""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q260_power_iteration" -> powerIterSql,
     "q255_kcenter_coreset" -> kcenterSql,
     "q222_mmr_rerank" -> mmrSql,
     "q162_semantic_dedup" ->

@@ -1394,7 +1394,53 @@ object Text {
       .limit(25)
   }
 
+  /** Q261: greedy max-coverage selection — pick 8 documents that together
+    * cover the most distinct RARE 5-grams (q240's shingle kernel, df ≤ 64),
+    * the classic (1−1/e) submodular-greedy a curation pipeline uses to
+    * assemble a maximally-diverse seed set. Each step selects the document
+    * with the largest count of still-uncovered grams (ties by doc_id),
+    * then removes every occurrence of its grams from the candidate
+    * relation; the output carries per-step marginal gain and the running
+    * covered total — the diminishing-returns trace.
+    *
+    * Scale shape: the gram relation is built and materialized once; each
+    * step is one doc-keyed count aggregate + TakeOrdered(1) + one anti-join
+    * on the selected grams, with the relation SHRINKING monotonically —
+    * edge-proportional shuffles, no cross products. The 1-row per-step
+    * reads are bounded driver state (the q255 greedy discipline).
+    */
+  def q261GreedyMaxcover: Q = (s, d) => {
+    val len5 = greatest(lit(0), size(col("tk")) - 4)
+    val gramArr = (0 until 5).map(i => slice(col("tk"), lit(i + 1), len5))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    val sh = graft.Checkpoints.materialize(
+      Tables(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), explode(gramArr).as("g")).distinct())
+    val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select(col("g"))
+    var gg = graft.Checkpoints.materialize(sh.join(rare, Seq("g")))
+    var total = 0L
+    var out = Seq.empty[DataFrame]
+    for (t <- 1 to 8) {
+      val sel = graft.Checkpoints.materialize(
+        gg.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1))
+      total += sel.head().getLong(1)
+      out = out :+ sel.select(lit(t.toLong).as("step"), col("doc_id"),
+        big(col("gain")).as("gain"), lit(total).as("covered_total"))
+      if (t < 8) {
+        val cg = gg.join(sel.select(col("doc_id")), Seq("doc_id"))
+          .select(col("g"))
+        gg = graft.Checkpoints.materialize(gg.join(cg, Seq("g"), "left_anti"))
+      }
+    }
+    out.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q261_greedy_maxcover" -> q261GreedyMaxcover,
     "q258_fuzzy_blocked_join" -> q258FuzzyBlockedJoin,
     "q259_textrank_keywords" -> q259TextrankKeywords,
     "q240_containment_dedup" -> q240ContainmentDedup,
@@ -1441,7 +1487,44 @@ object Text {
     "q168_distribution_drift" -> q168DistributionDrift,
     "q169_winnow_match" -> q169WinnowMatch)
 
+  /** The q261 oracle: the same 8 greedy max-cover steps unrolled as
+    * MATERIALIZED CTEs over q240's rare-5-gram kernel, running covered
+    * total as a window sum over the 8-row trace.
+    */
+  private val maxcoverSql: String = {
+    val steps = (1 to 8).map { t =>
+      val base =
+        s"""s$t AS MATERIALIZED (SELECT doc_id, COUNT(*) AS gain FROM g${t - 1}
+           |  GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1)""".stripMargin
+      if (t < 8) base + s""",
+        |c$t AS MATERIALIZED (SELECT g FROM g${t - 1}
+        |  WHERE doc_id = (SELECT doc_id FROM s$t)),
+        |g$t AS MATERIALIZED (SELECT a.doc_id, a.g FROM g${t - 1} a
+        |  LEFT JOIN c$t ON a.g = c$t.g WHERE c$t.g IS NULL)""".stripMargin
+      else base
+    }.mkString(",\n")
+    val unions = (1 to 8)
+      .map(t => s"SELECT $t AS step, doc_id, gain FROM s$t")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+       |  FROM documents),
+       |shg AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' ||
+       |    tk[i + 3] || ' ' || tk[i + 4] AS g
+       |  FROM tk, UNNEST(range(1, GREATEST(len(tk) - 3, 1))) AS u(i)),
+       |rare AS (SELECT g FROM shg GROUP BY g HAVING COUNT(*) <= 64),
+       |g0 AS MATERIALIZED (
+       |  SELECT shg.doc_id, shg.g FROM shg JOIN rare ON shg.g = rare.g),
+       |$steps
+       |SELECT CAST(step AS BIGINT) AS step, doc_id, CAST(gain AS BIGINT) AS gain,
+       |  CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+       |FROM ($unions) ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q261_greedy_maxcover" -> maxcoverSql,
     "q258_fuzzy_blocked_join" ->
       """WITH nm AS (
         |  SELECT doc_id AS k, substring(text, 1, 40) AS nm,

@@ -1992,6 +1992,74 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q260 power iteration: loadings match an exact-arithmetic replay; infinity norm is 1") {
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id".cast("long"), Similarity.asDouble($"embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def r9(x: Double) = BigDecimal.valueOf(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    var v = Array.fill(64)(0.125)
+    var lambda = 0.0
+    var loadings = Array.empty[Double]
+    for (t <- 1 to 4) {
+      val ws = vecs.map { case (_, x) => (x, r9(dot(x, v)).doubleValue) }
+      val u = (0 until 64).map { j =>
+        ws.map { case (x, w) => r9(w * x(j)) }.foldLeft(BigDecimal(0))(_ + _)
+          .doubleValue
+      }
+      lambda = u.map(math.abs).max
+      val nxt = u.map(uj => r9(uj / lambda).doubleValue).toArray
+      if (t < 4) v = nxt else loadings = nxt
+    }
+    val got = Similarity.q260PowerIteration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 64)
+    got.zipWithIndex.foreach { case ((dim, loading, lam), i) =>
+      assert(dim === i + 1L)
+      assert(math.abs(loading - loadings(i)) < 1e-9, s"dim $dim")
+      assert(math.abs(lam - lambda) < 1e-6)
+    }
+    assert(math.abs(got.map(t => math.abs(t._2)).max - 1.0) < 1e-9,
+      "infinity-norm normalization must pin max |loading| to 1")
+    assert(got.head._3 > 0.0)
+  }
+
+  test("q261 greedy max-cover: selection trace matches a replay; marginal gains non-increasing") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.map { case (id, t) =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      id -> tk.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = grams.values.flatten.groupBy(identity).map { case (g, v) => g -> v.size }
+    val rare = df.filter(_._2 <= 64).keySet
+    val rg = grams.map { case (id, gs) => id -> (gs & rare) }
+      .filter(_._2.nonEmpty)
+    var covered = Set.empty[String]
+    val want = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var total = 0L
+    for (t <- 1 to 8) {
+      val (id, gain) = rg.view
+        .map { case (id0, gs) => (id0, (gs -- covered).size.toLong) }
+        .minBy { case (id0, g0) => (-g0, id0) }
+      covered ++= rg(id)
+      total += gain
+      want += ((t.toLong, id, gain, total))
+    }
+    val got = Text.q261GreedyMaxcover(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(1) <= w(0)),
+      "submodular greedy must have non-increasing marginal gains")
+  }
+
   test("q258 fuzzy blocked join: top pairs match a brute-force replay restricted to blocks") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
