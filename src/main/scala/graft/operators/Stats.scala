@@ -745,7 +745,49 @@ object Stats {
       .orderBy(col("lvl"), col("k"))
   }
 
+  /** Q263: deterministic Poisson bootstrap — a 32-replicate confidence
+    * interval for mean document length WITHOUT an RNG: each (doc,
+    * replicate) pair draws its resample weight from
+    * [[TrainingOps.portableBucket]] (the MINSTD arithmetic hash every
+    * engine can replicate) mapped through the Poisson(1) inverse CDF with
+    * FIXED cut points (⌊cum·10⁴⌋: 3679, 7358, 9197, 9810, 9963, 9994,
+    * 9999 — the declared constants, so the draw is a pure function of
+    * (doc_id, replicate) and survives any repartitioning, unlike
+    * rand(seed)). Replicate means are exact integer sums surfaced as
+    * 6-dp doubles; the report is the percentile interval (2nd / 16th /
+    * 31st order statistics of 32) next to the full-sample point estimate.
+    *
+    * Scale shape: one explode×32 pass with a map-side-combined 32-key
+    * aggregate — the classic Poisson-bootstrap trick that makes resampling
+    * a single scan instead of 32; the order statistics run on the bounded
+    * 32-row relation.
+    */
+  def q263BootstrapCi: Q = (s, d) => {
+    val cuts = Seq(3679L, 7358L, 9197L, 9810L, 9963L, 9994L, 9999L)
+    val docs = Tables(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val bk = TrainingOps.portableBucket(col("doc_id") * 100L + col("b"))
+    val w = cuts.zipWithIndex.tail
+      .foldLeft(when(bk < cuts.head, lit(0L))) { case (acc, (c, i)) =>
+        acc.when(bk < c, lit(i.toLong))
+      }.otherwise(lit(7L))
+    val means = docs
+      .withColumn("b", explode(sequence(lit(0L), lit(31L))))
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(round(sum(col("w") * col("n_chars")).cast("double")
+        / sum(col("w")).cast("double"), 6).as("m"))
+    val arr = means.agg(sort_array(collect_list(col("m"))).as("ms"))
+    val pt = docs.agg(round(sum(col("n_chars")).cast("double")
+      / count(lit(1)).cast("double"), 6).as("point_estimate"))
+    arr.crossJoin(broadcast(pt))
+      .select(lit(32L).as("n_replicates"), col("point_estimate"),
+        element_at(col("ms"), 2).as("ci_lo"),
+        element_at(col("ms"), 16).as("ci_median"),
+        element_at(col("ms"), 31).as("ci_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q263_bootstrap_ci" -> q263BootstrapCi,
     "q254_kanonymity" -> q254Kanonymity,
     "q249_behavior_entropy" -> q249BehaviorEntropy,
     "q250_price_elasticity" -> q250PriceElasticity,
@@ -886,6 +928,30 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q263_bootstrap_ci" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |h AS (
+        |  SELECT b, n_chars,
+        |    ((((doc_id * 100 + b) % 2147483647) * 48271 % 2147483647 + 1)
+        |      * 16807 % 2147483647) % 10000 AS bk
+        |  FROM d, (SELECT UNNEST(range(0, 32)) AS b)),
+        |hw AS (
+        |  SELECT b, n_chars,
+        |    CASE WHEN bk < 3679 THEN 0 WHEN bk < 7358 THEN 1
+        |         WHEN bk < 9197 THEN 2 WHEN bk < 9810 THEN 3
+        |         WHEN bk < 9963 THEN 4 WHEN bk < 9994 THEN 5
+        |         WHEN bk < 9999 THEN 6 ELSE 7 END AS w
+        |  FROM h),
+        |means AS (
+        |  SELECT b, ROUND(CAST(SUM(w * n_chars) AS DOUBLE)
+        |    / CAST(SUM(w) AS DOUBLE), 6) AS m
+        |  FROM hw GROUP BY b),
+        |arr AS (SELECT list_sort(list(m)) AS ms FROM means),
+        |pt AS (SELECT ROUND(CAST(SUM(n_chars) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE), 6) AS point_estimate FROM d)
+        |SELECT CAST(32 AS BIGINT) AS n_replicates, point_estimate,
+        |  ms[2] AS ci_lo, ms[16] AS ci_median, ms[31] AS ci_hi
+        |FROM arr, pt""".stripMargin,
     "q254_kanonymity" ->
       """WITH base AS (
         |  SELECT c_nationkey, n_regionkey, c_mktsegment,

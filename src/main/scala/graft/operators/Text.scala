@@ -1333,11 +1333,17 @@ object Text {
     * that keeps fan-out flat, and a too-common token pair shows up there
     * before it shows up as a straggler.
     */
-  def q258FuzzyBlockedJoin: Q = (s, d) => {
-    val names = Tables(s, d, "documents")
+  /** 40-char document heads with the (first-token, second-token) blocking
+    * key — the q258/q262 candidate-generation relation.
+    */
+  private def docHeads(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
       .select(col("doc_id").as("k"), substring(col("text"), 1, 40).as("nm"),
         coalesce(element_at(split(col("text"), " "), 1), lit("")).as("w0"),
         coalesce(element_at(split(col("text"), " "), 2), lit("")).as("w1"))
+
+  def q258FuzzyBlockedJoin: Q = (s, d) => {
+    val names = docHeads(s, d)
     val a = names.select(col("k").as("k1"), col("nm").as("n1"),
       col("w0"), col("w1"))
     val b = names.select(col("k").as("k2"), col("nm").as("n2"),
@@ -1439,7 +1445,37 @@ object Text {
     out.reduce(_ unionByName _).orderBy(col("step"))
   }
 
+  /** Q262: fuzzy dedup clusters — the end-to-end entity-resolution pipeline
+    * q258's candidate join feeds: blocked Levenshtein pairs at distance
+    * ≤ 16 become edges, connected components
+    * ([[graft.dedup.Components]]' label propagation — min reachable id)
+    * merge transitive matches into clusters, and the report is one row per
+    * cluster (canonical id = the component label = the smallest member)
+    * with its member count. Singletons (no fuzzy pair) are not clusters by
+    * construction.
+    *
+    * Scale shape: q258's block-keyed candidate join (never n²) + the
+    * iterated small-label-propagation joins over the ≤|pairs| edge set —
+    * each round one edge-keyed shuffle, checkpointed per round.
+    */
+  def q262FuzzyDedupClusters: Q = (s, d) => {
+    val names = docHeads(s, d)
+    val a = names.select(col("k").as("k1"), col("nm").as("n1"),
+      col("w0"), col("w1"))
+    val b = names.select(col("k").as("k2"), col("nm").as("n2"),
+      col("w0"), col("w1"))
+    val pairs = a.join(b, Seq("w0", "w1")).filter(col("k1") < col("k2"))
+      .filter(levenshtein(col("n1"), col("n2")) <= 16)
+      .select(col("k1").as("u"), col("k2").as("v"))
+    graft.dedup.Components.connectedComponents(pairs, "u", "v")
+      .groupBy(col("comp"))
+      .agg(big(count(lit(1))).as("n_members"))
+      .select(big(col("comp")).as("cluster"), col("n_members"))
+      .orderBy(col("n_members").desc, col("cluster"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q262_fuzzy_dedup_clusters" -> q262FuzzyDedupClusters,
     "q261_greedy_maxcover" -> q261GreedyMaxcover,
     "q258_fuzzy_blocked_join" -> q258FuzzyBlockedJoin,
     "q259_textrank_keywords" -> q259TextrankKeywords,
@@ -1524,6 +1560,25 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q262_fuzzy_dedup_clusters" ->
+      """WITH RECURSIVE nm AS (
+        |  SELECT doc_id AS k, substring(text, 1, 40) AS nm,
+        |    split_part(text, ' ', 1) AS w0,
+        |    split_part(text, ' ', 2) AS w1
+        |  FROM documents),
+        |pe AS (
+        |  SELECT a.k AS u, b.k AS v
+        |  FROM nm a JOIN nm b ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.k < b.k
+        |  WHERE levenshtein(a.nm, b.nm) <= 16),
+        |e AS (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
+        |reach(node, r) AS (
+        |  SELECT u AS node, u AS r FROM e
+        |  UNION
+        |  SELECT e.u AS node, reach.r FROM e JOIN reach ON reach.node = e.v),
+        |comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+        |SELECT component AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM comp GROUP BY component
+        |ORDER BY n_members DESC, cluster""".stripMargin,
     "q261_greedy_maxcover" -> maxcoverSql,
     "q258_fuzzy_blocked_join" ->
       """WITH nm AS (

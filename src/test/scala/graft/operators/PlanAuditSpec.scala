@@ -77,6 +77,7 @@ class PlanAuditSpec extends SparkSpec {
     "q255_kcenter_coreset", // 1-row center broadcasts per greedy step (k=8 bounded steps)
     "q257_macro_f1", // q223's 100-row probe broadcast (shared kNN confusion chain)
     "q260_power_iteration", // 1-row max|u| broadcast normalizing the 64-row vector
+    "q263_bootstrap_ci", // 1-row point-estimate broadcast beside the 32-row order stats
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

@@ -1992,6 +1992,88 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q262 fuzzy dedup clusters: sizes match a union-find replay over the blocked pairs") {
+    def lev2(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tok(t: String, i: Int): String = {
+      val p = t.split(" ", -1); if (p.length > i) p(i) else ""
+    }
+    val heads = docs.map { case (id, t) => (id, t.take(40), tok(t, 0), tok(t, 1)) }
+    val pairs = heads.groupBy(t => (t._3, t._4)).values.flatMap { g0 =>
+      val g = g0.toSeq
+      for (a <- g; b <- g if a._1 < b._1 && lev2(a._2, b._2) <= 16)
+        yield (a._1, b._1)
+    }.toSeq
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.groupBy(find).map { case (root, ms) => (root, ms.size.toLong) }
+      .toSeq.sortBy { case (c, n) => (-n, c) }
+    val got = Text.q262FuzzyDedupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === want)
+    got.foreach { case (cluster, n) =>
+      assert(n >= 2L, "clusters come from pairs, so >= 2 members")
+      assert(members.contains(cluster), "canonical id must be a member")
+    }
+  }
+
+  test("q263 bootstrap CI: replicate order statistics match the portable-hash replay") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val p = 2147483647L
+    val cuts = Seq(3679L, 7358L, 9197L, 9810L, 9963L, 9994L, 9999L)
+    def weight(id: Long, b: Long): Long = {
+      val x = id * 100 + b
+      val h1 = (x % p) * 48271 % p
+      val h2 = (h1 + 1) * 16807 % p
+      val bk = h2 % 10000
+      val i = cuts.indexWhere(bk < _)
+      if (i < 0) 7L else i.toLong
+    }
+    val means = (0L until 32L).map { b =>
+      var sw = 0L; var swx = 0L
+      docs.foreach { case (id, nc) =>
+        val w = weight(id, b); sw += w; swx += w * nc
+      }
+      r6(swx.toDouble / sw.toDouble)
+    }.sorted
+    val pe = r6(docs.map(_._2).sum.toDouble / docs.length)
+    val got = Stats.q263BootstrapCi(spark, sf0001).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 32L)
+    assert(math.abs(r.getDouble(1) - pe) < 2e-6)
+    assert(math.abs(r.getDouble(2) - means(1)) < 2e-6)
+    assert(math.abs(r.getDouble(3) - means(15)) < 2e-6)
+    assert(math.abs(r.getDouble(4) - means(30)) < 2e-6)
+    assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4))
+  }
+
   test("q260 power iteration: loadings match an exact-arithmetic replay; infinity norm is 1") {
     val vecs = Tables(spark, sf0001, "embeddings")
       .select($"vec_id".cast("long"), Similarity.asDouble($"embedding"))
