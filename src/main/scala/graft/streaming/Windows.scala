@@ -1043,7 +1043,79 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q264: streaming k-anonymity audit — q254's privacy gate maintained as
+    * customer records ARRIVE: each micro-batch joins the static nation
+    * dimension, projects both generalization levels, and writes its
+    * additive per-class counts to an idempotent `batch=<id>` summary
+    * (mergeable state, the q219 pattern — class counts are pure sums, so
+    * the drained merge equals the batch aggregate at ANY trigger slicing
+    * and q264 shares q254's DuckDB oracle verbatim). The post-drain merge
+    * folds summaries into final class sizes and applies the same
+    * k ∈ {2, 5, 10} risk arithmetic.
+    *
+    * Scale shape: per-batch cost ∝ batch (one broadcast dim join + two
+    * keyed counts); the standing state is one row per equivalence class,
+    * bounded by the QI domain, never by rows.
+    */
+  def q264StreamKanonymity: Q = (s, d) => {
+    val nat = Tables(s, d, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val cust = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q264_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      cust.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            val base = batch.toDF()
+              .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+              .select(col("c_nationkey").cast("long").as("nk"),
+                col("n_regionkey").cast("long").as("rk"), col("c_mktsegment"),
+                floor(col("c_acctbal").cast("double") / lit(1000.0)).as("b1"),
+                floor(col("c_acctbal").cast("double") / lit(5000.0)).as("b5"))
+            val l0 = base.groupBy(col("nk"), col("c_mktsegment"), col("b1"))
+              .agg(count(lit(1)).as("n"))
+              .select(lit(0L).as("lvl"), col("nk").as("kA"),
+                col("c_mktsegment").as("seg"), col("b1").as("band"), col("n"))
+            val l1 = base.groupBy(col("rk"), col("c_mktsegment"), col("b5"))
+              .agg(count(lit(1)).as("n"))
+              .select(lit(1L).as("lvl"), col("rk").as("kA"),
+                col("c_mktsegment").as("seg"), col("b5").as("band"), col("n"))
+            l0.union(l1).write.mode("overwrite")
+              .parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val sizes = s.read.parquet(sumDir)
+        .groupBy(col("lvl"), col("kA"), col("seg"), col("band"))
+        .agg(sum(col("n")).as("sz"))
+      graft.Checkpoints.materialize(
+        sizes
+          .withColumn("k", explode(array(lit(2L), lit(5L), lit(10L))))
+          .groupBy(col("lvl"), col("k"))
+          .agg(big(count(lit(1))).as("n_classes"),
+            big(sum(when(col("sz") < col("k"), lit(1L)).otherwise(lit(0L))))
+              .as("classes_below"),
+            big(sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L))))
+              .as("rows_below"),
+            big(sum(col("sz"))).as("n_rows"),
+            round(sum(when(col("sz") < col("k"), col("sz")).otherwise(lit(0L)))
+                .cast("double") / sum(col("sz")).cast("double"), 6)
+              .as("risk_pct"))
+          .orderBy(col("lvl"), col("k")))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q264_stream_kanonymity" -> q264StreamKanonymity,
     "q219_stream_topk" -> q219StreamTopk,
     "q201_stream_changepoint" -> q201StreamChangepoint,
     "q192_stream_auc" -> q192StreamAuc,
@@ -1131,6 +1203,8 @@ object Windows {
         |  ROUND(CAST(SUM(ABS(c_w * n_g - c_g * n_w)) + (n_g - SUM(c_g)) * MAX(n_w) AS DOUBLE)
         |    / CAST(MAX(n_w) * n_g AS DOUBLE), 6) AS drift_l1
         |FROM j, tot GROUP BY h, n_g ORDER BY h""".stripMargin,
+    "q264_stream_kanonymity" ->
+      graft.operators.Stats.oracles("q254_kanonymity"),
     "q175_stream_scd2" ->
       graft.operators.Events.oracles("q170_scd2"),
     "q121_stream_incremental_dedup" ->

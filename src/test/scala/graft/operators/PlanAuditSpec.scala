@@ -108,7 +108,7 @@ class PlanAuditSpec extends SparkSpec {
     "q121_stream_incremental_dedup", "q140_stream_drift",
     "q152_stream_decontam", "q155_stream_ingest_dedup",
     "q158_stream_decontam_rewrite", "q192_stream_auc",
-    "q201_stream_changepoint", "q219_stream_topk")
+    "q201_stream_changepoint", "q219_stream_topk", "q264_stream_kanonymity")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

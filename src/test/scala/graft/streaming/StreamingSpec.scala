@@ -566,4 +566,15 @@ class StreamingSpec extends SparkSpec {
     assert(got === want,
       "restarted leaderboard diverged from the batch truth - state loss or double count")
   }
+
+  test("q264 stream k-anonymity: drained merge equals the q254 batch audit") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val batch = rows(graft.operators.Stats.q254Kanonymity(spark, sf0001))
+    val stream = rows(graft.streaming.Windows.q264StreamKanonymity(spark, sf0001))
+    assert(stream === batch,
+      "per-batch class counts must merge to the exact batch class sizes")
+    assert(stream.size === 6)
+  }
 }
