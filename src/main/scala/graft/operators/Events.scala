@@ -1117,17 +1117,21 @@ object Events {
     * Scale shape: one part-keyed window pass + one brand aggregate —
     * partition-local sort, no global window, map-side-combined final agg.
     */
-  def q256BollingerBreakout: Q = (s, d) => {
+  /** q256's per-row breakout kernel over any (l_partkey, l_extendedprice,
+    * l_shipdate, l_orderkey, l_linenumber) relation — shared with the
+    * streaming twin (q265), whose part-complete feed slicing makes the
+    * per-batch application exact.
+    */
+  private[graft] def bollingerScored(rows: DataFrame): DataFrame = {
     val dec384 = org.apache.spark.sql.types.DecimalType(38, 4)
-    val price = col("l_extendedprice")
     val w = Window.partitionBy(col("l_partkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(-20, -1)
     val mean = col("s1") / lit(20.0)
     val variance = (col("s2") - col("s1") * col("s1") / lit(20.0)) / lit(19.0)
     val sd = sqrt(greatest(variance, lit(0.0)))
-    val scored = Tables(s, d, "lineitem")
-      .select(col("l_partkey"), price.cast("double").as("px"),
+    rows
+      .select(col("l_partkey"), col("l_extendedprice").cast("double").as("px"),
         col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s1", sum(dec(col("px"))).over(w).cast(dec384).cast("double"))
@@ -1137,6 +1141,14 @@ object Events {
       .select(col("l_partkey"),
         (col("px") > mean + lit(2.0) * sd).as("up"),
         (col("px") < mean - lit(2.0) * sd).as("down"))
+  }
+
+  /** Brand-level breakout report from a scored relation — q256's tail,
+    * shared with q265's post-drain merge (counts are additive, the rate is
+    * derived from the merged counts).
+    */
+  private[graft] def bollingerReport(scored: DataFrame, s: SparkSession,
+                                     d: String): DataFrame =
     scored
       .join(Tables(s, d, "part").select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
@@ -1147,6 +1159,12 @@ object Events {
         round((sum(when(col("up") || col("down"), lit(1L)).otherwise(lit(0L))))
             .cast("double") / count(lit(1)).cast("double"), 6).as("breakout_rate"))
       .orderBy(col("p_brand"))
+
+  def q256BollingerBreakout: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"))
+    bollingerReport(bollingerScored(li), s, d)
   }
 
   val queries: Map[String, Q] = Map(

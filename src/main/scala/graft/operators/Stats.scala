@@ -786,7 +786,50 @@ object Stats {
         element_at(col("ms"), 31).as("ci_hi"))
   }
 
+  /** Q266: chi-square independence test + Cramér's V over q216's
+    * (event_type × hour-of-day) contingency grid — the effect-size summary
+    * next to q216's per-type mutual information: χ² = Σ (observed −
+    * expected)²/expected over the bounded cell grid, V = √(χ²/(n·min(r−1,
+    * c−1))) ∈ [0,1]. Per-cell terms are 6-dp-rounded into exact decimals
+    * before the sum (the q216 discipline — a raw double sum over cells
+    * would be partition-order dependent).
+    *
+    * Scale shape: identical to q216 — three keyed aggregates over one
+    * event scan, then arithmetic on the ≤ |types|·24-cell grid with 1-row
+    * broadcasts.
+    */
+  def q266CramersV: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val base = Tables.events(s, d)
+      .select(col("event_type"), expr("pmod(CAST(ts2 AS LONG) div 3600, 24)").as("hr"))
+    val cells = base.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("nxy"))
+    val byType = base.groupBy(col("event_type")).agg(count(lit(1)).as("nx"))
+    val byHour = base.groupBy(col("hr")).agg(count(lit(1)).as("ny"))
+    val tot = base.agg(count(lit(1)).as("nn"))
+    val dims = byType.agg(count(lit(1)).as("r"))
+      .crossJoin(broadcast(byHour.agg(count(lit(1)).as("c"))))
+    val e = col("nx").cast("double") * col("ny").cast("double") /
+      col("nn").cast("double")
+    val term = round((col("nxy").cast("double") - e)
+      * (col("nxy").cast("double") - e) / e, 6).cast(dec6)
+    val a = cells.join(byType, Seq("event_type"))
+      .join(broadcast(byHour), Seq("hr"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(term).as("chis"), big(max(col("nn"))).as("n"),
+        big(count(lit(1))).as("n_cells"))
+    a.crossJoin(broadcast(dims))
+      .select(col("n"), big(col("r")).as("r"), big(col("c")).as("c"),
+        col("n_cells"),
+        round(col("chis").cast("double"), 6).as("chi2"),
+        round(sqrt(col("chis").cast("double")
+          / (col("n").cast("double")
+            * least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q266_cramers_v" -> q266CramersV,
     "q263_bootstrap_ci" -> q263BootstrapCi,
     "q254_kanonymity" -> q254Kanonymity,
     "q249_behavior_entropy" -> q249BehaviorEntropy,
@@ -928,6 +971,33 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q266_cramers_v" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600) % 24 AS hr
+        |  FROM events),
+        |cells AS (SELECT event_type, hr, COUNT(*) AS nxy FROM base GROUP BY 1, 2),
+        |bt AS (SELECT event_type, COUNT(*) AS nx FROM base GROUP BY 1),
+        |bh AS (SELECT hr, COUNT(*) AS ny FROM base GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nn FROM base),
+        |j AS (
+        |  SELECT c0.nxy, nn,
+        |    CAST(ROUND((CAST(c0.nxy AS DOUBLE)
+        |        - CAST(bt.nx AS DOUBLE) * CAST(bh.ny AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(c0.nxy AS DOUBLE)
+        |        - CAST(bt.nx AS DOUBLE) * CAST(bh.ny AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / (CAST(bt.nx AS DOUBLE) * CAST(bh.ny AS DOUBLE) / CAST(nn AS DOUBLE)),
+        |      6) AS DECIMAL(18,6)) AS term
+        |  FROM cells c0 JOIN bt USING (event_type) JOIN bh USING (hr), tot),
+        |a AS (SELECT CAST(SUM(term) AS DOUBLE) AS chis,
+        |        CAST(MAX(nn) AS BIGINT) AS n,
+        |        CAST(COUNT(*) AS BIGINT) AS n_cells FROM j),
+        |dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bt) AS r,
+        |                (SELECT CAST(COUNT(*) AS BIGINT) FROM bh) AS c)
+        |SELECT n, r, c, n_cells, ROUND(chis, 6) AS chi2,
+        |  ROUND(SQRT(chis / (CAST(n AS DOUBLE)
+        |    * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+        |FROM a, dims""".stripMargin,
     "q263_bootstrap_ci" ->
       """WITH d AS (SELECT doc_id, n_chars FROM documents),
         |h AS (

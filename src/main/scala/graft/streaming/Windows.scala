@@ -1114,7 +1114,65 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q265: streaming Bollinger-band breakouts — q256's per-part rolling
+    * band detection run as data arrives, exact under PART-COMPLETE feed
+    * slicing: the feed is hash-partitioned by `l_partkey`, so every part's
+    * whole price series lands in ONE micro-batch and the per-batch window
+    * pass sees its full history (a part split across batches would score
+    * against a truncated window — the slicing is the correctness
+    * argument, stated and pinned). Each batch writes its additive brand
+    * counts to an idempotent `batch=<id>` summary; the drained merge
+    * derives the rate from merged counts and shares q256's DuckDB oracle
+    * verbatim.
+    *
+    * Scale shape: per-batch cost is q256's window pass over that batch's
+    * parts; the cross-batch state is the bounded per-brand count summary.
+    * In a production keyed stream the same argument holds per partition —
+    * a part never migrates between partitions, only between triggers,
+    * which is exactly what `flatMapGroupsWithState` would otherwise
+    * re-buffer.
+    */
+  def q265StreamBollinger: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q265_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      li.repartition(3, col("l_partkey")).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.Events.bollingerScored(batch.toDF())
+              .groupBy(col("l_partkey"))
+              .agg(count(lit(1)).as("n_eval"),
+                sum(when(col("up"), lit(1L)).otherwise(lit(0L))).as("n_up"),
+                sum(when(col("down"), lit(1L)).otherwise(lit(0L))).as("n_down"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val part = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      graft.Checkpoints.materialize(
+        s.read.parquet(sumDir)
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(big(sum(col("n_eval"))).as("evaluated"),
+            big(sum(col("n_up"))).as("breakouts_up"),
+            big(sum(col("n_down"))).as("breakouts_down"),
+            round((sum(col("n_up")) + sum(col("n_down"))).cast("double")
+              / sum(col("n_eval")).cast("double"), 6).as("breakout_rate"))
+          .orderBy(col("p_brand")))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q265_stream_bollinger" -> q265StreamBollinger,
     "q264_stream_kanonymity" -> q264StreamKanonymity,
     "q219_stream_topk" -> q219StreamTopk,
     "q201_stream_changepoint" -> q201StreamChangepoint,
@@ -1205,6 +1263,8 @@ object Windows {
         |FROM j, tot GROUP BY h, n_g ORDER BY h""".stripMargin,
     "q264_stream_kanonymity" ->
       graft.operators.Stats.oracles("q254_kanonymity"),
+    "q265_stream_bollinger" ->
+      graft.operators.Events.oracles("q256_bollinger_breakout"),
     "q175_stream_scd2" ->
       graft.operators.Events.oracles("q170_scd2"),
     "q121_stream_incremental_dedup" ->

@@ -78,6 +78,7 @@ class PlanAuditSpec extends SparkSpec {
     "q257_macro_f1", // q223's 100-row probe broadcast (shared kNN confusion chain)
     "q260_power_iteration", // 1-row max|u| broadcast normalizing the 64-row vector
     "q263_bootstrap_ci", // 1-row point-estimate broadcast beside the 32-row order stats
+    "q266_cramers_v", // 1-row total + 1-row (r, c) dims broadcasts over the bounded grid
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -108,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
     "q121_stream_incremental_dedup", "q140_stream_drift",
     "q152_stream_decontam", "q155_stream_ingest_dedup",
     "q158_stream_decontam_rewrite", "q192_stream_auc",
-    "q201_stream_changepoint", "q219_stream_topk", "q264_stream_kanonymity")
+    "q201_stream_changepoint", "q219_stream_topk", "q264_stream_kanonymity",
+    "q265_stream_bollinger")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -202,6 +202,33 @@ class StatsSpec extends SparkSpec {
     assert(orphans.select(countDistinct(col("fk"))).head().getLong(0) == 2)
   }
 
+  test("q266 cramers v: chi-square and effect size match a contingency replay; V in [0,1]") {
+    val rows = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("pmod(CAST(ts2 AS LONG) div 3600, 24)").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val n = rows.length.toDouble
+    val cells = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    val nx = rows.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val ny = rows.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val chi = cells.map { case ((t, h), o) =>
+      val e = nx(t).toDouble * ny(h).toDouble / n
+      r6((o - e) * (o - e) / e)
+    }.foldLeft(BigDecimal(0))(_ + _).doubleValue
+    val v = math.sqrt(chi / (n * math.min(nx.size - 1, ny.size - 1)))
+    val got = Stats.q266CramersV(spark, sf0001).collect()
+    assert(got.length === 1)
+    val g = got.head
+    assert(g.getLong(0) === rows.length.toLong)
+    assert(g.getLong(1) === nx.size.toLong && g.getLong(2) === ny.size.toLong)
+    assert(g.getLong(3) === cells.size.toLong)
+    assert(math.abs(g.getDouble(4) - chi) < 2e-6)
+    assert(math.abs(g.getDouble(5) - v) < 2e-6)
+    assert(g.getDouble(5) >= 0.0 && g.getDouble(5) <= 1.0)
+  }
+
   test("q254 k-anonymity: class counts and row risk match a driver replay; generalization monotone") {
     val rows = graft.Tables(spark, sf0001, "customer")
       .join(graft.Tables(spark, sf0001, "nation"),

@@ -567,6 +567,17 @@ class StreamingSpec extends SparkSpec {
       "restarted leaderboard diverged from the batch truth - state loss or double count")
   }
 
+  test("q265 stream bollinger: part-complete drain equals the q256 batch report") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val batch = rows(graft.operators.Events.q256BollingerBreakout(spark, sf0001))
+    val stream = rows(graft.streaming.Windows.q265StreamBollinger(spark, sf0001))
+    assert(stream === batch,
+      "part-complete slicing must make per-batch windows exact")
+    assert(batch.nonEmpty && batch.map(_._2).sum > 0)
+  }
+
   test("q264 stream k-anonymity: drained merge equals the q254 batch audit") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
