@@ -1167,7 +1167,59 @@ object Events {
     bollingerReport(bollingerScored(li), s, d)
   }
 
+  /** Q267: seasonality strength — per event type, how much of the hourly
+    * traffic variance the hour-of-day profile explains: strength =
+    * max(0, 1 − Var(residual)/Var(total)) over hourly counts, with the
+    * seasonal component = the 6-dp-rounded mean count of that hour-of-day.
+    * The STL-style decomposition a forecasting pipeline runs before
+    * trusting q236's seasonal-naive baseline.
+    *
+    * Determinism: total variance from exact integer moments (q99's
+    * shape); residuals are EXACT DECIMALS (integer count − 6-dp seasonal
+    * mean), so Σr and Σr² are exact decimal sums — the (38,6) cut on Σr²
+    * is provably midpoint-free (a square of a 6-dp decimal cannot end in
+    * …500000·10⁻¹²: k² ≡ 32 (mod 64) has no solution), and the scaled
+    * integers stay < 2⁵³ for the exact double conversion.
+    *
+    * Scale shape: two keyed aggregates (hourly, hour-of-day profile) +
+    * one keyed join + one per-type reduction — map-side combined
+    * throughout.
+    */
+  def q267SeasonalityStrength: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val hourly = events(s, d)
+      .select(col("event_type"), epochSec(col("ts2")).as("es"))
+      .select(col("event_type"), expr("es div 3600").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hd", expr("pmod(h, 24)"))
+    val prof = hourly.groupBy(col("event_type"), col("hd"))
+      .agg(round(sum(col("n")).cast("double") / count(lit(1)).cast("double"), 6)
+        .cast(dec6).as("s6"))
+    val joined = hourly.join(prof, Seq("event_type", "hd"))
+      .withColumn("r", col("n").cast(dec6) - col("s6"))
+    val a = joined.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+        sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .cast("double").as("rs1"),
+        sum(col("r") * col("r"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .cast("double").as("rs2"))
+    val cD = col("c").cast("double")
+    val varTot = col("s2").cast("double") / cD -
+      (col("s1").cast("double") / cD) * (col("s1").cast("double") / cD)
+    val varRes = col("rs2") / cD - (col("rs1") / cD) * (col("rs1") / cD)
+    a.select(col("event_type"), big(col("c")).as("n_hours"),
+      round(varTot, 6).as("var_total"),
+      round(varRes, 6).as("var_resid"),
+      round(greatest(lit(0.0), lit(1.0) - varRes / varTot), 6)
+        .as("seasonal_strength"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q267_seasonality_strength" -> q267SeasonalityStrength,
     "q256_bollinger_breakout" -> q256BollingerBreakout,
     "q252_strict_funnel" -> q252StrictFunnel,
     "q246_conversion_latency" -> q246ConversionLatency,
@@ -1222,6 +1274,45 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q267_seasonality_strength" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hh AS (SELECT event_type, h, n, h % 24 AS hd FROM hourly),
+        |prof AS (
+        |  SELECT event_type, hd,
+        |    CAST(ROUND(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS s6
+        |  FROM hh GROUP BY 1, 2),
+        |j AS (
+        |  SELECT hh.event_type, hh.n,
+        |    CAST(hh.n AS DECIMAL(18,6)) - s6 AS r
+        |  FROM hh JOIN prof ON hh.event_type = prof.event_type
+        |    AND hh.hd = prof.hd),
+        |a AS (
+        |  SELECT event_type, COUNT(*) AS c,
+        |    CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2,
+        |    CAST(CAST(SUM(r) AS DECIMAL(38,6)) AS DOUBLE) AS rs1,
+        |    CAST(CAST(SUM(CAST(r AS DECIMAL(19,6)) * r) AS DECIMAL(38,6))
+        |      AS DOUBLE) AS rs2
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, CAST(c AS BIGINT) AS n_hours,
+        |  ROUND(CAST(s2 AS DOUBLE) / CAST(c AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE)), 6) AS var_total,
+        |  ROUND(rs2 / CAST(c AS DOUBLE)
+        |    - (rs1 / CAST(c AS DOUBLE)) * (rs1 / CAST(c AS DOUBLE)), 6)
+        |    AS var_resid,
+        |  ROUND(GREATEST(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)
+        |    - (rs2 / CAST(c AS DOUBLE)
+        |       - (rs1 / CAST(c AS DOUBLE)) * (rs1 / CAST(c AS DOUBLE)))
+        |      / (CAST(s2 AS DOUBLE) / CAST(c AS DOUBLE)
+        |         - (CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+        |           * (CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE)))), 6)
+        |    AS seasonal_strength
+        |FROM a ORDER BY event_type""".stripMargin,
     "q256_bollinger_breakout" ->
       """WITH s AS (
         |  SELECT l_partkey, CAST(l_extendedprice AS DOUBLE) AS px,

@@ -761,7 +761,42 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Q268: embedding whitening audit — per-dimension mean and standard
+    * deviation of the corpus (q92's exact-decimal component sums), with
+    * drift and collapse flags: a dimension whose |mean| exceeds 0.05 is
+    * mis-centered, one whose σ falls below 0.1 carries almost no signal —
+    * the two checks run before any whitening/normalization transform is
+    * trusted. 64 rows, one per dimension.
+    *
+    * Scale shape: one posexplode pass with a 64-key map-side-combined
+    * aggregate; moments are DECIMAL(18,8) exact sums (the q92 precedent
+    * for double→decimal component casts), variance from the one shared
+    * IEEE tree.
+    */
+  def q268EmbeddingWhitening: Q = (s, d) => {
+    val dec8 = org.apache.spark.sql.types.DecimalType(18, 8)
+    val a = Tables(s, d, "embeddings")
+      .select(posexplode(asDouble(col("embedding"))))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("x").cast(dec8)).cast("double").as("s1"),
+        sum(col("x").cast(dec8) * col("x").cast(dec8))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 8))
+          .cast("double").as("s2"))
+    val cD = col("c").cast("double")
+    val mean = col("s1") / cD
+    val variance = col("s2") / cD - (col("s1") / cD) * (col("s1") / cD)
+    a.select(col("dim"), big(col("c")).as("n_vectors"),
+      round(mean, 6).as("mean"),
+      round(sqrt(greatest(variance, lit(0.0))), 6).as("std"),
+      (abs(round(mean, 6)) > lit(0.05)).as("drifted"),
+      (round(sqrt(greatest(variance, lit(0.0))), 6) < lit(0.1)).as("low_var"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q268_embedding_whitening" -> q268EmbeddingWhitening,
     "q260_power_iteration" -> q260PowerIteration,
     "q255_kcenter_coreset" -> q255KcenterCoreset,
     "q222_mmr_rerank" -> q222MmrRerank,
@@ -879,6 +914,24 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q268_embedding_whitening" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |ex AS (SELECT d.i AS dim, CAST(x[d.i] AS DECIMAL(18,8)) AS xv
+        |       FROM e, UNNEST(range(1, 65)) AS d(i)),
+        |a AS (SELECT dim, COUNT(*) AS c, CAST(SUM(xv) AS DOUBLE) AS s1,
+        |        CAST(CAST(SUM(CAST(xv AS DECIMAL(19,8)) * xv) AS DECIMAL(38,8))
+        |          AS DOUBLE) AS s2
+        |      FROM ex GROUP BY 1),
+        |m AS (SELECT dim, c, ROUND(s1 / CAST(c AS DOUBLE), 6) AS mean,
+        |        ROUND(SQRT(GREATEST(s2 / CAST(c AS DOUBLE)
+        |          - (s1 / CAST(c AS DOUBLE)) * (s1 / CAST(c AS DOUBLE)),
+        |          CAST(0 AS DOUBLE))), 6) AS std
+        |      FROM a)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(c AS BIGINT) AS n_vectors,
+        |  mean, std,
+        |  ABS(mean) > CAST(0.05 AS DOUBLE) AS drifted,
+        |  std < CAST(0.1 AS DOUBLE) AS low_var
+        |FROM m ORDER BY dim""".stripMargin,
     "q260_power_iteration" -> powerIterSql,
     "q255_kcenter_coreset" -> kcenterSql,
     "q222_mmr_rerank" -> mmrSql,

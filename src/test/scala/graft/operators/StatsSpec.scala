@@ -202,6 +202,67 @@ class StatsSpec extends SparkSpec {
     assert(orphans.select(countDistinct(col("fk"))).head().getLong(0) == 2)
   }
 
+  test("q267 seasonality strength: variance decomposition matches an hourly replay; strength in [0,1]") {
+    val rows = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val got = graft.operators.Events.q267SeasonalityStrength(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, nHours, varTot, varRes, strength) =>
+      val hourly = rows.filter(_._1 == t).groupBy(_._2)
+        .map { case (h, v) => (h, v.length.toLong) }.toSeq
+      assert(nHours === hourly.size.toLong)
+      val c = hourly.size.toDouble
+      val s1 = hourly.map(_._2).sum.toDouble
+      val s2 = hourly.map(x => x._2 * x._2).sum.toDouble
+      val vt = s2 / c - (s1 / c) * (s1 / c)
+      val prof = hourly.groupBy(_._1 % 24).map { case (hd, v) =>
+        hd -> r6(v.map(_._2).sum.toDouble / v.length) }
+      val res = hourly.map { case (h, n) => BigDecimal(n) - prof(h % 24) }
+      val rs1 = res.sum.toDouble
+      val rs2 = res.map(r0 => r0 * r0).sum.toDouble
+      val vr = rs2 / c - (rs1 / c) * (rs1 / c)
+      assert(math.abs(varTot - vt) < 2e-5, s"$t var_total")
+      assert(math.abs(varRes - vr) < 2e-5, s"$t var_resid")
+      assert(math.abs(strength - math.max(0.0, 1.0 - vr / vt)) < 2e-5, s"$t strength")
+      assert(strength >= 0.0 && strength <= 1.0)
+      assert(varRes <= varTot + 1e-9,
+        s"$t conditioning on hour-of-day cannot add variance")
+    }
+  }
+
+  test("q268 embedding whitening: per-dim moments match an exact-decimal replay") {
+    val vecs = graft.Tables(spark, sf0001, "embeddings")
+      .select(Similarity.asDouble(col("embedding"))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def d8(x: Double) = BigDecimal.valueOf(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val got = Similarity.q268EmbeddingWhitening(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(got.length === 64)
+    got.foreach { case (dim, n, mean, std, drifted, lowVar) =>
+      val xs = vecs.map(v => d8(v(dim.toInt - 1)))
+      assert(n === vecs.length.toLong)
+      val c = vecs.length.toDouble
+      val s1 = xs.sum.toDouble
+      val s2 = xs.map(x => x * x).sum.toDouble
+      val m = s1 / c
+      val v0 = s2 / c - m * m
+      assert(math.abs(mean - m) < 2e-6, s"dim $dim mean")
+      assert(math.abs(std - math.sqrt(math.max(v0, 0.0))) < 2e-6, s"dim $dim std")
+      assert(drifted === (math.abs(r6(m)) > 0.05), s"dim $dim drifted")
+      assert(lowVar === (r6(math.sqrt(math.max(v0, 0.0))) < 0.1), s"dim $dim low_var")
+    }
+  }
+
   test("q266 cramers v: chi-square and effect size match a contingency replay; V in [0,1]") {
     val rows = graft.Tables.events(spark, sf0001)
       .select(col("event_type"),
