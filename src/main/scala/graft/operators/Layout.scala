@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.Dsl.big
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -254,7 +255,51 @@ object Layout {
     }
   }
 
+  /** Q270: storage layout advisor — the partition-count planning pass a
+    * 100 TB deployment runs before writing: per table, estimate in-memory
+    * row width from the DATA (fixed 8/4-byte widths for
+    * numeric/timestamp columns, measured string bytes + 4-byte overhead
+    * per string column — a declared model, all integer arithmetic), then
+    * recommend the partition count that lands each shuffle partition near
+    * the 128 MiB target and the rows-per-partition that implies. The
+    * numbers feed `spark.sql.shuffle.partitions` /
+    * `spark.sql.files.maxPartitionBytes` sizing — the two knobs the
+    * builder prompt calls out for spill-aware scale.
+    *
+    * Scale shape: one map-side-combined aggregate per table (4 scans,
+    * each one row out); everything downstream is 4-row arithmetic.
+    */
+  def q270StorageAdvisor: Q = (s, d) => {
+    val target = 134217728L // 128 MiB
+    def advise(table: String, strCols: Seq[String], fixedBytes: Long): DataFrame = {
+      val t = Tables(s, d, table)
+      val strSum = strCols.map(c => sum(length(col(c)).cast("long")))
+        .reduce(_ + _)
+      t.agg(count(lit(1)).as("n_rows"), strSum.as("str_bytes"))
+        .select(lit(table).as("table_name"), big(col("n_rows")).as("n_rows"),
+          (col("str_bytes")
+            + col("n_rows") * lit(fixedBytes + 4L * strCols.size))
+            .as("total_bytes"))
+    }
+    val base = Seq(
+      advise("lineitem", Seq("l_returnflag", "l_linestatus"), 76L),
+      advise("orders", Seq("o_orderstatus", "o_orderpriority"), 32L),
+      advise("customer", Seq("c_name", "c_mktsegment"), 20L),
+      advise("documents", Seq("text", "lang", "source"), 16L))
+      .reduce(_ unionByName _)
+    val rec = expr(s"(total_bytes + ${target - 1}) div $target")
+    base.select(col("table_name"), col("n_rows"),
+      big(col("total_bytes")).as("total_bytes"),
+      round(col("total_bytes").cast("double")
+        / col("n_rows").cast("double"), 2).as("est_row_bytes"),
+      big(rec).as("rec_partitions"),
+      big(expr(s"n_rows div ((total_bytes + ${target - 1}) div $target)"))
+        .as("rows_per_partition"))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q270_storage_advisor" -> q270StorageAdvisor,
     "q181_skyline" -> q181Skyline,
     "q182_zorder" -> q182Zorder,
     "q183_minmax_prune" -> q183MinmaxPrune,
@@ -262,6 +307,36 @@ object Layout {
     "q200_compaction" -> q200Compaction)
 
   val oracles: Map[String, String] = Map(
+    "q270_storage_advisor" ->
+      """WITH a AS (
+        |  SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(length(l_returnflag)) + SUM(length(l_linestatus))
+        |      AS BIGINT) + COUNT(*) * 84 AS total_bytes
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders', COUNT(*),
+        |    CAST(SUM(length(o_orderstatus)) + SUM(length(o_orderpriority))
+        |      AS BIGINT) + COUNT(*) * 40
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'customer', COUNT(*),
+        |    CAST(SUM(length(c_name)) + SUM(length(c_mktsegment))
+        |      AS BIGINT) + COUNT(*) * 28
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'documents', COUNT(*),
+        |    CAST(SUM(length(text)) + SUM(length(lang)) + SUM(length(source))
+        |      AS BIGINT) + COUNT(*) * 28
+        |  FROM documents)
+        |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(total_bytes AS BIGINT) AS total_bytes,
+        |  ROUND(CAST(total_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE), 2)
+        |    AS est_row_bytes,
+        |  CAST((total_bytes + 134217727) // 134217728 AS BIGINT)
+        |    AS rec_partitions,
+        |  CAST(n_rows // ((total_bytes + 134217727) // 134217728) AS BIGINT)
+        |    AS rows_per_partition
+        |FROM a ORDER BY table_name""".stripMargin,
     "q196_hilbert" ->
       s"""WITH raw AS (
         |  SELECT o_custkey AS x,

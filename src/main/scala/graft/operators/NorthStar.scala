@@ -1502,7 +1502,34 @@ object NorthStar {
     "q42_langid" -> q42LangId,
     "q43_rolling_fp" -> q43RollingFp,
     "q44_multimodal" -> q44Multimodal,
-    "q122_frame_sample" -> q122FrameSample)
+    "q122_frame_sample" -> q122FrameSample,
+    "q269_frame_dedup" -> q269FrameDedup)
+
+  /** Q269: cross-video frame deduplication — fingerprint every sampled
+    * frame (q122's stride-4 slices through the typed codec boundary) by
+    * its byte content and report frames repeated across the corpus: the
+    * multimodal analog of q28's exact text dedup, the check a video
+    * pipeline runs for duplicated footage/test patterns before training.
+    * Fingerprint = the frame's hex byte string (16 bytes — at production
+    * frame sizes this becomes md5, same plan).
+    *
+    * Scale shape: one decode pass (mapPartitions only at the documented
+    * codec boundary), one fingerprint-keyed map-side-combined aggregate,
+    * TakeOrdered(50). The oracle rebuilds the same frames arithmetically
+    * from the GM1 layout (q122's technique) and groups in SQL.
+    */
+  def q269FrameDedup: Q = (s, d) => {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaTable(Tables(s, d, "documents")), stride = 4)
+    frames.select(col("doc_id"), lower(hex(col("frame_bytes"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(big(count(lit(1))).as("n_occurrences"),
+        big(countDistinct(col("doc_id"))).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(col("n_occurrences").desc, col("fp"))
+      .limit(50)
+  }
 
   /** DuckDB twins of the deterministic north-star queries (q35/q37/q39/q40/
     * q41 stay engine-only: approximate by design).
@@ -2173,6 +2200,26 @@ object NorthStar {
         |  MAX(width) AS max_w, MAX(height) AS max_h,
         |  CAST(SUM(frames) AS BIGINT) AS total_frames
         |FROM f GROUP BY format ORDER BY format""".stripMargin,
+    "q269_frame_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |    unhex('474D01' || printf('%02x', doc_id % 4) ||
+        |      printf('%02x', 1 + doc_id % 8) || printf('%02x', 1 + doc_id % 4) ||
+        |      array_to_string(list_transform(range(0, 32 + doc_id % 97),
+        |        i -> printf('%02x', (doc_id * 31 + i * 17) % 256)), '')) AS payload
+        |  FROM documents),
+        |d AS (SELECT doc_id, hex(payload) AS hx,
+        |    octet_length(payload) - 6 AS n_bytes FROM m
+        |  WHERE doc_id % 4 = 3),
+        |fr AS (SELECT doc_id, hx, u.i AS frame_no FROM d,
+        |    unnest(range(0, GREATEST(n_bytes // 64, 1))) AS u(i)),
+        |fp AS (SELECT doc_id,
+        |    lower(substr(hx, CAST(frame_no * 128 + 13 AS INT), 32)) AS fp
+        |  FROM fr)
+        |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS first_doc
+        |FROM fp GROUP BY fp HAVING COUNT(*) >= 2
+        |ORDER BY n_occurrences DESC, fp LIMIT 50""".stripMargin,
     "q122_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    unhex('474D01' || printf('%02x', doc_id % 4) ||

@@ -1992,6 +1992,57 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q269 frame dedup: repeated fingerprints match a GM1 byte replay") {
+    val ids = Tables(spark, sf0001, "documents")
+      .select($"doc_id").collect().map(_.getLong(0))
+    val frames = ids.filter(_ % 4 == 3).flatMap { id =>
+      val n = (32 + id % 97).toInt
+      val body = Array.tabulate(n)(i => ((id * 31 + i * 17) % 256).toInt)
+      val nFrames = math.max(n / 64, 1)
+      (0 until nFrames).map { f =>
+        val fp = (0 until 16).map(j => f"${body(f * 64 + j)}%02x").mkString
+        (id, fp)
+      }
+    }
+    val want = frames.groupBy(_._2).map { case (fp, g) =>
+      (fp, g.length.toLong, g.map(_._1).distinct.length.toLong, g.map(_._1).min)
+    }.filter(_._2 >= 2).toSeq
+      .sortBy { case (fp, n, _, _) => (-n, fp) }.take(50)
+    val got = graft.operators.NorthStar.q269FrameDedup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want)
+    assert(got.nonEmpty, "the 256-value byte cycle must collide somewhere")
+  }
+
+  test("q270 storage advisor: byte model and partition plan match a collected replay") {
+    val target = 134217728L
+    val specs = Seq(
+      ("lineitem", Seq("l_returnflag", "l_linestatus"), 76L),
+      ("orders", Seq("o_orderstatus", "o_orderpriority"), 32L),
+      ("customer", Seq("c_name", "c_mktsegment"), 20L),
+      ("documents", Seq("text", "lang", "source"), 16L))
+    val want = specs.map { case (t, strCols, fixed) =>
+      val rows = Tables(spark, sf0001, t).collect()
+      val strBytes = rows.map(r =>
+        strCols.map(c => r.getAs[String](c).length.toLong).sum).sum
+      val total = strBytes + rows.length * (fixed + 4L * strCols.size)
+      val rec = (total + target - 1) / target
+      (t, rows.length.toLong, total,
+        BigDecimal.valueOf(total.toDouble / rows.length)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).doubleValue,
+        rec, rows.length / rec)
+    }.sortBy(_._1)
+    val got = graft.operators.Layout.q270StorageAdvisor(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want)
+    got.foreach { case (_, n, total, erb, rec, rpp) =>
+      assert(rec >= 1L && rpp <= n)
+      assert(total >= n, "every row carries at least its fixed width")
+      assert(erb > 0.0)
+    }
+  }
+
   test("q262 fuzzy dedup clusters: sizes match a union-find replay over the blocked pairs") {
     def lev2(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
