@@ -446,7 +446,41 @@ object Relational {
       .orderBy(col("month_idx"))
   }
 
+  /** Q271: the SQL ENTRY PATH — the same engine through `spark.sql` text
+    * over registered temp views (CTEs + joins + exact-decimal aggregate +
+    * window + top-k), the surface the reference explicitly lacks
+    * (SURVEY §2.2: "no SQL parser"). The query is a TPC-H-Q3-shaped
+    * shipping-priority report; semantics follow every D-rule (D2 total
+    * order, D3 decimal-before-sum with the exact-cut (38,4) surface, the
+    * dateStr cast discipline). The rank window runs over the
+    * TakeOrdered-bounded 10-row top relation, never the order population.
+    */
+  def q271SqlSurface: Q = (s, d) => {
+    Tables(s, d, "customer").createOrReplaceTempView("q271_customer")
+    Tables(s, d, "orders").createOrReplaceTempView("q271_orders")
+    Tables(s, d, "lineitem").createOrReplaceTempView("q271_lineitem")
+    s.sql(
+      """WITH cust AS (
+        |  SELECT c_custkey FROM q271_customer WHERE c_mktsegment = 'BUILDING'),
+        |rev AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS revenue
+        |  FROM q271_orders JOIN cust ON o_custkey = c_custkey
+        |  JOIN q271_lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey, CAST(o_orderdate AS DATE)),
+        |top AS (
+        |  SELECT o_orderkey, CAST(odate AS STRING) AS order_date, revenue
+        |  FROM rev ORDER BY revenue DESC, o_orderkey LIMIT 10)
+        |SELECT o_orderkey, order_date, revenue,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey)
+        |    AS BIGINT) AS rk
+        |FROM top ORDER BY rk""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q271_sql_surface" -> q271SqlSurface,
     "q247_yoy_growth" -> q247YoyGrowth,
     "q245_share_of_parent" -> q245ShareOfParent,
     "q106_incremental_agg" -> q106IncrementalAgg,
@@ -475,6 +509,24 @@ object Relational {
     "q23_math" -> q23Math)
 
   val oracles: Map[String, String] = Map(
+    "q271_sql_surface" ->
+      """WITH cust AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |rev AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS revenue
+        |  FROM orders JOIN cust ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey, CAST(o_orderdate AS DATE)),
+        |top AS (
+        |  SELECT o_orderkey, CAST(odate AS VARCHAR) AS order_date, revenue
+        |  FROM rev ORDER BY revenue DESC, o_orderkey LIMIT 10)
+        |SELECT o_orderkey, order_date, revenue,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey)
+        |    AS BIGINT) AS rk
+        |FROM top ORDER BY rk""".stripMargin,
     "q247_yoy_growth" ->
       """WITH m AS (
         |  SELECT YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS m,

@@ -100,7 +100,8 @@ class PlanAuditSpec extends SparkSpec {
     "q190_auc" -> "cumsum over the bounded (score -> counts) summary (2-decimal score domain, the q138 count-of-counts argument), never the rows",
     "q210_kaplan_meier" -> "at-risk/product-limit cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span), never the customers",
     "q235_gains_curve" -> "prefix sums over the bounded (score -> counts) summary (q190's 2-decimal-domain collapse), never the rows",
-    "q239_rank_movers" -> "rank windows over the bounded top-100 TakeOrdered relation, never the catalog")
+    "q239_rank_movers" -> "rank windows over the bounded top-100 TakeOrdered relation, never the catalog",
+    "q271_sql_surface" -> "row_number over the TakeOrdered-bounded 10-row top relation, never the order population")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

@@ -1992,6 +1992,29 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q271 sql surface: the spark.sql text equals the equivalent DataFrame formulation") {
+    val got = Relational.q271SqlSurface(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // independent DataFrame-API formulation of the same declared semantics
+    val cust = Tables(spark, sf0001, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val want = Tables(spark, sf0001, "orders")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(Tables(spark, sf0001, "lineitem"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate".cast("date").as("odate"))
+      .agg(sum($"l_extendedprice".cast("decimal(12,4)")
+        * (lit(1) - $"l_discount").cast("decimal(12,4)"))
+        .cast("decimal(38,4)").cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey").limit(10)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+    assert(got.length === 10)
+    got.zip(want).zipWithIndex.foreach { case (((gk, gd, gr, grk), (wk, wd, wr)), i) =>
+      assert(gk === wk && gd === wd && grk === i + 1L)
+      assert(math.abs(gr - wr) < 1e-9)
+    }
+  }
+
   test("q269 frame dedup: repeated fingerprints match a GM1 byte replay") {
     val ids = Tables(spark, sf0001, "documents")
       .select($"doc_id").collect().map(_.getLong(0))
