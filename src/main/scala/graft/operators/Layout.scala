@@ -298,7 +298,53 @@ object Layout {
       .orderBy(col("table_name"))
   }
 
+  /** Q274: dictionary-encoding advisor — q270's sibling for COLUMN
+    * encoding: per declared string column, measure raw bytes vs the
+    * dictionary cost (distinct-value bytes + 2-byte codes per row, the
+    * declared model) and recommend encoding where it wins. Low-cardinality
+    * columns (flags, segments, priorities) win by orders of magnitude;
+    * near-unique ones (names) lose — the report shows both, measured.
+    *
+    * Scale shape: one value-keyed count per column (map-side combined —
+    * the group count carries both the distinct set and the row mass), one
+    * 1-row reduction each; output is |columns| rows of integer arithmetic.
+    */
+  def q274DictionaryAdvisor: Q = (s, d) => {
+    def colAdvice(t: String, c: String): DataFrame = {
+      val g = Tables(s, d, t).groupBy(col(c))
+        .agg(count(lit(1)).as("cnt"))
+      val codeBytes = when(col("n_distinct") <= 256L, lit(1L)).otherwise(lit(2L))
+      g.agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * length(col(c)).cast("long")).as("raw_bytes"),
+        sum(length(col(c)).cast("long")).as("dict_val_bytes"))
+        .select(lit(s"$t.$c").as("column_name"),
+          big(col("n_rows")).as("n_rows"),
+          big(col("n_distinct")).as("n_distinct"),
+          big(col("raw_bytes")).as("raw_bytes"),
+          big(col("dict_val_bytes") + codeBytes * col("n_rows"))
+            .as("dict_bytes"),
+          big(col("raw_bytes")
+            - (col("dict_val_bytes") + codeBytes * col("n_rows")))
+            .as("savings_bytes"),
+          (col("raw_bytes")
+            - (col("dict_val_bytes") + codeBytes * col("n_rows")) > 0L)
+            .as("recommend"))
+    }
+    Seq(
+      colAdvice("lineitem", "l_returnflag"),
+      colAdvice("orders", "o_orderpriority"),
+      colAdvice("customer", "c_mktsegment"),
+      colAdvice("customer", "c_name"),
+      colAdvice("part", "p_brand"),
+      colAdvice("part", "p_type"),
+      colAdvice("documents", "lang"),
+      colAdvice("documents", "source"))
+      .reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q274_dictionary_advisor" -> q274DictionaryAdvisor,
     "q270_storage_advisor" -> q270StorageAdvisor,
     "q181_skyline" -> q181Skyline,
     "q182_zorder" -> q182Zorder,
@@ -307,6 +353,59 @@ object Layout {
     "q200_compaction" -> q200Compaction)
 
   val oracles: Map[String, String] = Map(
+    "q274_dictionary_advisor" ->
+      """WITH a AS (
+        |  SELECT 'lineitem.l_returnflag' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * length(l_returnflag)) AS BIGINT) AS raw_bytes,
+        |    CAST(SUM(length(l_returnflag)) + (CASE WHEN COUNT(*) <= 256 THEN 1 ELSE 2 END) * SUM(cnt) AS BIGINT) AS dict_bytes
+        |  FROM (SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'orders.o_orderpriority' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * length(o_orderpriority)) AS BIGINT) AS raw_bytes,
+        |    CAST(SUM(length(o_orderpriority)) + (CASE WHEN COUNT(*) <= 256 THEN 1 ELSE 2 END) * SUM(cnt) AS BIGINT) AS dict_bytes
+        |  FROM (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'customer.c_mktsegment' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * length(c_mktsegment)) AS BIGINT) AS raw_bytes,
+        |    CAST(SUM(length(c_mktsegment)) + (CASE WHEN COUNT(*) <= 256 THEN 1 ELSE 2 END) * SUM(cnt) AS BIGINT) AS dict_bytes
+        |  FROM (SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'customer.c_name' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * length(c_name)) AS BIGINT) AS raw_bytes,
+        |    CAST(SUM(length(c_name)) + (CASE WHEN COUNT(*) <= 256 THEN 1 ELSE 2 END) * SUM(cnt) AS BIGINT) AS dict_bytes
+        |  FROM (SELECT c_name, COUNT(*) AS cnt FROM customer GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'part.p_brand' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * length(p_brand)) AS BIGINT) AS raw_bytes,
+        |    CAST(SUM(length(p_brand)) + (CASE WHEN COUNT(*) <= 256 THEN 1 ELSE 2 END) * SUM(cnt) AS BIGINT) AS dict_bytes
+        |  FROM (SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'part.p_type' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * length(p_type)) AS BIGINT) AS raw_bytes,
+        |    CAST(SUM(length(p_type)) + (CASE WHEN COUNT(*) <= 256 THEN 1 ELSE 2 END) * SUM(cnt) AS BIGINT) AS dict_bytes
+        |  FROM (SELECT p_type, COUNT(*) AS cnt FROM part GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'documents.lang' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * length(lang)) AS BIGINT) AS raw_bytes,
+        |    CAST(SUM(length(lang)) + (CASE WHEN COUNT(*) <= 256 THEN 1 ELSE 2 END) * SUM(cnt) AS BIGINT) AS dict_bytes
+        |  FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'documents.source' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(cnt * length(source)) AS BIGINT) AS raw_bytes,
+        |    CAST(SUM(length(source)) + (CASE WHEN COUNT(*) <= 256 THEN 1 ELSE 2 END) * SUM(cnt) AS BIGINT) AS dict_bytes
+        |  FROM (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1))
+        |SELECT column_name, n_rows, n_distinct, raw_bytes, dict_bytes,
+        |  CAST(raw_bytes - dict_bytes AS BIGINT) AS savings_bytes,
+        |  raw_bytes - dict_bytes > 0 AS recommend
+        |FROM a ORDER BY column_name""".stripMargin,
     "q270_storage_advisor" ->
       """WITH a AS (
         |  SELECT 'lineitem' AS table_name, COUNT(*) AS n_rows,

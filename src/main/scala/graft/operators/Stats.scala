@@ -828,7 +828,55 @@ object Stats {
           .as("cramers_v"))
   }
 
+  /** Q273: joinable-key discovery — the data-catalog pass that finds WHICH
+    * columns join: pairwise containment (|A∩B| / |A|, both directions) of
+    * the distinct-value sets of every declared key-typed column across
+    * the warehouse, reporting pairs where either direction reaches 0.5.
+    * Finds the FK edges q187 audits without being told them — and any
+    * accidental key overlap a migration introduced.
+    *
+    * Scale shape: ONE union of per-column distinct sets (each map-side
+    * distinct), one value-keyed self-join whose fan-out is bounded by the
+    * column count (≤ 14 tags per value ⇒ ≤ 91 pairs), two broadcast-size
+    * count joins. Shuffle ∝ Σ distinct values, never rows².
+    */
+  def q273JoinDiscovery: Q = (s, d) => {
+    val keyCols = Seq(
+      ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"), ("orders", "o_orderkey"),
+      ("orders", "o_custkey"), ("customer", "c_custkey"),
+      ("customer", "c_nationkey"), ("part", "p_partkey"),
+      ("supplier", "s_suppkey"), ("nation", "n_nationkey"),
+      ("nation", "n_regionkey"), ("region", "r_regionkey"),
+      ("documents", "doc_id"), ("embeddings", "vec_id"))
+    val sets = graft.Checkpoints.materialize(
+      keyCols.map { case (t, c) =>
+        Tables(s, d, t)
+          .select(lit(s"$t.$c").as("cname"), col(c).cast("long").as("v"))
+          .distinct()
+      }.reduce(_ unionByName _))
+    val counts = sets.groupBy(col("cname")).agg(count(lit(1)).as("n"))
+    val inter = sets.select(col("cname").as("ca"), col("v"))
+      .join(sets.select(col("cname").as("cb"), col("v")), Seq("v"))
+      .filter(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("cname").as("ca"), col("n").as("na")), Seq("ca"))
+      .join(counts.select(col("cname").as("cb"), col("n").as("nb")), Seq("cb"))
+      .withColumn("containment_ab",
+        round(col("inter").cast("double") / col("na").cast("double"), 6))
+      .withColumn("containment_ba",
+        round(col("inter").cast("double") / col("nb").cast("double"), 6))
+      .filter(greatest(col("containment_ab"), col("containment_ba")) >= 0.5)
+      .select(col("ca").as("col_a"), col("cb").as("col_b"),
+        big(col("na")).as("n_a"), big(col("nb")).as("n_b"),
+        big(col("inter")).as("n_common"),
+        col("containment_ab"), col("containment_ba"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q273_join_discovery" -> q273JoinDiscovery,
     "q266_cramers_v" -> q266CramersV,
     "q263_bootstrap_ci" -> q263BootstrapCi,
     "q254_kanonymity" -> q254Kanonymity,
@@ -971,6 +1019,51 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q273_join_discovery" ->
+      """WITH sets AS MATERIALIZED (
+        |  SELECT DISTINCT 'lineitem.l_orderkey' AS cname, CAST(l_orderkey AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT DISTINCT 'lineitem.l_partkey' AS cname, CAST(l_partkey AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT DISTINCT 'lineitem.l_suppkey' AS cname, CAST(l_suppkey AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT DISTINCT 'orders.o_orderkey' AS cname, CAST(o_orderkey AS BIGINT) AS v FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT 'orders.o_custkey' AS cname, CAST(o_custkey AS BIGINT) AS v FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT 'customer.c_custkey' AS cname, CAST(c_custkey AS BIGINT) AS v FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT 'customer.c_nationkey' AS cname, CAST(c_nationkey AS BIGINT) AS v FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT 'part.p_partkey' AS cname, CAST(p_partkey AS BIGINT) AS v FROM part
+        |  UNION ALL
+        |  SELECT DISTINCT 'supplier.s_suppkey' AS cname, CAST(s_suppkey AS BIGINT) AS v FROM supplier
+        |  UNION ALL
+        |  SELECT DISTINCT 'nation.n_nationkey' AS cname, CAST(n_nationkey AS BIGINT) AS v FROM nation
+        |  UNION ALL
+        |  SELECT DISTINCT 'nation.n_regionkey' AS cname, CAST(n_regionkey AS BIGINT) AS v FROM nation
+        |  UNION ALL
+        |  SELECT DISTINCT 'region.r_regionkey' AS cname, CAST(r_regionkey AS BIGINT) AS v FROM region
+        |  UNION ALL
+        |  SELECT DISTINCT 'documents.doc_id' AS cname, CAST(doc_id AS BIGINT) AS v FROM documents
+        |  UNION ALL
+        |  SELECT DISTINCT 'embeddings.vec_id' AS cname, CAST(vec_id AS BIGINT) AS v FROM embeddings),
+        |counts AS (SELECT cname, COUNT(*) AS n FROM sets GROUP BY 1),
+        |inter AS (
+        |  SELECT a.cname AS ca, b.cname AS cb, COUNT(*) AS inter
+        |  FROM sets a JOIN sets b ON a.v = b.v AND a.cname < b.cname
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT ca AS col_a, cb AS col_b,
+        |    CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |    CAST(inter AS BIGINT) AS n_common,
+        |    ROUND(CAST(inter AS DOUBLE) / CAST(na.n AS DOUBLE), 6) AS containment_ab,
+        |    ROUND(CAST(inter AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS containment_ba
+        |  FROM inter JOIN counts na ON ca = na.cname
+        |    JOIN counts nb ON cb = nb.cname)
+        |SELECT * FROM j
+        |WHERE GREATEST(containment_ab, containment_ba) >= 0.5
+        |ORDER BY col_a, col_b""".stripMargin,
     "q266_cramers_v" ->
       """WITH base AS (
         |  SELECT event_type,

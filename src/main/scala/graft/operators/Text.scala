@@ -1474,7 +1474,55 @@ object Text {
       .orderBy(col("n_members").desc, col("cluster"))
   }
 
+  /** Q272: saturation-aware blocked fuzzy join — the production fix for
+    * the slope DebugWaveScale measured on q258: blocks are HIERARCHICAL.
+    * Pairs form under the (token₁ × token₂) key only where that block
+    * holds ≤ 64 members; oversized blocks refine to (token₁ × token₂ ×
+    * token₃) before pairing, so per-block fan-out stays capped as the
+    * corpus grows and the quadratic term never materializes (at the cost
+    * of missing cross-refined-block matches inside saturated keys — the
+    * declared recall trade every production blocker makes). Same ranking
+    * surface as q258: Levenshtein over 40-char heads, global top-20 under
+    * the (dist, k1, k2) total order.
+    *
+    * Scale shape: one block histogram (the q205-style gate, INSIDE the
+    * operator), two block-keyed equi-joins over disjoint member sets,
+    * TakeOrdered(20). DebugWaveScale runs this next to q258 so the slope
+    * difference is measured, not asserted.
+    */
+  def q272FuzzyJoinCapped: Q = (s, d) => {
+    val cap = 64L
+    val names = Tables(s, d, "documents")
+      .select(col("doc_id").as("k"), substring(col("text"), 1, 40).as("nm"),
+        coalesce(element_at(split(col("text"), " "), 1), lit("")).as("w0"),
+        coalesce(element_at(split(col("text"), " "), 2), lit("")).as("w1"),
+        coalesce(element_at(split(col("text"), " "), 3), lit("")).as("w2"))
+    val sizes = names.groupBy(col("w0"), col("w1"))
+      .agg(count(lit(1)).as("bsz"))
+    val tagged = names.join(sizes, Seq("w0", "w1"))
+    val small = tagged.filter(col("bsz") <= cap)
+    val bigBlocks = tagged.filter(col("bsz") > cap)
+    def pairsOf(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val a = df.select(
+        (Seq(col("k").as("k1"), col("nm").as("n1")) ++ keys.map(col)): _*)
+      val b = df.select(
+        (Seq(col("k").as("k2"), col("nm").as("n2")) ++ keys.map(col)): _*)
+      a.join(b, keys).filter(col("k1") < col("k2"))
+        .select(col("k1"), col("k2"),
+          big(levenshtein(col("n1"), col("n2"))).as("dist"),
+          greatest(length(col("n1")), length(col("n2"))).as("mxl"))
+    }
+    pairsOf(small, Seq("w0", "w1"))
+      .unionByName(pairsOf(bigBlocks, Seq("w0", "w1", "w2")))
+      .select(col("k1"), col("k2"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double")
+          / col("mxl").cast("double"), 6).as("sim"))
+      .orderBy(col("dist"), col("k1"), col("k2"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q272_fuzzy_join_capped" -> q272FuzzyJoinCapped,
     "q262_fuzzy_dedup_clusters" -> q262FuzzyDedupClusters,
     "q261_greedy_maxcover" -> q261GreedyMaxcover,
     "q258_fuzzy_blocked_join" -> q258FuzzyBlockedJoin,
@@ -1560,6 +1608,33 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q272_fuzzy_join_capped" ->
+      """WITH nm AS (
+        |  SELECT doc_id AS k, substring(text, 1, 40) AS nm,
+        |    split_part(text, ' ', 1) AS w0,
+        |    split_part(text, ' ', 2) AS w1,
+        |    split_part(text, ' ', 3) AS w2
+        |  FROM documents),
+        |sz AS (SELECT w0, w1, COUNT(*) AS bsz FROM nm GROUP BY 1, 2),
+        |t AS (SELECT nm.*, bsz FROM nm JOIN sz USING (w0, w1)),
+        |p2 AS (
+        |  SELECT a.k AS k1, b.k AS k2,
+        |    CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+        |    GREATEST(length(a.nm), length(b.nm)) AS mxl
+        |  FROM t a JOIN t b ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.k < b.k
+        |  WHERE a.bsz <= 64 AND b.bsz <= 64),
+        |p3 AS (
+        |  SELECT a.k AS k1, b.k AS k2,
+        |    CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+        |    GREATEST(length(a.nm), length(b.nm)) AS mxl
+        |  FROM t a JOIN t b ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.w2 = b.w2
+        |    AND a.k < b.k
+        |  WHERE a.bsz > 64 AND b.bsz > 64),
+        |u AS (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+        |SELECT k1, k2, dist,
+        |  ROUND(CAST(1 AS DOUBLE) - CAST(dist AS DOUBLE)
+        |    / CAST(mxl AS DOUBLE), 6) AS sim
+        |FROM u ORDER BY dist, k1, k2 LIMIT 20""".stripMargin,
     "q262_fuzzy_dedup_clusters" ->
       """WITH RECURSIVE nm AS (
         |  SELECT doc_id AS k, substring(text, 1, 40) AS nm,

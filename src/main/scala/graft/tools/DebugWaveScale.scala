@@ -72,6 +72,7 @@ object DebugWaveScale {
       val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
         "q255_kcenter_coreset" -> graft.operators.Similarity.q255KcenterCoreset,
         "q258_fuzzy_blocked_join" -> graft.operators.Text.q258FuzzyBlockedJoin,
+        "q272_fuzzy_join_capped" -> graft.operators.Text.q272FuzzyJoinCapped,
         "q259_textrank_keywords" -> graft.operators.Text.q259TextrankKeywords,
         "q261_greedy_maxcover" -> graft.operators.Text.q261GreedyMaxcover,
         "q262_fuzzy_dedup_clusters" -> graft.operators.Text.q262FuzzyDedupClusters,

@@ -263,6 +263,71 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q273 join discovery: containments match a set replay; FK edges surface at 1.0") {
+    val keyCols = Seq(
+      ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"), ("orders", "o_orderkey"),
+      ("orders", "o_custkey"), ("customer", "c_custkey"),
+      ("customer", "c_nationkey"), ("part", "p_partkey"),
+      ("supplier", "s_suppkey"), ("nation", "n_nationkey"),
+      ("nation", "n_regionkey"), ("region", "r_regionkey"),
+      ("documents", "doc_id"), ("embeddings", "vec_id"))
+    val sets = keyCols.map { case (t, c) =>
+      s"$t.$c" -> graft.Tables(spark, sf0001, t)
+        .select(col(c).cast("long")).collect().map(_.getLong(0)).toSet
+    }.toMap
+    val got = Stats.q273JoinDiscovery(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+    got.foreach { case ((a, b), (na, nb, common, cab, cba)) =>
+      assert(a < b)
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toLong
+      assert(na === sa.size.toLong && nb === sb.size.toLong && common === inter)
+      assert(math.abs(cab - inter.toDouble / sa.size) < 2e-6)
+      assert(math.abs(cba - inter.toDouble / sb.size) < 2e-6)
+      assert(math.max(cab, cba) >= 0.5 - 1e-9)
+    }
+    // the true FK edges must surface with full containment on the FK side
+    val gmap = got.toMap
+    def c(a: String, b: String) = gmap(if (a < b) (a, b) else (b, a))
+    assert(c("lineitem.l_orderkey", "orders.o_orderkey")._4 >= 0.999 ||
+      c("lineitem.l_orderkey", "orders.o_orderkey")._5 >= 0.999)
+    assert(c("orders.o_custkey", "customer.c_custkey")._4 >= 0.999 ||
+      c("orders.o_custkey", "customer.c_custkey")._5 >= 0.999)
+  }
+
+  test("q274 dictionary advisor: byte model matches a replay; flags split by cardinality") {
+    val specs = Seq(("lineitem", "l_returnflag"), ("orders", "o_orderpriority"),
+      ("customer", "c_mktsegment"), ("customer", "c_name"),
+      ("part", "p_brand"), ("part", "p_type"),
+      ("documents", "lang"), ("documents", "source"))
+    val got = graft.operators.Layout.q274DictionaryAdvisor(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.length === specs.length)
+    val bySpec = got.map(t => t._1 -> t).toMap
+    specs.foreach { case (t, c) =>
+      val vals = graft.Tables(spark, sf0001, t)
+        .select(col(c)).collect().map(_.getString(0))
+      val (_, n, nd, raw, dict, savings, rec) = bySpec(s"$t.$c")
+      assert(n === vals.length.toLong)
+      assert(nd === vals.distinct.length.toLong)
+      assert(raw === vals.map(_.length.toLong).sum)
+      val codeBytes = if (vals.distinct.length <= 256) 1L else 2L
+      assert(dict === vals.distinct.map(_.length.toLong).sum
+        + codeBytes * vals.length)
+      assert(savings === raw - dict)
+      assert(rec === (savings > 0))
+    }
+    // low-cardinality WIDE values win; near-unique names and 1-char flags
+    // lose (a 1-byte code cannot beat a 1-char value — honest physics)
+    assert(bySpec("orders.o_orderpriority")._7 === true)
+    assert(bySpec("customer.c_name")._7 === false)
+    assert(bySpec("lineitem.l_returnflag")._7 === false)
+  }
+
   test("q266 cramers v: chi-square and effect size match a contingency replay; V in [0,1]") {
     val rows = graft.Tables.events(spark, sf0001)
       .select(col("event_type"),

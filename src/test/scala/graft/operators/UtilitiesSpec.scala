@@ -1992,6 +1992,56 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q272 capped fuzzy join: hierarchical blocking matches a replay; small-block pairs agree with q258") {
+    def lev3(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tok(t: String, i: Int): String = {
+      val p = t.split(" ", -1); if (p.length > i) p(i) else ""
+    }
+    val heads = docs.map { case (id, t) =>
+      (id, t.take(40), tok(t, 0), tok(t, 1), tok(t, 2)) }
+    val sz = heads.groupBy(t => (t._3, t._4)).map { case (k, v) => k -> v.length }
+    def pairs(g: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] =
+      for (a <- g; b <- g if a._1 < b._1) yield
+        (lev3(a._2, b._2).toLong, a._1, b._1,
+          math.max(a._2.length, b._2.length).toLong)
+    val small = heads.filter(t => sz((t._3, t._4)) <= 64)
+      .groupBy(t => (t._3, t._4)).values
+      .flatMap(g => pairs(g.toSeq.map(t => (t._1, t._2))))
+    val big0 = heads.filter(t => sz((t._3, t._4)) > 64)
+      .groupBy(t => (t._3, t._4, t._5)).values
+      .flatMap(g => pairs(g.toSeq.map(t => (t._1, t._2))))
+    val want = (small ++ big0).toSeq.sortBy(t => (t._1, t._2, t._3)).take(20)
+    val got = Text.q272FuzzyJoinCapped(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case ((k1, k2, dist, sim), (wd, wa, wb, wl)) =>
+      assert(k1 === wa && k2 === wb && dist === wd)
+      assert(math.abs(sim - (1.0 - wd.toDouble / wl)) < 2e-6)
+    }
+    // on a corpus where NO block exceeds the cap, q272 degenerates to q258
+    if (sz.values.forall(_ <= 64)) {
+      val base = Text.q258FuzzyBlockedJoin(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(t => (t._1, t._2, t._3)).toSeq === base.toSeq,
+        "cap never triggered, so the two operators must agree")
+    }
+  }
+
   test("q271 sql surface: the spark.sql text equals the equivalent DataFrame formulation") {
     val got = Relational.q271SqlSurface(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
