@@ -563,7 +563,52 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Q275: personalized PageRank — q81's integer fixed-point loop with the
+    * RESTART MASS confined to a seed set (the 5 highest-degree co-purchase
+    * parts, ties by id): the "related to THESE items" relevance ranking a
+    * recommender serves, where q81 ranks global importance. Non-seed nodes
+    * receive mass only through links, so the ranking localizes around the
+    * seeds; 3 damped iterations, all long arithmetic (base 150000 on
+    * seeds, `(85·Σ r div d) div 100` propagation), top-25.
+    *
+    * Scale shape: q81's edge build + per-iteration edge-keyed join/agg,
+    * plus one broadcast 5-row seed join per iteration.
+    */
+  def q275PersonalizedPagerank: Q = (s, d) => {
+    val par = s.sparkContext.defaultParallelism
+    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(par, col("l_orderkey"))
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val contrib = graft.Checkpoints.materialize(
+      edges.join(deg, Seq("src")).repartition(par, col("src")))
+    val seeds = graft.Checkpoints.materialize(
+      deg.orderBy(col("d").desc, col("src")).limit(5)
+        .select(col("src").as("seed")))
+    var rank = deg.join(seeds, deg("src") === col("seed"), "left")
+      .select(col("src").as("node"),
+        when(col("seed").isNotNull, lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to 3) {
+      rank = contrib.join(rank, contrib("src") === rank("node"))
+        .groupBy(col("dst"))
+        .agg(expr("(85 * sum(r div d)) div 100").as("prop"))
+        .join(broadcast(seeds), col("dst") === col("seed"), "left")
+        .select(col("dst").as("node"),
+          (when(col("seed").isNotNull, lit(150000L)).otherwise(lit(0L))
+            + col("prop")).as("r"))
+    }
+    rank.filter(col("r") > 0L)
+      .select(col("node"), big(col("r")).as("r"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q275_personalized_pagerank" -> q275PersonalizedPagerank,
     "q253_ndcg_mrr" -> q253NdcgMrr,
     "q237_weighted_sssp" -> q237WeightedSssp,
     "q234_rec_holdout_eval" -> q234RecHoldoutEval,
@@ -700,6 +745,40 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q275_personalized_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, COUNT(*) AS d FROM pairs GROUP BY src),
+        |seeds AS (SELECT src AS seed FROM deg ORDER BY d DESC, src LIMIT 5),
+        |r0 AS (SELECT deg.src AS node,
+        |         CASE WHEN seed IS NOT NULL THEN CAST(1000000 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS r
+        |       FROM deg LEFT JOIN seeds ON deg.src = seed),
+        |r1 AS (
+        |  SELECT p.dst AS node,
+        |    CAST(CASE WHEN s.seed IS NOT NULL THEN 150000 ELSE 0 END
+        |      + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+        |  FROM pairs p JOIN r0 r ON p.src = r.node JOIN deg d ON p.src = d.src
+        |  LEFT JOIN seeds s ON p.dst = s.seed
+        |  GROUP BY p.dst, s.seed),
+        |r2 AS (
+        |  SELECT p.dst AS node,
+        |    CAST(CASE WHEN s.seed IS NOT NULL THEN 150000 ELSE 0 END
+        |      + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+        |  FROM pairs p JOIN r1 r ON p.src = r.node JOIN deg d ON p.src = d.src
+        |  LEFT JOIN seeds s ON p.dst = s.seed
+        |  GROUP BY p.dst, s.seed),
+        |r3 AS (
+        |  SELECT p.dst AS node,
+        |    CAST(CASE WHEN s.seed IS NOT NULL THEN 150000 ELSE 0 END
+        |      + (85 * SUM(r.r // d.d)) // 100 AS BIGINT) AS r
+        |  FROM pairs p JOIN r2 r ON p.src = r.node JOIN deg d ON p.src = d.src
+        |  LEFT JOIN seeds s ON p.dst = s.seed
+        |  GROUP BY p.dst, s.seed)
+        |SELECT node, r FROM r3 WHERE r > 0
+        |ORDER BY r DESC, node LIMIT 25""".stripMargin,
     "q253_ndcg_mrr" -> ndcgSql,
     "q237_weighted_sssp" -> ssspSql,
     "q234_rec_holdout_eval" ->

@@ -795,7 +795,64 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Q276: centroid-based silhouette — cluster-quality scoring of the
+    * labeled embedding space: per point, a = squared-L2 to its OWN label
+    * centroid, b = min over OTHER label centroids, s = (b − a)/max(a, b)
+    * (the O(n·k) simplified silhouette — the classic O(n²) form never
+    * survives scale); per label, the mean silhouette plus mean intra/inter
+    * distances. Low s = labels blur in embedding space, and q223's kNN
+    * confusion will show it too — this is the aggregate early warning.
+    *
+    * Determinism: centroids are exact-decimal per-dim means (q92), d²
+    * through the codegen'd dot (q255's shape, 6-dp-rounded), s 6-dp-
+    * rounded per point BEFORE the exact-decimal label means.
+    *
+    * Scale shape: one posexplode centroid build, one broadcast of the
+    * K-row centroid relation against the corpus (q137's all-labels
+    * kernel), one label-keyed reduction.
+    */
+  def q276Silhouette: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val e = Tables(s, d, "embeddings")
+      .select(col("vec_id"), big(col("label")).as("label"),
+        asDouble(col("embedding")).as("v"))
+    val byDim = e.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(18, 8)))
+        .cast("double") / count(lit(1))).as("m"))
+    val centroids = byDim.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .select(col("label").as("cl"), col("cv"))
+    def d2(v: Column, c: Column): Column =
+      round(VectorFunctions.dotProduct(v, v)
+        - lit(2.0) * VectorFunctions.dotProduct(v, c)
+        + VectorFunctions.dotProduct(c, c), 6)
+    val ab = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"),
+        when(col("cl") === col("label"), d2(col("v"), col("cv"))).as("da"),
+        when(col("cl") =!= col("label"), d2(col("v"), col("cv"))).as("db"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(col("da")).as("a"), min(col("db")).as("b"))
+    val sil = ab.select(col("label"),
+      when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+        .otherwise(round((col("b") - col("a"))
+          / greatest(col("a"), col("b")), 6)).cast(dec6).as("s6"),
+      col("a").cast(dec6).as("a6"), col("b").cast(dec6).as("b6"))
+    sil.groupBy(col("label"))
+      .agg(big(count(lit(1))).as("n"),
+        round(sum(col("s6")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_silhouette"),
+        round(sum(col("a6")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_intra_d2"),
+        round(sum(col("b6")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_inter_d2"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q276_silhouette" -> q276Silhouette,
     "q268_embedding_whitening" -> q268EmbeddingWhitening,
     "q260_power_iteration" -> q260PowerIteration,
     "q255_kcenter_coreset" -> q255KcenterCoreset,
@@ -914,6 +971,44 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q276_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |dims AS (SELECT label, u.i AS pos, v[u.i] AS x
+        |         FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+        |cent AS (SELECT label, pos,
+        |           CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS m
+        |         FROM dims GROUP BY label, pos),
+        |cv AS (SELECT label AS cl, list(m ORDER BY pos) AS cv
+        |       FROM cent GROUP BY label),
+        |dd AS (
+        |  SELECT e.vec_id, e.label, c.cl,
+        |    ROUND(list_dot_product(v, v)
+        |      - CAST(2 AS DOUBLE) * list_dot_product(v, c.cv)
+        |      + list_dot_product(c.cv, c.cv), 6) AS d2
+        |  FROM e, cv c),
+        |ab AS (
+        |  SELECT vec_id, label,
+        |    MIN(CASE WHEN cl = label THEN d2 END) AS a,
+        |    MIN(CASE WHEN cl <> label THEN d2 END) AS b
+        |  FROM dd GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT label,
+        |    CAST(CASE WHEN GREATEST(a, b) = CAST(0 AS DOUBLE)
+        |      THEN CAST(0 AS DOUBLE)
+        |      ELSE ROUND((b - a) / GREATEST(a, b), 6) END
+        |      AS DECIMAL(18,6)) AS s6,
+        |    CAST(a AS DECIMAL(18,6)) AS a6, CAST(b AS DECIMAL(18,6)) AS b6
+        |  FROM ab)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(s6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_silhouette,
+        |  ROUND(CAST(SUM(a6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_intra_d2,
+        |  ROUND(CAST(SUM(b6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_inter_d2
+        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
     "q268_embedding_whitening" ->
       """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
         |ex AS (SELECT d.i AS dim, CAST(x[d.i] AS DECIMAL(18,8)) AS xv

@@ -1992,6 +1992,81 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q275 personalized pagerank: ranks match an integer replay; restart mass localizes on seeds") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet.toSeq
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val seeds = deg.toSeq.sortBy { case (n, d0) => (-d0, n) }.take(5)
+      .map(_._1).toSet
+    var rank: Map[Long, Long] =
+      deg.map { case (n, _) => n -> (if (seeds(n)) 1000000L else 0L) }
+    for (_ <- 1 to 3) {
+      rank = edges.groupBy(_._2).map { case (dst, es) =>
+        val s0 = es.map { case (src, _) => rank(src) / deg(src) }.sum
+        dst -> ((if (seeds(dst)) 150000L else 0L) + 85L * s0 / 100L)
+      }
+    }
+    val want = rank.toSeq.filter(_._2 > 0L)
+      .sortBy { case (n, r) => (-r, n) }.take(25)
+    val got = Graph.q275PersonalizedPagerank(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === want)
+    // every seed receives the restart mass and must surface in the top-25
+    assert(seeds.subsetOf(got.map(_._1).toSet),
+      "seeds carry the restart mass - the ranking must localize on them")
+  }
+
+  test("q276 silhouette: label means match an exact centroid replay; scores in [-1,1]") {
+    val vecs = Tables(spark, sf0001, "embeddings")
+      .select($"vec_id".cast("long"), $"label".cast("long"),
+        Similarity.asDouble($"embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def d8(x: Double) = BigDecimal.valueOf(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cents = vecs.groupBy(_._2).map { case (l, g) =>
+      l -> (0 until 64).map { j =>
+        g.map(t => d8(t._3(j))).foldLeft(BigDecimal(0))(_ + _).toDouble / g.length
+      }.toArray
+    }
+    def d2(a: Array[Double], b: Array[Double]) =
+      r6(dot(a, a) - 2.0 * dot(a, b) + dot(b, b)).doubleValue
+    case class Acc(var n: Long = 0, var s: BigDecimal = BigDecimal(0),
+      var a: BigDecimal = BigDecimal(0), var b: BigDecimal = BigDecimal(0))
+    val byLabel = collection.mutable.Map.empty[Long, Acc]
+    vecs.foreach { case (_, l, v) =>
+      val a = d2(v, cents(l))
+      val b = cents.collect { case (l2, c) if l2 != l => d2(v, c) }.min
+      val s = if (math.max(a, b) == 0.0) 0.0
+        else r6((b - a) / math.max(a, b)).doubleValue
+      val acc = byLabel.getOrElseUpdate(l, Acc())
+      acc.n += 1; acc.s += r6(s); acc.a += r6(a); acc.b += r6(b)
+    }
+    val got = Similarity.q276Silhouette(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.length === byLabel.size)
+    got.foreach { case (l, n, ms, ma, mb) =>
+      val acc = byLabel(l)
+      assert(n === acc.n, s"label $l n")
+      assert(math.abs(ms - acc.s.toDouble / acc.n) < 2e-5, s"label $l sil")
+      assert(math.abs(ma - acc.a.toDouble / acc.n) < 2e-5, s"label $l intra")
+      assert(math.abs(mb - acc.b.toDouble / acc.n) < 2e-5, s"label $l inter")
+      assert(ms >= -1.0 && ms <= 1.0)
+    }
+  }
+
   test("q272 capped fuzzy join: hierarchical blocking matches a replay; small-block pairs agree with q258") {
     def lev3(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
