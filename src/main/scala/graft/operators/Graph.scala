@@ -607,7 +607,61 @@ object Graph {
       .limit(25)
   }
 
+  /** Q277: brand modularity — Newman modularity of the BRAND partition
+    * over the co-purchase graph: Q = Σ_b (e_bb/2m − (d_b/2m)²), "do
+    * same-brand parts co-purchase more than chance?" — the attribute-
+    * assortativity question a catalog team asks of basket data. Per-brand
+    * contributions plus the exact-decimal total in the `(total)` row
+    * (parenthesis sorts first; contributions are 6-dp-rounded decimals
+    * BEFORE the total sum, the declared convention).
+    *
+    * Scale shape: the bounded co-purchase pair build (order-size-bounded
+    * fan-out), two broadcast brand joins, three keyed counts and a 1-row
+    * edge-mass broadcast — integer arithmetic until the final division.
+    */
+  def q277BrandModularity: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val pe = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    val brands = Tables(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val sym = pe.select(col("u"), col("v"))
+      .union(pe.select(col("v"), col("u")))
+      .join(broadcast(brands.select(col("p_partkey").as("u"),
+        col("p_brand").as("bu"))), Seq("u"))
+      .join(broadcast(brands.select(col("p_partkey").as("v"),
+        col("p_brand").as("bv"))), Seq("v"))
+    val m2 = sym.agg(count(lit(1)).as("m2"))
+    val perBrand = sym.groupBy(col("bu"))
+      .agg(count(lit(1)).as("deg_mass"),
+        sum(when(col("bu") === col("bv"), 1L).otherwise(0L)).as("within"))
+      .crossJoin(broadcast(m2))
+      .select(col("bu").as("p_brand"), big(col("within")).as("within_edges"),
+        big(col("deg_mass")).as("degree_mass"),
+        round(col("within").cast("double") / col("m2").cast("double")
+          - (col("deg_mass").cast("double") / col("m2").cast("double"))
+            * (col("deg_mass").cast("double") / col("m2").cast("double")), 6)
+          .cast(dec6).as("c6"))
+    val total = perBrand.agg(
+      big(sum(col("within_edges"))).as("within_edges"),
+      big(sum(col("degree_mass"))).as("degree_mass"),
+      round(sum(col("c6")).cast("double"), 6).as("contribution"))
+      .select(lit("(total)").as("p_brand"), col("within_edges"),
+        col("degree_mass"), col("contribution"))
+    perBrand
+      .select(col("p_brand"), col("within_edges"), col("degree_mass"),
+        col("c6").cast("double").as("contribution"))
+      .unionByName(total)
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q277_brand_modularity" -> q277BrandModularity,
     "q275_personalized_pagerank" -> q275PersonalizedPagerank,
     "q253_ndcg_mrr" -> q253NdcgMrr,
     "q237_weighted_sssp" -> q237WeightedSssp,
@@ -745,6 +799,40 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q277_brand_modularity" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |pe AS MATERIALIZED (
+        |  SELECT a.item AS u, b.item AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (
+        |  SELECT e.u, e.v, pu.p_brand AS bu, pv.p_brand AS bv
+        |  FROM (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe) e
+        |  JOIN part pu ON e.u = pu.p_partkey
+        |  JOIN part pv ON e.v = pv.p_partkey),
+        |m2 AS (SELECT COUNT(*) AS m2 FROM sym),
+        |pb AS (
+        |  SELECT bu AS p_brand,
+        |    CAST(SUM(CASE WHEN bu = bv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS within_edges,
+        |    CAST(COUNT(*) AS BIGINT) AS degree_mass,
+        |    CAST(ROUND(CAST(SUM(CASE WHEN bu = bv THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(m2 AS DOUBLE)
+        |      - (CAST(COUNT(*) AS DOUBLE) / CAST(m2 AS DOUBLE))
+        |        * (CAST(COUNT(*) AS DOUBLE) / CAST(m2 AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS c6
+        |  FROM sym, m2 GROUP BY bu, m2),
+        |tot AS (
+        |  SELECT '(total)' AS p_brand,
+        |    CAST(SUM(within_edges) AS BIGINT) AS within_edges,
+        |    CAST(SUM(degree_mass) AS BIGINT) AS degree_mass,
+        |    ROUND(CAST(SUM(c6) AS DOUBLE), 6) AS contribution
+        |  FROM pb)
+        |SELECT p_brand, within_edges, degree_mass,
+        |  CAST(c6 AS DOUBLE) AS contribution FROM pb
+        |UNION ALL SELECT * FROM tot
+        |ORDER BY p_brand""".stripMargin,
     "q275_personalized_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -80,6 +80,7 @@ class PlanAuditSpec extends SparkSpec {
     "q263_bootstrap_ci", // 1-row point-estimate broadcast beside the 32-row order stats
     "q266_cramers_v", // 1-row total + 1-row (r, c) dims broadcasts over the bounded grid
     "q276_silhouette", // K-row label-centroid broadcast (q137's all-labels kernel)
+    "q277_brand_modularity", // 1-row edge-mass broadcast against the bounded brand grain
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

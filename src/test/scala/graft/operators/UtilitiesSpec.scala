@@ -1992,6 +1992,43 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q277 brand modularity: contributions match a counting replay; total row is the exact sum") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brandOf = Tables(spark, sf0001, "part")
+      .select($"p_partkey", $"p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pe = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val sym = pe ++ pe.map(p => (p._2, p._1))
+    val m2 = sym.size.toDouble
+    val byBrand = sym.groupBy(t => brandOf(t._1)).map { case (b, es) =>
+      val within = es.count(e => brandOf(e._2) == b).toLong
+      val dm = es.size.toLong
+      (b, within, dm,
+        r6(within / m2 - (dm / m2) * (dm / m2)))
+    }.toSeq.sortBy(_._1)
+    val got = Graph.q277BrandModularity(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (tot, per) = got.partition(_._1 == "(total)")
+    assert(tot.length === 1 && per.length === byBrand.length)
+    per.zip(byBrand).foreach { case ((b, w, dm, c), (wb, ww, wdm, wc)) =>
+      assert(b === wb && w === ww && dm === wdm)
+      assert(math.abs(c - wc.toDouble) < 2e-6, s"brand $b contribution")
+    }
+    assert(tot.head._2 === byBrand.map(_._2).sum)
+    assert(tot.head._3 === byBrand.map(_._3).sum)
+    assert(math.abs(tot.head._4
+      - byBrand.map(_._4).foldLeft(BigDecimal(0))(_ + _).toDouble) < 2e-6)
+    // degree masses across brands must account for every directed edge
+    assert(byBrand.map(_._3).sum === sym.size.toLong)
+  }
+
   test("q275 personalized pagerank: ranks match an integer replay; restart mass localizes on seeds") {
     val li = Tables(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").collect()

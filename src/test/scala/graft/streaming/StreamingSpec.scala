@@ -567,6 +567,56 @@ class StreamingSpec extends SparkSpec {
       "restarted leaderboard diverged from the batch truth - state loss or double count")
   }
 
+  test("q265-shaped restart: part-complete bollinger survives stop/start; merge equals the batch report") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.Dataset
+    val rows = graft.Tables(spark, sf0001, "lineitem")
+      .select($"l_partkey", $"l_extendedprice", $"l_shipdate",
+        $"l_orderkey", $"l_linenumber")
+    val feed = Files.createTempDirectory("graft-boll-restart-src").toString
+    val ckpt = Files.createTempDirectory("graft-boll-restart-ckpt").toString
+    val sums = Files.createTempDirectory("graft-boll-restart-sums").toString
+    // each half is PART-COMPLETE (a part's rows all share pmod(part, 2)),
+    // so per-batch windows see full part history on both sides of the stop
+    rows.filter(pmod($"l_partkey", lit(2)) === 0).coalesce(1)
+      .write.mode("append").parquet(feed)
+    def start() = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Events.bollingerScored(batch.toDF())
+            .groupBy(col("l_partkey"))
+            .agg(count(lit(1)).as("n_eval"),
+              sum(when(col("up"), lit(1L)).otherwise(lit(0L))).as("n_up"),
+              sum(when(col("down"), lit(1L)).otherwise(lit(0L))).as("n_down"))
+            .write.mode("overwrite").parquet(s"$sums/batch=$batchId")
+        ()
+      }
+      .start()
+    val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+    rows.filter(pmod($"l_partkey", lit(2)) === 1).coalesce(1)
+      .write.mode("append").parquet(feed)
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    val part = graft.Tables(spark, sf0001, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val got = spark.read.parquet(sums)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy($"p_brand")
+      .agg(sum($"n_eval").cast("long").as("evaluated"),
+        sum($"n_up").cast("long").as("up"),
+        sum($"n_down").cast("long").as("down"))
+      .orderBy($"p_brand")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = graft.operators.Events.q256BollingerBreakout(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === want,
+      "restarted bollinger drain diverged from the batch truth - state loss, double count, or a part split across batches")
+  }
+
   test("q265 stream bollinger: part-complete drain equals the q256 batch report") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
