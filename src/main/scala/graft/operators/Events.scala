@@ -1079,18 +1079,26 @@ object Events {
     * and first completion time, plus the bottom-line user count rides in
     * every row (1-row broadcast).
     */
-  def q252StrictFunnel: Q = (s, d) => {
+  /** q252's per-user kernel over any events relation carrying (user_id,
+    * event_id, event_type, ts2) — the window is USER-partitioned, so a
+    * user-complete feed slicing can apply it per micro-batch and merge by
+    * plain union (disjoint users); shared with the streaming twin q288.
+    */
+  def strictFunnelPerUser(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
-    val hits = events(s, d)
-      .select(col("user_id"), col("event_id"), col("event_type"),
+    e.select(col("user_id"), col("event_id"), col("event_type"),
         epochSec(col("ts2")).as("es"))
       .withColumn("t1", lag(col("event_type"), 2).over(w))
       .withColumn("t2", lag(col("event_type"), 1).over(w))
       .filter(col("t1") === "view" && col("t2") === "click"
         && col("event_type") === "purchase")
-    val perUser = hits.groupBy(col("user_id"))
+      .groupBy(col("user_id"))
       .agg(big(count(lit(1))).as("n_completions"),
         min(col("es")).as("first_completion_es"))
+  }
+
+  def q252StrictFunnel: Q = (s, d) => {
+    val perUser = strictFunnelPerUser(events(s, d))
     perUser
       .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_users"))))
       .select(col("user_id"), col("n_completions"),

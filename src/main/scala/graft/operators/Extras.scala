@@ -712,7 +712,46 @@ object Extras {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q287: order/line reconciliation audit — the warehouse consistency
+    * check that catches silent pipeline corruption: per order status, how
+    * many orders' header `o_totalprice` agrees with the sum of their line
+    * `l_extendedprice` (within one cent), how many disagree and by how
+    * much, and how many headers have no lines at all. On this synthetic
+    * fixture the header totals are NOT derived from the lines — the audit
+    * honestly reports that, which is exactly its job.
+    *
+    * Determinism: both sides are exact DECIMAL(18,2); the absolute error
+    * is exact decimal subtraction, compared against an exact 0.01
+    * literal; only the mean error takes one rounded IEEE division.
+    *
+    * Scale shape: one line-side keyed sum (map-side combined), one
+    * orderkey equi-join, one status-grain aggregate — no window, no
+    * broadcastable assumption violated at any volume.
+    */
+  def q287Reconciliation: Q = (s, d) => {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val lt = Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(dec2)).as("lsum"))
+    val tol = lit("0.01").cast(dec2)
+    Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).as("tp"))
+      .join(lt, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("err", abs(col("tp") - col("lsum")))
+      .groupBy(col("o_orderstatus"))
+      .agg(big(count(lit(1))).as("n_orders"),
+        big(count(col("lsum"))).as("n_with_lines"),
+        big(count(when(col("err") <= tol, 1))).as("n_matched"),
+        big(count(when(col("err") > tol, 1))).as("n_mismatched"),
+        max(col("err")).cast("double").as("max_abs_err"),
+        round(sum(col("err")).cast("double")
+          / count(col("err")).cast("double"), 6).as("mean_abs_err"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q287_reconciliation" -> q287Reconciliation,
     "q251_nested_roundtrip" -> q251NestedRoundtrip,
     "q239_rank_movers" -> q239RankMovers,
     "q229_table_fingerprint" -> q229TableFingerprint,
@@ -744,6 +783,27 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q287_reconciliation" ->
+      """WITH l AS (
+        |  SELECT l_orderkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS lsum
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT o.o_orderstatus, l.lsum,
+        |    ABS(CAST(o.o_totalprice AS DECIMAL(18,2)) - l.lsum) AS err
+        |  FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+        |)
+        |SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(lsum) AS BIGINT) AS n_with_lines,
+        |  CAST(COUNT(CASE WHEN err <= CAST('0.01' AS DECIMAL(18,2))
+        |    THEN 1 END) AS BIGINT) AS n_matched,
+        |  CAST(COUNT(CASE WHEN err > CAST('0.01' AS DECIMAL(18,2))
+        |    THEN 1 END) AS BIGINT) AS n_mismatched,
+        |  CAST(MAX(err) AS DOUBLE) AS max_abs_err,
+        |  ROUND(CAST(SUM(err) AS DOUBLE) / CAST(COUNT(err) AS DOUBLE), 6)
+        |    AS mean_abs_err
+        |FROM j GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q251_nested_roundtrip" ->
       """SELECT o_orderstatus,
         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,

@@ -660,7 +660,55 @@ object Graph {
       .orderBy(col("p_brand"))
   }
 
+  /** Q278: label-propagation communities — synchronous LPA over the
+    * co-purchase graph (q277's `co >= 2` edge set): every node starts as
+    * its own label, and each of 3 rounds replaces a node's label with the
+    * MODE of its neighbors' labels (ties broken by the smallest label —
+    * the classic determinism fix for LPA's tie chaos). Communities emerge
+    * without choosing k or a distance metric; beside q197's connected
+    * components (pure reachability) this finds DENSITY clusters inside one
+    * component — the "which products form a basket theme" question.
+    *
+    * Determinism: labels are node ids (longs), the mode pick is a total
+    * order `(count desc, label asc)`, and rounds are synchronous (every
+    * round reads only the previous round's labels) — so the fixpoint
+    * prefix is identical in any engine and a DuckDB oracle unrolls the 3
+    * rounds as CTEs (the q215/q237 technique).
+    *
+    * Scale shape: the bounded co-purchase edge build (order-size-bounded
+    * fan-out), then per round one edge-keyed join + one (node,label) count
+    * + one node-partitioned row_number — every shuffle is edge- or
+    * node-proportional, no global structure. Edges are materialized once
+    * and reused by all rounds.
+    */
+  def q278LabelPropagation: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val pe = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    val edges = graft.Checkpoints.materialize(
+      pe.select(col("u"), col("v")).union(pe.select(col("v"), col("u"))))
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val byMode = Window.partitionBy(col("u"))
+      .orderBy(col("cnt").desc, col("nl"))
+    for (_ <- 1 to 3) {
+      labels = edges.join(labels, edges("v") === labels("node"))
+        .select(col("u"), col("lbl").as("nl"))
+        .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byMode))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("nl").as("lbl"))
+    }
+    labels.select(col("node"), big(col("lbl")).as("community"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q278_label_propagation" -> q278LabelPropagation,
     "q277_brand_modularity" -> q277BrandModularity,
     "q275_personalized_pagerank" -> q275PersonalizedPagerank,
     "q253_ndcg_mrr" -> q253NdcgMrr,
@@ -798,7 +846,35 @@ object Graph {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The q278 oracle: 3 synchronous LPA rounds unrolled as MATERIALIZED
+    * CTEs (the q215/q237 technique); the mode pick is the same
+    * `(count desc, label asc)` row_number total order.
+    */
+  private val lpaSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.u, l.lbl AS nl, COUNT(*) AS cnt
+         |  FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT u AS node, nl AS lbl FROM (
+         |    SELECT u, nl, ROW_NUMBER() OVER (PARTITION BY u
+         |      ORDER BY cnt DESC, nl) AS rn FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+       |pe AS MATERIALIZED (
+       |  SELECT a.item AS u, b.item AS v
+       |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS MATERIALIZED (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e),
+       |$rounds
+       |SELECT node, CAST(lbl AS BIGINT) AS community
+       |FROM l3 ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q278_label_propagation" -> lpaSql,
     "q277_brand_modularity" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),

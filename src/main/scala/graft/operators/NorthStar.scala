@@ -431,6 +431,146 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q283: decontamination n-gram sensitivity — the tuning table behind
+    * q119's fixed width-8 policy: the same benchmark-overlap kernel swept
+    * over shingle widths {5, 8, 13}, reporting per width how many training
+    * docs would be flagged, the total overlapping n-grams, and the
+    * contamination rate. Short widths over-flag boilerplate; long widths
+    * miss edited copies — this is the measurement that justifies the
+    * production width instead of folklore.
+    *
+    * Scale shape: three independent runs of q119's shingle/semi-join
+    * pipeline, each reduced to a 1-row summary before the union (never a
+    * per-doc output); the train-doc total is a 1-row broadcast. Cost is
+    * ~3× the q119 kernel, the declared price of the sweep.
+    */
+  def q283DecontamSensitivity: Q = (s, d) => {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val docs = Tables(s, d, "documents")
+    val trainTotal = docs.filter(col("source") =!= "src0")
+      .agg(count(lit(1)).as("n_train_docs"))
+    Seq(5, 8, 13).map { w =>
+      val ng = docs
+        .select(col("doc_id"), col("source"),
+          explode(MinHashLSH.shingles(toks, w)).as("g"))
+        .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
+        .distinct()
+      val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
+      val hits = ng.filter(col("source") =!= "src0").join(bench, Seq("h"))
+      hits
+        .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+          count(lit(1)).as("n_hit_ngrams"))
+        .crossJoin(broadcast(trainTotal))
+        .select(lit(w.toLong).as("ngram_w"), col("n_train_docs"),
+          col("n_contaminated"), col("n_hit_ngrams"),
+          round(col("n_contaminated").cast("double")
+            / col("n_train_docs").cast("double"), 6).as("contamination_rate"))
+    }.reduce(_ unionByName _).orderBy(col("ngram_w"))
+  }
+
+  /** Q285: duplicate-growth curve over ingest order — the accretion-side
+    * twin of q126's novelty curve: as sources are ingested in rank order
+    * (the numeric suffix of `source`), how many documents have become
+    * near-duplicates WITHIN the corpus-so-far. A document first becomes a
+    * duplicate at rank `min over its near-dup pairs of max(own rank,
+    * partner rank)` — the rank at which its first partner is present.
+    * Reports the cumulative corpus size, cumulative duplicated docs and
+    * dup rate per rank: the curve that says when dedup stops being
+    * optional for a growing crawl.
+    *
+    * Scale shape: the complete q56 exact-Jaccard pair relation (shuffle ∝
+    * rare-shingle joins), two source-rank joins, one per-doc min, then
+    * counting on the BOUNDED rank grid (~20 rows): the cumulative window
+    * is grid-sized, never doc-sized.
+    */
+  def q285DupGrowth: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, d, "documents")
+    val rk = docs.select(col("doc_id"),
+      expr("CAST(substring(source, 4) AS LONG)").as("rank"))
+    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+      .select(col("id1"), col("id2"))
+      .join(rk.toDF("id1", "r1"), Seq("id1"))
+      .join(rk.toDF("id2", "r2"), Seq("id2"))
+    val firstDup = pairs
+      .select(explode(array(
+        struct(col("id1").as("doc_id"), greatest(col("r1"), col("r2")).as("fr")),
+        struct(col("id2").as("doc_id"), greatest(col("r1"), col("r2")).as("fr"))))
+        .as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.fr").as("fr"))
+      .groupBy(col("doc_id")).agg(min(col("fr")).as("f"))
+    val perRankDocs = rk.groupBy(col("rank")).agg(count(lit(1)).as("nd"))
+    val perRankDups = firstDup.groupBy(col("f").as("rank"))
+      .agg(count(lit(1)).as("nf"))
+    // the cumulative window runs over the bounded source-rank grid (~20
+    // rows at any volume), never the documents
+    val cum = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perRankDocs.join(perRankDups, Seq("rank"), "left")
+      .na.fill(0L, Seq("nf"))
+      .withColumn("corpus_docs", sum(col("nd")).over(cum).cast("long"))
+      .withColumn("dup_docs", sum(col("nf")).over(cum).cast("long"))
+      .select(col("rank"), col("corpus_docs"), col("dup_docs"),
+        round(col("dup_docs").cast("double")
+          / col("corpus_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy(col("rank"))
+  }
+
+  /** Q286: per-source curation dashboard — the one table a mixture
+    * designer actually reads before pulling a source into a training mix:
+    * every TRAIN doc (src0 is the held-out benchmark, not corpus) gets the
+    * three independent doc-grain curation flags — duplicate (q134's global
+    * vocabulary-fingerprint dedup, min-doc_id survivorship), contaminated
+    * (q119's width-8 benchmark n-gram overlap, any hit), short (n_chars
+    * < 150, the length-floor quality gate) — and the per-source rollup
+    * reports how many docs and characters actually SURVIVE the full
+    * curation policy (survivor ∧ ¬contaminated ∧ ¬short), beside each
+    * individual flag's count. q134/q119/q135 measure one axis each; this
+    * is their intersection, which is what the mix actually trains on.
+    *
+    * Determinism: all-integer flag counts; the one rounded division is the
+    * final clean_rate. Scale shape: the fingerprint window partitions by
+    * fp (bounded by the dup cluster), the contamination join is q119's
+    * hash-keyed semi-join with the benchmark side distinct-reduced first,
+    * and the rollup is one keyed aggregate — nothing driver-side, nothing
+    * quadratic.
+    */
+  def q286CurationDashboard: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val docs = Tables(s, d, "documents")
+    val ng = docs
+      .select(col("doc_id"), col("source"),
+        explode(MinHashLSH.shingles(toks, w)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
+    val contam = ng.filter(col("source") =!= "src0").join(bench, Seq("h"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    val fp = array_join(array_sort(array_distinct(toks)), " ")
+    docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"), col("n_chars"), fp.as("fp"))
+      .withColumn("survivor",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("is_contam", coalesce(col("hit"), lit(false)))
+      .withColumn("is_short", col("n_chars") < 150)
+      .withColumn("clean",
+        col("survivor") && !col("is_contam") && !col("is_short"))
+      .groupBy(col("source"))
+      .agg(big(count(lit(1))).as("n_docs"),
+        big(sum(when(!col("survivor"), 1L).otherwise(0L))).as("dup_docs"),
+        big(sum(when(col("is_contam"), 1L).otherwise(0L))).as("contam_docs"),
+        big(sum(when(col("is_short"), 1L).otherwise(0L))).as("short_docs"),
+        big(sum(when(col("clean"), 1L).otherwise(0L))).as("clean_docs"),
+        big(sum(when(col("clean"), col("n_chars")).otherwise(0L))).as("clean_chars"))
+      .withColumn("clean_rate", round(col("clean_docs").cast("double")
+        / col("n_docs").cast("double"), 4))
+      .orderBy(col("source"))
+  }
+
   /** Q120: padding-waste analysis for length-bucketed batching — the
     * MEASURED motivation for q96/q110's sequence packing: bucket each doc's
     * token count up to the next multiple of 32 (the naive dynamic-batching
@@ -752,6 +892,53 @@ object NorthStar {
           .when(col("fp1") =!= col("fp2"), "changed")
           .otherwise("unchanged").as("status"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Q280: snapshot drift report — q129's per-document version diff rolled
+    * up to the RELEASE DATASHEET a dataset owner reads before shipping v2:
+    * per source, how many documents were added / removed / changed /
+    * unchanged, both versions' doc and character masses, and the net
+    * character drift. The per-doc classification is q129's fingerprint
+    * full-outer join verbatim (v1 lacks doc_id%7==0 and carries doc_id%5==0
+    * texts edited; v2 lacks doc_id%11==0); this query adds the per-source
+    * aggregation layer — the actual review artifact, where q129 is the
+    * drill-down.
+    *
+    * Scale shape: identical to q129 (id + 16-byte fingerprint shuffle,
+    * never texts) plus one keyed rollup to the bounded source grain; in
+    * production the v1 side is the previous release's manifest, so
+    * yesterday's corpus is never re-scanned.
+    */
+  def q280SnapshotDrift: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source").as("src1"),
+        col("n_chars").as("ch1"),
+        md5(when(col("doc_id") % 5 === 0, reverse(col("text")))
+          .otherwise(col("text"))).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source").as("src2"),
+        col("n_chars").as("ch2"),
+        md5(col("text")).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src2"), col("src1")).as("source"),
+        col("ch1"), col("ch2"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        big(count(col("ch1"))).as("docs_v1"),
+        big(count(col("ch2"))).as("docs_v2"),
+        big(count(when(col("status") === "added", 1))).as("added"),
+        big(count(when(col("status") === "removed", 1))).as("removed"),
+        big(count(when(col("status") === "changed", 1))).as("changed"),
+        big(count(when(col("status") === "unchanged", 1))).as("unchanged"),
+        big(coalesce(sum(col("ch1")), lit(0L))).as("chars_v1"),
+        big(coalesce(sum(col("ch2")), lit(0L))).as("chars_v2"))
+      .withColumn("chars_delta", col("chars_v2") - col("chars_v1"))
+      .orderBy(col("source"))
   }
 
   /** Q130: epoch shard shuffle — the data-loader manifest a training run
@@ -1458,6 +1645,10 @@ object NorthStar {
   }
 
   val queries: Map[String, Q] = Map(
+    "q283_decontam_sensitivity" -> q283DecontamSensitivity,
+    "q285_dup_growth" -> q285DupGrowth,
+    "q286_curation_dashboard" -> q286CurationDashboard,
+    "q280_snapshot_drift" -> q280SnapshotDrift,
     "q163_curriculum" -> q163Curriculum,
     "q154_lang_rebalance" -> q154LangRebalance,
     "q150_eval_quota" -> q150EvalQuota,
@@ -1534,7 +1725,125 @@ object NorthStar {
   /** DuckDB twins of the deterministic north-star queries (q35/q37/q39/q40/
     * q41 stay engine-only: approximate by design).
     */
+  /** The q283 oracle: q119's shingle/semi-join SQL swept over the three
+    * widths, each reduced to scalar subqueries (COUNT over an empty hit
+    * relation still yields a row — matching Spark's agg-on-empty).
+    */
+  private val decontamSensSql: String = {
+    def ctes(w: Int) =
+      s"""ng$w AS MATERIALIZED (SELECT DISTINCT doc_id, source, u.g FROM toks,
+         |  unnest(CASE WHEN len(tk) < $w THEN [array_to_string(tk, ' ')]
+         |    ELSE list_transform(range(0, len(tk) - ${w - 1}),
+         |                        i -> array_to_string(tk[i+1:i+$w], ' ')) END) AS u(g)),
+         |bench$w AS (SELECT DISTINCT g FROM ng$w WHERE source = 'src0'),
+         |j$w AS MATERIALIZED (SELECT t.doc_id FROM ng$w t
+         |       JOIN bench$w USING (g) WHERE t.source <> 'src0')"""
+    def block(w: Int) =
+      s"""SELECT CAST($w AS BIGINT) AS ngram_w,
+         |  (SELECT n_train FROM td) AS n_train_docs,
+         |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM j$w) AS n_contaminated,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j$w) AS n_hit_ngrams,
+         |  (SELECT ROUND(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+         |     / (SELECT n_train FROM td), 6) FROM j$w) AS contamination_rate"""
+    val ws = Seq(5, 8, 13)
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+       |td AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM documents
+       |       WHERE source <> 'src0'),
+       |${ws.map(ctes).mkString(",\n")}
+       |${ws.map(block).mkString("\nUNION ALL\n")}
+       |ORDER BY ngram_w""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q283_decontam_sensitivity" -> decontamSensSql,
+    "q286_curation_dashboard" ->
+      """WITH toks AS (SELECT doc_id, source, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |ng AS (SELECT DISTINCT doc_id, source, u.g FROM toks,
+        |  unnest(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 7),
+        |                        i -> array_to_string(tk[i+1:i+8], ' ')) END) AS u(g)),
+        |bench AS (SELECT DISTINCT g FROM ng WHERE source = 'src0'),
+        |contam AS (SELECT DISTINCT ng.doc_id FROM ng
+        |  JOIN bench USING (g) WHERE ng.source <> 'src0'),
+        |train AS (SELECT doc_id, source, n_chars,
+        |    array_to_string(list_sort(list_distinct(tk)), ' ') AS fp
+        |  FROM toks WHERE source <> 'src0'),
+        |flags AS (SELECT source, n_chars,
+        |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS survivor,
+        |    doc_id IN (SELECT doc_id FROM contam) AS is_contam,
+        |    n_chars < 150 AS is_short
+        |  FROM train),
+        |f2 AS (SELECT source, n_chars, survivor, is_contam, is_short,
+        |    survivor AND NOT is_contam AND NOT is_short AS clean FROM flags)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN NOT survivor THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(CASE WHEN is_contam THEN 1 ELSE 0 END) AS BIGINT) AS contam_docs,
+        |  CAST(SUM(CASE WHEN is_short THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        |  CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs,
+        |  CAST(SUM(CASE WHEN clean THEN n_chars ELSE 0 END) AS BIGINT) AS clean_chars,
+        |  ROUND(CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS clean_rate
+        |FROM f2 GROUP BY source ORDER BY source""".stripMargin,
+    "q285_dup_growth" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |          WHERE 3 * i >= a.n + b.n),
+        |rk AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS rank
+        |       FROM documents),
+        |pr AS (SELECT p.id1, p.id2, GREATEST(a.rank, b.rank) AS fr
+        |       FROM pairs p JOIN rk a ON p.id1 = a.doc_id
+        |                    JOIN rk b ON p.id2 = b.doc_id),
+        |fd AS (SELECT doc_id, MIN(fr) AS f FROM (
+        |         SELECT id1 AS doc_id, fr FROM pr
+        |         UNION ALL SELECT id2, fr FROM pr) GROUP BY 1),
+        |prd AS (SELECT rank, COUNT(*) AS nd FROM rk GROUP BY 1),
+        |prf AS (SELECT f AS rank, COUNT(*) AS nf FROM fd GROUP BY 1),
+        |g AS (SELECT prd.rank, prd.nd, COALESCE(prf.nf, 0) AS nf
+        |      FROM prd LEFT JOIN prf USING (rank))
+        |SELECT rank,
+        |  CAST(SUM(nd) OVER w AS BIGINT) AS corpus_docs,
+        |  CAST(SUM(nf) OVER w AS BIGINT) AS dup_docs,
+        |  ROUND(CAST(SUM(nf) OVER w AS DOUBLE)
+        |    / CAST(SUM(nd) OVER w AS DOUBLE), 6) AS dup_rate
+        |FROM g
+        |WINDOW w AS (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY rank""".stripMargin,
+    "q280_snapshot_drift" ->
+      """WITH v1 AS (SELECT doc_id, source AS src1, n_chars AS ch1,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN reverse(text) ELSE text END) AS fp1
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id, source AS src2, n_chars AS ch2, md5(text) AS fp2
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |cls AS (
+        |  SELECT COALESCE(src2, src1) AS source, ch1, ch2,
+        |    CASE WHEN fp1 IS NULL THEN 'added'
+        |         WHEN fp2 IS NULL THEN 'removed'
+        |         WHEN fp1 <> fp2 THEN 'changed' ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT source,
+        |  CAST(COUNT(ch1) AS BIGINT) AS docs_v1,
+        |  CAST(COUNT(ch2) AS BIGINT) AS docs_v2,
+        |  CAST(COUNT(CASE WHEN status = 'added' THEN 1 END) AS BIGINT) AS added,
+        |  CAST(COUNT(CASE WHEN status = 'removed' THEN 1 END) AS BIGINT) AS removed,
+        |  CAST(COUNT(CASE WHEN status = 'changed' THEN 1 END) AS BIGINT) AS changed,
+        |  CAST(COUNT(CASE WHEN status = 'unchanged' THEN 1 END) AS BIGINT) AS unchanged,
+        |  CAST(COALESCE(SUM(ch1), 0) AS BIGINT) AS chars_v1,
+        |  CAST(COALESCE(SUM(ch2), 0) AS BIGINT) AS chars_v2,
+        |  CAST(COALESCE(SUM(ch2), 0) - COALESCE(SUM(ch1), 0) AS BIGINT)
+        |    AS chars_delta
+        |FROM cls GROUP BY source ORDER BY source""".stripMargin,
     "q163_curriculum" ->
       """WITH t AS (SELECT doc_id,
         |    (length(replace(text, ' ', '')) * 1000)

@@ -298,6 +298,15 @@ object Stats {
       .select(cents.as("cents"))
       .select(substring(expr("CAST(cents div 100 AS STRING)"), 1, 1).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    benfordReport(counts)
+  }
+
+  /** q204's report tail over a (digit, n) count relation — factored out so
+    * the streaming twin (q284, which MERGES additive per-batch digit
+    * counts) shares the identical share/expected/delta arithmetic and
+    * therefore q204's oracle verbatim (the q254/q264 sharing pattern).
+    */
+  def benfordReport(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("n")).cast("long").as("total"))
     val expected = benford.tail.foldLeft(
       when(col("digit") === benford.head._1.toString, lit(benford.head._2))) {
@@ -306,8 +315,8 @@ object Stats {
     counts.crossJoin(broadcast(tot))
       .withColumn("share", round(col("n").cast("double") / col("total").cast("double"), 6))
       .withColumn("expected", expected)
-      .select(col("digit"), col("n"), col("share"), col("expected"),
-        round(col("share") - col("expected"), 6).as("delta"))
+      .select(col("digit"), col("n").cast("long").as("n"), col("share"),
+        col("expected"), round(col("share") - col("expected"), 6).as("delta"))
       .orderBy(col("digit"))
   }
 
@@ -875,7 +884,148 @@ object Stats {
       .orderBy(col("col_a"), col("col_b"))
   }
 
+  /** Q279: Theil–Sen robust trend per order priority — the median of all
+    * pairwise slopes between MONTHLY revenue points, per segment: the
+    * trend estimate that survives the outlier months where q177's
+    * least-squares line is dragged. Beside the slope, the Theil–Sen
+    * intercept (median of `y − slope·x` over the months).
+    *
+    * Determinism: monthly revenue is an exact-decimal cents sum (BIGINT);
+    * each pair slope is ONE IEEE division rounded to 6 dp; both medians
+    * are LOWER medians picked by row_number under a total order — no
+    * interpolation, no float accumulation.
+    *
+    * Scale shape: revenue collapses to the (priority × month) grid FIRST
+    * (one keyed agg over orders), so the pair join is grid² per segment —
+    * bounded by the calendar span (80 months ⇒ ≤3,160 pairs/segment at ANY
+    * data volume), an equi-join on priority with an inequality residual,
+    * never a row-level self-join. Median windows are priority-partitioned;
+    * the slope join back is a ≤5-row broadcast.
+    */
+  def q279TheilSen: Q = (s, d) => {
+    val monthly = Tables(s, d, "orders")
+      .groupBy(col("o_orderpriority"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val grid = graft.Checkpoints.materialize(monthly)
+    val a = grid.select(col("o_orderpriority"), col("x").as("x1"), col("cents").as("y1"))
+    val b = grid.select(col("o_orderpriority"), col("x").as("x2"), col("cents").as("y2"))
+    val pairs = a.join(b, Seq("o_orderpriority")).filter(col("x2") > col("x1"))
+      .select(col("o_orderpriority"), col("x1"), col("x2"),
+        round((col("y2") - col("y1")).cast("double")
+          / (col("x2") - col("x1")).cast("double"), 6).as("slope"))
+    val wp = Window.partitionBy(col("o_orderpriority"))
+    val bySlope = wp.orderBy(col("slope"), col("x1"), col("x2"))
+    val med = pairs
+      .withColumn("rn", row_number().over(bySlope))
+      .withColumn("cnt", count(lit(1)).over(wp))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("o_orderpriority"), col("cnt").as("n_pairs"), col("slope"))
+    val resid = grid.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("r0", round(col("cents").cast("double")
+        - col("slope") * col("x").cast("double"), 6))
+    val byResid = wp.orderBy(col("r0"), col("x"))
+    resid
+      .withColumn("rn", row_number().over(byResid))
+      .withColumn("nm", count(lit(1)).over(wp))
+      .filter(col("rn") === expr("(nm + 1) div 2"))
+      .select(col("o_orderpriority"), big(col("nm")).as("n_months"),
+        big(col("n_pairs")).as("n_pairs"),
+        col("slope").as("slope_cents_per_month"),
+        col("r0").as("intercept_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q281: difference-in-differences — the causal-inference workhorse for
+    * "did the change help?": purchase-event value, treatment cohort =
+    * even `user_id`, intervention at 2024-01-16 (the fixture's midpoint).
+    * The estimate is the treated pre→post mean change MINUS the control
+    * change — removing the shared time trend a naive before/after
+    * comparison conflates.
+    *
+    * Determinism: cell sums are exact decimals; each cell mean is one IEEE
+    * division rounded to 6 dp; the DiD estimate is pure arithmetic over
+    * the four ROUNDED means (round-before-combine, the declared q277
+    * convention).
+    *
+    * Scale shape: ONE conditional-aggregation scan over events — four
+    * (sum, count) cell pairs in a single reduce, no join, no window, no
+    * shuffle beyond the 1-row final agg.
+    */
+  def q281DiffInDiff: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("value"), (col("user_id") % 2 === 0).as("t"),
+        (col("ts2") >= lit("2024-01-16").cast("timestamp")).as("p"))
+    val wide = e.agg(
+      count(when(col("t") && !col("p"), 1)).as("n_pre_t"),
+      round(sum(when(col("t") && !col("p"), dec(col("value")))).cast("double")
+        / count(when(col("t") && !col("p"), 1)), 6).as("mean_pre_t"),
+      count(when(col("t") && col("p"), 1)).as("n_post_t"),
+      round(sum(when(col("t") && col("p"), dec(col("value")))).cast("double")
+        / count(when(col("t") && col("p"), 1)), 6).as("mean_post_t"),
+      count(when(!col("t") && !col("p"), 1)).as("n_pre_c"),
+      round(sum(when(!col("t") && !col("p"), dec(col("value")))).cast("double")
+        / count(when(!col("t") && !col("p"), 1)), 6).as("mean_pre_c"),
+      count(when(!col("t") && col("p"), 1)).as("n_post_c"),
+      round(sum(when(!col("t") && col("p"), dec(col("value")))).cast("double")
+        / count(when(!col("t") && col("p"), 1)), 6).as("mean_post_c"))
+    wide.select(col("n_pre_t"), col("mean_pre_t"), col("n_post_t"),
+      col("mean_post_t"), col("n_pre_c"), col("mean_pre_c"),
+      col("n_post_c"), col("mean_post_c"),
+      round((col("mean_post_t") - col("mean_pre_t"))
+        - (col("mean_post_c") - col("mean_pre_c")), 6).as("did_estimate"))
+  }
+
+  /** Q282: autocorrelation function — Pearson correlation of daily revenue
+    * with itself at lags 1..7 days, the seasonality/momentum diagnostic
+    * read before q236's seasonal-naive baseline is trusted (a high lag-7
+    * ACF is WHY weekly seasonal-naive works). Pairs are taken over days
+    * where both endpoints exist (no imputation — the choice is declared).
+    *
+    * Determinism: daily revenue is an exact DECIMAL(18,2) sum; per-lag
+    * moments are exact decimal sums cast to double once (q177's moment
+    * discipline); the Pearson ratio is one shared IEEE expression rounded
+    * to 6 dp.
+    *
+    * Scale shape: orders collapse to the bounded day grid FIRST (one keyed
+    * agg), the grid is materialized once, and the lag join is grid × 7 —
+    * an equi-join on shifted day index, bounded by the calendar span at
+    * any data volume. One 7-group aggregate finishes.
+    */
+  def q282Acf: Q = (s, d) => {
+    val daily = Tables(s, d, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("r"))
+    val grid = graft.Checkpoints.materialize(daily)
+    val lagged = grid
+      .withColumn("lag", explode(array((1 to 7).map(l => lit(l.toLong)): _*)))
+      .select(col("lag"), (col("x") + col("lag")).as("x2"), col("r").as("rx"))
+    val pairs = lagged.join(
+      grid.select(col("x").as("x2"), col("r").as("ry")), Seq("x2"))
+    val m = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("rx")).cast("double").as("sx"),
+        sum(col("ry")).cast("double").as("sy"),
+        sum(col("rx") * col("rx")).cast(DecimalType(38, 4)).cast("double").as("sxx"),
+        sum(col("ry") * col("ry")).cast(DecimalType(38, 4)).cast("double").as("syy"),
+        sum(col("rx") * col("ry")).cast(DecimalType(38, 4)).cast("double").as("sxy"))
+    val nD = col("n_pairs").cast("double")
+    m.select(col("lag"), col("n_pairs"),
+      round((nD * col("sxy") - col("sx") * col("sy"))
+        / sqrt((nD * col("sxx") - col("sx") * col("sx"))
+          * (nD * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q282_acf" -> q282Acf,
+    "q281_diff_in_diff" -> q281DiffInDiff,
+    "q279_theil_sen" -> q279TheilSen,
     "q273_join_discovery" -> q273JoinDiscovery,
     "q266_cramers_v" -> q266CramersV,
     "q263_bootstrap_ci" -> q263BootstrapCi,
@@ -1019,6 +1169,91 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q282_acf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT CAST(u.l AS BIGINT) AS lag
+        |         FROM unnest([1, 2, 3, 4, 5, 6, 7]) AS u(l)),
+        |p AS (
+        |  SELECT lags.lag, a.r AS rx, b.r AS ry
+        |  FROM daily a CROSS JOIN lags JOIN daily b ON b.x = a.x + lags.lag),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+        |    CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+        |    CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  ROUND((n_pairs * sxy - sx * sy)
+        |    / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6)
+        |    AS acf
+        |FROM m ORDER BY lag""".stripMargin,
+    "q279_theil_sen" ->
+      """WITH grid AS MATERIALIZED (
+        |  SELECT o_orderpriority,
+        |    CAST((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+        |       + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.o_orderpriority, a.x AS x1, b.x AS x2,
+        |    ROUND(CAST(b.cents - a.cents AS DOUBLE)
+        |        / CAST(b.x - a.x AS DOUBLE), 6) AS slope
+        |  FROM grid a JOIN grid b
+        |    ON a.o_orderpriority = b.o_orderpriority AND b.x > a.x),
+        |med AS (
+        |  SELECT o_orderpriority, cnt AS n_pairs, slope FROM (
+        |    SELECT o_orderpriority, slope,
+        |      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY slope, x1, x2) AS rn,
+        |      COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |    FROM pairs) WHERE rn = (cnt + 1) // 2),
+        |resid AS (
+        |  SELECT g.o_orderpriority, m.n_pairs, m.slope,
+        |    ROUND(CAST(g.cents AS DOUBLE) - m.slope * CAST(g.x AS DOUBLE), 6)
+        |      AS r0, g.x
+        |  FROM grid g JOIN med m ON g.o_orderpriority = m.o_orderpriority)
+        |SELECT o_orderpriority, CAST(nm AS BIGINT) AS n_months,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  slope AS slope_cents_per_month, r0 AS intercept_cents
+        |FROM (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY r0, x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS nm
+        |  FROM resid) WHERE rn = (nm + 1) // 2
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q281_diff_in_diff" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    user_id % 2 = 0 AS t,
+        |    ts >= TIMESTAMP '2024-01-16' AS p
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT
+        |    COUNT(CASE WHEN t AND NOT p THEN 1 END) AS n_pre_t,
+        |    ROUND(CAST(SUM(CASE WHEN t AND NOT p THEN v END) AS DOUBLE)
+        |      / COUNT(CASE WHEN t AND NOT p THEN 1 END), 6) AS mean_pre_t,
+        |    COUNT(CASE WHEN t AND p THEN 1 END) AS n_post_t,
+        |    ROUND(CAST(SUM(CASE WHEN t AND p THEN v END) AS DOUBLE)
+        |      / COUNT(CASE WHEN t AND p THEN 1 END), 6) AS mean_post_t,
+        |    COUNT(CASE WHEN NOT t AND NOT p THEN 1 END) AS n_pre_c,
+        |    ROUND(CAST(SUM(CASE WHEN NOT t AND NOT p THEN v END) AS DOUBLE)
+        |      / COUNT(CASE WHEN NOT t AND NOT p THEN 1 END), 6) AS mean_pre_c,
+        |    COUNT(CASE WHEN NOT t AND p THEN 1 END) AS n_post_c,
+        |    ROUND(CAST(SUM(CASE WHEN NOT t AND p THEN v END) AS DOUBLE)
+        |      / COUNT(CASE WHEN NOT t AND p THEN 1 END), 6) AS mean_post_c
+        |  FROM e)
+        |SELECT n_pre_t, mean_pre_t, n_post_t, mean_post_t,
+        |  n_pre_c, mean_pre_c, n_post_c, mean_post_c,
+        |  ROUND((mean_post_t - mean_pre_t) - (mean_post_c - mean_pre_c), 6)
+        |    AS did_estimate
+        |FROM w""".stripMargin,
     "q273_join_discovery" ->
       """WITH sets AS MATERIALIZED (
         |  SELECT DISTINCT 'lineitem.l_orderkey' AS cname, CAST(l_orderkey AS BIGINT) AS v FROM lineitem

@@ -1171,7 +1171,102 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q284: streaming Benford audit — q204's first-digit fraud monitor
+    * maintained as order amounts ARRIVE: each micro-batch reduces to ITS
+    * OWN additive (digit, n) counts written idempotently under
+    * `batch=<id>` (the q219/q264 mergeable-summary pattern — digit counts
+    * are pure sums, so the drained merge equals the batch aggregate at ANY
+    * trigger slicing), and the post-drain merge feeds
+    * [[graft.operators.Stats.benfordReport]] — the identical
+    * share/expected/delta arithmetic, so q284 shares q204's DuckDB oracle
+    * verbatim.
+    *
+    * Scale shape: per-batch cost is one ≤9-group count over the batch; the
+    * standing state is the 9-row digit summary — bounded, never rows.
+    */
+  def q284StreamBenford: Q = (s, d) => {
+    val ord = Tables(s, d, "orders").select(col("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q284_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ord.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            val cents = (graft.Dsl.dec(col("o_totalprice")) * 100).cast("long")
+            batch.toDF()
+              .select(cents.as("cents"))
+              .select(substring(expr("CAST(cents div 100 AS STRING)"), 1, 1)
+                .as("digit"))
+              .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        graft.operators.Stats.benfordReport(
+          s.read.parquet(sumDir)
+            .groupBy(col("digit")).agg(sum(col("n")).cast("long").as("n"))))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Q288: streaming strict-funnel twin — q252's consecutive
+    * view→click→purchase detection over a micro-batched feed. The batch
+    * kernel needs each user's FULL ordered history (a lag-2 window), so
+    * the feed is sliced user-complete instead of time-sliced: the events
+    * relation is hash-partitioned by user_id into 3 files, each micro-batch
+    * (maxFilesPerTrigger=1) carries a disjoint user cohort's complete
+    * history, the shared [[graft.operators.Events.strictFunnelPerUser]]
+    * kernel runs per batch, and per-user rows merge by plain union
+    * (disjoint users — no cross-batch state at all). The bottom-line
+    * converting-user count attaches at drain as q252's 1-row broadcast.
+    * Shares q252's oracle verbatim — the cohort slicing must be invisible
+    * in the drained result. Per-batch writes are idempotent
+    * (`batch=<id>` overwrite), the same recovery contract as q284/q152.
+    *
+    * At scale: this is the backfill shape for user-grain sessionized
+    * analytics — cohort-partitioned replay keeps per-batch state bounded
+    * by the cohort, not the corpus, and needs no watermark because no
+    * batch ever waits on another's users.
+    */
+  def q288StreamFunnel: Q = (s, d) => {
+    val evs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts2"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q288_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val outDir = s"$tmp/per_user"
+      evs.repartition(3, col("user_id")).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(evs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Events.strictFunnelPerUser(batch.toDF())
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val perUser = s.read.parquet(outDir)
+      graft.Checkpoints.materialize(
+        perUser
+          .crossJoin(broadcast(perUser.agg(count(lit(1)).as("n_users"))))
+          .select(col("user_id"), col("n_completions"),
+            big(col("first_completion_es")).as("first_completion_es"),
+            big(col("n_users")).as("n_converting_users"))
+          .orderBy(col("user_id")))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q288_stream_funnel" -> q288StreamFunnel,
+    "q284_stream_benford" -> q284StreamBenford,
     "q265_stream_bollinger" -> q265StreamBollinger,
     "q264_stream_kanonymity" -> q264StreamKanonymity,
     "q219_stream_topk" -> q219StreamTopk,
@@ -1263,6 +1358,12 @@ object Windows {
         |FROM j, tot GROUP BY h, n_g ORDER BY h""".stripMargin,
     "q264_stream_kanonymity" ->
       graft.operators.Stats.oracles("q254_kanonymity"),
+    // q284 shares q204's oracle verbatim (additive digit counts merge
+    // exactly at any trigger slicing)
+    "q288_stream_funnel" ->
+      graft.operators.Events.oracles("q252_strict_funnel"),
+    "q284_stream_benford" ->
+      graft.operators.Stats.oracles("q204_benford"),
     "q265_stream_bollinger" ->
       graft.operators.Events.oracles("q256_bollinger_breakout"),
     "q175_stream_scd2" ->

@@ -598,6 +598,172 @@ class NorthStarSpec extends SparkSpec {
       Seq("added", "changed", "removed", "unchanged"))
   }
 
+  test("q280 snapshot drift: per-source rollup matches a q129-classification replay") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    case class Acc(d1: Long = 0, d2: Long = 0, a: Long = 0, r: Long = 0,
+      c: Long = 0, u: Long = 0, ch1: Long = 0, ch2: Long = 0)
+    val want = docs.foldLeft(Map.empty[String, Acc]) { case (m, (id, src, ch)) =>
+      val inV1 = id % 7 != 0
+      val inV2 = id % 11 != 0
+      if (!inV1 && !inV2) m
+      else {
+        val acc = m.getOrElse(src, Acc())
+        val st =
+          if (!inV1) "added" else if (!inV2) "removed"
+          else if (id % 5 == 0) "changed" else "unchanged"
+        m + (src -> acc.copy(
+          d1 = acc.d1 + (if (inV1) 1 else 0),
+          d2 = acc.d2 + (if (inV2) 1 else 0),
+          a = acc.a + (if (st == "added") 1 else 0),
+          r = acc.r + (if (st == "removed") 1 else 0),
+          c = acc.c + (if (st == "changed") 1 else 0),
+          u = acc.u + (if (st == "unchanged") 1 else 0),
+          ch1 = acc.ch1 + (if (inV1) ch else 0),
+          ch2 = acc.ch2 + (if (inV2) ch else 0)))
+      }
+    }
+    val got = NorthStar.q280SnapshotDrift(spark, sf0001).collect()
+    assert(got.length === want.size)
+    got.foreach { row =>
+      val w = want(row.getString(0))
+      assert(row.getLong(1) === w.d1 && row.getLong(2) === w.d2, row.getString(0))
+      assert(row.getLong(3) === w.a && row.getLong(4) === w.r
+        && row.getLong(5) === w.c && row.getLong(6) === w.u, row.getString(0))
+      assert(row.getLong(7) === w.ch1 && row.getLong(8) === w.ch2
+        && row.getLong(9) === w.ch2 - w.ch1, row.getString(0))
+      // accounting identity: every v2 doc is added, changed or unchanged
+      assert(w.d2 === w.a + w.c + w.u)
+      assert(w.d1 === w.r + w.c + w.u)
+    }
+  }
+
+  test("q283 decontam sensitivity: per-width counts match a shingle replay; flagging shrinks with width") {
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh(text: String, w: Int): Set[String] = {
+      val tk = text.split(" ").filter(_.nonEmpty).toSeq
+      if (tk.length < w) Set(tk.mkString(" "))
+      else tk.sliding(w).map(_.mkString(" ")).toSet
+    }
+    val nTrain = docs.count(_._2 != "src0").toLong
+    val want = Seq(5, 8, 13).map { w =>
+      val bench = docs.filter(_._2 == "src0").flatMap(d => sh(d._3, w)).toSet
+      val hits = docs.filter(_._2 != "src0")
+        .map(d => sh(d._3, w).count(bench))
+      val nCont = hits.count(_ > 0).toLong
+      val nHit = hits.map(_.toLong).sum
+      (w.toLong, nTrain, nCont, nHit, r6(nCont.toDouble / nTrain))
+    }
+    val got = NorthStar.q283DecontamSensitivity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === want)
+    // a doc sharing a 13-token span shares its 8- and 5-token sub-spans:
+    // flagged docs can only shrink as the width grows
+    assert(got(0)._3 >= got(1)._3 && got(1)._3 >= got(2)._3)
+    assert(got.forall(_._3 > 0), "no contamination at some width - vacuous")
+  }
+
+  test("q285 dup growth: cumulative curve matches an exact-jaccard inverted-index replay") {
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh3(text: String): Set[String] = {
+      val tk = text.split(" ").filter(_.nonEmpty).toSeq
+      if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map(d => d._1 -> sh3(d._3)).toMap
+    val rank = docs.map(d => d._1 -> d._2.drop(3).toLong).toMap
+    // inverted index: candidate pairs = docs sharing any shingle
+    val inter = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    docs.flatMap(d => sets(d._1).map(_ -> d._1)).groupBy(_._1).values
+      .foreach { g =>
+        val ids = g.map(_._2).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) {
+          val k = (ids(i), ids(j))
+          inter(k) = inter.getOrElse(k, 0) + 1
+        }
+      }
+    val pairs = inter.toSeq.collect {
+      case ((a, b), i) if 3 * i >= sets(a).size + sets(b).size => (a, b)
+    }
+    val firstDup = (pairs.map { case (a, b) =>
+      a -> math.max(rank(a), rank(b))
+    } ++ pairs.map { case (a, b) => b -> math.max(rank(a), rank(b)) })
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).min }
+    val ranks = rank.values.toSeq.distinct.sorted
+    var cd = 0L
+    var cf = 0L
+    val want = ranks.map { r =>
+      cd += rank.values.count(_ == r)
+      cf += firstDup.values.count(_ == r)
+      (r, cd, cf, r6(cf.toDouble / cd))
+    }
+    val got = NorthStar.q285DupGrowth(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === want)
+    // the curve is monotone in both coordinates and ends with every doc counted
+    assert(got.last._2 === docs.length.toLong)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
+    assert(got.last._3 > 0, "no duplicates ever formed - vacuous fixture")
+  }
+
+  test("q286 curation dashboard: per-source flag counts match a sequential three-flag replay") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    def sh(text: String): Set[String] = {
+      val tk = text.split(" ").filter(_.nonEmpty).toSeq
+      if (tk.length < 8) Set(tk.mkString(" ")) else tk.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._2 == "src0").flatMap(d => sh(d._4)).toSet
+    val train = docs.filter(_._2 != "src0")
+    val fpOf = train.map(d =>
+      d._1 -> d._4.split(" ").filter(_.nonEmpty).distinct.sorted.mkString(" ")).toMap
+    val survivorOf = train.groupBy(d => fpOf(d._1)).values
+      .flatMap { g => val keep = g.map(_._1).min; g.map(d => d._1 -> (d._1 == keep)) }
+      .toMap
+    val flags = train.map { d =>
+      (d._2, survivorOf(d._1), sh(d._4).exists(bench), d._3 < 150)
+    }
+    val want = flags.groupBy(_._1).map { case (src, g) =>
+      val clean = g.count(f => f._2 && !f._3 && !f._4).toLong
+      src -> (g.length.toLong, g.count(!_._2).toLong, g.count(_._3).toLong,
+        g.count(_._4).toLong, clean)
+    }
+    val got = NorthStar.q286CurationDashboard(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === want.keySet)
+    got.foreach { r =>
+      val (nd, dd, cd, sd, cl) = want(r.getString(0))
+      assert(r.getLong(1) === nd && r.getLong(2) === dd && r.getLong(3) === cd
+        && r.getLong(4) === sd && r.getLong(5) === cl, s"source ${r.getString(0)}")
+      // clean docs can never exceed any single filter's survivors
+      assert(cl <= nd - dd && cl <= nd - cd && cl <= nd - sd, r.getString(0))
+    }
+    // the dashboard must be non-vacuous on every axis at this fixture
+    assert(got.map(_.getLong(2)).sum > 0, "no duplicates flagged - vacuous")
+    assert(got.map(_.getLong(3)).sum > 0, "no contamination flagged - vacuous")
+    assert(got.map(_.getLong(4)).sum > 0, "no short docs flagged - vacuous")
+    assert(got.map(_.getLong(5)).sum > 0, "nothing survives curation - degenerate")
+  }
+
   test("q130 shard shuffle: stable shards, contiguous positions, epoch reshuffle") {
     val rows = NorthStar.q130ShardShuffle(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -79,6 +79,7 @@ class PlanAuditSpec extends SparkSpec {
     "q260_power_iteration", // 1-row max|u| broadcast normalizing the 64-row vector
     "q263_bootstrap_ci", // 1-row point-estimate broadcast beside the 32-row order stats
     "q266_cramers_v", // 1-row total + 1-row (r, c) dims broadcasts over the bounded grid
+    "q283_decontam_sensitivity", // 1-row summary x 1-row train-total broadcasts, one per swept width
     "q276_silhouette", // K-row label-centroid broadcast (q137's all-labels kernel)
     "q277_brand_modularity", // 1-row edge-mass broadcast against the bounded brand grain
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
@@ -103,7 +104,8 @@ class PlanAuditSpec extends SparkSpec {
     "q210_kaplan_meier" -> "at-risk/product-limit cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span), never the customers",
     "q235_gains_curve" -> "prefix sums over the bounded (score -> counts) summary (q190's 2-decimal-domain collapse), never the rows",
     "q239_rank_movers" -> "rank windows over the bounded top-100 TakeOrdered relation, never the catalog",
-    "q271_sql_surface" -> "row_number over the TakeOrdered-bounded 10-row top relation, never the order population")
+    "q271_sql_surface" -> "row_number over the TakeOrdered-bounded 10-row top relation, never the order population",
+    "q285_dup_growth" -> "cumsum over the bounded source-rank grid (~20 rows at any volume), never the documents")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -113,7 +115,7 @@ class PlanAuditSpec extends SparkSpec {
     "q152_stream_decontam", "q155_stream_ingest_dedup",
     "q158_stream_decontam_rewrite", "q192_stream_auc",
     "q201_stream_changepoint", "q219_stream_topk", "q264_stream_kanonymity",
-    "q265_stream_bollinger")
+    "q265_stream_bollinger", "q284_stream_benford", "q288_stream_funnel")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -391,4 +391,98 @@ class StatsSpec extends SparkSpec {
       assert(got((1L, k))._3 <= got((0L, k))._3, s"k=$k risk mass grew under generalization")
     }
   }
+
+  test("q279 theil-sen: slope and intercept match an all-pairs median replay per priority") {
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val rows = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), (r.getInt(1) - 1995) * 12L + r.getInt(2) - 1,
+        BigDecimal.valueOf(r.getDouble(3))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (prio, g) =>
+      val grid = g.groupBy(_._2).map { case (x, xs) =>
+        (x, (xs.map(_._3).sum * 100).toLongExact)
+      }.toSeq.sortBy(_._1)
+      val pairs = for {
+        (x1, y1) <- grid; (x2, y2) <- grid if x2 > x1
+      } yield (x1, x2, r6((y2 - y1).toDouble / (x2 - x1).toDouble))
+      val sorted = pairs.sortBy { case (x1, x2, sl) => (sl, x1, x2) }
+      val slope = sorted((sorted.length + 1) / 2 - 1)._3
+      val resid = grid.map { case (x, y) => (x, r6(y.toDouble - slope * x)) }
+        .sortBy { case (x, r0) => (r0, x) }
+      val intercept = resid((resid.length + 1) / 2 - 1)._2
+      (prio, grid.length.toLong, sorted.length.toLong, slope, intercept)
+    }
+    val got = Stats.q279TheilSen(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === want)
+    assert(got.forall { case (_, nm, np, _, _) => np == nm * (nm - 1) / 2 },
+      "pair count must be n-months choose 2 - the grid collapse regressed")
+  }
+
+  test("q282 acf: per-lag pearson matches an exact-moment replay; lag-0 sanity") {
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val epoch = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val daily = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderdate").cast("date"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay - epoch,
+        BigDecimal.valueOf(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (x, xs) => x -> xs.map(_._2).sum }
+    val want = (1L to 7L).map { lag =>
+      val ps = daily.toSeq.flatMap { case (x, rx) =>
+        daily.get(x + lag).map(ry => (rx, ry))
+      }
+      val n = ps.length.toDouble
+      val sx = ps.map(_._1).sum.toDouble
+      val sy = ps.map(_._2).sum.toDouble
+      val sxx = ps.map(p => p._1 * p._1).sum.toDouble
+      val syy = ps.map(p => p._2 * p._2).sum.toDouble
+      val sxy = ps.map(p => p._1 * p._2).sum.toDouble
+      (lag, ps.length.toLong,
+        r6((n * sxy - sx * sy)
+          / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))))
+    }
+    val got = Stats.q282Acf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want)
+    assert(got.forall { case (_, n, a) => n > 0 && a >= -1.0 && a <= 1.0 })
+  }
+
+  test("q281 diff-in-diff: cell means and the estimate match a four-cell replay") {
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val rows = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts2"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0) % 2 == 0, !r.getTimestamp(1).before(cut),
+        BigDecimal.valueOf(r.getDouble(2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    def cell(t: Boolean, p: Boolean) = {
+      val xs = rows.filter(r => r._1 == t && r._2 == p)
+      (xs.length.toLong, r6(xs.map(_._3).sum.toDouble / xs.length))
+    }
+    val (nPreT, mPreT) = cell(t = true, p = false)
+    val (nPostT, mPostT) = cell(t = true, p = true)
+    val (nPreC, mPreC) = cell(t = false, p = false)
+    val (nPostC, mPostC) = cell(t = false, p = true)
+    val got = Stats.q281DiffInDiff(spark, sf0001).collect()
+    assert(got.length === 1)
+    val g = got.head
+    assert(g.getLong(0) === nPreT && g.getLong(2) === nPostT
+      && g.getLong(4) === nPreC && g.getLong(6) === nPostC)
+    assert(g.getDouble(1) === mPreT && g.getDouble(3) === mPostT
+      && g.getDouble(5) === mPreC && g.getDouble(7) === mPostC)
+    assert(g.getDouble(8) === r6((mPostT - mPreT) - (mPostC - mPreC)))
+    // all four cells populated - the estimate is non-vacuous
+    assert(nPreT > 0 && nPostT > 0 && nPreC > 0 && nPostC > 0)
+  }
 }

@@ -3087,4 +3087,82 @@ class UtilitiesSpec extends SparkSpec {
     }
     assert(got.nonEmpty, "no strict conversion in the fixture - vacuous")
   }
+
+  test("q287 reconciliation: header-vs-lines audit matches a sequential replay and is non-vacuous") {
+    val lsums = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice".cast("decimal(18,2)")).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1)))
+      .groupBy(_._1).map { case (k, g) =>
+        k -> g.map(x => BigDecimal(x._2)).sum
+      }
+    val hdrs = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast("decimal(18,2)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), BigDecimal(r.getDecimal(2))))
+    val want = hdrs.groupBy(_._2).map { case (st, g) =>
+      val errs = g.flatMap(h => lsums.get(h._1).map(ls => (h._3 - ls).abs))
+      st -> (g.length.toLong, errs.length.toLong,
+        errs.count(_ <= BigDecimal("0.01")).toLong,
+        errs.count(_ > BigDecimal("0.01")).toLong,
+        if (errs.isEmpty) null else errs.max)
+    }
+    val got = Extras.q287Reconciliation(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSet === want.keySet)
+    got.foreach { r =>
+      val (no, nl, nm, nx, mx) = want(r.getString(0))
+      assert(r.getLong(1) === no && r.getLong(2) === nl
+        && r.getLong(3) === nm && r.getLong(4) === nx, s"status ${r.getString(0)}")
+      if (mx != null)
+        assert(math.abs(r.getDouble(5) - mx.toDouble) < 1e-9, s"max err ${r.getString(0)}")
+    }
+    // The synthetic headers are NOT derived from the lines — the audit must
+    // honestly report mismatches, or the query is vacuous on this fixture.
+    assert(got.map(_.getLong(4)).sum > 0, "no mismatches flagged - vacuous")
+    assert(got.forall(r => r.getLong(3) + r.getLong(4) === r.getLong(2)),
+      "matched + mismatched must partition the with-lines set")
+  }
+
+  test("q278 label propagation: labels match a 3-round synchronous replay; communities coarsen only within components") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pe = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val edges = pe ++ pe.map(p => (p._2, p._1))
+    val nbrs = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (u, ns) =>
+        val counts = ns.map(lbl).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        // mode with (count desc, label asc) total order
+        u -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val want = lbl.toSeq.sortBy(_._1)
+    val got = Graph.q278LabelPropagation(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === want)
+    // every final label is a node of the graph, and label propagation can
+    // never join nodes across connected components
+    val comp = {
+      var c = nbrs.keys.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((u, ns) <- nbrs; v <- ns) {
+          val m = math.min(c(u), c(v))
+          if (c(u) != m || c(v) != m) { c = c + (u -> m) + (v -> m); changed = true }
+        }
+      }
+      c
+    }
+    got.foreach { case (n, l) =>
+      assert(nbrs.contains(l), s"label $l is not a graph node")
+      assert(comp(n) === comp(l), s"node $n labeled across components")
+    }
+    assert(got.map(_._2).distinct.length < got.length,
+      "LPA produced no merging at all - vacuous fixture")
+  }
 }

@@ -638,4 +638,32 @@ class StreamingSpec extends SparkSpec {
       "per-batch class counts must merge to the exact batch class sizes")
     assert(stream.size === 6)
   }
+
+  test("q284 stream benford: drained digit-count merge equals the q204 batch audit") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val batch = rows(graft.operators.Stats.q204Benford(spark, sf0001))
+    val stream = rows(graft.streaming.Windows.q284StreamBenford(spark, sf0001))
+    assert(stream === batch,
+      "additive digit counts must merge to the exact batch distribution")
+    // all nine leading digits occur and shares sum to ~1
+    assert(stream.map(_._1).sorted === (1 to 9).map(_.toString))
+    assert(math.abs(stream.map(_._3).sum - 1.0) < 1e-4)
+  }
+
+  test("q288 stream funnel: cohort-sliced drain equals the q252 batch funnel") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = rows(graft.operators.Events.q252StrictFunnel(spark, sf0001))
+    val stream = rows(graft.streaming.Windows.q288StreamFunnel(spark, sf0001))
+    assert(stream === batch,
+      "user-complete cohort slicing must be invisible in the drained result")
+    assert(stream.nonEmpty, "no strict conversions - vacuous")
+    // the bottom-line converting-user count rides in every row
+    assert(stream.forall(_._4 === stream.size.toLong))
+    val leftovers = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_q288_"))
+    assert(leftovers.isEmpty, s"temp dirs leaked: ${leftovers.mkString(",")}")
+  }
 }
