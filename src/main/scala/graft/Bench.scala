@@ -4,11 +4,27 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * Protocol (BASELINE.md): one untimed warm-up pass per query (JIT +
-  * codegen + file-footer caches — otherwise whichever query runs first in a
-  * fresh JVM eats ~5-8s of compiler time and the numbers measure Map
-  * ordering, not plans), then the MEDIAN OF 5 timed runs, with the
-  * inter-quartile range (p75−p25 ≈ sorted(3)−sorted(1)) reported per query
+  * Protocol (BASELINE.md), round-9 revision "adaptive-budgeted-adjudicated":
+  * the round-8 driver sweep was killed at the harness timeout (rc=124, no
+  * JSON emitted) — a fixed median-of-5 plus two sentinel runs around every
+  * one of 288 queries no longer fits any sane budget. The sweep now runs
+  * under a HARD WALL-CLOCK BUDGET (SPARK_GRAFT_BENCH_BUDGET seconds,
+  * default 900) and degrades instead of dying:
+  *
+  *  1. ONE TIMED warm-up pass per query (JIT + codegen + file-footer
+  *     caches) which doubles as a single-run fallback measurement — from
+  *     this point the emitted line is always full-surface.
+  *  2. The importer throughput point runs immediately after warm-up so the
+  *     contract field survives any later degradation.
+  *  3. Measured sweep CHEAPEST-FIRST with reps adapted to the warm
+  *     estimate (<0.5 s → median-of-5; <2 s → median-of-3; else min-of-2),
+  *     degraded further per-query when the remaining budget can't cover
+  *     the plan; queries that don't fit at all keep their warm number,
+  *     flagged in `degraded`.
+  *  4. A JVM shutdown hook emits the partial record if the harness kills
+  *     the process anyway — `"partial":true` marks it.
+  *
+  * The per-query IQR (p75−p25 for 5 reps, max−min below that) is reported
   * so a regression call can be judged against the measured spread instead
   * of single-run jitter (recorded at ±20-30% per BENCH.md). A query that
   * fails reports -1.
@@ -19,23 +35,27 @@ import org.apache.spark.sql.SparkSession
   * idle box). The bench therefore measures its own measurement window:
   * single runs of two cheap sentinels with flat cross-round history (q01
   * 0.2 s-class scan-agg, q04 broadcast star join — the DebugDeltas
-  * protocol that settled the r4-r7 disputes) are interleaved around every
-  * query's 5-run block, and each sentinel's elevation over its session
-  * floor (the minimum that sentinel has shown this JVM) estimates external
-  * load during that block. A block is DIRTY when BOTH bracketing sentinels
-  * are ≥1.4x their floors or the query's IQR/median exceeds 0.5 (for
-  * medians ≥0.3 s — below that the ratio is JIT noise); dirty blocks
-  * re-measure up to twice, and the first clean block wins. Requiring both
-  * brackets discriminates sustained external load (which spans the whole
-  * 5-run block, elevating both) from a heavy query's own GC/cleaner
-  * shadow (which elevates only the trailing sentinel — the recorded
-  * `sentinel` field still reports the max, so the shadow stays visible). A query with no clean block
-  * in 3 attempts keeps its fastest attempt flagged `contaminated` — the
-  * honest record is "this number is an upper bound taken under load", not
-  * a silent 20x. The JSON line carries per-query `iqr` and `sentinel`
-  * (max bracketing elevation of the kept block), `reruns`/`contaminated`
-  * for the affected queries, and the absolute `sentinel_floor` seconds so
-  * cross-round artifacts can also be compared on sentinel levels.
+  * protocol that settled the r4-r7 disputes) are interleaved around the
+  * run-block of every NON-TRIVIAL query (warm estimate ≥0.3 s — a 50 ms
+  * query is adjudicated by its own IQR, and two sentinel runs apiece on
+  * ~250 such queries is what broke the round-8 budget), and each
+  * sentinel's elevation over its session floor (the minimum that sentinel
+  * has shown this JVM) estimates external load during that block. A block
+  * is DIRTY when BOTH bracketing sentinels are ≥1.4x their floors or the
+  * query's IQR/median exceeds 0.5 (for medians ≥0.3 s — below that the
+  * ratio is JIT noise); a dirty block re-measures once (budget
+  * permitting), and the first clean block wins. Requiring both brackets
+  * discriminates sustained external load (which spans the whole run
+  * block, elevating both) from a heavy query's own GC/cleaner shadow
+  * (which elevates only the trailing sentinel — the recorded `sentinel`
+  * field still reports the max, so the shadow stays visible). A query
+  * with no clean block keeps its fastest attempt flagged `contaminated` —
+  * the honest record is "this number is an upper bound taken under load",
+  * not a silent 20x. The JSON line carries per-query `iqr` and `sentinel`
+  * (max bracketing elevation of the kept block), `reruns`/`contaminated`/
+  * `degraded` for the affected queries, and the absolute `sentinel_floor`
+  * seconds so cross-round artifacts can also be compared on sentinel
+  * levels.
   *
   * The line also carries one importer throughput point: the sf lineitem
   * table round-tripped through a headered CSV and imported with the full
@@ -99,6 +119,19 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = tools.BenchLock.exclusiveWait("Bench") {
+    val startNs = System.nanoTime()
+    // HARD WALL-CLOCK BUDGET (seconds). The round-8 driver sweep was killed
+    // at its harness timeout (rc=124) before the JSON line printed — 288
+    // queries under the fixed median-of-5 + full sentinel brackets no
+    // longer fit. The budget makes the sweep degrade instead of die: the
+    // timed warm-up pass is a fallback measurement for every query, reps
+    // adapt to query cost, and when the deadline nears, the remaining
+    // queries keep their warm-up numbers flagged `degraded`. A shutdown
+    // hook prints whatever exists if the JVM is killed anyway.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(900.0)
+    def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
+    def remainingSec: Double = budgetSec - elapsedSec
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // contract default: local[32] with shuffle.partitions=32 (capped by the
     // actual core count); SPARK_GRAFT_CPUS overrides for local iteration
@@ -128,11 +161,79 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    names.foreach(runOnce) // warm-up
+    // --- timed warm-up pass: JIT + codegen + footer caches, AND the
+    // single-run fallback measurement for every query. If the warm-up
+    // itself overruns its share of the budget (a pathologically loaded
+    // box), the tail is left unrun (-1) rather than hanging the sweep.
+    val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warmCap = budgetSec * 0.55
+    names.foreach { n =>
+      warm(n) = if (elapsedSec < warmCap) runOnce(n) else -1.0
+    }
+
+    final case class Row(median: Double, iqr: Double, sentinel: Double,
+                         contaminated: Boolean, reruns: Int, degraded: Boolean)
+    // seeded with the warm-up fallback so the emitted line is ALWAYS
+    // full-surface, whether the sweep finishes, degrades, or is killed.
+    // TrieMap: the shutdown hook reads concurrently with sweep writes.
+    val results = scala.collection.concurrent.TrieMap.empty[String, Row]
+    names.foreach { n =>
+      results(n) = Row(warm(n), -1.0, 1.0, contaminated = false, reruns = 0,
+        degraded = true)
+    }
+
+    // importer throughput point — right after warm-up so the contract
+    // field is present even on a budget-degraded sweep (skipped during
+    // SPARK_GRAFT_ONLY iteration)
+    val imp = if (only.isEmpty) importerBench(spark, sfDir) else None
+
+    // --- emission (shared by the normal path and the shutdown hook) ------
+    // Locale.ROOT: the f-interpolator honors the default JVM locale, which
+    // under e.g. de_DE emits decimal COMMAS and corrupts the JSON contract
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sentinelNames = Seq("q01_scan_filter", "q04_star_join")
+    val floors = scala.collection.concurrent.TrieMap.empty[String, Double]
+    @volatile var emitted = false
+    def emit(partial: Boolean): Unit = synchronized {
+      val rs = names.map(n => n -> results(n))
+      val qs = jmap(rs.map { case (k, r) => k -> fmt(r.median) })
+      val iqrs = jmap(rs.map { case (k, r) => k -> fmt(r.iqr) })
+      val sents = jmap(rs.map { case (k, r) => k -> fmt(r.sentinel) })
+      val reruns = jmap(rs.collect { case (k, r) if r.reruns > 0 => k -> r.reruns.toString })
+      val contaminated = rs.collect { case (k, r) if r.contaminated => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val degraded = rs.collect { case (k, r) if r.degraded => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val floorJson = jmap(sentinelNames.map(s => s -> fmt(floors.getOrElse(s, -1.0))))
+      val total = rs.map(_._2.median).filter(_ >= 0).sum
+      val impJson = imp.map { case (rows, sec, bytes) =>
+        val secS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
+        val rps = if (sec > 0) String.format(java.util.Locale.ROOT, "%.0f", Double.box(rows / sec)) else "-1"
+        s""","importer":{"rows":$rows,"sec":$secS,"rows_per_sec":$rps,"csv_bytes":$bytes}"""
+      }.getOrElse("")
+      val elS = String.format(java.util.Locale.ROOT, "%.1f", Double.box(elapsedSec))
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"adaptive-budgeted-adjudicated","partial":$partial,"budget_sec":$budgetSec,"elapsed_sec":$elS,"queries":$qs,"iqr":$iqrs,"sentinel":$sents,"sentinel_floor":$floorJson,"reruns":$reruns,"contaminated":$contaminated,"degraded":$degraded$impJson,"sf":"$sfDir"}"""
+      println(line)
+      System.out.flush()
+      // stdout passes through sbt's logger ([info] prefixes); also drop the
+      // bare line in a file so consumers get clean JSON either way — but
+      // NEVER from a SPARK_GRAFT_ONLY subset run, which would silently
+      // replace the full-surface record with a partial one
+      if (only.isEmpty)
+        try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+    }
+    // last-resort guarantee: if the harness SIGTERMs the JVM (timeout),
+    // print the partial record — every query still carries at least its
+    // warm-up number, so the round artifact is parseable instead of empty
+    val hook = new Thread(() => if (!emitted) emit(partial = true))
+    Runtime.getRuntime.addShutdownHook(hook)
 
     // --- sentinel machinery (scaladoc: self-adjudication) -----------------
-    val sentinelNames = Seq("q01_scan_filter", "q04_star_join")
-    val floors = scala.collection.mutable.Map.empty[String, Double]
     def sentinelRun(s: String): Double = {
       val t = runOnce(s)
       // floor = session minimum: contention only ever slows a sentinel, so
@@ -141,21 +242,17 @@ object Bench {
       if (t >= 0) floors(s) = math.min(floors.getOrElse(s, t), t)
       t
     }
-    sentinelNames.foreach(s => (1 to 3).foreach(_ => sentinelRun(s)))
+    sentinelNames.foreach(s => (1 to 2).foreach(_ => sentinelRun(s)))
     val sentIter = Iterator.continually(sentinelNames).flatten
-
-    final case class Row(median: Double, iqr: Double, sentinel: Double,
-                         contaminated: Boolean, reruns: Int)
 
     // Before a re-measure, wait (bounded) for the contention window to pass:
     // probe the cheap sentinel every 5 s until it sits near its floor. The
-    // global budget caps total added wall-clock at 300 s per bench run so a
-    // permanently-loaded box degrades to flagged-contaminated rows rather
-    // than a hung sweep.
-    var quietBudgetMs = 300000L
+    // global cap keeps a permanently-loaded box degrading to flagged-
+    // contaminated rows rather than a hung sweep.
+    var quietBudgetMs = 60000L
     def waitForQuiet(): Unit = {
       var tries = 0
-      while (tries < 12 && quietBudgetMs > 0) {
+      while (tries < 6 && quietBudgetMs > 0 && remainingSec > 60) {
         val t = sentinelRun("q01_scan_filter")
         val ratio = if (t > 0 && floors.get("q01_scan_filter").exists(_ > 0))
           t / floors("q01_scan_filter") else 1.0
@@ -164,21 +261,38 @@ object Bench {
       }
     }
 
-    def measure(name: String): Row = {
+    // Adaptive reps: the fixed median-of-5 over every query is what blew
+    // the round-8 harness timeout. Cheap queries keep the full 5 (their
+    // runs are nearly free and the median is the cleanest statistic);
+    // mid-cost queries take 3; heavies take 2 (the min of 2 is the
+    // tightest contention-robust statistic at that price point).
+    def plannedReps(est: Double): Int =
+      if (est < 0.5) 5 else if (est < 2.0) 3 else 2
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else s(s.size / 2 - 1) // lower-middle: min-of-2 for heavies
+    }
+    def iqrOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size >= 5) s(3) - s(1) else s.last - s.head
+    }
+
+    def measure(name: String, reps: Int, bracket: Boolean): Row = {
       var attempts = List.empty[(Double, Double, Double)] // (median, iqr, ratio)
       var kept = Option.empty[(Double, Double, Double)]
       var n = 0
-      while (n < 3 && kept.isEmpty) {
+      val maxAttempts = if (remainingSec > budgetSec * 0.3) 2 else 1
+      while (n < maxAttempts && kept.isEmpty) {
         if (n > 0) waitForQuiet() // a rerun straight into the same load window is wasted
-        val s1 = sentIter.next(); val r1 = sentinelRun(s1)
-        val ts = Seq.fill(5)(runOnce(name))
-        val s2 = sentIter.next(); val r2 = sentinelRun(s2)
-        val ratios = Seq((s1, r1), (s2, r2)).collect {
+        val brack1 = if (bracket) Some { val s1 = sentIter.next(); (s1, sentinelRun(s1)) } else None
+        val ts = Seq.fill(reps)(runOnce(name))
+        val brack2 = if (bracket) Some { val s2 = sentIter.next(); (s2, sentinelRun(s2)) } else None
+        val ratios = (brack1.toSeq ++ brack2.toSeq).collect {
           case (s, t) if t > 0 && floors.get(s).exists(_ > 0) => t / floors(s)
         }
         val ratio = ratios.foldLeft(1.0)(math.max)
         // the DIRTY decision uses the MIN bracket: a sustained external
-        // load window (the only kind that can corrupt a 5-run median)
+        // load window (the only kind that can corrupt a multi-run median)
         // elevates BOTH bracketing sentinels, while a heavy query's own
         // GC/cleaner shadow elevates only the TRAILING one — the first
         // full-surface run flagged 9 streaming/dedup heavies purely on
@@ -186,53 +300,52 @@ object Bench {
         // real information); min decides.
         val ratioMin = if (ratios.isEmpty) 1.0 else ratios.min
         n += 1
-        if (ts.exists(_ < 0)) return Row(-1.0, -1.0, ratio, contaminated = false, n - 1)
-        val sorted = ts.sorted
-        val med = sorted(2); val iqr = sorted(3) - sorted(1)
+        if (ts.exists(_ < 0))
+          return Row(-1.0, -1.0, ratio, contaminated = false, n - 1, degraded = false)
+        val med = median(ts); val iqr = iqrOf(ts)
         attempts = (med, iqr, ratio) :: attempts
         val clean = ratioMin <= 1.4 && (med < 0.3 || iqr / med <= 0.5)
         if (clean) kept = Some((med, iqr, ratio))
       }
       kept match {
-        case Some((m, i, r)) => Row(m, i, r, contaminated = false, reruns = n - 1)
+        case Some((m, i, r)) =>
+          Row(m, i, r, contaminated = false, reruns = n - 1, degraded = false)
         case None => // fastest attempt = tightest upper bound taken under load
           val (m, i, r) = attempts.minBy(_._1)
-          Row(m, i, r, contaminated = true, reruns = n - 1)
+          Row(m, i, r, contaminated = true, reruns = n - 1, degraded = false)
       }
     }
 
-    val results = names.map(name => name -> measure(name))
-    // Locale.ROOT: the f-interpolator honors the default JVM locale, which
-    // under e.g. de_DE emits decimal COMMAS and corrupts the JSON contract
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def jmap(kvs: Seq[(String, String)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, r) => k -> fmt(r.median) })
-    val iqrs = jmap(results.map { case (k, r) => k -> fmt(r.iqr) })
-    val sents = jmap(results.map { case (k, r) => k -> fmt(r.sentinel) })
-    val reruns = jmap(results.collect { case (k, r) if r.reruns > 0 => k -> r.reruns.toString })
-    val contaminated = results.collect { case (k, r) if r.contaminated => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val floorJson = jmap(sentinelNames.map(s => s -> fmt(floors.getOrElse(s, -1.0))))
-    val total = results.map(_._2.median).filter(_ >= 0).sum
-    // importer throughput point (skipped during SPARK_GRAFT_ONLY iteration)
-    val imp = if (only.isEmpty) importerBench(spark, sfDir) else None
-    val impJson = imp.map { case (rows, sec, bytes) =>
-      val secS = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
-      val rps = if (sec > 0) String.format(java.util.Locale.ROOT, "%.0f", Double.box(rows / sec)) else "-1"
-      s""","importer":{"rows":$rows,"sec":$secS,"rows_per_sec":$rps,"csv_bytes":$bytes}"""
-    }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"median-of-5-warm-adjudicated","queries":$qs,"iqr":$iqrs,"sentinel":$sents,"sentinel_floor":$floorJson,"reruns":$reruns,"contaminated":$contaminated$impJson,"sf":"$sfDir"}"""
-    println(line)
-    // stdout passes through sbt's logger ([info] prefixes); also drop the
-    // bare line in a file so consumers get clean JSON either way — but
-    // NEVER from a SPARK_GRAFT_ONLY subset run, which would silently
-    // replace the full-surface record with a partial one
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-        (line + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+    // Measured sweep, CHEAPEST FIRST: maximizes the number of queries that
+    // get the full protocol before any deadline degradation, and leaves
+    // the warm-up fallback only to the most expensive tail — exactly the
+    // rows whose single warm number is still a usable upper bound.
+    val order = names.sortBy(n => math.max(warm(n), 0.0))
+    val reserve = 30.0 // finalization reserve (emit + spark.stop)
+    for (name <- order) {
+      val est = math.max(warm(name), 0.05)
+      val reps = {
+        val p = plannedReps(est)
+        // degrade reps when the remaining budget can't cover the plan
+        if (remainingSec - reserve > est * p + 2) p
+        else if (remainingSec - reserve > est * 3 + 2) 3
+        else if (remainingSec - reserve > est * 2 + 2) 2
+        else if (remainingSec - reserve > est + 1) 1
+        else 0
+      }
+      if (reps > 0) {
+        // brackets only around non-trivial queries: a 50 ms query's median
+        // is adjudicated by its own IQR; spending 2 sentinel runs on each
+        // of ~250 such queries is what the budget can no longer afford
+        val bracket = est >= 0.3
+        results(name) = measure(name, reps, bracket)
+      }
+      // reps == 0 → keep the warm-up fallback row (flagged degraded)
+    }
+
+    emit(partial = false)
+    emitted = true
+    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -857,7 +857,10 @@ object Events {
   def q233BitmapOverlap: Q = (s, d) => {
     val bm = graft.Checkpoints.materialize(
       events(s, d).select(col("event_type").as("seg"), col("user_id")).distinct()
-        .withColumn("bucket", expr("user_id div 64"))
+        // floor-div consistent with pmod: truncating `div` would send a
+        // negative id into the same (bucket, bit) slot as a positive one
+        // (e.g. -1 and 63), silently undercounting distinct users
+        .withColumn("bucket", expr("(user_id - pmod(user_id, 64)) div 64"))
         .withColumn("bit",
           expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))"))
         .groupBy(col("seg"), col("bucket"))
@@ -1211,7 +1214,12 @@ object Events {
         sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
         sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
           .cast("double").as("rs1"),
-        sum(col("r") * col("r"))
+        // cast one operand to (18,6) so the product is exactly (38,12):
+        // (19,6)x(19,6) would need (39,12) and allowPrecisionLoss would
+        // HALF_UP-round at scale 11, diverging from the oracle's exact
+        // product. r is a count-minus-profile residual, far below 10^12,
+        // so the downcast is lossless (the q220 trick).
+        sum(col("r").cast(dec6) * col("r"))
           .cast(org.apache.spark.sql.types.DecimalType(38, 6))
           .cast("double").as("rs2"))
     val cD = col("c").cast("double")

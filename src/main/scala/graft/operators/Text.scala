@@ -1429,20 +1429,35 @@ object Text {
     var gg = graft.Checkpoints.materialize(sh.join(rare, Seq("g")))
     var total = 0L
     var out = Seq.empty[DataFrame]
-    for (t <- 1 to 8) {
+    // empty-step schema template: the greedy loop degrades gracefully to
+    // fewer rows when the rare-gram relation is exhausted before 8 steps
+    // (a corpus with < 8 docs holding rare 5-grams), matching the unrolled
+    // oracle instead of throwing on head() of an empty relation
+    def stepFrame(sel: DataFrame, t: Long, tot: Long): DataFrame =
+      sel.select(lit(t).as("step"), col("doc_id"),
+        big(col("gain")).as("gain"), lit(tot).as("covered_total"))
+    var t = 1
+    var exhausted = false
+    var template = Option.empty[DataFrame]
+    while (t <= 8 && !exhausted) {
       val sel = graft.Checkpoints.materialize(
         gg.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1))
-      total += sel.head().getLong(1)
-      out = out :+ sel.select(lit(t.toLong).as("step"), col("doc_id"),
-        big(col("gain")).as("gain"), lit(total).as("covered_total"))
-      if (t < 8) {
-        val cg = gg.join(sel.select(col("doc_id")), Seq("doc_id"))
-          .select(col("g"))
-        gg = graft.Checkpoints.materialize(gg.join(cg, Seq("g"), "left_anti"))
+      if (template.isEmpty) template = Some(stepFrame(sel, 0L, 0L).limit(0))
+      sel.collect().headOption match {
+        case None => exhausted = true
+        case Some(row) =>
+          total += row.getLong(1)
+          out = out :+ stepFrame(sel, t.toLong, total)
+          if (t < 8) {
+            val cg = gg.join(sel.select(col("doc_id")), Seq("doc_id"))
+              .select(col("g"))
+            gg = graft.Checkpoints.materialize(gg.join(cg, Seq("g"), "left_anti"))
+          }
+          t += 1
       }
     }
-    out.reduce(_ unionByName _).orderBy(col("step"))
+    (template.toSeq ++ out).reduce(_ unionByName _).orderBy(col("step"))
   }
 
   /** Q262: fuzzy dedup clusters — the end-to-end entity-resolution pipeline
