@@ -1178,6 +1178,107 @@ object Events {
     bollingerReport(bollingerScored(li), s, d)
   }
 
+  /** 20-term EMA weights (1-alpha)^i, alpha = 0.2, built by REPEATED DOUBLE
+    * MULTIPLICATION — each step is one IEEE-exact rounding, so the values
+    * are bit-identical on every JVM/platform (math.pow carries no such
+    * guarantee), and the oracle embeds the same shortest-repr literals.
+    */
+  private[graft] val emaWeights: Seq[Double] =
+    Iterator.iterate(1.0)(_ * 0.8).take(20).toSeq
+  private[graft] val emaWeightSum: Double = emaWeights.sum
+
+  /** Momentum scoring kernel shared by q290 (batch) and q295 (streaming):
+    * per part, the 20-row bounded exponentially-weighted moving average of
+    * extended price under the (shipdate, orderkey, linenumber) total
+    * order; rows with the full 20-row history are flagged when price
+    * breaks >2% above the EMA. The bounded-window weighted form (not the
+    * infinite recursion) is the distributed-honest EMA: per-part windows,
+    * no sequential state.
+    */
+  private[graft] def emaScored(rows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val px = col("px")
+    val terms = emaWeights.zipWithIndex.map { case (wt, i) =>
+      (if (i == 0) px else lag(px, i).over(w)) * lit(wt)
+    }
+    rows
+      .select(col("l_partkey"), col("l_extendedprice").cast("double").as("px"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("ema", terms.reduce(_ + _) / lit(emaWeightSum))
+      .withColumn("h19", lag(px, 19).over(w))
+      .filter(col("h19").isNotNull)
+      .select(col("l_partkey"), col("px"),
+        (col("px") > col("ema") * lit(1.02)).as("sig"))
+  }
+
+  /** Brand-level signal report from an EMA-scored relation — additive
+    * counts, so q295's post-drain merge shares this tail and q290's
+    * oracle.
+    */
+  private[graft] def emaReport(scored: DataFrame, s: SparkSession,
+                               d: String): DataFrame =
+    scored
+      .join(Tables(s, d, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(big(count(lit(1))).as("evaluated"),
+        big(sum(when(col("sig"), lit(1L)).otherwise(lit(0L)))).as("signals"),
+        round(sum(when(col("sig"), lit(1L)).otherwise(lit(0L))).cast("double")
+          / count(lit(1)).cast("double"), 6).as("signal_rate"))
+      .orderBy(col("p_brand"))
+
+  /** Q290: EMA momentum signals — the exponential-moving-average breakout
+    * screen (the EMA sibling of q256's Bollinger bands): per part, price
+    * vs its 20-row EMA; per brand, how many evaluations broke >2% above
+    * trend. Weights are embedded platform-exact doubles (see
+    * [[emaWeights]]); the 20-term weighted sum is one left-associated
+    * IEEE expression tree written identically in the oracle.
+    *
+    * Scale shape: per-part windows (millions of independent partitions at
+    * warehouse scale), one broadcast dimension join, one map-side-combined
+    * brand aggregate.
+    */
+  def q290EmaSignal: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"))
+    emaReport(emaScored(li), s, d)
+  }
+
+  /** q290's oracle, generated from the SAME [[emaWeights]] doubles the
+    * Spark plan embeds (shortest-repr literals CAST from VARCHAR — a bare
+    * float literal parses as DECIMAL in DuckDB), with the 20-term sum in
+    * the same left-associated order.
+    */
+  private def emaOracleSql: String = {
+    val terms = emaWeights.zipWithIndex.map { case (wt, i) =>
+      val x = if (i == 0) "px" else s"LAG(px, $i) OVER w"
+      s"$x * CAST('$wt' AS DOUBLE)"
+    }.mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT l_partkey, CAST(l_extendedprice AS DOUBLE) AS px,
+       |    l_shipdate, l_orderkey, l_linenumber
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_partkey, px,
+       |    ($terms) / CAST('$emaWeightSum' AS DOUBLE) AS ema,
+       |    LAG(px, 19) OVER w AS h19
+       |  FROM p
+       |  WINDOW w AS (PARTITION BY l_partkey
+       |    ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+       |f AS (
+       |  SELECT l_partkey, px > ema * CAST('1.02' AS DOUBLE) AS sig
+       |  FROM s WHERE h19 IS NOT NULL)
+       |SELECT p_brand,
+       |  CAST(COUNT(*) AS BIGINT) AS evaluated,
+       |  CAST(SUM(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT) AS signals,
+       |  ROUND(CAST(SUM(CASE WHEN sig THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS signal_rate
+       |FROM f JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  }
+
   /** Q267: seasonality strength — per event type, how much of the hourly
     * traffic variance the hour-of-day profile explains: strength =
     * max(0, 1 − Var(residual)/Var(total)) over hourly counts, with the
@@ -1237,6 +1338,7 @@ object Events {
   val queries: Map[String, Q] = Map(
     "q267_seasonality_strength" -> q267SeasonalityStrength,
     "q256_bollinger_breakout" -> q256BollingerBreakout,
+    "q290_ema_signal" -> q290EmaSignal,
     "q252_strict_funnel" -> q252StrictFunnel,
     "q246_conversion_latency" -> q246ConversionLatency,
     "q243_streaks" -> q243Streaks,
@@ -1329,6 +1431,7 @@ object Events {
         |           * (CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE)))), 6)
         |    AS seasonal_strength
         |FROM a ORDER BY event_type""".stripMargin,
+    "q290_ema_signal" -> emaOracleSql,
     "q256_bollinger_breakout" ->
       """WITH s AS (
         |  SELECT l_partkey, CAST(l_extendedprice AS DOUBLE) AS px,

@@ -282,6 +282,71 @@ object NorthStar {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Q293: dedup threshold sweep — the "how aggressive should dedup be"
+    * calibration report: ONE exact-Jaccard pair pass at the LOOSEST
+    * threshold (0.5, the complete prefix-filtered q56 kernel), then pairs
+    * banded by integer similarity predicates (J ≥ t ⟺ i·(td+tn) ≥
+    * tn·(n1+n2), no float compare) into [0.5,0.7) / [0.7,0.9) / [0.9,1],
+    * with pair and distinct-document counts per band. Running the kernel
+    * once at the loosest setting and slicing is the production shape — a
+    * per-threshold rerun would pay the candidate join three times (the
+    * q283 sensitivity-sweep discipline applied to dedup).
+    *
+    * Scale shape: the q56 join (shuffle ∝ rare-shingle joins) plus two
+    * aggregations over the materialized tiny pair set.
+    */
+  def q293DedupThresholdSweep: Q = (s, d) => {
+    val u = col("n1") + col("n2")
+    val banded = graft.Checkpoints.materialize(
+      JaccardJoin.pairs(Tables(s, d, "documents"), "doc_id", "text",
+          tNum = 1L, tDen = 2L)
+        .select(col("id1"), col("id2"),
+          when(col("inter") * 19L >= u * 9L, ">=0.9")
+            .when(col("inter") * 17L >= u * 7L, "0.7-0.9")
+            .otherwise("0.5-0.7").as("band")))
+    val nPairs = banded.groupBy(col("band"))
+      .agg(big(count(lit(1))).as("n_pairs"))
+    val nDocs = banded
+      .select(col("band"), explode(array(col("id1"), col("id2"))).as("docid"))
+      .groupBy(col("band"))
+      .agg(big(countDistinct(col("docid"))).as("n_docs"))
+    nPairs.join(nDocs, Seq("band")).orderBy(col("band"))
+  }
+
+  /** Q294: approximate-dedup quality evaluation — the gate that decides
+    * whether the CHEAP kernel may replace the exact one at the next scale
+    * jump: MinHash-LSH candidate pairs scored against the complete exact
+    * pair set at the same threshold (precision / recall / F1 of the
+    * candidate stage). Engine-only: the MinHash signature seeds aren't
+    * portable SQL; correctness is pinned by NorthStarSpec's recall floor
+    * and a precision identity against the exact set.
+    *
+    * Scale shape: both kernels are the library's scale-proven shapes; the
+    * comparison itself is one semi-join + three 1-row counts over tiny
+    * pair sets.
+    */
+  def q294MinhashQualityEval: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val exact = graft.Checkpoints.materialize(
+      JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+        .select(col("id1"), col("id2")))
+    val cand = graft.Checkpoints.materialize(
+      MinHashLSH.candidatePairs(docs, "doc_id", "text")
+        .select(col("id1"), col("id2")))
+    val tp = cand.join(exact, Seq("id1", "id2"), "left_semi")
+    val m = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_true_pos")))
+    val p = col("n_true_pos").cast("double") / col("n_candidates").cast("double")
+    val r = col("n_true_pos").cast("double") / col("n_exact").cast("double")
+    m.select(big(col("n_exact")).as("n_exact"),
+      big(col("n_candidates")).as("n_candidates"),
+      big(col("n_true_pos")).as("n_true_pos"),
+      round(p, 6).as("precision"),
+      round(r, 6).as("recall"),
+      round(lit(2.0) * p * r / (p + r), 6).as("f1"))
+  }
+
   /** Q116: INCREMENTAL dedup — the production crawl pattern q56's batch
     * resolution doesn't cover: a new delta (here source src18, "today's
     * crawl") checked against the standing corpus (every other source)
@@ -1682,6 +1747,8 @@ object NorthStar {
     "q72_embed_dedup" -> q72EmbedDedup,
     "q74_prep_pipeline" -> q74PrepPipeline,
     "q56_dedup_resolve" -> q56DedupResolve,
+    "q293_dedup_threshold_sweep" -> q293DedupThresholdSweep,
+    "q294_minhash_quality_eval" -> q294MinhashQualityEval,
     "q107_dedup_keep_best" -> q107DedupKeepBest,
     "q35_approx_distinct" -> q35ApproxDistinct,
     "q37_minhash_pairs" -> q37MinhashPairs,
@@ -2580,6 +2647,33 @@ object NorthStar {
         |       THEN 'test' ELSE 'train' END AS split
         |  FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin,
+    "q293_dedup_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |banded AS (
+        |  SELECT id1, id2,
+        |    CASE WHEN 19 * i >= 9 * (a.n + b.n) THEN '>=0.9'
+        |         WHEN 17 * i >= 7 * (a.n + b.n) THEN '0.7-0.9'
+        |         ELSE '0.5-0.7' END AS band
+        |  FROM inter
+        |  JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |  WHERE 3 * i >= a.n + b.n),
+        |np AS (SELECT band, COUNT(*) AS n_pairs FROM banded GROUP BY band),
+        |nd AS (SELECT band, COUNT(DISTINCT docid) AS n_docs
+        |       FROM (SELECT band, id1 AS docid FROM banded
+        |             UNION ALL SELECT band, id2 FROM banded)
+        |       GROUP BY band)
+        |SELECT np.band, n_pairs, n_docs
+        |FROM np JOIN nd ON np.band = nd.band ORDER BY np.band""".stripMargin,
     "q56_dedup_resolve" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk

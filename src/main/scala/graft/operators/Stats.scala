@@ -1022,7 +1022,132 @@ object Stats {
       .orderBy(col("lag"))
   }
 
+  /** Q289: decile report — customers NTILE(10)-bucketed by exact total
+    * spend within their market segment, with per-decile population, spend
+    * range, and share of segment revenue: the classic value-segmentation
+    * cut (and the shape of a training-data "quality decile" report).
+    * Total order (spend, custkey) makes bucket assignment deterministic;
+    * NTILE's first-(n mod 10)-buckets-get-one-extra split is ANSI
+    * semantics in both engines.
+    *
+    * Scale shape: one map-side-combined per-customer aggregate, one
+    * dimension join, then the rank window partitioned by segment — 5
+    * bounded partitions of the CUSTOMER aggregate (not raw rows; the
+    * q232/q102 defended shape). Shares stay in exact decimals through the
+    * bounded 50-row window sum.
+    */
+  def q289NtileDeciles: Q = (s, d) => {
+    val spend = Tables(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 4)).as("sp"))
+    val seg = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("sp"), col("o_custkey"))
+    val agg = spend.join(seg, col("o_custkey") === col("c_custkey"))
+      .withColumn("decile", big(ntile(10).over(w)))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(big(count(lit(1))).as("n_customers"),
+        min(col("sp")).cast("double").as("spend_min"),
+        max(col("sp")).cast("double").as("spend_max"),
+        sum(col("sp")).cast(DecimalType(38, 4)).as("spt"))
+    val ws = Window.partitionBy(col("c_mktsegment"))
+    agg
+      .withColumn("segtot", sum(col("spt")).over(ws))
+      .select(col("c_mktsegment"), col("decile"), col("n_customers"),
+        col("spend_min"), col("spend_max"),
+        col("spt").cast("double").as("spend_total"),
+        round(col("spt").cast("double") / col("segtot").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  /** Q291: CUPED variance reduction — the experimentation-platform
+    * workhorse: adjust each user's experiment-period metric by their
+    * PRE-period covariate (theta = cov(X,Y)/var(X)) and report how much
+    * metric variance the adjustment removes (exactly corr(X,Y)²). The
+    * pre/post split is the integer midpoint of the observed time range;
+    * per-user sums are exact decimals, global moments follow the q220
+    * product recipe, and every derived statistic is one shared IEEE
+    * expression tree.
+    *
+    * Scale shape: one 1-row min/max broadcast, one user-keyed aggregate
+    * (map-side combined), one 1-row moment reduce. Nothing else — CUPED
+    * at 100 TB is two aggregates.
+    */
+  def q291Cuped: Q = (s, d) => {
+    val zero = lit(0).cast(DecimalType(18, 4))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), epochSec(col("ts2")).as("es"), col("value"))
+    val split = ev.agg(min(col("es")).as("lo"), max(col("es")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("split"))
+    val per = ev.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("es") < col("split"), dec(col("value"))).otherwise(zero))
+          .cast(DecimalType(18, 4)).as("x"),
+        sum(when(col("es") >= col("split"), dec(col("value"))).otherwise(zero))
+          .cast(DecimalType(18, 4)).as("y"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x").cast(DecimalType(19, 4)) * dec12(col("x")))
+        .cast(DecimalType(38, 4)).cast("double").as("sxx"),
+      sum(col("y").cast(DecimalType(19, 4)) * dec12(col("y")))
+        .cast(DecimalType(38, 4)).cast("double").as("syy"),
+      sum(col("x").cast(DecimalType(19, 4)) * dec12(col("y")))
+        .cast(DecimalType(38, 4)).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val varX = col("sxx") / nD - (col("sx") / nD) * (col("sx") / nD)
+    val varY = col("syy") / nD - (col("sy") / nD) * (col("sy") / nD)
+    val covXY = col("sxy") / nD - (col("sx") / nD) * (col("sy") / nD)
+    m.select(big(col("n")).as("n_users"),
+      round(covXY / varX, 6).as("theta"),
+      round(varY, 6).as("var_y"),
+      round(varY - covXY * covXY / varX, 6).as("var_y_adj"),
+      round(lit(100.0) * covXY * covXY / (varX * varY), 4)
+        .as("reduction_pct"))
+  }
+
+  /** Q292: Simpson's-paradox detector — per-group correlation of discount
+    * vs quantity versus the pooled correlation, flagging groups whose sign
+    * FLIPS against the aggregate (the aggregation trap every dashboard
+    * should test for). One `rollup` pass produces group and pooled moments
+    * together; the pooled row broadcasts back for the flip comparison.
+    *
+    * Scale shape: one rollup aggregate over lineitem (map-side combined),
+    * a 1-row broadcast join — distributed at any scale.
+    */
+  def q292SimpsonsParadox: Q = (s, d) => {
+    val x = col("l_discount")
+    val y = col("l_quantity")
+    val m = Tables(s, d, "lineitem")
+      .rollup(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).cast("double").as("sx"),
+        sum(dec(y)).cast("double").as("sy"),
+        sum(dec12(x) * dec12(x)).cast(DecimalType(38, 4)).cast("double").as("sxx"),
+        sum(dec12(y) * dec12(y)).cast(DecimalType(38, 4)).cast("double").as("syy"),
+        sum(dec12(x) * dec12(y)).cast(DecimalType(38, 4)).cast("double").as("sxy"))
+      .withColumn("scope", coalesce(col("l_returnflag"), lit("ALL")))
+    val nD = col("n").cast("double")
+    val r = round((nD * col("sxy") - col("sx") * col("sy"))
+      / (sqrt(nD * col("sxx") - col("sx") * col("sx"))
+        * sqrt(nD * col("syy") - col("sy") * col("sy"))), 6)
+    val scored = m.select(col("scope"), col("n"), r.as("r"))
+    val overall = scored.filter(col("scope") === "ALL")
+      .select(col("r").as("r_all"))
+    scored.crossJoin(broadcast(overall))
+      .select(col("scope"), big(col("n")).as("n"), col("r"), col("r_all"),
+        (col("scope") =!= "ALL" &&
+          ((col("r") > 0) =!= (col("r_all") > 0))).as("sign_flipped"))
+      .orderBy(col("scope"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q289_ntile_deciles" -> q289NtileDeciles,
+    "q291_cuped" -> q291Cuped,
+    "q292_simpsons_paradox" -> q292SimpsonsParadox,
     "q282_acf" -> q282Acf,
     "q281_diff_in_diff" -> q281DiffInDiff,
     "q279_theil_sen" -> q279TheilSen,
@@ -1169,6 +1294,87 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q289_ntile_deciles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sp
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT c_mktsegment, o_custkey, sp
+        |  FROM spend JOIN customer ON o_custkey = c_custkey),
+        |dd AS (
+        |  SELECT c_mktsegment, sp,
+        |    NTILE(10) OVER (PARTITION BY c_mktsegment
+        |                    ORDER BY sp, o_custkey) AS decile
+        |  FROM j),
+        |agg AS (
+        |  SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+        |    COUNT(*) AS n_customers,
+        |    CAST(MIN(sp) AS DOUBLE) AS spend_min,
+        |    CAST(MAX(sp) AS DOUBLE) AS spend_max,
+        |    CAST(SUM(sp) AS DECIMAL(38,4)) AS spt
+        |  FROM dd GROUP BY 1, 2)
+        |SELECT c_mktsegment, decile, n_customers, spend_min, spend_max,
+        |  CAST(spt AS DOUBLE) AS spend_total,
+        |  ROUND(CAST(spt AS DOUBLE)
+        |        / CAST(SUM(spt) OVER (PARTITION BY c_mktsegment) AS DOUBLE),
+        |        6) AS share
+        |FROM agg ORDER BY c_mktsegment, decile""".stripMargin,
+    "q291_cuped" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |sp AS (SELECT (MIN(es) + MAX(es)) // 2 AS split FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN es < split THEN v
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS x,
+        |    CAST(SUM(CASE WHEN es >= split THEN v
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS y
+        |  FROM ev, sp GROUP BY user_id),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy
+        |  FROM per)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  ROUND((sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+        |        / (sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))), 6) AS theta,
+        |  ROUND(syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)), 6) AS var_y,
+        |  ROUND((syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+        |        - (sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+        |          * (sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+        |          / (sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))), 6) AS var_y_adj,
+        |  ROUND(CAST(100.0 AS DOUBLE)
+        |        * (sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+        |        * (sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+        |        / ((sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+        |           * (syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))), 4) AS reduction_pct
+        |FROM m""".stripMargin,
+    "q292_simpsons_paradox" ->
+      """WITH m AS (
+        |  SELECT COALESCE(l_returnflag, 'ALL') AS scope, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY ROLLUP (l_returnflag)),
+        |scored AS (
+        |  SELECT scope, n,
+        |    ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |          / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |             * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r
+        |  FROM m),
+        |o AS (SELECT r AS r_all FROM scored WHERE scope = 'ALL')
+        |SELECT scope, CAST(n AS BIGINT) AS n, r, r_all,
+        |  (scope <> 'ALL' AND ((r > 0) <> (r_all > 0))) AS sign_flipped
+        |FROM scored, o ORDER BY scope""".stripMargin,
     "q282_acf" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '1995-01-01',

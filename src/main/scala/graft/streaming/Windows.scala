@@ -1171,6 +1171,56 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q295: streaming EMA momentum signals — q290's 20-row EMA breakout
+    * screen run as data arrives, exact under the SAME part-complete feed
+    * slicing argument as q265: the feed is hash-partitioned by
+    * `l_partkey`, so every part's whole price series lands in one
+    * micro-batch and the per-batch window pass sees its full history.
+    * Each batch writes additive per-part (evaluated, signals) counts to
+    * an idempotent `batch=<id>` summary; the drained merge derives the
+    * brand rates from merged counts and shares q290's DuckDB oracle
+    * verbatim.
+    *
+    * Scale shape: per-batch cost is q290's window pass over that batch's
+    * parts; cross-batch state is the bounded per-part count summary.
+    */
+  def q295StreamEma: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q295_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      li.repartition(3, col("l_partkey")).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.Events.emaScored(batch.toDF())
+              .groupBy(col("l_partkey"))
+              .agg(count(lit(1)).as("n_eval"),
+                sum(when(col("sig"), lit(1L)).otherwise(lit(0L))).as("n_sig"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val part = Tables(s, d, "part").select(col("p_partkey"), col("p_brand"))
+      graft.Checkpoints.materialize(
+        s.read.parquet(sumDir)
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(big(sum(col("n_eval"))).as("evaluated"),
+            big(sum(col("n_sig"))).as("signals"),
+            round(sum(col("n_sig")).cast("double")
+              / sum(col("n_eval")).cast("double"), 6).as("signal_rate"))
+          .orderBy(col("p_brand")))
+    } finally deleteRecursively(tmp)
+  }
+
   /** Q284: streaming Benford audit — q204's first-digit fraud monitor
     * maintained as order amounts ARRIVE: each micro-batch reduces to ITS
     * OWN additive (digit, n) counts written idempotently under
@@ -1268,6 +1318,7 @@ object Windows {
     "q288_stream_funnel" -> q288StreamFunnel,
     "q284_stream_benford" -> q284StreamBenford,
     "q265_stream_bollinger" -> q265StreamBollinger,
+    "q295_stream_ema" -> q295StreamEma,
     "q264_stream_kanonymity" -> q264StreamKanonymity,
     "q219_stream_topk" -> q219StreamTopk,
     "q201_stream_changepoint" -> q201StreamChangepoint,
@@ -1366,6 +1417,10 @@ object Windows {
       graft.operators.Stats.oracles("q204_benford"),
     "q265_stream_bollinger" ->
       graft.operators.Events.oracles("q256_bollinger_breakout"),
+    // q295 shares q290's oracle verbatim (part-complete slicing + additive
+    // per-part counts merge exactly at any trigger slicing)
+    "q295_stream_ema" ->
+      graft.operators.Events.oracles("q290_ema_signal"),
     "q175_stream_scd2" ->
       graft.operators.Events.oracles("q170_scd2"),
     "q121_stream_incremental_dedup" ->

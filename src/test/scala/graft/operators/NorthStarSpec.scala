@@ -13,6 +13,67 @@ import org.apache.spark.sql.functions._
 class NorthStarSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Brute-force word-3-shingle sets, exactly [[MinHashLSH.shingles]]'
+    * semantics (single-space split, empties dropped, len<3 → whole text).
+    */
+  private def shingleSets(): Map[Long, Set[String]] =
+    graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+        val sh = if (tk.length < 3) Set(tk.mkString(" "))
+          else tk.sliding(3).map(_.mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }.toMap
+
+  test("q293 threshold sweep: bands match a brute-force all-pairs jaccard replay") {
+    val sets = shingleSets()
+    val ids = sets.keys.toSeq.sorted
+    val bands = collection.mutable.Map.empty[String, (Long, Set[Long])]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      val inter = (sets(a) & sets(b)).size.toLong
+      val (n1, n2) = (sets(a).size.toLong, sets(b).size.toLong)
+      if (3 * inter >= n1 + n2) { // J >= 0.5: in the sweep
+        val band =
+          if (19 * inter >= 9 * (n1 + n2)) ">=0.9"
+          else if (17 * inter >= 7 * (n1 + n2)) "0.7-0.9"
+          else "0.5-0.7"
+        val (np, docs) = bands.getOrElse(band, (0L, Set.empty[Long]))
+        bands(band) = (np + 1, docs + a + b)
+      }
+    }
+    val got = NorthStar.q293DedupThresholdSweep(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === bands.keySet)
+    assert(bands.values.map(_._1).sum > 0, "no pairs at all - vacuous corpus")
+    bands.foreach { case (band, (np, docs)) =>
+      assert(got(band) === ((np, docs.size.toLong)), s"band $band")
+    }
+  }
+
+  test("q294 minhash quality eval: counts are containment-consistent and recall holds the floor") {
+    val g = NorthStar.q294MinhashQualityEval(spark, sf0001).collect().head
+    val (nExact, nCand, nTp) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    // cross-check the exact side against the brute-force pair count
+    val sets = shingleSets()
+    val ids = sets.keys.toSeq.sorted
+    var want = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val inter = (sets(ids(i)) & sets(ids(j))).size.toLong
+      if (3 * inter >= sets(ids(i)).size + sets(ids(j)).size) want += 1
+    }
+    assert(nExact === want, "exact pair count disagrees with brute force")
+    assert(nExact > 0, "vacuous corpus")
+    assert(nTp <= math.min(nExact, nCand))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    assert(g.getDouble(3) === r6(nTp.toDouble / nCand))
+    assert(g.getDouble(4) === r6(nTp.toDouble / nExact))
+    // LSH with the library's default banding recovers >=0.5-sim pairs well
+    assert(g.getDouble(4) >= 0.9, s"recall ${g.getDouble(4)} below floor")
+  }
+
   test("minhash estimate tracks exact jaccard on crafted near-dups") {
     // two near-identical docs (1 token changed of 20), one unrelated
     val base = (1 to 20).map(i => s"tok$i").mkString(" ")

@@ -45,6 +45,10 @@ class QueriesGoldenSpec extends SparkSpec {
       // q166: a 10-step BPE merge fixpoint has no single-SQL twin; pinned
       // by hand-computed merges on a crafted corpus (UtilitiesSpec)
       "q166_bpe_merges",
+      // q294: precision/recall of MinHash-LSH candidates vs the exact pair
+      // set — the MinHash seeds aren't portable SQL; NorthStarSpec pins
+      // the recall floor and the containment identities
+      "q294_minhash_quality_eval",
       // q172: a Lloyd kmeans fixpoint has no single-SQL twin; PqSpec pins
       // determinism under re-partitioning, distortion descent, code
       // validity, and the energy upper bound

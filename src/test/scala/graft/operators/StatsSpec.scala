@@ -485,4 +485,112 @@ class StatsSpec extends SparkSpec {
     // all four cells populated - the estimate is non-vacuous
     assert(nPreT > 0 && nPostT > 0 && nPreC > 0 && nPostC > 0)
   }
+
+  private def r6(x: Double): Double = BigDecimal.valueOf(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  test("q289 deciles: NTILE split, ranges, and shares match a sorted replay") {
+    val spend = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_totalprice").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1)
+      .map { case (ck, g) =>
+        ck -> g.map(t => BigDecimal.valueOf(t._2)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      }
+    val seg = graft.Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = Stats.q289NtileDeciles(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val bySeg = spend.toSeq.map { case (ck, sp) => (seg(ck), ck, sp) }
+      .groupBy(_._1)
+    assert(bySeg.keySet === got.keysIterator.map(_._1).toSet)
+    bySeg.foreach { case (sg, members) =>
+      val sorted = members.sortBy(t => (t._3, t._2)).toIndexedSeq
+      val n = sorted.length
+      val q = n / 10; val rmd = n % 10
+      var pos = 0
+      val segTotal = sorted.map(_._3).sum
+      for (b <- 1 to 10) {
+        val sz = if (b <= rmd) q + 1 else q
+        val bucket = sorted.slice(pos, pos + sz); pos += sz
+        if (sz > 0) {
+          val (gn, gmin, gmax, gtot, gshare) = got((sg, b.toLong))
+          assert(gn === sz.toLong, s"$sg decile $b size")
+          assert(gmin === bucket.head._3.toDouble && gmax === bucket.last._3.toDouble,
+            s"$sg decile $b range")
+          val tot = bucket.map(_._3).sum
+          assert(gtot === tot.toDouble, s"$sg decile $b total")
+          assert(math.abs(gshare - r6(tot.toDouble / segTotal.toDouble)) < 2e-6,
+            s"$sg decile $b share")
+        }
+      }
+    }
+  }
+
+  test("q291 cuped: theta/variances match a per-user replay; reduction equals 100*corr^2") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts2").cast("long"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val split = Math.floorDiv(lo + hi, 2L)
+    def d4(x: Double) = BigDecimal.valueOf(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val per = ev.groupBy(_._1).map { case (_, g) =>
+      (g.filter(_._2 < split).map(t => d4(t._3)).sum.toDouble,
+        g.filter(_._2 >= split).map(t => d4(t._3)).sum.toDouble)
+    }.toSeq
+    val n = per.length.toDouble
+    val sx = per.map(_._1).sum; val sy = per.map(_._2).sum
+    val sxx = per.map(t => t._1 * t._1).sum
+    val syy = per.map(t => t._2 * t._2).sum
+    val sxy = per.map(t => t._1 * t._2).sum
+    val varX = sxx / n - (sx / n) * (sx / n)
+    val varY = syy / n - (sy / n) * (sy / n)
+    val cov = sxy / n - (sx / n) * (sy / n)
+    val g = Stats.q291Cuped(spark, sf0001).collect().head
+    assert(g.getLong(0) === per.length.toLong)
+    assert(math.abs(g.getDouble(1) - cov / varX) < 1e-4, "theta")
+    assert(math.abs(g.getDouble(2) - varY) < 1e-3, "var_y")
+    assert(math.abs(g.getDouble(3) - (varY - cov * cov / varX)) < 1e-3, "var_y_adj")
+    val corr2 = cov * cov / (varX * varY)
+    assert(math.abs(g.getDouble(4) - 100.0 * corr2) < 1e-2, "reduction = 100*corr^2")
+    // the adjustment never increases variance, and the identity links the columns
+    assert(g.getDouble(3) <= g.getDouble(2) + 1e-9)
+    assert(corr2 > 0.0, "zero correlation - vacuous fixture")
+  }
+
+  test("q292 simpsons: per-scope r matches replay and flip flags compare against the pooled row") {
+    val rows = graft.Tables(spark, sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_discount").cast("double"),
+        col("l_quantity").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def corr(g: Seq[(Double, Double)]): Double = {
+      val n = g.length.toDouble
+      val sx = g.map(_._1).sum; val sy = g.map(_._2).sum
+      val sxx = g.map(t => t._1 * t._1).sum
+      val syy = g.map(t => t._2 * t._2).sum
+      val sxy = g.map(t => t._1 * t._2).sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val all = corr(rows.map(t => (t._2, t._3)).toSeq)
+    val got = Stats.q292SimpsonsParadox(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val gAll = got.find(_._1 == "ALL").get
+    assert(gAll._2 === rows.length.toLong)
+    assert(math.abs(gAll._3 - all) < 1e-4)
+    assert(!gAll._5, "ALL row must not be flagged")
+    got.filter(_._1 != "ALL").foreach { case (scope, n, r, rAll, flipped) =>
+      val g = rows.filter(_._1 == scope)
+      assert(n === g.length.toLong)
+      assert(math.abs(r - corr(g.map(t => (t._2, t._3)).toSeq)) < 1e-4, scope)
+      assert(rAll === gAll._3, s"$scope carries the pooled r")
+      assert(flipped === ((r > 0) != (rAll > 0)), s"$scope flip flag")
+    }
+  }
 }

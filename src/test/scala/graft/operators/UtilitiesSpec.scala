@@ -3165,4 +3165,40 @@ class UtilitiesSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length < got.length,
       "LPA produced no merging at all - vacuous fixture")
   }
+
+  test("q290 ema: signal counts match a weighted-window replay with the exact embedded weights") {
+    val rows = Tables(spark, sf0001, "lineitem")
+      .join(Tables(spark, sf0001, "part"), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_extendedprice".cast("double"),
+        unix_timestamp($"l_shipdate".cast("timestamp")), $"l_orderkey",
+        $"l_linenumber".cast("long"), $"p_brand")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val w = Events.emaWeights
+    val wsum = Events.emaWeightSum
+    val byBrand = collection.mutable.Map.empty[String, (Long, Long)]
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val series = g.sortBy(t => (t._3, t._4, t._5))
+      for (i <- series.indices if i >= 19) {
+        // same left-associated IEEE sum as the plan's reduce(_ + _)
+        val terms = (0 until 20).map(j => series(i - j)._2 * w(j))
+        val ema = terms.reduce(_ + _) / wsum
+        val sig = if (series(i)._2 > ema * 1.02) 1L else 0L
+        val br = series(i)._6
+        val (n, s) = byBrand.getOrElse(br, (0L, 0L))
+        byBrand(br) = (n + 1, s + sig)
+      }
+    }
+    val got = Events.q290EmaSignal(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === byBrand.keySet)
+    assert(byBrand.values.map(_._1).sum > 0, "no evaluated rows - vacuous")
+    byBrand.foreach { case (br, (n, s)) =>
+      val (gn, gs, gr) = got(br)
+      assert(gn === n && gs === s, s"brand $br counts: got ($gn,$gs) want ($n,$s)")
+      assert(math.abs(gr - s.toDouble / n) < 2e-6, s"brand $br rate")
+    }
+  }
 }

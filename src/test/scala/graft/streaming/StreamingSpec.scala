@@ -628,6 +628,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.map(_._2).sum > 0)
   }
 
+  test("q295 stream ema: part-complete drain equals the q290 batch report") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val batch = rows(graft.operators.Events.q290EmaSignal(spark, sf0001))
+    val stream = rows(graft.streaming.Windows.q295StreamEma(spark, sf0001))
+    assert(stream === batch,
+      "part-complete slicing must make per-batch EMA windows exact")
+    assert(batch.nonEmpty && batch.map(_._2).sum > 0)
+  }
+
   test("q264 stream k-anonymity: drained merge equals the q254 batch audit") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
