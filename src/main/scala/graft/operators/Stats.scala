@@ -597,9 +597,16 @@ object Stats {
     val base = Tables(s, d, "orders")
       .select(col("o_orderpriority").as("p"), col("o_orderkey"),
         dec(col("o_totalprice")).as("vd"))
+    // group sizes as a 5-row broadcast instead of a second unbounded window
+    // pass, and the rank window evaluated ONCE (the clip pass below joins
+    // cuts back onto the UNWINDOWED scan — it needs values, not ranks):
+    // the original shape referenced the windowed relation twice and paid
+    // the per-group sort twice
+    val nper = base.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val cuts = base
       .withColumn("rn", big(row_number().over(wp)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p"))))
-    val cuts = base.groupBy(col("p"))
+      .join(broadcast(nper), Seq("p"))
+      .groupBy(col("p"))
       .agg(min(when(col("rn") === expr("(n * 5 + 99) div 100"), col("vd"))).as("lo"),
         min(when(col("rn") === expr("(n * 95 + 99) div 100"), col("vd"))).as("hi"))
     base.join(broadcast(cuts), Seq("p"))
