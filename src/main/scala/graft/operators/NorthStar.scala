@@ -1460,6 +1460,41 @@ object NorthStar {
     * comparison on the portable id-hash. Map-only (embeds in any scan),
     * exact kept-row set at any parallelism.
     */
+  /** Q298: deterministic negative sampling — the contrastive-training
+    * primitive: for every customer, 8 pseudo-random candidate items drawn
+    * by the PORTABLE two-round MINSTD hash of (custkey, slot) (q100's
+    * arithmetic — a pure function of the row, so the draw is identical at
+    * any parallelism and in the oracle), anti-joined against the true
+    * co-purchase interactions so only genuine negatives survive. Slots
+    * that hash onto a real interaction are dropped, not resampled — the
+    * declared semantics (resampling loops don't distribute; a production
+    * run over-draws instead).
+    *
+    * Scale shape: one distinct interaction collapse, a 1-row max-key
+    * broadcast, an 8-way per-customer explode, one anti-join keyed on
+    * (custkey, item) — every step shuffles on its key, no global state.
+    */
+  def q298NegativeSampling: Q = (s, d) => {
+    val p = 2147483647L
+    val inter = Tables(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("item"))
+      .distinct()
+    val np = Tables(s, d, "part").agg(max(col("p_partkey")).as("np"))
+    Tables(s, d, "customer").select(col("c_custkey").as("custkey"))
+      .crossJoin(broadcast(np))
+      .select(col("custkey"), explode(sequence(lit(1L), lit(8L))).as("slot"),
+        col("np"))
+      .withColumn("h1",
+        pmod(pmod(col("custkey") * 8L + col("slot"), lit(p)) * 48271L, lit(p)))
+      .withColumn("item", pmod(pmod((col("h1") + 1L) * 16807L, lit(p)), col("np")) + 1L)
+      .join(inter, Seq("custkey", "item"), "left_anti")
+      .select(col("custkey"), big(col("slot")).as("slot"), big(col("item")).as("item"))
+      .orderBy(col("custkey"), col("slot"))
+  }
+
   def q100WeightedSample: Q = (s, d) => {
     TrainingOps.portableWeightedSample(
         Tables(s, d, "documents"), "doc_id", "n_chars")
@@ -1722,6 +1757,7 @@ object NorthStar {
     "q147_split_leakage" -> q147SplitLeakage,
     "q145_preference_pairs" -> q145PreferencePairs,
     "q100_weighted_sample" -> q100WeightedSample,
+    "q298_negative_sampling" -> q298NegativeSampling,
     "q96_sample_packing" -> q96SamplePacking,
     "q110_packing_shard" -> q110PackingShard,
     "q111_mix_weights" -> q111MixWeights,
@@ -2088,6 +2124,20 @@ object NorthStar {
         |  rejected_score, chosen_score - rejected_score AS margin
         |FROM chosen JOIN rejected USING (source, pair_id)
         |ORDER BY source, pair_id""".stripMargin,
+    "q298_negative_sampling" ->
+      """WITH np AS (SELECT MAX(p_partkey) AS np FROM part),
+        |inter AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS item
+        |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cand AS (
+        |  SELECT c_custkey AS custkey, CAST(u.s AS BIGINT) AS slot,
+        |    (((((c_custkey * 8 + u.s) % 2147483647) * 48271) % 2147483647 + 1)
+        |      * 16807) % 2147483647 % np + 1 AS item
+        |  FROM customer, np, unnest(range(1, 9)) AS u(s))
+        |SELECT custkey, slot, item FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM inter
+        |                  WHERE inter.custkey = cand.custkey
+        |                    AND inter.item = cand.item)
+        |ORDER BY custkey, slot""".stripMargin,
     "q100_weighted_sample" ->
       """WITH h AS (
         |  SELECT doc_id, lang, n_chars,

@@ -64,6 +64,43 @@ object Similarity {
       .limit(10)
   }
 
+  /** Q299: late-interaction (ColBERT-style) maxsim rerank — each embedding
+    * treated as 4 subvector "tokens" (16-dim slices); score(probe, cand) =
+    * sum over probe slices of the max cosine against any candidate slice.
+    * The retrieval shape dense single-vector cosine can't express: a
+    * candidate matches if EACH aspect of the query finds SOME aspect of
+    * the document. Top-10 per probe under (score desc, id).
+    *
+    * Determinism: per-slice cosines are the codegen'd `graft_cosine`
+    * (q30's oracle-parity kernel); max-of-4 is order-independent, and the
+    * 4-term sum is one left-associated IEEE tree written identically in
+    * the oracle.
+    *
+    * Scale shape: 5-probe broadcast against one corpus scan; per-probe
+    * winners via the partitioned rank window over the scored relation.
+    */
+  def q299MaxsimRerank: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .withColumn("ev", asDouble(col("embedding")))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("ev").as("pv"))
+    def sl(c: Column, i: Int): Column = slice(c, i * 16 + 1, 16)
+    val score = (0 until 4).map { i =>
+      (0 until 4).map { j =>
+        VectorFunctions.cosineSim(sl(col("pv"), i), sl(col("ev"), j))
+      }.reduce((a, b) => greatest(a, b))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("maxsim").desc, col("id"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("id"), round(score, 6).as("maxsim"))
+      .withColumn("rank", big(row_number().over(w)))
+      .filter(col("rank") <= 10)
+      .orderBy(col("pid"), col("rank"))
+  }
+
   /** Batch multi-probe exact top-k: every probe row gets its k nearest
     * neighbors in one pass — probes broadcast against the (arbitrarily
     * large) corpus, per-probe winners kept by the bounded-state
@@ -869,9 +906,33 @@ object Similarity {
     "q87_hof_battery" -> q87HofBattery,
     "q24_array" -> q24Array,
     "q30_cosine_topk" -> q30CosineTopK,
+    "q299_maxsim_rerank" -> q299MaxsimRerank,
     "q60_cosine_pairs" -> q60CosinePairs,
     "q69_multi_topk" -> q69MultiTopK,
     "q131_hard_negatives" -> q131HardNegatives)
+
+  /** The q299 oracle: 4x4 slice cosines in q30's list_dot_product parity
+    * shape; GREATEST is order-exact for the max, and the 4-term sum is the
+    * same left-associated tree as the plan's reduce.
+    */
+  private val maxsimSql: String = {
+    def cos(a: String, b: String) =
+      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    def sl(v: String, i: Int) = s"$v[${i * 16 + 1}:${i * 16 + 16}]"
+    val score = (0 until 4).map { i =>
+      "GREATEST(" + (0 until 4).map(j => cos(sl("pv", i), sl("ev", j)))
+        .mkString(", ") + ")"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |p AS (SELECT vec_id AS pid, ev AS pv FROM e WHERE vec_id < 5),
+       |s AS (SELECT pid, vec_id AS id, ROUND($score, 6) AS maxsim
+       |      FROM e, p WHERE vec_id <> pid),
+       |r AS (SELECT pid, id, maxsim,
+       |        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY maxsim DESC, id) AS rank
+       |      FROM s)
+       |SELECT pid, id, maxsim, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10 ORDER BY pid, rank""".stripMargin
+  }
 
   /** The q222 oracle: the same 5 greedy MMR steps unrolled as CTEs over
     * the list_dot_product cosine (q30's parity shape).
@@ -1169,6 +1230,7 @@ object Similarity {
         |  CAST(embedding[-1] AS DOUBLE) AS last_val,
         |  CAST(label AS BIGINT) AS label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q299_maxsim_rerank" -> maxsimSql,
     "q30_cosine_topk" ->
       """WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings)

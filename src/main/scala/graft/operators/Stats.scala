@@ -1151,7 +1151,107 @@ object Stats {
       .orderBy(col("scope"))
   }
 
+  /** Q296: isotonic calibration — pool-adjacent-violators regression of
+    * purchase rate on event value, computed via the CLOSED minimax form
+    * instead of the sequential merge loop: over 20 equal-width score bins,
+    * iso(i) = max_{j<=i} min_{l>=i} avg(j..l), where avg(j..l) is the
+    * pooled positive rate of bins j..l from integer cumulative counts —
+    * the PAV fixpoint as three bounded joins over a <=20-row relation, no
+    * driver iteration at all. Rates are exact-integer divisions; min/max
+    * over doubles are order-independent.
+    *
+    * Scale shape: one pass bins arbitrarily many events into <=20 rows
+    * (map-side combined); the minimax triple join is 20^3 bounded rows.
+    * The per-bin window runs on the 20-row relation (allow-listed bounded
+    * window).
+    */
+  def q296IsotonicCalibration: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = ev.crossJoin(broadcast(mm))
+      .withColumn("bin", least(lit(19L),
+        floor((col("value") - col("lo")) / (col("hi") - col("lo"))
+          * lit(20.0)).cast("long")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.Checkpoints.materialize(
+      binned.select(col("bin"), col("n"), col("k"),
+        sum(col("n")).over(wb).as("cn"), sum(col("k")).over(wb).as("ck")))
+    // avg(j..l) over NONEMPTY bins from cumulative counts; the j side needs
+    // the cumulative BEFORE bin j, i.e. cn - n of bin j itself
+    val spans = cum.select(col("bin").as("j"), (col("cn") - col("n")).as("cnj"),
+        (col("ck") - col("k")).as("ckj"))
+      .join(cum.select(col("bin").as("l"), col("cn").as("cnl"), col("ck").as("ckl")),
+        col("j") <= col("l"))
+    val iso = spans
+      .join(cum.select(col("bin").as("i")),
+        col("j") <= col("i") && col("i") <= col("l"))
+      .select(col("i"), col("j"),
+        ((col("ckl") - col("ckj")).cast("double")
+          / (col("cnl") - col("cnj")).cast("double")).as("avg"))
+      .groupBy(col("i"), col("j")).agg(min(col("avg")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("iso"))
+    binned.join(iso, col("bin") === col("i"))
+      .select(col("bin"), big(col("n")).as("n"), big(col("k")).as("k"),
+        round(col("k").cast("double") / col("n").cast("double"), 6)
+          .as("rate_raw"),
+        round(col("iso"), 6).as("rate_iso"))
+      .orderBy(col("bin"))
+  }
+
+  /** Q297: pairwise two-sample Kolmogorov–Smirnov tests — for every
+    * unordered pair of event types, the exact KS statistic between their
+    * value distributions, computed ENTIRELY in integers: D = max |c1·n2 −
+    * c2·n1| / (n1·n2) over per-value cumulative counts, with the location
+    * reported as the smallest value attaining the max. The drift gate for
+    * "did these two segments draw from the same distribution".
+    *
+    * Scale shape: one (type, value) collapse, a 10-row pair broadcast, and
+    * cumulative windows partitioned per pair — bounded partition count,
+    * the defended q232-class per-group sort; every comparison is int64
+    * (counts < 2^31, products < 2^62).
+    */
+  def q297KsPairwise: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val types = ev.select(col("event_type")).distinct()
+    val prs = types.select(col("event_type").as("ta"))
+      .join(types.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    val vc = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val tagged = vc.join(broadcast(prs),
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("value"))
+      .agg(sum(when(col("event_type") === col("ta"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === col("tb"), col("c")).otherwise(0L)).as("cb"))
+    val wp = Window.partitionBy(col("ta"), col("tb")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = tagged
+      .select(col("ta"), col("tb"), col("value"),
+        sum(col("ca")).over(wp).as("fa"), sum(col("cb")).over(wp).as("fb"))
+    val tot = cum.groupBy(col("ta"), col("tb"))
+      .agg(max(col("fa")).as("na"), max(col("fb")).as("nb"))
+    val num = cum.join(broadcast(tot), Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("value"), col("na"), col("nb"),
+        abs(col("fa") * col("nb") - col("fb") * col("na")).as("num"))
+    val dmax = num.groupBy(col("ta"), col("tb"))
+      .agg(max(col("num")).as("dnum"))
+    num.join(broadcast(dmax), Seq("ta", "tb"))
+      .filter(col("num") === col("dnum"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(big(max(col("na"))).as("n_a"), big(max(col("nb"))).as("n_b"),
+        round(max(col("dnum")).cast("double")
+          / (max(col("na")) * max(col("nb"))).cast("double"), 6).as("d"),
+        min(col("value")).as("at_value"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q296_isotonic_calibration" -> q296IsotonicCalibration,
+    "q297_ks_pairwise" -> q297KsPairwise,
     "q289_ntile_deciles" -> q289NtileDeciles,
     "q291_cuped" -> q291Cuped,
     "q292_simpsons_paradox" -> q292SimpsonsParadox,
@@ -1301,6 +1401,70 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q296_isotonic_calibration" ->
+      """WITH ev AS (
+        |  SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev),
+        |binned AS (
+        |  SELECT LEAST(19, CAST(FLOOR((v - lo) / (hi - lo) * 20.0) AS BIGINT)) AS bin,
+        |    COUNT(*) AS n, SUM(y) AS k
+        |  FROM ev, mm GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, n, k,
+        |    SUM(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    SUM(k) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+        |  FROM binned),
+        |spans AS (
+        |  SELECT j.bin AS j, j.cn - j.n AS cnj, j.ck - j.k AS ckj,
+        |    l.bin AS l, l.cn AS cnl, l.ck AS ckl
+        |  FROM cum j JOIN cum l ON j.bin <= l.bin),
+        |iso AS (
+        |  SELECT i, MAX(mn) AS iso FROM (
+        |    SELECT c.bin AS i, s.j,
+        |      MIN(CAST(s.ckl - s.ckj AS DOUBLE) / CAST(s.cnl - s.cnj AS DOUBLE)) AS mn
+        |    FROM cum c JOIN spans s ON s.j <= c.bin AND c.bin <= s.l
+        |    GROUP BY 1, 2)
+        |  GROUP BY i)
+        |SELECT bin, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_raw,
+        |  ROUND(iso, 6) AS rate_iso
+        |FROM binned JOIN iso ON bin = i ORDER BY bin""".stripMargin,
+    "q297_ks_pairwise" ->
+      """WITH ty AS (SELECT DISTINCT event_type AS t FROM events),
+        |prs AS (SELECT a.t AS ta, b.t AS tb FROM ty a JOIN ty b ON a.t < b.t),
+        |vc AS (SELECT event_type, value, COUNT(*) AS c
+        |       FROM events GROUP BY 1, 2),
+        |tagged AS (
+        |  SELECT ta, tb, value,
+        |    SUM(CASE WHEN event_type = ta THEN c ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = tb THEN c ELSE 0 END) AS cb
+        |  FROM vc JOIN prs ON event_type = ta OR event_type = tb
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT ta, tb, value,
+        |    SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY ta, tb ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT ta, tb, MAX(fa) AS na, MAX(fb) AS nb
+        |        FROM cum GROUP BY 1, 2),
+        |num AS (
+        |  SELECT cum.ta, cum.tb, value, na, nb,
+        |    ABS(fa * nb - fb * na) AS num
+        |  FROM cum JOIN tot ON cum.ta = tot.ta AND cum.tb = tot.tb),
+        |dmax AS (SELECT ta, tb, MAX(num) AS dnum FROM num GROUP BY 1, 2)
+        |SELECT num.ta, num.tb,
+        |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  ROUND(CAST(MAX(dnum) AS DOUBLE)
+        |        / CAST(MAX(na) * MAX(nb) AS DOUBLE), 6) AS d,
+        |  MIN(value) AS at_value
+        |FROM num JOIN dmax ON num.ta = dmax.ta AND num.tb = dmax.tb
+        |  AND num.num = dmax.dnum
+        |GROUP BY 1, 2 ORDER BY num.ta, num.tb""".stripMargin,
     "q289_ntile_deciles" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -52,6 +52,59 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("q298 negative sampling: LCG draws replay exactly and no negative is a true interaction") {
+    val inter = graft.Tables(spark, sf0001, "orders")
+      .join(graft.Tables(spark, sf0001, "lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val np = graft.Tables(spark, sf0001, "part")
+      .agg(max($"p_partkey")).collect().head.getLong(0)
+    val custs = graft.Tables(spark, sf0001, "customer")
+      .select($"c_custkey").collect().map(_.getLong(0))
+    val p = 2147483647L
+    val want = (for {
+      c <- custs; r <- 1L to 8L
+      h1 = ((c * 8 + r) % p) * 48271 % p
+      item = (h1 + 1) * 16807 % p % np + 1
+      if !inter((c, item))
+    } yield (c, r, item)).sortBy(t => (t._1, t._2))
+    val got = NorthStar.q298NegativeSampling(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want.toSeq)
+    assert(got.size < custs.length * 8,
+      "no candidate hit a true interaction - anti-join untested (vacuous)")
+    got.foreach { case (c, _, i) => assert(!inter((c, i))) }
+  }
+
+  test("q299 maxsim: scores replay from slice cosines and top-10 ranks hold per probe") {
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def slices(v: Array[Double]) = (0 until 4).map(i => v.slice(i * 16, i * 16 + 16))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    def maxsim(p: Array[Double], c: Array[Double]): Double =
+      slices(p).map(ps => slices(c).map(cs => cos(ps, cs)).max).sum
+    val got = Similarity.q299MaxsimRerank(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length === 50)
+    (0L until 5L).foreach { pid =>
+      val want = emb.keys.filter(_ != pid).toSeq
+        .map(id => (id, r6(maxsim(emb(pid), emb(id)))))
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+      val g = got.filter(_._1 == pid).sortBy(_._4)
+      assert(g.map(t => (t._2, t._3)).toSeq === want, s"probe $pid top-10")
+      assert(g.map(_._4).toSeq === (1L to 10L), s"probe $pid ranks")
+    }
+  }
+
   test("q294 minhash quality eval: counts are containment-consistent and recall holds the floor") {
     val g = NorthStar.q294MinhashQualityEval(spark, sf0001).collect().head
     val (nExact, nCand, nTp) = (g.getLong(0), g.getLong(1), g.getLong(2))

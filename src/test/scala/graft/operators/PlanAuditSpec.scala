@@ -82,6 +82,13 @@ class PlanAuditSpec extends SparkSpec {
     "q283_decontam_sensitivity", // 1-row summary x 1-row train-total broadcasts, one per swept width
     "q276_silhouette", // K-row label-centroid broadcast (q137's all-labels kernel)
     "q277_brand_modularity", // 1-row edge-mass broadcast against the bounded brand grain
+    "q291_cuped", // 1-row broadcast pre/post split timestamp
+    "q292_simpsons_paradox", // 1-row broadcast pooled-correlation row for the flip compare
+    "q294_minhash_quality_eval", // three 1-row count crossJoins composing the P/R report
+    "q296_isotonic_calibration", // 1-row min/max broadcast + minimax triple join over the <=20-row bin summary
+    "q298_negative_sampling", // 1-row max-partkey broadcast sizing the LCG draw domain
+    "q299_maxsim_rerank", // 5-row probe broadcast against one corpus scan (q30's family)
+    "q297_ks_pairwise", // 10-row type-pair broadcast tagging the per-value collapse; 5x5 pair build
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -105,7 +112,8 @@ class PlanAuditSpec extends SparkSpec {
     "q235_gains_curve" -> "prefix sums over the bounded (score -> counts) summary (q190's 2-decimal-domain collapse), never the rows",
     "q239_rank_movers" -> "rank windows over the bounded top-100 TakeOrdered relation, never the catalog",
     "q271_sql_surface" -> "row_number over the TakeOrdered-bounded 10-row top relation, never the order population",
-    "q285_dup_growth" -> "cumsum over the bounded source-rank grid (~20 rows at any volume), never the documents")
+    "q285_dup_growth" -> "cumsum over the bounded source-rank grid (~20 rows at any volume), never the documents",
+    "q296_isotonic_calibration" -> "cumsum over the <=20-row bin summary, never the events")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -115,7 +123,8 @@ class PlanAuditSpec extends SparkSpec {
     "q152_stream_decontam", "q155_stream_ingest_dedup",
     "q158_stream_decontam_rewrite", "q192_stream_auc",
     "q201_stream_changepoint", "q219_stream_topk", "q264_stream_kanonymity",
-    "q265_stream_bollinger", "q284_stream_benford", "q288_stream_funnel")
+    "q265_stream_bollinger", "q284_stream_benford", "q288_stream_funnel",
+    "q295_stream_ema")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -563,6 +563,74 @@ class StatsSpec extends SparkSpec {
     assert(corr2 > 0.0, "zero correlation - vacuous fixture")
   }
 
+  test("q296 isotonic: minimax replay matches, output is monotone, pooled mean preserved") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val lo = ev.map(_._1).min; val hi = ev.map(_._1).max
+    val binned = ev.groupBy { case (v, _) =>
+      math.min(19L, math.floor((v - lo) / (hi - lo) * 20.0).toLong)
+    }.map { case (b, g) => (b, g.length.toLong, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val n = binned.map(_._2); val k = binned.map(_._3)
+    val cn = n.scanLeft(0L)(_ + _); val ck = k.scanLeft(0L)(_ + _)
+    val m = binned.length
+    def avg(j: Int, l: Int): Double = // bins j..l inclusive, 0-based
+      (ck(l + 1) - ck(j)).toDouble / (cn(l + 1) - cn(j)).toDouble
+    val iso = (0 until m).map { i =>
+      (0 to i).map { j => (i until m).map(l => avg(j, l)).min }.max
+    }
+    val got = Stats.q296IsotonicCalibration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.map(_._1).toSeq === binned.map(_._1))
+    got.zipWithIndex.foreach { case ((b, gn, gk, raw, gi), i) =>
+      assert(gn === binned(i)._2 && gk === binned(i)._3, s"bin $b counts")
+      assert(math.abs(raw - k(i).toDouble / n(i)) < 2e-6, s"bin $b raw rate")
+      assert(math.abs(gi - iso(i)) < 2e-6, s"bin $b iso")
+    }
+    // PAV properties: monotone non-decreasing, pooled mean preserved
+    got.map(_._5).sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b + 1e-9, "iso output must be monotone") }
+    val pooled = k.sum.toDouble / n.sum
+    val isoMean = got.map(t => t._5 * t._2).sum / n.sum
+    assert(math.abs(isoMean - pooled) < 1e-4, "PAV preserves the pooled mean")
+    assert(got.map(_._4).sliding(2).exists { case Array(a, b) => a > b },
+      "raw rates already monotone - vacuous PAV fixture")
+  }
+
+  test("q297 ks: integer statistic and argmax location match a merged-cdf replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val types = ev.map(_._1).distinct.sorted
+    val got = Stats.q297KsPairwise(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val wantPairs = for {
+      (a, i) <- types.zipWithIndex; b <- types.drop(i + 1)
+    } yield (a, b)
+    assert(got.keySet === wantPairs.toSet)
+    wantPairs.foreach { case (a, b) =>
+      val va = ev.filter(_._1 == a).map(_._2).sorted
+      val vb = ev.filter(_._1 == b).map(_._2).sorted
+      val (na, nb) = (va.length.toLong, vb.length.toLong)
+      val values = (va ++ vb).distinct.sorted
+      var best = -1L; var bestAt = Double.NaN
+      values.foreach { x =>
+        val fa = va.count(_ <= x).toLong; val fb = vb.count(_ <= x).toLong
+        val num = math.abs(fa * nb - fb * na)
+        if (num > best) { best = num; bestAt = x }
+      }
+      val (gna, gnb, gd, gat) = got((a, b))
+      assert(gna === na && gnb === nb, s"($a,$b) sizes")
+      assert(math.abs(gd - best.toDouble / (na * nb)) < 2e-6, s"($a,$b) D")
+      assert(gat === bestAt, s"($a,$b) argmax location")
+      assert(best > 0, s"($a,$b) zero D - vacuous")
+    }
+  }
+
   test("q292 simpsons: per-scope r matches replay and flip flags compare against the pooled row") {
     val rows = graft.Tables(spark, sf0001, "lineitem")
       .select(col("l_returnflag"), col("l_discount").cast("double"),
