@@ -743,6 +743,56 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q301: duplicate-span EXPLAIN — for every near-duplicate pair (the
+    * complete q56 exact-Jaccard set at 0.5), WHERE the overlap lives: the
+    * longest run of consecutively shared tokens, found as the longest
+    * DIAGONAL run of matching positioned 3-grams (p1 − p2 constant,
+    * consecutive p1 — the dedup reviewer's "show me the shared passage").
+    * A run of c consecutive shared 3-grams spans c + 2 tokens; ties break
+    * on (start_a, start_b). Pairs whose members have < 3 tokens carry no
+    * positioned grams and drop — declared.
+    *
+    * Scale shape: the q56 pair kernel plus a gram join RESTRICTED to the
+    * tiny pair set (pairs broadcast into the positioned-gram relation —
+    * never grams × grams); run-grouping windows partition by
+    * (pair, diagonal). All-integer output.
+    */
+  def q301DupSpanExplain: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val docs = Tables(s, d, "documents")
+    val pairs = graft.Checkpoints.materialize(
+      JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+        .select(col("id1"), col("id2")))
+    val pg = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), posexplode(MinHashLSH.shingles(col("tk"), 3)))
+      .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("g"))
+      .transform(graft.Checkpoints.materialize(_))
+    val matches = pg.select(col("doc_id").as("id1"), col("p").as("p1"), col("g"))
+      .join(broadcast(pairs), Seq("id1"))
+      .join(pg.select(col("doc_id").as("id2"), col("p").as("p2"), col("g")),
+        Seq("id2", "g"))
+      .select(col("id1"), col("id2"), col("p1"), col("p2"),
+        (col("p1") - col("p2")).as("diag"))
+    val wd = Window.partitionBy(col("id1"), col("id2"), col("diag"))
+      .orderBy(col("p1"))
+    val runs = matches
+      .withColumn("grp", col("p1") - row_number().over(wd))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + 2L).as("run_tokens"),
+        min(col("p1")).as("start_a"), min(col("p2")).as("start_b"))
+    val wr = Window.partitionBy(col("id1"), col("id2"))
+      .orderBy(col("run_tokens").desc, col("start_a"), col("start_b"))
+    runs.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col("id1"), col("id2"), big(col("run_tokens")).as("longest_run_tokens"),
+        big(col("start_a")).as("start_a"), big(col("start_b")).as("start_b"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Q156: span REWRITE — the production step q128's measurement exists to
     * drive (round-7 VERDICT item 5): cut every token position covered by a
     * cross-document duplicated 8-gram window out of the text, emitting the
@@ -1785,6 +1835,7 @@ object NorthStar {
     "q56_dedup_resolve" -> q56DedupResolve,
     "q293_dedup_threshold_sweep" -> q293DedupThresholdSweep,
     "q294_minhash_quality_eval" -> q294MinhashQualityEval,
+    "q301_dup_span_explain" -> q301DupSpanExplain,
     "q107_dedup_keep_best" -> q107DedupKeepBest,
     "q35_approx_distinct" -> q35ApproxDistinct,
     "q37_minhash_pairs" -> q37MinhashPairs,
@@ -2697,6 +2748,48 @@ object NorthStar {
         |       THEN 'test' ELSE 'train' END AS split
         |  FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin,
+    "q301_dup_span_explain" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, u.s AS sh FROM toks,
+        |  unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 2),
+        |                        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS u(s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN sizes a ON id1 = a.doc_id JOIN sizes b ON id2 = b.doc_id
+        |          WHERE 3 * i >= a.n + b.n),
+        |pg AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS p,
+        |    array_to_string(tk[u.i+1:u.i+3], ' ') AS g
+        |  FROM toks, unnest(range(0, GREATEST(len(tk) - 2, 0))) AS u(i)
+        |  WHERE len(tk) >= 3),
+        |m AS (
+        |  SELECT id1, id2, g1.p AS p1, g2.p AS p2, g1.p - g2.p AS diag
+        |  FROM pairs
+        |  JOIN pg g1 ON g1.doc_id = id1
+        |  JOIN pg g2 ON g2.doc_id = id2 AND g2.g = g1.g),
+        |runs AS (
+        |  SELECT id1, id2, diag,
+        |    p1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, diag ORDER BY p1) AS grp,
+        |    p1, p2
+        |  FROM m),
+        |agg AS (
+        |  SELECT id1, id2, COUNT(*) + 2 AS run_tokens,
+        |    MIN(p1) AS start_a, MIN(p2) AS start_b
+        |  FROM runs GROUP BY id1, id2, diag, grp),
+        |best AS (
+        |  SELECT id1, id2, run_tokens, start_a, start_b,
+        |    ROW_NUMBER() OVER (PARTITION BY id1, id2
+        |      ORDER BY run_tokens DESC, start_a, start_b) AS rk
+        |  FROM agg)
+        |SELECT id1, id2, CAST(run_tokens AS BIGINT) AS longest_run_tokens,
+        |  CAST(start_a AS BIGINT) AS start_a, CAST(start_b AS BIGINT) AS start_b
+        |FROM best WHERE rk = 1 ORDER BY id1, id2""".stripMargin,
     "q293_dedup_threshold_sweep" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk

@@ -79,26 +79,80 @@ object Similarity {
     * Scale shape: 5-probe broadcast against one corpus scan; per-probe
     * winners via the partitioned rank window over the scored relation.
     */
+  /** The 4x16-slice maxsim score of pv vs ev — shared by q299, q302 and
+    * q303's per-batch scoring.
+    */
+  private[graft] def maxsimScore: Column = {
+    def sl(c: Column, i: Int): Column = slice(c, i * 16 + 1, 16)
+    (0 until 4).map { i =>
+      (0 until 4).map { j =>
+        VectorFunctions.cosineSim(sl(col("pv"), i), sl(col("ev"), j))
+      }.reduce((a, b) => greatest(a, b))
+    }.reduce(_ + _)
+  }
+
+  /** (pid, id, maxsim) over every probe x non-self candidate — q299's
+    * scored relation, reused by q303's micro-batch pass.
+    */
+  private[graft] def maxsimScored(cands: DataFrame, probes: DataFrame): DataFrame =
+    cands.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("id"),
+        round(maxsimScore, 6).as("maxsim"))
+
   def q299MaxsimRerank: Q = (s, d) => {
     VectorFunctions.register(s)
     val emb = Tables(s, d, "embeddings")
       .withColumn("ev", asDouble(col("embedding")))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), col("ev").as("pv"))
-    def sl(c: Column, i: Int): Column = slice(c, i * 16 + 1, 16)
-    val score = (0 until 4).map { i =>
-      (0 until 4).map { j =>
-        VectorFunctions.cosineSim(sl(col("pv"), i), sl(col("ev"), j))
-      }.reduce((a, b) => greatest(a, b))
-    }.reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("maxsim").desc, col("id"))
-    emb.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("pid"))
-      .select(col("pid"), col("vec_id").as("id"), round(score, 6).as("maxsim"))
+    maxsimScored(emb, probes)
       .withColumn("rank", big(row_number().over(w)))
       .filter(col("rank") <= 10)
       .orderBy(col("pid"), col("rank"))
+  }
+
+  /** Q302: ranker agreement — Spearman rank correlation, per probe,
+    * between the dense full-vector cosine ranking and q299's
+    * late-interaction maxsim ranking over the SAME candidate set: the
+    * "is the cheap scorer ranking like the expensive one" gate run before
+    * swapping retrieval scorers. Both rankings use the 6-dp-rounded score
+    * with id tiebreak (total orders), so d = r1 − r2 is exact integer
+    * arithmetic and rho = 1 − 6·Σd²/(n(n²−1)) is one closing IEEE
+    * expression.
+    *
+    * Scale shape: 5-probe broadcast, one scored pass, two rank windows
+    * partitioned per probe, one keyed aggregate.
+    */
+  def q302RankerAgreement: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .withColumn("ev", asDouble(col("embedding")))
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("pid"), col("ev").as("pv"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id").as("id"),
+        round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("cdense"),
+        round(maxsimScore, 6).as("cmax"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("cdense").desc, col("id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("cmax").desc, col("id"))
+    val ranked = scored
+      .withColumn("r1", row_number().over(w1).cast("long"))
+      .withColumn("r2", row_number().over(w2).cast("long"))
+    val nD = col("n").cast("double")
+    ranked.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("r1") - col("r2")) * (col("r1") - col("r2"))).as("sumd2"))
+      .select(col("pid"), big(col("n")).as("n_candidates"),
+        big(col("sumd2")).as("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sumd2").cast("double")
+          / (nD * (nD * nD - lit(1.0))), 6).as("rho"))
+      .orderBy(col("pid"))
   }
 
   /** Batch multi-probe exact top-k: every probe row gets its k nearest
@@ -907,6 +961,7 @@ object Similarity {
     "q24_array" -> q24Array,
     "q30_cosine_topk" -> q30CosineTopK,
     "q299_maxsim_rerank" -> q299MaxsimRerank,
+    "q302_ranker_agreement" -> q302RankerAgreement,
     "q60_cosine_pairs" -> q60CosinePairs,
     "q69_multi_topk" -> q69MultiTopK,
     "q131_hard_negatives" -> q131HardNegatives)
@@ -915,14 +970,20 @@ object Similarity {
     * shape; GREATEST is order-exact for the max, and the 4-term sum is the
     * same left-associated tree as the plan's reduce.
     */
-  private val maxsimSql: String = {
-    def cos(a: String, b: String) =
-      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+  private def cosSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** The 4x4 slice-maxsim score as SQL text (q299/q302/q303 oracles). */
+  private def maxsimScoreSql: String = {
     def sl(v: String, i: Int) = s"$v[${i * 16 + 1}:${i * 16 + 16}]"
-    val score = (0 until 4).map { i =>
-      "GREATEST(" + (0 until 4).map(j => cos(sl("pv", i), sl("ev", j)))
+    (0 until 4).map { i =>
+      "GREATEST(" + (0 until 4).map(j => cosSql(sl("pv", i), sl("ev", j)))
         .mkString(", ") + ")"
     }.mkString(" + ")
+  }
+
+  private val maxsimSql: String = {
+    val score = maxsimScoreSql
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
        |p AS (SELECT vec_id AS pid, ev AS pv FROM e WHERE vec_id < 5),
        |s AS (SELECT pid, vec_id AS id, ROUND($score, 6) AS maxsim
@@ -933,6 +994,26 @@ object Similarity {
        |SELECT pid, id, maxsim, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 10 ORDER BY pid, rank""".stripMargin
   }
+
+  /** The q302 oracle: both rankings over the same candidate set, integer
+    * Spearman arithmetic, the same closing rho expression tree.
+    */
+  private val rankerAgreementSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |p AS (SELECT vec_id AS pid, ev AS pv FROM e WHERE vec_id < 5),
+       |s AS (SELECT pid, vec_id AS id,
+       |        ROUND(${cosSql("ev", "pv")}, 6) AS cdense,
+       |        ROUND($maxsimScoreSql, 6) AS cmax
+       |      FROM e, p WHERE vec_id <> pid),
+       |r AS (SELECT pid, id,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cdense DESC, id) AS BIGINT) AS r1,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cmax DESC, id) AS BIGINT) AS r2
+       |      FROM s)
+       |SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+       |  ROUND(CAST(1.0 AS DOUBLE) - CAST(6.0 AS DOUBLE) * CAST(SUM((r1 - r2) * (r1 - r2)) AS DOUBLE)
+       |        / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - CAST(1.0 AS DOUBLE))), 6) AS rho
+       |FROM r GROUP BY pid ORDER BY pid""".stripMargin
 
   /** The q222 oracle: the same 5 greedy MMR steps unrolled as CTEs over
     * the list_dot_product cosine (q30's parity shape).
@@ -1231,6 +1312,7 @@ object Similarity {
         |  CAST(label AS BIGINT) AS label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q299_maxsim_rerank" -> maxsimSql,
+    "q302_ranker_agreement" -> rankerAgreementSql,
     "q30_cosine_topk" ->
       """WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings)

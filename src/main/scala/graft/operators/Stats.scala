@@ -1165,17 +1165,24 @@ object Stats {
     * The per-bin window runs on the 20-row relation (allow-listed bounded
     * window).
     */
-  def q296IsotonicCalibration: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .select(col("value"),
+  /** Bin an events relation into <=20 (bin, n, k) calibration rows against
+    * the given [lo, hi] range — additive counts, so q300's per-batch bins
+    * merge exactly at any trigger slicing.
+    */
+  private[graft] def isotonicBins(ev: DataFrame, mm: DataFrame): DataFrame =
+    ev.select(col("value"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-    val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val binned = ev.crossJoin(broadcast(mm))
+      .crossJoin(broadcast(mm))
       .withColumn("bin", least(lit(19L),
         floor((col("value") - col("lo")) / (col("hi") - col("lo"))
           * lit(20.0)).cast("long")))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+
+  /** The PAV minimax tail over a <=20-row binned relation — shared by q296
+    * (batch) and q300 (post-drain merge).
+    */
+  private[graft] def isotonicReport(binned: DataFrame): DataFrame = {
     val wb = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = graft.Checkpoints.materialize(
@@ -1201,6 +1208,12 @@ object Stats {
           .as("rate_raw"),
         round(col("iso"), 6).as("rate_iso"))
       .orderBy(col("bin"))
+  }
+
+  def q296IsotonicCalibration: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    isotonicReport(isotonicBins(ev, mm))
   }
 
   /** Q297: pairwise two-sample Kolmogorov–Smirnov tests — for every

@@ -1221,6 +1221,103 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q300: streaming isotonic calibration — q296's PAV report maintained
+    * as events arrive: the calibration RANGE [lo, hi] is fixed upfront
+    * from the static relation (production fixes it by the score model, so
+    * bin boundaries never move), each micro-batch reduces to its own
+    * additive <=20-row (bin, n, k) counts written idempotently under
+    * `batch=<id>`, and the post-drain merge feeds the SAME bounded minimax
+    * tail — so q300 shares q296's DuckDB oracle verbatim at any trigger
+    * slicing.
+    *
+    * Scale shape: per-batch cost is one <=20-group count over the batch;
+    * standing state is the 20-row bin summary — bounded, never rows.
+    */
+  def q300StreamIsotonic: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+    val mm = graft.Checkpoints.materialize(
+      ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q300_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.Stats.isotonicBins(batch.toDF(), mm)
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        graft.operators.Stats.isotonicReport(
+          s.read.parquet(sumDir)
+            .groupBy(col("bin"))
+            .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Q303: streaming maxsim top-k serving — q299's late-interaction rerank
+    * as candidates ARRIVE: probes are the fixed static 5-row broadcast;
+    * each micro-batch scores ITS candidates and keeps its own per-probe
+    * top-10 (a batch's kept set contains every global winner that batch
+    * holds — top-k is merge-exact over set-partitioned input), written
+    * idempotently under `batch=<id>`; the drained merge re-ranks the
+    * <=10·batches-row union to the global top-10 and shares q299's oracle
+    * verbatim.
+    *
+    * Scale shape: per-batch cost is the probe-broadcast scoring of that
+    * batch; standing state is the bounded per-batch top-k summary.
+    */
+  def q303StreamMaxsim: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+    val probes = graft.Checkpoints.materialize(
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("pid"),
+          graft.operators.Similarity.asDouble(col("embedding")).as("pv")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q303_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      emb.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+        .orderBy(col("maxsim").desc, col("id"))
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.Similarity.maxsimScored(
+                batch.toDF().withColumn("ev",
+                  graft.operators.Similarity.asDouble(col("embedding"))),
+                probes)
+              .withColumn("rk", row_number().over(wB))
+              .filter(col("rk") <= 10)
+              .select(col("pid"), col("id"), col("maxsim"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        s.read.parquet(sumDir)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+              .orderBy(col("maxsim").desc, col("id"))).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("pid"), col("id"), col("maxsim"), col("rank"))
+          .orderBy(col("pid"), col("rank")))
+    } finally deleteRecursively(tmp)
+  }
+
   /** Q284: streaming Benford audit — q204's first-digit fraud monitor
     * maintained as order amounts ARRIVE: each micro-batch reduces to ITS
     * OWN additive (digit, n) counts written idempotently under
@@ -1319,6 +1416,8 @@ object Windows {
     "q284_stream_benford" -> q284StreamBenford,
     "q265_stream_bollinger" -> q265StreamBollinger,
     "q295_stream_ema" -> q295StreamEma,
+    "q300_stream_isotonic" -> q300StreamIsotonic,
+    "q303_stream_maxsim" -> q303StreamMaxsim,
     "q264_stream_kanonymity" -> q264StreamKanonymity,
     "q219_stream_topk" -> q219StreamTopk,
     "q201_stream_changepoint" -> q201StreamChangepoint,
@@ -1421,6 +1520,13 @@ object Windows {
     // per-part counts merge exactly at any trigger slicing)
     "q295_stream_ema" ->
       graft.operators.Events.oracles("q290_ema_signal"),
+    // q300 shares q296's oracle (fixed bin range -> additive bin counts)
+    "q300_stream_isotonic" ->
+      graft.operators.Stats.oracles("q296_isotonic_calibration"),
+    // q303 shares q299's oracle (per-batch top-k is merge-exact over
+    // set-partitioned candidates)
+    "q303_stream_maxsim" ->
+      graft.operators.Similarity.oracles("q299_maxsim_rerank"),
     "q175_stream_scd2" ->
       graft.operators.Events.oracles("q170_scd2"),
     "q121_stream_incremental_dedup" ->

@@ -105,6 +105,77 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("q301 dup-span explain: longest shared token run matches a brute-force diagonal replay") {
+    val toks = graft.Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toIndexedSeq)
+      .toMap
+    val got = NorthStar.q301DupSpanExplain(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty, "no explained pairs - vacuous corpus")
+    got.foreach { case ((a, b), (run, sa, sb)) =>
+      val (ta, tb) = (toks(a), toks(b))
+      // brute-force: longest common consecutive-token run across all diagonals
+      var best = 0L; var bestSa = Long.MaxValue; var bestSb = Long.MaxValue
+      for (d <- -(tb.length - 1) to (ta.length - 1)) {
+        var i = math.max(0, d); var cur = 0L; var curStart = -1L
+        while (i < ta.length && (i - d) < tb.length) {
+          if (i - d >= 0 && ta(i) == tb(i - d)) {
+            if (cur == 0) curStart = i
+            cur += 1
+            if (cur >= 3) {
+              val cand = (cur, curStart, curStart - d)
+              if (cur > best || (cur == best &&
+                  (cand._2 < bestSa || (cand._2 == bestSa && cand._3 < bestSb)))) {
+                best = cur; bestSa = cand._2; bestSb = cand._3
+              }
+            }
+          } else cur = 0
+          i += 1
+        }
+      }
+      assert(run === best, s"pair ($a,$b) run length: got $run want $best")
+      assert(sa === bestSa && sb === bestSb, s"pair ($a,$b) starts")
+    }
+  }
+
+  test("q302 ranker agreement: sum_d2 replays from both rankings; rho formula holds") {
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def slices(v: Array[Double]) = (0 until 4).map(i => v.slice(i * 16, i * 16 + 16))
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val got = Similarity.q302RankerAgreement(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (0L until 5L))
+    got.foreach { case (pid, n, sumd2, rho) =>
+      val cands = emb.keys.filter(_ != pid).toSeq
+      assert(n === cands.length.toLong)
+      def ranksBy(score: Long => Double): Map[Long, Long] =
+        cands.map(id => (id, r6(score(id))))
+          .sortBy { case (id, s) => (-s, id) }
+          .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val r1 = ranksBy(id => cos(emb(pid), emb(id)))
+      val r2 = ranksBy(id => slices(emb(pid))
+        .map(ps => slices(emb(id)).map(cs => cos(ps, cs)).max).sum)
+      val want = cands.map(id => { val dd = r1(id) - r2(id); dd * dd }).sum
+      assert(sumd2 === want, s"probe $pid sum_d2")
+      val nD = n.toDouble
+      assert(math.abs(rho - (1.0 - 6.0 * want / (nD * (nD * nD - 1.0)))) < 2e-6,
+        s"probe $pid rho")
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+      assert(sumd2 > 0, s"probe $pid identical rankings - vacuous agreement test")
+    }
+  }
+
   test("q294 minhash quality eval: counts are containment-consistent and recall holds the floor") {
     val g = NorthStar.q294MinhashQualityEval(spark, sf0001).collect().head
     val (nExact, nCand, nTp) = (g.getLong(0), g.getLong(1), g.getLong(2))

@@ -88,6 +88,7 @@ class PlanAuditSpec extends SparkSpec {
     "q296_isotonic_calibration", // 1-row min/max broadcast + minimax triple join over the <=20-row bin summary
     "q298_negative_sampling", // 1-row max-partkey broadcast sizing the LCG draw domain
     "q299_maxsim_rerank", // 5-row probe broadcast against one corpus scan (q30's family)
+    "q302_ranker_agreement", // the same 5-row probe broadcast scoring both rankers in one pass
     "q297_ks_pairwise", // 10-row type-pair broadcast tagging the per-value collapse; 5x5 pair build
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
@@ -124,7 +125,7 @@ class PlanAuditSpec extends SparkSpec {
     "q158_stream_decontam_rewrite", "q192_stream_auc",
     "q201_stream_changepoint", "q219_stream_topk", "q264_stream_kanonymity",
     "q265_stream_bollinger", "q284_stream_benford", "q288_stream_funnel",
-    "q295_stream_ema")
+    "q295_stream_ema", "q300_stream_isotonic", "q303_stream_maxsim")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -639,6 +639,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.map(_._2).sum > 0)
   }
 
+  test("q300 stream isotonic: merged bin counts feed the same PAV tail as the batch") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val batch = rows(graft.operators.Stats.q296IsotonicCalibration(spark, sf0001))
+    val stream = rows(graft.streaming.Windows.q300StreamIsotonic(spark, sf0001))
+    assert(stream === batch,
+      "additive bin counts must merge to the exact batch bins at any slicing")
+    assert(batch.nonEmpty)
+  }
+
+  test("q303 stream maxsim: merged per-batch top-10s equal the q299 batch rerank") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val batch = rows(graft.operators.Similarity.q299MaxsimRerank(spark, sf0001))
+    val stream = rows(graft.streaming.Windows.q303StreamMaxsim(spark, sf0001))
+    assert(stream === batch,
+      "per-batch top-k must be merge-exact over set-partitioned candidates")
+    assert(batch.size === 50)
+  }
+
   test("q264 stream k-anonymity: drained merge equals the q254 batch audit") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
