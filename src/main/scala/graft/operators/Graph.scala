@@ -607,6 +607,51 @@ object Graph {
       .limit(25)
   }
 
+  /** Q304: HITS hubs and authorities over the bipartite customer→part
+    * purchase graph — "which customers' baskets define the catalog, and
+    * which parts those baskets anoint": two mutual-reinforcement rounds
+    * (a = Aᵀh, h = Aa) in the SAME scaled-integer arithmetic as q81/q275
+    * (scores ×10⁶, max-normalized by integer division each half-step), so
+    * the fixpoint is bit-portable and the oracle unrolls it exactly. Top
+    * 15 of each side, labeled.
+    *
+    * Scale shape: edge-keyed joins and keyed aggregates per half-step
+    * (shuffle ∝ edges), 1-row max broadcasts for normalization,
+    * materialized per round — the q275 iterative discipline.
+    */
+  def q304Hits: Q = (s, d) => {
+    val par = s.sparkContext.defaultParallelism
+    val edges = graft.Checkpoints.materialize(
+      Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .repartition(par, col("c")))
+    var hubs = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("h"))
+    var auths: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 2) {
+      val a0 = edges.join(hubs, Seq("c")).groupBy(col("p"))
+        .agg(sum(col("h")).as("a0"))
+      val amax = a0.agg(max(col("a0")).as("am"))
+      auths = graft.Checkpoints.materialize(
+        a0.crossJoin(broadcast(amax))
+          .select(col("p"), expr("(a0 * 1000000) div am").as("a")))
+      val h0 = edges.join(auths, Seq("p")).groupBy(col("c"))
+        .agg(sum(col("a")).as("h0"))
+      val hmax = h0.agg(max(col("h0")).as("hm"))
+      hubs = graft.Checkpoints.materialize(
+        h0.crossJoin(broadcast(hmax))
+          .select(col("c"), expr("(h0 * 1000000) div hm").as("h")))
+    }
+    val topH = hubs.orderBy(col("h").desc, col("c")).limit(15)
+      .select(lit("hub").as("side"), col("c").as("node"), big(col("h")).as("score"))
+    val topA = auths.orderBy(col("a").desc, col("p")).limit(15)
+      .select(lit("authority").as("side"), col("p").as("node"), big(col("a")).as("score"))
+    topA.unionByName(topH).orderBy(col("side"), col("score").desc, col("node"))
+  }
+
   /** Q277: brand modularity — Newman modularity of the BRAND partition
     * over the co-purchase graph: Q = Σ_b (e_bb/2m − (d_b/2m)²), "do
     * same-brand parts co-purchase more than chance?" — the attribute-
@@ -711,6 +756,7 @@ object Graph {
     "q278_label_propagation" -> q278LabelPropagation,
     "q277_brand_modularity" -> q277BrandModularity,
     "q275_personalized_pagerank" -> q275PersonalizedPagerank,
+    "q304_hits" -> q304Hits,
     "q253_ndcg_mrr" -> q253NdcgMrr,
     "q237_weighted_sssp" -> q237WeightedSssp,
     "q234_rec_holdout_eval" -> q234RecHoldoutEval,
@@ -873,7 +919,38 @@ object Graph {
        |FROM l3 ORDER BY node""".stripMargin
   }
 
+  /** The q304 oracle: the 2-round HITS fixpoint unrolled, same scaled-
+    * integer normalization (`//` and Spark's `div` agree on positives).
+    */
+  private val hitsSql: String = {
+    val rounds = (1 to 2).map { r =>
+      val ph = if (r == 1) "h0" else s"h${r - 1}"
+      s"""a${r}r AS MATERIALIZED (
+         |  SELECT p, SUM(h) AS s FROM e JOIN $ph USING (c) GROUP BY p),
+         |a$r AS MATERIALIZED (
+         |  SELECT p, (s * 1000000) // am AS a
+         |  FROM a${r}r, (SELECT MAX(s) AS am FROM a${r}r)),
+         |h${r}r AS MATERIALIZED (
+         |  SELECT c, SUM(a) AS s FROM e JOIN a$r USING (p) GROUP BY c),
+         |h$r AS MATERIALIZED (
+         |  SELECT c, (s * 1000000) // hm AS h
+         |  FROM h${r}r, (SELECT MAX(s) AS hm FROM h${r}r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT c, CAST(1000000 AS BIGINT) AS h FROM (SELECT DISTINCT c FROM e)),
+       |$rounds,
+       |ta AS (SELECT 'authority' AS side, p AS node, CAST(a AS BIGINT) AS score
+       |       FROM a2 ORDER BY a DESC, p LIMIT 15),
+       |th AS (SELECT 'hub' AS side, c AS node, CAST(h AS BIGINT) AS score
+       |       FROM h2 ORDER BY h DESC, c LIMIT 15)
+       |SELECT side, node, score FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+       |ORDER BY side, score DESC, node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q304_hits" -> hitsSql,
     "q278_label_propagation" -> lpaSql,
     "q277_brand_modularity" ->
       """WITH items AS MATERIALIZED (

@@ -1262,7 +1262,102 @@ object Stats {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Q305: V-optimal histogram — the optimizer-statistics advisor: choose
+    * the 4-bucket split of the event-value domain (boundaries restricted
+    * to 20 observed equi-width fine bins) minimizing total within-bucket
+    * SSE, by EXHAUSTIVE enumeration of the C(19,3)-bounded boundary
+    * combinations over exact decimal prefix moments — the dynamic program
+    * replaced by a bounded join, which is how an advisor actually runs on
+    * a cluster. SSE per segment is `s2 − s1²/n` in doubles from
+    * exact-decimal cumulative moments (q177's recipe); ties break on the
+    * boundary triple.
+    *
+    * Scale shape: one pass collapses any volume to <=20 bins; everything
+    * after is bounded (<=969-row combo join, TakeOrdered(1)).
+    */
+  def q305VoptimalHistogram: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("value").as("v"))
+    val mm = ev.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val binned = ev.crossJoin(broadcast(mm))
+      .withColumn("bin", least(lit(19L),
+        floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+          * lit(20.0)).cast("long")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).cast(DecimalType(38, 4)).as("s1"),
+        sum(dec12(col("v")) * dec12(col("v"))).cast(DecimalType(38, 4)).as("s2"))
+    val wb = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.Checkpoints.materialize(
+      binned.select(col("bin"),
+        sum(col("n")).over(wb).as("cn"),
+        sum(col("s1")).over(wb).cast(DecimalType(38, 4)).as("cs1"),
+        sum(col("s2")).over(wb).cast(DecimalType(38, 4)).as("cs2")))
+    val tot = cum.orderBy(col("bin").desc).limit(1)
+      .select(col("bin").as("maxbin"), col("cn").as("tn"),
+        col("cs1").as("ts1"), col("cs2").as("ts2"))
+    def sse(n: Column, s1: Column, s2: Column): Column =
+      s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")
+    val c1 = cum.select(col("bin").as("e1"), col("cn").as("n1"),
+      col("cs1").as("a1"), col("cs2").as("b1"))
+    val c2 = cum.select(col("bin").as("e2"), col("cn").as("n2"),
+      col("cs1").as("a2"), col("cs2").as("b2"))
+    val c3 = cum.select(col("bin").as("e3"), col("cn").as("n3"),
+      col("cs1").as("a3"), col("cs2").as("b3"))
+    val sse1 = sse(col("n1"), col("a1"), col("b1"))
+    val sse2 = sse(col("n2") - col("n1"), col("a2") - col("a1"), col("b2") - col("b1"))
+    val sse3 = sse(col("n3") - col("n2"), col("a3") - col("a2"), col("b3") - col("b2"))
+    val sse4 = sse(col("tn") - col("n3"), col("ts1") - col("a3"), col("ts2") - col("b3"))
+    val best = graft.Checkpoints.materialize(
+      c1.join(c2, col("e1") < col("e2"))
+        .join(c3, col("e2") < col("e3"))
+        .crossJoin(broadcast(tot))
+        .filter(col("e3") < col("maxbin"))
+        .withColumn("sse", sse1 + sse2 + sse3 + sse4)
+        .orderBy(col("sse"), col("e1"), col("e2"), col("e3"))
+        .limit(1))
+    best.select(explode(array(
+        struct(lit(1L).as("segment"), col("e1").as("end_bin"),
+          big(col("n1")).as("n"), round(sse1, 6).as("sse")),
+        struct(lit(2L).as("segment"), col("e2").as("end_bin"),
+          big(col("n2") - col("n1")).as("n"), round(sse2, 6).as("sse")),
+        struct(lit(3L).as("segment"), col("e3").as("end_bin"),
+          big(col("n3") - col("n2")).as("n"), round(sse3, 6).as("sse")),
+        struct(lit(4L).as("segment"), col("maxbin").as("end_bin"),
+          big(col("tn") - col("n3")).as("n"), round(sse4, 6).as("sse"))))
+        .as("seg"))
+      .select(col("seg.segment").as("segment"), col("seg.end_bin").as("end_bin"),
+        col("seg.n").as("n"), col("seg.sse").as("sse"))
+      .orderBy(col("segment"))
+  }
+
+  /** Q306: smoothed target encoding — the leakage-safe categorical feature
+    * every tabular pipeline ships: per category (order priority), the
+    * late-order rate shrunk toward the global prior with pseudo-count
+    * m = 50: enc = (k + m·prior) / (n + m). Exact integer (k, n) per
+    * category, 1-row prior broadcast, one shared closing expression tree.
+    *
+    * Scale shape: one map-side-combined aggregate + a 1-row broadcast.
+    */
+  def q306TargetEncoding: Q = (s, d) => {
+    val lbl = when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+    val per = Tables(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(lbl).as("k"))
+    val g = per.agg(sum(col("n")).as("tn"), sum(col("k")).as("tk"))
+    val prior = col("tk").cast("double") / col("tn").cast("double")
+    per.crossJoin(broadcast(g))
+      .select(col("o_orderpriority").as("priority"),
+        big(col("n")).as("n"), big(col("k")).as("k"),
+        round(col("k").cast("double") / col("n").cast("double"), 6).as("rate_raw"),
+        round((col("k").cast("double") + lit(50.0) * prior)
+          / (col("n").cast("double") + lit(50.0)), 6).as("rate_encoded"))
+      .orderBy(col("priority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q305_voptimal_histogram" -> q305VoptimalHistogram,
+    "q306_target_encoding" -> q306TargetEncoding,
     "q296_isotonic_calibration" -> q296IsotonicCalibration,
     "q297_ks_pairwise" -> q297KsPairwise,
     "q289_ntile_deciles" -> q289NtileDeciles,
@@ -1414,6 +1509,61 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q305_voptimal_histogram" ->
+      """WITH ev AS (SELECT value AS v FROM events),
+        |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev),
+        |binned AS (
+        |  SELECT LEAST(19, CAST(FLOOR((v - lo) / (hi - lo) * 20.0) AS BIGINT)) AS bin,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS s1,
+        |    CAST(SUM(CAST(v AS DECIMAL(12,4)) * CAST(v AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS s2
+        |  FROM ev, mm GROUP BY 1),
+        |cum AS MATERIALIZED (
+        |  SELECT bin,
+        |    SUM(n) OVER w AS cn,
+        |    CAST(SUM(s1) OVER w AS DECIMAL(38,4)) AS cs1,
+        |    CAST(SUM(s2) OVER w AS DECIMAL(38,4)) AS cs2
+        |  FROM binned
+        |  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT bin AS maxbin, cn AS tn, cs1 AS ts1, cs2 AS ts2
+        |        FROM cum ORDER BY bin DESC LIMIT 1),
+        |best AS (
+        |  SELECT c1.bin AS e1, c1.cn AS n1, c1.cs1 AS a1, c1.cs2 AS b1,
+        |    c2.bin AS e2, c2.cn AS n2, c2.cs1 AS a2, c2.cs2 AS b2,
+        |    c3.bin AS e3, c3.cn AS n3, c3.cs1 AS a3, c3.cs2 AS b3,
+        |    maxbin, tn, ts1, ts2,
+        |    (CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    + (CAST(b2 - b1 AS DOUBLE) - CAST(a2 - a1 AS DOUBLE) * CAST(a2 - a1 AS DOUBLE) / CAST(n2 - n1 AS DOUBLE))
+        |    + (CAST(b3 - b2 AS DOUBLE) - CAST(a3 - a2 AS DOUBLE) * CAST(a3 - a2 AS DOUBLE) / CAST(n3 - n2 AS DOUBLE))
+        |    + (CAST(ts2 - b3 AS DOUBLE) - CAST(ts1 - a3 AS DOUBLE) * CAST(ts1 - a3 AS DOUBLE) / CAST(tn - n3 AS DOUBLE)) AS sse
+        |  FROM cum c1 JOIN cum c2 ON c1.bin < c2.bin
+        |  JOIN cum c3 ON c2.bin < c3.bin, tot
+        |  WHERE c3.bin < maxbin
+        |  ORDER BY sse, e1, e2, e3 LIMIT 1)
+        |SELECT u.seg AS segment,
+        |  CASE u.seg WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3 ELSE maxbin END AS end_bin,
+        |  CAST(CASE u.seg WHEN 1 THEN n1 WHEN 2 THEN n2 - n1
+        |       WHEN 3 THEN n3 - n2 ELSE tn - n3 END AS BIGINT) AS n,
+        |  CASE u.seg
+        |    WHEN 1 THEN ROUND(CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+        |    WHEN 2 THEN ROUND(CAST(b2 - b1 AS DOUBLE) - CAST(a2 - a1 AS DOUBLE) * CAST(a2 - a1 AS DOUBLE) / CAST(n2 - n1 AS DOUBLE), 6)
+        |    WHEN 3 THEN ROUND(CAST(b3 - b2 AS DOUBLE) - CAST(a3 - a2 AS DOUBLE) * CAST(a3 - a2 AS DOUBLE) / CAST(n3 - n2 AS DOUBLE), 6)
+        |    ELSE ROUND(CAST(ts2 - b3 AS DOUBLE) - CAST(ts1 - a3 AS DOUBLE) * CAST(ts1 - a3 AS DOUBLE) / CAST(tn - n3 AS DOUBLE), 6)
+        |  END AS sse
+        |FROM best, unnest([CAST(1 AS BIGINT), 2, 3, 4]) AS u(seg)
+        |ORDER BY segment""".stripMargin,
+    "q306_target_encoding" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT SUM(n) AS tn, SUM(k) AS tk FROM per)
+        |SELECT priority, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_raw,
+        |  ROUND((CAST(k AS DOUBLE) + CAST(50.0 AS DOUBLE)
+        |           * (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)))
+        |        / (CAST(n AS DOUBLE) + CAST(50.0 AS DOUBLE)), 6) AS rate_encoded
+        |FROM per, g ORDER BY priority""".stripMargin,
     "q296_isotonic_calibration" ->
       """WITH ev AS (
         |  SELECT value AS v,

@@ -1318,6 +1318,61 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q307: streaming negative sampling — q298's contrastive draws served
+    * as customers ARRIVE: the true-interaction set and the item-domain
+    * size are standing static relations; each micro-batch draws its
+    * customers' 8 MINSTD candidates, anti-joins the interactions, and
+    * writes its negatives idempotently under `batch=<id>`. Customers
+    * partition cleanly across batches (each row arrives once), so the
+    * drained union IS q298's batch result and shares its oracle verbatim.
+    *
+    * Scale shape: per-batch cost is the batch's 8-way explode + one
+    * anti-join against the standing interaction relation.
+    */
+  def q307StreamNegatives: Q = (s, d) => {
+    val p = 2147483647L
+    val inter = graft.Checkpoints.materialize(
+      Tables(s, d, "orders").select(col("o_custkey"), col("o_orderkey"))
+        .join(Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_partkey").as("item"))
+        .distinct())
+    val np = graft.Checkpoints.materialize(
+      Tables(s, d, "part").agg(max(col("p_partkey")).as("np")))
+    val cust = Tables(s, d, "customer").select(col("c_custkey").as("custkey"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q307_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val outDir = s"$tmp/negatives"
+      cust.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            batch.toDF().crossJoin(broadcast(np))
+              .select(col("custkey"),
+                explode(sequence(lit(1L), lit(8L))).as("slot"), col("np"))
+              .withColumn("h1",
+                pmod(pmod(col("custkey") * 8L + col("slot"), lit(p)) * 48271L, lit(p)))
+              .withColumn("item",
+                pmod(pmod((col("h1") + 1L) * 16807L, lit(p)), col("np")) + 1L)
+              .join(inter, Seq("custkey", "item"), "left_anti")
+              .select(col("custkey"), col("slot"), col("item"))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        s.read.parquet(outDir)
+          .select(col("custkey"), big(col("slot")).as("slot"),
+            big(col("item")).as("item"))
+          .orderBy(col("custkey"), col("slot")))
+    } finally deleteRecursively(tmp)
+  }
+
   /** Q284: streaming Benford audit — q204's first-digit fraud monitor
     * maintained as order amounts ARRIVE: each micro-batch reduces to ITS
     * OWN additive (digit, n) counts written idempotently under
@@ -1418,6 +1473,7 @@ object Windows {
     "q295_stream_ema" -> q295StreamEma,
     "q300_stream_isotonic" -> q300StreamIsotonic,
     "q303_stream_maxsim" -> q303StreamMaxsim,
+    "q307_stream_negatives" -> q307StreamNegatives,
     "q264_stream_kanonymity" -> q264StreamKanonymity,
     "q219_stream_topk" -> q219StreamTopk,
     "q201_stream_changepoint" -> q201StreamChangepoint,
@@ -1527,6 +1583,10 @@ object Windows {
     // set-partitioned candidates)
     "q303_stream_maxsim" ->
       graft.operators.Similarity.oracles("q299_maxsim_rerank"),
+    // q307 shares q298's oracle (customers partition across batches; draws
+    // are pure row functions)
+    "q307_stream_negatives" ->
+      graft.operators.NorthStar.oracles("q298_negative_sampling"),
     "q175_stream_scd2" ->
       graft.operators.Events.oracles("q170_scd2"),
     "q121_stream_incremental_dedup" ->

@@ -89,6 +89,9 @@ class PlanAuditSpec extends SparkSpec {
     "q298_negative_sampling", // 1-row max-partkey broadcast sizing the LCG draw domain
     "q299_maxsim_rerank", // 5-row probe broadcast against one corpus scan (q30's family)
     "q302_ranker_agreement", // the same 5-row probe broadcast scoring both rankers in one pass
+    "q304_hits", // 1-row max broadcasts normalizing each HITS half-step
+    "q305_voptimal_histogram", // <=20-row cum relation triple non-equi join (bounded combos) + 1-row totals
+    "q306_target_encoding", // 1-row broadcast global prior
     "q297_ks_pairwise", // 10-row type-pair broadcast tagging the per-value collapse; 5x5 pair build
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
@@ -114,7 +117,8 @@ class PlanAuditSpec extends SparkSpec {
     "q239_rank_movers" -> "rank windows over the bounded top-100 TakeOrdered relation, never the catalog",
     "q271_sql_surface" -> "row_number over the TakeOrdered-bounded 10-row top relation, never the order population",
     "q285_dup_growth" -> "cumsum over the bounded source-rank grid (~20 rows at any volume), never the documents",
-    "q296_isotonic_calibration" -> "cumsum over the <=20-row bin summary, never the events")
+    "q296_isotonic_calibration" -> "cumsum over the <=20-row bin summary, never the events",
+    "q305_voptimal_histogram" -> "cumulative moments over the <=20-row bin summary, never the events")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -125,7 +129,8 @@ class PlanAuditSpec extends SparkSpec {
     "q158_stream_decontam_rewrite", "q192_stream_auc",
     "q201_stream_changepoint", "q219_stream_topk", "q264_stream_kanonymity",
     "q265_stream_bollinger", "q284_stream_benford", "q288_stream_funnel",
-    "q295_stream_ema", "q300_stream_isotonic", "q303_stream_maxsim")
+    "q295_stream_ema", "q300_stream_isotonic", "q303_stream_maxsim",
+    "q307_stream_negatives")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -3166,6 +3166,95 @@ class UtilitiesSpec extends SparkSpec {
       "LPA produced no merging at all - vacuous fixture")
   }
 
+  test("q304 hits: two scaled-integer rounds replay exactly; tops are normalized") {
+    val edges = Tables(spark, sf0001, "orders")
+      .join(Tables(spark, sf0001, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.toSeq
+    var h = edges.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val a0 = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => h(e._1)).sum }
+      val am = a0.values.max
+      a = a0.map { case (p, v) => p -> v * 1000000L / am }
+      val h0 = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => a(e._2)).sum }
+      val hm = h0.values.max
+      h = h0.map { case (c, v) => c -> v * 1000000L / hm }
+    }
+    val wantA = a.toSeq.sortBy(t => (-t._2, t._1)).take(15)
+    val wantH = h.toSeq.sortBy(t => (-t._2, t._1)).take(15)
+    val got = Graph.q304Hits(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 30)
+    assert(got.filter(_._1 == "authority").map(t => (t._2, t._3)).toSeq === wantA)
+    assert(got.filter(_._1 == "hub").map(t => (t._2, t._3)).toSeq === wantH)
+    // both sides carry their normalization witness: the argmax sits at 10^6
+    assert(got.filter(_._1 == "authority").map(_._3).max === 1000000L)
+    assert(got.filter(_._1 == "hub").map(_._3).max === 1000000L)
+  }
+
+  test("q305 v-optimal: exhaustive replay agrees on boundaries and per-segment SSE") {
+    val vs = Tables.events(spark, sf0001).select($"value").collect()
+      .map(_.getDouble(0))
+    val lo = vs.min; val hi = vs.max
+    def d4(x: Double) = BigDecimal.valueOf(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val binned = vs.groupBy(v => math.min(19L,
+        math.floor((v - lo) / (hi - lo) * 20.0).toLong))
+      .map { case (b, g) =>
+        (b, g.length.toLong, g.map(d4).sum, g.map(v => d4(v) * d4(v)).sum) }
+      .toSeq.sortBy(_._1)
+    val bins = binned.map(_._1)
+    val cn = binned.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    val cs1 = binned.map(_._3).scanLeft(BigDecimal(0))(_ + _).drop(1)
+    val cs2 = binned.map(_._4).scanLeft(BigDecimal(0))(_ + _).drop(1)
+    val m = bins.length
+    def sse(n: Long, s1: Double, s2: Double) = s2 - s1 * s1 / n
+    def segs(i: Int, j: Int, k: Int): Seq[(Long, Long, Double)] = Seq(
+      (bins(i), cn(i), sse(cn(i), cs1(i).toDouble, cs2(i).toDouble)),
+      (bins(j), cn(j) - cn(i), sse(cn(j) - cn(i), (cs1(j) - cs1(i)).toDouble,
+        (cs2(j) - cs2(i)).toDouble)),
+      (bins(k), cn(k) - cn(j), sse(cn(k) - cn(j), (cs1(k) - cs1(j)).toDouble,
+        (cs2(k) - cs2(j)).toDouble)),
+      (bins(m - 1), cn(m - 1) - cn(k), sse(cn(m - 1) - cn(k),
+        (cs1(m - 1) - cs1(k)).toDouble, (cs2(m - 1) - cs2(k)).toDouble)))
+    val best = (for {
+      i <- 0 until m; j <- (i + 1) until m; k <- (j + 1) until m - 1
+    } yield ((i, j, k), segs(i, j, k).map(_._3).sum))
+      .minBy { case ((i, j, k), s) => (s, bins(i), bins(j), bins(k)) }
+    val want = segs(best._1._1, best._1._2, best._1._3)
+    val got = Stats.q305VoptimalHistogram(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 4)
+    got.zip(want).foreach { case ((gb, gn, gs), (wb, wn, ws)) =>
+      assert(gb === wb && gn === wn, s"segment bounds/counts: $got vs $want")
+      assert(math.abs(gs - ws) < 1e-3, s"sse $gs vs $ws")
+    }
+    assert(want.map(_._3).sum > 0, "zero total SSE - vacuous")
+  }
+
+  test("q306 target encoding: shrinkage arithmetic replays; encoding sits between raw and prior") {
+    val rows = Tables(spark, sf0001, "orders")
+      .select($"o_orderpriority", ($"o_orderstatus" === "F").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val prior = rows.map(_._2).sum.toDouble / rows.length
+    val got = Stats.q306TargetEncoding(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.map(_._1).toSeq === rows.map(_._1).distinct.sorted)
+    got.foreach { case (pri, n, k, raw, enc) =>
+      val g = rows.filter(_._1 == pri)
+      assert(n === g.length.toLong && k === g.map(_._2).sum)
+      assert(math.abs(raw - k.toDouble / n) < 2e-6)
+      assert(math.abs(enc - (k + 50.0 * prior) / (n + 50.0)) < 2e-6)
+      val (a, b) = (math.min(raw, prior), math.max(raw, prior))
+      assert(enc >= a - 1e-9 && enc <= b + 1e-9,
+        s"$pri encoding must sit between raw and prior")
+    }
+  }
+
   test("q290 ema: signal counts match a weighted-window replay with the exact embedded weights") {
     val rows = Tables(spark, sf0001, "lineitem")
       .join(Tables(spark, sf0001, "part"), $"l_partkey" === $"p_partkey")

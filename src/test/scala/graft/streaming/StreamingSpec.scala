@@ -661,6 +661,16 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size === 50)
   }
 
+  test("q307 stream negatives: drained union equals the q298 batch draws") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = rows(graft.operators.NorthStar.q298NegativeSampling(spark, sf0001))
+    val stream = rows(graft.streaming.Windows.q307StreamNegatives(spark, sf0001))
+    assert(stream === batch,
+      "pure row-function draws must be slicing-invariant")
+    assert(batch.nonEmpty)
+  }
+
   test("q264 stream k-anonymity: drained merge equals the q254 batch audit") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
