@@ -1335,7 +1335,38 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Q310: traffic burstiness — per event type over observed hourly
+    * counts: Fano factor (variance/mean — the overdispersion test against
+    * Poisson), coefficient of variation, and the Goh–Barabási burstiness
+    * coefficient (σ−μ)/(σ+μ) — the capacity-planning triple that says
+    * whether load is smooth, Poisson, or bursty. Exact integer moments
+    * (counts and squared counts), one shared closing IEEE tree.
+    *
+    * Scale shape: one hourly collapse (map-side combined), one per-type
+    * moment aggregate — two shuffles at any volume.
+    */
+  def q310Burstiness: Q = (s, d) => {
+    val m = events(s, d)
+      .select(col("event_type"), epochSec(col("ts2")).as("es"))
+      .select(col("event_type"), expr("es div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val nD = col("nh").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val vr = col("s2").cast("double") / nD - mean * mean
+    val sd = sqrt(greatest(vr, lit(0.0)))
+    m.select(col("event_type"), big(col("nh")).as("n_hours"),
+      round(mean, 6).as("mean_per_hour"),
+      round(vr / mean, 6).as("fano"),
+      round(sd / mean, 6).as("cv"),
+      round((sd - mean) / (sd + mean), 6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q310_burstiness" -> q310Burstiness,
     "q267_seasonality_strength" -> q267SeasonalityStrength,
     "q256_bollinger_breakout" -> q256BollingerBreakout,
     "q290_ema_signal" -> q290EmaSignal,
@@ -1432,6 +1463,30 @@ object Events {
         |    AS seasonal_strength
         |FROM a ORDER BY event_type""".stripMargin,
     "q290_ema_signal" -> emaOracleSql,
+    "q310_burstiness" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS nh, SUM(c) AS s1, SUM(c * c) AS s2
+        |  FROM hourly GROUP BY 1)
+        |SELECT event_type, CAST(nh AS BIGINT) AS n_hours,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE), 6) AS mean_per_hour,
+        |  ROUND((CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+        |         - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)))
+        |        / (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)), 6) AS fano,
+        |  ROUND(SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+        |         - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)), CAST(0.0 AS DOUBLE)))
+        |        / (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)), 6) AS cv,
+        |  ROUND((SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+        |         - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)), CAST(0.0 AS DOUBLE)))
+        |         - CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE))
+        |        / (SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(nh AS DOUBLE)
+        |         - (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)), CAST(0.0 AS DOUBLE)))
+        |         + CAST(s1 AS DOUBLE) / CAST(nh AS DOUBLE)), 6) AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin,
     "q256_bollinger_breakout" ->
       """WITH s AS (
         |  SELECT l_partkey, CAST(l_extendedprice AS DOUBLE) AS px,

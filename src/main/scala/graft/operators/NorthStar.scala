@@ -496,6 +496,42 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Q308: contamination matrix — q119's benchmark-overlap kernel rolled
+    * up BY TRAINING SOURCE: per corpus, how many docs carry any benchmark
+    * 8-gram, total overlapping n-grams, and the flagged rate — the view
+    * that tells a curation team WHICH upstream feed is leaking the eval
+    * set, not just that something is.
+    *
+    * Scale shape: the q119 shingle + membership semi-join (standing
+    * cached n-gram relation), then two source-keyed aggregates; output is
+    * one row per training source.
+    */
+  def q308ContaminationMatrix: Q = (s, d) => {
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val ng = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(MinHashLSH.shingles(toks, w)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .transform(graft.Checkpoints.materializeCached)
+    val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
+    val train = ng.filter(col("source") =!= "src0")
+    val flagged = train.join(bench, Seq("h"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_flagged"),
+        count(lit(1)).as("n_hit_ngrams"))
+    train.groupBy(col("source")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), big(col("n_docs")).as("n_docs"),
+        big(coalesce(col("n_flagged"), lit(0L))).as("n_flagged"),
+        big(coalesce(col("n_hit_ngrams"), lit(0L))).as("n_hit_ngrams"),
+        round(coalesce(col("n_flagged"), lit(0L)).cast("double")
+          / col("n_docs").cast("double"), 6).as("flagged_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Q283: decontamination n-gram sensitivity — the tuning table behind
     * q119's fixed width-8 policy: the same benchmark-overlap kernel swept
     * over shingle widths {5, 8, 13}, reporting per width how many training
@@ -1819,6 +1855,7 @@ object NorthStar {
     "q123_incremental_dedup_full" -> q123IncrementalDedupFull,
     "q125_foldin_ingest" -> q125FoldinIngest,
     "q119_benchmark_decontamination" -> q119BenchmarkDecontamination,
+    "q308_contamination_matrix" -> q308ContaminationMatrix,
     "q120_padding_waste" -> q120PaddingWaste,
     "q126_ngram_novelty" -> q126NgramNovelty,
     "q128_substring_dup" -> q128SubstringDup,
@@ -2343,6 +2380,28 @@ object NorthStar {
         |SELECT id1 AS doc_id, nm AS n_matches, id2 AS best_match_id,
         |       j AS best_jaccard
         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q308_contamination_matrix" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),
+        |ng AS (SELECT DISTINCT doc_id, source, u.g FROM toks,
+        |  unnest(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(0, len(tk) - 7),
+        |                        i -> array_to_string(tk[i+1:i+8], ' ')) END) AS u(g)),
+        |bench AS (SELECT DISTINCT g FROM ng WHERE source = 'src0'),
+        |train AS (SELECT doc_id, source, g FROM ng WHERE source <> 'src0'),
+        |flagged AS (
+        |  SELECT source, COUNT(DISTINCT doc_id) AS n_flagged,
+        |    COUNT(*) AS n_hit_ngrams
+        |  FROM train JOIN bench USING (g) GROUP BY source),
+        |tot AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+        |        FROM train GROUP BY source)
+        |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+        |  CAST(COALESCE(f.n_hit_ngrams, 0) AS BIGINT) AS n_hit_ngrams,
+        |  ROUND(CAST(COALESCE(f.n_flagged, 0) AS DOUBLE)
+        |        / CAST(t.n_docs AS DOUBLE), 6) AS flagged_rate
+        |FROM tot t LEFT JOIN flagged f ON t.source = f.source
+        |ORDER BY t.source""".stripMargin,
     "q119_benchmark_decontamination" ->
       """WITH toks AS (SELECT doc_id, source,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents),

@@ -1355,7 +1355,47 @@ object Stats {
       .orderBy(col("priority"))
   }
 
+  /** Q311: join-cardinality estimator audit — the optimizer-statistics
+    * question "how big is this self-join" answered three ways and scored
+    * against the truth: the UNIFORM estimate n²/d, the HEAVY-HITTER
+    * estimate (top-100 keys exact + uniformity over the rest — the
+    * histogram estimators databases actually ship), and the exact answer
+    * Σc² — with signed relative error per estimator. Exact integer
+    * moments; heavy-hitter set is a deterministic TakeOrdered(100).
+    *
+    * Scale shape: one key collapse, two bounded aggregates, 1-row
+    * broadcasts; the audit never materializes the join itself.
+    */
+  def q311JoinCardEstimate: Q = (s, d) => {
+    val ck = Tables(s, d, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val tot = ck.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("dk"),
+      sum(col("c") * col("c")).as("actual"))
+    val topAgg = ck.orderBy(col("c").desc, col("l_partkey")).limit(100)
+      .agg(sum(col("c")).as("topn"), count(lit(1)).as("topk"),
+        sum(col("c") * col("c")).as("topsq"))
+    val nD = col("n").cast("double"); val dD = col("dk").cast("double")
+    val restN = (col("n") - col("topn")).cast("double")
+    val restD = (col("dk") - col("topk")).cast("double")
+    val estU = nD * nD / dD
+    val estH = col("topsq").cast("double") + restN * restN / restD
+    val aD = col("actual").cast("double")
+    tot.crossJoin(broadcast(topAgg))
+      .select(explode(array(
+        struct(lit("uniform").as("estimator"), round(estU, 4).as("est"),
+          big(col("actual")).as("actual"),
+          round((estU - aD) / aD, 6).as("rel_err")),
+        struct(lit("heavy_hitter").as("estimator"), round(estH, 4).as("est"),
+          big(col("actual")).as("actual"),
+          round((estH - aD) / aD, 6).as("rel_err")))).as("r"))
+      .select(col("r.estimator").as("estimator"), col("r.est").as("est"),
+        col("r.actual").as("actual"), col("r.rel_err").as("rel_err"))
+      .orderBy(col("estimator"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q311_join_cardinality" -> q311JoinCardEstimate,
     "q305_voptimal_histogram" -> q305VoptimalHistogram,
     "q306_target_encoding" -> q306TargetEncoding,
     "q296_isotonic_calibration" -> q296IsotonicCalibration,
@@ -1509,6 +1549,29 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q311_join_cardinality" ->
+      """WITH ck AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS n, COUNT(*) AS dk, SUM(c * c) AS actual FROM ck),
+        |topa AS (
+        |  SELECT SUM(c) AS topn, COUNT(*) AS topk, SUM(c * c) AS topsq
+        |  FROM (SELECT c FROM ck ORDER BY c DESC, l_partkey LIMIT 100)),
+        |u AS (SELECT * FROM tot, topa)
+        |SELECT x.estimator,
+        |  CASE x.estimator
+        |    WHEN 'heavy_hitter' THEN ROUND(CAST(topsq AS DOUBLE)
+        |      + CAST(n - topn AS DOUBLE) * CAST(n - topn AS DOUBLE) / CAST(dk - topk AS DOUBLE), 4)
+        |    ELSE ROUND(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / CAST(dk AS DOUBLE), 4)
+        |  END AS est,
+        |  CAST(actual AS BIGINT) AS actual,
+        |  CASE x.estimator
+        |    WHEN 'heavy_hitter' THEN ROUND(((CAST(topsq AS DOUBLE)
+        |      + CAST(n - topn AS DOUBLE) * CAST(n - topn AS DOUBLE) / CAST(dk - topk AS DOUBLE))
+        |      - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE), 6)
+        |    ELSE ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / CAST(dk AS DOUBLE)
+        |      - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE), 6)
+        |  END AS rel_err
+        |FROM u, unnest(['heavy_hitter', 'uniform']) AS x(estimator)
+        |ORDER BY x.estimator""".stripMargin,
     "q305_voptimal_histogram" ->
       """WITH ev AS (SELECT value AS v FROM events),
         |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev),

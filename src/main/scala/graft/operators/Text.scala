@@ -1400,6 +1400,42 @@ object Text {
       .limit(25)
   }
 
+  /** Q309: templated-text detection via lexical diversity — the curation
+    * heuristic that catches boilerplate/generated documents: per doc, the
+    * type-token ratio (distinct tokens / total tokens), flagged TEMPLATE-
+    * LIKE when it falls below the ADAPTIVE corpus-mean threshold (a 1-row
+    * broadcast — fixed thresholds go stale per corpus; the mean split is
+    * deterministic and self-calibrating), rolled up per source. Per-doc
+    * ratios are 6-dp-rounded decimals BEFORE the source average — the
+    * declared order-independent float discipline.
+    *
+    * Scale shape: one map pass per doc (tokenize + distinct count), a
+    * 1-row mean broadcast, one source-keyed aggregate.
+    */
+  def q309LexicalDiversity: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val perDoc = Tables(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(array_distinct(toks)).cast("long").as("dt"),
+        size(toks).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("source"),
+        round(col("dt").cast("double") / col("nt").cast("double"), 6)
+          .cast(dec6).as("r"))
+    val thr = perDoc.agg(
+      (sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+        .cast("double") / count(lit(1)).cast("double")).as("mean_r"))
+    perDoc.crossJoin(broadcast(thr))
+      .groupBy(col("source"))
+      .agg(big(count(lit(1))).as("n_docs"),
+        big(sum(when(col("r").cast("double") < col("mean_r"), 1L)
+          .otherwise(0L))).as("n_templated"),
+        round(sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("avg_ttr"),
+        round(max(col("mean_r")), 6).as("corpus_mean_ttr"))
+      .orderBy(col("source"))
+  }
+
   /** Q261: greedy max-coverage selection — pick 8 documents that together
     * cover the most distinct RARE 5-grams (q240's shingle kernel, df ≤ 64),
     * the classic (1−1/e) submodular-greedy a curation pipeline uses to
@@ -1540,6 +1576,7 @@ object Text {
     "q272_fuzzy_join_capped" -> q272FuzzyJoinCapped,
     "q262_fuzzy_dedup_clusters" -> q262FuzzyDedupClusters,
     "q261_greedy_maxcover" -> q261GreedyMaxcover,
+    "q309_lexical_diversity" -> q309LexicalDiversity,
     "q258_fuzzy_blocked_join" -> q258FuzzyBlockedJoin,
     "q259_textrank_keywords" -> q259TextrankKeywords,
     "q240_containment_dedup" -> q240ContainmentDedup,
@@ -1670,6 +1707,21 @@ object Text {
         |FROM comp GROUP BY component
         |ORDER BY n_members DESC, cluster""".stripMargin,
     "q261_greedy_maxcover" -> maxcoverSql,
+    "q309_lexical_diversity" ->
+      """WITH perdoc AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROUND(CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+        |         / CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE), 6) AS DECIMAL(18,6)) AS r
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+        |thr AS (SELECT CAST(CAST(SUM(r) AS DECIMAL(38,6)) AS DOUBLE)
+        |               / CAST(COUNT(*) AS DOUBLE) AS mean_r FROM perdoc)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN CAST(r AS DOUBLE) < mean_r THEN 1 ELSE 0 END) AS BIGINT) AS n_templated,
+        |  ROUND(CAST(CAST(SUM(r) AS DECIMAL(38,6)) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_ttr,
+        |  ROUND(MAX(mean_r), 6) AS corpus_mean_ttr
+        |FROM perdoc, thr GROUP BY source ORDER BY source""".stripMargin,
     "q258_fuzzy_blocked_join" ->
       """WITH nm AS (
         |  SELECT doc_id AS k, substring(text, 1, 40) AS nm,

@@ -176,6 +176,25 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("q308 contamination matrix: source rollup sums to q119's per-doc report") {
+    val q119 = NorthStar.q119BenchmarkDecontamination(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val got = NorthStar.q308ContaminationMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty && !got.exists(_._1 == "src0"),
+      "benchmark source must not appear as a training row")
+    assert(got.map(_._3).sum === q119.length.toLong,
+      "sum of flagged docs must equal q119's row count")
+    assert(got.map(_._4).sum === q119.map(_._2).sum,
+      "sum of hit n-grams must equal q119's totals")
+    got.foreach { case (src, nd, nf, _, rate) =>
+      assert(nf <= nd)
+      assert(math.abs(rate - nf.toDouble / nd) < 2e-6, s"$src rate")
+    }
+    assert(got.exists(_._3 > 0), "no flagged source - vacuous")
+  }
+
   test("q294 minhash quality eval: counts are containment-consistent and recall holds the floor") {
     val g = NorthStar.q294MinhashQualityEval(spark, sf0001).collect().head
     val (nExact, nCand, nTp) = (g.getLong(0), g.getLong(1), g.getLong(2))

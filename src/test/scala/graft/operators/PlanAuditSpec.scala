@@ -92,6 +92,8 @@ class PlanAuditSpec extends SparkSpec {
     "q304_hits", // 1-row max broadcasts normalizing each HITS half-step
     "q305_voptimal_histogram", // <=20-row cum relation triple non-equi join (bounded combos) + 1-row totals
     "q306_target_encoding", // 1-row broadcast global prior
+    "q309_lexical_diversity", // 1-row broadcast adaptive corpus-mean threshold
+    "q311_join_cardinality", // 1-row totals x 1-row top-100 summary audit
     "q297_ks_pairwise", // 10-row type-pair broadcast tagging the per-value collapse; 5x5 pair build
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 

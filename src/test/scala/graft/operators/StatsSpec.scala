@@ -563,6 +563,54 @@ class StatsSpec extends SparkSpec {
     assert(corr2 > 0.0, "zero correlation - vacuous fixture")
   }
 
+  test("q310 burstiness: moments replay; Poisson-like traffic sits near fano 1") {
+    val hours = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), (col("ts2").cast("long") / 3600).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.operators.Events.queries("q310_burstiness")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (ty, nh, mean, fano, cv, b) =>
+      val cs = hours.filter(_._1 == ty).groupBy(_._2).map(_._2.length.toLong).toSeq
+      assert(nh === cs.length.toLong, s"$ty hour count")
+      val m = cs.sum.toDouble / cs.length
+      val v = cs.map(c => c.toDouble * c).sum / cs.length - m * m
+      assert(math.abs(mean - m) < 1e-4, s"$ty mean")
+      assert(math.abs(fano - v / m) < 1e-4, s"$ty fano")
+      assert(math.abs(cv - math.sqrt(v) / m) < 1e-4, s"$ty cv")
+      assert(math.abs(b - (math.sqrt(v) - m) / (math.sqrt(v) + m)) < 1e-4, s"$ty burstiness")
+      assert(b >= -1.0 && b <= 1.0)
+    }
+  }
+
+  test("q311 join cardinality: estimates and truth replay from key counts") {
+    val counts = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = counts.map(_._2).sum; val dk = counts.length.toLong
+    val actual = counts.map(t => t._2 * t._2).sum
+    val top = counts.sortBy(t => (-t._2, t._1)).take(100)
+    val (topn, topk, topsq) = (top.map(_._2).sum, top.length.toLong,
+      top.map(t => t._2 * t._2).sum)
+    val estU = n.toDouble * n / dk
+    val estH = topsq.toDouble +
+      (n - topn).toDouble * (n - topn) / (dk - topk)
+    val gotMap = Stats.q311JoinCardEstimate(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotMap.keySet === Set("uniform", "heavy_hitter"))
+    // heavy-hitter must dominate uniform on a skewed key (or at worst tie)
+    val (hu, hh) = (gotMap("uniform"), gotMap("heavy_hitter"))
+    assert(hu._2 === actual && hh._2 === actual)
+    assert(math.abs(hu._1 - estU) < 1.0 && math.abs(hh._1 - estH) < 1.0)
+    assert(math.abs(hu._3 - (estU - actual) / actual) < 1e-4)
+    assert(math.abs(hh._3 - (estH - actual) / actual) < 1e-4)
+    assert(math.abs(hh._3) <= math.abs(hu._3) + 1e-9,
+      "heavy-hitter estimator must not be worse than uniform here")
+  }
+
   test("q296 isotonic: minimax replay matches, output is monotone, pooled mean preserved") {
     val ev = graft.Tables.events(spark, sf0001)
       .select(col("value"),

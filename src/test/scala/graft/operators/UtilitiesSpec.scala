@@ -3166,6 +3166,34 @@ class UtilitiesSpec extends SparkSpec {
       "LPA produced no merging at all - vacuous fixture")
   }
 
+  test("q309 lexical diversity: type-token ratios replay and the adaptive threshold splits the corpus") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+      .filter(_._3.nonEmpty)
+    def r6(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ratios = docs.map { case (_, src, tk) =>
+      (src, r6(tk.distinct.length.toDouble / tk.length)) }
+    val mean = ratios.map(_._2).sum.toDouble / ratios.length
+    val got = graft.operators.Text.queries("q309_lexical_diversity")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.map(_._2).sum === ratios.length.toLong)
+    got.foreach { case (src, nd, nc, avg, thr) =>
+      val g = ratios.filter(_._1 == src)
+      assert(nd === g.length.toLong, s"$src doc count")
+      assert(nc === g.count(_._2.toDouble < mean).toLong, s"$src templated count")
+      assert(math.abs(avg - g.map(_._2).sum.toDouble / g.length) < 2e-6, s"$src avg")
+      assert(math.abs(thr - mean) < 1e-4, s"$src threshold")
+    }
+    val totalFlagged = got.map(_._3).sum
+    assert(totalFlagged > 0 && totalFlagged < ratios.length,
+      "adaptive threshold must split the corpus (non-vacuous)")
+  }
+
   test("q304 hits: two scaled-integer rounds replay exactly; tops are normalized") {
     val edges = Tables(spark, sf0001, "orders")
       .join(Tables(spark, sf0001, "lineitem"), $"o_orderkey" === $"l_orderkey")
