@@ -16,12 +16,16 @@ import org.apache.spark.sql.SparkSession
   *     this point the emitted line is always full-surface.
   *  2. The importer throughput point runs immediately after warm-up so the
   *     contract field survives any later degradation.
-  *  3. Measured sweep CHEAPEST-FIRST with reps adapted to the warm
-  *     estimate (<0.5 s → median-of-5; <2 s → median-of-3; else min-of-2),
-  *     degraded further per-query when the remaining budget can't cover
-  *     the plan; queries that don't fit at all keep their warm number,
-  *     flagged in `degraded`.
-  *  4. A JVM shutdown hook emits the partial record if the harness kills
+  *  3. PHASE A: one steady-state run per query on the fully-warm JVM —
+  *     honest single-run rows for everything (the warm pass is
+  *     startup-contaminated for whichever queries run first) and the
+  *     real estimates the tier plan needs.
+  *  4. PHASE B: measured sweep CHEAPEST-FIRST under a GLOBAL rep-tier
+  *     plan (largest tier whose projected cost fits the remaining
+  *     budget; tiers 5/3/2 → 3/2/2 → 3/2/1 → 1/1/1 by query cost), so
+  *     the cheap majority can never starve the heavy tail; stragglers
+  *     keep their phase-A steady rows, flagged in `degraded`.
+  *  5. A JVM shutdown hook emits the partial record if the harness kills
   *     the process anyway — `"partial":true` marks it.
   *
   * The per-query IQR (p75−p25 for 5 reps, max−min below that) is reported
@@ -269,9 +273,22 @@ object Bench {
     // the round-8 harness timeout. Cheap queries keep the full 5 (their
     // runs are nearly free and the median is the cleanest statistic);
     // mid-cost queries take 3; heavies take 2 (the min of 2 is the
-    // tightest contention-robust statistic at that price point).
-    def plannedReps(est: Double): Int =
-      if (est < 0.5) 5 else if (est < 2.0) 3 else 2
+    // tightest contention-robust statistic at that price point). The
+    // TIER degrades globally (5/3/2 -> 3/2/1 -> 1/1/1) when the whole
+    // projected plan doesn't fit: the first closing run greedily gave
+    // every cheap query its full block and starved the 83 most expensive
+    // queries down to inflated first-run warm numbers — a global plan
+    // keeps every query measured at least once warm.
+    // tier ladder: the (3/2/2) step exists because the heavy tail is the
+    // part of the artifact rounds are compared on — dropping heavies to a
+    // single run (first post-warm, GC-shadowed) reads ~2x above their
+    // median-of-5 history, while min-of-2 tracks it closely
+    def tierReps(tier: Int, est: Double): Int = tier match {
+      case 3 => if (est < 0.5) 5 else if (est < 2.0) 3 else 2
+      case 2 => if (est < 0.5) 3 else if (est < 2.0) 2 else 2
+      case 1 => if (est < 0.5) 3 else if (est < 2.0) 2 else 1
+      case _ => 1
+    }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else s(s.size / 2 - 1) // lower-middle: min-of-2 for heavies
@@ -281,11 +298,15 @@ object Bench {
       if (s.size >= 5) s(3) - s(1) else s.last - s.head
     }
 
-    def measure(name: String, reps: Int, bracket: Boolean): Row = {
+    def measure(name: String, reps: Int, bracket: Boolean, est: Double): Row = {
       var attempts = List.empty[(Double, Double, Double)] // (median, iqr, ratio)
       var kept = Option.empty[(Double, Double, Double)]
       var n = 0
-      val maxAttempts = if (remainingSec > budgetSec * 0.3) 2 else 1
+      // re-measure only queries worth the price: sub-second rows are
+      // adjudicated by their flags alone (the first closing run burned
+      // ~40 reruns on mid-tier jitter and starved the heavy tail)
+      val maxAttempts =
+        if (est >= 1.0 && remainingSec > budgetSec * 0.25) 2 else 1
       while (n < maxAttempts && kept.isEmpty) {
         if (n > 0) waitForQuiet() // a rerun straight into the same load window is wasted
         val brack1 = if (bracket) Some { val s1 = sentIter.next(); (s1, sentinelRun(s1)) } else None
@@ -308,7 +329,11 @@ object Bench {
           return Row(-1.0, -1.0, ratio, contaminated = false, n - 1, degraded = false)
         val med = median(ts); val iqr = iqrOf(ts)
         attempts = (med, iqr, ratio) :: attempts
-        val clean = ratioMin <= 1.4 && (med < 0.3 || iqr / med <= 0.5)
+        // below 5 reps the recorded spread is max-min, ~2x a true IQR —
+        // scale the dirty threshold accordingly or an idle box flags
+        // half the mid-tier on ordinary GC jitter
+        val spreadCap = if (ts.size >= 5) 0.5 else 1.0
+        val clean = ratioMin <= 1.4 && (med < 0.3 || iqr / med <= spreadCap)
         if (clean) kept = Some((med, iqr, ratio))
       }
       kept match {
@@ -320,20 +345,53 @@ object Bench {
       }
     }
 
-    // Measured sweep, CHEAPEST FIRST: maximizes the number of queries that
-    // get the full protocol before any deadline degradation, and leaves
-    // the warm-up fallback only to the most expensive tail — exactly the
-    // rows whose single warm number is still a usable upper bound.
-    val order = names.sortBy(n => math.max(warm(n), 0.0))
     val reserve = 30.0 // finalization reserve (emit + spark.stop)
+
+    // PHASE A — one steady-state run per query on the now-fully-warm JVM.
+    // Two jobs: (1) every query's fallback row becomes an HONEST steady
+    // measurement (the warm row is contaminated by JVM startup for
+    // whichever queries ran first — the first closing run recorded q01 at
+    // 4.9 s of sbt/codegen warm-up and then sorted it into the heavy
+    // tail); (2) the tier plan below gets real estimates, not first-run
+    // ones (projecting on warm cost mis-picked the tier in both
+    // directions across two closing runs).
+    val steady = scala.collection.mutable.Map.empty[String, Double]
+    for (n <- names) {
+      if (remainingSec - reserve > math.max(warm(n), 0.05) + 1) {
+        val t = runOnce(n)
+        if (t >= 0) {
+          steady(n) = t
+          results(n) = Row(t, -1.0, 1.0, contaminated = false, reruns = 0,
+            degraded = true)
+        }
+      }
+    }
+
+    // PHASE B — measured sweep, CHEAPEST FIRST under a GLOBAL rep-tier
+    // plan: the tier is the largest whose projected total cost (steady
+    // estimates; sentinel brackets ~0.8 s apiece on non-trivial queries)
+    // fits 90% of the remaining budget after the reserve — so the cheap
+    // majority can never starve the expensive tail out of its measured
+    // runs. Per-query deadline checks still degrade stragglers (to their
+    // phase-A steady rows) if load arrives mid-sweep.
+    val ests = names.map(n => n ->
+      math.max(steady.getOrElse(n, warm(n)), 0.05)).toMap
+    val order = names.sortBy(ests)
+    def projected(tier: Int): Double =
+      order.map { n =>
+        val e = ests(n)
+        e * tierReps(tier, e) + (if (e >= 0.3) 0.8 else 0.0)
+      }.sum
+    val tier = (3 to 0 by -1)
+      .find(t => projected(t) <= (remainingSec - reserve) * 0.9)
+      .getOrElse(0)
     for (name <- order) {
-      val est = math.max(warm(name), 0.05)
+      val est = ests(name)
       val reps = {
-        val p = plannedReps(est)
-        // degrade reps when the remaining budget can't cover the plan
+        val p = tierReps(tier, est)
+        // per-query fallback when the remaining budget can't cover even
+        // the planned tier (estimates were wrong or load arrived)
         if (remainingSec - reserve > est * p + 2) p
-        else if (remainingSec - reserve > est * 3 + 2) 3
-        else if (remainingSec - reserve > est * 2 + 2) 2
         else if (remainingSec - reserve > est + 1) 1
         else 0
       }
@@ -342,7 +400,7 @@ object Bench {
         // is adjudicated by its own IQR; spending 2 sentinel runs on each
         // of ~250 such queries is what the budget can no longer afford
         val bracket = est >= 0.3
-        results(name) = measure(name, reps, bracket)
+        results(name) = measure(name, reps, bracket, est)
       }
       // reps == 0 → keep the warm-up fallback row (flagged degraded)
     }

@@ -1394,7 +1394,102 @@ object Stats {
       .orderBy(col("estimator"))
   }
 
+  /** Q312: cross-source quantile normalization map — for every source,
+    * its inner-decile document lengths against the POOLED corpus deciles
+    * (percentile_disc semantics: smallest value with cumulative count ≥
+    * ⌈d·n/10⌉), with the per-decile shift — the table a curation pipeline
+    * uses to re-map one feed's score distribution onto the corpus before
+    * mixing. All-integer ranks and thresholds.
+    *
+    * Scale shape: one (source, length) collapse; per-source cumulative
+    * windows partition by source; the pooled cumulative window runs over
+    * the DISTINCT-LENGTH summary (bounded value domain — the q138
+    * count-of-counts argument), never the documents; decile thresholds
+    * are a 9-row broadcast.
+    */
+  def q312QuantileNormalization: Q = (s, d) => {
+    val vc = Tables(s, d, "documents")
+      .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+    val decs = s.range(1, 10).toDF("dd")
+    // per-source cumulative + totals
+    val ws = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumS = vc.select(col("source"), col("n_chars"),
+      sum(col("c")).over(ws).as("cum"))
+    val totS = vc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val srcQ = cumS.join(broadcast(totS), Seq("source"))
+      .crossJoin(broadcast(decs))
+      .filter(col("cum") * 10L >= col("dd") * col("n"))
+      .groupBy(col("source"), col("dd"))
+      .agg(min(col("n_chars")).as("src_value"))
+    // pooled cumulative over the bounded distinct-length summary
+    val pooled = vc.groupBy(col("n_chars")).agg(sum(col("c")).as("cp"))
+    val wp = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumP = pooled.select(col("n_chars"), sum(col("cp")).over(wp).as("cum"))
+    val totP = pooled.agg(sum(col("cp")).as("tn"))
+    val poolQ = cumP.crossJoin(broadcast(totP))
+      .crossJoin(broadcast(decs))
+      .filter(col("cum") * 10L >= col("dd") * col("tn"))
+      .groupBy(col("dd"))
+      .agg(min(col("n_chars")).as("pooled_value"))
+    srcQ.join(broadcast(poolQ), Seq("dd"))
+      .select(col("source"), big(col("dd")).as("decile"),
+        big(col("src_value")).as("src_value"),
+        big(col("pooled_value")).as("pooled_value"),
+        big(col("src_value") - col("pooled_value")).as("shift"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  /** Q313: split-conformal prediction intervals — the distribution-free
+    * coverage guarantee, evaluated honestly on three disjoint portable-
+    * hash splits: FIT (per-type mean predictor), CALIBRATE (q-hat = the
+    * ⌈0.9·(n+1)⌉-th smallest absolute residual under the (r, event_id)
+    * total order), EVALUATE (empirical coverage of mean ± q-hat on the
+    * held-out third). A calibrated 90% interval must cover ≈90% — the
+    * test every uncertainty-quantification pipeline owes its users.
+    *
+    * Scale shape: three filtered aggregates; the calibration rank window
+    * partitions per event type; means are 5-row broadcasts.
+    */
+  def q313ConformalInterval: Q = (s, d) => {
+    val b = TrainingOps.portableBucket(col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        when(b < 3333, "fit").when(b < 6666, "cal").otherwise("eval").as("split"))
+    val mu = ev.filter(col("split") === "fit")
+      .groupBy(col("event_type"))
+      .agg((sum(dec(col("value"))).cast("double") / count(lit(1))).as("mu"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("r"), col("event_id"))
+    val cal = ev.filter(col("split") === "cal")
+      .join(broadcast(mu), Seq("event_type"))
+      .select(col("event_type"), col("event_id"),
+        abs(col("value") - col("mu")).as("r"))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+    val ncal = cal.groupBy(col("event_type")).agg(max(col("rn")).as("ncal"))
+    val qhat = cal.join(broadcast(ncal), Seq("event_type"))
+      .filter(col("rn") === least(expr("(9 * (ncal + 1) + 9) div 10"), col("ncal")))
+      .select(col("event_type"), col("r").as("qhat"), col("ncal"))
+    ev.filter(col("split") === "eval")
+      .join(broadcast(mu), Seq("event_type"))
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(big(max(col("ncal"))).as("n_cal"),
+        big(count(lit(1))).as("n_eval"),
+        round(max(col("mu")), 6).as("mu"),
+        round(max(col("qhat")), 6).as("qhat"),
+        big(sum(when(abs(col("value") - col("mu")) <= col("qhat"), 1L)
+          .otherwise(0L))).as("n_covered"),
+        round(sum(when(abs(col("value") - col("mu")) <= col("qhat"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q312_quantile_normalization" -> q312QuantileNormalization,
+    "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
     "q305_voptimal_histogram" -> q305VoptimalHistogram,
     "q306_target_encoding" -> q306TargetEncoding,
@@ -1549,6 +1644,70 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q312_quantile_normalization" ->
+      """WITH vc AS (SELECT source, n_chars, COUNT(*) AS c
+        |            FROM documents GROUP BY 1, 2),
+        |decs AS (SELECT CAST(u.d AS BIGINT) AS dd
+        |         FROM unnest(range(1, 10)) AS u(d)),
+        |cums AS (
+        |  SELECT source, n_chars,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc),
+        |tots AS (SELECT source, SUM(c) AS n FROM vc GROUP BY 1),
+        |srcq AS (
+        |  SELECT source, dd, MIN(n_chars) AS src_value
+        |  FROM cums JOIN tots USING (source), decs
+        |  WHERE cum * 10 >= dd * n GROUP BY 1, 2),
+        |pooled AS (SELECT n_chars, SUM(c) AS cp FROM vc GROUP BY 1),
+        |cump AS (
+        |  SELECT n_chars,
+        |    SUM(cp) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pooled),
+        |totp AS (SELECT SUM(cp) AS tn FROM pooled),
+        |poolq AS (
+        |  SELECT dd, MIN(n_chars) AS pooled_value
+        |  FROM cump, totp, decs WHERE cum * 10 >= dd * tn GROUP BY 1)
+        |SELECT source, dd AS decile,
+        |  CAST(src_value AS BIGINT) AS src_value,
+        |  CAST(pooled_value AS BIGINT) AS pooled_value,
+        |  CAST(src_value - pooled_value AS BIGINT) AS shift
+        |FROM srcq JOIN poolq USING (dd)
+        |ORDER BY source, decile""".stripMargin,
+    "q313_conformal_interval" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |    CASE WHEN ((((event_id % 2147483647) * 48271) % 2147483647 + 1)
+        |               * 16807) % 2147483647 % 10000 < 3333 THEN 'fit'
+        |         WHEN ((((event_id % 2147483647) * 48271) % 2147483647 + 1)
+        |               * 16807) % 2147483647 % 10000 < 6666 THEN 'cal'
+        |         ELSE 'eval' END AS split
+        |  FROM events),
+        |mu AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM ev WHERE split = 'fit' GROUP BY 1),
+        |cal AS (
+        |  SELECT ev.event_type, event_id, ABS(value - mu) AS r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY ev.event_type
+        |      ORDER BY ABS(value - mu), event_id) AS BIGINT) AS rn
+        |  FROM ev JOIN mu USING (event_type) WHERE split = 'cal'),
+        |ncal AS (SELECT event_type, MAX(rn) AS ncal FROM cal GROUP BY 1),
+        |qh AS (
+        |  SELECT cal.event_type, r AS qhat, ncal
+        |  FROM cal JOIN ncal USING (event_type)
+        |  WHERE rn = LEAST((9 * (ncal + 1) + 9) // 10, ncal))
+        |SELECT ev.event_type,
+        |  CAST(MAX(ncal) AS BIGINT) AS n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  ROUND(MAX(mu), 6) AS mu,
+        |  ROUND(MAX(qhat), 6) AS qhat,
+        |  CAST(SUM(CASE WHEN ABS(value - mu) <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  ROUND(CAST(SUM(CASE WHEN ABS(value - mu) <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        |FROM ev JOIN mu USING (event_type) JOIN qh USING (event_type)
+        |WHERE split = 'eval' GROUP BY 1 ORDER BY ev.event_type""".stripMargin,
     "q311_join_cardinality" ->
       """WITH ck AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
         |tot AS (SELECT SUM(c) AS n, COUNT(*) AS dk, SUM(c * c) AS actual FROM ck),

@@ -94,6 +94,7 @@ class PlanAuditSpec extends SparkSpec {
     "q306_target_encoding", // 1-row broadcast global prior
     "q309_lexical_diversity", // 1-row broadcast adaptive corpus-mean threshold
     "q311_join_cardinality", // 1-row totals x 1-row top-100 summary audit
+    "q312_quantile_normalization", // 9-row decile broadcast x bounded cum summaries + 1-row pooled total
     "q297_ks_pairwise", // 10-row type-pair broadcast tagging the per-value collapse; 5x5 pair build
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
@@ -120,7 +121,8 @@ class PlanAuditSpec extends SparkSpec {
     "q271_sql_surface" -> "row_number over the TakeOrdered-bounded 10-row top relation, never the order population",
     "q285_dup_growth" -> "cumsum over the bounded source-rank grid (~20 rows at any volume), never the documents",
     "q296_isotonic_calibration" -> "cumsum over the <=20-row bin summary, never the events",
-    "q305_voptimal_histogram" -> "cumulative moments over the <=20-row bin summary, never the events")
+    "q305_voptimal_histogram" -> "cumulative moments over the <=20-row bin summary, never the events",
+    "q312_quantile_normalization" -> "pooled cumsum over the bounded distinct-length summary (q138's count-of-counts argument), never the documents")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

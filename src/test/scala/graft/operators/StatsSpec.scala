@@ -611,6 +611,68 @@ class StatsSpec extends SparkSpec {
       "heavy-hitter estimator must not be worse than uniform here")
   }
 
+  test("q312 quantile normalization: decile picks replay; source deciles shift against pooled") {
+    val rows = graft.Tables(spark, sf0001, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def deciles(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted; val n = sorted.length.toLong
+      (1L to 9L).map { d =>
+        // smallest value whose cumulative count reaches d*n/10
+        val idx = sorted.indices.find(i => (i + 1).toLong * 10L >= d * n).get
+        d -> sorted(idx)
+      }.toMap
+    }
+    val pooled = deciles(rows.map(_._2).toSeq)
+    val got = Stats.q312QuantileNormalization(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sources = rows.map(_._1).distinct.sorted
+    assert(got.size === sources.length * 9)
+    sources.foreach { src =>
+      val ds = deciles(rows.filter(_._1 == src).map(_._2).toSeq)
+      (1L to 9L).foreach { d =>
+        val (sv, pv, sh) = got((src, d))
+        assert(sv === ds(d), s"$src d$d source decile")
+        assert(pv === pooled(d), s"$src d$d pooled decile")
+        assert(sh === sv - pv, s"$src d$d shift")
+      }
+    }
+    assert(got.values.exists(_._3 != 0L),
+      "every source matches pooled exactly - vacuous normalization fixture")
+  }
+
+  test("q313 conformal: q-hat replays from the calibration ranks and coverage lands near 90%") {
+    val p = 2147483647L
+    def bucket(id: Long): Long = ((id % p) * 48271 % p + 1) * 16807 % p % 10000
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def d4(x: Double) = BigDecimal.valueOf(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val got = Stats.q313ConformalInterval(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(got.nonEmpty)
+    got.foreach { case (ty, ncal, neval, mu, qhat, ncov, cov) =>
+      val g = ev.filter(_._1 == ty)
+      val fit = g.filter(t => bucket(t._2) < 3333)
+      val cal = g.filter(t => { val b = bucket(t._2); b >= 3333 && b < 6666 })
+      val ee = g.filter(t => bucket(t._2) >= 6666)
+      val wantMu = fit.map(t => d4(t._3)).sum.toDouble / fit.length
+      assert(ncal === cal.length.toLong && neval === ee.length.toLong, s"$ty split sizes")
+      assert(math.abs(mu - wantMu) < 1e-4, s"$ty mu")
+      val ranked = cal.map(t => (math.abs(t._3 - wantMu), t._2)).sorted
+      val target = math.min((9 * (cal.length + 1) + 9) / 10, cal.length)
+      val wantQ = ranked(target - 1)._1
+      assert(math.abs(qhat - wantQ) < 1e-4, s"$ty qhat")
+      val covered = ee.count(t => math.abs(t._3 - wantMu) <= wantQ)
+      assert(ncov === covered.toLong, s"$ty covered")
+      assert(math.abs(cov - covered.toDouble / ee.length) < 2e-6, s"$ty coverage")
+      assert(cov > 0.7 && cov <= 1.0, s"$ty coverage $cov implausibly far from nominal 90%")
+    }
+  }
+
   test("q296 isotonic: minimax replay matches, output is monotone, pooled mean preserved") {
     val ev = graft.Tables.events(spark, sf0001)
       .select(col("value"),
