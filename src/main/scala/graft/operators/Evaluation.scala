@@ -260,13 +260,169 @@ object Evaluation {
     perClass.unionByName(macroRow).orderBy(col("label"))
   }
 
+  /** The two deterministic document "raters" behind q315/q320 — declared
+    * fixture rules (a length rule and a whitespace-token rule), standing in
+    * for two annotation pipelines whose agreement a labeling team audits.
+    * Both are pure per-row integer predicates, identical in both engines.
+    */
+  def raterLabels(docs: DataFrame): DataFrame = {
+    val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    docs.select(col("source"),
+      when(col("n_chars") >= 400, "long")
+        .when(col("n_chars") >= 200, "mid").otherwise("short").as("la"),
+      when(spaces >= 72, "long")
+        .when(spaces >= 36, "mid").otherwise("short").as("lb"))
+  }
+
+  /** Cohen's kappa from a (source, la, lb, n) confusion relation — the
+    * mergeable state q320's streaming fold relies on (counts of disjoint
+    * row sets merge by per-cell sum). ALL-INTEGER identity:
+    * `kappa = (agree·n − pe_num) / (n² − pe_num)` where
+    * `pe_num = Σ_label rowsum·colsum`, so the only floating op is the final
+    * division of two exact BIGINTs — no per-rater probability rounding.
+    */
+  def kappaFromConfusion(conf: DataFrame): DataFrame = {
+    val tot = conf.groupBy(col("source")).agg(
+      sum(col("n")).cast("long").as("n"),
+      sum(when(col("la") === col("lb"), col("n")).otherwise(lit(0L)))
+        .cast("long").as("agree"))
+    val ra = conf.groupBy(col("source"), col("la").as("lbl"))
+      .agg(sum(col("n")).as("ra"))
+    val cb = conf.groupBy(col("source"), col("lb").as("lbl"))
+      .agg(sum(col("n")).as("cb"))
+    val pe = ra.join(cb, Seq("source", "lbl"))
+      .groupBy(col("source"))
+      .agg(sum(col("ra") * col("cb")).cast("long").as("pe_num"))
+    tot.join(pe, Seq("source"))
+      .select(col("source"), big(col("n")).as("n"), big(col("agree")).as("n_agree"),
+        big(col("pe_num")).as("pe_num"),
+        round(when(col("n") * col("n") === col("pe_num"), lit(0.0))
+          .otherwise((col("agree") * col("n") - col("pe_num")).cast("double")
+            / (col("n") * col("n") - col("pe_num")).cast("double")), 6)
+          .as("kappa"))
+      .orderBy(col("source"))
+  }
+
+  /** Q315: Cohen's kappa — chance-corrected inter-rater agreement between
+    * two deterministic annotation rules, per source feed. The audit every
+    * multi-pipeline labeling effort owes itself: raw agreement flatters
+    * whenever one class dominates; kappa subtracts the agreement the
+    * marginals produce by chance.
+    *
+    * Scale shape: one map-side-combined 3×3-per-source confusion aggregate
+    * over the scan, then ≤9-row-per-source marginal joins — shuffle ∝
+    * sources × 9, never rows. The confusion state is additively mergeable
+    * (q320 folds it over micro-batches and shares this oracle).
+    */
+  def q315CohensKappa: Q = (s, d) =>
+    kappaFromConfusion(
+      raterLabels(Tables(s, d, "documents"))
+        .groupBy(col("source"), col("la"), col("lb"))
+        .agg(count(lit(1)).as("n")))
+
+  /** Q316: McNemar's paired test — do two classifiers (marker-word
+    * heuristics predicting `lang = 'en'`) differ, judged ONLY on the
+    * discordant pairs, per true language. The paired-eval discipline:
+    * accuracy deltas on shared data are correlated, so the test statistic
+    * is `(max(|b−c|−1, 0))² / (b+c)` (continuity-corrected) over the
+    * disagreement counts alone. All-integer counts; the statistic is one
+    * division of exact BIGINTs.
+    */
+  def q316Mcnemar: Q = (s, d) => {
+    val p = Tables(s, d, "documents").select(
+      col("lang"),
+      (col("lang") === "en").as("truth"),
+      col("text").contains(" the ").as("pa"),
+      col("text").contains(" a ").as("pb"))
+    val c = p.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pa") === col("truth"), 1L).otherwise(0L)).as("a_correct"),
+      sum(when(col("pb") === col("truth"), 1L).otherwise(0L)).as("b_correct"),
+      sum(when(col("pa") === col("truth") && col("pb") =!= col("truth"), 1L)
+        .otherwise(0L)).as("b_disc"),
+      sum(when(col("pa") =!= col("truth") && col("pb") === col("truth"), 1L)
+        .otherwise(0L)).as("c_disc"))
+    val adj = greatest(abs(col("b_disc") - col("c_disc")) - 1, lit(0L))
+    c.select(col("lang"), big(col("n")).as("n"),
+      big(col("a_correct")).as("a_correct"), big(col("b_correct")).as("b_correct"),
+      big(col("b_disc")).as("b_disc"), big(col("c_disc")).as("c_disc"),
+      round(when(col("b_disc") + col("c_disc") === 0L, lit(0.0))
+        .otherwise((adj * adj).cast("double")
+          / (col("b_disc") + col("c_disc")).cast("double")), 6).as("chi2"))
+      .orderBy(col("lang"))
+  }
+
+  /** Q317: Brier score with the Murphy decomposition — reliability −
+    * resolution + uncertainty over the q189 bin grid, plus the within-bin
+    * variance gap (brier − rel + res − unc ≥ 0) that the binned
+    * decomposition leaves behind. The one-number calibration story:
+    * REL says "how far each bin's mean forecast sits from its hit rate",
+    * RES says "how much the bins separate the base rate", UNC is the
+    * irreducible ȳ(1−ȳ).
+    *
+    * Determinism: the row-level Brier sum is an EXACT decimal sum of
+    * (v − 330y)² terms (err bounded by 330 → (12,4); squares (25,8); the
+    * (38,4)→double reduction is the Dsl.sumExactDouble discipline, and the
+    * scale-8→4 cut is EXACT — scores carry 2 true decimals so err² has ≤4,
+    * the q220 argument — so the HALF_UP-vs-half-even engine divergence on
+    * true midpoints can never trigger); the
+    * 10 per-bin decomposition contributions are 6-dp-rounded decimals
+    * summed exactly before the single final division — no
+    * partition-order-dependent float accumulation anywhere.
+    */
+  def q317BrierDecomposition: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val rows = scored(s, d)
+    val err = (col("v") - lit(330) * col("y"))
+      .cast(org.apache.spark.sql.types.DecimalType(12, 4))
+    val brierAgg = rows.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).cast("long").as("pos"),
+      sum(err * err).cast(org.apache.spark.sql.types.DecimalType(38, 4))
+        .cast("double").as("sq"))
+    val bins = rows
+      .withColumn("bin", least(lit(9L), expr("CAST(v * 100 AS BIGINT) div 3300")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"),
+        sum(col("y")).cast("long").as("pk"),
+        sum(col("v")).cast("double").as("sv"))
+    val g = brierAgg.select(col("n"), col("pos"), col("sq"),
+      (col("pos").cast("double") / col("n").cast("double")).as("ybar"))
+    val contrib = bins.crossJoin(broadcast(g))
+      .select(
+        round(col("nk").cast("double")
+          * (col("sv") / col("nk") / 330.0 - col("pk").cast("double") / col("nk").cast("double"))
+          * (col("sv") / col("nk") / 330.0 - col("pk").cast("double") / col("nk").cast("double")), 6)
+          .cast(dec6).as("relc"),
+        round(col("nk").cast("double")
+          * (col("pk").cast("double") / col("nk").cast("double") - col("ybar"))
+          * (col("pk").cast("double") / col("nk").cast("double") - col("ybar")), 6)
+          .cast(dec6).as("resc"))
+      .agg(sum(col("relc")).cast("double").as("rels"),
+        sum(col("resc")).cast("double").as("ress"))
+    g.crossJoin(broadcast(contrib))
+      .select(big(col("n")).as("n"), big(col("pos")).as("n_pos"),
+        round(col("ybar"), 6).as("ybar"),
+        round(col("sq") / (col("n").cast("double") * 108900.0), 6).as("brier"),
+        round(col("rels") / col("n").cast("double"), 6).as("reliability"),
+        round(col("ress") / col("n").cast("double"), 6).as("resolution"),
+        round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"),
+        round(col("sq") / (col("n").cast("double") * 108900.0)
+          - col("rels") / col("n").cast("double")
+          + col("ress") / col("n").cast("double")
+          - col("ybar") * (lit(1.0) - col("ybar")), 6).as("within_gap"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q257_macro_f1" -> q257MacroF1,
     "q235_gains_curve" -> q235GainsCurve,
     "q223_knn_eval" -> q223KnnEval,
     "q189_calibration_bins" -> q189CalibrationBins,
     "q190_auc" -> q190Auc,
-    "q191_pr_curve" -> q191PrCurve)
+    "q191_pr_curve" -> q191PrCurve,
+    "q315_cohens_kappa" -> q315CohensKappa,
+    "q316_mcnemar" -> q316Mcnemar,
+    "q317_brier_decomposition" -> q317BrierDecomposition)
 
   /** The q257 oracle: q223's kNN confusion chain verbatim, then the
     * per-class P/R/F1 arithmetic (6-dp rounds BEFORE F1, decimal sums for
@@ -334,6 +490,86 @@ object Evaluation {
       |ORDER BY label""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q315_cohens_kappa" ->
+      """WITH lab AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars >= 400 THEN 'long'
+        |         WHEN n_chars >= 200 THEN 'mid' ELSE 'short' END AS la,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) >= 72 THEN 'long'
+        |         WHEN length(text) - length(replace(text, ' ', '')) >= 36 THEN 'mid'
+        |         ELSE 'short' END AS lb
+        |  FROM documents),
+        |conf AS (SELECT source, la, lb, COUNT(*) AS n FROM lab GROUP BY 1, 2, 3),
+        |tot AS (SELECT source, SUM(n) AS n,
+        |          SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS agree
+        |        FROM conf GROUP BY 1),
+        |ra AS (SELECT source, la AS lbl, SUM(n) AS ra FROM conf GROUP BY 1, 2),
+        |cb AS (SELECT source, lb AS lbl, SUM(n) AS cb FROM conf GROUP BY 1, 2),
+        |pe AS (SELECT source, SUM(ra * cb) AS pe_num
+        |       FROM ra JOIN cb USING (source, lbl) GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+        |  CAST(pe_num AS BIGINT) AS pe_num,
+        |  ROUND(CASE WHEN n * n = pe_num THEN 0.0
+        |    ELSE CAST(agree * n - pe_num AS DOUBLE)
+        |         / CAST(n * n - pe_num AS DOUBLE) END, 6) AS kappa
+        |FROM tot JOIN pe USING (source) ORDER BY source""".stripMargin,
+    "q316_mcnemar" ->
+      """WITH p AS (
+        |  SELECT lang, (lang = 'en') AS truth,
+        |    (text LIKE '% the %') AS pa, (text LIKE '% a %') AS pb
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) AS n,
+        |  SUM(CASE WHEN pa = truth THEN 1 ELSE 0 END) AS a_correct,
+        |  SUM(CASE WHEN pb = truth THEN 1 ELSE 0 END) AS b_correct,
+        |  SUM(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END) AS b_disc,
+        |  SUM(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END) AS c_disc
+        |  FROM p GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |  CAST(a_correct AS BIGINT) AS a_correct,
+        |  CAST(b_correct AS BIGINT) AS b_correct,
+        |  CAST(b_disc AS BIGINT) AS b_disc, CAST(c_disc AS BIGINT) AS c_disc,
+        |  ROUND(CASE WHEN b_disc + c_disc = 0 THEN 0.0
+        |    ELSE CAST(GREATEST(ABS(b_disc - c_disc) - 1, 0)
+        |              * GREATEST(ABS(b_disc - c_disc) - 1, 0) AS DOUBLE)
+        |         / CAST(b_disc + c_disc AS DOUBLE) END, 6) AS chi2
+        |FROM c ORDER BY lang""".stripMargin,
+    "q317_brier_decomposition" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |er AS (SELECT v, y, CAST(v - 330 * y AS DECIMAL(12,4)) AS err FROM e),
+        |g AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+        |        CAST(CAST(SUM(err * err) AS DECIMAL(38,4)) AS DOUBLE) AS sq,
+        |        CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar
+        |      FROM er),
+        |b AS (SELECT LEAST(9, CAST(v * 100 AS BIGINT) // 3300) AS bin,
+        |        COUNT(*) AS nk, CAST(SUM(y) AS BIGINT) AS pk,
+        |        CAST(SUM(v) AS DOUBLE) AS sv
+        |      FROM e GROUP BY 1),
+        |con AS (
+        |  SELECT
+        |    CAST(ROUND(CAST(nk AS DOUBLE)
+        |      * (sv / nk / 330.0 - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE))
+        |      * (sv / nk / 330.0 - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS relc,
+        |    CAST(ROUND(CAST(nk AS DOUBLE)
+        |      * (CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE) - ybar)
+        |      * (CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE) - ybar), 6)
+        |      AS DECIMAL(18,6)) AS resc
+        |  FROM b, g),
+        |cs AS (SELECT CAST(SUM(relc) AS DOUBLE) AS rels,
+        |         CAST(SUM(resc) AS DOUBLE) AS ress FROM con)
+        |SELECT CAST(n AS BIGINT) AS n, pos AS n_pos,
+        |  ROUND(ybar, 6) AS ybar,
+        |  ROUND(sq / (CAST(n AS DOUBLE) * 108900.0), 6) AS brier,
+        |  ROUND(rels / CAST(n AS DOUBLE), 6) AS reliability,
+        |  ROUND(ress / CAST(n AS DOUBLE), 6) AS resolution,
+        |  ROUND(ybar * (1.0 - ybar), 6) AS uncertainty,
+        |  ROUND(sq / (CAST(n AS DOUBLE) * 108900.0)
+        |    - rels / CAST(n AS DOUBLE) + ress / CAST(n AS DOUBLE)
+        |    - ybar * (1.0 - ybar), 6) AS within_gap
+        |FROM g, cs""".stripMargin,
     "q257_macro_f1" -> macroF1Sql,
     "q235_gains_curve" ->
       """WITH e AS (

@@ -752,7 +752,59 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Q314: local clustering coefficient — per-node `2·T / (d·(d−1))` over
+    * the FREQUENT co-purchase graph (pairs co-purchased in ≥2 orders, the
+    * q277 edge set — the co≥2 floor keeps the pair build order-size-bounded
+    * and drops the one-off noise edges that would drown the coefficient).
+    * The "is my neighborhood a clique?" primitive behind community
+    * tightness and recommendation-diversity scoring, where the global
+    * triangle count (q165) is too coarse.
+    *
+    * Scale shape: the q165 degree-oriented triangle kernel — every edge
+    * directed low-(degree,id) → high, so 2-path fan-out is bounded by
+    * Σ outdeg² with outdeg O(√m) instead of hub-degree²; per-node triangle
+    * participation is one explode+count over the closed triangles; the
+    * coefficient is exact-integer `2T` against `d(d−1)` with one final
+    * IEEE division. Top-20 by (cc, triangles, node) — a deterministic
+    * total order.
+    */
+  def q314LocalClustering: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val e = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+      .select(col("u"), col("v"))
+    // edges feed the degree agg AND both orientation joins — one pass
+    val eM = graft.Checkpoints.materialize(e)
+    val deg = eM.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = graft.Checkpoints.materialize(
+      eM.join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+        .select(when(fwd, col("u")).otherwise(col("v")).as("s1"),
+          when(fwd, col("v")).otherwise(col("u")).as("t1")))
+    val paths = o.select(col("s1").as("a"), col("t1").as("b"))
+      .join(o.select(col("s1").as("b"), col("t1").as("c")), Seq("b"))
+    val tri = paths.join(o.select(col("s1").as("a"), col("t1").as("c")), Seq("a", "c"))
+    val triN = tri.select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("t"))
+    deg.filter(col("dg") >= 2)
+      .join(triN, Seq("x"), "left")
+      .select(big(col("x")).as("part"), big(col("dg")).as("degree"),
+        big(coalesce(col("t"), lit(0L))).as("n_tri"),
+        round((coalesce(col("t"), lit(0L)) * 2L).cast("double")
+          / (col("dg") * (col("dg") - 1L)).cast("double"), 6).as("cc"))
+      .orderBy(col("cc").desc, col("n_tri").desc, col("part"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q314_local_clustering" -> q314LocalClustering,
     "q278_label_propagation" -> q278LabelPropagation,
     "q277_brand_modularity" -> q277BrandModularity,
     "q275_personalized_pagerank" -> q275PersonalizedPagerank,
@@ -950,6 +1002,36 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q314_local_clustering" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.item AS u, b.item AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT x, COUNT(*) AS dg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS s1,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS t1
+        |  FROM (SELECT e.u, e.v, a.dg AS du, b.dg AS dv
+        |        FROM e JOIN deg a ON e.u = a.x JOIN deg b ON e.v = b.x)),
+        |tri AS (
+        |  SELECT p.a, p.b, p.c FROM
+        |    (SELECT o1.s1 AS a, o1.t1 AS b, o2.t1 AS c
+        |     FROM o o1 JOIN o o2 ON o1.t1 = o2.s1) p
+        |  JOIN o o3 ON p.a = o3.s1 AND p.c = o3.t1),
+        |trin AS (
+        |  SELECT x, COUNT(*) AS t FROM (
+        |    SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
+        |    UNION ALL SELECT c AS x FROM tri) GROUP BY 1)
+        |SELECT CAST(x AS BIGINT) AS part, CAST(dg AS BIGINT) AS degree,
+        |  CAST(COALESCE(t, 0) AS BIGINT) AS n_tri,
+        |  ROUND(CAST(COALESCE(t, 0) * 2 AS DOUBLE)
+        |        / CAST(dg * (dg - 1) AS DOUBLE), 6) AS cc
+        |FROM deg LEFT JOIN trin USING (x) WHERE dg >= 2
+        |ORDER BY cc DESC, n_tri DESC, part LIMIT 20""".stripMargin,
     "q304_hits" -> hitsSql,
     "q278_label_propagation" -> lpaSql,
     "q277_brand_modularity" ->

@@ -761,6 +761,89 @@ object Stats {
       .orderBy(col("lvl"), col("k"))
   }
 
+  /** Q318: l-diversity audit — the k-anonymity follow-up (q254): a class
+    * of k identical quasi-identifiers still leaks if all k rows share ONE
+    * sensitive value. Per QI class (nation × 1k-account-balance band, the
+    * q254 level-0 grid with the segment REMOVED from the QI — it is the
+    * sensitive attribute here), l = distinct sensitive values; for each
+    * required l ∈ {2,3,5}: how many classes (and rows) fall below. The
+    * release gate a privacy review actually applies after k-anonymity
+    * passes.
+    *
+    * Scale shape: one exact distinct-count aggregate per QI class (the
+    * class grid is the bounded domain), then a 3-way explode over the
+    * bounded class summary — shuffle ∝ classes, never rows.
+    */
+  def q318Ldiversity: Q = (s, d) => {
+    val cls = Tables(s, d, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / lit(1000.0)).as("b1"))
+      .groupBy(col("c_nationkey"), col("b1"))
+      .agg(count(lit(1)).as("sz"), countDistinct(col("c_mktsegment")).as("l"))
+    cls.withColumn("l_req", explode(array(lit(2L), lit(3L), lit(5L))))
+      .groupBy(col("l_req"))
+      .agg(big(count(lit(1))).as("n_classes"),
+        big(sum(when(col("l") < col("l_req"), 1L).otherwise(0L)))
+          .as("classes_below"),
+        big(sum(when(col("l") < col("l_req"), col("sz")).otherwise(0L)))
+          .as("rows_below"),
+        big(sum(col("sz"))).as("n_rows"),
+        round(sum(when(col("l") < col("l_req"), col("sz")).otherwise(0L))
+          .cast("double") / sum(col("sz")).cast("double"), 6).as("risk_pct"))
+      .orderBy(col("l_req"))
+  }
+
+  /** One declared FD candidate's audit row: n (non-null determinant rows),
+    * distinct determinants, distinct (det, dep) pairs, whether the FD
+    * holds exactly, the g3 violation count (minimum rows to delete so it
+    * holds — Σ per-determinant (count − majority-dependent count)), and
+    * confidence = (n − g3)/n. Two keyed aggregates per pair, both on the
+    * bounded (det, dep) summary.
+    */
+  private def fdAudit(s: SparkSession, d: String, table: String,
+      det: String, dep: String): DataFrame = {
+    val g = Tables(s, d, table)
+      .select(col(det).as("A"), col(dep).as("B"))
+      .filter(col("A").isNotNull)
+      .groupBy(col("A"), col("B")).agg(count(lit(1)).as("c"))
+    val perA = g.groupBy(col("A"))
+      .agg(sum(col("c")).as("ca"), max(col("c")).as("ma"),
+        count(lit(1)).as("nb"))
+    perA.agg(
+      sum(col("ca")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("na"),
+      sum(col("nb")).cast("long").as("nab"),
+      sum(col("ca") - col("ma")).cast("long").as("g3"))
+      .select(lit(table).as("rel"), lit(det).as("determinant"),
+        lit(dep).as("dependent"), col("n"), col("na").as("n_det"),
+        col("nab").as("n_pairs"), (col("nab") === col("na")).as("holds"),
+        col("g3").as("g3_violations"),
+        round((col("n") - col("g3")).cast("double") / col("n").cast("double"), 6)
+          .as("confidence"))
+  }
+
+  /** Q319: functional-dependency discovery over a declared candidate set —
+    * the schema-inference audit (does brand determine type? is orderkey
+    * really a key?) behind constraint mining and data-contract checks.
+    * Reports exact hold/violate plus the g3 error (minimum row deletions
+    * to repair) and its confidence — the standard TANE/g3 measures,
+    * computed exactly.
+    *
+    * Scale shape: each pair is two map-side-combined aggregates whose
+    * shuffle is bounded by the (det, dep) VALUE domain, never rows; the
+    * six audited pairs union into one 6-row report.
+    */
+  def q319FdDiscovery: Q = (s, d) => {
+    val pairs = Seq(
+      ("part", "p_brand", "p_type"), ("part", "p_name", "p_brand"),
+      ("part", "p_partkey", "p_name"), ("part", "p_type", "p_size"),
+      ("orders", "o_orderkey", "o_orderstatus"),
+      ("orders", "o_custkey", "o_orderpriority"))
+    pairs.map { case (t, a, b) => fdAudit(s, d, t, a, b) }
+      .reduce(_.unionByName(_))
+      .orderBy(col("rel"), col("determinant"), col("dependent"))
+  }
+
   /** Q263: deterministic Poisson bootstrap — a 32-replicate confidence
     * interval for mean document length WITHOUT an RNG: each (doc,
     * replicate) pair draws its resample weight from
@@ -1488,6 +1571,8 @@ object Stats {
   }
 
   val queries: Map[String, Q] = Map(
+    "q318_ldiversity" -> q318Ldiversity,
+    "q319_fd_discovery" -> q319FdDiscovery,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -1643,7 +1728,50 @@ object Stats {
        |FROM a ORDER BY c_mktsegment""".stripMargin
   }
 
+  /** The q319 oracle: the identical per-pair g3 chain, generated per
+    * declared candidate and UNION ALL'd.
+    */
+  private val fdDiscoverySql: String = {
+    val pairs = Seq(
+      ("part", "p_brand", "p_type"), ("part", "p_name", "p_brand"),
+      ("part", "p_partkey", "p_name"), ("part", "p_type", "p_size"),
+      ("orders", "o_orderkey", "o_orderstatus"),
+      ("orders", "o_custkey", "o_orderpriority"))
+    val blocks = pairs.map { case (t, a, b) =>
+      s"""SELECT '$t' AS rel, '$a' AS determinant, '$b' AS dependent,
+         |  CAST(SUM(ca) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_det,
+         |  CAST(SUM(nb) AS BIGINT) AS n_pairs,
+         |  SUM(nb) = COUNT(*) AS holds,
+         |  CAST(SUM(ca - ma) AS BIGINT) AS g3_violations,
+         |  ROUND(CAST(SUM(ca) - SUM(ca - ma) AS DOUBLE)
+         |        / CAST(SUM(ca) AS DOUBLE), 6) AS confidence
+         |FROM (SELECT A, SUM(c) AS ca, MAX(c) AS ma, COUNT(*) AS nb
+         |      FROM (SELECT $a AS A, $b AS B, COUNT(*) AS c FROM $t
+         |            WHERE $a IS NOT NULL GROUP BY 1, 2)
+         |      GROUP BY 1)""".stripMargin
+    }
+    blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY rel, determinant, dependent")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q318_ldiversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS b1,
+        |    COUNT(*) AS sz, COUNT(DISTINCT c_mktsegment) AS l
+        |  FROM customer GROUP BY 1, 2),
+        |req AS (SELECT CAST(u.r AS BIGINT) AS l_req
+        |        FROM (VALUES (2), (3), (5)) u(r))
+        |SELECT l_req, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(CASE WHEN l < l_req THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below,
+        |  CAST(SUM(CASE WHEN l < l_req THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(SUM(CASE WHEN l < l_req THEN sz ELSE 0 END) AS DOUBLE)
+        |        / CAST(SUM(sz) AS DOUBLE), 6) AS risk_pct
+        |FROM cls, req GROUP BY 1 ORDER BY l_req""".stripMargin,
+    "q319_fd_discovery" -> fdDiscoverySql,
     "q312_quantile_normalization" ->
       """WITH vc AS (SELECT source, n_chars, COUNT(*) AS c
         |            FROM documents GROUP BY 1, 2),

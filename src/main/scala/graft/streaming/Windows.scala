@@ -1466,7 +1466,51 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q320: streaming inter-rater-agreement twin — q315's Cohen's kappa
+    * folded over a micro-batched document feed. Per batch, the two
+    * deterministic raters label the batch's documents and the 3×3-per-
+    * source confusion COUNTS land in an idempotent `batch=<id>` overwrite
+    * sink; at drain the per-cell counts merge by plain sum (disjoint rows
+    * → additive cells, exactly mergeable at ANY trigger slicing) and the
+    * all-integer kappa kernel runs once on the merged state. Shares
+    * q315's oracle verbatim — the batching must be invisible.
+    *
+    * At scale: this is the label-pipeline-drift monitor shape — per-batch
+    * state is sources × 9 integers, the merge is a keyed sum, and the
+    * final kernel never touches row-level data.
+    */
+  def q320StreamKappa: Q = (s, d) => {
+    val docs = graft.Tables(s, d, "documents")
+      .select(col("source"), col("text"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q320_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      docs.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.Evaluation.raterLabels(batch.toDF())
+              .groupBy(col("source"), col("la"), col("lb"))
+              .agg(count(lit(1)).as("n"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        graft.operators.Evaluation.kappaFromConfusion(
+          s.read.parquet(sumDir)
+            .groupBy(col("source"), col("la"), col("lb"))
+            .agg(sum(col("n")).cast("long").as("n"))))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q320_stream_kappa" -> q320StreamKappa,
     "q288_stream_funnel" -> q288StreamFunnel,
     "q284_stream_benford" -> q284StreamBenford,
     "q265_stream_bollinger" -> q265StreamBollinger,
@@ -1564,6 +1608,10 @@ object Windows {
         |FROM j, tot GROUP BY h, n_g ORDER BY h""".stripMargin,
     "q264_stream_kanonymity" ->
       graft.operators.Stats.oracles("q254_kanonymity"),
+    // q320 shares q315's oracle verbatim (per-cell confusion counts of
+    // disjoint document sets merge additively at any trigger slicing)
+    "q320_stream_kappa" ->
+      graft.operators.Evaluation.oracles("q315_cohens_kappa"),
     // q284 shares q204's oracle verbatim (additive digit counts merge
     // exactly at any trigger slicing)
     "q288_stream_funnel" ->

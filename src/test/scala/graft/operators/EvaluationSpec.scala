@@ -61,4 +61,105 @@ class EvaluationSpec extends SparkSpec {
       "recall must be non-increasing as the threshold rises")
     assert(got.head._2 === npos.toLong, "threshold 0 must recall every positive")
   }
+
+  private def ratedDocs = graft.Tables(spark, sf0001, "documents")
+    .select(col("source"), col("text"), col("n_chars")).collect()
+    .map { r =>
+      val (src, text, nc) = (r.getString(0), r.getString(1), r.getLong(2))
+      val la = if (nc >= 400) "long" else if (nc >= 200) "mid" else "short"
+      val sp = text.count(_ == ' ').toLong
+      val lb = if (sp >= 72) "long" else if (sp >= 36) "mid" else "short"
+      (src, la, lb)
+    }
+
+  test("q315 kappa: all-integer identity equals a per-source confusion replay") {
+    val bySrc = ratedDocs.groupBy(_._1)
+    val got = Evaluation.q315CohensKappa(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(_._1).toSeq === bySrc.keys.toSeq.sorted)
+    got.foreach { case (src, n, agree, peNum, kappa) =>
+      val g = bySrc(src)
+      assert(n === g.length.toLong, s"$src n")
+      assert(agree === g.count(t => t._2 == t._3).toLong, s"$src agree")
+      val labels = (g.map(_._2) ++ g.map(_._3)).distinct
+      val wantPe = labels.map(l =>
+        g.count(_._2 == l).toLong * g.count(_._3 == l).toLong).sum
+      assert(peNum === wantPe, s"$src pe_num")
+      val wantK = if (n * n == wantPe) 0.0
+        else BigDecimal((agree * n - wantPe).toDouble / (n * n - wantPe).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(kappa === wantK, s"$src kappa")
+    }
+    assert(got.exists(t => t._5 != 0.0 && t._5 != 1.0),
+      "every kappa trivial — vacuous fixture")
+    // the raters must genuinely disagree somewhere or kappa measures nothing
+    assert(ratedDocs.exists(t => t._2 != t._3), "raters never disagree")
+  }
+
+  test("q316 mcnemar: discordant counts and statistic equal a paired replay") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val truth = r.getString(0) == "en"
+        val pa = r.getString(1).contains(" the ")
+        val pb = r.getString(1).contains(" a ")
+        (r.getString(0), truth, pa, pb)
+      }
+    val got = Evaluation.q316Mcnemar(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.map(_._1).toSeq === docs.map(_._1).distinct.sorted.toSeq)
+    got.foreach { case (lang, n, aCor, bCor, bD, cD, chi2) =>
+      val g = docs.filter(_._1 == lang)
+      assert(n === g.length.toLong)
+      assert(aCor === g.count(t => t._3 == t._2).toLong, s"$lang a_correct")
+      assert(bCor === g.count(t => t._4 == t._2).toLong, s"$lang b_correct")
+      assert(bD === g.count(t => t._3 == t._2 && t._4 != t._2).toLong)
+      assert(cD === g.count(t => t._3 != t._2 && t._4 == t._2).toLong)
+      val want = if (bD + cD == 0) 0.0
+        else {
+          val adj = math.max(math.abs(bD - cD) - 1, 0L)
+          BigDecimal((adj * adj).toDouble / (bD + cD).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      assert(chi2 === want, s"$lang chi2")
+    }
+    assert(got.exists(t => t._5 + t._6 > 0), "no discordant pairs — vacuous")
+  }
+
+  test("q317 brier decomposition: terms replay; the binned identity closes via within_gap") {
+    val xs = scored.map { case (v, y) => (v.toDouble / 330.0, y) }
+    val n = xs.length
+    val ybar = xs.map(_._2).sum.toDouble / n
+    val brier = xs.map { case (s, y) => (s - y) * (s - y) }.sum / n
+    val bins = scored.groupBy { case (v, _) =>
+      math.min(9L, ((v * 100).toBigInt / 3300).toLong)
+    }
+    def relres = {
+      var rel = 0.0; var res = 0.0
+      bins.values.foreach { g =>
+        val nk = g.length
+        val sk = g.map(_._1).sum.toDouble / nk / 330.0
+        val yk = g.count(_._2 == 1).toDouble / nk
+        rel += nk * (sk - yk) * (sk - yk)
+        res += nk * (yk - ybar) * (yk - ybar)
+      }
+      (rel / n, res / n)
+    }
+    val (wantRel, wantRes) = relres
+    val r = Evaluation.q317BrierDecomposition(spark, sf0001).head()
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === xs.map(_._2).sum.toLong)
+    assert(math.abs(r.getDouble(2) - ybar) < 1e-6, "ybar")
+    assert(math.abs(r.getDouble(3) - brier) < 1e-5, "brier")
+    assert(math.abs(r.getDouble(4) - wantRel) < 1e-4, "reliability")
+    assert(math.abs(r.getDouble(5) - wantRes) < 1e-4, "resolution")
+    assert(math.abs(r.getDouble(6) - ybar * (1 - ybar)) < 1e-6, "uncertainty")
+    // Murphy: brier = REL - RES + UNC + within-bin variance, gap >= 0
+    assert(r.getDouble(7) >= -1e-6, "within_gap must be non-negative")
+    assert(math.abs(r.getDouble(3) - (r.getDouble(4) - r.getDouble(5)
+      + r.getDouble(6) + r.getDouble(7))) < 5e-6,
+      "reported terms must close the decomposition identity")
+  }
 }

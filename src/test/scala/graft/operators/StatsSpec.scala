@@ -771,4 +771,63 @@ class StatsSpec extends SparkSpec {
       assert(flipped === ((r > 0) != (rAll > 0)), s"$scope flip flag")
     }
   }
+
+  test("q318 l-diversity: per-class distinct-sensitive counts match a replay; risk monotone in l") {
+    val rows = graft.Tables(spark, sf0001, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val classes = rows.groupBy(t => (t._1, math.floor(t._3 / 1000.0)))
+      .values.map(g => (g.length.toLong, g.map(_._2).distinct.length.toLong))
+      .toSeq
+    val got = Stats.q318Ldiversity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 5L))
+    got.foreach { case (lReq, nCls, clsBelow, rowsBelow, nRows, risk) =>
+      val below = classes.filter(_._2 < lReq)
+      assert(nCls === classes.length.toLong, s"l=$lReq classes")
+      assert(clsBelow === below.length.toLong, s"l=$lReq below")
+      assert(rowsBelow === below.map(_._1).sum, s"l=$lReq rows below")
+      assert(nRows === rows.length.toLong)
+      assert(math.abs(risk - below.map(_._1).sum.toDouble / rows.length) < 1e-6)
+    }
+    // tightening l can only grow the failing set
+    assert(got.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    assert(got.last._3 > got.head._3,
+      "l=2 and l=5 audits identical — vacuous fixture")
+  }
+
+  test("q319 FD discovery: g3 and hold verdicts match brute-force per-pair replays") {
+    val pairs = Seq(
+      ("part", "p_brand", "p_type"), ("part", "p_name", "p_brand"),
+      ("part", "p_partkey", "p_name"), ("part", "p_type", "p_size"),
+      ("orders", "o_orderkey", "o_orderstatus"),
+      ("orders", "o_custkey", "o_orderpriority"))
+    val got = Stats.q319FdDiscovery(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+          r.getLong(7), r.getDouble(8)))).toMap
+    assert(got.keySet === pairs.map(p => (p._1, p._2, p._3)).toSet)
+    pairs.foreach { case (t, a, b) =>
+      val rows = graft.Tables(spark, sf0001, t)
+        .select(col(a).cast("string"), col(b).cast("string")).collect()
+        .map(r => (r.getString(0), r.getString(1))).filter(_._1 != null)
+      val byA = rows.groupBy(_._1)
+      val n = rows.length.toLong
+      val na = byA.size.toLong
+      val nab = rows.distinct.length.toLong
+      val g3 = byA.values.map { g =>
+        g.length.toLong - g.groupBy(_._2).values.map(_.length).max
+      }.sum
+      val (gn, gna, gnab, gHolds, gG3, gConf) = got((t, a, b))
+      assert(gn === n && gna === na && gnab === nab, s"$a->$b counts")
+      assert(gHolds === (na == nab), s"$a->$b holds")
+      assert(gG3 === g3, s"$a->$b g3")
+      assert(math.abs(gConf - (n - g3).toDouble / n) < 1e-6, s"$a->$b confidence")
+    }
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "all FDs hold or all fail — vacuous candidate set")
+  }
 }

@@ -878,6 +878,38 @@ class UtilitiesSpec extends SparkSpec {
     assert(want.head._2 > 0, "corpus has no triangles — vacuous")
   }
 
+  test("q314 local clustering: coefficients equal a brute-force adjacency replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // co >= 2 frequent co-purchase edges (the q277 edge set)
+    val pairCounts = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val edges = pairCounts.filter(_._2 >= 2).keySet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tri = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) if c > b && adj(b).contains(c)) {
+      tri(a) += 1; tri(b) += 1; tri(c) += 1
+    }
+    def cc(id: Long): Double = {
+      val d = adj(id).size.toLong
+      BigDecimal(2.0 * tri(id) / (d * (d - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = adj.keys.toSeq.filter(id => adj(id).size >= 2)
+      .map(id => (id, adj(id).size.toLong, tri(id), cc(id)))
+      .sortBy { case (id, _, t, c) => (-c, -t, id) }.take(20)
+    val got = Graph.q314LocalClustering(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(want.head._4 > 0, "no positive clustering coefficient — vacuous")
+    assert(adj.keys.exists(id => adj(id).size >= 2 && cc(id) < want.head._4),
+      "all coefficients identical — ordering untested")
+  }
+
   test("q162 semantic dedup: verdicts equal a brute-force dominated-rule replay") {
     val emb = Tables(spark, sf0001, "embeddings")
       .select($"vec_id", $"label", $"embedding").collect()

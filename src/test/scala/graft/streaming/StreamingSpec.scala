@@ -345,6 +345,37 @@ class StreamingSpec extends SparkSpec {
     assert(dupAcross, "no score value spans two feed partitions — merge untested")
   }
 
+  test("q320 streaming kappa equals q315's batch answer; confusion cells genuinely merge") {
+    val batch = graft.operators.Evaluation.q315CohensKappa(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val stream = Windows.q320StreamKappa(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(stream === batch,
+      "drained merge of per-batch confusion counts diverged from the batch kappa")
+    // mergeability pin: kappa over re-summed per-slice confusion counts of
+    // ANY 3-way disjoint slicing equals the unsliced kernel — the property
+    // that makes the trigger slicing invisible
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val perSlice = (0 until 3).map { i =>
+      graft.operators.Evaluation.raterLabels(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i))
+        .groupBy(col("source"), col("la"), col("lb"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("slice", lit(i))
+    }.reduce(_.unionByName(_))
+    val merged = graft.operators.Evaluation.kappaFromConfusion(
+      perSlice.groupBy(col("source"), col("la"), col("lb"))
+        .agg(sum(col("n")).cast("long").as("n")))
+      .collect().map(_.toSeq).toSeq
+    assert(merged === batch, "re-summed sliced confusion diverged")
+    // non-vacuous: some confusion cell must span two slices
+    val spans = perSlice.groupBy(col("source"), col("la"), col("lb"))
+      .agg(countDistinct(col("slice")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(spans > 0, "no confusion cell spans two slices — merge untested")
+  }
+
   test("q175 streaming SCD2 equals q170's batch history; untouched users keep their files") {
     val got = Windows.q175StreamScd2(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
