@@ -1246,6 +1246,94 @@ object Events {
     emaReport(emaScored(li), s, d)
   }
 
+  /** Q321: local-linear-trend breakouts — the Holt-style TREND sibling of
+    * q290's EMA level screen: per part, an exact ordinary-least-squares
+    * line over the last 20 prices (positions 0,−1,…,−19 under the
+    * (shipdate, orderkey, linenumber) total order) extrapolated one step
+    * to the current row; rows breaking ±2% off the trend forecast are
+    * flagged, reported per brand. Where q290 asks "is price above its
+    * smoothed level?", this asks "did price leave its straight-line
+    * path?" — the drift detector for trending series the EMA lags on.
+    *
+    * Determinism: the OLS normal equations have INTEGER constants at a
+    * fixed 20-row window (Σx = −190, Σx² = 2470 → denominator 13300), so
+    * slope and forecast are one fixed left-associated IEEE tree over the
+    * 20 lag terms — the q290 discipline; the oracle writes the identical
+    * expression. The bounded-window regression (not the recursive Holt
+    * filter) is the distributed-honest form: per-part windows, no
+    * sequential state.
+    *
+    * Scale shape: identical to q290 — per-part windows, one broadcast
+    * dimension join, one map-side-combined brand aggregate.
+    */
+  def q321TrendBreak: Q = (s, d) => {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val px = col("px")
+    val histo = (1 to 20).map(j => lag(px, j).over(w))
+    val sy = histo.reduce(_ + _)
+    val sxy = (1 until 20).map(k => histo(k) * lit(-k.toDouble)).reduce(_ + _)
+    val scored = Tables(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice").cast("double").as("px"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("sy", sy)
+      .withColumn("sxy", sxy)
+      .withColumn("h20", lag(px, 20).over(w))
+      .filter(col("h20").isNotNull)
+      .withColumn("b",
+        (lit(20.0) * col("sxy") + lit(190.0) * col("sy")) / lit(13300.0))
+      .withColumn("f",
+        (col("sy") + lit(190.0) * col("b")) / lit(20.0) + col("b"))
+      .select(col("l_partkey"), col("px"),
+        (col("px") > col("f") * lit(1.02) ||
+          col("px") < col("f") * lit(0.98)).as("sig"))
+    emaReport(scored, s, d)
+  }
+
+  /** q321's oracle: the identical integer-constant OLS tree over the same
+    * lag terms, literals CAST from VARCHAR (bare float literals parse as
+    * DECIMAL in DuckDB).
+    */
+  private def trendBreakSql: String = {
+    val syTerms = (1 to 20).map(j => s"LAG(px, $j) OVER w").mkString(" + ")
+    val sxyTerms = (2 to 20).map(j =>
+      s"LAG(px, $j) OVER w * CAST('${-(j - 1).toDouble}' AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT l_partkey, CAST(l_extendedprice AS DOUBLE) AS px,
+       |    l_shipdate, l_orderkey, l_linenumber
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_partkey, px,
+       |    ($syTerms) AS sy,
+       |    ($sxyTerms) AS sxy,
+       |    LAG(px, 20) OVER w AS h20
+       |  FROM p
+       |  WINDOW w AS (PARTITION BY l_partkey
+       |    ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+       |s2 AS (
+       |  SELECT l_partkey, px, sy,
+       |    (CAST('20.0' AS DOUBLE) * sxy + CAST('190.0' AS DOUBLE) * sy)
+       |      / CAST('13300.0' AS DOUBLE) AS b
+       |  FROM s WHERE h20 IS NOT NULL),
+       |s3 AS (
+       |  SELECT l_partkey, px,
+       |    (sy + CAST('190.0' AS DOUBLE) * b) / CAST('20.0' AS DOUBLE) + b AS f
+       |  FROM s2),
+       |f AS (
+       |  SELECT l_partkey,
+       |    px > f * CAST('1.02' AS DOUBLE) OR px < f * CAST('0.98' AS DOUBLE)
+       |      AS sig
+       |  FROM s3)
+       |SELECT p_brand,
+       |  CAST(COUNT(*) AS BIGINT) AS evaluated,
+       |  CAST(SUM(CASE WHEN sig THEN 1 ELSE 0 END) AS BIGINT) AS signals,
+       |  ROUND(CAST(SUM(CASE WHEN sig THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS signal_rate
+       |FROM f JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+  }
+
   /** q290's oracle, generated from the SAME [[emaWeights]] doubles the
     * Spark plan embeds (shortest-repr literals CAST from VARCHAR — a bare
     * float literal parses as DECIMAL in DuckDB), with the 20-term sum in
@@ -1370,6 +1458,7 @@ object Events {
     "q267_seasonality_strength" -> q267SeasonalityStrength,
     "q256_bollinger_breakout" -> q256BollingerBreakout,
     "q290_ema_signal" -> q290EmaSignal,
+    "q321_trend_break" -> q321TrendBreak,
     "q252_strict_funnel" -> q252StrictFunnel,
     "q246_conversion_latency" -> q246ConversionLatency,
     "q243_streaks" -> q243Streaks,
@@ -1463,6 +1552,7 @@ object Events {
         |    AS seasonal_strength
         |FROM a ORDER BY event_type""".stripMargin,
     "q290_ema_signal" -> emaOracleSql,
+    "q321_trend_break" -> trendBreakSql,
     "q310_burstiness" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -803,7 +803,64 @@ object Graph {
       .limit(20)
   }
 
+  /** Q322: common-neighbor Jaccard link prediction — for NON-adjacent node
+    * pairs of the frequent co-purchase graph, `|N(u)∩N(v)| / |N(u)∪N(v)|`:
+    * the "these two parts should co-sell but don't yet" candidate list a
+    * recommender seeds from, and the structural sibling of q221's
+    * Adamic-Adar (which scores by rarity of the shared neighbor; Jaccard
+    * scores by overlap share).
+    *
+    * Scale shape: the 2-path join runs on the DEGREE-CAPPED induced
+    * subgraph (both endpoints ≤64 — the q221 bound, declared): candidate
+    * volume is Σ deg² ≤ 64·2m instead of unbounded hub fan-out; the edge
+    * anti-join removes existing links; degrees/overlaps are exact
+    * integers with one final IEEE division. Top-20 by (jaccard, common,
+    * pair) — a deterministic total order.
+    */
+  def q322LinkPrediction: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val e = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+      .select(col("u"), col("v"))
+    val eM = graft.Checkpoints.materialize(e)
+    val deg = eM.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val ok = deg.filter(col("dg") <= 64)
+    // induced subgraph on the degree-capped nodes; degrees recomputed
+    // WITHIN it so overlap and union counts refer to the same graph
+    val e2 = graft.Checkpoints.materialize(
+      eM.join(ok.select(col("x").as("u")), Seq("u"))
+        .join(ok.select(col("x").as("v")), Seq("v"))
+        .select(col("u"), col("v")))
+    val deg2 = e2.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val adj = e2.select(col("u").as("n"), col("v").as("m"))
+      .union(e2.select(col("v").as("n"), col("u").as("m")))
+    val common = adj.select(col("m").as("via"), col("n").as("p1"))
+      .join(adj.select(col("m").as("via"), col("n").as("p2")), Seq("via"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cn"))
+    val cand = common.join(e2,
+      common("p1") === e2("u") && common("p2") === e2("v"), "left_anti")
+    cand
+      .join(deg2.select(col("x").as("p1"), col("dg").as("d1")), Seq("p1"))
+      .join(deg2.select(col("x").as("p2"), col("dg").as("d2")), Seq("p2"))
+      .select(big(col("p1")).as("p1"), big(col("p2")).as("p2"),
+        big(col("cn")).as("common"),
+        big(col("d1") + col("d2") - col("cn")).as("union_size"),
+        round(col("cn").cast("double")
+          / (col("d1") + col("d2") - col("cn")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("common").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q322_link_prediction" -> q322LinkPrediction,
     "q314_local_clustering" -> q314LocalClustering,
     "q278_label_propagation" -> q278LabelPropagation,
     "q277_brand_modularity" -> q277BrandModularity,
@@ -1002,6 +1059,39 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q322_link_prediction" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.item AS u, b.item AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT x, COUNT(*) AS dg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
+        |e2 AS MATERIALIZED (
+        |  SELECT u, v FROM e
+        |  WHERE u IN (SELECT x FROM deg WHERE dg <= 64)
+        |    AND v IN (SELECT x FROM deg WHERE dg <= 64)),
+        |deg2 AS MATERIALIZED (
+        |  SELECT x, COUNT(*) AS dg FROM (
+        |    SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2) GROUP BY 1),
+        |adj AS MATERIALIZED (
+        |  SELECT u AS n, v AS m FROM e2 UNION ALL SELECT v AS n, u AS m FROM e2),
+        |com AS MATERIALIZED (
+        |  SELECT a.n AS p1, b.n AS p2, COUNT(*) AS cn
+        |  FROM adj a JOIN adj b ON a.m = b.m AND a.n < b.n
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT p1, p2, cn FROM com c
+        |  WHERE NOT EXISTS (SELECT 1 FROM e2 WHERE u = c.p1 AND v = c.p2))
+        |SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+        |  CAST(cn AS BIGINT) AS common,
+        |  CAST(d1.dg + d2.dg - cn AS BIGINT) AS union_size,
+        |  ROUND(CAST(cn AS DOUBLE) / CAST(d1.dg + d2.dg - cn AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM cand JOIN deg2 d1 ON cand.p1 = d1.x JOIN deg2 d2 ON cand.p2 = d2.x
+        |ORDER BY jaccard DESC, common DESC, p1, p2 LIMIT 20""".stripMargin,
     "q314_local_clustering" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),

@@ -800,12 +800,12 @@ object Stats {
     * confidence = (n − g3)/n. Two keyed aggregates per pair, both on the
     * bounded (det, dep) summary.
     */
-  private def fdAudit(s: SparkSession, d: String, table: String,
+  /** The FD audit row from a (A, B, c) pair-count summary — the mergeable
+    * state q326's streaming fold relies on (pair counts of disjoint row
+    * sets merge by per-cell sum, exactly like q315's confusion cells).
+    */
+  private[graft] def fdFromPairCounts(g: DataFrame, table: String,
       det: String, dep: String): DataFrame = {
-    val g = Tables(s, d, table)
-      .select(col(det).as("A"), col(dep).as("B"))
-      .filter(col("A").isNotNull)
-      .groupBy(col("A"), col("B")).agg(count(lit(1)).as("c"))
     val perA = g.groupBy(col("A"))
       .agg(sum(col("c")).as("ca"), max(col("c")).as("ma"),
         count(lit(1)).as("nb"))
@@ -821,6 +821,15 @@ object Stats {
         round((col("n") - col("g3")).cast("double") / col("n").cast("double"), 6)
           .as("confidence"))
   }
+
+  private def fdAudit(s: SparkSession, d: String, table: String,
+      det: String, dep: String): DataFrame =
+    fdFromPairCounts(
+      Tables(s, d, table)
+        .select(col(det).as("A"), col(dep).as("B"))
+        .filter(col("A").isNotNull)
+        .groupBy(col("A"), col("B")).agg(count(lit(1)).as("c")),
+      table, det, dep)
 
   /** Q319: functional-dependency discovery over a declared candidate set —
     * the schema-inference audit (does brand determine type? is orderkey
@@ -842,6 +851,133 @@ object Stats {
     pairs.map { case (t, a, b) => fdAudit(s, d, t, a, b) }
       .reduce(_.unionByName(_))
       .orderBy(col("rel"), col("determinant"), col("dependent"))
+  }
+
+  /** Q323: sample-ratio-mismatch audit — the first gate of every A/B
+    * readout: do the portable-hash assignment counts match the declared
+    * split? Both the 50/50 and 90/10 designs are checked with the exact
+    * 1-df chi-square in ALL-INTEGER form — 50/50: χ² = (a−b)²/n; 90/10:
+    * χ² = (10a−9n)²/(9n·10)·(10/10)… reduced to d²/(9n) with d = 10a−9n —
+    * so the only floating op is one division of exact BIGINTs, compared
+    * against the 3.841 (p=0.05) critical value.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the scan computes
+    * both designs' arm counts; the two report rows project from that
+    * single 1-row summary.
+    */
+  def q323Srm: Q = (s, d) => {
+    val bk = TrainingOps.portableBucket(col("o_orderkey"))
+    val agg = Tables(s, d, "orders")
+      .select(bk.as("bk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bk") % 2 === 0, 1L).otherwise(0L)).as("even"),
+        sum(when(col("bk") < 9000, 1L).otherwise(0L)).as("big"))
+    val r5050 = agg.select(lit("50/50").as("design"),
+      big(col("n")).as("n"), big(col("even")).as("arm_a"),
+      big(col("n") - col("even")).as("arm_b"),
+      round(col("n").cast("double") * lit(0.5), 6).as("expected_a"),
+      round(((col("even") - (col("n") - col("even")))
+        * (col("even") - (col("n") - col("even")))).cast("double")
+        / col("n").cast("double"), 6).as("chi2"))
+    val r9010 = agg.select(lit("90/10").as("design"),
+      big(col("n")).as("n"), big(col("big")).as("arm_a"),
+      big(col("n") - col("big")).as("arm_b"),
+      round(col("n").cast("double") * lit(0.9), 6).as("expected_a"),
+      round(((lit(10L) * col("big") - lit(9L) * col("n"))
+        * (lit(10L) * col("big") - lit(9L) * col("n"))).cast("double")
+        / (lit(9L) * col("n")).cast("double"), 6).as("chi2"))
+    r5050.unionByName(r9010)
+      .withColumn("srm", col("chi2") > lit(3.841))
+      .orderBy(col("design"))
+  }
+
+  /** Q324: pinball-loss quantile evaluation — fit P50/P90 per event type
+    * on the portable-hash FIT half (exact ⌈q·(n+1)⌉ ranks under the
+    * (value, event_id) total order — q313's pick), score them on the
+    * disjoint EVAL half with the quantile loss a forecasting pipeline is
+    * actually graded on, plus the empirical coverage of each pick. The
+    * q313 interval story at specific quantiles instead of a symmetric
+    * band.
+    *
+    * Determinism: pinball terms are INTEGER-SCALED exact decimals —
+    * 10·Lq = qn·(y−ŷ)⁺ + (10−qn)·(ŷ−y)⁺ with qn ∈ {5,9}, values carry ≤2
+    * true decimals so the (38,4) cut is exact — one division per reported
+    * loss.
+    *
+    * Scale shape: one rank window per type on the fit half; the 5-row
+    * (type → qhat50, qhat90) summary broadcasts onto one eval-half
+    * aggregate.
+    */
+  def q324Pinball: Q = (s, d) => {
+    val bk = TrainingOps.portableBucket(col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        (bk < 5000).as("isFit"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val fit = ev.filter(col("isFit"))
+      .withColumn("rn", row_number().over(wr).cast("long"))
+    val nfit = fit.groupBy(col("event_type")).agg(max(col("rn")).as("nf"))
+    val qh = fit.join(broadcast(nfit), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("nf")).as("n_fit"),
+        max(when(col("rn") ===
+          least(expr("(5 * (nf + 1) + 9) div 10"), col("nf")), col("value")))
+          .as("qhat50"),
+        max(when(col("rn") ===
+          least(expr("(9 * (nf + 1) + 9) div 10"), col("nf")), col("value")))
+          .as("qhat90"))
+    val y = dec(col("value"))
+    def pin(qn: Int, qhat: Column): Column = {
+      val h = dec(qhat)
+      sum(when(y >= h, lit(qn) * (y - h)).otherwise(lit(10 - qn) * (h - y)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 4)).cast("double")
+    }
+    ev.filter(!col("isFit"))
+      .join(broadcast(qh), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(big(max(col("n_fit"))).as("n_fit"),
+        big(count(lit(1))).as("n_eval"),
+        round(max(col("qhat50")), 6).as("qhat50"),
+        round(max(col("qhat90")), 6).as("qhat90"),
+        round(pin(5, col("qhat50")) / 10.0 / count(lit(1)).cast("double"), 6)
+          .as("loss50"),
+        round(pin(9, col("qhat90")) / 10.0 / count(lit(1)).cast("double"), 6)
+          .as("loss90"),
+        round(sum(when(col("value") <= col("qhat90"), lit(1L))
+          .otherwise(lit(0L))).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("cover90"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q325: disparate-impact audit (the four-fifths rule) — per market
+    * segment, the share of customers with an URGENT-priority order,
+    * each segment's selection rate RATIOED against the most-selected
+    * segment, flagged under 0.8. The fairness gate a selection pipeline
+    * runs per protected group; exact integer counts, two IEEE divisions
+    * in one shared tree.
+    *
+    * Scale shape: one distinct on the filtered fact side, one keyed
+    * count join, a 5-row summary and its 1-row max broadcast.
+    */
+  def q325DisparateImpact: Q = (s, d) => {
+    val pos = Tables(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val per = Tables(s, d, "customer")
+      .join(pos, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("np"))
+      .withColumn("rate", col("np").cast("double") / col("n").cast("double"))
+    val mx = per.agg(max(col("rate")).as("max_rate"))
+    per.crossJoin(broadcast(mx))
+      .select(col("c_mktsegment"), big(col("n")).as("n"),
+        big(col("np")).as("n_selected"),
+        round(col("rate"), 6).as("rate"),
+        round(col("rate") / col("max_rate"), 6).as("di_ratio"),
+        (round(col("rate") / col("max_rate"), 6) < lit(0.8)).as("below_four_fifths"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Q263: deterministic Poisson bootstrap — a 32-replicate confidence
@@ -1573,6 +1709,9 @@ object Stats {
   val queries: Map[String, Q] = Map(
     "q318_ldiversity" -> q318Ldiversity,
     "q319_fd_discovery" -> q319FdDiscovery,
+    "q323_srm" -> q323Srm,
+    "q324_pinball" -> q324Pinball,
+    "q325_disparate_impact" -> q325DisparateImpact,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -1728,15 +1867,10 @@ object Stats {
        |FROM a ORDER BY c_mktsegment""".stripMargin
   }
 
-  /** The q319 oracle: the identical per-pair g3 chain, generated per
-    * declared candidate and UNION ALL'd.
+  /** The q319/q326 oracle generator: the identical per-pair g3 chain,
+    * generated per declared candidate and UNION ALL'd.
     */
-  private val fdDiscoverySql: String = {
-    val pairs = Seq(
-      ("part", "p_brand", "p_type"), ("part", "p_name", "p_brand"),
-      ("part", "p_partkey", "p_name"), ("part", "p_type", "p_size"),
-      ("orders", "o_orderkey", "o_orderstatus"),
-      ("orders", "o_custkey", "o_orderpriority"))
+  private[graft] def fdBlocksSql(pairs: Seq[(String, String, String)]): String = {
     val blocks = pairs.map { case (t, a, b) =>
       s"""SELECT '$t' AS rel, '$a' AS determinant, '$b' AS dependent,
          |  CAST(SUM(ca) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_det,
@@ -1753,6 +1887,12 @@ object Stats {
     blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY rel, determinant, dependent")
   }
+
+  private val fdDiscoverySql: String = fdBlocksSql(Seq(
+    ("part", "p_brand", "p_type"), ("part", "p_name", "p_brand"),
+    ("part", "p_partkey", "p_name"), ("part", "p_type", "p_size"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
     "q318_ldiversity" ->
@@ -1772,6 +1912,84 @@ object Stats {
         |        / CAST(SUM(sz) AS DOUBLE), 6) AS risk_pct
         |FROM cls, req GROUP BY 1 ORDER BY l_req""".stripMargin,
     "q319_fd_discovery" -> fdDiscoverySql,
+    "q323_srm" ->
+      """WITH b AS (
+        |  SELECT ((((o_orderkey % 2147483647) * 48271) % 2147483647 + 1)
+        |          * 16807) % 2147483647 % 10000 AS bk
+        |  FROM orders),
+        |a AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN bk % 2 = 0 THEN 1 ELSE 0 END) AS ev,
+        |  SUM(CASE WHEN bk < 9000 THEN 1 ELSE 0 END) AS bg FROM b),
+        |rows2 AS (
+        |  SELECT '50/50' AS design, CAST(n AS BIGINT) AS n,
+        |    CAST(ev AS BIGINT) AS arm_a, CAST(n - ev AS BIGINT) AS arm_b,
+        |    ROUND(CAST(n AS DOUBLE) * CAST('0.5' AS DOUBLE), 6) AS expected_a,
+        |    ROUND(CAST((ev - (n - ev)) * (ev - (n - ev)) AS DOUBLE)
+        |          / CAST(n AS DOUBLE), 6) AS chi2
+        |  FROM a
+        |  UNION ALL
+        |  SELECT '90/10', CAST(n AS BIGINT), CAST(bg AS BIGINT),
+        |    CAST(n - bg AS BIGINT),
+        |    ROUND(CAST(n AS DOUBLE) * CAST('0.9' AS DOUBLE), 6),
+        |    ROUND(CAST((10 * bg - 9 * n) * (10 * bg - 9 * n) AS DOUBLE)
+        |          / CAST(9 * n AS DOUBLE), 6)
+        |  FROM a)
+        |SELECT design, n, arm_a, arm_b, expected_a, chi2,
+        |  chi2 > CAST('3.841' AS DOUBLE) AS srm
+        |FROM rows2 ORDER BY design""".stripMargin,
+    "q324_pinball" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value,
+        |    ((((event_id % 2147483647) * 48271) % 2147483647 + 1)
+        |     * 16807) % 2147483647 % 10000 < 5000 AS isfit
+        |  FROM events),
+        |fit AS (
+        |  SELECT event_type, event_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS rn
+        |  FROM ev WHERE isfit),
+        |nf AS (SELECT event_type, MAX(rn) AS nf FROM fit GROUP BY 1),
+        |qh AS (
+        |  SELECT fit.event_type, MAX(nf) AS n_fit,
+        |    MAX(CASE WHEN rn = LEAST((5 * (nf + 1) + 9) // 10, nf)
+        |        THEN value END) AS qhat50,
+        |    MAX(CASE WHEN rn = LEAST((9 * (nf + 1) + 9) // 10, nf)
+        |        THEN value END) AS qhat90
+        |  FROM fit JOIN nf USING (event_type) GROUP BY 1)
+        |SELECT ev.event_type, CAST(MAX(n_fit) AS BIGINT) AS n_fit,
+        |  CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  ROUND(MAX(qhat50), 6) AS qhat50, ROUND(MAX(qhat90), 6) AS qhat90,
+        |  ROUND(CAST(CAST(SUM(CASE
+        |      WHEN CAST(value AS DECIMAL(18,4)) >= CAST(qhat50 AS DECIMAL(18,4))
+        |      THEN 5 * (CAST(value AS DECIMAL(18,4)) - CAST(qhat50 AS DECIMAL(18,4)))
+        |      ELSE 5 * (CAST(qhat50 AS DECIMAL(18,4)) - CAST(value AS DECIMAL(18,4)))
+        |      END) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / CAST('10.0' AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS loss50,
+        |  ROUND(CAST(CAST(SUM(CASE
+        |      WHEN CAST(value AS DECIMAL(18,4)) >= CAST(qhat90 AS DECIMAL(18,4))
+        |      THEN 9 * (CAST(value AS DECIMAL(18,4)) - CAST(qhat90 AS DECIMAL(18,4)))
+        |      ELSE 1 * (CAST(qhat90 AS DECIMAL(18,4)) - CAST(value AS DECIMAL(18,4)))
+        |      END) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / CAST('10.0' AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS loss90,
+        |  ROUND(CAST(SUM(CASE WHEN value <= qhat90 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS cover90
+        |FROM ev JOIN qh USING (event_type) WHERE NOT isfit
+        |GROUP BY 1 ORDER BY ev.event_type""".stripMargin,
+    "q325_disparate_impact" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT'),
+        |per AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS np
+        |  FROM customer LEFT JOIN pos ON c_custkey = o_custkey GROUP BY 1),
+        |r AS (SELECT c_mktsegment, n, np,
+        |        CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS rate FROM per),
+        |m AS (SELECT MAX(rate) AS mr FROM r)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+        |  CAST(np AS BIGINT) AS n_selected,
+        |  ROUND(rate, 6) AS rate, ROUND(rate / mr, 6) AS di_ratio,
+        |  ROUND(rate / mr, 6) < CAST('0.8' AS DOUBLE) AS below_four_fifths
+        |FROM r, m ORDER BY c_mktsegment""".stripMargin,
     "q312_quantile_normalization" ->
       """WITH vc AS (SELECT source, n_chars, COUNT(*) AS c
         |            FROM documents GROUP BY 1, 2),

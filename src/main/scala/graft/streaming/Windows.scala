@@ -1509,7 +1509,65 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q326: streaming functional-dependency monitor — q319's g3 audit for
+    * the two ORDERS candidates (o_orderkey→o_orderstatus, the key check;
+    * o_custkey→o_orderpriority, the behavioral one) folded over a
+    * micro-batched orders feed: per batch, per-pair (A, B) COUNTS land in
+    * an idempotent `batch=<id>` sink (value-domain-bounded mergeable
+    * state — q320's confusion-cell argument applied to the data-contract
+    * check); at drain the cells re-sum and the exact g3 kernel runs once.
+    * The oracle is the q319 generator over the same two pairs — the
+    * batching must be invisible.
+    *
+    * At scale: this is the continuous data-contract shape — per-batch
+    * state is distinct (A, B) pairs, the merge is a keyed sum, and a key
+    * violation (duplicate o_orderkey across batches) is only detectable
+    * with exactly this cross-batch merged state.
+    */
+  def q326StreamFd: Q = (s, d) => {
+    val ord = graft.Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"))
+    val pairs = Seq(
+      ("o_orderkey", "o_orderstatus"), ("o_custkey", "o_orderpriority"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q326_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ord.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            pairs.map { case (a, b) =>
+              batch.toDF()
+                .select(lit(a).as("det"), col(a).cast("string").as("A"),
+                  col(b).cast("string").as("B"))
+                .groupBy(col("det"), col("A"), col("B"))
+                .agg(count(lit(1)).as("c"))
+            }.reduce(_.unionByName(_))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = s.read.parquet(sumDir)
+        .groupBy(col("det"), col("A"), col("B"))
+        .agg(sum(col("c")).as("c"))
+      graft.Checkpoints.materialize(
+        pairs.map { case (a, b) =>
+          graft.operators.Stats.fdFromPairCounts(
+            merged.filter(col("det") === a).select(col("A"), col("B"), col("c")),
+            "orders", a, b)
+        }.reduce(_.unionByName(_))
+          .orderBy(col("rel"), col("determinant"), col("dependent")))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q326_stream_fd" -> q326StreamFd,
     "q320_stream_kappa" -> q320StreamKappa,
     "q288_stream_funnel" -> q288StreamFunnel,
     "q284_stream_benford" -> q284StreamBenford,
@@ -1612,6 +1670,13 @@ object Windows {
     // disjoint document sets merge additively at any trigger slicing)
     "q320_stream_kappa" ->
       graft.operators.Evaluation.oracles("q315_cohens_kappa"),
+    // q326: the q319 generator over the two streamed orders pairs (per-
+    // pair (A,B) counts merge additively; string-cast of the determinant
+    // is injective so every count is cast-invariant)
+    "q326_stream_fd" ->
+      graft.operators.Stats.fdBlocksSql(Seq(
+        ("orders", "o_orderkey", "o_orderstatus"),
+        ("orders", "o_custkey", "o_orderpriority"))),
     // q284 shares q204's oracle verbatim (additive digit counts merge
     // exactly at any trigger slicing)
     "q288_stream_funnel" ->

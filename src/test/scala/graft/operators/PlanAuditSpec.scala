@@ -97,6 +97,7 @@ class PlanAuditSpec extends SparkSpec {
     "q312_quantile_normalization", // 9-row decile broadcast x bounded cum summaries + 1-row pooled total
     "q297_ks_pairwise", // 10-row type-pair broadcast tagging the per-value collapse; 5x5 pair build
     "q317_brier_decomposition", // 1-row global (n, ybar) broadcast against the 10-bin grid + 1-row contribution sums
+    "q325_disparate_impact", // 1-row max-rate broadcast against the 5-segment summary
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

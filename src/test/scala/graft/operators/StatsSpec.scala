@@ -830,4 +830,98 @@ class StatsSpec extends SparkSpec {
     assert(got.values.exists(_._4) && got.values.exists(!_._4),
       "all FDs hold or all fail — vacuous candidate set")
   }
+
+  private def minstdBucket(id: Long): Long = {
+    val p = 2147483647L
+    val h1 = ((id % p) * 48271L) % p
+    ((h1 + 1L) * 16807L) % p % 10000L
+  }
+
+  test("q323 SRM: both designs' chi-squares match the exact integer identities") {
+    val bks = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey")).collect().map(r => minstdBucket(r.getLong(0)))
+    val n = bks.length.toLong
+    val even = bks.count(_ % 2 == 0).toLong
+    val bg = bks.count(_ < 9000).toLong
+    val got = Stats.q323Srm(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.map(_._1).toSeq === Seq("50/50", "90/10"))
+    val Seq(g50, g90) = got.toSeq
+    assert(g50._2 === n && g50._3 === even && g50._4 === n - even)
+    val chi50 = ((even - (n - even)) * (even - (n - even))).toDouble / n
+    assert(math.abs(g50._6 - chi50) < 1e-6)
+    assert(g50._7 === (g50._6 > 3.841))
+    assert(g90._2 === n && g90._3 === bg && g90._4 === n - bg)
+    val d = 10 * bg - 9 * n
+    assert(math.abs(g90._6 - d.toDouble * d / (9 * n)) < 1e-6)
+    assert(g90._7 === (g90._6 > 3.841))
+    // the identity reduction is right: d^2/(9n) == sum (obs-exp)^2/exp
+    val full = math.pow(bg - 0.9 * n, 2) / (0.9 * n) +
+      math.pow((n - bg) - 0.1 * n, 2) / (0.1 * n)
+    assert(math.abs(g90._6 - full) < 1e-4, "90/10 reduction diverged")
+  }
+
+  test("q324 pinball: rank picks and losses match a sorted replay; coverage near nominal") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = Stats.q324Pinball(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.keySet === ev.map(_._1).distinct.toSet)
+    ev.groupBy(_._1).foreach { case (t, g) =>
+      val fit = g.filter(x => minstdBucket(x._2) < 5000)
+        .sortBy(x => (x._3, x._2))
+      val eval = g.filter(x => minstdBucket(x._2) >= 5000)
+      val nf = fit.length.toLong
+      def pick(qn: Long): Double =
+        fit(((math.min((qn * (nf + 1) + 9) / 10, nf)) - 1).toInt)._3
+      val (q50, q90) = (pick(5), pick(9))
+      val (gnf, gne, gq50, gq90, gl50, gl90, gcov) = got(t)
+      assert(gnf === nf && gne === eval.length.toLong, s"$t sizes")
+      assert(gq50 === q50 && gq90 === q90, s"$t quantile picks")
+      def pinball(qn: Long, qh: Double): Double = {
+        val cents = eval.map { x =>
+          val yd = BigDecimal(x._3).setScale(4)
+          val hd = BigDecimal(qh).setScale(4)
+          if (yd >= hd) qn * (yd - hd) else (10 - qn) * (hd - yd)
+        }.sum
+        (cents.toDouble / 10.0) / eval.length
+      }
+      assert(math.abs(gl50 - pinball(5, q50)) < 2e-6, s"$t loss50")
+      assert(math.abs(gl90 - pinball(9, q90)) < 2e-6, s"$t loss90")
+      val cov = eval.count(_._3 <= q90).toDouble / eval.length
+      assert(math.abs(gcov - cov) < 1e-6, s"$t coverage")
+      assert(cov > 0.8 && cov < 1.0, s"$t coverage $cov not near nominal 0.9")
+      assert(gl90 > 0 && gl50 > 0, s"$t zero loss — degenerate")
+    }
+  }
+
+  test("q325 disparate impact: rates, ratios and 4/5 flags match a replay") {
+    val urgent = graft.Tables(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val cust = graft.Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val per = cust.groupBy(_._2).map { case (seg, g) =>
+      (seg, g.length.toLong, g.count(c => urgent(c._1)).toLong)
+    }.toSeq
+    val rates = per.map { case (seg, n, np) => (seg, n, np, np.toDouble / n) }
+    val mx = rates.map(_._4).max
+    val got = Stats.q325DisparateImpact(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got.map(_._1) === rates.map(_._1).sorted)
+    got.foreach { case (seg, n, np, rate, di, flag) =>
+      val w = rates.find(_._1 == seg).get
+      assert(n === w._2 && np === w._3, s"$seg counts")
+      assert(math.abs(rate - w._4) < 1e-6, s"$seg rate")
+      val wantDi = BigDecimal(w._4 / mx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(di === wantDi, s"$seg ratio")
+      assert(flag === (di < 0.8), s"$seg flag")
+    }
+    assert(got.exists(_._5 == 1.0), "no reference segment at ratio 1.0")
+  }
 }

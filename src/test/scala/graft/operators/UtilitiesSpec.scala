@@ -3350,4 +3350,80 @@ class UtilitiesSpec extends SparkSpec {
       assert(math.abs(gr - s.toDouble / n) < 2e-6, s"brand $br rate")
     }
   }
+
+  test("q321 trend break: signal counts match an exact-OLS extrapolation replay") {
+    val rows = Tables(spark, sf0001, "lineitem")
+      .join(Tables(spark, sf0001, "part"), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_extendedprice".cast("double"),
+        unix_timestamp($"l_shipdate".cast("timestamp")), $"l_orderkey",
+        $"l_linenumber".cast("long"), $"p_brand")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val byBrand = collection.mutable.Map.empty[String, (Long, Long)]
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val series = g.sortBy(t => (t._3, t._4, t._5))
+      for (i <- series.indices if i >= 20) {
+        // identical left-associated trees to the plan's reduce(_ + _)
+        val sy = (1 to 20).map(j => series(i - j)._2).reduce(_ + _)
+        val sxy = (1 until 20).map(k => series(i - 1 - k)._2 * -k.toDouble)
+          .reduce(_ + _)
+        val b = (20.0 * sxy + 190.0 * sy) / 13300.0
+        val f = (sy + 190.0 * b) / 20.0 + b
+        val px = series(i)._2
+        val sig = if (px > f * 1.02 || px < f * 0.98) 1L else 0L
+        val br = series(i)._6
+        val (n, s) = byBrand.getOrElse(br, (0L, 0L))
+        byBrand(br) = (n + 1, s + sig)
+      }
+    }
+    val got = Events.q321TrendBreak(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === byBrand.keySet)
+    assert(byBrand.values.map(_._2).sum > 0, "no trend break anywhere - vacuous")
+    assert(byBrand.values.exists(t => t._2 < t._1),
+      "every row breaks trend - thresholds vacuous")
+    byBrand.foreach { case (br, (n, s)) =>
+      val (gn, gs, gr) = got(br)
+      assert(gn === n && gs === s, s"brand $br counts: got ($gn,$gs) want ($n,$s)")
+      assert(math.abs(gr - s.toDouble / n) < 2e-6, s"brand $br rate")
+    }
+  }
+
+  test("q322 link prediction: jaccard scores match a brute-force capped-subgraph replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val edges = pairCounts.filter(_._2 >= 2).keySet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val e2 = edges.filter(e => deg(e._1) <= 64 && deg(e._2) <= 64)
+    val adj = e2.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cand = collection.mutable.Map.empty[(Long, Long), Long]
+    adj.foreach { case (_, ns) =>
+      for (p1 <- ns; p2 <- ns if p1 < p2)
+        cand((p1, p2)) = cand.getOrElse((p1, p2), 0L) + 1
+    }
+    val nonAdj = cand.filterNot { case ((a, b), _) => e2.contains((a, b)) }
+    def row(p: ((Long, Long), Long)) = {
+      val ((p1, p2), cn) = p
+      val u = adj(p1).size + adj(p2).size - cn
+      val jac = BigDecimal(cn.toDouble / u)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (p1, p2, cn, u.toLong, jac)
+    }
+    val want = nonAdj.toSeq.map(row)
+      .sortBy { case (p1, p2, cn, _, j) => (-j, -cn, p1, p2) }.take(20)
+    val got = Graph.q322LinkPrediction(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === want)
+    assert(want.nonEmpty && want.head._5 > 0, "no predicted link — vacuous")
+  }
 }

@@ -376,6 +376,24 @@ class StreamingSpec extends SparkSpec {
     assert(spans > 0, "no confusion cell spans two slices — merge untested")
   }
 
+  test("q326 streaming FD monitor equals the batch g3 audit; pair counts genuinely merge") {
+    val got = Windows.q326StreamFd(spark, sf0001).collect().map(_.toSeq).toSeq
+    // batch truth: q319's orders rows (the stream monitors exactly those two)
+    val want = graft.operators.Stats.q319FdDiscovery(spark, sf0001)
+      .filter(col("rel") === "orders").collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got === want, "drained FD audit diverged from the batch g3 audit")
+    // the cross-batch merge is load-bearing: the o_custkey->o_orderpriority
+    // determinant must have rows in more than one of the 3 feed partitions,
+    // or the g3 fold never merged per-determinant state across batches
+    val parts = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_custkey")).repartition(3).rdd
+      .mapPartitionsWithIndex { (i, it) => it.map(r => (i, r.getLong(0))) }
+      .collect()
+    assert(parts.groupBy(_._2).values.exists(g => g.map(_._1).distinct.length > 1),
+      "no customer spans two feed partitions — cross-batch merge untested")
+  }
+
   test("q175 streaming SCD2 equals q170's batch history; untouched users keep their files") {
     val got = Windows.q175StreamScd2(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
