@@ -750,7 +750,57 @@ object Extras {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Q330: Bloom-filter false-positive audit — build a deterministic
+    * 65536-bit, 4-hash Bloom set over the part keys (four MINSTD chains
+    * with distinct multipliers — the portable-hash discipline, so both
+    * engines materialize the IDENTICAL bit set), probe it with 5000 keys
+    * provably outside the member domain, and report the MEASURED false-
+    * positive rate against the fill-ratio prediction fill⁴. The sizing
+    * audit behind q88's Bloom semi-join: "is my m/k budget actually
+    * delivering the FPR I planned capacity around?"
+    *
+    * Scale shape: the bit set is value-domain bounded (≤65536 rows —
+    * broadcast side by construction); members and probes each scan once
+    * through a 4-way explode; exact integer hit counts, predicted FPR is
+    * one fixed (f·f)·(f·f) tree.
+    */
+  def q330BloomFpr: Q = (s, d) => {
+    val p = 2147483647L
+    val m = 65536L
+    val mults = Seq(48271L, 69621L, 40692L, 62089L)
+    def h(x: Column, i: Int): Column = {
+      val h1 = pmod(pmod(x, lit(p)) * mults(i), lit(p))
+      pmod(pmod((h1 + 1L) * 16807L, lit(p)), lit(m))
+    }
+    val members = Tables(s, d, "part").select(col("p_partkey").as("k"))
+    val bits = members
+      .select(explode(array((0 until 4).map(i => h(col("k"), i)): _*)).as("bit"))
+      .distinct()
+    val nb = bits.agg(count(lit(1)).as("bits_set"))
+    val nm = members.agg(count(lit(1)).as("n_members"))
+    // probes start beyond any generated part key domain: disjoint by
+    // construction, so every hit is a true false positive
+    val probes = s.range(10000001L, 10005001L).toDF("pid")
+    val probeBits = probes
+      .select(col("pid"), explode(array((0 until 4).map(i => h(col("pid"), i)): _*)).as("bit"))
+    val fp = probeBits.join(broadcast(bits), Seq("bit"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === 4)
+      .agg(count(lit(1)).as("false_positives"))
+    val fill = col("bits_set").cast("double") / lit(65536.0)
+    fp.crossJoin(broadcast(nb)).crossJoin(broadcast(nm))
+      .select(big(col("n_members")).as("n_members"),
+        big(col("bits_set")).as("bits_set"),
+        round(fill, 6).as("fill_ratio"),
+        lit(5000L).as("n_probes"),
+        big(col("false_positives")).as("false_positives"),
+        round(col("false_positives").cast("double") / lit(5000.0), 6)
+          .as("measured_fpr"),
+        round((fill * fill) * (fill * fill), 6).as("predicted_fpr"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q330_bloom_fpr" -> q330BloomFpr,
     "q287_reconciliation" -> q287Reconciliation,
     "q251_nested_roundtrip" -> q251NestedRoundtrip,
     "q239_rank_movers" -> q239RankMovers,
@@ -783,6 +833,40 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q330_bloom_fpr" ->
+      """WITH members AS (SELECT p_partkey AS k FROM part),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ((((k % 2147483647) * m.a) % 2147483647 + 1) * 16807)
+        |      % 2147483647 % 65536 AS bit
+        |  FROM members, (VALUES (48271), (69621), (40692), (62089)) m(a)),
+        |nb AS (SELECT COUNT(*) AS bits_set FROM bits),
+        |nm AS (SELECT COUNT(*) AS n_members FROM members),
+        |probes AS (SELECT CAST(u.r AS BIGINT) AS pid
+        |           FROM unnest(range(10000001, 10005001)) u(r)),
+        |pb AS (
+        |  SELECT pid,
+        |    ((((pid % 2147483647) * m.a) % 2147483647 + 1) * 16807)
+        |      % 2147483647 % 65536 AS bit
+        |  FROM probes, (VALUES (48271), (69621), (40692), (62089)) m(a)),
+        |fp AS (
+        |  SELECT COUNT(*) AS false_positives FROM (
+        |    SELECT pid FROM pb JOIN bits USING (bit)
+        |    GROUP BY pid HAVING COUNT(*) = 4))
+        |SELECT CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(bits_set AS BIGINT) AS bits_set,
+        |  ROUND(CAST(bits_set AS DOUBLE) / CAST('65536.0' AS DOUBLE), 6)
+        |    AS fill_ratio,
+        |  CAST(5000 AS BIGINT) AS n_probes,
+        |  CAST(false_positives AS BIGINT) AS false_positives,
+        |  ROUND(CAST(false_positives AS DOUBLE) / CAST('5000.0' AS DOUBLE), 6)
+        |    AS measured_fpr,
+        |  ROUND(((CAST(bits_set AS DOUBLE) / CAST('65536.0' AS DOUBLE))
+        |       * (CAST(bits_set AS DOUBLE) / CAST('65536.0' AS DOUBLE)))
+        |      * ((CAST(bits_set AS DOUBLE) / CAST('65536.0' AS DOUBLE))
+        |       * (CAST(bits_set AS DOUBLE) / CAST('65536.0' AS DOUBLE))), 6)
+        |    AS predicted_fpr
+        |FROM fp, nb, nm""".stripMargin,
     "q287_reconciliation" ->
       """WITH l AS (
         |  SELECT l_orderkey,

@@ -867,11 +867,18 @@ object Stats {
     */
   def q323Srm: Q = (s, d) => {
     val bk = TrainingOps.portableBucket(col("o_orderkey"))
-    val agg = Tables(s, d, "orders")
+    srmReport(Tables(s, d, "orders")
       .select(bk.as("bk"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("bk") % 2 === 0, 1L).otherwise(0L)).as("even"),
-        sum(when(col("bk") < 9000, 1L).otherwise(0L)).as("big"))
+        sum(when(col("bk") < 9000, 1L).otherwise(0L)).as("big")))
+  }
+
+  /** The SRM report from a 1-row (n, even, big) arm-count summary — the
+    * mergeable state q329's streaming fold relies on (arm counts of
+    * disjoint row sets merge by plain sum).
+    */
+  private[graft] def srmReport(agg: DataFrame): DataFrame = {
     val r5050 = agg.select(lit("50/50").as("design"),
       big(col("n")).as("n"), big(col("even")).as("arm_a"),
       big(col("n") - col("even")).as("arm_b"),
@@ -889,6 +896,144 @@ object Stats {
     r5050.unionByName(r9010)
       .withColumn("srm", col("chi2") > lit(3.841))
       .orderBy(col("design"))
+  }
+
+  /** Q327: caliper-matched treatment-effect estimate (ATT) — every URGENT
+    * order matched WITH REPLACEMENT to its nearest non-urgent order by
+    * total price (within a 100.00 caliper, ties → lower control price
+    * then lower key — a total order), then the average difference in
+    * line-item counts between each treated order and its match. The
+    * observational-causal workhorse when q281's diff-in-diff has no time
+    * axis: compare like-priced orders across the "treatment".
+    * With-replacement nearest matching is the DISTRIBUTED-honest form —
+    * greedy without-replacement matching is inherently sequential.
+    *
+    * Scale shape: the caliper join is a BUCKET BAND JOIN — treated rows
+    * explode into their 10000-cent bucket ±1 (every control within the
+    * caliper shares one of the three), so candidate fan-out is bounded by
+    * per-bucket control density, never all-pairs; one per-treated
+    * row_number pick; exact integer cents and line counts end in two IEEE
+    * divisions.
+    */
+  def q327AttMatching: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("y"))
+    val ord = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+    val treated = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("tid"), col("cents").as("tc"),
+        col("y").as("ty"))
+    val control = ord.filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey").as("cid"), col("cents").as("cc"),
+        col("y").as("cy"))
+      .withColumn("cb", expr("cc div 10000"))
+    val cands = treated
+      .withColumn("tb0", expr("tc div 10000"))
+      .withColumn("cb", explode(array(col("tb0") - 1, col("tb0"), col("tb0") + 1)))
+      .join(control, Seq("cb"))
+      .filter(abs(col("cc") - col("tc")) <= 10000L)
+    val wPick = Window.partitionBy(col("tid"))
+      .orderBy(abs(col("cc") - col("tc")), col("cc"), col("cid"))
+    val picked = cands.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+    val nt = treated.agg(count(lit(1)).as("n_treated"))
+    picked.agg(
+      count(lit(1)).as("n_matched"),
+      sum(col("ty") - col("cy")).cast("long").as("dsum"),
+      sum(abs(col("cc") - col("tc"))).cast("long").as("gapsum"))
+      .crossJoin(broadcast(nt))
+      .select(big(col("n_treated")).as("n_treated"),
+        big(col("n_matched")).as("n_matched"),
+        round(col("n_matched").cast("double")
+          / col("n_treated").cast("double"), 6).as("match_rate"),
+        round(col("dsum").cast("double")
+          / col("n_matched").cast("double"), 6).as("att_lines"),
+        round(col("gapsum").cast("double")
+          / col("n_matched").cast("double") / 100.0, 6).as("mean_price_gap"))
+  }
+
+  /** Q328: jackknife CI for a ratio-of-sums metric — revenue per event as
+    * Σ_u y_u / Σ_u x_u over USER totals (the unit of randomization), with
+    * the leave-one-user-out variance that the naive per-event CI gets
+    * wrong under within-user correlation. Each replicate has the closed
+    * form R₍ᵤ₎ = (Y−y_u)/(X−x_u) — one pass, no resampling loop; the q263
+    * bootstrap's analytic sibling.
+    *
+    * Determinism: replicates are 6-dp-rounded decimals; Σr and Σr² are
+    * exact decimal sums (the (38,6) cut on Σr² is midpoint-free — squares
+    * of 6-dp decimals cannot end …5·10⁻⁷·10⁻⁶, the q267 argument) and the
+    * variance/CI is one fixed IEEE tree with the 1.96 literal CAST from
+    * VARCHAR on the oracle side.
+    *
+    * Scale shape: one per-user aggregate, a 1-row total broadcast onto
+    * the user summary, one reduction — shuffle ∝ users.
+    */
+  def q328JackknifeRatio: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val per = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", dec(col("value")))
+        .otherwise(dec(lit(0)))).as("yu"),
+        count(lit(1)).as("xu"))
+    val tot = per.agg(sum(col("yu")).as("yy"), sum(col("xu")).as("xx"),
+      count(lit(1)).as("nu"))
+    val reps = per.crossJoin(broadcast(tot))
+      .select(round((col("yy") - col("yu")).cast("double")
+        / (col("xx") - col("xu")).cast("double"), 6).cast(dec6).as("r6"))
+    val red = reps.agg(
+      count(lit(1)).as("n"),
+      sum(col("r6")).cast("double").as("s1"),
+      sum(col("r6") * col("r6")).cast(DecimalType(38, 6)).cast("double").as("s2"))
+    red.crossJoin(broadcast(tot))
+      .select(big(col("nu")).as("n_users"), big(col("xx")).as("n_events"),
+        round(col("yy").cast("double") / col("xx").cast("double"), 6).as("ratio"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double"))
+          * (col("n").cast("double") - lit(1.0)) / col("n").cast("double")), 6)
+          .as("se_jack"),
+        round(col("yy").cast("double") / col("xx").cast("double")
+          - lit(1.96) * sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double"))
+            * (col("n").cast("double") - lit(1.0)) / col("n").cast("double")), 6)
+          .as("ci_lo"),
+        round(col("yy").cast("double") / col("xx").cast("double")
+          + lit(1.96) * sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double"))
+            * (col("n").cast("double") - lit(1.0)) / col("n").cast("double")), 6)
+          .as("ci_hi"))
+  }
+
+  /** Q331: two-proportion z-test, each segment against the REST — the
+    * pairwise readout behind q325's descriptive ratios: is this segment's
+    * URGENT-selection rate significantly different from everyone else's,
+    * under the pooled-variance normal approximation, at |z| > 1.96? The
+    * q238 Wilson machinery turned into a comparison test.
+    *
+    * Scale shape: the q325 count build, one 1-row total broadcast, one
+    * fixed IEEE tree per 5-row segment.
+    */
+  def q331TwoProportionZ: Q = (s, d) => {
+    val pos = Tables(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val per = Tables(s, d, "customer")
+      .join(pos, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("np"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("np")).as("npt"))
+    val p1 = col("np").cast("double") / col("n").cast("double")
+    val p2 = (col("npt") - col("np")).cast("double") /
+      (col("nt") - col("n")).cast("double")
+    val pp = col("npt").cast("double") / col("nt").cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / col("n").cast("double")
+        + lit(1.0) / (col("nt") - col("n")).cast("double")))
+    per.crossJoin(broadcast(tot))
+      .select(col("c_mktsegment"), big(col("n")).as("n"),
+        big(col("np")).as("n_selected"),
+        round(p1, 6).as("rate"), round(p2, 6).as("rest_rate"),
+        round((p1 - p2) / se, 6).as("z"),
+        (abs(round((p1 - p2) / se, 6)) > lit(1.96)).as("significant"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Q324: pinball-loss quantile evaluation — fit P50/P90 per event type
@@ -1712,6 +1857,9 @@ object Stats {
     "q323_srm" -> q323Srm,
     "q324_pinball" -> q324Pinball,
     "q325_disparate_impact" -> q325DisparateImpact,
+    "q327_att_matching" -> q327AttMatching,
+    "q328_jackknife_ratio" -> q328JackknifeRatio,
+    "q331_two_proportion_z" -> q331TwoProportionZ,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -1990,6 +2138,95 @@ object Stats {
         |  ROUND(rate, 6) AS rate, ROUND(rate / mr, 6) AS di_ratio,
         |  ROUND(rate / mr, 6) < CAST('0.8' AS DOUBLE) AS below_four_fifths
         |FROM r, m ORDER BY c_mktsegment""".stripMargin,
+    "q327_att_matching" ->
+      """WITH items AS (SELECT l_orderkey, COUNT(*) AS y
+        |               FROM lineitem GROUP BY 1),
+        |ord AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+        |    y
+        |  FROM orders JOIN items ON o_orderkey = l_orderkey),
+        |t AS (SELECT o_orderkey AS tid, cents AS tc, y AS ty,
+        |        cents // 10000 AS tb0
+        |      FROM ord WHERE o_orderpriority = '1-URGENT'),
+        |c AS (SELECT o_orderkey AS cid, cents AS cc, y AS cy,
+        |        cents // 10000 AS cb
+        |      FROM ord WHERE o_orderpriority <> '1-URGENT'),
+        |cand AS (
+        |  SELECT tid, tc, ty, cid, cc, cy,
+        |    ROW_NUMBER() OVER (PARTITION BY tid
+        |      ORDER BY ABS(cc - tc), cc, cid) AS rn
+        |  FROM t JOIN c ON c.cb BETWEEN t.tb0 - 1 AND t.tb0 + 1
+        |  WHERE ABS(cc - tc) <= 10000),
+        |p AS (SELECT * FROM cand WHERE rn = 1),
+        |nt AS (SELECT COUNT(*) AS n_treated FROM t)
+        |SELECT CAST(n_treated AS BIGINT) AS n_treated,
+        |  CAST(COUNT(*) AS BIGINT) AS n_matched,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_treated AS DOUBLE), 6)
+        |    AS match_rate,
+        |  ROUND(CAST(SUM(ty - cy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS att_lines,
+        |  ROUND(CAST(SUM(ABS(cc - tc)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / CAST('100.0' AS DOUBLE), 6) AS mean_price_gap
+        |FROM p, nt GROUP BY n_treated""".stripMargin,
+    "q328_jackknife_ratio" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS yu,
+        |    COUNT(*) AS xu
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT SUM(yu) AS yy, SUM(xu) AS xx, COUNT(*) AS nu FROM per),
+        |reps AS (
+        |  SELECT CAST(ROUND(CAST(yy - yu AS DOUBLE)
+        |    / CAST(xx - xu AS DOUBLE), 6) AS DECIMAL(18,6)) AS r6
+        |  FROM per, tot),
+        |red AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(r6) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(r6 * r6) AS DECIMAL(38,6)) AS DOUBLE) AS s2
+        |  FROM reps)
+        |SELECT CAST(nu AS BIGINT) AS n_users, CAST(xx AS BIGINT) AS n_events,
+        |  ROUND(CAST(yy AS DOUBLE) / CAST(xx AS DOUBLE), 6) AS ratio,
+        |  ROUND(SQRT((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |    / CAST(n AS DOUBLE)), 6) AS se_jack,
+        |  ROUND(CAST(yy AS DOUBLE) / CAST(xx AS DOUBLE)
+        |    - CAST('1.96' AS DOUBLE) * SQRT((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      / CAST(n AS DOUBLE)), 6) AS ci_lo,
+        |  ROUND(CAST(yy AS DOUBLE) / CAST(xx AS DOUBLE)
+        |    + CAST('1.96' AS DOUBLE) * SQRT((s2 - s1 * s1 / CAST(n AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      / CAST(n AS DOUBLE)), 6) AS ci_hi
+        |FROM red, tot""".stripMargin,
+    "q331_two_proportion_z" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT'),
+        |per AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS np
+        |  FROM customer LEFT JOIN pos ON c_custkey = o_custkey GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nt, SUM(np) AS npt FROM per)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+        |  CAST(np AS BIGINT) AS n_selected,
+        |  ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  ROUND(CAST(npt - np AS DOUBLE) / CAST(nt - n AS DOUBLE), 6)
+        |    AS rest_rate,
+        |  ROUND((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(npt - np AS DOUBLE) / CAST(nt - n AS DOUBLE))
+        |    / SQRT((CAST(npt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE) - CAST(npt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE) / CAST(n AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE) / CAST(nt - n AS DOUBLE))), 6) AS z,
+        |  ABS(ROUND((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(npt - np AS DOUBLE) / CAST(nt - n AS DOUBLE))
+        |    / SQRT((CAST(npt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE) - CAST(npt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE) / CAST(n AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE) / CAST(nt - n AS DOUBLE))), 6))
+        |    > CAST('1.96' AS DOUBLE) AS significant
+        |FROM per, tot ORDER BY c_mktsegment""".stripMargin,
     "q312_quantile_normalization" ->
       """WITH vc AS (SELECT source, n_chars, COUNT(*) AS c
         |            FROM documents GROUP BY 1, 2),

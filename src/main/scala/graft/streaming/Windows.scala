@@ -1566,7 +1566,49 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q329: streaming sample-ratio-mismatch monitor — q323's SRM audit
+    * folded over a micro-batched orders feed: per batch, the three arm
+    * counts (n, even-bucket, sub-9000-bucket) land in an idempotent
+    * `batch=<id>` sink; at drain they merge by plain sum and the exact
+    * integer chi-square report runs once. Shares q323's oracle verbatim.
+    * The live experiment-health check: assignment skew is only visible
+    * from exactly this accumulated state, and catching it mid-flight is
+    * the whole point of SRM.
+    */
+  def q329StreamSrm: Q = (s, d) => {
+    val bk = graft.operators.TrainingOps.portableBucket(col("o_orderkey"))
+    val ord = graft.Tables(s, d, "orders").select(col("o_orderkey"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q329_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ord.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            batch.toDF().select(bk.as("bk"))
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("bk") % 2 === 0, 1L).otherwise(0L)).as("even"),
+                sum(when(col("bk") < 9000, 1L).otherwise(0L)).as("big"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        graft.operators.Stats.srmReport(
+          s.read.parquet(sumDir).agg(
+            sum(col("n")).cast("long").as("n"),
+            sum(col("even")).cast("long").as("even"),
+            sum(col("big")).cast("long").as("big"))))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q329_stream_srm" -> q329StreamSrm,
     "q326_stream_fd" -> q326StreamFd,
     "q320_stream_kappa" -> q320StreamKappa,
     "q288_stream_funnel" -> q288StreamFunnel,
@@ -1677,6 +1719,9 @@ object Windows {
       graft.operators.Stats.fdBlocksSql(Seq(
         ("orders", "o_orderkey", "o_orderstatus"),
         ("orders", "o_custkey", "o_orderpriority"))),
+    // q329 shares q323's oracle verbatim (arm counts merge additively)
+    "q329_stream_srm" ->
+      graft.operators.Stats.oracles("q323_srm"),
     // q284 shares q204's oracle verbatim (additive digit counts merge
     // exactly at any trigger slicing)
     "q288_stream_funnel" ->

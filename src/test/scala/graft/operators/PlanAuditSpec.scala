@@ -98,6 +98,10 @@ class PlanAuditSpec extends SparkSpec {
     "q297_ks_pairwise", // 10-row type-pair broadcast tagging the per-value collapse; 5x5 pair build
     "q317_brier_decomposition", // 1-row global (n, ybar) broadcast against the 10-bin grid + 1-row contribution sums
     "q325_disparate_impact", // 1-row max-rate broadcast against the 5-segment summary
+    "q327_att_matching", // 1-row treated-count broadcast beside the 1-row matched summary
+    "q328_jackknife_ratio", // 1-row (Y, X, n) total broadcast onto the user summary + 1-row reduction
+    "q330_bloom_fpr", // 1-row bits/members counts composing the single report row
+    "q331_two_proportion_z", // 1-row pooled-total broadcast against the 5-segment summary
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

@@ -924,4 +924,98 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.exists(_._5 == 1.0), "no reference segment at ratio 1.0")
   }
+
+  test("q327 ATT matching: picks equal a brute-force nearest-control replay") {
+    val items = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ord = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val cents = (BigDecimal(r.getDouble(2)).setScale(4) * 100).toLongExact
+        (r.getLong(0), r.getString(1), cents)
+      }
+      .filter(t => items.contains(t._1))
+    val treated = ord.filter(_._2 == "1-URGENT")
+    val control = ord.filter(_._2 != "1-URGENT")
+    var matched = 0L; var dsum = 0L; var gapsum = 0L
+    treated.foreach { case (tid, _, tc) =>
+      val cands = control.filter(c => math.abs(c._3 - tc) <= 10000L)
+      if (cands.nonEmpty) {
+        val (cid, _, cc) = cands.minBy(c => (math.abs(c._3 - tc), c._3, c._1))
+        matched += 1
+        dsum += items(tid) - items(cid)
+        gapsum += math.abs(cc - tc)
+      }
+    }
+    val r = Stats.q327AttMatching(spark, sf0001).head()
+    assert(r.getLong(0) === treated.length.toLong, "n_treated")
+    assert(r.getLong(1) === matched, "n_matched")
+    assert(math.abs(r.getDouble(2) - matched.toDouble / treated.length) < 1e-6)
+    assert(math.abs(r.getDouble(3) - dsum.toDouble / matched) < 1e-6, "att")
+    assert(math.abs(r.getDouble(4) - gapsum.toDouble / matched / 100.0) < 1e-6)
+    assert(matched > 0, "no match inside the caliper — vacuous")
+    assert(dsum != 0L, "treated and matched line counts identical — effect vacuous")
+  }
+
+  test("q328 jackknife: ratio, replicates and CI match a per-user replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(4)))
+    val per = ev.groupBy(_._1).map { case (_, g) =>
+      (g.filter(_._2 == "purchase").map(_._3).sum, g.length.toLong)
+    }.toSeq
+    val yy = per.map(_._1).sum
+    val xx = per.map(_._2).sum
+    val n = per.length
+    val reps = per.map { case (yu, xu) =>
+      BigDecimal((yy - yu).toDouble / (xx - xu))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val s1 = reps.sum.toDouble
+    val s2 = reps.map(r => (r * r).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val varJ = (s2 - s1 * s1 / n) * (n - 1.0) / n
+    val ratio = yy.toDouble / xx
+    val r = Stats.q328JackknifeRatio(spark, sf0001).head()
+    assert(r.getLong(0) === n.toLong && r.getLong(1) === xx)
+    assert(math.abs(r.getDouble(2) - ratio) < 1e-6, "ratio")
+    assert(math.abs(r.getDouble(3) - math.sqrt(varJ)) < 1e-5, "se")
+    assert(math.abs(r.getDouble(4) - (ratio - 1.96 * math.sqrt(varJ))) < 1e-4)
+    assert(math.abs(r.getDouble(5) - (ratio + 1.96 * math.sqrt(varJ))) < 1e-4)
+    assert(r.getDouble(3) > 0, "zero jackknife variance — vacuous")
+    assert(r.getDouble(4) < r.getDouble(2) && r.getDouble(2) < r.getDouble(5))
+  }
+
+  test("q331 two-proportion z: statistics match a replay and agree with q325's rates") {
+    val urgent = graft.Tables(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val cust = graft.Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val per = cust.groupBy(_._2).map { case (seg, g) =>
+      (seg, g.length.toLong, g.count(c => urgent(c._1)).toLong)
+    }
+    val nt = per.map(_._2).sum
+    val npt = per.map(_._3).sum
+    val got = Stats.q331TwoProportionZ(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.map(_._1).toSeq === per.map(_._1).toSeq.sorted)
+    got.foreach { case (seg, n, np, rate, rest, z, sig) =>
+      val w = per.find(_._1 == seg).get
+      assert(n === w._2 && np === w._3, s"$seg counts")
+      val p1 = np.toDouble / n
+      val p2 = (npt - np).toDouble / (nt - n)
+      val pp = npt.toDouble / nt
+      val se = math.sqrt(pp * (1.0 - pp) * (1.0 / n + 1.0 / (nt - n)))
+      assert(math.abs(rate - p1) < 1e-6 && math.abs(rest - p2) < 1e-6, seg)
+      assert(math.abs(z - (p1 - p2) / se) < 1e-5, s"$seg z")
+      assert(sig === (math.abs(z) > 1.96), s"$seg flag")
+    }
+    assert(got.exists(g => g._6 != 0.0), "all z exactly zero — vacuous")
+  }
 }

