@@ -413,7 +413,48 @@ object Evaluation {
           - col("ybar") * (lit(1.0) - col("ybar")), 6).as("within_gap"))
   }
 
+  /** Q335: quadratic-weighted kappa — q315's agreement audit made
+    * ORDINAL-aware: the rater labels are ordered (short < mid < long), so
+    * a short↔long disagreement should cost 4× a short↔mid one. Weights
+    * w_ij = (i−j)² keep the whole statistic INTEGER:
+    * κ_w = 1 − n·Σw·O / Σ_ij w_ij·r_i·c_j — one division of exact
+    * BIGINTs, like q315. The eval-metric standard for ordinal labeling
+    * (severity grades, quality tiers).
+    *
+    * Scale shape: the q315 confusion aggregate; the expectation term is a
+    * ≤9-cell-per-source marginal join.
+    */
+  def q335WeightedKappa: Q = (s, d) => {
+    val ordv: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c =>
+      when(c === "short", 0L).when(c === "mid", 1L).otherwise(2L)
+    val conf = raterLabels(Tables(s, d, "documents"))
+      .groupBy(col("source"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"), ordv(col("la")).as("i"), ordv(col("lb")).as("j"),
+        col("n"))
+    val tot = conf.groupBy(col("source")).agg(
+      sum(col("n")).cast("long").as("nn"),
+      sum((col("i") - col("j")) * (col("i") - col("j")) * col("n"))
+        .cast("long").as("wo"))
+    val ra = conf.groupBy(col("source"), col("i"))
+      .agg(sum(col("n")).as("ri"))
+    val cb = conf.groupBy(col("source"), col("j"))
+      .agg(sum(col("n")).as("cj"))
+    val we = ra.join(cb, Seq("source"))
+      .groupBy(col("source"))
+      .agg(sum((col("i") - col("j")) * (col("i") - col("j"))
+        * col("ri") * col("cj")).cast("long").as("we_num"))
+    tot.join(we, Seq("source"))
+      .select(col("source"), big(col("nn")).as("n"), big(col("wo")).as("wo"),
+        big(col("we_num")).as("we_num"),
+        round(when(col("we_num") === 0L, lit(0.0))
+          .otherwise(lit(1.0) - (col("nn") * col("wo")).cast("double")
+            / col("we_num").cast("double")), 6).as("kappa_w"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q335_weighted_kappa" -> q335WeightedKappa,
     "q257_macro_f1" -> q257MacroF1,
     "q235_gains_curve" -> q235GainsCurve,
     "q223_knn_eval" -> q223KnnEval,
@@ -490,6 +531,30 @@ object Evaluation {
       |ORDER BY label""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q335_weighted_kappa" ->
+      """WITH lab AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars >= 400 THEN 2
+        |         WHEN n_chars >= 200 THEN 1 ELSE 0 END AS i,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) >= 72 THEN 2
+        |         WHEN length(text) - length(replace(text, ' ', '')) >= 36 THEN 1
+        |         ELSE 0 END AS j
+        |  FROM documents),
+        |conf AS (SELECT source, i, j, COUNT(*) AS n FROM lab GROUP BY 1, 2, 3),
+        |tot AS (SELECT source, SUM(n) AS nn,
+        |          SUM((i - j) * (i - j) * n) AS wo
+        |        FROM conf GROUP BY 1),
+        |ra AS (SELECT source, i, SUM(n) AS ri FROM conf GROUP BY 1, 2),
+        |cb AS (SELECT source, j, SUM(n) AS cj FROM conf GROUP BY 1, 2),
+        |we AS (SELECT source, SUM((i - j) * (i - j) * ri * cj) AS we_num
+        |       FROM ra JOIN cb USING (source) GROUP BY 1)
+        |SELECT source, CAST(nn AS BIGINT) AS n, CAST(wo AS BIGINT) AS wo,
+        |  CAST(we_num AS BIGINT) AS we_num,
+        |  ROUND(CASE WHEN we_num = 0 THEN 0.0
+        |    ELSE CAST('1.0' AS DOUBLE)
+        |         - CAST(nn * wo AS DOUBLE) / CAST(we_num AS DOUBLE) END, 6)
+        |    AS kappa_w
+        |FROM tot JOIN we USING (source) ORDER BY source""".stripMargin,
     "q315_cohens_kappa" ->
       """WITH lab AS (
         |  SELECT source,

@@ -1036,6 +1036,142 @@ object Stats {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Q332: 5-fold cross-validated MAE — the model-selection loop run the
+    * distributed-honest way: fold assignment is the portable hash, and
+    * every fold's TRAIN mean comes from the complement identity
+    * μ_(type, −f) = (S_type − s_{type,f}) / (N_type − n_{type,f}) — one
+    * keyed aggregate and one broadcast, never 5 scans (the q328 jackknife
+    * trick applied to CV). Per-fold MAE plus the cross-fold mean ± SD row
+    * (fold = −1) that model selection actually reads.
+    *
+    * Determinism: fold sums are exact decimals; per-row |y − μ| is
+    * 6-dp-rounded into dec6 before the exact MAE sum; the 5 fold MAEs
+    * reduce through exact dec6 sums with the q267 midpoint-free-squares
+    * cut; NULL sd on fold rows in both engines.
+    */
+  def q332KfoldCv: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        (TrainingOps.portableBucket(col("event_id")) / lit(2000L))
+          .cast("long").as("fold"))
+    val perTf = ev.groupBy(col("event_type"), col("fold"))
+      .agg(sum(dec(col("value"))).as("sf"), count(lit(1)).as("nf"))
+    val perT = perTf.groupBy(col("event_type"))
+      .agg(sum(col("sf")).as("st"), sum(col("nf")).as("nt"))
+    val mu = perTf.join(broadcast(perT), Seq("event_type"))
+      .select(col("event_type"), col("fold"),
+        ((col("st") - col("sf")).cast("double")
+          / (col("nt") - col("nf")).cast("double")).as("mu"))
+    val folds = ev.join(broadcast(mu), Seq("event_type", "fold"))
+      .select(col("fold"),
+        round(abs(col("value") - col("mu")), 6).cast(dec6).as("ae"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("ne"),
+        round(sum(col("ae")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mae"))
+    val red = folds
+      .select(col("ne"), col("mae"), col("mae").cast(dec6).as("m6"))
+      .agg(sum(col("ne")).as("ne"), count(lit(1)).as("k"),
+        sum(col("m6")).cast("double").as("s1"),
+        sum(col("m6") * col("m6")).cast(DecimalType(38, 6)).cast("double")
+          .as("s2"))
+    val overall = red.select(lit(-1L).as("fold"), big(col("ne")).as("n_eval"),
+      round(col("s1") / col("k").cast("double"), 6).as("mae"),
+      round(sqrt((col("s2") - col("s1") * col("s1") / col("k").cast("double"))
+        / (col("k").cast("double") - lit(1.0))), 6).as("mae_sd"))
+    folds.select(big(col("fold")).as("fold"), big(col("ne")).as("n_eval"),
+      col("mae"), lit(null).cast("double").as("mae_sd"))
+      .unionByName(overall)
+      .orderBy(col("fold"))
+  }
+
+  /** Q333: population-stability index — THE industry score-drift gate:
+    * the event-score distribution of the LATER time half against the
+    * earlier half over the fixed q189 bin grid, PSI = Σ (p−q)·ln(p/q)
+    * with Laplace-smoothed shares (+1/bin, +10/total — a zero bin must
+    * not blow up the log). Complements q168's L1 drift with the metric
+    * risk teams actually threshold (0.1 watch / 0.25 act).
+    *
+    * Determinism: integer bin counts; shares and the log ratio are one
+    * fixed IEEE tree per bin, 6-dp-rounded into dec6 BEFORE the exact
+    * total sum (the q221 log discipline); the time split point is exact
+    * integer epoch-second midpoint.
+    */
+  def q333Psi: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val ev = Tables.events(s, d)
+      .select(epochSec(col("ts2")).as("t"), dec(col("value")).as("v"))
+    val rng = ev.agg(expr("(MIN(t) + MAX(t)) div 2").as("mid"))
+    val binned = ev.crossJoin(broadcast(rng))
+      .select(least(lit(9L), expr("CAST(v * 100 AS BIGINT) div 3300")).as("bin"),
+        (col("t") >= col("mid")).as("cur"))
+      .groupBy(col("bin"))
+      .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("nc"))
+    val tot = binned.agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
+    val p = (col("nb") + 1L).cast("double") / (col("tb") + 10L).cast("double")
+    val q = (col("nc") + 1L).cast("double") / (col("tc") + 10L).cast("double")
+    val rows = binned.crossJoin(broadcast(tot))
+      .select(col("bin"), big(col("nb")).as("n_base"), big(col("nc")).as("n_cur"),
+        round(p, 6).as("p_base"), round(q, 6).as("p_cur"),
+        round((p - q) * log(p / q), 6).cast(dec6).as("c6"))
+    val total = rows.agg(big(sum(col("n_base"))).as("n_base"),
+      big(sum(col("n_cur"))).as("n_cur"))
+      .select(lit(-1L).as("bin"), col("n_base"), col("n_cur"),
+        lit(null).cast("double").as("p_base"),
+        lit(null).cast("double").as("p_cur"),
+        lit(null).cast(dec6).as("c6"))
+    val psi = rows.agg(round(sum(col("c6")).cast("double"), 6).as("psi"))
+    rows.unionByName(total)
+      .crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_base"), col("n_cur"), col("p_base"),
+        col("p_cur"), col("c6").cast("double").as("contribution"),
+        when(col("bin") === -1L, col("psi")).otherwise(lit(null).cast("double"))
+          .as("psi"))
+      .orderBy(col("bin"))
+  }
+
+  /** Q334: Cohen's d effect sizes for every event-type pair — the
+    * magnitude companion to q297's KS decision: pooled-SD standardized
+    * mean difference from EXACT decimal moments (2-dp values → 4-dp
+    * squares, both sums exact), one fixed tree through the final sqrt
+    * and division. The "is the difference big enough to matter?" readout
+    * an experimentation review demands next to any p-value.
+    *
+    * Scale shape: one map-side-combined per-type moment aggregate; the
+    * 5×5 pair build is a bounded broadcast self-join (q297's shape).
+    */
+  def q334CohensD: Q = (s, d) => {
+    val mom = Tables.events(s, d)
+      .select(col("event_type"), dec12(col("value")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast(DecimalType(38, 4)).cast("double").as("sy"),
+        sum(col("v") * col("v")).cast(DecimalType(38, 4)).cast("double")
+          .as("syy"))
+    val a = mom.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("sy").as("sya"), col("syy").as("syya"))
+    val b = mom.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("sy").as("syb"), col("syy").as("syyb"))
+    val va = (col("syya") - col("sya") * col("sya") / col("na").cast("double")) /
+      (col("na").cast("double") - lit(1.0))
+    val vb = (col("syyb") - col("syb") * col("syb") / col("nb").cast("double")) /
+      (col("nb").cast("double") - lit(1.0))
+    val sp = sqrt(((col("na").cast("double") - lit(1.0)) * va
+      + (col("nb").cast("double") - lit(1.0)) * vb)
+      / (col("na").cast("double") + col("nb").cast("double") - lit(2.0)))
+    a.crossJoin(broadcast(b))
+      .filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), big(col("na")).as("n_a"),
+        big(col("nb")).as("n_b"),
+        round(col("sya") / col("na").cast("double"), 6).as("mean_a"),
+        round(col("syb") / col("nb").cast("double"), 6).as("mean_b"),
+        round((col("sya") / col("na").cast("double")
+          - col("syb") / col("nb").cast("double")) / sp, 6).as("cohens_d"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Q324: pinball-loss quantile evaluation — fit P50/P90 per event type
     * on the portable-hash FIT half (exact ⌈q·(n+1)⌉ ranks under the
     * (value, event_id) total order — q313's pick), score them on the
@@ -1860,6 +1996,9 @@ object Stats {
     "q327_att_matching" -> q327AttMatching,
     "q328_jackknife_ratio" -> q328JackknifeRatio,
     "q331_two_proportion_z" -> q331TwoProportionZ,
+    "q332_kfold_cv" -> q332KfoldCv,
+    "q333_psi" -> q333Psi,
+    "q334_cohens_d" -> q334CohensD,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -2138,6 +2277,101 @@ object Stats {
         |  ROUND(rate, 6) AS rate, ROUND(rate / mr, 6) AS di_ratio,
         |  ROUND(rate / mr, 6) < CAST('0.8' AS DOUBLE) AS below_four_fifths
         |FROM r, m ORDER BY c_mktsegment""".stripMargin,
+    "q332_kfold_cv" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    ((((event_id % 2147483647) * 48271) % 2147483647 + 1)
+        |     * 16807) % 2147483647 % 10000 // 2000 AS fold
+        |  FROM events),
+        |ptf AS (
+        |  SELECT event_type, fold, SUM(CAST(value AS DECIMAL(18,4))) AS sf,
+        |    COUNT(*) AS nf
+        |  FROM ev GROUP BY 1, 2),
+        |pt AS (SELECT event_type, SUM(sf) AS st, SUM(nf) AS nt
+        |       FROM ptf GROUP BY 1),
+        |mu AS (
+        |  SELECT event_type, fold,
+        |    CAST(st - sf AS DOUBLE) / CAST(nt - nf AS DOUBLE) AS mu
+        |  FROM ptf JOIN pt USING (event_type)),
+        |folds AS (
+        |  SELECT fold, COUNT(*) AS ne,
+        |    ROUND(CAST(SUM(CAST(ROUND(ABS(value - mu), 6) AS DECIMAL(18,6)))
+        |               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mae
+        |  FROM ev JOIN mu USING (event_type, fold) GROUP BY 1),
+        |red AS (
+        |  SELECT SUM(ne) AS ne, COUNT(*) AS k,
+        |    CAST(SUM(CAST(mae AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(mae AS DECIMAL(18,6)) * CAST(mae AS DECIMAL(18,6)))
+        |         AS DECIMAL(38,6)) AS DOUBLE) AS s2
+        |  FROM folds)
+        |SELECT * FROM (
+        |  SELECT CAST(fold AS BIGINT) AS fold, CAST(ne AS BIGINT) AS n_eval,
+        |    mae, CAST(NULL AS DOUBLE) AS mae_sd
+        |  FROM folds
+        |  UNION ALL
+        |  SELECT -1, CAST(ne AS BIGINT),
+        |    ROUND(s1 / CAST(k AS DOUBLE), 6),
+        |    ROUND(SQRT((s2 - s1 * s1 / CAST(k AS DOUBLE))
+        |          / (CAST(k AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6)
+        |  FROM red)
+        |ORDER BY fold""".stripMargin,
+    "q333_psi" ->
+      """WITH ev AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |rng AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev),
+        |b AS (
+        |  SELECT LEAST(9, CAST(v * 100 AS BIGINT) // 3300) AS bin,
+        |    SUM(CASE WHEN t < mid THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS nc
+        |  FROM ev, rng GROUP BY 1),
+        |tt AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM b),
+        |rows2 AS (
+        |  SELECT bin, CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+        |    ROUND(CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE), 6) AS p_base,
+        |    ROUND(CAST(nc + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE), 6) AS p_cur,
+        |    CAST(ROUND((CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)
+        |         - CAST(nc + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+        |      * LN((CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+        |          / (CAST(nc + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) AS c6
+        |  FROM b, tt),
+        |ps AS (SELECT ROUND(CAST(SUM(c6) AS DOUBLE), 6) AS psi FROM rows2)
+        |SELECT * FROM (
+        |  SELECT bin, n_base, n_cur, p_base, p_cur,
+        |    CAST(c6 AS DOUBLE) AS contribution, CAST(NULL AS DOUBLE) AS psi
+        |  FROM rows2
+        |  UNION ALL
+        |  SELECT -1, CAST(SUM(n_base) AS BIGINT), CAST(SUM(n_cur) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    (SELECT psi FROM ps)
+        |  FROM rows2)
+        |ORDER BY bin""".stripMargin,
+    "q334_cohens_d" ->
+      """WITH mom AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4))
+        |      AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))
+        |      * CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE)
+        |      AS syy
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  ROUND(a.sy / CAST(a.n AS DOUBLE), 6) AS mean_a,
+        |  ROUND(b.sy / CAST(b.n AS DOUBLE), 6) AS mean_b,
+        |  ROUND((a.sy / CAST(a.n AS DOUBLE) - b.sy / CAST(b.n AS DOUBLE))
+        |    / SQRT(((CAST(a.n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |        * ((a.syy - a.sy * a.sy / CAST(a.n AS DOUBLE))
+        |           / (CAST(a.n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |      + (CAST(b.n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |        * ((b.syy - b.sy * b.sy / CAST(b.n AS DOUBLE))
+        |           / (CAST(b.n AS DOUBLE) - CAST('1.0' AS DOUBLE))))
+        |      / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)
+        |         - CAST('2.0' AS DOUBLE))), 6) AS cohens_d
+        |FROM mom a JOIN mom b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "q327_att_matching" ->
       """WITH items AS (SELECT l_orderkey, COUNT(*) AS y
         |               FROM lineitem GROUP BY 1),

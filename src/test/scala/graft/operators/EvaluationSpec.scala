@@ -97,6 +97,37 @@ class EvaluationSpec extends SparkSpec {
     assert(ratedDocs.exists(t => t._2 != t._3), "raters never disagree")
   }
 
+  test("q335 weighted kappa: ordinal statistic matches an all-integer replay; penalizes distance") {
+    def ord(l: String): Long = l match {
+      case "short" => 0L; case "mid" => 1L; case _ => 2L
+    }
+    val bySrc = ratedDocs.map(t => (t._1, ord(t._2), ord(t._3))).groupBy(_._1)
+    val got = Evaluation.q335WeightedKappa(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(_._1).toSeq === bySrc.keys.toSeq.sorted)
+    got.foreach { case (src, n, wo, weNum, kw) =>
+      val g = bySrc(src)
+      assert(n === g.length.toLong)
+      val wantWo = g.map(t => (t._2 - t._3) * (t._2 - t._3)).sum
+      assert(wo === wantWo, s"$src wo")
+      val wantWe = (for (i <- 0L to 2L; j <- 0L to 2L) yield
+        (i - j) * (i - j) * g.count(_._2 == i) * g.count(_._3 == j)).sum
+      assert(weNum === wantWe, s"$src we_num")
+      val want = if (wantWe == 0) 0.0
+        else BigDecimal(1.0 - (n * wantWo).toDouble / wantWe)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(kw === want, s"$src kappa_w")
+    }
+    // ordinal property: a short<->long disagreement costs 4x a short<->mid
+    // one, so on the shared fixture kappa_w must differ from plain kappa
+    // somewhere (they coincide only on weight-degenerate confusions)
+    val plain = Evaluation.q315CohensKappa(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toMap
+    assert(got.exists(g => math.abs(g._5 - plain(g._1)) > 1e-6),
+      "weighted and unweighted kappa identical everywhere — weights vacuous")
+  }
+
   test("q316 mcnemar: discordant counts and statistic equal a paired replay") {
     val docs = graft.Tables(spark, sf0001, "documents")
       .select(col("lang"), col("text")).collect()

@@ -102,6 +102,8 @@ class PlanAuditSpec extends SparkSpec {
     "q328_jackknife_ratio", // 1-row (Y, X, n) total broadcast onto the user summary + 1-row reduction
     "q330_bloom_fpr", // 1-row bits/members counts composing the single report row
     "q331_two_proportion_z", // 1-row pooled-total broadcast against the 5-segment summary
+    "q333_psi", // 1-row midpoint + totals broadcasts against the 10-bin grid, 1-row psi attach
+    "q334_cohens_d", // 5-row moment summary pairwise self-join (bounded type domain, q297's shape)
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

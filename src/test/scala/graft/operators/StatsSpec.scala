@@ -1018,4 +1018,103 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.exists(g => g._6 != 0.0), "all z exactly zero — vacuous")
   }
+
+  test("q332 k-fold CV: complement means, fold MAEs and the summary row match a replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), minstdBucket(r.getLong(1)) / 2000L,
+        r.getDouble(2)))
+    val byType = ev.groupBy(_._1)
+    val maes = (0L until 5L).map { f =>
+      val evalRows = ev.filter(_._2 == f)
+      val aes = evalRows.map { case (t, _, y) =>
+        val train = byType(t).filter(_._2 != f)
+        val mu = train.map(x => BigDecimal(x._3).setScale(4)).sum.toDouble /
+          train.length
+        BigDecimal(math.abs(y - mu)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (f, evalRows.length.toLong,
+        BigDecimal(aes.sum.toDouble / evalRows.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Stats.q332KfoldCv(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else Double.box(r.getDouble(3))))
+    assert(got.map(_._1).toSeq === (-1L +: (0L until 5L)).sorted)
+    maes.foreach { case (f, n, mae) =>
+      val g = got.find(_._1 == f).get
+      assert(g._2 === n, s"fold $f size")
+      assert(math.abs(g._3 - mae) < 2e-6, s"fold $f mae")
+      assert(g._4 === null, s"fold $f must carry NULL sd")
+    }
+    val overall = got.find(_._1 == -1L).get
+    val ms = maes.map(_._3)
+    val mean = ms.sum / 5
+    val sd = math.sqrt(ms.map(m => (m - mean) * (m - mean)).sum / 4)
+    assert(overall._2 === maes.map(_._2).sum)
+    assert(math.abs(overall._3 - mean) < 2e-6, "cv mean")
+    assert(math.abs(overall._4.asInstanceOf[Double] - sd) < 1e-4, "cv sd")
+    assert(ms.max > ms.min, "all folds identical — vacuous split")
+  }
+
+  test("q333 PSI: smoothed contributions and the total match a replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(graft.Dsl.epochSec(col("ts2")), col("value")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(4)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val bins = ev.groupBy(t => math.min(9L, ((t._2 * 100).toBigInt / 3300).toLong))
+    val tb = ev.count(_._1 < mid).toLong
+    val tc = ev.length - tb
+    val got = Stats.q333Psi(spark, sf0001).collect()
+    val rows = got.filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    var psi6 = BigDecimal(0)
+    rows.foreach { case (bin, nb, nc, contrib) =>
+      val g = bins(bin)
+      val wb = g.count(_._1 < mid).toLong
+      val wc = g.length - wb
+      assert(nb === wb && nc === wc, s"bin $bin counts")
+      val p = (wb + 1).toDouble / (tb + 10)
+      val q = (wc + 1).toDouble / (tc + 10)
+      val want = BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(contrib - want.toDouble) < 2e-6, s"bin $bin contribution")
+      psi6 += want
+    }
+    val totalRow = got.find(_.getLong(0) == -1L).get
+    assert(totalRow.getLong(1) === tb && totalRow.getLong(2) === tc)
+    assert(math.abs(totalRow.getDouble(6) - psi6.toDouble) < 2e-6, "psi total")
+    assert(rows.exists(_._4 != 0.0), "zero drift everywhere — vacuous")
+  }
+
+  test("q334 Cohen's d: pooled-SD effect sizes match an exact-moment replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(4)))
+    val mom = ev.groupBy(_._1).map { case (t, g) =>
+      val sy = g.map(_._2).sum.toDouble
+      val syy = g.map(x => x._2 * x._2).sum.toDouble
+      (t, g.length.toLong, sy, syy)
+    }.toSeq.sortBy(_._1)
+    val got = Stats.q334CohensD(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val pairs = for {
+      (a, i) <- mom.zipWithIndex; b <- mom.drop(i + 1)
+    } yield (a, b)
+    assert(got.keySet === pairs.map(p => (p._1._1, p._2._1)).toSet)
+    pairs.foreach { case ((ta, na, sya, syya), (tbn, nb, syb, syyb)) =>
+      val (gna, gnb, gma, gmb, gd) = got((ta, tbn))
+      assert(gna === na && gnb === nb)
+      val (ma, mb) = (sya / na, syb / nb)
+      val va = (syya - sya * sya / na) / (na - 1.0)
+      val vb = (syyb - syb * syb / nb) / (nb - 1.0)
+      val sp = math.sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0))
+      assert(math.abs(gma - ma) < 1e-6 && math.abs(gmb - mb) < 1e-6)
+      assert(math.abs(gd - (ma - mb) / sp) < 1e-5, s"($ta,$tbn) d")
+    }
+    assert(got.values.exists(v => math.abs(v._5) > 0.01),
+      "every effect negligible — vacuous")
+  }
 }
