@@ -453,7 +453,39 @@ object Evaluation {
       .orderBy(col("source"))
   }
 
+  /** Q336: feature→target AUC scan — the leakage detector: every declared
+    * candidate feature scored against the purchase label with the exact
+    * tie-corrected Mann–Whitney AUC (the q190 kernel, one bounded
+    * (value → counts) summary per feature). A feature whose single-column
+    * AUC is implausibly high is leaking the target; one near 0.5 carries
+    * no signal — the triage every feature-store addition should pass
+    * before training sees it (q147's split-leakage check, applied to
+    * COLUMNS instead of rows).
+    *
+    * Scale shape: per feature, one map-side-combined summary collapse
+    * (bounded by the feature's value domain) + the q190 cumsum over that
+    * summary; four features union into a 4-row report.
+    */
+  def q336FeatureAucScan: Q = (s, d) => {
+    val base = Tables.events(s, d).select(
+      epochSec(col("ts2")).as("t"), col("user_id"),
+      dec(col("value")).as("vv"),
+      (col("event_type") === "purchase").cast("int").as("y"))
+    val feats: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("day_of_week", expr("t div 86400 % 7")),
+      ("hour_of_day", expr("t div 3600 % 24")),
+      ("user_bucket", pmod(col("user_id"), lit(16L))),
+      ("value", col("vv")))
+    feats.map { case (name, c) =>
+      aucFromSummary(scoreSummary(base.select(c.as("v"), col("y"))))
+        .select(lit(name).as("feature"), col("n_pos"), col("n_neg"),
+          col("concordant"), col("tie_pairs"), col("auc"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("feature"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q336_feature_auc_scan" -> q336FeatureAucScan,
     "q335_weighted_kappa" -> q335WeightedKappa,
     "q257_macro_f1" -> q257MacroF1,
     "q235_gains_curve" -> q235GainsCurve,
@@ -530,7 +562,45 @@ object Evaluation {
       |SELECT * FROM (SELECT * FROM percls UNION ALL SELECT * FROM mac)
       |ORDER BY label""".stripMargin
 
+  /** q336's oracle: the q190 AUC chain generated once per declared
+    * feature expression, UNION ALL'd.
+    */
+  private val featureAucSql: String = {
+    val feats = Seq(
+      ("day_of_week",
+        "CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 % 7"),
+      ("hour_of_day",
+        "CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 % 24"),
+      ("user_bucket", "user_id % 16"),
+      ("value", "CAST(value AS DECIMAL(18,4))"))
+    val blocks = feats.map { case (name, vexpr) =>
+      s"""SELECT '$name' AS feature, n_pos, n_neg, concordant, tie_pairs, auc
+         |FROM (
+         |  WITH e AS (
+         |    SELECT $vexpr AS v,
+         |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |    FROM events),
+         |  s AS (
+         |    SELECT v, CAST(SUM(y) AS BIGINT) AS cp,
+         |      CAST(SUM(1 - y) AS BIGINT) AS cn
+         |    FROM e GROUP BY v),
+         |  c AS (
+         |    SELECT cp, cn,
+         |      COALESCE(SUM(cn) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow
+         |    FROM s)
+         |  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg,
+         |    CAST(SUM(cp * negBelow) AS BIGINT) AS concordant,
+         |    CAST(SUM(cp * cn) AS BIGINT) AS tie_pairs,
+         |    ROUND((CAST(SUM(cp * negBelow) AS DOUBLE) + CAST(SUM(cp * cn) AS DOUBLE) / 2.0)
+         |          / (CAST(SUM(cp) AS DOUBLE) * CAST(SUM(cn) AS DOUBLE)), 6) AS auc
+         |  FROM c)""".stripMargin
+    }
+    blocks.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY feature")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q336_feature_auc_scan" -> featureAucSql,
     "q335_weighted_kappa" ->
       """WITH lab AS (
         |  SELECT source,

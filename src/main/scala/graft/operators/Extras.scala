@@ -799,7 +799,52 @@ object Extras {
         round((fill * fill) * (fill * fill), 6).as("predicted_fpr"))
   }
 
+  /** Q338: consistent-hashing rebalance audit — a 16-node × 4-vnode MINSTD
+    * ring takes a 17th node; what fraction of order keys actually move,
+    * against the 4/68 ideal, and how balanced are the post-move node
+    * loads? The shard-topology question every stateful service answers
+    * before scaling out; consistent hashing's whole point is that ONLY
+    * keys claimed by the new vnodes move, and this measures it.
+    *
+    * Determinism & scale shape: ring positions are made UNIQUE by
+    * arithmetic (pos·100 + vnodeId — ties broken without structs, so the
+    * successor is pure integer math both engines share); the 68-position
+    * ring travels as ONE sorted-array row, each key finds its successor
+    * with an array filter+min expression — no fan-out join, one pass over
+    * the keys, exact integer counts.
+    */
+  def q338ConsistentHashing: Q = (s, d) => {
+    val p = 2147483647L
+    def mh(x: Column): Column =
+      pmod((pmod(pmod(x, lit(p)) * 48271L, lit(p)) + 1L) * 16807L, lit(p))
+    val ring = s.range(0L, 68L).toDF("rid")
+      .select((mh(col("rid")) * 100L + col("rid")).as("pos"))
+    val arr1 = ring.agg(sort_array(collect_list(col("pos"))).as("arr"))
+    val keys = Tables(s, d, "orders")
+      .select((mh(col("o_orderkey")) * 100L + 99L).as("h"))
+    val succ = keys.crossJoin(broadcast(arr1))
+      .select(coalesce(
+        array_min(filter(col("arr"), e => e >= col("h"))),
+        element_at(col("arr"), 1)).as("sp"))
+      .select(pmod(col("sp"), lit(100L)).as("rid"))
+      .select((col("rid") / 4L).cast("long").as("node"),
+        (col("rid") >= 64L).as("moved"))
+    val loads = succ.groupBy(col("node")).agg(count(lit(1)).as("ld"))
+    val loadAgg = loads.agg(max(col("ld")).as("max_load"),
+      min(col("ld")).as("min_load"), count(lit(1)).as("n_nodes"))
+    succ.agg(count(lit(1)).as("n_keys"),
+      sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+      .crossJoin(broadcast(loadAgg))
+      .select(big(col("n_keys")).as("n_keys"), big(col("n_moved")).as("n_moved"),
+        round(col("n_moved").cast("double") / col("n_keys").cast("double"), 6)
+          .as("moved_frac"),
+        round(lit(4.0) / lit(68.0), 6).as("ideal_frac"),
+        big(col("n_nodes")).as("n_nodes"),
+        big(col("max_load")).as("max_load"), big(col("min_load")).as("min_load"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q338_consistent_hashing" -> q338ConsistentHashing,
     "q330_bloom_fpr" -> q330BloomFpr,
     "q287_reconciliation" -> q287Reconciliation,
     "q251_nested_roundtrip" -> q251NestedRoundtrip,
@@ -833,6 +878,36 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q338_consistent_hashing" ->
+      """WITH ring AS (
+        |  SELECT ((((rid % 2147483647) * 48271) % 2147483647 + 1) * 16807)
+        |    % 2147483647 * 100 + rid AS pos
+        |  FROM (SELECT CAST(u.r AS BIGINT) AS rid
+        |        FROM unnest(range(0, 68)) u(r))),
+        |a AS (SELECT list_sort(list(pos)) AS arr FROM ring),
+        |keys AS (
+        |  SELECT ((((o_orderkey % 2147483647) * 48271) % 2147483647 + 1)
+        |    * 16807) % 2147483647 * 100 + 99 AS h
+        |  FROM orders),
+        |sc AS (
+        |  SELECT COALESCE(list_min(list_filter(arr, e -> e >= h)), arr[1]) AS sp
+        |  FROM keys, a),
+        |nd AS (SELECT (sp % 100) // 4 AS node, (sp % 100) >= 64 AS moved
+        |       FROM sc),
+        |loads AS (SELECT node, COUNT(*) AS ld FROM nd GROUP BY 1),
+        |la AS (SELECT MAX(ld) AS max_load, MIN(ld) AS min_load,
+        |         COUNT(*) AS n_nodes FROM loads),
+        |agg AS (SELECT COUNT(*) AS n_keys,
+        |          SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS n_moved FROM nd)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_moved AS BIGINT) AS n_moved,
+        |  ROUND(CAST(n_moved AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+        |    AS moved_frac,
+        |  ROUND(CAST('4.0' AS DOUBLE) / CAST('68.0' AS DOUBLE), 6) AS ideal_frac,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(max_load AS BIGINT) AS max_load,
+        |  CAST(min_load AS BIGINT) AS min_load
+        |FROM agg, la""".stripMargin,
     "q330_bloom_fpr" ->
       """WITH members AS (SELECT p_partkey AS k FROM part),
         |bits AS (

@@ -1099,16 +1099,23 @@ object Stats {
     * integer epoch-second midpoint.
     */
   def q333Psi: Q = (s, d) => {
-    val dec6 = DecimalType(18, 6)
     val ev = Tables.events(s, d)
       .select(epochSec(col("ts2")).as("t"), dec(col("value")).as("v"))
     val rng = ev.agg(expr("(MIN(t) + MAX(t)) div 2").as("mid"))
-    val binned = ev.crossJoin(broadcast(rng))
+    psiReport(ev.crossJoin(broadcast(rng))
       .select(least(lit(9L), expr("CAST(v * 100 AS BIGINT) div 3300")).as("bin"),
         (col("t") >= col("mid")).as("cur"))
       .groupBy(col("bin"))
       .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("nb"),
-        sum(when(col("cur"), 1L).otherwise(0L)).as("nc"))
+        sum(when(col("cur"), 1L).otherwise(0L)).as("nc")))
+  }
+
+  /** The PSI report from a (bin, nb, nc) count summary — the mergeable
+    * state q337's streaming fold relies on (bin×half counts of disjoint
+    * row sets merge by per-cell sum).
+    */
+  private[graft] def psiReport(binned: DataFrame): DataFrame = {
+    val dec6 = DecimalType(18, 6)
     val tot = binned.agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
     val p = (col("nb") + 1L).cast("double") / (col("tb") + 10L).cast("double")
     val q = (col("nc") + 1L).cast("double") / (col("tc") + 10L).cast("double")
@@ -1130,6 +1137,59 @@ object Stats {
         when(col("bin") === -1L, col("psi")).otherwise(lit(null).cast("double"))
           .as("psi"))
       .orderBy(col("bin"))
+  }
+
+  /** Q340: stratified average treatment effect — q327's matching question
+    * answered by STRATIFICATION instead: orders bucketed by total price
+    * (500.00-wide strata), the per-stratum treated-vs-control line-count
+    * difference weighted by stratum mass over the strata holding BOTH
+    * arms, reported against the confounded naive difference. The other
+    * standard observational estimator, one aggregate instead of a join —
+    * the cheaper tool when strata are dense.
+    *
+    * Determinism: per-stratum terms are integer-exact ratios 6-dp-rounded
+    * into dec6 before the exact weighted sum; coverage counts are plain
+    * integers.
+    */
+  def q340StratifiedAte: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val items = Tables(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("y"))
+    val ord = Tables(s, d, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderpriority") === "1-URGENT").as("tr"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+    val strata = ord
+      .groupBy(expr("cents div 50000").as("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("tr"), col("y")).otherwise(0L)).as("syt"),
+        sum(when(!col("tr"), col("y")).otherwise(0L)).as("syc"))
+    val used = strata.filter(col("nt") > 0L && col("nt") < col("n"))
+    val nUsed = used.agg(sum(col("n")).as("nu"),
+      count(lit(1)).as("k_used"))
+    val terms = used.crossJoin(broadcast(nUsed))
+      .select(round(col("n").cast("double") / col("nu").cast("double")
+        * (col("syt").cast("double") / col("nt").cast("double")
+          - col("syc").cast("double") / (col("n") - col("nt")).cast("double")), 6)
+        .cast(dec6).as("c6"))
+      .agg(sum(col("c6")).cast("double").as("ate"))
+    val glob = ord.agg(count(lit(1)).as("n"),
+      sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("tr"), col("y")).otherwise(0L)).as("syt"),
+      sum(when(!col("tr"), col("y")).otherwise(0L)).as("syc"))
+    val kAll = strata.agg(count(lit(1)).as("k_all"))
+    glob.crossJoin(broadcast(terms)).crossJoin(broadcast(nUsed))
+      .crossJoin(broadcast(kAll))
+      .select(big(col("n")).as("n_orders"), big(col("nt")).as("n_treated"),
+        round(col("syt").cast("double") / col("nt").cast("double")
+          - col("syc").cast("double") / (col("n") - col("nt")).cast("double"), 6)
+          .as("naive_diff"),
+        big(col("k_all")).as("n_strata"), big(col("k_used")).as("n_strata_used"),
+        round(col("nu").cast("double") / col("n").cast("double"), 6)
+          .as("coverage"),
+        round(col("ate"), 6).as("ate_strat"))
   }
 
   /** Q334: Cohen's d effect sizes for every event-type pair — the
@@ -1999,6 +2059,7 @@ object Stats {
     "q332_kfold_cv" -> q332KfoldCv,
     "q333_psi" -> q333Psi,
     "q334_cohens_d" -> q334CohensD,
+    "q340_stratified_ate" -> q340StratifiedAte,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -2372,6 +2433,42 @@ object Stats {
         |         - CAST('2.0' AS DOUBLE))), 6) AS cohens_d
         |FROM mom a JOIN mom b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q340_stratified_ate" ->
+      """WITH items AS (SELECT l_orderkey, COUNT(*) AS y
+        |               FROM lineitem GROUP BY 1),
+        |ord AS (
+        |  SELECT o_orderkey, o_orderpriority = '1-URGENT' AS tr,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+        |    y
+        |  FROM orders JOIN items ON o_orderkey = l_orderkey),
+        |strata AS (
+        |  SELECT cents // 50000 AS stratum, COUNT(*) AS n,
+        |    SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN tr THEN y ELSE 0 END) AS syt,
+        |    SUM(CASE WHEN NOT tr THEN y ELSE 0 END) AS syc
+        |  FROM ord GROUP BY 1),
+        |used AS (SELECT * FROM strata WHERE nt > 0 AND nt < n),
+        |nu AS (SELECT SUM(n) AS nu, COUNT(*) AS k_used FROM used),
+        |terms AS (
+        |  SELECT CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) / CAST(nu AS DOUBLE)
+        |    * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |       - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS ate
+        |  FROM used, nu),
+        |g2 AS (
+        |  SELECT COUNT(*) AS n, SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN tr THEN y ELSE 0 END) AS syt,
+        |    SUM(CASE WHEN NOT tr THEN y ELSE 0 END) AS syc
+        |  FROM ord),
+        |ka AS (SELECT COUNT(*) AS k_all FROM strata)
+        |SELECT CAST(n AS BIGINT) AS n_orders, CAST(nt AS BIGINT) AS n_treated,
+        |  ROUND(CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE), 6) AS naive_diff,
+        |  CAST(k_all AS BIGINT) AS n_strata,
+        |  CAST(k_used AS BIGINT) AS n_strata_used,
+        |  ROUND(CAST(nu AS DOUBLE) / CAST(n AS DOUBLE), 6) AS coverage,
+        |  ROUND(ate, 6) AS ate_strat
+        |FROM g2, terms, nu, ka""".stripMargin,
     "q327_att_matching" ->
       """WITH items AS (SELECT l_orderkey, COUNT(*) AS y
         |               FROM lineitem GROUP BY 1),

@@ -1572,7 +1572,50 @@ object Text {
       .limit(20)
   }
 
+  /** Q339: Zipf slope of the token frequency distribution — OLS fit of
+    * ln(freq) against ln(rank) over the top-1000 tokens (natural text
+    * sits near −1; templated/synthetic text drifts shallow). The corpus-
+    * statistics fingerprint a data-quality dashboard tracks per source
+    * snapshot, next to q309's lexical diversity.
+    *
+    * Determinism: both logs are 6-dp-rounded into dec6 per point (the
+    * q221 log discipline), all five OLS moments are EXACT decimal sums —
+    * the (38,12) products stay below 2⁵³ scaled, so the double casts are
+    * exactly correct in both engines — and slope/intercept/R² are one
+    * fixed IEEE tree.
+    *
+    * Scale shape: one token count (map-side combined), one TakeOrdered
+    * top-1000, a rank window over those 1000 rows only, one reduction.
+    */
+  def q339ZipfSlope: Q = (s, d) => {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val freq = Tables(s, d, "documents").select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("token")).limit(1000)
+    val w = Window.orderBy(col("f").desc, col("token"))
+    val pts = freq.withColumn("r", row_number().over(w).cast("long"))
+      .select(round(log(col("r").cast("double")), 6).cast(dec6).as("x"),
+        round(log(col("f").cast("double")), 6).cast(dec6).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast(dec38).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast(dec38).cast("double").as("sxy"),
+      sum(col("y") * col("y")).cast(dec38).cast("double").as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val slope = num / den
+    m.select(big(col("n")).as("n_tokens"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / nD, 6).as("intercept"),
+      round(num * num / (den * (nD * col("syy") - col("sy") * col("sy"))), 6)
+        .as("r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q339_zipf_slope" -> q339ZipfSlope,
     "q272_fuzzy_join_capped" -> q272FuzzyJoinCapped,
     "q262_fuzzy_dedup_clusters" -> q262FuzzyDedupClusters,
     "q261_greedy_maxcover" -> q261GreedyMaxcover,
@@ -1660,6 +1703,36 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q339_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT token, COUNT(*) AS f FROM (
+        |    SELECT u.t AS token FROM documents, unnest(string_split(text, ' ')) AS u(t))
+        |  WHERE token <> ''
+        |  GROUP BY token ORDER BY f DESC, token LIMIT 1000),
+        |pts AS (
+        |  SELECT
+        |    CAST(ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token)
+        |      AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(LN(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM f),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(x * x) AS DECIMAL(38,12)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(x * y) AS DECIMAL(38,12)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(y * y) AS DECIMAL(38,12)) AS DOUBLE) AS syy
+        |  FROM pts)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+        |    / CAST(n AS DOUBLE), 6) AS intercept,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    * (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin,
     "q272_fuzzy_join_capped" ->
       """WITH nm AS (
         |  SELECT doc_id AS k, substring(text, 1, 40) AS nm,

@@ -1607,7 +1607,56 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q337: streaming PSI monitor — q333's population-stability index
+    * folded over a micro-batched events feed. The baseline/current time
+    * midpoint is fixed FIRST from the static relation (monitoring always
+    * measures against a declared baseline window); per batch, the
+    * (bin × half) counts land in an idempotent `batch=<id>` sink and
+    * merge by per-cell sum at drain, where the exact q333 report (with
+    * its Laplace smoothing and 6-dp log contributions) runs once. Shares
+    * q333's oracle verbatim — the slicing must be invisible. The shape a
+    * score-drift pager actually runs: per-batch state is ≤10 bins × 2
+    * integers.
+    */
+  def q337StreamPsi: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(graft.Dsl.epochSec(col("ts2")).as("t"),
+        graft.Dsl.dec(col("value")).as("v"))
+    val mid = ev.agg(expr("(MIN(t) + MAX(t)) div 2").as("mid"))
+      .head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q337_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            batch.toDF()
+              .select(least(lit(9L), expr("CAST(v * 100 AS BIGINT) div 3300"))
+                .as("bin"), (col("t") >= lit(mid)).as("cur"))
+              .groupBy(col("bin"))
+              .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("nb"),
+                sum(when(col("cur"), 1L).otherwise(0L)).as("nc"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        graft.operators.Stats.psiReport(
+          s.read.parquet(sumDir)
+            .groupBy(col("bin"))
+            .agg(sum(col("nb")).cast("long").as("nb"),
+              sum(col("nc")).cast("long").as("nc"))))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q337_stream_psi" -> q337StreamPsi,
     "q329_stream_srm" -> q329StreamSrm,
     "q326_stream_fd" -> q326StreamFd,
     "q320_stream_kappa" -> q320StreamKappa,
@@ -1722,6 +1771,10 @@ object Windows {
     // q329 shares q323's oracle verbatim (arm counts merge additively)
     "q329_stream_srm" ->
       graft.operators.Stats.oracles("q323_srm"),
+    // q337 shares q333's oracle verbatim (bin-half counts merge additively
+    // against the same fixed integer midpoint)
+    "q337_stream_psi" ->
+      graft.operators.Stats.oracles("q333_psi"),
     // q284 shares q204's oracle verbatim (additive digit counts merge
     // exactly at any trigger slicing)
     "q288_stream_funnel" ->

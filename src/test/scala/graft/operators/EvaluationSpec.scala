@@ -128,6 +128,37 @@ class EvaluationSpec extends SparkSpec {
       "weighted and unweighted kappa identical everywhere — weights vacuous")
   }
 
+  test("q336 feature AUC scan: per-feature AUCs match pairwise replays; value row equals q190") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(graft.Dsl.epochSec(col("ts2")), col("user_id"), col("value"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4), r.getString(3) == "purchase"))
+    def pairAuc(scores: Seq[(BigDecimal, Boolean)]): Double = {
+      val pos = scores.filter(_._2).map(_._1)
+      val neg = scores.filterNot(_._2).map(_._1)
+      var conc = 0L; var ties = 0L
+      for (p <- pos; n <- neg) { if (p > n) conc += 1 else if (p == n) ties += 1 }
+      (conc.toDouble + ties.toDouble / 2.0) / (pos.length.toDouble * neg.length)
+    }
+    val feats: Map[String, Seq[(BigDecimal, Boolean)]] = Map(
+      "day_of_week" -> ev.map(e => (BigDecimal(e._1 / 86400 % 7), e._4)).toSeq,
+      "hour_of_day" -> ev.map(e => (BigDecimal(e._1 / 3600 % 24), e._4)).toSeq,
+      "user_bucket" -> ev.map(e => (BigDecimal(e._2 % 16), e._4)).toSeq,
+      "value" -> ev.map(e => (e._3, e._4)).toSeq)
+    val got = Evaluation.q336FeatureAucScan(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(5))).toMap
+    assert(got.keySet === feats.keySet)
+    feats.foreach { case (name, scores) =>
+      assert(math.abs(got(name) - pairAuc(scores)) < 2e-6, s"$name auc")
+    }
+    val q190 = Evaluation.q190Auc(spark, sf0001).head().getDouble(4)
+    assert(got("value") === q190, "value row must equal the q190 AUC exactly")
+    assert(got.values.toSeq.distinct.length > 1,
+      "every feature scored identically — scan vacuous")
+    assert(got.values.forall(a => a >= 0.0 && a <= 1.0))
+  }
+
   test("q316 mcnemar: discordant counts and statistic equal a paired replay") {
     val docs = graft.Tables(spark, sf0001, "documents")
       .select(col("lang"), col("text")).collect()

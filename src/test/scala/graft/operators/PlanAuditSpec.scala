@@ -104,6 +104,8 @@ class PlanAuditSpec extends SparkSpec {
     "q331_two_proportion_z", // 1-row pooled-total broadcast against the 5-segment summary
     "q333_psi", // 1-row midpoint + totals broadcasts against the 10-bin grid, 1-row psi attach
     "q334_cohens_d", // 5-row moment summary pairwise self-join (bounded type domain, q297's shape)
+    "q338_consistent_hashing", // 1-row sorted-ring-array broadcast onto the key scan + 1-row load summary
+    "q340_stratified_ate", // 1-row used-strata totals/terms broadcasts composing the single report row
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -130,7 +132,9 @@ class PlanAuditSpec extends SparkSpec {
     "q285_dup_growth" -> "cumsum over the bounded source-rank grid (~20 rows at any volume), never the documents",
     "q296_isotonic_calibration" -> "cumsum over the <=20-row bin summary, never the events",
     "q305_voptimal_histogram" -> "cumulative moments over the <=20-row bin summary, never the events",
-    "q312_quantile_normalization" -> "pooled cumsum over the bounded distinct-length summary (q138's count-of-counts argument), never the documents")
+    "q312_quantile_normalization" -> "pooled cumsum over the bounded distinct-length summary (q138's count-of-counts argument), never the documents",
+    "q336_feature_auc_scan" -> "q190's cumsum over each bounded (feature value -> counts) summary (value domains: 7/24/16 buckets and the 2-decimal score grid), never the rows",
+    "q339_zipf_slope" -> "rank window over the TakeOrdered-bounded 1000-row top-token relation, never the token stream")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

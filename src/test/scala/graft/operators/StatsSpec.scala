@@ -1117,4 +1117,43 @@ class StatsSpec extends SparkSpec {
     assert(got.values.exists(v => math.abs(v._5) > 0.01),
       "every effect negligible — vacuous")
   }
+
+  test("q340 stratified ATE: per-stratum weighting matches a replay and de-confounds vs naive") {
+    val items = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ord = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .flatMap { r =>
+        items.get(r.getLong(0)).map { y =>
+          val cents = (BigDecimal(r.getDouble(2)).setScale(4) * 100).toLongExact
+          (r.getString(1) == "1-URGENT", cents / 50000, y)
+        }
+      }
+    val strata = ord.groupBy(_._2)
+    val used = strata.filter { case (_, g) =>
+      val nt = g.count(_._1); nt > 0 && nt < g.length
+    }
+    val nu = used.values.map(_.length.toLong).sum
+    var ate6 = BigDecimal(0)
+    used.values.foreach { g =>
+      val t = g.filter(_._1); val c = g.filterNot(_._1)
+      val term = g.length.toDouble / nu *
+        (t.map(_._3).sum.toDouble / t.length - c.map(_._3).sum.toDouble / c.length)
+      ate6 += BigDecimal(term).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val nt = ord.count(_._1).toLong
+    val naive = ord.filter(_._1).map(_._3).sum.toDouble / nt -
+      ord.filterNot(_._1).map(_._3).sum.toDouble / (ord.length - nt)
+    val r = Stats.q340StratifiedAte(spark, sf0001).head()
+    assert(r.getLong(0) === ord.length.toLong && r.getLong(1) === nt)
+    assert(math.abs(r.getDouble(2) - naive) < 1e-6, "naive")
+    assert(r.getLong(3) === strata.size.toLong)
+    assert(r.getLong(4) === used.size.toLong)
+    assert(math.abs(r.getDouble(5) - nu.toDouble / ord.length) < 1e-6)
+    assert(math.abs(r.getDouble(6) - ate6.toDouble) < 2e-6, "ate")
+    assert(used.nonEmpty && used.size < strata.size,
+      "every stratum two-armed or none — coverage accounting vacuous")
+  }
 }

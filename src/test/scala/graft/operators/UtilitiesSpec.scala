@@ -910,6 +910,65 @@ class UtilitiesSpec extends SparkSpec {
       "all coefficients identical — ordering untested")
   }
 
+  test("q338 consistent hashing: successor assignment, moved set and loads match a ring replay") {
+    val p = 2147483647L
+    def mh(x: Long): Long = (((x % p) * 48271L % p) + 1L) * 16807L % p
+    val ring = (0L until 68L).map(rid => mh(rid) * 100L + rid).sorted
+    val keys = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey").collect().map(r => mh(r.getLong(0)) * 100L + 99L)
+    val succ = keys.map(h => ring.find(_ >= h).getOrElse(ring.head))
+    val nodes = succ.map(sp => (sp % 100) / 4)
+    val moved = succ.count(sp => sp % 100 >= 64).toLong
+    val loads = nodes.groupBy(identity).view.mapValues(_.length.toLong)
+    val r = Extras.q338ConsistentHashing(spark, sf0001).head()
+    assert(r.getLong(0) === keys.length.toLong)
+    assert(r.getLong(1) === moved, "moved count")
+    assert(math.abs(r.getDouble(2) - moved.toDouble / keys.length) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 4.0 / 68.0) < 1e-6)
+    assert(r.getLong(4) === loads.size.toLong, "node count")
+    assert(r.getLong(5) === loads.values.max && r.getLong(6) === loads.values.min)
+    assert(moved > 0, "new node claimed nothing — vacuous")
+    // minimal disruption: keys NOT assigned to the new node keep their
+    // old-ring successor
+    val oldRing = (0L until 64L).map(rid => mh(rid) * 100L + rid).sorted
+    keys.zip(succ).foreach { case (h, sp) =>
+      if (sp % 100 < 64) {
+        val old = oldRing.find(_ >= h).getOrElse(oldRing.head)
+        assert(old === sp, "a non-moved key changed successor — not consistent")
+      }
+    }
+  }
+
+  test("q339 zipf slope: OLS over rounded logs matches a replay; slope negative") {
+    val toks = Tables(spark, sf0001, "documents")
+      .select($"text").collect().flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val top = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(1000)
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (r6(math.log((i + 1).toDouble)), r6(math.log(f.toDouble)))
+    }
+    val n = pts.length
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(t => t._1 * t._1).sum.toDouble
+    val sxy = pts.map(t => t._1 * t._2).sum.toDouble
+    val syy = pts.map(t => t._2 * t._2).sum.toDouble
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slope = num / den
+    val r = graft.operators.Text.q339ZipfSlope(spark, sf0001).head()
+    assert(r.getLong(0) === n.toLong)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5, "slope")
+    assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-4, "intercept")
+    assert(math.abs(r.getDouble(3) - num * num / (den * (n * syy - sy * sy))) < 1e-5)
+    assert(r.getDouble(1) < 0, "token frequencies not decreasing in rank — vacuous")
+    // the synthetic corpus is a near-uniform vocab (shallow slope, weak
+    // fit): pin only that the fit is non-degenerate, not natural-text -1
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("q330 bloom FPR: bit set, probe verdicts and prediction match an exact replay") {
     val p = 2147483647L
     val mults = Seq(48271L, 69621L, 40692L, 62089L)

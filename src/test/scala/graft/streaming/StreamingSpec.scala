@@ -376,6 +376,23 @@ class StreamingSpec extends SparkSpec {
     assert(spans > 0, "no confusion cell spans two slices — merge untested")
   }
 
+  test("q337 streaming PSI equals q333's batch report against the same fixed midpoint") {
+    val batch = graft.operators.Stats.q333Psi(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val stream = Windows.q337StreamPsi(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty && stream === batch,
+      "drained merge of per-batch bin-half counts diverged from the batch PSI")
+    // a bin must span feed partitions or the per-cell merge never ran
+    val parts = graft.Tables.events(spark, sf0001)
+      .select(graft.Dsl.dec(col("value")).as("v")).repartition(3).rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        it.map(r => (i, (r.getDecimal(0).doubleValue() * 100).toLong / 3300))
+      }.collect()
+    assert(parts.groupBy(_._2).values.exists(g => g.map(_._1).distinct.length > 1),
+      "no score bin spans two feed partitions — merge untested")
+  }
+
   test("q329 streaming SRM equals q323's batch report; arm counts necessarily merge") {
     val batch = graft.operators.Stats.q323Srm(spark, sf0001)
       .collect().map(_.toSeq).toSeq
