@@ -859,7 +859,46 @@ object Graph {
       .limit(20)
   }
 
+  /** Q343: reciprocal best match — item pairs that are EACH OTHER's top
+    * cosine neighbor in the q218 co-purchase model (rank-1 both ways,
+    * the standard high-precision pairing rule in entity matching and
+    * bilingual-lexicon induction: one-sided top-1 lists are noisy, the
+    * mutual constraint filters them to near-certain matches).
+    *
+    * Scale shape: q218's bounded co-occurrence model; the top-1 window
+    * partitions per item; the mutuality check is one self-join on the
+    * (item → best) relation — rows ∝ items, never pairs².
+    */
+  def q343MutualTop1: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val pairs = graft.Checkpoints.materializeCached(
+      items.select(col("o"), col("item").as("u"))
+        .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co")))
+    val deg = items.groupBy(col("item")).agg(count(lit(1)).as("dg"))
+    val sym = pairs.select(col("u").as("i"), col("v").as("j"), col("co"))
+      .union(pairs.select(col("v"), col("u"), col("co")))
+    val scored = sym
+      .join(deg.select(col("item").as("i"), col("dg").as("di")), Seq("i"))
+      .join(deg.select(col("item").as("j"), col("dg").as("dj")), Seq("j"))
+      .withColumn("cos", round(col("co").cast("double")
+        / sqrt((col("di") * col("dj")).cast("double")), 6))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("i"), col("j"), col("co"), col("cos"))
+    best.filter(col("i") < col("j"))
+      .join(best.select(col("j").as("i"), col("i").as("j")), Seq("i", "j"),
+        "left_semi")
+      .select(big(col("i")).as("item_a"), big(col("j")).as("item_b"),
+        big(col("co")).as("co_orders"), col("cos"))
+      .orderBy(col("item_a"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q343_mutual_top1" -> q343MutualTop1,
     "q322_link_prediction" -> q322LinkPrediction,
     "q314_local_clustering" -> q314LocalClustering,
     "q278_label_propagation" -> q278LabelPropagation,
@@ -1059,6 +1098,32 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q343_mutual_top1" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |pe AS MATERIALIZED (
+        |  SELECT a.item AS u, b.item AS v, COUNT(*) AS co
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT u AS i, v AS j, co FROM pe
+        |        UNION ALL SELECT v, u, co FROM pe),
+        |deg AS MATERIALIZED (
+        |  SELECT item, COUNT(*) AS dg FROM items GROUP BY 1),
+        |scored AS (
+        |  SELECT i, j, co,
+        |    ROUND(CAST(co AS DOUBLE)
+        |      / SQRT(CAST(a.dg * b.dg AS DOUBLE)), 6) AS cos
+        |  FROM sym JOIN deg a ON sym.i = a.item JOIN deg b ON sym.j = b.item),
+        |best AS MATERIALIZED (
+        |  SELECT i, j, co, cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+        |      ORDER BY cos DESC, j) AS rn FROM scored)
+        |  WHERE rn = 1)
+        |SELECT CAST(i AS BIGINT) AS item_a, CAST(j AS BIGINT) AS item_b,
+        |  CAST(co AS BIGINT) AS co_orders, cos
+        |FROM best b WHERE i < j
+        |  AND EXISTS (SELECT 1 FROM best m WHERE m.i = b.j AND m.j = b.i)
+        |ORDER BY item_a""".stripMargin,
     "q322_link_prediction" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),

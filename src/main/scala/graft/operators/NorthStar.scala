@@ -1830,7 +1830,34 @@ object NorthStar {
       .orderBy(col("lang"))
   }
 
+  /** Q345: Efraimidis–Spirakis weighted top-k sample WITHOUT replacement —
+    * the one-pass distributed answer to "give me exactly 100 docs, long
+    * docs proportionally more likely": each doc draws the deterministic
+    * MINSTD uniform u ∈ (0,1] and keeps key = ln(u)/w (monotone with the
+    * A-ES u^(1/w)); the global top-100 keys ARE the without-replacement
+    * weighted sample. q100's Bernoulli keep gives a RANDOM-SIZED sample;
+    * this gives an exact-size one — the distinction that matters when
+    * the budget is fixed.
+    *
+    * Determinism: u is the portable 31-bit hash shifted to (0,1] by one
+    * exact double division; keys are 6-dp-rounded before ranking with a
+    * doc_id tiebreak; selection is one TakeOrdered — no window, no
+    * shuffle beyond top-k.
+    */
+  def q345WeightedReservoir: Q = (s, d) => {
+    val p = 2147483647L
+    val h = pmod((pmod(pmod(col("doc_id"), lit(p)) * 48271L, lit(p)) + 1L)
+      * 16807L, lit(p))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(log((h + 1L).cast("double") / lit(2147483648.0))
+          / col("n_chars").cast("double"), 6).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q345_weighted_reservoir" -> q345WeightedReservoir,
     "q283_decontam_sensitivity" -> q283DecontamSensitivity,
     "q285_dup_growth" -> q285DupGrowth,
     "q286_curation_dashboard" -> q286CurationDashboard,
@@ -1947,6 +1974,13 @@ object NorthStar {
   }
 
   val oracles: Map[String, String] = Map(
+    "q345_weighted_reservoir" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ROUND(LN(CAST(((((doc_id % 2147483647) * 48271) % 2147483647 + 1)
+        |      * 16807) % 2147483647 + 1 AS DOUBLE)
+        |    / CAST('2147483648.0' AS DOUBLE))
+        |    / CAST(n_chars AS DOUBLE), 6) AS es_key
+        |FROM documents ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
     "q283_decontam_sensitivity" -> decontamSensSql,
     "q286_curation_dashboard" ->
       """WITH toks AS (SELECT doc_id, source, n_chars,

@@ -1192,6 +1192,141 @@ object Stats {
         round(col("ate"), 6).as("ate_strat"))
   }
 
+  /** Q341: group-sequential monitoring with O'Brien–Fleming boundaries —
+    * the interim-analysis discipline: the experiment (portable-hash
+    * 50/50 arms, outcome = order has ≥4 line items) is peeked at five
+    * calendar looks, each with the cumulative pooled two-proportion z
+    * against the OBF boundary 2.04·√(K/k), which spends almost no alpha
+    * early. Under this null experiment (arms independent of outcome by
+    * construction) NO look should cross — the no-false-stop property the
+    * spec pins; a naive fixed 1.96 at every look would false-stop ~14%
+    * of the time.
+    *
+    * Scale shape: looks are CALENDAR spans (integer arithmetic on the
+    * date range — no global row window); one (look × arm) aggregate,
+    * cumulative sums over the 5-row collapse, one fixed IEEE tree per
+    * look.
+    */
+  def q341GroupSequential: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ly"))
+    val ord = Tables(s, d, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("t"))
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("t"), (col("ly") >= 4L).as("y"),
+        (TrainingOps.portableBucket(col("o_orderkey")) % 2 === 0).as("armA"))
+    val rng = ord.agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val looks = ord.crossJoin(broadcast(rng))
+      .select(least(lit(4L), (lit(5L) * (col("t") - col("t0")))
+        .cast("long") / (col("t1") - col("t0") + 1L)).cast("long").as("lk"),
+        col("y"), col("armA"))
+      .groupBy(col("lk"))
+      .agg(sum(when(col("armA"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("armA"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("armA") && col("y"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("armA") && col("y"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("lk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = looks.select((col("lk") + 1L).as("k"),
+      sum(col("na")).over(w).as("na"), sum(col("nb")).over(w).as("nb"),
+      sum(col("ca")).over(w).as("ca"), sum(col("cb")).over(w).as("cb"))
+    val p1 = col("ca").cast("double") / col("na").cast("double")
+    val p2 = col("cb").cast("double") / col("nb").cast("double")
+    val pp = (col("ca") + col("cb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double")))
+    val bd = lit(2.04) * sqrt(lit(5.0) / col("k").cast("double"))
+    cum.select(big(col("k")).as("look"), big(col("na")).as("n_a"),
+      big(col("nb")).as("n_b"), big(col("ca")).as("conv_a"),
+      big(col("cb")).as("conv_b"),
+      round((p1 - p2) / se, 6).as("z"),
+      round(bd, 6).as("boundary"),
+      (abs(round((p1 - p2) / se, 6)) > round(bd, 6)).as("crossed"))
+      .orderBy(col("look"))
+  }
+
+  /** Q342: Mann–Kendall trend test — is hourly traffic monotonically
+    * trending, per event type, judged nonparametrically? S sums the
+    * signs of all hour-pair count differences (EXACT integers over the
+    * bounded hourly collapse — never the events), the variance carries
+    * the full tie correction, and the continuity-corrected z flags
+    * trends at 1.96. The test a capacity-planning review runs where
+    * q279's Theil–Sen gives the slope.
+    *
+    * Scale shape: the pair join is hourly-summary × hourly-summary per
+    * type (time-span bounded, the q297 argument); everything else is
+    * keyed aggregates.
+    */
+  def q342MannKendall: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val a = hourly.select(col("event_type"), col("h").as("h1"), col("c").as("c1"))
+    val b = hourly.select(col("event_type"), col("h").as("h2"), col("c").as("c2"))
+    val sRel = a.join(b, Seq("event_type"))
+      .filter(col("h1") < col("h2"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum((col("c2") - col("c1")).cast("double")).cast("long"))
+        .as("sS"))
+    val nRel = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ties = hourly.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .cast("long").as("tsum"))
+    val vr = (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
+      - col("tsum")).cast("double") / lit(18.0)
+    val z = when(col("sS") > 0L, (col("sS") - 1L).cast("double") / sqrt(vr))
+      .when(col("sS") < 0L, (col("sS") + 1L).cast("double") / sqrt(vr))
+      .otherwise(lit(0.0))
+    sRel.join(nRel, Seq("event_type")).join(ties, Seq("event_type"))
+      .select(col("event_type"), big(col("n")).as("n_hours"),
+        big(col("sS")).as("s"),
+        round(vr, 6).as("var_s"),
+        round(z, 6).as("z"),
+        (abs(round(z, 6)) > lit(1.96)).as("trending"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q344: quantile treatment effects — the q340 ATE question asked at
+    * every decile: urgent vs non-urgent order-value distributions
+    * compared at d10…d90 (10.00-resolution value buckets, declared), the
+    * readout that shows WHERE in the distribution a treatment acts when
+    * the mean hides it.
+    *
+    * Scale shape: per-arm cumulative windows run over the bounded
+    * (arm × 10.00-bucket) collapse — bounded by the price domain, not
+    * rows (the q312 decile-pick discipline) — and the 9 deciles join on
+    * the 9-row broadcast.
+    */
+  def q344Qte: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .select((col("o_orderpriority") === "1-URGENT").as("tr"),
+        ((dec(col("o_totalprice")) * 100).cast("long") / 1000L).cast("long")
+          .as("b"))
+      .groupBy(col("tr"), col("b")).agg(count(lit(1)).as("c"))
+    val decs = s.range(1, 10).toDF("dd")
+    val w = Window.partitionBy(col("tr")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ord.select(col("tr"), col("b"), sum(col("c")).over(w).as("cum"))
+    val tot = ord.groupBy(col("tr")).agg(sum(col("c")).as("n"))
+    val qs = cum.join(broadcast(tot), Seq("tr"))
+      .crossJoin(broadcast(decs))
+      .filter(col("cum") * 10L >= col("dd") * col("n"))
+      .groupBy(col("tr"), col("dd"))
+      .agg(min(col("b")).as("qb"))
+    val t = qs.filter(col("tr")).select(col("dd"), col("qb").as("qt"))
+    val c = qs.filter(!col("tr")).select(col("dd"), col("qb").as("qc"))
+    t.join(c, Seq("dd"))
+      .select(big(col("dd")).as("decile"),
+        round(col("qt").cast("double") * 10.0, 2).as("q_treated"),
+        round(col("qc").cast("double") * 10.0, 2).as("q_control"),
+        round((col("qt") - col("qc")).cast("double") * 10.0, 2).as("qte"))
+      .orderBy(col("decile"))
+  }
+
   /** Q334: Cohen's d effect sizes for every event-type pair — the
     * magnitude companion to q297's KS decision: pooled-SD standardized
     * mean difference from EXACT decimal moments (2-dp values → 4-dp
@@ -2060,6 +2195,9 @@ object Stats {
     "q333_psi" -> q333Psi,
     "q334_cohens_d" -> q334CohensD,
     "q340_stratified_ate" -> q340StratifiedAte,
+    "q341_group_sequential" -> q341GroupSequential,
+    "q342_mann_kendall" -> q342MannKendall,
+    "q344_qte" -> q344Qte,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -2433,6 +2571,118 @@ object Stats {
         |         - CAST('2.0' AS DOUBLE))), 6) AS cohens_d
         |FROM mom a JOIN mom b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q341_group_sequential" ->
+      """WITH items AS (SELECT l_orderkey, COUNT(*) AS ly
+        |               FROM lineitem GROUP BY 1),
+        |ord AS (
+        |  SELECT o_orderkey,
+        |    CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS t,
+        |    ly >= 4 AS y,
+        |    ((((o_orderkey % 2147483647) * 48271) % 2147483647 + 1)
+        |     * 16807) % 2147483647 % 10000 % 2 = 0 AS arma
+        |  FROM orders JOIN items ON o_orderkey = l_orderkey),
+        |rng AS (SELECT MIN(t) AS t0, MAX(t) AS t1 FROM ord),
+        |lk AS (
+        |  SELECT LEAST(4, 5 * (t - t0) // (t1 - t0 + 1)) AS lk, y, arma
+        |  FROM ord, rng),
+        |looks AS (
+        |  SELECT lk,
+        |    SUM(CASE WHEN arma THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN NOT arma THEN 1 ELSE 0 END) AS nb,
+        |    SUM(CASE WHEN arma AND y THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN NOT arma AND y THEN 1 ELSE 0 END) AS cb
+        |  FROM lk GROUP BY 1),
+        |cum AS (
+        |  SELECT lk + 1 AS k,
+        |    SUM(na) OVER w AS na, SUM(nb) OVER w AS nb,
+        |    SUM(ca) OVER w AS ca, SUM(cb) OVER w AS cb
+        |  FROM looks
+        |  WINDOW w AS (ORDER BY lk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(k AS BIGINT) AS look, CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b, CAST(ca AS BIGINT) AS conv_a,
+        |  CAST(cb AS BIGINT) AS conv_b,
+        |  ROUND((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / SQRT((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE)
+        |         - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE) / CAST(na AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS z,
+        |  ROUND(CAST('2.04' AS DOUBLE)
+        |    * SQRT(CAST('5.0' AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS boundary,
+        |  ABS(ROUND((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / SQRT((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE)
+        |         - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE) / CAST(na AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE) / CAST(nb AS DOUBLE))), 6))
+        |    > ROUND(CAST('2.04' AS DOUBLE)
+        |      * SQRT(CAST('5.0' AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS crossed
+        |FROM cum ORDER BY look""".stripMargin,
+    "q342_mann_kendall" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |srel AS (
+        |  SELECT a.event_type, CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.h < b.h
+        |  GROUP BY 1),
+        |nrel AS (SELECT event_type, COUNT(*) AS n FROM hourly GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, c, COUNT(*) AS t FROM hourly GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours, s,
+        |  ROUND(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE)
+        |    / CAST('18.0' AS DOUBLE), 6) AS var_s,
+        |  ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |      / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE)
+        |             / CAST('18.0' AS DOUBLE))
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+        |      / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE)
+        |             / CAST('18.0' AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS z,
+        |  ABS(ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |      / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE)
+        |             / CAST('18.0' AS DOUBLE))
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+        |      / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tsum AS DOUBLE)
+        |             / CAST('18.0' AS DOUBLE))
+        |    ELSE 0.0 END, 6)) > CAST('1.96' AS DOUBLE) AS trending
+        |FROM srel JOIN nrel USING (event_type) JOIN ties USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q344_qte" ->
+      """WITH ord AS (
+        |  SELECT o_orderpriority = '1-URGENT' AS tr,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      // 1000 AS b,
+        |    COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |decs AS (SELECT CAST(u.d AS BIGINT) AS dd
+        |         FROM unnest(range(1, 10)) AS u(d)),
+        |cum AS (
+        |  SELECT tr, b,
+        |    SUM(c) OVER (PARTITION BY tr ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ord),
+        |tot AS (SELECT tr, SUM(c) AS n FROM ord GROUP BY 1),
+        |qs AS (
+        |  SELECT tr, dd, MIN(b) AS qb
+        |  FROM cum JOIN tot USING (tr), decs
+        |  WHERE cum * 10 >= dd * n GROUP BY 1, 2)
+        |SELECT t.dd AS decile,
+        |  ROUND(CAST(t.qb AS DOUBLE) * CAST('10.0' AS DOUBLE), 2) AS q_treated,
+        |  ROUND(CAST(c.qb AS DOUBLE) * CAST('10.0' AS DOUBLE), 2) AS q_control,
+        |  ROUND(CAST(t.qb - c.qb AS DOUBLE) * CAST('10.0' AS DOUBLE), 2) AS qte
+        |FROM (SELECT dd, qb FROM qs WHERE tr) t
+        |JOIN (SELECT dd, qb FROM qs WHERE NOT tr) c USING (dd)
+        |ORDER BY decile""".stripMargin,
     "q340_stratified_ate" ->
       """WITH items AS (SELECT l_orderkey, COUNT(*) AS y
         |               FROM lineitem GROUP BY 1),

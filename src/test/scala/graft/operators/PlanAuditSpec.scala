@@ -106,6 +106,8 @@ class PlanAuditSpec extends SparkSpec {
     "q334_cohens_d", // 5-row moment summary pairwise self-join (bounded type domain, q297's shape)
     "q338_consistent_hashing", // 1-row sorted-ring-array broadcast onto the key scan + 1-row load summary
     "q340_stratified_ate", // 1-row used-strata totals/terms broadcasts composing the single report row
+    "q341_group_sequential", // 1-row date-range broadcast assigning calendar looks
+    "q344_qte", // 9-row decile broadcast x bounded per-arm bucket summaries
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -134,7 +136,8 @@ class PlanAuditSpec extends SparkSpec {
     "q305_voptimal_histogram" -> "cumulative moments over the <=20-row bin summary, never the events",
     "q312_quantile_normalization" -> "pooled cumsum over the bounded distinct-length summary (q138's count-of-counts argument), never the documents",
     "q336_feature_auc_scan" -> "q190's cumsum over each bounded (feature value -> counts) summary (value domains: 7/24/16 buckets and the 2-decimal score grid), never the rows",
-    "q339_zipf_slope" -> "rank window over the TakeOrdered-bounded 1000-row top-token relation, never the token stream")
+    "q339_zipf_slope" -> "rank window over the TakeOrdered-bounded 1000-row top-token relation, never the token stream",
+    "q341_group_sequential" -> "cumulative sums over the 5-row look collapse, never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

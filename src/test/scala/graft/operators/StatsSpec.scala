@@ -1156,4 +1156,100 @@ class StatsSpec extends SparkSpec {
     assert(used.nonEmpty && used.size < strata.size,
       "every stratum two-armed or none — coverage accounting vacuous")
   }
+
+  test("q341 group sequential: cumulative looks replay; null experiment never crosses OBF") {
+    val items = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ord = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long")).collect()
+      .flatMap { r =>
+        items.get(r.getLong(0)).map { ly =>
+          (r.getLong(0), r.getLong(1), ly >= 4)
+        }
+      }
+    val t0 = ord.map(_._2).min; val t1 = ord.map(_._2).max
+    val looks = ord.map { case (k, t, y) =>
+      (math.min(4L, 5 * (t - t0) / (t1 - t0 + 1)),
+        minstdBucket(k) % 2 == 0, y)
+    }
+    val got = Stats.q341GroupSequential(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+    assert(got.map(_._1).toSeq === (1L to 5L))
+    got.foreach { case (k, na, nb, ca, cb, z, bd, crossed) =>
+      val upto = looks.filter(_._1 < k)
+      assert(na === upto.count(_._2).toLong, s"look $k na")
+      assert(nb === upto.count(!_._2).toLong, s"look $k nb")
+      assert(ca === upto.count(t => t._2 && t._3).toLong, s"look $k ca")
+      assert(cb === upto.count(t => !t._2 && t._3).toLong, s"look $k cb")
+      val p1 = ca.toDouble / na; val p2 = cb.toDouble / nb
+      val pp = (ca + cb).toDouble / (na + nb)
+      val se = math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+      assert(math.abs(z - (p1 - p2) / se) < 1e-5, s"look $k z")
+      assert(math.abs(bd - 2.04 * math.sqrt(5.0 / k)) < 1e-6, s"look $k boundary")
+      assert(crossed === (math.abs(z) > bd), s"look $k crossing")
+      assert(!crossed,
+        s"look $k false-stopped a null experiment — boundary arithmetic wrong")
+    }
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted,
+      "cumulative arm sizes must be non-decreasing")
+  }
+
+  test("q342 mann-kendall: S, tie-corrected variance and z match a pairwise replay") {
+    val hourly = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Stats.q342MannKendall(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    hourly.groupBy(_._1).foreach { case (t, g) =>
+      val pts = g.sortBy(_._2).map(_._3)
+      val n = pts.length.toLong
+      var s = 0L
+      for (i <- pts.indices; j <- i + 1 until pts.length)
+        s += java.lang.Long.signum(pts(j) - pts(i))
+      val tsum = pts.groupBy(identity).values
+        .map { v => val tl = v.length.toLong; tl * (tl - 1) * (2 * tl + 5) }.sum
+      val varS = (n * (n - 1) * (2 * n + 5) - tsum).toDouble / 18.0
+      val z = if (s > 0) (s - 1) / math.sqrt(varS)
+        else if (s < 0) (s + 1) / math.sqrt(varS) else 0.0
+      val (gn, gs, gv, gz, gt) = got(t)
+      assert(gn === n && gs === s, s"$t n/S")
+      assert(math.abs(gv - varS) < 1e-4, s"$t var")
+      assert(math.abs(gz - z) < 1e-5, s"$t z")
+      assert(gt === (math.abs(gz) > 1.96), s"$t flag")
+    }
+    assert(got.values.exists(_._2 != 0L), "every S zero — vacuous")
+  }
+
+  test("q344 QTE: per-arm decile picks replay at the declared bucket resolution") {
+    val ord = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map { r =>
+        val cents = (BigDecimal(r.getDouble(1)).setScale(4) * 100).toLongExact
+        (r.getString(0) == "1-URGENT", cents / 1000)
+      }
+    def decile(arm: Seq[Long], dd: Long): Long = {
+      val sorted = arm.sorted
+      val n = sorted.length.toLong
+      sorted.find { b =>
+        sorted.count(_ <= b) * 10L >= dd * n
+      }.get
+    }
+    val t = ord.filter(_._1).map(_._2).toSeq
+    val c = ord.filterNot(_._1).map(_._2).toSeq
+    val got = Stats.q344Qte(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === (1L to 9L))
+    got.foreach { case (dd, qt, qc, qte) =>
+      assert(qt === decile(t, dd) * 10.0, s"d$dd treated")
+      assert(qc === decile(c, dd) * 10.0, s"d$dd control")
+      assert(qte === qt - qc, s"d$dd qte")
+    }
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted,
+      "treated quantiles must be non-decreasing in decile")
+  }
 }

@@ -969,6 +969,63 @@ class UtilitiesSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("q343 mutual top-1: reciprocal best matches equal a brute-force replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val co = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val deg = li.map(t => (t._1, t._2)).distinct.groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nbrs = co.keys.toSeq.flatMap { case (a, b) =>
+      val c = r6(co((a, b)).toDouble / math.sqrt((deg(a) * deg(b)).toDouble))
+      Seq((a, b, co((a, b)), c), (b, a, co((a, b)), c))
+    }
+    val best = nbrs.groupBy(_._1).map { case (i, g) =>
+      i -> g.minBy(t => (-t._4, t._2))
+    }
+    val want = best.values.toSeq
+      .filter(t => t._1 < t._2)
+      .filter(t => best.get(t._2).exists(m => m._2 == t._1))
+      .map(t => (t._1, t._2, t._3, t._4))
+      .sortBy(_._1)
+    val got = Graph.q343MutualTop1(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(want.nonEmpty, "no reciprocal best match — vacuous")
+    assert(want.size < best.size / 2,
+      "every best match mutual — the constraint filters nothing")
+  }
+
+  test("q345 A-ES sample: keys replay; weighting favors long docs vs uniform ranks") {
+    val p = 2147483647L
+    def u(id: Long): Double =
+      ((((id % p) * 48271L % p) + 1L) * 16807L % p + 1L).toDouble / 2147483648.0
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keyed = docs.map { case (id, w) => (id, w, r6(math.log(u(id)) / w)) }
+    val want = keyed.sortBy(t => (-t._3, t._1)).take(100)
+      .map(t => (t._1, t._3))
+    val got = graft.operators.NorthStar.q345WeightedReservoir(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got === want.toSeq)
+    // the sample is genuinely weighted: mean length among selected exceeds
+    // the corpus mean (long docs get keys nearer 0)
+    if (docs.length > 100) {
+      val sel = got.map(_._1).toSet
+      val selMean = docs.filter(d => sel(d._1)).map(_._2).sum.toDouble / sel.size
+      val allMean = docs.map(_._2).sum.toDouble / docs.length
+      assert(selMean > allMean, "selection ignores weights — A-ES vacuous")
+    }
+  }
+
   test("q330 bloom FPR: bit set, probe verdicts and prediction match an exact replay") {
     val p = 2147483647L
     val mults = Seq(48271L, 69621L, 40692L, 62089L)
