@@ -897,7 +897,56 @@ object Graph {
       .orderBy(col("item_a"))
   }
 
+  /** Q347: degree assortativity — the Pearson correlation of endpoint
+    * degrees over the symmetrized co≥2 co-purchase edge list: do hubs
+    * link to hubs (r > 0, social-network-like) or to leaves (r < 0,
+    * hub-and-spoke)? The one-number topology fingerprint that decides
+    * whether hub-targeted sampling or degree capping is the right scale
+    * strategy for this graph.
+    *
+    * Determinism & scale shape: all five moments are EXACT integer sums
+    * over the symmetric edge relation (degrees are bounded integers); the
+    * correlation is one fixed IEEE tree. Two keyed aggregates + one
+    * reduction.
+    */
+  def q347DegreeAssortativity: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val e = items.select(col("o"), col("item").as("u"))
+      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+      .select(col("u"), col("v"))
+    val eM = graft.Checkpoints.materialize(e)
+    val deg = eM.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val sym = eM.select(col("u").as("a"), col("v").as("b"))
+      .union(eM.select(col("v").as("a"), col("u").as("b")))
+      .join(deg.select(col("x").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("b"), col("dg").as("db")), Seq("b"))
+    val m = sym.agg(count(lit(1)).as("m2"),
+      sum(col("da")).cast("long").as("sj"),
+      sum(col("db")).cast("long").as("sk"),
+      sum(col("da") * col("db")).cast("long").as("sjk"),
+      sum(col("da") * col("da")).cast("long").as("sjj"),
+      sum(col("db") * col("db")).cast("long").as("skk"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val mD = col("m2").cast("double")
+    val r = (col("sjk").cast("double") - col("sj").cast("double")
+      * col("sk").cast("double") / mD) /
+      sqrt((col("sjj").cast("double") - col("sj").cast("double")
+        * col("sj").cast("double") / mD)
+        * (col("skk").cast("double") - col("sk").cast("double")
+          * col("sk").cast("double") / mD))
+    m.crossJoin(broadcast(nNodes))
+      .select(big(col("n_nodes")).as("n_nodes"),
+        big(col("m2") / 2L).as("n_edges"),
+        round(r, 6).as("assortativity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q347_degree_assortativity" -> q347DegreeAssortativity,
     "q343_mutual_top1" -> q343MutualTop1,
     "q322_link_prediction" -> q322LinkPrediction,
     "q314_local_clustering" -> q314LocalClustering,
@@ -1098,6 +1147,38 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q347_degree_assortativity" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.item AS u, b.item AS v
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT x, COUNT(*) AS dg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1),
+        |sym AS (
+        |  SELECT da.dg AS da, db.dg AS db
+        |  FROM (SELECT u AS a, v AS b FROM e
+        |        UNION ALL SELECT v AS a, u AS b FROM e) s
+        |  JOIN deg da ON s.a = da.x JOIN deg db ON s.b = db.x),
+        |m AS (
+        |  SELECT COUNT(*) AS m2,
+        |    CAST(SUM(da) AS BIGINT) AS sj, CAST(SUM(db) AS BIGINT) AS sk,
+        |    CAST(SUM(da * db) AS BIGINT) AS sjk,
+        |    CAST(SUM(da * da) AS BIGINT) AS sjj,
+        |    CAST(SUM(db * db) AS BIGINT) AS skk
+        |  FROM sym),
+        |nn AS (SELECT COUNT(*) AS n_nodes FROM deg)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(m2 // 2 AS BIGINT) AS n_edges,
+        |  ROUND((CAST(sjk AS DOUBLE) - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE)
+        |      / CAST(m2 AS DOUBLE))
+        |    / SQRT((CAST(sjj AS DOUBLE) - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+        |        / CAST(m2 AS DOUBLE))
+        |      * (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)
+        |        / CAST(m2 AS DOUBLE))), 6) AS assortativity
+        |FROM m, nn""".stripMargin,
     "q343_mutual_top1" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),

@@ -343,7 +343,46 @@ object Layout {
       .orderBy(col("column_name"))
   }
 
+  /** Q350: range-partitioner balance audit — assign every order to one of
+    * 32 price ranges cut at exact n/32 row quantiles (10.00-bucket
+    * resolution, the real sampled-boundary behavior of
+    * `repartitionByRange`) and report each partition's row count, share
+    * and skew vs the n/32 ideal. The pre-flight check before committing a
+    * sort key: a partitioner whose max skew is 3× ships one straggler
+    * task per stage.
+    *
+    * Scale shape: the cumulative window runs over the bounded
+    * 10.00-bucket collapse (price-domain bounded, the q312/q344
+    * argument), never the orders; partition ids are pure integer
+    * arithmetic on the prefix counts.
+    */
+  def q350RangePartitionAudit: Q = (s, d) => {
+    val bk = Tables(s, d, "orders")
+      .select(((graft.Dsl.dec(col("o_totalprice")) * 100).cast("long") / 1000L)
+        .cast("long").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bk.select(col("b"), col("c"), sum(col("c")).over(w).as("cum"))
+    val tot = bk.agg(sum(col("c")).as("n"))
+    val pid = least(lit(31L),
+      (((col("cum") - col("c")) * 32L) / col("n")).cast("long"))
+    cum.crossJoin(broadcast(tot))
+      .select(pid.as("pid"), col("c"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .select(big(col("pid")).as("pid"), big(col("n_buckets")).as("n_buckets"),
+        big(col("n_rows")).as("n_rows"),
+        round(col("n_rows").cast("double") / col("n").cast("double"), 6)
+          .as("share"),
+        round(col("n_rows").cast("double") * 32.0 / col("n").cast("double"), 6)
+          .as("skew_vs_ideal"))
+      .orderBy(col("pid"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q350_range_partition_audit" -> q350RangePartitionAudit,
     "q274_dictionary_advisor" -> q274DictionaryAdvisor,
     "q270_storage_advisor" -> q270StorageAdvisor,
     "q181_skyline" -> q181Skyline,
@@ -353,6 +392,25 @@ object Layout {
     "q200_compaction" -> q200Compaction)
 
   val oracles: Map[String, String] = Map(
+    "q350_range_partition_audit" ->
+      """WITH bk AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |    // 1000 AS b, COUNT(*) AS c
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT b, c, SUM(c) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bk),
+        |tot AS (SELECT SUM(c) AS n FROM bk),
+        |pp AS (
+        |  SELECT LEAST(31, (cum - c) * 32 // n) AS pid, c FROM cum, tot)
+        |SELECT CAST(pid AS BIGINT) AS pid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(SUM(c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS share,
+        |  ROUND(CAST(SUM(c) AS DOUBLE) * CAST('32.0' AS DOUBLE)
+        |        / CAST(MAX(n) AS DOUBLE), 6) AS skew_vs_ideal
+        |FROM pp, tot GROUP BY pid ORDER BY pid""".stripMargin,
     "q274_dictionary_advisor" ->
       """WITH a AS (
         |  SELECT 'lineitem.l_returnflag' AS column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,

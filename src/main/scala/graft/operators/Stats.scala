@@ -1247,6 +1247,60 @@ object Stats {
       .orderBy(col("look"))
   }
 
+  /** Q346: deterministic permutation test — the assumption-free
+    * significance check for the arm difference in mean event value: 32
+    * pseudo-permutations re-deal the arm labels by an id-shifted MINSTD
+    * chain (the q263 deterministic-resampling discipline), and the
+    * add-one p-value counts permuted |diffs| at least as extreme as the
+    * observed one. The test to reach for when q178's Welch normality
+    * assumption is in doubt.
+    *
+    * Scale shape: one 32-way rep explode into a single map-side-combined
+    * (rep × arm) aggregate — the declared 32× scan cost; diffs are exact
+    * decimal sums with one IEEE division each; the extreme count is an
+    * integer compare over the 32-row summary.
+    */
+  def q346PermutationTest: Q = (s, d) => {
+    val p = 2147483647L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), dec(col("value")).as("v"))
+    val obs = ev
+      .select((TrainingOps.portableBucket(col("event_id")) % 2 === 0).as("a"),
+        col("v"))
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val reps = s.range(1L, 33L).toDF("rep")
+    val permArm = pmod((pmod(pmod(col("event_id") + col("rep"), lit(p))
+      * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
+    val perm = ev.crossJoin(broadcast(reps))
+      .select(col("rep"), permArm.as("a"), col("v"))
+      .groupBy(col("rep"))
+      .agg((sum(when(col("a"), col("v"))).cast("double")
+        / sum(when(col("a"), 1L).otherwise(0L)).cast("double")
+        - sum(when(!col("a"), col("v"))).cast("double")
+        / sum(when(!col("a"), 1L).otherwise(0L)).cast("double")).as("diff"))
+    val oa = obs.filter(col("a"))
+      .select(col("n").as("na"), col("sv").as("sva"))
+    val ob = obs.filter(!col("a"))
+      .select(col("n").as("nb"), col("sv").as("svb"))
+    val o = oa.crossJoin(broadcast(ob))
+      .select(col("na"), col("nb"),
+        (col("sva").cast("double") / col("na").cast("double")
+          - col("svb").cast("double") / col("nb").cast("double")).as("dobs"),
+        (col("sva").cast("double") / col("na").cast("double")).as("ma"),
+        (col("svb").cast("double") / col("nb").cast("double")).as("mb"))
+    val ext = perm.crossJoin(broadcast(o))
+      .agg(sum(when(abs(col("diff")) >= abs(col("dobs")), 1L).otherwise(0L))
+        .cast("long").as("n_extreme"))
+    o.crossJoin(broadcast(ext))
+      .select(big(col("na")).as("n_a"), big(col("nb")).as("n_b"),
+        round(col("ma"), 6).as("mean_a"), round(col("mb"), 6).as("mean_b"),
+        round(col("dobs"), 6).as("diff_obs"),
+        lit(32L).as("n_perms"), big(col("n_extreme")).as("n_extreme"),
+        round((col("n_extreme") + 1L).cast("double") / lit(33.0), 6)
+          .as("p_value"))
+  }
+
   /** Q342: Mann–Kendall trend test — is hourly traffic monotonically
     * trending, per event type, judged nonparametrically? S sums the
     * signs of all hour-pair count differences (EXACT integers over the
@@ -1259,10 +1313,16 @@ object Stats {
     * type (time-span bounded, the q297 argument); everything else is
     * keyed aggregates.
     */
-  def q342MannKendall: Q = (s, d) => {
-    val hourly = Tables.events(s, d)
+  def q342MannKendall: Q = (s, d) =>
+    mkReport(Tables.events(s, d)
       .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
-      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** The Mann–Kendall report from a (event_type, h, c) hourly summary —
+    * the mergeable state q348's streaming fold relies on (hourly counts
+    * of disjoint row sets merge by per-cell sum).
+    */
+  private[graft] def mkReport(hourly: DataFrame): DataFrame = {
     val a = hourly.select(col("event_type"), col("h").as("h1"), col("c").as("c1"))
     val b = hourly.select(col("event_type"), col("h").as("h2"), col("c").as("c2"))
     val sRel = a.join(b, Seq("event_type"))
@@ -2198,6 +2258,7 @@ object Stats {
     "q341_group_sequential" -> q341GroupSequential,
     "q342_mann_kendall" -> q342MannKendall,
     "q344_qte" -> q344Qte,
+    "q346_permutation_test" -> q346PermutationTest,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -2571,6 +2632,53 @@ object Stats {
         |         - CAST('2.0' AS DOUBLE))), 6) AS cohens_d
         |FROM mom a JOIN mom b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q346_permutation_test" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |obs AS (
+        |  SELECT
+        |    ((((event_id % 2147483647) * 48271) % 2147483647 + 1)
+        |     * 16807) % 2147483647 % 10000 % 2 = 0 AS a,
+        |    COUNT(*) AS n, SUM(v) AS sv
+        |  FROM ev GROUP BY 1),
+        |o AS (
+        |  SELECT x.n AS na, y.n AS nb,
+        |    CAST(x.sv AS DOUBLE) / CAST(x.n AS DOUBLE)
+        |      - CAST(y.sv AS DOUBLE) / CAST(y.n AS DOUBLE) AS dobs,
+        |    CAST(x.sv AS DOUBLE) / CAST(x.n AS DOUBLE) AS ma,
+        |    CAST(y.sv AS DOUBLE) / CAST(y.n AS DOUBLE) AS mb
+        |  FROM (SELECT * FROM obs WHERE a) x, (SELECT * FROM obs WHERE NOT a) y),
+        |reps AS (SELECT CAST(u.r AS BIGINT) AS rep
+        |         FROM unnest(range(1, 33)) u(r)),
+        |perm AS (
+        |  SELECT rep,
+        |    SUM(CASE WHEN (((((event_id + rep) % 2147483647) * 48271)
+        |        % 2147483647 + 1) * 16807) % 2147483647 % 2 = 0
+        |      THEN v END) AS sva,
+        |    SUM(CASE WHEN (((((event_id + rep) % 2147483647) * 48271)
+        |        % 2147483647 + 1) * 16807) % 2147483647 % 2 = 0
+        |      THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN (((((event_id + rep) % 2147483647) * 48271)
+        |        % 2147483647 + 1) * 16807) % 2147483647 % 2 <> 0
+        |      THEN v END) AS svb,
+        |    SUM(CASE WHEN (((((event_id + rep) % 2147483647) * 48271)
+        |        % 2147483647 + 1) * 16807) % 2147483647 % 2 <> 0
+        |      THEN 1 ELSE 0 END) AS nb
+        |  FROM ev, reps GROUP BY 1),
+        |ext AS (
+        |  SELECT CAST(SUM(CASE
+        |    WHEN ABS(CAST(perm.sva AS DOUBLE) / CAST(perm.na AS DOUBLE)
+        |      - CAST(perm.svb AS DOUBLE) / CAST(perm.nb AS DOUBLE))
+        |      >= ABS(o.dobs)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        |  FROM perm, o)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND(dobs, 6) AS diff_obs,
+        |  CAST(32 AS BIGINT) AS n_perms, n_extreme,
+        |  ROUND(CAST(n_extreme + 1 AS DOUBLE) / CAST('33.0' AS DOUBLE), 6)
+        |    AS p_value
+        |FROM o, ext""".stripMargin,
     "q341_group_sequential" ->
       """WITH items AS (SELECT l_orderkey, COUNT(*) AS ly
         |               FROM lineitem GROUP BY 1),

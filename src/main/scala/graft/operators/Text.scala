@@ -1614,7 +1614,45 @@ object Text {
         .as("r2"))
   }
 
+  /** Q349: Juilland's D dispersion — for the top-50 tokens, how EVENLY is
+    * each spread across the 20 source feeds? D = 1 − CV/√(n−1) over the
+    * per-source frequency vector WITH zero-fill (a token absent from 15
+    * sources must score low even if frequent in the rest) — the corpus-
+    * linguistics complement to raw frequency: high-cf/low-D tokens are
+    * source-idiosyncratic boilerplate, exactly what q309's templated-text
+    * detector wants corroborated per token.
+    *
+    * Determinism: zero-fill is FREE in moment space (Σf and Σf² over
+    * present cells equal the zero-filled sums), so both moments are exact
+    * integers and D is one fixed IEEE tree per token.
+    *
+    * Scale shape: one (token × source) count, one keyed moment collapse,
+    * a 1-row source-count broadcast, TakeOrdered 50.
+    */
+  def q349Dispersion: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val tf = docs.select(col("source"), explode(toks).as("token"))
+      .groupBy(col("token"), col("source")).agg(count(lit(1)).as("f"))
+    val mom = tf.groupBy(col("token"))
+      .agg(sum(col("f")).cast("long").as("cf"),
+        sum(col("f") * col("f")).cast("long").as("sf2"),
+        count(lit(1)).as("df"))
+    val nsrc = docs.agg(countDistinct(col("source")).as("ns"))
+    val nD = col("ns").cast("double")
+    val mean = col("cf").cast("double") / nD
+    val vr = (col("sf2").cast("double")
+      - col("cf").cast("double") * col("cf").cast("double") / nD) / nD
+    mom.crossJoin(broadcast(nsrc))
+      .select(col("token"), big(col("cf")).as("cf"),
+        big(col("df")).as("df_sources"),
+        round(lit(1.0) - sqrt(vr) / mean / sqrt(nD - lit(1.0)), 6)
+          .as("dispersion"))
+      .orderBy(col("cf").desc, col("token"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q349_dispersion" -> q349Dispersion,
     "q339_zipf_slope" -> q339ZipfSlope,
     "q272_fuzzy_join_capped" -> q272FuzzyJoinCapped,
     "q262_fuzzy_dedup_clusters" -> q262FuzzyDedupClusters,
@@ -1703,6 +1741,26 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q349_dispersion" ->
+      """WITH tf AS (
+        |  SELECT token, source, COUNT(*) AS f FROM (
+        |    SELECT source, u.t AS token
+        |    FROM documents, unnest(string_split(text, ' ')) AS u(t))
+        |  WHERE token <> '' GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT token, CAST(SUM(f) AS BIGINT) AS cf,
+        |    CAST(SUM(f * f) AS BIGINT) AS sf2, COUNT(*) AS df
+        |  FROM tf GROUP BY 1),
+        |ns AS (SELECT COUNT(DISTINCT source) AS ns FROM documents)
+        |SELECT token, cf, CAST(df AS BIGINT) AS df_sources,
+        |  ROUND(CAST('1.0' AS DOUBLE)
+        |    - SQRT((CAST(sf2 AS DOUBLE)
+        |        - CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      / CAST(ns AS DOUBLE))
+        |      / (CAST(cf AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      / SQRT(CAST(ns AS DOUBLE) - CAST('1.0' AS DOUBLE)), 6)
+        |    AS dispersion
+        |FROM mom, ns ORDER BY cf DESC, token LIMIT 50""".stripMargin,
     "q339_zipf_slope" ->
       """WITH f AS (
         |  SELECT token, COUNT(*) AS f FROM (

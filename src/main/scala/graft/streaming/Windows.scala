@@ -1655,7 +1655,47 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q348: streaming Mann–Kendall monitor — q342's trend test fed by a
+    * micro-batched event stream: per batch the (type × hour) counts land
+    * in an idempotent `batch=<id>` sink (hourly cells merge by plain sum
+    * at ANY slicing), and the drain runs the exact pairwise S / tie-
+    * corrected variance once over the merged summary. Shares q342's
+    * oracle verbatim. The live "is traffic drifting up?" pager shape —
+    * the pair join only ever sees the bounded hourly collapse, never the
+    * stream.
+    */
+  def q348StreamMannKendall: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q348_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            batch.toDF()
+              .groupBy(col("event_type"), col("h"))
+              .agg(count(lit(1)).as("c"))
+              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        graft.operators.Stats.mkReport(
+          s.read.parquet(sumDir)
+            .groupBy(col("event_type"), col("h"))
+            .agg(sum(col("c")).cast("long").as("c"))))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q348_stream_mann_kendall" -> q348StreamMannKendall,
     "q337_stream_psi" -> q337StreamPsi,
     "q329_stream_srm" -> q329StreamSrm,
     "q326_stream_fd" -> q326StreamFd,
@@ -1775,6 +1815,9 @@ object Windows {
     // against the same fixed integer midpoint)
     "q337_stream_psi" ->
       graft.operators.Stats.oracles("q333_psi"),
+    // q348 shares q342's oracle verbatim (hourly cells merge additively)
+    "q348_stream_mann_kendall" ->
+      graft.operators.Stats.oracles("q342_mann_kendall"),
     // q284 shares q204's oracle verbatim (additive digit counts merge
     // exactly at any trigger slicing)
     "q288_stream_funnel" ->

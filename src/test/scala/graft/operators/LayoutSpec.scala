@@ -133,4 +133,32 @@ class LayoutSpec extends SparkSpec {
     assert(got("zorder")._3 <= got("date")._3,
       "z-order layout scanned MORE rows than the single-dimension layout")
   }
+
+  test("q350 range-partition audit: quantile cuts, shares and skew match a prefix replay") {
+    val buckets = graft.Tables(spark, sf0001, "orders")
+      .select($"o_totalprice").collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(4) * 100).toLongExact / 1000)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val n = buckets.map(_._2).sum
+    var cum = 0L
+    val assigned = buckets.map { case (b, c) =>
+      val pid = math.min(31L, cum * 32 / n)
+      cum += c
+      (pid, b, c)
+    }
+    val want = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (pid, g) =>
+      val rows = g.map(_._3).sum
+      (pid, g.length.toLong, rows,
+        BigDecimal(rows.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(rows.toDouble * 32.0 / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Layout.q350RangePartitionAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got === want)
+    assert(got.map(_._3).sum === n, "partition rows must cover every order")
+    assert(got.length >= 16, "fewer than half the target partitions realized")
+    assert(got.map(_._5).max > 1.0 && got.map(_._5).min < 1.0,
+      "perfectly uniform partitioning — skew audit vacuous")
+  }
 }

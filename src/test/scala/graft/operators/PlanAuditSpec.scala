@@ -108,6 +108,10 @@ class PlanAuditSpec extends SparkSpec {
     "q340_stratified_ate", // 1-row used-strata totals/terms broadcasts composing the single report row
     "q341_group_sequential", // 1-row date-range broadcast assigning calendar looks
     "q344_qte", // 9-row decile broadcast x bounded per-arm bucket summaries
+    "q346_permutation_test", // 32-row rep broadcast (declared 32x scan) + 1-row obs/extreme composition
+    "q347_degree_assortativity", // 1-row node-count broadcast beside the 1-row moment reduction
+    "q349_dispersion", // 1-row source-count broadcast onto the per-token moment collapse
+    "q350_range_partition_audit", // 1-row row-total broadcast onto the bounded bucket collapse
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -137,7 +141,8 @@ class PlanAuditSpec extends SparkSpec {
     "q312_quantile_normalization" -> "pooled cumsum over the bounded distinct-length summary (q138's count-of-counts argument), never the documents",
     "q336_feature_auc_scan" -> "q190's cumsum over each bounded (feature value -> counts) summary (value domains: 7/24/16 buckets and the 2-decimal score grid), never the rows",
     "q339_zipf_slope" -> "rank window over the TakeOrdered-bounded 1000-row top-token relation, never the token stream",
-    "q341_group_sequential" -> "cumulative sums over the 5-row look collapse, never the orders")
+    "q341_group_sequential" -> "cumulative sums over the 5-row look collapse, never the orders",
+    "q350_range_partition_audit" -> "prefix counts over the bounded 10.00-bucket collapse (price-domain bounded, the q312/q344 argument), never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

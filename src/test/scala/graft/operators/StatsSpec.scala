@@ -1252,4 +1252,33 @@ class StatsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted,
       "treated quantiles must be non-decreasing in decile")
   }
+
+  test("q346 permutation test: observed diff, permuted diffs and p-value replay exactly") {
+    val p = 2147483647L
+    def permArm(id: Long, rep: Long): Boolean =
+      ((((id + rep) % p) * 48271L % p + 1L) * 16807L % p) % 2 == 0
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(4)))
+    val (ga, gb) = ev.partition(e => minstdBucket(e._1) % 2 == 0)
+    val dobs = ga.map(_._2).sum.toDouble / ga.length -
+      gb.map(_._2).sum.toDouble / gb.length
+    val diffs = (1L to 32L).map { rep =>
+      val (pa, pb) = ev.partition(e => permArm(e._1, rep))
+      pa.map(_._2).sum.toDouble / pa.length -
+        pb.map(_._2).sum.toDouble / pb.length
+    }
+    val nExtreme = diffs.count(x => math.abs(x) >= math.abs(dobs)).toLong
+    val r = Stats.q346PermutationTest(spark, sf0001).head()
+    assert(r.getLong(0) === ga.length.toLong && r.getLong(1) === gb.length.toLong)
+    assert(math.abs(r.getDouble(4) - dobs) < 1e-6, "observed diff")
+    assert(r.getLong(5) === 32L)
+    assert(r.getLong(6) === nExtreme, "extreme count")
+    assert(math.abs(r.getDouble(7) - (nExtreme + 1).toDouble / 33.0) < 1e-6)
+    // null experiment: hash arms are exchangeable with the permuted ones,
+    // so the p-value must not be extreme
+    assert(r.getDouble(7) > 1.0 / 33.0 - 1e-9,
+      "add-one p-value below its floor — arithmetic wrong")
+    assert(diffs.distinct.length > 1, "all permuted diffs identical — vacuous")
+  }
 }

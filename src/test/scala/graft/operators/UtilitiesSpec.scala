@@ -1026,6 +1026,62 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q347 assortativity: edge-degree correlation matches an exact-moment replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keySet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sym = edges.toSeq.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    val m = sym.length.toDouble
+    val sj = sym.map(_._1).sum.toDouble
+    val sk = sym.map(_._2).sum.toDouble
+    val sjk = sym.map(t => t._1 * t._2).sum.toDouble
+    val sjj = sym.map(t => t._1 * t._1).sum.toDouble
+    val skk = sym.map(t => t._2 * t._2).sum.toDouble
+    val want = (sjk - sj * sk / m) /
+      math.sqrt((sjj - sj * sj / m) * (skk - sk * sk / m))
+    val got = Graph.q347DegreeAssortativity(spark, sf0001).head()
+    assert(got.getLong(0) === deg.size.toLong)
+    assert(got.getLong(1) === edges.size.toLong)
+    assert(math.abs(got.getDouble(2) - want) < 1e-5, "assortativity")
+    assert(math.abs(got.getDouble(2)) > 1e-4,
+      "graph exactly non-assortative — fixture vacuous")
+  }
+
+  test("q349 dispersion: Juilland's D with zero-fill matches a per-source replay") {
+    val rows = Tables(spark, sf0001, "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ns = rows.map(_._1).distinct.length
+    val tf = rows.flatMap { case (src, text) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (t, src))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byTok = tf.keys.map(_._1).toSeq.distinct.map { t =>
+      val fs = tf.collect { case ((tok, _), f) if tok == t => f }.toSeq
+      (t, fs.sum, fs.count(_ > 0).toLong, fs)
+    }
+    val want = byTok.sortBy { case (t, cf, _, _) => (-cf, t) }.take(50)
+      .map { case (t, cf, df, fs) =>
+        val mean = cf.toDouble / ns
+        val vr = (fs.map(f => f * f).sum.toDouble - cf.toDouble * cf / ns) / ns
+        val dd = BigDecimal(1.0 - math.sqrt(vr) / mean / math.sqrt(ns - 1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, cf, df, dd)
+      }
+    val got = graft.operators.Text.q349Dispersion(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(want.exists(_._3 < ns), "every top token in every source — zero-fill untested")
+    assert(want.map(_._4).distinct.length > 1, "all D identical — vacuous")
+  }
+
   test("q330 bloom FPR: bit set, probe verdicts and prediction match an exact replay") {
     val p = 2147483647L
     val mults = Seq(48271L, 69621L, 40692L, 62089L)

@@ -376,6 +376,24 @@ class StreamingSpec extends SparkSpec {
     assert(spans > 0, "no confusion cell spans two slices — merge untested")
   }
 
+  test("q348 streaming Mann-Kendall equals q342's batch report; hourly cells genuinely merge") {
+    val batch = graft.operators.Stats.q342MannKendall(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val stream = Windows.q348StreamMannKendall(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty && stream === batch,
+      "drained merge of per-batch hourly counts diverged from the batch test")
+    // an (event_type, hour) cell must span feed partitions or no cell merged
+    val parts = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .repartition(3).rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        it.map(r => (i, (r.getString(0), r.getLong(1))))
+      }.collect()
+    assert(parts.groupBy(_._2).values.exists(g => g.map(_._1).distinct.length > 1),
+      "no hourly cell spans two feed partitions — merge untested")
+  }
+
   test("q337 streaming PSI equals q333's batch report against the same fixed midpoint") {
     val batch = graft.operators.Stats.q333Psi(spark, sf0001)
       .collect().map(_.toSeq).toSeq
