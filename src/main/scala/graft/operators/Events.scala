@@ -1290,6 +1290,118 @@ object Events {
     emaReport(scored, s, d)
   }
 
+  /** Q351: Shapley-value attribution over the 3-channel touch sets — the
+    * game-theoretic split of conversion credit (view/click/signup touched
+    * before the first purchase), computed EXACTLY: with 3 channels the
+    * coalition lattice has 8 nodes, v(S) = conversions whose touch set ⊆ S,
+    * and the Shapley weights {2,1,2}/6 make 6·φ_c a pure INTEGER — the
+    * multi-touch answer where q184's position rules are heuristics.
+    *
+    * Scale shape: one per-user first-purchase aggregate, one per-user
+    * touch-mask aggregate, an 8-row mask histogram; the whole lattice walk
+    * (subset sums, marginal contributions) happens on ≤8-row broadcast
+    * relations. The only row-scale work is two keyed aggregates.
+    */
+  def q351ShapleyAttribution: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      epochSec(col("ts2")).as("es"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("es")).as("fp"))
+    val flag = when(col("event_type") === "view", 1L)
+      .when(col("event_type") === "click", 2L)
+      .when(col("event_type") === "signup", 4L).otherwise(0L)
+    val touch = ev.join(firstP, Seq("user_id"))
+      .filter(col("es") < col("fp"))
+      .select(col("user_id"), flag.as("fl"))
+      .groupBy(col("user_id"))
+      .agg((max(when(col("fl") === 1L, 1L).otherwise(0L))
+        + max(when(col("fl") === 2L, 2L).otherwise(0L))
+        + max(when(col("fl") === 4L, 4L).otherwise(0L))).as("mask"))
+    val masks = firstP.join(touch, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("nt"))
+    val subsets = s.range(0L, 8L).toDF("ss")
+    // v(S) = conversions whose touch set is contained in S
+    val v = subsets.join(broadcast(masks),
+        (col("t").bitwiseAND(col("ss"))) === col("t"), "left")
+      .groupBy(col("ss")).agg(coalesce(sum(col("nt")), lit(0L)).as("v"))
+    val vM = graft.Checkpoints.materialize(v)
+    val channels = Seq(("view", 1L), ("click", 2L), ("signup", 4L))
+    channels.map { case (name, c) =>
+      // sum over S not containing c of w'(|S ∩ rest|) · (v(S∪c) − v(S)),
+      // w' ∈ {2,1,2} so the total is 6·φ_c exactly
+      val base = vM.filter((col("ss").bitwiseAND(lit(c))) === 0L)
+        .select(col("ss"), col("v").as("vs"))
+      val up = vM.select((col("ss").bitwiseAND(lit(~c & 7L))).as("ss0"),
+        col("ss"), col("v"))
+        .filter((col("ss").bitwiseAND(lit(c))) === lit(c))
+        .select(col("ss0").as("ss"), col("v").as("vsc"))
+      val bits = (col("ss").bitwiseAND(lit(1L)) +
+        (col("ss").bitwiseAND(lit(2L)) / 2L).cast("long") +
+        (col("ss").bitwiseAND(lit(4L)) / 4L).cast("long"))
+      val w6 = when(bits === 0L, 2L).when(bits === 1L, 1L).otherwise(2L)
+      base.join(up, Seq("ss"))
+        .agg(sum(w6 * (col("vsc") - col("vs"))).cast("long").as("phi6"))
+        .select(lit(name).as("channel"), col("phi6"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(
+        vM.agg((max(when(col("ss") === 7L, col("v"))) -
+          max(when(col("ss") === 0L, col("v")))).as("attributable"))))
+      .select(col("channel"), big(col("phi6")).as("phi6"),
+        round(col("phi6").cast("double") / lit(6.0), 6).as("phi"),
+        round(when(col("attributable") === 0L, lit(0.0))
+          .otherwise(col("phi6").cast("double")
+            / (lit(6.0) * col("attributable").cast("double"))), 6).as("share"))
+      .orderBy(col("channel"))
+  }
+
+  /** q351's oracle: the identical 8-node lattice walk, one generated block
+    * per channel (popcount inlined as bit arithmetic).
+    */
+  private def shapleySql: String = {
+    val blocks = Seq(("view", 1L), ("click", 2L), ("signup", 4L)).map {
+      case (name, c) =>
+        val rest = ~c & 7L
+        s"""SELECT '$name' AS channel,
+           |  CAST(SUM((CASE (b.ss & 1) + (b.ss & 2) // 2 + (b.ss & 4) // 4
+           |    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END) * (u.v - b.v))
+           |    AS BIGINT) AS phi6
+           |FROM (SELECT ss, v FROM v WHERE (ss & $c) = 0) b
+           |JOIN (SELECT (ss & $rest) AS ss, v FROM v
+           |      WHERE (ss & $c) = $c) u USING (ss)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+       |  FROM events),
+       |fp AS (SELECT user_id, MIN(es) AS fp FROM ev
+       |       WHERE event_type = 'purchase' GROUP BY 1),
+       |touch AS (
+       |  SELECT ev.user_id,
+       |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |    + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+       |    + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS mask
+       |  FROM ev JOIN fp USING (user_id) WHERE es < fp GROUP BY 1),
+       |masks AS (
+       |  SELECT COALESCE(mask, 0) AS t, COUNT(*) AS nt
+       |  FROM fp LEFT JOIN touch USING (user_id) GROUP BY 1),
+       |sbs AS (SELECT CAST(u.r AS BIGINT) AS ss FROM unnest(range(0, 8)) u(r)),
+       |v AS MATERIALIZED (
+       |  SELECT ss, COALESCE(SUM(nt), 0) AS v
+       |  FROM sbs LEFT JOIN masks ON (t & ss) = t GROUP BY 1),
+       |phis AS (
+       |$blocks),
+       |att AS (SELECT MAX(CASE WHEN ss = 7 THEN v END)
+       |          - MAX(CASE WHEN ss = 0 THEN v END) AS attributable FROM v)
+       |SELECT channel, phi6,
+       |  ROUND(CAST(phi6 AS DOUBLE) / CAST('6.0' AS DOUBLE), 6) AS phi,
+       |  ROUND(CASE WHEN attributable = 0 THEN 0.0
+       |    ELSE CAST(phi6 AS DOUBLE)
+       |      / (CAST('6.0' AS DOUBLE) * CAST(attributable AS DOUBLE)) END, 6)
+       |    AS share
+       |FROM phis, att ORDER BY channel""".stripMargin
+  }
+
   /** q321's oracle: the identical integer-constant OLS tree over the same
     * lag terms, literals CAST from VARCHAR (bare float literals parse as
     * DECIMAL in DuckDB).
@@ -1459,6 +1571,7 @@ object Events {
     "q256_bollinger_breakout" -> q256BollingerBreakout,
     "q290_ema_signal" -> q290EmaSignal,
     "q321_trend_break" -> q321TrendBreak,
+    "q351_shapley_attribution" -> q351ShapleyAttribution,
     "q252_strict_funnel" -> q252StrictFunnel,
     "q246_conversion_latency" -> q246ConversionLatency,
     "q243_streaks" -> q243Streaks,
@@ -1553,6 +1666,7 @@ object Events {
         |FROM a ORDER BY event_type""".stripMargin,
     "q290_ema_signal" -> emaOracleSql,
     "q321_trend_break" -> trendBreakSql,
+    "q351_shapley_attribution" -> shapleySql,
     "q310_burstiness" ->
       """WITH hourly AS (
         |  SELECT event_type,

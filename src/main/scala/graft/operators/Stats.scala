@@ -1268,17 +1268,30 @@ object Stats {
       .select((TrainingOps.portableBucket(col("event_id")) % 2 === 0).as("a"),
         col("v"))
       .groupBy(col("a"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("sv"))
     val reps = s.range(1L, 33L).toDF("rep")
     val permArm = pmod((pmod(pmod(col("event_id") + col("rep"), lit(p))
       * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
     val perm = ev.crossJoin(broadcast(reps))
       .select(col("rep"), permArm.as("a"), col("v"))
       .groupBy(col("rep"))
-      .agg((sum(when(col("a"), col("v"))).cast("double")
-        / sum(when(col("a"), 1L).otherwise(0L)).cast("double")
-        - sum(when(!col("a"), col("v"))).cast("double")
-        / sum(when(!col("a"), 1L).otherwise(0L)).cast("double")).as("diff"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("pna"),
+        sum(when(col("a"), col("v"))).as("psva"),
+        sum(when(!col("a"), 1L).otherwise(0L)).cast("long").as("pnb"),
+        sum(when(!col("a"), col("v"))).as("psvb"))
+    permutationReport(perm, obs)
+  }
+
+  /** The permutation-test report from the two mergeable summaries — the
+    * per-rep (counts, exact decimal sums) relation and the observed-arm
+    * relation; both merge by per-cell sum, which is what q354's streaming
+    * fold relies on.
+    */
+  private[graft] def permutationReport(perm: DataFrame,
+      obs: DataFrame): DataFrame = {
+    val diff = perm.select(
+      (col("psva").cast("double") / col("pna").cast("double")
+        - col("psvb").cast("double") / col("pnb").cast("double")).as("diff"))
     val oa = obs.filter(col("a"))
       .select(col("n").as("na"), col("sv").as("sva"))
     val ob = obs.filter(!col("a"))
@@ -1289,7 +1302,7 @@ object Stats {
           - col("svb").cast("double") / col("nb").cast("double")).as("dobs"),
         (col("sva").cast("double") / col("na").cast("double")).as("ma"),
         (col("svb").cast("double") / col("nb").cast("double")).as("mb"))
-    val ext = perm.crossJoin(broadcast(o))
+    val ext = diff.crossJoin(broadcast(o))
       .agg(sum(when(abs(col("diff")) >= abs(col("dobs")), 1L).otherwise(0L))
         .cast("long").as("n_extreme"))
     o.crossJoin(broadcast(ext))
@@ -1299,6 +1312,90 @@ object Stats {
         lit(32L).as("n_perms"), big(col("n_extreme")).as("n_extreme"),
         round((col("n_extreme") + 1L).cast("double") / lit(33.0), 6)
           .as("p_value"))
+  }
+
+  /** Q352: James–Stein / empirical-Bayes rate shrinkage — per-segment
+    * URGENT-selection rates partially pooled toward the grand rate, with
+    * the shrink weight B_s = σ²_s/(σ²_s + τ̂²) derived from the data
+    * itself (method-of-moments between-group variance, clamped at 0).
+    * Small segments shrink hard, big ones barely move — q306's fixed-m
+    * target encoding with the smoothing STRENGTH estimated instead of
+    * declared. The estimator every per-slice dashboard should apply
+    * before ranking slices by rate.
+    *
+    * Determinism: counts are exact integers; τ̂², B_s and the shrunk rates
+    * are one fixed IEEE tree over the bounded 5-segment summary.
+    */
+  def q352JamesStein: Q = (s, d) => {
+    val pos = Tables(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val per = Tables(s, d, "customer")
+      .join(pos, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("y"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("y")).as("yt"),
+      count(lit(1)).as("k"))
+    val pbar = col("yt").cast("double") / col("nt").cast("double")
+    val ps = col("y").cast("double") / col("n").cast("double")
+    val sigma2 = pbar * (lit(1.0) - pbar) / col("n").cast("double")
+    val j = per.crossJoin(broadcast(tot))
+    // the two 5-term sums are rounded into exact decimals first (12 dp) so
+    // accumulation order cannot flip a bit between engines
+    val dec12s = DecimalType(20, 12)
+    val tau2rel = j.agg(
+      (sum(round((ps - pbar) * (ps - pbar), 12).cast(dec12s)).cast("double")
+        / (max(col("k")).cast("double") - lit(1.0))
+        - sum(round(sigma2, 12).cast(dec12s)).cast("double")
+        / max(col("k")).cast("double"))
+        .as("tau2raw"))
+      .select(greatest(col("tau2raw"), lit(0.0)).as("tau2"))
+    j.crossJoin(broadcast(tau2rel))
+      .select(col("c_mktsegment"), big(col("n")).as("n"), big(col("y")).as("y"),
+        round(ps, 6).as("raw_rate"),
+        round(pbar, 6).as("grand_rate"),
+        round(sigma2 / (sigma2 + col("tau2")), 6).as("shrink_b"),
+        round(pbar + (lit(1.0) - sigma2 / (sigma2 + col("tau2")))
+          * (ps - pbar), 6).as("shrunk_rate"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q353: delta-method CI for the q328 ratio metric — the closed-form
+    * first-order variance `Var(R̂) ≈ Σ(y_u − R·x_u)² / ((n−1)·n·x̄²)` from
+    * one pass of exact moments, against the same ±1.96 band. The cheap
+    * estimator q328's jackknife validates: when they disagree, the
+    * linearization is breaking and the resampling number is the one to
+    * trust.
+    *
+    * Determinism: y carries ≤2 true decimals so y² has ≤4 — every moment
+    * is an exact decimal/integer sum with the provably exact (38,4) cut —
+    * and the CI is one fixed IEEE tree.
+    */
+  def q353DeltaMethod: Q = (s, d) => {
+    val per = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", dec(col("value")))
+        .otherwise(dec(lit(0)))).as("yu"),
+        count(lit(1)).as("xu"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("yu")).cast(DecimalType(38, 4)).cast("double").as("sy"),
+      sum(col("xu")).cast("long").as("sx"),
+      sum(col("yu") * col("yu")).cast(DecimalType(38, 4)).cast("double")
+        .as("syy"),
+      sum(col("yu") * col("xu")).cast(DecimalType(38, 4)).cast("double")
+        .as("syx"),
+      sum(col("xu") * col("xu")).cast("long").as("sxx"))
+    val nD = col("n").cast("double")
+    val r = col("sy") / col("sx").cast("double")
+    val xbar = col("sx").cast("double") / nD
+    val ssr = col("syy") - lit(2.0) * r * col("syx") +
+      r * r * col("sxx").cast("double")
+    val se = sqrt(ssr / (nD - lit(1.0)) / nD / (xbar * xbar))
+    m.select(big(col("n")).as("n_users"), big(col("sx")).as("n_events"),
+      round(r, 6).as("ratio"),
+      round(se, 6).as("se_delta"),
+      round(r - lit(1.96) * se, 6).as("ci_lo"),
+      round(r + lit(1.96) * se, 6).as("ci_hi"))
   }
 
   /** Q342: Mann–Kendall trend test — is hourly traffic monotonically
@@ -2259,6 +2356,8 @@ object Stats {
     "q342_mann_kendall" -> q342MannKendall,
     "q344_qte" -> q344Qte,
     "q346_permutation_test" -> q346PermutationTest,
+    "q352_james_stein" -> q352JamesStein,
+    "q353_delta_method" -> q353DeltaMethod,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -2632,6 +2731,87 @@ object Stats {
         |         - CAST('2.0' AS DOUBLE))), 6) AS cohens_d
         |FROM mom a JOIN mom b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q352_james_stein" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE o_orderpriority = '1-URGENT'),
+        |per AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS y
+        |  FROM customer LEFT JOIN pos ON c_custkey = o_custkey GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS nt, SUM(y) AS yt, COUNT(*) AS k FROM per),
+        |tau AS (
+        |  SELECT GREATEST(
+        |    CAST(SUM(CAST(ROUND((CAST(y AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)), 12)
+        |      AS DECIMAL(20,12))) AS DOUBLE)
+        |      / (CAST(MAX(k) AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |    - CAST(SUM(CAST(ROUND((CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * (CAST('1.0' AS DOUBLE) - CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 12) AS DECIMAL(20,12))) AS DOUBLE)
+        |      / CAST(MAX(k) AS DOUBLE),
+        |    CAST('0.0' AS DOUBLE)) AS tau2
+        |  FROM per, tot)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n, CAST(y AS BIGINT) AS y,
+        |  ROUND(CAST(y AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+        |  ROUND(CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS grand_rate,
+        |  ROUND((CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE) - CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      / CAST(n AS DOUBLE)
+        |    / ((CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE) - CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |      / CAST(n AS DOUBLE) + tau2), 6) AS shrink_b,
+        |  ROUND(CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    + (CAST('1.0' AS DOUBLE)
+        |      - (CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * (CAST('1.0' AS DOUBLE) - CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      / ((CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * (CAST('1.0' AS DOUBLE) - CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        / CAST(n AS DOUBLE) + tau2))
+        |    * (CAST(y AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(yt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS shrunk_rate
+        |FROM per, tot, tau ORDER BY c_mktsegment""".stripMargin,
+    "q353_delta_method" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS yu,
+        |    COUNT(*) AS xu
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(CAST(SUM(yu) AS DECIMAL(38,4)) AS DOUBLE) AS sy,
+        |    CAST(SUM(xu) AS BIGINT) AS sx,
+        |    CAST(CAST(SUM(yu * yu) AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(yu * xu) AS DECIMAL(38,4)) AS DOUBLE) AS syx,
+        |    CAST(SUM(xu * xu) AS BIGINT) AS sxx
+        |  FROM per)
+        |SELECT CAST(n AS BIGINT) AS n_users, sx AS n_events,
+        |  ROUND(sy / CAST(sx AS DOUBLE), 6) AS ratio,
+        |  ROUND(SQRT((syy - CAST('2.0' AS DOUBLE) * (sy / CAST(sx AS DOUBLE)) * syx
+        |      + (sy / CAST(sx AS DOUBLE)) * (sy / CAST(sx AS DOUBLE))
+        |        * CAST(sxx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    / ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS se_delta,
+        |  ROUND(sy / CAST(sx AS DOUBLE) - CAST('1.96' AS DOUBLE)
+        |    * SQRT((syy - CAST('2.0' AS DOUBLE) * (sy / CAST(sx AS DOUBLE)) * syx
+        |      + (sy / CAST(sx AS DOUBLE)) * (sy / CAST(sx AS DOUBLE))
+        |        * CAST(sxx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    / ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS ci_lo,
+        |  ROUND(sy / CAST(sx AS DOUBLE) + CAST('1.96' AS DOUBLE)
+        |    * SQRT((syy - CAST('2.0' AS DOUBLE) * (sy / CAST(sx AS DOUBLE)) * syx
+        |      + (sy / CAST(sx AS DOUBLE)) * (sy / CAST(sx AS DOUBLE))
+        |        * CAST(sxx AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    / ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS ci_hi
+        |FROM m""".stripMargin,
     "q346_permutation_test" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(value AS DECIMAL(18,4)) AS v FROM events),

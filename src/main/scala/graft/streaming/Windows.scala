@@ -1694,7 +1694,72 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q354: streaming permutation-test monitor — q346's 32-permutation
+    * significance check folded over a micro-batched event feed: each
+    * batch contributes per-rep (count, exact decimal sum) cells for both
+    * pseudo-arms plus the observed-arm cells, all additively mergeable
+    * at any slicing; the drain re-sums and runs the shared
+    * permutationReport kernel once. Shares q346's oracle verbatim. The
+    * always-on "is the arm gap beyond permutation noise yet?" readout —
+    * per-batch state is 32×4 + 2×2 numbers.
+    */
+  def q354StreamPermutation: Q = (s, d) => {
+    val p = 2147483647L
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), graft.Dsl.dec(col("value")).as("v"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q354_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val permDir = s"$tmp/perm"
+      val obsDir = s"$tmp/obs"
+      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.toDF()
+            val reps = s.range(1L, 33L).toDF("rep")
+            val permArm = pmod((pmod(pmod(col("event_id") + col("rep"),
+              lit(p)) * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
+            b.crossJoin(broadcast(reps))
+              .select(col("rep"), permArm.as("a"), col("v"))
+              .groupBy(col("rep"))
+              .agg(sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("pna"),
+                sum(when(col("a"), col("v"))).as("psva"),
+                sum(when(!col("a"), 1L).otherwise(0L)).cast("long").as("pnb"),
+                sum(when(!col("a"), col("v"))).as("psvb"))
+              .write.mode("overwrite").parquet(s"$permDir/batch=$batchId")
+            b.select((graft.operators.TrainingOps
+              .portableBucket(col("event_id")) % 2 === 0).as("a"), col("v"))
+              .groupBy(col("a"))
+              .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("sv"))
+              .write.mode("overwrite").parquet(s"$obsDir/batch=$batchId")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val perm = s.read.parquet(permDir)
+        .groupBy(col("rep"))
+        .agg(sum(col("pna")).cast("long").as("pna"),
+          sum(col("psva")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+            .as("psva"),
+          sum(col("pnb")).cast("long").as("pnb"),
+          sum(col("psvb")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+            .as("psvb"))
+      val obs = s.read.parquet(obsDir)
+        .groupBy(col("a"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sv")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+            .as("sv"))
+      graft.Checkpoints.materialize(
+        graft.operators.Stats.permutationReport(perm, obs))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q354_stream_permutation" -> q354StreamPermutation,
     "q348_stream_mann_kendall" -> q348StreamMannKendall,
     "q337_stream_psi" -> q337StreamPsi,
     "q329_stream_srm" -> q329StreamSrm,
@@ -1818,6 +1883,10 @@ object Windows {
     // q348 shares q342's oracle verbatim (hourly cells merge additively)
     "q348_stream_mann_kendall" ->
       graft.operators.Stats.oracles("q342_mann_kendall"),
+    // q354 shares q346's oracle verbatim (per-rep counts and exact decimal
+    // sums merge additively at any trigger slicing)
+    "q354_stream_permutation" ->
+      graft.operators.Stats.oracles("q346_permutation_test"),
     // q284 shares q204's oracle verbatim (additive digit counts merge
     // exactly at any trigger slicing)
     "q288_stream_funnel" ->

@@ -112,6 +112,8 @@ class PlanAuditSpec extends SparkSpec {
     "q347_degree_assortativity", // 1-row node-count broadcast beside the 1-row moment reduction
     "q349_dispersion", // 1-row source-count broadcast onto the per-token moment collapse
     "q350_range_partition_audit", // 1-row row-total broadcast onto the bounded bucket collapse
+    "q351_shapley_attribution", // 8-row lattice relations + 1-row attributable total (bounded coalition walk)
+    "q352_james_stein", // 1-row grand-total and tau2 broadcasts over the 5-segment summary
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition

@@ -1281,4 +1281,76 @@ class StatsSpec extends SparkSpec {
       "add-one p-value below its floor — arithmetic wrong")
     assert(diffs.distinct.length > 1, "all permuted diffs identical — vacuous")
   }
+
+  test("q352 james-stein: tau2, shrink weights and pooled rates match a replay; order preserved") {
+    val urgent = graft.Tables(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val cust = graft.Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val per = cust.groupBy(_._2).map { case (seg, g) =>
+      (seg, g.length.toLong, g.count(c => urgent(c._1)).toLong)
+    }.toSeq.sortBy(_._1)
+    val nt = per.map(_._2).sum; val yt = per.map(_._3).sum
+    val k = per.length
+    val pbar = yt.toDouble / nt
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val s1 = per.map { case (_, n, y) =>
+      val d = y.toDouble / n - pbar; r12(d * d)
+    }.sum.toDouble
+    val s2 = per.map { case (_, n, _) => r12(pbar * (1 - pbar) / n) }.sum.toDouble
+    val tau2 = math.max(0.0, s1 / (k - 1.0) - s2 / k)
+    val got = Stats.q352JamesStein(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.map(_._1).toSeq === per.map(_._1))
+    got.foreach { case (seg, n, y, raw, grand, b, shrunk) =>
+      val w = per.find(_._1 == seg).get
+      assert(n === w._2 && y === w._3, s"$seg counts")
+      assert(math.abs(raw - w._3.toDouble / w._2) < 1e-6)
+      assert(math.abs(grand - pbar) < 1e-6)
+      val sg2 = pbar * (1 - pbar) / n
+      assert(math.abs(b - sg2 / (sg2 + tau2)) < 1e-5, s"$seg shrink weight")
+      assert(math.abs(shrunk - (pbar + (1 - sg2 / (sg2 + tau2)) * (raw - grand)))
+        < 1e-5, s"$seg shrunk rate")
+      // shrinkage moves toward the grand mean, never past it
+      assert((shrunk - grand) * (raw - grand) >= -1e-9, s"$seg overshoot")
+      assert(math.abs(shrunk - grand) <= math.abs(raw - grand) + 1e-9, s"$seg")
+    }
+    assert(got.exists(g => math.abs(g._7 - g._4) > 1e-6),
+      "no segment actually shrunk — vacuous")
+  }
+
+  test("q353 delta method: moments replay; agrees with the jackknife to first order") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(4)))
+    val per = ev.groupBy(_._1).map { case (_, g) =>
+      (g.filter(_._2 == "purchase").map(_._3).sum, g.length.toLong)
+    }.toSeq
+    val n = per.length
+    val sy = per.map(_._1).sum.toDouble
+    val sx = per.map(_._2).sum
+    val syy = per.map(t => t._1 * t._1).sum.toDouble
+    val syx = per.map(t => t._1 * BigDecimal(t._2)).sum.toDouble
+    val sxx = per.map(t => t._2 * t._2).sum
+    val rr = sy / sx
+    val xbar = sx.toDouble / n
+    val ssr = syy - 2.0 * rr * syx + rr * rr * sxx
+    val se = math.sqrt(ssr / (n - 1.0) / n / (xbar * xbar))
+    val r = Stats.q353DeltaMethod(spark, sf0001).head()
+    assert(r.getLong(0) === n.toLong && r.getLong(1) === sx)
+    assert(math.abs(r.getDouble(2) - rr) < 1e-6)
+    assert(math.abs(r.getDouble(3) - se) < 1e-6, "se_delta")
+    assert(math.abs(r.getDouble(4) - (rr - 1.96 * se)) < 1e-4)
+    assert(math.abs(r.getDouble(5) - (rr + 1.96 * se)) < 1e-4)
+    // first-order agreement with the resampling estimator it approximates
+    val seJack = Stats.q328JackknifeRatio(spark, sf0001).head().getDouble(3)
+    assert(se > 0 && seJack > 0)
+    assert(math.abs(se - seJack) / seJack < 0.5,
+      s"delta se $se and jackknife se $seJack disagree wildly")
+  }
 }

@@ -1026,6 +1026,46 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q351 shapley attribution: lattice values match brute-force over all 6 orderings") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        graft.Dsl.epochSec($"ts2")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fp = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val masks = fp.map { case (u, t0) =>
+      val touched = ev.filter(e => e._1 == u && e._3 < t0).map(_._2).toSet
+      (if (touched("view")) 1 else 0) | (if (touched("click")) 2 else 0) |
+        (if (touched("signup")) 4 else 0)
+    }.toSeq
+    def v(set: Int): Long = masks.count(t => (t & set) == t).toLong
+    // brute-force Shapley: average marginal over the 6 channel orderings
+    val perms = Seq(1, 2, 4).permutations.toSeq
+    val phi = Seq(1, 2, 4).map { c =>
+      val total = perms.map { ord =>
+        val before = ord.takeWhile(_ != c).foldLeft(0)(_ | _)
+        v(before | c) - v(before)
+      }.sum
+      c -> total // = 6·φ_c
+    }.toMap
+    val got = graft.operators.Events.q351ShapleyAttribution(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val names = Map("view" -> 1, "click" -> 2, "signup" -> 4)
+    assert(got.map(_._1).toSeq === names.keys.toSeq.sorted)
+    got.foreach { case (ch, phi6, p, share) =>
+      assert(phi6 === phi(names(ch)), s"$ch phi6")
+      assert(math.abs(p - phi6 / 6.0) < 1e-6)
+      val attributable = v(7) - v(0)
+      if (attributable > 0)
+        assert(math.abs(share - phi6 / 6.0 / attributable) < 1e-6, s"$ch share")
+    }
+    // efficiency axiom: shares sum to the attributable conversions
+    assert(got.map(_._2).sum === (v(7) - v(0)) * 6,
+      "Shapley efficiency violated: phi values must sum to v(C) - v(empty)")
+    assert(got.map(_._2).exists(_ > 0), "no credit assigned — vacuous")
+  }
+
   test("q347 assortativity: edge-degree correlation matches an exact-moment replay") {
     val li = Tables(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").collect()

@@ -376,6 +376,20 @@ class StreamingSpec extends SparkSpec {
     assert(spans > 0, "no confusion cell spans two slices — merge untested")
   }
 
+  test("q354 streaming permutation test equals q346's batch report") {
+    val batch = graft.operators.Stats.q346PermutationTest(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val stream = Windows.q354StreamPermutation(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty && stream === batch,
+      "drained merge of per-batch permutation cells diverged from the batch test")
+    // each rep's arm populations necessarily span the 3 feed files (every
+    // batch holds ~1/3 of events and both pseudo-arms), so the per-rep
+    // decimal-sum merge is structurally exercised; pin the precondition
+    assert(graft.Tables.events(spark, sf0001).count() > 3,
+      "degenerate feed — merge untested")
+  }
+
   test("q348 streaming Mann-Kendall equals q342's batch report; hourly cells genuinely merge") {
     val batch = graft.operators.Stats.q342MannKendall(spark, sf0001)
       .collect().map(_.toSeq).toSeq
