@@ -1398,6 +1398,135 @@ object Stats {
       round(r + lit(1.96) * se, 6).as("ci_hi"))
   }
 
+  /** Q355: Laplace-mechanism release plumbing — per-nation customer counts
+    * with inverse-CDF Laplace noise at ε = 0.5 (sensitivity 1 for a count),
+    * the ε accounting columns a privacy ledger records. The DRAW here is a
+    * seeded deterministic PRG keyed by the cell (the testability harness —
+    * a production release keys the same PRG from a secret seed; the
+    * mechanism arithmetic, clamping and accounting are exactly what ships).
+    *
+    * Determinism: u = (h + 0.5)/p from the MINSTD chain, noise =
+    * −b·sign(u−½)·ln(1−2|u−½|) as one fixed IEEE tree, 6-dp-rounded;
+    * released = max(0, true + noise) — the standard post-processing clamp.
+    */
+  def q355LaplaceMechanism: Q = (s, d) => {
+    val p = 2147483647L
+    val per = Tables(s, d, "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("c"))
+    val h = pmod((pmod(pmod(col("c_nationkey"), lit(p)) * 48271L, lit(p))
+      + 1L) * 16807L, lit(p))
+    val u = (h.cast("double") + lit(0.5)) / lit(2147483647.0)
+    val b = lit(2.0) // 1/epsilon, epsilon = 0.5, sensitivity 1
+    val noise = round(-b * signum(u - lit(0.5))
+      * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 6)
+    per.select(big(col("c_nationkey")).as("nation"),
+      big(col("c")).as("true_count"),
+      noise.as("noise"),
+      round(greatest(col("c").cast("double") + noise, lit(0.0)), 6)
+        .as("released_count"),
+      lit(0.5).as("epsilon"), lit(1L).as("sensitivity"))
+      .orderBy(col("nation"))
+  }
+
+  /** One complementary-suppression pass over the bounded grid: any GROUP
+    * (row or column) left with exactly one suppressed cell also hides its
+    * smallest published cell (count asc, key asc), or the lone suppression
+    * is recoverable from the group marginal.
+    */
+  private def suppressPass(df: DataFrame, groupCol: String, keyCol: String,
+      label: String): DataFrame = {
+    val wg = Window.partitionBy(col(groupCol))
+    // candidates must be published: suppressed sorts last (false < true),
+    // so rank 1 in (suppressed, n, key) order is the smallest published cell
+    val wp = Window.partitionBy(col(groupCol))
+      .orderBy(col("suppressed"), col("n"), col(keyCol))
+    df.withColumn("supN", sum(when(col("suppressed"), 1L).otherwise(0L)).over(wg))
+      .withColumn("rkPub", row_number().over(wp))
+      .withColumn("newly",
+        col("supN") === 1L && !col("suppressed") && col("rkPub") === 1L)
+      .select(df.columns.map(col) :+
+        when(col("newly"), lit(label)).as("newReason"): _*)
+      .withColumn("reason", coalesce(col("reason"), col("newReason")))
+      .withColumn("suppressed", col("suppressed") || col("newReason").isNotNull)
+      .drop("newReason")
+  }
+
+  /** Q356: small-cell suppression with complementary protection — the
+    * statistical-disclosure-control step before publishing the
+    * nation × segment count grid: cells under 7 are hidden (primary), and
+    * four alternating row/column passes hide the smallest published cell
+    * of any group left with a LONE suppression — otherwise the marginal
+    * arithmetic re-reveals it. The declared pass schedule (row, col, row,
+    * col) is part of the contract; the spec asserts no singleton group
+    * survives it on this grid.
+    *
+    * Scale shape: everything after the one keyed count runs on the
+    * bounded 25 × 5 grid.
+    */
+  def q356CellSuppression: Q = (s, d) => {
+    val grid = Tables(s, d, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("suppressed", col("n") < 7L)
+      .withColumn("reason",
+        when(col("n") < 7L, lit("primary")).otherwise(lit(null).cast("string")))
+    val p1 = suppressPass(grid, "c_nationkey", "c_mktsegment", "row_comp_1")
+    val p2 = suppressPass(p1, "c_mktsegment", "c_nationkey", "col_comp_1")
+    val p3 = suppressPass(p2, "c_nationkey", "c_mktsegment", "row_comp_2")
+    val p4 = suppressPass(p3, "c_mktsegment", "c_nationkey", "col_comp_2")
+    p4.select(big(col("c_nationkey")).as("nation"), col("c_mktsegment"),
+      big(col("n")).as("n"), col("suppressed"),
+      coalesce(col("reason"), lit("published")).as("reason"))
+      .orderBy(col("nation"), col("c_mktsegment"))
+  }
+
+  /** Q357: Nelson–Aalen cumulative hazard — the q210 survival grid's
+    * other standard estimator: H(t) = Σ_{i≤t} d_i/n_i over the same
+    * monthly duration grid, censoring handled identically. Where KM gives
+    * survival probability, the cumulative hazard is the quantity hazard-
+    * ratio models are built on — reported together they bracket the
+    * churn story.
+    *
+    * Determinism: per-duration hazard terms are 6-dp-rounded decimals
+    * summed EXACTLY by the cumulative window (the q210 discipline);
+    * risk sets are pure prefix integers over the bounded duration grid.
+    */
+  def q357NelsonAalen: Q = (s, d) => {
+    def mIdx(c: Column) = (year(c) * 12 + month(c)).cast("long")
+    val per = Tables(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(mIdx(col("o_orderdate"))).as("m0"),
+        max(mIdx(col("o_orderdate"))).as("ml"))
+    val horizon = per.agg(max(col("ml")).as("mmax"))
+    val durs = per.crossJoin(broadcast(horizon))
+      .select(
+        when(col("mmax") - col("ml") > 6, col("ml") - col("m0"))
+          .otherwise(col("mmax") - col("m0")).as("dur"),
+        when(col("mmax") - col("ml") > 6, 1L).otherwise(0L).as("death"))
+    val grid = durs.groupBy(col("dur"))
+      .agg(sum(col("death")).as("n_deaths"),
+        sum(lit(1L) - col("death")).as("n_censored"))
+    val w = Window.orderBy(col("dur"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec6 = DecimalType(18, 6)
+    grid
+      .withColumn("total", sum(col("n_deaths") + col("n_censored")).over(wAll))
+      .withColumn("n_risk", col("total")
+        - coalesce(sum(col("n_deaths") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("h6",
+        round(col("n_deaths").cast("double") / col("n_risk").cast("double"), 6)
+          .cast(dec6))
+      .withColumn("ch", sum(col("h6")).over(wCum))
+      .select(big(col("dur")).as("dur_months"), big(col("n_risk")).as("n_risk"),
+        big(col("n_deaths")).as("n_deaths"),
+        big(col("n_censored")).as("n_censored"),
+        col("h6").cast("double").as("hazard"),
+        round(col("ch").cast("double"), 6).as("cum_hazard"))
+      .orderBy(col("dur_months"))
+  }
+
   /** Q342: Mann–Kendall trend test — is hourly traffic monotonically
     * trending, per event type, judged nonparametrically? S sums the
     * signs of all hour-pair count differences (EXACT integers over the
@@ -2358,6 +2487,9 @@ object Stats {
     "q346_permutation_test" -> q346PermutationTest,
     "q352_james_stein" -> q352JamesStein,
     "q353_delta_method" -> q353DeltaMethod,
+    "q355_laplace_mechanism" -> q355LaplaceMechanism,
+    "q356_cell_suppression" -> q356CellSuppression,
+    "q357_nelson_aalen" -> q357NelsonAalen,
     "q312_quantile_normalization" -> q312QuantileNormalization,
     "q313_conformal_interval" -> q313ConformalInterval,
     "q311_join_cardinality" -> q311JoinCardEstimate,
@@ -2393,6 +2525,39 @@ object Stats {
     "q180_assoc_rules" -> q180AssocRules,
     "q186_column_profile" -> q186ColumnProfile,
     "q187_fk_audit" -> q187FkAudit)
+
+  /** q356's oracle: the four complementary passes generated as CTE layers
+    * (row, col, row, col), each the same window shape the Spark pass uses.
+    */
+  private val cellSuppressionSql: String = {
+    def pass(prev: String, out: String, group: String, key: String,
+        label: String): String =
+      s"""$out AS (
+         |  SELECT nation, seg, n,
+         |    suppressed OR newly AS suppressed,
+         |    COALESCE(reason, CASE WHEN newly THEN '$label' END) AS reason
+         |  FROM (
+         |    SELECT *,
+         |      SUM(CASE WHEN suppressed THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY $group) = 1
+         |      AND NOT suppressed
+         |      AND ROW_NUMBER() OVER (PARTITION BY $group
+         |        ORDER BY suppressed, n, $key) = 1 AS newly
+         |    FROM $prev))""".stripMargin
+    s"""WITH g0 AS (
+       |  SELECT c_nationkey AS nation, c_mktsegment AS seg, COUNT(*) AS n,
+       |    COUNT(*) < 7 AS suppressed,
+       |    CASE WHEN COUNT(*) < 7 THEN 'primary' END AS reason
+       |  FROM customer GROUP BY 1, 2),
+       |${pass("g0", "g1", "nation", "seg", "row_comp_1")},
+       |${pass("g1", "g2", "seg", "nation", "col_comp_1")},
+       |${pass("g2", "g3", "nation", "seg", "row_comp_2")},
+       |${pass("g3", "g4", "seg", "nation", "col_comp_2")}
+       |SELECT CAST(nation AS BIGINT) AS nation, seg AS c_mktsegment,
+       |  CAST(n AS BIGINT) AS n, suppressed,
+       |  COALESCE(reason, 'published') AS reason
+       |FROM g4 ORDER BY nation, c_mktsegment""".stripMargin
+  }
 
   private val benfordCaseSql: String =
     benford.map { case (dg, p) => s"WHEN digit = '$dg' THEN CAST($p AS DOUBLE)" }
@@ -2731,6 +2896,62 @@ object Stats {
         |         - CAST('2.0' AS DOUBLE))), 6) AS cohens_d
         |FROM mom a JOIN mom b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q355_laplace_mechanism" ->
+      """WITH per AS (SELECT c_nationkey, COUNT(*) AS c
+        |             FROM customer GROUP BY 1),
+        |n AS (
+        |  SELECT c_nationkey, c,
+        |    (CAST((((CAST(c_nationkey AS BIGINT) % 2147483647) * 48271)
+        |        % 2147483647 + 1) * 16807 % 2147483647 AS DOUBLE)
+        |      + CAST('0.5' AS DOUBLE))
+        |      / CAST('2147483647.0' AS DOUBLE) AS u
+        |  FROM per),
+        |z AS (
+        |  SELECT c_nationkey, c,
+        |    ROUND(-CAST('2.0' AS DOUBLE) * SIGN(u - CAST('0.5' AS DOUBLE))
+        |      * LN(CAST('1.0' AS DOUBLE)
+        |        - CAST('2.0' AS DOUBLE) * ABS(u - CAST('0.5' AS DOUBLE))), 6)
+        |      AS noise
+        |  FROM n)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(c AS BIGINT) AS true_count, noise,
+        |  ROUND(GREATEST(CAST(c AS DOUBLE) + noise, CAST('0.0' AS DOUBLE)), 6)
+        |    AS released_count,
+        |  CAST('0.5' AS DOUBLE) AS epsilon, CAST(1 AS BIGINT) AS sensitivity
+        |FROM z ORDER BY nation""".stripMargin,
+    "q356_cell_suppression" -> cellSuppressionSql,
+    "q357_nelson_aalen" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS m0,
+        |    MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)) AS ml
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT MAX(ml) AS mmax FROM per),
+        |durs AS (
+        |  SELECT CASE WHEN mmax - ml > 6 THEN CAST(ml - m0 AS BIGINT)
+        |              ELSE CAST(mmax - m0 AS BIGINT) END AS dur,
+        |         CASE WHEN mmax - ml > 6 THEN 1 ELSE 0 END AS death
+        |  FROM per, h),
+        |grid AS (SELECT dur, CAST(SUM(death) AS BIGINT) AS n_deaths,
+        |                CAST(SUM(1 - death) AS BIGINT) AS n_censored
+        |         FROM durs GROUP BY dur),
+        |g2 AS (SELECT dur, n_deaths, n_censored,
+        |         SUM(n_deaths + n_censored) OVER () AS total,
+        |         COALESCE(SUM(n_deaths + n_censored) OVER (ORDER BY dur
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |       FROM grid),
+        |g3 AS (SELECT dur, n_deaths, n_censored,
+        |              CAST(total - prev AS BIGINT) AS n_risk FROM g2),
+        |g4 AS (SELECT *,
+        |         CAST(ROUND(CAST(n_deaths AS DOUBLE)
+        |           / CAST(n_risk AS DOUBLE), 6) AS DECIMAL(18,6)) AS h6
+        |       FROM g3)
+        |SELECT dur AS dur_months, n_risk, n_deaths, n_censored,
+        |  CAST(h6 AS DOUBLE) AS hazard,
+        |  ROUND(CAST(SUM(h6) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+        |    AS cum_hazard
+        |FROM g4 ORDER BY dur_months""".stripMargin,
     "q352_james_stein" ->
       """WITH pos AS (SELECT DISTINCT o_custkey FROM orders
         |             WHERE o_orderpriority = '1-URGENT'),

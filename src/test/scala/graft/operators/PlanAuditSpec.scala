@@ -114,6 +114,7 @@ class PlanAuditSpec extends SparkSpec {
     "q350_range_partition_audit", // 1-row row-total broadcast onto the bounded bucket collapse
     "q351_shapley_attribution", // 8-row lattice relations + 1-row attributable total (bounded coalition walk)
     "q352_james_stein", // 1-row grand-total and tau2 broadcasts over the 5-segment summary
+    "q357_nelson_aalen", // 1-row horizon broadcast (q210's censoring convention)
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -144,7 +145,8 @@ class PlanAuditSpec extends SparkSpec {
     "q336_feature_auc_scan" -> "q190's cumsum over each bounded (feature value -> counts) summary (value domains: 7/24/16 buckets and the 2-decimal score grid), never the rows",
     "q339_zipf_slope" -> "rank window over the TakeOrdered-bounded 1000-row top-token relation, never the token stream",
     "q341_group_sequential" -> "cumulative sums over the 5-row look collapse, never the orders",
-    "q350_range_partition_audit" -> "prefix counts over the bounded 10.00-bucket collapse (price-domain bounded, the q312/q344 argument), never the orders")
+    "q350_range_partition_audit" -> "prefix counts over the bounded 10.00-bucket collapse (price-domain bounded, the q312/q344 argument), never the orders",
+    "q357_nelson_aalen" -> "at-risk/hazard cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span — q210's argument), never the customers")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

@@ -1353,4 +1353,80 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(se - seJack) / seJack < 0.5,
       s"delta se $se and jackknife se $seJack disagree wildly")
   }
+
+  test("q355 laplace mechanism: inverse-CDF noise replays; clamp and accounting hold") {
+    val per = graft.Tables(spark, sf0001, "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1)))
+    val got = Stats.q355LaplaceMechanism(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.map(g => g._1 -> g._2).toMap === per.toMap)
+    got.foreach { case (nation, c, noise, released, eps, sens) =>
+      val h = (((nation % 2147483647L) * 48271L % 2147483647L) + 1L) *
+        16807L % 2147483647L
+      val u = (h + 0.5) / 2147483647.0
+      val want = BigDecimal(-2.0 * math.signum(u - 0.5)
+        * math.log(1.0 - 2.0 * math.abs(u - 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(noise === want, s"nation $nation noise")
+      assert(math.abs(released - math.max(0.0, c + noise)) < 1e-6)
+      assert(released >= 0.0, "clamp violated")
+      assert(eps === 0.5 && sens === 1L)
+    }
+    assert(got.exists(_._3 > 0) && got.exists(_._3 < 0),
+      "noise all one-signed — inverse CDF wrong")
+  }
+
+  test("q356 cell suppression: passes replay and no singleton group survives") {
+    // sf0.01: the sf0.001 grid is degenerate (nearly every cell below the
+    // threshold, so primary suppression alone satisfies the property and
+    // the complementary passes would be vacuous)
+    val sf001 = "/root/testdata/sf0.01"
+    val got = Stats.q356CellSuppression(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3),
+        r.getString(4)))
+    val cells = graft.Tables(spark, sf001, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.get(0).toString.toLong, r.getString(1)), r.getLong(2))).toMap
+    assert(got.map(g => ((g._1, g._2), g._3)).toMap === cells)
+    // primary rule (threshold 7)
+    got.filter(_._3 < 7).foreach(g => assert(g._4, s"${g._1}/${g._2} missed"))
+    got.filter(g => g._5 == "primary").foreach(g => assert(g._3 < 7))
+    got.filter(g => !g._4).foreach(g => assert(g._5 === "published"))
+    // the SDC property the passes exist for: no row or column carries
+    // exactly one suppressed cell
+    got.groupBy(_._1).values.foreach { row =>
+      assert(row.count(_._4) != 1, s"row ${row.head._1} lone suppression")
+    }
+    got.groupBy(_._2).values.foreach { colG =>
+      assert(colG.count(_._4) != 1, s"col ${colG.head._2} lone suppression")
+    }
+    assert(got.exists(g => g._5.startsWith("row_comp") || g._5.startsWith("col_comp")),
+      "no complementary suppression triggered — passes untested")
+    assert(got.exists(!_._4), "everything suppressed — grid degenerate")
+  }
+
+  test("q357 nelson-aalen: hazard grid replays and shares q210's risk sets") {
+    val km = Stats.q210KaplanMeier(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Stats.q357NelsonAalen(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // identical duration grid and risk sets as the KM estimator
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq === km,
+      "NA and KM disagree on the shared survival grid")
+    var cum = BigDecimal(0)
+    got.foreach { case (dur, nRisk, nDeaths, _, hz, ch) =>
+      val want = BigDecimal(nDeaths.toDouble / nRisk)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(hz === want.toDouble, s"dur $dur hazard")
+      cum += want
+      assert(math.abs(ch - cum.toDouble) < 1e-9, s"dur $dur cumulative")
+    }
+    assert(got.map(_._6).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "cumulative hazard must be non-decreasing")
+    assert(got.last._6 > 0, "zero total hazard — vacuous")
+  }
 }
