@@ -945,7 +945,71 @@ object Graph {
         round(r, 6).as("assortativity"))
   }
 
+  /** Q358: intra-list diversity of the q218 recommendation lists — for
+    * each probe item's top-5, the mean pairwise (1 − cosine) among the
+    * RECOMMENDED items (10 pairs, cosine 0 when the pair never
+    * co-occurs), plus the overall mean. The accuracy/diversity trade-off
+    * readout: a list of five near-identical substitutes scores high on
+    * cosine and useless on discovery — this is the number a rec review
+    * reads next to q234's hit rate.
+    *
+    * Scale shape: the ≤100-row rec relation self-joins per probe (10
+    * pairs each), looks pair cosines up in the bounded co-occurrence
+    * model, and the overall mean is an exact 6-dp decimal sum over the
+    * 20-row per-probe report.
+    */
+  def q358RecDiversity: Q = (s, d) => {
+    val dec6 = DecimalType(18, 6)
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("item")).distinct()
+    val pairs = graft.Checkpoints.materializeCached(
+      items.select(col("o"), col("item").as("u"))
+        .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co")))
+    val deg = items.groupBy(col("item")).agg(count(lit(1)).as("dg"))
+    val probes = deg.orderBy(col("dg").desc, col("item")).limit(20)
+      .select(col("item").as("i"), col("dg").as("di"))
+    val sym = pairs.select(col("u").as("i"), col("v").as("j"), col("co"))
+      .union(pairs.select(col("v"), col("u"), col("co")))
+    val scored = sym.join(broadcast(probes), Seq("i"))
+      .join(deg.withColumnRenamed("item", "j").withColumnRenamed("dg", "dj"), Seq("j"))
+      .withColumn("cos", round(col("co").cast("double")
+        / sqrt((col("di") * col("dj")).cast("double")), 6))
+    val w = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+    val recs = graft.Checkpoints.materialize(
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("i"), col("j")))
+    // pairwise similarity among the recommended items: model lookup, 0
+    // when the pair never co-occurs
+    val recPairs = recs.select(col("i"), col("j").as("a"))
+      .join(recs.select(col("i"), col("j").as("b")), Seq("i"))
+      .filter(col("a") < col("b"))
+    val withCos = recPairs
+      .join(pairs.select(col("u").as("a"), col("v").as("b"), col("co")),
+        Seq("a", "b"), "left")
+      .join(deg.select(col("item").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("item").as("b"), col("dg").as("db")), Seq("b"))
+      .withColumn("pc", coalesce(round(col("co").cast("double")
+        / sqrt((col("da") * col("db")).cast("double")), 6), lit(0.0)))
+    val perProbe = withCos.groupBy(col("i"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(lit(1.0) - sum(col("pc").cast(dec6)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("ild"))
+    val overall = perProbe.agg(
+      big(count(lit(1))).as("n_probes"),
+      round(sum(col("ild").cast(dec6)).cast("double")
+        / count(lit(1)).cast("double"), 6).as("mean_ild"))
+    perProbe.select(big(col("i")).as("probe"), big(col("n_pairs")).as("n_pairs"),
+      col("ild"))
+      .unionByName(overall.select(lit(-1L).as("probe"),
+        col("n_probes").as("n_pairs"), col("mean_ild").as("ild")))
+      .orderBy(col("probe"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q358_rec_diversity" -> q358RecDiversity,
     "q347_degree_assortativity" -> q347DegreeAssortativity,
     "q343_mutual_top1" -> q343MutualTop1,
     "q322_link_prediction" -> q322LinkPrediction,
@@ -1147,6 +1211,57 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q358_rec_diversity" ->
+      """WITH items AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+        |pe AS MATERIALIZED (
+        |  SELECT a.item AS u, b.item AS v, COUNT(*) AS co
+        |  FROM items a JOIN items b ON a.o = b.o AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |deg AS MATERIALIZED (
+        |  SELECT item, COUNT(*) AS dg FROM items GROUP BY 1),
+        |probes AS (SELECT item AS i, dg AS di FROM deg
+        |           ORDER BY dg DESC, item LIMIT 20),
+        |sym AS (SELECT u AS i, v AS j, co FROM pe
+        |        UNION ALL SELECT v, u, co FROM pe),
+        |scored AS (
+        |  SELECT sym.i, sym.j,
+        |    ROUND(CAST(co AS DOUBLE)
+        |      / SQRT(CAST(p.di * dj.dg AS DOUBLE)), 6) AS cos
+        |  FROM sym JOIN probes p ON sym.i = p.i
+        |  JOIN deg dj ON sym.j = dj.item),
+        |recs AS MATERIALIZED (
+        |  SELECT i, j FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY i
+        |      ORDER BY cos DESC, j) AS rn FROM scored)
+        |  WHERE rn <= 5),
+        |rp AS (
+        |  SELECT a.i, a.j AS a, b.j AS b
+        |  FROM recs a JOIN recs b ON a.i = b.i AND a.j < b.j),
+        |wc AS (
+        |  SELECT rp.i,
+        |    COALESCE(ROUND(CAST(pe.co AS DOUBLE)
+        |      / SQRT(CAST(da.dg * db.dg AS DOUBLE)), 6),
+        |      CAST('0.0' AS DOUBLE)) AS pc
+        |  FROM rp
+        |  LEFT JOIN pe ON rp.a = pe.u AND rp.b = pe.v
+        |  JOIN deg da ON rp.a = da.item JOIN deg db ON rp.b = db.item),
+        |per AS (
+        |  SELECT i, COUNT(*) AS n_pairs,
+        |    ROUND(CAST('1.0' AS DOUBLE)
+        |      - CAST(SUM(CAST(pc AS DECIMAL(18,6))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS ild
+        |  FROM wc GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(i AS BIGINT) AS probe, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |    ild
+        |  FROM per
+        |  UNION ALL
+        |  SELECT -1, CAST(COUNT(*) AS BIGINT),
+        |    ROUND(CAST(SUM(CAST(ild AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6)
+        |  FROM per)
+        |ORDER BY probe""".stripMargin,
     "q347_degree_assortativity" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),

@@ -1527,6 +1527,62 @@ object Stats {
       .orderBy(col("dur_months"))
   }
 
+  /** Q359: Qini uplift curve — cumulative incremental conversions when
+    * "treating" the top score-deciles first: at each decile of the
+    * o_totalprice ranking, Qini(d) = Y_t(d) − Y_c(d)·N_t(d)/N_c(d)
+    * (treated conversions beyond the scaled control), against the
+    * straight-line random-targeting baseline. The uplift-model eval that
+    * decides whether a targeting score beats mailing everyone; here the
+    * price score is the audited candidate and URGENT priority the
+    * treatment.
+    *
+    * Scale shape: one (score-bucket) collapse with cumulative sums over
+    * the bounded bucket grid DESC, decile picks via the q312 crossing
+    * rule (cum·10 ≥ d·N on the strictly increasing prefix), all integer
+    * until the final scaled-control subtraction.
+    */
+  def q359QiniCurve: Q = (s, d) => {
+    val items = Tables(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ly"))
+    val ord = Tables(s, d, "orders")
+      .join(items, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_orderpriority") === "1-URGENT").as("tr"),
+        (col("ly") >= 4L).as("y"),
+        ((dec(col("o_totalprice")) * 100).cast("long") / 1000L).cast("long")
+          .as("b"))
+    val grid = ord.groupBy(col("b")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("tr") && col("y"), 1L).otherwise(0L)).as("yt"),
+      sum(when(!col("tr"), 1L).otherwise(0L)).as("nc"),
+      sum(when(!col("tr") && col("y"), 1L).otherwise(0L)).as("yc"))
+    val w = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      sum(col("n")).over(w).as("cn"), sum(col("nt")).over(w).as("cnt"),
+      sum(col("yt")).over(w).as("cyt"), sum(col("nc")).over(w).as("cnc"),
+      sum(col("yc")).over(w).as("cyc"))
+    val tot = grid.agg(sum(col("n")).as("nn"))
+    val decs = s.range(1, 11).toDF("dd")
+    val picks = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(decs))
+      .filter(col("cn") * 10L >= col("dd") * col("nn"))
+      .groupBy(col("dd")).agg(min(col("cn")).as("cn"))
+    val at = picks.join(cum.crossJoin(broadcast(tot)), Seq("cn"))
+    val qini = when(col("cnc") === 0L, col("cyt").cast("double"))
+      .otherwise(col("cyt").cast("double") - col("cyc").cast("double")
+        * col("cnt").cast("double") / col("cnc").cast("double"))
+    val full = at.filter(col("dd") === 10L)
+      .select(qini.as("qtot"))
+    at.crossJoin(broadcast(full))
+      .select(big(col("dd")).as("decile"), big(col("cn")).as("n_cum"),
+        big(col("cnt")).as("nt_cum"), big(col("cyt")).as("yt_cum"),
+        big(col("cnc")).as("nc_cum"), big(col("cyc")).as("yc_cum"),
+        round(qini, 6).as("qini"),
+        round(qini - col("qtot") * col("dd").cast("double") / lit(10.0), 6)
+          .as("above_random"))
+      .orderBy(col("decile"))
+  }
+
   /** Q342: Mann–Kendall trend test — is hourly traffic monotonically
     * trending, per event type, judged nonparametrically? S sums the
     * signs of all hour-pair count differences (EXACT integers over the
@@ -2488,6 +2544,7 @@ object Stats {
     "q352_james_stein" -> q352JamesStein,
     "q353_delta_method" -> q353DeltaMethod,
     "q355_laplace_mechanism" -> q355LaplaceMechanism,
+    "q359_qini_curve" -> q359QiniCurve,
     "q356_cell_suppression" -> q356CellSuppression,
     "q357_nelson_aalen" -> q357NelsonAalen,
     "q312_quantile_normalization" -> q312QuantileNormalization,
@@ -2896,6 +2953,52 @@ object Stats {
         |         - CAST('2.0' AS DOUBLE))), 6) AS cohens_d
         |FROM mom a JOIN mom b ON a.event_type < b.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "q359_qini_curve" ->
+      """WITH items AS (SELECT l_orderkey, COUNT(*) AS ly
+        |               FROM lineitem GROUP BY 1),
+        |ord AS (
+        |  SELECT o_orderpriority = '1-URGENT' AS tr, ly >= 4 AS y,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      // 1000 AS b
+        |  FROM orders JOIN items ON o_orderkey = l_orderkey),
+        |grid AS (
+        |  SELECT b, COUNT(*) AS n,
+        |    SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS nt,
+        |    SUM(CASE WHEN tr AND y THEN 1 ELSE 0 END) AS yt,
+        |    SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS nc,
+        |    SUM(CASE WHEN NOT tr AND y THEN 1 ELSE 0 END) AS yc
+        |  FROM ord GROUP BY 1),
+        |cum AS (
+        |  SELECT SUM(n) OVER w AS cn, SUM(nt) OVER w AS cnt,
+        |    SUM(yt) OVER w AS cyt, SUM(nc) OVER w AS cnc,
+        |    SUM(yc) OVER w AS cyc
+        |  FROM grid
+        |  WINDOW w AS (ORDER BY b DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT SUM(n) AS nn FROM grid),
+        |decs AS (SELECT CAST(u.d AS BIGINT) AS dd
+        |         FROM unnest(range(1, 11)) u(d)),
+        |picks AS (
+        |  SELECT dd, MIN(cn) AS cn
+        |  FROM cum, tot, decs WHERE cn * 10 >= dd * nn GROUP BY 1),
+        |at2 AS (SELECT picks.dd, cum.* FROM picks JOIN cum USING (cn)),
+        |full2 AS (
+        |  SELECT CASE WHEN cnc = 0 THEN CAST(cyt AS DOUBLE)
+        |    ELSE CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE)
+        |      * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE) END AS qtot
+        |  FROM at2 WHERE dd = 10)
+        |SELECT CAST(dd AS BIGINT) AS decile, CAST(cn AS BIGINT) AS n_cum,
+        |  CAST(cnt AS BIGINT) AS nt_cum, CAST(cyt AS BIGINT) AS yt_cum,
+        |  CAST(cnc AS BIGINT) AS nc_cum, CAST(cyc AS BIGINT) AS yc_cum,
+        |  ROUND(CASE WHEN cnc = 0 THEN CAST(cyt AS DOUBLE)
+        |    ELSE CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE)
+        |      * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE) END, 6) AS qini,
+        |  ROUND((CASE WHEN cnc = 0 THEN CAST(cyt AS DOUBLE)
+        |    ELSE CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE)
+        |      * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE) END)
+        |    - qtot * CAST(dd AS DOUBLE) / CAST('10.0' AS DOUBLE), 6)
+        |    AS above_random
+        |FROM at2, full2 ORDER BY decile""".stripMargin,
     "q355_laplace_mechanism" ->
       """WITH per AS (SELECT c_nationkey, COUNT(*) AS c
         |             FROM customer GROUP BY 1),

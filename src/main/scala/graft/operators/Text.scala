@@ -1651,7 +1651,66 @@ object Text {
       .limit(50)
   }
 
+  /** Q360: per-source self-BLEU-2 — each source feed scored as a BLEU
+    * candidate against the REST of the corpus as reference: clipped
+    * unigram/bigram precision (counts clipped at the other-sources
+    * totals), brevity penalty against the mean other-source token mass,
+    * and the geometric BLEU-2 combine. High self-BLEU = the feed repeats
+    * what everyone else says (templated/boilerplate); the cross-source
+    * triangulation for q309's lexical diversity and q349's dispersion.
+    *
+    * Determinism: clipped counts are exact integers (reference counts are
+    * global − own, one global pass — never 20 rescans); precisions, BP
+    * and the exp/ln combine are one fixed IEEE tree per source, rounded
+    * at the output.
+    *
+    * Scale shape: two gram collapses (vocab/bigram-domain bounded), two
+    * broadcast joins of per-source against global counts, a 20-row
+    * report.
+    */
+  def q360SelfBleu: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .select(col("source"), toks.as("tk"))
+    val uni = docs.select(col("source"), explode(col("tk")).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    val g1 = uni.groupBy(col("g")).agg(sum(col("c")).as("gt"))
+    val clip1 = uni.join(g1, Seq("g"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("t1"),
+        sum(least(col("c"), col("gt") - col("c"))).cast("long").as("cl1"))
+    val bi = docs.filter(size(col("tk")) >= 2)
+      .select(col("source"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (x, y) => concat_ws(" ", x, y))).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+    val g2 = bi.groupBy(col("g")).agg(sum(col("c")).as("gt"))
+    val clip2 = bi.join(g2, Seq("g"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("t2"),
+        sum(least(col("c"), col("gt") - col("c"))).cast("long").as("cl2"))
+    val totals = clip1.agg(sum(col("t1")).as("tt"),
+      count(lit(1)).as("ns"))
+    val j = clip1.join(clip2, Seq("source")).crossJoin(broadcast(totals))
+    val p1 = col("cl1").cast("double") / col("t1").cast("double")
+    val p2 = col("cl2").cast("double") / col("t2").cast("double")
+    val rlen = (col("tt") - col("t1")).cast("double") /
+      (col("ns").cast("double") - lit(1.0))
+    val bp = when(col("t1").cast("double") >= rlen, lit(1.0))
+      .otherwise(exp(lit(1.0) - rlen / col("t1").cast("double")))
+    j.select(col("source"), big(col("t1")).as("n_unigrams"),
+      big(col("t2")).as("n_bigrams"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      round(bp, 6).as("brevity_penalty"),
+      round(when(col("cl1") === 0L || col("cl2") === 0L, lit(0.0))
+        .otherwise(bp * exp(lit(0.5) * (log(p1) + log(p2)))), 6)
+        .as("self_bleu2"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q360_self_bleu" -> q360SelfBleu,
     "q349_dispersion" -> q349Dispersion,
     "q339_zipf_slope" -> q339ZipfSlope,
     "q272_fuzzy_join_capped" -> q272FuzzyJoinCapped,
@@ -1741,6 +1800,51 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q360_self_bleu" ->
+      """WITH toksr AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT source, u.t AS g, COUNT(*) AS c
+        |  FROM toksr, unnest(tk) AS u(t) GROUP BY 1, 2),
+        |g1 AS (SELECT g, SUM(c) AS gt FROM uni GROUP BY 1),
+        |clip1 AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS t1,
+        |    CAST(SUM(LEAST(c, gt - c)) AS BIGINT) AS cl1
+        |  FROM uni JOIN g1 USING (g) GROUP BY 1),
+        |bi AS (
+        |  SELECT source, tk[u.i+1] || ' ' || tk[u.i+2] AS g, COUNT(*) AS c
+        |  FROM toksr, unnest(range(0, len(tk) - 1)) AS u(i)
+        |  WHERE len(tk) >= 2 GROUP BY 1, 2),
+        |g2 AS (SELECT g, SUM(c) AS gt FROM bi GROUP BY 1),
+        |clip2 AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS t2,
+        |    CAST(SUM(LEAST(c, gt - c)) AS BIGINT) AS cl2
+        |  FROM bi JOIN g2 USING (g) GROUP BY 1),
+        |tots AS (SELECT SUM(t1) AS tt, COUNT(*) AS ns FROM clip1)
+        |SELECT source, t1 AS n_unigrams, t2 AS n_bigrams,
+        |  ROUND(CAST(cl1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) AS p1,
+        |  ROUND(CAST(cl2 AS DOUBLE) / CAST(t2 AS DOUBLE), 6) AS p2,
+        |  ROUND(CASE WHEN CAST(t1 AS DOUBLE)
+        |      >= CAST(tt - t1 AS DOUBLE) / (CAST(ns AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |    THEN CAST('1.0' AS DOUBLE)
+        |    ELSE EXP(CAST('1.0' AS DOUBLE)
+        |      - (CAST(tt - t1 AS DOUBLE) / (CAST(ns AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |        / CAST(t1 AS DOUBLE)) END, 6) AS brevity_penalty,
+        |  ROUND(CASE WHEN cl1 = 0 OR cl2 = 0 THEN CAST('0.0' AS DOUBLE)
+        |    ELSE (CASE WHEN CAST(t1 AS DOUBLE)
+        |        >= CAST(tt - t1 AS DOUBLE) / (CAST(ns AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      THEN CAST('1.0' AS DOUBLE)
+        |      ELSE EXP(CAST('1.0' AS DOUBLE)
+        |        - (CAST(tt - t1 AS DOUBLE) / (CAST(ns AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |          / CAST(t1 AS DOUBLE)) END)
+        |      * EXP(CAST('0.5' AS DOUBLE)
+        |        * (LN(CAST(cl1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+        |          + LN(CAST(cl2 AS DOUBLE) / CAST(t2 AS DOUBLE)))) END, 6)
+        |    AS self_bleu2
+        |FROM clip1 JOIN clip2 USING (source), tots
+        |ORDER BY source""".stripMargin,
     "q349_dispersion" ->
       """WITH tf AS (
         |  SELECT token, source, COUNT(*) AS f FROM (

@@ -115,6 +115,8 @@ class PlanAuditSpec extends SparkSpec {
     "q351_shapley_attribution", // 8-row lattice relations + 1-row attributable total (bounded coalition walk)
     "q352_james_stein", // 1-row grand-total and tau2 broadcasts over the 5-segment summary
     "q357_nelson_aalen", // 1-row horizon broadcast (q210's censoring convention)
+    "q359_qini_curve", // 10-row decile broadcast x bounded prefix relation + 1-row full-curve anchor
+    "q360_self_bleu", // 1-row (corpus mass, source count) broadcast onto the 20-row clip summary
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -146,7 +148,8 @@ class PlanAuditSpec extends SparkSpec {
     "q339_zipf_slope" -> "rank window over the TakeOrdered-bounded 1000-row top-token relation, never the token stream",
     "q341_group_sequential" -> "cumulative sums over the 5-row look collapse, never the orders",
     "q350_range_partition_audit" -> "prefix counts over the bounded 10.00-bucket collapse (price-domain bounded, the q312/q344 argument), never the orders",
-    "q357_nelson_aalen" -> "at-risk/hazard cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span — q210's argument), never the customers")
+    "q357_nelson_aalen" -> "at-risk/hazard cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span — q210's argument), never the customers",
+    "q359_qini_curve" -> "prefix sums over the bounded 10.00-bucket collapse DESC (q350's argument), never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

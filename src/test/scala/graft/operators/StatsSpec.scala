@@ -1429,4 +1429,48 @@ class StatsSpec extends SparkSpec {
       "cumulative hazard must be non-decreasing")
     assert(got.last._6 > 0, "zero total hazard — vacuous")
   }
+
+  test("q359 qini: decile picks and uplift values replay; curve anchors at the endpoints") {
+    val items = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ord = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .flatMap { r =>
+        items.get(r.getLong(0)).map { ly =>
+          val b = (BigDecimal(r.getDouble(2)).setScale(4) * 100).toLongExact / 1000
+          (r.getString(1) == "1-URGENT", ly >= 4, b)
+        }
+      }
+    val byB = ord.groupBy(_._3).toSeq.sortBy(-_._1)
+    val n = ord.length.toLong
+    var cn = 0L; var cnt = 0L; var cyt = 0L; var cnc = 0L; var cyc = 0L
+    val prefix = byB.map { case (_, g) =>
+      cn += g.length; cnt += g.count(_._1); cyt += g.count(t => t._1 && t._2)
+      cnc += g.count(!_._1); cyc += g.count(t => !t._1 && t._2)
+      (cn, cnt, cyt, cnc, cyc)
+    }
+    def qini(p: (Long, Long, Long, Long, Long)): Double =
+      if (p._4 == 0) p._3.toDouble
+      else p._3.toDouble - p._5.toDouble * p._2 / p._4
+    val wantAt = (1L to 10L).map { dd =>
+      dd -> prefix.find(_._1 * 10 >= dd * n).get
+    }.toMap
+    val got = Stats.q359QiniCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got.keySet === (1L to 10L).toSet)
+    val qtot = qini(wantAt(10L))
+    (1L to 10L).foreach { dd =>
+      val w = wantAt(dd)
+      val g = got(dd)
+      assert((g._1, g._2, g._3, g._4, g._5) === w, s"d$dd prefix")
+      assert(math.abs(g._6 - qini(w)) < 1e-6, s"d$dd qini")
+      assert(math.abs(g._7 - (qini(w) - qtot * dd / 10.0)) < 1e-6, s"d$dd delta")
+    }
+    // anchors: the full-population point sits ON the random diagonal
+    assert(math.abs(got(10L)._7) < 1e-9, "qini(100%) must equal the diagonal")
+    assert(got(10L)._1 === n, "final decile must cover everything")
+  }
 }

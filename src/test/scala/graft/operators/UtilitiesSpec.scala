@@ -1066,6 +1066,80 @@ class UtilitiesSpec extends SparkSpec {
     assert(got.map(_._2).exists(_ > 0), "no credit assigned — vacuous")
   }
 
+  test("q358 rec diversity: per-probe ILD matches a brute-force pairwise replay") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val co = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val deg = li.distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Long, b: Long): Double = {
+      val c = co.getOrElse(if (a < b) (a, b) else (b, a), 0L)
+      if (c == 0) 0.0 else r6(c.toDouble / math.sqrt((deg(a) * deg(b)).toDouble))
+    }
+    val probes = deg.toSeq.sortBy { case (i, dg) => (-dg, i) }.take(20).map(_._1)
+    val want = probes.map { p =>
+      val nbrs = deg.keys.filter(j => j != p && co.contains(if (p < j) (p, j) else (j, p)))
+        .map(j => (j, cos(p, j))).toSeq
+        .sortBy { case (j, c) => (-c, j) }.take(5).map(_._1)
+      val pairsL = for (a <- nbrs; b <- nbrs if a < b) yield cos(a, b)
+      val ild = r6(1.0 - pairsL.map(BigDecimal(_)).sum.toDouble / pairsL.length)
+      (p, pairsL.length.toLong, ild)
+    }.sortBy(_._1)
+    val got = Graph.q358RecDiversity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.filter(_._1 >= 0) === want)
+    val overall = got.find(_._1 == -1L).get
+    assert(overall._2 === want.length.toLong)
+    assert(math.abs(overall._3
+      - want.map(w => BigDecimal(w._3)).sum.toDouble / want.length) < 2e-6)
+    assert(want.map(_._3).distinct.length > 1, "all lists equally diverse — vacuous")
+  }
+
+  test("q360 self-bleu: clipped precisions and the BLEU-2 combine replay per source") {
+    val rows = Tables(spark, sf0001, "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val ns = rows.map(_._1).distinct.length
+    def gramCounts(f: Seq[String] => Seq[String]) =
+      rows.flatMap { case (src, tk) => f(tk).map(g => (src, g)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val uni = gramCounts(identity)
+    val bi = gramCounts(tk => if (tk.length < 2) Nil
+      else tk.sliding(2).map(_.mkString(" ")).toSeq)
+    def tot(m: Map[(String, String), Long]) =
+      m.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val (g1, g2) = (tot(uni), tot(bi))
+    val got = graft.operators.Text.q360SelfBleu(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val tt = uni.values.sum
+    rows.map(_._1).distinct.foreach { src =>
+      val u = uni.filter(_._1._1 == src)
+      val b = bi.filter(_._1._1 == src)
+      val t1 = u.values.sum; val t2 = b.values.sum
+      val cl1 = u.map { case ((_, g), c) => math.min(c, g1(g) - c) }.sum
+      val cl2 = b.map { case ((_, g), c) => math.min(c, g2(g) - c) }.sum
+      val (gt1, gt2, gp1, gp2, gbp, gbleu) = got(src)
+      assert(gt1 === t1 && gt2 === t2, s"$src totals")
+      assert(math.abs(gp1 - cl1.toDouble / t1) < 1e-6, s"$src p1")
+      assert(math.abs(gp2 - cl2.toDouble / t2) < 1e-6, s"$src p2")
+      val rlen = (tt - t1).toDouble / (ns - 1)
+      val bp = if (t1 >= rlen) 1.0 else math.exp(1.0 - rlen / t1)
+      assert(math.abs(gbp - bp) < 1e-6, s"$src bp")
+      val want = if (cl1 == 0 || cl2 == 0) 0.0
+        else bp * math.exp(0.5 * (math.log(cl1.toDouble / t1)
+          + math.log(cl2.toDouble / t2)))
+      assert(math.abs(gbleu - want) < 1e-6, s"$src bleu")
+    }
+    assert(got.values.map(_._6).toSeq.distinct.length > 1,
+      "every source equally templated — vacuous")
+  }
+
   test("q347 assortativity: edge-degree correlation matches an exact-moment replay") {
     val li = Tables(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_partkey").collect()
