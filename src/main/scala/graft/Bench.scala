@@ -376,7 +376,19 @@ object Bench {
     // phase-A steady rows) if load arrives mid-sweep.
     val ests = names.map(n => n ->
       math.max(steady.getOrElse(n, warm(n)), 0.05)).toMap
-    val order = names.sortBy(ests)
+    // HEAVY TAIL FIRST (round-9 VERDICT "What's missing" #1): the round-9
+    // closing artifact left exactly the 19 most expensive queries — the
+    // rows rounds are compared on — as degraded single-shots because the
+    // cheapest-first order spent the budget before reaching them. Queries
+    // estimated ≥3 s now run first (cheapest-first WITHIN the class, so a
+    // mis-estimated monster can't starve its own class either), then the
+    // cheap majority cheapest-first as before; if the budget dies mid-sweep
+    // it is now the sub-second rows that keep their phase-A steady
+    // fallbacks, not the tail.
+    val order = {
+      val (heavy, cheap) = names.partition(n => ests(n) >= 3.0)
+      heavy.sortBy(ests) ++ cheap.sortBy(ests)
+    }
     def projected(tier: Int): Double =
       order.map { n =>
         val e = ests(n)
@@ -403,6 +415,23 @@ object Bench {
         results(name) = measure(name, reps, bracket, est)
       }
       // reps == 0 → keep the warm-up fallback row (flagged degraded)
+    }
+
+    // PHASE C — contaminated rows get one more full measurement block each
+    // while budget remains: the committed round-9 artifact carried 3
+    // self-shadow rows (q113/q122/q217) that were flagged honestly but
+    // never re-measured clean (round-9 VERDICT "What's missing" #3). The
+    // block re-enters measure() after a quiet-wait, keeps the new row iff
+    // it adjudicates clean (or is a tighter upper bound), and stops the
+    // moment the reserve is at risk.
+    for (name <- order
+         if results(name).contaminated &&
+           remainingSec - reserve > ests(name) * 2 + 2) {
+      waitForQuiet()
+      val est = ests(name)
+      val r = measure(name, tierReps(tier, est), est >= 0.3, est)
+      if (r.median >= 0 && (!r.contaminated || r.median < results(name).median))
+        results(name) = r.copy(reruns = results(name).reruns + r.reruns + 1)
     }
 
     emit(partial = false)

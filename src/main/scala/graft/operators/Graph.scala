@@ -23,6 +23,57 @@ import org.apache.spark.sql.types.DecimalType
 object Graph {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Raw co-purchase edge relation — parts sharing an order, one row per
+    * DIRECTED edge — built ONCE per (session, sf dir) and shared by every
+    * query that consumes the raw graph (q81/q165/q176/q208/q275): a full
+    * sweep was paying the same ~3-5 s self-join edge build four times over
+    * (round-9 VERDICT, "What's missing" #2). The build self-joins lineitem
+    * on `l_orderkey` (fan-out bounded by order size² — q81's argument)
+    * behind an explicit-count repartition (the one-row-group-scan trap
+    * recorded in BENCH.md), dedups to one row per directed edge, and lands
+    * in [[graft.Checkpoints.materializeCached]] — the standing-relation
+    * treatment the co≥2 pair relation already gets (q218/q343/q358).
+    */
+  private[operators] def coEdges(s: SparkSession, d: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      .repartition(par, col("l_orderkey"))
+    graft.Checkpoints.materializeCached(
+      li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), Seq("l_orderkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .distinct())
+  }
+
+  /** [[coEdges]] restricted to src<dst — one row per UNDIRECTED edge; a
+    * plain filter over the already-materialized directed relation, so it
+    * rides the single shared build instead of re-running the self-join.
+    */
+  private[operators] def coEdgesUndirected(s: SparkSession, d: String): DataFrame =
+    coEdges(s, d).filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+
+  /** Per-node degree over [[coEdges]]. The co-purchase graph is symmetric
+    * (both directions present), so the directed out-degree IS the
+    * undirected node degree; one cached aggregate serves q81's fixpoint,
+    * q165's orientation, q208's histogram and q275's seeding.
+    */
+  private[operators] def coDegrees(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoints.materializeCached(
+      coEdges(s, d).groupBy(col("src")).agg(count(lit(1)).as("d")))
+
+  /** Edge × source-degree relation driving the q81/q275 rank fixpoints —
+    * identical in both, so it too is a standing relation: one copy per
+    * session, pre-partitioned on the iteration join key.
+    */
+  private[operators] def coContrib(s: SparkSession, d: String): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    graft.Checkpoints.materializeCached(
+      coEdges(s, d).join(coDegrees(s, d), Seq("src"))
+        .repartition(par, col("src")))
+  }
+
   /** Q81: co-purchase PageRank — 3 damped iterations of integer fixed-point
     * PageRank over the "parts bought in the same order" graph; top-25 parts.
     *
@@ -40,22 +91,8 @@ object Graph {
     * correction is needed.
     */
   def q81CopurchaseRank: Q = (s, d) => {
-    val par = s.sparkContext.defaultParallelism
-    // explicit-count repartition on the join key: the testdata's
-    // one-row-group-per-file layout gives the scan a single split, and AQE's
-    // byte-based coalescing can't see the pair-expansion CPU behind it
-    // (BENCH.md's recorded trap) — measured 3.5 s → 1.0 s for the edge
-    // build at sf0.1. The same exchange co-partitions both self-join sides.
-    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      .repartition(par, col("l_orderkey"))
-    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), Seq("l_orderkey"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val contrib = graft.Checkpoints.materialize(
-      edges.join(deg, Seq("src")).repartition(par, col("src")))
+    val deg = coDegrees(s, d)
+    val contrib = coContrib(s, d)
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       rank = contrib.join(rank, contrib("src") === rank("node"))
@@ -82,15 +119,8 @@ object Graph {
     */
   def q165Triangles: Q = (s, d) => {
     val par = s.sparkContext.defaultParallelism
-    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      .repartition(par, col("l_orderkey"))
-    val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v"))
-      .distinct()
-    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
-      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val e = coEdgesUndirected(s, d)
+    val deg = coDegrees(s, d).select(col("src").as("x"), col("d").as("dg"))
     // orient each edge from the endpoint with smaller (degree, id) to the
     // larger; the edge relation is reused 3 times -> materialize once
     val o = graft.Checkpoints.materialize(
@@ -101,9 +131,19 @@ object Graph {
             .otherwise(col("v")).as("s"),
           when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
             .otherwise(col("u")).as("t")))
+    // PINNED exchanges on the 2-path and closing joins: the path expansion
+    // is CPU-heavy per input BYTE (quadratic fan-out from the oriented
+    // edges), so AQE's byte-based coalescing of the tiny materialized `o`
+    // under-parallelized it unpredictably — the recorded 5.8-13.9 s band
+    // (round-9 VERDICT finding 1). REPARTITION_BY_NUM shuffles are exempt
+    // from AQE coalescing, so the expansion always runs at full width.
     val paths = o.select(col("s").as("a"), col("t").as("b"))
-      .join(o.select(col("s").as("b"), col("t").as("c")), Seq("b"))
-    val tri = paths.join(o.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
+      .repartition(par, col("b"))
+      .join(o.select(col("s").as("b"), col("t").as("c"))
+        .repartition(par, col("b")), Seq("b"))
+    val tri = paths.repartition(par, col("a"), col("c"))
+      .join(o.select(col("s").as("a"), col("t").as("c"))
+        .repartition(par, col("a"), col("c")), Seq("a", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("n_tri").desc, col("part"))
@@ -124,14 +164,9 @@ object Graph {
     */
   def q176BfsHops: Q = (s, d) => {
     val par = s.sparkContext.defaultParallelism
-    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      .repartition(par, col("l_orderkey"))
-    val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
-      .filter(col("u") =!= col("v"))
-      .select(col("u"), col("v"))
-      .distinct()
-    val edges = graft.Checkpoints.materialize(e.repartition(par, col("u")))
+    val edges = graft.Checkpoints.materializeCached(
+      coEdges(s, d).select(col("src").as("u"), col("dst").as("v"))
+        .repartition(par, col("u")))
     val seeds = edges.select(col("u").as("node")).distinct()
       .orderBy(col("node")).limit(3)
     var settled = graft.Checkpoints.materialize(seeds.withColumn("hops", lit(0L)))
@@ -188,13 +223,7 @@ object Graph {
     * path stays cross-engine stable on the ≤O(√m)-row summary.
     */
   def q208DegreeDist: Q = (s, d) => {
-    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct()
-    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
-      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    val deg = coDegrees(s, d).select(col("src").as("x"), col("d").as("dg"))
     val hist = deg.groupBy(col("dg")).agg(count(lit(1)).as("cnt"))
     // per-point logs are rounded to 6 dp then summed as DECIMALS: the
     // moment sums stay associative/partition-independent, so the only
@@ -575,17 +604,8 @@ object Graph {
     * plus one broadcast 5-row seed join per iteration.
     */
   def q275PersonalizedPagerank: Q = (s, d) => {
-    val par = s.sparkContext.defaultParallelism
-    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      .repartition(par, col("l_orderkey"))
-    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), Seq("l_orderkey"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-      .distinct()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val contrib = graft.Checkpoints.materialize(
-      edges.join(deg, Seq("src")).repartition(par, col("src")))
+    val deg = coDegrees(s, d)
+    val contrib = coContrib(s, d)
     val seeds = graft.Checkpoints.materialize(
       deg.orderBy(col("d").desc, col("src")).limit(5)
         .select(col("src").as("seed")))

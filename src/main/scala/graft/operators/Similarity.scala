@@ -619,11 +619,27 @@ object Similarity {
     * candidate⊆probed-cells containment, an ADC-over-candidates replay,
     * and the recall floor.
     */
-  def q188IvfPq: Q = (s, d) => {
+  def q188IvfPq: Q = (s, d) =>
+    // nprobe=8 / shortlist=200 / replicas=2 is the measured knee of the
+    // round-10 recall/cost sweep (tools.DebugIvfPq; curve in BENCH.md):
+    // recall@10 0.62→0.84 at sf0.1 (0.68→0.98 at sf0.01) over the round-9
+    // (4, 50, 2) config, with runtime flat (2.9→2.1 s at sf0.1) and NO
+    // index-size increase — the alternative path to ≥0.86, replicas=4,
+    // doubles the assignment relation (at 100 TB: doubles index storage
+    // and scan) to buy ≤0.02 more recall. Shortlist 200 is 200 raw
+    // vectors per probe — still a bounded re-rank. PqSpec pins the floor.
+    ivfPqReport(s, d, nprobe = 8, shortlist = 200, replicas = 2)
+
+  /** Parameterized q188 kernel — the sweep harness (tools.DebugIvfPq) and
+    * the declared query share one implementation so the published
+    * recall/cost curve measures exactly the shipping pipeline.
+    */
+  private[graft] def ivfPqReport(s: SparkSession, d: String, nprobe: Int,
+                                 shortlist: Int, replicas: Int): DataFrame = {
     import s.implicits._
     val emb = Tables(s, d, "embeddings")
     val (ivfAssigned, ivfCentroids) = graft.similarity.Ann.ivfIndexCached(
-      emb, "vec_id", "embedding", 16, refineIters = 1, assignReplicas = 2)
+      emb, "vec_id", "embedding", 16, refineIters = 1, assignReplicas = replicas)
     val (pqCentroids, pqAssigned) = Pq.codebookCached(emb, "vec_id", "embedding")
     val probeIds = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
     val probes = ivfAssigned.filter(col("crank") === 1)
@@ -635,7 +651,7 @@ object Similarity {
       .select(col("qid"), col("cid").as("cid2"),
         graft.functions.VectorFunctions.cosineSim(col("cv"), col("pvec")).as("csim"))
       .withColumn("nrk", row_number().over(wN))
-      .filter(col("nrk") <= 4)
+      .filter(col("nrk") <= nprobe)
       .select(col("qid"), col("cid2"))
     val cands = ivfAssigned.join(broadcast(near), col("cid") === col("cid2"))
       .select(col("qid").as("pid"), col("id").as("vec_id"))
@@ -662,7 +678,7 @@ object Similarity {
     // the final ranking over the shortlist is exact
     val short = topk(cands
       .join(pqAssigned.select(col("vec_id"), col("m"), col("cid")), Seq("vec_id"))
-      .join(broadcast(dtab), Seq("pid", "m", "cid")), 50)
+      .join(broadcast(dtab), Seq("pid", "m", "cid")), shortlist)
       .select(col("pid"), col("id").as("vec_id"))
     val fullProbe = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("pid"), asDouble(col("embedding")).as("pfull"))

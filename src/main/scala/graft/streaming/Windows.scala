@@ -1632,28 +1632,45 @@ object Windows {
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty) {
-            batch.toDF()
-              .select(least(lit(9L), expr("CAST(v * 100 AS BIGINT) div 3300"))
-                .as("bin"), (col("t") >= lit(mid)).as("cur"))
-              .groupBy(col("bin"))
-              .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("nb"),
-                sum(when(col("cur"), 1L).otherwise(0L)).as("nc"))
-              .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
-          }
-          ()
-        }
+        .foreachBatch(q337Writer(mid, sumDir))
         .start()
       try q.processAllAvailable() finally q.stop()
-      graft.Checkpoints.materialize(
-        graft.operators.Stats.psiReport(
-          s.read.parquet(sumDir)
-            .groupBy(col("bin"))
-            .agg(sum(col("nb")).cast("long").as("nb"),
-              sum(col("nc")).cast("long").as("nc"))))
+      q337Drain(s, sumDir)
     } finally deleteRecursively(tmp)
   }
+
+  /** q337's per-batch summary writer — each micro-batch lands its own
+    * per-bin (baseline, current) counts in an idempotent `batch=<id>`
+    * parquet dir, so a replayed batch after a crash OVERWRITES its own
+    * cell instead of double-counting. Named (not inline) so the restart
+    * spec drives the exact shipping writer through a checkpointed
+    * stop/start.
+    */
+  private[graft] def q337Writer(mid: Long, sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF()
+          .select(least(lit(9L), expr("CAST(v * 100 AS BIGINT) div 3300"))
+            .as("bin"), (col("t") >= lit(mid)).as("cur"))
+          .groupBy(col("bin"))
+          .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("nb"),
+            sum(when(col("cur"), 1L).otherwise(0L)).as("nc"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q337's drain: merge the additive per-batch cells (any slicing sums to
+    * the same totals) and run the shared PSI kernel once.
+    */
+  private[graft] def q337Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Stats.psiReport(
+        s.read.parquet(sumDir)
+          .groupBy(col("bin"))
+          .agg(sum(col("nb")).cast("long").as("nb"),
+            sum(col("nc")).cast("long").as("nc"))))
 
   /** Q348: streaming Mann–Kendall monitor — q342's trend test fed by a
     * micro-batched event stream: per batch the (type × hour) counts land
@@ -1704,7 +1721,6 @@ object Windows {
     * per-batch state is 32×4 + 2×2 numbers.
     */
   def q354StreamPermutation: Q = (s, d) => {
-    val p = 2147483647L
     val ev = graft.Tables.events(s, d)
       .select(col("event_id"), graft.Dsl.dec(col("value")).as("v"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q354_").toString
@@ -1716,46 +1732,64 @@ object Windows {
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!batch.isEmpty) {
-            val b = batch.toDF()
-            val reps = s.range(1L, 33L).toDF("rep")
-            val permArm = pmod((pmod(pmod(col("event_id") + col("rep"),
-              lit(p)) * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
-            b.crossJoin(broadcast(reps))
-              .select(col("rep"), permArm.as("a"), col("v"))
-              .groupBy(col("rep"))
-              .agg(sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("pna"),
-                sum(when(col("a"), col("v"))).as("psva"),
-                sum(when(!col("a"), 1L).otherwise(0L)).cast("long").as("pnb"),
-                sum(when(!col("a"), col("v"))).as("psvb"))
-              .write.mode("overwrite").parquet(s"$permDir/batch=$batchId")
-            b.select((graft.operators.TrainingOps
-              .portableBucket(col("event_id")) % 2 === 0).as("a"), col("v"))
-              .groupBy(col("a"))
-              .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("sv"))
-              .write.mode("overwrite").parquet(s"$obsDir/batch=$batchId")
-          }
-          ()
-        }
+        .foreachBatch(q354Writer(permDir, obsDir))
         .start()
       try q.processAllAvailable() finally q.stop()
-      val perm = s.read.parquet(permDir)
-        .groupBy(col("rep"))
-        .agg(sum(col("pna")).cast("long").as("pna"),
-          sum(col("psva")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
-            .as("psva"),
-          sum(col("pnb")).cast("long").as("pnb"),
-          sum(col("psvb")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
-            .as("psvb"))
-      val obs = s.read.parquet(obsDir)
-        .groupBy(col("a"))
-        .agg(sum(col("n")).cast("long").as("n"),
-          sum(col("sv")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
-            .as("sv"))
-      graft.Checkpoints.materialize(
-        graft.operators.Stats.permutationReport(perm, obs))
+      q354Drain(s, permDir, obsDir)
     } finally deleteRecursively(tmp)
+  }
+
+  /** q354's per-batch writer: per-rep pseudo-arm cells + observed-arm cells,
+    * each batch in its own idempotent `batch=<id>` dir (the q337 pattern).
+    * Named so the restart spec can drive the shipping writer through a
+    * checkpointed stop/start.
+    */
+  private[graft] def q354Writer(permDir: String, obsDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      val p = 2147483647L
+      if (!batch.isEmpty) {
+        val b = batch.toDF()
+        val reps = b.sparkSession.range(1L, 33L).toDF("rep")
+        val permArm = pmod((pmod(pmod(col("event_id") + col("rep"),
+          lit(p)) * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
+        b.crossJoin(broadcast(reps))
+          .select(col("rep"), permArm.as("a"), col("v"))
+          .groupBy(col("rep"))
+          .agg(sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("pna"),
+            sum(when(col("a"), col("v"))).as("psva"),
+            sum(when(!col("a"), 1L).otherwise(0L)).cast("long").as("pnb"),
+            sum(when(!col("a"), col("v"))).as("psvb"))
+          .write.mode("overwrite").parquet(s"$permDir/batch=$batchId")
+        b.select((graft.operators.TrainingOps
+          .portableBucket(col("event_id")) % 2 === 0).as("a"), col("v"))
+          .groupBy(col("a"))
+          .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).as("sv"))
+          .write.mode("overwrite").parquet(s"$obsDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q354's drain: re-sum the mergeable cells and run the shared
+    * permutation kernel once.
+    */
+  private[graft] def q354Drain(s: SparkSession, permDir: String,
+                               obsDir: String): DataFrame = {
+    val perm = s.read.parquet(permDir)
+      .groupBy(col("rep"))
+      .agg(sum(col("pna")).cast("long").as("pna"),
+        sum(col("psva")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+          .as("psva"),
+        sum(col("pnb")).cast("long").as("pnb"),
+        sum(col("psvb")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+          .as("psvb"))
+    val obs = s.read.parquet(obsDir)
+      .groupBy(col("a"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sv")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+          .as("sv"))
+    graft.Checkpoints.materialize(
+      graft.operators.Stats.permutationReport(perm, obs))
   }
 
   val queries: Map[String, Q] = Map(

@@ -81,12 +81,15 @@ class PqSpec extends SparkSpec {
       // even with assignReplicas = 2 doubling index entries
       assert(nCand < corpus, s"probe $pid scanned the whole corpus")
       assert(nCand > 0, s"probe $pid has no candidates")
-      // exact re-rank of the 50-deep ADC shortlist recovers quantization
-      // error; what remains is the IVF cell ceiling (random data floor)
-      assert(recall >= 0.3, s"probe $pid recall collapsed: $recall")
+      // exact re-rank of the 200-deep ADC shortlist recovers quantization
+      // error; what remains is the IVF cell ceiling. Floors sit at the
+      // round-10 measured knee (nprobe=8/shortlist=200/replicas=2:
+      // per-probe 0.8-1.0, mean 0.94 at sf0.001 — deterministic pipeline,
+      // so these are stable regression pins, up from the round-9 0.3/0.5)
+      assert(recall >= 0.8, s"probe $pid recall collapsed: $recall")
       assert(top1 === pid, s"probe $pid top-1 drifted to $top1")
     }
-    assert(rows.map(_._3).sum / 5 >= 0.5, "mean recall@10 below the pinned floor")
+    assert(rows.map(_._3).sum / 5 >= 0.9, "mean recall@10 below the pinned floor")
     val again = Similarity.q188IvfPq(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(again.toSeq === rows.toSeq)

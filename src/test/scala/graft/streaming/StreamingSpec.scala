@@ -822,4 +822,82 @@ class StreamingSpec extends SparkSpec {
       .listFiles().filter(_.getName.startsWith("graft_q288_"))
     assert(leftovers.isEmpty, s"temp dirs leaked: ${leftovers.mkString(",")}")
   }
+
+  // --- round-9 mergeable-summary twins: adversarial restart coverage -------
+  // (round-9 ADVICE #6). The older stateful family has kill/restart pins
+  // above; the new `batch=<id>` idempotent-sink twins get the same
+  // treatment here, parameterized: half the feed drains, the query STOPS,
+  // the rest arrives while it is down, a restarted query (same checkpoint)
+  // drains the remainder, and the merged summary must equal the
+  // single-shot declared query bit-for-bit — proving the checkpoint's
+  // processed-file log (no re-count of tranche 1) AND the additive cells
+  // (no loss) through the exact shipping writer/drain kernels.
+  {
+    import java.nio.file.Files
+    val evAll = graft.Tables.events(spark, sf0001)
+    lazy val ev337 = evAll.select(graft.Dsl.epochSec($"ts2").as("t"),
+      graft.Dsl.dec($"value").as("v"))
+    lazy val mid337 = ev337.agg(expr("(MIN(t) + MAX(t)) div 2")).head().getLong(0)
+    lazy val ev354 = evAll.select($"event_id", graft.Dsl.dec($"value").as("v"))
+
+    final case class TwinCase(
+        name: String,
+        feed: () => org.apache.spark.sql.DataFrame,
+        firstTranche: org.apache.spark.sql.Column,
+        writer: String => (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit,
+        drain: String => org.apache.spark.sql.DataFrame,
+        oneShot: () => org.apache.spark.sql.DataFrame)
+
+    val twins = Seq(
+      TwinCase("q337_stream_psi", () => ev337, pmod($"t", lit(2L)) === 0,
+        tmp => Windows.q337Writer(mid337, s"$tmp/sum"),
+        tmp => Windows.q337Drain(spark, s"$tmp/sum"),
+        () => Windows.q337StreamPsi(spark, sf0001)),
+      TwinCase("q354_stream_permutation", () => ev354,
+        pmod($"event_id", lit(2L)) === 0,
+        tmp => Windows.q354Writer(s"$tmp/perm", s"$tmp/obs"),
+        tmp => Windows.q354Drain(spark, s"$tmp/perm", s"$tmp/obs"),
+        () => Windows.q354StreamPermutation(spark, sf0001)))
+
+    twins.foreach { tc =>
+      test(s"${tc.name}: drained summary survives a checkpointed stop/start") {
+        val tmp = Files.createTempDirectory(s"graft-restart-${tc.name}").toString
+        try {
+          val feed = tc.feed()
+          val feedDir = s"$tmp/feed"
+          val ckpt = s"$tmp/ckpt"
+          val writer = tc.writer(tmp)
+          def start() = spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1").parquet(feedDir)
+            .writeStream.outputMode(OutputMode.Append)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(writer)
+            .start()
+          feed.filter(tc.firstTranche).coalesce(1)
+            .write.mode("append").parquet(feedDir)
+          val q1 = start()
+          try q1.processAllAvailable() finally q1.stop()
+          // tranche 2 lands while the query is DOWN
+          feed.filter(!tc.firstTranche).coalesce(1)
+            .write.mode("append").parquet(feedDir)
+          val q2 = start()
+          try q2.processAllAvailable() finally q2.stop()
+          val drained = tc.drain(tmp)
+          val cols = drained.columns.map(col).toSeq
+          val got = drained.orderBy(cols: _*).collect().toSeq
+          val one = tc.oneShot()
+          val want = one.orderBy(one.columns.map(col).toSeq: _*).collect().toSeq
+          assert(got.nonEmpty, s"${tc.name} drained empty")
+          assert(got === want,
+            s"${tc.name}: restarted drain diverged from the single-shot result")
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(tmp))
+        }
+      }
+    }
+  }
 }
