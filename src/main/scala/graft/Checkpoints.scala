@@ -69,7 +69,12 @@ object Checkpoints {
     * overwriting an input table.
     */
   def materializeCached(df: DataFrame): DataFrame = {
-    val key = (System.identityHashCode(df.sparkSession).toString,
+    // the checkpoint MODE is part of the key: a session that flips
+    // `graft.checkpointDir` mid-stream (the CheckpointsSpec contract —
+    // reliable mode must actually land durable files) gets a rebuild in
+    // the new mode instead of silently reusing the other mode's blocks
+    val key = (System.identityHashCode(df.sparkSession).toString +
+      "|" + df.sparkSession.conf.getOption(ConfKey).getOrElse(""),
       df.semanticHash().toString)
     val hit = matCache.get(key)
     if (hit != null && (hit._1.sparkSession eq df.sparkSession) &&

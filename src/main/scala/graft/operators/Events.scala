@@ -5,6 +5,7 @@ import graft.Dsl._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Temporal / event-stream surface: range & as-of joins, distinct aggregation,
   * grouping sets, JSON extraction, sessionization, tumbling & sliding windows
@@ -1565,7 +1566,188 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Q367: periodogram — discrete-Fourier power at candidate periods 2–24 h
+    * over each event type's hourly count series, the "is there a daily
+    * cycle, and at what period?" scan that q267's single-period
+    * seasonality strength can't answer. Per (type, period) the cos/sin
+    * projections are Σ c_t·cos(2πt/P): the trig factor is ONE libm call
+    * rounded to 6 dp (the q208 per-term battery) and multiplied into the
+    * integer count under an exact decimal sum, so the only float steps are
+    * shared-libm trig + the final power division. Cost: the bounded hourly
+    * summary × 23 periods — shuffle ∝ distinct (type, hour), never events.
+    */
+  def q367Periodogram: Q = (s, d) => {
+    val hourly = events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val base = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), count(lit(1)).as("n"))
+    val pts = hourly.join(base, Seq("event_type"))
+      .select(col("event_type"), (col("h") - col("h0")).as("t"), col("c"),
+        col("n"))
+    val periods = s.range(2L, 25L).toDF("p")
+    val ang = lit(2.0) * lit(math.Pi) * col("t").cast("double") /
+      col("p").cast("double")
+    val proj = pts.crossJoin(broadcast(periods))
+      .groupBy(col("event_type"), col("p"))
+      .agg(sum(round(cos(ang), 6).cast(DecimalType(18, 6))
+        * col("c").cast(DecimalType(10, 0))).as("cs"),
+        sum(round(sin(ang), 6).cast(DecimalType(18, 6))
+          * col("c").cast(DecimalType(10, 0))).as("sn"),
+        max(col("n")).as("n"))
+    proj.select(col("event_type"), big(col("p")).as("period_hours"),
+      round((col("cs").cast("double") * col("cs").cast("double") +
+        col("sn").cast("double") * col("sn").cast("double")) /
+        (col("n").cast("double") * col("n").cast("double")), 4).as("power"))
+      .orderBy(col("event_type"), col("period_hours"))
+  }
+
+  /** Q368: EWMA control chart (λ=0.2, 3σ limits) — the drift-sensitive
+    * monitor between q256's Bollinger bands (rolling window, lag-prone)
+    * and q198's CUSUM (cumulative, no per-point limits): the smoothed
+    * statistic s_t = λx_t + (1−λ)s_{t−1} in CLOSED form — each (t', t≥t')
+    * pair contributes round((1−λ)^{t−t'}·coef, 6)·x_{t'} to an exact
+    * decimal sum, so no sequential recursion and no order-dependent float
+    * accumulation. The time-varying limits use the exact-moment σ and the
+    * standard √(λ/(2−λ)(1−(1−λ)^{2t})) width. Cost: the per-type pair
+    * join is hours² over the BOUNDED hourly collapse, never events.
+    */
+  def q368EwmaControl: Q = (s, d) =>
+    ewmaReport(events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** The EWMA-chart kernel from a (event_type, h, c) hourly summary — the
+    * mergeable state q376's streaming twin folds per batch (hourly counts
+    * of disjoint row sets merge by per-cell sum, q348's argument).
+    */
+  private[graft] def ewmaReport(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val hourly = counts.withColumn("r", row_number().over(w) - 1)
+    val mom = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("sc"),
+        sum(col("c") * col("c")).cast("long").as("scc"))
+    val a = hourly.select(col("event_type"), col("r").as("rp"),
+      col("c").as("x"))
+    val coef = when(col("rp") === 0L, lit(1.0)).otherwise(lit(0.2))
+    // lag cap 80 is OUTPUT-IDENTICAL, not approximate: the largest
+    // dropped coefficient is 0.8^81 ~ 1.4e-8, which the declared 6-dp
+    // per-term rounding maps to exactly 0 — so the pair join is bounded
+    // to 81 rows per point (O(n) not O(n^2) in the hour span), the same
+    // cap the oracle applies
+    val ew = a.join(hourly.select(col("event_type"), col("r"), col("h"),
+      col("c")), Seq("event_type"))
+      .filter(col("rp") <= col("r") && col("r") - col("rp") <= 80L)
+      .groupBy(col("event_type"), col("h"), col("r"), col("c"))
+      .agg(sum(round(pow(lit(0.8), (col("r") - col("rp")).cast("double"))
+        * coef, 6).cast(DecimalType(18, 6)) * col("x").cast(DecimalType(10, 0)))
+        .cast(DecimalType(38, 6)).cast("double").as("s"))
+    val nD = col("n").cast("double")
+    val mean = col("sc").cast("double") / nD
+    val sd = sqrt((col("scc").cast("double") - col("sc").cast("double")
+      * col("sc").cast("double") / nD) / (nD - 1.0))
+    val width = lit(3.0) * sd * sqrt(lit(0.2) / lit(1.8)
+      * (lit(1.0) - pow(lit(0.8), lit(2.0) * col("r").cast("double"))))
+    ew.join(broadcast(mom), Seq("event_type"))
+      // r=0 is the s₀ initialization point — its limit width is exactly 0
+      // (1−(1−λ)⁰ = 0), so charting it would always flag; the chart starts
+      // at the second hour, the standard EWMA convention
+      .filter(col("r") > 0L)
+      // ewma keeps the FULL 6-dp scale of its decimal sum: a 4-dp cut
+      // lands on exact .xxxx50 midpoints (6-dp coefficients x integer
+      // counts), where Spark rounds half-up and DuckDB half-even — the
+      // recorded decimal-midpoint trap. The sqrt-based limits have no
+      // midpoint structure, so 4 dp is safe there.
+      .select(col("event_type"), col("h"), big(col("c")).as("c"),
+        round(col("s"), 6).as("ewma"),
+        round(mean + width, 4).as("ucl"),
+        round(mean - width, 4).as("lcl"),
+        (round(col("s"), 6) > round(mean + width, 4) ||
+          round(col("s"), 6) < round(mean - width, 4)).as("out_of_control"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  /** Q371: Markov stationary distribution — where does the q185 transition
+    * chain settle? Eight unrolled power-iteration rounds in integer
+    * MICRO-UNITS: π_{t+1}(j) = Σᵢ (πᵢ·cᵢⱼ) div totᵢ, a sum of longs —
+    * associative, order-independent, bit-identical in any engine (the q81
+    * fixpoint discipline), with the small floor leak a declared part of
+    * the semantics. Each round is one broadcast join over the k×k
+    * transition matrix (k = |event types|); rounds are materialized so
+    * the plan stays flat.
+    */
+  def q371MarkovStationary: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val tr = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochSec(col("ts2")).as("es"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = tr.groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("tot"))
+    val trt = graft.Checkpoints.materialize(
+      tr.join(tot, Seq("prev")))
+    var pi = trt.select(col("prev").as("state")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to 8) {
+      pi = graft.Checkpoints.materialize(
+        pi.join(broadcast(trt), pi("state") === trt("prev"))
+          .groupBy(col("next"))
+          .agg(sum(expr("(r * cnt) div tot")).cast("long").as("r"))
+          .select(col("next").as("state"), col("r")))
+    }
+    pi.select(col("state"), big(col("r")).as("pi_micro"))
+      .orderBy(col("state"))
+  }
+
+  /** Q372: Kendall τ-b — per event type, the rank correlation between the
+    * hourly VOLUME (count) and the hourly average VALUE: "do busy hours
+    * run hotter or cooler?", robust to any monotone transform (q220's
+    * Pearson is not). Every pair verdict is EXACT integer/decimal
+    * arithmetic: volume compares as c₂−c₁, average value compares by the
+    * cleared-denominator cross product sv₂c₁ − sv₁c₂, ties counted per
+    * axis for the τ-b denominator; only the final ratio is double. The
+    * pair join is per-type over the bounded hourly collapse (the q342
+    * S-statistic shape) — hours², never events².
+    */
+  def q372KendallTau: Q = (s, d) => {
+    val hourly = events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"),
+        Dsl.dec(col("value")).as("v"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("sv"))
+    val a = hourly.select(col("event_type"), col("h").as("h1"),
+      col("c").as("c1"), col("sv").as("sv1"))
+    val b = hourly.select(col("event_type"), col("h").as("h2"),
+      col("c").as("c2"), col("sv").as("sv2"))
+    val xcmp = col("c2") - col("c1")
+    val ycmp = col("sv2").cast(DecimalType(18, 4)) * col("c1").cast(DecimalType(10, 0)) -
+      col("sv1").cast(DecimalType(18, 4)) * col("c2").cast(DecimalType(10, 0))
+    val pairs = a.join(b, Seq("event_type"))
+      .filter(col("h1") < col("h2"))
+      .select(col("event_type"),
+        when(xcmp > 0L, 1L).when(xcmp < 0L, -1L).otherwise(0L).as("sx"),
+        when(ycmp > 0, 1L).when(ycmp < 0, -1L).otherwise(0L).as("sy"))
+    val agg = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("sx") * col("sy") > 0L, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("sx") * col("sy") < 0L, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("sx") === 0L, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("sy") === 0L, 1L).otherwise(0L)).as("ty"))
+    agg.select(col("event_type"), big(col("n0")).as("n_pairs"),
+      big(col("conc")).as("concordant"), big(col("disc")).as("discordant"),
+      round((col("conc") - col("disc")).cast("double") /
+        sqrt((col("n0") - col("tx")).cast("double") *
+          (col("n0") - col("ty")).cast("double")), 6).as("tau_b"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q367_periodogram" -> q367Periodogram,
+    "q368_ewma_control" -> q368EwmaControl,
+    "q371_markov_stationary" -> q371MarkovStationary,
+    "q372_kendall_tau" -> q372KendallTau,
     "q310_burstiness" -> q310Burstiness,
     "q267_seasonality_strength" -> q267SeasonalityStrength,
     "q256_bollinger_breakout" -> q256BollingerBreakout,
@@ -1625,6 +1807,173 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q367_periodogram" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, MIN(h) AS h0, COUNT(*) AS n
+        |         FROM hourly GROUP BY 1),
+        |pts AS (
+        |  SELECT hourly.event_type, h - h0 AS t, c, n
+        |  FROM hourly JOIN base ON hourly.event_type = base.event_type),
+        |periods AS (SELECT CAST(u.p AS BIGINT) AS p
+        |            FROM unnest(range(2, 25)) u(p)),
+        |proj AS (
+        |  SELECT event_type, p,
+        |    SUM(CAST(ROUND(COS(CAST('2.0' AS DOUBLE) * pi()
+        |        * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * CAST(c AS DECIMAL(10,0))) AS cs,
+        |    SUM(CAST(ROUND(SIN(CAST('2.0' AS DOUBLE) * pi()
+        |        * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * CAST(c AS DECIMAL(10,0))) AS sn,
+        |    MAX(n) AS n
+        |  FROM pts, periods GROUP BY 1, 2)
+        |SELECT event_type, p AS period_hours,
+        |  ROUND((CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+        |    + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS power
+        |FROM proj ORDER BY 1, 2""".stripMargin,
+    "q368_ewma_control" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, h, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1 AS r
+        |  FROM hourly),
+        |mom AS (
+        |  SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) AS BIGINT) AS scc
+        |  FROM hourly GROUP BY 1),
+        |ew AS (
+        |  SELECT b.event_type, b.h, b.r, b.c,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      POWER(CAST('0.8' AS DOUBLE), CAST(b.r - a.r AS DOUBLE))
+        |      * (CASE WHEN a.r = 0 THEN CAST('1.0' AS DOUBLE)
+        |         ELSE CAST('0.2' AS DOUBLE) END), 6) AS DECIMAL(18,6))
+        |      * CAST(a.c AS DECIMAL(10,0))) AS DECIMAL(38,6)) AS DOUBLE)
+        |      AS s
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.r <= b.r
+        |      AND b.r - a.r <= 80
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT ew.event_type, h, CAST(c AS BIGINT) AS c,
+        |  ROUND(s, 6) AS ewma,
+        |  ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + CAST('3.0' AS DOUBLE)
+        |      * SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |          * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |      * SQRT(CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)
+        |        * (CAST('1.0' AS DOUBLE) - POWER(CAST('0.8' AS DOUBLE),
+        |          CAST('2.0' AS DOUBLE) * CAST(r AS DOUBLE)))), 4) AS ucl,
+        |  ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST('3.0' AS DOUBLE)
+        |      * SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |          * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |      * SQRT(CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)
+        |        * (CAST('1.0' AS DOUBLE) - POWER(CAST('0.8' AS DOUBLE),
+        |          CAST('2.0' AS DOUBLE) * CAST(r AS DOUBLE)))), 4) AS lcl,
+        |  (ROUND(s, 6) >
+        |    ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + CAST('3.0' AS DOUBLE)
+        |        * SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |            * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |        * SQRT(CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)
+        |          * (CAST('1.0' AS DOUBLE) - POWER(CAST('0.8' AS DOUBLE),
+        |            CAST('2.0' AS DOUBLE) * CAST(r AS DOUBLE)))), 4))
+        |  OR (ROUND(s, 6) <
+        |    ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST('3.0' AS DOUBLE)
+        |        * SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |            * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |        * SQRT(CAST('0.2' AS DOUBLE) / CAST('1.8' AS DOUBLE)
+        |          * (CAST('1.0' AS DOUBLE) - POWER(CAST('0.8' AS DOUBLE),
+        |            CAST('2.0' AS DOUBLE) * CAST(r AS DOUBLE)))), 4))
+        |    AS out_of_control
+        |FROM ew JOIN mom ON ew.event_type = mom.event_type
+        |WHERE r > 0
+        |ORDER BY ew.event_type, h""".stripMargin,
+    "q371_markov_stationary" ->
+      """WITH seq AS (
+        |  SELECT event_type AS next,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch(date_trunc('second', ts)), event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev, next, COUNT(*) AS cnt FROM seq
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot
+        |        FROM tr GROUP BY 1),
+        |trt AS MATERIALIZED (
+        |  SELECT tr.prev, next, cnt, tot
+        |  FROM tr JOIN tot ON tr.prev = tot.prev),
+        |r0 AS (SELECT DISTINCT prev AS state, CAST(1000000 AS BIGINT) AS r
+        |       FROM trt),
+        |r1 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r0 JOIN trt ON r0.state = trt.prev GROUP BY 1),
+        |r2 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r1 JOIN trt ON r1.state = trt.prev GROUP BY 1),
+        |r3 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r2 JOIN trt ON r2.state = trt.prev GROUP BY 1),
+        |r4 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r3 JOIN trt ON r3.state = trt.prev GROUP BY 1),
+        |r5 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r4 JOIN trt ON r4.state = trt.prev GROUP BY 1),
+        |r6 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r5 JOIN trt ON r5.state = trt.prev GROUP BY 1),
+        |r7 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r6 JOIN trt ON r6.state = trt.prev GROUP BY 1),
+        |r8 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r7 JOIN trt ON r7.state = trt.prev GROUP BY 1)
+        |SELECT state, r AS pi_micro FROM r8 ORDER BY state""".stripMargin,
+    "q372_kendall_tau" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c, SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CASE WHEN b.c - a.c > 0 THEN 1
+        |         WHEN b.c - a.c < 0 THEN -1 ELSE 0 END AS sx,
+        |    CASE WHEN CAST(b.sv AS DECIMAL(18,4)) * CAST(a.c AS DECIMAL(10,0))
+        |        - CAST(a.sv AS DECIMAL(18,4)) * CAST(b.c AS DECIMAL(10,0)) > 0
+        |      THEN 1
+        |      WHEN CAST(b.sv AS DECIMAL(18,4)) * CAST(a.c AS DECIMAL(10,0))
+        |        - CAST(a.sv AS DECIMAL(18,4)) * CAST(b.c AS DECIMAL(10,0)) < 0
+        |      THEN -1 ELSE 0 END AS sy
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.h < b.h),
+        |agg AS (
+        |  SELECT event_type, COUNT(*) AS n0,
+        |    CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conc,
+        |    CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS disc,
+        |    CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM pairs GROUP BY 1)
+        |SELECT event_type, CAST(n0 AS BIGINT) AS n_pairs,
+        |  conc AS concordant, disc AS discordant,
+        |  ROUND(CAST(conc - disc AS DOUBLE)
+        |    / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)
+        |    AS tau_b
+        |FROM agg ORDER BY event_type""".stripMargin,
     "q267_seasonality_strength" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -2524,7 +2524,473 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** Shared rank machinery for the rank tests (q361/q362): order values
+    * $10-bucketed (the q344 trick — a BOUNDED value summary at any corpus
+    * size, so the global rank window runs over ≤O(price-range) rows, never
+    * the orders), with 2×-SCALED average ranks so ties stay in exact
+    * integer arithmetic: for a bucket of `t` tied values starting at
+    * overall position `s` (1-based), avg rank = (2s + t − 1)/2, so
+    * rank2 = 2s + t − 1 is a plain long. Returns one row per
+    * (group, bucket): n in group, rank2, and the per-bucket tie count.
+    */
+  private def rankedBuckets(s: SparkSession, d: String,
+                            group: Column): DataFrame = {
+    val ord = Tables(s, d, "orders")
+      .select(group.as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) div 1000")
+          .as("b"))
+    val byB = ord.groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val wB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byB
+      .withColumn("before", coalesce(sum(col("t")).over(wB), lit(0L)))
+      .select(col("b"), col("t"),
+        (lit(2L) * (col("before") + 1L) + col("t") - 1L).as("rank2"))
+    ord.groupBy(col("g"), col("b")).agg(count(lit(1)).as("ng"))
+      .join(ranked, Seq("b"))
+  }
+
+  /** Q361: Mann–Whitney U — the nonparametric two-sample location test
+    * (is URGENT order value stochastically larger?): rank-sum over the
+    * $10-bucketed values with average-rank ties, U = R₁ − n₁(n₁+1)/2,
+    * tie-corrected normal approximation. Everything until the final z is
+    * exact integer/decimal via the 2×-scaled ranks ([[rankedBuckets]]);
+    * the bucket summary is bounded by the price range, so the one global
+    * rank window never sees the orders relation itself.
+    */
+  def q361MannWhitney: Q = (s, d) => {
+    val rb = rankedBuckets(s, d, col("o_orderpriority") === "1-URGENT")
+    val agg = rb.agg(
+      sum(when(col("g"), col("ng")).otherwise(0L)).cast("long").as("n1"),
+      sum(when(!col("g"), col("ng")).otherwise(0L)).cast("long").as("n2"),
+      sum(when(col("g"), col("ng") * col("rank2")).otherwise(0L))
+        .cast(DecimalType(38, 0)).as("r1x2"))
+    // tie term Σ(t³−t) over every bucket, from the deduped bucket relation
+    val ties = rb.groupBy(col("b")).agg(max(col("t")).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t"))
+        .cast(DecimalType(38, 0)).as("tsum"))
+    val nD = (col("n1") + col("n2")).cast("double")
+    val u = col("r1x2").cast("double") / 2.0 -
+      col("n1").cast("double") * (col("n1") + 1L).cast("double") / 2.0
+    val mu = col("n1").cast("double") * col("n2").cast("double") / 2.0
+    val varU = col("n1").cast("double") * col("n2").cast("double") / 12.0 *
+      ((nD + 1.0) - col("tsum").cast("double") / (nD * (nD - 1.0)))
+    agg.crossJoin(broadcast(ties))
+      .select(big(col("n1")).as("n_urgent"), big(col("n2")).as("n_rest"),
+        round(u, 4).as("u"),
+        round(varU, 4).as("var_u"),
+        round((u - mu) / sqrt(varU), 6).as("z"),
+        (abs(round((u - mu) / sqrt(varU), 6)) > lit(1.96)).as("significant"))
+  }
+
+  /** Q362: Kruskal–Wallis H — the k-group extension of q361 (does order
+    * value differ across the five priorities?): H = 12/(N(N+1)) Σ R²g/ng
+    * − 3(N+1), divided by the tie correction 1 − Σ(t³−t)/(N³−N). Shares
+    * [[rankedBuckets]]' exact 2×-scaled ranks; per-group rank sums stay
+    * decimal-exact; only the final H is double.
+    */
+  def q362KruskalWallis: Q = (s, d) => {
+    val rb = rankedBuckets(s, d, col("o_orderpriority"))
+    val per = rb.groupBy(col("g"))
+      .agg(sum(col("ng")).cast("long").as("ng"),
+        sum(col("ng") * col("rank2")).cast(DecimalType(38, 0)).as("r2"))
+    val ties = rb.groupBy(col("b")).agg(max(col("t")).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t"))
+        .cast(DecimalType(38, 0)).as("tsum"))
+    // per-group R²/n as ONE IEEE expression each, 4-dp rounded, then an
+    // exact decimal sum — never a decimal division (engines disagree on
+    // result scales) and never an order-dependent double sum
+    val tot = per.agg(sum(col("ng")).cast("long").as("n"),
+      sum(round(col("r2").cast("double") * col("r2").cast("double")
+        / col("ng").cast("double"), 4).cast(DecimalType(38, 4)))
+        .cast("double").as("srq"))
+    val nD = col("n").cast("double")
+    val h = (lit(12.0) / (nD * (nD + 1.0)) * col("srq") / 4.0 -
+      lit(3.0) * (nD + 1.0)) /
+      (lit(1.0) - col("tsum").cast("double") / (nD * nD * nD - nD))
+    val k = per.agg(count(lit(1)).as("k"))
+    tot.crossJoin(broadcast(ties)).crossJoin(broadcast(k))
+      .select(big(col("n")).as("n"), big(col("k")).as("k_groups"),
+        round(h, 6).as("h"),
+        // chi-square 0.95 critical value at k−1 = 4 df
+        (round(h, 6) > lit(9.488)).as("significant"))
+  }
+
+  /** Q363: 1-D Wasserstein (earth-mover) distance between the first- and
+    * second-half `value` distributions — the drift metric PSI (q333) can't
+    * give: W₁ = ∫|F₁−F₂| dx, which sees HOW FAR mass moved, not only that
+    * bins changed. Values are cent-bucketed (bounded support), and the
+    * whole integral is computed in EXACT integers by clearing
+    * denominators: |c₁N₂ − c₂N₁| · gap summed over the merged support,
+    * reported as that integer plus the /(N₁·N₂·100) double. One keyed
+    * aggregate + one bounded window — shuffle ∝ distinct cents, never rows.
+    */
+  def q363Wasserstein: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(epochSec(col("ts2")).as("ts"),
+        (dec(col("value")) * 100).cast("long").as("c"))
+    val mid = ev.agg(expr("(MIN(ts) + MAX(ts)) div 2").as("m")).head().getLong(0)
+    wassersteinReport(ev.groupBy(col("c"))
+      .agg(sum(when(col("ts") < mid, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("ts") >= mid, 1L).otherwise(0L)).as("c2")))
+  }
+
+  /** The W₁ kernel from a (cent value, baseline count, current count)
+    * summary — the mergeable state q375's streaming twin folds per batch
+    * (per-cent counts of disjoint row sets merge by plain sum).
+    */
+  private[graft] def wassersteinReport(byC: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byC.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    val steps = byC
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .withColumn("gap", lead(col("c"), 1).over(Window.orderBy(col("c"))) - col("c"))
+      .filter(col("gap").isNotNull)
+    steps.crossJoin(broadcast(tot))
+      .agg(max(col("n1")).as("na"), max(col("n2")).as("nb"),
+        sum(abs(col("f1") * col("n2") - col("f2") * col("n1")) * col("gap"))
+          .cast(DecimalType(38, 0)).as("w1_scaled"))
+      .select(big(col("na")).as("n_first"), big(col("nb")).as("n_second"),
+        col("w1_scaled").cast("string").as("w1_scaled"),
+        round(col("w1_scaled").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double") * 100.0), 6)
+          .as("w1"))
+  }
+
+  /** Q364: one-way ANOVA F — the parametric complement to q362 over the
+    * same design (order value by priority): between/within sums of squares
+    * from per-group (n, Σy, Σy²) in integer cents — one map-side-combined
+    * aggregate over orders, exact until the final F division. The classic
+    * "does the mean differ anywhere" gate before pairwise tests.
+    */
+  def q364AnovaF: Q = (s, d) => {
+    // moments in mixed units sized so every decimal→double conversion is
+    // a <2^53 scaled integer (the q227 scale-sizing rule): Σy in exact
+    // integer cents; Σy² per row as ONE IEEE kilodollar² expression
+    // rounded to 4 dp (deterministic, portable) then decimal-summed
+    val yk = col("y").cast("double") / 100000.0
+    val per = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("g"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).cast(DecimalType(38, 0)).as("syc"),
+        sum(round(yk * yk, 4).cast(DecimalType(38, 4))).as("syy"))
+    // per-group (Σy)²/n in kilodollar², 4-dp rounded, decimal sum — no
+    // decimal division (engines disagree on result scales) and no
+    // unordered double sum
+    val gk = col("syc").cast("double") / 100000.0
+    val tot = per.agg(sum(col("n")).cast("long").as("nt"),
+      sum(col("syc")).as("syt"),
+      sum(col("syy")).cast(DecimalType(38, 4)).cast("double").as("syyt"),
+      count(lit(1)).as("k"),
+      sum(round(gk * gk / col("n").cast("double"), 4)
+        .cast(DecimalType(38, 4))).cast("double").as("sgrp"))
+    val totk = col("syt").cast("double") / 100000.0
+    val grand = totk * totk / col("nt").cast("double")
+    val ssb = col("sgrp") - grand
+    val ssw = col("syyt") - col("sgrp")
+    val f = (ssb / (col("k") - 1L).cast("double")) /
+      (ssw / (col("nt") - col("k")).cast("double"))
+    tot.select(big(col("nt")).as("n"), big(col("k")).as("k_groups"),
+      round(ssb, 4).as("ss_between_kusd2"),
+      round(ssw, 4).as("ss_within_kusd2"),
+      round(f, 6).as("f"),
+      // F(4, large) 0.95 critical value
+      (round(f, 6) > lit(2.372)).as("significant"))
+  }
+
+  /** Q365: Benjamini–Hochberg FDR over a family of per-event-type
+    * permutation tests — the multiple-comparisons closer the single-test
+    * queries (q331/q346) need at scale, where one dashboard runs hundreds
+    * of metric tests per day. Per type, a q346-style 32-rep permutation
+    * test (portable LCG arms, exact decimal sums) yields the exact
+    * rational p = (1+extremes)/33; the BH step-up then runs in PURE
+    * INTEGER arithmetic (p ≤ k·q/m at q=0.05 ⟺ 20·m·num ≤ 33·k), so
+    * discovery flags are bit-portable. Shuffles: one 32× rep aggregate
+    * (map-side combined to 32·|types| rows) + bounded windows.
+    */
+  def q365FdrBh: Q = (s, d) => {
+    val p = 2147483647L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
+    val obs = ev
+      .select(col("event_type"),
+        (TrainingOps.portableBucket(col("event_id")) % 2 === 0).as("a"), col("v"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("na"),
+        sum(when(col("a"), col("v"))).as("sva"),
+        sum(when(!col("a"), 1L).otherwise(0L)).cast("long").as("nb"),
+        sum(when(!col("a"), col("v"))).as("svb"))
+    val reps = s.range(1L, 33L).toDF("rep")
+    val permArm = pmod((pmod(pmod(col("event_id") + col("rep"), lit(p))
+      * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
+    val perm = ev.crossJoin(broadcast(reps))
+      .select(col("event_type"), col("rep"), permArm.as("a"), col("v"))
+      .groupBy(col("event_type"), col("rep"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("pna"),
+        sum(when(col("a"), col("v"))).as("psva"),
+        sum(when(!col("a"), 1L).otherwise(0L)).cast("long").as("pnb"),
+        sum(when(!col("a"), col("v"))).as("psvb"))
+    val pdiff = col("psva").cast("double") / col("pna").cast("double") -
+      col("psvb").cast("double") / col("pnb").cast("double")
+    val odiff = col("sva").cast("double") / col("na").cast("double") -
+      col("svb").cast("double") / col("nb").cast("double")
+    val pv = perm.join(obs, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg((sum(when(abs(pdiff) >= abs(odiff), 1L).otherwise(0L)) + 1L)
+        .cast("long").as("pnum"))
+    val m = pv.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy(col("pnum"), col("event_type"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    pv.crossJoin(broadcast(m))
+      .withColumn("k", row_number().over(wRank))
+      .withColumn("passes",
+        when(lit(20L) * col("m") * col("pnum") <= lit(33L) * col("k"), col("k"))
+          .otherwise(0L))
+      .withColumn("kmax", max(col("passes")).over(wAll))
+      .select(col("event_type"), big(col("pnum")).as("p_numerator_33rds"),
+        round(col("pnum").cast("double") / 33.0, 6).as("p_value"),
+        big(col("k")).as("rank"),
+        (col("k") <= col("kmax")).as("discovery"))
+      .orderBy(col("k"))
+  }
+
+  /** Q366: Herfindahl–Hirschman concentration index — per-nation supplier
+    * concentration of supply revenue ("is this nation's supply base a
+    * monopoly?"): HHI = Σ share² over suppliers, ×10000 (the antitrust
+    * scale). Revenue in exact integer cents; the share-square sum clears
+    * denominators (Σ rev²/tot²) with decimal numerators, one double
+    * division at the end. Two keyed aggregates, both map-side combined.
+    */
+  def q366Hhi: Q = (s, d) => {
+    val rev = Tables(s, d, "lineitem")
+      .join(Tables(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nation"), col("s_suppkey"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .groupBy(col("nation"), col("s_suppkey"))
+      .agg(sum(col("cents")).cast(DecimalType(38, 0)).as("r"))
+    val tot = rev.groupBy(col("nation"))
+      .agg(sum(col("r")).as("tot"))
+    // per-supplier share² as one IEEE expression (both operands are exact
+    // <2^53 integers in double), 12-dp rounded, decimal-summed — the q208
+    // per-term battery, so the Σ over suppliers is order-independent
+    rev.join(tot, Seq("nation"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(round(col("r").cast("double") / col("tot").cast("double")
+          * (col("r").cast("double") / col("tot").cast("double")), 12)
+          .cast(DecimalType(28, 12))).cast("double").as("sq"))
+      .select(col("nation"), big(col("n_suppliers")).as("n_suppliers"),
+        round(col("sq") * 10000.0, 4).as("hhi"))
+      .orderBy(col("nation"))
+  }
+
+  /** Q369: log-rank test — does customer survival (q210's lifetime
+    * definition: months from first to last order, death = inactive >6
+    * months before the horizon) differ between the BUILDING market
+    * segment and the rest? At each distinct death time: observed vs
+    * expected group-1 deaths under the null (E₁ = n₁·d/n), variance
+    * n₁n₂d(n−d)/(n²(n−1)); χ² = (ΣO−E)²/ΣV. At-risk counts come from
+    * reverse cumulative sums over the BOUNDED duration grid (≤ months
+    * range), so the test costs two keyed aggregates + one small window
+    * regardless of customer count.
+    */
+  def q369LogRank: Q = (s, d) => {
+    def mIdx(c: Column) = (year(c) * 12 + month(c)).cast("long")
+    val seg = Tables(s, d, "customer")
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("g1"))
+    val per = Tables(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(mIdx(col("o_orderdate"))).as("m0"),
+        max(mIdx(col("o_orderdate"))).as("ml"))
+      .join(seg, col("o_custkey") === col("c_custkey"))
+    val horizon = per.agg(max(col("ml")).as("mmax"))
+    val durs = per.crossJoin(broadcast(horizon))
+      .select(col("g1"),
+        when(col("mmax") - col("ml") > 6, col("ml") - col("m0"))
+          .otherwise(col("mmax") - col("m0")).as("dur"),
+        when(col("mmax") - col("ml") > 6, 1L).otherwise(0L).as("death"))
+    val grid = durs.groupBy(col("dur"))
+      .agg(sum(when(col("g1"), col("death")).otherwise(0L)).as("d1"),
+        sum(when(!col("g1"), col("death")).otherwise(0L)).as("d2"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("e1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("e2"))
+    val wGe = Window.orderBy(col("dur"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = grid
+      .withColumn("n1", sum(col("e1")).over(wGe))
+      .withColumn("n2", sum(col("e2")).over(wGe))
+      .filter(col("d1") + col("d2") > 0L)
+      .select(col("d1"), col("d2"), col("n1"), col("n2"),
+        (col("n1") + col("n2")).as("nr"), (col("d1") + col("d2")).as("dd"))
+    // per-time terms are ONE IEEE expression each, 6-dp rounded, then an
+    // exact decimal sum — a raw double SUM over the grid would be
+    // partition-order-dependent
+    terms
+      .agg(sum(col("d1")).cast("long").as("o1"),
+        sum(round(col("n1").cast("double") * col("dd").cast("double")
+          / col("nr").cast("double"), 6).cast(DecimalType(28, 6)))
+          .cast("double").as("exp1"),
+        sum(round(when(col("nr") > 1L,
+          col("n1").cast("double") * col("n2").cast("double")
+            * col("dd").cast("double") * (col("nr") - col("dd")).cast("double")
+            / (col("nr").cast("double") * col("nr").cast("double")
+              * (col("nr") - 1L).cast("double"))).otherwise(lit(0.0)), 6)
+          .cast(DecimalType(28, 6))).cast("double").as("v"))
+      .select(big(col("o1")).as("observed_building"),
+        round(col("exp1"), 6).as("expected_building"),
+        round(col("v"), 6).as("variance"),
+        round((col("o1").cast("double") - col("exp1"))
+          * (col("o1").cast("double") - col("exp1")) / col("v"), 6)
+          .as("chi2"),
+        (round((col("o1").cast("double") - col("exp1"))
+          * (col("o1").cast("double") - col("exp1")) / col("v"), 6)
+          > lit(3.841)).as("significant"))
+  }
+
+  /** Q370: regression-discontinuity estimate — the causal jump at a
+    * natural cutoff: customers cross "in good standing" at acctbal 0, so
+    * fit spend ~ acctbal by OLS separately on each side within a ±$500
+    * bandwidth and report the intercept gap at the cutoff. Moments are
+    * exact integer-cents sums (the q177 discipline); the closed-form OLS
+    * algebra is the only double step. One join + one two-group aggregate;
+    * no windows.
+    */
+  def q370Rdd: Q = (s, d) => {
+    val spend = Tables(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long"))
+        .cast(DecimalType(38, 0)).as("y"))
+    val side = Tables(s, d, "customer")
+      .select(col("c_custkey"), (dec(col("c_acctbal")) * 100).cast("long").as("x"))
+      .filter(col("x") >= -50000L && col("x") < 50000L)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select((col("x") >= 0L).as("treated"), col("x"),
+        coalesce(col("y"), lit(0L).cast(DecimalType(38, 0))).as("y"))
+    // OLS in mixed units sized for exact <2^53 conversions (the q227
+    // rule): x in DOLLARS (from exact integer cents), y in KILODOLLARS;
+    // the one per-row product x·y_k is a single IEEE expression rounded
+    // to 2 dp and decimal-summed, so every moment is order-independent
+    val xd = col("x").cast("double") / 100.0
+    val yk = col("y").cast("double") / 100000.0
+    val per = side.groupBy(col("treated"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sxc"),
+        sum(col("x") * col("x")).cast(DecimalType(38, 0)).as("sxxc"),
+        sum(col("y")).as("syc"),
+        sum(round(xd * yk, 2).cast(DecimalType(38, 2))).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sxc").cast("double") / 100.0
+    val sxxD = col("sxxc").cast("double") / 10000.0
+    val syK = col("syc").cast("double") / 100000.0
+    val slope = (nD * col("sxy").cast("double") - sxD * syK) /
+      (nD * sxxD - sxD * sxD)
+    val icept = (syK - slope * sxD) / nD
+    val fits = per.select(col("treated"), big(col("n")).as("n"),
+      round(slope, 8).as("slope_kusd_per_usd"),
+      round(icept * 1000.0, 4).as("intercept_usd"))
+    val l = fits.filter(!col("treated"))
+      .select(col("n").as("n_left"),
+        col("slope_kusd_per_usd").as("slope_left"),
+        col("intercept_usd").as("intercept_left"))
+    val r = fits.filter(col("treated"))
+      .select(col("n").as("n_right"),
+        col("slope_kusd_per_usd").as("slope_right"),
+        col("intercept_usd").as("intercept_right"))
+    l.crossJoin(broadcast(r))
+      .select(col("n_left"), col("n_right"),
+        col("intercept_left"), col("intercept_right"),
+        col("slope_left"), col("slope_right"),
+        round(col("intercept_right") - col("intercept_left"), 4)
+          .as("rdd_jump_usd"))
+  }
+
+  /** Q373: MAD robust outliers — median absolute deviation per order
+    * priority and the robust-z outlier count |0.6745(x−med)/MAD| > 3.5
+    * (the Iglewicz–Hoberg rule), the robust alternative to q179's
+    * mean/stddev fences. Both medians are EXACT lower-middle rank picks
+    * (row_number over the partitioned sort — no percentile
+    * interpolation to diverge on), in integer cents throughout; only the
+    * final z threshold is double.
+    */
+  def q373MadOutliers: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("g"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("y"))
+    def medianOf(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(valueCol))
+      val wN = Window.partitionBy(col("g"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wN))
+        .filter(col("rn") === expr("(nn + 1) div 2"))
+        .select(col("g"), col(valueCol).as("med"))
+    }
+    val med = medianOf(ord, "y")
+    val dev = ord.join(med, Seq("g"))
+      .select(col("g"), col("y"), abs(col("y") - col("med")).as("ad"),
+        col("med"))
+    val mad = medianOf(dev.select(col("g"), col("ad")), "ad")
+      .withColumnRenamed("med", "mad")
+    dev.join(mad, Seq("g"))
+      .groupBy(col("g"))
+      .agg(big(count(lit(1))).as("n"),
+        round(max(col("med")).cast("double") / 100.0, 2).as("median_usd"),
+        round(max(col("mad")).cast("double") / 100.0, 2).as("mad_usd"),
+        big(sum(when(abs(lit(0.6745) * (col("y") - col("med")).cast("double")
+          / col("mad").cast("double")) > 3.5, 1L).otherwise(0L)))
+          .as("n_outliers"))
+      .orderBy(col("g"))
+  }
+
+  /** Q374: Lorenz curve — cumulative spend share at each customer decile
+    * PER MARKET SEGMENT (q194's Gini is the area summary; this is the
+    * curve itself, the "top 10% hold X%" readout). Deciles are exact
+    * integer rank arithmetic `(rn−1)·10 div n`; cumulative and total
+    * spend are exact integer cents (both <2^53, so the one share division
+    * converts exactly). Windows are PARTITIONED by segment (the q289
+    * NTILE treatment) — no global sort at any scale.
+    */
+  def q374LorenzCurve: Q = (s, d) => {
+    val spend = Tables(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long"))
+        .cast(DecimalType(38, 0)).as("y"))
+      .join(Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("y"), col("o_custkey"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spend
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum(col("y")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("y")).over(wAll))
+      .withColumn("decile", expr("((rn - 1) * 10) div n"))
+      .groupBy(col("seg"), col("decile"))
+      .agg(big(count(lit(1))).as("n_customers"),
+        round(max(col("cum")).cast("double") / max(col("tot")).cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("seg"), col("decile"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q361_mann_whitney" -> q361MannWhitney,
+    "q362_kruskal_wallis" -> q362KruskalWallis,
+    "q363_wasserstein" -> q363Wasserstein,
+    "q364_anova_f" -> q364AnovaF,
+    "q365_fdr_bh" -> q365FdrBh,
+    "q366_hhi" -> q366Hhi,
+    "q369_log_rank" -> q369LogRank,
+    "q370_rdd" -> q370Rdd,
+    "q373_mad_outliers" -> q373MadOutliers,
+    "q374_lorenz_curve" -> q374LorenzCurve,
     "q318_ldiversity" -> q318Ldiversity,
     "q319_fd_discovery" -> q319FdDiscovery,
     "q323_srm" -> q323Srm,
@@ -2763,6 +3229,410 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q361_mann_whitney" ->
+      """WITH ord AS (
+        |  SELECT o_orderpriority = '1-URGENT' AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 1000
+        |      AS b
+        |  FROM orders),
+        |byb AS (SELECT b, COUNT(*) AS t FROM ord GROUP BY 1),
+        |ranked AS (
+        |  SELECT b, t,
+        |    2 * (COALESCE(SUM(t) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+        |      + t - 1 AS rank2
+        |  FROM byb),
+        |j AS (
+        |  SELECT g, gb.b, ng, rank2
+        |  FROM (SELECT g, b, COUNT(*) AS ng FROM ord GROUP BY 1, 2) gb
+        |  JOIN ranked ON gb.b = ranked.b),
+        |agg AS (
+        |  SELECT CAST(SUM(CASE WHEN g THEN ng ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT g THEN ng ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN g THEN ng * rank2 ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS r1x2
+        |  FROM j),
+        |ties AS (SELECT CAST(SUM(t*t*t - t) AS DECIMAL(38,0)) AS tsum FROM byb)
+        |SELECT n1 AS n_urgent, n2 AS n_rest,
+        |  ROUND(CAST(r1x2 AS DOUBLE) / CAST('2.0' AS DOUBLE)
+        |    - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |      / CAST('2.0' AS DOUBLE), 4) AS u,
+        |  ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      / CAST('12.0' AS DOUBLE)
+        |    * ((CAST(n1 + n2 AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      - CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+        |        * (CAST(n1 + n2 AS DOUBLE) - CAST('1.0' AS DOUBLE)))), 4)
+        |    AS var_u,
+        |  ROUND((CAST(r1x2 AS DOUBLE) / CAST('2.0' AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |        / CAST('2.0' AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / CAST('2.0' AS DOUBLE))
+        |    / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / CAST('12.0' AS DOUBLE)
+        |      * ((CAST(n1 + n2 AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |        - CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+        |          * (CAST(n1 + n2 AS DOUBLE) - CAST('1.0' AS DOUBLE))))), 6)
+        |    AS z,
+        |  ABS(ROUND((CAST(r1x2 AS DOUBLE) / CAST('2.0' AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)
+        |        / CAST('2.0' AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / CAST('2.0' AS DOUBLE))
+        |    / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / CAST('12.0' AS DOUBLE)
+        |      * ((CAST(n1 + n2 AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |        - CAST(tsum AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+        |          * (CAST(n1 + n2 AS DOUBLE) - CAST('1.0' AS DOUBLE))))), 6))
+        |    > CAST('1.96' AS DOUBLE) AS significant
+        |FROM agg, ties""".stripMargin,
+    "q362_kruskal_wallis" ->
+      """WITH ord AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 1000
+        |      AS b
+        |  FROM orders),
+        |byb AS (SELECT b, COUNT(*) AS t FROM ord GROUP BY 1),
+        |ranked AS (
+        |  SELECT b, t,
+        |    2 * (COALESCE(SUM(t) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+        |      + t - 1 AS rank2
+        |  FROM byb),
+        |per AS (
+        |  SELECT g, CAST(SUM(ng) AS BIGINT) AS ng,
+        |    CAST(SUM(ng * rank2) AS DECIMAL(38,0)) AS r2
+        |  FROM (SELECT g, b, COUNT(*) AS ng FROM ord GROUP BY 1, 2) gb
+        |  JOIN ranked ON gb.b = ranked.b
+        |  GROUP BY g),
+        |ties AS (SELECT CAST(SUM(t*t*t - t) AS DECIMAL(38,0)) AS tsum FROM byb),
+        |tot AS (
+        |  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 4) AS DECIMAL(38,4))) AS DOUBLE) AS srq,
+        |    COUNT(*) AS k
+        |  FROM per)
+        |SELECT n, CAST(k AS BIGINT) AS k_groups,
+        |  ROUND((CAST('12.0' AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+        |      * srq / CAST('4.0' AS DOUBLE)
+        |      - CAST('3.0' AS DOUBLE) * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+        |    / (CAST('1.0' AS DOUBLE) - CAST(tsum AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))), 6) AS h,
+        |  ROUND((CAST('12.0' AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+        |      * srq / CAST('4.0' AS DOUBLE)
+        |      - CAST('3.0' AS DOUBLE) * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+        |    / (CAST('1.0' AS DOUBLE) - CAST(tsum AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))), 6) > CAST('9.488' AS DOUBLE)
+        |    AS significant
+        |FROM tot, ties""".stripMargin,
+    "q363_wasserstein" ->
+      """WITH ev AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |m AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev),
+        |byc AS (
+        |  SELECT c,
+        |    CAST(SUM(CASE WHEN t < mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM ev, m GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |               CAST(SUM(c2) AS BIGINT) AS n2 FROM byc),
+        |steps AS (
+        |  SELECT c,
+        |    SUM(c1) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    SUM(c2) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+        |    LEAD(c) OVER (ORDER BY c) - c AS gap
+        |  FROM byc),
+        |w AS (
+        |  SELECT MAX(n1) AS na, MAX(n2) AS nb,
+        |    CAST(SUM(ABS(f1 * n2 - f2 * n1) * gap) AS DECIMAL(38,0))
+        |      AS w1_scaled
+        |  FROM steps, tot WHERE gap IS NOT NULL)
+        |SELECT na AS n_first, nb AS n_second,
+        |  CAST(w1_scaled AS VARCHAR) AS w1_scaled,
+        |  ROUND(CAST(w1_scaled AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      * CAST('100.0' AS DOUBLE)), 6) AS w1
+        |FROM w""".stripMargin,
+    "q364_anova_f" ->
+      """WITH ord AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |per AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    CAST(SUM(y) AS DECIMAL(38,0)) AS syc,
+        |    CAST(SUM(CAST(ROUND(CAST(y AS DOUBLE) / CAST('100000.0' AS DOUBLE)
+        |      * (CAST(y AS DOUBLE) / CAST('100000.0' AS DOUBLE)), 4)
+        |      AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS syy
+        |  FROM ord GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(syc) AS DECIMAL(38,0)) AS syt,
+        |    CAST(CAST(SUM(syy) AS DECIMAL(38,4)) AS DOUBLE) AS syyt,
+        |    COUNT(*) AS k,
+        |    CAST(SUM(CAST(ROUND(CAST(syc AS DOUBLE) / CAST('100000.0' AS DOUBLE)
+        |      * (CAST(syc AS DOUBLE) / CAST('100000.0' AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 4) AS DECIMAL(38,4))) AS DOUBLE) AS sgrp
+        |  FROM per)
+        |SELECT nt AS n, CAST(k AS BIGINT) AS k_groups,
+        |  ROUND(sgrp - CAST(syt AS DOUBLE) / CAST('100000.0' AS DOUBLE)
+        |    * (CAST(syt AS DOUBLE) / CAST('100000.0' AS DOUBLE))
+        |    / CAST(nt AS DOUBLE), 4) AS ss_between_kusd2,
+        |  ROUND(syyt - sgrp, 4) AS ss_within_kusd2,
+        |  ROUND(((sgrp - CAST(syt AS DOUBLE) / CAST('100000.0' AS DOUBLE)
+        |      * (CAST(syt AS DOUBLE) / CAST('100000.0' AS DOUBLE))
+        |      / CAST(nt AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / ((syyt - sgrp) / CAST(nt - k AS DOUBLE)), 6) AS f,
+        |  ROUND(((sgrp - CAST(syt AS DOUBLE) / CAST('100000.0' AS DOUBLE)
+        |      * (CAST(syt AS DOUBLE) / CAST('100000.0' AS DOUBLE))
+        |      / CAST(nt AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / ((syyt - sgrp) / CAST(nt - k AS DOUBLE)), 6)
+        |    > CAST('2.372' AS DOUBLE) AS significant
+        |FROM tot""".stripMargin,
+    "q365_fdr_bh" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |obs AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN ((((event_id % 2147483647) * 48271)
+        |      % 2147483647 + 1) * 16807) % 2147483647 % 10000 % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ((((event_id % 2147483647) * 48271)
+        |      % 2147483647 + 1) * 16807) % 2147483647 % 10000 % 2 = 0
+        |      THEN v END) AS sva,
+        |    CAST(SUM(CASE WHEN ((((event_id % 2147483647) * 48271)
+        |      % 2147483647 + 1) * 16807) % 2147483647 % 10000 % 2 <> 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ((((event_id % 2147483647) * 48271)
+        |      % 2147483647 + 1) * 16807) % 2147483647 % 10000 % 2 <> 0
+        |      THEN v END) AS svb
+        |  FROM ev GROUP BY 1),
+        |reps AS (SELECT CAST(u.r AS BIGINT) AS rep
+        |         FROM unnest(range(1, 33)) u(r)),
+        |perm AS (
+        |  SELECT event_type, rep,
+        |    CAST(SUM(CASE WHEN (((((event_id + rep) % 2147483647) * 48271)
+        |      % 2147483647 + 1) * 16807) % 2147483647 % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pna,
+        |    SUM(CASE WHEN (((((event_id + rep) % 2147483647) * 48271)
+        |      % 2147483647 + 1) * 16807) % 2147483647 % 2 = 0
+        |      THEN v END) AS psva,
+        |    CAST(SUM(CASE WHEN (((((event_id + rep) % 2147483647) * 48271)
+        |      % 2147483647 + 1) * 16807) % 2147483647 % 2 <> 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pnb,
+        |    SUM(CASE WHEN (((((event_id + rep) % 2147483647) * 48271)
+        |      % 2147483647 + 1) * 16807) % 2147483647 % 2 <> 0
+        |      THEN v END) AS psvb
+        |  FROM ev, reps GROUP BY 1, 2),
+        |pv AS (
+        |  SELECT perm.event_type,
+        |    CAST(SUM(CASE WHEN ABS(CAST(psva AS DOUBLE) / CAST(pna AS DOUBLE)
+        |        - CAST(psvb AS DOUBLE) / CAST(pnb AS DOUBLE))
+        |      >= ABS(CAST(sva AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(svb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS pnum
+        |  FROM perm JOIN obs ON perm.event_type = obs.event_type
+        |  GROUP BY 1),
+        |m AS (SELECT COUNT(*) AS m FROM pv),
+        |rk AS (
+        |  SELECT event_type, pnum,
+        |    ROW_NUMBER() OVER (ORDER BY pnum, event_type) AS k
+        |  FROM pv),
+        |km AS (
+        |  SELECT MAX(CASE WHEN 20 * m.m * pnum <= 33 * k THEN k ELSE 0 END)
+        |    AS kmax
+        |  FROM rk, m)
+        |SELECT event_type, pnum AS p_numerator_33rds,
+        |  ROUND(CAST(pnum AS DOUBLE) / CAST('33.0' AS DOUBLE), 6) AS p_value,
+        |  k AS rank, k <= kmax AS discovery
+        |FROM rk, km
+        |ORDER BY k""".stripMargin,
+    "q366_hhi" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey AS nation, s_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS r
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT nation, CAST(SUM(r) AS DECIMAL(38,0)) AS tot
+        |        FROM rev GROUP BY 1)
+        |SELECT rev.nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST(r AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * (CAST(r AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) * CAST('10000.0' AS DOUBLE), 4)
+        |    AS hhi
+        |FROM rev JOIN tot ON rev.nation = tot.nation
+        |GROUP BY rev.nation
+        |ORDER BY rev.nation""".stripMargin,
+    "q369_log_rank" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+        |      AS m0,
+        |    MAX(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+        |      AS ml
+        |  FROM orders GROUP BY 1),
+        |withseg AS (
+        |  SELECT per.*, c_mktsegment = 'BUILDING' AS g1
+        |  FROM per JOIN customer ON o_custkey = c_custkey),
+        |h AS (SELECT MAX(ml) AS mmax FROM withseg),
+        |durs AS (
+        |  SELECT g1,
+        |    CASE WHEN mmax - ml > 6 THEN ml - m0 ELSE mmax - m0 END AS dur,
+        |    CASE WHEN mmax - ml > 6 THEN 1 ELSE 0 END AS death
+        |  FROM withseg, h),
+        |grid AS (
+        |  SELECT dur,
+        |    CAST(SUM(CASE WHEN g1 THEN death ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN death ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS e2
+        |  FROM durs GROUP BY 1),
+        |terms AS (
+        |  SELECT d1, d2,
+        |    SUM(e1) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n1,
+        |    SUM(e2) OVER (ORDER BY dur
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n2
+        |  FROM grid),
+        |t2 AS (
+        |  SELECT d1, d2, n1, n2, n1 + n2 AS nr, d1 + d2 AS dd
+        |  FROM terms WHERE d1 + d2 > 0),
+        |a AS (
+        |  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM(CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(dd AS DOUBLE)
+        |      / CAST(nr AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) AS exp1,
+        |    CAST(SUM(CAST(ROUND(CASE WHEN nr > 1
+        |      THEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * CAST(dd AS DOUBLE) * CAST(nr - dd AS DOUBLE)
+        |        / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)
+        |          * CAST(nr - 1 AS DOUBLE))
+        |      ELSE CAST('0.0' AS DOUBLE) END, 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE) AS v
+        |  FROM t2)
+        |SELECT o1 AS observed_building,
+        |  ROUND(exp1, 6) AS expected_building,
+        |  ROUND(v, 6) AS variance,
+        |  ROUND((CAST(o1 AS DOUBLE) - exp1) * (CAST(o1 AS DOUBLE) - exp1)
+        |    / v, 6) AS chi2,
+        |  ROUND((CAST(o1 AS DOUBLE) - exp1) * (CAST(o1 AS DOUBLE) - exp1)
+        |    / v, 6) > CAST('3.841' AS DOUBLE) AS significant
+        |FROM a""".stripMargin,
+    "q370_rdd" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS y
+        |  FROM orders GROUP BY 1),
+        |side AS (
+        |  SELECT x >= 0 AS treated, x,
+        |    COALESCE(y, CAST(0 AS DECIMAL(38,0))) AS y
+        |  FROM (SELECT c_custkey,
+        |          CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS x
+        |        FROM customer) c
+        |  LEFT JOIN spend ON c_custkey = o_custkey
+        |  WHERE x >= -50000 AND x < 50000),
+        |per AS (
+        |  SELECT treated, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sxc,
+        |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxxc,
+        |    CAST(SUM(y) AS DECIMAL(38,0)) AS syc,
+        |    CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) / CAST('100.0' AS DOUBLE)
+        |      * (CAST(y AS DOUBLE) / CAST('100000.0' AS DOUBLE)), 2)
+        |      AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sxy
+        |  FROM side GROUP BY 1),
+        |fits AS (
+        |  SELECT treated, CAST(n AS BIGINT) AS n,
+        |    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sxc AS DOUBLE) / CAST('100.0' AS DOUBLE)
+        |          * (CAST(syc AS DOUBLE) / CAST('100000.0' AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) * (CAST(sxxc AS DOUBLE)
+        |          / CAST('10000.0' AS DOUBLE))
+        |        - CAST(sxc AS DOUBLE) / CAST('100.0' AS DOUBLE)
+        |          * (CAST(sxc AS DOUBLE) / CAST('100.0' AS DOUBLE))), 8)
+        |      AS slope,
+        |    ROUND((CAST(syc AS DOUBLE) / CAST('100000.0' AS DOUBLE)
+        |        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sxc AS DOUBLE) / CAST('100.0' AS DOUBLE)
+        |              * (CAST(syc AS DOUBLE) / CAST('100000.0' AS DOUBLE)))
+        |          / (CAST(n AS DOUBLE) * (CAST(sxxc AS DOUBLE)
+        |              / CAST('10000.0' AS DOUBLE))
+        |            - CAST(sxc AS DOUBLE) / CAST('100.0' AS DOUBLE)
+        |              * (CAST(sxc AS DOUBLE) / CAST('100.0' AS DOUBLE))))
+        |          * (CAST(sxc AS DOUBLE) / CAST('100.0' AS DOUBLE)))
+        |      / CAST(n AS DOUBLE) * CAST('1000.0' AS DOUBLE), 4)
+        |      AS intercept_usd
+        |  FROM per)
+        |SELECT l.n AS n_left, r.n AS n_right,
+        |  l.intercept_usd AS intercept_left,
+        |  r.intercept_usd AS intercept_right,
+        |  l.slope AS slope_left, r.slope AS slope_right,
+        |  ROUND(r.intercept_usd - l.intercept_usd, 4) AS rdd_jump_usd
+        |FROM (SELECT * FROM fits WHERE NOT treated) l,
+        |     (SELECT * FROM fits WHERE treated) r""".stripMargin,
+    "q373_mad_outliers" ->
+      """WITH ord AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |med AS (
+        |  SELECT g, y AS med FROM (
+        |    SELECT g, y, ROW_NUMBER() OVER (PARTITION BY g ORDER BY y) AS rn,
+        |      COUNT(*) OVER (PARTITION BY g) AS nn
+        |    FROM ord)
+        |  WHERE rn = (nn + 1) // 2),
+        |dev AS (
+        |  SELECT ord.g, y, ABS(y - med) AS ad, med
+        |  FROM ord JOIN med ON ord.g = med.g),
+        |mad AS (
+        |  SELECT g, ad AS mad FROM (
+        |    SELECT g, ad, ROW_NUMBER() OVER (PARTITION BY g ORDER BY ad) AS rn,
+        |      COUNT(*) OVER (PARTITION BY g) AS nn
+        |    FROM dev)
+        |  WHERE rn = (nn + 1) // 2)
+        |SELECT dev.g, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(MAX(med) AS DOUBLE) / CAST('100.0' AS DOUBLE), 2)
+        |    AS median_usd,
+        |  ROUND(CAST(MAX(mad) AS DOUBLE) / CAST('100.0' AS DOUBLE), 2)
+        |    AS mad_usd,
+        |  CAST(SUM(CASE WHEN ABS(CAST('0.6745' AS DOUBLE)
+        |      * CAST(y - med AS DOUBLE) / CAST(mad AS DOUBLE))
+        |      > CAST('3.5' AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad ON dev.g = mad.g
+        |GROUP BY dev.g
+        |ORDER BY dev.g""".stripMargin,
+    "q374_lorenz_curve" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, c_mktsegment AS seg,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+        |      AS BIGINT)) AS DECIMAL(38,0)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg,
+        |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY y, o_custkey) AS rn,
+        |    SUM(y) OVER (PARTITION BY seg ORDER BY y, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY seg) AS n,
+        |    SUM(y) OVER (PARTITION BY seg) AS tot
+        |  FROM spend)
+        |SELECT seg, ((rn - 1) * 10) // n AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+        |    AS cum_share
+        |FROM r
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q318_ldiversity" ->
       """WITH cls AS (
         |  SELECT c_nationkey, FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS b1,

@@ -1792,7 +1792,107 @@ object Windows {
       graft.operators.Stats.permutationReport(perm, obs))
   }
 
+  /** Q375: streaming Wasserstein drift monitor — q363's W₁ earth-mover
+    * distance fed by a micro-batched event stream: each batch lands its
+    * per-cent (baseline, current) counts in an idempotent `batch=<id>`
+    * sink (cent cells merge by plain sum at ANY slicing), and the drain
+    * runs the exact integer W₁ kernel once over the merged support.
+    * Shares q363's oracle verbatim. The live "how FAR has the value
+    * distribution moved?" pager — per-batch state is one bounded
+    * cent-histogram, never rows.
+    */
+  def q375StreamWasserstein: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(graft.Dsl.epochSec(col("ts2")).as("ts"),
+        (graft.Dsl.dec(col("value")) * 100).cast("long").as("c"))
+    val mid = ev.agg(expr("(MIN(ts) + MAX(ts)) div 2")).head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q375_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q375Writer(mid, sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q375Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q375's per-batch writer (the q337 idempotent `batch=<id>` pattern). */
+  private[graft] def q375Writer(mid: Long, sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF()
+          .groupBy(col("c"))
+          .agg(sum(when(col("ts") < mid, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("ts") >= mid, 1L).otherwise(0L)).as("c2"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q375's drain: merge the additive cent cells, run the W₁ kernel once. */
+  private[graft] def q375Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Stats.wassersteinReport(
+        s.read.parquet(sumDir)
+          .groupBy(col("c"))
+          .agg(sum(col("c1")).cast("long").as("c1"),
+            sum(col("c2")).cast("long").as("c2"))))
+
+  /** Q376: streaming EWMA control chart — q368's drift-sensitive monitor
+    * fed by a micro-batched stream: per batch the (type × hour) counts
+    * land in an idempotent `batch=<id>` sink (q348's mergeable hourly
+    * cells), and the drain runs the closed-form EWMA + 3σ limits once
+    * over the merged summary. Shares q368's oracle verbatim. The
+    * always-on "is volume drifting beyond its smoothed band?" readout.
+    */
+  def q376StreamEwma: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q376_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q376Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q376Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q376's per-batch writer (the q348 hourly-cell pattern). */
+  private[graft] def q376Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF()
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q376's drain: merge hourly cells, run the EWMA kernel once. */
+  private[graft] def q376Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Events.ewmaReport(
+        s.read.parquet(sumDir)
+          .groupBy(col("event_type"), col("h"))
+          .agg(sum(col("c")).cast("long").as("c"))))
+
   val queries: Map[String, Q] = Map(
+    "q375_stream_wasserstein" -> q375StreamWasserstein,
+    "q376_stream_ewma" -> q376StreamEwma,
     "q354_stream_permutation" -> q354StreamPermutation,
     "q348_stream_mann_kendall" -> q348StreamMannKendall,
     "q337_stream_psi" -> q337StreamPsi,
@@ -1907,6 +2007,13 @@ object Windows {
       graft.operators.Stats.fdBlocksSql(Seq(
         ("orders", "o_orderkey", "o_orderstatus"),
         ("orders", "o_custkey", "o_orderpriority"))),
+    // q375 shares q363's oracle verbatim (per-cent half counts merge
+    // additively against the same fixed integer midpoint)
+    "q375_stream_wasserstein" ->
+      graft.operators.Stats.oracles("q363_wasserstein"),
+    // q376 shares q368's oracle verbatim (hourly cells merge additively)
+    "q376_stream_ewma" ->
+      graft.operators.Events.oracles("q368_ewma_control"),
     // q329 shares q323's oracle verbatim (arm counts merge additively)
     "q329_stream_srm" ->
       graft.operators.Stats.oracles("q323_srm"),

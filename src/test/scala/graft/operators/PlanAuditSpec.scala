@@ -117,6 +117,13 @@ class PlanAuditSpec extends SparkSpec {
     "q357_nelson_aalen", // 1-row horizon broadcast (q210's censoring convention)
     "q359_qini_curve", // 10-row decile broadcast x bounded prefix relation + 1-row full-curve anchor
     "q360_self_bleu", // 1-row (corpus mass, source count) broadcast onto the 20-row clip summary
+    "q367_periodogram", // 23-row candidate-period broadcast onto the bounded hourly collapse
+    "q361_mann_whitney", // 1-row agg x 1-row tie-sum composition over the bounded bucket summary
+    "q362_kruskal_wallis", // 1-row totals x 1-row tie-sum x 1-row group-count composition
+    "q363_wasserstein", // 1-row (N1, N2) totals broadcast onto the bounded cent-support steps
+    "q365_fdr_bh", // 1-row family-size m broadcast onto the <=|event types|-row p-value relation
+    "q369_log_rank", // 1-row horizon broadcast (q210's censoring convention)
+    "q370_rdd", // 1-row left-fit x 1-row right-fit composition
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -149,7 +156,12 @@ class PlanAuditSpec extends SparkSpec {
     "q341_group_sequential" -> "cumulative sums over the 5-row look collapse, never the orders",
     "q350_range_partition_audit" -> "prefix counts over the bounded 10.00-bucket collapse (price-domain bounded, the q312/q344 argument), never the orders",
     "q357_nelson_aalen" -> "at-risk/hazard cumsums over the duration GRID (one row per distinct lifetime month, bounded by the corpus month span — q210's argument), never the customers",
-    "q359_qini_curve" -> "prefix sums over the bounded 10.00-bucket collapse DESC (q350's argument), never the orders")
+    "q359_qini_curve" -> "prefix sums over the bounded 10.00-bucket collapse DESC (q350's argument), never the orders",
+    "q361_mann_whitney" -> "rank cumsum over the bounded $10-bucket collapse (price-domain bounded, the q344/q350 argument), never the orders",
+    "q362_kruskal_wallis" -> "the q361 rank cumsum over the same bounded bucket collapse",
+    "q363_wasserstein" -> "CDF cumsums + lead over the bounded cent-support collapse (value domain <= 3300 cents), never the events",
+    "q365_fdr_bh" -> "BH step-up rank over the <=|event types|-row p-value relation",
+    "q369_log_rank" -> "reverse at-risk cumsums over the duration GRID (q210's bounded month-span argument), never the customers")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -161,7 +173,10 @@ class PlanAuditSpec extends SparkSpec {
     "q201_stream_changepoint", "q219_stream_topk", "q264_stream_kanonymity",
     "q265_stream_bollinger", "q284_stream_benford", "q288_stream_funnel",
     "q295_stream_ema", "q300_stream_isotonic", "q303_stream_maxsim",
-    "q307_stream_negatives")
+    "q307_stream_negatives", "q320_stream_kappa", "q326_stream_fd",
+    "q329_stream_srm", "q337_stream_psi", "q348_stream_mann_kendall",
+    "q354_stream_permutation", "q375_stream_wasserstein",
+    "q376_stream_ewma")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

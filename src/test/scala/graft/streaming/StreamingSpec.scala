@@ -839,6 +839,9 @@ class StreamingSpec extends SparkSpec {
       graft.Dsl.dec($"value").as("v"))
     lazy val mid337 = ev337.agg(expr("(MIN(t) + MAX(t)) div 2")).head().getLong(0)
     lazy val ev354 = evAll.select($"event_id", graft.Dsl.dec($"value").as("v"))
+    lazy val mid375 = evAll
+      .select(graft.Dsl.epochSec($"ts2").as("ts"))
+      .agg(expr("(MIN(ts) + MAX(ts)) div 2")).head().getLong(0)
 
     final case class TwinCase(
         name: String,
@@ -857,7 +860,21 @@ class StreamingSpec extends SparkSpec {
         pmod($"event_id", lit(2L)) === 0,
         tmp => Windows.q354Writer(s"$tmp/perm", s"$tmp/obs"),
         tmp => Windows.q354Drain(spark, s"$tmp/perm", s"$tmp/obs"),
-        () => Windows.q354StreamPermutation(spark, sf0001)))
+        () => Windows.q354StreamPermutation(spark, sf0001)),
+      TwinCase("q375_stream_wasserstein",
+        () => evAll.select(graft.Dsl.epochSec($"ts2").as("ts"),
+          (graft.Dsl.dec($"value") * 100).cast("long").as("c")),
+        pmod($"c", lit(2L)) === 0,
+        tmp => Windows.q375Writer(mid375, s"$tmp/sum"),
+        tmp => Windows.q375Drain(spark, s"$tmp/sum"),
+        () => Windows.q375StreamWasserstein(spark, sf0001)),
+      TwinCase("q376_stream_ewma",
+        () => evAll.select($"event_type",
+          expr("CAST(ts2 AS LONG) div 3600").as("h")),
+        pmod($"h", lit(2L)) === 0,
+        tmp => Windows.q376Writer(s"$tmp/sum"),
+        tmp => Windows.q376Drain(spark, s"$tmp/sum"),
+        () => Windows.q376StreamEwma(spark, sf0001)))
 
     twins.foreach { tc =>
       test(s"${tc.name}: drained summary survives a checkpointed stop/start") {
