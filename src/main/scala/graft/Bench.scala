@@ -286,8 +286,12 @@ object Bench {
     def tierReps(tier: Int, est: Double): Int = tier match {
       case 3 => if (est < 0.5) 5 else if (est < 2.0) 3 else 2
       case 2 => if (est < 0.5) 3 else if (est < 2.0) 2 else 2
-      case 1 => if (est < 0.5) 3 else if (est < 2.0) 2 else 1
-      case _ => 1
+      case 1 => if (est < 0.5) 3 else if (est < 2.0) 2 else if (est < 3.0) 1 else 2
+      // even the fallback tier gives the ≥3 s tail min-of-2: those are the
+      // rows rounds are compared on, they run FIRST (the round-10 order),
+      // and a single post-warm run reads ~2x above median-of-5 history —
+      // the cheap majority absorbs the squeeze by degrading to phase-A rows
+      case _ => if (est >= 3.0) 2 else 1
     }
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted

@@ -1743,7 +1743,233 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Q378: additive seasonal decomposition — per event type, the
+    * hour-of-day seasonal index (cell mean − grand mean over the hourly
+    * counts) plus the per-type residual standard deviation after removing
+    * it: the "what does a NORMAL Tuesday 3pm look like" baseline under
+    * q267's strength score. Means are exact rationals cleared to one IEEE
+    * expression each; residual squares are per-row rounded and
+    * decimal-summed (the q369 discipline).
+    */
+  def q378SeasonalDecompose: Q = (s, d) => {
+    val hourly = events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+    val grand = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("sc"))
+    val cell = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("nc"), sum(col("c")).cast("long").as("scc"))
+    val seas = cell.join(grand, Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("nc"),
+        round(col("scc").cast("double") / col("nc").cast("double")
+          - col("sc").cast("double") / col("n").cast("double"), 6)
+          .as("seasonal"))
+    val resid = hourly.join(seas, Seq("event_type", "hod"))
+      .join(grand, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(round((col("c").cast("double") - col("seasonal")
+        - col("sc").cast("double") / col("n").cast("double"))
+        * (col("c").cast("double") - col("seasonal")
+          - col("sc").cast("double") / col("n").cast("double")), 6)
+        .cast(DecimalType(28, 6))).cast("double").as("ssr"),
+        count(lit(1)).as("nh"))
+    seas.join(broadcast(resid), Seq("event_type"))
+      .select(col("event_type"), big(col("hod")).as("hour_of_day"),
+        big(col("nc")).as("n_hours"), col("seasonal"),
+        round(sqrt(col("ssr") / (col("nh") - 1L).cast("double")), 6)
+          .as("residual_sd"))
+      .orderBy(col("event_type"), col("hour_of_day"))
+  }
+
+  /** Q380: capture–recapture population estimate — the Chapman estimator
+    * of the TOTAL user universe (including never-seen users) from the
+    * overlap between the first- and second-half active user sets:
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The classic "how big is the population
+    * my logs only sample" audit; integer arithmetic up to one final
+    * rounded division. Three distinct-aggregates, all keyed on user_id.
+    */
+  def q380CaptureRecapture: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("user_id"), epochSec(col("ts2")).as("ts"))
+    val mid = ev.agg(expr("(MIN(ts) + MAX(ts)) div 2")).head().getLong(0)
+    val per = ev.groupBy(col("user_id"))
+      .agg(max(when(col("ts") < mid, 1L).otherwise(0L)).as("s1"),
+        max(when(col("ts") >= mid, 1L).otherwise(0L)).as("s2"))
+    per.agg(sum(col("s1")).cast("long").as("n1"),
+      sum(col("s2")).cast("long").as("n2"),
+      sum(col("s1") * col("s2")).cast("long").as("m"),
+      count(lit(1)).as("n_seen"))
+      .select(big(col("n1")).as("n_first"), big(col("n2")).as("n_second"),
+        big(col("m")).as("n_both"), big(col("n_seen")).as("n_seen"),
+        round((col("n1") + 1L).cast("double") * (col("n2") + 1L).cast("double")
+          / (col("m") + 1L).cast("double") - 1.0, 2).as("chapman_estimate"))
+  }
+
+  /** Q381: Haar wavelet energy decomposition — per event type, the energy
+    * of the hourly-count series at dyadic scales 2/4/8/16 hours (detail
+    * coefficients = first-half − second-half block sums), localizing
+    * WHERE in frequency the variance lives (spiky vs slow drift) the way
+    * q367's global periodogram can't. Entirely INTEGER: block sums and
+    * differences of counts, squared and summed as longs — bit-portable
+    * with no float step at all. One aggregate per level over the bounded
+    * hourly collapse; the first 256 hours per type are the declared
+    * analysis window.
+    */
+  def q381HaarEnergy: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val hourly = events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w) - 1)
+      .filter(col("r") < 256L)
+    val levels = (1 to 4).map { lvl =>
+      val half = 1L << (lvl - 1)
+      val sign = when(pmod(col("r"), lit(half * 2)) < half, 1L)
+        .otherwise(-1L)
+      hourly
+        .groupBy(col("event_type"), expr(s"r div ${half * 2}").as("blk"))
+        .agg(sum(sign * col("c")).cast("long").as("dcoef"),
+          count(lit(1)).as("npts"))
+        .filter(col("npts") === half * 2) // complete blocks only
+        .groupBy(col("event_type"))
+        .agg(sum(col("dcoef") * col("dcoef")).cast("long").as("energy"),
+          count(lit(1)).as("n_blocks"))
+        .select(col("event_type"), lit(lvl.toLong).as("level"),
+          lit(half * 2).as("scale_hours"), big(col("n_blocks")).as("n_blocks"),
+          big(col("energy")).as("energy"))
+    }
+    levels.reduce(_ unionAll _)
+      .orderBy(col("event_type"), col("level"))
+  }
+
+  /** Q382: cross-correlation function — Pearson correlation between the
+    * click and purchase hourly-count series at lags −12..+12: "do clicks
+    * LEAD purchases, and by how many hours?" — the lead–lag diagnostic
+    * q282's single-series ACF can't give. Per lag the moments are exact
+    * integer sums over the aligned hour pairs; the correlation is one
+    * IEEE expression rounded to 6 dp. The 25-row lag relation broadcasts
+    * onto the bounded hourly collapse.
+    */
+  def q382Ccf: Q = (s, d) => {
+    val hourly = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val a = hourly.filter(col("event_type") === "click")
+      .select(col("h"), col("c").as("ca"))
+    val b = hourly.filter(col("event_type") === "purchase")
+      .select(col("h").as("hb"), col("c").as("cb"))
+    val lags = s.range(-12L, 13L).toDF("lag")
+    val joined = a.crossJoin(broadcast(lags))
+      .join(b, col("hb") === col("h") + col("lag"))
+    val mom = joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ca")).cast("long").as("sa"),
+        sum(col("cb")).cast("long").as("sb"),
+        sum(col("ca") * col("ca")).cast("long").as("saa"),
+        sum(col("cb") * col("cb")).cast("long").as("sbb"),
+        sum(col("ca") * col("cb")).cast("long").as("sab"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sab").cast("double") -
+      col("sa").cast("double") * col("sb").cast("double")
+    val va = nD * col("saa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double")
+    val vb = nD * col("sbb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double")
+    mom.select(big(col("lag")).as("lag_hours"), big(col("n")).as("n_pairs"),
+      round(cov / sqrt(va * vb), 6).as("ccf"))
+      .orderBy(col("lag_hours"))
+  }
+
+  /** Q383: Wald–Wolfowitz runs test — is each type's hourly volume
+    * sequence RANDOM around its median, or does it clump (regimes,
+    * day/night waves)? Hours dichotomize against the exact rank-picked
+    * median (ties to the median drop, the standard treatment); the run
+    * count is one lag window; E[R] and Var[R] are closed-form integer
+    * expressions; only the final z is double. Complements q342 (monotone
+    * trend) with a non-directional randomness check.
+    */
+  def q383RunsTest: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val wN = Window.partitionBy(col("event_type"))
+    val hourly = events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val med = hourly
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c"), col("h"))))
+      .withColumn("nn", count(lit(1)).over(wN))
+      .filter(col("rn") === expr("(nn + 1) div 2"))
+      .select(col("event_type"), col("c").as("med"))
+    val signs = hourly.join(med, Seq("event_type"))
+      .filter(col("c") =!= col("med"))
+      .select(col("event_type"), col("h"), (col("c") > col("med")).as("up"))
+      .withColumn("prev", lag(col("up"), 1).over(w))
+    val agg = signs.groupBy(col("event_type"))
+      .agg(sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("up"), 1L).otherwise(0L)).as("n2"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("up"), 1L)
+          .otherwise(0L))).cast("long").as("runs"))
+      // degenerate series (one-sided or Var[R]=0, possible at tiny SF where
+      // most hours tie the median and drop) have no defined z — excluded
+      // by the same integer condition in both engines
+      .filter(col("n1") >= 1L && col("n2") >= 1L &&
+        lit(2L) * col("n1") * col("n2") > col("n1") + col("n2"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val nD = (col("n1") + col("n2")).cast("double")
+    val er = lit(2.0) * n1D * n2D / nD + 1.0
+    val vr = lit(2.0) * n1D * n2D * (lit(2.0) * n1D * n2D - nD) /
+      (nD * nD * (nD - 1.0))
+    agg.select(col("event_type"), big(col("n1")).as("n_above"),
+      big(col("n2")).as("n_below"), big(col("runs")).as("runs"),
+      round(er, 4).as("expected_runs"),
+      round((col("runs").cast("double") - er) / sqrt(vr), 6).as("z"),
+      (abs(round((col("runs").cast("double") - er) / sqrt(vr), 6))
+        > lit(1.96)).as("non_random"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Q384: Gumbel return level — extreme-value "what hourly volume should
+    * we provision for once per 30 days?" per event type: daily block
+    * maxima of the hourly counts, Gumbel fit by method of moments
+    * (β = s√6/π, μ = m̄ − γβ), and the T=30 return level
+    * μ − β·ln(−ln(1−1/T)). Block maxima and their moments are exact
+    * integers; the fit is one IEEE expression chain rounded to 4 dp, with
+    * π/γ/T entering through the engines' shared libm constants.
+    */
+  def q384GumbelReturn: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), expr("h div 24").as("day"))
+      .agg(max(col("c")).as("mx"))
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("mx")).cast("long").as("sm"),
+        sum(col("mx") * col("mx")).cast("long").as("smm"))
+    val nD = col("n").cast("double")
+    val mean = col("sm").cast("double") / nD
+    val sd = sqrt((col("smm").cast("double") - col("sm").cast("double")
+      * col("sm").cast("double") / nD) / (nD - 1.0))
+    val beta = sd * sqrt(lit(6.0)) / lit(math.Pi)
+    val mu = mean - lit(0.5772156649) * beta
+    val rl = mu - beta * log(-log(lit(1.0) - lit(1.0) / lit(30.0)))
+    mom.select(col("event_type"), big(col("n")).as("n_days"),
+      round(mean, 4).as("mean_daily_max"),
+      round(beta, 4).as("gumbel_beta"),
+      round(mu, 4).as("gumbel_mu"),
+      round(rl, 4).as("return_level_30d"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q378_seasonal_decompose" -> q378SeasonalDecompose,
+    "q380_capture_recapture" -> q380CaptureRecapture,
+    "q381_haar_energy" -> q381HaarEnergy,
+    "q382_ccf" -> q382Ccf,
+    "q383_runs_test" -> q383RunsTest,
+    "q384_gumbel_return" -> q384GumbelReturn,
     "q367_periodogram" -> q367Periodogram,
     "q368_ewma_control" -> q368EwmaControl,
     "q371_markov_stationary" -> q371MarkovStationary,
@@ -1807,6 +2033,229 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q378_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |h2 AS (SELECT *, h % 24 AS hod FROM hourly),
+        |grand AS (SELECT event_type, COUNT(*) AS n,
+        |            CAST(SUM(c) AS BIGINT) AS sc FROM h2 GROUP BY 1),
+        |cell AS (SELECT event_type, hod, COUNT(*) AS nc,
+        |           CAST(SUM(c) AS BIGINT) AS scc FROM h2 GROUP BY 1, 2),
+        |seas AS (
+        |  SELECT cell.event_type, hod, nc,
+        |    ROUND(CAST(scc AS DOUBLE) / CAST(nc AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS seasonal
+        |  FROM cell JOIN grand ON cell.event_type = grand.event_type),
+        |resid AS (
+        |  SELECT h2.event_type,
+        |    CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) - seasonal
+        |        - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(c AS DOUBLE) - seasonal
+        |        - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS ssr,
+        |    COUNT(*) AS nh
+        |  FROM h2
+        |  JOIN seas ON h2.event_type = seas.event_type AND h2.hod = seas.hod
+        |  JOIN grand ON h2.event_type = grand.event_type
+        |  GROUP BY 1)
+        |SELECT seas.event_type, CAST(hod AS BIGINT) AS hour_of_day,
+        |  CAST(nc AS BIGINT) AS n_hours, seasonal,
+        |  ROUND(SQRT(ssr / CAST(nh - 1 AS DOUBLE)), 6) AS residual_sd
+        |FROM seas JOIN resid ON seas.event_type = resid.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "q380_capture_recapture" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+        |  FROM events),
+        |m AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev),
+        |per AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN t < mid THEN 1 ELSE 0 END) AS s1,
+        |    MAX(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS s2
+        |  FROM ev, m GROUP BY 1)
+        |SELECT CAST(SUM(s1) AS BIGINT) AS n_first,
+        |  CAST(SUM(s2) AS BIGINT) AS n_second,
+        |  CAST(SUM(s1 * s2) AS BIGINT) AS n_both,
+        |  CAST(COUNT(*) AS BIGINT) AS n_seen,
+        |  ROUND(CAST(SUM(s1) + 1 AS DOUBLE) * CAST(SUM(s2) + 1 AS DOUBLE)
+        |    / CAST(SUM(s1 * s2) + 1 AS DOUBLE)
+        |    - CAST('1.0' AS DOUBLE), 2) AS chapman_estimate
+        |FROM per""".stripMargin,
+    "q381_haar_energy" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1 AS r
+        |  FROM hourly),
+        |t AS (SELECT * FROM idx WHERE r < 256),
+        |l1 AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN r % 2 < 1 THEN c ELSE -c END) AS BIGINT)
+        |      AS dcoef, COUNT(*) AS npts
+        |  FROM t GROUP BY event_type, r // 2),
+        |l2 AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN r % 4 < 2 THEN c ELSE -c END) AS BIGINT)
+        |      AS dcoef, COUNT(*) AS npts
+        |  FROM t GROUP BY event_type, r // 4),
+        |l3 AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN r % 8 < 4 THEN c ELSE -c END) AS BIGINT)
+        |      AS dcoef, COUNT(*) AS npts
+        |  FROM t GROUP BY event_type, r // 8),
+        |l4 AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN r % 16 < 8 THEN c ELSE -c END) AS BIGINT)
+        |      AS dcoef, COUNT(*) AS npts
+        |  FROM t GROUP BY event_type, r // 16)
+        |SELECT * FROM (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS level,
+        |    CAST(2 AS BIGINT) AS scale_hours,
+        |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(dcoef * dcoef) AS BIGINT) AS energy
+        |  FROM l1 WHERE npts = 2 GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(dcoef * dcoef) AS BIGINT)
+        |  FROM l2 WHERE npts = 4 GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, CAST(3 AS BIGINT), CAST(8 AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(dcoef * dcoef) AS BIGINT)
+        |  FROM l3 WHERE npts = 8 GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, CAST(4 AS BIGINT), CAST(16 AS BIGINT),
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(dcoef * dcoef) AS BIGINT)
+        |  FROM l4 WHERE npts = 16 GROUP BY 1)
+        |ORDER BY event_type, level""".stripMargin,
+    "q382_ccf" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+        |a AS (SELECT h, c AS ca FROM hourly WHERE event_type = 'click'),
+        |b AS (SELECT h AS hb, c AS cb FROM hourly
+        |      WHERE event_type = 'purchase'),
+        |lags AS (SELECT CAST(u.l AS BIGINT) AS lag
+        |         FROM unnest(range(-12, 13)) u(l)),
+        |mom AS (
+        |  SELECT lag, COUNT(*) AS n,
+        |    CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb,
+        |    CAST(SUM(ca * ca) AS BIGINT) AS saa,
+        |    CAST(SUM(cb * cb) AS BIGINT) AS sbb,
+        |    CAST(SUM(ca * cb) AS BIGINT) AS sab
+        |  FROM a CROSS JOIN lags JOIN b ON hb = a.h + lag
+        |  GROUP BY 1)
+        |SELECT lag AS lag_hours, CAST(n AS BIGINT) AS n_pairs,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS ccf
+        |FROM mom ORDER BY lag_hours""".stripMargin,
+    "q383_runs_test" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, c AS med FROM (
+        |    SELECT event_type, c,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY c, h) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS nn
+        |    FROM hourly)
+        |  WHERE rn = (nn + 1) // 2),
+        |signs AS (
+        |  SELECT hourly.event_type, h, c > med AS up,
+        |    LAG(c > med) OVER (PARTITION BY hourly.event_type
+        |      ORDER BY h) AS prev
+        |  FROM hourly JOIN med ON hourly.event_type = med.event_type
+        |  WHERE c <> med),
+        |agg AS (
+        |  SELECT * FROM (
+        |    SELECT event_type,
+        |      CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |      CAST(SUM(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |      CAST(SUM(CASE WHEN prev IS NULL OR prev <> up THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS runs
+        |    FROM signs GROUP BY 1)
+        |  WHERE n1 >= 1 AND n2 >= 1 AND 2 * n1 * n2 > n1 + n2)
+        |SELECT event_type, n1 AS n_above, n2 AS n_below, runs,
+        |  ROUND(CAST('2.0' AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |    * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |    + CAST('1.0' AS DOUBLE), 4) AS expected_runs,
+        |  ROUND((CAST(runs AS DOUBLE)
+        |      - (CAST('2.0' AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |        * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE)))
+        |    / SQRT(CAST('2.0' AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      * CAST(n2 AS DOUBLE)
+        |      * (CAST('2.0' AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |        * CAST(n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE))
+        |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |        * (CAST(n1 + n2 AS DOUBLE) - CAST('1.0' AS DOUBLE)))), 6)
+        |    AS z,
+        |  ABS(ROUND((CAST(runs AS DOUBLE)
+        |      - (CAST('2.0' AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |        * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE)))
+        |    / SQRT(CAST('2.0' AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |      * CAST(n2 AS DOUBLE)
+        |      * (CAST('2.0' AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |        * CAST(n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE))
+        |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+        |        * (CAST(n1 + n2 AS DOUBLE) - CAST('1.0' AS DOUBLE)))), 6))
+        |    > CAST('1.96' AS DOUBLE) AS non_random
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q384_gumbel_return" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, h // 24 AS day, MAX(c) AS mx
+        |  FROM hourly GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(mx) AS BIGINT) AS sm,
+        |    CAST(SUM(mx * mx) AS BIGINT) AS smm
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  ROUND(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 4)
+        |    AS mean_daily_max,
+        |  ROUND(SQRT((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+        |      * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    * SQRT(CAST('6.0' AS DOUBLE)) / pi(), 4) AS gumbel_beta,
+        |  ROUND(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST('0.5772156649' AS DOUBLE)
+        |      * (SQRT((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+        |          * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |        * SQRT(CAST('6.0' AS DOUBLE)) / pi()), 4) AS gumbel_mu,
+        |  ROUND(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST('0.5772156649' AS DOUBLE)
+        |      * (SQRT((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+        |          * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |        * SQRT(CAST('6.0' AS DOUBLE)) / pi())
+        |    - (SQRT((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+        |          * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |        * SQRT(CAST('6.0' AS DOUBLE)) / pi())
+        |      * LN(-LN(CAST('1.0' AS DOUBLE)
+        |        - CAST('1.0' AS DOUBLE) / CAST('30.0' AS DOUBLE))), 4)
+        |    AS return_level_30d
+        |FROM mom ORDER BY event_type""".stripMargin,
     "q367_periodogram" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -1856,7 +1856,53 @@ object NorthStar {
       .limit(100)
   }
 
+  /** Q386: language-ID confusion matrix — q42's stopword classifier
+    * EVALUATED against the labeled `lang` column: per-class TP/FP/FN,
+    * precision/recall/F1 and the macro-F1, the "is the cheap langid good
+    * enough to gate the corpus" audit a pipeline needs before trusting
+    * q42's tags for mixing (q111) or splits (q150). Counting is pure
+    * integer; the per-class ratios are one IEEE expression each, and
+    * macro-F1 averages the 6-dp-rounded per-class F1s (deterministic:
+    * bounded class count, rounded terms, decimal sum).
+    */
+  def q386LangConfusion: Q = (s, d) => {
+    val toksC = filter(split(col("text"), " "), t => t =!= "")
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toksC, t => t.isin(words: _*))).cast("long").as("score"),
+        lit(lang).as("lang"))
+    }
+    val pred = Tables(s, d, "documents")
+      .select(col("lang").as("labeled"),
+        array_max(array(scored: _*)).getField("lang").as("pred"))
+    val tpfn = pred.groupBy(col("labeled").as("cls"))
+      .agg(sum(when(col("pred") === col("labeled"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") =!= col("labeled"), 1L).otherwise(0L)).as("fn"))
+    val fpRel = pred.filter(col("pred") =!= col("labeled"))
+      .groupBy(col("pred").as("cls")).agg(count(lit(1)).as("fp"))
+    val perClass = tpfn.join(fpRel, Seq("cls"), "left")
+      .select(col("cls"), col("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"), col("fn"))
+    val f1 = round(lit(2.0) * col("tp").cast("double") /
+      (lit(2.0) * col("tp").cast("double") + col("fp").cast("double")
+        + col("fn").cast("double")), 6)
+    val rows = perClass.select(col("cls").as("lang"),
+      big(col("tp")).as("tp"), big(col("fp")).as("fp"), big(col("fn")).as("fn"),
+      when(col("tp") + col("fp") === 0L, lit(0.0))
+        .otherwise(round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6)).as("precision"),
+      round(col("tp").cast("double") /
+        (col("tp") + col("fn")).cast("double"), 6).as("recall"),
+      f1.as("f1"))
+    val macroF1 = rows.agg(
+      sum(col("f1").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("sf"),
+      count(lit(1)).as("k"))
+      .select(round(col("sf") / col("k").cast("double"), 6).as("macro_f1"))
+    rows.crossJoin(broadcast(macroF1)).orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q386_lang_confusion" -> q386LangConfusion,
     "q345_weighted_reservoir" -> q345WeightedReservoir,
     "q283_decontam_sensitivity" -> q283DecontamSensitivity,
     "q285_dup_growth" -> q285DupGrowth,
@@ -1974,6 +2020,44 @@ object NorthStar {
   }
 
   val oracles: Map[String, String] = Map(
+    "q386_lang_confusion" ->
+      """WITH t AS (SELECT lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |p AS (SELECT lang AS labeled, (list_max([
+        |    {'score': len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))), 'lang': 'de'},
+        |    {'score': len(list_filter(tk, x -> x IN ('the','a','of','and','to'))), 'lang': 'en'},
+        |    {'score': len(list_filter(tk, x -> x IN ('el','la','de','los','que'))), 'lang': 'es'},
+        |    {'score': len(list_filter(tk, x -> x IN ('le','la','et','les','des'))), 'lang': 'fr'},
+        |    {'score': len(list_filter(tk, x -> x IN ('的','是','了','在','和'))), 'lang': 'zh'}])).lang AS pred
+        |  FROM t),
+        |tpfn AS (
+        |  SELECT labeled AS cls,
+        |    CAST(SUM(CASE WHEN pred = labeled THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp,
+        |    CAST(SUM(CASE WHEN pred <> labeled THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS fn
+        |  FROM p GROUP BY 1),
+        |fprel AS (
+        |  SELECT pred AS cls, CAST(COUNT(*) AS BIGINT) AS fp
+        |  FROM p WHERE pred <> labeled GROUP BY 1),
+        |rws AS (
+        |  SELECT cls AS lang, tp, COALESCE(fp, 0) AS fp, fn,
+        |    CASE WHEN tp + COALESCE(fp, 0) = 0 THEN CAST('0.0' AS DOUBLE)
+        |      ELSE ROUND(CAST(tp AS DOUBLE)
+        |        / CAST(tp + COALESCE(fp, 0) AS DOUBLE), 6) END AS precision,
+        |    ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+        |    ROUND(CAST('2.0' AS DOUBLE) * CAST(tp AS DOUBLE)
+        |      / (CAST('2.0' AS DOUBLE) * CAST(tp AS DOUBLE)
+        |        + CAST(COALESCE(fp, 0) AS DOUBLE) + CAST(fn AS DOUBLE)), 6)
+        |      AS f1
+        |  FROM tpfn LEFT JOIN fprel USING (cls)),
+        |mac AS (
+        |  SELECT ROUND(CAST(SUM(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS macro_f1
+        |  FROM rws)
+        |SELECT lang, tp, fp, fn, precision, recall, f1, macro_f1
+        |FROM rws, mac ORDER BY lang""".stripMargin,
     "q345_weighted_reservoir" ->
       """SELECT doc_id, lang, n_chars,
         |  ROUND(LN(CAST(((((doc_id % 2147483647) * 48271) % 2147483647 + 1)

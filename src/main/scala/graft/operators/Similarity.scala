@@ -958,7 +958,43 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Q387: 1-NN label accuracy — "do the embeddings actually encode the
+    * labels?": for the first 200 vectors, the exact-cosine nearest
+    * neighbor (self excluded) predicts the probe's label; per-label and
+    * overall accuracy. The direct quality gate on an embedding column
+    * before any ANN/dedup stage trusts it (q276's silhouette measures
+    * geometry; this measures USEFULNESS). Probe side is a bounded 200-row
+    * broadcast (the q69 multi-probe shape); the per-probe argmax is a
+    * window over probe-bounded partitions; ties break (cos desc, id).
+    */
+  def q387KnnLabelAccuracy: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"), col("label"))
+    val probes = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("pid"), col("ev").as("pv"),
+        col("label").as("plabel"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("score").desc, col("vec_id"))
+    val nn = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("plabel"), col("vec_id"),
+        round(VectorFunctions.cosineSim(col("ev"), col("pv")), 6).as("score"),
+        col("label"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") === 1)
+    nn.groupBy(col("plabel"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("label") === col("plabel"), 1L).otherwise(0L)).as("hits"))
+      .select(big(col("plabel")).as("label"), big(col("n_probes")).as("n_probes"),
+        big(col("hits")).as("n_correct"),
+        round(col("hits").cast("double") / col("n_probes").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q387_knn_label_accuracy" -> q387KnnLabelAccuracy,
     "q276_silhouette" -> q276Silhouette,
     "q268_embedding_whitening" -> q268EmbeddingWhitening,
     "q260_power_iteration" -> q260PowerIteration,
@@ -1129,6 +1165,31 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q387_knn_label_accuracy" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
+        |           FROM embeddings),
+        |p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv,
+        |        label AS plabel
+        |      FROM embeddings WHERE vec_id < 200),
+        |s AS (
+        |  SELECT pid, plabel, vec_id,
+        |    ROUND(list_dot_product(ev, pv)
+        |      / (sqrt(list_dot_product(ev, ev))
+        |        * sqrt(list_dot_product(pv, pv))), 6) AS score,
+        |    label
+        |  FROM e, p WHERE vec_id <> pid),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+        |    ORDER BY score DESC, vec_id) AS rk
+        |  FROM s)
+        |SELECT CAST(plabel AS BIGINT) AS label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(CASE WHEN label = plabel THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  ROUND(CAST(SUM(CASE WHEN label = plabel THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        |FROM r WHERE rk = 1
+        |GROUP BY plabel ORDER BY 1""".stripMargin,
     "q276_silhouette" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -2980,7 +2980,95 @@ object Stats {
       .orderBy(col("seg"), col("decile"))
   }
 
+  /** Q377: SPRT — Wald's sequential probability ratio test, the
+    * "stop the experiment as soon as the evidence is in" monitor that
+    * q341's group-sequential looks approximate with 5 fixed peeks: per
+    * market segment, orders arrive in key order and each contributes an
+    * integer MICRO-unit log-likelihood increment for H₁ p=0.35 vs H₀
+    * p=0.25 on "order is URGENT" (ln-ratio constants pre-rounded to 6 dp
+    * and scaled ×10⁶, so the cumulative walk is a sum of longs — exact,
+    * portable). Decision at the first crossing of ±ln(19) (α=β=0.05).
+    * One partitioned window + one keyed aggregate.
+    */
+  def q377Sprt: Q = (s, d) => {
+    // micro-LLR increments: ln(0.35/0.25)=0.336472, ln(0.65/0.75)=-0.143101
+    val seg = Tables(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("o_orderkey"))
+    val walk = Tables(s, d, "orders")
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", 336472L)
+          .otherwise(-143101L).as("inc"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("llr",
+        sum(col("inc")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val bound = 2944439L // ln(19) in micro-units
+    val crossings = walk
+      .filter(abs(col("llr")) >= bound)
+      .groupBy(col("seg")).agg(min(col("rn")).as("n_dec"))
+    val at = walk.join(crossings, Seq("seg"))
+      .filter(col("rn") === col("n_dec"))
+      .select(col("seg"), col("n_dec"), col("llr"))
+    walk.groupBy(col("seg")).agg(count(lit(1)).as("n_total"))
+      .join(at, Seq("seg"), "left")
+      .select(col("seg"), big(col("n_total")).as("n_total"),
+        big(coalesce(col("n_dec"), col("n_total"))).as("n_at_decision"),
+        big(coalesce(col("llr"), lit(0L))).as("llr_micro"),
+        when(col("llr").isNull, "continue")
+          .when(col("llr") >= bound, "accept_h1")
+          .otherwise("accept_h0").as("decision"))
+      .orderBy(col("seg"))
+  }
+
+  /** Q379: IPW average treatment effect — inverse-propensity weighting
+    * with BUCKET propensities (order month is the confounder): within
+    * each month bucket the weighted treated/control means clear their
+    * denominators to exact rationals (Σy·n_x/n_tx), each bucket term one
+    * IEEE expression rounded to 4 dp and decimal-summed. The
+    * non-matching estimator complement to q327's caliper ATT and q340's
+    * stratified ATE. Buckets with a missing arm drop (standard
+    * positivity trim), reported in the output.
+    */
+  def q379IpwAte: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .select((month(col("o_orderdate")) + year(col("o_orderdate")) * 12)
+        .as("b"),
+        (col("o_orderpriority") === "1-URGENT").as("t"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("y"))
+    val byB = ord.groupBy(col("b"))
+      .agg(count(lit(1)).as("nx"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n1x"),
+        sum(when(col("t"), col("y")).otherwise(0L)).cast(DecimalType(38, 0))
+          .as("sy1"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).cast(DecimalType(38, 0))
+          .as("sy0"))
+    val ok = byB.filter(col("n1x") > 0L && col("n1x") < col("nx"))
+    val term1 = round(col("sy1").cast("double") / 100000.0
+      * col("nx").cast("double") / col("n1x").cast("double"), 4)
+    val term0 = round(col("sy0").cast("double") / 100000.0
+      * col("nx").cast("double") / (col("nx") - col("n1x")).cast("double"), 4)
+    val tots = ok.agg(sum(col("nx")).cast("long").as("n"),
+      sum(term1.cast(DecimalType(38, 4))).cast("double").as("t1"),
+      sum(term0.cast(DecimalType(38, 4))).cast("double").as("t0"),
+      count(lit(1)).as("n_buckets"))
+    val dropped = byB.agg(count(lit(1)).as("nb"))
+    tots.crossJoin(broadcast(dropped))
+      .select(big(col("n")).as("n_orders"),
+        big(col("n_buckets")).as("n_buckets"),
+        big(col("nb") - col("n_buckets")).as("n_buckets_dropped"),
+        round(col("t1") / col("n").cast("double") * 1000.0, 4)
+          .as("mean_treated_usd"),
+        round(col("t0") / col("n").cast("double") * 1000.0, 4)
+          .as("mean_control_usd"),
+        round((col("t1") - col("t0")) / col("n").cast("double") * 1000.0, 4)
+          .as("ipw_ate_usd"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q377_sprt" -> q377Sprt,
+    "q379_ipw_ate" -> q379IpwAte,
     "q361_mann_whitney" -> q361MannWhitney,
     "q362_kruskal_wallis" -> q362KruskalWallis,
     "q363_wasserstein" -> q363Wasserstein,
@@ -3229,6 +3317,69 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q377_sprt" ->
+      """WITH walk AS (
+        |  SELECT c_mktsegment AS seg, o_orderkey,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 336472
+        |         ELSE -143101 END AS inc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |w2 AS (
+        |  SELECT seg,
+        |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY o_orderkey) AS rn,
+        |    SUM(inc) OVER (PARTITION BY seg ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr
+        |  FROM walk),
+        |crossings AS (
+        |  SELECT seg, MIN(rn) AS n_dec FROM w2
+        |  WHERE ABS(llr) >= 2944439 GROUP BY 1),
+        |att AS (
+        |  SELECT w2.seg, n_dec, llr
+        |  FROM w2 JOIN crossings
+        |    ON w2.seg = crossings.seg AND rn = n_dec),
+        |tot AS (SELECT seg, COUNT(*) AS n_total FROM w2 GROUP BY 1)
+        |SELECT tot.seg, CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(COALESCE(n_dec, n_total) AS BIGINT) AS n_at_decision,
+        |  CAST(COALESCE(llr, 0) AS BIGINT) AS llr_micro,
+        |  CASE WHEN llr IS NULL THEN 'continue'
+        |       WHEN llr >= 2944439 THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision
+        |FROM tot LEFT JOIN att ON tot.seg = att.seg
+        |ORDER BY tot.seg""".stripMargin,
+    "q379_ipw_ate" ->
+      """WITH ord AS (
+        |  SELECT month(o_orderdate) + year(o_orderdate) * 12 AS b,
+        |    o_orderpriority = '1-URGENT' AS t,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |byb AS (
+        |  SELECT b, COUNT(*) AS nx,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1x,
+        |    CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS DECIMAL(38,0)) AS sy1,
+        |    CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS DECIMAL(38,0))
+        |      AS sy0
+        |  FROM ord GROUP BY 1),
+        |ok AS (SELECT * FROM byb WHERE n1x > 0 AND n1x < nx),
+        |tots AS (
+        |  SELECT CAST(SUM(nx) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(CAST(sy1 AS DOUBLE)
+        |      / CAST('100000.0' AS DOUBLE) * CAST(nx AS DOUBLE)
+        |      / CAST(n1x AS DOUBLE), 4) AS DECIMAL(38,4))) AS DOUBLE) AS t1,
+        |    CAST(SUM(CAST(ROUND(CAST(sy0 AS DOUBLE)
+        |      / CAST('100000.0' AS DOUBLE) * CAST(nx AS DOUBLE)
+        |      / CAST(nx - n1x AS DOUBLE), 4) AS DECIMAL(38,4))) AS DOUBLE)
+        |      AS t0,
+        |    COUNT(*) AS n_buckets
+        |  FROM ok),
+        |dropped AS (SELECT COUNT(*) AS nb FROM byb)
+        |SELECT n AS n_orders, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(nb - n_buckets AS BIGINT) AS n_buckets_dropped,
+        |  ROUND(t1 / CAST(n AS DOUBLE) * CAST('1000.0' AS DOUBLE), 4)
+        |    AS mean_treated_usd,
+        |  ROUND(t0 / CAST(n AS DOUBLE) * CAST('1000.0' AS DOUBLE), 4)
+        |    AS mean_control_usd,
+        |  ROUND((t1 - t0) / CAST(n AS DOUBLE) * CAST('1000.0' AS DOUBLE), 4)
+        |    AS ipw_ate_usd
+        |FROM tots, dropped""".stripMargin,
     "q361_mann_whitney" ->
       """WITH ord AS (
         |  SELECT o_orderpriority = '1-URGENT' AS g,

@@ -1709,7 +1709,107 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Q385: Heaps'-law vocabulary growth — per source, distinct types seen
+    * at power-of-two token checkpoints plus the fitted log-log slope β
+    * (vocab ≈ K·Nᵝ; natural text sits at β≈0.4-0.6, template/boilerplate
+    * corpora collapse lower) — the vocabulary-richness twin of q339's
+    * Zipf slope, and a direct "is this source worth tokenizing" signal
+    * for a training-data mix. Stream positions and first-occurrence
+    * indexes are exact integer windows PARTITIONED BY SOURCE; the
+    * checkpoint join is a ≤16-row broadcast; the fit is q208's rounded
+    * log-log OLS over the checkpoint summary.
+    */
+  def q385HeapsLaw: Q = (s, d) => {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("idx"))
+    val stream = Tables(s, d, "documents")
+      .select(col("source"), col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
+      .withColumn("rn", row_number().over(w))
+    val firstPos = stream.groupBy(col("source"), col("tok"))
+      .agg(min(col("rn")).as("fp"))
+    val totals = stream.groupBy(col("source"))
+      .agg(max(col("rn")).as("n_tokens"))
+    val cps = s.range(5L, 21L).toDF("e")
+      .select(expr("CAST(1 AS BIGINT) << CAST(e AS INT)").as("cp")) // 32..2^20
+    val grid = totals.crossJoin(broadcast(cps))
+      .filter(col("cp") <= col("n_tokens"))
+    val curve = firstPos.join(grid, Seq("source"))
+      .filter(col("fp") <= col("cp"))
+      .groupBy(col("source"), col("cp"))
+      .agg(count(lit(1)).as("types"))
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val pts = curve.select(col("source"),
+      round(log(col("cp").cast("double")), 6).cast(dec6).as("lx"),
+      round(log(col("types").cast("double")), 6).cast(dec6).as("ly"))
+    val fit = pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("lx")).cast("double").as("sx"),
+        sum(col("ly")).cast("double").as("sy"),
+        // FULL scale-12 sums (k <= 16 points, scaled ints < 2^53): a cast
+        // down to scale 6 rescales a true midpoint half-up in Spark but
+        // half-even in DuckDB (the recorded decimal-midpoint trap — it bit
+        // here on src10's sxx)
+        sum(col("lx") * col("lx")).cast(org.apache.spark.sql.types.DecimalType(38, 12))
+          .cast("double").as("sxx"),
+        sum(col("lx") * col("ly")).cast(org.apache.spark.sql.types.DecimalType(38, 12))
+          .cast("double").as("sxy"))
+    val kD = col("k").cast("double")
+    val beta = (kD * col("sxy") - col("sx") * col("sy")) /
+      (kD * col("sxx") - col("sx") * col("sx"))
+    curve.join(broadcast(fit.select(col("source"),
+        round(beta, 6).as("heaps_beta"))), Seq("source"))
+      .select(col("source"), big(col("cp")).as("tokens_seen"),
+        big(col("types")).as("types_seen"), col("heaps_beta"))
+      .orderBy(col("source"), col("tokens_seen"))
+  }
+
+  /** Q388: character-bigram conditional entropy — per source,
+    * H(c₂|c₁) = −Σ p(c₁,c₂)·log₂ p(c₂|c₁) over the raw text characters:
+    * the compression-rate proxy that separates natural prose (~3-4 bits)
+    * from templated/generated filler (low) and noise (high), cheaper than
+    * any model-based perplexity (q228) because it needs only one bigram
+    * count per source. Counts are exact integers; each bigram's term is
+    * one IEEE log₂ expression rounded to 6 dp under a decimal sum (the
+    * q208 battery). Shuffle ∝ distinct (source, bigram), never characters.
+    */
+  def q388CharBigramEntropy: Q = (s, d) => {
+    // bigrams WITHIN a document (no cross-document seam): substring pairs
+    // via transform over positions — codegen'd, no UDF
+    val big2 = Tables(s, d, "documents")
+      .filter(length(col("text")) >= 2) // sequence() DESCENDS when stop<start
+      .select(col("source"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1), " +
+            "i -> substring(text, i, 2))")).as("bg"))
+    val counts = big2.groupBy(col("source"), col("bg"))
+      .agg(count(lit(1)).as("n12"))
+    val c1tot = counts
+      .select(col("source"), substring(col("bg"), 1, 1).as("c1"), col("n12"))
+      .groupBy(col("source"), col("c1"))
+      .agg(sum(col("n12")).cast("long").as("n1"))
+    val tot = counts.groupBy(col("source"))
+      .agg(sum(col("n12")).cast("long").as("nn"))
+    counts
+      .select(col("source"), substring(col("bg"), 1, 1).as("c1"),
+        col("bg"), col("n12"))
+      .join(c1tot, Seq("source", "c1"))
+      .join(broadcast(tot), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("nn")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        sum(round(-(col("n12").cast("double") / col("nn").cast("double"))
+          * (log(col("n12").cast("double") / col("n1").cast("double"))
+            / log(lit(2.0))), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("h"))
+      .select(col("source"), big(col("n_bigrams")).as("n_bigrams"),
+        big(col("distinct_bigrams")).as("distinct_bigrams"),
+        round(col("h"), 6).as("cond_entropy_bits"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q385_heaps_law" -> q385HeapsLaw,
+    "q388_char_bigram_entropy" -> q388CharBigramEntropy,
     "q360_self_bleu" -> q360SelfBleu,
     "q349_dispersion" -> q349Dispersion,
     "q339_zipf_slope" -> q339ZipfSlope,
@@ -1800,6 +1900,72 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q385_heaps_law" ->
+      """WITH toksrc AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, doc_id, u.s.i AS idx, u.s.tok AS tok
+        |  FROM toksrc, unnest(list_transform(range(1, len(tk) + 1),
+        |    i -> {'i': i, 'tok': tk[i]})) AS u(s)),
+        |rn AS (
+        |  SELECT source, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id, idx)
+        |      AS rn
+        |  FROM st),
+        |fp AS (SELECT source, tok, MIN(rn) AS fp FROM rn GROUP BY 1, 2),
+        |totals AS (SELECT source, MAX(rn) AS n_tokens FROM rn GROUP BY 1),
+        |cps AS (SELECT CAST(1 AS BIGINT) << CAST(u.e AS INT) AS cp
+        |        FROM unnest(range(5, 21)) u(e)),
+        |grid AS (SELECT source, cp FROM totals, cps WHERE cp <= n_tokens),
+        |curve AS (
+        |  SELECT fp.source, cp, COUNT(*) AS types
+        |  FROM fp JOIN grid ON fp.source = grid.source
+        |  WHERE fp <= cp GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT source,
+        |    CAST(ROUND(LN(CAST(cp AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lx,
+        |    CAST(ROUND(LN(CAST(types AS DOUBLE)), 6) AS DECIMAL(18,6)) AS ly
+        |  FROM curve),
+        |fit AS (
+        |  SELECT source, COUNT(*) AS k,
+        |    CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(lx * lx) AS DECIMAL(38,12)) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(lx * ly) AS DECIMAL(38,12)) AS DOUBLE) AS sxy
+        |  FROM pts GROUP BY 1)
+        |SELECT curve.source, cp AS tokens_seen,
+        |  CAST(types AS BIGINT) AS types_seen,
+        |  ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta
+        |FROM curve JOIN fit ON curve.source = fit.source
+        |ORDER BY curve.source, tokens_seen""".stripMargin,
+    "q388_char_bigram_entropy" ->
+      """WITH big2 AS (
+        |  SELECT source, u.bg AS bg
+        |  FROM documents,
+        |    unnest(list_transform(range(1, length(text)),
+        |      i -> substr(text, i, 2))) AS u(bg)
+        |  WHERE length(text) >= 2),
+        |counts AS (SELECT source, bg, COUNT(*) AS n12 FROM big2 GROUP BY 1, 2),
+        |c1tot AS (
+        |  SELECT source, substr(bg, 1, 1) AS c1, CAST(SUM(n12) AS BIGINT) AS n1
+        |  FROM counts GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(n12) AS BIGINT) AS nn
+        |        FROM counts GROUP BY 1)
+        |SELECT counts.source, MAX(nn) AS n_bigrams,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |    -(CAST(n12 AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (LN(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |        / LN(CAST('2.0' AS DOUBLE))), 6) AS DECIMAL(28,6)))
+        |    AS DOUBLE), 6) AS cond_entropy_bits
+        |FROM counts
+        |JOIN c1tot ON counts.source = c1tot.source
+        |  AND substr(bg, 1, 1) = c1
+        |JOIN tot ON counts.source = tot.source
+        |GROUP BY counts.source
+        |ORDER BY counts.source""".stripMargin,
     "q360_self_bleu" ->
       """WITH toksr AS (
         |  SELECT source,

@@ -118,6 +118,11 @@ class PlanAuditSpec extends SparkSpec {
     "q359_qini_curve", // 10-row decile broadcast x bounded prefix relation + 1-row full-curve anchor
     "q360_self_bleu", // 1-row (corpus mass, source count) broadcast onto the 20-row clip summary
     "q367_periodogram", // 23-row candidate-period broadcast onto the bounded hourly collapse
+    "q382_ccf", // 25-row lag broadcast onto the bounded hourly collapse
+    "q385_heaps_law", // 16-row power-of-two checkpoint broadcast
+    "q386_lang_confusion", // 1-row macro-F1 broadcast onto the <=5-class rows
+    "q387_knn_label_accuracy", // 200-row probe broadcast (the q69 multi-probe shape)
+    "q379_ipw_ate", // 1-row bucket-count anchor beside the IPW totals
     "q361_mann_whitney", // 1-row agg x 1-row tie-sum composition over the bounded bucket summary
     "q362_kruskal_wallis", // 1-row totals x 1-row tie-sum x 1-row group-count composition
     "q363_wasserstein", // 1-row (N1, N2) totals broadcast onto the bounded cent-support steps

@@ -10,7 +10,11 @@ import graft.{SparkEntry, SparkSpec}
 class QueriesGoldenSpec extends SparkSpec {
 
   /** Queries legitimately empty at sf0.001 (thresholds tuned for sf0.01+). */
-  private val mayBeEmpty = Set("q15_having")
+  private val mayBeEmpty = Set("q15_having",
+    // at sf0.001 most hours tie the per-type median count (c=1), and the
+    // runs test's drop-ties dichotomy can leave every type one-sided —
+    // the degenerate-series filter then legitimately empties the result
+    "q383_runs_test")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 with stable shape") {
