@@ -1901,7 +1901,34 @@ object NorthStar {
     rows.crossJoin(broadcast(macroF1)).orderBy(col("lang"))
   }
 
+  /** Q389: media resize — the typed codec-boundary
+    * [[graft.multimodal.Multimodal.resize]] (stride-4 body sampling + a
+    * genuine header dim rewrite, output again a valid GM1 container) run
+    * over the media table and RE-DECODED, reported per format. Closes the
+    * multimodal op set as declared queries (decode q44 / frame-sample
+    * q122 / resize here). The GM1 body is deterministic byte arithmetic
+    * from doc_id, so the oracle replays the stride-sampled byte sums and
+    * rewritten dims in plain SQL — the `mapPartitions` resize itself sits
+    * under the hash gate, not just a shape pin.
+    */
+  def q389MediaResize: Q = (s, d) => {
+    import s.implicits._
+    val media = Multimodal.mediaTable(Tables(s, d, "documents"))
+      .as[graft.multimodal.MediaRow]
+    val resized = Multimodal.resize(media, factor = 4)
+    Multimodal.decodeFeatures(resized).toDF()
+      .groupBy(col("format"))
+      .agg(big(count(lit(1))).as("n_media"),
+        big(sum(col("width"))).as("sum_width"),
+        big(sum(col("height"))).as("sum_height"),
+        big(sum(col("n_bytes"))).as("sum_bytes"),
+        big(sum(col("byte_sum"))).as("sum_byte_values"),
+        big(sum(col("frames"))).as("sum_frames"))
+      .orderBy(col("format"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q389_media_resize" -> q389MediaResize,
     "q386_lang_confusion" -> q386LangConfusion,
     "q345_weighted_reservoir" -> q345WeightedReservoir,
     "q283_decontam_sensitivity" -> q283DecontamSensitivity,
@@ -2020,6 +2047,35 @@ object NorthStar {
   }
 
   val oracles: Map[String, String] = Map(
+    // the GM1 container is deterministic byte arithmetic from doc_id
+    // (syntheticPayload), so the typed mapPartitions resize replays in SQL:
+    // stride-4 body bytes, dim bytes integer-divided with a floor of 1
+    "q389_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 4 AS fc,
+        |    (doc_id % 97 + 32 + 3) // 4 AS outn
+        |  FROM documents),
+        |sums AS (
+        |  SELECT doc_id,
+        |    CAST(SUM((doc_id * 31 + 4 * u.j * 17) % 256) AS BIGINT)
+        |      AS byte_sum
+        |  FROM m, unnest(range(0, outn)) AS u(j) GROUP BY doc_id),
+        |per AS (
+        |  SELECT m.doc_id,
+        |    ['png','jpeg','wav','mp4'][fc + 1] AS format,
+        |    GREATEST(1, (m.doc_id % 8 + 1) // 4) * 64 AS width,
+        |    GREATEST(1, (m.doc_id % 4 + 1) // 4) * 64 AS height,
+        |    outn AS n_bytes, byte_sum,
+        |    CASE WHEN fc = 3 THEN GREATEST(1, outn // 16)
+        |         ELSE 1 END AS frames
+        |  FROM m JOIN sums ON m.doc_id = sums.doc_id)
+        |SELECT format, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(width) AS BIGINT) AS sum_width,
+        |  CAST(SUM(height) AS BIGINT) AS sum_height,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+        |  CAST(SUM(byte_sum) AS BIGINT) AS sum_byte_values,
+        |  CAST(SUM(frames) AS BIGINT) AS sum_frames
+        |FROM per GROUP BY format ORDER BY format""".stripMargin,
     "q386_lang_confusion" ->
       """WITH t AS (SELECT lang,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
