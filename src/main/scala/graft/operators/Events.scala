@@ -1905,12 +1905,18 @@ object Events {
     * expressions; only the final z is double. Complements q342 (monotone
     * trend) with a non-directional randomness check.
     */
-  def q383RunsTest: Q = (s, d) => {
+  def q383RunsTest: Q = (s, d) =>
+    runsReport(events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** The runs-test kernel from a (event_type, h, c) hourly summary — the
+    * mergeable state q390's streaming twin folds per batch (q348's
+    * hourly-cell argument).
+    */
+  private[graft] def runsReport(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
     val wN = Window.partitionBy(col("event_type"))
-    val hourly = events(s, d)
-      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
-      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
     val med = hourly
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("c"), col("h"))))

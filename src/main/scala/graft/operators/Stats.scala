@@ -3066,7 +3066,89 @@ object Stats {
           .as("ipw_ate_usd"))
   }
 
+  /** Q391: partial autocorrelation (lags 1–4) — the AR-order diagnostic
+    * q282's raw ACF can't give (PACF cuts off sharply at the true AR
+    * order; ACF only decays): Durbin–Levinson unrolled over q282's daily
+    * revenue ACF, every φ ROUNDED to 6 dp in both engines so the scalar
+    * recursion is a short chain of identical IEEE steps on identical
+    * 6-dp inputs. The expensive part is q282's bounded lag-join; the
+    * recursion itself runs on one 4-value row.
+    */
+  def q391Pacf: Q = (s, d) => {
+    val daily = Tables(s, d, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("r"))
+    val grid = graft.Checkpoints.materialize(daily)
+    val lagged = grid
+      .withColumn("lag", explode(array((1 to 4).map(l => lit(l.toLong)): _*)))
+      .select(col("lag"), (col("x") + col("lag")).as("x2"), col("r").as("rx"))
+    val pairs = lagged.join(
+      grid.select(col("x").as("x2"), col("r").as("ry")), Seq("x2"))
+    val m = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("rx")).cast("double").as("sx"),
+        sum(col("ry")).cast("double").as("sy"),
+        sum(col("rx") * col("rx")).cast(DecimalType(38, 4)).cast("double").as("sxx"),
+        sum(col("ry") * col("ry")).cast(DecimalType(38, 4)).cast("double").as("syy"),
+        sum(col("rx") * col("ry")).cast(DecimalType(38, 4)).cast("double").as("sxy"))
+    val nD = col("n_pairs").cast("double")
+    val acf = m.select(col("lag"),
+      round((nD * col("sxy") - col("sx") * col("sy"))
+        / sqrt((nD * col("sxx") - col("sx") * col("sx"))
+          * (nD * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+    val one = acf.groupBy()
+      .agg(max(when(col("lag") === 1L, col("acf"))).as("r1"),
+        max(when(col("lag") === 2L, col("acf"))).as("r2"),
+        max(when(col("lag") === 3L, col("acf"))).as("r3"),
+        max(when(col("lag") === 4L, col("acf"))).as("r4"))
+    val f11 = col("r1")
+    val f22 = round((col("r2") - f11 * f11) / (lit(1.0) - f11 * f11), 6)
+    val f21 = round(f11 - f22 * f11, 6)
+    val f33 = round((col("r3") - f21 * col("r2") - f22 * col("r1"))
+      / (lit(1.0) - f21 * col("r1") - f22 * col("r2")), 6)
+    val f31 = round(f21 - f33 * f22, 6)
+    val f32 = round(f22 - f33 * f21, 6)
+    val f44 = round((col("r4") - f31 * col("r3") - f32 * col("r2")
+      - f33 * col("r1"))
+      / (lit(1.0) - f31 * col("r1") - f32 * col("r2") - f33 * col("r3")), 6)
+    one.select(posexplode(array(f11, f22, f33, f44)).as(Seq("i", "pacf")))
+      .select((col("i") + 1).cast("long").as("lag"), col("pacf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Q394: Hill tail-index estimator — how heavy is the order-value tail?
+    * Over the top k=500 values (TakeOrdered-bounded, ties by key),
+    * Hill = mean ln(xᵢ/x₍ₖ₊₁₎) and α = 1/Hill; α < 2 means infinite
+    * variance (provision for extremes), α > 3 means a tame tail — the
+    * parametric complement to q208's Zipf slope and q384's Gumbel block
+    * maxima. Per-term logs are 6-dp rounded under a decimal sum (q208's
+    * battery); everything upstream is exact integer cents.
+    */
+  def q394HillTail: Q = (s, d) => {
+    val k = 500
+    val top = graft.Checkpoints.materialize(
+      Tables(s, d, "orders")
+        .select((dec(col("o_totalprice")) * 100).cast("long").as("y"),
+          col("o_orderkey"))
+        .orderBy(col("y").desc, col("o_orderkey"))
+        .limit(k + 1))
+    val thr = top.agg(min(col("y")).as("x_k1"))
+    top.crossJoin(broadcast(thr))
+      .filter(col("y") > col("x_k1"))
+      .agg(count(lit(1)).as("n_tail"), max(col("x_k1")).as("xk"),
+        sum(round(log(col("y").cast("double") / col("x_k1").cast("double")), 6)
+          .cast(DecimalType(28, 6))).cast("double").as("hsum"))
+      .select(big(col("n_tail")).as("k"),
+        round(col("xk").cast("double") / 100.0, 2).as("threshold_usd"),
+        round(col("hsum") / col("n_tail").cast("double"), 6).as("hill"),
+        round(col("n_tail").cast("double") / col("hsum"), 6).as("alpha"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q391_pacf" -> q391Pacf,
+    "q394_hill_tail" -> q394HillTail,
     "q377_sprt" -> q377Sprt,
     "q379_ipw_ate" -> q379IpwAte,
     "q361_mann_whitney" -> q361MannWhitney,
@@ -3317,6 +3399,70 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q391_pacf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT CAST(u.l AS BIGINT) AS lag
+        |         FROM unnest([1, 2, 3, 4]) AS u(l)),
+        |p AS (
+        |  SELECT lags.lag, a.r AS rx, b.r AS ry
+        |  FROM daily a CROSS JOIN lags JOIN daily b ON b.x = a.x + lags.lag),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(rx AS DECIMAL(19,4)) * rx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ry AS DECIMAL(19,4)) * ry) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(rx AS DECIMAL(19,4)) * ry) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY 1),
+        |acf AS (
+        |  SELECT lag,
+        |    ROUND((n_pairs * sxy - sx * sy)
+        |      / SQRT((n_pairs * sxx - sx * sx)
+        |        * (n_pairs * syy - sy * sy)), 6) AS acf
+        |  FROM m),
+        |one AS (
+        |  SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |    MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+        |    MAX(CASE WHEN lag = 3 THEN acf END) AS r3,
+        |    MAX(CASE WHEN lag = 4 THEN acf END) AS r4
+        |  FROM acf),
+        |d1 AS (SELECT *, r1 AS f11,
+        |  ROUND((r2 - r1 * r1)
+        |    / (CAST('1.0' AS DOUBLE) - r1 * r1), 6) AS f22 FROM one),
+        |d2 AS (SELECT *, ROUND(f11 - f22 * f11, 6) AS f21 FROM d1),
+        |d3 AS (SELECT *,
+        |  ROUND((r3 - f21 * r2 - f22 * r1)
+        |    / (CAST('1.0' AS DOUBLE) - f21 * r1 - f22 * r2), 6) AS f33
+        |  FROM d2),
+        |d4 AS (SELECT *, ROUND(f21 - f33 * f22, 6) AS f31,
+        |  ROUND(f22 - f33 * f21, 6) AS f32 FROM d3),
+        |d5 AS (SELECT *,
+        |  ROUND((r4 - f31 * r3 - f32 * r2 - f33 * r1)
+        |    / (CAST('1.0' AS DOUBLE) - f31 * r1 - f32 * r2 - f33 * r3), 6)
+        |    AS f44
+        |  FROM d4)
+        |SELECT CAST(u.i AS BIGINT) AS lag, [f11, f22, f33, f44][u.i] AS pacf
+        |FROM d5, unnest(range(1, 5)) AS u(i) ORDER BY lag""".stripMargin,
+    "q394_hill_tail" ->
+      """WITH topv AS MATERIALIZED (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      AS y, o_orderkey
+        |  FROM orders ORDER BY y DESC, o_orderkey LIMIT 501),
+        |thr AS (SELECT MIN(y) AS xk1 FROM topv),
+        |a AS (
+        |  SELECT COUNT(*) AS n_tail, MAX(xk1) AS xk,
+        |    CAST(SUM(CAST(ROUND(LN(CAST(y AS DOUBLE) / CAST(xk1 AS DOUBLE)),
+        |      6) AS DECIMAL(28,6))) AS DOUBLE) AS hsum
+        |  FROM topv, thr WHERE y > xk1)
+        |SELECT CAST(n_tail AS BIGINT) AS k,
+        |  ROUND(CAST(xk AS DOUBLE) / CAST('100.0' AS DOUBLE), 2)
+        |    AS threshold_usd,
+        |  ROUND(hsum / CAST(n_tail AS DOUBLE), 6) AS hill,
+        |  ROUND(CAST(n_tail AS DOUBLE) / hsum, 6) AS alpha
+        |FROM a""".stripMargin,
     "q377_sprt" ->
       """WITH walk AS (
         |  SELECT c_mktsegment AS seg, o_orderkey,
@@ -4742,9 +4888,9 @@ object Stats {
         |m AS (
         |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |    CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
-        |    CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
-        |    CAST(SUM(ry * ry) AS DOUBLE) AS syy,
-        |    CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+        |    CAST(SUM(CAST(rx AS DECIMAL(19,4)) * rx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ry AS DECIMAL(19,4)) * ry) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(rx AS DECIMAL(19,4)) * ry) AS DOUBLE) AS sxy
         |  FROM p GROUP BY 1)
         |SELECT lag, n_pairs,
         |  ROUND((n_pairs * sxy - sx * sy)

@@ -6,6 +6,7 @@ import graft.importer.Enrich
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis surface over `documents`: string functions, reference
   * enrich/array-parse parity, exact dedup, token analytics, quality scoring,
@@ -1807,7 +1808,59 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Q392: Burrows' Delta — the stylometric distance between sources:
+    * z-score each source's relative frequency of the top-50 corpus tokens
+    * (ties by token) across sources, then Delta(a,b) = mean |z_a − z_b|
+    * over the 50 tokens. The classic "same author/template?" audit for
+    * corpus provenance — two sources with near-zero Delta are one
+    * boilerplate generator wearing two names. Frequencies are one IEEE
+    * division each (exact <2^53 integers), 8-dp rounded into decimal
+    * moment sums across the bounded source set; pair terms are 6-dp
+    * rounded into a decimal mean. Everything downstream of the token
+    * count rides bounded relations (50 tokens × |sources|).
+    */
+  def q392BurrowsDelta: Q = (s, d) => {
+    val tok = Tables(s, d, "documents")
+      .select(col("source"), explode(toks).as("tok"))
+    val counts = graft.Checkpoints.materialize(
+      tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("tot"))
+    val top = counts.groupBy(col("tok"))
+      .agg(sum(col("c")).cast("long").as("gc"))
+      .orderBy(col("gc").desc, col("tok")).limit(50)
+      .select(col("tok"))
+    // relative frequency per (source, token in top-50); absent pairs are 0
+    val f = totals.crossJoin(broadcast(top))
+      .join(counts, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        round(coalesce(col("c"), lit(0L)).cast("double")
+          / col("tot").cast("double"), 8).as("fr"))
+    val mom = f.groupBy(col("tok"))
+      .agg(count(lit(1)).as("ns"),
+        sum(col("fr").cast(DecimalType(18, 8))).cast("double").as("sf"),
+        sum((col("fr") * col("fr")).cast(DecimalType(28, 16)))
+          .cast("double").as("sff"))
+    val nD = col("ns").cast("double")
+    val z = f.join(broadcast(mom), Seq("tok"))
+      .select(col("source"), col("tok"),
+        round((col("fr") - col("sf") / nD)
+          / sqrt((col("sff") - col("sf") * col("sf") / nD) / (nD - 1.0)), 6)
+          .as("z"))
+    val pairs = z.select(col("source").as("src_a"), col("tok"), col("z").as("za"))
+      .join(z.select(col("source").as("src_b"), col("tok"), col("z").as("zb")),
+        Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+    pairs.groupBy(col("src_a"), col("src_b"))
+      .agg(sum(round(abs(col("za") - col("zb")), 6).cast(DecimalType(18, 6)))
+        .cast("double").as("ds"), count(lit(1)).as("nt"))
+      .select(col("src_a"), col("src_b"),
+        round(col("ds") / col("nt").cast("double"), 6).as("delta"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q392_burrows_delta" -> q392BurrowsDelta,
     "q385_heaps_law" -> q385HeapsLaw,
     "q388_char_bigram_entropy" -> q388CharBigramEntropy,
     "q360_self_bleu" -> q360SelfBleu,
@@ -1900,6 +1953,43 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q392_burrows_delta" ->
+      """WITH tok AS (
+        |  SELECT source, u.t AS tok
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) u(t)),
+        |counts AS MATERIALIZED (
+        |  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+        |           FROM counts GROUP BY 1),
+        |topt AS (SELECT tok FROM (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS gc
+        |  FROM counts GROUP BY 1 ORDER BY gc DESC, tok LIMIT 50)),
+        |f AS (
+        |  SELECT totals.source, topt.tok,
+        |    ROUND(CAST(COALESCE(c, 0) AS DOUBLE) / CAST(tot AS DOUBLE), 8)
+        |      AS fr
+        |  FROM totals CROSS JOIN topt
+        |  LEFT JOIN counts ON counts.source = totals.source
+        |    AND counts.tok = topt.tok),
+        |mom AS (
+        |  SELECT tok, COUNT(*) AS ns,
+        |    CAST(SUM(CAST(fr AS DECIMAL(18,8))) AS DOUBLE) AS sf,
+        |    CAST(SUM(CAST(fr * fr AS DECIMAL(28,16))) AS DOUBLE) AS sff
+        |  FROM f GROUP BY 1),
+        |z AS (
+        |  SELECT source, f.tok,
+        |    ROUND((fr - sf / CAST(ns AS DOUBLE))
+        |      / SQRT((sff - sf * sf / CAST(ns AS DOUBLE))
+        |        / (CAST(ns AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS z
+        |  FROM f JOIN mom ON f.tok = mom.tok),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.z AS za, b.z AS zb
+        |  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source)
+        |SELECT src_a, src_b,
+        |  ROUND(CAST(SUM(CAST(ROUND(ABS(za - zb), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS delta
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q385_heaps_law" ->
       """WITH toksrc AS (
         |  SELECT source, doc_id,

@@ -1890,7 +1890,38 @@ object Windows {
           .groupBy(col("event_type"), col("h"))
           .agg(sum(col("c")).cast("long").as("c"))))
 
+  /** Q390: streaming runs-test monitor — q383's Wald–Wolfowitz randomness
+    * check fed by a micro-batched stream: per batch the (type × hour)
+    * counts land in an idempotent `batch=<id>` sink (q348's mergeable
+    * hourly cells), and the drain runs the exact median-dichotomy + runs
+    * arithmetic once over the merged summary. Shares q383's oracle
+    * verbatim. The live "has volume stopped looking random (regime
+    * change)?" pager.
+    */
+  def q390StreamRuns: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q390_").toString
+    try {
+      val feedDir = s"$tmp/feed"
+      val sumDir = s"$tmp/summaries"
+      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q376Writer(sumDir)) // same (type, h) count cells
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(
+        graft.operators.Events.runsReport(
+          s.read.parquet(sumDir)
+            .groupBy(col("event_type"), col("h"))
+            .agg(sum(col("c")).cast("long").as("c"))))
+    } finally deleteRecursively(tmp)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q390_stream_runs" -> q390StreamRuns,
     "q375_stream_wasserstein" -> q375StreamWasserstein,
     "q376_stream_ewma" -> q376StreamEwma,
     "q354_stream_permutation" -> q354StreamPermutation,
@@ -2007,6 +2038,9 @@ object Windows {
       graft.operators.Stats.fdBlocksSql(Seq(
         ("orders", "o_orderkey", "o_orderstatus"),
         ("orders", "o_custkey", "o_orderpriority"))),
+    // q390 shares q383's oracle verbatim (hourly cells merge additively)
+    "q390_stream_runs" ->
+      graft.operators.Events.oracles("q383_runs_test"),
     // q375 shares q363's oracle verbatim (per-cent half counts merge
     // additively against the same fixed integer midpoint)
     "q375_stream_wasserstein" ->

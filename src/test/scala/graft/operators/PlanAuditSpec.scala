@@ -120,6 +120,8 @@ class PlanAuditSpec extends SparkSpec {
     "q367_periodogram", // 23-row candidate-period broadcast onto the bounded hourly collapse
     "q382_ccf", // 25-row lag broadcast onto the bounded hourly collapse
     "q385_heaps_law", // 16-row power-of-two checkpoint broadcast
+    "q392_burrows_delta", // 50-row top-token broadcast onto the bounded source relation
+    "q394_hill_tail", // 1-row threshold broadcast onto the 501-row TakeOrdered relation
     "q386_lang_confusion", // 1-row macro-F1 broadcast onto the <=5-class rows
     "q387_knn_label_accuracy", // 200-row probe broadcast (the q69 multi-probe shape)
     "q379_ipw_ate", // 1-row bucket-count anchor beside the IPW totals
@@ -181,7 +183,7 @@ class PlanAuditSpec extends SparkSpec {
     "q307_stream_negatives", "q320_stream_kappa", "q326_stream_fd",
     "q329_stream_srm", "q337_stream_psi", "q348_stream_mann_kendall",
     "q354_stream_permutation", "q375_stream_wasserstein",
-    "q376_stream_ewma")
+    "q376_stream_ewma", "q390_stream_runs")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -14,7 +14,8 @@ class QueriesGoldenSpec extends SparkSpec {
     // at sf0.001 most hours tie the per-type median count (c=1), and the
     // runs test's drop-ties dichotomy can leave every type one-sided —
     // the degenerate-series filter then legitimately empties the result
-    "q383_runs_test")
+    // (q390 is its streaming twin over the same kernel)
+    "q383_runs_test", "q390_stream_runs")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 with stable shape") {
