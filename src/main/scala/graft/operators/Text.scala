@@ -1859,7 +1859,38 @@ object Text {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Q395: Good–Turing unseen mass + Chao1 richness — per source, the
+    * probability the NEXT token is a never-seen type (P₀ = n₁/N, hapax
+    * share) and the Chao1 total-vocabulary estimate V + n₁²/(2n₂): the
+    * "how much of this source's vocabulary have we actually seen"
+    * companion to q385's growth curve, and the standard smoothing mass
+    * behind q148/q228's LM evaluations. Two keyed aggregates (token
+    * counts → count-of-counts); the estimators are exact-integer ratios
+    * with one rounded division each.
+    */
+  def q395GoodTuring: Q = (s, d) => {
+    val counts = Tables(s, d, "documents")
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), big(col("n_tokens")).as("n_tokens"),
+        big(col("v_types")).as("v_types"),
+        big(col("n1")).as("hapax"), big(col("n2")).as("dis"),
+        round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unseen"),
+        when(col("n2") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("v_types").cast("double")
+            + col("n1").cast("double") * col("n1").cast("double")
+            / (lit(2.0) * col("n2").cast("double")), 2)).as("chao1_vocab"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q395_good_turing" -> q395GoodTuring,
     "q392_burrows_delta" -> q392BurrowsDelta,
     "q385_heaps_law" -> q385HeapsLaw,
     "q388_char_bigram_entropy" -> q388CharBigramEntropy,
@@ -1953,6 +1984,27 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q395_good_turing" ->
+      """WITH counts AS (
+        |  SELECT source, u.t AS tok, COUNT(*) AS c
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) u(t)
+        |  GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS v_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+        |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE), 6) AS p_unseen,
+        |  CASE WHEN SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE ROUND(CAST(COUNT(*) AS DOUBLE)
+        |      + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / (CAST('2.0' AS DOUBLE)
+        |        * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)),
+        |      2) END AS chao1_vocab
+        |FROM counts GROUP BY source ORDER BY source""".stripMargin,
     "q392_burrows_delta" ->
       """WITH tok AS (
         |  SELECT source, u.t AS tok
