@@ -11,21 +11,29 @@ import org.apache.spark.sql.SparkSession
   * under a HARD WALL-CLOCK BUDGET (SPARK_GRAFT_BENCH_BUDGET seconds,
   * default 1500) and degrades instead of dying:
   *
+  *  0. A 2-query startup absorber, then every registered STANDING-relation
+  *     build ([[graft.operators.Standing]]) runs up front, timed as its own
+  *     `standing_*` row — shared build costs stop landing on whichever
+  *     query runs first (round-10 VERDICT #3).
   *  1. ONE TIMED warm-up pass per query (JIT + codegen + file-footer
   *     caches) which doubles as a single-run fallback measurement — from
   *     this point the emitted line is always full-surface.
   *  2. The importer throughput point runs immediately after warm-up so the
   *     contract field survives any later degradation.
-  *  3. PHASE A: one steady-state run per query on the fully-warm JVM —
-  *     honest single-run rows for everything (the warm pass is
-  *     startup-contaminated for whichever queries run first) and the
-  *     real estimates the tier plan needs.
-  *  4. PHASE B: measured sweep CHEAPEST-FIRST under a GLOBAL rep-tier
+  *  3. PHASE H: the heavy tail (warm estimate ≥ 3 s) takes its measured
+  *     min-of-2 + sentinel brackets FIRST — the ≥3 s IQR guarantee must
+  *     hold at ANY budget (round-10 VERDICT #1); the cheap majority
+  *     absorbs any squeeze by degrading to fallback rows.
+  *  4. PHASE A: one steady-state run per remaining query on the fully-warm
+  *     JVM; the fallback row becomes min(warm, steady) — two independent
+  *     single runs, so a one-off load spike in either pass can't put a 5 s
+  *     number on a 0.6 s query — and the tier plan gets real estimates.
+  *  5. PHASE B: measured sweep CHEAPEST-FIRST under a GLOBAL rep-tier
   *     plan (largest tier whose projected cost fits the remaining
   *     budget; tiers 5/3/2 → 3/2/2 → 3/2/1 → 1/1/1 by query cost), so
-  *     the cheap majority can never starve the heavy tail; stragglers
-  *     keep their phase-A steady rows, flagged in `degraded`.
-  *  5. A JVM shutdown hook emits the partial record if the harness kills
+  *     the cheap majority can never starve what's left of the tail;
+  *     stragglers keep their phase-A fallback rows, flagged in `degraded`.
+  *  6. A JVM shutdown hook emits the partial record if the harness kills
   *     the process anyway — `"partial":true` marks it.
   *
   * The per-query IQR (p75−p25 for 5 reps, max−min below that) is reported
@@ -169,6 +177,28 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // --- startup absorber: two cheap sentinel queries soak up JVM/codegen/
+    // session startup so the standing-build rows and the warm pass below
+    // measure work, not warm-up (the first closing-run artifact recorded
+    // q01 at 4.9 s of sbt startup and sorted it into the heavy tail)
+    Seq("q01_scan_filter", "q04_star_join")
+      .filter(SparkEntry.queries.contains).foreach(runOnce)
+
+    // --- standing-relation builds, each timed as its OWN row (round-10
+    // VERDICT #3): without this the cost of each shared build lands on
+    // whichever consuming query runs first, so per-query medians shift
+    // with phase order (q308 read 0.79 → 1.84 s purely from reordering).
+    // Builders are the exact factored plans the queries consume
+    // ([[graft.operators.Standing]]), so the semantics-keyed caches hit
+    // and every later query run prices steady-state probe work only.
+    // Skipped on SPARK_GRAFT_ONLY iteration (like the importer point).
+    val standing = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (only.isEmpty) graft.operators.Standing.builds.foreach { case (sn, b) =>
+      val t0 = System.nanoTime()
+      val ok = try { b(spark, sfDir); true } catch { case _: Throwable => false }
+      standing(sn) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
     // --- timed warm-up pass: JIT + codegen + footer caches, AND the
     // single-run fallback measurement for every query. If the warm-up
     // itself overruns its share of the budget (a pathologically loaded
@@ -223,7 +253,10 @@ object Bench {
         s""","importer":{"rows":$rows,"sec":$secS,"rows_per_sec":$rps,"csv_bytes":$bytes}"""
       }.getOrElse("")
       val elS = String.format(java.util.Locale.ROOT, "%.1f", Double.box(elapsedSec))
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"adaptive-budgeted-adjudicated","partial":$partial,"budget_sec":$budgetSec,"elapsed_sec":$elS,"queries":$qs,"iqr":$iqrs,"sentinel":$sents,"sentinel_floor":$floorJson,"reruns":$reruns,"contaminated":$contaminated,"degraded":$degraded$impJson,"sf":"$sfDir"}"""
+      val standingJson =
+        if (standing.isEmpty) ""
+        else ","  + "\"standing\":" + jmap(standing.toSeq.map { case (k, v) => k -> fmt(v) })
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"adaptive-budgeted-adjudicated","partial":$partial,"budget_sec":$budgetSec,"elapsed_sec":$elS,"queries":$qs,"iqr":$iqrs,"sentinel":$sents,"sentinel_floor":$floorJson,"reruns":$reruns,"contaminated":$contaminated,"degraded":$degraded$standingJson$impJson,"sf":"$sfDir"}"""
       println(line)
       System.out.flush()
       // stdout passes through sbt's logger ([info] prefixes); also drop the
@@ -351,46 +384,62 @@ object Bench {
 
     val reserve = 30.0 // finalization reserve (emit + spark.stop)
 
-    // PHASE A — one steady-state run per query on the now-fully-warm JVM.
-    // Two jobs: (1) every query's fallback row becomes an HONEST steady
-    // measurement (the warm row is contaminated by JVM startup for
-    // whichever queries ran first — the first closing run recorded q01 at
-    // 4.9 s of sbt/codegen warm-up and then sorted it into the heavy
-    // tail); (2) the tier plan below gets real estimates, not first-run
-    // ones (projecting on warm cost mis-picked the tier in both
-    // directions across two closing runs).
+    // PHASE H — the HEAVY TAIL (warm estimate ≥ 3 s) takes its measured
+    // min-of-2 + sentinel brackets FIRST, before anything is spent on the
+    // cheap majority (round-10 VERDICT #1): under the driver's 1500 s
+    // budget the warm + phase-A passes consumed enough that 11 ≥3 s rows
+    // — exactly the rows rounds are compared on — kept single-shot
+    // fallbacks at iqr:-1. Reserving the heavy tier up front makes the
+    // "every ≥3 s row carries a real IQR" guarantee hold at ANY budget;
+    // the cheap majority absorbs the squeeze by degrading to fallback
+    // rows, the right trade. Cheapest-first WITHIN the class so a
+    // mis-estimated monster can't starve its own class.
+    val measured = scala.collection.mutable.Set.empty[String]
+    for (name <- names.filter(n => warm(n) >= 3.0).sortBy(warm)) {
+      val est = warm(name)
+      if (remainingSec - reserve > est * 2 + 2) {
+        results(name) = measure(name, 2, bracket = true, est)
+        measured += name
+      }
+    }
+
+    // PHASE A — one steady-state run per remaining query on the now-fully-
+    // warm JVM. Two jobs: (1) the fallback row becomes min(warm, steady) —
+    // two independent single runs; taking the min kills the single-shot
+    // noise spikes that previously survived into the artifact whenever the
+    // budget died before phase B re-measured them (q18_frames read 5.60 s
+    // on one loaded phase-A run vs a 0.63 s history — git-unchanged code);
+    // (2) the tier plan below gets real estimates, not first-run ones.
     val steady = scala.collection.mutable.Map.empty[String, Double]
-    for (n <- names) {
+    for (n <- names if !measured(n)) {
       if (remainingSec - reserve > math.max(warm(n), 0.05) + 1) {
         val t = runOnce(n)
         if (t >= 0) {
           steady(n) = t
-          results(n) = Row(t, -1.0, 1.0, contaminated = false, reruns = 0,
+          val fb = if (warm(n) >= 0) math.min(warm(n), t) else t
+          results(n) = Row(fb, -1.0, 1.0, contaminated = false, reruns = 0,
             degraded = true)
         }
       }
     }
 
-    // PHASE B — measured sweep, CHEAPEST FIRST under a GLOBAL rep-tier
-    // plan: the tier is the largest whose projected total cost (steady
-    // estimates; sentinel brackets ~0.8 s apiece on non-trivial queries)
-    // fits 90% of the remaining budget after the reserve — so the cheap
-    // majority can never starve the expensive tail out of its measured
-    // runs. Per-query deadline checks still degrade stragglers (to their
-    // phase-A steady rows) if load arrives mid-sweep.
-    val ests = names.map(n => n ->
-      math.max(steady.getOrElse(n, warm(n)), 0.05)).toMap
-    // HEAVY TAIL FIRST (round-9 VERDICT "What's missing" #1): the round-9
-    // closing artifact left exactly the 19 most expensive queries — the
-    // rows rounds are compared on — as degraded single-shots because the
-    // cheapest-first order spent the budget before reaching them. Queries
-    // estimated ≥3 s now run first (cheapest-first WITHIN the class, so a
-    // mis-estimated monster can't starve its own class either), then the
-    // cheap majority cheapest-first as before; if the budget dies mid-sweep
-    // it is now the sub-second rows that keep their phase-A steady
-    // fallbacks, not the tail.
+    // PHASE B — measured sweep over the remaining queries, CHEAPEST FIRST
+    // under a GLOBAL rep-tier plan: the tier is the largest whose projected
+    // total cost (min(warm, steady) estimates; sentinel brackets ~0.8 s
+    // apiece on non-trivial queries) fits 90% of the remaining budget after
+    // the reserve — so the cheap majority can never starve the expensive
+    // tail out of its measured runs. Per-query deadline checks still
+    // degrade stragglers (to their phase-A fallback rows) if load arrives
+    // mid-sweep. Late-detected heavies (steady ≥3 s where warm wasn't)
+    // still sort first within this phase.
+    val ests = names.map { n =>
+      val seen = Seq(warm(n), steady.getOrElse(n, -1.0), results(n).median)
+        .filter(_ >= 0)
+      n -> math.max(if (seen.isEmpty) 0.05 else seen.min, 0.05)
+    }.toMap
     val order = {
-      val (heavy, cheap) = names.partition(n => ests(n) >= 3.0)
+      val rest = names.filterNot(measured)
+      val (heavy, cheap) = rest.partition(n => ests(n) >= 3.0)
       heavy.sortBy(ests) ++ cheap.sortBy(ests)
     }
     def projected(tier: Int): Double =
@@ -418,7 +467,7 @@ object Bench {
         val bracket = est >= 0.3
         results(name) = measure(name, reps, bracket, est)
       }
-      // reps == 0 → keep the warm-up fallback row (flagged degraded)
+      // reps == 0 → keep the min(warm, steady) fallback row (degraded)
     }
 
     // PHASE C — contaminated rows get one more full measurement block each
@@ -428,7 +477,7 @@ object Bench {
     // block re-enters measure() after a quiet-wait, keeps the new row iff
     // it adjudicates clean (or is a tighter upper bound), and stops the
     // moment the reserve is at risk.
-    for (name <- order
+    for (name <- names // includes the phase-H heavy rows
          if results(name).contaminated &&
            remainingSec - reserve > ests(name) * 2 + 2) {
       waitForQuiet()

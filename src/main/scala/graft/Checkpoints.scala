@@ -86,15 +86,27 @@ object Checkpoints {
     }
   }
 
-  // same LRU bound as the Jaccard/IVF index caches: entries are lineage-cut
-  // handles, eviction drops the handle (blocks follow via GC + cleaner),
-  // and a long-lived session touching many distinct standing relations
-  // (or a test run over many fixture dirs) must not grow without bound
+  // LRU-bounded: entries are lineage-cut handles, eviction drops the handle
+  // (blocks follow via GC + cleaner), and a long-lived session touching many
+  // distinct standing relations (or a test run over many fixture dirs) must
+  // not grow without bound. The bound must exceed the standing-relation
+  // population of one full sweep ([[graft.operators.Standing]] registers
+  // ~14; queries add per-SF variants) — at the old bound of 8 a sweep
+  // touching >8 distinct standing relations evicted and rebuilt the shared
+  // co-purchase relations mid-sweep, silently defeating build-once sharing.
+  // Eviction is logged so a thrashing sweep is visible instead of silent.
+  private val MaxEntries = 64
   private val matCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, String), (DataFrame, DataFrame)](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), (DataFrame, DataFrame)]): Boolean =
-        size() > 8
+          e: java.util.Map.Entry[(String, String), (DataFrame, DataFrame)]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict)
+          System.err.println(s"[graft] Checkpoints.matCache EVICTING standing " +
+            s"relation (cache > $MaxEntries entries) — a sweep this wide is " +
+            s"rebuilding shared relations; raise MaxEntries or clear stale sessions")
+        evict
+      }
     })
 
   /** Drop every memoized materialization (use after overwriting an input

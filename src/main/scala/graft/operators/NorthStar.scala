@@ -449,6 +449,56 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct (doc_id, source, 8-gram xxhash64) relation over documents —
+    * the STANDING n-gram set behind the q119/q308 decontamination family
+    * (one shared semantics-cached copy per session). Factored so the
+    * [[Standing]] bench row forces the same plan the queries consume.
+    */
+  private[operators] def docSourceNgrams(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(MinHashLSH.shingles(toks, w)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
+      .distinct()
+      .transform(graft.Checkpoints.materializeCached)
+  }
+
+  /** Position-indexed 8-gram window relation (doc_id, n_tokens, i, h) —
+    * the STANDING kernel behind the q156/q159 span-rewrite family.
+    */
+  private[operators] def posNgrams(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(MinHashLSH.shingles(col("tk"), w)))
+      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("i"),
+        xxhash64(col("col")).as("h"))
+      .transform(graft.Checkpoints.materializeCached)
+  }
+
+  /** [[posNgrams]] carrying `source` — the STANDING kernel behind the
+    * q149/q157 contamination-coverage/rewrite family.
+    */
+  private[operators] def posNgramsSrc(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        posexplode(MinHashLSH.shingles(col("tk"), w)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pos").cast("long").as("i"), xxhash64(col("col")).as("h"))
+      .transform(graft.Checkpoints.materializeCached)
+  }
+
   /** Q119: benchmark decontamination — the n-gram overlap filter run
     * before training so eval data can't leak into the train set (the
     * GPT-3-style 13-gram method, here 8-gram on short synthetic docs):
@@ -476,15 +526,7 @@ object NorthStar {
     * the Jaccard index.
     */
   def q119BenchmarkDecontamination: Q = (s, d) => {
-    val w = 8
-    val toks = filter(split(col("text"), " "), t => t =!= "")
-    val ng = Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("source"),
-        explode(MinHashLSH.shingles(toks, w)).as("g"))
-      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
-      .distinct()
-      .transform(graft.Checkpoints.materializeCached)
+    val ng = docSourceNgrams(s, d)
     val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
     val train = ng.filter(col("source") =!= "src0")
     val hits = train.join(bench, Seq("h"))
@@ -507,15 +549,7 @@ object NorthStar {
     * one row per training source.
     */
   def q308ContaminationMatrix: Q = (s, d) => {
-    val w = 8
-    val toks = filter(split(col("text"), " "), t => t =!= "")
-    val ng = Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("source"),
-        explode(MinHashLSH.shingles(toks, w)).as("g"))
-      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
-      .distinct()
-      .transform(graft.Checkpoints.materializeCached)
+    val ng = docSourceNgrams(s, d)
     val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
     val train = ng.filter(col("source") =!= "src0")
     val flagged = train.join(bench, Seq("h"))
@@ -859,14 +893,7 @@ object NorthStar {
     import org.apache.spark.sql.expressions.Window
     val w = 8
     val toks = filter(split(col("text"), " "), t => t =!= "")
-    val base = Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-        posexplode(MinHashLSH.shingles(col("tk"), w)))
-      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("i"),
-        xxhash64(col("col")).as("h"))
-      .transform(graft.Checkpoints.materializeCached)
+    val base = posNgrams(s, d)
     val dup = base.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
@@ -917,14 +944,7 @@ object NorthStar {
     val w = 8
     val toks = filter(split(col("text"), " "), t => t =!= "")
     // q156's base plan VERBATIM (shared memoized standing relation)
-    val base = Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-        posexplode(MinHashLSH.shingles(col("tk"), w)))
-      .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("i"),
-        xxhash64(col("col")).as("h"))
-      .transform(graft.Checkpoints.materializeCached)
+    val base = posNgrams(s, d)
     val dup = base.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
@@ -976,15 +996,7 @@ object NorthStar {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     // q149's position-indexed kernel VERBATIM — the plans are semantically
     // equal, so materializeCached serves both queries from ONE standing copy
-    val ng = Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("source"), toks.as("tk"))
-      .select(col("doc_id"), col("source"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        posexplode(MinHashLSH.shingles(col("tk"), w)))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("pos").cast("long").as("i"), xxhash64(col("col")).as("h"))
-      .transform(graft.Checkpoints.materializeCached)
+    val ng = posNgramsSrc(s, d)
     val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
     val hitStarts = ng.filter(col("source") =!= "src0")
       .join(bench, Seq("h"), "left_semi")
@@ -1222,15 +1234,25 @@ object NorthStar {
     * ScaleTwinsSpec can pin precision and recall against the exact
     * all-pairs baseline.
     */
+  /** The session-cached IVF assignment behind [[ivfBlockedPairs]] (k =
+    * √n seeded, 4 assignment replicas) — exposed so the [[Standing]] bench
+    * row can force the index build with the exact params q113/q114 use.
+    */
+  private[operators] def blockedAssigned(emb: DataFrame,
+                                         replicas: Int = 4): DataFrame = {
+    val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    graft.similarity.Ann.ivfIndexCached(
+      emb, "vec_id", "embedding", k = k, refineIters = 1,
+      assignReplicas = replicas)._1
+  }
+
   def ivfBlockedPairs(emb: DataFrame, minCos: Double = 0.4,
                       replicas: Int = 4): DataFrame = {
-    val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     // build-once: q113 and q114 run over the same embeddings relation in
     // one sweep; the memoized index makes the second caller pay only the
     // pair join, not the k-means seeding + 3 materializations (the
     // dominant fixed cost in the sf0.1 crossover table)
-    val (assigned, _) = graft.similarity.Ann.ivfIndexCached(
-      emb, "vec_id", "embedding", k = k, refineIters = 1, assignReplicas = replicas)
+    val assigned = blockedAssigned(emb, replicas)
     val a = assigned.select(col("cid"), col("id").as("id1"), col("ev").as("ev1"))
     val b = assigned.select(col("cid"), col("id").as("id2"), col("ev").as("ev2"))
     a.join(b, Seq("cid"))
@@ -1719,16 +1741,8 @@ object NorthStar {
     import org.apache.spark.sql.expressions.Window
     val w = 8
     val toks = filter(split(col("text"), " "), t => t =!= "")
-    val base = Tables(s, d, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("source"), toks.as("tk"))
-      .select(col("doc_id"), col("source"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        posexplode(MinHashLSH.shingles(col("tk"), w)))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("pos").cast("long").as("i"), xxhash64(col("col")).as("h"))
-      // standing relation — memoized for the q119 reasons (shared kernel)
-      .transform(graft.Checkpoints.materializeCached)
+    // standing relation — memoized for the q119 reasons (shared kernel)
+    val base = posNgramsSrc(s, d)
     val bench = base.filter(col("source") === "src0").select(col("h")).distinct()
     val train = base.filter(col("source") =!= "src0")
     val winLen = least(lit(w.toLong), col("n_tokens"))

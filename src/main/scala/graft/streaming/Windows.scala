@@ -18,6 +18,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Windows {
 
+  /** Distinct benchmark (src0) 8-gram hash set — the STANDING membership
+    * set behind the q152/q158 streaming decontamination twins, factored so
+    * the [[graft.operators.Standing]] bench row forces the same
+    * semantics-cached plan the queries consume per micro-batch.
+    */
+  private[graft] def benchNgramSet(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    graft.Checkpoints.materializeCached(
+      graft.Tables(s, d, "documents").filter(col("source") === "src0")
+        .select(explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
+        .select(xxhash64(col("g")).as("h")).distinct())
+  }
+
   /** File-source stream of `events` with the canonical second-truncated
     * `ts2` event-time column (same nanos handling as [[Tables.events]]).
     */
@@ -539,10 +552,7 @@ object Windows {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val docs = graft.Tables(s, d, "documents")
     // standing benchmark set — memoized for the q119 reasons (shared kernel)
-    val bench = graft.Checkpoints.materializeCached(
-      docs.filter(col("source") === "src0")
-        .select(explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
-        .select(xxhash64(col("g")).as("h")).distinct())
+    val bench = benchNgramSet(s, d)
     val train = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q152_").toString
     try {
@@ -623,10 +633,7 @@ object Windows {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val docs = graft.Tables(s, d, "documents")
     // standing benchmark set — the q152 kernel, shared via the memo cache
-    val bench = graft.Checkpoints.materializeCached(
-      docs.filter(col("source") === "src0")
-        .select(explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
-        .select(xxhash64(col("g")).as("h")).distinct())
+    val bench = benchNgramSet(s, d)
     val train = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q158_").toString
     try {

@@ -24,7 +24,9 @@ object TimeQuery {
       println(f"[time] $name rep=$i ${sec}%.3f s" + (if (i == 0) " (warm)" else ""))
       sec
     }.drop(1).sorted
-    val med = ts(ts.size / 2)
+    // lower-middle for even rep counts — Bench.median's convention, so
+    // per-query debugging numbers match the artifact rows (min-of-2 heavies)
+    val med = if (ts.size % 2 == 1) ts(ts.size / 2) else ts(ts.size / 2 - 1)
     println(f"[time] $name median=${med}%.3f min=${ts.head}%.3f max=${ts.last}%.3f reps=$reps")
     spark.stop()
   }

@@ -60,12 +60,16 @@ class PqSpec extends SparkSpec {
     rows.foreach { case (pid, nAdc, recall, top1) =>
       assert(nAdc === 10L, s"probe $pid ADC list not full")
       // the deterministic pipeline makes observed recall a stable regression
-      // pin; random 64-dim data is PQ's worst case, so the floor is modest
-      assert(recall >= 0.1, s"probe $pid recall collapsed: $recall")
+      // pin; random 64-dim data is PQ's worst case. Floors sit just under
+      // the round-11 measured level (per-probe 0.2-0.7, mean 0.40 at
+      // sf0.001) — the q188 treatment; the old 0.1/0.3 floors predate the
+      // post-knee codebooks and would let a silent ADC regression to ~0.35
+      // mean recall pass (round-10 VERDICT finding 2)
+      assert(recall >= 0.2, s"probe $pid recall collapsed: $recall")
       // ADC quantizes the probe's OWN codes too, but its cell stays nearest
       assert(top1 === pid, s"probe $pid ADC top-1 drifted to $top1")
     }
-    assert(rows.map(_._3).sum / 5 >= 0.3, "mean recall@10 below the pinned floor")
+    assert(rows.map(_._3).sum / 5 >= 0.38, "mean recall@10 below the pinned floor")
     val again = Similarity.q173PqAdcRecall(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(again.toSeq === rows.toSeq)
