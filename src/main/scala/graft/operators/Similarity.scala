@@ -993,7 +993,45 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Q414: TwoNN intrinsic-dimension estimate of the embedding manifold —
+    * d̂ = n / Σ ln(r₂/r₁) over each vector's two nearest cosine-distance
+    * neighbors (Facco et al.'s estimator from first/second NN ratios
+    * only). Tells a curator whether 64-dim embeddings really span 64
+    * dimensions or sit on a much lower-dimensional manifold (how
+    * aggressively q172's PQ / q268's whitening can compress). Exact
+    * brute-force neighbors via [[exactCosinePairs]]'s bounded-chunk
+    * broadcast scan (each unordered pair computed ONCE, mirrored —
+    * dot/norm products are exactly symmetric); the log-ratio terms are
+    * 8-dp rounded under a decimal sum. The 100 TB path swaps the exact
+    * scan for q113's IVF-blocked neighbors.
+    */
+  def q414TwoNN: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+    val pairs = exactCosinePairs(emb)
+    val sym = pairs.select(col("id1").as("id"), col("id2").as("nb"), col("cos"))
+      .unionAll(pairs.select(col("id2").as("id"), col("id1").as("nb"), col("cos")))
+      .withColumn("dist", lit(1.0) - col("cos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("nb"))
+    val dd = sym.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("id"))
+      .agg(max(when(col("rn") === 1, col("dist"))).as("d1"),
+        max(when(col("rn") === 2, col("dist"))).as("d2"))
+    val mu = dd.filter(col("d1") > 0.0)
+      .select((col("d2") / col("d1")).as("mu"))
+    mu.agg(count(lit(1)).as("n_used"),
+        sum(round(log(col("mu")), 8).cast(DecimalType(28, 8)))
+          .cast("double").as("slm"))
+      .select(col("n_used"), round(col("slm"), 6).as("sum_log_mu"),
+        round(col("n_used").cast("double") / col("slm"), 4).as("id_mle"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q414_twonn" -> q414TwoNN,
     "q387_knn_label_accuracy" -> q387KnnLabelAccuracy,
     "q276_silhouette" -> q276Silhouette,
     "q268_embedding_whitening" -> q268EmbeddingWhitening,
@@ -1165,6 +1203,28 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q414_twonn" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |nr AS MATERIALIZED (SELECT vec_id, ev,
+        |    SQRT(list_dot_product(ev, ev)) AS nrm FROM e),
+        |pr AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+        |    CAST('1.0' AS DOUBLE)
+        |      - list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) AS dist
+        |  FROM nr a JOIN nr b ON a.vec_id <> b.vec_id),
+        |rk AS (SELECT id, nb, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, nb) AS rn FROM pr),
+        |dd AS (SELECT id, MAX(CASE WHEN rn = 1 THEN dist END) AS d1,
+        |    MAX(CASE WHEN rn = 2 THEN dist END) AS d2
+        |  FROM rk WHERE rn <= 2 GROUP BY 1),
+        |mu AS (SELECT id, d2 / d1 AS mu FROM dd WHERE d1 > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+        |  ROUND(CAST(SUM(CAST(ROUND(LN(mu), 8) AS DECIMAL(28,8))) AS DOUBLE), 6)
+        |    AS sum_log_mu,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(CAST(ROUND(LN(mu), 8) AS DECIMAL(28,8))) AS DOUBLE), 4)
+        |    AS id_mle
+        |FROM mu""".stripMargin,
     "q387_knn_label_accuracy" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label
         |           FROM embeddings),

@@ -2040,12 +2040,8 @@ object Stats {
     * any data volume. One 7-group aggregate finishes.
     */
   def q282Acf: Q = (s, d) => {
-    val daily = Tables(s, d, "orders")
-      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
-        .cast("long").as("x"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
-        .cast(DecimalType(18, 2)).as("r"))
-    val grid = graft.Checkpoints.materialize(daily)
+    // shared calendar-bounded day grid — memoized across the whole battery
+    val grid = dailyRevenue(s, d)
     val lagged = grid
       .withColumn("lag", explode(array((1 to 7).map(l => lit(l.toLong)): _*)))
       .select(col("lag"), (col("x") + col("lag")).as("x2"), col("r").as("rx"))
@@ -3075,12 +3071,8 @@ object Stats {
     * recursion itself runs on one 4-value row.
     */
   def q391Pacf: Q = (s, d) => {
-    val daily = Tables(s, d, "orders")
-      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
-        .cast("long").as("x"))
-      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
-        .cast(DecimalType(18, 2)).as("r"))
-    val grid = graft.Checkpoints.materialize(daily)
+    // shared calendar-bounded day grid — memoized across the whole battery
+    val grid = dailyRevenue(s, d)
     val lagged = grid
       .withColumn("lag", explode(array((1 to 4).map(l => lit(l.toLong)): _*)))
       .select(col("lag"), (col("x") + col("lag")).as("x2"), col("r").as("rx"))
@@ -3146,7 +3138,712 @@ object Stats {
         round(col("n_tail").cast("double") / col("hsum"), 6).as("alpha"))
   }
 
+  /** Daily revenue grid (x = days since 1995-01-01, r = exact 2-dp revenue
+    * sum) — the shared day-grid series behind the time-series battery
+    * (q282 ACF, q391 PACF, q393 Ljung–Box, q396 Durbin–Watson, q397 Hurst
+    * R/S, q399 permutation entropy). The grid is bounded by the CALENDAR
+    * SPAN (~2400 rows at any SF — the scalable work is the map-side-
+    * combined daily aggregate riding the scan), and session-memoized so
+    * the battery builds it once per (session, corpus).
+    */
+  private[operators] def dailyRevenue(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoints.materializeCached(
+      Tables(s, d, "orders")
+        .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("r")))
+
+  /** Daily event grid (x = days since 2024-01-01, cnt, exact 4-dp value
+    * sum) — the q398/q400 twin of [[dailyRevenue]] over the events table.
+    */
+  private[operators] def dailyEvents(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoints.materializeCached(
+      graft.Tables.events(s, d)
+        .groupBy(datediff(col("ts2").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sv")))
+
+  /** Q393: Ljung–Box portmanteau test — is the daily-revenue series white
+    * noise, or autocorrelated enough that i.i.d.-assuming samplers and
+    * CIs are invalid? For k = 1..10: the mean-centered autocorrelation
+    * ρ_k over the (t, t+k) day-pair relation, and the cumulative
+    * Q(k) = n(n+2) Σ_{j≤k} ρ_j²/(n−j) to compare against χ²_k. All sums
+    * are exact decimals; ρ is one deterministic scalar expression on the
+    * moment row; the Q cumsum runs over 6-dp-rounded decimal terms on the
+    * 10-row lag relation (order-independent by exactness).
+    *
+    * Scale shape: the pair join is (day grid × 10 lags) — calendar-
+    * bounded, never row-proportional; the daily aggregate is the only
+    * data-sized pass.
+    */
+  def q393LjungBox: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+    val tot = grid.agg(count(lit(1)).as("n"),
+      sum(col("r")).cast("double").as("sx"),
+      sum(col("r") * col("r")).cast(DecimalType(38, 4)).cast("double").as("srr"))
+    val lagged = grid
+      .withColumn("lag", explode(array((1 to 10).map(l => lit(l.toLong)): _*)))
+      .select(col("lag"), (col("x") + col("lag")).as("x2"), col("r").as("rx"))
+    val pairs = lagged.join(
+      grid.select(col("x").as("x2"), col("r").as("ry")), Seq("x2"))
+    val m = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("rx")).cast("double").as("sxk"),
+        sum(col("ry")).cast("double").as("syk"),
+        sum(col("rx") * col("ry")).cast(DecimalType(38, 4)).cast("double").as("sxyk"))
+    val nD = col("n").cast("double")
+    val ybar = col("sx") / nD
+    val rho = round(
+      (col("sxyk") - ybar * (col("sxk") + col("syk"))
+        + col("c").cast("double") * ybar * ybar)
+        / (col("srr") - col("sx") * col("sx") / nD), 6)
+    val wq = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.crossJoin(broadcast(tot))
+      .select(col("lag"), rho.as("rho"), col("n"))
+      .withColumn("term",
+        round(col("rho") * col("rho") / (col("n") - col("lag")).cast("double"), 12)
+          .cast(DecimalType(38, 12)))
+      .withColumn("q_lb",
+        round(nD * (nD + lit(2.0)) * sum(col("term")).over(wq).cast("double"), 4))
+      .select(col("lag"), col("rho"), col("q_lb"))
+      .orderBy(col("lag"))
+  }
+
+  /** Q396: Durbin–Watson statistic — first-order residual autocorrelation
+    * of the daily-revenue linear trend (DW ≈ 2 means uncorrelated; ≪ 2
+    * means the OLS trend's standard errors are understated). Closed-form
+    * OLS from exact integer/decimal moments; residuals are one
+    * deterministic scalar expression per day; numerator pairs come from
+    * the (t, t+1) day join (no window), and both quadratic sums use the
+    * 6-dp-rounded-term decimal battery.
+    */
+  def q396DurbinWatson: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+    val mom = grid.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("r")).cast("double").as("sy"),
+      sum(col("r") * col("x").cast(DecimalType(10, 0)))
+        .cast(DecimalType(38, 2)).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val slope = (nD * col("sxy") - sxD * col("sy")) /
+      (nD * col("sxx").cast("double") - sxD * sxD)
+    val e = grid.crossJoin(broadcast(
+        mom.select(col("n"), col("sx"), col("sy"), slope.as("b"))))
+      .select(col("x"), col("n"), col("b"),
+        (col("r").cast("double")
+          - (col("sy") - col("b") * col("sx").cast("double")) / col("n").cast("double")
+          - col("b") * col("x").cast("double")).as("e"))
+    val den = e.agg(
+      sum(round(col("e") * col("e"), 6).cast(DecimalType(38, 6)))
+        .cast("double").as("den"),
+      max(col("b")).as("b"), max(col("n")).as("n"))
+    val num = e.select((col("x") + 1).as("x2"), col("e").as("e1"))
+      .join(e.select(col("x").as("x2"), col("e").as("e2")), Seq("x2"))
+      .agg(sum(round((col("e2") - col("e1")) * (col("e2") - col("e1")), 6)
+        .cast(DecimalType(38, 6))).cast("double").as("num"),
+        count(lit(1)).as("n_pairs"))
+    num.crossJoin(broadcast(den))
+      .select(col("n"), col("n_pairs"), round(col("b"), 6).as("slope"),
+        round(col("num") / col("den"), 6).as("dw"))
+  }
+
+  /** Q397: Hurst exponent by rescaled-range (R/S) analysis — long-range
+    * dependence of daily revenue (H ≈ 0.5 random walk increments; H > 0.5
+    * persistent). For block sizes w ∈ {8,16,32,64} days: partition the
+    * row-numbered day grid into full blocks, per block compute the range
+    * R of cumulative mean-deviations (exact decimal cumsums; the
+    * deviation is one scalar double per row) and the population σ from
+    * exact moments, average R/S over blocks (6-dp-rounded decimal mean),
+    * then fit log R/S ~ log w by closed-form OLS over the 4-point relation
+    * (12-dp-rounded log terms under decimal sums).
+    *
+    * Scale shape: every window is over the calendar-bounded day grid
+    * (q210's argument), never the orders; the daily aggregate is the only
+    * data-sized pass.
+    */
+  def q397HurstRs: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+    val t = grid.select(col("x"), col("r"),
+      row_number().over(Window.orderBy(col("x"))).cast("long").as("t"))
+    val ws = t
+      .withColumn("w", explode(array(Seq(8, 16, 32, 64).map(v => lit(v.toLong)): _*)))
+      .withColumn("blk",
+        floor((col("t") - 1).cast("double") / col("w").cast("double")).cast("long"))
+      .withColumn("i", col("t") - col("blk") * col("w"))
+    val wCum = Window.partitionBy(col("w"), col("blk")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("w"), col("blk"))
+    val en = ws
+      .withColumn("cum", sum(col("r")).over(wCum))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("sr", sum(col("r")).over(wAll).cast("double"))
+      .withColumn("srr",
+        sum(col("r") * col("r")).over(wAll).cast(DecimalType(38, 4)).cast("double"))
+      .filter(col("cnt") === col("w"))
+      .withColumn("dev",
+        col("cum").cast("double")
+          - col("i").cast("double") * (col("sr") / col("w").cast("double")))
+    val wD = col("w").cast("double")
+    val blocks = en.groupBy(col("w"), col("blk"), col("sr"), col("srr"))
+      .agg((max(col("dev")) - min(col("dev"))).as("rng"))
+      .withColumn("sdev",
+        sqrt((col("srr") - col("sr") * col("sr") / wD) / wD))
+      .filter(col("sdev") > 0.0)
+    val perW = blocks.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_blocks"),
+        round(sum(round(col("rng") / col("sdev"), 6).cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("rs_avg"))
+    val pts = perW.select(col("w"), col("n_blocks"), col("rs_avg"),
+      round(log(col("w").cast("double")), 12).as("lw"),
+      round(log(col("rs_avg")), 12).as("lr"))
+    val fit = pts.agg(count(lit(1)).cast("double").as("k"),
+      sum(col("lw").cast(DecimalType(28, 12))).cast("double").as("slw"),
+      sum(col("lr").cast(DecimalType(28, 12))).cast("double").as("slr"),
+      sum(round(col("lw") * col("lw"), 12).cast(DecimalType(28, 12)))
+        .cast("double").as("slww"),
+      sum(round(col("lw") * col("lr"), 12).cast(DecimalType(28, 12)))
+        .cast("double").as("slwr"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("w"), col("n_blocks"), col("rs_avg"),
+        round((col("k") * col("slwr") - col("slw") * col("slr"))
+          / (col("k") * col("slww") - col("slw") * col("slw")), 6).as("hurst"))
+      .orderBy(col("w"))
+  }
+
+  /** Q398: Allan variance of the daily event-count series — the
+    * clock-stability statistic repurposed as a rate-stability profile:
+    * AVAR(τ) = Σ(ȳ_{i+1} − ȳ_i)² / (2·#diffs) over means of τ-day bins,
+    * for τ ∈ {1,2,4,8}. White noise decays 1/τ; a flat or rising profile
+    * flags drifting ingest rates. Bin means are exact integer-count sums
+    * over one double division; squared diffs use the 6-dp-rounded decimal
+    * battery. Everything after the daily aggregate is calendar-bounded.
+    */
+  def q398AllanVariance: Q = (s, d) => {
+    val grid = dailyEvents(s, d)
+    val t = grid.select(col("cnt"),
+      row_number().over(Window.orderBy(col("x"))).cast("long").as("t"))
+    val bins = t
+      .withColumn("tau", explode(array(Seq(1, 2, 4, 8).map(v => lit(v.toLong)): _*)))
+      .withColumn("bin",
+        floor((col("t") - 1).cast("double") / col("tau").cast("double")).cast("long"))
+      .groupBy(col("tau"), col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("cnt")).as("sc"))
+      .filter(col("nb") === col("tau"))
+      .select(col("tau"), col("bin"),
+        (col("sc").cast("double") / col("tau").cast("double")).as("y"))
+    val m = bins.groupBy(col("tau")).agg(count(lit(1)).as("m_bins"))
+    val diffs = bins.select(col("tau"), (col("bin") + 1).as("bin"), col("y").as("y1"))
+      .join(bins.select(col("tau"), col("bin"), col("y").as("y2")), Seq("tau", "bin"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("nd"),
+        sum(round((col("y2") - col("y1")) * (col("y2") - col("y1")), 6)
+          .cast(DecimalType(28, 6))).cast("double").as("sd2"))
+    diffs.join(m, Seq("tau"))
+      .select(col("tau"), col("m_bins"),
+        round(col("sd2") / (lit(2.0) * col("nd").cast("double")), 6).as("avar"))
+      .orderBy(col("tau"))
+  }
+
+  /** Q399: permutation entropy (order 3) of the daily-revenue series —
+    * the ordinal-pattern complexity measure: each consecutive day triple
+    * maps to the permutation that sorts it (ties broken by position, so
+    * the pattern is an exact integer computed from exact decimal
+    * comparisons), and PE = −Σ p ln p / ln 3! over the 6 pattern
+    * frequencies. Near 1 ⇒ the series is ordinally random; low values
+    * expose deterministic motifs that invalidate shuffling-based
+    * samplers. ln p terms are 12-dp rounded under a decimal sum; ln 6 is
+    * a shared exact double literal (no cross-libm constant).
+    */
+  def q399PermutationEntropy: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+    val t = grid.select(col("r"),
+      row_number().over(Window.orderBy(col("x"))).cast("long").as("t"))
+    val tri = t.select(col("t"), col("r").as("y1"))
+      .join(t.select((col("t") - 1).as("t"), col("r").as("y2")), Seq("t"))
+      .join(t.select((col("t") - 2).as("t"), col("r").as("y3")), Seq("t"))
+    def before(ya: Column, yb: Column, posALtB: Boolean): Column =
+      when(ya < yb || (ya === yb && lit(posALtB)), 1).otherwise(0)
+    // oi = how many of the other two sort strictly before element i
+    val o1 = (before(col("y2"), col("y1"), posALtB = true)
+      + before(col("y3"), col("y1"), posALtB = true)).as("o1")
+    val o2 = (before(col("y1"), col("y2"), posALtB = false)
+      + before(col("y3"), col("y2"), posALtB = true)).as("o2")
+    val o3 = (before(col("y1"), col("y3"), posALtB = false)
+      + before(col("y2"), col("y3"), posALtB = false)).as("o3")
+    val pats = tri.select(o1, o2, o3)
+      .select(concat(col("o1").cast("string"),
+        col("o2").cast("string"), col("o3").cast("string")).as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("cnt"))
+    val tot = pats.agg(sum(col("cnt")).as("ntri"))
+    val withP = pats.crossJoin(broadcast(tot))
+      .select(col("pattern"), col("cnt"),
+        (col("cnt").cast("double") / col("ntri").cast("double")).as("p"))
+    val h = withP.agg(
+      sum(round(col("p") * log(col("p")), 12).cast(DecimalType(28, 12)))
+        .cast("double").as("sh"))
+    withP.crossJoin(broadcast(h))
+      .select(col("pattern"), col("cnt"), round(col("p"), 6).as("p"),
+        round(negate(col("sh")) / lit(1.791759469228055), 6).as("pe"))
+      .orderBy(col("pattern"))
+  }
+
+  /** Q400: Page–Hinkley drift detector over the daily mean event value —
+    * the sequential change-of-mean test: m_T = Σ_{t≤T}(v_t − v̄_t − δ)
+    * (v̄_t = running mean), alarm when max_{s≤T} m_s − m_T > λ. The
+    * detector a streaming ingest monitor would run; here the batch
+    * replica over the calendar-bounded day grid. Daily means are
+    * 6-dp-rounded decimals so every cumsum is exact; the running-mean
+    * terms are 6-dp-rounded before their decimal cumsum; δ = 0.05,
+    * λ = 2.0 as shared exact literals.
+    */
+  def q400PageHinkley: Q = (s, d) =>
+    pageHinkleyKernel(dailyEvents(s, d))
+
+  /** The q400 PH kernel over a (x, cnt, sv) daily-cell relation — factored
+    * so the q417 streaming twin can run the SAME kernel over micro-batch-
+    * merged cells (counts and exact decimal value sums merge additively).
+    */
+  private[graft] def pageHinkleyKernel(grid: DataFrame): DataFrame = {
+    val v = grid.select(col("x"),
+      round(col("sv").cast("double") / col("cnt").cast("double"), 6)
+        .cast(DecimalType(18, 6)).as("v"),
+      row_number().over(Window.orderBy(col("x"))).cast("long").as("t"))
+    val wc = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = v
+      .withColumn("cum", sum(col("v")).over(wc))
+      .withColumn("mt",
+        round(col("cum").cast("double") / col("t").cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("cms", sum(col("mt")).over(wc))
+      .withColumn("m",
+        round(col("cum").cast("double") - col("cms").cast("double")
+          - col("t").cast("double") * lit(0.05), 6))
+    m.withColumn("mx", max(col("m")).over(wc))
+      .select(col("x"), col("t"), col("m"),
+        round(col("mx") - col("m"), 6).as("ph"),
+        (round(col("mx") - col("m"), 6) > lit(2.0)).as("alarm"))
+      .orderBy(col("t"))
+  }
+
+  /** Q406: sample L-moments per order priority — the order-statistics
+    * alternative to classical moments (robust to heavy tails, the basis
+    * of regional frequency analysis): λ1 (L-mean), λ2 (L-scale), and the
+    * ratios τ3 (L-skewness), τ4 (L-kurtosis) from probability-weighted
+    * moments b_r = Σ_j (j−1)⋯(j−r) x_(j) / (n (n−1)⋯(n−r)). The falling-
+    * factorial weights are exact int64 (j ≤ n), their products with the
+    * 2-dp values are exact decimals, and each b is one double division —
+    * no sorting beyond the per-group rank window.
+    */
+  def q406Lmoments: Q = (s, d) => {
+    val y = col("o_totalprice").cast(DecimalType(18, 2))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), y.as("y"),
+        row_number().over(w).cast("long").as("j"))
+    val dec19 = DecimalType(19, 0)
+    val m = ranked.groupBy(col("prio")).agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).cast("double").as("s0"),
+      sum(((col("j") - 1)).cast(dec19) * col("y"))
+        .cast(DecimalType(38, 2)).cast("double").as("s1"),
+      sum(((col("j") - 1) * (col("j") - 2)).cast(dec19) * col("y"))
+        .cast(DecimalType(38, 2)).cast("double").as("s2"),
+      sum(((col("j") - 1) * (col("j") - 2) * (col("j") - 3)).cast(dec19) * col("y"))
+        .cast(DecimalType(38, 2)).cast("double").as("s3"))
+    val nD = col("n").cast("double")
+    val b0 = col("s0") / nD
+    val b1 = col("s1") / (nD * (nD - lit(1.0)))
+    val b2 = col("s2") / (nD * (nD - lit(1.0)) * (nD - lit(2.0)))
+    val b3 = col("s3") / (nD * (nD - lit(1.0)) * (nD - lit(2.0)) * (nD - lit(3.0)))
+    val l2 = lit(2.0) * b1 - b0
+    val l3 = lit(6.0) * b2 - lit(6.0) * b1 + b0
+    val l4 = lit(20.0) * b3 - lit(30.0) * b2 + lit(12.0) * b1 - b0
+    m.select(col("prio"), col("n"),
+      round(b0, 4).as("l1"), round(l2, 4).as("l2"),
+      round(l3 / l2, 6).as("t3"), round(l4 / l2, 6).as("t4"))
+      .orderBy(col("prio"))
+  }
+
+  /** Q407: Brown–Forsythe variance-homogeneity test across order
+    * priorities — the robust Levene variant: one-way ANOVA F on the
+    * absolute deviations z = |x − median_g| from the per-group LOWER
+    * median (row_number-exact in both engines; the repo's even-count
+    * median convention). z is an exact 2-dp decimal, so every sum of
+    * squares is the 6-dp-rounded decimal battery and F is one scalar
+    * expression on the 1-row collapse. Guards q364's ANOVA against
+    * heteroscedastic groups.
+    */
+  def q407BrownForsythe: Q = (s, d) => {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val base = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), x.as("x"), col("o_orderkey"))
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("x"), col("o_orderkey"))
+    val med = base
+      .select(col("prio"), col("x"), row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("prio"))).as("cnt"))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2))
+      .select(col("prio"), col("x").as("med"))
+    val z = base.join(broadcast(med), Seq("prio"))
+      .select(col("prio"), abs(col("x") - col("med")).as("z"))
+    val g = z.groupBy(col("prio")).agg(count(lit(1)).as("ng"),
+      sum(col("z")).as("sz"),
+      sum(col("z") * col("z")).cast(DecimalType(38, 4)).as("szz"))
+    val terms = g.select(col("ng"), col("sz"), col("szz"),
+      round(col("sz").cast("double") * col("sz").cast("double")
+        / col("ng").cast("double"), 6).cast(DecimalType(38, 6)).as("a"))
+    val mom = terms.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("a")).cast("double").as("sa"),
+      sum(col("sz")).cast("double").as("szt"),
+      sum(col("szz")).cast("double").as("szzt"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("sa") - col("szt") * col("szt") / nD
+    val ssw = col("szzt") - col("sa")
+    mom.select(col("k"), col("n"),
+      round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 6).as("f_bf"))
+  }
+
+  /** Q408: Granger causality (lag 1) — do yesterday's clicks help predict
+    * today's purchases beyond yesterday's purchases? F-test of the
+    * restricted AR(1) model against the full model with the click
+    * regressor, both solved in closed form (2×2 / 3×3 normal equations by
+    * Cramer's rule) from EXACT integer daily-count moments; the RSS
+    * identities keep everything one scalar expression on the 1-row
+    * moment relation. The day-pair join is calendar-bounded.
+    */
+  def q408Granger: Q = (s, d) => {
+    val daily = graft.Checkpoints.materializeCached(
+      graft.Tables.events(s, d)
+        .groupBy(datediff(col("ts2").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b")))
+    val rows = daily.select((col("x") + 1).as("x2"),
+        col("a").as("a1"), col("b").as("y1"))
+      .join(daily.select(col("x").as("x2"), col("b").as("y")), Seq("x2"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("y1")).as("s1"), sum(col("a1")).as("s2"),
+      sum(col("y") * col("y")).as("syy"), sum(col("y1") * col("y1")).as("s11"),
+      sum(col("a1") * col("a1")).as("s22"), sum(col("y1") * col("a1")).as("s12"),
+      sum(col("y") * col("y1")).as("s1y"), sum(col("y") * col("a1")).as("s2y"))
+    val nD = col("n").cast("double")
+    def D(c: Column): Column = c.cast("double")
+    // restricted: y = c + φ y1
+    val phiR = (nD * D(col("s1y")) - D(col("sy")) * D(col("s1"))) /
+      (nD * D(col("s11")) - D(col("s1")) * D(col("s1")))
+    val cR = (D(col("sy")) - phiR * D(col("s1"))) / nD
+    val rssR = D(col("syy")) - cR * D(col("sy")) - phiR * D(col("s1y"))
+    // full: y = c + φ y1 + β a1 — Cramer on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+    val det = nD * (D(col("s11")) * D(col("s22")) - D(col("s12")) * D(col("s12"))) -
+      D(col("s1")) * (D(col("s1")) * D(col("s22")) - D(col("s12")) * D(col("s2"))) +
+      D(col("s2")) * (D(col("s1")) * D(col("s12")) - D(col("s11")) * D(col("s2")))
+    val detC = D(col("sy")) * (D(col("s11")) * D(col("s22")) - D(col("s12")) * D(col("s12"))) -
+      D(col("s1")) * (D(col("s1y")) * D(col("s22")) - D(col("s12")) * D(col("s2y"))) +
+      D(col("s2")) * (D(col("s1y")) * D(col("s12")) - D(col("s11")) * D(col("s2y")))
+    val detP = nD * (D(col("s1y")) * D(col("s22")) - D(col("s12")) * D(col("s2y"))) -
+      D(col("sy")) * (D(col("s1")) * D(col("s22")) - D(col("s12")) * D(col("s2"))) +
+      D(col("s2")) * (D(col("s1")) * D(col("s2y")) - D(col("s1y")) * D(col("s2")))
+    val detB = nD * (D(col("s11")) * D(col("s2y")) - D(col("s1y")) * D(col("s12"))) -
+      D(col("s1")) * (D(col("s1")) * D(col("s2y")) - D(col("s1y")) * D(col("s2"))) +
+      D(col("sy")) * (D(col("s1")) * D(col("s12")) - D(col("s11")) * D(col("s2")))
+    val cF = detC / det
+    val phiF = detP / det
+    val betaF = detB / det
+    val rssF = D(col("syy")) - cF * D(col("sy")) - phiF * D(col("s1y")) - betaF * D(col("s2y"))
+    m.select(col("n"), round(phiF, 6).as("phi"), round(betaF, 6).as("beta"),
+      round((rssR - rssF) / (rssF / (nD - lit(3.0))), 4).as("f_granger"))
+  }
+
+  /** Q409: Chow structural-break test on the daily-revenue trend — did
+    * the linear model change at the fixed break day 1200? Pooled and
+    * per-segment OLS in closed form from exact moments (the pooled
+    * moments are the EXACT decimal/integer sums of the two segment rows,
+    * so no third pass); F = ((RSS_p − RSS_1 − RSS_2)/k) /
+    * ((RSS_1 + RSS_2)/(n − 2k)), k = 2.
+    */
+  def q409Chow: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+    val seg = grid.select(col("x"), col("r"),
+      when(col("x") < 1200L, lit(0L)).otherwise(lit(1L)).as("seg"))
+    val g = seg.groupBy(col("seg")).agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("r")).as("sy"),
+      sum(col("r") * col("x").cast(DecimalType(10, 0)))
+        .cast(DecimalType(38, 2)).as("sxy"),
+      sum(col("r") * col("r")).cast(DecimalType(38, 4)).as("syy"))
+    def rss(n: Column, sx: Column, sxx: Column, sy: Column, sxy: Column,
+            syy: Column): (Column, Column) = {
+      val nD = n.cast("double")
+      val b = (nD * sxy.cast("double") - sx.cast("double") * sy.cast("double")) /
+        (nD * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
+      val a = (sy.cast("double") - b * sx.cast("double")) / nD
+      (b, syy.cast("double") - a * sy.cast("double") - b * sxy.cast("double"))
+    }
+    val pooled = g.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+      sum(col("sxx")).as("sxx"), sum(col("sy")).as("sy"),
+      sum(col("sxy")).as("sxy"), sum(col("syy")).as("syy"))
+    val (_, rssP) = rss(col("n"), col("sx"), col("sxx"), col("sy"),
+      col("sxy"), col("syy"))
+    val pRow = pooled.select(col("n").as("n_all"), rssP.as("rss_p"))
+    val (bS, rssS) = rss(col("n"), col("sx"), col("sxx"), col("sy"),
+      col("sxy"), col("syy"))
+    val sRows = g.select(col("seg"), col("n"), bS.as("b"), rssS.as("rss"))
+    val two = sRows.agg(
+      max(when(col("seg") === 0L, col("n"))).as("na"),
+      max(when(col("seg") === 1L, col("n"))).as("nb"),
+      max(when(col("seg") === 0L, col("b"))).as("ba"),
+      max(when(col("seg") === 1L, col("b"))).as("bb"),
+      max(when(col("seg") === 0L, col("rss"))).as("rssa"),
+      max(when(col("seg") === 1L, col("rss"))).as("rssb"))
+    two.crossJoin(broadcast(pRow))
+      .select(col("na").as("n1"), col("nb").as("n2"),
+        round(col("ba"), 6).as("slope_pre"), round(col("bb"), 6).as("slope_post"),
+        round(((col("rss_p") - col("rssa") - col("rssb")) / lit(2.0))
+          / ((col("rssa") + col("rssb"))
+            / (col("n_all").cast("double") - lit(4.0))), 4).as("f_chow"))
+  }
+
+  /** Q410: method-comparison battery — Deming regression (λ = 1) and
+    * Bland–Altman limits of agreement between two measurements of the
+    * same order value: the header `o_totalprice` vs the lineitem charge
+    * roll-up Σ price·(1−disc)·(1+tax). The per-order roll-up is exact
+    * decimal; quadratic moments use the 4-dp-rounded-term battery on
+    * exactly-converted doubles; β, α, and the limits are scalar
+    * expressions on the 1-row moment relation. One shuffle (the order-key
+    * roll-up), one broadcast join.
+    */
+  def q410Deming: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
+        chargeTerm(col("l_extendedprice"), col("l_discount"), col("l_tax")).as("c"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("c")).cast(DecimalType(24, 6)).as("yv"))
+    val j = Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("xv"))
+      .join(li, Seq("o_orderkey"))
+      .select(col("xv").cast("double").as("xd"), col("yv").cast("double").as("yd"),
+        col("xv"), col("yv"))
+    val m = j.agg(count(lit(1)).as("n"),
+      sum(col("xv")).cast("double").as("sx"),
+      // y terms 4-dp rounded: a scale-6 decimal sum would exceed 2^53
+      // scaled and hit the engines' decimal→double conversion divergence
+      sum(round(col("yd"), 4).cast(DecimalType(38, 4))).cast("double").as("sy"),
+      sum(col("xv") * col("xv")).cast(DecimalType(38, 4)).cast("double").as("sxx"),
+      sum(round(col("yd") * col("yd"), 4).cast(DecimalType(38, 4)))
+        .cast("double").as("syy"),
+      sum(round(col("xd") * col("yd"), 4).cast(DecimalType(38, 4)))
+        .cast("double").as("sxy"),
+      sum(round((col("yd") - col("xd")) * (col("yd") - col("xd")), 4)
+        .cast(DecimalType(38, 4))).cast("double").as("sdd"))
+    val nD = col("n").cast("double")
+    val sxxC = col("sxx") - col("sx") * col("sx") / nD
+    val syyC = col("syy") - col("sy") * col("sy") / nD
+    val sxyC = col("sxy") - col("sx") * col("sy") / nD
+    val beta = (syyC - sxxC +
+      sqrt((syyC - sxxC) * (syyC - sxxC) + lit(4.0) * sxyC * sxyC)) /
+      (lit(2.0) * sxyC)
+    val alpha = col("sy") / nD - beta * (col("sx") / nD)
+    val meanD = (col("sy") - col("sx")) / nD
+    val sdD = sqrt((col("sdd") - (col("sy") - col("sx")) * (col("sy") - col("sx")) / nD)
+      / (nD - lit(1.0)))
+    m.select(col("n"), round(beta, 6).as("deming_beta"),
+      round(alpha, 4).as("deming_alpha"), round(meanD, 4).as("ba_mean"),
+      round(meanD - lit(1.96) * sdD, 4).as("ba_lo"),
+      round(meanD + lit(1.96) * sdD, 4).as("ba_hi"))
+  }
+
+  /** Q411: rank-biased overlap (p = 1/2) between the revenue and quantity
+    * top-50 part rankings — the top-weighted ranking agreement measure
+    * (q302's Kendall complement weights all positions equally; RBO
+    * emphasizes the head, which is what catalog/eval ranking drift cares
+    * about). With p = 1/2 every weight p^d/d is a DYADIC rational —
+    * 1/(2^d·d) via exact integer shifts, no libm pow — so each matched
+    * part contributes Σ_{d≥max(ra,rb)} 1/(2^d·d), 12-dp rounded under a
+    * decimal sum. Both rankings are TakeOrdered-bounded 50-row relations.
+    */
+  def q411Rbo: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+    val byRev = li.groupBy(col("l_partkey"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("m"))
+      .orderBy(col("m").desc, col("l_partkey")).limit(50)
+    val byQty = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("m"))
+      .orderBy(col("m").desc, col("l_partkey")).limit(50)
+    val ra = byRev.select(col("l_partkey").as("pk"),
+      row_number().over(Window.orderBy(col("m").desc, col("l_partkey")))
+        .cast("long").as("ra"))
+    val rb = byQty.select(col("l_partkey").as("pk"),
+      row_number().over(Window.orderBy(col("m").desc, col("l_partkey")))
+        .cast("long").as("rb"))
+    val dd = ra.join(rb, Seq("pk"))
+      .withColumn("dpth", explode(sequence(greatest(col("ra"), col("rb")), lit(50L))))
+    dd.agg(countDistinct(col("pk")).as("n_common"),
+        sum(round(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(dpth AS INT))")
+          .cast("double") / col("dpth").cast("double"), 12)
+          .cast(DecimalType(28, 12)))
+          .cast("double").as("raw"))
+      .select(col("n_common"), round(col("raw"), 6).as("rbo"),
+        (col("n_common").cast("double") / lit(50.0)).as("overlap_50"))
+  }
+
+  /** Q412: Neyman allocation — how a stratified sampler should split a
+    * budget of 1000 draws across order priorities (n_h ∝ N_h·σ_h), with
+    * the integer seats assigned by the largest-remainder (Hamilton)
+    * method so they sum EXACTLY to 1000 (q111's apportionment
+    * discipline). Stratum σ from exact moments; weights 2-dp rounded so
+    * the normalizing sum is an exact decimal.
+    */
+  def q412NeymanAllocation: Q = (s, d) => {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val g = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), x.as("x"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast(DecimalType(38, 4)).cast("double").as("sxx"))
+    val nD = col("n_h").cast("double")
+    val sd = sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - lit(1.0)))
+    val wts = g.select(col("prio"), col("n_h"), round(sd, 6).as("sd"),
+      round(nD * sd, 2).as("wh"))
+    val tot = wts.agg(sum(col("wh").cast(DecimalType(28, 2)))
+      .cast("double").as("wsum"))
+    val q = wts.crossJoin(broadcast(tot))
+      .withColumn("quota", lit(1000.0) * col("wh") / col("wsum"))
+      .withColumn("base", floor(col("quota")))
+      .withColumn("rem", col("quota") - col("base").cast("double"))
+    val lo = q.agg((lit(1000L) - sum(col("base"))).as("leftover"))
+    q.crossJoin(broadcast(lo))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("prio"))).cast("long"))
+      .select(col("prio"), col("n_h"), col("sd"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("prio"))
+  }
+
+  /** Q413: Hodges–Lehmann estimator of the weekday effect — the median of
+    * all pairwise means between Monday-slot and Friday-slot daily
+    * revenues (day-of-week via x mod 7 on the epoch-anchored day index —
+    * no engine dayofweek convention involved). The pairwise-mean relation
+    * is (calendar-bounded)², the rank is the repo's lower-median, and the
+    * estimate is the exact decimal pair sum halved in one dyadic double
+    * division (no rounding needed — the result is exactly representable).
+    */
+  def q413HodgesLehmann: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+    val a = grid.filter(pmod(col("x"), lit(7L)) === 1L)
+      .select(col("x").as("xa"), col("r").as("ra"))
+    val b = grid.filter(pmod(col("x"), lit(7L)) === 5L)
+      .select(col("x").as("xb"), col("r").as("rb"))
+    val pairs = graft.Checkpoints.materialize(
+      a.crossJoin(broadcast(b))
+        .select((col("ra") + col("rb")).as("s2"), col("xa"), col("xb")))
+    val tot = pairs.agg(count(lit(1)).as("np"))
+    val n1 = a.agg(count(lit(1)).as("n1"))
+    val n2 = b.agg(count(lit(1)).as("n2"))
+    pairs
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("s2"), col("xa"), col("xb"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter(col("rn") === floor((col("np") + 1) / 2))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("n1"), col("n2"), col("np").as("n_pairs"),
+        (col("s2").cast("double") / lit(2.0)).as("hl"))
+  }
+
+  /** Q415: Cliff's delta and Vargha–Delaney Â between document sources —
+    * the nonparametric effect sizes behind q361's Mann–Whitney U: over
+    * the bounded n_chars value domain, #(x>y), ties, and #(x<y) come from
+    * cumulative counts on the merged value grid (exact integers, never
+    * explicit pairs), so δ = (gt − lt)/(n_a·n_b) and
+    * Â = (gt + ties/2)/(n_a·n_b) are exact rationals surfaced as one
+    * double expression each. Six pairs over src0..src3.
+    */
+  def q415CliffsDelta: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    val cnts = graft.Checkpoints.materialize(
+      docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c")))
+    val srcs = cnts.select(col("source")).distinct()
+    val vals = cnts.select(col("v")).distinct()
+    val grid = srcs.select(col("source").as("src_a"))
+      .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .crossJoin(broadcast(vals))
+    val joined = grid
+      .join(cnts.select(col("source").as("src_a"), col("v"), col("c").as("ca")),
+        Seq("src_a", "v"), "left")
+      .join(cnts.select(col("source").as("src_b"), col("v"), col("c").as("cb")),
+        Seq("src_b", "v"), "left")
+      .select(col("src_a"), col("src_b"), col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = joined.withColumn("cumb", sum(col("cb")).over(w) - col("cb"))
+    val m = cum.groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * col("cumb")).as("gt"),
+        sum(col("ca") * col("cb")).as("ties"))
+    val nm = (col("n_a") * col("n_b")).cast("double")
+    val lt = col("n_a") * col("n_b") - col("gt") - col("ties")
+    m.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+      round((col("gt") - lt).cast("double") / nm, 6).as("delta"),
+      round((col("gt").cast("double") + lit(0.5) * col("ties").cast("double")) / nm, 6)
+        .as("vd_a"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Q416: Grubbs' max-deviation statistic per order priority —
+    * G = max|x − x̄|/s with the arg-max order identified (ties by key).
+    * The single-outlier screen that precedes q373's MAD battery when the
+    * contamination is expected to be one gross error; exact moments, one
+    * broadcast join, one partitioned rank window.
+    */
+  def q416Grubbs: Q = (s, d) => {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val base = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), x.as("x"), col("o_orderkey"))
+    val g = base.groupBy(col("prio")).agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("x") * col("x")).cast(DecimalType(38, 4)).cast("double").as("sxx"))
+    val nD = col("n").cast("double")
+    val withM = base.join(broadcast(g), Seq("prio"))
+      .withColumn("dev",
+        abs(col("x").cast("double") - col("sx") / col("n").cast("double")))
+    val w = Window.partitionBy(col("prio")).orderBy(col("dev").desc, col("o_orderkey"))
+    withM.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("prio"), col("n"), col("o_orderkey").as("outlier_key"),
+        round(col("dev")
+          / sqrt((col("sxx") - col("sx") * col("sx") / nD) / (nD - lit(1.0))), 6)
+          .as("g"))
+      .orderBy(col("prio"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q411_rbo" -> q411Rbo,
+    "q412_neyman_allocation" -> q412NeymanAllocation,
+    "q413_hodges_lehmann" -> q413HodgesLehmann,
+    "q415_cliffs_delta" -> q415CliffsDelta,
+    "q416_grubbs" -> q416Grubbs,
+    "q406_lmoments" -> q406Lmoments,
+    "q407_brown_forsythe" -> q407BrownForsythe,
+    "q408_granger" -> q408Granger,
+    "q409_chow" -> q409Chow,
+    "q410_deming" -> q410Deming,
+    "q393_ljung_box" -> q393LjungBox,
+    "q396_durbin_watson" -> q396DurbinWatson,
+    "q397_hurst_rs" -> q397HurstRs,
+    "q398_allan_variance" -> q398AllanVariance,
+    "q399_permutation_entropy" -> q399PermutationEntropy,
+    "q400_page_hinkley" -> q400PageHinkley,
     "q391_pacf" -> q391Pacf,
     "q394_hill_tail" -> q394HillTail,
     "q377_sprt" -> q377Sprt,
@@ -3399,6 +4096,481 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q411_rbo" ->
+      """WITH byrev AS (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * CAST(1 - l_discount AS DECIMAL(12,4))) AS m
+        |  FROM lineitem GROUP BY 1 ORDER BY m DESC, l_partkey LIMIT 50),
+        |ra AS (SELECT l_partkey AS pk,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY m DESC, l_partkey) AS BIGINT) AS ra
+        |  FROM byrev),
+        |byqty AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS m
+        |  FROM lineitem GROUP BY 1 ORDER BY m DESC, l_partkey LIMIT 50),
+        |rb AS (SELECT l_partkey AS pk,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY m DESC, l_partkey) AS BIGINT) AS rb
+        |  FROM byqty),
+        |mt AS (SELECT ra.pk, ra.ra, rb.rb FROM ra JOIN rb USING (pk)),
+        |dd AS (SELECT pk, CAST(u.d AS BIGINT) AS dpth
+        |  FROM mt, unnest(generate_series(GREATEST(ra, rb), 50)) AS u(d))
+        |SELECT CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_common,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST('1.0' AS DOUBLE)
+        |    / CAST(CAST(1 AS BIGINT) << dpth AS DOUBLE) / CAST(dpth AS DOUBLE), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS rbo,
+        |  CAST(COUNT(DISTINCT pk) AS DOUBLE) / CAST('50.0' AS DOUBLE) AS overlap_50
+        |FROM dd""".stripMargin,
+    "q412_neyman_allocation" ->
+      """WITH g AS (SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,4))
+        |      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY 1),
+        |wts AS MATERIALIZED (SELECT prio, n_h,
+        |    ROUND(SQRT((sxx - sx * sx / CAST(n_h AS DOUBLE))
+        |      / (CAST(n_h AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS sd,
+        |    ROUND(CAST(n_h AS DOUBLE) * SQRT((sxx - sx * sx / CAST(n_h AS DOUBLE))
+        |      / (CAST(n_h AS DOUBLE) - CAST('1.0' AS DOUBLE))), 2) AS wh
+        |  FROM g),
+        |tot AS (SELECT CAST(SUM(CAST(wh AS DECIMAL(28,2))) AS DOUBLE) AS wsum
+        |  FROM wts),
+        |q AS MATERIALIZED (SELECT prio, n_h, sd,
+        |    CAST('1000.0' AS DOUBLE) * wh / wsum AS quota,
+        |    CAST(FLOOR(CAST('1000.0' AS DOUBLE) * wh / wsum) AS BIGINT) AS base
+        |  FROM wts CROSS JOIN tot),
+        |lo AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS leftover FROM q),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY quota - CAST(base AS DOUBLE) DESC, prio) AS BIGINT) AS rk
+        |  FROM q)
+        |SELECT prio, n_h, sd,
+        |  base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS alloc
+        |FROM rk CROSS JOIN lo ORDER BY prio""".stripMargin,
+    "q413_hodges_lehmann" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |a AS MATERIALIZED (SELECT x AS xa, r AS ra FROM daily WHERE x % 7 = 1),
+        |b AS MATERIALIZED (SELECT x AS xb, r AS rb FROM daily WHERE x % 7 = 5),
+        |pairs AS MATERIALIZED (SELECT ra + rb AS s2, xa, xb FROM a CROSS JOIN b),
+        |rk AS (SELECT s2,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY s2, xa, xb) AS BIGINT) AS rn
+        |  FROM pairs),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM pairs),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM a),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM b)
+        |SELECT n1, n2, np AS n_pairs,
+        |  CAST(s2 AS DOUBLE) / CAST('2.0' AS DOUBLE) AS hl
+        |FROM rk CROSS JOIN tot CROSS JOIN na CROSS JOIN nb
+        |WHERE rn = FLOOR((np + 1) / 2)""".stripMargin,
+    "q415_cliffs_delta" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |cnts AS MATERIALIZED (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM docs GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM cnts),
+        |vals AS (SELECT DISTINCT v FROM cnts),
+        |grid AS (SELECT a.source AS src_a, b.source AS src_b, vals.v
+        |  FROM srcs a CROSS JOIN srcs b CROSS JOIN vals
+        |  WHERE a.source < b.source),
+        |j AS (SELECT g.src_a, g.src_b, g.v,
+        |    COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        |  FROM grid g
+        |    LEFT JOIN cnts ca ON ca.source = g.src_a AND ca.v = g.v
+        |    LEFT JOIN cnts cb ON cb.source = g.src_b AND cb.v = g.v),
+        |cum AS (SELECT *, SUM(cb) OVER (PARTITION BY src_a, src_b ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cb AS cumb
+        |  FROM j),
+        |m AS (SELECT src_a, src_b, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b, CAST(SUM(ca * cumb) AS BIGINT) AS gt,
+        |    CAST(SUM(ca * cb) AS BIGINT) AS ties
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_a, n_b,
+        |  ROUND(CAST(gt - (n_a * n_b - gt - ties) AS DOUBLE)
+        |    / CAST(n_a * n_b AS DOUBLE), 6) AS delta,
+        |  ROUND((CAST(gt AS DOUBLE) + CAST('0.5' AS DOUBLE) * CAST(ties AS DOUBLE))
+        |    / CAST(n_a * n_b AS DOUBLE), 6) AS vd_a
+        |FROM m ORDER BY src_a, src_b""".stripMargin,
+    "q416_grubbs" ->
+      """WITH base AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x, o_orderkey FROM orders),
+        |g AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,4)) * x) AS DOUBLE) AS sxx
+        |  FROM base GROUP BY 1),
+        |dv AS (SELECT b.prio, b.o_orderkey, g.n, g.sx, g.sxx,
+        |    ABS(CAST(b.x AS DOUBLE) - g.sx / CAST(g.n AS DOUBLE)) AS dev
+        |  FROM base b JOIN g USING (prio)),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY prio
+        |    ORDER BY dev DESC, o_orderkey) AS rk FROM dv)
+        |SELECT prio, n, o_orderkey AS outlier_key,
+        |  ROUND(dev / SQRT((sxx - sx * sx / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS g
+        |FROM rk WHERE rk = 1 ORDER BY prio""".stripMargin,
+    "q406_lmoments" ->
+      """WITH ranked AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS j
+        |  FROM orders),
+        |m AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS DOUBLE) AS s0,
+        |    CAST(CAST(SUM(CAST(j - 1 AS DECIMAL(19,0)) * y)
+        |      AS DECIMAL(38,2)) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST((j - 1) * (j - 2) AS DECIMAL(19,0)) * y)
+        |      AS DECIMAL(38,2)) AS DOUBLE) AS s2,
+        |    CAST(CAST(SUM(CAST((j - 1) * (j - 2) * (j - 3) AS DECIMAL(19,0)) * y)
+        |      AS DECIMAL(38,2)) AS DOUBLE) AS s3
+        |  FROM ranked GROUP BY 1),
+        |b AS (SELECT prio, n, s0 / CAST(n AS DOUBLE) AS b0,
+        |    s1 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))) AS b1,
+        |    s2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) - CAST('2.0' AS DOUBLE))) AS b2,
+        |    s3 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) - CAST('2.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) - CAST('3.0' AS DOUBLE))) AS b3
+        |  FROM m)
+        |SELECT prio, n, ROUND(b0, 4) AS l1,
+        |  ROUND(CAST('2.0' AS DOUBLE) * b1 - b0, 4) AS l2,
+        |  ROUND((CAST('6.0' AS DOUBLE) * b2 - CAST('6.0' AS DOUBLE) * b1 + b0)
+        |    / (CAST('2.0' AS DOUBLE) * b1 - b0), 6) AS t3,
+        |  ROUND((CAST('20.0' AS DOUBLE) * b3 - CAST('30.0' AS DOUBLE) * b2
+        |      + CAST('12.0' AS DOUBLE) * b1 - b0)
+        |    / (CAST('2.0' AS DOUBLE) * b1 - b0), 6) AS t4
+        |FROM b ORDER BY prio""".stripMargin,
+    "q407_brown_forsythe" ->
+      """WITH base AS MATERIALIZED (SELECT o_orderpriority AS prio,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x, o_orderkey FROM orders),
+        |rk AS (SELECT prio, x, CAST(ROW_NUMBER() OVER (PARTITION BY prio
+        |      ORDER BY x, o_orderkey) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY prio) AS cnt FROM base),
+        |med AS (SELECT prio, x AS med FROM rk WHERE rn = FLOOR((cnt + 1) / 2)),
+        |z AS (SELECT b.prio, ABS(b.x - m.med) AS z FROM base b JOIN med m USING (prio)),
+        |g AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS ng, SUM(z) AS sz,
+        |    CAST(SUM(CAST(z AS DECIMAL(19,4)) * z) AS DECIMAL(38,4)) AS szz
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT ng, sz, szz,
+        |    CAST(ROUND(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,6)) AS a FROM g),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(sz) AS DOUBLE) AS szt,
+        |    CAST(SUM(szz) AS DOUBLE) AS szzt FROM t)
+        |SELECT k, n,
+        |  ROUND(((sa - szt * szt / CAST(n AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / ((szzt - sa) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_bf
+        |FROM mom""".stripMargin,
+    "q408_granger" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |pr AS (SELECT p.a AS a1, p.b AS y1, c.b AS y
+        |  FROM daily p JOIN daily c ON c.x = p.x + 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS syi,
+        |    CAST(SUM(y1) AS BIGINT) AS s1i, CAST(SUM(a1) AS BIGINT) AS s2i,
+        |    CAST(SUM(y * y) AS BIGINT) AS syyi, CAST(SUM(y1 * y1) AS BIGINT) AS s11i,
+        |    CAST(SUM(a1 * a1) AS BIGINT) AS s22i, CAST(SUM(y1 * a1) AS BIGINT) AS s12i,
+        |    CAST(SUM(y * y1) AS BIGINT) AS s1yi, CAST(SUM(y * a1) AS BIGINT) AS s2yi
+        |  FROM pr),
+        |dd AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(syi AS DOUBLE) AS sy,
+        |    CAST(s1i AS DOUBLE) AS s1, CAST(s2i AS DOUBLE) AS s2,
+        |    CAST(syyi AS DOUBLE) AS syy, CAST(s11i AS DOUBLE) AS s11,
+        |    CAST(s22i AS DOUBLE) AS s22, CAST(s12i AS DOUBLE) AS s12,
+        |    CAST(s1yi AS DOUBLE) AS s1y, CAST(s2yi AS DOUBLE) AS s2y FROM m),
+        |r1 AS (SELECT *, (nd * s1y - sy * s1) / (nd * s11 - s1 * s1) AS phir FROM dd),
+        |r2 AS (SELECT *, (sy - phir * s1) / nd AS cr FROM r1),
+        |r3 AS (SELECT *, syy - cr * sy - phir * s1y AS rssr FROM r2),
+        |f1 AS (SELECT *,
+        |    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+        |      + s2 * (s1y * s12 - s11 * s2y) AS detc,
+        |    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s2y - s1y * s2) AS detp,
+        |    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS detb
+        |  FROM r3),
+        |f2 AS (SELECT *, detc / det AS cf, detp / det AS phif, detb / det AS betaf
+        |  FROM f1),
+        |f3 AS (SELECT *, syy - cf * sy - phif * s1y - betaf * s2y AS rssf FROM f2)
+        |SELECT n, ROUND(phif, 6) AS phi, ROUND(betaf, 6) AS beta,
+        |  ROUND((rssr - rssf) / (rssf / (nd - CAST('3.0' AS DOUBLE))), 4) AS f_granger
+        |FROM f3""".stripMargin,
+    "q409_chow" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |seg AS (SELECT x, r, CASE WHEN x < 1200 THEN 0 ELSE 1 END AS seg FROM daily),
+        |g AS MATERIALIZED (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    SUM(r) AS sy,
+        |    CAST(SUM(r * CAST(x AS DECIMAL(10,0))) AS DECIMAL(38,2)) AS sxy,
+        |    CAST(SUM(CAST(r AS DECIMAL(19,4)) * r) AS DECIMAL(38,4)) AS syy
+        |  FROM seg GROUP BY 1),
+        |sr AS (SELECT seg, n, sx, sy, sxy, syy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |  FROM g),
+        |sr2 AS (SELECT seg, n, b,
+        |    CAST(syy AS DOUBLE)
+        |      - ((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+        |        * CAST(sy AS DOUBLE)
+        |      - b * CAST(sxy AS DOUBLE) AS rss
+        |  FROM sr),
+        |pm AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+        |    CAST(SUM(sxx) AS BIGINT) AS sxx, SUM(sy) AS sy, SUM(sxy) AS sxy,
+        |    SUM(syy) AS syy FROM g),
+        |pb AS (SELECT n AS n_all, sx, sy, sxy, syy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |  FROM pm),
+        |pr AS (SELECT n_all,
+        |    CAST(syy AS DOUBLE)
+        |      - ((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n_all AS DOUBLE))
+        |        * CAST(sy AS DOUBLE)
+        |      - b * CAST(sxy AS DOUBLE) AS rss_p
+        |  FROM pb),
+        |two AS (SELECT MAX(CASE WHEN seg = 0 THEN n END) AS na,
+        |    MAX(CASE WHEN seg = 1 THEN n END) AS nb,
+        |    MAX(CASE WHEN seg = 0 THEN b END) AS ba,
+        |    MAX(CASE WHEN seg = 1 THEN b END) AS bb,
+        |    MAX(CASE WHEN seg = 0 THEN rss END) AS rssa,
+        |    MAX(CASE WHEN seg = 1 THEN rss END) AS rssb
+        |  FROM sr2)
+        |SELECT na AS n1, nb AS n2, ROUND(ba, 6) AS slope_pre,
+        |  ROUND(bb, 6) AS slope_post,
+        |  ROUND(((rss_p - rssa - rssb) / CAST('2.0' AS DOUBLE))
+        |    / ((rssa + rssb)
+        |      / (CAST(n_all AS DOUBLE) - CAST('4.0' AS DOUBLE))), 4) AS f_chow
+        |FROM two CROSS JOIN pr""".stripMargin,
+    "q410_deming" ->
+      """WITH li AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * CAST(1 - l_discount AS DECIMAL(12,4))
+        |      * CAST(1 + l_tax AS DECIMAL(12,4))) AS DECIMAL(24,6)) AS yv
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT CAST(o.xv AS DOUBLE) AS xd, CAST(li.yv AS DOUBLE) AS yd,
+        |    o.xv, li.yv
+        |  FROM (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS xv
+        |    FROM orders) o
+        |  JOIN li USING (o_orderkey)),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xv) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(yd, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(xv AS DECIMAL(19,4)) * xv) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(yd * yd, 4) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(ROUND(xd * yd, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND((yd - xd) * (yd - xd), 4) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sdd
+        |  FROM j),
+        |c AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m),
+        |c2 AS (SELECT *, sxx - sx * sx / nd AS sxxc, syy - sy * sy / nd AS syyc,
+        |    sxy - sx * sy / nd AS sxyc FROM c),
+        |c3 AS (SELECT *, (syyc - sxxc + SQRT((syyc - sxxc) * (syyc - sxxc)
+        |      + CAST('4.0' AS DOUBLE) * sxyc * sxyc))
+        |    / (CAST('2.0' AS DOUBLE) * sxyc) AS beta FROM c2),
+        |c4 AS (SELECT *, (sy - sx) / nd AS meand,
+        |    SQRT((sdd - (sy - sx) * (sy - sx) / nd)
+        |      / (nd - CAST('1.0' AS DOUBLE))) AS sd FROM c3)
+        |SELECT n, ROUND(beta, 6) AS deming_beta,
+        |  ROUND(sy / nd - beta * (sx / nd), 4) AS deming_alpha,
+        |  ROUND(meand, 4) AS ba_mean,
+        |  ROUND(meand - CAST('1.96' AS DOUBLE) * sd, 4) AS ba_lo,
+        |  ROUND(meand + CAST('1.96' AS DOUBLE) * sd, 4) AS ba_hi
+        |FROM c4""".stripMargin,
+    "q393_ljung_box" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(r AS DECIMAL(19,4)) * r) AS DOUBLE) AS srr
+        |  FROM daily),
+        |lags AS (SELECT CAST(u.l AS BIGINT) AS lag
+        |         FROM unnest([1,2,3,4,5,6,7,8,9,10]) AS u(l)),
+        |p AS (SELECT lags.lag, a.r AS rx, b.r AS ry
+        |  FROM daily a CROSS JOIN lags JOIN daily b ON b.x = a.x + lags.lag),
+        |m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(rx) AS DOUBLE) AS sxk, CAST(SUM(ry) AS DOUBLE) AS syk,
+        |    CAST(SUM(CAST(rx AS DECIMAL(19,4)) * ry) AS DOUBLE) AS sxyk
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT lag, n,
+        |    ROUND((sxyk - (sx / CAST(n AS DOUBLE)) * (sxk + syk)
+        |      + CAST(c AS DOUBLE) * (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+        |      / (srr - sx * sx / CAST(n AS DOUBLE)), 6) AS rho
+        |  FROM m CROSS JOIN tot),
+        |t AS (SELECT lag, n, rho,
+        |    CAST(ROUND(rho * rho / CAST(n - lag AS DOUBLE), 12) AS DECIMAL(38,12)) AS term
+        |  FROM r)
+        |SELECT lag, rho,
+        |  ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + CAST('2.0' AS DOUBLE))
+        |    * CAST(SUM(term) OVER (ORDER BY lag
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS q_lb
+        |FROM t ORDER BY lag""".stripMargin,
+    "q396_durbin_watson" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(r) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(r * CAST(x AS DECIMAL(10,0))) AS DECIMAL(38,2)) AS DOUBLE) AS sxy
+        |  FROM daily),
+        |bb AS (SELECT n, sx, sy,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |  FROM mom),
+        |e AS MATERIALIZED (SELECT x, n, b,
+        |    CAST(r AS DOUBLE) - (sy - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      - b * CAST(x AS DOUBLE) AS e
+        |  FROM daily CROSS JOIN bb),
+        |den AS (SELECT
+        |    CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(38,6))) AS DOUBLE) AS den,
+        |    MAX(b) AS b, MAX(n) AS n FROM e),
+        |num AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(ROUND((e2.e - e1.e) * (e2.e - e1.e), 6)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS num
+        |  FROM e e1 JOIN e e2 ON e2.x = e1.x + 1)
+        |SELECT n, n_pairs, ROUND(b, 6) AS slope, ROUND(num / den, 6) AS dw
+        |FROM num CROSS JOIN den""".stripMargin,
+    "q397_hurst_rs" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT x, r, CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS t
+        |  FROM daily),
+        |ws AS (SELECT t.t, t.r, CAST(u.w AS BIGINT) AS w
+        |  FROM t CROSS JOIN unnest([8,16,32,64]) AS u(w)),
+        |bi AS (SELECT w, r, t,
+        |    CAST(FLOOR(CAST(t - 1 AS DOUBLE) / CAST(w AS DOUBLE)) AS BIGINT) AS blk
+        |  FROM ws),
+        |bi2 AS (SELECT w, blk, r, t - blk * w AS i FROM bi),
+        |en AS (SELECT w, blk, i,
+        |    SUM(r) OVER (PARTITION BY w, blk ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    COUNT(*) OVER (PARTITION BY w, blk) AS cnt,
+        |    CAST(SUM(r) OVER (PARTITION BY w, blk) AS DOUBLE) AS sr,
+        |    CAST(SUM(CAST(r AS DECIMAL(19,4)) * r)
+        |      OVER (PARTITION BY w, blk) AS DOUBLE) AS srr
+        |  FROM bi2),
+        |dv AS (SELECT w, blk, sr, srr,
+        |    CAST(cum AS DOUBLE) - CAST(i AS DOUBLE) * (sr / CAST(w AS DOUBLE)) AS dev
+        |  FROM en WHERE cnt = w),
+        |blocks AS (SELECT w, blk, sr, srr, MAX(dev) - MIN(dev) AS rng
+        |  FROM dv GROUP BY 1, 2, 3, 4),
+        |sb AS (SELECT w, rng,
+        |    SQRT((srr - sr * sr / CAST(w AS DOUBLE)) / CAST(w AS DOUBLE)) AS sdev
+        |  FROM blocks),
+        |perw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    ROUND(CAST(SUM(CAST(ROUND(rng / sdev, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS rs_avg
+        |  FROM sb WHERE sdev > 0 GROUP BY 1),
+        |pts AS MATERIALIZED (SELECT w, n_blocks, rs_avg,
+        |    ROUND(LN(CAST(w AS DOUBLE)), 12) AS lw,
+        |    ROUND(LN(rs_avg), 12) AS lr
+        |  FROM perw),
+        |fit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+        |    CAST(SUM(CAST(lw AS DECIMAL(28,12))) AS DOUBLE) AS slw,
+        |    CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE) AS slr,
+        |    CAST(SUM(CAST(ROUND(lw * lw, 12) AS DECIMAL(28,12))) AS DOUBLE) AS slww,
+        |    CAST(SUM(CAST(ROUND(lw * lr, 12) AS DECIMAL(28,12))) AS DOUBLE) AS slwr
+        |  FROM pts)
+        |SELECT w, n_blocks, rs_avg,
+        |  ROUND((k * slwr - slw * slr) / (k * slww - slw * slw), 6) AS hurst
+        |FROM pts CROSS JOIN fit ORDER BY w""".stripMargin,
+    "q398_allan_variance" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS t
+        |  FROM daily),
+        |taus AS (SELECT CAST(u.v AS BIGINT) AS tau FROM unnest([1,2,4,8]) AS u(v)),
+        |bins AS (SELECT tau,
+        |    CAST(FLOOR(CAST(t - 1 AS DOUBLE) / CAST(tau AS DOUBLE)) AS BIGINT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(cnt) AS BIGINT) AS sc
+        |  FROM t CROSS JOIN taus GROUP BY 1, 2),
+        |fb AS MATERIALIZED (SELECT tau, bin,
+        |    CAST(sc AS DOUBLE) / CAST(tau AS DOUBLE) AS y
+        |  FROM bins WHERE nb = tau),
+        |m AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS m_bins FROM fb GROUP BY 1),
+        |diffs AS (SELECT a.tau, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(CAST(ROUND((b.y - a.y) * (b.y - a.y), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS sd2
+        |  FROM fb a JOIN fb b ON b.tau = a.tau AND b.bin = a.bin + 1 GROUP BY 1)
+        |SELECT d.tau, m.m_bins,
+        |  ROUND(d.sd2 / (CAST('2.0' AS DOUBLE) * CAST(d.nd AS DOUBLE)), 6) AS avar
+        |FROM diffs d JOIN m ON m.tau = d.tau ORDER BY d.tau""".stripMargin,
+    "q399_permutation_entropy" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |t AS MATERIALIZED (SELECT r,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS t FROM daily),
+        |tri AS (SELECT a.r AS y1, b.r AS y2, c.r AS y3
+        |  FROM t a JOIN t b ON b.t = a.t + 1 JOIN t c ON c.t = a.t + 2),
+        |os AS (SELECT
+        |    (CASE WHEN y2 <= y1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN y3 <= y1 THEN 1 ELSE 0 END) AS o1,
+        |    (CASE WHEN y1 < y2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN y3 <= y2 THEN 1 ELSE 0 END) AS o2,
+        |    (CASE WHEN y1 < y3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN y2 < y3 THEN 1 ELSE 0 END) AS o3
+        |  FROM tri),
+        |pc AS (SELECT CAST(o1 AS VARCHAR) || CAST(o2 AS VARCHAR)
+        |    || CAST(o3 AS VARCHAR) AS pattern, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM os GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS ntri FROM pc),
+        |wp AS MATERIALIZED (SELECT pattern, cnt,
+        |    CAST(cnt AS DOUBLE) / CAST(ntri AS DOUBLE) AS p
+        |  FROM pc CROSS JOIN tot),
+        |h AS (SELECT CAST(SUM(CAST(ROUND(p * LN(p), 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE) AS sh FROM wp)
+        |SELECT pattern, cnt, ROUND(p, 6) AS p,
+        |  ROUND(-sh / CAST('1.791759469228055' AS DOUBLE), 6) AS pe
+        |FROM wp CROSS JOIN h ORDER BY pattern""".stripMargin,
+    "q400_page_hinkley" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT x,
+        |    CAST(ROUND(CAST(sv AS DOUBLE) / CAST(cnt AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS t
+        |  FROM daily),
+        |c1 AS (SELECT x, t, v, SUM(v) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM v),
+        |c2 AS (SELECT *, CAST(ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6)
+        |    AS DECIMAL(18,6)) AS mt FROM c1),
+        |c3 AS (SELECT *, SUM(mt) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cms FROM c2),
+        |c4 AS (SELECT x, t,
+        |    ROUND(CAST(cum AS DOUBLE) - CAST(cms AS DOUBLE)
+        |      - CAST(t AS DOUBLE) * CAST('0.05' AS DOUBLE), 6) AS m
+        |  FROM c3),
+        |c5 AS (SELECT *, MAX(m) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx FROM c4)
+        |SELECT x, t, m, ROUND(mx - m, 6) AS ph,
+        |  ROUND(mx - m, 6) > CAST('2.0' AS DOUBLE) AS alarm
+        |FROM c5 ORDER BY t""".stripMargin,
     "q391_pacf" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '1995-01-01',

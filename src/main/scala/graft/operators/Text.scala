@@ -1904,7 +1904,196 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** (source, tok, cnt) whitespace-token counts plus per-source totals —
+    * the shared corpus-distribution kernel behind q401/q402/q403. One
+    * map-side-combined aggregate riding the documents scan; rows are
+    * bounded by |sources| × |vocab|, never the token stream.
+    */
+  private def srcTokenCounts(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoints.materializeCached(
+      Tables(s, d, "documents")
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** Q401: Dunning log-likelihood KEYNESS — which tokens are
+    * over-represented in each source vs the rest of the corpus? The
+    * corpus-linguistics statistic (G² on the 2×2 token/source table,
+    * signed by over/under-use) behind "what makes this source different",
+    * the per-source complement of q95's corpus-wide PMI collocations.
+    * Top-3 keywords per source by G², ties by token. All eight table
+    * cells are exact integer counts; G² is one scalar double expression
+    * per (source, token) row (x·ln(x/E) terms drop exactly at x = 0).
+    *
+    * Scale shape: one map-side-combined (source × vocab) aggregate, two
+    * ~|vocab|-row broadcasts; the rank window partitions by source.
+    */
+  def q401Keyness: Q = (s, d) => {
+    val stc = srcTokenCounts(s, d)
+    val srcTot = stc.groupBy(col("source")).agg(sum(col("cnt")).as("c_tot"))
+    val tokTot = stc.groupBy(col("tok")).agg(sum(col("cnt")).as("g_cnt"))
+    val all = stc.agg(sum(col("cnt")).as("g_tot"))
+    val j = stc.join(srcTot, Seq("source")).join(broadcast(tokTot), Seq("tok"))
+      .crossJoin(broadcast(all))
+    val aD = col("cnt").cast("double")
+    val bD = (col("g_cnt") - col("cnt")).cast("double")
+    val cD = col("c_tot").cast("double")
+    val dD = (col("g_tot") - col("c_tot")).cast("double")
+    val e1 = cD * col("g_cnt").cast("double") / col("g_tot").cast("double")
+    val e2 = dD * col("g_cnt").cast("double") / col("g_tot").cast("double")
+    val t1 = when(col("cnt") > 0, aD * log(aD / e1)).otherwise(lit(0.0))
+    val t2 = when(col("g_cnt") > col("cnt"), bD * log(bD / e2)).otherwise(lit(0.0))
+    // over/under-use sign via the EXACT decimal cross-product a·d ≥ b·c
+    // (rate comparison without division — portable at any count magnitude)
+    val dec19 = DecimalType(19, 0)
+    val scored = j.select(col("source"), col("tok").as("token"),
+      round(lit(2.0) * (t1 + t2), 4).as("g2"),
+      when(col("cnt").cast(dec19) * (col("g_tot") - col("c_tot")).cast(dec19)
+        >= (col("g_cnt") - col("cnt")).cast(dec19) * col("c_tot").cast(dec19),
+        lit(1L)).otherwise(lit(-1L)).as("direction"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("g2").desc, col("token"))
+    scored.withColumn("keyword_rank", row_number().over(w).cast("long"))
+      .filter(col("keyword_rank") <= 3)
+      .orderBy(col("source"), col("keyword_rank"))
+  }
+
+  /** Q402: pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the bounded symmetric distance data-mixing uses to
+    * pick complementary sources (0 = identical mix, ln 2 = disjoint).
+    * Token probabilities are exact count ratios; each p·ln(2p/(p+q)) term
+    * is 12-dp rounded under a decimal sum (order-independent), zero terms
+    * dropped by the same integer guard in both engines.
+    *
+    * Scale shape: the pair grid is |sources|² × |vocab| — model-sized,
+    * never corpus-sized; the only data pass is the shared q401 kernel.
+    */
+  def q402JsDivergence: Q = (s, d) =>
+    jsDivergenceKernel(srcTokenCounts(s, d))
+
+  /** The q402 JS kernel over a (source, tok, cnt) count relation — factored
+    * so the q418 streaming twin can run the SAME kernel over micro-batch-
+    * merged token-count cells (counts merge additively).
+    */
+  private[graft] def jsDivergenceKernel(stc: DataFrame): DataFrame = {
+    val tots = stc.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val p = stc.join(tots, Seq("source"))
+      .select(col("source"), col("tok"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+    // explicit (pair × vocab) grid: a tok-keyed self-join would DROP the
+    // tokens one side lacks — exactly the rows that drive JS upward
+    val srcs = tots.select(col("source"))
+    val grid = srcs.select(col("source").as("src_a"))
+      .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+      .crossJoin(broadcast(stc.select(col("tok")).distinct()))
+    val pairs = grid
+      .join(p.select(col("source").as("src_a"), col("tok"), col("p").as("pa")),
+        Seq("src_a", "tok"), "left")
+      .join(p.select(col("source").as("src_b"), col("tok"), col("p").as("pb")),
+        Seq("src_b", "tok"), "left")
+      .filter(col("pa").isNotNull || col("pb").isNotNull)
+    val pa = coalesce(col("pa"), lit(0.0))
+    val pb = coalesce(col("pb"), lit(0.0))
+    val term =
+      when(col("pa").isNotNull, pa * log(lit(2.0) * pa / (pa + pb))).otherwise(lit(0.0)) +
+        when(col("pb").isNotNull, pb * log(lit(2.0) * pb / (pa + pb))).otherwise(lit(0.0))
+    pairs.groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum(round(lit(0.5) * term, 12).cast(DecimalType(28, 12)))
+        .cast("double"), 6).as("js"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Q403: cross-source unigram cross-entropy matrix — train an add-1
+    * smoothed unigram LM on source A, evaluate on source B:
+    * CE(A→B) = −Σ_w p_B(w) · ln((cnt_A(w)+1)/(N_A+V)). The transfer
+    * matrix a data-mixing pipeline reads to find which sources model
+    * which (the diagonal is each source's own smoothed entropy) — the
+    * multi-source generalization of q148's bigram LM and q228's
+    * perplexity eval. Exact integer counts; 12-dp-rounded terms under a
+    * decimal sum.
+    */
+  def q403CrossEntropy: Q = (s, d) => {
+    val stc = srcTokenCounts(s, d)
+    val tots = stc.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val vocab = stc.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val evalSide = stc.join(tots, Seq("source"))
+      .select(col("source").as("eval_src"), col("tok"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("pb"))
+    val trainTot = tots.select(col("source").as("train_src"), col("tot").as("n_a"))
+    val trainCnt = stc.select(col("source").as("train_src"), col("tok"),
+      col("cnt").as("cnt_a"))
+    evalSide.crossJoin(broadcast(trainTot))
+      .join(trainCnt, Seq("train_src", "tok"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("train_src"), col("eval_src"),
+        (col("pb") * log((coalesce(col("cnt_a"), lit(0L)) + 1).cast("double")
+          / (col("n_a") + col("v")).cast("double"))).as("term"))
+      .groupBy(col("train_src"), col("eval_src"))
+      .agg(round(negate(sum(round(col("term"), 12).cast(DecimalType(28, 12)))
+        .cast("double")), 6).as("ce"))
+      .orderBy(col("train_src"), col("eval_src"))
+  }
+
+  /** Q404: Fleiss' kappa across three deterministic document raters —
+    * the inter-annotator-agreement statistic run over three heuristic
+    * "keep" classifiers (token count ≥ 30, distinct tokens ≥ 25,
+    * n_chars ≥ 150), the multi-rater generalization of q315's Cohen
+    * kappa. Per-item agreement P_i has denominator 6 exactly, so the sum
+    * is carried as an exact integer numerator; marginals are exact
+    * ratios; κ is one scalar double expression on the 1-row moment
+    * relation.
+    */
+  def q404FleissKappa: Q = (s, d) => {
+    val rated = Tables(s, d, "documents")
+      .select(
+        when(size(toks) >= 30, 1L).otherwise(0L).as("r1"),
+        when(size(array_distinct(toks)) >= 25, 1L).otherwise(0L).as("r2"),
+        when(col("n_chars") >= 150L, 1L).otherwise(0L).as("r3"))
+      .select((col("r1") + col("r2") + col("r3")).as("n1"))
+    // P_i = (n1² + (3−n1)² − 3) / 6 — keep the integer numerator exact
+    val mom = rated.agg(count(lit(1)).as("n_items"),
+      sum(col("n1") * col("n1")
+        + (lit(3L) - col("n1")) * (lit(3L) - col("n1")) - lit(3L)).as("pnum"),
+      sum(col("n1")).as("s1"))
+    val nD = col("n_items").cast("double")
+    val pBar = col("pnum").cast("double") / (lit(6.0) * nD)
+    val p1 = col("s1").cast("double") / (lit(3.0) * nD)
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    mom.select(col("n_items"),
+      round(pBar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+      round((pBar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Q405: syllable-based readability (Flesch reading ease) per source —
+    * 206.835 − 1.015·(words/docs) − 84.6·(syllables/words), with
+    * vowel-group runs as the syllable proxy and the document as the
+    * sentence unit (the corpus has no sentence punctuation — same regex,
+    * same unit, both engines). Every input is an exact integer count
+    * summed map-side; the score is one scalar double expression on the
+    * per-source moment row.
+    */
+  def q405Readability: Q = (s, d) => {
+    val perDoc = Tables(s, d, "documents")
+      .select(col("source"), size(toks).cast("long").as("w"),
+        regexp_count(col("text"), lit("[aeiouy]+")).cast("long").as("y"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("y")).as("syllables"))
+      .select(col("source"), col("n_docs"), col("words"), col("syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("words").cast("double") / col("n_docs").cast("double"))
+          - lit(84.6) * (col("syllables").cast("double") / col("words").cast("double")),
+          4).as("flesch"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q401_keyness" -> q401Keyness,
+    "q402_js_divergence" -> q402JsDivergence,
+    "q403_cross_entropy" -> q403CrossEntropy,
+    "q404_fleiss_kappa" -> q404FleissKappa,
+    "q405_readability" -> q405Readability,
     "q395_good_turing" -> q395GoodTuring,
     "q392_burrows_delta" -> q392BurrowsDelta,
     "q385_heaps_law" -> q385HeapsLaw,
@@ -1999,6 +2188,135 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q401_keyness" ->
+      """WITH tk AS (
+        |  SELECT source, u.t AS tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |stc AS MATERIALIZED (
+        |  SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+        |ct AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS c_tot FROM stc GROUP BY 1),
+        |gt AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS g_cnt FROM stc GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS g_tot FROM stc),
+        |j AS (SELECT stc.source, stc.tok, cnt, c_tot, g_cnt, g_tot
+        |  FROM stc JOIN ct USING (source) JOIN gt USING (tok) CROSS JOIN tot),
+        |sc AS (SELECT source, tok AS token,
+        |    ROUND(CAST('2.0' AS DOUBLE) * (
+        |      CASE WHEN cnt > 0 THEN CAST(cnt AS DOUBLE)
+        |        * LN(CAST(cnt AS DOUBLE) / (CAST(c_tot AS DOUBLE)
+        |          * CAST(g_cnt AS DOUBLE) / CAST(g_tot AS DOUBLE)))
+        |        ELSE CAST('0.0' AS DOUBLE) END
+        |      + CASE WHEN g_cnt > cnt THEN CAST(g_cnt - cnt AS DOUBLE)
+        |        * LN(CAST(g_cnt - cnt AS DOUBLE) / (CAST(g_tot - c_tot AS DOUBLE)
+        |          * CAST(g_cnt AS DOUBLE) / CAST(g_tot AS DOUBLE)))
+        |        ELSE CAST('0.0' AS DOUBLE) END), 4) AS g2,
+        |    CASE WHEN CAST(cnt AS DECIMAL(19,0)) * CAST(g_tot - c_tot AS DECIMAL(19,0))
+        |        >= CAST(g_cnt - cnt AS DECIMAL(19,0)) * CAST(c_tot AS DECIMAL(19,0))
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS direction
+        |  FROM j),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY g2 DESC, token) AS BIGINT) AS keyword_rank FROM sc)
+        |SELECT source, token, g2, direction, keyword_rank
+        |FROM rk WHERE keyword_rank <= 3 ORDER BY source, keyword_rank""".stripMargin,
+    "q402_js_divergence" ->
+      """WITH tk AS (
+        |  SELECT source, u.t AS tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |stc AS MATERIALIZED (
+        |  SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+        |tots AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM stc GROUP BY 1),
+        |p AS MATERIALIZED (SELECT source, tok,
+        |    CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        |  FROM stc JOIN tots USING (source)),
+        |grid AS (SELECT a.source AS src_a, b.source AS src_b, v.tok
+        |  FROM tots a CROSS JOIN tots b
+        |    CROSS JOIN (SELECT DISTINCT tok FROM stc) v
+        |  WHERE a.source < b.source),
+        |pr AS (SELECT g.src_a, g.src_b, pa.p AS pa, pb.p AS pb
+        |  FROM grid g
+        |    LEFT JOIN p pa ON pa.source = g.src_a AND pa.tok = g.tok
+        |    LEFT JOIN p pb ON pb.source = g.src_b AND pb.tok = g.tok
+        |  WHERE pa.p IS NOT NULL OR pb.p IS NOT NULL)
+        |SELECT src_a, src_b,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST('0.5' AS DOUBLE) * (
+        |    CASE WHEN pa IS NOT NULL THEN COALESCE(pa, CAST('0.0' AS DOUBLE))
+        |      * LN(CAST('2.0' AS DOUBLE) * COALESCE(pa, CAST('0.0' AS DOUBLE))
+        |        / (COALESCE(pa, CAST('0.0' AS DOUBLE)) + COALESCE(pb, CAST('0.0' AS DOUBLE))))
+        |      ELSE CAST('0.0' AS DOUBLE) END
+        |    + CASE WHEN pb IS NOT NULL THEN COALESCE(pb, CAST('0.0' AS DOUBLE))
+        |      * LN(CAST('2.0' AS DOUBLE) * COALESCE(pb, CAST('0.0' AS DOUBLE))
+        |        / (COALESCE(pa, CAST('0.0' AS DOUBLE)) + COALESCE(pb, CAST('0.0' AS DOUBLE))))
+        |      ELSE CAST('0.0' AS DOUBLE) END), 12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS js
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q403_cross_entropy" ->
+      """WITH tk AS (
+        |  SELECT source, u.t AS tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |stc AS MATERIALIZED (
+        |  SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+        |tots AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM stc GROUP BY 1),
+        |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM stc),
+        |ev AS (SELECT source AS eval_src, tok,
+        |    CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS pb
+        |  FROM stc JOIN tots USING (source)),
+        |tr AS (SELECT source AS train_src, tot AS n_a FROM tots),
+        |tc AS (SELECT source AS train_src, tok, cnt AS cnt_a FROM stc)
+        |SELECT tr.train_src, ev.eval_src,
+        |  ROUND(-CAST(SUM(CAST(ROUND(pb * LN(CAST(COALESCE(cnt_a, 0) + 1 AS DOUBLE)
+        |    / CAST(n_a + v AS DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS ce
+        |FROM ev CROSS JOIN tr
+        |  LEFT JOIN tc ON tc.train_src = tr.train_src AND tc.tok = ev.tok
+        |  CROSS JOIN vocab
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q404_fleiss_kappa" ->
+      """WITH r AS (SELECT
+        |    (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 30
+        |      THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |        x -> x <> ''))) >= 25 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS n1
+        |  FROM documents),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1) - 3) AS BIGINT) AS pnum,
+        |    CAST(SUM(n1) AS BIGINT) AS s1 FROM r)
+        |SELECT n_items,
+        |  ROUND(CAST(pnum AS DOUBLE)
+        |    / (CAST('6.0' AS DOUBLE) * CAST(n_items AS DOUBLE)), 6) AS p_bar,
+        |  ROUND((CAST(s1 AS DOUBLE) / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |      * (CAST(s1 AS DOUBLE) / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |    + (CAST('1.0' AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |      * (CAST('1.0' AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE))), 6) AS p_e,
+        |  ROUND((CAST(pnum AS DOUBLE) / (CAST('6.0' AS DOUBLE) * CAST(n_items AS DOUBLE))
+        |    - ((CAST(s1 AS DOUBLE) / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |      * (CAST(s1 AS DOUBLE) / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |    + (CAST('1.0' AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |      * (CAST('1.0' AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))))
+        |  / (CAST('1.0' AS DOUBLE)
+        |    - ((CAST(s1 AS DOUBLE) / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |      * (CAST(s1 AS DOUBLE) / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |    + (CAST('1.0' AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE)))
+        |      * (CAST('1.0' AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        / (CAST('3.0' AS DOUBLE) * CAST(n_items AS DOUBLE))))), 6) AS kappa
+        |FROM mom""".stripMargin,
+    "q405_readability" ->
+      """WITH pd AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS words,
+        |  CAST(SUM(y) AS BIGINT) AS syllables,
+        |  ROUND(CAST('206.835' AS DOUBLE)
+        |    - CAST('1.015' AS DOUBLE) * (CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |    - CAST('84.6' AS DOUBLE) * (CAST(SUM(y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)),
+        |    4) AS flesch
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     "q395_good_turing" ->
       """WITH counts AS (
         |  SELECT source, u.t AS tok, COUNT(*) AS c

@@ -1927,7 +1927,102 @@ object Windows {
     } finally deleteRecursively(tmp)
   }
 
+  /** Q417: streaming Page–Hinkley drift monitor — q400's sequential
+    * change-of-mean detector fed by the micro-batch stream: each batch
+    * reduces to additive (day, count, exact decimal value-sum) cells, the
+    * drain merges cells, and [[graft.operators.Stats.pageHinkleyKernel]]
+    * (the EXACT q400 kernel) runs once on the merged day grid — so the
+    * streaming answer is hash-checked against q400's own DuckDB oracle.
+    * The state a 100 TB deployment keeps is one bounded cell per
+    * (calendar day), not events.
+    */
+  def q417StreamPageHinkley: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(datediff(col("ts2").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"), col("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q417_").toString
+    try {
+      val feedDir = s"$tmp/feed"; val sumDir = s"$tmp/summaries"
+      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q417Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(q417Drain(s, sumDir))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q417's per-batch writer: one additive (day, count, exact value-sum)
+    * cell relation per micro-batch under an idempotent `batch=<id>` sink.
+    */
+  private[graft] def q417Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF().groupBy(col("x"))
+          .agg(count(lit(1)).as("c"), sum(dec(col("value"))).as("sv"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q417's drain: merge day cells additively, run q400's PH kernel once. */
+  private[graft] def q417Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.operators.Stats.pageHinkleyKernel(
+      s.read.parquet(sumDir).groupBy(col("x"))
+        .agg(sum(col("c")).cast("long").as("cnt"),
+          sum(col("sv")).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+            .as("sv")))
+
+  /** Q418: streaming corpus-mix drift — q402's pairwise Jensen–Shannon
+    * divergence matrix maintained over a document stream: per batch one
+    * additive (source, token, count) cell relation, merged at the drain,
+    * then [[graft.operators.Text.jsDivergenceKernel]] (the EXACT q402
+    * kernel) — hash-checked against q402's own oracle. The live view a
+    * data-mixing pipeline watches to see whether today's ingest changed
+    * the inter-source distances; state is |sources|×|vocab| cells.
+    */
+  def q418StreamJsDrift: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q418_").toString
+    try {
+      val feedDir = s"$tmp/feed"; val sumDir = s"$tmp/summaries"
+      docs.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q418Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(q418Drain(s, sumDir))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q418's per-batch writer: additive (source, token, count) cells. */
+  private[graft] def q418Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        val toksW = filter(split(col("text"), " "), t => t =!= "")
+        batch.toDF().select(col("source"), explode(toksW).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q418's drain: merge token cells additively, run q402's JS kernel once. */
+  private[graft] def q418Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.operators.Text.jsDivergenceKernel(
+      s.read.parquet(sumDir).groupBy(col("source"), col("tok"))
+        .agg(sum(col("c")).cast("long").as("cnt")))
+
   val queries: Map[String, Q] = Map(
+    "q417_stream_page_hinkley" -> q417StreamPageHinkley,
+    "q418_stream_js_drift" -> q418StreamJsDrift,
     "q390_stream_runs" -> q390StreamRuns,
     "q375_stream_wasserstein" -> q375StreamWasserstein,
     "q376_stream_ewma" -> q376StreamEwma,
@@ -2048,6 +2143,12 @@ object Windows {
     // q390 shares q383's oracle verbatim (hourly cells merge additively)
     "q390_stream_runs" ->
       graft.operators.Events.oracles("q383_runs_test"),
+    // q417/q418 run the batch kernels over additively-merged micro-batch
+    // cells — same relation, same kernel, same oracle verbatim
+    "q417_stream_page_hinkley" ->
+      graft.operators.Stats.oracles("q400_page_hinkley"),
+    "q418_stream_js_drift" ->
+      graft.operators.Text.oracles("q402_js_divergence"),
     // q375 shares q363's oracle verbatim (per-cent half counts merge
     // additively against the same fixed integer midpoint)
     "q375_stream_wasserstein" ->

@@ -34,6 +34,18 @@ class PlanAuditSpec extends SparkSpec {
     "q53_train_test_split", // 1-row split-total relation
     "q62_stratified",    // 1-row per-stratum totals
     "q108_equidepth_scale", // 1-row broadcast decile-cutoff array
+    "q393_ljung_box",    // 1-row series-moment relation
+    "q401_keyness",      // 1-row corpus-total relation
+    "q409_chow",         // 1-row pooled-RSS relation
+    "q412_neyman_allocation", // 1-row weight-total + leftover relations
+    "q414_twonn",        // bounded chunk scan (q60 family exact baseline)
+    "q413_hodges_lehmann", // bounded weekday-slot day grids (calendar-bounded)
+    "q415_cliffs_delta", // 4-row source grid × bounded n_chars value domain
+    "q402_js_divergence", // |sources|-row × |vocab|-row distribution grid
+    "q403_cross_entropy", // |sources|-row train totals + 1-row vocab size
+    "q396_durbin_watson", // 1-row OLS-moment + 1-row denominator relations
+    "q397_hurst_rs",     // 1-row log-log OLS fit relation
+    "q399_permutation_entropy", // 1-row triple-total + 1-row entropy relations
     "q111_mix_weights",  // 1-row broadcast weight-normalization total
     "q113_embed_dedup_blocked", // K-centroid broadcast (q41's IVF index)
     "q114_cosine_topk_blocked", // K-centroid broadcast (q41's IVF index)
@@ -168,7 +180,15 @@ class PlanAuditSpec extends SparkSpec {
     "q362_kruskal_wallis" -> "the q361 rank cumsum over the same bounded bucket collapse",
     "q363_wasserstein" -> "CDF cumsums + lead over the bounded cent-support collapse (value domain <= 3300 cents), never the events",
     "q365_fdr_bh" -> "BH step-up rank over the <=|event types|-row p-value relation",
-    "q369_log_rank" -> "reverse at-risk cumsums over the duration GRID (q210's bounded month-span argument), never the customers")
+    "q369_log_rank" -> "reverse at-risk cumsums over the duration GRID (q210's bounded month-span argument), never the customers",
+    "q393_ljung_box" -> "Q-statistic cumsum over the 10-row lag-moment relation, never the orders",
+    "q397_hurst_rs" -> "row_number over the calendar-bounded day GRID (~2400 rows at any SF, the q210 argument), never the orders; block R/S windows are partitioned",
+    "q398_allan_variance" -> "row_number over the <=31-row event-day grid, never the events",
+    "q399_permutation_entropy" -> "row_number over the calendar-bounded day GRID (the q210/q397 argument), never the orders",
+    "q400_page_hinkley" -> "PH cumsums over the <=31-row event-day grid, never the events",
+    "q411_rbo" -> "rank windows over the two TakeOrdered-bounded 50-row top-part relations (q239's argument), never the lineitems",
+    "q412_neyman_allocation" -> "largest-remainder rank over the 5-row stratum relation",
+    "q413_hodges_lehmann" -> "lower-median rank over the (calendar-bounded weekday slots)² pair relation (~343² rows at any SF), never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -183,7 +203,8 @@ class PlanAuditSpec extends SparkSpec {
     "q307_stream_negatives", "q320_stream_kappa", "q326_stream_fd",
     "q329_stream_srm", "q337_stream_psi", "q348_stream_mann_kendall",
     "q354_stream_permutation", "q375_stream_wasserstein",
-    "q376_stream_ewma", "q390_stream_runs")
+    "q376_stream_ewma", "q390_stream_runs",
+    "q417_stream_page_hinkley", "q418_stream_js_drift")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -874,7 +874,22 @@ class StreamingSpec extends SparkSpec {
         pmod($"h", lit(2L)) === 0,
         tmp => Windows.q376Writer(s"$tmp/sum"),
         tmp => Windows.q376Drain(spark, s"$tmp/sum"),
-        () => Windows.q376StreamEwma(spark, sf0001)))
+        () => Windows.q376StreamEwma(spark, sf0001)),
+      TwinCase("q417_stream_page_hinkley",
+        () => evAll.select(
+          datediff($"ts2".cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"), $"value"),
+        pmod($"x", lit(2L)) === 0,
+        tmp => Windows.q417Writer(s"$tmp/sum"),
+        tmp => Windows.q417Drain(spark, s"$tmp/sum"),
+        () => Windows.q417StreamPageHinkley(spark, sf0001)),
+      TwinCase("q418_stream_js_drift",
+        () => graft.Tables(spark, sf0001, "documents")
+          .select($"source", $"text", $"doc_id"),
+        pmod($"doc_id", lit(2L)) === 0,
+        tmp => Windows.q418Writer(s"$tmp/sum"),
+        tmp => Windows.q418Drain(spark, s"$tmp/sum"),
+        () => Windows.q418StreamJsDrift(spark, sf0001)))
 
     twins.foreach { tc =>
       test(s"${tc.name}: drained summary survives a checkpointed stop/start") {
