@@ -109,10 +109,43 @@ object Checkpoints {
       }
     })
 
+  // Session-memoized on-disk FEED directories for the streaming twins: each
+  // stream query's file-source input is a deterministic reshaping of a base
+  // table, re-written per call before this cache — in a bench sweep the
+  // same feed was paid on EVERY rep (min-of-2 heavies twice, 5-rep tiers
+  // five times; the round-11 drain decomposition measured 0.3-0.8 s per
+  // write). Keyed like matCache by (session, semanticHash); the feed is
+  // immutable input, so reuse cannot change results. Directories live for
+  // the JVM — bounded by the stream-query population (~30 per sf dir).
+  private val feedCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), (DataFrame, String)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), (DataFrame, String)]): Boolean =
+        size() > 256
+    })
+
+  /** Write `df` once per (session, semantics) as a parquet feed directory
+    * and return the path; later calls with a semantically-equal frame reuse
+    * the directory. Callers must treat the directory as READ-ONLY.
+    */
+  def feedDirCached(df: DataFrame): String = {
+    val key = (System.identityHashCode(df.sparkSession).toString,
+      df.semanticHash().toString)
+    val hit = feedCache.get(key)
+    if (hit != null && (hit._1.sparkSession eq df.sparkSession) &&
+        hit._1.sameSemantics(df)) hit._2
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_feed_").toString
+      df.write.mode("overwrite").parquet(dir)
+      feedCache.put(key, (df, dir))
+      dir
+    }
+  }
+
   /** Drop every memoized materialization (use after overwriting an input
     * table mid-session).
     */
-  def clearMaterializeCache(): Unit = matCache.clear()
+  def clearMaterializeCache(): Unit = { matCache.clear(); feedCache.clear() }
 
   /** Materialize `df` eagerly and cut its lineage; mode per the session conf
     * (explicit `checkpointDir` overrides it).

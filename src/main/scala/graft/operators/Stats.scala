@@ -3219,7 +3219,13 @@ object Stats {
     * the (t, t+1) day join (no window), and both quadratic sums use the
     * 6-dp-rounded-term decimal battery.
     */
-  def q396DurbinWatson: Q = (s, d) => {
+  /** Daily-revenue OLS residual relation (x, e) carrying the closed-form
+    * trend moments (n, sx, sxx, b) — the shared kernel behind the
+    * regression-diagnostics battery: q396 Durbin–Watson, q425 Cook's
+    * distance, q426 Breusch–Pagan, q427 Jarque–Bera. One calendar-bounded
+    * grid pass; the residual is one deterministic scalar per day.
+    */
+  private[operators] def dailyOlsResiduals(s: SparkSession, d: String): DataFrame = {
     val grid = dailyRevenue(s, d)
     val mom = grid.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"),
@@ -3231,12 +3237,16 @@ object Stats {
     val sxD = col("sx").cast("double")
     val slope = (nD * col("sxy") - sxD * col("sy")) /
       (nD * col("sxx").cast("double") - sxD * sxD)
-    val e = grid.crossJoin(broadcast(
-        mom.select(col("n"), col("sx"), col("sy"), slope.as("b"))))
-      .select(col("x"), col("n"), col("b"),
+    grid.crossJoin(broadcast(
+        mom.select(col("n"), col("sx"), col("sxx"), col("sy"), slope.as("b"))))
+      .select(col("x"), col("n"), col("sx"), col("sxx"), col("b"),
         (col("r").cast("double")
           - (col("sy") - col("b") * col("sx").cast("double")) / col("n").cast("double")
           - col("b") * col("x").cast("double")).as("e"))
+  }
+
+  def q396DurbinWatson: Q = (s, d) => {
+    val e = dailyOlsResiduals(s, d)
     val den = e.agg(
       sum(round(col("e") * col("e"), 6).cast(DecimalType(38, 6)))
         .cast("double").as("den"),
@@ -3518,13 +3528,19 @@ object Stats {
     * identities keep everything one scalar expression on the 1-row
     * moment relation. The day-pair join is calendar-bounded.
     */
-  def q408Granger: Q = (s, d) => {
-    val daily = graft.Checkpoints.materializeCached(
+  /** Daily (click count, purchase count) grid — shared by q408 Granger and
+    * q424 Spearman; session-memoized like [[dailyRevenue]].
+    */
+  private[operators] def dailyClickPurchase(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoints.materializeCached(
       graft.Tables.events(s, d)
         .groupBy(datediff(col("ts2").cast("date"), lit("2024-01-01").cast("date"))
           .cast("long").as("x"))
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b")))
+
+  def q408Granger: Q = (s, d) => {
+    val daily = dailyClickPurchase(s, d)
     val rows = daily.select((col("x") + 1).as("x2"),
         col("a").as("a1"), col("b").as("y1"))
       .join(daily.select(col("x").as("x2"), col("b").as("y")), Seq("x2"))
@@ -3827,7 +3843,204 @@ object Stats {
       .orderBy(col("prio"))
   }
 
+  /** Q420: Friedman test + Kendall's W across event types over daily
+    * blocks — the repeated-measures rank test: within each day the five
+    * event-type counts are ranked with AVERAGE ranks for ties carried as
+    * the exact integer 2·rank + ties − 1 (so rank sums, their squares,
+    * and the tie-corrected χ²_F = (k−1)·Σ(2R_j − n(k+1))²/(ΣR2² −
+    * nk(k+1)²) are ALL integer until one double division). W = χ²/(n(k−1))
+    * is the agreement coefficient. Missing (day, type) cells are zero-
+    * filled on the bounded grid so blocks stay complete.
+    */
+  def q420Friedman: Q = (s, d) => {
+    val daily = graft.Tables.events(s, d)
+      .groupBy(datediff(col("ts2").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val days = daily.select(col("x")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(daily, Seq("x", "event_type"), "left")
+      .select(col("x"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+    val wb = Window.partitionBy(col("x")).orderBy(col("c"))
+    val we = Window.partitionBy(col("x"), col("c"))
+    val r2 = grid
+      .withColumn("rmin", rank().over(wb).cast("long"))
+      .withColumn("ties", count(lit(1)).over(we))
+      .select(col("x"), col("event_type"),
+        (lit(2L) * col("rmin") + col("ties") - 1L).as("r2"))
+    val perType = r2.groupBy(col("event_type"))
+      .agg(sum(col("r2")).as("sr2"), sum(col("r2") * col("r2")).as("sr22"),
+        count(lit(1)).as("nb"))
+    val nb = perType.agg(max(col("nb")).as("n"), count(lit(1)).as("k"),
+      sum(col("sr22")).as("sa2"))
+    val m = perType.crossJoin(broadcast(nb))
+      .select(col("n"), col("k"), col("sa2"),
+        ((col("sr2") - col("n") * (col("k") + 1L))
+          * (col("sr2") - col("n") * (col("k") + 1L))).as("dev2"))
+      .groupBy(col("n"), col("k"), col("sa2"))
+      .agg(sum(col("dev2")).as("sdev2"))
+    val chi = (col("k") - 1L).cast("double") * col("sdev2").cast("double") /
+      (col("sa2") - col("n") * col("k") * (col("k") + 1L) * (col("k") + 1L))
+        .cast("double")
+    m.select(col("n").as("n_blocks"), col("k"),
+      round(chi, 6).as("chi2_f"),
+      round(chi / (col("n") * (col("k") - 1L)).cast("double"), 6).as("kendalls_w"))
+  }
+
+  /** Q423: Anderson–Darling and Cramér–von Mises uniformity of the CENT
+    * fraction of order prices — the q204-Benford companion for the low
+    * digits (price-ending manipulation / synthetic-data tells). Both EDF
+    * statistics collapse to the bounded 100-value cent domain: per value
+    * the order-statistic index sums Σ(2j−1), Σ(2j−1)² are closed-form
+    * exact integers, so A² and ω² are sums of one scalar term per cent
+    * value (4/12-dp rounded under decimal sums) — never a data-sized
+    * sort.
+    */
+  def q423AndersonDarling: Q = (s, d) => {
+    val cents = Tables(s, d, "orders")
+      .select(pmod((dec(col("o_totalprice")) * 100).cast("long"), lit(100L)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cents.agg(sum(col("m")).as("n"))
+    val withS = cents
+      .withColumn("s", sum(col("m")).over(w) - col("m"))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double")
+    val u = (col("c").cast("double") + lit(0.5)) / lit(100.0)
+    val av = col("m") * (lit(2L) * col("s") + col("m"))
+    val bv = col("m") * (lit(2L) * (col("n") - col("s")) - col("m"))
+    // Σ_{j=1..t} (2j−1)² = t(2t−1)(2t+1)/3 — INTEGER division (`div`): the
+    // product is always divisible by 3 and exceeds 2^53, so a double
+    // detour would lose exactness
+    val sj2 = expr("((s + m) * (2*(s + m) - 1) * (2*(s + m) + 1)" +
+      " - s * (2*s - 1) * (2*s + 1)) div 3")
+    val adTerm = round(av.cast("double") * log(u) + bv.cast("double") * log(lit(1.0) - u), 4)
+      .cast(DecimalType(38, 4))
+    val w2Term = round(col("m").cast("double") * u * u
+      - (av.cast("double") / nD) * u
+      + sj2.cast("double") / (lit(4.0) * nD * nD), 12).cast(DecimalType(38, 12))
+    withS.groupBy(col("n"))
+      .agg(sum(adTerm).cast("double").as("sad"),
+        sum(w2Term).cast("double").as("sw2"))
+      .select(col("n"),
+        round(negate(nD) - col("sad") / nD, 4).as("a2"),
+        round(lit(1.0) / (lit(12.0) * nD) + col("sw2"), 6).as("w2"))
+  }
+
+  /** Q424: Spearman rank correlation between daily click and purchase
+    * counts — the monotone-association complement to q372's Kendall τ-b,
+    * over the shared [[dailyClickPurchase]] grid. Average tie ranks are
+    * carried as the exact integer 2·rank + ties − 1 (the q420 trick), so
+    * ρ is Pearson on integer rank moments: exact until one division.
+    */
+  def q424Spearman: Q = (s, d) => {
+    val daily = dailyClickPurchase(s, d)
+    def r2(c: String, out: String): Column = {
+      val wb = Window.orderBy(col(c))
+      val we = Window.partitionBy(col(c))
+      (lit(2L) * rank().over(wb).cast("long") + count(lit(1)).over(we) - 1L).as(out)
+    }
+    val ranked = daily.select(r2("a", "ra"), r2("b", "rb"))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+      sum(col("ra") * col("ra")).as("saa"), sum(col("rb") * col("rb")).as("sbb"),
+      sum(col("ra") * col("rb")).as("sab"))
+    val nD = col("n").cast("double")
+    m.select(col("n"),
+      round((nD * col("sab").cast("double")
+        - col("sa").cast("double") * col("sb").cast("double"))
+        / sqrt((nD * col("saa").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double"))
+          * (nD * col("sbb").cast("double")
+            - col("sb").cast("double") * col("sb").cast("double"))), 6).as("rho"))
+  }
+
+  /** Q425: Cook's distance — the five most influential days of the daily-
+    * revenue trend fit, D_i = e_i²·h_i/(p·s²·(1−h_i)²) with leverage
+    * h_i = 1/n + (x−x̄)²/Sxx (p = 2). Regression diagnostics over the
+    * shared [[dailyOlsResiduals]] kernel: everything is one scalar
+    * expression per day on the calendar-bounded grid, ranked by the
+    * 6-dp-rounded D (ties by day) under a TakeOrdered top-5.
+    */
+  def q425CooksDistance: Q = (s, d) => {
+    val e = dailyOlsResiduals(s, d)
+    val den = e.agg(
+      sum(round(col("e") * col("e"), 6).cast(DecimalType(38, 6)))
+        .cast("double").as("rss"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxC = col("sxx").cast("double") - sxD * sxD / nD
+    val h = lit(1.0) / nD + (col("x").cast("double") - sxD / nD) *
+      (col("x").cast("double") - sxD / nD) / sxxC
+    val s2 = col("rss") / (nD - lit(2.0))
+    val dcook = col("e") * col("e") * h /
+      (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h))
+    e.crossJoin(broadcast(den))
+      .select(col("x"), round(col("e"), 4).as("resid"),
+        round(h, 6).as("leverage"), round(dcook, 6).as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("x")).limit(5)
+  }
+
+  /** Q426: Breusch–Pagan heteroscedasticity test — regress the squared
+    * daily-trend residuals on the day index; LM = n·R² ~ χ²(1) flags
+    * variance growing with time (the q396 companion: DW catches serial
+    * correlation, BP catches fanning). Squared residuals are 4-dp-rounded
+    * decimals, so the auxiliary OLS moments are exact sums.
+    */
+  def q426BreuschPagan: Q = (s, d) => {
+    val e = dailyOlsResiduals(s, d)
+    val g = e.select(col("x"), col("n"),
+      round(col("e") * col("e"), 4).as("g"))
+    val m = g.agg(max(col("n")).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("g").cast(DecimalType(38, 4))).cast("double").as("sg"),
+      sum(round(col("x").cast("double") * col("g"), 4).cast(DecimalType(38, 4)))
+        .cast("double").as("sxg"),
+      sum(round(col("g") * col("g"), 4).cast(DecimalType(38, 4)))
+        .cast("double").as("sgg"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxg") - col("sx").cast("double") * col("sg")
+    val r2 = num * num /
+      ((nD * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+        * (nD * col("sgg") - col("sg") * col("sg")))
+    m.select(col("n"), round(r2, 6).as("r2"), round(nD * r2, 4).as("lm"))
+  }
+
+  /** Q427: Jarque–Bera normality of the daily-trend residuals —
+    * JB = n/6·(S² + (K−3)²/4) from the 3rd/4th residual moments
+    * (per-term-rounded decimal sums; e³/e⁴ fit DECIMAL(38,0) at the SF
+    * gates). Closes the q396/q425/q426 diagnostics battery: serial
+    * correlation, influence, heteroscedasticity, and now non-normality.
+    */
+  def q427JarqueBera: Q = (s, d) => {
+    val e = dailyOlsResiduals(s, d)
+    val m = e.agg(max(col("n")).as("n"),
+      sum(round(col("e") * col("e"), 4).cast(DecimalType(38, 4)))
+        .cast("double").as("s2"),
+      sum(round(col("e") * col("e") * col("e"), 0).cast(DecimalType(38, 0)))
+        .cast("double").as("s3"),
+      sum(round(col("e") * col("e") * col("e") * col("e"), 0).cast(DecimalType(38, 0)))
+        .cast("double").as("s4"))
+    val nD = col("n").cast("double")
+    val m2 = col("s2") / nD
+    val skew = (col("s3") / nD) / sqrt(m2 * m2 * m2)
+    val kurt = (col("s4") / nD) / (m2 * m2)
+    m.select(col("n"), round(skew, 6).as("skew"), round(kurt, 6).as("kurt"),
+      round(nD / lit(6.0)
+        * (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0)), 4)
+        .as("jb"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q420_friedman" -> q420Friedman,
+    "q423_anderson_darling" -> q423AndersonDarling,
+    "q424_spearman" -> q424Spearman,
+    "q425_cooks_distance" -> q425CooksDistance,
+    "q426_breusch_pagan" -> q426BreuschPagan,
+    "q427_jarque_bera" -> q427JarqueBera,
     "q411_rbo" -> q411Rbo,
     "q412_neyman_allocation" -> q412NeymanAllocation,
     "q413_hodges_lehmann" -> q413HodgesLehmann,
@@ -4096,6 +4309,200 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q420_friedman" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT x FROM daily),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |grid AS (SELECT days.x, types.event_type, COALESCE(d.c, 0) AS c
+        |  FROM days CROSS JOIN types
+        |  LEFT JOIN daily d ON d.x = days.x AND d.event_type = types.event_type),
+        |r2 AS (SELECT x, event_type,
+        |    2 * CAST(RANK() OVER (PARTITION BY x ORDER BY c) AS BIGINT)
+        |      + CAST(COUNT(*) OVER (PARTITION BY x, c) AS BIGINT) - 1 AS r2
+        |  FROM grid),
+        |pt AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS sr2,
+        |    CAST(SUM(r2 * r2) AS BIGINT) AS sr22, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM r2 GROUP BY 1),
+        |nb AS (SELECT CAST(MAX(nb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(sr22) AS BIGINT) AS sa2 FROM pt),
+        |m AS (SELECT n, k, sa2,
+        |    CAST(SUM((sr2 - n * (k + 1)) * (sr2 - n * (k + 1))) AS BIGINT) AS sdev2
+        |  FROM pt CROSS JOIN nb GROUP BY 1, 2, 3)
+        |SELECT n AS n_blocks, k,
+        |  ROUND(CAST(k - 1 AS DOUBLE) * CAST(sdev2 AS DOUBLE)
+        |    / CAST(sa2 - n * k * (k + 1) * (k + 1) AS DOUBLE), 6) AS chi2_f,
+        |  ROUND((CAST(k - 1 AS DOUBLE) * CAST(sdev2 AS DOUBLE)
+        |    / CAST(sa2 - n * k * (k + 1) * (k + 1) AS DOUBLE))
+        |    / CAST(n * (k - 1) AS DOUBLE), 6) AS kendalls_w
+        |FROM m""".stripMargin,
+    "q423_anderson_darling" ->
+      """WITH cnts AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM (
+        |    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) % 100 AS c
+        |    FROM orders) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM cnts),
+        |ws AS (SELECT c, m,
+        |    CAST(SUM(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - m AS s
+        |  FROM cnts),
+        |t AS (SELECT ws.m, tot.n,
+        |    (CAST(ws.c AS DOUBLE) + CAST('0.5' AS DOUBLE))
+        |      / CAST('100.0' AS DOUBLE) AS u,
+        |    ws.m * (2 * ws.s + ws.m) AS av,
+        |    ws.m * (2 * (tot.n - ws.s) - ws.m) AS bv,
+        |    ((ws.s + ws.m) * (2 * (ws.s + ws.m) - 1) * (2 * (ws.s + ws.m) + 1)
+        |      - ws.s * (2 * ws.s - 1) * (2 * ws.s + 1)) // 3 AS sj2
+        |  FROM ws CROSS JOIN tot),
+        |agg AS (SELECT n,
+        |    CAST(SUM(CAST(ROUND(CAST(av AS DOUBLE) * LN(u)
+        |      + CAST(bv AS DOUBLE) * LN(CAST('1.0' AS DOUBLE) - u), 4)
+        |      AS DECIMAL(38,4))) AS DOUBLE) AS sad,
+        |    CAST(SUM(CAST(ROUND(CAST(m AS DOUBLE) * u * u
+        |      - (CAST(av AS DOUBLE) / CAST(n AS DOUBLE)) * u
+        |      + CAST(sj2 AS DOUBLE)
+        |        / (CAST('4.0' AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sw2
+        |  FROM t GROUP BY 1)
+        |SELECT n, ROUND(-CAST(n AS DOUBLE) - sad / CAST(n AS DOUBLE), 4) AS a2,
+        |  ROUND(CAST('1.0' AS DOUBLE) / (CAST('12.0' AS DOUBLE) * CAST(n AS DOUBLE))
+        |    + sw2, 6) AS w2
+        |FROM agg""".stripMargin,
+    "q424_spearman" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |ranked AS (SELECT
+        |    2 * CAST(RANK() OVER (ORDER BY a) AS BIGINT)
+        |      + CAST(COUNT(*) OVER (PARTITION BY a) AS BIGINT) - 1 AS ra,
+        |    2 * CAST(RANK() OVER (ORDER BY b) AS BIGINT)
+        |      + CAST(COUNT(*) OVER (PARTITION BY b) AS BIGINT) - 1 AS rb
+        |  FROM daily),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ra) AS BIGINT) AS sa,
+        |    CAST(SUM(rb) AS BIGINT) AS sb, CAST(SUM(ra * ra) AS BIGINT) AS saa,
+        |    CAST(SUM(rb * rb) AS BIGINT) AS sbb, CAST(SUM(ra * rb) AS BIGINT) AS sab
+        |  FROM ranked)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS rho
+        |FROM m""".stripMargin,
+    "q425_cooks_distance" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(r) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(r * CAST(x AS DECIMAL(10,0))) AS DECIMAL(38,2)) AS DOUBLE) AS sxy
+        |  FROM daily),
+        |bb AS (SELECT n, sx, sxx, sy,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |  FROM mom),
+        |e AS MATERIALIZED (SELECT x, n, sx, sxx, b,
+        |    CAST(r AS DOUBLE) - (sy - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      - b * CAST(x AS DOUBLE) AS e
+        |  FROM daily CROSS JOIN bb),
+        |den AS (SELECT
+        |    CAST(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(38,6))) AS DOUBLE) AS rss FROM e),
+        |t AS (SELECT x, e,
+        |    CAST('1.0' AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS h,
+        |    rss / (CAST(n AS DOUBLE) - CAST('2.0' AS DOUBLE)) AS s2
+        |  FROM e CROSS JOIN den)
+        |SELECT x, ROUND(e, 4) AS resid, ROUND(h, 6) AS leverage,
+        |  ROUND(e * e * h / (CAST('2.0' AS DOUBLE) * s2
+        |    * (CAST('1.0' AS DOUBLE) - h) * (CAST('1.0' AS DOUBLE) - h)), 6) AS cooks_d
+        |FROM t ORDER BY cooks_d DESC, x LIMIT 5""".stripMargin,
+    "q426_breusch_pagan" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(r) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(r * CAST(x AS DECIMAL(10,0))) AS DECIMAL(38,2)) AS DOUBLE) AS sxy
+        |  FROM daily),
+        |bb AS (SELECT n, sx, sxx, sy,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |  FROM mom),
+        |e AS (SELECT x, n,
+        |    CAST(r AS DOUBLE) - (sy - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      - b * CAST(x AS DOUBLE) AS e
+        |  FROM daily CROSS JOIN bb),
+        |g AS MATERIALIZED (SELECT x, n, ROUND(e * e, 4) AS g FROM e),
+        |m AS (SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(g AS DECIMAL(38,4))) AS DOUBLE) AS sg,
+        |    CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * g, 4) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sxg,
+        |    CAST(SUM(CAST(ROUND(g * g, 4) AS DECIMAL(38,4))) AS DOUBLE) AS sgg
+        |  FROM g)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * sxg - CAST(sx AS DOUBLE) * sg)
+        |    * (CAST(n AS DOUBLE) * sxg - CAST(sx AS DOUBLE) * sg)
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * sgg - sg * sg)), 6) AS r2,
+        |  ROUND(CAST(n AS DOUBLE)
+        |    * ((CAST(n AS DOUBLE) * sxg - CAST(sx AS DOUBLE) * sg)
+        |    * (CAST(n AS DOUBLE) * sxg - CAST(sx AS DOUBLE) * sg)
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * sgg - sg * sg))), 4) AS lm
+        |FROM m""".stripMargin,
+    "q427_jarque_bera" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(r) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(r * CAST(x AS DECIMAL(10,0))) AS DECIMAL(38,2)) AS DOUBLE) AS sxy
+        |  FROM daily),
+        |bb AS (SELECT n, sx, sy,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |  FROM mom),
+        |e AS (SELECT n,
+        |    CAST(r AS DOUBLE) - (sy - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      - b * CAST(x AS DOUBLE) AS e
+        |  FROM daily CROSS JOIN bb),
+        |m AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(e * e, 4) AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(ROUND(e * e * e, 0) AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(ROUND(e * e * e * e, 0) AS DECIMAL(38,0))) AS DOUBLE) AS s4
+        |  FROM e),
+        |k AS (SELECT n,
+        |    (s3 / CAST(n AS DOUBLE)) / SQRT((s2 / CAST(n AS DOUBLE))
+        |      * (s2 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))) AS skew,
+        |    (s4 / CAST(n AS DOUBLE))
+        |      / ((s2 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))) AS kurt
+        |  FROM m)
+        |SELECT n, ROUND(skew, 6) AS skew, ROUND(kurt, 6) AS kurt,
+        |  ROUND(CAST(n AS DOUBLE) / CAST('6.0' AS DOUBLE)
+        |    * (skew * skew + (kurt - CAST('3.0' AS DOUBLE))
+        |      * (kurt - CAST('3.0' AS DOUBLE)) / CAST('4.0' AS DOUBLE)), 4) AS jb
+        |FROM k""".stripMargin,
     "q411_rbo" ->
       """WITH byrev AS (SELECT l_partkey,
         |    SUM(CAST(l_extendedprice AS DECIMAL(12,4))

@@ -2088,7 +2088,65 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Q419: Cochran's Q across the three q404 binary raters — do the
+    * heuristic "keep" classifiers differ systematically in their pass
+    * rates? The binary repeated-measures complement to q404's agreement
+    * (κ asks "do they agree"; Q asks "is one biased"). Q = (k−1)·
+    * (k·ΣG_j² − T²)/(k·T − ΣL_i²) — every cell an exact int64 until one
+    * double division; one map-side pass over documents.
+    */
+  def q419CochranQ: Q = (s, d) => {
+    val rated = Tables(s, d, "documents")
+      .select(
+        when(size(toks) >= 30, 1L).otherwise(0L).as("r1"),
+        when(size(array_distinct(toks)) >= 25, 1L).otherwise(0L).as("r2"),
+        when(col("n_chars") >= 150L, 1L).otherwise(0L).as("r3"))
+    val li = col("r1") + col("r2") + col("r3")
+    val m = rated.agg(count(lit(1)).as("n_items"),
+      sum(col("r1")).as("g1"), sum(col("r2")).as("g2"), sum(col("r3")).as("g3"),
+      sum(li).as("t"), sum(li * li).as("sl2"))
+    val num = lit(3L) * (col("g1") * col("g1") + col("g2") * col("g2")
+      + col("g3") * col("g3")) - col("t") * col("t")
+    val den = lit(3L) * col("t") - col("sl2")
+    m.select(col("n_items"),
+      round(lit(2.0) * num.cast("double") / den.cast("double"), 6).as("q_cochran"),
+      lit(2L).as("df"))
+  }
+
+  /** Q421: Cronbach's alpha over three per-document "quality item" scores
+    * (token count, distinct-token count, n_chars) — the internal-
+    * consistency coefficient: do the items measure one underlying
+    * document-quality construct? α = k/(k−1)·(1 − Σσ²_item/σ²_total),
+    * all variances from exact int64 moments in one map-side pass.
+    */
+  def q421CronbachAlpha: Q = (s, d) => {
+    val items = Tables(s, d, "documents")
+      .select(size(toks).cast("long").as("x1"),
+        size(array_distinct(toks)).cast("long").as("x2"),
+        col("n_chars").cast("long").as("x3"))
+      .withColumn("xt", col("x1") + col("x2") + col("x3"))
+    val m = items.agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x2")).as("s2"), sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x3")).as("s3"), sum(col("x3") * col("x3")).as("s33"),
+      sum(col("xt")).as("st"), sum(col("xt") * col("xt")).as("stt"))
+    val nD = col("n").cast("double")
+    def v(ss: org.apache.spark.sql.Column,
+          sl: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (ss.cast("double") - sl.cast("double") * sl.cast("double") / nD) /
+        (nD - lit(1.0))
+    val v1 = v(col("s11"), col("s1"))
+    val v2 = v(col("s22"), col("s2"))
+    val v3 = v(col("s33"), col("s3"))
+    val vt = v(col("stt"), col("st"))
+    m.select(col("n"), round(v1, 4).as("var_tokens"),
+      round(v2, 4).as("var_distinct"), round(v3, 4).as("var_chars"),
+      round(lit(1.5) * (lit(1.0) - (v1 + v2 + v3) / vt), 6).as("alpha"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q419_cochran_q" -> q419CochranQ,
+    "q421_cronbach_alpha" -> q421CronbachAlpha,
     "q401_keyness" -> q401Keyness,
     "q402_js_divergence" -> q402JsDivergence,
     "q403_cross_entropy" -> q403CrossEntropy,
@@ -2188,6 +2246,54 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q419_cochran_q" ->
+      """WITH r AS (SELECT
+        |    (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 30
+        |      THEN 1 ELSE 0 END) AS r1,
+        |    (CASE WHEN len(list_distinct(list_filter(string_split(text, ' '),
+        |        x -> x <> ''))) >= 25 THEN 1 ELSE 0 END) AS r2,
+        |    (CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS r3
+        |  FROM documents),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(r1) AS BIGINT) AS g1, CAST(SUM(r2) AS BIGINT) AS g2,
+        |    CAST(SUM(r3) AS BIGINT) AS g3,
+        |    CAST(SUM(r1 + r2 + r3) AS BIGINT) AS t,
+        |    CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS sl2 FROM r)
+        |SELECT n_items,
+        |  ROUND(CAST('2.0' AS DOUBLE)
+        |    * CAST(3 * (g1 * g1 + g2 * g2 + g3 * g3) - t * t AS DOUBLE)
+        |    / CAST(3 * t - sl2 AS DOUBLE), 6) AS q_cochran,
+        |  CAST(2 AS BIGINT) AS df
+        |FROM m""".stripMargin,
+    "q421_cronbach_alpha" ->
+      """WITH it AS (SELECT
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS x1,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS x2,
+        |    CAST(n_chars AS BIGINT) AS x3
+        |  FROM documents),
+        |it2 AS (SELECT x1, x2, x3, x1 + x2 + x3 AS xt FROM it),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+        |    CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+        |    CAST(SUM(x3) AS BIGINT) AS s3, CAST(SUM(x3 * x3) AS BIGINT) AS s33,
+        |    CAST(SUM(xt) AS BIGINT) AS st, CAST(SUM(xt * xt) AS BIGINT) AS stt
+        |  FROM it2),
+        |v AS (SELECT n,
+        |    (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)) AS v1,
+        |    (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)) AS v2,
+        |    (CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)) AS v3,
+        |    (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)) AS vt
+        |  FROM m)
+        |SELECT n, ROUND(v1, 4) AS var_tokens, ROUND(v2, 4) AS var_distinct,
+        |  ROUND(v3, 4) AS var_chars,
+        |  ROUND(CAST('1.5' AS DOUBLE)
+        |    * (CAST('1.0' AS DOUBLE) - (v1 + v2 + v3) / vt), 6) AS alpha
+        |FROM v""".stripMargin,
     "q401_keyness" ->
       """WITH tk AS (
         |  SELECT source, u.t AS tok

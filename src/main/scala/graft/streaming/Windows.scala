@@ -400,9 +400,8 @@ object Windows {
     // at most one non-empty batch per file (the file-stream lifecycle may
     // add empty/extra triggers; the !batch.isEmpty guard skips them), and
     // any slicing is merge-equivalent.
-    val feedDir = s"$tmp/feed"
     val cs = graft.operators.NorthStar.changeset(docs)
-    cs.repartition(2, col("cs_id")).write.mode("overwrite").parquet(feedDir)
+    val feedDir = graft.Checkpoints.feedDirCached(cs.repartition(2, col("cs_id")))
     val sdf = s.readStream.schema(cs.schema)
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
     val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -479,9 +478,8 @@ object Windows {
       tNum = 1L, tDen = 2L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q121_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val outDir = s"$tmp/matches"
-      delta.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(delta.repartition(2, col("doc_id")))
       // seed the accumulator with the (empty) match schema under a batch id
       // no real trigger uses, so a matchless drain still reads back cleanly
       writeProbeBatch(index, delta.limit(0), outDir, batchId = -1L)
@@ -556,9 +554,8 @@ object Windows {
     val train = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q152_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val outDir = s"$tmp/contam"
-      train.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(train.repartition(2, col("doc_id")))
       writeDecontamBatch(bench, train.limit(0), outDir, batchId = -1L)
       val sdf = s.readStream.schema(train.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
@@ -637,9 +634,8 @@ object Windows {
     val train = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q158_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val outDir = s"$tmp/clean"
-      train.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(train.repartition(2, col("doc_id")))
       writeDecontamRewriteBatch(bench, train.limit(0), outDir, batchId = -1L)
       val sdf = s.readStream.schema(train.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
@@ -767,9 +763,8 @@ object Windows {
       tNum = 1L, tDen = 2L)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q155_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val outDir = s"$tmp/pairs"
-      delta.repartition(2, col("doc_id")).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(delta.repartition(2, col("doc_id")))
       writeIngestBatch(standing, delta.limit(0), deltaIds, outDir, batchId = -1L)
       val sdf = s.readStream.schema(delta.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
@@ -903,8 +898,8 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts2"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q175_").toString
     try {
-      val feedDir = s"$tmp/feed"; val logDir = s"$tmp/log"; val histDir = s"$tmp/hist"
-      ev.repartition(3, col("user_id")).write.mode("overwrite").parquet(feedDir)
+      val logDir = s"$tmp/log"; val histDir = s"$tmp/hist"
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3, col("user_id")))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -951,9 +946,8 @@ object Windows {
       (col("event_type") === "purchase").cast("int").as("y"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q192_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      rows.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(rows.repartition(3))
       val sdf = s.readStream.schema(rows.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -988,9 +982,8 @@ object Windows {
       expr("CAST(ts2 AS LONG) div 3600").as("h"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q201_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      rows.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(rows.repartition(3))
       val sdf = s.readStream.schema(rows.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1026,9 +1019,8 @@ object Windows {
       col("l_partkey"), col("l_quantity").cast("long").as("q"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q219_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      rows.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(rows.repartition(3))
       val sdf = s.readStream.schema(rows.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1072,9 +1064,8 @@ object Windows {
         col("c_acctbal"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q264_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      cust.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(cust.repartition(3))
       val sdf = s.readStream.schema(cust.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1145,9 +1136,8 @@ object Windows {
         col("l_orderkey"), col("l_linenumber"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q265_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      li.repartition(3, col("l_partkey")).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(li.repartition(3, col("l_partkey")))
       val sdf = s.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1197,9 +1187,8 @@ object Windows {
         col("l_orderkey"), col("l_linenumber"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q295_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      li.repartition(3, col("l_partkey")).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(li.repartition(3, col("l_partkey")))
       val sdf = s.readStream.schema(li.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1247,9 +1236,8 @@ object Windows {
       ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi")))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q300_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1291,9 +1279,8 @@ object Windows {
           graft.operators.Similarity.asDouble(col("embedding")).as("pv")))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q303_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      emb.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(emb.repartition(3))
       val sdf = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
@@ -1349,9 +1336,8 @@ object Windows {
     val cust = Tables(s, d, "customer").select(col("c_custkey").as("custkey"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q307_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val outDir = s"$tmp/negatives"
-      cust.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(cust.repartition(3))
       val sdf = s.readStream.schema(cust.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1397,9 +1383,8 @@ object Windows {
     val ord = Tables(s, d, "orders").select(col("o_totalprice"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q284_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ord.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ord.repartition(3))
       val sdf = s.readStream.schema(ord.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1448,9 +1433,8 @@ object Windows {
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts2"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q288_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val outDir = s"$tmp/per_user"
-      evs.repartition(3, col("user_id")).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(evs.repartition(3, col("user_id")))
       val sdf = s.readStream.schema(evs.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1491,9 +1475,8 @@ object Windows {
       .select(col("source"), col("text"), col("n_chars"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q320_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      docs.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(docs.repartition(3))
       val sdf = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1539,9 +1522,8 @@ object Windows {
       ("o_orderkey", "o_orderstatus"), ("o_custkey", "o_orderpriority"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q326_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ord.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ord.repartition(3))
       val sdf = s.readStream.schema(ord.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1587,9 +1569,8 @@ object Windows {
     val ord = graft.Tables(s, d, "orders").select(col("o_orderkey"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q329_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ord.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ord.repartition(3))
       val sdf = s.readStream.schema(ord.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1633,9 +1614,8 @@ object Windows {
       .head().getLong(0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q337_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1693,9 +1673,8 @@ object Windows {
       .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q348_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1732,10 +1711,9 @@ object Windows {
       .select(col("event_id"), graft.Dsl.dec(col("value")).as("v"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q354_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val permDir = s"$tmp/perm"
       val obsDir = s"$tmp/obs"
-      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1815,9 +1793,8 @@ object Windows {
     val mid = ev.agg(expr("(MIN(ts) + MAX(ts)) div 2")).head().getLong(0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_q375_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1863,9 +1840,8 @@ object Windows {
       .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q376_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1910,9 +1886,8 @@ object Windows {
       .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q390_").toString
     try {
-      val feedDir = s"$tmp/feed"
       val sumDir = s"$tmp/summaries"
-      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1942,8 +1917,8 @@ object Windows {
         .cast("long").as("x"), col("value"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q417_").toString
     try {
-      val feedDir = s"$tmp/feed"; val sumDir = s"$tmp/summaries"
-      ev.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)
@@ -1988,8 +1963,8 @@ object Windows {
     val docs = Tables(s, d, "documents").select(col("source"), col("text"))
     val tmp = java.nio.file.Files.createTempDirectory("graft_q418_").toString
     try {
-      val feedDir = s"$tmp/feed"; val sumDir = s"$tmp/summaries"
-      docs.repartition(3).write.mode("overwrite").parquet(feedDir)
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(docs.repartition(3))
       val sdf = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(feedDir)
       val q = sdf.writeStream.outputMode(OutputMode.Append)

@@ -39,6 +39,11 @@ class PlanAuditSpec extends SparkSpec {
     "q409_chow",         // 1-row pooled-RSS relation
     "q412_neyman_allocation", // 1-row weight-total + leftover relations
     "q414_twonn",        // bounded chunk scan (q60 family exact baseline)
+    "q420_friedman",     // 5-row type relation × day grid + 1-row totals
+    "q423_anderson_darling", // 1-row total over the 100-value cent collapse
+    "q425_cooks_distance", // 1-row OLS-moment + 1-row RSS relations
+    "q426_breusch_pagan", // 1-row OLS-moment relation
+    "q427_jarque_bera",  // 1-row OLS-moment relation
     "q413_hodges_lehmann", // bounded weekday-slot day grids (calendar-bounded)
     "q415_cliffs_delta", // 4-row source grid × bounded n_chars value domain
     "q402_js_divergence", // |sources|-row × |vocab|-row distribution grid
@@ -188,7 +193,9 @@ class PlanAuditSpec extends SparkSpec {
     "q400_page_hinkley" -> "PH cumsums over the <=31-row event-day grid, never the events",
     "q411_rbo" -> "rank windows over the two TakeOrdered-bounded 50-row top-part relations (q239's argument), never the lineitems",
     "q412_neyman_allocation" -> "largest-remainder rank over the 5-row stratum relation",
-    "q413_hodges_lehmann" -> "lower-median rank over the (calendar-bounded weekday slots)² pair relation (~343² rows at any SF), never the orders")
+    "q413_hodges_lehmann" -> "lower-median rank over the (calendar-bounded weekday slots)² pair relation (~343² rows at any SF), never the orders",
+    "q423_anderson_darling" -> "EDF cumsum over the 100-value cent-domain collapse (the q190/q363 argument), never the orders",
+    "q424_spearman" -> "tie-averaged rank windows over the <=31-row day grid, never the events")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
