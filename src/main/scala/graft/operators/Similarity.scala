@@ -1030,7 +1030,47 @@ object Similarity {
         round(col("n_used").cast("double") / col("slm"), 4).as("id_mle"))
   }
 
+  /** Q431: hubness of the embedding space — the skewness of the 5-NN
+    * in-degree distribution (how often each vector appears in other
+    * vectors' top-5). High positive skew means a few "hub" points
+    * dominate neighbor lists — the known high-dimensional failure mode
+    * that degrades q41/q124's IVF recall and q162's semantic dedup.
+    * Exact neighbors via the shared [[exactCosinePairs]] kernel; the
+    * in-degree moments are exact int64, so the skew is one scalar
+    * expression on the 1-row collapse. Also reports the max in-degree
+    * and the orphan count (never-a-neighbor points).
+    */
+  def q431Hubness: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+    val pairs = exactCosinePairs(emb)
+    val sym = pairs.select(col("id1").as("id"), col("id2").as("nb"), col("cos"))
+      .unionAll(pairs.select(col("id2").as("id"), col("id1").as("nb"), col("cos")))
+      .withColumn("dist", lit(1.0) - col("cos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("nb"))
+    val nn = sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val indeg = nn.groupBy(col("nb")).agg(count(lit(1)).as("deg"))
+    val full = emb.select(col("vec_id").as("nb"))
+      .join(indeg, Seq("nb"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+    val m = full.agg(count(lit(1)).as("n"), sum(col("deg")).as("s1"),
+      sum(col("deg") * col("deg")).as("s2"),
+      sum(col("deg") * col("deg") * col("deg")).as("s3"),
+      max(col("deg")).as("max_deg"),
+      sum(when(col("deg") === 0L, 1L).otherwise(0L)).as("n_orphans"))
+    val nD = col("n").cast("double")
+    val m1 = col("s1").cast("double") / nD
+    val v = col("s2").cast("double") / nD - m1 * m1
+    val m3c = col("s3").cast("double") / nD
+    m.select(col("n"), col("max_deg"), col("n_orphans"),
+      round((m3c - lit(3.0) * m1 * (col("s2").cast("double") / nD)
+        + lit(2.0) * m1 * m1 * m1) / sqrt(v * v * v), 6).as("skew_k5"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q431_hubness" -> q431Hubness,
     "q414_twonn" -> q414TwoNN,
     "q387_knn_label_accuracy" -> q387KnnLabelAccuracy,
     "q276_silhouette" -> q276Silhouette,
@@ -1203,6 +1243,44 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q431_hubness" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |nr AS MATERIALIZED (SELECT vec_id, ev,
+        |    SQRT(list_dot_product(ev, ev)) AS nrm FROM e),
+        |pr AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+        |    CAST('1.0' AS DOUBLE)
+        |      - list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) AS dist
+        |  FROM nr a JOIN nr b ON a.vec_id <> b.vec_id),
+        |rk AS (SELECT id, nb,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, nb) AS rn FROM pr),
+        |indeg AS (SELECT nb, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM rk WHERE rn <= 5 GROUP BY 1),
+        |fl AS (SELECT COALESCE(indeg.deg, 0) AS deg
+        |  FROM e LEFT JOIN indeg ON indeg.nb = e.vec_id),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(deg) AS BIGINT) AS s1,
+        |    CAST(SUM(deg * deg) AS BIGINT) AS s2,
+        |    CAST(SUM(deg * deg * deg) AS BIGINT) AS s3,
+        |    CAST(MAX(deg) AS BIGINT) AS max_deg,
+        |    CAST(SUM(CASE WHEN deg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM fl)
+        |SELECT n, max_deg, n_orphans,
+        |  ROUND((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST('3.0' AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    + CAST('2.0' AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |  / SQRT((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS skew_k5
+        |FROM m""".stripMargin,
     "q414_twonn" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),

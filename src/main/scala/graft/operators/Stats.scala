@@ -3935,27 +3935,8 @@ object Stats {
     * carried as the exact integer 2·rank + ties − 1 (the q420 trick), so
     * ρ is Pearson on integer rank moments: exact until one division.
     */
-  def q424Spearman: Q = (s, d) => {
-    val daily = dailyClickPurchase(s, d)
-    def r2(c: String, out: String): Column = {
-      val wb = Window.orderBy(col(c))
-      val we = Window.partitionBy(col(c))
-      (lit(2L) * rank().over(wb).cast("long") + count(lit(1)).over(we) - 1L).as(out)
-    }
-    val ranked = daily.select(r2("a", "ra"), r2("b", "rb"))
-    val m = ranked.agg(count(lit(1)).as("n"),
-      sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
-      sum(col("ra") * col("ra")).as("saa"), sum(col("rb") * col("rb")).as("sbb"),
-      sum(col("ra") * col("rb")).as("sab"))
-    val nD = col("n").cast("double")
-    m.select(col("n"),
-      round((nD * col("sab").cast("double")
-        - col("sa").cast("double") * col("sb").cast("double"))
-        / sqrt((nD * col("saa").cast("double")
-          - col("sa").cast("double") * col("sa").cast("double"))
-          * (nD * col("sbb").cast("double")
-            - col("sb").cast("double") * col("sb").cast("double"))), 6).as("rho"))
-  }
+  def q424Spearman: Q = (s, d) =>
+    spearmanKernel(dailyClickPurchase(s, d))
 
   /** Q425: Cook's distance — the five most influential days of the daily-
     * revenue trend fit, D_i = e_i²·h_i/(p·s²·(1−h_i)²) with leverage
@@ -4034,7 +4015,187 @@ object Stats {
         .as("jb"))
   }
 
+  /** Daily (click, view, purchase) count grid — q428's three-series twin
+    * of [[dailyClickPurchase]].
+    */
+  private[operators] def dailyCvp(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoints.materializeCached(
+      graft.Tables.events(s, d)
+        .groupBy(datediff(col("ts2").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b")))
+
+  /** Q428: partial correlation — does the click→purchase association
+    * survive controlling for views (shared traffic volume)?
+    * r_ab·v = (r_ab − r_av·r_bv)/√((1−r_av²)(1−r_bv²)) from exact integer
+    * daily-count moments; the confounder check q408's Granger F doesn't
+    * give. One 1-row moment relation.
+    */
+  def q428PartialCorrelation: Q = (s, d) => {
+    val daily = dailyCvp(s, d)
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("a")).as("sa"), sum(col("v")).as("sv"), sum(col("b")).as("sb"),
+      sum(col("a") * col("a")).as("saa"), sum(col("v") * col("v")).as("svv"),
+      sum(col("b") * col("b")).as("sbb"), sum(col("a") * col("v")).as("sav"),
+      sum(col("a") * col("b")).as("sab"), sum(col("v") * col("b")).as("svb"))
+    val nD = col("n").cast("double")
+    def D(c: String): Column = col(c).cast("double")
+    def r(sxy: String, sx: String, sy: String, sxx: String, syy: String): Column =
+      (nD * D(sxy) - D(sx) * D(sy)) /
+        sqrt((nD * D(sxx) - D(sx) * D(sx)) * (nD * D(syy) - D(sy) * D(sy)))
+    val rab = r("sab", "sa", "sb", "saa", "sbb")
+    val rav = r("sav", "sa", "sv", "saa", "svv")
+    val rbv = r("svb", "sv", "sb", "svv", "sbb")
+    m.select(col("n"), round(rab, 6).as("r_ab"),
+      round(rav, 6).as("r_av"), round(rbv, 6).as("r_bv"),
+      round((rab - rav * rbv) /
+        sqrt((lit(1.0) - rav * rav) * (lit(1.0) - rbv * rbv)), 6)
+        .as("r_ab_given_v"))
+  }
+
+  /** Q429: Engle–Granger cointegration screen — are CUMULATIVE clicks and
+    * purchases tied to a common trend? Stage 1: closed-form OLS of the
+    * purchase level on the click level (both exact integer cumsums over
+    * the day grid). Stage 2: Dickey–Fuller φ on the stage-1 residuals
+    * (Δz_t = φ·z_{t−1}) with its t-statistic — a strongly negative DF
+    * rejects a unit root in the residual, i.e. the levels co-move. Both
+    * stages are moment arithmetic; residual products are 4-dp-rounded
+    * decimal sums.
+    */
+  def q429EngleGranger: Q = (s, d) => {
+    val daily = dailyClickPurchase(s, d)
+    val wc = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lev = graft.Checkpoints.materialize(
+      daily.select(col("x"), sum(col("a")).over(wc).as("cx"),
+        sum(col("b")).over(wc).as("cy")))
+    val mom = lev.agg(count(lit(1)).as("n"), sum(col("cx")).as("sx"),
+      sum(col("cy")).as("sy"), sum(col("cx") * col("cx")).as("sxx"),
+      sum(col("cx") * col("cy")).as("sxy"))
+    val nD = col("n").cast("double")
+    val beta = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+    val z = lev.crossJoin(broadcast(mom.select(col("n"), col("sx"), col("sy"),
+        beta.as("bt"))))
+      .select(col("x"), col("n"), col("bt"),
+        (col("cy").cast("double")
+          - (col("sy").cast("double") - col("bt") * col("sx").cast("double"))
+            / col("n").cast("double")
+          - col("bt") * col("cx").cast("double")).as("z"))
+    val pairs = z.select((col("x") + 1).as("x2"), col("z").as("z1"),
+        col("n"), col("bt"))
+      .join(z.select(col("x").as("x2"), col("z").as("z2")), Seq("x2"))
+    val df = pairs.agg(max(col("n")).as("n"), max(col("bt")).as("bt"),
+      count(lit(1)).as("np"),
+      sum(round(col("z1") * (col("z2") - col("z1")), 4).cast(DecimalType(38, 4)))
+        .cast("double").as("szd"),
+      sum(round(col("z1") * col("z1"), 4).cast(DecimalType(38, 4)))
+        .cast("double").as("szz"),
+      sum(round((col("z2") - col("z1")) * (col("z2") - col("z1")), 4)
+        .cast(DecimalType(38, 4))).cast("double").as("sdd"))
+    val phi = col("szd") / col("szz")
+    val npD = col("np").cast("double")
+    val s2 = (col("sdd") - phi * phi * col("szz")
+      - lit(2.0) * phi * (col("szd") - phi * col("szz"))) / (npD - lit(1.0))
+    df.select(col("n"), round(col("bt"), 6).as("beta"),
+      round(phi, 6).as("phi"),
+      round(phi / sqrt(s2 / col("szz")), 4).as("df_stat"))
+  }
+
+  /** Q432: Theil T and Atkinson(1) inequality of order values per
+    * priority — the decomposable complements to q194's Gini and q374's
+    * Lorenz curve: T = mean((x/μ)·ln(x/μ)), A₁ = 1 − geomean/μ. Per-row
+    * log terms 8-dp rounded under decimal sums; one scalar expression on
+    * the per-group moment row.
+    */
+  def q432Inequality: Q = (s, d) => {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val base = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), x.cast("double").as("xd"))
+    val g = base.groupBy(col("prio")).agg(count(lit(1)).as("n"),
+      sum(round(col("xd"), 2).cast(DecimalType(18, 2))).cast("double").as("sx"),
+      sum(round(log(col("xd")), 8).cast(DecimalType(28, 8)))
+        .cast("double").as("slog"))
+    val mu = col("sx") / col("n").cast("double")
+    val withMu = base.join(broadcast(
+        g.select(col("prio"), col("n"), col("sx"), mu.as("mu"))), Seq("prio"))
+      .groupBy(col("prio"), col("n"), col("mu"))
+      .agg(sum(round((col("xd") / col("mu")) * log(col("xd") / col("mu")), 8)
+        .cast(DecimalType(28, 8))).cast("double").as("st"))
+    val theil = col("st") / col("n").cast("double")
+    withMu.join(g.select(col("prio"), col("slog")), Seq("prio"))
+      .select(col("prio"), col("n"), round(theil, 6).as("theil_t"),
+        round(lit(1.0) - exp(col("slog") / col("n").cast("double")) / col("mu"), 6)
+          .as("atkinson_1"))
+      .orderBy(col("prio"))
+  }
+
+  /** Q433: Bartlett's variance-homogeneity test across order priorities —
+    * the normal-theory companion to q407's Brown–Forsythe (Bartlett is
+    * more powerful under normality, BF robust to heavy tails; disagreement
+    * between the two is itself a non-normality signal). Group variances
+    * from exact moments; the k-term log sums are 8-dp-rounded decimal
+    * sums over the 5-row collapse.
+    */
+  def q433Bartlett: Q = (s, d) => {
+    val x = col("o_totalprice").cast(DecimalType(18, 2))
+    val g = Tables(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), x.as("x"))
+      .groupBy(col("prio")).agg(count(lit(1)).as("ng"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast(DecimalType(38, 4)).cast("double").as("sxx"))
+    val ngD = col("ng").cast("double")
+    val v = (col("sxx") - col("sx") * col("sx") / ngD) / (ngD - lit(1.0))
+    val terms = g.select(col("ng"),
+      round((ngD - lit(1.0)) * log(v), 8).cast(DecimalType(28, 8)).as("lt"),
+      round((ngD - lit(1.0)) * v, 4).cast(DecimalType(38, 4)).as("wv"),
+      round(lit(1.0) / (ngD - lit(1.0)), 12).cast(DecimalType(28, 12)).as("inv"))
+    val m = terms.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("lt")).cast("double").as("slt"),
+      sum(col("wv")).cast("double").as("swv"),
+      sum(col("inv")).cast("double").as("sinv"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val sp2 = col("swv") / (nD - kD)
+    val chi = ((nD - kD) * log(sp2) - col("slt")) /
+      (lit(1.0) + (col("sinv") - lit(1.0) / (nD - kD)) / (lit(3.0) * (kD - lit(1.0))))
+    m.select(col("k"), col("n"), round(chi, 4).as("chi2_bartlett"))
+  }
+
+  /** The q424 Spearman kernel over a (x, a, b) daily-cell relation —
+    * factored so the q434 streaming twin can run the SAME kernel over
+    * micro-batch-merged cells.
+    */
+  private[graft] def spearmanKernel(daily: DataFrame): DataFrame = {
+    def r2(c: String, out: String): Column = {
+      val wb = Window.orderBy(col(c))
+      val we = Window.partitionBy(col(c))
+      (lit(2L) * rank().over(wb).cast("long") + count(lit(1)).over(we) - 1L).as(out)
+    }
+    val ranked = daily.select(r2("a", "ra"), r2("b", "rb"))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+      sum(col("ra") * col("ra")).as("saa"), sum(col("rb") * col("rb")).as("sbb"),
+      sum(col("ra") * col("rb")).as("sab"))
+    val nD = col("n").cast("double")
+    m.select(col("n"),
+      round((nD * col("sab").cast("double")
+        - col("sa").cast("double") * col("sb").cast("double"))
+        / sqrt((nD * col("saa").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double"))
+          * (nD * col("sbb").cast("double")
+            - col("sb").cast("double") * col("sb").cast("double"))), 6).as("rho"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q428_partial_correlation" -> q428PartialCorrelation,
+    "q429_engle_granger" -> q429EngleGranger,
+    "q432_inequality" -> q432Inequality,
+    "q433_bartlett" -> q433Bartlett,
     "q420_friedman" -> q420Friedman,
     "q423_anderson_darling" -> q423AndersonDarling,
     "q424_spearman" -> q424Spearman,
@@ -4309,6 +4470,135 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q428_partial_correlation" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(v) AS BIGINT) AS sv,
+        |    CAST(SUM(b) AS BIGINT) AS sb, CAST(SUM(a * a) AS BIGINT) AS saa,
+        |    CAST(SUM(v * v) AS BIGINT) AS svv, CAST(SUM(b * b) AS BIGINT) AS sbb,
+        |    CAST(SUM(a * v) AS BIGINT) AS sav, CAST(SUM(a * b) AS BIGINT) AS sab,
+        |    CAST(SUM(v * b) AS BIGINT) AS svb
+        |  FROM daily),
+        |rr AS (SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS rab,
+        |    (CAST(n AS DOUBLE) * CAST(sav AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sv AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) AS rav,
+        |    (CAST(n AS DOUBLE) * CAST(svb AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS rbv
+        |  FROM m)
+        |SELECT n, ROUND(rab, 6) AS r_ab, ROUND(rav, 6) AS r_av,
+        |  ROUND(rbv, 6) AS r_bv,
+        |  ROUND((rab - rav * rbv) / SQRT((CAST('1.0' AS DOUBLE) - rav * rav)
+        |    * (CAST('1.0' AS DOUBLE) - rbv * rbv)), 6) AS r_ab_given_v
+        |FROM rr""".stripMargin,
+    "q429_engle_granger" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |lev AS MATERIALIZED (SELECT x,
+        |    CAST(SUM(a) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cx,
+        |    CAST(SUM(b) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cy
+        |  FROM daily),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cx) AS BIGINT) AS sx,
+        |    CAST(SUM(cy) AS BIGINT) AS sy, CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+        |    CAST(SUM(cx * cy) AS BIGINT) AS sxy FROM lev),
+        |bb AS (SELECT n, sx, sy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS bt
+        |  FROM mom),
+        |z AS MATERIALIZED (SELECT x, n, bt,
+        |    CAST(cy AS DOUBLE) - (CAST(sy AS DOUBLE) - bt * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) - bt * CAST(cx AS DOUBLE) AS z
+        |  FROM lev CROSS JOIN bb),
+        |p AS (SELECT z1.n, z1.bt, z1.z AS z1, z2.z AS z2
+        |  FROM z z1 JOIN z z2 ON z2.x = z1.x + 1),
+        |df AS (SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(bt) AS bt,
+        |    CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(CAST(ROUND(z1 * (z2 - z1), 4) AS DECIMAL(38,4))) AS DOUBLE) AS szd,
+        |    CAST(SUM(CAST(ROUND(z1 * z1, 4) AS DECIMAL(38,4))) AS DOUBLE) AS szz,
+        |    CAST(SUM(CAST(ROUND((z2 - z1) * (z2 - z1), 4) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sdd
+        |  FROM p)
+        |SELECT n, ROUND(bt, 6) AS beta, ROUND(szd / szz, 6) AS phi,
+        |  ROUND((szd / szz) / SQRT(((sdd - (szd / szz) * (szd / szz) * szz
+        |    - CAST('2.0' AS DOUBLE) * (szd / szz) * (szd - (szd / szz) * szz))
+        |    / (CAST(np AS DOUBLE) - CAST('1.0' AS DOUBLE))) / szz), 4) AS df_stat
+        |FROM df""".stripMargin,
+    "q432_inequality" ->
+      """WITH base AS MATERIALIZED (SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS xd FROM orders),
+        |g AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(ROUND(xd, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(LN(xd), 8) AS DECIMAL(28,8))) AS DOUBLE) AS slog
+        |  FROM base GROUP BY 1),
+        |wm AS (SELECT b.prio, g.n, g.sx / CAST(g.n AS DOUBLE) AS mu, g.slog, b.xd
+        |  FROM base b JOIN g USING (prio)),
+        |t AS (SELECT prio, n, mu, slog,
+        |    CAST(SUM(CAST(ROUND((xd / mu) * LN(xd / mu), 8) AS DECIMAL(28,8)))
+        |      AS DOUBLE) AS st
+        |  FROM wm GROUP BY 1, 2, 3, 4)
+        |SELECT prio, n, ROUND(st / CAST(n AS DOUBLE), 6) AS theil_t,
+        |  ROUND(CAST('1.0' AS DOUBLE) - EXP(slog / CAST(n AS DOUBLE)) / mu, 6)
+        |    AS atkinson_1
+        |FROM t ORDER BY prio""".stripMargin,
+    "q433_bartlett" ->
+      """WITH g AS (SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,4))
+        |      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT ng,
+        |    CAST(ROUND((CAST(ng AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      * LN((sxx - sx * sx / CAST(ng AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) - CAST('1.0' AS DOUBLE))), 8)
+        |      AS DECIMAL(28,8)) AS lt,
+        |    CAST(ROUND((CAST(ng AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      * ((sxx - sx * sx / CAST(ng AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) - CAST('1.0' AS DOUBLE))), 4)
+        |      AS DECIMAL(38,4)) AS wv,
+        |    CAST(ROUND(CAST('1.0' AS DOUBLE)
+        |      / (CAST(ng AS DOUBLE) - CAST('1.0' AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12)) AS inv
+        |  FROM g),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(lt) AS DOUBLE) AS slt, CAST(SUM(wv) AS DOUBLE) AS swv,
+        |    CAST(SUM(inv) AS DOUBLE) AS sinv FROM t)
+        |SELECT k, n,
+        |  ROUND(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |      * LN(swv / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) - slt)
+        |    / (CAST('1.0' AS DOUBLE)
+        |      + (sinv - CAST('1.0' AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |        / (CAST('3.0' AS DOUBLE)
+        |          * (CAST(k AS DOUBLE) - CAST('1.0' AS DOUBLE)))), 4)
+        |    AS chi2_bartlett
+        |FROM m""".stripMargin,
     "q420_friedman" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '2024-01-01',

@@ -2144,7 +2144,58 @@ object Text {
       round(lit(1.5) * (lit(1.0) - (v1 + v2 + v3) / vt), 6).as("alpha"))
   }
 
+  /** Q430: corpus dispersion battery for the top-10 tokens — is a token's
+    * mass spread evenly across sources or clumped? Three standard
+    * measures per token: Juilland's D = 1 − CV/√(k−1) on per-source
+    * relative frequencies, Gries' DP = Σ|token share − source-size
+    * share|/2, and the count variance-to-mean ratio (Fano). The
+    * per-source dimension of q310's per-document burstiness — the signal
+    * a mixing pipeline reads to spot source-idiosyncratic vocabulary.
+    * Everything runs on the bounded (top-10 × sources) grid over the
+    * shared [[srcTokenCounts]] kernel; ratio terms are 8/10/14-dp rounded
+    * under decimal sums.
+    */
+  def q430TokenDispersion: Q = (s, d) => {
+    val stc = srcTokenCounts(s, d)
+    val srcTot = stc.groupBy(col("source")).agg(sum(col("cnt")).as("stot"))
+    val all = srcTot.agg(sum(col("stot")).as("gtot"), count(lit(1)).as("k"))
+    val top = stc.groupBy(col("tok")).agg(sum(col("cnt")).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("tok")).limit(10)
+    val grid = top.crossJoin(broadcast(srcTot))
+      .join(stc, Seq("tok", "source"), "left")
+      .select(col("tok"), col("gcnt"), col("source"), col("stot"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val terms = grid.crossJoin(broadcast(all))
+      .select(col("tok"), col("k"),
+        round(abs(col("c").cast("double") / col("gcnt").cast("double")
+          - col("stot").cast("double") / col("gtot").cast("double")), 8)
+          .cast(DecimalType(28, 8)).as("dpterm"),
+        round(col("c").cast("double") / col("stot").cast("double"), 10)
+          .cast(DecimalType(28, 10)).as("v"),
+        round((col("c").cast("double") / col("stot").cast("double"))
+          * (col("c").cast("double") / col("stot").cast("double")), 14)
+          .cast(DecimalType(30, 14)).as("vv"),
+        col("c"))
+    val m = terms.groupBy(col("tok"), col("k"))
+      .agg(sum(col("dpterm")).cast("double").as("dp2"),
+        sum(col("v")).cast("double").as("sv"),
+        sum(col("vv")).cast("double").as("svv"),
+        sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"))
+    val kD = col("k").cast("double")
+    val meanV = col("sv") / kD
+    val sdV = sqrt((col("svv") - col("sv") * col("sv") / kD) / (kD - lit(1.0)))
+    val meanC = col("sc").cast("double") / kD
+    val varC = (col("scc").cast("double")
+      - col("sc").cast("double") * col("sc").cast("double") / kD) / (kD - lit(1.0))
+    m.select(col("tok").as("token"),
+      round(lit(1.0) - (sdV / meanV) / sqrt(kD - lit(1.0)), 6).as("d_juilland"),
+      round(col("dp2") / lit(2.0), 6).as("dp_gries"),
+      round(varC / meanC, 6).as("vmr"))
+      .orderBy(col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q430_token_dispersion" -> q430TokenDispersion,
     "q419_cochran_q" -> q419CochranQ,
     "q421_cronbach_alpha" -> q421CronbachAlpha,
     "q401_keyness" -> q401Keyness,
@@ -2246,6 +2297,49 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q430_token_dispersion" ->
+      """WITH tk AS (
+        |  SELECT source, u.t AS tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |stc AS MATERIALIZED (
+        |  SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+        |srct AS MATERIALIZED (SELECT source, CAST(SUM(cnt) AS BIGINT) AS stot
+        |  FROM stc GROUP BY 1),
+        |alls AS (SELECT CAST(SUM(stot) AS BIGINT) AS gtot,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM srct),
+        |top AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM stc
+        |  GROUP BY 1 ORDER BY gcnt DESC, tok LIMIT 10),
+        |grid AS (SELECT top.tok, top.gcnt, srct.source, srct.stot,
+        |    COALESCE(stc.cnt, 0) AS c
+        |  FROM top CROSS JOIN srct
+        |  LEFT JOIN stc ON stc.tok = top.tok AND stc.source = srct.source),
+        |terms AS (SELECT tok, k,
+        |    CAST(ROUND(ABS(CAST(c AS DOUBLE) / CAST(gcnt AS DOUBLE)
+        |      - CAST(stot AS DOUBLE) / CAST(gtot AS DOUBLE)), 8)
+        |      AS DECIMAL(28,8)) AS dpterm,
+        |    CAST(ROUND(CAST(c AS DOUBLE) / CAST(stot AS DOUBLE), 10)
+        |      AS DECIMAL(28,10)) AS v,
+        |    CAST(ROUND((CAST(c AS DOUBLE) / CAST(stot AS DOUBLE))
+        |      * (CAST(c AS DOUBLE) / CAST(stot AS DOUBLE)), 14)
+        |      AS DECIMAL(30,14)) AS vv,
+        |    c
+        |  FROM grid CROSS JOIN alls),
+        |m AS (SELECT tok, k, CAST(SUM(dpterm) AS DOUBLE) AS dp2,
+        |    CAST(SUM(v) AS DOUBLE) AS sv, CAST(SUM(vv) AS DOUBLE) AS svv,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT tok AS token,
+        |  ROUND(CAST('1.0' AS DOUBLE)
+        |    - (SQRT((svv - sv * sv / CAST(k AS DOUBLE))
+        |        / (CAST(k AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |      / (sv / CAST(k AS DOUBLE)))
+        |      / SQRT(CAST(k AS DOUBLE) - CAST('1.0' AS DOUBLE)), 6) AS d_juilland,
+        |  ROUND(dp2 / CAST('2.0' AS DOUBLE), 6) AS dp_gries,
+        |  ROUND(((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |      / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (CAST(sc AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS vmr
+        |FROM m ORDER BY token""".stripMargin,
     "q419_cochran_q" ->
       """WITH r AS (SELECT
         |    (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 30

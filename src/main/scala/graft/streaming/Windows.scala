@@ -1995,7 +1995,53 @@ object Windows {
       s.read.parquet(sumDir).groupBy(col("source"), col("tok"))
         .agg(sum(col("c")).cast("long").as("cnt")))
 
+  /** Q434: streaming Spearman monitor — q424's rank correlation between
+    * daily click and purchase counts maintained over the micro-batch
+    * stream: per batch one additive (day, click-count, purchase-count)
+    * cell relation, merged at the drain, then
+    * [[graft.operators.Stats.spearmanKernel]] (the EXACT q424 kernel) —
+    * hash-checked against q424's own oracle. State is one cell per
+    * calendar day.
+    */
+  def q434StreamSpearman: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(datediff(col("ts2").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"), col("event_type"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q434_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q434Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(q434Drain(s, sumDir))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q434's per-batch writer: additive (day, clicks, purchases) cells. */
+  private[graft] def q434Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF().groupBy(col("x"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q434's drain: merge day cells additively, run q424's kernel once. */
+  private[graft] def q434Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.operators.Stats.spearmanKernel(
+      s.read.parquet(sumDir).groupBy(col("x"))
+        .agg(sum(col("a")).as("a"), sum(col("b")).as("b")))
+
   val queries: Map[String, Q] = Map(
+    "q434_stream_spearman" -> q434StreamSpearman,
     "q417_stream_page_hinkley" -> q417StreamPageHinkley,
     "q418_stream_js_drift" -> q418StreamJsDrift,
     "q390_stream_runs" -> q390StreamRuns,
@@ -2122,6 +2168,8 @@ object Windows {
     // cells — same relation, same kernel, same oracle verbatim
     "q417_stream_page_hinkley" ->
       graft.operators.Stats.oracles("q400_page_hinkley"),
+    "q434_stream_spearman" ->
+      graft.operators.Stats.oracles("q424_spearman"),
     "q418_stream_js_drift" ->
       graft.operators.Text.oracles("q402_js_divergence"),
     // q375 shares q363's oracle verbatim (per-cent half counts merge

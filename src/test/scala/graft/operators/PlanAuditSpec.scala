@@ -39,6 +39,9 @@ class PlanAuditSpec extends SparkSpec {
     "q409_chow",         // 1-row pooled-RSS relation
     "q412_neyman_allocation", // 1-row weight-total + leftover relations
     "q414_twonn",        // bounded chunk scan (q60 family exact baseline)
+    "q429_engle_granger", // 1-row cointegration-moment relation
+    "q430_token_dispersion", // 10-row top-token × |sources| grid + 1-row totals
+    "q431_hubness",      // bounded chunk scan (q60 family exact baseline)
     "q420_friedman",     // 5-row type relation × day grid + 1-row totals
     "q423_anderson_darling", // 1-row total over the 100-value cent collapse
     "q425_cooks_distance", // 1-row OLS-moment + 1-row RSS relations
@@ -195,7 +198,8 @@ class PlanAuditSpec extends SparkSpec {
     "q412_neyman_allocation" -> "largest-remainder rank over the 5-row stratum relation",
     "q413_hodges_lehmann" -> "lower-median rank over the (calendar-bounded weekday slots)² pair relation (~343² rows at any SF), never the orders",
     "q423_anderson_darling" -> "EDF cumsum over the 100-value cent-domain collapse (the q190/q363 argument), never the orders",
-    "q424_spearman" -> "tie-averaged rank windows over the <=31-row day grid, never the events")
+    "q424_spearman" -> "tie-averaged rank windows over the <=31-row day grid, never the events",
+    "q429_engle_granger" -> "level cumsums over the <=31-row day grid, never the events")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -211,7 +215,8 @@ class PlanAuditSpec extends SparkSpec {
     "q329_stream_srm", "q337_stream_psi", "q348_stream_mann_kendall",
     "q354_stream_permutation", "q375_stream_wasserstein",
     "q376_stream_ewma", "q390_stream_runs",
-    "q417_stream_page_hinkley", "q418_stream_js_drift")
+    "q417_stream_page_hinkley", "q418_stream_js_drift",
+    "q434_stream_spearman")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

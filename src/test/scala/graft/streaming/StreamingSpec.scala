@@ -883,6 +883,14 @@ class StreamingSpec extends SparkSpec {
         tmp => Windows.q417Writer(s"$tmp/sum"),
         tmp => Windows.q417Drain(spark, s"$tmp/sum"),
         () => Windows.q417StreamPageHinkley(spark, sf0001)),
+      TwinCase("q434_stream_spearman",
+        () => evAll.select(
+          datediff($"ts2".cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"), $"event_type"),
+        pmod($"x", lit(2L)) === 0,
+        tmp => Windows.q434Writer(s"$tmp/sum"),
+        tmp => Windows.q434Drain(spark, s"$tmp/sum"),
+        () => Windows.q434StreamSpearman(spark, sf0001)),
       TwinCase("q418_stream_js_drift",
         () => graft.Tables(spark, sf0001, "documents")
           .select($"source", $"text", $"doc_id"),
