@@ -484,7 +484,55 @@ object Evaluation {
       .orderBy(col("feature"))
   }
 
+  /** Q440: DeLong standard error and Wald CI for q190's AUC — the
+    * uncertainty q190's point estimate lacks. The DeLong structural
+    * components collapse onto the bounded score summary: every positive
+    * at score v shares V10 = (negBelow + cn/2)/n_neg and every negative
+    * shares V01 = (posAbove + cp/2)/n_pos, so the component variances are
+    * cp/cn-weighted moments over the score grid (12-dp-rounded decimal
+    * sums), never per-row state. SE² = S10/m + S01/n.
+    */
+  def q440AucDelong: Q = (s, d) => {
+    val byScore = scoreSummary(scored(s, d))
+    val wUp = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    // posAbove via the GROWING frame (m − cumPos≤v): a literal
+    // (1, unboundedFollowing) frame is the O(n²)-per-partition shrinking
+    // frame the q174/q94 rewrite exists for — 4.5 s vs 0.5 s at sf0.1
+    val wUpIncl = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byScore.agg(sum(col("cp")).cast("long").as("m"),
+      sum(col("cn")).cast("long").as("nn"))
+    val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+    val j = byScore.crossJoin(broadcast(tot))
+      .withColumn("negBelow", coalesce(sum(col("cn")).over(wUp), lit(0L)))
+      .withColumn("posAbove", col("m") - sum(col("cp")).over(wUpIncl))
+    val v10 = (col("negBelow").cast("double")
+      + col("cn").cast("double") / lit(2.0)) / col("nn").cast("double")
+    val v01 = (col("posAbove").cast("double")
+      + col("cp").cast("double") / lit(2.0)) / col("m").cast("double")
+    val mom = j.agg(max(col("m")).as("m"), max(col("nn")).as("nn"),
+      sum(round(col("cp").cast("double") * v10, 12).cast(dec12))
+        .cast("double").as("s10"),
+      sum(round(col("cp").cast("double") * v10 * v10, 12).cast(dec12))
+        .cast("double").as("s10q"),
+      sum(round(col("cn").cast("double") * v01, 12).cast(dec12))
+        .cast("double").as("s01"),
+      sum(round(col("cn").cast("double") * v01 * v01, 12).cast(dec12))
+        .cast("double").as("s01q"))
+    val mD = col("m").cast("double")
+    val nD = col("nn").cast("double")
+    val auc = col("s10") / mD
+    val var10 = (col("s10q") - col("s10") * col("s10") / mD) / (mD - lit(1.0))
+    val var01 = (col("s01q") - col("s01") * col("s01") / nD) / (nD - lit(1.0))
+    val se = sqrt(var10 / mD + var01 / nD)
+    mom.select(col("m").as("n_pos"), col("nn").as("n_neg"),
+      round(auc, 6).as("auc"), round(se, 6).as("se_delong"),
+      round(auc - lit(1.96) * se, 6).as("ci_lo"),
+      round(auc + lit(1.96) * se, 6).as("ci_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q440_auc_delong" -> q440AucDelong,
     "q336_feature_auc_scan" -> q336FeatureAucScan,
     "q335_weighted_kappa" -> q335WeightedKappa,
     "q257_macro_f1" -> q257MacroF1,
@@ -600,6 +648,60 @@ object Evaluation {
   }
 
   val oracles: Map[String, String] = Map(
+    "q440_auc_delong" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT v, CAST(SUM(y) AS BIGINT) AS cp,
+        |    CAST(SUM(1 - y) AS BIGINT) AS cn
+        |  FROM e GROUP BY v),
+        |c AS (
+        |  SELECT cp, cn,
+        |    COALESCE(CAST(SUM(cn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS negBelow,
+        |    COALESCE(CAST(SUM(cp) OVER (ORDER BY v
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT), 0)
+        |      AS posAbove
+        |  FROM s),
+        |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS m, CAST(SUM(cn) AS BIGINT) AS nn
+        |  FROM s),
+        |mom AS (SELECT CAST(MAX(m) AS BIGINT) AS m, CAST(MAX(nn) AS BIGINT) AS nn,
+        |    CAST(SUM(CAST(ROUND(CAST(cp AS DOUBLE)
+        |      * ((CAST(negBelow AS DOUBLE) + CAST(cn AS DOUBLE)
+        |          / CAST('2.0' AS DOUBLE)) / CAST(nn AS DOUBLE)), 12)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS s10,
+        |    CAST(SUM(CAST(ROUND(CAST(cp AS DOUBLE)
+        |      * ((CAST(negBelow AS DOUBLE) + CAST(cn AS DOUBLE)
+        |          / CAST('2.0' AS DOUBLE)) / CAST(nn AS DOUBLE))
+        |      * ((CAST(negBelow AS DOUBLE) + CAST(cn AS DOUBLE)
+        |          / CAST('2.0' AS DOUBLE)) / CAST(nn AS DOUBLE)), 12)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS s10q,
+        |    CAST(SUM(CAST(ROUND(CAST(cn AS DOUBLE)
+        |      * ((CAST(posAbove AS DOUBLE) + CAST(cp AS DOUBLE)
+        |          / CAST('2.0' AS DOUBLE)) / CAST(m AS DOUBLE)), 12)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS s01,
+        |    CAST(SUM(CAST(ROUND(CAST(cn AS DOUBLE)
+        |      * ((CAST(posAbove AS DOUBLE) + CAST(cp AS DOUBLE)
+        |          / CAST('2.0' AS DOUBLE)) / CAST(m AS DOUBLE))
+        |      * ((CAST(posAbove AS DOUBLE) + CAST(cp AS DOUBLE)
+        |          / CAST('2.0' AS DOUBLE)) / CAST(m AS DOUBLE)), 12)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS s01q
+        |  FROM c CROSS JOIN tot),
+        |f AS (SELECT m, nn, s10 / CAST(m AS DOUBLE) AS auc,
+        |    SQRT(((s10q - s10 * s10 / CAST(m AS DOUBLE))
+        |        / (CAST(m AS DOUBLE) - CAST('1.0' AS DOUBLE))) / CAST(m AS DOUBLE)
+        |      + ((s01q - s01 * s01 / CAST(nn AS DOUBLE))
+        |        / (CAST(nn AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |        / CAST(nn AS DOUBLE)) AS se
+        |  FROM mom)
+        |SELECT m AS n_pos, nn AS n_neg, ROUND(auc, 6) AS auc,
+        |  ROUND(se, 6) AS se_delong,
+        |  ROUND(auc - CAST('1.96' AS DOUBLE) * se, 6) AS ci_lo,
+        |  ROUND(auc + CAST('1.96' AS DOUBLE) * se, 6) AS ci_hi
+        |FROM f""".stripMargin,
     "q336_feature_auc_scan" -> featureAucSql,
     "q335_weighted_kappa" ->
       """WITH lab AS (

@@ -1069,7 +1069,49 @@ object Similarity {
         + lit(2.0) * m1 * m1 * m1) / sqrt(v * v * v), 6).as("skew_k5"))
   }
 
+  /** Q435: distance concentration — the curse-of-dimensionality
+    * diagnostic: as intrinsic dimension grows, pairwise distances
+    * concentrate (σ/μ → 0) and each point's nearest neighbor stops being
+    * meaningfully closer than its average neighbor (relative contrast
+    * (μ_i − d_min,i)/d_min,i → 0). Reports the global concentration
+    * ratio and the mean per-point relative contrast from the shared
+    * exact pair kernel — together with q414's intrinsic dimension and
+    * q431's hubness, the triptych that predicts whether q41/q124-style
+    * ANN pruning can work on this embedding space. Per-term 8-dp rounded
+    * decimal sums.
+    */
+  def q435DistanceConcentration: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+    val pairs = exactCosinePairs(emb)
+    val sym = pairs.select(col("id1").as("id"), col("cos"))
+      .unionAll(pairs.select(col("id2").as("id"), col("cos")))
+      .withColumn("dist", lit(1.0) - col("cos"))
+    val glob = sym.agg(count(lit(1)).as("np"),
+      sum(round(col("dist"), 8).cast(DecimalType(28, 8))).cast("double").as("sd1"),
+      sum(round(col("dist") * col("dist"), 12).cast(DecimalType(30, 12)))
+        .cast("double").as("sd2"))
+    val per = sym.groupBy(col("id"))
+      .agg(min(col("dist")).as("dmin"),
+        sum(round(col("dist"), 8).cast(DecimalType(28, 8))).cast("double").as("sdi"),
+        count(lit(1)).as("ni"))
+      .select(round((col("sdi") / col("ni").cast("double") - col("dmin"))
+        / col("dmin"), 8).cast(DecimalType(28, 8)).as("rc"))
+    val rcAgg = per.agg(count(lit(1)).as("n"),
+      sum(col("rc")).cast("double").as("src"))
+    val npD = col("np").cast("double")
+    val mean = col("sd1") / npD
+    val sd = sqrt((col("sd2") - col("sd1") * col("sd1") / npD) / (npD - lit(1.0)))
+    glob.crossJoin(broadcast(rcAgg))
+      .select(col("n"), round(mean, 6).as("mean_dist"),
+        round(sd / mean, 6).as("concentration"),
+        round(col("src") / col("n").cast("double"), 6).as("mean_rel_contrast"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q435_distance_concentration" -> q435DistanceConcentration,
     "q431_hubness" -> q431Hubness,
     "q414_twonn" -> q414TwoNN,
     "q387_knn_label_accuracy" -> q387KnnLabelAccuracy,
@@ -1243,6 +1285,33 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q435_distance_concentration" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |nr AS MATERIALIZED (SELECT vec_id, ev,
+        |    SQRT(list_dot_product(ev, ev)) AS nrm FROM e),
+        |pr AS MATERIALIZED (SELECT a.vec_id AS id,
+        |    CAST('1.0' AS DOUBLE)
+        |      - list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) AS dist
+        |  FROM nr a JOIN nr b ON a.vec_id <> b.vec_id),
+        |gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(CAST(ROUND(dist, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sd1,
+        |    CAST(SUM(CAST(ROUND(dist * dist, 12) AS DECIMAL(30,12))) AS DOUBLE) AS sd2
+        |  FROM pr),
+        |per AS (SELECT CAST(ROUND((sdi / CAST(ni AS DOUBLE) - dmin) / dmin, 8)
+        |      AS DECIMAL(28,8)) AS rc
+        |  FROM (SELECT id, MIN(dist) AS dmin,
+        |      CAST(SUM(CAST(ROUND(dist, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sdi,
+        |      CAST(COUNT(*) AS BIGINT) AS ni
+        |    FROM pr GROUP BY 1)),
+        |rca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rc) AS DOUBLE) AS src FROM per)
+        |SELECT n, ROUND(sd1 / CAST(np AS DOUBLE), 6) AS mean_dist,
+        |  ROUND(SQRT((sd2 - sd1 * sd1 / CAST(np AS DOUBLE))
+        |      / (CAST(np AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (sd1 / CAST(np AS DOUBLE)), 6) AS concentration,
+        |  ROUND(src / CAST(n AS DOUBLE), 6) AS mean_rel_contrast
+        |FROM gl CROSS JOIN rca""".stripMargin,
     "q431_hubness" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),

@@ -3177,8 +3177,15 @@ object Stats {
     * bounded, never row-proportional; the daily aggregate is the only
     * data-sized pass.
     */
-  def q393LjungBox: Q = (s, d) => {
-    val grid = dailyRevenue(s, d)
+  def q393LjungBox: Q = (s, d) =>
+    ljungBoxKernel(dailyRevenue(s, d))
+
+  /** The q393 Ljung–Box kernel over a (x, r) daily-revenue grid —
+    * factored so the q437 streaming twin can run the SAME kernel over
+    * micro-batch-merged cells (exact decimal partial sums merge
+    * additively).
+    */
+  private[graft] def ljungBoxKernel(grid: DataFrame): DataFrame = {
     val tot = grid.agg(count(lit(1)).as("n"),
       sum(col("r")).cast("double").as("sx"),
       sum(col("r") * col("r")).cast(DecimalType(38, 4)).cast("double").as("srr"))
@@ -4191,7 +4198,91 @@ object Stats {
             - col("sb").cast("double") * col("sb").cast("double"))), 6).as("rho"))
   }
 
+  /** Q436: ordinal association battery — Goodman–Kruskal γ, Somers' d
+    * (price|priority), and Stuart's τ-c between order priority (ordinal
+    * 1..5) and fixed price quartile buckets. Concordant/discordant/tied
+    * pair counts come from the bounded 5×4 contingency table's self-join
+    * (20×20 cell pairs — never row pairs), all exact int64 until the
+    * final divisions. The ordinal complement to q266's nominal Cramér's V
+    * and q372's interval Kendall τ-b.
+    */
+  def q436OrdinalAssociation: Q = (s, d) => {
+    val cells = Tables(s, d, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("xo"),
+        least(lit(3L), floor(col("o_totalprice").cast(DecimalType(18, 2))
+          .cast("double") / lit(75000.0)).cast("long")).as("yo"))
+      .groupBy(col("xo"), col("yo")).agg(count(lit(1)).as("m"))
+    val cc = graft.Checkpoints.materialize(cells)
+    val a = cc.select(col("xo").as("x1"), col("yo").as("y1"), col("m").as("m1"))
+    val b = cc.select(col("xo").as("x2"), col("yo").as("y2"), col("m").as("m2"))
+    val pairs = a.crossJoin(broadcast(b))
+    val m = pairs.agg(
+      sum(when(col("x2") > col("x1") && col("y2") > col("y1"),
+        col("m1") * col("m2")).otherwise(0L)).as("c2"),
+      sum(when(col("x2") > col("x1") && col("y2") < col("y1"),
+        col("m1") * col("m2")).otherwise(0L)).as("d2"),
+      sum(when(col("x2") > col("x1") && col("y2") === col("y1"),
+        col("m1") * col("m2")).otherwise(0L)).as("ty2"))
+    val tot = cc.agg(sum(col("m")).as("n"))
+    val cD = col("c2").cast("double")
+    val dD = col("d2").cast("double")
+    m.crossJoin(broadcast(tot))
+      .select(col("n"),
+        round((cD - dD) / (cD + dD), 6).as("gamma"),
+        round((cD - dD) / (cD + dD + col("ty2").cast("double")), 6).as("somers_d"),
+        round(lit(2.0) * lit(4.0) * (cD - dD)
+          / (col("n").cast("double") * col("n").cast("double") * lit(3.0)), 6)
+          .as("tau_c"))
+  }
+
+  /** Q438: Poisson dispersion (index-of-dispersion) test on daily event
+    * counts — χ² = Σ(c−c̄)²/c̄ against df = n−1; VMR ≫ 1 means the
+    * arrival process is overdispersed (bursty) and Poisson-based capacity
+    * planning understates tail load. Exact integer moments; the q398/q310
+    * family's formal test.
+    */
+  def q438PoissonDispersion: Q = (s, d) => {
+    val m = dailyEvents(s, d).agg(count(lit(1)).as("n"),
+      sum(col("cnt")).as("sc"), sum(col("cnt") * col("cnt")).as("scc"))
+    val nD = col("n").cast("double")
+    val mean = col("sc").cast("double") / nD
+    val ss = col("scc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / nD
+    m.select(col("n"),
+      round((ss / (nD - lit(1.0))) / mean, 6).as("vmr"),
+      round(ss / mean, 4).as("chi2"))
+  }
+
+  /** Q439: rolling 8-day regression beta of purchases on clicks — the
+    * time-varying sensitivity a static q408 Granger can't show. Window
+    * moments are exact integer sums over the calendar-bounded day grid;
+    * each day's β is one closed-form scalar (full windows only).
+    */
+  def q439RollingBeta: Q = (s, d) => {
+    val daily = dailyClickPurchase(s, d)
+    val t = daily.select(col("x"), col("a"), col("b"),
+      row_number().over(Window.orderBy(col("x"))).cast("long").as("t"))
+    val w8 = Window.orderBy(col("t")).rowsBetween(-7, Window.currentRow)
+    val withM = t
+      .withColumn("n8", count(lit(1)).over(w8))
+      .withColumn("sa", sum(col("a")).over(w8))
+      .withColumn("sb", sum(col("b")).over(w8))
+      .withColumn("saa", sum(col("a") * col("a")).over(w8))
+      .withColumn("sab", sum(col("a") * col("b")).over(w8))
+      .filter(col("n8") === 8L)
+    val n8 = col("n8").cast("double")
+    withM.select(col("x"),
+      round((n8 * col("sab").cast("double")
+        - col("sa").cast("double") * col("sb").cast("double"))
+        / (n8 * col("saa").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double")), 6).as("beta"))
+      .orderBy(col("x"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q436_ordinal_association" -> q436OrdinalAssociation,
+    "q438_poisson_dispersion" -> q438PoissonDispersion,
+    "q439_rolling_beta" -> q439RollingBeta,
     "q428_partial_correlation" -> q428PartialCorrelation,
     "q429_engle_granger" -> q429EngleGranger,
     "q432_inequality" -> q432Inequality,
@@ -4470,6 +4561,71 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q436_ordinal_association" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS xo,
+        |    LEAST(3, CAST(FLOOR(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |      / CAST('75000.0' AS DOUBLE)) AS BIGINT)) AS yo,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.xo AS x1, a.yo AS y1, a.m AS m1,
+        |    b.xo AS x2, b.yo AS y2, b.m AS m2
+        |  FROM cells a CROSS JOIN cells b),
+        |agg AS (SELECT
+        |    CAST(SUM(CASE WHEN x2 > x1 AND y2 > y1 THEN m1 * m2 ELSE 0 END)
+        |      AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN x2 > x1 AND y2 < y1 THEN m1 * m2 ELSE 0 END)
+        |      AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN x2 > x1 AND y2 = y1 THEN m1 * m2 ELSE 0 END)
+        |      AS BIGINT) AS ty2
+        |  FROM p),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM cells)
+        |SELECT n,
+        |  ROUND((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+        |    / (CAST(c2 AS DOUBLE) + CAST(d2 AS DOUBLE)), 6) AS gamma,
+        |  ROUND((CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+        |    / (CAST(c2 AS DOUBLE) + CAST(d2 AS DOUBLE) + CAST(ty2 AS DOUBLE)), 6)
+        |    AS somers_d,
+        |  ROUND(CAST('2.0' AS DOUBLE) * CAST('4.0' AS DOUBLE)
+        |    * (CAST(c2 AS DOUBLE) - CAST(d2 AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST('3.0' AS DOUBLE)), 6)
+        |    AS tau_c
+        |FROM agg CROSS JOIN tot""".stripMargin,
+    "q438_poisson_dispersion" ->
+      """WITH daily AS (SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS sc,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS scc FROM daily)
+        |SELECT n,
+        |  ROUND(((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS vmr,
+        |  ROUND((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+        |    AS chi2
+        |FROM m""".stripMargin,
+    "q439_rolling_beta" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT x, a, b, CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS t
+        |  FROM daily),
+        |wm AS (SELECT x,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n8,
+        |    CAST(SUM(a) OVER w AS BIGINT) AS sa, CAST(SUM(b) OVER w AS BIGINT) AS sb,
+        |    CAST(SUM(a * a) OVER w AS BIGINT) AS saa,
+        |    CAST(SUM(a * b) OVER w AS BIGINT) AS sab
+        |  FROM t WINDOW w AS (ORDER BY t ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT x,
+        |  ROUND((CAST(n8 AS DOUBLE) * CAST(sab AS DOUBLE)
+        |    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |    / (CAST(n8 AS DOUBLE) * CAST(saa AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)), 6) AS beta
+        |FROM wm WHERE n8 = 8 ORDER BY x""".stripMargin,
     "q428_partial_correlation" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '2024-01-01',

@@ -2040,7 +2040,55 @@ object Windows {
       s.read.parquet(sumDir).groupBy(col("x"))
         .agg(sum(col("a")).as("a"), sum(col("b")).as("b")))
 
+  /** Q437: streaming Ljung–Box white-noise monitor — q393's portmanteau
+    * test maintained over an orders micro-batch stream: per batch one
+    * additive (day, exact decimal revenue-sum) cell relation, merged at
+    * the drain, then [[graft.operators.Stats.ljungBoxKernel]] (the EXACT
+    * q393 kernel) — hash-checked against q393's own oracle. The live
+    * guard a forecasting pipeline runs before trusting i.i.d.-based
+    * intervals; state is one cell per calendar day.
+    */
+  def q437StreamLjungBox: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .select(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("p"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q437_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ord.repartition(3))
+      val sdf = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q437Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(q437Drain(s, sumDir))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q437's per-batch writer: additive (day, exact revenue-sum) cells. */
+  private[graft] def q437Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF().groupBy(col("x"))
+          .agg(sum(col("p")).as("r"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q437's drain: merge day cells additively, run q393's LB kernel once. */
+  private[graft] def q437Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.operators.Stats.ljungBoxKernel(
+      s.read.parquet(sumDir).groupBy(col("x"))
+        .agg(sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("r")))
+
   val queries: Map[String, Q] = Map(
+    "q437_stream_ljung_box" -> q437StreamLjungBox,
     "q434_stream_spearman" -> q434StreamSpearman,
     "q417_stream_page_hinkley" -> q417StreamPageHinkley,
     "q418_stream_js_drift" -> q418StreamJsDrift,
@@ -2170,6 +2218,8 @@ object Windows {
       graft.operators.Stats.oracles("q400_page_hinkley"),
     "q434_stream_spearman" ->
       graft.operators.Stats.oracles("q424_spearman"),
+    "q437_stream_ljung_box" ->
+      graft.operators.Stats.oracles("q393_ljung_box"),
     "q418_stream_js_drift" ->
       graft.operators.Text.oracles("q402_js_divergence"),
     // q375 shares q363's oracle verbatim (per-cent half counts merge

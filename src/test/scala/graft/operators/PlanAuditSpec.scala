@@ -42,6 +42,9 @@ class PlanAuditSpec extends SparkSpec {
     "q429_engle_granger", // 1-row cointegration-moment relation
     "q430_token_dispersion", // 10-row top-token × |sources| grid + 1-row totals
     "q431_hubness",      // bounded chunk scan (q60 family exact baseline)
+    "q435_distance_concentration", // bounded chunk scan + 1-row contrast relation
+    "q436_ordinal_association", // 20-cell contingency self-pairing + 1-row total
+    "q440_auc_delong",   // 1-row positive/negative total relation
     "q420_friedman",     // 5-row type relation × day grid + 1-row totals
     "q423_anderson_darling", // 1-row total over the 100-value cent collapse
     "q425_cooks_distance", // 1-row OLS-moment + 1-row RSS relations
@@ -199,7 +202,9 @@ class PlanAuditSpec extends SparkSpec {
     "q413_hodges_lehmann" -> "lower-median rank over the (calendar-bounded weekday slots)² pair relation (~343² rows at any SF), never the orders",
     "q423_anderson_darling" -> "EDF cumsum over the 100-value cent-domain collapse (the q190/q363 argument), never the orders",
     "q424_spearman" -> "tie-averaged rank windows over the <=31-row day grid, never the events",
-    "q429_engle_granger" -> "level cumsums over the <=31-row day grid, never the events")
+    "q429_engle_granger" -> "level cumsums over the <=31-row day grid, never the events",
+    "q439_rolling_beta" -> "8-day rolling moment windows over the <=31-row day grid, never the events",
+    "q440_auc_delong" -> "structural-component cumsums over the bounded (score -> counts) summary (q190's argument), never the rows")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -216,7 +221,7 @@ class PlanAuditSpec extends SparkSpec {
     "q354_stream_permutation", "q375_stream_wasserstein",
     "q376_stream_ewma", "q390_stream_runs",
     "q417_stream_page_hinkley", "q418_stream_js_drift",
-    "q434_stream_spearman")
+    "q434_stream_spearman", "q437_stream_ljung_box")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }
