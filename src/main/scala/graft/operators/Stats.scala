@@ -3282,8 +3282,14 @@ object Stats {
     * (q210's argument), never the orders; the daily aggregate is the only
     * data-sized pass.
     */
-  def q397HurstRs: Q = (s, d) => {
-    val grid = dailyRevenue(s, d)
+  def q397HurstRs: Q = (s, d) =>
+    hurstKernel(dailyRevenue(s, d))
+
+  /** The q397 Hurst R/S kernel over a (x, r) daily grid — factored so the
+    * q441 streaming twin can run the SAME kernel over micro-batch-merged
+    * cells.
+    */
+  private[graft] def hurstKernel(grid: DataFrame): DataFrame = {
     val t = grid.select(col("x"), col("r"),
       row_number().over(Window.orderBy(col("x"))).cast("long").as("t"))
     val ws = t
@@ -4279,7 +4285,136 @@ object Stats {
       .orderBy(col("x"))
   }
 
+  /** Q442: difference-sign test on daily revenue — count upward
+    * day-over-day moves P against E[P] = (n−1)/2, Var = (n+1)/12; a
+    * significant z flags monotone trend that q383's median-runs test
+    * (which is location-based, not difference-based) can miss. Exact
+    * decimal comparisons on the consecutive-day join; one scalar z.
+    */
+  def q442DifferenceSign: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+    val pairs = grid.select((col("x") + 1).as("x2"), col("r").as("r1"))
+      .join(grid.select(col("x").as("x2"), col("r").as("r2")), Seq("x2"))
+    val m = pairs.agg(count(lit(1)).as("n_diffs"),
+      sum(when(col("r2") > col("r1"), 1L).otherwise(0L)).as("n_up"))
+    val nD = col("n_diffs").cast("double")
+    m.select(col("n_diffs"), col("n_up"),
+      round((col("n_up").cast("double") - nD / lit(2.0))
+        / sqrt((nD + lit(1.0)) / lit(12.0)), 4).as("z"))
+  }
+
+  /** Q443: turning-points test — count local extrema T of the daily
+    * series against E[T] = 2(n−2)/3, Var = (16n−29)/90 (the classical
+    * randomness test; too FEW turning points means momentum, too many
+    * means negative autocorrelation). Exact decimal triple comparisons
+    * on the q399-style consecutive-day joins.
+    */
+  def q443TurningPoints: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+    val t = grid.select(col("r"),
+      row_number().over(Window.orderBy(col("x"))).cast("long").as("t"))
+    val tri = t.select(col("t"), col("r").as("y1"))
+      .join(t.select((col("t") - 1).as("t"), col("r").as("y2")), Seq("t"))
+      .join(t.select((col("t") - 2).as("t"), col("r").as("y3")), Seq("t"))
+    val isTp = (col("y2") > col("y1") && col("y2") > col("y3")) ||
+      (col("y2") < col("y1") && col("y2") < col("y3"))
+    val m = tri.agg(count(lit(1)).as("n_triples"),
+      sum(when(isTp, 1L).otherwise(0L)).as("t_count"))
+    val nD = (col("n_triples") + 2L).cast("double")
+    m.select(col("n_triples"), col("t_count"),
+      round((col("t_count").cast("double")
+        - lit(2.0) * (nD - lit(2.0)) / lit(3.0))
+        / sqrt((lit(16.0) * nD - lit(29.0)) / lit(90.0)), 4).as("z"))
+  }
+
+  /** Q444: Weibull fit of order-to-ship latency by median-rank regression
+    * — the reliability-engineering duration model: over the bounded
+    * day-latency domain, grouped median ranks F_v = (S_v + (m_v+1)/2 −
+    * 0.3)/(n + 0.4) feed the classical ln(−ln(1−F)) ~ ln(d) OLS, weighted
+    * by the bucket counts (12-dp-rounded decimal moment sums). Shape < 1
+    * means infant mortality (fast shipments dominate); > 1 wear-out-like
+    * queueing. Never a data-sized sort — the cumsum runs on the ≤130-value
+    * latency collapse.
+    */
+  def q444WeibullFit: Q = (s, d) => {
+    val dur = Tables(s, d, "lineitem")
+      .join(Tables(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate")), Seq("l_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("dd"))
+      .filter(col("dd") >= 1L)
+      .groupBy(col("dd")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("dd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dur.agg(sum(col("m")).as("n"))
+    val withF = dur
+      .withColumn("s", sum(col("m")).over(w) - col("m"))
+      .crossJoin(broadcast(tot))
+      .select(col("dd"), col("m"), col("n"),
+        ((col("s").cast("double") + (col("m") + 1L).cast("double") / lit(2.0)
+          - lit(0.3)) / (col("n").cast("double") + lit(0.4))).as("f"))
+    val pts = withF
+      .select(col("m"), col("n"),
+        round(log(col("dd").cast("double")), 10).as("lx"),
+        round(log(negate(log(lit(1.0) - col("f")))), 10).as("ly"))
+    val dec12 = DecimalType(30, 12)
+    val mom = pts.agg(max(col("n")).as("n"),
+      sum(col("m")).cast("double").as("sw"),
+      sum(round(col("m").cast("double") * col("lx"), 10).cast(dec12))
+        .cast("double").as("sx"),
+      sum(round(col("m").cast("double") * col("ly"), 10).cast(dec12))
+        .cast("double").as("sy"),
+      sum(round(col("m").cast("double") * col("lx") * col("lx"), 10).cast(dec12))
+        .cast("double").as("sxx"),
+      sum(round(col("m").cast("double") * col("lx") * col("ly"), 10).cast(dec12))
+        .cast("double").as("sxy"),
+      sum(round(col("m").cast("double") * col("ly") * col("ly"), 10).cast(dec12))
+        .cast("double").as("syy"))
+    val shape = (col("sw") * col("sxy") - col("sx") * col("sy")) /
+      (col("sw") * col("sxx") - col("sx") * col("sx"))
+    val icept = (col("sy") - shape * col("sx")) / col("sw")
+    val r2num = col("sw") * col("sxy") - col("sx") * col("sy")
+    val r2 = r2num * r2num /
+      ((col("sw") * col("sxx") - col("sx") * col("sx"))
+        * (col("sw") * col("syy") - col("sy") * col("sy")))
+    mom.select(col("n"), round(shape, 4).as("shape"),
+      round(exp(negate(icept) / shape), 4).as("scale_days"),
+      round(r2, 4).as("r2"))
+  }
+
+  /** Q445: variance inflation factors among the daily click/view/purchase
+    * series — multicollinearity screen for q408/q428-style regressions:
+    * VIF_j = 1/(1−R²_j) with each R² in closed form from the 3×3
+    * correlation structure. Exact integer moments, one 1-row collapse.
+    */
+  def q445Vif: Q = (s, d) => {
+    val daily = dailyCvp(s, d)
+    val m = daily.agg(count(lit(1)).as("n"),
+      sum(col("a")).as("sa"), sum(col("v")).as("sv"), sum(col("b")).as("sb"),
+      sum(col("a") * col("a")).as("saa"), sum(col("v") * col("v")).as("svv"),
+      sum(col("b") * col("b")).as("sbb"), sum(col("a") * col("v")).as("sav"),
+      sum(col("a") * col("b")).as("sab"), sum(col("v") * col("b")).as("svb"))
+    val nD = col("n").cast("double")
+    def D(c: String): Column = col(c).cast("double")
+    def r(sxy: String, sx: String, sy: String, sxx: String, syy: String): Column =
+      (nD * D(sxy) - D(sx) * D(sy)) /
+        sqrt((nD * D(sxx) - D(sx) * D(sx)) * (nD * D(syy) - D(sy) * D(sy)))
+    val rav = r("sav", "sa", "sv", "saa", "svv")
+    val rab = r("sab", "sa", "sb", "saa", "sbb")
+    val rvb = r("svb", "sv", "sb", "svv", "sbb")
+    def r2of(rxy: Column, rxz: Column, ryz: Column): Column =
+      (rxy * rxy + rxz * rxz - lit(2.0) * rxy * rxz * ryz) /
+        (lit(1.0) - ryz * ryz)
+    m.select(col("n"),
+      round(lit(1.0) / (lit(1.0) - r2of(rav, rab, rvb)), 4).as("vif_click"),
+      round(lit(1.0) / (lit(1.0) - r2of(rav, rvb, rab)), 4).as("vif_view"),
+      round(lit(1.0) / (lit(1.0) - r2of(rab, rvb, rav)), 4).as("vif_purchase"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q442_difference_sign" -> q442DifferenceSign,
+    "q443_turning_points" -> q443TurningPoints,
+    "q444_weibull_fit" -> q444WeibullFit,
+    "q445_vif" -> q445Vif,
     "q436_ordinal_association" -> q436OrdinalAssociation,
     "q438_poisson_dispersion" -> q438PoissonDispersion,
     "q439_rolling_beta" -> q439RollingBeta,
@@ -4561,6 +4696,132 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q442_difference_sign" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.r AS r1, b.r AS r2
+        |  FROM daily a JOIN daily b ON b.x = a.x + 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_diffs,
+        |    CAST(SUM(CASE WHEN r2 > r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up
+        |  FROM p)
+        |SELECT n_diffs, n_up,
+        |  ROUND((CAST(n_up AS DOUBLE) - CAST(n_diffs AS DOUBLE) / CAST('2.0' AS DOUBLE))
+        |    / SQRT((CAST(n_diffs AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      / CAST('12.0' AS DOUBLE)), 4) AS z
+        |FROM m""".stripMargin,
+    "q443_turning_points" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |t AS MATERIALIZED (SELECT r,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS t FROM daily),
+        |tri AS (SELECT a.r AS y1, b.r AS y2, c.r AS y3
+        |  FROM t a JOIN t b ON b.t = a.t + 1 JOIN t c ON c.t = a.t + 2),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+        |    CAST(SUM(CASE WHEN (y2 > y1 AND y2 > y3) OR (y2 < y1 AND y2 < y3)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t_count
+        |  FROM tri)
+        |SELECT n_triples, t_count,
+        |  ROUND((CAST(t_count AS DOUBLE)
+        |    - CAST('2.0' AS DOUBLE) * (CAST(n_triples + 2 AS DOUBLE)
+        |      - CAST('2.0' AS DOUBLE)) / CAST('3.0' AS DOUBLE))
+        |    / SQRT((CAST('16.0' AS DOUBLE) * CAST(n_triples + 2 AS DOUBLE)
+        |      - CAST('29.0' AS DOUBLE)) / CAST('90.0' AS DOUBLE)), 4) AS z
+        |FROM m""".stripMargin,
+    "q444_weibull_fit" ->
+      """WITH dur AS (SELECT dd, CAST(COUNT(*) AS BIGINT) AS m FROM (
+        |    SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS dd
+        |    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        |  WHERE dd >= 1 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM dur),
+        |wf AS (SELECT dd, m, n,
+        |    ((CAST(CAST(SUM(m) OVER (ORDER BY dd
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - m
+        |        AS DOUBLE)
+        |      + CAST(m + 1 AS DOUBLE) / CAST('2.0' AS DOUBLE)
+        |      - CAST('0.3' AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) + CAST('0.4' AS DOUBLE))) AS f
+        |  FROM dur CROSS JOIN tot),
+        |pts AS (SELECT m, n, ROUND(LN(CAST(dd AS DOUBLE)), 10) AS lx,
+        |    ROUND(LN(-LN(CAST('1.0' AS DOUBLE) - f)), 10) AS ly
+        |  FROM wf),
+        |mom AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(SUM(m) AS DOUBLE) AS sw,
+        |    CAST(SUM(CAST(ROUND(CAST(m AS DOUBLE) * lx, 10) AS DECIMAL(30,12)))
+        |      AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(CAST(m AS DOUBLE) * ly, 10) AS DECIMAL(30,12)))
+        |      AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(CAST(m AS DOUBLE) * lx * lx, 10)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(CAST(m AS DOUBLE) * lx * ly, 10)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(CAST(m AS DOUBLE) * ly * ly, 10)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        |  FROM pts),
+        |f2 AS (SELECT n,
+        |    (sw * sxy - sx * sy) / (sw * sxx - sx * sx) AS shape, sw, sx, sy,
+        |    (sw * sxy - sx * sy) * (sw * sxy - sx * sy)
+        |      / ((sw * sxx - sx * sx) * (sw * syy - sy * sy)) AS r2
+        |  FROM mom)
+        |SELECT n, ROUND(shape, 4) AS shape,
+        |  ROUND(EXP(-((sy - shape * sx) / sw) / shape), 4) AS scale_days,
+        |  ROUND(r2, 4) AS r2
+        |FROM f2""".stripMargin,
+    "q445_vif" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(v) AS BIGINT) AS sv,
+        |    CAST(SUM(b) AS BIGINT) AS sb, CAST(SUM(a * a) AS BIGINT) AS saa,
+        |    CAST(SUM(v * v) AS BIGINT) AS svv, CAST(SUM(b * b) AS BIGINT) AS sbb,
+        |    CAST(SUM(a * v) AS BIGINT) AS sav, CAST(SUM(a * b) AS BIGINT) AS sab,
+        |    CAST(SUM(v * b) AS BIGINT) AS svb
+        |  FROM daily),
+        |rr AS (SELECT n,
+        |    (CAST(n AS DOUBLE) * CAST(sav AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sv AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) AS rav,
+        |    (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        |      - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS rab,
+        |    (CAST(n AS DOUBLE) * CAST(svb AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / SQRT((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS rvb
+        |  FROM m)
+        |SELECT n,
+        |  ROUND(CAST('1.0' AS DOUBLE) / (CAST('1.0' AS DOUBLE)
+        |    - (rav * rav + rab * rab
+        |      - CAST('2.0' AS DOUBLE) * rav * rab * rvb)
+        |      / (CAST('1.0' AS DOUBLE) - rvb * rvb)), 4) AS vif_click,
+        |  ROUND(CAST('1.0' AS DOUBLE) / (CAST('1.0' AS DOUBLE)
+        |    - (rav * rav + rvb * rvb
+        |      - CAST('2.0' AS DOUBLE) * rav * rvb * rab)
+        |      / (CAST('1.0' AS DOUBLE) - rab * rab)), 4) AS vif_view,
+        |  ROUND(CAST('1.0' AS DOUBLE) / (CAST('1.0' AS DOUBLE)
+        |    - (rab * rab + rvb * rvb
+        |      - CAST('2.0' AS DOUBLE) * rab * rvb * rav)
+        |      / (CAST('1.0' AS DOUBLE) - rav * rav)), 4) AS vif_purchase
+        |FROM rr""".stripMargin,
     "q436_ordinal_association" ->
       """WITH cells AS MATERIALIZED (
         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS xo,

@@ -2087,7 +2087,41 @@ object Windows {
         .agg(sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
           .as("r")))
 
+  /** Q441: streaming Hurst R/S monitor — q397's long-range-dependence
+    * estimate over the same merged daily-revenue cells as q437 (SAME
+    * writer, SAME session-cached feed — the mergeable-cell harness is
+    * shared; only the drain kernel differs), hash-checked against q397's
+    * own oracle.
+    */
+  def q441StreamHurst: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .select(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("p"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q441_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ord.repartition(3))
+      val sdf = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q437Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(q441Drain(s, sumDir))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q441's drain: merge day cells additively, run q397's R/S kernel. */
+  private[graft] def q441Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.operators.Stats.hurstKernel(
+      s.read.parquet(sumDir).groupBy(col("x"))
+        .agg(sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("r")))
+
   val queries: Map[String, Q] = Map(
+    "q441_stream_hurst" -> q441StreamHurst,
     "q437_stream_ljung_box" -> q437StreamLjungBox,
     "q434_stream_spearman" -> q434StreamSpearman,
     "q417_stream_page_hinkley" -> q417StreamPageHinkley,
@@ -2220,6 +2254,8 @@ object Windows {
       graft.operators.Stats.oracles("q424_spearman"),
     "q437_stream_ljung_box" ->
       graft.operators.Stats.oracles("q393_ljung_box"),
+    "q441_stream_hurst" ->
+      graft.operators.Stats.oracles("q397_hurst_rs"),
     "q418_stream_js_drift" ->
       graft.operators.Text.oracles("q402_js_divergence"),
     // q375 shares q363's oracle verbatim (per-cent half counts merge

@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "q435_distance_concentration", // bounded chunk scan + 1-row contrast relation
     "q436_ordinal_association", // 20-cell contingency self-pairing + 1-row total
     "q440_auc_delong",   // 1-row positive/negative total relation
+    "q444_weibull_fit",  // 1-row latency-total relation
     "q420_friedman",     // 5-row type relation × day grid + 1-row totals
     "q423_anderson_darling", // 1-row total over the 100-value cent collapse
     "q425_cooks_distance", // 1-row OLS-moment + 1-row RSS relations
@@ -204,7 +205,9 @@ class PlanAuditSpec extends SparkSpec {
     "q424_spearman" -> "tie-averaged rank windows over the <=31-row day grid, never the events",
     "q429_engle_granger" -> "level cumsums over the <=31-row day grid, never the events",
     "q439_rolling_beta" -> "8-day rolling moment windows over the <=31-row day grid, never the events",
-    "q440_auc_delong" -> "structural-component cumsums over the bounded (score -> counts) summary (q190's argument), never the rows")
+    "q440_auc_delong" -> "structural-component cumsums over the bounded (score -> counts) summary (q190's argument), never the rows",
+    "q443_turning_points" -> "row_number over the calendar-bounded day GRID (the q210/q397 argument), never the orders",
+    "q444_weibull_fit" -> "median-rank cumsum over the <=130-value latency collapse (the q190/q363 argument), never the lineitems")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",
@@ -221,7 +224,7 @@ class PlanAuditSpec extends SparkSpec {
     "q354_stream_permutation", "q375_stream_wasserstein",
     "q376_stream_ewma", "q390_stream_runs",
     "q417_stream_page_hinkley", "q418_stream_js_drift",
-    "q434_stream_spearman", "q437_stream_ljung_box")
+    "q434_stream_spearman", "q437_stream_ljung_box", "q441_stream_hurst")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -883,6 +883,16 @@ class StreamingSpec extends SparkSpec {
         tmp => Windows.q417Writer(s"$tmp/sum"),
         tmp => Windows.q417Drain(spark, s"$tmp/sum"),
         () => Windows.q417StreamPageHinkley(spark, sf0001)),
+      TwinCase("q441_stream_hurst",
+        () => graft.Tables(spark, sf0001, "orders")
+          .select(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+            .cast("long").as("x"),
+            $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("p")),
+        pmod($"x", lit(2L)) === 0,
+        tmp => Windows.q437Writer(s"$tmp/sum"),
+        tmp => Windows.q441Drain(spark, s"$tmp/sum"),
+        () => Windows.q441StreamHurst(spark, sf0001)),
       TwinCase("q437_stream_ljung_box",
         () => graft.Tables(spark, sf0001, "orders")
           .select(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
