@@ -531,7 +531,36 @@ object Evaluation {
       round(auc + lit(1.96) * se, 6).as("ci_hi"))
   }
 
+  /** Q446: thresholded-classifier battery at the fixed operating point
+    * v ≥ 100 — MCC, F1, balanced accuracy, and Youden's J from the exact
+    * integer confusion matrix (the threshold-free q190/q440 ROC view's
+    * deployment complement: a live filter runs at ONE threshold). MCC's
+    * four-factor denominator is a product of exact doubles under one
+    * sqrt; everything else is exact ratios.
+    */
+  def q446MccBattery: Q = (s, d) => {
+    val m = scored(s, d)
+      .select(col("y"), (col("v") >= 100).cast("long").as("p"))
+      .agg(sum(when(col("p") === 1L && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") === 1L && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p") === 0L && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("p") === 0L && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+    def D(c: String): org.apache.spark.sql.Column = col(c).cast("double")
+    val mcc = (D("tp") * D("tn") - D("fp") * D("fn")) /
+      sqrt((D("tp") + D("fp")) * (D("tp") + D("fn"))
+        * (D("tn") + D("fp")) * (D("tn") + D("fn")))
+    val tpr = D("tp") / (D("tp") + D("fn"))
+    val tnr = D("tn") / (D("tn") + D("fp"))
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round(mcc, 6).as("mcc"),
+      round(lit(2.0) * D("tp") / (lit(2.0) * D("tp") + D("fp") + D("fn")), 6)
+        .as("f1"),
+      round((tpr + tnr) / lit(2.0), 6).as("balanced_acc"),
+      round(tpr + tnr - lit(1.0), 6).as("youden_j"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q446_mcc_battery" -> q446MccBattery,
     "q440_auc_delong" -> q440AucDelong,
     "q336_feature_auc_scan" -> q336FeatureAucScan,
     "q335_weighted_kappa" -> q335WeightedKappa,
@@ -648,6 +677,34 @@ object Evaluation {
   }
 
   val oracles: Map[String, String] = Map(
+    "q446_mcc_battery" ->
+      """WITH e AS (
+        |  SELECT CAST(value AS DECIMAL(18,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN v >= 100 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN v >= 100 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN v < 100 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN v < 100 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM e)
+        |SELECT tp, fp, fn, tn,
+        |  ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |    - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |    / SQRT((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |      * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |      * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |      * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 6) AS mcc,
+        |  ROUND(CAST('2.0' AS DOUBLE) * CAST(tp AS DOUBLE)
+        |    / (CAST('2.0' AS DOUBLE) * CAST(tp AS DOUBLE)
+        |      + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) AS f1,
+        |  ROUND((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |    + CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)))
+        |    / CAST('2.0' AS DOUBLE), 6) AS balanced_acc,
+        |  ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |    + CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |    - CAST('1.0' AS DOUBLE), 6) AS youden_j
+        |FROM m""".stripMargin,
     "q440_auc_delong" ->
       """WITH e AS (
         |  SELECT CAST(value AS DECIMAL(18,4)) AS v,

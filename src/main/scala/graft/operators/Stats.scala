@@ -4410,7 +4410,55 @@ object Stats {
       round(lit(1.0) / (lit(1.0) - r2of(rab, rvb, rav)), 4).as("vif_purchase"))
   }
 
+  /** Q447: two-proportion power analysis — the per-arm sample size to
+    * detect a 10% relative lift on the observed purchase rate at
+    * α = 0.05 (two-sided), power 0.8:
+    * n = (z_{α/2}√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/(p₁−p₂)². The
+    * experiment-sizing step upstream of q331's two-proportion z and
+    * q323's SRM; z constants are shared exact double literals (no
+    * cross-engine quantile functions). One map-side count pass.
+    */
+  def q447PowerAnalysis: Q = (s, d) => {
+    val m = graft.Tables.events(s, d).agg(count(lit(1)).as("n"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+    val p1 = col("np").cast("double") / col("n").cast("double")
+    val p2 = p1 * lit(1.1)
+    val pbar = (p1 + p2) / lit(2.0)
+    val za = lit(1.959963984540054)
+    val zb = lit(0.8416212335729143)
+    val num = za * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      zb * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    m.select(col("n"), round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      ceil(num * num / ((p1 - p2) * (p1 - p2))).cast("long").as("n_per_arm"))
+  }
+
+  /** Q448: odds ratio with its Woolf log-CI — evening exposure (hour ≥
+    * 12) vs purchase outcome on the exact 2×2 integer table:
+    * OR = ad/bc, CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)). The
+    * effect-size view q331's z-test doesn't give. One map-side pass.
+    */
+  def q448OddsRatio: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select((hour(col("ts2")) >= 12).cast("long").as("e"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+    val m = ev.agg(
+      sum(when(col("e") === 1L && col("y") === 1L, 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") === 1L && col("y") === 0L, 1L).otherwise(0L)).as("b"),
+      sum(when(col("e") === 0L && col("y") === 1L, 1L).otherwise(0L)).as("c"),
+      sum(when(col("e") === 0L && col("y") === 0L, 1L).otherwise(0L)).as("dd"))
+    def D(c: String): Column = col(c).cast("double")
+    val or = D("a") * D("dd") / (D("b") * D("c"))
+    val se = sqrt(lit(1.0) / D("a") + lit(1.0) / D("b")
+      + lit(1.0) / D("c") + lit(1.0) / D("dd"))
+    m.select(col("a"), col("b"), col("c"), col("dd").as("d"),
+      round(or, 4).as("odds_ratio"),
+      round(exp(log(or) - lit(1.96) * se), 4).as("ci_lo"),
+      round(exp(log(or) + lit(1.96) * se), 4).as("ci_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q447_power_analysis" -> q447PowerAnalysis,
+    "q448_odds_ratio" -> q448OddsRatio,
     "q442_difference_sign" -> q442DifferenceSign,
     "q443_turning_points" -> q443TurningPoints,
     "q444_weibull_fit" -> q444WeibullFit,
@@ -4696,6 +4744,79 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q447_power_analysis" ->
+      """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np
+        |  FROM events)
+        |SELECT n,
+        |  ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p1,
+        |  ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * CAST('1.1' AS DOUBLE), 6) AS p2,
+        |  CAST(CEIL(
+        |    (CAST('1.959963984540054' AS DOUBLE)
+        |      * SQRT(CAST('2.0' AS DOUBLE)
+        |        * ((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |          + CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * CAST('1.1' AS DOUBLE))
+        |          / CAST('2.0' AS DOUBLE))
+        |        * (CAST('1.0' AS DOUBLE)
+        |          - (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |            + CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |              * CAST('1.1' AS DOUBLE)) / CAST('2.0' AS DOUBLE)))
+        |     + CAST('0.8416212335729143' AS DOUBLE)
+        |      * SQRT(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST('1.0' AS DOUBLE) - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |        + CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * CAST('1.1' AS DOUBLE)
+        |          * (CAST('1.0' AS DOUBLE) - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |            * CAST('1.1' AS DOUBLE))))
+        |    * (CAST('1.959963984540054' AS DOUBLE)
+        |      * SQRT(CAST('2.0' AS DOUBLE)
+        |        * ((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |          + CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * CAST('1.1' AS DOUBLE))
+        |          / CAST('2.0' AS DOUBLE))
+        |        * (CAST('1.0' AS DOUBLE)
+        |          - (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |            + CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |              * CAST('1.1' AS DOUBLE)) / CAST('2.0' AS DOUBLE)))
+        |     + CAST('0.8416212335729143' AS DOUBLE)
+        |      * SQRT(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST('1.0' AS DOUBLE) - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |        + CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * CAST('1.1' AS DOUBLE)
+        |          * (CAST('1.0' AS DOUBLE) - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |            * CAST('1.1' AS DOUBLE))))
+        |    / ((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * CAST('1.1' AS DOUBLE))
+        |      * (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(np AS DOUBLE) / CAST(n AS DOUBLE) * CAST('1.1' AS DOUBLE)))
+        |  ) AS BIGINT) AS n_per_arm
+        |FROM m""".stripMargin,
+    "q448_odds_ratio" ->
+      """WITH ev AS (SELECT
+        |    CASE WHEN hour(date_trunc('second', ts)) >= 12 THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM ev)
+        |SELECT a, b, c, dd AS d,
+        |  ROUND(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+        |    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 4) AS odds_ratio,
+        |  ROUND(EXP(LN(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |    - CAST('1.96' AS DOUBLE) * SQRT(CAST('1.0' AS DOUBLE) / CAST(a AS DOUBLE)
+        |      + CAST('1.0' AS DOUBLE) / CAST(b AS DOUBLE)
+        |      + CAST('1.0' AS DOUBLE) / CAST(c AS DOUBLE)
+        |      + CAST('1.0' AS DOUBLE) / CAST(dd AS DOUBLE))), 4) AS ci_lo,
+        |  ROUND(EXP(LN(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |    + CAST('1.96' AS DOUBLE) * SQRT(CAST('1.0' AS DOUBLE) / CAST(a AS DOUBLE)
+        |      + CAST('1.0' AS DOUBLE) / CAST(b AS DOUBLE)
+        |      + CAST('1.0' AS DOUBLE) / CAST(c AS DOUBLE)
+        |      + CAST('1.0' AS DOUBLE) / CAST(dd AS DOUBLE))), 4) AS ci_hi
+        |FROM m""".stripMargin,
     "q442_difference_sign" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '1995-01-01',
