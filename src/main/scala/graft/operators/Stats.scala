@@ -4456,7 +4456,263 @@ object Stats {
       round(exp(log(or) + lit(1.96) * se), 4).as("ci_hi"))
   }
 
+  /** Q449: Mantel–Haenszel pooled odds ratio across strata — q448's 2×2
+    * (high-value exposure × fulfilled outcome) stratified by order
+    * priority, so priority-mix confounding is adjusted out: OR_MH =
+    * Σ(aᵏdᵏ/nᵏ)/Σ(bᵏcᵏ/nᵏ) with the MH chi-square (Σa − ΣE)²/ΣV.
+    * Cells are exact integers from ONE map-side-combined aggregate over
+    * orders; the per-stratum R/S/E/V terms are each one IEEE expression
+    * rounded at 6 dp and decimal-summed (the q362 srq recipe), so the
+    * reduction is order-independent at any partitioning. The 5-row
+    * stratum relation is the only post-scan state — at 100 TB this is
+    * still one aggregate.
+    */
+  def q449MantelHaenszel: Q = (s, d) => {
+    val o = Tables(s, d, "orders").select(
+      col("o_orderpriority").as("g"),
+      (col("o_totalprice") >= 150000.0).as("e"),
+      (col("o_orderstatus") === "F").as("y"))
+    val per = o.groupBy(col("g")).agg(
+      sum(when(col("e") && col("y"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") && !col("y"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("e") && col("y"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("dd"))
+    def D(c: String): Column = col(c).cast("double")
+    val nD = D("a") + D("b") + D("c") + D("dd")
+    def term6(x: Column): Column = round(x, 6).cast(DecimalType(38, 6))
+    val m = per.agg(count(lit(1)).as("k"),
+      sum(col("a") + col("b") + col("c") + col("dd")).cast("long").as("n"),
+      sum(col("a")).cast("long").as("suma"),
+      sum(term6(D("a") * D("dd") / nD)).cast("double").as("sr"),
+      sum(term6(D("b") * D("c") / nD)).cast("double").as("ss"),
+      sum(term6((D("a") + D("b")) * (D("a") + D("c")) / nD)).cast("double").as("se"),
+      sum(term6((D("a") + D("b")) * (D("c") + D("dd")) * (D("a") + D("c"))
+        * (D("b") + D("dd")) / (nD * nD * (nD - lit(1.0))))).cast("double").as("sv"))
+    val chi2 = (col("suma").cast("double") - col("se")) *
+      (col("suma").cast("double") - col("se")) / col("sv")
+    m.select(big(col("k")).as("k_strata"), col("n"), col("suma").as("exposed_cases"),
+      round(col("sr") / col("ss"), 4).as("or_mh"),
+      round(chi2, 4).as("chi2_mh"),
+      (round(chi2, 4) > lit(3.841)).as("significant"))
+  }
+
+  /** Q450: Mood's median test — does account balance differ across market
+    * segments in LOCATION, nonparametrically: counts above/below the
+    * pooled LOWER median (sorted element at position (n+1) div 2, the
+    * repo's median convention), chi-square over the 2×k table. The
+    * median comes from a cumulative window over the CENT-VALUE collapse
+    * (support bounded by the balance domain, ≤1.1M cents at any corpus
+    * size — the q363 argument), never the customer relation; the 1-row
+    * median then broadcasts back onto the scan. Per-segment chi terms
+    * are single IEEE expressions rounded 6 dp, decimal-summed.
+    */
+  def q450MoodMedian: Q = (s, d) => {
+    val cents = Tables(s, d, "customer").select(col("c_mktsegment").as("g"),
+      (dec(col("c_acctbal")) * 100).cast("long").as("c"))
+    val byc = cents.groupBy(col("c")).agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byc.agg(sum(col("t")).cast("long").as("n"))
+    val med = byc.withColumn("cum", sum(col("t")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(expr("cum >= (n + 1) div 2"))
+      .agg(min(col("c")).as("med"))
+    val seg = cents.crossJoin(broadcast(med)).groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(when(col("c") > col("med"), 1L).otherwise(0L)).as("ag"))
+    val totals = seg.agg(sum(col("ng")).cast("long").as("n"),
+      sum(col("ag")).cast("long").as("aa"), count(lit(1)).as("k"))
+    val jt = seg.crossJoin(broadcast(totals))
+    val nD = col("n").cast("double")
+    val aD = col("aa").cast("double")
+    val ngD = col("ng").cast("double")
+    val agD = col("ag").cast("double")
+    val eA = ngD * aD / nD
+    val eB = ngD * (nD - aD) / nD
+    val term = round((agD - eA) * (agD - eA) / eA
+      + ((ngD - agD) - eB) * ((ngD - agD) - eB) / eB, 6)
+    val agg = jt.agg(max(col("n")).as("n"), max(col("k")).as("k"),
+      sum(term.cast(DecimalType(38, 6))).cast("double").as("chi2"))
+    agg.crossJoin(broadcast(med))
+      .select(col("n"), big(col("k")).as("k_segments"),
+        round(col("med").cast("double") / 100.0, 2).as("median_acctbal"),
+        round(col("chi2"), 6).as("chi2"),
+        // chi-square 0.95 critical value at k−1 = 4 df
+        (round(col("chi2"), 6) > lit(9.488)).as("significant"))
+  }
+
+  /** Q451: Cochran–Armitage trend test — does purchase propensity TREND
+    * monotonically across ordered time-of-day buckets (hour div 6, scores
+    * 0..3)? T = Σsᵏ(aᵏ − nᵏp̄) with Var = p̄(1−p̄)(Σs²n − (Σsn)²/N); all
+    * five sufficient sums are exact integers from ONE map-side-combined
+    * pass over events, the z is one final IEEE tree. The dose-response
+    * sharpening of q331's two-proportion z.
+    */
+  def q451CochranArmitage: Q = (s, d) => {
+    val sc = expr("CAST(hour(ts2) AS BIGINT) div 6")
+    val y = when(col("event_type") === "purchase", 1L).otherwise(0L)
+    val m = Tables.events(s, d).select(sc.as("s"), y.as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("a"),
+        sum(col("s") * col("y")).as("sa"), sum(col("s")).as("sn1"),
+        sum(col("s") * col("s")).as("sn2"))
+    def D(c: String): Column = col(c).cast("double")
+    val pbar = D("a") / D("n")
+    val t = D("sa") - pbar * D("sn1")
+    val v = pbar * (lit(1.0) - pbar) * (D("sn2") - D("sn1") * D("sn1") / D("n"))
+    m.select(big(col("n")).as("n"), big(col("a")).as("purchases"),
+      round(t / sqrt(v), 6).as("z"),
+      (abs(round(t / sqrt(v), 6)) > lit(1.96)).as("significant"))
+  }
+
+  /** Q452: energy distance between the first- and second-half `value`
+    * distributions — the rotation/scale-sensitive drift companion to
+    * q363's W₁ (energy sees shape changes W₁ underweights): D² = 2E|X−Y|
+    * − E|X−X′| − E|Y−Y′|, each expectation computed EXACTLY over the
+    * bounded cent-support collapse via the CDF identity E|X−Y| =
+    * ∫(F₁+F₂−2F₁F₂)dt with denominators cleared: per merged-support gap,
+    * integer numerators f₁(N₂−f₂)+f₂(N₁−f₁) (cross), 2f₁(N₁−f₁) and
+    * 2f₂(N₂−f₂) (within), decimal-summed. Long arithmetic is exact while
+    * Nᵢ·support·gap < 2⁶³ (documented like q363's kernel; promote to
+    * decimal multiplies past ~1e9 rows/side). Shuffle ∝ distinct cents.
+    */
+  def q452EnergyDistance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(epochSec(col("ts2")).as("t"),
+        (dec(col("value")) * 100).cast("long").as("c"))
+    val m = ev.agg(expr("(MIN(t) + MAX(t)) div 2").as("mid"))
+    val byc = ev.crossJoin(broadcast(m)).groupBy(col("c"))
+      .agg(sum(when(col("t") < col("mid"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("t") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byc.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    val steps = byc
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .withColumn("gap", lead(col("c"), 1).over(Window.orderBy(col("c"))) - col("c"))
+      .filter(col("gap").isNotNull)
+    val red = steps.crossJoin(broadcast(tot)).agg(
+      max(col("n1")).as("na"), max(col("n2")).as("nb"),
+      sum(((col("f1") * (col("n2") - col("f2"))
+        + col("f2") * (col("n1") - col("f1"))) * col("gap"))
+        .cast(DecimalType(38, 0))).as("across"),
+      sum((lit(2L) * col("f1") * (col("n1") - col("f1")) * col("gap"))
+        .cast(DecimalType(38, 0))).as("within1"),
+      sum((lit(2L) * col("f2") * (col("n2") - col("f2")) * col("gap"))
+        .cast(DecimalType(38, 0))).as("within2"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val eD = (lit(2.0) * col("across").cast("double") / (naD * nbD)
+      - col("within1").cast("double") / (naD * naD)
+      - col("within2").cast("double") / (nbD * nbD)) / 100.0
+    red.select(big(col("na")).as("n_first"), big(col("nb")).as("n_second"),
+      col("across").cast("string").as("across_scaled"),
+      col("within1").cast("string").as("within1_scaled"),
+      col("within2").cast("string").as("within2_scaled"),
+      round(eD, 6).as("energy_distance"))
+  }
+
+  /** Q453: two-sample Cramér–von Mises — URGENT vs rest order values over
+    * the $10-bucket collapse (q361's bounded support): T = Σtₖ(F₁−F₂)²·
+    * N₁N₂/(N₁+N₂)² with the CDF gap computed from the exact long
+    * f₁N₂−f₂N₁ (< 2⁵³, so its double image is exact; so is N₁·N₂), the
+    * per-bucket tₖ(F₁−F₂)² term ONE IEEE expression rounded 8 dp and
+    * decimal-summed (Σ terms ≤ N, so the (38,8) scaled integer stays
+    * < 2⁵³ — the q227 scale-sizing rule). Where q297's KS sees only the
+    * max CDF gap, CvM integrates ALL of it — more power against spread
+    * differences.
+    */
+  def q453CramerVonMises: Q = (s, d) => {
+    val o = Tables(s, d, "orders").select(
+      (col("o_orderpriority") === "1-URGENT").as("g"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) div 1000")
+        .as("b"))
+    val byb = o.groupBy(col("b")).agg(
+      sum(when(col("g"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("g"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byb.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    val steps = byb
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+    val dd = (col("f1") * col("n2") - col("f2") * col("n1")).cast("double") /
+      (col("n1").cast("double") * col("n2").cast("double"))
+    val term = round(dd * dd * (col("c1") + col("c2")).cast("double"), 8)
+    val red = steps.crossJoin(broadcast(tot)).agg(
+      max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+      sum(term.cast(DecimalType(38, 8))).cast("double").as("srq"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val t = col("srq") * n1D * n2D /
+      ((n1D + n2D) * (n1D + n2D))
+    red.select(big(col("n1")).as("n_urgent"), big(col("n2")).as("n_rest"),
+      round(t, 6).as("t"),
+      // asymptotic 0.95 critical value of the two-sample CvM statistic
+      (round(t, 6) > lit(0.461)).as("significant"))
+  }
+
+  /** Q454: nominal-association battery — Goodman–Kruskal λ (both
+    * directions, exact integer modal-count arithmetic) and Theil's
+    * uncertainty coefficient U (entropy-based, per-cell terms rounded
+    * 6 dp and decimal-summed) between event type and time-of-day bucket.
+    * The PRE/information complements to q266's Cramér's V: λ answers
+    * "how much better do I guess Y knowing X", U is asymmetric mutual
+    * information as a fraction of H. One groupBy over events to the
+    * bounded |types|×|buckets| cell relation; everything after runs on
+    * ≤20 rows.
+    */
+  def q454NominalAssociation: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type").as("x"),
+        expr("CAST(hour(ts2) AS BIGINT) div 6").as("yb"))
+      .groupBy(col("x"), col("yb")).agg(count(lit(1)).as("nxy"))
+    val xm = cells.groupBy(col("x")).agg(sum(col("nxy")).cast("long").as("nx"),
+      max(col("nxy")).cast("long").as("mx"))
+    val ym = cells.groupBy(col("yb")).agg(sum(col("nxy")).cast("long").as("ny"),
+      max(col("nxy")).cast("long").as("my"))
+    val tots = xm.agg(sum(col("nx")).cast("long").as("n"),
+      sum(col("mx")).cast("long").as("smx"), max(col("nx")).cast("long").as("maxnx"))
+    val toty = ym.agg(sum(col("my")).cast("long").as("smy"),
+      max(col("ny")).cast("long").as("maxny"))
+    def h6(p: Column, q: Column): Column =
+      round(p.cast("double") / q.cast("double")
+        * log(q.cast("double") / p.cast("double")), 6).cast(DecimalType(38, 6))
+    // H(Y) and H(X) from the margins; H(Y|X)/H(X|Y) from the cells
+    val hy = ym.crossJoin(broadcast(tots))
+      .agg(sum(h6(col("ny"), col("n"))).cast("double").as("hy"))
+    val hx = xm.select(col("nx")).crossJoin(broadcast(tots))
+      .agg(sum(h6(col("nx"), col("n"))).cast("double").as("hx"))
+    // H(Y|X) = Σ_xy (n_xy/N)·ln(n_x/n_xy): weight by N, condition on n_x
+    def hc6(marg: Column): Column =
+      round(col("nxy").cast("double") / col("n").cast("double")
+        * log(marg.cast("double") / col("nxy").cast("double")), 6)
+        .cast(DecimalType(38, 6))
+    val hyx = cells.join(broadcast(xm), Seq("x")).crossJoin(broadcast(tots))
+      .agg(sum(hc6(col("nx"))).cast("double").as("hyx"))
+    val hxy = cells.join(broadcast(ym), Seq("yb")).crossJoin(broadcast(tots))
+      .agg(sum(hc6(col("ny"))).cast("double").as("hxy"))
+    tots.crossJoin(broadcast(toty))
+      .crossJoin(broadcast(hy)).crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hyx)).crossJoin(broadcast(hxy))
+      .select(col("n"),
+        round((col("smx") - col("maxny")).cast("double")
+          / (col("n") - col("maxny")).cast("double"), 6).as("lambda_y_x"),
+        round((col("smy") - col("maxnx")).cast("double")
+          / (col("n") - col("maxnx")).cast("double"), 6).as("lambda_x_y"),
+        round((col("hy") - col("hyx")) / col("hy"), 6).as("theil_u_y_x"),
+        round((col("hx") - col("hxy")) / col("hx"), 6).as("theil_u_x_y"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q449_mantel_haenszel" -> q449MantelHaenszel,
+    "q450_mood_median" -> q450MoodMedian,
+    "q451_cochran_armitage" -> q451CochranArmitage,
+    "q452_energy_distance" -> q452EnergyDistance,
+    "q453_cramer_von_mises" -> q453CramerVonMises,
+    "q454_nominal_association" -> q454NominalAssociation,
     "q447_power_analysis" -> q447PowerAnalysis,
     "q448_odds_ratio" -> q448OddsRatio,
     "q442_difference_sign" -> q442DifferenceSign,
@@ -4744,6 +5000,225 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q449_mantel_haenszel" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    (o_totalprice >= CAST('150000.0' AS DOUBLE)) AS e,
+        |    (o_orderstatus = 'F') AS y FROM orders),
+        |per AS (SELECT g,
+        |    CAST(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM o GROUP BY 1),
+        |m AS (SELECT COUNT(*) AS k, CAST(SUM(a + b + c + dd) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS suma,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |        + CAST(dd AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS sr,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |        + CAST(dd AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS ss,
+        |    CAST(CAST(SUM(CAST(ROUND((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+        |      / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |        + CAST(dd AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS se,
+        |    CAST(CAST(SUM(CAST(ROUND((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |      * (CAST(c AS DOUBLE) + CAST(dd AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+        |      * (CAST(b AS DOUBLE) + CAST(dd AS DOUBLE))
+        |      / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |          + CAST(dd AS DOUBLE))
+        |        * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |          + CAST(dd AS DOUBLE))
+        |        * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+        |          + CAST(dd AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6)
+        |      AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sv
+        |  FROM per)
+        |SELECT CAST(k AS BIGINT) AS k_strata, n, suma AS exposed_cases,
+        |  ROUND(sr / ss, 4) AS or_mh,
+        |  ROUND((CAST(suma AS DOUBLE) - se) * (CAST(suma AS DOUBLE) - se) / sv,
+        |    4) AS chi2_mh,
+        |  (ROUND((CAST(suma AS DOUBLE) - se) * (CAST(suma AS DOUBLE) - se) / sv,
+        |    4) > CAST('3.841' AS DOUBLE)) AS significant
+        |FROM m""".stripMargin,
+    "q450_mood_median" ->
+      """WITH cents AS MATERIALIZED (SELECT c_mktsegment AS g,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+        |  FROM customer),
+        |byc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM cents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM byc),
+        |med AS MATERIALIZED (SELECT MIN(c) AS med FROM (
+        |    SELECT c, SUM(t) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM byc) s, tot
+        |  WHERE cum >= (n + 1) // 2),
+        |seg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CASE WHEN c > med THEN 1 ELSE 0 END) AS BIGINT) AS ag
+        |  FROM cents, med GROUP BY 1),
+        |totals AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(ag) AS BIGINT) AS aa, COUNT(*) AS k FROM seg),
+        |agg AS (SELECT MAX(n) AS n, MAX(k) AS k,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      (CAST(ag AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(aa AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      * (CAST(ag AS DOUBLE) - CAST(ng AS DOUBLE) * CAST(aa AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      / (CAST(ng AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + ((CAST(ng AS DOUBLE) - CAST(ag AS DOUBLE))
+        |        - CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(aa AS DOUBLE))
+        |          / CAST(n AS DOUBLE))
+        |      * ((CAST(ng AS DOUBLE) - CAST(ag AS DOUBLE))
+        |        - CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(aa AS DOUBLE))
+        |          / CAST(n AS DOUBLE))
+        |      / (CAST(ng AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(aa AS DOUBLE))
+        |        / CAST(n AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS chi2
+        |  FROM seg, totals)
+        |SELECT n, CAST(k AS BIGINT) AS k_segments,
+        |  ROUND(CAST(med AS DOUBLE) / CAST('100.0' AS DOUBLE), 2)
+        |    AS median_acctbal,
+        |  ROUND(chi2, 6) AS chi2,
+        |  (ROUND(chi2, 6) > CAST('9.488' AS DOUBLE)) AS significant
+        |FROM agg, med""".stripMargin,
+    "q451_cochran_armitage" ->
+      """WITH ev AS (SELECT
+        |    CAST(hour(date_trunc('second', ts)) AS BIGINT) // 6 AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS a,
+        |    CAST(SUM(s * y) AS BIGINT) AS sa, CAST(SUM(s) AS BIGINT) AS sn1,
+        |    CAST(SUM(s * s) AS BIGINT) AS sn2 FROM ev)
+        |SELECT n, a AS purchases,
+        |  ROUND((CAST(sa AS DOUBLE)
+        |      - CAST(a AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sn1 AS DOUBLE))
+        |    / SQRT(CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * (CAST('1.0' AS DOUBLE) - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sn2 AS DOUBLE) - CAST(sn1 AS DOUBLE) * CAST(sn1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE))), 6) AS z,
+        |  (ABS(ROUND((CAST(sa AS DOUBLE)
+        |      - CAST(a AS DOUBLE) / CAST(n AS DOUBLE) * CAST(sn1 AS DOUBLE))
+        |    / SQRT(CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * (CAST('1.0' AS DOUBLE) - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sn2 AS DOUBLE) - CAST(sn1 AS DOUBLE) * CAST(sn1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE))), 6)) > CAST('1.96' AS DOUBLE))
+        |    AS significant
+        |FROM m""".stripMargin,
+    "q452_energy_distance" ->
+      """WITH ev AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |m AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM ev),
+        |byc AS (
+        |  SELECT c,
+        |    CAST(SUM(CASE WHEN t < mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM ev, m GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |               CAST(SUM(c2) AS BIGINT) AS n2 FROM byc),
+        |steps AS (
+        |  SELECT c,
+        |    SUM(c1) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    SUM(c2) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+        |    LEAD(c) OVER (ORDER BY c) - c AS gap
+        |  FROM byc),
+        |red AS (
+        |  SELECT MAX(n1) AS na, MAX(n2) AS nb,
+        |    CAST(SUM((f1 * (n2 - f2) + f2 * (n1 - f1)) * gap)
+        |      AS DECIMAL(38,0)) AS across,
+        |    CAST(SUM(2 * f1 * (n1 - f1) * gap) AS DECIMAL(38,0)) AS within1,
+        |    CAST(SUM(2 * f2 * (n2 - f2) * gap) AS DECIMAL(38,0)) AS within2
+        |  FROM steps, tot WHERE gap IS NOT NULL)
+        |SELECT na AS n_first, nb AS n_second,
+        |  CAST(across AS VARCHAR) AS across_scaled,
+        |  CAST(within1 AS VARCHAR) AS within1_scaled,
+        |  CAST(within2 AS VARCHAR) AS within2_scaled,
+        |  ROUND((CAST('2.0' AS DOUBLE) * CAST(across AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    - CAST(within1 AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+        |    - CAST(within2 AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)))
+        |    / CAST('100.0' AS DOUBLE), 6) AS energy_distance
+        |FROM red""".stripMargin,
+    "q453_cramer_von_mises" ->
+      """WITH o AS (SELECT (o_orderpriority = '1-URGENT') AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 1000
+        |      AS b
+        |  FROM orders),
+        |byb AS (SELECT b,
+        |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |               CAST(SUM(c2) AS BIGINT) AS n2 FROM byb),
+        |steps AS (SELECT c1, c2,
+        |    SUM(c1) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    SUM(c2) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM byb),
+        |red AS (SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(f1 * n2 - f2 * n1 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |      * (CAST(f1 * n2 - f2 * n1 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+        |      * CAST(c1 + c2 AS DOUBLE), 8) AS DECIMAL(38,8)))
+        |      AS DECIMAL(38,8)) AS DOUBLE) AS srq
+        |  FROM steps, tot)
+        |SELECT n1 AS n_urgent, n2 AS n_rest,
+        |  ROUND(srq * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6) AS t,
+        |  (ROUND(srq * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+        |    > CAST('0.461' AS DOUBLE)) AS significant
+        |FROM red""".stripMargin,
+    "q454_nominal_association" ->
+      """WITH cells AS MATERIALIZED (SELECT event_type AS x,
+        |    CAST(hour(date_trunc('second', ts)) AS BIGINT) // 6 AS yb,
+        |    CAST(COUNT(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |xm AS MATERIALIZED (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx,
+        |    CAST(MAX(nxy) AS BIGINT) AS mx FROM cells GROUP BY 1),
+        |ym AS MATERIALIZED (SELECT yb, CAST(SUM(nxy) AS BIGINT) AS ny,
+        |    CAST(MAX(nxy) AS BIGINT) AS my FROM cells GROUP BY 1),
+        |tots AS (SELECT CAST(SUM(nx) AS BIGINT) AS n,
+        |    CAST(SUM(mx) AS BIGINT) AS smx,
+        |    CAST(MAX(nx) AS BIGINT) AS maxnx FROM xm),
+        |toty AS (SELECT CAST(SUM(my) AS BIGINT) AS smy,
+        |    CAST(MAX(ny) AS BIGINT) AS maxny FROM ym),
+        |hy AS (SELECT CAST(CAST(SUM(CAST(ROUND(
+        |    CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * LN(CAST(n AS DOUBLE) / CAST(ny AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS hy FROM ym, tots),
+        |hx AS (SELECT CAST(CAST(SUM(CAST(ROUND(
+        |    CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * LN(CAST(n AS DOUBLE) / CAST(nx AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS hx FROM xm, tots),
+        |hyx AS (SELECT CAST(CAST(SUM(CAST(ROUND(
+        |    CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * LN(CAST(nx AS DOUBLE) / CAST(nxy AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS hyx
+        |  FROM cells JOIN xm USING (x), tots),
+        |hxy AS (SELECT CAST(CAST(SUM(CAST(ROUND(
+        |    CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * LN(CAST(ny AS DOUBLE) / CAST(nxy AS DOUBLE)), 6) AS DECIMAL(38,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS hxy
+        |  FROM cells JOIN ym USING (yb), tots)
+        |SELECT n,
+        |  ROUND(CAST(smx - maxny AS DOUBLE) / CAST(n - maxny AS DOUBLE), 6)
+        |    AS lambda_y_x,
+        |  ROUND(CAST(smy - maxnx AS DOUBLE) / CAST(n - maxnx AS DOUBLE), 6)
+        |    AS lambda_x_y,
+        |  ROUND((hy - hyx) / hy, 6) AS theil_u_y_x,
+        |  ROUND((hx - hxy) / hx, 6) AS theil_u_x_y
+        |FROM tots, toty, hy, hx, hyx, hxy""".stripMargin,
     "q447_power_analysis" ->
       """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -155,6 +155,10 @@ class PlanAuditSpec extends SparkSpec {
     "q365_fdr_bh", // 1-row family-size m broadcast onto the <=|event types|-row p-value relation
     "q369_log_rank", // 1-row horizon broadcast (q210's censoring convention)
     "q370_rdd", // 1-row left-fit x 1-row right-fit composition
+    "q450_mood_median", // 1-row pooled-median and totals broadcasts onto the bounded cent collapse / 5-segment relation
+    "q452_energy_distance", // 1-row midpoint + (N1,N2) totals broadcasts onto the bounded cent-support steps (q363's shape)
+    "q453_cramer_von_mises", // 1-row (N1,N2) totals broadcast onto the bounded $10-bucket steps (q361's support)
+    "q454_nominal_association", // 1-row margin/entropy broadcasts composing the single report row over the <=20-cell relation
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -207,7 +211,10 @@ class PlanAuditSpec extends SparkSpec {
     "q439_rolling_beta" -> "8-day rolling moment windows over the <=31-row day grid, never the events",
     "q440_auc_delong" -> "structural-component cumsums over the bounded (score -> counts) summary (q190's argument), never the rows",
     "q443_turning_points" -> "row_number over the calendar-bounded day GRID (the q210/q397 argument), never the orders",
-    "q444_weibull_fit" -> "median-rank cumsum over the <=130-value latency collapse (the q190/q363 argument), never the lineitems")
+    "q444_weibull_fit" -> "median-rank cumsum over the <=130-value latency collapse (the q190/q363 argument), never the lineitems",
+    "q450_mood_median" -> "pooled-median cumsum over the bounded cent-value collapse (balance domain <= 1.1M cents, the q363 argument), never the customers",
+    "q452_energy_distance" -> "CDF cumsums + lead over the bounded cent-support collapse (q363's value domain), never the events",
+    "q453_cramer_von_mises" -> "CDF cumsums over the bounded $10-bucket collapse (q361's price-domain argument), never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

@@ -1473,4 +1473,93 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got(10L)._7) < 1e-9, "qini(100%) must equal the diagonal")
     assert(got(10L)._1 === n, "final decile must cover everything")
   }
+
+  test("q449 Mantel-Haenszel: pooled OR and chi2 match the textbook replay") {
+    val rows = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderstatus"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1) >= 150000.0, r.getString(2) == "F"))
+    val strata = rows.groupBy(_._1).values.toSeq
+    def cells(g: Seq[(String, Boolean, Boolean)]) = (
+      g.count(t => t._2 && t._3).toDouble, g.count(t => t._2 && !t._3).toDouble,
+      g.count(t => !t._2 && t._3).toDouble, g.count(t => !t._2 && !t._3).toDouble)
+    val terms = strata.map { g =>
+      val (a, b, c, dd) = cells(g)
+      val n = a + b + c + dd
+      (a, a * dd / n, b * c / n, (a + b) * (a + c) / n,
+        (a + b) * (c + dd) * (a + c) * (b + dd) / (n * n * (n - 1)))
+    }
+    val suma = terms.map(_._1).sum
+    val wantOr = terms.map(_._2).sum / terms.map(_._3).sum
+    val wantChi = math.pow(suma - terms.map(_._4).sum, 2) / terms.map(_._5).sum
+    val got = Stats.q449MantelHaenszel(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == strata.length, "k_strata")
+    assert(r.getLong(1) == rows.length, "n")
+    assert(r.getLong(2) == suma.toLong, "exposed cases")
+    assert(math.abs(r.getDouble(3) - wantOr) < 1e-3, s"or ${r.getDouble(3)} vs $wantOr")
+    assert(math.abs(r.getDouble(4) - wantChi) < 1e-3, s"chi2 ${r.getDouble(4)} vs $wantChi")
+  }
+
+  test("q452 energy distance: matches the O(n^2) pairwise replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("ts2").cast("long"), col("value"))
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val x = ev.filter(_._1 < mid).map(_._2)
+    val y = ev.filter(_._1 >= mid).map(_._2)
+    def meanAbs(u: Array[Long], v: Array[Long]): Double =
+      u.flatMap(a => v.map(b => math.abs(a - b).toDouble)).sum / (u.length.toDouble * v.length)
+    val want = (2 * meanAbs(x, y) - meanAbs(x, x) - meanAbs(y, y)) / 100.0
+    val r = Stats.q452EnergyDistance(spark, sf0001).collect().head
+    assert(r.getLong(0) == x.length && r.getLong(1) == y.length)
+    assert(math.abs(r.getDouble(5) - want) < 1e-6,
+      s"energy ${r.getDouble(5)} vs $want")
+    assert(r.getDouble(5) >= 0.0, "energy distance is nonnegative")
+  }
+
+  test("q453 CvM: matches the per-observation EDF replay on $10 buckets") {
+    val o = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0) == "1-URGENT",
+        math.round(r.getDouble(1) * 100) / 1000))
+    val xs = o.filter(_._1).map(_._2).sorted
+    val ys = o.filterNot(_._1).map(_._2).sorted
+    val n1 = xs.length.toDouble
+    val n2 = ys.length.toDouble
+    def edf(s: Array[Long], v: Long): Double = s.count(_ <= v) / s.length.toDouble
+    val support = (xs ++ ys).distinct
+    val want = support.map { v =>
+      val t = xs.count(_ == v) + ys.count(_ == v)
+      t * math.pow(edf(xs, v) - edf(ys, v), 2)
+    }.sum * n1 * n2 / math.pow(n1 + n2, 2)
+    val r = Stats.q453CramerVonMises(spark, sf0001).collect().head
+    assert(r.getLong(0) == xs.length && r.getLong(1) == ys.length)
+    assert(math.abs(r.getDouble(2) - want) < 1e-4, s"t ${r.getDouble(2)} vs $want")
+  }
+
+  test("q454 lambda/U: exact PRE identities hold and match plain replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("CAST(hour(ts2) AS BIGINT) div 6"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = ev.length.toDouble
+    val cells = ev.groupBy(identity).map { case (k, v) => (k._1, k._2, v.length) }.toSeq
+    val smx = cells.groupBy(_._1).values.map(_.map(_._3).max).sum.toDouble
+    val ny = cells.groupBy(_._2).mapValues(_.map(_._3).sum)
+    val maxny = ny.values.max.toDouble
+    val wantLyx = (smx - maxny) / (n - maxny)
+    def h(ps: Iterable[Double]): Double = ps.map(p => -p / n * math.log(p / n)).sum
+    val hy = h(ny.values.map(_.toDouble))
+    val hyx = cells.groupBy(_._1).values.flatMap { g =>
+      val nx = g.map(_._3).sum.toDouble
+      g.map(c => -c._3 / n * math.log(c._3 / nx))
+    }.sum
+    val r = Stats.q454NominalAssociation(spark, sf0001).collect().head
+    assert(r.getLong(0) == ev.length)
+    assert(math.abs(r.getDouble(1) - wantLyx) < 1e-5, "lambda(Y|X)")
+    assert(math.abs(r.getDouble(3) - (hy - hyx) / hy) < 1e-4, "U(Y|X)")
+    // PRE measures live in [0,1]
+    Seq(1, 2, 3, 4).foreach(i => assert(r.getDouble(i) >= 0 && r.getDouble(i) <= 1))
+  }
 }
