@@ -4456,6 +4456,168 @@ object Stats {
       round(exp(log(or) + lit(1.96) * se), 4).as("ci_hi"))
   }
 
+  /** Q455: Dunn's post-hoc test — q362's Kruskal–Wallis says SOME priority
+    * differs in order value; Dunn's pairwise rank z (with the tie-corrected
+    * variance and the Bonferroni bar for 10 comparisons) says WHICH:
+    * z_ij = (R̄ᵢ−R̄ⱼ)/√((N(N+1)/12 − Σ(t³−t)/(12(N−1)))(1/nᵢ+1/nⱼ)).
+    * Shares [[rankedBuckets]]' exact 2×-scaled average ranks; the pair
+    * relation is the 5-row group summary self-joined (bounded broadcast).
+    */
+  def q455DunnsTest: Q = (s, d) => {
+    val rb = rankedBuckets(s, d, col("o_orderpriority"))
+    val per = rb.groupBy(col("g"))
+      .agg(sum(col("ng")).cast("long").as("ng"),
+        sum(col("ng") * col("rank2")).cast(DecimalType(38, 0)).as("r2"))
+    val ties = rb.groupBy(col("b")).agg(max(col("t")).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t"))
+        .cast(DecimalType(38, 0)).as("tsum"))
+    val tot = per.agg(sum(col("ng")).cast("long").as("n"))
+    val a = per.select(col("g").as("g1"), col("ng").as("n1"), col("r2").as("ra"))
+    val b = per.select(col("g").as("g2"), col("ng").as("n2"), col("r2").as("rb"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("g1") < col("g2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val mean1 = col("ra").cast("double") / (lit(2.0) * col("n1").cast("double"))
+    val mean2 = col("rb").cast("double") / (lit(2.0) * col("n2").cast("double"))
+    val varTerm = (nD * (nD + 1.0) / 12.0
+      - col("tsum").cast("double") / (lit(12.0) * (nD - 1.0))) *
+      (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double"))
+    val z = (mean1 - mean2) / sqrt(varTerm)
+    pairs.select(col("g1"), col("g2"), col("n1"), col("n2"),
+      round(z, 6).as("z"),
+      // Bonferroni-adjusted two-sided 0.05 bar for k(k-1)/2 = 10 pairs
+      (abs(round(z, 6)) > lit(2.807)).as("significant"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
+  /** Q456: Kendall's W — do the five market segments AGREE on how the
+    * seven weekday slots rank by revenue (concordance across rankers)?
+    * Cell revenues are exact decimal sums from one orders⋈customer
+    * aggregate; within-ranker average ranks use the 2×-scaled integer
+    * trick (rank2 = 2s+t−1, exact under ties); W gets the tie correction
+    * m·ΣT and the χ² = m(n−1)W companion. Day-of-week is `x mod 7` on the
+    * epoch-anchored day index (q413's engine-agnostic convention). All
+    * post-scan state is the 35-cell relation.
+    */
+  def q456KendallsW: Q = (s, d) => {
+    val cells = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("g"),
+        pmod(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long"), lit(7L)).as("slot"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("rev"))
+    val wRank = Window.partitionBy(col("g")).orderBy(col("rev"))
+    val wTie = Window.partitionBy(col("g"), col("rev"))
+    val ranked = cells
+      .withColumn("s", rank().over(wRank).cast("long"))
+      .withColumn("t", count(lit(1)).over(wTie))
+      .select(col("g"), col("slot"),
+        (lit(2L) * col("s") + col("t") - 1L).as("rank2"), col("t"))
+    val perSlot = ranked.groupBy(col("slot"))
+      .agg(sum(col("rank2")).cast("long").as("rs2"))
+    val sums = perSlot.agg(count(lit(1)).as("n"),
+      sum(col("rs2") * col("rs2")).cast("long").as("sr2"))
+    val tiesPer = ranked.groupBy(col("g"), col("rank2"))
+      .agg(max(col("t")).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).cast("long").as("tt"))
+    val m = ranked.select(col("g")).distinct().agg(count(lit(1)).as("m"))
+    val j = sums.crossJoin(broadcast(tiesPer)).crossJoin(broadcast(m))
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val w = (lit(3.0) * col("sr2").cast("double")
+      - lit(3.0) * mD * mD * nD * (nD + 1.0) * (nD + 1.0)) /
+      (mD * mD * (nD * nD * nD - nD) - mD * col("tt").cast("double"))
+    j.select(big(col("m")).as("m_rankers"), big(col("n")).as("n_items"),
+      round(w, 6).as("w"),
+      round(mD * (nD - 1.0) * w, 4).as("chi2"),
+      // chi-square 0.95 critical value at n−1 = 6 df
+      (round(mD * (nD - 1.0) * w, 4) > lit(12.592)).as("significant"))
+  }
+
+  /** Q457: Lo–MacKinlay variance-ratio test (q = 5) — is daily revenue a
+    * random walk, or mean-reverting/trending? VR = σ̂²₅/(5σ̂²₁) over
+    * overlapping 5-day sums, z = (VR−1)/√(4.8/n). Denominators are
+    * cleared exactly: ẽ = n·c − C and d = n·M₅ − 5C are exact longs in
+    * cents·n, their squares exact DECIMAL(19,0)² products, so the n²
+    * factors cancel in the ratio and only the final VR/z are doubles.
+    * The 5-day sums ride ONE bounded window over the calendar day grid
+    * (the q397/q429 argument) — the daily aggregate is the only
+    * data-sized pass.
+    */
+  def q457VarianceRatio: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+      .select(col("x"), (col("r") * 100).cast("long").as("c"))
+    val tot = grid.agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("cc"))
+    val w5 = Window.orderBy(col("x")).rowsBetween(-4, Window.currentRow)
+    val m5 = grid
+      .withColumn("m5", sum(col("c")).over(w5))
+      .withColumn("w", count(lit(1)).over(w5))
+    val g2 = grid.crossJoin(broadcast(tot))
+    val e = col("n") * col("c") - col("cc")
+    val b1 = g2.agg(sum(e.cast(DecimalType(19, 0)) * e.cast(DecimalType(19, 0)))
+      .cast(DecimalType(38, 0)).as("b"))
+    val dd = col("n") * col("m5") - lit(5L) * col("cc")
+    val d2 = m5.filter(col("w") === 5L).crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("mw"),
+        sum(dd.cast(DecimalType(19, 0)) * dd.cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0)).as("dsq"))
+    val jn = tot.crossJoin(broadcast(b1)).crossJoin(broadcast(d2))
+    val nD = col("n").cast("double")
+    val mD = col("mw").cast("double")
+    val vr = (col("dsq").cast("double") / (mD - 1.0)) /
+      (lit(5.0) * col("b").cast("double") / (nD - 1.0))
+    val z = (vr - 1.0) / sqrt(lit(4.8) / nD)
+    jn.select(big(col("n")).as("n_days"), big(col("mw")).as("n_windows"),
+      round(vr, 6).as("vr"), round(z, 4).as("z"),
+      (abs(round(z, 4)) > lit(1.96)).as("significant"))
+  }
+
+  /** Q458: KPSS level-stationarity test — the complement to q429's
+    * Engle–Granger ADF direction: null = STATIONARY, so together they
+    * bracket the unit-root question. η = ΣS²ₜ/(n²s²(l)) with Bartlett
+    * weights at l = 4 collapses to η = A/(n(B + 0.4·W₅)) after the
+    * ẽ = n·c − C denominator clearing: A = ΣS̃², B = Σẽ² and the
+    * integer-weighted W₅ = Σ(5−j)Gⱼ are ALL exact DECIMAL(19,0)² sums
+    * (2Σ(1−j/5)Gⱼ = 0.4·W₅ keeps the Bartlett fold in integers); the Gⱼ
+    * come from (day, day+j) lag joins (q393's pair shape). Only the final
+    * η division is floating. One calendar-bounded grid pass + 4 bounded
+    * lag joins.
+    */
+  def q458Kpss: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+      .select(col("x"), (col("r") * 100).cast("long").as("c"))
+    val tot = grid.agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("cc"))
+    val g2 = grid.crossJoin(broadcast(tot))
+      .select(col("x"), (col("n") * col("c") - col("cc")).as("e"), col("n"))
+    val wc = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sCum = sum(col("e")).over(wc)
+    val aRed = g2.withColumn("s", sCum)
+      .agg(sum(col("s").cast(DecimalType(19, 0)) * col("s").cast(DecimalType(19, 0)))
+        .cast(DecimalType(38, 0)).cast("double").as("a"), max(col("n")).as("n"))
+    val bRed = g2.agg(sum(col("e").cast(DecimalType(19, 0))
+      * col("e").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)).as("b"))
+    val lagged = g2
+      .withColumn("lag", explode(array((1 to 4).map(l => lit(l.toLong)): _*)))
+      .select(col("lag"), (col("x") + col("lag")).as("x2"), col("e").as("e1"))
+    val gj = lagged.join(g2.select(col("x").as("x2"), col("e").as("e2")), Seq("x2"))
+      .groupBy(col("lag"))
+      .agg(sum(col("e1").cast(DecimalType(19, 0)) * col("e2").cast(DecimalType(19, 0)))
+        .cast(DecimalType(38, 0)).as("g"))
+    // Bartlett fold in exact integers: 2·Σ(1−j/5)·G_j = 0.4·Σ(5−j)·G_j
+    val gSum = gj.agg(sum((lit(5L) - col("lag")).cast(DecimalType(2, 0)) * col("g"))
+      .cast(DecimalType(38, 0)).cast("double").as("wg5"))
+    val jn = aRed.crossJoin(broadcast(bRed)).crossJoin(broadcast(gSum))
+    val nD = col("n").cast("double")
+    val eta = col("a") /
+      (nD * (col("b").cast("double") + lit(0.4) * col("wg5")))
+    jn.select(big(col("n")).as("n_days"), round(eta, 6).as("eta"),
+      // 5% critical value for the level-stationarity KPSS
+      (round(eta, 6) <= lit(0.463)).as("level_stationary"))
+  }
+
   /** Q449: Mantel–Haenszel pooled odds ratio across strata — q448's 2×2
     * (high-value exposure × fulfilled outcome) stratified by order
     * priority, so priority-mix confounding is adjusted out: OR_MH =
@@ -4707,6 +4869,10 @@ object Stats {
   }
 
   val queries: Map[String, Q] = Map(
+    "q455_dunns_test" -> q455DunnsTest,
+    "q456_kendalls_w" -> q456KendallsW,
+    "q457_variance_ratio" -> q457VarianceRatio,
+    "q458_kpss" -> q458Kpss,
     "q449_mantel_haenszel" -> q449MantelHaenszel,
     "q450_mood_median" -> q450MoodMedian,
     "q451_cochran_armitage" -> q451CochranArmitage,
@@ -5000,6 +5166,193 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q455_dunns_test" ->
+      """WITH ord AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 1000
+        |      AS b
+        |  FROM orders),
+        |byb AS MATERIALIZED (SELECT b, COUNT(*) AS t FROM ord GROUP BY 1),
+        |ranked AS (
+        |  SELECT b, t,
+        |    2 * (COALESCE(SUM(t) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+        |      + t - 1 AS rank2
+        |  FROM byb),
+        |per AS MATERIALIZED (
+        |  SELECT g, CAST(SUM(ng) AS BIGINT) AS ng,
+        |    CAST(SUM(ng * rank2) AS DECIMAL(38,0)) AS r2
+        |  FROM (SELECT g, b, COUNT(*) AS ng FROM ord GROUP BY 1, 2) gb
+        |  JOIN ranked ON gb.b = ranked.b
+        |  GROUP BY g),
+        |ties AS (SELECT CAST(SUM(t*t*t - t) AS DECIMAL(38,0)) AS tsum FROM byb),
+        |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n FROM per)
+        |SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+        |  ROUND((CAST(a.r2 AS DOUBLE)
+        |      / (CAST('2.0' AS DOUBLE) * CAST(a.ng AS DOUBLE))
+        |    - CAST(b.r2 AS DOUBLE)
+        |      / (CAST('2.0' AS DOUBLE) * CAST(b.ng AS DOUBLE)))
+        |    / SQRT((CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |        / CAST('12.0' AS DOUBLE)
+        |      - CAST(tsum AS DOUBLE)
+        |        / (CAST('12.0' AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))))
+        |      * (CAST('1.0' AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE) / CAST(b.ng AS DOUBLE))), 6) AS z,
+        |  (ABS(ROUND((CAST(a.r2 AS DOUBLE)
+        |      / (CAST('2.0' AS DOUBLE) * CAST(a.ng AS DOUBLE))
+        |    - CAST(b.r2 AS DOUBLE)
+        |      / (CAST('2.0' AS DOUBLE) * CAST(b.ng AS DOUBLE)))
+        |    / SQRT((CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |        / CAST('12.0' AS DOUBLE)
+        |      - CAST(tsum AS DOUBLE)
+        |        / (CAST('12.0' AS DOUBLE)
+        |          * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))))
+        |      * (CAST('1.0' AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE) / CAST(b.ng AS DOUBLE))), 6))
+        |    > CAST('2.807' AS DOUBLE)) AS significant
+        |FROM per a, per b, tot, ties
+        |WHERE a.g < b.g
+        |ORDER BY 1, 2""".stripMargin,
+    "q456_kendalls_w" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT c_mktsegment AS g,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) % 7 AS slot,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS MATERIALIZED (
+        |  SELECT g, slot,
+        |    2 * CAST(RANK() OVER (PARTITION BY g ORDER BY rev) AS BIGINT)
+        |      + CAST(COUNT(*) OVER (PARTITION BY g, rev) AS BIGINT) - 1
+        |      AS rank2,
+        |    CAST(COUNT(*) OVER (PARTITION BY g, rev) AS BIGINT) AS t
+        |  FROM cells),
+        |perslot AS (SELECT slot, CAST(SUM(rank2) AS BIGINT) AS rs2
+        |  FROM ranked GROUP BY 1),
+        |sums AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(rs2 * rs2) AS BIGINT) AS sr2 FROM perslot),
+        |tiesper AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS tt
+        |  FROM (SELECT g, rank2, MAX(t) AS t FROM ranked GROUP BY 1, 2) u),
+        |m AS (SELECT COUNT(*) AS m FROM (SELECT DISTINCT g FROM ranked) v)
+        |SELECT CAST(m AS BIGINT) AS m_rankers, CAST(n AS BIGINT) AS n_items,
+        |  ROUND((CAST('3.0' AS DOUBLE) * CAST(sr2 AS DOUBLE)
+        |    - CAST('3.0' AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |      * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+        |    / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))
+        |      - CAST(m AS DOUBLE) * CAST(tt AS DOUBLE)), 6) AS w,
+        |  ROUND(CAST(m AS DOUBLE)
+        |    * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |    * ((CAST('3.0' AS DOUBLE) * CAST(sr2 AS DOUBLE)
+        |    - CAST('3.0' AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |      * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+        |    / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))
+        |      - CAST(m AS DOUBLE) * CAST(tt AS DOUBLE))), 4) AS chi2,
+        |  (ROUND(CAST(m AS DOUBLE)
+        |    * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |    * ((CAST('3.0' AS DOUBLE) * CAST(sr2 AS DOUBLE)
+        |    - CAST('3.0' AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |      * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE)))
+        |    / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))
+        |      - CAST(m AS DOUBLE) * CAST(tt AS DOUBLE))), 4)
+        |    > CAST('12.592' AS DOUBLE)) AS significant
+        |FROM sums, tiesper, m""".stripMargin,
+    "q457_variance_ratio" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS cc FROM daily),
+        |m5 AS (SELECT
+        |    SUM(c) OVER (ORDER BY x
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m5,
+        |    COUNT(*) OVER (ORDER BY x
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w
+        |  FROM daily),
+        |b1 AS (SELECT CAST(SUM(CAST(n * c - cc AS DECIMAL(19,0))
+        |    * CAST(n * c - cc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS b
+        |  FROM daily, tot),
+        |d2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS mw,
+        |    CAST(SUM(CAST(n * m5 - 5 * cc AS DECIMAL(19,0))
+        |      * CAST(n * m5 - 5 * cc AS DECIMAL(19,0))) AS DECIMAL(38,0))
+        |      AS dsq
+        |  FROM m5, tot WHERE w = 5)
+        |SELECT n AS n_days, mw AS n_windows,
+        |  ROUND((CAST(dsq AS DOUBLE)
+        |      / (CAST(mw AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (CAST('5.0' AS DOUBLE) * CAST(b AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS vr,
+        |  ROUND(((CAST(dsq AS DOUBLE)
+        |      / (CAST(mw AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (CAST('5.0' AS DOUBLE) * CAST(b AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    - CAST('1.0' AS DOUBLE))
+        |    / SQRT(CAST('4.8' AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS z,
+        |  (ABS(ROUND(((CAST(dsq AS DOUBLE)
+        |      / (CAST(mw AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (CAST('5.0' AS DOUBLE) * CAST(b AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    - CAST('1.0' AS DOUBLE))
+        |    / SQRT(CAST('4.8' AS DOUBLE) / CAST(n AS DOUBLE)), 4))
+        |    > CAST('1.96' AS DOUBLE)) AS significant
+        |FROM tot, b1, d2""".stripMargin,
+    "q458_kpss" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS cc FROM daily),
+        |g2 AS MATERIALIZED (SELECT x, n * c - cc AS e, n FROM daily, tot),
+        |ared AS (SELECT
+        |    CAST(CAST(SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS DOUBLE) AS a,
+        |    MAX(n) AS n
+        |  FROM (SELECT n, SUM(e) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |    FROM g2) p),
+        |bred AS (SELECT CAST(SUM(CAST(e AS DECIMAL(19,0))
+        |    * CAST(e AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS b FROM g2),
+        |gj AS (SELECT lag,
+        |    CAST(SUM(CAST(e1 AS DECIMAL(19,0)) * CAST(e2 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS g
+        |  FROM (SELECT l.lag, a.e AS e1, b.e AS e2
+        |    FROM g2 a
+        |    CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS lag) l
+        |    JOIN g2 b ON b.x = a.x + l.lag) p
+        |  GROUP BY 1),
+        |gsum AS (SELECT
+        |    CAST(CAST(SUM(CAST(5 - lag AS DECIMAL(2,0)) * g)
+        |      AS DECIMAL(38,0)) AS DOUBLE) AS wg5
+        |  FROM gj)
+        |SELECT n AS n_days,
+        |  ROUND(a / (CAST(n AS DOUBLE)
+        |    * (CAST(b AS DOUBLE) + CAST('0.4' AS DOUBLE) * wg5)), 6) AS eta,
+        |  (ROUND(a / (CAST(n AS DOUBLE)
+        |    * (CAST(b AS DOUBLE) + CAST('0.4' AS DOUBLE) * wg5)), 6)
+        |    <= CAST('0.463' AS DOUBLE)) AS level_stationary
+        |FROM ared, bred, gsum""".stripMargin,
     "q449_mantel_haenszel" ->
       """WITH o AS (SELECT o_orderpriority AS g,
         |    (o_totalprice >= CAST('150000.0' AS DOUBLE)) AS e,

@@ -156,6 +156,10 @@ class PlanAuditSpec extends SparkSpec {
     "q369_log_rank", // 1-row horizon broadcast (q210's censoring convention)
     "q370_rdd", // 1-row left-fit x 1-row right-fit composition
     "q450_mood_median", // 1-row pooled-median and totals broadcasts onto the bounded cent collapse / 5-segment relation
+    "q455_dunns_test", // 5-row group-summary self-join + 1-row totals/ties broadcasts (q334's bounded pair shape)
+    "q456_kendalls_w", // 1-row sums/ties/ranker-count broadcasts composing the single report row over the 35-cell relation
+    "q457_variance_ratio", // 1-row totals broadcast onto the calendar-bounded day grid + 1-row moment compositions
+    "q458_kpss", // 1-row totals broadcast onto the calendar-bounded day grid + 1-row A/B/G compositions
     "q452_energy_distance", // 1-row midpoint + (N1,N2) totals broadcasts onto the bounded cent-support steps (q363's shape)
     "q453_cramer_von_mises", // 1-row (N1,N2) totals broadcast onto the bounded $10-bucket steps (q361's support)
     "q454_nominal_association", // 1-row margin/entropy broadcasts composing the single report row over the <=20-cell relation
@@ -213,6 +217,9 @@ class PlanAuditSpec extends SparkSpec {
     "q443_turning_points" -> "row_number over the calendar-bounded day GRID (the q210/q397 argument), never the orders",
     "q444_weibull_fit" -> "median-rank cumsum over the <=130-value latency collapse (the q190/q363 argument), never the lineitems",
     "q450_mood_median" -> "pooled-median cumsum over the bounded cent-value collapse (balance domain <= 1.1M cents, the q363 argument), never the customers",
+    "q455_dunns_test" -> "the q361/q362 rank cumsum over the same bounded $10-bucket collapse",
+    "q457_variance_ratio" -> "5-day rolling sum + count over the calendar-bounded day grid (the q397/q429 argument), never the orders",
+    "q458_kpss" -> "partial-sum cumsum over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q452_energy_distance" -> "CDF cumsums + lead over the bounded cent-support collapse (q363's value domain), never the events",
     "q453_cramer_von_mises" -> "CDF cumsums over the bounded $10-bucket collapse (q361's price-domain argument), never the orders")
 

@@ -1539,6 +1539,114 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - want) < 1e-4, s"t ${r.getDouble(2)} vs $want")
   }
 
+  test("q455 Dunn: pairwise z matches the average-rank replay") {
+    val o = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100) / 1000))
+    val n = o.length.toDouble
+    // average ranks over the $10 buckets
+    val byB = o.map(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val sortedB = byB.keys.toArray.sorted
+    var before = 0L
+    val avgRank = sortedB.map { b =>
+      val t = byB(b)
+      val r = before + (t + 1) / 2.0
+      before += t
+      b -> r
+    }.toMap
+    val tsum = byB.values.map(t => t.toDouble * t * t - t).sum
+    val groups = o.groupBy(_._1)
+    val means = groups.map { case (g, rows) =>
+      g -> (rows.map(r => avgRank(r._2)).sum / rows.length, rows.length)
+    }
+    val varBase = n * (n + 1) / 12.0 - tsum / (12.0 * (n - 1))
+    val got = Stats.q455DunnsTest(spark, sf0001).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (m1, n1) = means(r.getString(0))
+      val (m2, n2) = means(r.getString(1))
+      val want = (m1 - m2) / math.sqrt(varBase * (1.0 / n1 + 1.0 / n2))
+      assert(math.abs(r.getDouble(4) - want) < 1e-4,
+        s"${r.getString(0)} vs ${r.getString(1)}: ${r.getDouble(4)} vs $want")
+    }
+  }
+
+  test("q456 Kendall W: matches the rank-replay and lives in [0,1]") {
+    val rows = graft.Tables(spark, sf0001, "orders")
+      .join(graft.Tables(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        pmod(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long"), lit(7L)),
+        col("o_totalprice").cast("decimal(18,2)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val cells = rows.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(v => BigDecimal(v._3)).sum).toMap
+    val segs = cells.keys.map(_._1).toSeq.distinct
+    val slots = cells.keys.map(_._2).toSeq.distinct.sorted
+    val m = segs.length.toDouble
+    val nn = slots.length.toDouble
+    // average ranks within each segment
+    val ranks = segs.flatMap { g =>
+      val revs = slots.map(sl => sl -> cells((g, sl)))
+      revs.map { case (sl, rv) =>
+        val below = revs.count(_._2 < rv)
+        val eq = revs.count(_._2 == rv)
+        (g, sl) -> (below + (eq + 1) / 2.0)
+      }
+    }.toMap
+    val rj = slots.map(sl => segs.map(g => ranks((g, sl))).sum)
+    val sumSq = rj.map(r => math.pow(r - m * (nn + 1) / 2, 2)).sum
+    val tcorr = segs.map { g =>
+      slots.map(sl => cells((g, sl))).groupBy(identity).values
+        .map(ts => math.pow(ts.size, 3) - ts.size).sum
+    }.sum
+    val wantW = 12 * sumSq / (m * m * (nn * nn * nn - nn) - m * tcorr)
+    val r = Stats.q456KendallsW(spark, sf0001).collect().head
+    assert(r.getLong(0) == segs.length && r.getLong(1) == slots.length)
+    assert(math.abs(r.getDouble(2) - wantW) < 1e-6, s"w ${r.getDouble(2)} vs $wantW")
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+  }
+
+  test("q457 VR and q458 KPSS: match the daily-series replays") {
+    val daily = graft.Tables(spark, sf0001, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("r"))
+      .collect().map(r => (r.getLong(0), (BigDecimal(r.getDecimal(1)) * 100).toLongExact))
+      .sortBy(_._1)
+    val xs = daily.map(_._2)
+    val n = xs.length
+    val mu = xs.sum.toDouble / n
+    val e = xs.map(_ - mu)
+    // VR(5): the declared window is the previous 4 OBSERVATIONS in x
+    // order (ROWS frame), not calendar days — mirror that here
+    val m5 = xs.sliding(5).map(_.sum.toDouble).toArray
+    val s1 = e.map(v => v * v).sum / (n - 1)
+    val sq = m5.map(v => math.pow(v - 5 * mu, 2)).sum / (m5.length - 1)
+    val wantVr = sq / (5 * s1)
+    val rv = Stats.q457VarianceRatio(spark, sf0001).collect().head
+    assert(rv.getLong(0) == n && rv.getLong(1) == m5.length)
+    assert(math.abs(rv.getDouble(2) - wantVr) < 1e-3, s"vr ${rv.getDouble(2)} vs $wantVr")
+    // KPSS eta with Bartlett l=4 (lag pairs at x offsets honor gaps too)
+    val partial = e.scanLeft(0.0)(_ + _).drop(1)
+    val aSum = partial.map(v => v * v).sum
+    val b = e.map(v => v * v).sum
+    val exMap = daily.map { case (x, v) => x -> (v - mu) }.toMap
+    val gjs = (1 to 4).map { j =>
+      daily.flatMap { case (x, v) =>
+        exMap.get(x + j).map(e2 => (v - mu) * e2)
+      }.sum
+    }
+    val s2 = (b + 2 * gjs.zipWithIndex.map { case (g, i) => (1.0 - (i + 1) / 5.0) * g }.sum) / n
+    val wantEta = aSum / (n.toDouble * n * s2)
+    val rk = Stats.q458Kpss(spark, sf0001).collect().head
+    assert(rk.getLong(0) == n)
+    assert(math.abs(rk.getDouble(1) - wantEta) < 1e-3, s"eta ${rk.getDouble(1)} vs $wantEta")
+  }
+
   test("q454 lambda/U: exact PRE identities hold and match plain replay") {
     val ev = graft.Tables.events(spark, sf0001)
       .select(col("event_type"), expr("CAST(hour(ts2) AS BIGINT) div 6"))
