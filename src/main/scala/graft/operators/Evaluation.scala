@@ -559,7 +559,38 @@ object Evaluation {
       round(tpr + tnr - lit(1.0), 6).as("youden_j"))
   }
 
+  /** Q461: Spiegelhalter's z calibration test — does the add-one-smoothed
+    * hourly purchase model p̂ₕ = (aₕ+1)/(nₕ+2) systematically mis-state
+    * its own probabilities? z = Σ(o−p)(1−2p)/√(Σ(1−2p)²p(1−p)), which
+    * collapses per hour bucket to (aₕ−nₕp̂)(1−2p̂) — the sharpness-aware
+    * complement to q189's binned ECE view (a model can have small bins
+    * yet fail Spiegelhalter). The smoothing is what keeps the in-sample
+    * test non-degenerate (an exactly-fitted rate makes every bucket term
+    * 0 by construction). One groupBy to 24 rows; 8-dp-rounded terms
+    * decimal-summed.
+    */
+  def q461SpiegelhalterZ: Q = (s, d) => {
+    val per = graft.Tables.events(s, d)
+      .select(expr("CAST(hour(ts2) AS BIGINT)").as("h"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("nh"), sum(col("y")).as("ah"))
+    val p = (col("ah") + 1L).cast("double") / (col("nh") + 2L).cast("double")
+    val num = (col("ah").cast("double") - col("nh").cast("double") * p) *
+      (lit(1.0) - lit(2.0) * p)
+    val den = col("nh").cast("double") * ((lit(1.0) - lit(2.0) * p) *
+      (lit(1.0) - lit(2.0) * p)) * p * (lit(1.0) - p)
+    val dec8 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val red = per.agg(sum(col("nh")).cast("long").as("n"),
+      sum(round(num, 8).cast(dec8)).cast("double").as("sn"),
+      sum(round(den, 8).cast(dec8)).cast("double").as("sd"))
+    val z = col("sn") / sqrt(col("sd"))
+    red.select(col("n"), round(z, 4).as("z"),
+      (abs(round(z, 4)) <= lit(1.96)).as("calibrated"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q461_spiegelhalter_z" -> q461SpiegelhalterZ,
     "q446_mcc_battery" -> q446MccBattery,
     "q440_auc_delong" -> q440AucDelong,
     "q336_feature_auc_scan" -> q336FeatureAucScan,
@@ -677,6 +708,35 @@ object Evaluation {
   }
 
   val oracles: Map[String, String] = Map(
+    "q461_spiegelhalter_z" ->
+      """WITH per AS (SELECT
+        |    CAST(hour(date_trunc('second', ts)) AS BIGINT) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ah
+        |  FROM events GROUP BY 1),
+        |red AS (SELECT CAST(SUM(nh) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      (CAST(ah AS DOUBLE) - CAST(nh AS DOUBLE)
+        |        * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE)))
+        |      * (CAST('1.0' AS DOUBLE) - CAST('2.0' AS DOUBLE)
+        |        * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE))), 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS sn,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(nh AS DOUBLE)
+        |      * ((CAST('1.0' AS DOUBLE) - CAST('2.0' AS DOUBLE)
+        |          * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE)))
+        |        * (CAST('1.0' AS DOUBLE) - CAST('2.0' AS DOUBLE)
+        |          * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE))))
+        |      * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE))
+        |      * (CAST('1.0' AS DOUBLE)
+        |        - CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE)), 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS sd
+        |  FROM per)
+        |SELECT n, ROUND(sn / SQRT(sd), 4) AS z,
+        |  (ABS(ROUND(sn / SQRT(sd), 4)) <= CAST('1.96' AS DOUBLE))
+        |    AS calibrated
+        |FROM red""".stripMargin,
     "q446_mcc_battery" ->
       """WITH e AS (
         |  SELECT CAST(value AS DECIMAL(18,4)) AS v,

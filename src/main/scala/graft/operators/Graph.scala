@@ -1040,7 +1040,45 @@ object Graph {
       .orderBy(col("probe"))
   }
 
+  /** Q462: rich-club coefficient — do the co-purchase graph's hubs link
+    * to EACH OTHER more densely than the graph overall (the
+    * hub-interconnection view q347's assortativity only summarizes as
+    * one correlation)? φ(k) = E₍>k₎/(N₍>k₎(N₍>k₎−1)) over directed edges
+    * among nodes with degree > k, at the 50/75/90th degree percentiles
+    * (lower-quantile convention via the bounded degree-support cumsum —
+    * SF-robust where absolute k is not). Rides the standing [[coEdges]]/
+    * [[coDegrees]] relations; the only new work is one edge×degree join
+    * and three bounded threshold probes.
+    */
+  def q462RichClub: Q = (s, d) => {
+    val deg = coDegrees(s, d)
+    val byD = deg.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byD.agg(sum(col("cnt")).cast("long").as("nn"))
+    val th = byD.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("pct", explode(array(Seq(50L, 75L, 90L).map(lit): _*)))
+      .filter(expr("cum >= (pct * nn + 99) div 100"))
+      .groupBy(col("pct")).agg(min(col("d")).as("k"))
+    val nc = deg.crossJoin(broadcast(th)).filter(col("d") > col("k"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("n_nodes"))
+    val ds = deg.select(col("src"), col("d").as("dsrc"))
+    val dd = deg.select(col("src").as("dst"), col("d").as("ddst"))
+    val ec = coEdges(s, d).join(ds, Seq("src")).join(dd, Seq("dst"))
+      .crossJoin(broadcast(th))
+      .filter(col("dsrc") > col("k") && col("ddst") > col("k"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("ne"))
+    val nD = col("n_nodes").cast("double")
+    th.join(nc, Seq("pct")).join(ec, Seq("pct"))
+      .select(col("pct"), col("k").as("k_threshold"), col("n_nodes"),
+        col("ne").as("n_edges_directed"),
+        round(col("ne").cast("double") / (nD * (nD - 1.0)), 6).as("phi"))
+      .orderBy(col("pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q462_rich_club" -> q462RichClub,
     "q358_rec_diversity" -> q358RecDiversity,
     "q347_degree_assortativity" -> q347DegreeAssortativity,
     "q343_mutual_top1" -> q343MutualTop1,
@@ -1243,6 +1281,33 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q462_rich_club" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+        |byd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn FROM byd),
+        |cum AS (SELECT d, SUM(cnt) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM byd),
+        |th AS MATERIALIZED (SELECT CAST(pct AS BIGINT) AS pct, MIN(d) AS k
+        |  FROM cum, tot, (SELECT UNNEST([50, 75, 90]) AS pct) p
+        |  WHERE cum >= (pct * nn + 99) // 100 GROUP BY 1),
+        |nc AS (SELECT pct, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM deg, th WHERE d > k GROUP BY 1),
+        |ec AS (SELECT pct, CAST(COUNT(*) AS BIGINT) AS ne
+        |  FROM e JOIN deg ds ON e.src = ds.src
+        |  JOIN deg dd ON e.dst = dd.src, th
+        |  WHERE ds.d > k AND dd.d > k GROUP BY 1)
+        |SELECT th.pct, th.k AS k_threshold, n_nodes,
+        |  ne AS n_edges_directed,
+        |  ROUND(CAST(ne AS DOUBLE) / (CAST(n_nodes AS DOUBLE)
+        |    * (CAST(n_nodes AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS phi
+        |FROM th JOIN nc USING (pct) JOIN ec USING (pct)
+        |ORDER BY 1""".stripMargin,
     "q358_rec_diversity" ->
       """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),

@@ -4618,6 +4618,105 @@ object Stats {
       (round(eta, 6) <= lit(0.463)).as("level_stationary"))
   }
 
+  /** Q459: sample entropy SampEn(m=2, r=0.2σ) of the daily order-count
+    * series — the regularity/complexity gauge q399's permutation entropy
+    * approximates ordinally: −ln(A/B) over template pairs, where B counts
+    * pairs matching for 2 consecutive days within tolerance r and A for
+    * 3. Templates come from two calendar-adjacency self-joins on the day
+    * grid (gaps drop templates, documented); the pair relation is
+    * (calendar-bounded)² — the q413 argument — so cost is SF-independent.
+    * σ and r are one IEEE tree over exact integer moments; every match
+    * test compares exact integer differences against r.
+    */
+  def q459SampleEntropy: Q = (s, d) => {
+    val grid = Tables(s, d, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val mom = grid.agg(count(lit(1)).as("n"),
+      sum(col("cnt")).cast("long").as("s1"),
+      sum(col("cnt") * col("cnt")).cast("long").as("s2"))
+    val nD = col("n").cast("double")
+    val sd = sqrt((nD * col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double")) / (nD * (nD - 1.0)))
+    val tol = mom.select(col("n"), (lit(0.2) * sd).as("r"))
+    val g1 = grid.select((col("x") - 1L).as("x"), col("cnt").as("v1"))
+    val g2 = grid.select((col("x") - 2L).as("x"), col("cnt").as("v2"))
+    val trip = grid.select(col("x"), col("cnt").as("v"))
+      .join(g1, Seq("x")).join(g2, Seq("x"))
+    val b = trip.select(col("x").as("xb"), col("v").as("vb"),
+      col("v1").as("v1b"), col("v2").as("v2b"))
+    val pairs = trip.crossJoin(broadcast(b)).filter(col("x") < col("xb"))
+      .crossJoin(broadcast(tol))
+    val m2 = abs(col("v") - col("vb")).cast("double") <= col("r") &&
+      abs(col("v1") - col("v1b")).cast("double") <= col("r")
+    val m3 = m2 && abs(col("v2") - col("v2b")).cast("double") <= col("r")
+    val red = pairs.agg(max(col("n")).as("n"), count(lit(1)).as("np"),
+      sum(when(m2, 1L).otherwise(0L)).as("bm"),
+      sum(when(m3, 1L).otherwise(0L)).as("am"))
+    red.select(big(col("n")).as("n_days"), big(col("np")).as("n_pairs"),
+      col("bm").as("b_matches"), col("am").as("a_matches"),
+      round(log(col("bm").cast("double") / col("am").cast("double")), 6)
+        .as("sampen"))
+  }
+
+  /** Q460: D'Agostino K² normality omnibus on order values — the
+    * transformed-moment refinement of q427's Jarque–Bera (exact finite-n
+    * null moments instead of the asymptotic 6/n, 24/n): Z₁ from the
+    * D'Agostino skewness transform, Z₂ from the Anscombe–Glynn kurtosis
+    * transform, K² = Z₁²+Z₂² ~ χ²₂. Power sums are 10-dp-rounded
+    * megadollar terms decimal-summed (the q364 recipe at the q227-sized
+    * scale); everything after is one IEEE tree on the single moment row.
+    * One map-side-combined pass.
+    */
+  def q460DagostinoK2: Q = (s, d) => {
+    val y = (dec(col("o_totalprice")) * 100).cast("long").cast("double") / 1.0e8
+    def p10(c: Column): Column = round(c, 10).cast(DecimalType(38, 10))
+    val m = Tables(s, d, "orders").agg(count(lit(1)).as("n"),
+      sum((dec(col("o_totalprice")) * 100).cast("long")).cast("long").as("s1"),
+      sum(p10(y * y)).cast("double").as("s2"),
+      sum(p10(y * y * y)).cast("double").as("s3"),
+      sum(p10(y * y * y * y)).cast("double").as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / 1.0e8 / nD
+    val m2 = col("s2") / nD - mu * mu
+    val m3 = col("s3") / nD - lit(3.0) * mu * (col("s2") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / nD - lit(4.0) * mu * (col("s3") / nD) +
+      lit(6.0) * mu * mu * (col("s2") / nD) - lit(3.0) * mu * mu * mu * mu
+    val g1 = m3 / (m2 * sqrt(m2))
+    val b2 = m4 / (m2 * m2)
+    // D'Agostino (1970) skewness transform
+    val yy = g1 * sqrt((nD + 1.0) * (nD + 3.0) / (lit(6.0) * (nD - 2.0)))
+    val beta2 = lit(3.0) * (nD * nD + lit(27.0) * nD - 70.0) * (nD + 1.0) *
+      (nD + 3.0) / ((nD - 2.0) * (nD + 5.0) * (nD + 7.0) * (nD + 9.0))
+    val w2 = sqrt(lit(2.0) * (beta2 - 1.0)) - 1.0
+    val dl = lit(1.0) / sqrt(log(sqrt(w2)))
+    val alpha = sqrt(lit(2.0) / (w2 - 1.0))
+    val z1 = dl * log(yy / alpha + sqrt(yy / alpha * (yy / alpha) + 1.0))
+    // Anscombe-Glynn (1983) kurtosis transform
+    val eb2 = lit(3.0) * (nD - 1.0) / (nD + 1.0)
+    val vb2 = lit(24.0) * nD * (nD - 2.0) * (nD - 3.0) /
+      ((nD + 1.0) * (nD + 1.0) * (nD + 3.0) * (nD + 5.0))
+    val xs = (b2 - eb2) / sqrt(vb2)
+    val sb1 = lit(6.0) * (nD * nD - lit(5.0) * nD + 2.0) /
+      ((nD + 7.0) * (nD + 9.0)) *
+      sqrt(lit(6.0) * (nD + 3.0) * (nD + 5.0) / (nD * (nD - 2.0) * (nD - 3.0)))
+    val aa = lit(6.0) + lit(8.0) / sb1 *
+      (lit(2.0) / sb1 + sqrt(lit(1.0) + lit(4.0) / (sb1 * sb1)))
+    val z2 = ((lit(1.0) - lit(2.0) / (lit(9.0) * aa)) -
+      cbrt((lit(1.0) - lit(2.0) / aa) /
+        (lit(1.0) + xs * sqrt(lit(2.0) / (aa - 4.0))))) /
+      sqrt(lit(2.0) / (lit(9.0) * aa))
+    val k2 = z1 * z1 + z2 * z2
+    m.select(big(col("n")).as("n"),
+      round(g1, 6).as("skew"), round(b2, 6).as("kurt"),
+      round(z1, 4).as("z_skew"), round(z2, 4).as("z_kurt"),
+      round(k2, 4).as("k2"),
+      // chi-square 0.95 critical value at 2 df
+      (round(k2, 4) > lit(5.991)).as("non_normal"))
+  }
+
   /** Q449: Mantel–Haenszel pooled odds ratio across strata — q448's 2×2
     * (high-value exposure × fulfilled outcome) stratified by order
     * priority, so priority-mix confounding is adjusted out: OR_MH =
@@ -4869,6 +4968,8 @@ object Stats {
   }
 
   val queries: Map[String, Q] = Map(
+    "q459_sample_entropy" -> q459SampleEntropy,
+    "q460_dagostino_k2" -> q460DagostinoK2,
     "q455_dunns_test" -> q455DunnsTest,
     "q456_kendalls_w" -> q456KendallsW,
     "q457_variance_ratio" -> q457VarianceRatio,
@@ -5166,6 +5267,137 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q459_sample_entropy" ->
+      """WITH grid AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cnt) AS BIGINT) AS s1,
+        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2 FROM grid),
+        |tol AS (SELECT n, CAST('0.2' AS DOUBLE)
+        |    * SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))) AS r
+        |  FROM mom),
+        |trip AS MATERIALIZED (
+        |  SELECT g.x, g.cnt AS v, g1.cnt AS v1, g2.cnt AS v2
+        |  FROM grid g JOIN grid g1 ON g1.x = g.x + 1
+        |  JOIN grid g2 ON g2.x = g.x + 2),
+        |red AS (SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN ABS(a.v - b.v) <= r
+        |      AND ABS(a.v1 - b.v1) <= r THEN 1 ELSE 0 END) AS BIGINT) AS bm,
+        |    CAST(SUM(CASE WHEN ABS(a.v - b.v) <= r
+        |      AND ABS(a.v1 - b.v1) <= r
+        |      AND ABS(a.v2 - b.v2) <= r THEN 1 ELSE 0 END) AS BIGINT) AS am
+        |  FROM trip a JOIN trip b ON a.x < b.x, tol)
+        |SELECT n AS n_days, np AS n_pairs, bm AS b_matches, am AS a_matches,
+        |  ROUND(LN(CAST(bm AS DOUBLE) / CAST(am AS DOUBLE)), 6) AS sampen
+        |FROM red""".stripMargin,
+    "q460_dagostino_k2" ->
+      """WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+        |      AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE)
+        |      * (CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE)), 10)
+        |      AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS DOUBLE) AS s2,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE)
+        |      * (CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE))
+        |      * (CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE)), 10)
+        |      AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS DOUBLE) AS s3,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE)
+        |      * (CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE))
+        |      * (CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE))
+        |      * (CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |        AS DOUBLE) / CAST('1.0e8' AS DOUBLE)), 10)
+        |      AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS DOUBLE) AS s4
+        |  FROM orders),
+        |c1 AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) / CAST('1.0e8' AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS mu, s2, s3, s4 FROM m),
+        |c2 AS (SELECT *,
+        |    s2 / nd - mu * mu AS m2,
+        |    s3 / nd - CAST('3.0' AS DOUBLE) * mu * (s2 / nd)
+        |      + CAST('2.0' AS DOUBLE) * mu * mu * mu AS m3,
+        |    s4 / nd - CAST('4.0' AS DOUBLE) * mu * (s3 / nd)
+        |      + CAST('6.0' AS DOUBLE) * mu * mu * (s2 / nd)
+        |      - CAST('3.0' AS DOUBLE) * mu * mu * mu * mu AS m4
+        |  FROM c1),
+        |c3 AS (SELECT *, m3 / (m2 * SQRT(m2)) AS g1,
+        |    m4 / (m2 * m2) AS b2 FROM c2),
+        |c4 AS (SELECT *,
+        |    g1 * SQRT((nd + CAST('1.0' AS DOUBLE))
+        |      * (nd + CAST('3.0' AS DOUBLE))
+        |      / (CAST('6.0' AS DOUBLE) * (nd - CAST('2.0' AS DOUBLE)))) AS yy,
+        |    CAST('3.0' AS DOUBLE)
+        |      * (nd * nd + CAST('27.0' AS DOUBLE) * nd
+        |        - CAST('70.0' AS DOUBLE))
+        |      * (nd + CAST('1.0' AS DOUBLE)) * (nd + CAST('3.0' AS DOUBLE))
+        |      / ((nd - CAST('2.0' AS DOUBLE)) * (nd + CAST('5.0' AS DOUBLE))
+        |        * (nd + CAST('7.0' AS DOUBLE)) * (nd + CAST('9.0' AS DOUBLE)))
+        |      AS beta2
+        |  FROM c3),
+        |c5 AS (SELECT *,
+        |    SQRT(CAST('2.0' AS DOUBLE) * (beta2 - CAST('1.0' AS DOUBLE)))
+        |      - CAST('1.0' AS DOUBLE) AS w2 FROM c4),
+        |c6 AS (SELECT *,
+        |    CAST('1.0' AS DOUBLE) / SQRT(LN(SQRT(w2))) AS dl,
+        |    SQRT(CAST('2.0' AS DOUBLE) / (w2 - CAST('1.0' AS DOUBLE)))
+        |      AS alpha FROM c5),
+        |c7 AS (SELECT *,
+        |    dl * LN(yy / alpha + SQRT(yy / alpha * (yy / alpha)
+        |      + CAST('1.0' AS DOUBLE))) AS z1,
+        |    CAST('3.0' AS DOUBLE) * (nd - CAST('1.0' AS DOUBLE))
+        |      / (nd + CAST('1.0' AS DOUBLE)) AS eb2,
+        |    CAST('24.0' AS DOUBLE) * nd * (nd - CAST('2.0' AS DOUBLE))
+        |      * (nd - CAST('3.0' AS DOUBLE))
+        |      / ((nd + CAST('1.0' AS DOUBLE)) * (nd + CAST('1.0' AS DOUBLE))
+        |        * (nd + CAST('3.0' AS DOUBLE)) * (nd + CAST('5.0' AS DOUBLE)))
+        |      AS vb2,
+        |    CAST('6.0' AS DOUBLE)
+        |      * (nd * nd - CAST('5.0' AS DOUBLE) * nd
+        |        + CAST('2.0' AS DOUBLE))
+        |      / ((nd + CAST('7.0' AS DOUBLE)) * (nd + CAST('9.0' AS DOUBLE)))
+        |      * SQRT(CAST('6.0' AS DOUBLE) * (nd + CAST('3.0' AS DOUBLE))
+        |        * (nd + CAST('5.0' AS DOUBLE))
+        |        / (nd * (nd - CAST('2.0' AS DOUBLE))
+        |          * (nd - CAST('3.0' AS DOUBLE)))) AS sb1
+        |  FROM c6),
+        |c8 AS (SELECT *, (b2 - eb2) / SQRT(vb2) AS xs,
+        |    CAST('6.0' AS DOUBLE) + CAST('8.0' AS DOUBLE) / sb1
+        |      * (CAST('2.0' AS DOUBLE) / sb1
+        |        + SQRT(CAST('1.0' AS DOUBLE)
+        |          + CAST('4.0' AS DOUBLE) / (sb1 * sb1))) AS aa
+        |  FROM c7),
+        |c9 AS (SELECT *,
+        |    ((CAST('1.0' AS DOUBLE) - CAST('2.0' AS DOUBLE)
+        |        / (CAST('9.0' AS DOUBLE) * aa))
+        |      - CBRT((CAST('1.0' AS DOUBLE) - CAST('2.0' AS DOUBLE) / aa)
+        |        / (CAST('1.0' AS DOUBLE) + xs
+        |          * SQRT(CAST('2.0' AS DOUBLE)
+        |            / (aa - CAST('4.0' AS DOUBLE))))))
+        |      / SQRT(CAST('2.0' AS DOUBLE) / (CAST('9.0' AS DOUBLE) * aa))
+        |      AS z2
+        |  FROM c8)
+        |SELECT n, ROUND(g1, 6) AS skew, ROUND(b2, 6) AS kurt,
+        |  ROUND(z1, 4) AS z_skew, ROUND(z2, 4) AS z_kurt,
+        |  ROUND(z1 * z1 + z2 * z2, 4) AS k2,
+        |  (ROUND(z1 * z1 + z2 * z2, 4) > CAST('5.991' AS DOUBLE))
+        |    AS non_normal
+        |FROM c9""".stripMargin,
     "q455_dunns_test" ->
       """WITH ord AS (
         |  SELECT o_orderpriority AS g,

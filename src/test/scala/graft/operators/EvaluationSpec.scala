@@ -224,4 +224,19 @@ class EvaluationSpec extends SparkSpec {
       + r.getDouble(6) + r.getDouble(7))) < 5e-6,
       "reported terms must close the decomposition identity")
   }
+
+  test("q461 Spiegelhalter z: matches the per-event closed-form replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(expr("CAST(hour(ts2) AS BIGINT)"),
+        (col("event_type") === "purchase").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byH = ev.groupBy(_._1)
+    val p = byH.view.mapValues(g => (g.map(_._2).sum + 1.0) / (g.length + 2.0)).toMap
+    val num = ev.map { case (h, o) => (o - p(h)) * (1 - 2 * p(h)) }.sum
+    val den = ev.map { case (h, _) => math.pow(1 - 2 * p(h), 2) * p(h) * (1 - p(h)) }.sum
+    val want = num / math.sqrt(den)
+    val r = Evaluation.q461SpiegelhalterZ(spark, sf0001).collect().head
+    assert(r.getLong(0) == ev.length)
+    assert(math.abs(r.getDouble(1) - want) < 1e-3, s"z ${r.getDouble(1)} vs $want")
+  }
 }

@@ -157,6 +157,9 @@ class PlanAuditSpec extends SparkSpec {
     "q370_rdd", // 1-row left-fit x 1-row right-fit composition
     "q450_mood_median", // 1-row pooled-median and totals broadcasts onto the bounded cent collapse / 5-segment relation
     "q455_dunns_test", // 5-row group-summary self-join + 1-row totals/ties broadcasts (q334's bounded pair shape)
+    "q459_sample_entropy", // (calendar-bounded)^2 template pair join (q413's shape) + 1-row tolerance broadcast
+    "q461_spiegelhalter_z", // handled in Evaluation: no cross product (single agg) — listed defensively for the 1-row composition
+    "q462_rich_club", // 3-row percentile-threshold broadcast onto degrees/edges + 1-row node-total broadcast
     "q456_kendalls_w", // 1-row sums/ties/ranker-count broadcasts composing the single report row over the 35-cell relation
     "q457_variance_ratio", // 1-row totals broadcast onto the calendar-bounded day grid + 1-row moment compositions
     "q458_kpss", // 1-row totals broadcast onto the calendar-bounded day grid + 1-row A/B/G compositions
@@ -218,6 +221,7 @@ class PlanAuditSpec extends SparkSpec {
     "q444_weibull_fit" -> "median-rank cumsum over the <=130-value latency collapse (the q190/q363 argument), never the lineitems",
     "q450_mood_median" -> "pooled-median cumsum over the bounded cent-value collapse (balance domain <= 1.1M cents, the q363 argument), never the customers",
     "q455_dunns_test" -> "the q361/q362 rank cumsum over the same bounded $10-bucket collapse",
+    "q462_rich_club" -> "degree-percentile cumsum over the bounded degree-support collapse (distinct degrees, the q138 count-of-counts argument), never the edges",
     "q457_variance_ratio" -> "5-day rolling sum + count over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q458_kpss" -> "partial-sum cumsum over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q452_energy_distance" -> "CDF cumsums + lead over the bounded cent-support collapse (q363's value domain), never the events",

@@ -1647,6 +1647,55 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rk.getDouble(1) - wantEta) < 1e-3, s"eta ${rk.getDouble(1)} vs $wantEta")
   }
 
+  test("q459 SampEn: matches the O(n^2) template replay") {
+    val daily = graft.Tables(spark, sf0001, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length
+    val mu = daily.map(_._2).sum.toDouble / n
+    val sd = math.sqrt(daily.map(v => (v._2 - mu) * (v._2 - mu)).sum / (n - 1))
+    val r = 0.2 * sd
+    val byX = daily.toMap
+    val trips = daily.flatMap { case (x, v) =>
+      for (v1 <- byX.get(x + 1); v2 <- byX.get(x + 2)) yield (x, v, v1, v2)
+    }
+    var bm = 0L; var am = 0L
+    for (i <- trips.indices; j <- (i + 1) until trips.length) {
+      val a = trips(i); val b = trips(j)
+      if (math.abs(a._2 - b._2) <= r && math.abs(a._3 - b._3) <= r) {
+        bm += 1
+        if (math.abs(a._4 - b._4) <= r) am += 1
+      }
+    }
+    val row = Stats.q459SampleEntropy(spark, sf0001).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(2) == bm, s"B ${row.getLong(2)} vs $bm")
+    assert(row.getLong(3) == am, s"A ${row.getLong(3)} vs $am")
+    assert(math.abs(row.getDouble(4) - math.log(bm.toDouble / am)) < 1e-5)
+  }
+
+  test("q460 K2: skew/kurt match the moment replay; K2 = Z1^2 + Z2^2") {
+    val ys = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_totalprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100) / 1.0e8)
+    val n = ys.length.toDouble
+    val mu = ys.sum / n
+    def ctr(k: Int): Double = ys.map(y => math.pow(y - mu, k)).sum / n
+    val g1 = ctr(3) / math.pow(ctr(2), 1.5)
+    val b2 = ctr(4) / (ctr(2) * ctr(2))
+    val row = Stats.q460DagostinoK2(spark, sf0001).collect().head
+    assert(row.getLong(0) == ys.length)
+    assert(math.abs(row.getDouble(1) - g1) < 1e-4, s"skew ${row.getDouble(1)} vs $g1")
+    assert(math.abs(row.getDouble(2) - b2) < 1e-4, s"kurt ${row.getDouble(2)} vs $b2")
+    val k2 = row.getDouble(5)
+    // z1/z2 are reported 4-dp rounded while k2 is computed unrounded, so
+    // the identity holds to ~2|z|·5e-5 per component
+    assert(math.abs(k2 - (math.pow(row.getDouble(3), 2) + math.pow(row.getDouble(4), 2))) < 1e-2)
+    assert(k2 >= 0)
+  }
+
   test("q454 lambda/U: exact PRE identities hold and match plain replay") {
     val ev = graft.Tables.events(spark, sf0001)
       .select(col("event_type"), expr("CAST(hour(ts2) AS BIGINT) div 6"))

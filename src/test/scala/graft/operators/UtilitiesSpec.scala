@@ -3740,4 +3740,28 @@ class UtilitiesSpec extends SparkSpec {
     assert(got === want)
     assert(want.nonEmpty && want.head._5 > 0, "no predicted link — vacuous")
   }
+
+  test("q462 rich club: phi matches a brute-force high-degree subgraph replay") {
+    val li = graft.Tables(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).distinct.toSeq).toSeq
+    val edges = byOrder.flatMap(ps =>
+      for (a <- ps; b <- ps if a != b) yield (a, b)).toSet
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = Graph.q462RichClub(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = r.getLong(1)
+      val hi = deg.filter(_._2 > k).keySet
+      val e = edges.count(p => hi(p._1) && hi(p._2)).toLong
+      assert(r.getLong(2) == hi.size, s"pct ${r.getLong(0)} nodes")
+      assert(r.getLong(3) == e, s"pct ${r.getLong(0)} edges")
+      val phi = e.toDouble / (hi.size.toDouble * (hi.size - 1))
+      assert(math.abs(r.getDouble(4) - phi) < 1e-6)
+    }
+    // density should not decrease from the 50th to the 90th percentile club
+    // in a co-purchase graph with hubs; weak monotonic sanity: phi > 0
+    assert(got.forall(_.getDouble(4) > 0))
+  }
 }
