@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(VectorFunctions.BpeName),
       new ExpressionInfo(classOf[BpeEncode].getName, VectorFunctions.BpeName),
       exprs => BpeEncode(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier(VectorFunctions.JaroWinklerName),
+      new ExpressionInfo(classOf[JaroWinkler].getName, VectorFunctions.JaroWinklerName),
+      exprs => JaroWinkler(exprs.head, exprs(1))))
   }
 }

@@ -16,9 +16,12 @@ object VectorFunctions {
   val DotName = "graft_dot"
   val HilbertName = "graft_hilbert"
   val BpeName = "graft_bpe"
+  val JaroWinklerName = "graft_jaro_winkler"
 
   /** Idempotently register the vector functions in this session. */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      JaroWinklerName, exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeName, exprs => BpeEncode(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -43,4 +46,8 @@ object VectorFunctions {
     */
   def bpe(word: Column, merges: Column): Column =
     call_function(BpeName, word, merges)
+
+  /** Jaro–Winkler similarity of two STRING columns (requires [[register]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(JaroWinklerName, a, b)
 }

@@ -569,12 +569,18 @@ object Evaluation {
     * 0 by construction). One groupBy to 24 rows; 8-dp-rounded terms
     * decimal-summed.
     */
-  def q461SpiegelhalterZ: Q = (s, d) => {
-    val per = graft.Tables.events(s, d)
+  /** The (hour, nh, ah) bucket relation behind the q461/q475 calibration
+    * pair — one groupBy over events.
+    */
+  private def hourlyOutcomes(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
       .select(expr("CAST(hour(ts2) AS BIGINT)").as("h"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
       .groupBy(col("h"))
       .agg(count(lit(1)).as("nh"), sum(col("y")).as("ah"))
+
+  def q461SpiegelhalterZ: Q = (s, d) => {
+    val per = hourlyOutcomes(s, d)
     val p = (col("ah") + 1L).cast("double") / (col("nh") + 2L).cast("double")
     val num = (col("ah").cast("double") - col("nh").cast("double") * p) *
       (lit(1.0) - lit(2.0) * p)
@@ -589,7 +595,38 @@ object Evaluation {
       (abs(round(z, 4)) <= lit(1.96)).as("calibrated"))
   }
 
+  /** Q475: calibration-in-the-large + calibration slope — the weak-OLS
+    * recalibration summary read alongside q461's z: regress the binary
+    * outcome on q461's smoothed hourly prediction p̂ₕ; slope ≈ 1 and
+    * intercept ≈ 0 mean the model needs no recalibration, slope < 1
+    * means over-confident spread. With p̂ constant per bucket the OLS
+    * moments collapse to per-bucket sums (Σnp, Σnp², Σa·p̂) — one
+    * groupBy + a 24-row reduction of 8-dp-rounded decimal terms.
+    */
+  def q475CalibrationSlope: Q = (s, d) => {
+    val per = hourlyOutcomes(s, d)
+    val p = (col("ah") + 1L).cast("double") / (col("nh") + 2L).cast("double")
+    val dec8 = org.apache.spark.sql.types.DecimalType(38, 8)
+    val red = per.agg(sum(col("nh")).cast("long").as("n"),
+      sum(col("ah")).cast("long").as("so"),
+      sum(round(col("nh").cast("double") * p, 8).cast(dec8))
+        .cast("double").as("sp"),
+      sum(round(col("nh").cast("double") * p * p, 8).cast(dec8))
+        .cast("double").as("spp"),
+      sum(round(col("ah").cast("double") * p, 8).cast(dec8))
+        .cast("double").as("spo"))
+    val nD = col("n").cast("double")
+    val soD = col("so").cast("double")
+    val slope = (nD * col("spo") - col("sp") * soD) /
+      (nD * col("spp") - col("sp") * col("sp"))
+    red.select(col("n"),
+      round(slope, 6).as("cal_slope"),
+      round((soD - slope * col("sp")) / nD, 6).as("cal_intercept"),
+      round(soD / nD - col("sp") / nD, 6).as("cal_in_the_large"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q475_calibration_slope" -> q475CalibrationSlope,
     "q461_spiegelhalter_z" -> q461SpiegelhalterZ,
     "q446_mcc_battery" -> q446MccBattery,
     "q440_auc_delong" -> q440AucDelong,
@@ -708,6 +745,36 @@ object Evaluation {
   }
 
   val oracles: Map[String, String] = Map(
+    "q475_calibration_slope" ->
+      """WITH per AS (SELECT
+        |    CAST(hour(date_trunc('second', ts)) AS BIGINT) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ah
+        |  FROM events GROUP BY 1),
+        |red AS (SELECT CAST(SUM(nh) AS BIGINT) AS n,
+        |    CAST(SUM(ah) AS BIGINT) AS so,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(nh AS DOUBLE)
+        |      * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE)), 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS sp,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(nh AS DOUBLE)
+        |      * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE))
+        |      * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE)), 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS spp,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(ah AS DOUBLE)
+        |      * (CAST(ah + 1 AS DOUBLE) / CAST(nh + 2 AS DOUBLE)), 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS spo
+        |  FROM per)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * spo - sp * CAST(so AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * spp - sp * sp), 6) AS cal_slope,
+        |  ROUND((CAST(so AS DOUBLE)
+        |    - (CAST(n AS DOUBLE) * spo - sp * CAST(so AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * spp - sp * sp) * sp)
+        |    / CAST(n AS DOUBLE), 6) AS cal_intercept,
+        |  ROUND(CAST(so AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - sp / CAST(n AS DOUBLE), 6) AS cal_in_the_large
+        |FROM red""".stripMargin,
     "q461_spiegelhalter_z" ->
       """WITH per AS (SELECT
         |    CAST(hour(date_trunc('second', ts)) AS BIGINT) AS h,

@@ -1591,16 +1591,30 @@ object Events {
     * shared-libm trig + the final power division. Cost: the bounded hourly
     * summary × 23 periods — shuffle ∝ distinct (type, hour), never events.
     */
-  def q367Periodogram: Q = (s, d) => {
-    val hourly = events(s, d)
+  def q367Periodogram: Q = (s, d) =>
+    periodogramPowers(s, d)
+      .orderBy(col("event_type"), col("period_hours"))
+
+  /** The q367 periodogram relation (event_type, period_hours, power) over
+    * the bounded hourly collapse — factored so q471's spectral entropy
+    * reduces the SAME 4-dp power basis both engines agree on.
+    */
+  private[operators] def periodogramPowers(s: SparkSession, d: String): DataFrame =
+    periodogramPowersFrom(events(s, d)
       .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
-      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+
+  /** [[periodogramPowers]] from an already-collapsed (event_type, h, c)
+    * hourly relation — the mergeable-cell entry the q477 streaming twin
+    * drains through (hourly counts merge by plain sum, q376's argument).
+    */
+  private[graft] def periodogramPowersFrom(hourly: DataFrame): DataFrame = {
     val base = hourly.groupBy(col("event_type"))
       .agg(min(col("h")).as("h0"), count(lit(1)).as("n"))
     val pts = hourly.join(base, Seq("event_type"))
       .select(col("event_type"), (col("h") - col("h0")).as("t"), col("c"),
         col("n"))
-    val periods = s.range(2L, 25L).toDF("p")
+    val periods = hourly.sparkSession.range(2L, 25L).toDF("p")
     val ang = lit(2.0) * lit(math.Pi) * col("t").cast("double") /
       col("p").cast("double")
     val proj = pts.crossJoin(broadcast(periods))
@@ -1614,7 +1628,42 @@ object Events {
       round((col("cs").cast("double") * col("cs").cast("double") +
         col("sn").cast("double") * col("sn").cast("double")) /
         (col("n").cast("double") * col("n").cast("double")), 4).as("power"))
-      .orderBy(col("event_type"), col("period_hours"))
+  }
+
+  /** Q471: normalized spectral entropy — ONE number per event type for
+    * "how periodic is this signal" where q367's periodogram gives the
+    * whole spectrum: H = −Σp̂ₖln p̂ₖ over the shared 4-dp power basis
+    * ([[periodogramPowers]]), normalized by ln K, plus the deterministic
+    * peak period (power desc, period asc). Low H_norm = one dominant
+    * cycle; ~1 = noise-like. Per-type terms are 8-dp-rounded decimal
+    * sums over the 23-row period relation.
+    */
+  def q471SpectralEntropy: Q = (s, d) =>
+    spectralEntropyReport(periodogramPowers(s, d))
+
+  /** The q471 kernel over a periodogram-power relation — shared with the
+    * q477 streaming twin's drain.
+    */
+  private[graft] def spectralEntropyReport(pw: DataFrame): DataFrame = {
+    val tot = pw.groupBy(col("event_type"))
+      .agg(sum(col("power").cast(DecimalType(18, 4))).as("pt"),
+        count(lit(1)).as("k"))
+    val j = pw.join(broadcast(tot), Seq("event_type"))
+      .filter(col("power") > 0.0)
+    val p = col("power") / col("pt").cast("double")
+    val term = round(p * log(lit(1.0) / p), 8).cast(DecimalType(38, 8))
+    val h = j.groupBy(col("event_type"))
+      .agg(max(col("k")).as("k"), sum(term).cast("double").as("h"))
+    val wp = Window.partitionBy(col("event_type"))
+      .orderBy(col("power").desc, col("period_hours"))
+    val peak = pw.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("period_hours").as("peak_period"))
+    h.join(peak, Seq("event_type"))
+      .select(col("event_type"), big(col("k")).as("n_periods"),
+        col("peak_period"), round(col("h"), 6).as("h"),
+        round(col("h") / log(col("k").cast("double")), 6).as("h_norm"))
+      .orderBy(col("event_type"))
   }
 
   /** Q368: EWMA control chart (λ=0.2, 3σ limits) — the drift-sensitive
@@ -1691,7 +1740,15 @@ object Events {
     * transition matrix (k = |event types|); rounds are materialized so
     * the plan stays flat.
     */
-  def q371MarkovStationary: Q = (s, d) => {
+  def q371MarkovStationary: Q = (s, d) =>
+    markovPiMicro(markovTrt(s, d))
+      .select(col("state"), big(col("r")).as("pi_micro"))
+      .orderBy(col("state"))
+
+  /** The (prev, next, cnt, tot) transition relation behind q371/q472 —
+    * one sessionized lag pass, materialized once.
+    */
+  private[operators] def markovTrt(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
     val tr = events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -1701,8 +1758,11 @@ object Events {
       .groupBy(col("prev"), col("event_type").as("next"))
       .agg(count(lit(1)).as("cnt"))
     val tot = tr.groupBy(col("prev")).agg(sum(col("cnt")).cast("long").as("tot"))
-    val trt = graft.Checkpoints.materialize(
-      tr.join(tot, Seq("prev")))
+    graft.Checkpoints.materialize(tr.join(tot, Seq("prev")))
+  }
+
+  /** q371's 8-step integer-micro power iteration over [[markovTrt]]. */
+  private[operators] def markovPiMicro(trt: DataFrame): DataFrame = {
     var pi = trt.select(col("prev").as("state")).distinct()
       .withColumn("r", lit(1000000L))
     for (_ <- 1 to 8) {
@@ -1712,8 +1772,33 @@ object Events {
           .agg(sum(expr("(r * cnt) div tot")).cast("long").as("r"))
           .select(col("next").as("state"), col("r")))
     }
-    pi.select(col("state"), big(col("r")).as("pi_micro"))
-      .orderBy(col("state"))
+    pi
+  }
+
+  /** Q472: Markov entropy rate — the single compressibility number for
+    * the per-user event-type process q185/q371 describe piecewise:
+    * H = Σₛ πₛ Σₜ Pₛₜ ln(1/Pₛₜ) in nats over the stationary weights
+    * (q371's exact integer-micro fixpoint) and the exact transition
+    * counts, with perplexity eᴴ as the "effective next-event branching
+    * factor". The 25-edge reduction uses 8-dp-rounded decimal terms;
+    * everything upstream is the shared [[markovTrt]] pass.
+    */
+  def q472MarkovEntropyRate: Q = (s, d) => {
+    val trt = markovTrt(s, d)
+    val pi = markovPiMicro(trt)
+    val ns = pi.agg(count(lit(1)).as("ns"))
+    val j = trt.join(broadcast(pi), col("prev") === col("state"))
+    val term = round(col("r").cast("double") / 1.0e6 *
+      (col("cnt").cast("double") / col("tot").cast("double")) *
+      log(col("tot").cast("double") / col("cnt").cast("double")), 8)
+    val red = j.agg(count(lit(1)).as("n_edges"),
+      sum(col("cnt")).cast("long").as("n_transitions"),
+      sum(term.cast(DecimalType(38, 8))).cast("double").as("h"))
+    red.crossJoin(broadcast(ns))
+      .select(big(col("ns")).as("n_states"), big(col("n_edges")).as("n_edges"),
+        col("n_transitions"),
+        round(col("h"), 6).as("entropy_rate_nats"),
+        round(exp(col("h")), 4).as("perplexity"))
   }
 
   /** Q372: Kendall τ-b — per event type, the rank correlation between the
@@ -1985,6 +2070,8 @@ object Events {
   }
 
   val queries: Map[String, Q] = Map(
+    "q471_spectral_entropy" -> q471SpectralEntropy,
+    "q472_markov_entropy_rate" -> q472MarkovEntropyRate,
     "q378_seasonal_decompose" -> q378SeasonalDecompose,
     "q380_capture_recapture" -> q380CaptureRecapture,
     "q381_haar_energy" -> q381HaarEnergy,
@@ -2054,6 +2141,111 @@ object Events {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q471_spectral_entropy" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, MIN(h) AS h0, COUNT(*) AS n
+        |         FROM hourly GROUP BY 1),
+        |pts AS (
+        |  SELECT hourly.event_type, h - h0 AS t, c, n
+        |  FROM hourly JOIN base ON hourly.event_type = base.event_type),
+        |periods AS (SELECT CAST(u.p AS BIGINT) AS p
+        |            FROM unnest(range(2, 25)) u(p)),
+        |proj AS (
+        |  SELECT event_type, p,
+        |    SUM(CAST(ROUND(COS(CAST('2.0' AS DOUBLE) * pi()
+        |        * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * CAST(c AS DECIMAL(10,0))) AS cs,
+        |    SUM(CAST(ROUND(SIN(CAST('2.0' AS DOUBLE) * pi()
+        |        * CAST(t AS DOUBLE) / CAST(p AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) * CAST(c AS DECIMAL(10,0))) AS sn,
+        |    MAX(n) AS n
+        |  FROM pts, periods GROUP BY 1, 2),
+        |pw AS MATERIALIZED (
+        |  SELECT event_type, p AS period_hours,
+        |    ROUND((CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+        |      + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS power
+        |  FROM proj),
+        |tot AS (SELECT event_type,
+        |    CAST(SUM(CAST(power AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS pt,
+        |    COUNT(*) AS k
+        |  FROM pw GROUP BY 1),
+        |hh AS (SELECT pw.event_type, MAX(k) AS k,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      power / CAST(pt AS DOUBLE)
+        |      * LN(CAST('1.0' AS DOUBLE)
+        |        / (power / CAST(pt AS DOUBLE))), 8) AS DECIMAL(38,8)))
+        |      AS DECIMAL(38,8)) AS DOUBLE) AS h
+        |  FROM pw JOIN tot ON pw.event_type = tot.event_type
+        |  WHERE power > CAST('0.0' AS DOUBLE)
+        |  GROUP BY 1),
+        |peak AS (SELECT event_type, period_hours AS peak_period
+        |  FROM (SELECT event_type, period_hours,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY power DESC, period_hours) AS rn
+        |    FROM pw) q WHERE rn = 1)
+        |SELECT hh.event_type, CAST(k AS BIGINT) AS n_periods, peak_period,
+        |  ROUND(h, 6) AS h,
+        |  ROUND(h / LN(CAST(k AS DOUBLE)), 6) AS h_norm
+        |FROM hh JOIN peak ON hh.event_type = peak.event_type
+        |ORDER BY 1""".stripMargin,
+    "q472_markov_entropy_rate" ->
+      """WITH seq AS (
+        |  SELECT event_type AS next,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch(date_trunc('second', ts)), event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev, next, COUNT(*) AS cnt FROM seq
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot
+        |        FROM tr GROUP BY 1),
+        |trt AS MATERIALIZED (
+        |  SELECT tr.prev, next, cnt, tot
+        |  FROM tr JOIN tot ON tr.prev = tot.prev),
+        |r0 AS (SELECT DISTINCT prev AS state, CAST(1000000 AS BIGINT) AS r
+        |       FROM trt),
+        |r1 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r0 JOIN trt ON r0.state = trt.prev GROUP BY 1),
+        |r2 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r1 JOIN trt ON r1.state = trt.prev GROUP BY 1),
+        |r3 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r2 JOIN trt ON r2.state = trt.prev GROUP BY 1),
+        |r4 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r3 JOIN trt ON r3.state = trt.prev GROUP BY 1),
+        |r5 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r4 JOIN trt ON r4.state = trt.prev GROUP BY 1),
+        |r6 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r5 JOIN trt ON r5.state = trt.prev GROUP BY 1),
+        |r7 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r6 JOIN trt ON r6.state = trt.prev GROUP BY 1),
+        |r8 AS MATERIALIZED (
+        |  SELECT next AS state, CAST(SUM((r * cnt) // tot) AS BIGINT) AS r
+        |  FROM r7 JOIN trt ON r7.state = trt.prev GROUP BY 1),
+        |ns AS (SELECT COUNT(*) AS ns FROM r8),
+        |red AS (SELECT COUNT(*) AS n_edges,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_transitions,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(r AS DOUBLE) / CAST('1.0e6' AS DOUBLE)
+        |      * (CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * LN(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)), 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS h
+        |  FROM trt JOIN r8 ON trt.prev = r8.state)
+        |SELECT CAST(ns AS BIGINT) AS n_states,
+        |  CAST(n_edges AS BIGINT) AS n_edges, n_transitions,
+        |  ROUND(h, 6) AS entropy_rate_nats,
+        |  ROUND(EXP(h), 4) AS perplexity
+        |FROM red, ns""".stripMargin,
     "q378_seasonal_decompose" ->
       """WITH hourly AS (
         |  SELECT event_type,

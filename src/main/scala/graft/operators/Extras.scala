@@ -843,7 +843,47 @@ object Extras {
         big(col("max_load")).as("max_load"), big(col("min_load")).as("min_load"))
   }
 
+  /** Q473: knee/elbow detection on the part-revenue concentration curve —
+    * the principled "where does the top-N cutoff stop paying" answer a
+    * curation pipeline needs when q374's Lorenz curve only plots the
+    * concentration: over the top-1000 revenue parts, the knee is the rank
+    * maximizing distance to the (0,0)→(1,1) chord, i.e. argmax of
+    * share(r) − r/K, computed in EXACT cleared integers
+    * (cum·10⁴·K − r·X·10⁴, both < 2⁶³) with (gain desc, rank asc)
+    * tie-break. Windows run over the TakeOrdered-bounded 1000-row
+    * relation (the q239/q339 argument), never the catalog.
+    */
+  def q473KneeDetection: Q = (s, d) => {
+    val rev = Tables(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("rev"))
+      .orderBy(col("rev").desc, col("l_partkey")).limit(1000)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("l_partkey"))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = rev.agg(count(lit(1)).as("k"),
+      sum(col("rev")).cast(org.apache.spark.sql.types.DecimalType(28, 4)).as("x"))
+    val stepped = rev
+      .withColumn("r", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("rev")).over(wCum)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+      .crossJoin(broadcast(tot))
+      .withColumn("gain2",
+        (col("cum") * 10000).cast("long") * col("k")
+          - col("r") * (col("x") * 10000).cast("long"))
+    stepped.orderBy(col("gain2").desc, col("r")).limit(1)
+      .select(big(col("k")).as("k_total"), col("r").as("knee_rank"),
+        round(col("cum").cast("double") / col("x").cast("double"), 6)
+          .as("share_at_knee"),
+        round(col("cum").cast("double") / col("x").cast("double")
+          - col("r").cast("double") / col("k").cast("double"), 6).as("gain"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q473_knee_detection" -> q473KneeDetection,
     "q338_consistent_hashing" -> q338ConsistentHashing,
     "q330_bloom_fpr" -> q330BloomFpr,
     "q287_reconciliation" -> q287Reconciliation,
@@ -878,6 +918,32 @@ object Extras {
     "q52_corr_subquery" -> q52CorrSubquery)
 
   val oracles: Map[String, String] = Map(
+    "q473_knee_detection" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * CAST(1 - l_discount AS DECIMAL(12,4))) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM lineitem GROUP BY 1
+        |  ORDER BY rev DESC, l_partkey LIMIT 1000),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(rev) AS DECIMAL(28,4)) AS x FROM rev),
+        |stepped AS (SELECT
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey)
+        |      AS BIGINT) AS r,
+        |    CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(28,4)) AS cum
+        |  FROM rev),
+        |g AS (SELECT r, cum, k, x,
+        |    CAST(cum * 10000 AS BIGINT) * k
+        |      - r * CAST(x * 10000 AS BIGINT) AS gain2
+        |  FROM stepped, tot)
+        |SELECT k AS k_total, r AS knee_rank,
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(x AS DOUBLE), 6) AS share_at_knee,
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(x AS DOUBLE)
+        |    - CAST(r AS DOUBLE) / CAST(k AS DOUBLE), 6) AS gain
+        |FROM g ORDER BY gain2 DESC, r LIMIT 1""".stripMargin,
     "q338_consistent_hashing" ->
       """WITH ring AS (
         |  SELECT ((((rid % 2147483647) * 48271) % 2147483647 + 1) * 16807)

@@ -381,7 +381,50 @@ object Layout {
       .orderBy(col("pid"))
   }
 
+  /** Q474: pruning-selectivity curve — q183's single-predicate audit
+    * generalized to a 16-probe grid of conjunctive (custkey × order-day)
+    * range predicates over the SAME two layouts (single-dimension date
+    * files vs q182's Z-order files): per probe and layout, the file and
+    * row counts a min/max-skipping reader must touch. The curve is what a
+    * layout decision actually needs — one predicate can flatter either
+    * layout; sixteen spread across the plane can't. Exact integer
+    * envelope/overlap arithmetic throughout; cost is two 64-file
+    * summaries × a 16-row probe broadcast.
+    */
+  def q474PruningSelectivity: Q = (s, d) => {
+    val base = xy(s, d)
+    def files(bucketed: DataFrame, name: String): DataFrame =
+      bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("fxmin"), max(col("x")).as("fxmax"),
+          min(col("y")).as("fymin"), max(col("y")).as("fymax"))
+        .withColumn("layout", lit(name))
+    val zf = files(base.withColumn("z", zval(col("xb"), col("yb")))
+      .withColumn("bucket", expr("z div 67108864")), "zorder")
+    val df = files(base.withColumn("bucket", expr("(yb * 64) div 65536")),
+      "date_sort")
+    val st = base.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    val probes = s.range(0L, 16L).toDF("i").crossJoin(broadcast(st))
+      .select(col("i"),
+        expr("xmin + ((xmax - xmin) * ((i * 5) % 16)) div 16").as("pxlo"),
+        expr("xmin + ((xmax - xmin) * (((i * 5) % 16) + 2)) div 16").as("pxhi"),
+        expr("ymin + ((ymax - ymin) * i) div 16").as("pylo"),
+        expr("ymin + ((ymax - ymin) * (i + 2)) div 16").as("pyhi"))
+    val ov = col("fxmin") <= col("pxhi") && col("fxmax") >= col("pxlo") &&
+      col("fymin") <= col("pyhi") && col("fymax") >= col("pylo")
+    zf.unionByName(df).crossJoin(broadcast(probes))
+      .groupBy(col("layout"), col("i"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(ov, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(ov, col("n")).otherwise(0L)).cast("long").as("rows_scanned"))
+      .select(col("layout"), col("i").as("probe"), big(col("n_files")).as("n_files"),
+        col("files_scanned"), col("rows_scanned"))
+      .orderBy(col("layout"), col("probe"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q474_pruning_selectivity" -> q474PruningSelectivity,
     "q350_range_partition_audit" -> q350RangePartitionAudit,
     "q274_dictionary_advisor" -> q274DictionaryAdvisor,
     "q270_storage_advisor" -> q270StorageAdvisor,
@@ -392,6 +435,43 @@ object Layout {
     "q200_compaction" -> q200Compaction)
 
   val oracles: Map[String, String] = Map(
+    "q474_pruning_selectivity" ->
+      s"""WITH raw AS (
+        |  SELECT o_custkey AS x,
+        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |st AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax FROM raw),
+        |o AS (
+        |  SELECT x, y,
+        |    ((x - xmin) * 65535) // GREATEST(xmax - xmin, 1) AS xb,
+        |    ((y - ymin) * 65535) // GREATEST(ymax - ymin, 1) AS yb
+        |  FROM raw, st),
+        |zz AS (SELECT x, y, $zSql AS z FROM o),
+        |zf AS (SELECT 'zorder' AS layout, z // 67108864 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    MIN(x) AS fxmin, MAX(x) AS fxmax,
+        |    MIN(y) AS fymin, MAX(y) AS fymax
+        |  FROM zz GROUP BY 1, 2),
+        |df AS (SELECT 'date_sort' AS layout, (yb * 64) // 65536 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    MIN(x) AS fxmin, MAX(x) AS fxmax,
+        |    MIN(y) AS fymin, MAX(y) AS fymax
+        |  FROM o GROUP BY 1, 2),
+        |f AS (SELECT * FROM zf UNION ALL SELECT * FROM df),
+        |probes AS (SELECT CAST(u.i AS BIGINT) AS i,
+        |    xmin + ((xmax - xmin) * ((i * 5) % 16)) // 16 AS pxlo,
+        |    xmin + ((xmax - xmin) * (((i * 5) % 16) + 2)) // 16 AS pxhi,
+        |    ymin + ((ymax - ymin) * i) // 16 AS pylo,
+        |    ymin + ((ymax - ymin) * (i + 2)) // 16 AS pyhi
+        |  FROM unnest(range(0, 16)) u(i), st)
+        |SELECT layout, i AS probe, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN fxmin <= pxhi AND fxmax >= pxlo
+        |    AND fymin <= pyhi AND fymax >= pylo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_scanned,
+        |  CAST(SUM(CASE WHEN fxmin <= pxhi AND fxmax >= pxlo
+        |    AND fymin <= pyhi AND fymax >= pylo THEN n ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned
+        |FROM f, probes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q350_range_partition_audit" ->
       """WITH bk AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)

@@ -1941,7 +1941,44 @@ object NorthStar {
       .orderBy(col("format"))
   }
 
+  /** Q476: sampled-quantile error audit — how far do deciles estimated
+    * from a deterministic 5% sample drift from the exact ones? The
+    * question every "profile on a sample" shortcut must answer before a
+    * pipeline trusts it. The sample is the portable LCG bucket (q53's
+    * reproducible-split contract, so BOTH engines draw the SAME rows);
+    * both exact and sampled deciles are lower quantiles from the bounded
+    * cent-support collapse (the q363 argument); output is one row per
+    * decile with the signed cent error. Scale shape: two keyed
+    * aggregates + two bounded-support windows — never a global sort of
+    * the rows.
+    */
+  def q476SampledQuantileError: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select((dec(col("value")) * 100).cast("long").as("c"),
+        TrainingOps.portableBucket(col("event_id"), 100).as("bk"))
+    def deciles(byC: DataFrame, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = byC.agg(sum(col("t")).cast("long").as("n"))
+      byC.withColumn("cum", sum(col("t")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("q", explode(array((1L to 9L).map(lit): _*)))
+        .filter(expr("cum >= (q * n + 9) div 10"))
+        .groupBy(col("q")).agg(min(col("c")).as(out))
+    }
+    val exact = deciles(ev.groupBy(col("c")).agg(count(lit(1)).as("t")), "exact_cents")
+    val est = deciles(ev.filter(col("bk") < 5)
+      .groupBy(col("c")).agg(count(lit(1)).as("t")), "est_cents")
+    exact.join(est, Seq("q"))
+      .select(col("q").as("decile"), col("exact_cents"), col("est_cents"),
+        (col("est_cents") - col("exact_cents")).as("err_cents"),
+        abs(col("est_cents") - col("exact_cents")).as("abs_err_cents"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q476_sampled_quantile_error" -> q476SampledQuantileError,
     "q389_media_resize" -> q389MediaResize,
     "q386_lang_confusion" -> q386LangConfusion,
     "q345_weighted_reservoir" -> q345WeightedReservoir,
@@ -2061,6 +2098,34 @@ object NorthStar {
   }
 
   val oracles: Map[String, String] = Map(
+    "q476_sampled_quantile_error" ->
+      """WITH ev AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c,
+        |    ((((event_id % 2147483647) * 48271) % 2147483647 + 1)
+        |      * 16807) % 2147483647 % 100 AS bk
+        |  FROM events),
+        |exc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM ev GROUP BY 1),
+        |exn AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM exc),
+        |exq AS (SELECT q, MIN(c) AS exact_cents
+        |  FROM (SELECT c, SUM(t) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM exc) s, exn,
+        |    (SELECT CAST(u.q AS BIGINT) AS q FROM unnest(range(1, 10)) u(q)) qs
+        |  WHERE cum >= (q * n + 9) // 10 GROUP BY 1),
+        |smc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM ev
+        |  WHERE bk < 5 GROUP BY 1),
+        |smn AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM smc),
+        |smq AS (SELECT q, MIN(c) AS est_cents
+        |  FROM (SELECT c, SUM(t) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM smc) s, smn,
+        |    (SELECT CAST(u.q AS BIGINT) AS q FROM unnest(range(1, 10)) u(q)) qs
+        |  WHERE cum >= (q * n + 9) // 10 GROUP BY 1)
+        |SELECT exq.q AS decile, exact_cents, est_cents,
+        |  est_cents - exact_cents AS err_cents,
+        |  ABS(est_cents - exact_cents) AS abs_err_cents
+        |FROM exq JOIN smq ON exq.q = smq.q
+        |ORDER BY 1""".stripMargin,
     // the GM1 container is deterministic byte arithmetic from doc_id
     // (syntheticPayload), so the typed mapPartitions resize replays in SQL:
     // stride-4 body bytes, dim bytes integer-divided with a floor of 1

@@ -5,7 +5,9 @@ import graft.Dsl._
 import graft.functions.VectorFunctions
 import graft.similarity.Pq
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Vector / similarity-search surface over `embeddings` (SURVEY.md §2.3 Q24,
   * Q30 + north-star ANN). The exact cosine kernel is pure higher-order-function
@@ -1110,7 +1112,53 @@ object Similarity {
         round(col("src") / col("n").cast("double"), 6).as("mean_rel_contrast"))
   }
 
+  /** Q478: Local Outlier Factor (k = 5) over the embedding space — the
+    * DENSITY-relative outlier score q127's distance-based cut can't give
+    * (a point far from one tight cluster but inside a sparse one is fine;
+    * LOF sees that). Cosine distances are 6-dp rounded BEFORE ranking so
+    * both engines agree on every k-NN set (the q223 trick); reachability
+    * sums are exact decimal; the lrd ratio collapses to
+    * Σ sreach(a)/sreach(b) so no reciprocal is ever summed. This is the
+    * DECLARED exact baseline on the bounded embedding relation (the
+    * q414/q435 pair-kernel argument) — at corpus scale the same kernel
+    * runs over q113's IVF-blocked candidate neighborhoods.
+    */
+  def q478Lof: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val emb = Tables(s, d, "embeddings")
+      .withColumn("ev", asDouble(col("embedding")))
+      .select(col("vec_id"), col("ev"))
+    val b = emb.select(col("vec_id").as("nid"), col("ev").as("nv"))
+    val pairs = emb.crossJoin(broadcast(b)).filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"),
+        round(lit(1.0) - VectorFunctions.cosineSim(col("ev"), col("nv")), 6)
+          .as("dist"))
+    val wk = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("nid"))
+    val ranked = graft.Checkpoints.materialize(
+      pairs.withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5))
+    val kdist = ranked.filter(col("rn") === 5)
+      .select(col("vec_id").as("nid"), col("dist").as("kdist"))
+    val reach = ranked.join(kdist, Seq("nid"))
+      .select(col("vec_id"), col("nid"),
+        greatest(col("dist"), col("kdist")).cast(DecimalType(18, 6)).as("rd"))
+    val sreach = reach.groupBy(col("vec_id"))
+      .agg(sum(col("rd")).cast(DecimalType(28, 6)).as("sr"))
+    val lofEdges = ranked.select(col("vec_id"), col("nid"))
+      .join(sreach, Seq("vec_id"))
+      .join(sreach.select(col("vec_id").as("nid"), col("sr").as("srn")),
+        Seq("nid"))
+    val lof = lofEdges.groupBy(col("vec_id"))
+      .agg(sum(round(col("sr").cast("double") / col("srn").cast("double"), 8)
+        .cast(DecimalType(38, 8))).cast("double").as("ssum"))
+    lof.select(col("vec_id"), round(col("ssum") / 5.0, 6).as("lof"),
+        (round(col("ssum") / 5.0, 6) > lit(1.2)).as("outlier"))
+      .orderBy(col("lof").desc, col("vec_id"))
+      .limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q478_lof" -> q478Lof,
     "q435_distance_concentration" -> q435DistanceConcentration,
     "q431_hubness" -> q431Hubness,
     "q414_twonn" -> q414TwoNN,
@@ -1285,6 +1333,39 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q478_lof" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+        |  FROM embeddings),
+        |pairs AS MATERIALIZED (SELECT a.vec_id, b.vec_id AS nid,
+        |    ROUND(CAST('1.0' AS DOUBLE) - list_dot_product(a.ev, b.ev)
+        |      / (sqrt(list_dot_product(a.ev, a.ev))
+        |        * sqrt(list_dot_product(b.ev, b.ev))), 6) AS dist
+        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |ranked AS MATERIALIZED (SELECT * FROM (
+        |    SELECT vec_id, nid, dist,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY dist, nid) AS rn
+        |    FROM pairs) r WHERE rn <= 5),
+        |kdist AS (SELECT vec_id AS nid, dist AS kdist
+        |  FROM ranked WHERE rn = 5),
+        |reach AS (SELECT r.vec_id, r.nid,
+        |    CAST(GREATEST(r.dist, k.kdist) AS DECIMAL(18,6)) AS rd
+        |  FROM ranked r JOIN kdist k ON r.nid = k.nid),
+        |sreach AS MATERIALIZED (SELECT vec_id,
+        |    CAST(SUM(rd) AS DECIMAL(28,6)) AS sr FROM reach GROUP BY 1),
+        |lofv AS (SELECT r.vec_id,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(sa.sr AS DOUBLE) / CAST(sb.sr AS DOUBLE), 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS ssum
+        |  FROM ranked r
+        |  JOIN sreach sa ON r.vec_id = sa.vec_id
+        |  JOIN sreach sb ON r.nid = sb.vec_id
+        |  GROUP BY 1)
+        |SELECT vec_id,
+        |  ROUND(ssum / CAST('5.0' AS DOUBLE), 6) AS lof,
+        |  (ROUND(ssum / CAST('5.0' AS DOUBLE), 6) > CAST('1.2' AS DOUBLE))
+        |    AS outlier
+        |FROM lofv ORDER BY lof DESC, vec_id LIMIT 15""".stripMargin,
     "q435_distance_concentration" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),

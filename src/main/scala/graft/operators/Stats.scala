@@ -4499,7 +4499,11 @@ object Stats {
     * epoch-anchored day index (q413's engine-agnostic convention). All
     * post-scan state is the 35-cell relation.
     */
-  def q456KendallsW: Q = (s, d) => {
+  /** (segment × weekday-slot) revenue cells ranked WITHIN each segment
+    * with 2×-scaled average ranks — the shared block-design machinery
+    * behind q456's Kendall W and q467's Page trend test.
+    */
+  private[operators] def weekdayRankCells(s: SparkSession, d: String): DataFrame = {
     val cells = Tables(s, d, "orders")
       .join(Tables(s, d, "customer"),
         col("o_custkey") === col("c_custkey"))
@@ -4510,11 +4514,15 @@ object Stats {
         .cast(DecimalType(18, 2)).as("rev"))
     val wRank = Window.partitionBy(col("g")).orderBy(col("rev"))
     val wTie = Window.partitionBy(col("g"), col("rev"))
-    val ranked = cells
+    cells
       .withColumn("s", rank().over(wRank).cast("long"))
       .withColumn("t", count(lit(1)).over(wTie))
       .select(col("g"), col("slot"),
         (lit(2L) * col("s") + col("t") - 1L).as("rank2"), col("t"))
+  }
+
+  def q456KendallsW: Q = (s, d) => {
+    val ranked = weekdayRankCells(s, d)
     val perSlot = ranked.groupBy(col("slot"))
       .agg(sum(col("rank2")).cast("long").as("rs2"))
     val sums = perSlot.agg(count(lit(1)).as("n"),
@@ -4534,6 +4542,126 @@ object Stats {
       round(mD * (nD - 1.0) * w, 4).as("chi2"),
       // chi-square 0.95 critical value at n−1 = 6 df
       (round(mD * (nD - 1.0) * w, 4) > lit(12.592)).as("significant"))
+  }
+
+  /** Q467: Page's L trend test — q456 asks whether segments AGREE on the
+    * weekday ranking at all; Page's L asks whether revenue trends
+    * MONOTONICALLY across the week (slots as the ordered alternative):
+    * L = Σⱼ sⱼRⱼ over the shared [[weekdayRankCells]] 2×-scaled ranks,
+    * z = (L−mn(n+1)²/4)/√(mn²(n+1)(n²−1)/144). Exact integers until z.
+    */
+  def q467PageTrend: Q = (s, d) => {
+    val ranked = weekdayRankCells(s, d)
+    val perSlot = ranked.groupBy(col("slot"))
+      .agg(sum(col("rank2")).cast("long").as("rs2"))
+    val sums = perSlot.agg(count(lit(1)).as("n"),
+      sum((col("slot") + 1L) * col("rs2")).cast("long").as("l2"))
+    val m = ranked.select(col("g")).distinct().agg(count(lit(1)).as("m"))
+    val j = sums.crossJoin(broadcast(m))
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val lD = col("l2").cast("double") / 2.0
+    val e = mD * nD * (nD + 1.0) * (nD + 1.0) / 4.0
+    val v = mD * nD * nD * (nD + 1.0) * (nD * nD - 1.0) / 144.0
+    j.select(big(col("m")).as("m_blocks"), big(col("n")).as("n_slots"),
+      round(lD, 1).as("l"),
+      round((lD - e) / sqrt(v), 4).as("z"),
+      (abs(round((lD - e) / sqrt(v), 4)) > lit(1.96)).as("significant"))
+  }
+
+  /** Q468: Jonckheere–Terpstra ordered-alternative test — q362's
+    * Kruskal–Wallis has no direction; J-T tests whether order value
+    * rises WITH priority order: J = Σᵢ<ⱼ Uᵢⱼ summed via per-bucket
+    * cumulative counts over the shared $10 collapse (2×-scaled so
+    * bucket ties contribute exactly ½): J₂ = Σ_b cⱼ(2·CumPrevᵢ + cᵢ).
+    * z uses the standard no-tie null variance (documented; ties only
+    * sharpen significance here). Shuffle ∝ bucket support × the 10
+    * ordered group pairs, never orders².
+    */
+  def q468Jonckheere: Q = (s, d) => {
+    val o = Tables(s, d, "orders").select(
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) div 1000")
+        .as("b"))
+    val gb = o.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    // zero-filled (group × merged-support) grid: a bucket where only ONE
+    // group has mass still advances the other's CDF, so the cumulative
+    // must run over the full support, not each group's own buckets
+    val filled = gb.select(col("b")).distinct()
+      .crossJoin(broadcast(gb.select(col("g")).distinct()))
+      .join(gb, Seq("g", "b"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val wg = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = filled.withColumn("cp", coalesce(sum(col("c0")).over(wg), lit(0L)))
+    val pairs = cum.select(col("g").as("gi"), col("b"),
+        col("c0").as("ci"), col("cp").as("cpi"))
+      .join(gb.select(col("g").as("gj"), col("b"), col("c").as("cj")), Seq("b"))
+      .filter(col("gi") < col("gj"))
+    val red = pairs.agg(
+      sum(col("cj") * (lit(2L) * col("cpi") + col("ci")))
+        .cast(DecimalType(38, 0)).as("j2"))
+    val per = gb.groupBy(col("g")).agg(sum(col("c")).cast("long").as("ng"))
+    val tots = per.agg(sum(col("ng")).cast("long").as("n"),
+      sum(col("ng") * col("ng")).cast("long").as("sn2"),
+      sum(col("ng") * col("ng") * (lit(2L) * col("ng") + 3L))
+        .cast(DecimalType(38, 0)).as("sn23"))
+    val jn = red.crossJoin(broadcast(tots))
+    val nD = col("n").cast("double")
+    val jD = col("j2").cast("double") / 2.0
+    val e = (nD * nD - col("sn2").cast("double")) / 4.0
+    val v = (nD * nD * (lit(2.0) * nD + 3.0) - col("sn23").cast("double")) / 72.0
+    jn.select(big(col("n")).as("n"), round(jD, 1).as("j"),
+      round((jD - e) / sqrt(v), 4).as("z"),
+      (abs(round((jD - e) / sqrt(v), 4)) > lit(1.96)).as("significant"))
+  }
+
+  /** Q470: Theil inequality decomposition — how much order-value
+    * inequality lives BETWEEN market segments vs WITHIN them (the
+    * decomposition q374's Lorenz curve and q432's summary indices don't
+    * give): T = Σ(xᵢ/X)ln(xᵢN/X) = T_between + Σ(X_g/X)·T_g. Per-row
+    * and per-group entropy terms are single IEEE expressions rounded
+    * 8 dp and decimal-summed (order-independent); the reported
+    * `identity_gap` pins the decomposition closure under that rounding.
+    * One orders⋈customer pass + a 5-row group reduction.
+    */
+  def q470TheilDecomposition: Q = (s, d) => {
+    val base = Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("x"))
+    val per = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).cast(DecimalType(38, 0)).as("xg"))
+    val tot = per.agg(sum(col("ng")).cast("long").as("n"),
+      sum(col("xg")).cast(DecimalType(38, 0)).as("xx"))
+    val dec8 = DecimalType(38, 8)
+    // total: Σ (x/X)·ln(x·N/X) over rows
+    val withTot = base.crossJoin(broadcast(tot))
+    val xD = col("x").cast("double")
+    val term = xD / col("xx").cast("double") *
+      log(xD * col("n").cast("double") / col("xx").cast("double"))
+    val tTotal = withTot.agg(max(col("n")).as("n"),
+      sum(round(term, 8).cast(dec8)).cast("double").as("t_total"))
+    // within group g: Σ (x/X_g)·ln(x·N_g/X_g), weighted by X_g/X
+    val withG = base.join(broadcast(per), Seq("g"))
+    val termG = xD / col("xg").cast("double") *
+      log(xD * col("ng").cast("double") / col("xg").cast("double"))
+    val tg = withG.groupBy(col("g"))
+      .agg(max(col("ng")).as("ng"), max(col("xg")).as("xg"),
+        sum(round(termG, 8).cast(dec8)).cast("double").as("tg"))
+    val tWithin = tg.crossJoin(broadcast(tot))
+      .agg(sum(round(col("xg").cast("double") / col("xx").cast("double")
+        * col("tg"), 8).cast(dec8)).cast("double").as("t_within"),
+        sum(round(col("xg").cast("double") / col("xx").cast("double")
+          * log(col("xg").cast("double") / col("xx").cast("double")
+            * (col("n").cast("double") / col("ng").cast("double"))), 8)
+          .cast(dec8)).cast("double").as("t_between"))
+    tTotal.crossJoin(broadcast(tWithin))
+      .select(col("n"), round(col("t_total"), 6).as("t_total"),
+        round(col("t_between"), 6).as("t_between"),
+        round(col("t_within"), 6).as("t_within"),
+        round(col("t_total") - col("t_between") - col("t_within"), 6)
+          .as("identity_gap"))
   }
 
   /** Q457: Lo–MacKinlay variance-ratio test (q = 5) — is daily revenue a
@@ -4717,6 +4845,119 @@ object Stats {
       (round(k2, 4) > lit(5.991)).as("non_normal"))
   }
 
+  /** Q466: t-closeness audit — completes the q254/q318 privacy trio: a
+    * k-anonymous, l-diverse release can still leak if a QI class's
+    * sensitive-value DISTRIBUTION diverges from the global one. For each
+    * (nation, segment) class, the ordered-EMD t = Σ|cumdiff|/((k−1)·N·n_c)
+    * between its $1000-balance-bucket distribution and the corpus-wide
+    * one, with denominators cleared so every cumulative term is an exact
+    * integer (cb·N − nb·n_c). The grid is classes × global buckets
+    * (zero-filled — missing buckets carry mass 0), the cumsum is
+    * partitioned per class; top-10 worst classes at the t > 0.2 bar.
+    */
+  def q466TCloseness: Q = (s, d) => {
+    val base = Tables(s, d, "customer")
+      .select(col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long").as("b"))
+    tClosenessReport(base.groupBy(col("nk"), col("seg"), col("b"))
+      .agg(count(lit(1)).as("cb")))
+  }
+
+  /** The q466 t-closeness kernel over a (nk, seg, b, cb) cell collapse —
+    * factored so the q469 streaming twin runs the SAME kernel over
+    * micro-batch-merged cells (class×bucket cells merge by plain sum).
+    */
+  private[graft] def tClosenessReport(cellCnt: DataFrame): DataFrame = {
+    val classes = cellCnt.groupBy(col("nk"), col("seg"))
+      .agg(sum(col("cb")).cast("long").as("nc"))
+    val glob = cellCnt.groupBy(col("b")).agg(sum(col("cb")).cast("long").as("nb"))
+    val tot = glob.agg(sum(col("nb")).cast("long").as("nn"),
+      count(lit(1)).as("k"))
+    val grid = classes.crossJoin(broadcast(glob))
+      .join(cellCnt, Seq("nk", "seg", "b"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+    val wcl = Window.partitionBy(col("nk"), col("seg")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = grid.crossJoin(broadcast(tot))
+      .withColumn("dcum",
+        sum(col("cb") * col("nn") - col("nb") * col("nc")).over(wcl))
+    val per = stepped.groupBy(col("nk"), col("seg"))
+      .agg(max(col("nc")).as("nc"), max(col("nn")).as("nn"),
+        max(col("k")).as("k"),
+        sum(abs(col("dcum"))).cast(DecimalType(38, 0)).as("sd"))
+    val t = round(col("sd").cast("double") /
+      ((col("k").cast("double") - 1.0) * col("nn").cast("double")
+        * col("nc").cast("double")), 6)
+    per.select(col("nk").as("nationkey"), col("seg").as("segment"),
+      col("nc").as("class_size"), t.as("t"),
+      (t > lit(0.2)).as("violates"))
+      .orderBy(col("t").desc, col("nationkey"), col("segment"))
+      .limit(10)
+  }
+
+  /** Q479: 1-D DBSCAN over the value cent-support — density clusters of
+    * transaction values with ε = 3 cents, minPts = 50: maximal runs of
+    * occupied cents with inter-value gap ≤ ε, mass-filtered into core
+    * clusters vs noise. In one dimension the DBSCAN fixpoint collapses to
+    * a gaps-and-islands pass over the BOUNDED support (the q363
+    * argument) — no iteration, no pairwise distances; exactly how a
+    * price-point/denomination structure audit should run at any corpus
+    * size. Top-10 clusters by mass, deterministic order.
+    */
+  def q479Dbscan1d: Q = (s, d) => {
+    val byc = Tables.events(s, d)
+      .select((dec(col("value")) * 100).cast("long").as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("t"))
+    val w = Window.orderBy(col("c"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isl = byc
+      .withColumn("gap", col("c") - lag(col("c"), 1).over(w))
+      .withColumn("nw", when(col("gap").isNull || col("gap") > 3L, 1L)
+        .otherwise(0L))
+      .withColumn("cl", sum(col("nw")).over(wc))
+    isl.groupBy(col("cl"))
+      .agg(min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"),
+        count(lit(1)).as("n_values"), sum(col("t")).cast("long").as("mass"))
+      .select(col("lo_cents"), col("hi_cents"), big(col("n_values")).as("n_values"),
+        col("mass"), (col("mass") >= 50L).as("core"))
+      .orderBy(col("mass").desc, col("lo_cents"))
+      .limit(10)
+  }
+
+  /** Q480: Mahalanobis outlier days — which days' (clicks, purchases)
+    * pair is jointly anomalous once their correlation is priced in (the
+    * 2-D sharpening of q373's univariate MAD): d² = (x−μ)ᵀΣ⁻¹(x−μ) with
+    * μ/Σ from exact integer daily moments and the 2×2 inverse in closed
+    * form — one IEEE tree per day. Flag at the χ²₂ 0.999 bar. One
+    * calendar-bounded grid pass + a 1-row moment broadcast.
+    */
+  def q480Mahalanobis: Q = (s, d) => {
+    val daily = dailyCvp(s, d).select(col("x"), col("a"), col("b"))
+    val mom = daily.agg(count(lit(1)).as("n"),
+      sum(col("a")).cast("long").as("sa"), sum(col("b")).cast("long").as("sb"),
+      sum(col("a") * col("a")).cast("long").as("saa"),
+      sum(col("b") * col("b")).cast("long").as("sbb"),
+      sum(col("a") * col("b")).cast("long").as("sab"))
+    val j = daily.crossJoin(broadcast(mom))
+    val nD = col("n").cast("double")
+    val mua = col("sa").cast("double") / nD
+    val mub = col("sb").cast("double") / nD
+    val vaa = col("saa").cast("double") / nD - mua * mua
+    val vbb = col("sbb").cast("double") / nD - mub * mub
+    val vab = col("sab").cast("double") / nD - mua * mub
+    val det = vaa * vbb - vab * vab
+    val da = col("a").cast("double") - mua
+    val db = col("b").cast("double") - mub
+    val d2 = (da * (vbb * da - vab * db) + db * (vaa * db - vab * da)) / det
+    j.select(col("x").as("day"), col("a").as("clicks"), col("b").as("purchases"),
+        round(d2, 4).as("d2"),
+        // chi-square 0.999 critical value at 2 df
+        (round(d2, 4) > lit(13.816)).as("outlier"))
+      .orderBy(col("d2").desc, col("day"))
+      .limit(10)
+  }
+
   /** Q449: Mantel–Haenszel pooled odds ratio across strata — q448's 2×2
     * (high-value exposure × fulfilled outcome) stratified by order
     * priority, so priority-mix confounding is adjusted out: OR_MH =
@@ -4841,9 +5082,16 @@ object Stats {
       .select(epochSec(col("ts2")).as("t"),
         (dec(col("value")) * 100).cast("long").as("c"))
     val m = ev.agg(expr("(MIN(t) + MAX(t)) div 2").as("mid"))
-    val byc = ev.crossJoin(broadcast(m)).groupBy(col("c"))
+    energyReport(ev.crossJoin(broadcast(m)).groupBy(col("c"))
       .agg(sum(when(col("t") < col("mid"), 1L).otherwise(0L)).as("c1"),
-        sum(when(col("t") >= col("mid"), 1L).otherwise(0L)).as("c2"))
+        sum(when(col("t") >= col("mid"), 1L).otherwise(0L)).as("c2")))
+  }
+
+  /** The q452 energy-distance kernel over a (c, c1, c2) cent-count
+    * collapse — factored so the q465 streaming twin runs the SAME kernel
+    * over micro-batch-merged cells (cent cells merge by plain sum).
+    */
+  private[graft] def energyReport(byc: DataFrame): DataFrame = {
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byc.agg(sum(col("c1")).cast("long").as("n1"),
@@ -4968,6 +5216,12 @@ object Stats {
   }
 
   val queries: Map[String, Q] = Map(
+    "q479_dbscan_1d" -> q479Dbscan1d,
+    "q480_mahalanobis" -> q480Mahalanobis,
+    "q467_page_trend" -> q467PageTrend,
+    "q468_jonckheere" -> q468Jonckheere,
+    "q470_theil_decomposition" -> q470TheilDecomposition,
+    "q466_t_closeness" -> q466TCloseness,
     "q459_sample_entropy" -> q459SampleEntropy,
     "q460_dagostino_k2" -> q460DagostinoK2,
     "q455_dunns_test" -> q455DunnsTest,
@@ -5267,6 +5521,264 @@ object Stats {
     ("orders", "o_custkey", "o_orderpriority")))
 
   val oracles: Map[String, String] = Map(
+    "q479_dbscan_1d" ->
+      """WITH byc AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM events GROUP BY 1),
+        |isl AS (SELECT c, t,
+        |    CASE WHEN c - LAG(c) OVER (ORDER BY c) IS NULL
+        |      OR c - LAG(c) OVER (ORDER BY c) > 3 THEN 1 ELSE 0 END AS nw
+        |  FROM byc),
+        |cl AS (SELECT c, t,
+        |    SUM(nw) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+        |  FROM isl)
+        |SELECT MIN(c) AS lo_cents, MAX(c) AS hi_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_values,
+        |  CAST(SUM(t) AS BIGINT) AS mass,
+        |  (CAST(SUM(t) AS BIGINT) >= 50) AS core
+        |FROM cl GROUP BY cl.cl
+        |ORDER BY mass DESC, lo_cents LIMIT 10""".stripMargin,
+    "q480_mahalanobis" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(date_trunc('second', ts) AS DATE)) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b
+        |  FROM events GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+        |    CAST(SUM(a * a) AS BIGINT) AS saa,
+        |    CAST(SUM(b * b) AS BIGINT) AS sbb,
+        |    CAST(SUM(a * b) AS BIGINT) AS sab
+        |  FROM daily)
+        |SELECT x AS day, a AS clicks, b AS purchases,
+        |  ROUND(((CAST(a AS DOUBLE) - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ((CAST(sbb AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(a AS DOUBLE) - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(b AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    + (CAST(b AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ((CAST(saa AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(b AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(a AS DOUBLE) - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))))
+        |    / ((CAST(saa AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(sbb AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      - (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))), 4) AS d2,
+        |  (ROUND(((CAST(a AS DOUBLE) - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ((CAST(sbb AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(a AS DOUBLE) - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(b AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    + (CAST(b AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ((CAST(saa AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(b AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(a AS DOUBLE) - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))))
+        |    / ((CAST(saa AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(sbb AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      - (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * (CAST(sab AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)))), 4)
+        |    > CAST('13.816' AS DOUBLE)) AS outlier
+        |FROM daily, mom
+        |ORDER BY d2 DESC, day LIMIT 10""".stripMargin,
+    "q467_page_trend" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT c_mktsegment AS g,
+        |    CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) % 7 AS slot,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS MATERIALIZED (
+        |  SELECT g, slot,
+        |    2 * CAST(RANK() OVER (PARTITION BY g ORDER BY rev) AS BIGINT)
+        |      + CAST(COUNT(*) OVER (PARTITION BY g, rev) AS BIGINT) - 1
+        |      AS rank2
+        |  FROM cells),
+        |perslot AS (SELECT slot, CAST(SUM(rank2) AS BIGINT) AS rs2
+        |  FROM ranked GROUP BY 1),
+        |sums AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM((slot + 1) * rs2) AS BIGINT) AS l2 FROM perslot),
+        |m AS (SELECT COUNT(*) AS m FROM (SELECT DISTINCT g FROM ranked) v)
+        |SELECT CAST(m AS BIGINT) AS m_blocks, CAST(n AS BIGINT) AS n_slots,
+        |  ROUND(CAST(l2 AS DOUBLE) / CAST('2.0' AS DOUBLE), 1) AS l,
+        |  ROUND((CAST(l2 AS DOUBLE) / CAST('2.0' AS DOUBLE)
+        |    - CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      / CAST('4.0' AS DOUBLE))
+        |    / SQRT(CAST(m AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST('1.0' AS DOUBLE))
+        |      / CAST('144.0' AS DOUBLE)), 4) AS z,
+        |  (ABS(ROUND((CAST(l2 AS DOUBLE) / CAST('2.0' AS DOUBLE)
+        |    - CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      / CAST('4.0' AS DOUBLE))
+        |    / SQRT(CAST(m AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) + CAST('1.0' AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST('1.0' AS DOUBLE))
+        |      / CAST('144.0' AS DOUBLE)), 4)) > CAST('1.96' AS DOUBLE))
+        |    AS significant
+        |FROM sums, m""".stripMargin,
+    "q468_jonckheere" ->
+      """WITH o AS (SELECT
+        |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) // 1000
+        |      AS b
+        |  FROM orders),
+        |gb AS MATERIALIZED (SELECT g, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM o GROUP BY 1, 2),
+        |filled AS (SELECT gs.g, sp.b, COALESCE(gb.c, 0) AS c0
+        |  FROM (SELECT DISTINCT b FROM gb) sp
+        |  CROSS JOIN (SELECT DISTINCT g FROM gb) gs
+        |  LEFT JOIN gb ON gb.g = gs.g AND gb.b = sp.b),
+        |cum AS (SELECT g, b, c0,
+        |    COALESCE(SUM(c0) OVER (PARTITION BY g ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+        |  FROM filled),
+        |red AS (SELECT CAST(SUM(j.c * (2 * i.cp + i.c0)) AS DECIMAL(38,0))
+        |    AS j2
+        |  FROM cum i JOIN gb j ON i.b = j.b AND i.g < j.g),
+        |per AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM gb GROUP BY 1),
+        |tots AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(ng * ng) AS BIGINT) AS sn2,
+        |    CAST(SUM(ng * ng * (2 * ng + 3)) AS DECIMAL(38,0)) AS sn23
+        |  FROM per)
+        |SELECT n, ROUND(CAST(j2 AS DOUBLE) / CAST('2.0' AS DOUBLE), 1) AS j,
+        |  ROUND((CAST(j2 AS DOUBLE) / CAST('2.0' AS DOUBLE)
+        |    - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(sn2 AS DOUBLE)) / CAST('4.0' AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * (CAST('2.0' AS DOUBLE) * CAST(n AS DOUBLE)
+        |        + CAST('3.0' AS DOUBLE))
+        |      - CAST(sn23 AS DOUBLE)) / CAST('72.0' AS DOUBLE)), 4) AS z,
+        |  (ABS(ROUND((CAST(j2 AS DOUBLE) / CAST('2.0' AS DOUBLE)
+        |    - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(sn2 AS DOUBLE)) / CAST('4.0' AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * (CAST('2.0' AS DOUBLE) * CAST(n AS DOUBLE)
+        |        + CAST('3.0' AS DOUBLE))
+        |      - CAST(sn23 AS DOUBLE)) / CAST('72.0' AS DOUBLE)), 4))
+        |    > CAST('1.96' AS DOUBLE)) AS significant
+        |FROM red, tots""".stripMargin,
+    "q470_theil_decomposition" ->
+      """WITH base AS MATERIALIZED (SELECT c_mktsegment AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS xg FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(xg) AS DECIMAL(38,0)) AS xx FROM per),
+        |ttotal AS (SELECT MAX(n) AS n,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(x AS DOUBLE) / CAST(xx AS DOUBLE)
+        |      * LN(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(xx AS DOUBLE)), 8) AS DECIMAL(38,8)))
+        |      AS DECIMAL(38,8)) AS DOUBLE) AS t_total
+        |  FROM base, tot),
+        |tg AS (SELECT b.g, MAX(ng) AS ng, MAX(xg) AS xg,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(x AS DOUBLE) / CAST(xg AS DOUBLE)
+        |      * LN(CAST(x AS DOUBLE) * CAST(ng AS DOUBLE)
+        |        / CAST(xg AS DOUBLE)), 8) AS DECIMAL(38,8)))
+        |      AS DECIMAL(38,8)) AS DOUBLE) AS tg
+        |  FROM base b JOIN per p ON b.g = p.g GROUP BY 1),
+        |tw AS (SELECT
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE) * tg, 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS t_within,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE)
+        |      * LN(CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) / CAST(ng AS DOUBLE))), 8)
+        |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS t_between
+        |  FROM tg, tot)
+        |SELECT n, ROUND(t_total, 6) AS t_total,
+        |  ROUND(t_between, 6) AS t_between,
+        |  ROUND(t_within, 6) AS t_within,
+        |  ROUND(t_total - t_between - t_within, 6) AS identity_gap
+        |FROM ttotal, tw""".stripMargin,
+    "q466_t_closeness" ->
+      """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |    c_mktsegment AS seg,
+        |    CAST(FLOOR(CAST(c_acctbal AS DOUBLE)
+        |      / CAST('1000.0' AS DOUBLE)) AS BIGINT) AS b
+        |  FROM customer),
+        |cellcnt AS MATERIALIZED (SELECT nk, seg, b,
+        |    CAST(COUNT(*) AS BIGINT) AS cb FROM base GROUP BY 1, 2, 3),
+        |classes AS (SELECT nk, seg, CAST(SUM(cb) AS BIGINT) AS nc
+        |  FROM cellcnt GROUP BY 1, 2),
+        |gl AS MATERIALIZED (SELECT b, CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM cellcnt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS nn, COUNT(*) AS k
+        |  FROM gl),
+        |grid AS (SELECT c.nk, c.seg, c.nc, g.b, g.nb,
+        |    COALESCE(cc.cb, 0) AS cb
+        |  FROM classes c CROSS JOIN gl g
+        |  LEFT JOIN cellcnt cc
+        |    ON cc.nk = c.nk AND cc.seg = c.seg AND cc.b = g.b),
+        |stepped AS (SELECT nk, seg, nc,
+        |    SUM(cb * nn - nb * nc) OVER (PARTITION BY nk, seg ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum,
+        |    nn, k
+        |  FROM grid, tot),
+        |per AS (SELECT nk, seg, MAX(nc) AS nc, MAX(nn) AS nn, MAX(k) AS k,
+        |    CAST(SUM(ABS(dcum)) AS DECIMAL(38,0)) AS sd
+        |  FROM stepped GROUP BY 1, 2)
+        |SELECT nk AS nationkey, seg AS segment, nc AS class_size,
+        |  ROUND(CAST(sd AS DOUBLE)
+        |    / ((CAST(k AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      * CAST(nn AS DOUBLE) * CAST(nc AS DOUBLE)), 6) AS t,
+        |  (ROUND(CAST(sd AS DOUBLE)
+        |    / ((CAST(k AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      * CAST(nn AS DOUBLE) * CAST(nc AS DOUBLE)), 6)
+        |    > CAST('0.2' AS DOUBLE)) AS violates
+        |FROM per
+        |ORDER BY t DESC, nationkey, segment
+        |LIMIT 10""".stripMargin,
     "q459_sample_entropy" ->
       """WITH grid AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '1995-01-01',

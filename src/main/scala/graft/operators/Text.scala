@@ -2194,7 +2194,80 @@ object Text {
       .orderBy(col("token"))
   }
 
+  /** Q463: Jaro–Winkler blocked name-dedup audit — the entity-resolution
+    * scorer q258's edit-distance join can't express (JW weights prefix
+    * agreement and transpositions, the right bias for product/person
+    * names): part names blocked on their first token, within-block pairs
+    * scored by the codegen'd [[graft.functions.JaroWinkler]] expression,
+    * top-20 near-duplicates at jw ≥ 0.94 in deterministic (jw desc, key)
+    * order. The block count is SMALL here (8 first tokens), so the pair
+    * join is salted (q61's replicate-one-side trick, 32 salts) — without
+    * it the 25M-pair explosion lands on ≤8 tasks and the 32-way cluster
+    * idles; with it the scorer runs fully parallel inside whole-stage
+    * codegen (no UDF). The oracle twin is DuckDB's own
+    * `jaro_winkler_similarity`, so the expression's semantics are
+    * cross-engine pinned, not self-certified.
+    */
+  def q463JaroWinklerPairs: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val p = Tables(s, d, "part").select(col("p_partkey").as("k"),
+      col("p_name").as("nm"), substring_index(col("p_name"), " ", 1).as("blk"))
+    // distinct-name collapse: score each DISTINCT name pair once, not each
+    // row pair — the scorer cost drops from Σ|block|² row pairs to
+    // Σ|distinct names in block|², and only the winning jw tiers are
+    // expanded back to part keys (rank() keeps whole tiers, so tie
+    // boundaries can't clip the global top-20)
+    val names = p.groupBy(col("blk"), col("nm")).agg(count(lit(1)).as("cnt"))
+    val np = names.select(col("blk"), col("nm").as("na"))
+      .join(names.select(col("blk"), col("nm").as("nb")), Seq("blk"))
+      .filter(col("na") <= col("nb"))
+    val jw = round(graft.functions.VectorFunctions
+      .jaroWinkler(col("na"), col("nb")), 6)
+    val scored = np.withColumn("jw", jw).filter(col("jw") >= 0.94)
+    val cand = scored
+      .withColumn("rk", rank().over(Window.orderBy(col("jw").desc)))
+      .filter(col("rk") <= 40)
+    val expanded = cand
+      .join(p.select(col("blk"), col("nm").as("na"), col("k").as("ka")),
+        Seq("blk", "na"))
+      .join(p.select(col("blk"), col("nm").as("nb"), col("k").as("kb")),
+        Seq("blk", "nb"))
+      .filter(col("na") =!= col("nb") || col("ka") < col("kb"))
+    expanded.select(least(col("ka"), col("kb")).as("k1"),
+        greatest(col("ka"), col("kb")).as("k2"), col("jw"))
+      .orderBy(col("jw").desc, col("k1"), col("k2"))
+      .limit(20)
+  }
+
+  /** Q464: lexical-richness battery per source — Yule's K (repeat-rate,
+    * length-robust), Simpson's D (collision probability) and Herdan's C
+    * (log-log type/token slope), all from ONE (source, token) frequency
+    * collapse: Σₘm²Vₘ = Σ_types f² and Σf(f−1) = Σf²−N, so the three
+    * statistics need only (N, V, Σf²) per source — exact integers until
+    * the final divisions. The authorship/templating fingerprint q309's
+    * TTR-style signals can't give (K is invariant to corpus length).
+    */
+  def q464YulesK: Q = (s, d) => {
+    val tf = Tables(s, d, "documents")
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("f"))
+    val per = tf.groupBy(col("source"))
+      .agg(sum(col("f")).cast("long").as("n"),
+        count(lit(1)).as("v"),
+        sum(col("f") * col("f")).cast("long").as("s2"))
+    val nD = col("n").cast("double")
+    per.select(col("source"), col("n").as("n_tokens"), big(col("v")).as("v_types"),
+      round(lit(10000.0) * (col("s2").cast("double") - nD) / (nD * nD), 4)
+        .as("yules_k"),
+      round((col("s2").cast("double") - nD) / (nD * (nD - 1.0)), 6)
+        .as("simpson_d"),
+      round(log(col("v").cast("double")) / log(nD), 6).as("herdan_c"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q464_yules_k" -> q464YulesK,
+    "q463_jaro_winkler_pairs" -> q463JaroWinklerPairs,
     "q430_token_dispersion" -> q430TokenDispersion,
     "q419_cochran_q" -> q419CochranQ,
     "q421_cronbach_alpha" -> q421CronbachAlpha,
@@ -2297,6 +2370,35 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q464_yules_k" ->
+      """WITH tf AS (SELECT source, t AS tok, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT source, u.t FROM documents,
+        |      unnest(string_split(text, ' ')) AS u(t))
+        |  WHERE t <> ''
+        |  GROUP BY 1, 2),
+        |per AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(f * f) AS BIGINT) AS s2
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n AS n_tokens, v AS v_types,
+        |  ROUND(CAST('10000.0' AS DOUBLE)
+        |    * (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS yules_k,
+        |  ROUND((CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS simpson_d,
+        |  ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6) AS herdan_c
+        |FROM per ORDER BY source""".stripMargin,
+    "q463_jaro_winkler_pairs" ->
+      """WITH p AS (SELECT p_partkey AS k, p_name AS nm,
+        |    split_part(p_name, ' ', 1) AS blk FROM part),
+        |pr AS (SELECT a.k AS k1, b.k AS k2,
+        |    ROUND(jaro_winkler_similarity(a.nm, b.nm), 6) AS jw
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k)
+        |SELECT k1, k2, jw FROM pr
+        |WHERE jw >= CAST('0.94' AS DOUBLE)
+        |ORDER BY jw DESC, k1, k2
+        |LIMIT 20""".stripMargin,
     "q430_token_dispersion" ->
       """WITH tk AS (
         |  SELECT source, u.t AS tok

@@ -1828,6 +1828,131 @@ object Windows {
           .agg(sum(col("c1")).cast("long").as("c1"),
             sum(col("c2")).cast("long").as("c2"))))
 
+  /** Q465: streaming energy-distance drift monitor — q452's
+    * shape-sensitive two-sample statistic fed by a micro-batched event
+    * stream: each batch lands its per-cent (first-half, second-half)
+    * counts in an idempotent `batch=<id>` sink (cent cells merge by
+    * plain sum at ANY slicing — q375's mergeable-summary argument), and
+    * the drain runs the exact integer energy kernel once over the merged
+    * support. Shares q452's oracle verbatim. Complements q375's W₁
+    * pager: W₁ sees how far mass moved, energy also sees spread/shape.
+    */
+  def q465StreamEnergy: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(graft.Dsl.epochSec(col("ts2")).as("ts"),
+        (graft.Dsl.dec(col("value")) * 100).cast("long").as("c"))
+    val mid = ev.agg(expr("(MIN(ts) + MAX(ts)) div 2")).head().getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q465_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q375Writer(mid, sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q465Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q465's drain: merge the additive cent cells, run q452's exact energy
+    * kernel once (factored for the restart spec harness).
+    */
+  private[graft] def q465Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Stats.energyReport(
+        s.read.parquet(sumDir)
+          .groupBy(col("c"))
+          .agg(sum(col("c1")).cast("long").as("c1"),
+            sum(col("c2")).cast("long").as("c2"))))
+
+  /** Q469: streaming t-closeness monitor — q466's privacy audit fed by a
+    * micro-batched customer stream: each batch lands its
+    * (nation, segment, balance-bucket) counts in an idempotent
+    * `batch=<id>` sink (class×bucket cells merge by plain sum at ANY
+    * slicing), and the drain runs q466's exact cleared-integer EMD
+    * kernel once over the merged cells. Shares q466's oracle verbatim.
+    * The always-on "is any release class drifting out of t-closeness as
+    * records arrive?" gate a privacy pipeline runs before publishing.
+    */
+  def q469StreamTCloseness: Q = (s, d) => {
+    val base = graft.Tables(s, d, "customer")
+      .select(col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long").as("b"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q469_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(base.repartition(3))
+      val sdf = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q469Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q469Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q469's per-batch writer (the q337 idempotent `batch=<id>` pattern). */
+  private[graft] def q469Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF()
+          .groupBy(col("nk"), col("seg"), col("b"))
+          .agg(count(lit(1)).as("cb"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q469's drain: merge the additive class×bucket cells, run q466's
+    * kernel once.
+    */
+  private[graft] def q469Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Stats.tClosenessReport(
+        s.read.parquet(sumDir)
+          .groupBy(col("nk"), col("seg"), col("b"))
+          .agg(sum(col("cb")).as("cb"))))
+
+  /** Q477: streaming spectral-entropy monitor — q471's "how periodic is
+    * this signal" readout fed by a micro-batched stream: per batch the
+    * (type × hour) counts land in an idempotent `batch=<id>` sink (the
+    * SAME mergeable hourly cells q376 ships), and the drain runs q471's
+    * periodogram + entropy kernels once over the merged summary. Shares
+    * q471's oracle verbatim. The always-on "did the traffic lose its
+    * daily cycle?" pager (a flattening spectrum = rising H_norm is an
+    * incident signature volume monitors miss).
+    */
+  def q477StreamSpectralEntropy: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q477_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q376Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q477Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q477's drain: merge hourly cells, run q471's spectral kernel once. */
+  private[graft] def q477Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Events.spectralEntropyReport(
+        graft.operators.Events.periodogramPowersFrom(
+          s.read.parquet(sumDir)
+            .groupBy(col("event_type"), col("h"))
+            .agg(sum(col("c")).as("c")))))
+
   /** Q376: streaming EWMA control chart — q368's drift-sensitive monitor
     * fed by a micro-batched stream: per batch the (type × hour) counts
     * land in an idempotent `batch=<id>` sink (q348's mergeable hourly
@@ -2128,6 +2253,9 @@ object Windows {
     "q418_stream_js_drift" -> q418StreamJsDrift,
     "q390_stream_runs" -> q390StreamRuns,
     "q375_stream_wasserstein" -> q375StreamWasserstein,
+    "q465_stream_energy" -> q465StreamEnergy,
+    "q469_stream_t_closeness" -> q469StreamTCloseness,
+    "q477_stream_spectral_entropy" -> q477StreamSpectralEntropy,
     "q376_stream_ewma" -> q376StreamEwma,
     "q354_stream_permutation" -> q354StreamPermutation,
     "q348_stream_mann_kendall" -> q348StreamMannKendall,
@@ -2262,6 +2390,18 @@ object Windows {
     // additively against the same fixed integer midpoint)
     "q375_stream_wasserstein" ->
       graft.operators.Stats.oracles("q363_wasserstein"),
+    // q465 shares q452's oracle verbatim (the same per-cent half counts
+    // merge additively; the drain runs q452's exact energy kernel)
+    "q465_stream_energy" ->
+      graft.operators.Stats.oracles("q452_energy_distance"),
+    // q469 shares q466's oracle verbatim (class×bucket cells merge
+    // additively; the drain runs q466's exact EMD kernel)
+    "q469_stream_t_closeness" ->
+      graft.operators.Stats.oracles("q466_t_closeness"),
+    // q477 shares q471's oracle verbatim (q376's mergeable hourly cells;
+    // the drain runs q471's periodogram + entropy kernels)
+    "q477_stream_spectral_entropy" ->
+      graft.operators.Events.oracles("q471_spectral_entropy"),
     // q376 shares q368's oracle verbatim (hourly cells merge additively)
     "q376_stream_ewma" ->
       graft.operators.Events.oracles("q368_ewma_control"),

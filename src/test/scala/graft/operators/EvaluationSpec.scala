@@ -239,4 +239,25 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getLong(0) == ev.length)
     assert(math.abs(r.getDouble(1) - want) < 1e-3, s"z ${r.getDouble(1)} vs $want")
   }
+
+  test("q475 calibration slope: matches the per-event OLS replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(expr("CAST(hour(ts2) AS BIGINT)"),
+        (col("event_type") === "purchase").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byH = ev.groupBy(_._1)
+    val p = byH.view.mapValues(g => (g.map(_._2).sum + 1.0) / (g.length + 2.0)).toMap
+    val xs = ev.map { case (h, o) => (p(h), o.toDouble) }
+    val n = xs.length.toDouble
+    val sp = xs.map(_._1).sum
+    val so = xs.map(_._2).sum
+    val spp = xs.map(t => t._1 * t._1).sum
+    val spo = xs.map(t => t._1 * t._2).sum
+    val slope = (n * spo - sp * so) / (n * spp - sp * sp)
+    val r = Evaluation.q475CalibrationSlope(spark, sf0001).collect().head
+    assert(r.getLong(0) == ev.length)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-3, s"slope ${r.getDouble(1)} vs $slope")
+    assert(math.abs(r.getDouble(2) - (so - slope * sp) / n) < 1e-3, "intercept")
+    assert(math.abs(r.getDouble(3) - (so / n - sp / n)) < 1e-4, "citl")
+  }
 }

@@ -161,4 +161,49 @@ class LayoutSpec extends SparkSpec {
     assert(got.map(_._5).max > 1.0 && got.map(_._5).min < 1.0,
       "perfectly uniform partitioning — skew audit vacuous")
   }
+
+  test("q474 pruning curve: counts match a collected-envelope replay") {
+    val rows = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val xmin = rows.map(_._1).min; val xmax = rows.map(_._1).max
+    val ymin = rows.map(_._2).min; val ymax = rows.map(_._2).max
+    def nb(v: Long, lo: Long, hi: Long) =
+      ((v - lo) * 65535) / math.max(hi - lo, 1)
+    def z(xb: Long, yb: Long): Long =
+      (0 until 16).map(i => (((xb >> i) & 1) << (2 * i)) +
+        (((yb >> i) & 1) << (2 * i + 1))).sum
+    val dated = rows.groupBy { case (x, y) => (nb(y, ymin, ymax) * 64) / 65536 }
+    val zed = rows.groupBy { case (x, y) =>
+      z(nb(x, xmin, xmax), nb(y, ymin, ymax)) / 67108864 }
+    def envs(m: Map[Long, Array[(Long, Long)]]) = m.values.map { g =>
+      (g.map(_._1).min, g.map(_._1).max, g.map(_._2).min, g.map(_._2).max, g.length.toLong)
+    }.toSeq
+    val probes = (0L until 16L).map { i =>
+      (xmin + ((xmax - xmin) * ((i * 5) % 16)) / 16,
+        xmin + ((xmax - xmin) * (((i * 5) % 16) + 2)) / 16,
+        ymin + ((ymax - ymin) * i) / 16,
+        ymin + ((ymax - ymin) * (i + 2)) / 16, i)
+    }
+    def scanned(fs: Seq[(Long, Long, Long, Long, Long)], pr: (Long, Long, Long, Long, Long)) =
+      fs.filter(f => f._1 <= pr._2 && f._2 >= pr._1 && f._3 <= pr._4 && f._4 >= pr._3)
+    val got = Layout.q474PruningSelectivity(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 32)
+    probes.foreach { pr =>
+      val wantD = scanned(envs(dated), pr)
+      val wantZ = scanned(envs(zed), pr)
+      assert(got(("date_sort", pr._5))._2 == wantD.length, s"date files p${pr._5}")
+      assert(got(("date_sort", pr._5))._3 == wantD.map(_._5).sum, s"date rows p${pr._5}")
+      assert(got(("zorder", pr._5))._2 == wantZ.length, s"z files p${pr._5}")
+      assert(got(("zorder", pr._5))._3 == wantZ.map(_._5).sum, s"z rows p${pr._5}")
+    }
+    // the whole point: across the grid, z-order must scan no more rows
+    // in total than the single-dimension layout
+    val totZ = probes.map(pr => got(("zorder", pr._5))._3).sum
+    val totD = probes.map(pr => got(("date_sort", pr._5))._3).sum
+    assert(totZ <= totD, s"zorder $totZ should prune at least as well as date $totD")
+  }
 }

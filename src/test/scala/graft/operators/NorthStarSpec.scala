@@ -1041,4 +1041,22 @@ class NorthStarSpec extends SparkSpec {
         s"misassigned flag inconsistent: $r")
     }
   }
+
+  test("q476 sampled deciles: exact deciles replay + sane sample errors") {
+    val vals = graft.Tables.events(spark, sf0001)
+      .select((col("value").cast("decimal(18,4)") * 100).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val n = vals.length
+    val got = NorthStar.q476SampledQuantileError(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSeq == (1L to 9L))
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val pos = (q * n + 9) / 10
+      assert(r.getLong(1) == vals(pos.toInt - 1), s"decile $q exact")
+    }
+    // estimates must be monotone in the decile and exactly reproducible
+    val ests = got.map(_.getLong(2)).toSeq
+    assert(ests == ests.sorted, "sampled deciles must be monotone")
+    assert(got.forall(r => r.getLong(4) == math.abs(r.getLong(3))))
+  }
 }

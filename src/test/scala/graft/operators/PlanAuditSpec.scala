@@ -160,6 +160,17 @@ class PlanAuditSpec extends SparkSpec {
     "q459_sample_entropy", // (calendar-bounded)^2 template pair join (q413's shape) + 1-row tolerance broadcast
     "q461_spiegelhalter_z", // handled in Evaluation: no cross product (single agg) — listed defensively for the 1-row composition
     "q462_rich_club", // 3-row percentile-threshold broadcast onto degrees/edges + 1-row node-total broadcast
+    "q466_t_closeness", // bounded global-bucket relation (~12 rows) broadcast onto the 125-class relation + 1-row totals
+    "q467_page_trend", // 1-row block-count broadcast onto the 7-slot reduction (q456's shape)
+    "q468_jonckheere", // 1-row group-totals broadcast onto the single J reduction
+    "q470_theil_decomposition", // 1-row corpus totals + 5-row group summary broadcasts onto the scan
+    "q471_spectral_entropy", // 23-row period broadcast (q367's shape) + 5-row per-type total broadcast
+    "q472_markov_entropy_rate", // bounded |types|^2 transition relation + 1-row state-count broadcasts
+    "q473_knee_detection", // 1-row (K, X) totals broadcast onto the TakeOrdered-bounded 1000-row curve
+    "q474_pruning_selectivity", // 1-row min/max stats + 16-row probe broadcasts onto the 64-file summaries (q182/q183's shape)
+    "q476_sampled_quantile_error", // 1-row totals broadcast onto the bounded cent-support collapses (q363's argument)
+    "q478_lof", // bounded embedding-relation pair kernel (the q414/q435 declared exact baseline; IVF-blocked at corpus scale)
+    "q480_mahalanobis", // 1-row moment broadcast onto the calendar-bounded day grid
     "q456_kendalls_w", // 1-row sums/ties/ranker-count broadcasts composing the single report row over the 35-cell relation
     "q457_variance_ratio", // 1-row totals broadcast onto the calendar-bounded day grid + 1-row moment compositions
     "q458_kpss", // 1-row totals broadcast onto the calendar-bounded day grid + 1-row A/B/G compositions
@@ -222,6 +233,10 @@ class PlanAuditSpec extends SparkSpec {
     "q450_mood_median" -> "pooled-median cumsum over the bounded cent-value collapse (balance domain <= 1.1M cents, the q363 argument), never the customers",
     "q455_dunns_test" -> "the q361/q362 rank cumsum over the same bounded $10-bucket collapse",
     "q462_rich_club" -> "degree-percentile cumsum over the bounded degree-support collapse (distinct degrees, the q138 count-of-counts argument), never the edges",
+    "q473_knee_detection" -> "rank + cumsum over the TakeOrdered-bounded 1000-row revenue curve (q239/q339's argument), never the catalog",
+    "q476_sampled_quantile_error" -> "decile cumsums over the bounded cent-support collapses (value domain <= 3300 cents, the q363 argument), never the events",
+    "q479_dbscan_1d" -> "gaps-and-islands lag/cumsum over the bounded cent-support collapse (the q363 argument), never the events",
+    "q463_jaro_winkler_pairs" -> "tier rank over the jw>=0.94 DISTINCT-name-pair relation (name-deduped collapse, |distinct names|^2 per block), never the part pairs",
     "q457_variance_ratio" -> "5-day rolling sum + count over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q458_kpss" -> "partial-sum cumsum over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q452_energy_distance" -> "CDF cumsums + lead over the bounded cent-support collapse (q363's value domain), never the events",
@@ -242,7 +257,9 @@ class PlanAuditSpec extends SparkSpec {
     "q354_stream_permutation", "q375_stream_wasserstein",
     "q376_stream_ewma", "q390_stream_runs",
     "q417_stream_page_hinkley", "q418_stream_js_drift",
-    "q434_stream_spearman", "q437_stream_ljung_box", "q441_stream_hurst")
+    "q434_stream_spearman", "q437_stream_ljung_box", "q441_stream_hurst",
+    "q465_stream_energy", "q469_stream_t_closeness",
+    "q477_stream_spectral_entropy")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

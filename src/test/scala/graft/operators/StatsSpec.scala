@@ -1719,4 +1719,152 @@ class StatsSpec extends SparkSpec {
     // PRE measures live in [0,1]
     Seq(1, 2, 3, 4).foreach(i => assert(r.getDouble(i) >= 0 && r.getDouble(i) <= 1))
   }
+
+  test("q466 t-closeness: per-class EMD matches the zero-filled CDF replay") {
+    val rows = graft.Tables(spark, sf0001, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(col("c_acctbal").cast("double") / lit(1000.0)).cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    val buckets = rows.map(_._2).distinct.sorted
+    val k = buckets.length
+    val n = rows.length.toDouble
+    val globCnt = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byClass = rows.groupBy(_._1)
+    def tOf(cls: (Long, String)): Double = {
+      val g = byClass(cls)
+      val nc = g.length.toDouble
+      val cnt = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var cum = 0.0
+      var acc = 0.0
+      buckets.foreach { b =>
+        cum += cnt.getOrElse(b, 0L) / nc - globCnt(b) / n
+        acc += math.abs(cum)
+      }
+      acc / (k - 1)
+    }
+    val got = Stats.q466TCloseness(spark, sf0001).collect()
+    assert(got.length == math.min(10, byClass.size))
+    got.foreach { r =>
+      val want = tOf((r.getLong(0), r.getString(1)))
+      assert(math.abs(r.getDouble(3) - want) < 1e-4,
+        s"class ${r.getLong(0)}/${r.getString(1)}: ${r.getDouble(3)} vs $want")
+    }
+    // the output is the TOP of the t ordering: every reported t must be >=
+    // the best unreported class's t
+    val reported = got.map(r => (r.getLong(0), r.getString(1))).toSet
+    val maxUnreported = byClass.keys.filterNot(reported)
+      .map(tOf).foldLeft(0.0)(math.max)
+    assert(got.map(_.getDouble(3)).min >= maxUnreported - 1e-4)
+  }
+
+  test("q467 Page L and q468 Jonckheere: match ordered-alternative replays") {
+    // Page: recompute L from the collected (segment, slot, revenue) cells
+    val cells = graft.Tables(spark, sf0001, "orders")
+      .join(graft.Tables(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        pmod(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long"), lit(7L)))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    val bySeg = cells.groupBy(_._1)
+    val rankOf = bySeg.view.mapValues { g =>
+      g.map { case (_, slot, rev) =>
+        val below = g.count(_._3 < rev)
+        val eq = g.count(_._3 == rev)
+        slot -> (below + (eq + 1) / 2.0)
+      }.toMap
+    }.toMap
+    val slots = cells.map(_._2).distinct.sorted
+    val wantL = slots.map(sl =>
+      (sl + 1) * bySeg.keys.toSeq.map(g => rankOf(g)(sl)).sum).sum
+    val rp = Stats.q467PageTrend(spark, sf0001).collect().head
+    assert(rp.getLong(0) == bySeg.size && rp.getLong(1) == slots.length)
+    assert(math.abs(rp.getDouble(2) - wantL) < 1e-6, s"L ${rp.getDouble(2)} vs $wantL")
+    // Jonckheere: brute-force pair count over the $10 buckets
+    val o = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0).substring(0, 1).toLong,
+        math.round(r.getDouble(1) * 100) / 1000))
+    val groups = o.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val gs = groups.keys.toSeq.sorted
+    var j = 0.0
+    for (i <- gs.indices; jj <- (i + 1) until gs.length) {
+      val (xi, xj) = (groups(gs(i)), groups(gs(jj)))
+      j += xi.map(a => xj.count(_ > a) + 0.5 * xj.count(_ == a)).sum
+    }
+    val rj = Stats.q468Jonckheere(spark, sf0001).collect().head
+    assert(rj.getLong(0) == o.length)
+    assert(math.abs(rj.getDouble(1) - j) < 1e-6, s"J ${rj.getDouble(1)} vs $j")
+  }
+
+  test("q470 Theil: total/between/within close the decomposition identity") {
+    val rows = graft.Tables(spark, sf0001, "orders")
+      .join(graft.Tables(spark, sf0001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100).toDouble))
+    val n = rows.length
+    val xx = rows.map(_._2).sum
+    val wantT = rows.map { case (_, x) => x / xx * math.log(x * n / xx) }.sum
+    val byG = rows.groupBy(_._1)
+    val wantBetween = byG.values.map { g =>
+      val xg = g.map(_._2).sum
+      xg / xx * math.log(xg / xx * (n.toDouble / g.length))
+    }.sum
+    val r = Stats.q470TheilDecomposition(spark, sf0001).collect().head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - wantT) < 1e-4, s"T ${r.getDouble(1)} vs $wantT")
+    assert(math.abs(r.getDouble(2) - wantBetween) < 1e-4, "between")
+    assert(math.abs(r.getDouble(4)) < 1e-4, "identity gap must be ~0")
+    assert(r.getDouble(1) >= 0 && r.getDouble(3) >= 0)
+  }
+
+  test("q479 DBSCAN-1D and q480 Mahalanobis: match collected replays") {
+    val vals = graft.Tables.events(spark, sf0001)
+      .select((col("value").cast("decimal(18,4)") * 100).cast("long")).collect()
+      .map(_.getLong(0))
+    val support = vals.distinct.sorted
+    val cnt = vals.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // islands with gap <= 3
+    val clusters = support.foldLeft(List.empty[List[Long]]) { (acc, c) =>
+      acc match {
+        case h :: t if c - h.head <= 3 => (c :: h) :: t
+        case _ => List(c) :: acc
+      }
+    }.map(_.reverse)
+    val want = clusters.map(cl => (cl.head, cl.last, cl.length.toLong,
+        cl.map(cnt).sum))
+      .sortBy(t => (-t._4, t._1)).take(10)
+    val got = Stats.q479Dbscan1d(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want, s"clusters")
+    // q480: d2 replay
+    val daily = graft.Tables.events(spark, sf0001)
+      .groupBy(datediff(col("ts2").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = daily.length.toDouble
+    val mua = daily.map(_._2).sum / n
+    val mub = daily.map(_._3).sum / n
+    val vaa = daily.map(t => t._2 * t._2).sum / n - mua * mua
+    val vbb = daily.map(t => t._3 * t._3).sum / n - mub * mub
+    val vab = daily.map(t => t._2.toDouble * t._3).sum / n - mua * mub
+    val det = vaa * vbb - vab * vab
+    def d2(a: Long, b: Long): Double = {
+      val da = a - mua; val db = b - mub
+      (da * (vbb * da - vab * db) + db * (vaa * db - vab * da)) / det
+    }
+    val gm = Stats.q480Mahalanobis(spark, sf0001).collect()
+    assert(gm.length == math.min(10, daily.length))
+    gm.foreach { r =>
+      assert(math.abs(r.getDouble(3) - d2(r.getLong(1), r.getLong(2))) < 1e-3,
+        s"day ${r.getLong(0)}")
+    }
+    val ds = gm.map(_.getDouble(3)).toSeq
+    assert(ds == ds.sorted.reverse, "descending d2 order")
+  }
 }

@@ -3764,4 +3764,144 @@ class UtilitiesSpec extends SparkSpec {
     // in a co-purchase graph with hubs; weak monotonic sanity: phi > 0
     assert(got.forall(_.getDouble(4) > 0))
   }
+
+  test("q463 JaroWinkler expression: hand-checked pairs and DuckDB-variant semantics") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler(Literal(a), Literal(b))
+        .similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // the DuckDB/rapidfuzz threshold variant: NO prefix boost at jaro <= 0.7
+    val low = jw("abcdzzzzzzzzzz", "abcdqqqqqqqqq")
+    assert(math.abs(low - 0.5311355311355311) < 1e-12,
+      s"below-threshold prefix must not boost: $low")
+    // symmetric
+    assert(jw("CRATE", "TRACE") == jw("TRACE", "CRATE"))
+    // the query returns a full deterministic top-20 at sf0.001
+    val got = Text.q463JaroWinklerPairs(spark, sf0001).collect()
+    assert(got.length == 20)
+    assert(got.forall(_.getDouble(2) >= 0.94))
+    val ord = got.map(r => (-r.getDouble(2), r.getLong(0), r.getLong(1))).toSeq
+    assert(ord == ord.sorted, "output must be (jw desc, k1, k2) ordered")
+  }
+
+  test("q464 lexical richness: identities vs a token-frequency replay") {
+    val tf = graft.Tables(spark, sf0001, "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bySrc = tf.groupBy(_._1._1)
+    val got = Text.q464YulesK(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val fs = bySrc(r.getString(0)).values
+      val n = fs.sum.toDouble
+      val s2 = fs.map(f => f.toDouble * f).sum
+      assert(r.getLong(1) == n.toLong, "n_tokens")
+      assert(r.getLong(2) == fs.size.toLong, "v_types")
+      assert(math.abs(r.getDouble(3) - 1e4 * (s2 - n) / (n * n)) < 1e-3, "K")
+      assert(math.abs(r.getDouble(4) - (s2 - n) / (n * (n - 1))) < 1e-5, "D")
+      assert(math.abs(r.getDouble(5) - math.log(fs.size) / math.log(n)) < 1e-5, "C")
+    }
+  }
+
+  test("q471/q472/q473: entropy bounds, composition identities, knee replay") {
+    // q471: H in [0, ln K]; peak period is q367's argmax
+    val pows = Events.q367Periodogram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got471 = Events.q471SpectralEntropy(spark, sf0001).collect()
+    assert(got471.nonEmpty)
+    got471.foreach { r =>
+      val k = r.getLong(1).toDouble
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= math.log(k) + 1e-9)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0 + 1e-9)
+      val mine = pows.filter(_._1 == r.getString(0))
+      val want = mine.minBy(p => (-p._3, p._2))._2
+      assert(r.getLong(2) == want, s"${r.getString(0)} peak")
+    }
+    // q472: H <= ln(states); perplexity = exp(H); H matches a replay from
+    // the collected transition counts + the q371 stationary weights
+    val pi = Events.q371MarkovStationary(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts2").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(e => (e._4, e._2)).sliding(2).collect {
+        case Array(a, b) => (a._3, b._3)
+      }
+    }.toSeq
+    val byPrev = trans.groupBy(_._1)
+    val wantH = byPrev.toSeq.flatMap { case (p, ts) =>
+      val tot = ts.length.toDouble
+      ts.groupBy(_._2).values.map { g =>
+        pi(p) / 1.0e6 * (g.length / tot) * math.log(tot / g.length)
+      }
+    }.sum
+    val r472 = Events.q472MarkovEntropyRate(spark, sf0001).collect().head
+    assert(math.abs(r472.getDouble(3) - wantH) < 1e-3,
+      s"H ${r472.getDouble(3)} vs $wantH")
+    assert(math.abs(r472.getDouble(4) - math.exp(r472.getDouble(3))) < 1e-3)
+    assert(r472.getLong(2) == trans.length, "transition count")
+    // q473: knee maximizes share(r) - r/K on the collected curve
+    val curve = graft.Tables(spark, sf0001, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(graft.Dsl.revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("decimal(18,4)").as("rev"))
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1))))
+      .sortBy(t => (-t._2, t._1)).take(1000)
+    val x = curve.map(_._2).sum
+    val k = curve.length
+    val gains = curve.scanLeft(BigDecimal(0))(_ + _._2).drop(1).zipWithIndex
+      .map { case (cum, i) =>
+        (cum.toDouble / x.toDouble - (i + 1).toDouble / k, i + 1L) }
+    val (wantGain, wantRank) = gains.maxBy(g => (g._1, -g._2))
+    val r473 = Extras.q473KneeDetection(spark, sf0001).collect().head
+    assert(r473.getLong(0) == k)
+    assert(r473.getLong(1) == wantRank, s"knee ${r473.getLong(1)} vs $wantRank")
+    assert(math.abs(r473.getDouble(3) - wantGain) < 1e-5)
+  }
+
+  test("q478 LOF: matches an exact O(n^2) replay with identical tie-breaks") {
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = emb.map(_._1)
+    val vecs = emb.toMap
+    val knn = ids.map { a =>
+      a -> ids.filter(_ != a)
+        .map(b => (r6(1.0 - cos(vecs(a), vecs(b))), b)).sorted.take(5)
+    }.toMap
+    val kdist = knn.view.mapValues(_.last._1).toMap
+    val sreach = ids.map { a =>
+      a -> knn(a).map { case (dd, b) => math.max(dd, kdist(b)) }.sum
+    }.toMap
+    val lof = ids.map { a =>
+      a -> knn(a).map { case (_, b) => sreach(a) / sreach(b) }.sum / 5.0
+    }.toMap
+    val got = Similarity.q478Lof(spark, sf0001).collect()
+    assert(got.length == 15)
+    val want = ids.map(a => (a, lof(a))).sortBy(t => (-t._2, t._1)).take(15)
+    got.zip(want).foreach { case (r, (id, l)) =>
+      assert(r.getLong(0) == id, s"order: ${r.getLong(0)} vs $id")
+      assert(math.abs(r.getDouble(1) - l) < 1e-4, s"lof($id)")
+    }
+  }
 }

@@ -868,6 +868,22 @@ class StreamingSpec extends SparkSpec {
         tmp => Windows.q375Writer(mid375, s"$tmp/sum"),
         tmp => Windows.q375Drain(spark, s"$tmp/sum"),
         () => Windows.q375StreamWasserstein(spark, sf0001)),
+      TwinCase("q469_stream_t_closeness",
+        () => graft.Tables(spark, sf0001, "customer")
+          .select($"c_nationkey".cast("long").as("nk"),
+            $"c_mktsegment".as("seg"),
+            floor($"c_acctbal".cast("double") / lit(1000.0)).cast("long").as("b")),
+        pmod($"nk", lit(2L)) === 0,
+        tmp => Windows.q469Writer(s"$tmp/sum"),
+        tmp => Windows.q469Drain(spark, s"$tmp/sum"),
+        () => Windows.q469StreamTCloseness(spark, sf0001)),
+      TwinCase("q465_stream_energy",
+        () => evAll.select(graft.Dsl.epochSec($"ts2").as("ts"),
+          (graft.Dsl.dec($"value") * 100).cast("long").as("c")),
+        pmod($"c", lit(2L)) === 0,
+        tmp => Windows.q375Writer(mid375, s"$tmp/sum"),
+        tmp => Windows.q465Drain(spark, s"$tmp/sum"),
+        () => Windows.q465StreamEnergy(spark, sf0001)),
       TwinCase("q376_stream_ewma",
         () => evAll.select($"event_type",
           expr("CAST(ts2 AS LONG) div 3600").as("h")),
@@ -875,6 +891,13 @@ class StreamingSpec extends SparkSpec {
         tmp => Windows.q376Writer(s"$tmp/sum"),
         tmp => Windows.q376Drain(spark, s"$tmp/sum"),
         () => Windows.q376StreamEwma(spark, sf0001)),
+      TwinCase("q477_stream_spectral_entropy",
+        () => evAll.select($"event_type",
+          expr("CAST(ts2 AS LONG) div 3600").as("h")),
+        pmod($"h", lit(2L)) === 0,
+        tmp => Windows.q376Writer(s"$tmp/sum"),
+        tmp => Windows.q477Drain(spark, s"$tmp/sum"),
+        () => Windows.q477StreamSpectralEntropy(spark, sf0001)),
       TwinCase("q417_stream_page_hinkley",
         () => evAll.select(
           datediff($"ts2".cast("date"), lit("2024-01-01").cast("date"))
