@@ -4958,6 +4958,159 @@ object Stats {
       .limit(10)
   }
 
+  /** Q481: deterministic 1-D Gaussian-mixture EM (2 components, 5
+    * unrolled iterations) over the transaction-value cent support — the
+    * model-based clustering q479's density runs can't give (overlapping
+    * components, soft assignment, a parametric read of the value
+    * structure). Every E-step responsibility γ is ONE IEEE expression
+    * rounded to 8 dp; every M-step moment is a decimal sum of per-bucket
+    * rounded terms with scales SIZED so each (38,s) sum's scaled integer
+    * stays < 2⁵³ (γ·t at 8 dp, γ·t·v at 4, γ·t·v² at 2 — the q227/q364
+    * rule), so the reduction is order-independent and the decimal→double
+    * exits are exact in both engines; the second component's sums come
+    * by subtraction from the exact global integer moments. The fixpoint
+    * replays bit-for-bit in the oracle's 5 unrolled MATERIALIZED CTEs
+    * (the q371 discipline). Initialization is the exact lower quartiles
+    * + pooled variance. Per iteration: one bounded-support aggregate
+    * under a 1-row parameter broadcast.
+    */
+  def q481Gmm1d: Q = (s, d) => {
+    val byc = graft.Checkpoints.materialize(
+      Tables.events(s, d)
+        .select((dec(col("value")) * 100).cast("long").as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("t")))
+    val tot = byc.agg(sum(col("t")).cast("long").as("n"),
+      sum(col("t") * col("c")).cast("long").as("sv"),
+      sum(col("t") * col("c") * col("c")).cast("long").as("sq"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byc.withColumn("cum", sum(col("t")).over(w))
+      .crossJoin(broadcast(tot))
+    def quant(pct: Int): DataFrame = cum
+      .filter(expr(s"cum >= ($pct * n + 99) div 100"))
+      .agg(min(col("c")).as(s"q$pct"))
+    val nD = col("n").cast("double")
+    val varAll = col("sq").cast("double") / nD -
+      col("sv").cast("double") / nD * (col("sv").cast("double") / nD)
+    var params = graft.Checkpoints.materialize(
+      tot.crossJoin(broadcast(quant(25))).crossJoin(broadcast(quant(75)))
+        .select(col("n"), col("sv"), col("sq"),
+          lit(0.5).as("p1"),
+          col("q25").cast("double").as("mu1"), varAll.as("s1"),
+          col("q75").cast("double").as("mu2"), varAll.as("s2")))
+    for (_ <- 1 to 5) {
+      val j = byc.crossJoin(broadcast(params))
+      val vD = col("c").cast("double")
+      val l1 = col("p1") / sqrt(col("s1")) *
+        exp((vD - col("mu1")) * (vD - col("mu1")) / (lit(-2.0) * col("s1")))
+      val l2 = (lit(1.0) - col("p1")) / sqrt(col("s2")) *
+        exp((vD - col("mu2")) * (vD - col("mu2")) / (lit(-2.0) * col("s2")))
+      val g = round(l1 / (l1 + l2), 8)
+      val tD = col("t").cast("double")
+      val red = j.agg(max(col("n")).as("n"), max(col("sv")).as("sv"),
+        max(col("sq")).as("sq"),
+        sum(round(tD * g, 8).cast(DecimalType(38, 8)))
+          .cast("double").as("n1"),
+        sum(round(tD * vD * g, 4).cast(DecimalType(38, 4)))
+          .cast("double").as("sv1"),
+        sum(round(tD * vD * vD * g, 2).cast(DecimalType(38, 2)))
+          .cast("double").as("sq1"))
+      val n1D = col("n1")
+      val sv1D = col("sv1")
+      val sq1D = col("sq1")
+      val n2D = col("n").cast("double") - n1D
+      val sv2D = col("sv").cast("double") - sv1D
+      val sq2D = col("sq").cast("double") - sq1D
+      params = graft.Checkpoints.materialize(
+        red.select(col("n"), col("sv"), col("sq"),
+          (n1D / col("n").cast("double")).as("p1"),
+          (sv1D / n1D).as("mu1"),
+          (sq1D / n1D - sv1D / n1D * (sv1D / n1D)).as("s1"),
+          (sv2D / n2D).as("mu2"),
+          (sq2D / n2D - sv2D / n2D * (sv2D / n2D)).as("s2")))
+    }
+    params.select(col("n"),
+      round(col("p1"), 6).as("pi1"),
+      round(col("mu1") / 100.0, 4).as("mu1_dollars"),
+      round(sqrt(col("s1")) / 100.0, 4).as("sigma1_dollars"),
+      round(col("mu2") / 100.0, 4).as("mu2_dollars"),
+      round(sqrt(col("s2")) / 100.0, 4).as("sigma2_dollars"),
+      round(abs(col("mu2") - col("mu1")) /
+        sqrt((col("s1") + col("s2")) / 2.0), 4).as("separation"))
+  }
+
+  /** Q482: Hampel filter — the rolling-median outlier annotation of the
+    * daily order-count series (robust where q368's EWMA is mean-based and
+    * q373's MAD is global, not local): per day, the LOWER median and MAD
+    * of the ±3-calendar-day window (edge windows truncate, documented),
+    * flagged where |v−med|·10⁴ > 44478·MAD — the 3·1.4826 Gaussian-
+    * consistent bar in EXACT integer arithmetic, no float compare. The
+    * window members come from a 7-offset calendar join; per-center medians
+    * sort ≤7-element arrays (bounded). Output is the full annotated grid.
+    */
+  def q482Hampel: Q = (s, d) => {
+    val grid = Tables(s, d, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(count(lit(1)).as("v"))
+    val off = grid
+      .withColumn("o", explode(array((-3 to 3).map(i => lit(i.toLong)): _*)))
+      .select((col("x") + col("o")).as("xc"), col("v"))
+    val med = off.groupBy(col("xc"))
+      .agg(sort_array(collect_list(col("v"))).as("arr"))
+      .select(col("xc"),
+        element_at(col("arr"), expr("CAST((size(arr) + 1) div 2 AS INT)")).as("med"))
+    val mad = off.join(med, Seq("xc"))
+      .select(col("xc"), abs(col("v") - col("med")).as("ad"), col("med"))
+      .groupBy(col("xc"))
+      .agg(max(col("med")).as("med"),
+        sort_array(collect_list(col("ad"))).as("arr2"))
+      .select(col("xc"), col("med"),
+        element_at(col("arr2"), expr("CAST((size(arr2) + 1) div 2 AS INT)")).as("mad"))
+    grid.join(mad, col("x") === col("xc"))
+      .select(col("x").as("day"), col("v").as("orders"), col("med"),
+        col("mad"),
+        (abs(col("v") - col("med")) * 10000L > col("mad") * 44478L)
+          .as("outlier"))
+      .orderBy(col("day"))
+  }
+
+  /** Q483: Western Electric run rules — the full SPC rule battery over
+    * per-type hourly volume z-scores (q368's EWMA sees slow drift; the WE
+    * rules catch the patterns a single limit misses): R1 |z|>3, R2 two of
+    * three consecutive beyond 2σ same side, R3 four of five beyond 1σ
+    * same side, R4 eight consecutive on one side. z comes from exact
+    * per-type integer moments (one IEEE tree); the rules are lag-window
+    * counts over OBSERVED hours (gap semantics documented), partitioned
+    * per type over the bounded hourly collapse. Output: violating hours.
+    */
+  def q483WesternElectric: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+    val mom = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("c")).cast("long").as("sc"),
+        sum(col("c") * col("c")).cast("long").as("scc"))
+    val j = hourly.join(mom, Seq("event_type"))
+    val nD = col("nh").cast("double")
+    val mu = col("sc").cast("double") / nD
+    val sigma = sqrt(col("scc").cast("double") / nD - mu * mu)
+    val z = (col("c").cast("double") - mu) / sigma
+    val zd = j.select(col("event_type"), col("h"), col("c"), z.as("z"))
+    def cnt(w: org.apache.spark.sql.expressions.WindowSpec, cond: Column): Column =
+      sum(when(cond, 1L).otherwise(0L)).over(w)
+    def wLast(k: Int) = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    val r1 = abs(col("z")) > 3.0
+    val r2 = cnt(wLast(3), col("z") > 2.0) >= 2L || cnt(wLast(3), col("z") < -2.0) >= 2L
+    val r3 = cnt(wLast(5), col("z") > 1.0) >= 4L || cnt(wLast(5), col("z") < -1.0) >= 4L
+    val r4 = cnt(wLast(8), col("z") > 0.0) >= 8L || cnt(wLast(8), col("z") < 0.0) >= 8L
+    zd.select(col("event_type"), col("h"), col("c"), round(col("z"), 4).as("z"),
+        r1.as("r1"), r2.as("r2"), r3.as("r3"), r4.as("r4"))
+      .filter(col("r1") || col("r2") || col("r3") || col("r4"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** Q449: Mantel–Haenszel pooled odds ratio across strata — q448's 2×2
     * (high-value exposure × fulfilled outcome) stratified by order
     * priority, so priority-mix confounding is adjusted out: OR_MH =
@@ -5216,6 +5369,9 @@ object Stats {
   }
 
   val queries: Map[String, Q] = Map(
+    "q481_gmm_1d" -> q481Gmm1d,
+    "q482_hampel" -> q482Hampel,
+    "q483_western_electric" -> q483WesternElectric,
     "q479_dbscan_1d" -> q479Dbscan1d,
     "q480_mahalanobis" -> q480Mahalanobis,
     "q467_page_trend" -> q467PageTrend,
@@ -5520,7 +5676,137 @@ object Stats {
     ("orders", "o_orderkey", "o_orderstatus"),
     ("orders", "o_custkey", "o_orderpriority")))
 
+  /** The q481 oracle: q371's unrolled-fixpoint discipline — 5 MATERIALIZED
+    * (E-step, M-step) CTE pairs over the cent collapse, every float shape
+    * textually identical to the Spark kernel.
+    */
+  private val gmmSql: String = {
+    def lExpr(p: String, mu: String, sv: String): String =
+      s"$p / SQRT($sv) * EXP((CAST(c AS DOUBLE) - $mu) " +
+        s"* (CAST(c AS DOUBLE) - $mu) / (CAST('-2.0' AS DOUBLE) * $sv))"
+    def iter(i: Int): String = {
+      val pv = s"p${i - 1}"
+      val l1 = lExpr(s"$pv.p1", s"$pv.mu1", s"$pv.s1")
+      val l2 = lExpr(s"(CAST('1.0' AS DOUBLE) - $pv.p1)", s"$pv.mu2", s"$pv.s2")
+      s"""m$i AS MATERIALIZED (
+         |  SELECT
+         |    CAST(CAST(SUM(CAST(ROUND(CAST(t AS DOUBLE) * g, 8)
+         |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS n1,
+         |    CAST(CAST(SUM(CAST(ROUND(CAST(t AS DOUBLE) * CAST(c AS DOUBLE)
+         |      * g, 4) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sv1,
+         |    CAST(CAST(SUM(CAST(ROUND(CAST(t AS DOUBLE) * CAST(c AS DOUBLE)
+         |      * CAST(c AS DOUBLE) * g, 2) AS DECIMAL(38,2)))
+         |      AS DECIMAL(38,2)) AS DOUBLE) AS sq1
+         |  FROM (SELECT t, c,
+         |      ROUND($l1 / ($l1 + $l2), 8) AS g
+         |    FROM byc, $pv) x),
+         |p$i AS MATERIALIZED (
+         |  SELECT t2.n, t2.sv, t2.sq,
+         |    n1 / CAST(t2.n AS DOUBLE) AS p1,
+         |    sv1 / n1 AS mu1,
+         |    sq1 / n1 - sv1 / n1 * (sv1 / n1) AS s1,
+         |    (CAST(t2.sv AS DOUBLE) - sv1)
+         |      / (CAST(t2.n AS DOUBLE) - n1) AS mu2,
+         |    (CAST(t2.sq AS DOUBLE) - sq1) / (CAST(t2.n AS DOUBLE) - n1)
+         |      - (CAST(t2.sv AS DOUBLE) - sv1) / (CAST(t2.n AS DOUBLE) - n1)
+         |        * ((CAST(t2.sv AS DOUBLE) - sv1)
+         |          / (CAST(t2.n AS DOUBLE) - n1)) AS s2
+         |  FROM m$i, tot t2)""".stripMargin
+    }
+    val varSql = "CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) " +
+      "- CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) " +
+      "* (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH byc AS MATERIALIZED (SELECT
+       |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS t
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+       |    CAST(SUM(t * c) AS BIGINT) AS sv,
+       |    CAST(SUM(t * c * c) AS BIGINT) AS sq FROM byc),
+       |cum AS (SELECT c, SUM(t) OVER (ORDER BY c
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM byc),
+       |q25c AS (SELECT MIN(c) AS q25 FROM cum, tot
+       |  WHERE cum >= (25 * n + 99) // 100),
+       |q75c AS (SELECT MIN(c) AS q75 FROM cum, tot
+       |  WHERE cum >= (75 * n + 99) // 100),
+       |p0 AS MATERIALIZED (SELECT n, sv, sq,
+       |    CAST('0.5' AS DOUBLE) AS p1,
+       |    CAST(q25 AS DOUBLE) AS mu1, $varSql AS s1,
+       |    CAST(q75 AS DOUBLE) AS mu2, $varSql AS s2
+       |  FROM tot, q25c, q75c),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT n, ROUND(p1, 6) AS pi1,
+       |  ROUND(mu1 / CAST('100.0' AS DOUBLE), 4) AS mu1_dollars,
+       |  ROUND(SQRT(s1) / CAST('100.0' AS DOUBLE), 4) AS sigma1_dollars,
+       |  ROUND(mu2 / CAST('100.0' AS DOUBLE), 4) AS mu2_dollars,
+       |  ROUND(SQRT(s2) / CAST('100.0' AS DOUBLE), 4) AS sigma2_dollars,
+       |  ROUND(ABS(mu2 - mu1) / SQRT((s1 + s2) / CAST('2.0' AS DOUBLE)), 4)
+       |    AS separation
+       |FROM p5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q481_gmm_1d" -> gmmSql,
+    "q482_hampel" ->
+      """WITH grid AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |off AS MATERIALIZED (SELECT x + o AS xc, v
+        |  FROM grid, (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS o) oo),
+        |med AS MATERIALIZED (SELECT xc,
+        |    list_sort(list(v))[(len(list(v)) + 1) // 2] AS med
+        |  FROM off GROUP BY 1),
+        |mad AS (SELECT o.xc, MAX(m.med) AS med,
+        |    list_sort(list(ABS(o.v - m.med)))
+        |      [(len(list(ABS(o.v - m.med))) + 1) // 2] AS mad
+        |  FROM off o JOIN med m ON o.xc = m.xc GROUP BY 1)
+        |SELECT g.x AS day, g.v AS orders, mad.med, mad.mad,
+        |  (ABS(g.v - mad.med) * 10000 > mad.mad * 44478) AS outlier
+        |FROM grid g JOIN mad ON g.x = mad.xc
+        |ORDER BY day""".stripMargin,
+    "q483_western_electric" ->
+      """WITH hourly AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(c) AS BIGINT) AS sc,
+        |    CAST(SUM(c * c) AS BIGINT) AS scc
+        |  FROM hourly GROUP BY 1),
+        |zd AS (SELECT hourly.event_type, h, c,
+        |    (CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE))
+        |    / SQRT(CAST(scc AS DOUBLE) / CAST(nh AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE)
+        |        * (CAST(sc AS DOUBLE) / CAST(nh AS DOUBLE))) AS z
+        |  FROM hourly JOIN mom ON hourly.event_type = mom.event_type),
+        |rules AS (SELECT event_type, h, c, z,
+        |    (ABS(z) > CAST('3.0' AS DOUBLE)) AS r1,
+        |    (SUM(CASE WHEN z > CAST('2.0' AS DOUBLE) THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+        |      OR SUM(CASE WHEN z < CAST('-2.0' AS DOUBLE) THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2) AS r2,
+        |    (SUM(CASE WHEN z > CAST('1.0' AS DOUBLE) THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4
+        |      OR SUM(CASE WHEN z < CAST('-1.0' AS DOUBLE) THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 4) AS r3,
+        |    (SUM(CASE WHEN z > CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) >= 8
+        |      OR SUM(CASE WHEN z < CAST('0.0' AS DOUBLE) THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY event_type ORDER BY h
+        |          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) >= 8) AS r4
+        |  FROM zd)
+        |SELECT event_type, h, c, ROUND(z, 4) AS z, r1, r2, r3, r4
+        |FROM rules
+        |WHERE r1 OR r2 OR r3 OR r4
+        |ORDER BY event_type, h""".stripMargin,
     "q479_dbscan_1d" ->
       """WITH byc AS (SELECT
         |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS c,

@@ -171,6 +171,7 @@ class PlanAuditSpec extends SparkSpec {
     "q476_sampled_quantile_error", // 1-row totals broadcast onto the bounded cent-support collapses (q363's argument)
     "q478_lof", // bounded embedding-relation pair kernel (the q414/q435 declared exact baseline; IVF-blocked at corpus scale)
     "q480_mahalanobis", // 1-row moment broadcast onto the calendar-bounded day grid
+    "q481_gmm_1d", // 1-row EM-parameter broadcasts onto the bounded cent collapse (5 unrolled iterations)
     "q456_kendalls_w", // 1-row sums/ties/ranker-count broadcasts composing the single report row over the 35-cell relation
     "q457_variance_ratio", // 1-row totals broadcast onto the calendar-bounded day grid + 1-row moment compositions
     "q458_kpss", // 1-row totals broadcast onto the calendar-bounded day grid + 1-row A/B/G compositions
@@ -237,6 +238,7 @@ class PlanAuditSpec extends SparkSpec {
     "q476_sampled_quantile_error" -> "decile cumsums over the bounded cent-support collapses (value domain <= 3300 cents, the q363 argument), never the events",
     "q479_dbscan_1d" -> "gaps-and-islands lag/cumsum over the bounded cent-support collapse (the q363 argument), never the events",
     "q463_jaro_winkler_pairs" -> "tier rank over the jw>=0.94 DISTINCT-name-pair relation (name-deduped collapse, |distinct names|^2 per block), never the part pairs",
+    "q481_gmm_1d" -> "quartile-init cumsum over the bounded cent-support collapse (the q363 argument), never the events",
     "q457_variance_ratio" -> "5-day rolling sum + count over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q458_kpss" -> "partial-sum cumsum over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q452_energy_distance" -> "CDF cumsums + lead over the bounded cent-support collapse (q363's value domain), never the events",

@@ -1867,4 +1867,65 @@ class StatsSpec extends SparkSpec {
     val ds = gm.map(_.getDouble(3)).toSeq
     assert(ds == ds.sorted.reverse, "descending d2 order")
   }
+
+  test("q481 GMM: mixture identities hold against exact sample moments") {
+    val vals = graft.Tables.events(spark, sf0001)
+      .select((col("value").cast("decimal(18,4)") * 100).cast("long")).collect()
+      .map(_.getLong(0).toDouble)
+    val n = vals.length
+    val mean = vals.sum / n / 100.0
+    val r = Stats.q481Gmm1d(spark, sf0001).collect().head
+    assert(r.getLong(0) == n)
+    val pi1 = r.getDouble(1)
+    val mu1 = r.getDouble(2); val s1 = r.getDouble(3)
+    val mu2 = r.getDouble(4); val s2 = r.getDouble(5)
+    assert(pi1 > 0 && pi1 < 1, s"pi1 $pi1")
+    assert(s1 > 0 && s2 > 0, "component sigmas must be positive")
+    // EM preserves the mixture mean at every iteration (up to the term
+    // rounding): pi1*mu1 + (1-pi1)*mu2 == sample mean
+    val mixMean = pi1 * mu1 + (1 - pi1) * mu2
+    assert(math.abs(mixMean - mean) < 0.02, s"mixture mean $mixMean vs $mean")
+    // and the mixture second moment stays below/at the sample variance +
+    // between-component spread identity: pooled variance decomposition
+    val varAll = vals.map(v => math.pow(v / 100.0 - mean, 2)).sum / n
+    val mixVar = pi1 * (s1 * s1 + mu1 * mu1) + (1 - pi1) * (s2 * s2 + mu2 * mu2) - mixMean * mixMean
+    assert(math.abs(mixVar - varAll) < 0.05, s"mixture var $mixVar vs $varAll")
+    assert(r.getDouble(6) >= 0, "separation")
+  }
+
+  test("q482 Hampel and q483 WE rules: match windowed replays") {
+    val grid = graft.Tables(spark, sf0001, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(count(lit(1)).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val got = Stats.q482Hampel(spark, sf0001).collect()
+    assert(got.length == grid.size)
+    got.take(200).foreach { r =>
+      val x = r.getLong(0)
+      val wvals = (-3L to 3L).flatMap(o => grid.get(x + o))
+      val med = lowerMedian(wvals)
+      val mad = lowerMedian(wvals.map(v => math.abs(v - med)))
+      assert(r.getLong(2) == med, s"med($x)")
+      assert(r.getLong(3) == mad, s"mad($x)")
+      assert(r.getBoolean(4) == (math.abs(r.getLong(1) - med) * 10000 > mad * 44478))
+    }
+    // q483: every flagged row satisfies at least one rule; z matches moments
+    val hourly = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), (col("ts2").cast("long") / 3600).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val byType = hourly.groupBy(_._1._1)
+    val gwe = Stats.q483WesternElectric(spark, sf0001).collect()
+    gwe.foreach { r =>
+      assert(r.getBoolean(4) || r.getBoolean(5) || r.getBoolean(6) || r.getBoolean(7))
+      val cs = byType(r.getString(0)).values.toSeq
+      val nh = cs.length.toDouble
+      val mu = cs.sum / nh
+      val sd = math.sqrt(cs.map(c => c * c.toDouble).sum / nh - mu * mu)
+      assert(math.abs(r.getDouble(3) - (r.getLong(2) - mu) / sd) < 1e-3,
+        s"z at ${r.getString(0)}/${r.getLong(1)}")
+    }
+  }
 }
