@@ -4974,11 +4974,17 @@ object Stats {
     * + pooled variance. Per iteration: one bounded-support aggregate
     * under a 1-row parameter broadcast.
     */
-  def q481Gmm1d: Q = (s, d) => {
-    val byc = graft.Checkpoints.materialize(
+  def q481Gmm1d: Q = (s, d) =>
+    gmmReport(graft.Checkpoints.materialize(
       Tables.events(s, d)
         .select((dec(col("value")) * 100).cast("long").as("c"))
-        .groupBy(col("c")).agg(count(lit(1)).as("t")))
+        .groupBy(col("c")).agg(count(lit(1)).as("t"))))
+
+  /** The q481 EM kernel over a (c, t) cent-count collapse — factored so
+    * the q484 streaming twin runs the SAME 5-iteration fixpoint over
+    * micro-batch-merged cells (cent cells merge by plain sum).
+    */
+  private[graft] def gmmReport(byc: DataFrame): DataFrame = {
     val tot = byc.agg(sum(col("t")).cast("long").as("n"),
       sum(col("t") * col("c")).cast("long").as("sv"),
       sum(col("t") * col("c") * col("c")).cast("long").as("sq"))
@@ -5037,6 +5043,32 @@ object Stats {
       round(sqrt(col("s2")) / 100.0, 4).as("sigma2_dollars"),
       round(abs(col("mu2") - col("mu1")) /
         sqrt((col("s1") + col("s2")) / 2.0), 4).as("separation"))
+  }
+
+  /** Q485: negative-binomial fit of the daily order-count series — the
+    * overdispersion-aware count model q438's Poisson dispersion test says
+    * you need when D > 1: method-of-moments r = μ²/(σ²−μ), p = μ/σ²,
+    * from exact integer moments with the sample (n−1) variance; one
+    * calendar-bounded grid pass. Reported with the Poisson-vs-NB variance
+    * ratio so the fit's justification rides along.
+    */
+  def q485NegbinFit: Q = (s, d) => {
+    val mom = Tables(s, d, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg(count(lit(1)).as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("s1"),
+        sum(col("v") * col("v")).cast("long").as("s2"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val v = (col("s2").cast("double") - col("s1").cast("double")
+      * col("s1").cast("double") / nD) / (nD - 1.0)
+    mom.select(big(col("n")).as("n_days"),
+      round(mu, 4).as("mean"), round(v, 4).as("variance"),
+      round(v / mu, 4).as("dispersion"),
+      round(mu * mu / (v - mu), 4).as("nb_r"),
+      round(mu / v, 6).as("nb_p"),
+      (round(v / mu, 4) > lit(1.0)).as("overdispersed"))
   }
 
   /** Q482: Hampel filter — the rolling-median outlier annotation of the
@@ -5370,6 +5402,7 @@ object Stats {
 
   val queries: Map[String, Q] = Map(
     "q481_gmm_1d" -> q481Gmm1d,
+    "q485_negbin_fit" -> q485NegbinFit,
     "q482_hampel" -> q482Hampel,
     "q483_western_electric" -> q483WesternElectric,
     "q479_dbscan_1d" -> q479Dbscan1d,
@@ -5748,6 +5781,39 @@ object Stats {
 
   val oracles: Map[String, String] = Map(
     "q481_gmm_1d" -> gmmSql,
+    "q485_negbin_fit" ->
+      """WITH grid AS (SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s1,
+        |    CAST(SUM(v * v) AS BIGINT) AS s2 FROM grid)
+        |SELECT n AS n_days,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+        |  ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)), 4) AS variance,
+        |  ROUND(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS dispersion,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 4) AS nb_r,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS nb_p,
+        |  (ROUND(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |      * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+        |    > CAST('1.0' AS DOUBLE)) AS overdispersed
+        |FROM mom""".stripMargin,
     "q482_hampel" ->
       """WITH grid AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '1995-01-01',

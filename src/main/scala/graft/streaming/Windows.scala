@@ -1953,6 +1953,53 @@ object Windows {
             .groupBy(col("event_type"), col("h"))
             .agg(sum(col("c")).as("c")))))
 
+  /** Q484: streaming GMM monitor — q481's deterministic 2-component EM
+    * fed by a micro-batched value stream: per batch the cent-count cells
+    * land in an idempotent `batch=<id>` sink (they merge by plain sum at
+    * ANY slicing — the q375 argument), and the drain runs q481's exact
+    * 5-iteration fixpoint once over the merged support. Shares q481's
+    * oracle verbatim. The live "has the value MIXTURE changed — new
+    * component, drifted means, collapsed separation?" readout a
+    * bin-histogram monitor can't give.
+    */
+  def q484StreamGmm: Q = (s, d) => {
+    val ev = graft.Tables.events(s, d)
+      .select((graft.Dsl.dec(col("value")) * 100).cast("long").as("c"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q484_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ev.repartition(3))
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q484Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q484Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q484's per-batch writer (the q337 idempotent `batch=<id>` pattern). */
+  private[graft] def q484Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF()
+          .groupBy(col("c")).agg(count(lit(1)).as("t"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q484's drain: merge the additive cent cells, run q481's EM once. */
+  private[graft] def q484Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Stats.gmmReport(
+        graft.Checkpoints.materialize(
+          s.read.parquet(sumDir)
+            .groupBy(col("c"))
+            .agg(sum(col("t")).as("t")))))
+
   /** Q376: streaming EWMA control chart — q368's drift-sensitive monitor
     * fed by a micro-batched stream: per batch the (type × hour) counts
     * land in an idempotent `batch=<id>` sink (q348's mergeable hourly
@@ -2256,6 +2303,7 @@ object Windows {
     "q465_stream_energy" -> q465StreamEnergy,
     "q469_stream_t_closeness" -> q469StreamTCloseness,
     "q477_stream_spectral_entropy" -> q477StreamSpectralEntropy,
+    "q484_stream_gmm" -> q484StreamGmm,
     "q376_stream_ewma" -> q376StreamEwma,
     "q354_stream_permutation" -> q354StreamPermutation,
     "q348_stream_mann_kendall" -> q348StreamMannKendall,
@@ -2402,6 +2450,10 @@ object Windows {
     // the drain runs q471's periodogram + entropy kernels)
     "q477_stream_spectral_entropy" ->
       graft.operators.Events.oracles("q471_spectral_entropy"),
+    // q484 shares q481's oracle verbatim (cent cells merge additively;
+    // the drain runs q481's exact 5-iteration EM fixpoint)
+    "q484_stream_gmm" ->
+      graft.operators.Stats.oracles("q481_gmm_1d"),
     // q376 shares q368's oracle verbatim (hourly cells merge additively)
     "q376_stream_ewma" ->
       graft.operators.Events.oracles("q368_ewma_control"),

@@ -261,7 +261,7 @@ class PlanAuditSpec extends SparkSpec {
     "q417_stream_page_hinkley", "q418_stream_js_drift",
     "q434_stream_spearman", "q437_stream_ljung_box", "q441_stream_hurst",
     "q465_stream_energy", "q469_stream_t_closeness",
-    "q477_stream_spectral_entropy")
+    "q477_stream_spectral_entropy", "q484_stream_gmm")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

@@ -877,6 +877,12 @@ class StreamingSpec extends SparkSpec {
         tmp => Windows.q469Writer(s"$tmp/sum"),
         tmp => Windows.q469Drain(spark, s"$tmp/sum"),
         () => Windows.q469StreamTCloseness(spark, sf0001)),
+      TwinCase("q484_stream_gmm",
+        () => evAll.select((graft.Dsl.dec($"value") * 100).cast("long").as("c")),
+        pmod($"c", lit(2L)) === 0,
+        tmp => Windows.q484Writer(s"$tmp/sum"),
+        tmp => Windows.q484Drain(spark, s"$tmp/sum"),
+        () => Windows.q484StreamGmm(spark, sf0001)),
       TwinCase("q465_stream_energy",
         () => evAll.select(graft.Dsl.epochSec($"ts2").as("ts"),
           (graft.Dsl.dec($"value") * 100).cast("long").as("c")),
