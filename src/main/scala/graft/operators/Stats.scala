@@ -4656,11 +4656,14 @@ object Stats {
           * log(col("xg").cast("double") / col("xx").cast("double")
             * (col("n").cast("double") / col("ng").cast("double"))), 8)
           .cast(dec8)).cast("double").as("t_between"))
+    // `+ 0.0` normalizes IEEE -0.0 → 0.0: DuckDB's ROUND keeps the sign of
+    // a tiny negative gap while Spark's BigDecimal round can't represent
+    // -0.0, and the driver's hash compares float BITS (r11's only red row).
     tTotal.crossJoin(broadcast(tWithin))
-      .select(col("n"), round(col("t_total"), 6).as("t_total"),
-        round(col("t_between"), 6).as("t_between"),
-        round(col("t_within"), 6).as("t_within"),
-        round(col("t_total") - col("t_between") - col("t_within"), 6)
+      .select(col("n"), (round(col("t_total"), 6) + 0.0).as("t_total"),
+        (round(col("t_between"), 6) + 0.0).as("t_between"),
+        (round(col("t_within"), 6) + 0.0).as("t_within"),
+        (round(col("t_total") - col("t_between") - col("t_within"), 6) + 0.0)
           .as("identity_gap"))
   }
 
@@ -6088,10 +6091,12 @@ object Stats {
         |        * (CAST(n AS DOUBLE) / CAST(ng AS DOUBLE))), 8)
         |      AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS DOUBLE) AS t_between
         |  FROM tg, tot)
-        |SELECT n, ROUND(t_total, 6) AS t_total,
-        |  ROUND(t_between, 6) AS t_between,
-        |  ROUND(t_within, 6) AS t_within,
-        |  ROUND(t_total - t_between - t_within, 6) AS identity_gap
+        |SELECT n,
+        |  ROUND(t_total, 6) + CAST('0.0' AS DOUBLE) AS t_total,
+        |  ROUND(t_between, 6) + CAST('0.0' AS DOUBLE) AS t_between,
+        |  ROUND(t_within, 6) + CAST('0.0' AS DOUBLE) AS t_within,
+        |  ROUND(t_total - t_between - t_within, 6)
+        |    + CAST('0.0' AS DOUBLE) AS identity_gap
         |FROM ttotal, tw""".stripMargin,
     "q466_t_closeness" ->
       """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
