@@ -37,9 +37,13 @@ case class JaroWinkler(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    // byte-level walk: the comparison is per UTF-8 code unit, identical to
-    // per-character for the ASCII names this scores (and deterministic for
-    // any input — both engines compare the same units)
+    // byte-level walk: the comparison is per UTF-8 byte, identical to
+    // per-character for the ASCII names this scores — which is the only
+    // corpus the cross-engine (DuckDB/rapidfuzz) equivalence is verified
+    // for. On MULTIBYTE input a codepoint-based implementation computes
+    // its match window and prefix length in characters, not bytes, and
+    // can disagree with this walk; non-ASCII inputs are deterministic
+    // here but NOT oracle-pinned.
     val a = ua.getBytes
     val b = ub.getBytes
     val l1 = a.length

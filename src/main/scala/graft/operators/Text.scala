@@ -2200,13 +2200,12 @@ object Text {
     * names): part names blocked on their first token, within-block pairs
     * scored by the codegen'd [[graft.functions.JaroWinkler]] expression,
     * top-20 near-duplicates at jw ≥ 0.94 in deterministic (jw desc, key)
-    * order. The block count is SMALL here (8 first tokens), so the pair
-    * join is salted (q61's replicate-one-side trick, 32 salts) — without
-    * it the 25M-pair explosion lands on ≤8 tasks and the 32-way cluster
-    * idles; with it the scorer runs fully parallel inside whole-stage
-    * codegen (no UDF). The oracle twin is DuckDB's own
-    * `jaro_winkler_similarity`, so the expression's semantics are
-    * cross-engine pinned, not self-certified.
+    * order. Skew handling is the distinct-name collapse below (the block
+    * count is SMALL — 8 first tokens — but after the collapse each block
+    * holds only its distinct names, so the scorer input is tiny and
+    * whole-stage-codegen'd; no salting needed at this shape). The oracle
+    * twin is DuckDB's own `jaro_winkler_similarity`, so the expression's
+    * semantics are cross-engine pinned, not self-certified.
     */
   def q463JaroWinklerPairs: Q = (s, d) => {
     graft.functions.VectorFunctions.register(s)
@@ -2218,9 +2217,18 @@ object Text {
     // expanded back to part keys (rank() keeps whole tiers, so tie
     // boundaries can't clip the global top-20)
     val names = p.groupBy(col("blk"), col("nm")).agg(count(lit(1)).as("cnt"))
-    val np = names.select(col("blk"), col("nm").as("na"))
-      .join(names.select(col("blk"), col("nm").as("nb")), Seq("blk"))
-      .filter(col("na") <= col("nb"))
+    // degenerate self-pairs are dropped BEFORE ranking: a na==nb row with
+    // cnt<2 expands to ZERO key pairs (the ka<kb filter kills the single
+    // self key), yet scores jw=1.0 and would occupy the top rank tiers —
+    // on near-unique names that pushes every real 0.94≤jw<1.0 tier past
+    // the rank cut and silently empties the result. Keeping na==nb only
+    // when cnt≥2 makes every ranked row expand to ≥1 key pair, so
+    // rank()≤40 genuinely over-covers the global top-20.
+    val np = names.select(col("blk"), col("nm").as("na"), col("cnt").as("ca"))
+      .join(names.select(col("blk"), col("nm").as("nb"), col("cnt").as("cb")),
+        Seq("blk"))
+      .filter(col("na") < col("nb") ||
+        (col("na") === col("nb") && col("ca") >= 2))
     val jw = round(graft.functions.VectorFunctions
       .jaroWinkler(col("na"), col("nb")), 6)
     val scored = np.withColumn("jw", jw).filter(col("jw") >= 0.94)

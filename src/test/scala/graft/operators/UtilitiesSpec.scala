@@ -3791,6 +3791,42 @@ class UtilitiesSpec extends SparkSpec {
     assert(ord == ord.sorted, "output must be (jw desc, k1, k2) ordered")
   }
 
+  test("q463 on near-unique names: degenerate self-pairs must not clip real tiers") {
+    // Regression: >=40 distinct cnt=1 names put >=40 jw=1.0 self-pair rows
+    // in the top rank tier; each expands to ZERO key pairs, so the old
+    // rank()<=40 cut discarded every real 0.94<=jw<1.0 tier and returned
+    // empty. The fix drops na==nb rows with cnt<2 before ranking.
+    import graft.functions.JaroWinkler
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val names = (0 until 45).map(i => f"block name variant $i%03d")
+    val rows = names.zipWithIndex.map { case (nm, i) => (i.toLong + 1, nm) }
+    val tmp = java.nio.file.Files.createTempDirectory("q463nu")
+    try {
+      import spark.implicits._
+      rows.toDF("p_partkey", "p_name").repartition(1)
+        .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+      def jw6(a: String, b: String): Double = {
+        val raw = JaroWinkler(Literal(a), Literal(b))
+          .similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val expect = (for {
+        (ka, na) <- rows; (kb, nb) <- rows if ka < kb
+        j = jw6(na, nb) if j >= 0.94
+      } yield (ka, kb, j))
+        .sortBy { case (k1, k2, j) => (-j, k1, k2) }.take(20)
+      assert(expect.size == 20, s"test corpus must yield >=20 near-dup pairs, got ${expect.size}")
+      val got = Text.q463JaroWinklerPairs(spark, tmp.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expect, s"near-unique top-20 mismatch:\n got=$got\n want=$expect")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("q464 lexical richness: identities vs a token-frequency replay") {
     val tf = graft.Tables(spark, sf0001, "documents")
       .select(col("source"), col("text")).collect()
