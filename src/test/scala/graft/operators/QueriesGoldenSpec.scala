@@ -71,7 +71,11 @@ class QueriesGoldenSpec extends SparkSpec {
       // q214: BPE ENCODING with q166's merges (sequential rule application,
       // q166's no-SQL-twin argument); UtilitiesSpec replays the encode in
       // Scala at sf0.001 and pins crafted merges + token round-trip
-      "q214_bpe_fertility")
+      "q214_bpe_fertility",
+      // q486: LOF over q113's IVF-blocked candidate neighborhoods (the
+      // kmeans fixpoint has no SQL twin); ScaleTwinsSpec pins top-15
+      // agreement vs the exact q478 baseline
+      "q486_lof_blocked")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

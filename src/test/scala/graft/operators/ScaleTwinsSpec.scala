@@ -131,6 +131,46 @@ class ScaleTwinsSpec extends SparkSpec {
     assert(recall >= 0.9, f"blocked top-50 recall $recall%.3f fell below 0.9")
   }
 
+  test("q486 blocked LOF: 5-NN recall, score drift, top-15 agreement vs exact q478") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // measured at pin time (DebugLof, r=6, sf0.01): edge recall 0.991,
+    // drift p95 0.0037 / max 0.0146, top-15 hit 14/15; floors leave
+    // margin for corpus jitter. The top-15 SET alone is ill-conditioned
+    // (the exact LOF surface here is a flat 1.03-1.06 band), so the twin
+    // is pinned on what blocking actually controls: k-NN completeness
+    // and per-id score fidelity over the WHOLE corpus.
+    val exPairs = Similarity.exactLofPairs(spark, sf001)
+    val blPairs = Similarity.blockedLofPairs(spark, sf001, replicas = 6)
+    val wk = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("nid"))
+    def knn(p: org.apache.spark.sql.DataFrame) = p
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
+      .select(col("vec_id"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exKnn = knn(exPairs)
+    val edgeRecall = (exKnn & knn(blPairs)).size.toDouble / exKnn.size
+    info(f"q486 true-5NN edge recall: $edgeRecall%.4f")
+    assert(edgeRecall >= 0.95, f"5-NN edge recall $edgeRecall%.4f fell below 0.95")
+
+    val exact = Similarity.lofScores(exPairs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val blocked = Similarity.lofScores(blPairs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(blocked.keySet == exact.keySet, "blocked LOF must score every id")
+    val drifts = exact.keys.toSeq
+      .map(id => math.abs(exact(id) - blocked(id))).sorted
+    val p95 = drifts(((drifts.size - 1) * 0.95).round.toInt)
+    info(f"q486 LOF drift: p95=$p95%.5f max=${drifts.last}%.5f")
+    assert(p95 <= 0.01, f"LOF drift p95 $p95%.5f exceeds 0.01")
+    assert(drifts.last <= 0.05, f"LOF drift max ${drifts.last}%.5f exceeds 0.05")
+
+    def top15(m: Map[Long, Double]) =
+      m.toSeq.sortBy { case (id, l) => (-l, id) }.take(15).map(_._1).toSet
+    val hit = (top15(exact) & top15(blocked)).size
+    info(f"q486 top-15 agreement: $hit/15")
+    assert(hit >= 12, s"blocked LOF top-15 agreement $hit/15 fell below 12")
+  }
+
   test("q110 packing twin: conserves token mass and packs every shard fully") {
     val exact = NorthStar.q96SamplePacking(spark, sf001).collect()
     val sharded = NorthStar.q110PackingShard(spark, sf001).collect()

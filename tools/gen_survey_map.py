@@ -113,6 +113,7 @@ PINS = {
     "q200_compaction": "LayoutSpec (rows/content preserved)",
     "q214_bpe_fertility": "UtilitiesSpec (encode replay)",
     "q294_minhash_quality_eval": "NorthStarSpec (recall floor + containment)",
+    "q486_lof_blocked": "ScaleTwinsSpec (5-NN recall + drift + top-15 vs q478)",
 }
 
 
