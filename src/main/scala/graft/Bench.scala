@@ -450,6 +450,21 @@ object Bench {
       }
     }
 
+    // --- seed completion: if the warm cap (or a loaded box) left rows
+    // unpriced, any remaining budget is better spent giving an unpriced
+    // row its FIRST number than re-measuring a priced one — an unpriced
+    // row forces partial:true, the worst outcome a row can cause. Still
+    // prior-ordered; a no-op on every run where the warm pass finished.
+    for (n <- warmOrder if warm(n) < 0 &&
+           remainingSec - reserve > math.max(prior.getOrElse(n, 0.25), 0.05) + 1) {
+      val t = runOnce(n)
+      if (t >= 0) {
+        warm(n) = t
+        results(n) = Row(t, -1.0, 1.0, contaminated = false, reruns = 0,
+          degraded = true)
+      }
+    }
+
     // PHASE H — the HEAVY TAIL (warm estimate ≥ 3 s) takes its measured
     // min-of-2 + sentinel brackets FIRST, before anything is spent on the
     // cheap majority (round-10 VERDICT #1): under the driver's 1500 s
