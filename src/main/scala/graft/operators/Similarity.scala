@@ -1217,7 +1217,77 @@ object Similarity {
     */
   def q486LofBlocked: Q = (s, d) => lofFromPairs(blockedLofPairs(s, d, replicas = 6))
 
+  /** Q489: sign-random-projection sketch distortion audit — how much
+    * angular information a 63-bit SRP sketch (the compile-once LSH
+    * family behind q40, here audited rather than used for bucketing)
+    * preserves on THIS corpus: for every pair in a bounded id cut,
+    * compare cos(π·h/63) (h = sketch Hamming distance) against the exact
+    * cosine, and report the distortion mean / p90 / max. The planes are
+    * a DETERMINISTIC pseudo-random ±1 matrix (multiplicative hash mod an
+    * odd prime, then parity — a plain linear-mod-2 mix degenerates to
+    * parity(p+j) and is NOT random); embeddings are quantized to an
+    * integer 10⁻⁶ grid BEFORE the projection so every dot is an exact
+    * int64 on both engines (a float-sum sign near zero would otherwise
+    * flip on addition order). Per-pair work is 63·64 integer ops over a
+    * broadcast pair cut; at corpus scale the same audit runs on a fixed
+    * sample, so cost is bounded by the cut, not the corpus.
+    */
+  def q489SrpDistortion: Q = (s, d) => {
+    VectorFunctions.register(s)
+    val sign = (p: Column, j: Column) =>
+      when(((p * 64L + j + 1L) * 2654435761L) % 1000003L % 2L === 0L, 1L)
+        .otherwise(-1L)
+    // Spark-first sketch build: explode dims × broadcast plane grid ×
+    // codegen'd sum, NOT nested HOF lambdas — a withColumn chain inlines
+    // the eq quantization into every one of the 63×64 lambda references
+    // (the full 64-element transform re-evaluated per reference,
+    // interpreted: 37 s at sf0.1). The exploded shape is 3 codegen'd
+    // stages over a |cut|·64·63-row relation, and each sketch packs into
+    // ONE long so the pair kernel is a single xor + bit_count.
+    val base = Tables(s, d, "embeddings").filter(col("vec_id") < 200)
+      .withColumn("ev", asDouble(col("embedding")))
+    val eq = base.select(col("vec_id"),
+        posexplode(col("ev")).as(Seq("j", "xv")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        round(col("xv") * 1000000.0, 0).cast("long").as("q"))
+    val planes = s.range(0, 63).select(col("id").as("p"))
+    val pk = eq.crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("q") * sign(col("p"), col("j"))).as("dot"))
+      .select(col("vec_id"),
+        (when(col("dot") >= 0L, 1L).otherwise(0L)
+          * expr("shiftleft(CAST(1 AS BIGINT), CAST(62 - p AS INT))")).as("b"))
+      .groupBy(col("vec_id")).agg(sum(col("b")).as("pk"))
+    val emb = graft.Checkpoints.materialize(
+      base.select(col("vec_id"), col("ev")).join(pk, Seq("vec_id")))
+    val b = emb.select(col("vec_id").as("id2"), col("ev").as("ev2"),
+      col("pk").as("pk2"))
+    val pairs = emb.crossJoin(broadcast(b)).filter(col("vec_id") < col("id2"))
+    val h = expr("bit_count(pk ^ pk2)").cast("long")
+    val cos6 = round(VectorFunctions.cosineSim(col("ev"), col("ev2")), 6)
+    val est8 = round(cos(lit(math.Pi) * h.cast("double") / 63.0), 8)
+    val scored = pairs.select(col("vec_id"), col("id2"),
+      round(abs(est8 - cos6), 6).as("dist"))
+    val wr = Window.orderBy(col("dist"), col("vec_id"), col("id2"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val p90 = ranked
+      .filter(col("rn") === ceil(lit(0.9) * col("cnt").cast("double")).cast("long"))
+      .select(col("dist").as("p90_distortion"))
+    val agg = scored.agg(count(lit(1)).as("n_pairs"),
+      round(sum(col("dist").cast(DecimalType(18, 6))).cast(DecimalType(28, 6))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("mean_distortion"),
+      max(col("dist")).as("max_distortion"))
+    agg.crossJoin(broadcast(p90))
+      .select(col("n_pairs"), col("mean_distortion"),
+        col("p90_distortion"), col("max_distortion"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q489_srp_distortion" -> q489SrpDistortion,
     "q478_lof" -> q478Lof,
     "q486_lof_blocked" -> q486LofBlocked,
     "q435_distance_concentration" -> q435DistanceConcentration,
@@ -1394,6 +1464,39 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "q489_srp_distortion" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS ev,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * CAST('1000000.0' AS DOUBLE), 0) AS BIGINT)) AS eq
+        |  FROM embeddings WHERE vec_id < 200),
+        |eb AS MATERIALIZED (SELECT vec_id, ev,
+        |    list_transform(range(0, 63), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, 64), j ->
+        |        eq[j + 1] * (CASE WHEN ((p * 64 + j + 1) * 2654435761)
+        |            % 1000003 % 2 = 0 THEN 1 ELSE -1 END))) >= 0
+        |        THEN 1 ELSE 0 END) AS bits
+        |  FROM e),
+        |pairs AS MATERIALIZED (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    ROUND(ABS(
+        |      ROUND(COS(PI() * CAST(list_sum(list_transform(range(0, 63),
+        |          p -> CASE WHEN a.bits[p + 1] <> b.bits[p + 1]
+        |            THEN 1 ELSE 0 END)) AS DOUBLE)
+        |        / CAST('63.0' AS DOUBLE)), 8)
+        |      - ROUND(${cosSql("a.ev", "b.ev")}, 6)), 6) AS dist
+        |  FROM eb a JOIN eb b ON a.vec_id < b.vec_id),
+        |r AS (SELECT dist, row_number() OVER (ORDER BY dist, id1, id2) AS rn,
+        |    COUNT(*) OVER () AS cnt FROM pairs),
+        |p90 AS (SELECT dist AS p90_distortion FROM r
+        |  WHERE rn = CAST(CEIL(CAST('0.9' AS DOUBLE)
+        |    * CAST(cnt AS DOUBLE)) AS BIGINT))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(CAST(SUM(CAST(dist AS DECIMAL(18,6)))
+        |      AS DECIMAL(28,6)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_distortion,
+        |  p90_distortion,
+        |  MAX(dist) AS max_distortion
+        |FROM pairs CROSS JOIN p90 GROUP BY p90_distortion""".stripMargin,
     "q478_lof" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
         |  FROM embeddings),

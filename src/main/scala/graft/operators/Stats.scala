@@ -5403,7 +5403,104 @@ object Stats {
         round((col("hx") - col("hxy")) / col("hx"), 6).as("theil_u_x_y"))
   }
 
+  /** Q487: matrix-profile discords (m = 7) over the daily-revenue series —
+    * the shape-based anomaly view q482's Hampel (pointwise) and q198's
+    * CUSUM (single retrospective break) can't give: for every 7-day
+    * subsequence, the z-normalized distance to its nearest non-trivial
+    * match (|i−j| ≥ ⌈m/2⌉ exclusion); the top-10 largest profile values
+    * are the weeks unlike ANY other week (discords). Revenue is floored
+    * to whole dollars so every window moment (S, Q, dot) is an exact
+    * int64 ≤ ~4·10¹⁵ < 2⁵³ — both engines derive the distance from
+    * IDENTICAL doubles; the denominator is the mirrored shape
+    * √vₐ·√vᵦ (NOT √(vₐvᵦ), whose product overflows 2⁵³). Constant
+    * windows (zero variance) carry no z-normalization and are dropped on
+    * both engines. The pair join is bounded by the CALENDAR GRID (~2.4k
+    * windows → ~5.8M pairs), never the orders — at 100 TB the grid is
+    * unchanged, so the profile cost is constant once the daily collapse
+    * (the only data-sized pass) is done.
+    */
+  def q487MatrixProfile: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+      .select(col("x"), floor(col("r")).cast("long").as("c"))
+    val wp = Window.orderBy(col("x"))
+    val pos = grid.withColumn("i", row_number().over(wp).cast("long"))
+    val w7 = Window.orderBy(col("i")).rowsBetween(Window.currentRow, 6)
+    val sub = graft.Checkpoints.materialize(pos
+      .withColumn("arr", collect_list(col("c")).over(w7))
+      .withColumn("ss", sum(col("c")).over(w7))
+      .withColumn("qq", sum(col("c") * col("c")).over(w7))
+      .filter(size(col("arr")) === 7)
+      .filter(lit(7L) * col("qq") - col("ss") * col("ss") > 0)
+      .select(col("i"), col("x"), col("arr"), col("ss"), col("qq")))
+    val b = sub.select(col("i").as("j"), col("arr").as("brr"),
+      col("ss").as("sj"), col("qq").as("qj"))
+    val pairs = sub.crossJoin(broadcast(b))
+      .filter(abs(col("i") - col("j")) >= 4)
+    // explicit 7-term product sum, NOT zip_with+aggregate: HOFs are
+    // interpreted, and over the ~5.8M-pair grid the lambda tree costs
+    // ~7 s; element_at products stay inside whole-stage codegen
+    val dot = (1 to 7).map(t =>
+      element_at(col("arr"), t) * element_at(col("brr"), t))
+      .reduce(_ + _)
+    val num = (lit(7L) * dot - col("ss") * col("sj")).cast("double")
+    val va = (lit(7L) * col("qq") - col("ss") * col("ss")).cast("double")
+    val vb = (lit(7L) * col("qj") - col("sj") * col("sj")).cast("double")
+    val dist = round(sqrt(greatest(lit(0.0),
+      lit(14.0) * (lit(1.0) - num / (sqrt(va) * sqrt(vb))))), 6)
+    pairs.select(col("i"), col("x"), dist.as("dd"))
+      .groupBy(col("i"), col("x"))
+      .agg(min(col("dd")).as("profile"))
+      .orderBy(col("profile").desc, col("i"))
+      .limit(10)
+      .select(col("i").as("pos"), col("x").as("day"), col("profile"))
+  }
+
+  /** Q490: tabular one-sided CUSUM alarm chart over daily revenue — the
+    * SEQUENTIAL drift detector q198's retrospective argmax and q483's
+    * memoryless WE rules don't give: Sₜ = max(0, Sₜ₋₁ + xₜ − μ − k)
+    * accumulates small persistent upward shifts. The recursion is NOT a
+    * Spark window — but it collapses to pure prefix algebra:
+    * Sₜ = Pₜ − min₍s≤t₎ Pₛ with Pₜ = Σ(xₜ − μ − k), i.e. ONE cumulative
+    * sum and ONE running min over the calendar-bounded day grid (both
+    * engines compute ordered-prefix windows sequentially → bit-identical;
+    * the per-day term is 4-dp-quantized so the prefix sums are exact
+    * decimals). Allowance k = 0.5 % and decision interval H = 5 % of the
+    * historical mean level (the σ-free parameterization: the daily-cents
+    * second moment overflows the 2⁵³ decimal→double band, so the chart
+    * is scaled to the mean, which is exact). Output: the top-10 alarm
+    * days by CUSUM height.
+    */
+  def q490CusumAlarm: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+      .select(col("x"), (col("r") * 100).cast("long").as("c"))
+    val tot = grid.agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("cc"))
+    val mu = col("cc").cast("double") / col("n").cast("double")
+    val g2 = grid.crossJoin(broadcast(tot))
+      .select(col("x"), col("c"),
+        round(col("c").cast("double") - mu * 1.005, 4)
+          .cast(DecimalType(28, 4)).as("y"),
+        round(mu * 0.05, 4).cast(DecimalType(28, 4)).as("h"))
+    val wc = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the prefix-min must include the EMPTY prefix (P₀ = 0): S₁ = max(0, y₁)
+    // = P₁ − min(0, P₁), but a window min over rows 1..t alone would give
+    // S₁ = 0 whenever y₁ > 0 — hence least(pmin, 0)
+    val st = g2
+      .withColumn("p", sum(col("y")).over(wc).cast(DecimalType(38, 4)))
+      .withColumn("pmin", min(col("p")).over(wc).cast(DecimalType(38, 4)))
+      .select(col("x"), col("c"),
+        (col("p") - least(col("pmin"), lit(0).cast(DecimalType(38, 4))))
+          .cast(DecimalType(38, 4)).as("s"), col("h"))
+    st.select(col("x").as("day"), col("c").as("cents"),
+        col("s").cast("double").as("cusum"),
+        (col("s") > col("h")).as("alarm"))
+      .orderBy(col("cusum").desc, col("day"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q487_matrix_profile" -> q487MatrixProfile,
+    "q490_cusum_alarm" -> q490CusumAlarm,
     "q481_gmm_1d" -> q481Gmm1d,
     "q485_negbin_fit" -> q485NegbinFit,
     "q482_hampel" -> q482Hampel,
@@ -5783,6 +5880,68 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q487_matrix_profile" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2))) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |pos AS MATERIALIZED (SELECT x, c,
+        |    CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i FROM daily),
+        |sub AS MATERIALIZED (
+        |  SELECT i, x, list(c) OVER w AS arr,
+        |    CAST(SUM(c) OVER w AS BIGINT) AS ss,
+        |    CAST(SUM(c * c) OVER w AS BIGINT) AS qq,
+        |    COUNT(*) OVER w AS cnt
+        |  FROM pos
+        |  WINDOW w AS (ORDER BY i ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |sub2 AS MATERIALIZED (SELECT i, x, arr, ss, qq FROM sub
+        |  WHERE cnt = 7 AND 7 * qq - ss * ss > 0),
+        |pairs AS (SELECT a.i, a.x,
+        |    ROUND(SQRT(GREATEST(CAST('0.0' AS DOUBLE),
+        |      CAST('14.0' AS DOUBLE) * (CAST('1.0' AS DOUBLE)
+        |        - CAST(7 * CAST(list_dot_product(CAST(a.arr AS DOUBLE[]),
+        |              CAST(b.arr AS DOUBLE[])) AS BIGINT)
+        |            - a.ss * b.ss AS DOUBLE)
+        |          / (SQRT(CAST(7 * a.qq - a.ss * a.ss AS DOUBLE))
+        |           * SQRT(CAST(7 * b.qq - b.ss * b.ss AS DOUBLE)))))), 6) AS dd
+        |  FROM sub2 a JOIN sub2 b ON ABS(a.i - b.i) >= 4)
+        |SELECT i AS pos, x AS day, MIN(dd) AS profile
+        |FROM pairs GROUP BY i, x
+        |ORDER BY profile DESC, i LIMIT 10""".stripMargin,
+    "q490_cusum_alarm" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS cc FROM daily),
+        |g2 AS (SELECT x, c,
+        |    CAST(ROUND(CAST(c AS DOUBLE)
+        |      - (CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * CAST('1.005' AS DOUBLE), 4) AS DECIMAL(28,4)) AS y,
+        |    CAST(ROUND((CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST('0.05' AS DOUBLE), 4) AS DECIMAL(28,4)) AS h
+        |  FROM daily, tot),
+        |p1 AS MATERIALIZED (SELECT x, c, h,
+        |    CAST(SUM(y) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(38,4)) AS p
+        |  FROM g2),
+        |st AS (SELECT x, c, h, p,
+        |    CAST(MIN(p) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(38,4)) AS pmin
+        |  FROM p1)
+        |SELECT x AS day, c AS cents,
+        |  CAST(CAST(p - LEAST(pmin, CAST('0' AS DECIMAL(38,4)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS cusum,
+        |  (CAST(p - LEAST(pmin, CAST('0' AS DECIMAL(38,4)))
+        |    AS DECIMAL(38,4)) > h) AS alarm
+        |FROM st ORDER BY cusum DESC, day LIMIT 10""".stripMargin,
     "q481_gmm_1d" -> gmmSql,
     "q485_negbin_fit" ->
       """WITH grid AS (SELECT CAST(date_diff('day', DATE '1995-01-01',

@@ -2273,7 +2273,60 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Q488: interpolated Kneser–Ney bigram perplexity per source — the
+    * smoothed-LM fluency score q403's raw cross-entropy (unsmoothed MLE)
+    * and q395's Good–Turing (unigram mass re-estimation only) don't
+    * give: p(w|v) = (c(vw)−D)/c(v·) + D·N₁₊(v·)/c(v·)·N₁₊(·w)/B with
+    * absolute discount D = 0.75 — the continuation-count backoff that
+    * makes KN the standard n-gram baseline. The model is trained on the
+    * whole corpus and each source is scored under it (every evaluated
+    * bigram is in-vocabulary by construction, so no zero-prob branch).
+    * All counts are exact ints; each log p is ONE IEEE expression from
+    * ints mirrored shape-for-shape in the oracle, rounded 8 dp, and the
+    * per-source sum is an exact DECIMAL product·sum (cs quantized as
+    * DECIMAL(10,0) so both engines multiply decimals, not floats).
+    * Aggregation shape: one bigram explode (data-sized), three bounded
+    * count collapses, broadcast totals.
+    */
+  def q488KneserNey: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val bgOcc = graft.Checkpoints.materialize(docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"), explode(when(size(toks) >= 2,
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("v"), b.as("w"))))
+        .otherwise(array().cast("array<struct<v:string,w:string>>"))).as("bg"))
+      .select(col("source"), col("bg.v").as("v"), col("bg.w").as("w")))
+    val bg = bgOcc.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    val lft = bg.groupBy(col("v"))
+      .agg(sum(col("cvw")).cast("long").as("cv"), count(lit(1)).as("n1v"))
+    val rgt = bg.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val btot = bg.agg(count(lit(1)).as("bb"))
+    val gs = bgOcc.groupBy(col("source"), col("v"), col("w"))
+      .agg(count(lit(1)).as("cs"))
+    val dD = lit(0.75)
+    val p = (col("cvw").cast("double") - dD) / col("cv").cast("double") +
+      dD * col("n1v").cast("double") / col("cv").cast("double") *
+        (col("n1w").cast("double") / col("bb").cast("double"))
+    val terms = gs.join(bg, Seq("v", "w")).join(lft, Seq("v"))
+      .join(rgt, Seq("w")).crossJoin(broadcast(btot))
+      .select(col("source"), col("cs"),
+        (round(log(p), 8).cast(DecimalType(18, 8))
+          * col("cs").cast(DecimalType(10, 0))).as("t"))
+    val sumD = sum(col("t")).cast(DecimalType(38, 8)).cast("double")
+    val per = terms.groupBy(col("source"))
+      .agg(sum(col("cs")).cast("long").as("n_bigrams"), sumD.as("lsum"))
+    per.select(col("source"), col("n_bigrams"),
+        round(col("lsum") * -1.0 / col("n_bigrams").cast("double"), 6)
+          .as("cross_entropy_nats"),
+        round(exp(col("lsum") * -1.0 / col("n_bigrams").cast("double")), 4)
+          .as("perplexity"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q488_kneser_ney" -> q488KneserNey,
     "q464_yules_k" -> q464YulesK,
     "q463_jaro_winkler_pairs" -> q463JaroWinklerPairs,
     "q430_token_dispersion" -> q430TokenDispersion,
@@ -2378,6 +2431,38 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q488_kneser_ney" ->
+      """WITH tk AS (SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |bgo AS MATERIALIZED (SELECT source, tk[u.i] AS v, tk[u.i + 1] AS w
+        |  FROM tk, unnest(range(1, len(tk))) AS u(i)),
+        |bg AS MATERIALIZED (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cvw
+        |  FROM bgo GROUP BY 1, 2),
+        |lft AS MATERIALIZED (SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv,
+        |    CAST(COUNT(*) AS BIGINT) AS n1v FROM bg GROUP BY 1),
+        |rgt AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w
+        |  FROM bg GROUP BY 1),
+        |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bb FROM bg),
+        |gs AS MATERIALIZED (SELECT source, v, w,
+        |    CAST(COUNT(*) AS BIGINT) AS cs FROM bgo GROUP BY 1, 2, 3),
+        |terms AS (SELECT gs.source, cs,
+        |    CAST(ROUND(LN((CAST(cvw AS DOUBLE) - CAST('0.75' AS DOUBLE))
+        |        / CAST(cv AS DOUBLE)
+        |      + CAST('0.75' AS DOUBLE) * CAST(n1v AS DOUBLE)
+        |        / CAST(cv AS DOUBLE)
+        |        * (CAST(n1w AS DOUBLE) / CAST(bb AS DOUBLE))), 8)
+        |      AS DECIMAL(18,8)) * CAST(cs AS DECIMAL(10,0)) AS t
+        |  FROM gs JOIN bg USING (v, w) JOIN lft USING (v)
+        |    JOIN rgt USING (w) CROSS JOIN btot)
+        |SELECT source, CAST(SUM(cs) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(CAST(SUM(t) AS DECIMAL(38,8)) AS DOUBLE)
+        |    * CAST('-1.0' AS DOUBLE) / CAST(SUM(cs) AS DOUBLE), 6)
+        |    AS cross_entropy_nats,
+        |  ROUND(EXP(CAST(CAST(SUM(t) AS DECIMAL(38,8)) AS DOUBLE)
+        |    * CAST('-1.0' AS DOUBLE) / CAST(SUM(cs) AS DOUBLE)), 4)
+        |    AS perplexity
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "q464_yules_k" ->
       """WITH tf AS (SELECT source, t AS tok, CAST(COUNT(*) AS BIGINT) AS f
         |  FROM (SELECT source, u.t FROM documents,

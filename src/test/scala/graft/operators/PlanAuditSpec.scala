@@ -178,6 +178,10 @@ class PlanAuditSpec extends SparkSpec {
     "q452_energy_distance", // 1-row midpoint + (N1,N2) totals broadcasts onto the bounded cent-support steps (q363's shape)
     "q453_cramer_von_mises", // 1-row (N1,N2) totals broadcast onto the bounded $10-bucket steps (q361's support)
     "q454_nominal_association", // 1-row margin/entropy broadcasts composing the single report row over the <=20-cell relation
+    "q487_matrix_profile", // subsequence pair kernel over the calendar-bounded day grid (~2.4k windows -> ~5.8M pairs at any SF), never the orders
+    "q488_kneser_ney", // 1-row bigram-type total broadcast onto the per-type stats join
+    "q489_srp_distortion", // 63-row plane grid onto the dim explode + bounded id<200 pair cut (<=19.9k pairs) + 1-row p90 broadcast
+    "q490_cusum_alarm", // 1-row (n, sum) totals broadcast onto the calendar-bounded day grid
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -242,7 +246,10 @@ class PlanAuditSpec extends SparkSpec {
     "q457_variance_ratio" -> "5-day rolling sum + count over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q458_kpss" -> "partial-sum cumsum over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q452_energy_distance" -> "CDF cumsums + lead over the bounded cent-support collapse (q363's value domain), never the events",
-    "q453_cramer_von_mises" -> "CDF cumsums over the bounded $10-bucket collapse (q361's price-domain argument), never the orders")
+    "q453_cramer_von_mises" -> "CDF cumsums over the bounded $10-bucket collapse (q361's price-domain argument), never the orders",
+    "q487_matrix_profile" -> "row_number + 7-row subsequence windows over the calendar-bounded day GRID (the q210/q397 argument), never the orders",
+    "q489_srp_distortion" -> "p90 rank window over the bounded id<200 pair cut (<=19.9k rows at any SF), never the corpus",
+    "q490_cusum_alarm" -> "CUSUM prefix-sum + running-min over the calendar-bounded day grid (the q397/q429 argument), never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

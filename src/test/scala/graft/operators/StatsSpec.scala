@@ -12,6 +12,72 @@ import org.apache.spark.sql.functions._
   */
 class StatsSpec extends SparkSpec {
 
+  private def rd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def dailyDollars(): Seq[(Long, Long)] =
+    graft.Tables(spark, sf0001, "orders")
+      .select(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => BigDecimal(t._2)).sum.setScale(0,
+        BigDecimal.RoundingMode.FLOOR).toLong)
+      .toSeq.sortBy(_._1)
+
+  test("q487 matrix profile: matches a brute-force z-norm replay with identical ties") {
+    val grid = dailyDollars()
+    val subs = grid.indices.dropRight(6).map { k =>
+      val w = grid.slice(k, k + 7).map(_._2)
+      val ss = w.sum; val qq = w.map(v => v * v).sum
+      (k + 1L, grid(k)._1, w, ss, qq) // i is 1-based row position
+    }.filter { case (_, _, _, ss, qq) => 7 * qq - ss * ss > 0 }
+    val prof = subs.map { case (i, x, w, ss, qq) =>
+      val dists = subs.filter { case (j, _, _, _, _) => math.abs(i - j) >= 4 }
+        .map { case (_, _, w2, sj, qj) =>
+          val dot = w.zip(w2).map { case (a, b) => a * b }.sum
+          val num = (7L * dot - ss * sj).toDouble
+          val va = (7L * qq - ss * ss).toDouble
+          val vb = (7L * qj - sj * sj).toDouble
+          rd6(math.sqrt(math.max(0.0,
+            14.0 * (1.0 - num / (math.sqrt(va) * math.sqrt(vb))))))
+        }
+      (i, x, dists.min)
+    }
+    val want = prof.sortBy { case (i, _, p) => (-p, i) }.take(10)
+    val got = Stats.q487MatrixProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"matrix profile mismatch:\n got=$got\n want=$want")
+  }
+
+  test("q490 CUSUM: the prefix-min identity reproduces the max(0,.) recursion") {
+    val cents = graft.Tables(spark, sf0001, "orders")
+      .select(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => BigDecimal(t._2)).sum * 100)
+      .toSeq.map { case (x, c) => (x, c.toLong) }.sortBy(_._1)
+    val n = cents.size; val cc = cents.map(_._2).sum
+    val mu = cc.toDouble / n
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val h = r4(mu * 0.05)
+    // the recursion the query claims to compute, replayed directly
+    var sPrev = BigDecimal(0)
+    val rec = cents.map { case (x, c) =>
+      val y = r4(c.toDouble - mu * 1.005)
+      sPrev = (sPrev + y).max(BigDecimal(0))
+      (x, c, sPrev.toDouble, sPrev > h)
+    }
+    val want = rec.sortBy { case (x, _, s, _) => (-s, x) }.take(10)
+      .map { case (x, c, s, a) => (x, c, s, a) }
+    val got = Stats.q490CusumAlarm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == want, s"CUSUM identity mismatch:\n got=$got\n want=$want")
+  }
+
   test("q177 linreg: slope/intercept/r2 match closed-form on collected rows") {
     val rows = graft.Tables(spark, sf0001, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("double"),

@@ -3827,6 +3827,78 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q488 Kneser-Ney: perplexity matches a bigram-count replay") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val bgOcc = docs.flatMap { case (src, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (src, p(0), p(1)))
+    }
+    val cvw = bgOcc.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong).toMap
+    val cv = bgOcc.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n1v = cvw.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1w = cvw.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bb = cvw.size.toLong
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val got = Text.q488KneserNey(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val mine = bgOcc.filter(_._1 == src)
+      assert(r.getLong(1) == mine.length.toLong, s"n_bigrams($src)")
+      val bySrc = mine.groupBy(t => (t._2, t._3)).view.mapValues(_.length.toLong)
+      val lsum = bySrc.toSeq.map { case ((v, w), cs) =>
+        val p = (cvw((v, w)) - 0.75) / cv(v) +
+          0.75 * n1v(v) / cv(v) * (n1w(w).toDouble / bb)
+        r8(math.log(p)) * BigDecimal(cs)
+      }.sum
+      val ce = lsum.toDouble * -1.0 / mine.length
+      assert(math.abs(r.getDouble(2) - ce) < 1e-5, s"cross_entropy($src)")
+      assert(math.abs(r.getDouble(3) - math.exp(ce)) < 1e-2, s"perplexity($src)")
+    }
+  }
+
+  test("q489 SRP distortion: sketch bits and distortion match a replay") {
+    val embs = graft.Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def quant(e: Array[Double]): Array[Long] =
+      e.map(x => BigDecimal(x * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def sign(p: Int, j: Int): Long =
+      if (((p * 64L + j + 1L) * 2654435761L) % 1000003L % 2L == 0L) 1L else -1L
+    def bits(eq: Array[Long]): Array[Long] =
+      (0 until 63).map { p =>
+        val dot = (0 until 64).map(j => eq(j) * sign(p, j)).sum
+        if (dot >= 0L) 1L else 0L
+      }.toArray
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def rd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sk = embs.map { case (id, e) => (id, e, bits(quant(e))) }
+    val dists = (for {
+      (ia, ea, ba) <- sk; (ib, eb, bb2) <- sk if ia < ib
+    } yield {
+      val h = ba.zip(bb2).count { case (x, y) => x != y }
+      rd(math.abs(rd(math.cos(math.Pi * h / 63.0), 8) - rd(cosine(ea, eb), 6)), 6)
+    }).sorted
+    val want = (dists.length.toLong,
+      rd(dists.map(BigDecimal(_)).sum.toDouble / dists.length, 6),
+      dists(math.ceil(0.9 * dists.length).toInt - 1),
+      dists.last)
+    val got = Similarity.q489SrpDistortion(spark, sf0001).collect()
+    assert(got.length == 1)
+    val g = (got(0).getLong(0), got(0).getDouble(1), got(0).getDouble(2),
+      got(0).getDouble(3))
+    assert(g == want, s"SRP distortion mismatch: got=$g want=$want")
+  }
+
   test("q464 lexical richness: identities vs a token-frequency replay") {
     val tf = graft.Tables(spark, sf0001, "documents")
       .select(col("source"), col("text")).collect()
