@@ -5498,9 +5498,186 @@ object Stats {
       .limit(10)
   }
 
+  /** Q492: deterministic Poisson-bootstrap confidence interval for the
+    * mean order value — THE at-scale bootstrap: true multinomial
+    * resampling needs a global draw, but with n large each row's
+    * replicate count is ≈ Poisson(1), so every (row, replica) weight is
+    * an INDEPENDENT pure function of (key, replica) and the whole B=32
+    * bootstrap is one explode + one aggregation, embarrassingly
+    * parallel at any corpus size. Weights come from the inverse
+    * Poisson(1) CDF on [[TrainingOps.portableBucket]]'s 10⁴ grid
+    * (integer thresholds 3679/7358/9197/9810/9963/9994 — both engines
+    * compare exact ints). Replica means are exact-int ratios rounded
+    * 4 dp; the percentile CI takes ranks 2 and 31 of the 32 sorted
+    * means (p5/p95); the bootstrap SE is computed from CENTERED 4-dp
+    * decimal deviations so every sum stays inside the 2⁵³ cast band.
+    */
+  def q492BootstrapCi: Q = (s, d) => {
+    val base = Tables(s, d, "orders")
+      .select(col("o_orderkey").as("k"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("c"))
+    val reps = s.range(0, 32).select(col("id").as("b"))
+    val u = TrainingOps.portableBucket(col("k") * 37L + col("b"))
+    val w = when(u < 3679, 0L).when(u < 7358, 1L).when(u < 9197, 2L)
+      .when(u < 9810, 3L).when(u < 9963, 4L).when(u < 9994, 5L)
+      .otherwise(6L)
+    val means = base.crossJoin(broadcast(reps))
+      .select(col("b"), col("c"), w.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("c")).cast("long").as("swc"),
+        sum(col("w")).cast("long").as("sw"))
+      .select(col("b"),
+        round(col("swc").cast("double") / col("sw").cast("double"), 4)
+          .cast(DecimalType(18, 4)).as("m"))
+    val point = base.agg(
+      round(sum(col("c")).cast("long").cast("double")
+        / count(lit(1)).cast("double"), 4).cast(DecimalType(18, 4)).as("pt"))
+    val dm = means.crossJoin(broadcast(point))
+      .select(col("b"), col("m"), col("pt"),
+        (col("m") - col("pt")).cast(DecimalType(18, 4)).as("dm"))
+    val wrk = Window.orderBy(col("m"), col("b"))
+    val ranked = dm.withColumn("rn", row_number().over(wrk))
+    val lo = ranked.filter(col("rn") === 2)
+      .select(col("m").cast("double").as("ci_lo"))
+    val hi = ranked.filter(col("rn") === 31)
+      .select(col("m").cast("double").as("ci_hi"))
+    val se = dm.agg(max(col("pt")).as("pt"),
+        count(lit(1)).as("nb"),
+        sum(col("dm")).cast(DecimalType(28, 4)).as("sdm"),
+        sum(round(col("dm").cast("double") * col("dm").cast("double"), 4)
+          .cast(DecimalType(28, 4))).cast(DecimalType(38, 4)).as("sdm2"))
+      .select(col("pt"), col("nb"),
+        round(sqrt((col("sdm2").cast("double")
+          - col("sdm").cast("double") * col("sdm").cast("double")
+            / col("nb").cast("double")) / (col("nb").cast("double") - 1.0)), 4)
+          .as("se"))
+    se.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("nb").as("n_replicas"), col("pt").cast("double").as("mean_cents"),
+        col("ci_lo"), col("ci_hi"), col("se"))
+  }
+
+  /** Q493: weekday seasonal decomposition of daily revenue — trend
+    * (centered 7-day MA), weekday seasonal indices, and a strength-of-
+    * seasonality statistic (1 − Var(resid)/Var(detrended), the STL
+    * diagnostic) that q367's periodogram peak and q485's dispersion
+    * don't give. Revenue is floored to THOUSANDS of dollars and the
+    * detrended series kept in SEVENTHS (d7 = 7c − Σwindow, an exact
+    * int64) so every moment stays inside the 2⁵³ decimal→double band;
+    * d7/7 and the 4-dp rounds are the only float steps, mirrored
+    * shape-for-shape. Interior days only (full 7-day windows) — edge
+    * truncation is documented, not silently averaged. One bounded
+    * window over the calendar grid + a 7-row weekday collapse.
+    */
+  def q493SeasonalDecompose: Q = (s, d) => {
+    // thousands of dollars via integer DIV on exact cents — decimal
+    // division scales/rounds differently across engines, int DIV doesn't
+    val grid = dailyRevenue(s, d)
+      .select(col("x"), (col("r") * 100).cast("long").as("cc"))
+      .select(col("x"), expr("cc DIV 100000").as("c"))
+    val w7 = Window.orderBy(col("x")).rowsBetween(-3, 3)
+    val det = grid
+      .withColumn("sw", sum(col("c")).over(w7))
+      .withColumn("cw", count(lit(1)).over(w7))
+      .filter(col("cw") === 7)
+      .select(col("x"), pmod(col("x"), lit(7L)).as("wd"),
+        (lit(7L) * col("c") - col("sw")).as("d7"))
+    val seas = det.groupBy(col("wd"))
+      .agg(count(lit(1)).as("n_days"), sum(col("d7")).cast("long").as("sd7"))
+      .select(col("wd"), col("n_days"),
+        round(col("sd7").cast("double") / col("n_days").cast("double") / 7.0, 4)
+          .cast(DecimalType(18, 4)).as("seasonal"))
+    val resid = det.join(broadcast(seas), Seq("wd"))
+      .select(col("wd"),
+        round(col("d7").cast("double") / 7.0, 4)
+          .cast(DecimalType(18, 4)).as("dd"),
+        (round(col("d7").cast("double") / 7.0, 4)
+          .cast(DecimalType(18, 4)) - col("seasonal"))
+          .cast(DecimalType(18, 4)).as("rr"))
+    val glob = resid.agg(count(lit(1)).as("n"),
+        sum(col("dd")).cast(DecimalType(28, 4)).as("sdd"),
+        sum(round(col("dd").cast("double") * col("dd").cast("double"), 4)
+          .cast(DecimalType(28, 4))).cast(DecimalType(38, 4)).as("sdd2"),
+        sum(col("rr")).cast(DecimalType(28, 4)).as("srr"),
+        sum(round(col("rr").cast("double") * col("rr").cast("double"), 4)
+          .cast(DecimalType(28, 4))).cast(DecimalType(38, 4)).as("srr2"))
+    val nD = col("n").cast("double")
+    val vd = (col("sdd2").cast("double")
+      - col("sdd").cast("double") * col("sdd").cast("double") / nD) / (nD - 1.0)
+    val vr = (col("srr2").cast("double")
+      - col("srr").cast("double") * col("srr").cast("double") / nD) / (nD - 1.0)
+    val strength = glob.select(
+      round(greatest(lit(0.0), lit(1.0) - vr / vd), 6).as("seasonal_strength"))
+    seas.crossJoin(broadcast(strength))
+      .select(col("wd").as("weekday"), col("n_days"),
+        col("seasonal").cast("double").as("seasonal_k"),
+        col("seasonal_strength"))
+      .orderBy(col("weekday"))
+  }
+
+  /** Q494: Granger causality at lag 1 — does yesterday's ORDER COUNT
+    * improve today's REVENUE forecast beyond yesterday's revenue alone
+    * (the bivariate lead/lag question q429's cointegration and q439's
+    * rolling beta don't answer)? Unrestricted OLS rₜ ~ rₜ₋₁ + nₜ₋₁ via
+    * the 3×3 normal equations solved in CRAMER form, restricted rₜ ~
+    * rₜ₋₁ in closed form, F = (RSSᵣ − RSSᵤ)/(RSSᵤ/(n−3)). Revenue in
+    * THOUSANDS of dollars keeps every raw moment an exact int64 double
+    * (< 2⁵³), so both engines enter the determinant tree — mirrored
+    * term-for-term in the oracle — with identical operands. One lag
+    * window over the calendar grid, one moment collapse.
+    */
+  def q494GrangerCausality: Q = (s, d) => {
+    val grid = Tables(s, d, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rc"),
+        count(lit(1)).as("cnt"))
+      .select(col("x"), expr("rc DIV 100000").as("r"), col("cnt"))
+    val wl = Window.orderBy(col("x"))
+    val lagged = grid
+      .withColumn("r1", lag(col("r"), 1).over(wl))
+      .withColumn("n1", lag(col("cnt"), 1).over(wl))
+      .filter(col("r1").isNotNull)
+    val m = lagged.agg(count(lit(1)).as("n"),
+      sum(col("r")).cast("long").as("sy"),
+      sum(col("r1")).cast("long").as("s1"),
+      sum(col("n1")).cast("long").as("s2"),
+      sum(col("r1") * col("r1")).cast("long").as("s11"),
+      sum(col("n1") * col("n1")).cast("long").as("s22"),
+      sum(col("r1") * col("n1")).cast("long").as("s12"),
+      sum(col("r") * col("r1")).cast("long").as("sy1"),
+      sum(col("r") * col("n1")).cast("long").as("sy2"),
+      sum(col("r") * col("r")).cast("long").as("syy"))
+    val n = col("n").cast("double"); val sy = col("sy").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val s11 = col("s11").cast("double"); val s22 = col("s22").cast("double")
+    val s12 = col("s12").cast("double"); val sy1 = col("sy1").cast("double")
+    val sy2 = col("sy2").cast("double"); val syy = col("syy").cast("double")
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val da = sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) +
+      s2 * (sy1 * s12 - s11 * sy2)
+    val db = n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * sy2 - sy1 * s2)
+    val dc = n * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val rssU = syy - (da * sy + db * sy1 + dc * sy2) / det
+    val br = (n * sy1 - s1 * sy) / (n * s11 - s1 * s1)
+    val ar = (sy - br * s1) / n
+    val rssR = syy - ar * sy - br * sy1
+    val f = (rssR - rssU) / (rssU / (n - 3.0))
+    m.select(big(col("n")).as("n"),
+      round(db / det, 6).as("beta_rev_lag"),
+      round(dc / det, 6).as("beta_cnt_lag"),
+      round(f, 4).as("f_stat"),
+      (round(f, 4) > lit(3.8415)).as("granger_significant"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q487_matrix_profile" -> q487MatrixProfile,
     "q490_cusum_alarm" -> q490CusumAlarm,
+    "q492_bootstrap_ci" -> q492BootstrapCi,
+    "q493_seasonal_decompose" -> q493SeasonalDecompose,
+    "q494_granger_causality" -> q494GrangerCausality,
     "q481_gmm_1d" -> q481Gmm1d,
     "q485_negbin_fit" -> q485NegbinFit,
     "q482_hampel" -> q482Hampel,
@@ -5880,6 +6057,139 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q492_bootstrap_ci" ->
+      """WITH base AS MATERIALIZED (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |reps AS (SELECT u.b AS b FROM unnest(range(0, 32)) AS u(b)),
+        |wtd AS (SELECT b, c,
+        |    (CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+        |      WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+        |      WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5 ELSE 6 END) AS w
+        |  FROM (SELECT b, c,
+        |      ((((k * 37 + b) % 2147483647) * 48271) % 2147483647 + 1)
+        |        * 16807 % 2147483647 % 10000 AS u
+        |    FROM base CROSS JOIN reps)),
+        |means AS MATERIALIZED (SELECT b,
+        |    CAST(ROUND(CAST(SUM(w * c) AS DOUBLE)
+        |      / CAST(SUM(w) AS DOUBLE), 4) AS DECIMAL(18,4)) AS m
+        |  FROM wtd GROUP BY b),
+        |pt AS (SELECT CAST(ROUND(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS DECIMAL(18,4)) AS pt
+        |  FROM base),
+        |dm AS MATERIALIZED (SELECT b, m, pt,
+        |    CAST(m - pt AS DECIMAL(18,4)) AS dm FROM means, pt),
+        |ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM dm),
+        |lo AS (SELECT CAST(m AS DOUBLE) AS ci_lo FROM ranked WHERE rn = 2),
+        |hi AS (SELECT CAST(m AS DOUBLE) AS ci_hi FROM ranked WHERE rn = 31),
+        |se AS (SELECT MAX(pt) AS pt, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(dm) AS DECIMAL(28,4)) AS sdm,
+        |    CAST(SUM(CAST(ROUND(CAST(dm AS DOUBLE) * CAST(dm AS DOUBLE), 4)
+        |      AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sdm2
+        |  FROM dm)
+        |SELECT nb AS n_replicas, CAST(pt AS DOUBLE) AS mean_cents,
+        |  ci_lo, ci_hi,
+        |  ROUND(SQRT((CAST(sdm2 AS DOUBLE)
+        |    - CAST(sdm AS DOUBLE) * CAST(sdm AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE)
+        |        - CAST('1.0' AS DOUBLE))), 4) AS se
+        |FROM se, lo, hi""".stripMargin,
+    "q493_seasonal_decompose" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS c
+        |  FROM orders GROUP BY 1),
+        |det AS MATERIALIZED (SELECT x,
+        |    ((x % 7) + 7) % 7 AS wd, 7 * c - sw AS d7
+        |  FROM (SELECT x, c,
+        |      CAST(SUM(c) OVER w AS BIGINT) AS sw, COUNT(*) OVER w AS cw
+        |    FROM daily
+        |    WINDOW w AS (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |  WHERE cw = 7),
+        |seas AS MATERIALIZED (SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(ROUND(CAST(CAST(SUM(d7) AS BIGINT) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) / CAST('7.0' AS DOUBLE), 4)
+        |      AS DECIMAL(18,4)) AS seasonal
+        |  FROM det GROUP BY wd),
+        |resid AS (SELECT det.wd,
+        |    CAST(ROUND(CAST(d7 AS DOUBLE) / CAST('7.0' AS DOUBLE), 4)
+        |      AS DECIMAL(18,4)) AS dd,
+        |    CAST(CAST(ROUND(CAST(d7 AS DOUBLE) / CAST('7.0' AS DOUBLE), 4)
+        |      AS DECIMAL(18,4)) - seasonal AS DECIMAL(18,4)) AS rr
+        |  FROM det JOIN seas ON det.wd = seas.wd),
+        |gmo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dd) AS DECIMAL(28,4)) AS sdd,
+        |    CAST(SUM(CAST(ROUND(CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE), 4)
+        |      AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS sdd2,
+        |    CAST(SUM(rr) AS DECIMAL(28,4)) AS srr,
+        |    CAST(SUM(CAST(ROUND(CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE), 4)
+        |      AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS srr2
+        |  FROM resid),
+        |strength AS (SELECT ROUND(GREATEST(CAST('0.0' AS DOUBLE),
+        |    CAST('1.0' AS DOUBLE)
+        |    - ((CAST(srr2 AS DOUBLE) - CAST(srr AS DOUBLE)
+        |        * CAST(srr AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |      / ((CAST(sdd2 AS DOUBLE) - CAST(sdd AS DOUBLE)
+        |        * CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))), 6)
+        |    AS seasonal_strength FROM gmo)
+        |SELECT wd AS weekday, n_days, CAST(seasonal AS DOUBLE) AS seasonal_k,
+        |  seasonal_strength
+        |FROM seas, strength ORDER BY weekday""".stripMargin,
+    "q494_granger_causality" ->
+      """WITH grid AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |      AS DECIMAL(18,4)) * 100 AS BIGINT) // 100000 AS r,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |lagged AS MATERIALIZED (SELECT r, r1, n1 FROM (
+        |    SELECT r, lag(r, 1) OVER (ORDER BY x) AS r1,
+        |      lag(cnt, 1) OVER (ORDER BY x) AS n1
+        |    FROM grid) WHERE r1 IS NOT NULL),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r) AS BIGINT) AS sy, CAST(SUM(r1) AS BIGINT) AS s1,
+        |    CAST(SUM(n1) AS BIGINT) AS s2,
+        |    CAST(SUM(r1 * r1) AS BIGINT) AS s11,
+        |    CAST(SUM(n1 * n1) AS BIGINT) AS s22,
+        |    CAST(SUM(r1 * n1) AS BIGINT) AS s12,
+        |    CAST(SUM(r * r1) AS BIGINT) AS sy1,
+        |    CAST(SUM(r * n1) AS BIGINT) AS sy2,
+        |    CAST(SUM(r * r) AS BIGINT) AS syy
+        |  FROM lagged),
+        |md AS (SELECT CAST(n AS DOUBLE) AS n, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+        |    CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+        |    CAST(s12 AS DOUBLE) AS s12, CAST(sy1 AS DOUBLE) AS sy1,
+        |    CAST(sy2 AS DOUBLE) AS sy2, CAST(syy AS DOUBLE) AS syy,
+        |    CAST(n AS BIGINT) AS nb
+        |  FROM m),
+        |cr AS (SELECT nb, n, s1, sy1, sy2, sy, syy,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2)
+        |      + s2 * (sy1 * s12 - s11 * sy2) AS da,
+        |    n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2)
+        |      + s2 * (s1 * sy2 - sy1 * s2) AS db,
+        |    n * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2)
+        |      + sy * (s1 * s12 - s11 * s2) AS dc,
+        |    (n * sy1 - s1 * sy) / (n * s11 - s1 * s1) AS br
+        |  FROM md),
+        |fin AS (SELECT nb, db / det AS bb, dc / det AS cc2,
+        |    syy - (da * sy + db * sy1 + dc * sy2) / det AS rssu,
+        |    syy - ((sy - br * s1) / n) * sy - br * sy1 AS rssr, n
+        |  FROM cr)
+        |SELECT nb AS n, ROUND(bb, 6) AS beta_rev_lag,
+        |  ROUND(cc2, 6) AS beta_cnt_lag,
+        |  ROUND((rssr - rssu) / (rssu / (n - CAST('3.0' AS DOUBLE))), 4)
+        |    AS f_stat,
+        |  (ROUND((rssr - rssu) / (rssu / (n - CAST('3.0' AS DOUBLE))), 4)
+        |    > CAST('3.8415' AS DOUBLE)) AS granger_significant
+        |FROM fin""".stripMargin,
     "q487_matrix_profile" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '1995-01-01',

@@ -2325,7 +2325,59 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Q491: UMass topic coherence per source — do a source's top terms
+    * actually CO-OCCUR in its documents (the corpus-health signal q95's
+    * global collocation lift and q401's cross-corpus keyness don't give:
+    * a source whose frequent terms never share a document is template
+    * noise, not topical text)? C = Σᵢ<ⱼ ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) over the
+    * source's top-10 document-frequency terms, rank-ordered (the +1
+    * smoothing is the published UMass form). Counts are exact ints; each
+    * log term is one IEEE expression rounded 8 dp, decimal-summed. The
+    * co-occurrence join runs over the TOP-TERM-FILTERED doc-term
+    * relation (≤10 terms × docs per source), never the full vocabulary —
+    * the rank cut happens before the pair explosion.
+    */
+  def q491UmassCoherence: Q = (s, d) => {
+    val dt = graft.Checkpoints.materialize(Tables(s, d, "documents")
+      .select(col("source"), col("doc_id"), explode(toks).as("tok"))
+      .distinct())
+    val df = dt.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(col("df").desc, col("tok"))
+    val top = graft.Checkpoints.materialize(df
+      .withColumn("rk", row_number().over(wr)).filter(col("rk") <= 10))
+    val dtTop = dt.join(top.select(col("source"), col("tok"), col("rk")),
+      Seq("source", "tok"))
+    val co = dtTop.select(col("source"), col("doc_id"),
+        col("tok").as("wi"), col("rk").as("ri"))
+      .join(dtTop.select(col("source"), col("doc_id"),
+        col("tok").as("wj"), col("rk").as("rj")), Seq("source", "doc_id"))
+      .filter(col("ri") < col("rj"))
+      .groupBy(col("source"), col("wi"), col("wj"))
+      .agg(count(lit(1)).as("dij"))
+    // the FULL rank-pair grid (≤45 rows per source), LEFT-joined to the
+    // observed co-occurrences: a pair that never shares a document still
+    // contributes ln(1/D(wj)) — dropping it would bias C upward exactly
+    // on the template-noise sources this query exists to flag
+    val grid = top.select(col("source"), col("tok").as("wi"), col("rk").as("ri"))
+      .join(top.select(col("source"), col("tok").as("wj"),
+        col("rk").as("rj"), col("df").as("dj")), Seq("source"))
+      .filter(col("ri") < col("rj"))
+    val terms = grid
+      .join(co, Seq("source", "wi", "wj"), "left")
+      .select(col("source"),
+        round(log((coalesce(col("dij"), lit(0L)).cast("double") + 1.0)
+          / col("dj").cast("double")), 8)
+          .cast(DecimalType(18, 8)).as("t"))
+    terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("t")).cast(DecimalType(38, 8)).cast("double"), 6)
+          .as("coherence"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q491_umass_coherence" -> q491UmassCoherence,
     "q488_kneser_ney" -> q488KneserNey,
     "q464_yules_k" -> q464YulesK,
     "q463_jaro_winkler_pairs" -> q463JaroWinklerPairs,
@@ -2431,6 +2483,34 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q491_umass_coherence" ->
+      """WITH dt AS MATERIALIZED (SELECT DISTINCT source, doc_id, u.t AS tok
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        |  WHERE u.t <> ''),
+        |df AS MATERIALIZED (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM dt GROUP BY 1, 2),
+        |top AS MATERIALIZED (SELECT source, tok, df, rk FROM (
+        |  SELECT source, tok, df, CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY df DESC, tok) AS BIGINT) AS rk FROM df)
+        |  WHERE rk <= 10),
+        |dtt AS MATERIALIZED (SELECT dt.source, dt.doc_id, dt.tok, top.rk
+        |  FROM dt JOIN top ON dt.source = top.source AND dt.tok = top.tok),
+        |co AS MATERIALIZED (SELECT a.source, a.tok AS wi, b.tok AS wj,
+        |    CAST(COUNT(*) AS BIGINT) AS dij
+        |  FROM dtt a JOIN dtt b ON a.source = b.source
+        |    AND a.doc_id = b.doc_id AND a.rk < b.rk
+        |  GROUP BY 1, 2, 3),
+        |grid AS (SELECT a.source, a.tok AS wi, b.tok AS wj, b.df AS dj
+        |  FROM top a JOIN top b ON a.source = b.source AND a.rk < b.rk),
+        |terms AS (SELECT grid.source,
+        |    CAST(ROUND(LN((CAST(COALESCE(dij, 0) AS DOUBLE)
+        |      + CAST('1.0' AS DOUBLE)) / CAST(dj AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS t
+        |  FROM grid LEFT JOIN co ON grid.source = co.source
+        |    AND grid.wi = co.wi AND grid.wj = co.wj)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(CAST(SUM(t) AS DECIMAL(38,8)) AS DOUBLE), 6) AS coherence
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "q488_kneser_ney" ->
       """WITH tk AS (SELECT source,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS tk

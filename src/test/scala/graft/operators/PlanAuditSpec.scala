@@ -182,6 +182,8 @@ class PlanAuditSpec extends SparkSpec {
     "q488_kneser_ney", // 1-row bigram-type total broadcast onto the per-type stats join
     "q489_srp_distortion", // 63-row plane grid onto the dim explode + bounded id<200 pair cut (<=19.9k pairs) + 1-row p90 broadcast
     "q490_cusum_alarm", // 1-row (n, sum) totals broadcast onto the calendar-bounded day grid
+    "q492_bootstrap_ci", // 32-row replica grid onto the order scan + 1-row point/lo/hi broadcasts
+    "q493_seasonal_decompose", // 1-row strength broadcast onto the 7-row weekday collapse
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
   /** Queries allowed to plan an un-partitioned Window (single-partition
@@ -249,7 +251,10 @@ class PlanAuditSpec extends SparkSpec {
     "q453_cramer_von_mises" -> "CDF cumsums over the bounded $10-bucket collapse (q361's price-domain argument), never the orders",
     "q487_matrix_profile" -> "row_number + 7-row subsequence windows over the calendar-bounded day GRID (the q210/q397 argument), never the orders",
     "q489_srp_distortion" -> "p90 rank window over the bounded id<200 pair cut (<=19.9k rows at any SF), never the corpus",
-    "q490_cusum_alarm" -> "CUSUM prefix-sum + running-min over the calendar-bounded day grid (the q397/q429 argument), never the orders")
+    "q490_cusum_alarm" -> "CUSUM prefix-sum + running-min over the calendar-bounded day grid (the q397/q429 argument), never the orders",
+    "q492_bootstrap_ci" -> "percentile rank over the 32-row replica-mean relation, never the orders",
+    "q493_seasonal_decompose" -> "centered 7-day MA window over the calendar-bounded day grid (the q397/q429 argument), never the orders",
+    "q494_granger_causality" -> "lag-1 window over the calendar-bounded day grid (the q397/q429 argument), never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

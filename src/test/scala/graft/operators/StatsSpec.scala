@@ -78,6 +78,113 @@ class StatsSpec extends SparkSpec {
     assert(got == want, s"CUSUM identity mismatch:\n got=$got\n want=$want")
   }
 
+  test("q492 bootstrap: weights, replica means and CI match a hash replay") {
+    val base = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderkey"), (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val p = 2147483647L
+    def bucket(x: Long): Long = {
+      val h1 = ((x % p) * 48271L) % p
+      ((h1 + 1L) * 16807L) % p % 10000L
+    }
+    def w(u: Long): Long =
+      if (u < 3679) 0 else if (u < 7358) 1 else if (u < 9197) 2
+      else if (u < 9810) 3 else if (u < 9963) 4 else if (u < 9994) 5 else 6
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val means = (0L until 32L).map { b =>
+      val ws = base.map { case (k, c) => (w(bucket(k * 37L + b)), c) }
+      (b, r4(ws.map { case (wt, c) => wt * c }.sum.toDouble
+        / ws.map(_._1).sum))
+    }
+    val pt = r4(base.map(_._2).sum.toDouble / base.length)
+    val sortedM = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val dms = means.map(_._2 - pt)
+    val sdm = dms.sum
+    val sdm2 = dms.map(dm => r4(dm.toDouble * dm.toDouble)).sum
+    val se = r4(math.sqrt((sdm2.toDouble - sdm.toDouble * sdm.toDouble / 32.0)
+      / 31.0)).toDouble
+    val got = Stats.q492BootstrapCi(spark, sf0001).collect()(0)
+    assert(got.getLong(0) == 32L)
+    assert(got.getDouble(1) == pt.toDouble, "point estimate")
+    assert(got.getDouble(2) == sortedM(1).toDouble, "ci_lo (rank 2)")
+    assert(got.getDouble(3) == sortedM(30).toDouble, "ci_hi (rank 31)")
+    assert(got.getDouble(4) == se, "bootstrap se")
+  }
+
+  test("q493 seasonal decomposition: indices and strength match a replay") {
+    val grid = dailyDollars().map { case (x, dol) => (x, dol / 1000L) }
+    val det = grid.indices.collect {
+      case k if k >= 3 && k + 3 < grid.size =>
+        val win = grid.slice(k - 3, k + 4).map(_._2).sum
+        (grid(k)._1, ((grid(k)._1 % 7) + 7) % 7, 7L * grid(k)._2 - win)
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val seas = det.groupBy(_._2).view.mapValues { g =>
+      (g.size.toLong, r4(g.map(_._3).sum.toDouble / g.size / 7.0))
+    }.toMap
+    val resid = det.map { case (_, wd, d7) =>
+      val dd = r4(d7.toDouble / 7.0)
+      (dd, dd - seas(wd)._2)
+    }
+    def varOf(vs: Seq[BigDecimal]): Double = {
+      val n = vs.size.toDouble
+      val s = vs.sum; val s2 = vs.map(v => r4(v.toDouble * v.toDouble)).sum
+      (s2.toDouble - s.toDouble * s.toDouble / n) / (n - 1.0)
+    }
+    val strength = BigDecimal(math.max(0.0,
+      1.0 - varOf(resid.map(_._2)) / varOf(resid.map(_._1))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.q493SeasonalDecompose(spark, sf0001).collect()
+    assert(got.length == 7)
+    got.foreach { r =>
+      val (n, s) = seas(r.getLong(0))
+      assert(r.getLong(1) == n, s"n_days(${r.getLong(0)})")
+      assert(r.getDouble(2) == s.toDouble, s"seasonal(${r.getLong(0)})")
+      assert(r.getDouble(3) == strength, "strength")
+    }
+  }
+
+  test("q494 Granger: F statistic matches an OLS replay on the lag pairs") {
+    val grid = graft.Tables(spark, sf0001, "orders")
+      .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,4)")) * 100)
+        .cast("long").as("rc"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 100000L, r.getLong(2)))
+      .sortBy(_._1)
+    val lagged = grid.sliding(2).filter(_.length == 2)
+      .map(p => (p(1)._2, p(0)._2, p(0)._3)).toSeq // (y, y1, x1)
+    val n = lagged.size.toDouble
+    def s(f: ((Long, Long, Long)) => Long) = lagged.map(f).sum.toDouble
+    val sy = s(_._1); val s1 = s(_._2); val s2 = s(_._3)
+    val s11 = s(t => t._2 * t._2); val s22 = s(t => t._3 * t._3)
+    val s12 = s(t => t._2 * t._3); val sy1 = s(t => t._1 * t._2)
+    val sy2 = s(t => t._1 * t._3); val syy = s(t => t._1 * t._1)
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val da = sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) +
+      s2 * (sy1 * s12 - s11 * sy2)
+    val db = n * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * sy2 - sy1 * s2)
+    val dc = n * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val rssU = syy - (da * sy + db * sy1 + dc * sy2) / det
+    val br = (n * sy1 - s1 * sy) / (n * s11 - s1 * s1)
+    val rssR = syy - ((sy - br * s1) / n) * sy - br * sy1
+    val f = (rssR - rssU) / (rssU / (n - 3.0))
+    def r(x: Double, sc: Int) =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.q494GrangerCausality(spark, sf0001).collect()(0)
+    assert(got.getLong(0) == lagged.size.toLong)
+    assert(got.getDouble(1) == r(db / det, 6), "beta_rev_lag")
+    assert(got.getDouble(2) == r(dc / det, 6), "beta_cnt_lag")
+    assert(got.getDouble(3) == r(f, 4), "f_stat")
+    // the lag join must add information only through the lagged columns:
+    // RSS_u <= RSS_r by construction
+    assert(rssU <= rssR + 1e-6)
+  }
+
   test("q177 linreg: slope/intercept/r2 match closed-form on collected rows") {
     val rows = graft.Tables(spark, sf0001, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("double"),

@@ -3827,6 +3827,34 @@ class UtilitiesSpec extends SparkSpec {
     }
   }
 
+  test("q491 UMass coherence: matches a doc-cooccurrence replay incl zero pairs") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSet))
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val got = Text.q491UmassCoherence(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val src = row.getString(0)
+      val mine = docs.filter(_._1 == src)
+      val df = mine.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+      val top = df.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+      val pairs = for {
+        ((wi, _), i) <- top.zipWithIndex
+        ((wj, dj), j) <- top.zipWithIndex
+        if i < j
+      } yield (wi, wj, dj)
+      assert(row.getLong(1) == pairs.size.toLong, s"n_pairs($src)")
+      val c = pairs.map { case (wi, wj, dj) =>
+        val dij = mine.count(d => d._3(wi) && d._3(wj))
+        r(math.log((dij + 1.0) / dj), 8)
+      }.sum
+      assert(row.getDouble(2) == r(c.toDouble, 6).toDouble, s"coherence($src)")
+    }
+  }
+
   test("q488 Kneser-Ney: perplexity matches a bigram-count replay") {
     val docs = graft.Tables(spark, sf0001, "documents")
       .select(col("source"), col("text")).collect()
