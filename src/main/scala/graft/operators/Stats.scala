@@ -5672,9 +5672,199 @@ object Stats {
       (round(f, 4) > lit(3.8415)).as("granger_significant"))
   }
 
+  /** Q495: binary-segmentation changepoints (depth 2, min segment 7) on
+    * the daily-revenue series — the MULTI-break structure q198's single
+    * CUSUM argmax can't give: split at the k minimizing
+    * SSE_L(k)+SSE_R(k), then the best split inside each half, all three
+    * reported with their SSE reductions. Every candidate cost is ONE
+    * IEEE expression over exact prefix moments (P, Q cumsums of
+    * thousand-dollar ints), rounded 6 dp before the argmin, ties to the
+    * earliest k — so both engines pick identical splits. The level-1
+    * pass reuses the SAME prefix sums with segment-relative offsets
+    * from a broadcast 2-row segment relation: one cumsum window over
+    * the calendar grid, no per-segment rescan.
+    */
+  def q495BinarySegmentation: Q = (s, d) => {
+    val grid = dailyRevenue(s, d)
+      .select(col("x"), (col("r") * 100).cast("long").as("cc"))
+      .select(col("x"), expr("cc DIV 100000").as("v"))
+    val wp = Window.orderBy(col("x"))
+    val wc = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = graft.Checkpoints.materialize(grid
+      .withColumn("i", row_number().over(wp).cast("long"))
+      .withColumn("p", sum(col("v")).over(wc).cast("long"))
+      .withColumn("q", sum(col("v") * col("v")).over(wc).cast("long"))
+      .select(col("i"), col("x"), col("p"), col("q")))
+    val tot = pre.agg(max(col("i")).as("n"), max(col("p")).as("pn"),
+      max(col("q")).as("qn"))
+    def cost(k: Column, pk: Column, qk: Column, a: Column, pa: Column,
+             qa: Column, b: Column, pb: Column, qb: Column): Column = {
+      val mL = (k - a).cast("double"); val mR = (b - k).cast("double")
+      val dL = (pk - pa).cast("double"); val dR = (pb - pk).cast("double")
+      round((qk - qa).cast("double") - dL * dL / mL
+        + ((qb - qk).cast("double") - dR * dR / mR), 6)
+    }
+    // level 0: global best split
+    val c0 = pre.crossJoin(broadcast(tot))
+      .filter(col("i") >= 7 && col("i") <= col("n") - 7)
+      .select(col("i"), col("x"),
+        cost(col("i"), col("p"), col("q"), lit(0L), lit(0L), lit(0L),
+          col("n"), col("pn"), col("qn")).as("cost"))
+    val w0 = Window.orderBy(col("cost"), col("i"))
+    val best0 = graft.Checkpoints.materialize(
+      c0.withColumn("rn", row_number().over(w0)).filter(col("rn") === 1)
+        .select(col("i").as("k0"), col("x").as("x0"), col("cost").as("cost0")))
+    val split = pre.join(broadcast(best0), col("i") === col("k0"))
+      .select(col("k0"), col("x0"), col("cost0"),
+        col("p").as("pk0"), col("q").as("qk0"))
+    // the 2-row segment relation (a, b bounds with their prefix sums)
+    val segs = split.crossJoin(broadcast(tot))
+      .select(col("k0"), col("x0"), col("cost0"), explode(array(
+        struct(lit(1L).as("seg"), lit(0L).as("a"), lit(0L).as("pa"),
+          lit(0L).as("qa"), col("k0").as("b"), col("pk0").as("pb"),
+          col("qk0").as("qb")),
+        struct(lit(2L).as("seg"), col("k0").as("a"), col("pk0").as("pa"),
+          col("qk0").as("qa"), col("n").as("b"), col("pn").as("pb"),
+          col("qn").as("qb")))).as("sg"))
+      .select(col("k0"), col("x0"), col("cost0"), col("sg.*"))
+    val c1 = pre.crossJoin(broadcast(segs))
+      .filter(col("i") >= col("a") + 7 && col("i") <= col("b") - 7)
+      .select(col("seg"), col("i"), col("x"),
+        cost(col("i"), col("p"), col("q"), col("a"), col("pa"), col("qa"),
+          col("b"), col("pb"), col("qb")).as("cost"),
+        // the segment's own SSE before splitting, for the reduction column
+        round((col("qb") - col("qa")).cast("double")
+          - (col("pb") - col("pa")).cast("double")
+            * (col("pb") - col("pa")).cast("double")
+            / (col("b") - col("a")).cast("double"), 6).as("sse0"))
+    val w1 = Window.partitionBy(col("seg")).orderBy(col("cost"), col("i"))
+    val best1 = c1.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("seg").as("level"), col("x").as("split_day"),
+        round(col("sse0") - col("cost"), 6).as("sse_reduction"))
+    val row0 = split.crossJoin(broadcast(tot))
+      .select(lit(0L).as("level"), col("x0").as("split_day"),
+        round(round((col("qn").cast("double")
+          - col("pn").cast("double") * col("pn").cast("double")
+            / col("n").cast("double")), 6) - col("cost0"), 6)
+          .as("sse_reduction"))
+    row0.unionAll(best1).orderBy(col("level"))
+  }
+
+  /** Q497: CUPED variance reduction for an order-value experiment — the
+    * modern A/B pattern q447's power analysis assumes but can't deliver:
+    * customers split by the portable id hash, post-period (1996+) spend
+    * as the metric, PRE-period spend as the covariate, and the CUPED
+    * adjustment Yadj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) pooled.
+    * Reports the raw and adjusted treatment-control differences and the
+    * variance-reduction ratio. Spend is floored to thousands of dollars
+    * (customer-level products then stay < 2⁵³) and every moment is an
+    * exact int64, so θ and the report are mirrored IEEE trees. One
+    * orders pass + one customer-grain collapse; the assignment is a
+    * pure function of the id (no data movement to randomize).
+    */
+  def q497Cuped: Q = (s, d) => {
+    val ords = Tables(s, d, "orders")
+      .select(col("o_custkey").as("ck"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("c"),
+        (year(col("o_orderdate")) >= 1996).as("post"))
+    val per = ords.groupBy(col("ck"))
+      .agg(sum(when(col("post"), col("c")).otherwise(0L)).cast("long").as("yc"),
+        sum(when(!col("post"), col("c")).otherwise(0L)).cast("long").as("xc"))
+    val units = Tables(s, d, "customer")
+      .select(col("c_custkey").as("ck"))
+      .join(per, Seq("ck"), "left")
+      .select(col("ck"),
+        coalesce(expr("yc DIV 100000"), lit(0L)).as("y"),
+        coalesce(expr("xc DIV 100000"), lit(0L)).as("x"),
+        (TrainingOps.portableBucket(col("ck")) < 5000).as("t"))
+    val m = units.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(col("y")).cast("long").as("sy"),
+      sum(col("x") * col("x")).cast("long").as("sxx"),
+      sum(col("x") * col("y")).cast("long").as("sxy"),
+      sum(col("y") * col("y")).cast("long").as("syy"),
+      sum(when(col("t"), 1L).otherwise(0L)).cast("long").as("nt"),
+      sum(when(col("t"), col("y")).otherwise(0L)).cast("long").as("syt"),
+      sum(when(col("t"), col("x")).otherwise(0L)).cast("long").as("sxt"))
+    val n = col("n").cast("double"); val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double"); val sxx = col("sxx").cast("double")
+    val sxy = col("sxy").cast("double"); val syy = col("syy").cast("double")
+    val nt = col("nt").cast("double"); val nc = n - nt
+    val syt = col("syt").cast("double"); val sxt = col("sxt").cast("double")
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val diff = syt / nt - (sy - syt) / nc
+    val diffAdj = diff - theta * (sxt / nt - (sx - sxt) / nc)
+    val varY = (n * syy - sy * sy) / (n * n)
+    val varAdj = varY - theta * theta * ((n * sxx - sx * sx) / (n * n))
+    m.select(big(col("n")).as("n_units"), big(col("nt")).as("n_treat"),
+      round(theta, 6).as("theta"),
+      round(diff, 4).as("diff_raw_k"),
+      round(diffAdj, 4).as("diff_cuped_k"),
+      round(lit(1.0) - varAdj / varY, 6).as("var_reduction"))
+  }
+
+  /** Q496: pairwise mutual-information matrix over the orders
+    * categorical/derived columns — the data-profiling dependency scan
+    * q454's single-pair Theil's U doesn't give: all 6 column pairs of
+    * {orderstatus, orderpriority, order year, order month} in ONE scan
+    * (each row emits its 6 pair cells through a single explode — no
+    * 6-pass rescan), then MI = ΣΣ (c/n)·ln(c·n/(cᵢ·cⱼ)) and
+    * NMI = MI/min(Hᵢ,Hⱼ) from exact cell/margin counts. Cell relations
+    * are bounded by the category-domain products (≤ 84 cells), so
+    * everything after the collapse is constant-size at any corpus scale.
+    */
+  def q496MiMatrix: Q = (s, d) => {
+    val li = Tables(s, d, "orders")
+      .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+        year(col("o_orderdate")).cast("string").as("yr"),
+        month(col("o_orderdate")).cast("string").as("mo"))
+    val pairsOf = Seq(
+      ("status_priority", col("st"), col("pr")),
+      ("status_year", col("st"), col("yr")),
+      ("status_month", col("st"), col("mo")),
+      ("priority_year", col("pr"), col("yr")),
+      ("priority_month", col("pr"), col("mo")),
+      ("year_month", col("yr"), col("mo")))
+    val stacked = li.select(explode(array(pairsOf.map { case (nm, a, b) =>
+      struct(lit(nm).as("pair"), a.as("va"), b.as("vb"))
+    }: _*)).as("s")).select(col("s.*"))
+    val cells = stacked.groupBy(col("pair"), col("va"), col("vb"))
+      .agg(count(lit(1)).as("c"))
+    val ma = cells.groupBy(col("pair"), col("va")).agg(sum(col("c")).cast("long").as("ca"))
+    val mb = cells.groupBy(col("pair"), col("vb")).agg(sum(col("c")).cast("long").as("cb"))
+    val tot = cells.groupBy(col("pair")).agg(sum(col("c")).cast("long").as("n"))
+    val nD = col("n").cast("double")
+    val mi = cells.join(ma, Seq("pair", "va")).join(mb, Seq("pair", "vb"))
+      .join(broadcast(tot), Seq("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(round(col("c").cast("double") / nD
+          * log(col("c").cast("double") * nD
+            / (col("ca").cast("double") * col("cb").cast("double"))), 8)
+          .cast(DecimalType(18, 8))).cast(DecimalType(38, 8))
+          .cast("double").as("mi"))
+    def ent(m: DataFrame, cnt: String): DataFrame =
+      m.join(broadcast(tot), Seq("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(round(col(cnt).cast("double") / nD
+          * log(col(cnt).cast("double") / nD) * -1.0, 8)
+          .cast(DecimalType(18, 8))).cast(DecimalType(38, 8))
+          .cast("double").as(cnt + "_h"))
+    mi.join(ent(ma, "ca"), Seq("pair")).join(ent(mb, "cb"), Seq("pair"))
+      .select(col("pair"), col("n_cells"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(col("mi") / least(col("ca_h"), col("cb_h")), 6).as("nmi"))
+      .orderBy(col("pair"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q487_matrix_profile" -> q487MatrixProfile,
     "q490_cusum_alarm" -> q490CusumAlarm,
+    "q495_binary_segmentation" -> q495BinarySegmentation,
+    "q496_mi_matrix" -> q496MiMatrix,
+    "q497_cuped" -> q497Cuped,
     "q492_bootstrap_ci" -> q492BootstrapCi,
     "q493_seasonal_decompose" -> q493SeasonalDecompose,
     "q494_granger_causality" -> q494GrangerCausality,
@@ -6057,6 +6247,155 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q495_binary_segmentation" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS v
+        |  FROM orders GROUP BY 1),
+        |pre AS MATERIALIZED (SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS i,
+        |    CAST(SUM(v) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+        |    CAST(SUM(v * v) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS q
+        |  FROM daily),
+        |tot AS (SELECT MAX(i) AS n, MAX(p) AS pn, MAX(q) AS qn FROM pre),
+        |c0 AS (SELECT i, x,
+        |    ROUND(CAST(q AS DOUBLE)
+        |      - CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / CAST(i AS DOUBLE)
+        |      + (CAST(qn - q AS DOUBLE)
+        |        - CAST(pn - p AS DOUBLE) * CAST(pn - p AS DOUBLE)
+        |          / CAST(n - i AS DOUBLE)), 6) AS cost
+        |  FROM pre, tot WHERE i >= 7 AND i <= n - 7),
+        |best0 AS MATERIALIZED (SELECT i AS k0, x AS x0, cost AS cost0 FROM (
+        |  SELECT i, x, cost, row_number() OVER (ORDER BY cost, i) AS rn
+        |  FROM c0) WHERE rn = 1),
+        |split AS MATERIALIZED (SELECT k0, x0, cost0, p AS pk0, q AS qk0
+        |  FROM pre JOIN best0 ON i = k0),
+        |segs AS MATERIALIZED (
+        |  SELECT k0, x0, cost0, CAST(1 AS BIGINT) AS seg,
+        |    CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS pa,
+        |    CAST(0 AS BIGINT) AS qa, k0 AS b, pk0 AS pb, qk0 AS qb
+        |  FROM split
+        |  UNION ALL
+        |  SELECT k0, x0, cost0, CAST(2 AS BIGINT), k0, pk0, qk0, n, pn, qn
+        |  FROM split, tot),
+        |c1 AS (SELECT seg, i, x,
+        |    ROUND(CAST(q - qa AS DOUBLE)
+        |      - CAST(p - pa AS DOUBLE) * CAST(p - pa AS DOUBLE)
+        |        / CAST(i - a AS DOUBLE)
+        |      + (CAST(qb - q AS DOUBLE)
+        |        - CAST(pb - p AS DOUBLE) * CAST(pb - p AS DOUBLE)
+        |          / CAST(b - i AS DOUBLE)), 6) AS cost,
+        |    ROUND(CAST(qb - qa AS DOUBLE)
+        |      - CAST(pb - pa AS DOUBLE) * CAST(pb - pa AS DOUBLE)
+        |        / CAST(b - a AS DOUBLE), 6) AS sse0
+        |  FROM pre, segs WHERE i >= a + 7 AND i <= b - 7),
+        |best1 AS (SELECT seg AS level, x AS split_day,
+        |    ROUND(sse0 - cost, 6) AS sse_reduction FROM (
+        |  SELECT seg, x, cost, sse0,
+        |    row_number() OVER (PARTITION BY seg ORDER BY cost, i) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |row0 AS (SELECT CAST(0 AS BIGINT) AS level, x0 AS split_day,
+        |    ROUND(ROUND(CAST(qn AS DOUBLE)
+        |      - CAST(pn AS DOUBLE) * CAST(pn AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) - cost0, 6) AS sse_reduction
+        |  FROM split, tot)
+        |SELECT level, split_day, sse_reduction FROM (
+        |  SELECT * FROM row0 UNION ALL SELECT * FROM best1)
+        |ORDER BY level""".stripMargin,
+    "q496_mi_matrix" ->
+      """WITH src AS MATERIALIZED (SELECT o_orderstatus AS st,
+        |    o_orderpriority AS pr,
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) AS yr,
+        |    CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mo
+        |  FROM orders),
+        |stacked AS MATERIALIZED (
+        |  SELECT 'status_priority' AS pair, st AS va, pr AS vb FROM src
+        |  UNION ALL SELECT 'status_year', st, yr FROM src
+        |  UNION ALL SELECT 'status_month', st, mo FROM src
+        |  UNION ALL SELECT 'priority_year', pr, yr FROM src
+        |  UNION ALL SELECT 'priority_month', pr, mo FROM src
+        |  UNION ALL SELECT 'year_month', yr, mo FROM src),
+        |cells AS MATERIALIZED (SELECT pair, va, vb,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM stacked GROUP BY 1, 2, 3),
+        |ma AS MATERIALIZED (SELECT pair, va, CAST(SUM(c) AS BIGINT) AS ca
+        |  FROM cells GROUP BY 1, 2),
+        |mb AS MATERIALIZED (SELECT pair, vb, CAST(SUM(c) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |mi AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * LN(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 8)
+        |      AS DECIMAL(18,8))) AS DECIMAL(38,8)) AS DOUBLE) AS mi
+        |  FROM cells JOIN ma USING (pair, va) JOIN mb USING (pair, vb)
+        |    JOIN tot USING (pair)
+        |  GROUP BY 1),
+        |ha AS (SELECT pair,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * LN(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST('-1.0' AS DOUBLE), 8)
+        |      AS DECIMAL(18,8))) AS DECIMAL(38,8)) AS DOUBLE) AS ha
+        |  FROM ma JOIN tot USING (pair) GROUP BY 1),
+        |hb AS (SELECT pair,
+        |    CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * LN(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST('-1.0' AS DOUBLE), 8)
+        |      AS DECIMAL(18,8))) AS DECIMAL(38,8)) AS DOUBLE) AS hb
+        |  FROM mb JOIN tot USING (pair) GROUP BY 1)
+        |SELECT pair, n_cells, ROUND(mi, 6) AS mi_nats,
+        |  ROUND(mi / LEAST(ha, hb), 6) AS nmi
+        |FROM mi JOIN ha USING (pair) JOIN hb USING (pair)
+        |ORDER BY pair""".stripMargin,
+    "q497_cuped" ->
+      """WITH per AS MATERIALIZED (SELECT o_custkey AS ck,
+        |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1996
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS yc,
+        |    CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) < 1996
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS xc
+        |  FROM orders GROUP BY 1),
+        |units AS MATERIALIZED (SELECT c_custkey AS ck,
+        |    COALESCE(yc // 100000, 0) AS y, COALESCE(xc // 100000, 0) AS x,
+        |    (((((c_custkey % 2147483647) * 48271) % 2147483647 + 1)
+        |      * 16807 % 2147483647 % 10000) < 5000) AS t
+        |  FROM customer LEFT JOIN per ON c_custkey = ck),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS syt,
+        |    CAST(SUM(CASE WHEN t THEN x ELSE 0 END) AS BIGINT) AS sxt
+        |  FROM units),
+        |md AS (SELECT n AS nb, nt AS ntb, CAST(n AS DOUBLE) AS n,
+        |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+        |    CAST(syy AS DOUBLE) AS syy, CAST(nt AS DOUBLE) AS nt,
+        |    CAST(syt AS DOUBLE) AS syt, CAST(sxt AS DOUBLE) AS sxt
+        |  FROM m)
+        |SELECT nb AS n_units, ntb AS n_treat,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+        |  ROUND(syt / nt - (sy - syt) / (n - nt), 4) AS diff_raw_k,
+        |  ROUND(syt / nt - (sy - syt) / (n - nt)
+        |    - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |      * (sxt / nt - (sx - sxt) / (n - nt)), 4) AS diff_cuped_k,
+        |  ROUND(CAST('1.0' AS DOUBLE)
+        |    - ((n * syy - sy * sy) / (n * n)
+        |      - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |        * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        |        * ((n * sxx - sx * sx) / (n * n)))
+        |      / ((n * syy - sy * sy) / (n * n)), 6) AS var_reduction
+        |FROM md""".stripMargin,
     "q492_bootstrap_ci" ->
       """WITH base AS MATERIALIZED (SELECT o_orderkey AS k,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS c

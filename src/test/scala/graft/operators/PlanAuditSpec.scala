@@ -183,6 +183,7 @@ class PlanAuditSpec extends SparkSpec {
     "q489_srp_distortion", // 63-row plane grid onto the dim explode + bounded id<200 pair cut (<=19.9k pairs) + 1-row p90 broadcast
     "q490_cusum_alarm", // 1-row (n, sum) totals broadcast onto the calendar-bounded day grid
     "q492_bootstrap_ci", // 32-row replica grid onto the order scan + 1-row point/lo/hi broadcasts
+    "q495_binary_segmentation", // 1-row totals + 2-row segment relation onto the calendar-bounded prefix grid
     "q493_seasonal_decompose", // 1-row strength broadcast onto the 7-row weekday collapse
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
@@ -254,7 +255,8 @@ class PlanAuditSpec extends SparkSpec {
     "q490_cusum_alarm" -> "CUSUM prefix-sum + running-min over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q492_bootstrap_ci" -> "percentile rank over the 32-row replica-mean relation, never the orders",
     "q493_seasonal_decompose" -> "centered 7-day MA window over the calendar-bounded day grid (the q397/q429 argument), never the orders",
-    "q494_granger_causality" -> "lag-1 window over the calendar-bounded day grid (the q397/q429 argument), never the orders")
+    "q494_granger_causality" -> "lag-1 window over the calendar-bounded day grid (the q397/q429 argument), never the orders",
+    "q495_binary_segmentation" -> "prefix cumsums + argmin rank over the calendar-bounded day grid (the q397/q429 argument), never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

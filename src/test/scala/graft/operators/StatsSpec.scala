@@ -185,6 +185,120 @@ class StatsSpec extends SparkSpec {
     assert(rssU <= rssR + 1e-6)
   }
 
+  test("q495 binary segmentation: splits match an exhaustive SSE replay") {
+    val vs = dailyDollars().map { case (x, dol) => (x, dol / 1000L) }
+    val n = vs.size
+    val pArr = vs.map(_._2).scanLeft(0L)(_ + _).toArray // P(0..n)
+    val qArr = vs.map(v => v._2 * v._2).scanLeft(0L)(_ + _).toArray
+    def rd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cost(k: Int, a: Int, b: Int): Double = {
+      val dL = (pArr(k) - pArr(a)).toDouble; val mL = (k - a).toDouble
+      val dR = (pArr(b) - pArr(k)).toDouble; val mR = (b - k).toDouble
+      rd((qArr(k) - qArr(a)).toDouble - dL * dL / mL
+        + ((qArr(b) - qArr(k)).toDouble - dR * dR / mR), 6)
+    }
+    def sse(a: Int, b: Int): Double = {
+      val dd = (pArr(b) - pArr(a)).toDouble
+      rd((qArr(b) - qArr(a)).toDouble - dd * dd / (b - a), 6)
+    }
+    def best(a: Int, b: Int): (Int, Double) =
+      (a + 7 to b - 7).map(k => (k, cost(k, a, b))).minBy { case (k, c) => (c, k) }
+    val (k0, c0) = best(0, n)
+    val want = Seq(
+      (0L, vs(k0 - 1)._1, rd(sse(0, n) - c0, 6)),
+      (1L, vs(best(0, k0)._1 - 1)._1, rd(sse(0, k0) - best(0, k0)._2, 6)),
+      (2L, vs(best(k0, n)._1 - 1)._1, rd(sse(k0, n) - best(k0, n)._2, 6)))
+    val got = Stats.q495BinarySegmentation(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"segmentation mismatch:\n got=$got\n want=$want")
+  }
+
+  test("q496 MI matrix: MI/NMI match a contingency replay; MI bounds hold") {
+    val rows = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("string"),
+        month(col("o_orderdate")).cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val cols = Map("status" -> rows.map(_._1), "priority" -> rows.map(_._2),
+      "year" -> rows.map(_._3), "month" -> rows.map(_._4))
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def ent(vs: Seq[String]): BigDecimal = {
+      val n = vs.size.toDouble
+      vs.groupBy(identity).values
+        .map(g => r8(g.size / n * math.log(g.size / n) * -1.0)).sum
+    }
+    val got = Stats.q496MiMatrix(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == 6)
+    got.foreach { case (pair, (nCells, mi, nmi)) =>
+      val Array(an, bn) = pair.split("_")
+      val a = cols(an); val b = cols(bn)
+      val joint = a.zip(b)
+      val n = joint.size.toDouble
+      val cj = joint.groupBy(identity).view.mapValues(_.size).toMap
+      val ca = a.groupBy(identity).view.mapValues(_.size).toMap
+      val cb = b.groupBy(identity).view.mapValues(_.size).toMap
+      assert(nCells == cj.size.toLong, s"n_cells($pair)")
+      val miW = cj.map { case ((x, y), c) =>
+        r8(c / n * math.log(c * n / (ca(x).toDouble * cb(y).toDouble)))
+      }.sum
+      assert(mi == BigDecimal(miW.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"mi($pair)")
+      val nmiW = miW.toDouble / math.min(ent(a).toDouble, ent(b).toDouble)
+      assert(math.abs(nmi - nmiW) < 1e-5, s"nmi($pair)")
+      assert(mi >= -1e-9 && nmi <= 1.0 + 1e-6, s"bounds($pair)")
+    }
+  }
+
+  test("q497 CUPED: theta, diffs and variance reduction match a unit replay") {
+    val p = 2147483647L
+    def bucket(x: Long): Long = {
+      val h1 = ((x % p) * 48271L) % p
+      ((h1 + 1L) * 16807L) % p % 10000L
+    }
+    val per = graft.Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long"),
+        (year(col("o_orderdate")) >= 1996))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val custs = graft.Tables(spark, sf0001, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val byC = per.groupBy(_._1)
+    val units = custs.map { ck =>
+      val os = byC.getOrElse(ck, Array.empty[(Long, Long, Boolean)])
+      val y = os.filter(_._3).map(_._2).sum / 100000L
+      val x = os.filterNot(_._3).map(_._2).sum / 100000L
+      (x, y, bucket(ck) < 5000L)
+    }
+    val n = units.length.toDouble
+    val sx = units.map(_._1).sum.toDouble; val sy = units.map(_._2).sum.toDouble
+    val sxx = units.map(u => u._1 * u._1).sum.toDouble
+    val sxy = units.map(u => u._1 * u._2).sum.toDouble
+    val syy = units.map(u => u._2 * u._2).sum.toDouble
+    val nt = units.count(_._3).toDouble
+    val syt = units.filter(_._3).map(_._2).sum.toDouble
+    val sxt = units.filter(_._3).map(_._1).sum.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val diff = syt / nt - (sy - syt) / (n - nt)
+    val diffAdj = diff - theta * (sxt / nt - (sx - sxt) / (n - nt))
+    val varY = (n * syy - sy * sy) / (n * n)
+    val varAdj = varY - theta * theta * ((n * sxx - sx * sx) / (n * n))
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.q497Cuped(spark, sf0001).collect()(0)
+    assert(got.getLong(0) == units.length.toLong)
+    assert(got.getLong(1) == nt.toLong)
+    assert(got.getDouble(2) == r(theta, 6), "theta")
+    assert(got.getDouble(3) == r(diff, 4), "diff_raw")
+    assert(got.getDouble(4) == r(diffAdj, 4), "diff_cuped")
+    assert(got.getDouble(5) == r(1.0 - varAdj / varY, 6), "var_reduction")
+    // CUPED must not increase variance
+    assert(varAdj <= varY + 1e-9)
+  }
+
   test("q177 linreg: slope/intercept/r2 match closed-form on collected rows") {
     val rows = graft.Tables(spark, sf0001, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("double"),
