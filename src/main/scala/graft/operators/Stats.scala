@@ -5419,9 +5419,15 @@ object Stats {
     * unchanged, so the profile cost is constant once the daily collapse
     * (the only data-sized pass) is done.
     */
-  def q487MatrixProfile: Q = (s, d) => {
-    val grid = dailyRevenue(s, d)
-      .select(col("x"), floor(col("r")).cast("long").as("c"))
+  def q487MatrixProfile: Q = (s, d) =>
+    matrixProfileReport(dailyRevenue(s, d)
+      .select(col("x"), floor(col("r")).cast("long").as("c")))
+
+  /** q487's profile kernel over a merged (x, whole-dollars) daily grid —
+    * factored so the streaming twin q499 runs the IDENTICAL arithmetic
+    * over its merged `batch=<id>` cells (the q375 shared-kernel pattern).
+    */
+  private[graft] def matrixProfileReport(grid: DataFrame): DataFrame = {
     val wp = Window.orderBy(col("x"))
     val pos = grid.withColumn("i", row_number().over(wp).cast("long"))
     val w7 = Window.orderBy(col("i")).rowsBetween(Window.currentRow, 6)
@@ -5470,9 +5476,15 @@ object Stats {
     * is scaled to the mean, which is exact). Output: the top-10 alarm
     * days by CUSUM height.
     */
-  def q490CusumAlarm: Q = (s, d) => {
-    val grid = dailyRevenue(s, d)
-      .select(col("x"), (col("r") * 100).cast("long").as("c"))
+  def q490CusumAlarm: Q = (s, d) =>
+    cusumReport(dailyRevenue(s, d)
+      .select(col("x"), (col("r") * 100).cast("long").as("c")))
+
+  /** q490's CUSUM kernel over a merged (x, cents) daily relation —
+    * factored so the streaming twin q498 runs the IDENTICAL arithmetic
+    * over its merged `batch=<id>` cells (the q375 shared-kernel pattern).
+    */
+  private[graft] def cusumReport(grid: DataFrame): DataFrame = {
     val tot = grid.agg(count(lit(1)).as("n"), sum(col("c")).cast("long").as("cc"))
     val mu = col("cc").cast("double") / col("n").cast("double")
     val g2 = grid.crossJoin(broadcast(tot))
@@ -5625,13 +5637,19 @@ object Stats {
     * term-for-term in the oracle — with identical operands. One lag
     * window over the calendar grid, one moment collapse.
     */
-  def q494GrangerCausality: Q = (s, d) => {
-    val grid = Tables(s, d, "orders")
+  def q494GrangerCausality: Q = (s, d) =>
+    grangerReport(Tables(s, d, "orders")
       .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
         .cast("long").as("x"))
       .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rc"),
         count(lit(1)).as("cnt"))
-      .select(col("x"), expr("rc DIV 100000").as("r"), col("cnt"))
+      .select(col("x"), expr("rc DIV 100000").as("r"), col("cnt")))
+
+  /** q494's OLS kernel over a merged (x, thousand-dollar revenue, count)
+    * daily grid — factored so the streaming twin q500 runs the IDENTICAL
+    * arithmetic over its merged `batch=<id>` cells.
+    */
+  private[graft] def grangerReport(grid: DataFrame): DataFrame = {
     val wl = Window.orderBy(col("x"))
     val lagged = grid
       .withColumn("r1", lag(col("r"), 1).over(wl))

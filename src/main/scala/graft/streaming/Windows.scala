@@ -2000,6 +2000,122 @@ object Windows {
             .groupBy(col("c"))
             .agg(sum(col("t")).as("t")))))
 
+  /** Q498: streaming CUSUM alarm chart — q490's sequential drift
+    * detector fed by the SAME merged daily-revenue cells as q437/q441
+    * (SAME writer, SAME session-cached feed; only the drain kernel
+    * differs), hash-checked against q490's own oracle. The always-on
+    * "has the revenue level persistently shifted?" pager — the
+    * prefix-min identity means the drain is two ordered windows over
+    * the merged grid, no sequential state in the stream itself.
+    */
+  def q498StreamCusum: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .select(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("p"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q498_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ord.repartition(3))
+      val sdf = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q437Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(q498Drain(s, sumDir))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q498's drain: merge day cells additively, run q490's CUSUM kernel. */
+  private[graft] def q498Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.operators.Stats.cusumReport(
+      s.read.parquet(sumDir).groupBy(col("x"))
+        .agg((sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("c")))
+
+  /** Q499: streaming matrix-profile discord monitor — q487's
+    * shape-anomaly readout over the same merged daily cells (q437's
+    * writer and feed again; only the drain differs), hash-checked
+    * against q487's own oracle. The live "did an unprecedented WEEK
+    * shape just complete?" signal a pointwise monitor can't give.
+    */
+  def q499StreamMatrixProfile: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .select(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("p"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q499_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ord.repartition(3))
+      val sdf = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q437Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(q499Drain(s, sumDir))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q499's drain: merge day cells, run q487's profile kernel once. */
+  private[graft] def q499Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.operators.Stats.matrixProfileReport(
+      s.read.parquet(sumDir).groupBy(col("x"))
+        .agg(floor(sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("long").as("c")))
+
+  /** Q500: streaming Granger-causality monitor — q494's lead/lag
+    * readout fed by (day, revenue, order-count) cells; counts ride the
+    * same additive merge, so the writer extends q437's with a COUNT
+    * column. Hash-checked against q494's own oracle. The live "is order
+    * VOLUME still leading revenue?" health check for the forecasting
+    * feature pipeline.
+    */
+  def q500StreamGranger: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .select(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+        .cast("long").as("x"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("p"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q500_").toString
+    try {
+      val sumDir = s"$tmp/summaries"
+      val feedDir = graft.Checkpoints.feedDirCached(ord.repartition(3))
+      val sdf = s.readStream.schema(ord.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q500Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.Checkpoints.materialize(q500Drain(s, sumDir))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q500's per-batch writer: q437's day cells plus the order count. */
+  private[graft] def q500Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        batch.toDF().groupBy(col("x"))
+          .agg(sum(col("p")).as("r"), count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q500's drain: merge (revenue, count) day cells, run q494's OLS. */
+  private[graft] def q500Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.operators.Stats.grangerReport(
+      s.read.parquet(sumDir).groupBy(col("x"))
+        .agg((sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("rc"),
+          sum(col("cnt")).cast("long").as("cnt"))
+        .select(col("x"), expr("rc DIV 100000").as("r"), col("cnt")))
+
   /** Q376: streaming EWMA control chart — q368's drift-sensitive monitor
     * fed by a micro-batched stream: per batch the (type × hour) counts
     * land in an idempotent `batch=<id>` sink (q348's mergeable hourly
@@ -2304,6 +2420,9 @@ object Windows {
     "q469_stream_t_closeness" -> q469StreamTCloseness,
     "q477_stream_spectral_entropy" -> q477StreamSpectralEntropy,
     "q484_stream_gmm" -> q484StreamGmm,
+    "q498_stream_cusum" -> q498StreamCusum,
+    "q499_stream_matrix_profile" -> q499StreamMatrixProfile,
+    "q500_stream_granger" -> q500StreamGranger,
     "q376_stream_ewma" -> q376StreamEwma,
     "q354_stream_permutation" -> q354StreamPermutation,
     "q348_stream_mann_kendall" -> q348StreamMannKendall,
@@ -2454,6 +2573,15 @@ object Windows {
     // the drain runs q481's exact 5-iteration EM fixpoint)
     "q484_stream_gmm" ->
       graft.operators.Stats.oracles("q481_gmm_1d"),
+    // q498/q499/q500 share their batch twins' oracles verbatim (q437's
+    // additive daily-revenue cells — q500's writer adds the count column;
+    // the drains run q490/q487/q494's exact kernels once over the merge)
+    "q498_stream_cusum" ->
+      graft.operators.Stats.oracles("q490_cusum_alarm"),
+    "q499_stream_matrix_profile" ->
+      graft.operators.Stats.oracles("q487_matrix_profile"),
+    "q500_stream_granger" ->
+      graft.operators.Stats.oracles("q494_granger_causality"),
     // q376 shares q368's oracle verbatim (hourly cells merge additively)
     "q376_stream_ewma" ->
       graft.operators.Events.oracles("q368_ewma_control"),

@@ -275,7 +275,8 @@ class PlanAuditSpec extends SparkSpec {
     "q417_stream_page_hinkley", "q418_stream_js_drift",
     "q434_stream_spearman", "q437_stream_ljung_box", "q441_stream_hurst",
     "q465_stream_energy", "q469_stream_t_closeness",
-    "q477_stream_spectral_entropy", "q484_stream_gmm")
+    "q477_stream_spectral_entropy", "q484_stream_gmm",
+    "q498_stream_cusum", "q499_stream_matrix_profile", "q500_stream_granger")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (name, _) => streaming(name) }

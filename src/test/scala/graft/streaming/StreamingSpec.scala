@@ -946,7 +946,37 @@ class StreamingSpec extends SparkSpec {
         pmod($"doc_id", lit(2L)) === 0,
         tmp => Windows.q418Writer(s"$tmp/sum"),
         tmp => Windows.q418Drain(spark, s"$tmp/sum"),
-        () => Windows.q418StreamJsDrift(spark, sf0001)))
+        () => Windows.q418StreamJsDrift(spark, sf0001)),
+      TwinCase("q498_stream_cusum",
+        () => graft.Tables(spark, sf0001, "orders")
+          .select(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+            .cast("long").as("x"),
+            $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("p")),
+        pmod($"x", lit(2L)) === 0,
+        tmp => Windows.q437Writer(s"$tmp/sum"),
+        tmp => Windows.q498Drain(spark, s"$tmp/sum"),
+        () => Windows.q498StreamCusum(spark, sf0001)),
+      TwinCase("q499_stream_matrix_profile",
+        () => graft.Tables(spark, sf0001, "orders")
+          .select(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+            .cast("long").as("x"),
+            $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("p")),
+        pmod($"x", lit(2L)) === 0,
+        tmp => Windows.q437Writer(s"$tmp/sum"),
+        tmp => Windows.q499Drain(spark, s"$tmp/sum"),
+        () => Windows.q499StreamMatrixProfile(spark, sf0001)),
+      TwinCase("q500_stream_granger",
+        () => graft.Tables(spark, sf0001, "orders")
+          .select(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+            .cast("long").as("x"),
+            $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("p")),
+        pmod($"x", lit(2L)) === 0,
+        tmp => Windows.q500Writer(s"$tmp/sum"),
+        tmp => Windows.q500Drain(spark, s"$tmp/sum"),
+        () => Windows.q500StreamGranger(spark, sf0001)))
 
     twins.foreach { tc =>
       test(s"${tc.name}: drained summary survives a checkpointed stop/start") {
