@@ -5877,12 +5877,147 @@ object Stats {
       .orderBy(col("pair"))
   }
 
+  /** The (unit, thousand-dollar value, segment, priority) relation behind
+    * q501/q502/q503 — order values with the customer's market segment,
+    * floored to exact thousand-dollar ints (q494's magnitude argument:
+    * y ≤ ~600 k$, so Σy² stays far inside the 2⁵³ cast band).
+    */
+  private def segValues(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders")
+      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("o_orderpriority").as("p"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cc"))
+      .select(col("g"), col("p"), expr("cc DIV 100000").as("y"))
+
+  /** Q501: one-way ANOVA of order value by market segment — the classic
+    * F test the battery somehow never declared (q362's Kruskal–Wallis is
+    * its rank-free cousin; q179 gives per-group variances but no
+    * between/within decomposition): F = (SSB/(k−1))/(SSW/(n−k)) plus the
+    * η² and ω² effect sizes. All sums of squares come from exact
+    * thousand-dollar int64 moments — SSB/SSW are single IEEE trees
+    * mirrored in the oracle. One join + one 5-row group collapse.
+    */
+  def q501AnovaOneway: Q = (s, d) => {
+    val per = segValues(s, d).groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).cast("long").as("sg"),
+        sum(col("y") * col("y")).cast("long").as("qg"))
+    val m = per.agg(count(lit(1)).as("k"), sum(col("ng")).cast("long").as("n"),
+      sum(col("sg")).cast("long").as("st"), sum(col("qg")).cast("long").as("qt"),
+      sum(round(col("sg").cast("double") * col("sg").cast("double")
+        / col("ng").cast("double"), 6).cast(DecimalType(28, 6)))
+        .cast(DecimalType(38, 6)).cast("double").as("sbterm"))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val ssTot = col("qt").cast("double") -
+      col("st").cast("double") * col("st").cast("double") / nD
+    val ssB = col("sbterm") - col("st").cast("double") * col("st").cast("double") / nD
+    val ssW = ssTot - ssB
+    val f = (ssB / (kD - 1.0)) / (ssW / (nD - kD))
+    m.select(big(col("n")).as("n"), big(col("k")).as("k_groups"),
+      round(ssB, 4).as("ss_between"), round(ssW, 4).as("ss_within"),
+      round(f, 4).as("f_stat"),
+      round(ssB / ssTot, 6).as("eta_sq"),
+      (round((ssB - (kD - 1.0) * (ssW / (nD - kD)))
+        / (ssTot + ssW / (nD - kD)), 6) + 0.0).as("omega_sq"),
+      (round(f, 4) > lit(2.3719)).as("significant"))
+  }
+
+  /** Q502: Shapley (LMG) R² decomposition of order value over the two
+    * categorical predictors {segment, priority} — WHICH dimension
+    * explains the value variance, fairly averaged over entry orders
+    * (φ_seg = ½R²(seg) + ½(R²(both) − R²(pri)), the 2-player Shapley):
+    * the attribution question q501's single-factor ANOVA and q351's
+    * funnel Shapley (different object — touch-set conversion counts)
+    * don't answer. Each R² is between-SS/total-SS with cell means over
+    * the predictor set — three bounded collapses (5, 5, 25 cells) from
+    * ONE exact-moment pass, every ratio a mirrored IEEE tree.
+    */
+  def q502ShapleyR2: Q = (s, d) => {
+    val base = segValues(s, d)
+    val cells = base.groupBy(col("g"), col("p"))
+      .agg(count(lit(1)).as("ngp"), sum(col("y")).cast("long").as("sgp"),
+        sum(col("y") * col("y")).cast("long").as("qgp"))
+    def sbOf(df: DataFrame, nc: String, sc: String): DataFrame =
+      df.agg(sum(round(col(sc).cast("double") * col(sc).cast("double")
+        / col(nc).cast("double"), 6).cast(DecimalType(28, 6)))
+        .cast(DecimalType(38, 6)).cast("double").as("sb"))
+    val bySeg = sbOf(cells.groupBy(col("g"))
+      .agg(sum(col("ngp")).as("ng"), sum(col("sgp")).cast("long").as("sg")),
+      "ng", "sg").select(col("sb").as("sb_seg"))
+    val byPri = sbOf(cells.groupBy(col("p"))
+      .agg(sum(col("ngp")).as("np"), sum(col("sgp")).cast("long").as("sp")),
+      "np", "sp").select(col("sb").as("sb_pri"))
+    val byBoth = sbOf(cells, "ngp", "sgp").select(col("sb").as("sb_both"))
+    val tot = cells.agg(sum(col("ngp")).cast("long").as("n"),
+      sum(col("sgp")).cast("long").as("st"),
+      sum(col("qgp")).cast("long").as("qt"))
+    val nD = col("n").cast("double")
+    val cm = col("st").cast("double") * col("st").cast("double") / nD
+    val ssTot = col("qt").cast("double") - cm
+    val r2s = (col("sb_seg") - cm) / ssTot
+    val r2p = (col("sb_pri") - cm) / ssTot
+    val r2b = (col("sb_both") - cm) / ssTot
+    tot.crossJoin(broadcast(bySeg)).crossJoin(broadcast(byPri))
+      .crossJoin(broadcast(byBoth))
+      .select(big(col("n")).as("n"),
+        round(r2s, 6).as("r2_segment"),
+        round(r2p, 6).as("r2_priority"),
+        round(r2b, 6).as("r2_both"),
+        (round(r2s * 0.5 + (r2b - r2p) * 0.5, 6) + 0.0).as("shapley_segment"),
+        (round(r2p * 0.5 + (r2b - r2s) * 0.5, 6) + 0.0).as("shapley_priority"))
+  }
+
+  /** Q503: Brown–Forsythe variance-homogeneity test by segment — the
+    * robust Levene variant (deviations from the group MEDIAN) that
+    * checks q501's equal-variance assumption: group medians come from
+    * the $10-bucket support collapse (the q450/q361 bounded-domain
+    * argument — medians over value BUCKETS, identical on both engines),
+    * then the test is a one-way ANOVA on |y − med_g|. Deviations are
+    * exact ints (bucket units), so the F tree mirrors exactly. Two
+    * bounded collapses + one broadcast-median join.
+    */
+  def q503BrownForsythe: Q = (s, d) => {
+    val vals = segValues(s, d)
+      .select(col("g"), col("y"))
+    // $-bucket support per group (y already in k$ ints: the support IS
+    // bounded); group median = lower median over the per-group counts
+    val sup = vals.groupBy(col("g"), col("y")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = sup.groupBy(col("g")).agg(sum(col("c")).cast("long").as("ntot"))
+    val med = sup.join(broadcast(tot), Seq("g"))
+      .withColumn("cum", sum(col("c")).over(wcum).cast("long"))
+      .filter(col("cum") >= expr("(ntot + 1) DIV 2"))
+      .groupBy(col("g")).agg(min(col("y")).as("medg"))
+    val dev = vals.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("y") - col("medg")).as("z"))
+    val per = dev.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("z")).cast("long").as("sg"),
+        sum(col("z") * col("z")).cast("long").as("qg"))
+    val m = per.agg(count(lit(1)).as("k"), sum(col("ng")).cast("long").as("n"),
+      sum(col("sg")).cast("long").as("st"), sum(col("qg")).cast("long").as("qt"),
+      sum(round(col("sg").cast("double") * col("sg").cast("double")
+        / col("ng").cast("double"), 6).cast(DecimalType(28, 6)))
+        .cast(DecimalType(38, 6)).cast("double").as("sbterm"))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val ssTot = col("qt").cast("double") -
+      col("st").cast("double") * col("st").cast("double") / nD
+    val ssB = col("sbterm") - col("st").cast("double") * col("st").cast("double") / nD
+    val ssW = ssTot - ssB
+    val f = (ssB / (kD - 1.0)) / (ssW / (nD - kD))
+    m.select(big(col("n")).as("n"), big(col("k")).as("k_groups"),
+      round(f, 4).as("bf_stat"),
+      (round(f, 4) > lit(2.3719)).as("heteroscedastic"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q487_matrix_profile" -> q487MatrixProfile,
     "q490_cusum_alarm" -> q490CusumAlarm,
     "q495_binary_segmentation" -> q495BinarySegmentation,
     "q496_mi_matrix" -> q496MiMatrix,
     "q497_cuped" -> q497Cuped,
+    "q501_anova_oneway" -> q501AnovaOneway,
+    "q502_shapley_r2" -> q502ShapleyR2,
+    "q503_brown_forsythe" -> q503BrownForsythe,
     "q492_bootstrap_ci" -> q492BootstrapCi,
     "q493_seasonal_decompose" -> q493SeasonalDecompose,
     "q494_granger_causality" -> q494GrangerCausality,
@@ -6265,6 +6400,135 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q501_anova_oneway" ->
+      """WITH base AS MATERIALIZED (SELECT c_mktsegment AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      // 100000 AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(y) AS BIGINT) AS sg, CAST(SUM(y * y) AS BIGINT) AS qg
+        |  FROM base GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS st,
+        |    CAST(SUM(qg) AS BIGINT) AS qt,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6))) AS DECIMAL(38,6))
+        |      AS DOUBLE) AS sbterm
+        |  FROM per),
+        |md AS (SELECT n, k, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+        |    sbterm - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |      - (sbterm - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS ssw,
+        |    CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS sstot
+        |  FROM m)
+        |SELECT n, k AS k_groups,
+        |  ROUND(ssb, 4) AS ss_between, ROUND(ssw, 4) AS ss_within,
+        |  ROUND((ssb / (kd - CAST('1.0' AS DOUBLE)))
+        |    / (ssw / (nd - kd)), 4) AS f_stat,
+        |  ROUND(ssb / sstot, 6) AS eta_sq,
+        |  ROUND((ssb - (kd - CAST('1.0' AS DOUBLE)) * (ssw / (nd - kd)))
+        |    / (sstot + ssw / (nd - kd)), 6) + CAST('0.0' AS DOUBLE)
+        |    AS omega_sq,
+        |  (ROUND((ssb / (kd - CAST('1.0' AS DOUBLE)))
+        |    / (ssw / (nd - kd)), 4) > CAST('2.3719' AS DOUBLE))
+        |    AS significant
+        |FROM md""".stripMargin,
+    "q502_shapley_r2" ->
+      """WITH base AS MATERIALIZED (SELECT c_mktsegment AS g,
+        |    o_orderpriority AS p,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      // 100000 AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS MATERIALIZED (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS ngp,
+        |    CAST(SUM(y) AS BIGINT) AS sgp, CAST(SUM(y * y) AS BIGINT) AS qgp
+        |  FROM base GROUP BY 1, 2),
+        |byseg AS (SELECT CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sb_seg
+        |  FROM (SELECT g, CAST(SUM(ngp) AS BIGINT) AS ng,
+        |      CAST(SUM(sgp) AS BIGINT) AS sg FROM cells GROUP BY 1)),
+        |bypri AS (SELECT CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(np AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sb_pri
+        |  FROM (SELECT p, CAST(SUM(ngp) AS BIGINT) AS np,
+        |      CAST(SUM(sgp) AS BIGINT) AS sp FROM cells GROUP BY 1)),
+        |byboth AS (SELECT CAST(CAST(SUM(CAST(ROUND(
+        |      CAST(sgp AS DOUBLE) * CAST(sgp AS DOUBLE)
+        |      / CAST(ngp AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sb_both
+        |  FROM cells),
+        |tot AS (SELECT CAST(SUM(ngp) AS BIGINT) AS n,
+        |    CAST(SUM(sgp) AS BIGINT) AS st, CAST(SUM(qgp) AS BIGINT) AS qt
+        |  FROM cells),
+        |md AS (SELECT n,
+        |    (sb_seg - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |      / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS r2s,
+        |    (sb_pri - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |      / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS r2p,
+        |    (sb_both - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |      / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS r2b
+        |  FROM tot, byseg, bypri, byboth)
+        |SELECT n, ROUND(r2s, 6) AS r2_segment, ROUND(r2p, 6) AS r2_priority,
+        |  ROUND(r2b, 6) AS r2_both,
+        |  ROUND(r2s * CAST('0.5' AS DOUBLE)
+        |    + (r2b - r2p) * CAST('0.5' AS DOUBLE), 6)
+        |    + CAST('0.0' AS DOUBLE) AS shapley_segment,
+        |  ROUND(r2p * CAST('0.5' AS DOUBLE)
+        |    + (r2b - r2s) * CAST('0.5' AS DOUBLE), 6)
+        |    + CAST('0.0' AS DOUBLE) AS shapley_priority
+        |FROM md""".stripMargin,
+    "q503_brown_forsythe" ->
+      """WITH base AS MATERIALIZED (SELECT c_mktsegment AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      // 100000 AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |sup AS MATERIALIZED (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ntot FROM sup GROUP BY 1),
+        |med AS MATERIALIZED (SELECT g, MIN(y) AS medg FROM (
+        |  SELECT sup.g, y, ntot,
+        |    CAST(SUM(c) OVER (PARTITION BY sup.g ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM sup JOIN tot ON sup.g = tot.g)
+        |  WHERE cum >= (ntot + 1) // 2 GROUP BY 1),
+        |dev AS (SELECT base.g, ABS(y - medg) AS z
+        |  FROM base JOIN med ON base.g = med.g),
+        |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(z) AS BIGINT) AS sg, CAST(SUM(z * z) AS BIGINT) AS qg
+        |  FROM dev GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS st,
+        |    CAST(SUM(qg) AS BIGINT) AS qt,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6))) AS DECIMAL(38,6))
+        |      AS DOUBLE) AS sbterm
+        |  FROM per),
+        |md AS (SELECT n, k, CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+        |    sbterm - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |      - (sbterm - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS ssw
+        |  FROM m)
+        |SELECT n, k AS k_groups,
+        |  ROUND((ssb / (kd - CAST('1.0' AS DOUBLE)))
+        |    / (ssw / (nd - kd)), 4) AS bf_stat,
+        |  (ROUND((ssb / (kd - CAST('1.0' AS DOUBLE)))
+        |    / (ssw / (nd - kd)), 4) > CAST('2.3719' AS DOUBLE))
+        |    AS heteroscedastic
+        |FROM md""".stripMargin,
     "q495_binary_segmentation" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT CAST(date_diff('day', DATE '1995-01-01',

@@ -184,6 +184,7 @@ class PlanAuditSpec extends SparkSpec {
     "q490_cusum_alarm", // 1-row (n, sum) totals broadcast onto the calendar-bounded day grid
     "q492_bootstrap_ci", // 32-row replica grid onto the order scan + 1-row point/lo/hi broadcasts
     "q495_binary_segmentation", // 1-row totals + 2-row segment relation onto the calendar-bounded prefix grid
+    "q502_shapley_r2", // three 1-row between-SS aggregates composed onto the 1-row totals
     "q493_seasonal_decompose", // 1-row strength broadcast onto the 7-row weekday collapse
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 

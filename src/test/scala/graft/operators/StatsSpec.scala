@@ -299,6 +299,78 @@ class StatsSpec extends SparkSpec {
     assert(varAdj <= varY + 1e-9)
   }
 
+  private def segValuesReplay(): Seq[(String, String, Long)] = {
+    val custSeg = graft.Tables(spark, sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    graft.Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100).cast("long"))
+      .collect()
+      .map(r => (custSeg(r.getLong(0)), r.getString(1), r.getLong(2) / 100000L))
+  }
+
+  test("q501/q503: ANOVA and Brown-Forsythe match group-moment replays") {
+    // q501 — the ssTot continuation bug regression: ss_within must be
+    // ssTot - ssB, NOT qt - ssB (a leading-minus Scala line break once
+    // silently dropped the correction term; the oracle caught it)
+    val vals = segValuesReplay().map(t => (t._1, t._3))
+    def anovaOf(vs: Seq[(String, Long)]): (Double, Double, Double) = {
+      val n = vs.size.toDouble; val k = vs.map(_._1).distinct.size.toDouble
+      val st = vs.map(_._2).sum.toDouble
+      val qt = vs.map(v => v._2 * v._2).sum.toDouble
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val sbterm = vs.groupBy(_._1).values
+        .map { g => r6(g.map(_._2).sum.toDouble * g.map(_._2).sum / g.size) }
+        .sum.toDouble
+      val ssTot = qt - st * st / n
+      val ssB = sbterm - st * st / n
+      val ssW = ssTot - ssB
+      (ssB, ssW, (ssB / (k - 1.0)) / (ssW / (n - k)))
+    }
+    val (ssB, ssW, f) = anovaOf(vals)
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.q501AnovaOneway(spark, sf0001).collect()(0)
+    assert(got.getDouble(2) == r(ssB, 4), "ss_between")
+    assert(got.getDouble(3) == r(ssW, 4), "ss_within")
+    assert(got.getDouble(4) == r(f, 4), "f_stat")
+    // q503: the same ANOVA on |y - group median| deviations
+    val meds = vals.groupBy(_._1).view.mapValues { g =>
+      val s = g.map(_._2).sorted; s((s.size + 1) / 2 - 1)
+    }.toMap
+    val devs = vals.map { case (g, y) => (g, math.abs(y - meds(g))) }
+    val (_, _, bf) = anovaOf(devs)
+    val got3 = Stats.q503BrownForsythe(spark, sf0001).collect()(0)
+    assert(got3.getDouble(2) == r(bf, 4), "bf_stat")
+  }
+
+  test("q502 Shapley R2: efficiency axiom holds and R2s match an eta-sq replay") {
+    val vals = segValuesReplay()
+    def r2Of(key: ((String, String, Long)) => String): Double = {
+      val n = vals.size.toDouble
+      val st = vals.map(_._3).sum.toDouble
+      val qt = vals.map(v => v._3 * v._3).sum.toDouble
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val sb = vals.groupBy(key).values
+        .map(g => r6(g.map(_._3).sum.toDouble * g.map(_._3).sum / g.size))
+        .sum.toDouble
+      (sb - st * st / n) / (qt - st * st / n)
+    }
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r2s = r2Of(_._1); val r2p = r2Of(_._2)
+    val r2b = r2Of(t => t._1 + " " + t._2)
+    val got = Stats.q502ShapleyR2(spark, sf0001).collect()(0)
+    assert(got.getDouble(1) == r(r2s, 6), "r2_segment")
+    assert(got.getDouble(2) == r(r2p, 6), "r2_priority")
+    assert(got.getDouble(3) == r(r2b, 6), "r2_both")
+    // efficiency: the two Shapley shares sum to R2(both)
+    assert(math.abs(got.getDouble(4) + got.getDouble(5) - got.getDouble(3)) < 2e-6)
+    // monotone containment: the pair explains at least each single
+    assert(r2b >= r2s - 1e-9 && r2b >= r2p - 1e-9)
+  }
+
   test("q177 linreg: slope/intercept/r2 match closed-form on collected rows") {
     val rows = graft.Tables(spark, sf0001, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("double"),
