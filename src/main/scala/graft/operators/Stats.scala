@@ -6009,6 +6009,144 @@ object Stats {
       (round(f, 4) > lit(2.3719)).as("heteroscedastic"))
   }
 
+  /** Q504: effect-size battery between the two LARGEST market segments —
+    * the "is it big, not just significant" readout q501's F can't give:
+    * Cohen's d (pooled SD), Hedges' g (small-sample corrected), Glass's
+    * Δ (control-SD scaled), and the common-language effect size
+    * P(X > Y) + ½P(X = Y) computed EXACTLY from the bounded k$-support
+    * cross (the q361 bucket argument — dominance pair counts are exact
+    * int64 products, never a normal approximation). Group choice is
+    * deterministic: the two largest ng, ties by name.
+    */
+  def q504EffectSizes: Q = (s, d) => {
+    val vals = segValues(s, d).select(col("g"), col("y"))
+    val per = vals.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).cast("long").as("sg"),
+        sum(col("y") * col("y")).cast("long").as("qg"))
+    val wr = Window.orderBy(col("ng").desc, col("g"))
+    val two = graft.Checkpoints.materialize(
+      per.withColumn("rk", row_number().over(wr)).filter(col("rk") <= 2))
+    val a = two.filter(col("rk") === 1)
+      .select(col("g").as("g1"), col("ng").as("n1"), col("sg").as("s1"),
+        col("qg").as("q1"))
+    val b = two.filter(col("rk") === 2)
+      .select(col("g").as("g2"), col("ng").as("n2"), col("sg").as("s2"),
+        col("qg").as("q2"))
+    // dominance counts from the bounded support cross
+    val sup = vals.join(broadcast(two.select(col("g"), col("rk"))), Seq("g"))
+      .groupBy(col("rk"), col("y")).agg(count(lit(1)).as("c"))
+    val supA = sup.filter(col("rk") === 1).select(col("y").as("ya"), col("c").as("ca"))
+    val supB = sup.filter(col("rk") === 2).select(col("y").as("yb"), col("c").as("cb"))
+    val dom = supA.crossJoin(supB).agg(
+      sum(when(col("ya") > col("yb"), col("ca") * col("cb")).otherwise(0L))
+        .cast(DecimalType(38, 0)).as("gt"),
+      sum(when(col("ya") === col("yb"), col("ca") * col("cb")).otherwise(0L))
+        .cast(DecimalType(38, 0)).as("eqc"))
+    val j = a.crossJoin(broadcast(b)).crossJoin(broadcast(dom))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val m1 = col("s1").cast("double") / n1
+    val m2 = col("s2").cast("double") / n2
+    val v1 = (col("q1").cast("double") - col("s1").cast("double")
+      * col("s1").cast("double") / n1) / (n1 - 1.0)
+    val v2 = (col("q2").cast("double") - col("s2").cast("double")
+      * col("s2").cast("double") / n2) / (n2 - 1.0)
+    val sp = sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+    val dd = (m1 - m2) / sp
+    val corr = lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - lit(9.0))
+    val cles = (col("gt").cast("double") +
+      col("eqc").cast("double") * 0.5) / (n1 * n2)
+    j.select(col("g1"), col("g2"),
+      (round(dd, 6) + 0.0).as("cohens_d"),
+      (round(dd * corr, 6) + 0.0).as("hedges_g"),
+      (round((m1 - m2) / sqrt(v2), 6) + 0.0).as("glass_delta"),
+      round(cles, 6).as("cles"))
+  }
+
+  /** Q505: Tukey–Kramer HSD post-hoc — WHICH segment pairs differ after
+    * q501's omnibus F (the parametric twin of q455's rank-based Dunn
+    * battery): all 10 pairwise mean differences against the studentized-
+    * range threshold q·√(MSW/2·(1/nᵢ+1/nⱼ)) with q₀.₀₅(5,∞) = 3.858.
+    * MSW comes from the SAME exact-moment collapse as q501; each pair
+    * row is one mirrored IEEE tree over the broadcast 5-row relation.
+    */
+  def q505TukeyHsd: Q = (s, d) => {
+    val per = graft.Checkpoints.materialize(segValues(s, d).groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("y")).cast("long").as("sg"),
+        sum(col("y") * col("y")).cast("long").as("qg")))
+    val m = per.agg(count(lit(1)).as("k"), sum(col("ng")).cast("long").as("n"),
+      sum(col("qg")).cast("long").as("qt"),
+      sum(round(col("sg").cast("double") * col("sg").cast("double")
+        / col("ng").cast("double"), 6).cast(DecimalType(28, 6)))
+        .cast(DecimalType(38, 6)).cast("double").as("sbterm"))
+      .select(col("k"), col("n"),
+        ((col("qt").cast("double") - col("sbterm"))
+          / (col("n").cast("double") - col("k").cast("double"))).as("msw"))
+    val pairs = per.select(col("g").as("ga"), col("ng").as("na"), col("sg").as("sa"))
+      .join(per.select(col("g").as("gb"), col("ng").as("nb"), col("sg").as("sb2")),
+        col("ga") < col("gb"))
+      .crossJoin(broadcast(m))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val diff = col("sa").cast("double") / na - col("sb2").cast("double") / nb
+    val se = sqrt(col("msw") / 2.0 * (lit(1.0) / na + lit(1.0) / nb))
+    pairs.select(col("ga"), col("gb"),
+        (round(diff, 4) + 0.0).as("mean_diff"),
+        round(lit(3.858) * se, 4).as("hsd"),
+        (abs(round(diff, 4) + 0.0) > round(lit(3.858) * se, 4)).as("significant"))
+      .orderBy(col("ga"), col("gb"))
+  }
+
+  /** Q506: two-way ANOVA (segment × priority) with interaction — does
+    * priority change the VALUE EFFECT of segment (the question q501's
+    * single factor and q502's additive Shapley shares can't ask)? The
+    * hierarchical cell decomposition: SS_A, SS_B, SS_cells from the
+    * marginal/cell between-terms; SS_AB = SS_cells − SS_A − SS_B
+    * (exact for the balanced-ish design and DOCUMENTED as the
+    * hierarchical convention on observed cells); F for each against
+    * MSW from the full-cell residual. One 25-cell collapse, mirrored
+    * trees throughout.
+    */
+  def q506TwowayAnova: Q = (s, d) => {
+    val cells = graft.Checkpoints.materialize(
+      segValues(s, d).groupBy(col("g"), col("p"))
+        .agg(count(lit(1)).as("ngp"), sum(col("y")).cast("long").as("sgp"),
+          sum(col("y") * col("y")).cast("long").as("qgp")))
+    def sb(df: DataFrame, nc: String, sc: String, as: String): DataFrame =
+      df.agg(count(lit(1)).as(as + "_lv"),
+        sum(round(col(sc).cast("double") * col(sc).cast("double")
+          / col(nc).cast("double"), 6).cast(DecimalType(28, 6)))
+          .cast(DecimalType(38, 6)).cast("double").as(as))
+    val byA = sb(cells.groupBy(col("g"))
+      .agg(sum(col("ngp")).as("ng"), sum(col("sgp")).cast("long").as("sg")),
+      "ng", "sg", "sba")
+    val byB = sb(cells.groupBy(col("p"))
+      .agg(sum(col("ngp")).as("np"), sum(col("sgp")).cast("long").as("sp")),
+      "np", "sp", "sbb")
+    val byC = sb(cells, "ngp", "sgp", "sbc")
+    val tot = cells.agg(sum(col("ngp")).cast("long").as("n"),
+      sum(col("sgp")).cast("long").as("st"),
+      sum(col("qgp")).cast("long").as("qt"))
+    val j = tot.crossJoin(broadcast(byA)).crossJoin(broadcast(byB))
+      .crossJoin(broadcast(byC))
+    val nD = col("n").cast("double")
+    val cm = col("st").cast("double") * col("st").cast("double") / nD
+    val ssA = col("sba") - cm
+    val ssB = col("sbb") - cm
+    val ssC = col("sbc") - cm
+    val ssAB = ssC - ssA - ssB
+    val ssW = col("qt").cast("double") - col("sbc")
+    val dfa = col("sba_lv").cast("double") - 1.0
+    val dfb = col("sbb_lv").cast("double") - 1.0
+    val dfab = dfa * dfb
+    val dfw = nD - col("sbc_lv").cast("double")
+    val msw = ssW / dfw
+    j.select(big(col("n")).as("n"),
+      round(ssA, 4).as("ss_segment"), round(ssB, 4).as("ss_priority"),
+      (round(ssAB, 4) + 0.0).as("ss_interaction"), round(ssW, 4).as("ss_within"),
+      round(ssA / dfa / msw, 4).as("f_segment"),
+      round(ssB / dfb / msw, 4).as("f_priority"),
+      (round(ssAB / dfab / msw, 4) + 0.0).as("f_interaction"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q487_matrix_profile" -> q487MatrixProfile,
     "q490_cusum_alarm" -> q490CusumAlarm,
@@ -6018,6 +6156,9 @@ object Stats {
     "q501_anova_oneway" -> q501AnovaOneway,
     "q502_shapley_r2" -> q502ShapleyR2,
     "q503_brown_forsythe" -> q503BrownForsythe,
+    "q504_effect_sizes" -> q504EffectSizes,
+    "q505_tukey_hsd" -> q505TukeyHsd,
+    "q506_twoway_anova" -> q506TwowayAnova,
     "q492_bootstrap_ci" -> q492BootstrapCi,
     "q493_seasonal_decompose" -> q493SeasonalDecompose,
     "q494_granger_causality" -> q494GrangerCausality,
@@ -6400,6 +6541,148 @@ object Stats {
   }
 
   val oracles: Map[String, String] = Map(
+    "q504_effect_sizes" ->
+      """WITH base AS MATERIALIZED (SELECT c_mktsegment AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      // 100000 AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(y) AS BIGINT) AS sg, CAST(SUM(y * y) AS BIGINT) AS qg
+        |  FROM base GROUP BY 1),
+        |two AS MATERIALIZED (SELECT g, ng, sg, qg, rk FROM (
+        |  SELECT g, ng, sg, qg,
+        |    row_number() OVER (ORDER BY ng DESC, g) AS rk FROM per)
+        |  WHERE rk <= 2),
+        |a AS (SELECT g AS g1, ng AS n1, sg AS s1, qg AS q1 FROM two
+        |  WHERE rk = 1),
+        |b AS (SELECT g AS g2, ng AS n2, sg AS s2, qg AS q2 FROM two
+        |  WHERE rk = 2),
+        |sup AS MATERIALIZED (SELECT rk, y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base JOIN two ON base.g = two.g GROUP BY 1, 2),
+        |dom AS (SELECT
+        |    CAST(SUM(CASE WHEN sa.y > sb.y THEN sa.c * sb.c ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS gt,
+        |    CAST(SUM(CASE WHEN sa.y = sb.y THEN sa.c * sb.c ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS eqc
+        |  FROM (SELECT y, c FROM sup WHERE rk = 1) sa,
+        |       (SELECT y, c FROM sup WHERE rk = 2) sb),
+        |md AS (SELECT g1, g2,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE)
+        |        - CAST('1.0' AS DOUBLE)) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE)
+        |        - CAST('1.0' AS DOUBLE)) AS v2,
+        |    gt, eqc
+        |  FROM a, b, dom)
+        |SELECT g1, g2,
+        |  ROUND((m1 - m2) / SQRT(((n1d - CAST('1.0' AS DOUBLE)) * v1
+        |    + (n2d - CAST('1.0' AS DOUBLE)) * v2)
+        |    / (n1d + n2d - CAST('2.0' AS DOUBLE))), 6)
+        |    + CAST('0.0' AS DOUBLE) AS cohens_d,
+        |  ROUND((m1 - m2) / SQRT(((n1d - CAST('1.0' AS DOUBLE)) * v1
+        |    + (n2d - CAST('1.0' AS DOUBLE)) * v2)
+        |    / (n1d + n2d - CAST('2.0' AS DOUBLE)))
+        |    * (CAST('1.0' AS DOUBLE) - CAST('3.0' AS DOUBLE)
+        |      / (CAST('4.0' AS DOUBLE) * (n1d + n2d)
+        |        - CAST('9.0' AS DOUBLE))), 6)
+        |    + CAST('0.0' AS DOUBLE) AS hedges_g,
+        |  ROUND((m1 - m2) / SQRT(v2), 6) + CAST('0.0' AS DOUBLE)
+        |    AS glass_delta,
+        |  ROUND((CAST(gt AS DOUBLE) + CAST(eqc AS DOUBLE)
+        |    * CAST('0.5' AS DOUBLE)) / (n1d * n2d), 6) AS cles
+        |FROM md""".stripMargin,
+    "q505_tukey_hsd" ->
+      """WITH base AS MATERIALIZED (SELECT c_mktsegment AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      // 100000 AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS MATERIALIZED (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(y) AS BIGINT) AS sg, CAST(SUM(y * y) AS BIGINT) AS qg
+        |  FROM base GROUP BY 1),
+        |m AS (SELECT (CAST(qt AS DOUBLE) - sbterm)
+        |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |      CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(qg) AS BIGINT) AS qt,
+        |      CAST(CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE)
+        |        * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+        |        AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sbterm
+        |    FROM per))
+        |SELECT a.g AS ga, b.g AS gb,
+        |  ROUND(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |    - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE), 4)
+        |    + CAST('0.0' AS DOUBLE) AS mean_diff,
+        |  ROUND(CAST('3.858' AS DOUBLE) * SQRT(msw / CAST('2.0' AS DOUBLE)
+        |    * (CAST('1.0' AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |      + CAST('1.0' AS DOUBLE) / CAST(b.ng AS DOUBLE))), 4) AS hsd,
+        |  (ABS(ROUND(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |    - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE), 4)
+        |    + CAST('0.0' AS DOUBLE))
+        |    > ROUND(CAST('3.858' AS DOUBLE) * SQRT(msw
+        |      / CAST('2.0' AS DOUBLE)
+        |      * (CAST('1.0' AS DOUBLE) / CAST(a.ng AS DOUBLE)
+        |        + CAST('1.0' AS DOUBLE) / CAST(b.ng AS DOUBLE))), 4))
+        |    AS significant
+        |FROM per a JOIN per b ON a.g < b.g CROSS JOIN m
+        |ORDER BY ga, gb""".stripMargin,
+    "q506_twoway_anova" ->
+      """WITH base AS MATERIALIZED (SELECT c_mktsegment AS g,
+        |    o_orderpriority AS p,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |      // 100000 AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS MATERIALIZED (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS ngp,
+        |    CAST(SUM(y) AS BIGINT) AS sgp, CAST(SUM(y * y) AS BIGINT) AS qgp
+        |  FROM base GROUP BY 1, 2),
+        |bya AS (SELECT CAST(COUNT(*) AS BIGINT) AS sba_lv,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 6) AS DECIMAL(28,6))) AS DECIMAL(38,6))
+        |      AS DOUBLE) AS sba
+        |  FROM (SELECT g, CAST(SUM(ngp) AS BIGINT) AS ng,
+        |      CAST(SUM(sgp) AS BIGINT) AS sg FROM cells GROUP BY 1)),
+        |byb AS (SELECT CAST(COUNT(*) AS BIGINT) AS sbb_lv,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+        |      / CAST(np AS DOUBLE), 6) AS DECIMAL(28,6))) AS DECIMAL(38,6))
+        |      AS DOUBLE) AS sbb
+        |  FROM (SELECT p, CAST(SUM(ngp) AS BIGINT) AS np,
+        |      CAST(SUM(sgp) AS BIGINT) AS sp FROM cells GROUP BY 1)),
+        |byc AS (SELECT CAST(COUNT(*) AS BIGINT) AS sbc_lv,
+        |    CAST(CAST(SUM(CAST(ROUND(CAST(sgp AS DOUBLE)
+        |      * CAST(sgp AS DOUBLE) / CAST(ngp AS DOUBLE), 6)
+        |      AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sbc
+        |  FROM cells),
+        |tot AS (SELECT CAST(SUM(ngp) AS BIGINT) AS n,
+        |    CAST(SUM(sgp) AS BIGINT) AS st, CAST(SUM(qgp) AS BIGINT) AS qt
+        |  FROM cells),
+        |md AS (SELECT n,
+        |    sba - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssa,
+        |    sbb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS ssb,
+        |    (sbc - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / CAST(n AS DOUBLE))
+        |      - (sba - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      - (sbb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) AS ssab,
+        |    CAST(qt AS DOUBLE) - sbc AS ssw,
+        |    CAST(sba_lv AS DOUBLE) - CAST('1.0' AS DOUBLE) AS dfa,
+        |    CAST(sbb_lv AS DOUBLE) - CAST('1.0' AS DOUBLE) AS dfb,
+        |    (CAST(sba_lv AS DOUBLE) - CAST('1.0' AS DOUBLE))
+        |      * (CAST(sbb_lv AS DOUBLE) - CAST('1.0' AS DOUBLE)) AS dfab,
+        |    CAST(n AS DOUBLE) - CAST(sbc_lv AS DOUBLE) AS dfw
+        |  FROM tot, bya, byb, byc)
+        |SELECT n, ROUND(ssa, 4) AS ss_segment, ROUND(ssb, 4) AS ss_priority,
+        |  ROUND(ssab, 4) + CAST('0.0' AS DOUBLE) AS ss_interaction,
+        |  ROUND(ssw, 4) AS ss_within,
+        |  ROUND(ssa / dfa / (ssw / dfw), 4) AS f_segment,
+        |  ROUND(ssb / dfb / (ssw / dfw), 4) AS f_priority,
+        |  ROUND(ssab / dfab / (ssw / dfw), 4) + CAST('0.0' AS DOUBLE)
+        |    AS f_interaction
+        |FROM md""".stripMargin,
     "q501_anova_oneway" ->
       """WITH base AS MATERIALIZED (SELECT c_mktsegment AS g,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)

@@ -185,6 +185,9 @@ class PlanAuditSpec extends SparkSpec {
     "q492_bootstrap_ci", // 32-row replica grid onto the order scan + 1-row point/lo/hi broadcasts
     "q495_binary_segmentation", // 1-row totals + 2-row segment relation onto the calendar-bounded prefix grid
     "q502_shapley_r2", // three 1-row between-SS aggregates composed onto the 1-row totals
+    "q504_effect_sizes", // 2-row group relation + bounded k$-support dominance cross + 1-row broadcasts
+    "q505_tukey_hsd", // 5x5 segment pair relation + 1-row MSW broadcast
+    "q506_twoway_anova", // 1-row marginal/cell between-SS aggregates onto the 1-row totals
     "q493_seasonal_decompose", // 1-row strength broadcast onto the 7-row weekday collapse
     "q183_minmax_prune") // 1-row broadcast true-row total appended to the 2-row audit
 
@@ -257,7 +260,8 @@ class PlanAuditSpec extends SparkSpec {
     "q492_bootstrap_ci" -> "percentile rank over the 32-row replica-mean relation, never the orders",
     "q493_seasonal_decompose" -> "centered 7-day MA window over the calendar-bounded day grid (the q397/q429 argument), never the orders",
     "q494_granger_causality" -> "lag-1 window over the calendar-bounded day grid (the q397/q429 argument), never the orders",
-    "q495_binary_segmentation" -> "prefix cumsums + argmin rank over the calendar-bounded day grid (the q397/q429 argument), never the orders")
+    "q495_binary_segmentation" -> "prefix cumsums + argmin rank over the calendar-bounded day grid (the q397/q429 argument), never the orders",
+    "q504_effect_sizes" -> "top-2 rank over the 5-row segment-moment relation, never the orders")
 
   private val streaming = Set(
     "q45_stream_tumbling", "q46_stream_sessions", "q54_stream_sliding",

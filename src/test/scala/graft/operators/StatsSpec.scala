@@ -371,6 +371,62 @@ class StatsSpec extends SparkSpec {
     assert(r2b >= r2s - 1e-9 && r2b >= r2p - 1e-9)
   }
 
+  test("q504/q505/q506: effect sizes, Tukey pairs and two-way SS match replays") {
+    val vals = segValuesReplay()
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q504 — two largest segments by count (ties by name)
+    val byG = vals.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    val two = byG.toSeq.sortBy { case (g, ys) => (-ys.size, g) }.take(2)
+    val (g1, ys1) = two(0); val (g2, ys2) = two(1)
+    val n1 = ys1.size.toDouble; val n2 = ys2.size.toDouble
+    val m1 = ys1.sum.toDouble / n1; val m2 = ys2.sum.toDouble / n2
+    def varOf(ys: Seq[Long], n: Double) =
+      (ys.map(y => y * y).sum.toDouble - ys.sum.toDouble * ys.sum / n) / (n - 1.0)
+    val v1 = varOf(ys1, n1); val v2 = varOf(ys2, n2)
+    val sp = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    val gt = (for (a <- ys1; b <- ys2 if a > b) yield 1L).sum
+    val eqc = (for (a <- ys1; b <- ys2 if a == b) yield 1L).sum
+    val got4 = Stats.q504EffectSizes(spark, sf0001).collect()(0)
+    assert(got4.getString(0) == g1 && got4.getString(1) == g2)
+    assert(got4.getDouble(2) == r((m1 - m2) / sp, 6), "cohens_d")
+    assert(got4.getDouble(5) == r((gt + 0.5 * eqc) / (n1 * n2), 6), "cles")
+    // q505 — every pair's verdict against the replayed MSW threshold
+    val n = vals.size.toDouble; val k = byG.size.toDouble
+    val qt = vals.map(v => v._3 * v._3).sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sbterm = byG.values
+      .map(ys => r6(ys.sum.toDouble * ys.sum / ys.size)).sum.toDouble
+    val msw = (qt - sbterm) / (n - k)
+    val got5 = Stats.q505TukeyHsd(spark, sf0001).collect()
+    assert(got5.length == k.toInt * (k.toInt - 1) / 2)
+    got5.foreach { row =>
+      val ya = byG(row.getString(0)); val yb = byG(row.getString(1))
+      val diff = ya.sum.toDouble / ya.size - yb.sum.toDouble / yb.size
+      val hsd = 3.858 * math.sqrt(msw / 2.0 * (1.0 / ya.size + 1.0 / yb.size))
+      assert(row.getDouble(2) == r(diff, 4), s"diff ${row.getString(0)}")
+      assert(row.getDouble(3) == r(hsd, 4), s"hsd ${row.getString(0)}")
+      assert(row.getBoolean(4) == (math.abs(r(diff, 4)) > r(hsd, 4)))
+    }
+    // q506 — the hierarchical decomposition closes and F matches
+    val got6 = Stats.q506TwowayAnova(spark, sf0001).collect()(0)
+    val st = vals.map(_._3).sum.toDouble
+    val cm = st * st / n
+    def sbOf(key: ((String, String, Long)) => String) = vals.groupBy(key).values
+      .map(ys => r6(ys.map(_._3).sum.toDouble * ys.map(_._3).sum / ys.size))
+      .sum.toDouble
+    val ssA = sbOf(_._1) - cm; val ssB = sbOf(_._2) - cm
+    val sbc = sbOf(t => t._1 + "|" + t._2)
+    val ssC = sbc - cm; val ssW = qt - sbc
+    assert(got6.getDouble(1) == r(ssA, 4), "ss_segment")
+    assert(got6.getDouble(2) == r(ssB, 4), "ss_priority")
+    assert(got6.getDouble(3) == r(ssC - ssA - ssB, 4), "ss_interaction")
+    assert(got6.getDouble(4) == r(ssW, 4), "ss_within")
+    // decomposition closure: SS_A + SS_B + SS_AB + SS_W = SS_total
+    val ssTot = qt - cm
+    assert(math.abs(ssA + ssB + (ssC - ssA - ssB) + ssW - ssTot) < 1e-3)
+  }
+
   test("q177 linreg: slope/intercept/r2 match closed-form on collected rows") {
     val rows = graft.Tables(spark, sf0001, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("double"),
