@@ -6037,7 +6037,7 @@ object Stats {
       .groupBy(col("rk"), col("y")).agg(count(lit(1)).as("c"))
     val supA = sup.filter(col("rk") === 1).select(col("y").as("ya"), col("c").as("ca"))
     val supB = sup.filter(col("rk") === 2).select(col("y").as("yb"), col("c").as("cb"))
-    val dom = supA.crossJoin(supB).agg(
+    val dom = supA.crossJoin(broadcast(supB)).agg(
       sum(when(col("ya") > col("yb"), col("ca") * col("cb")).otherwise(0L))
         .cast(DecimalType(38, 0)).as("gt"),
       sum(when(col("ya") === col("yb"), col("ca") * col("cb")).otherwise(0L))
@@ -6082,8 +6082,8 @@ object Stats {
         ((col("qt").cast("double") - col("sbterm"))
           / (col("n").cast("double") - col("k").cast("double"))).as("msw"))
     val pairs = per.select(col("g").as("ga"), col("ng").as("na"), col("sg").as("sa"))
-      .join(per.select(col("g").as("gb"), col("ng").as("nb"), col("sg").as("sb2")),
-        col("ga") < col("gb"))
+      .join(broadcast(per.select(col("g").as("gb"), col("ng").as("nb"),
+        col("sg").as("sb2"))), col("ga") < col("gb"))
       .crossJoin(broadcast(m))
     val na = col("na").cast("double"); val nb = col("nb").cast("double")
     val diff = col("sa").cast("double") / na - col("sb2").cast("double") / nb
