@@ -197,24 +197,36 @@ object Bench {
     // ordering, tier planning, and phase-D outlier adjudication — a prior
     // number is never copied into the emitted record. Ignored when the
     // file's sf differs from this run's (a local sf0.01 sweep must not
-    // order the driver's sf0.1 run).
-    val prior: Map[String, Double] = try {
+    // order the driver's sf0.1 run). Standing-build priors are parsed from
+    // the same record so `standing_*` rows get the same >2x-prior
+    // adjudication as query rows (round-12 VERDICT #1).
+    def priorObj(txt: String, field: String): Map[String, Double] = {
+      val obj = ("\"" + field + """":\{([^}]*)\}""").r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 >= 0).toMap
+    }
+    val (prior: Map[String, Double], standingPrior: Map[String, Double]) = try {
       val p = java.nio.file.Paths.get("BENCH_LAST.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], Map.empty[String, Double])
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
           .exists(_.group(1) == sfDir)
-        if (!sfOk) Map.empty
+        if (!sfOk) (Map.empty[String, Double], Map.empty[String, Double])
         else {
-          val qObj = """"queries":\{([^}]*)\}""".r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(qObj)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._2 >= 0).toMap
+          val qs = priorObj(txt, "queries")
+          // a present-but-unparseable prior silently disables seeding order
+          // and phase-D adjudication — make that visible (round-12 ADVICE)
+          if (qs.isEmpty)
+            System.err.println("[graft] Bench: BENCH_LAST.json exists for this " +
+              "sf but yielded an EMPTY prior map — format drift? prior-based " +
+              "seeding and phase-D adjudication are disabled this run")
+          (qs, priorObj(txt, "standing"))
         }
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) }
     // noop sink, not count(): count() lets Catalyst prune all projections,
     // under-measuring map-only queries; noop materializes every output column.
     def runOnce(name: String): Double = {
@@ -225,12 +237,42 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // --- sentinel machinery, declared BEFORE the standing phase so the
+    // standing rows get the same bracket adjudication as query rows
+    // (scaladoc: self-adjudication)
+    val sentinelNames = Seq("q01_scan_filter", "q04_star_join")
+    val floors = scala.collection.concurrent.TrieMap.empty[String, Double]
+    def sentinelRun(s: String): Double = {
+      val t = runOnce(s)
+      // floor = session minimum: contention only ever slows a sentinel, so
+      // the min is the clean level and later clean runs self-correct a
+      // floor primed during an early loaded window
+      if (t >= 0) floors(s) = math.min(floors.getOrElse(s, t), t)
+      t
+    }
+    // Before a re-measure, wait (bounded) for the contention window to pass:
+    // probe the cheap sentinel every 5 s until it sits near its floor. The
+    // global cap keeps a permanently-loaded box degrading to flagged-
+    // contaminated rows rather than a hung sweep.
+    var quietBudgetMs = 60000L
+    def waitForQuiet(): Unit = {
+      var tries = 0
+      while (tries < 6 && quietBudgetMs > 0 && remainingSec > 60) {
+        val t = sentinelRun("q01_scan_filter")
+        val ratio = if (t > 0 && floors.get("q01_scan_filter").exists(_ > 0))
+          t / floors("q01_scan_filter") else 1.0
+        if (ratio <= 1.2) return
+        Thread.sleep(5000); quietBudgetMs -= 5000; tries += 1
+      }
+    }
+
     // --- startup absorber: two cheap sentinel queries soak up JVM/codegen/
     // session startup so the standing-build rows and the warm pass below
     // measure work, not warm-up (the first closing-run artifact recorded
-    // q01 at 4.9 s of sbt startup and sorted it into the heavy tail)
-    Seq("q01_scan_filter", "q04_star_join")
-      .filter(SparkEntry.queries.contains).foreach(runOnce)
+    // q01 at 4.9 s of sbt startup and sorted it into the heavy tail). The
+    // SECOND run of each primes the sentinel floors past the startup cost.
+    sentinelNames.filter(SparkEntry.queries.contains)
+      .foreach { s => runOnce(s); sentinelRun(s) }
 
     // --- standing-relation builds, each timed as its OWN row (round-10
     // VERDICT #3): without this the cost of each shared build lands on
@@ -240,11 +282,47 @@ object Bench {
     // ([[graft.operators.Standing]]), so the semantics-keyed caches hit
     // and every later query run prices steady-state probe work only.
     // Skipped on SPARK_GRAFT_ONLY iteration (like the importer point).
+    //
+    // Round-13: standing rows get the query-row adjudication machinery
+    // (round-12 VERDICT #1 — the r12 driver record priced
+    // standing_jaccard_index at 19.5 s vs 1.9 s committed with no flag).
+    // The pass is sentinel-bracketed; rows reading >2x their committed
+    // prior trigger ONE cache-busted re-build pass (all registries cleared,
+    // so the rebuild prices real work — a naive re-run would time a cache
+    // hit), keeping the min per row; rows still >2x prior are flagged
+    // `standing_outlier` so the judge reads "unadjudicated spike".
     val standing = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    if (only.isEmpty) graft.operators.Standing.builds.foreach { case (sn, b) =>
+    val standingOutliers = scala.collection.concurrent.TrieMap.empty[String, Unit]
+    def runStandingPass(): Unit = graft.operators.Standing.builds.foreach { case (sn, b) =>
       val t0 = System.nanoTime()
       val ok = try { b(spark, sfDir); true } catch { case _: Throwable => false }
-      standing(sn) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      standing(sn) = (standing.get(sn).filter(_ >= 0), Some(t).filter(_ >= 0)) match {
+        case (Some(o), Some(n)) => math.min(o, n)
+        case (Some(o), None)    => o
+        case (None, n)          => n.getOrElse(-1.0)
+      }
+    }
+    if (only.isEmpty) {
+      runStandingPass()
+      sentinelNames.foreach(sentinelRun) // trailing bracket: self-correct floors
+      def spiked(sn: String): Boolean =
+        standing.get(sn).exists(v => v >= 0.3 &&
+          standingPrior.get(sn).exists(p => p > 0 && v > 2 * p))
+      val suspects = standing.keys.filter(spiked).toSeq
+      val firstPassSec = standing.values.filter(_ >= 0).sum
+      if (suspects.nonEmpty &&
+          remainingSec - reserve > budgetSec * 0.25 + firstPassSec * 1.5) {
+        System.err.println(s"[graft] Bench: standing rows >2x prior " +
+          s"(${suspects.mkString(",")}) — cache-busted re-build pass")
+        waitForQuiet()
+        graft.Checkpoints.clearMaterializeCache()
+        graft.dedup.JaccardJoin.clearIndexCache()
+        graft.similarity.Ann.clearIndexCache()
+        graft.similarity.Pq.clearCodebookCache()
+        runStandingPass() // rebuilds EVERY registry so later queries still hit
+      }
+      suspects.foreach(sn => if (spiked(sn)) standingOutliers(sn) = ())
     }
 
     // --- timed warm-up pass: JIT + codegen + footer caches, AND the
@@ -291,8 +369,6 @@ object Bench {
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def jmap(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val sentinelNames = Seq("q01_scan_filter", "q04_star_join")
-    val floors = scala.collection.concurrent.TrieMap.empty[String, Double]
     // phase-D verdicts (TrieMap: shutdown hook reads concurrently)
     val outliers = scala.collection.concurrent.TrieMap.empty[String, Unit]
     @volatile var emitted = false
@@ -321,8 +397,17 @@ object Bench {
       val elS = String.format(java.util.Locale.ROOT, "%.1f", Double.box(elapsedSec))
       val standingJson =
         if (standing.isEmpty) ""
-        else ","  + "\"standing\":" + jmap(standing.toSeq.map { case (k, v) => k -> fmt(v) })
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"adaptive-budgeted-adjudicated","partial":$partial,"budget_sec":$budgetSec,"elapsed_sec":$elS,"queries":$qs,"iqr":$iqrs,"sentinel":$sents,"sentinel_floor":$floorJson,"reruns":$reruns,"contaminated":$contaminated,"degraded":$degraded,"degraded_outlier":$outlierJson$standingJson$impJson,"sf":"$sfDir"}"""
+        else ","  + "\"standing\":" + jmap(standing.toSeq.map { case (k, v) => k -> fmt(v) }) +
+          ",\"standing_outlier\":" + standing.keys.toSeq.filter(standingOutliers.contains)
+            .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // every degraded row carries its committed prior alongside (round-12
+      // VERDICT #7): a loaded driver box prices most rows as single-shot
+      // upper bounds — the prior gives the reader the steady-state level
+      // next to the honest flag, without ever replacing the measured number
+      val degradedPrior = jmap(rs.collect {
+        case (k, r) if r.degraded && prior.contains(k) => k -> fmt(prior(k))
+      })
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"adaptive-budgeted-adjudicated","partial":$partial,"budget_sec":$budgetSec,"elapsed_sec":$elS,"queries":$qs,"iqr":$iqrs,"sentinel":$sents,"sentinel_floor":$floorJson,"reruns":$reruns,"contaminated":$contaminated,"degraded":$degraded,"degraded_prior":$degradedPrior,"degraded_outlier":$outlierJson$standingJson$impJson,"sf":"$sfDir"}"""
       println(line)
       System.out.flush()
       // stdout passes through sbt's logger ([info] prefixes); also drop the
@@ -340,33 +425,9 @@ object Bench {
     val hook = new Thread(() => if (!emitted) emit(partialReq = true))
     Runtime.getRuntime.addShutdownHook(hook)
 
-    // --- sentinel machinery (scaladoc: self-adjudication) -----------------
-    def sentinelRun(s: String): Double = {
-      val t = runOnce(s)
-      // floor = session minimum: contention only ever slows a sentinel, so
-      // the min is the clean level and later clean runs self-correct a
-      // floor primed during an early loaded window
-      if (t >= 0) floors(s) = math.min(floors.getOrElse(s, t), t)
-      t
-    }
-    sentinelNames.foreach(s => (1 to 2).foreach(_ => sentinelRun(s)))
+    // sentinel machinery (sentinelRun/floors/waitForQuiet) is declared above
+    // the standing phase; here the measured sweep just alternates brackets
     val sentIter = Iterator.continually(sentinelNames).flatten
-
-    // Before a re-measure, wait (bounded) for the contention window to pass:
-    // probe the cheap sentinel every 5 s until it sits near its floor. The
-    // global cap keeps a permanently-loaded box degrading to flagged-
-    // contaminated rows rather than a hung sweep.
-    var quietBudgetMs = 60000L
-    def waitForQuiet(): Unit = {
-      var tries = 0
-      while (tries < 6 && quietBudgetMs > 0 && remainingSec > 60) {
-        val t = sentinelRun("q01_scan_filter")
-        val ratio = if (t > 0 && floors.get("q01_scan_filter").exists(_ > 0))
-          t / floors("q01_scan_filter") else 1.0
-        if (ratio <= 1.2) return
-        Thread.sleep(5000); quietBudgetMs -= 5000; tries += 1
-      }
-    }
 
     // Adaptive reps: the fixed median-of-5 over every query is what blew
     // the round-8 harness timeout. Cheap queries keep the full 5 (their
@@ -545,14 +606,25 @@ object Bench {
         case (n, Some(ts)) if !ts.exists(_ < 0) =>
           val med = median(ts); val iqr = iqrOf(ts)
           val spreadCap = if (ts.size >= 5) 0.5 else 1.0
-          val rowClean = blockClean &&
+          // a single-rep row has unknown spread (iqr=-1) — don't let a load
+          // spike that starts after the leading sentinel and ends before the
+          // trailing one record as a clean measurement: a single-rep row
+          // reading >2x its committed prior takes the per-query adjudication
+          // path like a dirty row (round-12 ADVICE)
+          val singleRepSuspect = ts.size == 1 &&
+            prior.get(n).exists(p => p > 0 && med > 2 * p)
+          val rowClean = blockClean && !singleRepSuspect &&
             (med < 0.3 || iqr < 0 || iqr / med <= spreadCap)
+          // guard with the ACTUAL planned re-measure cost — up to
+          // tierReps x maxAttempts(≤2) runs plus bracket overhead — not the
+          // flat est*2 the old guard assumed (round-12 ADVICE)
+          val replanned = tierReps(tier, ests(n))
           if (rowClean)
             keep(n, Row(med, iqr, ratioMax, contaminated = false,
               reruns = 0, degraded = false))
-          else if (remainingSec - reserve > ests(n) * 2 + 2)
+          else if (remainingSec - reserve > ests(n) * replanned * 2 + 2)
             // dirty block or noisy row: per-query adjudication path
-            keep(n, measure(n, tierReps(tier, ests(n)), bracket = true, ests(n)))
+            keep(n, measure(n, replanned, bracket = true, ests(n)))
           else {
             // out of budget: keep the tighter upper bound, flagged
             val old = results(n)
@@ -616,8 +688,12 @@ object Bench {
     def outlierish(n: String): Boolean =
       results(n).degraded && results(n).median >= 0 &&
         prior.get(n).exists(p => p > 0 && results(n).median > 2 * p)
+    // reserve-aware guard: the old `remainingSec > 15 + est` ignored the
+    // 30 s finalization reserve every other phase subtracts, so phase D
+    // could eat ~15 s of it and push emission onto the shutdown-hook
+    // partial path (round-12 ADVICE)
     for (n <- names.sortBy(ests) if outlierish(n)) {
-      if (remainingSec > 15 + ests(n)) {
+      if (remainingSec - reserve > ests(n) + 2) {
         val t = runOnce(n)
         if (t >= 0 && t < results(n).median) {
           val old = results(n)
