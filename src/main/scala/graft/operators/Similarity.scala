@@ -1008,8 +1008,6 @@ object Similarity {
     * scan for q113's IVF-blocked neighbors.
     */
   def q414TwoNN: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     val emb = Tables(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
@@ -1017,13 +1015,26 @@ object Similarity {
     val sym = pairs.select(col("id1").as("id"), col("id2").as("nb"), col("cos"))
       .unionAll(pairs.select(col("id2").as("id"), col("id1").as("nb"), col("cos")))
       .withColumn("dist", lit(1.0) - col("cos"))
+    twoNNFromSym(sym)
+  }
+
+  /** The TwoNN estimator arithmetic over a symmetric candidate-distance
+    * relation `(id, nb, dist)` — factored (the [[lofFromPairs]] pattern) so
+    * the exact baseline [[q414TwoNN]] and its IVF-blocked scale twin
+    * [[q507TwoNNBlocked]] run the SAME rank/ratio/log-sum chain and differ
+    * ONLY in candidate generation. The `d2` non-null guard is a no-op on
+    * the exact all-pairs input (every point has ≥ 2 candidates) and the
+    * right generalization when a small IVF cell yields fewer.
+    */
+  private[graft] def twoNNFromSym(sym: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("nb"))
     val dd = sym.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .groupBy(col("id"))
       .agg(max(when(col("rn") === 1, col("dist"))).as("d1"),
         max(when(col("rn") === 2, col("dist"))).as("d2"))
-    val mu = dd.filter(col("d1") > 0.0)
+    val mu = dd.filter(col("d1") > 0.0 && col("d2").isNotNull)
       .select((col("d2") / col("d1")).as("mu"))
     mu.agg(count(lit(1)).as("n_used"),
         sum(round(log(col("mu")), 8).cast(DecimalType(28, 8)))
@@ -1043,7 +1054,6 @@ object Similarity {
     * and the orphan count (never-a-neighbor points).
     */
   def q431Hubness: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
@@ -1051,10 +1061,21 @@ object Similarity {
     val sym = pairs.select(col("id1").as("id"), col("id2").as("nb"), col("cos"))
       .unionAll(pairs.select(col("id2").as("id"), col("id1").as("nb"), col("cos")))
       .withColumn("dist", lit(1.0) - col("cos"))
+    hubnessFromSym(emb.select(col("vec_id").as("nb")), sym)
+  }
+
+  /** The 5-NN in-degree skewness arithmetic over a symmetric
+    * candidate-distance relation `(id, nb, dist)` plus the full id universe
+    * `(nb)` (orphans count as in-degree 0) — factored so the exact baseline
+    * [[q431Hubness]] and its IVF-blocked scale twin [[q508HubnessBlocked]]
+    * run the SAME rank/moment/skew chain and differ ONLY in candidate
+    * generation. In-degree moments are exact int64.
+    */
+  private[graft] def hubnessFromSym(ids: DataFrame, sym: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("nb"))
     val nn = sym.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
     val indeg = nn.groupBy(col("nb")).agg(count(lit(1)).as("deg"))
-    val full = emb.select(col("vec_id").as("nb"))
+    val full = ids
       .join(indeg, Seq("nb"), "left")
       .select(coalesce(col("deg"), lit(0L)).as("deg"))
     val m = full.agg(count(lit(1)).as("n"), sum(col("deg")).as("s1"),
@@ -1082,11 +1103,18 @@ object Similarity {
     * ANN pruning can work on this embedding space. Per-term 8-dp rounded
     * decimal sums.
     */
-  def q435DistanceConcentration: Q = (s, d) => {
-    import org.apache.spark.sql.types.DecimalType
-    val emb = Tables(s, d, "embeddings")
+  def q435DistanceConcentration: Q = (s, d) => concentrationFromEmb(
+    Tables(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
-      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev")))))
+
+  /** The distance-concentration arithmetic over a normalized embedding
+    * relation `(vec_id, ev, nrm)` — factored so the exact baseline
+    * [[q435DistanceConcentration]] and its fixed-sample scale twin
+    * [[q509ConcentrationSampled]] run the SAME pair/moment chain and
+    * differ ONLY in the input relation.
+    */
+  private[graft] def concentrationFromEmb(emb: DataFrame): DataFrame = {
     val pairs = exactCosinePairs(emb)
     val sym = pairs.select(col("id1").as("id"), col("cos"))
       .unionAll(pairs.select(col("id2").as("id"), col("cos")))
@@ -1286,7 +1314,66 @@ object Similarity {
         col("p90_distortion"), col("max_distortion"))
   }
 
+  /** Q507: IVF-blocked TwoNN — [[q414TwoNN]]'s scale twin (round-12
+    * VERDICT #2: the diagnostic triptych rode the unbounded exact pair
+    * kernel with no scale path). Each point's 2-NN candidates come from
+    * its shared-IVF-cell co-assignments ([[blockedLofPairs]] at r = 6 —
+    * the SAME relation q486's LOF consumes, so a sweep pays the index
+    * once), cutting compare volume from n²/2 to ~r²·n^1.5/2 while the
+    * estimator arithmetic is the factored [[twoNNFromSym]] kernel.
+    * 2-NN is a strictly easier target than q486's 5-NN (recall ≥ its
+    * measured 0.991 at r = 6); ScaleTwinsSpec pins 2-NN edge recall and
+    * id_mle drift vs exact q414. Engine-only (the IVF fixpoint has no SQL
+    * twin); the exactness baseline remains q414.
+    */
+  def q507TwoNNBlocked: Q = (s, d) =>
+    twoNNFromSym(blockedLofPairs(s, d, replicas = 6)
+      .select(col("vec_id").as("id"), col("nid").as("nb"), col("dist")))
+
+  /** Q508: IVF-blocked hubness — [[q431Hubness]]'s scale twin: the 5-NN
+    * in-degree skew over the SAME blocked candidate relation q486's LOF
+    * uses ([[blockedLofPairs]], r = 6 — its 5-NN edge recall is the
+    * measured 0.991 operating point, exactly the edges this in-degree
+    * counts). The moment/skew arithmetic is the factored
+    * [[hubnessFromSym]] kernel over the full id universe (orphans keep
+    * in-degree 0). ScaleTwinsSpec pins n/max_deg/orphan drift and the
+    * skew agreement vs exact q431. Engine-only; the exactness baseline
+    * remains q431.
+    */
+  def q508HubnessBlocked: Q = (s, d) =>
+    hubnessFromSym(
+      Tables(s, d, "embeddings").select(col("vec_id").as("nb")),
+      blockedLofPairs(s, d, replicas = 6)
+        .select(col("vec_id").as("id"), col("nid").as("nb"), col("dist")))
+
+  /** Q509: fixed-sample distance concentration — [[q435DistanceConcentration]]'s
+    * scale twin via the q489 bounded-cut pattern: concentration is a
+    * GLOBAL-moment diagnostic (mean/σ over all pairwise distances), so
+    * IVF blocking would bias it toward near pairs — the right scale path
+    * is a deterministic fixed-size sample. The cut is the 256 ids
+    * smallest under a multiplicative hash (`vec_id·2654435761 mod
+    * 1000003`, ties by id — a pseudo-random but engine-portable total
+    * order; exact in int64 for ids < 3.4e9), so pair volume is ≤ 32 640
+    * at ANY corpus size while the moment arithmetic is the factored
+    * [[concentrationFromEmb]] kernel. Fully SQL-expressible, so unlike
+    * the IVF twins this one is ORACLE-CHECKED; ScaleTwinsSpec pins the
+    * sampled statistics against full-corpus q435 at sf0.01.
+    */
+  def q509ConcentrationSampled: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
+      .withColumn("hk", pmod(col("vec_id") * lit(2654435761L), lit(1000003L)))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(256)
+      .select(col("vec_id"), col("ev"), col("nrm"))
+    concentrationFromEmb(emb)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q509_concentration_sampled" -> q509ConcentrationSampled,
+    "q508_hubness_blocked" -> q508HubnessBlocked,
+    "q507_twonn_blocked" -> q507TwoNNBlocked,
     "q489_srp_distortion" -> q489SrpDistortion,
     "q478_lof" -> q478Lof,
     "q486_lof_blocked" -> q486LofBlocked,
@@ -1530,6 +1617,34 @@ object Similarity {
         |  (ROUND(ssum / CAST('5.0' AS DOUBLE), 6) > CAST('1.2' AS DOUBLE))
         |    AS outlier
         |FROM lofv ORDER BY lof DESC, vec_id LIMIT 15""".stripMargin,
+    "q509_concentration_sampled" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+        |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 256),
+        |nr AS MATERIALIZED (SELECT vec_id, ev,
+        |    SQRT(list_dot_product(ev, ev)) AS nrm FROM e),
+        |pr AS MATERIALIZED (SELECT a.vec_id AS id,
+        |    CAST('1.0' AS DOUBLE)
+        |      - list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) AS dist
+        |  FROM nr a JOIN nr b ON a.vec_id <> b.vec_id),
+        |gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM(CAST(ROUND(dist, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sd1,
+        |    CAST(SUM(CAST(ROUND(dist * dist, 12) AS DECIMAL(30,12))) AS DOUBLE) AS sd2
+        |  FROM pr),
+        |per AS (SELECT CAST(ROUND((sdi / CAST(ni AS DOUBLE) - dmin) / dmin, 8)
+        |      AS DECIMAL(28,8)) AS rc
+        |  FROM (SELECT id, MIN(dist) AS dmin,
+        |      CAST(SUM(CAST(ROUND(dist, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sdi,
+        |      CAST(COUNT(*) AS BIGINT) AS ni
+        |    FROM pr GROUP BY 1)),
+        |rca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rc) AS DOUBLE) AS src FROM per)
+        |SELECT n, ROUND(sd1 / CAST(np AS DOUBLE), 6) AS mean_dist,
+        |  ROUND(SQRT((sd2 - sd1 * sd1 / CAST(np AS DOUBLE))
+        |      / (CAST(np AS DOUBLE) - CAST('1.0' AS DOUBLE)))
+        |    / (sd1 / CAST(np AS DOUBLE)), 6) AS concentration,
+        |  ROUND(src / CAST(n AS DOUBLE), 6) AS mean_rel_contrast
+        |FROM gl CROSS JOIN rca""".stripMargin,
     "q435_distance_concentration" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),

@@ -43,6 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     "q430_token_dispersion", // 10-row top-token × |sources| grid + 1-row totals
     "q431_hubness",      // bounded chunk scan (q60 family exact baseline)
     "q435_distance_concentration", // bounded chunk scan + 1-row contrast relation
+    "q507_twonn_blocked", // K-centroid broadcast (q486's blocked candidate relation)
+    "q508_hubness_blocked", // K-centroid broadcast (q486's blocked candidate relation)
+    "q509_concentration_sampled", // bounded 256-id sample cut (<=32.6k pairs at any SF) + 1-row contrast relation
     "q436_ordinal_association", // 20-cell contingency self-pairing + 1-row total
     "q440_auc_delong",   // 1-row positive/negative total relation
     "q444_weibull_fit",  // 1-row latency-total relation

@@ -75,7 +75,11 @@ class QueriesGoldenSpec extends SparkSpec {
       // q486: LOF over q113's IVF-blocked candidate neighborhoods (the
       // kmeans fixpoint has no SQL twin); ScaleTwinsSpec pins top-15
       // agreement vs the exact q478 baseline
-      "q486_lof_blocked")
+      "q486_lof_blocked",
+      // q507/q508: TwoNN / hubness over the same IVF-blocked candidate
+      // relation as q486 (same no-SQL-twin argument); ScaleTwinsSpec pins
+      // edge recall and statistic drift vs the exact q414/q431 baselines
+      "q507_twonn_blocked", "q508_hubness_blocked")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

@@ -171,6 +171,71 @@ class ScaleTwinsSpec extends SparkSpec {
     assert(hit >= 12, s"blocked LOF top-15 agreement $hit/15 fell below 12")
   }
 
+  test("q507 blocked TwoNN: 2-NN edge recall and id_mle drift vs exact q414") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 2-NN is a strictly easier target than q486's 5-NN at the same r=6
+    // operating point (measured 5-NN edge recall 0.991), so the floor
+    // carries the same margin
+    val exPairs = Similarity.exactLofPairs(spark, sf001)
+    val blPairs = Similarity.blockedLofPairs(spark, sf001, replicas = 6)
+    val wk = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("nid"))
+    def nn2(p: org.apache.spark.sql.DataFrame) = p
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= 2)
+      .select(col("vec_id"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exNn = nn2(exPairs)
+    val recall = (exNn & nn2(blPairs)).size.toDouble / exNn.size
+    info(f"q507 true-2NN edge recall: $recall%.4f")
+    assert(recall >= 0.95, f"2-NN edge recall $recall%.4f fell below 0.95")
+
+    val exact = Similarity.q414TwoNN(spark, sf001).collect().head
+    val blocked = Similarity.q507TwoNNBlocked(spark, sf001).collect().head
+    assert(blocked.getLong(0) === exact.getLong(0),
+      "blocked TwoNN must use every point the exact estimator uses")
+    val drift = math.abs(blocked.getDouble(2) - exact.getDouble(2))
+    info(f"q507 id_mle: blocked=${blocked.getDouble(2)}%.4f " +
+      f"exact=${exact.getDouble(2)}%.4f drift=$drift%.4f")
+    assert(drift <= 0.05 * math.abs(exact.getDouble(2)),
+      f"id_mle drift $drift%.4f exceeds 5%% of the exact estimate")
+  }
+
+  test("q508 blocked hubness: in-degree fidelity and skew drift vs exact q431") {
+    val exact = Similarity.q431Hubness(spark, sf001).collect().head
+    val blocked = Similarity.q508HubnessBlocked(spark, sf001).collect().head
+    assert(blocked.getLong(0) === exact.getLong(0),
+      "blocked hubness must score the full id universe")
+    // max in-degree and orphan count ride the recalled 5-NN edges — at the
+    // measured 0.991 edge recall they stay within a small absolute band
+    assert(math.abs(blocked.getLong(1) - exact.getLong(1)) <= 2,
+      s"max_deg drifted: blocked=${blocked.getLong(1)} exact=${exact.getLong(1)}")
+    assert(math.abs(blocked.getLong(2) - exact.getLong(2)) <= 5,
+      s"n_orphans drifted: blocked=${blocked.getLong(2)} exact=${exact.getLong(2)}")
+    val drift = math.abs(blocked.getDouble(3) - exact.getDouble(3))
+    info(f"q508 skew_k5: blocked=${blocked.getDouble(3)}%.4f " +
+      f"exact=${exact.getDouble(3)}%.4f drift=$drift%.4f")
+    assert(drift <= 0.1, f"skew_k5 drift $drift%.4f exceeds 0.1")
+  }
+
+  test("q509 sampled concentration: stable vs full-corpus q435") {
+    // the 256-id hash cut must reproduce the full-corpus concentration
+    // diagnostics at sf0.01 (500 ids) within a sampling-noise band — the
+    // pin that makes the fixed cut a trustworthy 100 TB stand-in
+    val full = Similarity.q435DistanceConcentration(spark, sf001).collect().head
+    val samp = Similarity.q509ConcentrationSampled(spark, sf001).collect().head
+    assert(samp.getLong(0) === 256L, "sample cut must keep exactly 256 ids")
+    val cDrift = math.abs(samp.getDouble(2) - full.getDouble(2))
+    val rDrift = math.abs(samp.getDouble(3) - full.getDouble(3))
+    info(f"q509 concentration: sampled=${samp.getDouble(2)}%.4f " +
+      f"full=${full.getDouble(2)}%.4f drift=$cDrift%.4f")
+    info(f"q509 mean_rel_contrast: sampled=${samp.getDouble(3)}%.4f " +
+      f"full=${full.getDouble(3)}%.4f drift=$rDrift%.4f")
+    assert(cDrift <= 0.1 * full.getDouble(2),
+      f"concentration drift $cDrift%.4f exceeds 10%% of full")
+    assert(rDrift <= 0.15 * math.abs(full.getDouble(3)),
+      f"mean_rel_contrast drift $rDrift%.4f exceeds 15%% of full")
+  }
+
   test("q110 packing twin: conserves token mass and packs every shard fully") {
     val exact = NorthStar.q96SamplePacking(spark, sf001).collect()
     val sharded = NorthStar.q110PackingShard(spark, sf001).collect()

@@ -114,6 +114,8 @@ PINS = {
     "q214_bpe_fertility": "UtilitiesSpec (encode replay)",
     "q294_minhash_quality_eval": "NorthStarSpec (recall floor + containment)",
     "q486_lof_blocked": "ScaleTwinsSpec (5-NN recall + drift + top-15 vs q478)",
+    "q507_twonn_blocked": "ScaleTwinsSpec (2-NN recall + id_mle drift vs q414)",
+    "q508_hubness_blocked": "ScaleTwinsSpec (in-degree fidelity + skew drift vs q431)",
 }
 
 
