@@ -37,13 +37,16 @@ case class JaroWinkler(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    // byte-level walk: the comparison is per UTF-8 byte, identical to
-    // per-character for the ASCII names this scores — which is the only
-    // corpus the cross-engine (DuckDB/rapidfuzz) equivalence is verified
-    // for. On MULTIBYTE input a codepoint-based implementation computes
-    // its match window and prefix length in characters, not bytes, and
-    // can disagree with this walk; non-ASCII inputs are deterministic
-    // here but NOT oracle-pinned.
+    // byte-level walk: the comparison is per UTF-8 byte — which is
+    // EXACTLY DuckDB's semantic, not an ASCII-only approximation of it:
+    // DuckDB's jaro_winkler_similarity walks UTF-8 bytes too (verified
+    // empirically on Cyrillic/CJK/kana/emoji pairs — e.g. 'Пётр'/'Петр'
+    // scores 0.822222, the byte walk, where a codepoint walk gives 0.85).
+    // The q510 multibyte conformance battery oracle-pins this equivalence
+    // every round; UtilitiesSpec carries the recorded values. A
+    // codepoint-based walk would be the better LINGUISTIC similarity for
+    // CJK (shared lead bytes inflate byte-level matches) but would
+    // diverge from the declared DuckDB-compatible semantic.
     val a = ua.getBytes
     val b = ub.getBytes
     val l1 = a.length

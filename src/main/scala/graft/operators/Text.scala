@@ -2247,6 +2247,46 @@ object Text {
       .limit(20)
   }
 
+  /** Q510: multibyte fuzzy-match conformance battery (round-12 VERDICT
+    * #3: the corpus fixtures are ASCII-biased, so no oracle row exercised
+    * the fuzzy family on multibyte names — yet a real training-data
+    * pipeline is multilingual). A FIXED battery of Cyrillic / CJK / kana /
+    * Greek / accented-Latin / supplementary-plane (emoji) / confusable
+    * name pairs, identical literals on both engines, scored by the
+    * codegen'd [[graft.functions.JaroWinkler]] expression against
+    * DuckDB's `jaro_winkler_similarity` — which walks UTF-8 BYTES, same
+    * as the expression (verified: 'Пётр'/'Петр' = 0.822222 byte-walk on
+    * both engines, where a codepoint walk gives 0.85). This makes the
+    * q463/q272 scorer's multibyte behavior ORACLE-PINNED every round
+    * instead of deterministic-but-unchecked. The q258/q262 `levenshtein`
+    * side CANNOT join this battery: Spark's levenshtein is
+    * codepoint-based while DuckDB's is byte-based ('é'→'e' reads 1 vs 2)
+    * — equal on ASCII (their pinned corpus), divergent on multibyte;
+    * UtilitiesSpec pins that divergence with recorded values.
+    */
+  def q510MultibyteFuzzy: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val battery = Seq(
+      (1L, "Иванов", "Иванова"),   // Cyrillic: feminine suffix
+      (2L, "Пётр", "Петр"),        // Cyrillic: ё/е variant spelling
+      (3L, "müller", "mueller"),   // umlaut vs transliteration
+      (4L, "garcía", "garcia"),    // accented Latin
+      (5L, "山田太郎", "山田花子"), // CJK kanji given names
+      (6L, "こんにちは", "こんばんは"), // kana
+      (7L, "ABC", "АВС"),          // Latin vs Cyrillic confusables
+      (8L, "😀😁😂", "😀😂😁"),    // supplementary plane, transposition
+      (9L, "café", "cafe"),
+      (10L, "Ελλάδα", "Ελλαδα"),   // Greek diacritic
+      (11L, "Müller-Lüdenscheidt", "Mueller-Ludenscheidt"),
+      (12L, "東京都渋谷区", "東京都北区")) // CJK shared prefix
+    battery.toDF("pair_id", "a", "b")
+      .select(col("pair_id"), col("a"), col("b"),
+        round(graft.functions.VectorFunctions.jaroWinkler(col("a"), col("b")), 6)
+          .as("jw"))
+      .orderBy(col("pair_id"))
+  }
+
   /** Q464: lexical-richness battery per source — Yule's K (repeat-rate,
     * length-robust), Simpson's D (collision probability) and Herdan's C
     * (log-log type/token slope), all from ONE (source, token) frequency
@@ -2392,6 +2432,7 @@ object Text {
     "q395_good_turing" -> q395GoodTuring,
     "q392_burrows_delta" -> q392BurrowsDelta,
     "q385_heaps_law" -> q385HeapsLaw,
+    "q510_multibyte_fuzzy" -> q510MultibyteFuzzy,
     "q388_char_bigram_entropy" -> q388CharBigramEntropy,
     "q360_self_bleu" -> q360SelfBleu,
     "q349_dispersion" -> q349Dispersion,
@@ -2562,6 +2603,23 @@ object Text {
         |      * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS simpson_d,
         |  ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6) AS herdan_c
         |FROM per ORDER BY source""".stripMargin,
+    "q510_multibyte_fuzzy" ->
+      """WITH p(pair_id, a, b) AS (VALUES
+        |  (1, 'Иванов', 'Иванова'),
+        |  (2, 'Пётр', 'Петр'),
+        |  (3, 'müller', 'mueller'),
+        |  (4, 'garcía', 'garcia'),
+        |  (5, '山田太郎', '山田花子'),
+        |  (6, 'こんにちは', 'こんばんは'),
+        |  (7, 'ABC', 'АВС'),
+        |  (8, '😀😁😂', '😀😂😁'),
+        |  (9, 'café', 'cafe'),
+        |  (10, 'Ελλάδα', 'Ελλαδα'),
+        |  (11, 'Müller-Lüdenscheidt', 'Mueller-Ludenscheidt'),
+        |  (12, '東京都渋谷区', '東京都北区'))
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id, a, b,
+        |  ROUND(jaro_winkler_similarity(a, b), 6) AS jw
+        |FROM p ORDER BY pair_id""".stripMargin,
     "q463_jaro_winkler_pairs" ->
       """WITH p AS (SELECT p_partkey AS k, p_name AS nm,
         |    split_part(p_name, ' ', 1) AS blk FROM part),

@@ -3791,6 +3791,46 @@ class UtilitiesSpec extends SparkSpec {
     assert(ord == ord.sorted, "output must be (jw desc, k1, k2) ordered")
   }
 
+  test("q510 multibyte JW: byte-walk equals DuckDB's recorded values") {
+    // DuckDB's jaro_winkler_similarity walks UTF-8 BYTES (not codepoints)
+    // — same as the expression. Values below recorded from DuckDB at pin
+    // time; the q510 oracle re-checks them cross-engine every round. The
+    // codepoint-walk values (in comments) differ, proving the battery
+    // discriminates the two semantics.
+    import graft.functions.JaroWinkler
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler(Literal(a), Literal(b))
+        .similarity(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("Иванов", "Иванова") - 0.971429) < 5e-7)
+    assert(math.abs(jw("Пётр", "Петр") - 0.822222) < 5e-7)     // codepoint: 0.85
+    assert(math.abs(jw("müller", "mueller") - 0.828571) < 5e-7) // codepoint: 0.804
+    assert(math.abs(jw("山田太郎", "山田花子") - 0.833333) < 5e-7) // codepoint: 0.667
+    assert(math.abs(jw("こんにちは", "こんばんは") - 0.903333) < 5e-7)
+    assert(jw("ABC", "АВС") == 0.0) // Latin/Cyrillic confusables share no bytes
+    assert(math.abs(jw("😀😁😂", "😀😂😁") - 0.983333) < 5e-7) // codepoint: 0.556
+    assert(math.abs(jw("café", "cafe") - 0.848333) < 5e-7)
+  }
+
+  test("q258/q262 levenshtein: Spark codepoint vs DuckDB byte divergence pinned") {
+    // Spark's levenshtein counts CODEPOINT edits; DuckDB's counts BYTE
+    // edits. Equal on ASCII — the q258/q262/q272 oracle corpus (part/
+    // customer names) — divergent on multibyte: recorded DuckDB values at
+    // pin time: levenshtein('é','e') = 2 (bytes), ('Иванов','Иванова') =
+    // 2, ('山田太郎','山田花子') = 6. Any future multibyte input to the
+    // edit-distance family needs a byte-based expression (or a DuckDB
+    // codepoint UDF) before its oracle can extend past ASCII.
+    import org.apache.spark.sql.functions.{levenshtein, lit}
+    import spark.implicits._
+    def lev(a: String, b: String): Int =
+      Seq(1).toDF("x").select(levenshtein(lit(a), lit(b))).collect().head.getInt(0)
+    assert(lev("é", "e") === 1, "Spark levenshtein must count codepoints")
+    assert(lev("Иванов", "Иванова") === 1) // DuckDB: 2 (UTF-8 bytes)
+    assert(lev("山田太郎", "山田花子") === 2) // DuckDB: 6
+    assert(lev("kitten", "sitting") === 3) // ASCII: engines agree
+  }
+
   test("q463 on near-unique names: degenerate self-pairs must not clip real tiers") {
     // Regression: >=40 distinct cnt=1 names put >=40 jw=1.0 self-pair rows
     // in the top rank tier; each expands to ZERO key pairs, so the old
