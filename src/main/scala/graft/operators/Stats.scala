@@ -5428,8 +5428,32 @@ object Stats {
     * over its merged `batch=<id>` cells (the q375 shared-kernel pattern).
     */
   private[graft] def matrixProfileReport(grid: DataFrame): DataFrame = {
+    // Magnitude guard (round-12 ADVICE). Two bands matter here:
+    //
+    //   1. int64 OVERFLOW — the HARD precondition. Every intermediate is
+    //      bounded by 98·max(c)² (|num| = |7·dot − ss·sj| ≤ 14·qq ≤
+    //      98·max(c)²), so |c| ≤ 3e8 keeps all int64 arithmetic below
+    //      2^63 ≈ 9.2e18. Past it the moments WRAP SILENTLY — hence this
+    //      loud in-data-path guard (not a droppable side column, so
+    //      pruning can't erase it).
+    //   2. 2^53 DOUBLE-IDENTITY — the ORACLE-scale property: the DuckDB
+    //      twin computes the same moments over DOUBLE[], so cross-engine
+    //      bit-identity needs every intermediate < 2^53, i.e.
+    //      max(qq) ≤ 2^53/14 ≈ 6.4e14. That holds with ~25× margin at
+    //      sf0.01 where the oracle gate runs (max qq ≈ 2.6e13; pinned in
+    //      StatsSpec) and is already EXCEEDED at sf0.1 (daily c reaches
+    //      1.9e7 → qq ≈ 2.7e15), where no oracle compares: past 2^53 the
+    //      Spark side stays exact int64 and merely rounds once at the
+    //      final double cast, while a double-based engine may drift by
+    //      ulps — deterministic either way, just not bit-joint.
+    val cGuard = when(abs(col("c")) <= lit(300000000L), col("c"))
+      .otherwise(raise_error(concat(
+        lit("graft matrix-profile: |daily value| "), col("c").cast("string"),
+        lit(" exceeds the int64-overflow band (max 3e8): the exact window" +
+          " moments would wrap silently"))))
     val wp = Window.orderBy(col("x"))
-    val pos = grid.withColumn("i", row_number().over(wp).cast("long"))
+    val pos = grid.select(col("x"), cGuard.as("c"))
+      .withColumn("i", row_number().over(wp).cast("long"))
     val w7 = Window.orderBy(col("i")).rowsBetween(Window.currentRow, 6)
     val sub = graft.Checkpoints.materialize(pos
       .withColumn("arr", collect_list(col("c")).over(w7))

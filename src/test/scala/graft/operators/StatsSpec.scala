@@ -51,6 +51,41 @@ class StatsSpec extends SparkSpec {
     assert(got == want, s"matrix profile mismatch:\n got=$got\n want=$want")
   }
 
+  test("q487 kernel: the int64-overflow guard fails loudly past the band") {
+    // intermediates are bounded by 98·max(c)², so |c| <= 3e8 keeps the
+    // exact int64 moments below 2^63. In band: runs; out of band:
+    // raise_error instead of silent wraparound.
+    import spark.implicits._
+    def grid(maxC: Long) = (1L to 20L).map(i => (i, if (i == 13) maxC else i * 100L))
+      .toDF("x", "c")
+    assert(Stats.matrixProfileReport(grid(300000000L)).collect().nonEmpty)
+    val ex = intercept[Exception] {
+      Stats.matrixProfileReport(grid(300000001L)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("int64-overflow")),
+      s"expected the overflow guard message, got: ${msgs(ex).mkString(" | ")}")
+  }
+
+  test("q487 oracle scale stays inside the 2^53 double-identity band") {
+    // the DuckDB twin computes the window moments over DOUBLE[]; the
+    // cross-engine hash identity needs every intermediate < 2^53, i.e.
+    // max(qq) <= 2^53/14. This pins that the sf0.01 corpus (where the
+    // oracle gate runs) actually sits inside the band — if a future
+    // testdata regeneration inflates daily revenue past it, this fails
+    // BEFORE the oracle flakes mysteriously.
+    import org.apache.spark.sql.expressions.Window
+    val grid = Stats.dailyRevenue(spark, "/root/testdata/sf0.01")
+      .select(col("x"), floor(col("r")).cast("long").as("c"))
+    val w7 = Window.orderBy(col("x")).rowsBetween(Window.currentRow, 6)
+    val maxQq = grid.withColumn("qq", sum(col("c") * col("c")).over(w7))
+      .agg(max(col("qq"))).collect().head.getLong(0)
+    info(f"sf0.01 max window qq = $maxQq%,d (band max ${9007199254740992L / 14}%,d)")
+    assert(maxQq <= 9007199254740992L / 14,
+      s"sf0.01 window moments left the 2^53/14 identity band: $maxQq")
+  }
+
   test("q490 CUSUM: the prefix-min identity reproduces the max(0,.) recursion") {
     val cents = graft.Tables(spark, sf0001, "orders")
       .select(datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
