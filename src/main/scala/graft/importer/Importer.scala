@@ -19,7 +19,8 @@ case class ImportConfig(
     sortCols: Seq[String] = Nil,
     partitionCols: Seq[String] = Nil,
     twitterCleanse: Boolean = false,
-    badRowsDest: Option[String] = None)
+    badRowsDest: Option[String] = None,
+    multiLine: Boolean = false)
 
 /** CSV → Parquet import pipeline (reference `readCSVWriteParquet`,
   * package.scala:108-164): read → [cleanse] → [enrich] → [sort] → write,
@@ -56,6 +57,18 @@ object Importer {
       .option("charset", "utf-8") // the reference's "UTF8" spelling is rejected by Spark 4
       .option("delimiter", conf.delimiter)
       .option("escape", if (conf.slashEscapes) "\\" else "\"")
+      // graft extension (reference parity keeps the default false): a
+      // quoted field containing a NEWLINE — routine in tweet text, the
+      // reference's own headline use case — is SILENTLY TRUNCATED at the
+      // newline by the line-split parser (worse than a drop: corrupted
+      // data survives), the continuation physical line is dropped by
+      // DROPMALFORMED on any parsed read, and count()-style column-free
+      // reads skip malformed filtering entirely so counts disagree with
+      // collects (all pinned in ImporterSpec). multiLine=true parses the
+      // quoted newline as one intact record. The at-scale trade is
+      // explicit and priced: multiLine files are NOT splittable (one task
+      // per file), so shard the input when enabling this on multi-GB dumps.
+      .option("multiLine", conf.multiLine.toString)
     conf.schemaFile match {
       case Some(f) =>
         val base = SchemaFile.parse(f)

@@ -33,7 +33,8 @@ object ImporterCli {
     "-q" -> "slashEscapes", "-l" -> "delimiter", "-t" -> "threads",
     "-w" -> "twitterCleanse", "-k" -> "sparkOpts")
 
-  private val flagKeys = Set("slashEscapes", "removeArraySrc", "twitterCleanse")
+  private val flagKeys = Set("slashEscapes", "removeArraySrc", "twitterCleanse",
+    "multiLine")
   private val valueKeys = Set("srcFile", "destFile", "delimiter", "schemaFile",
     "dateEnrich", "arrayCols", "sortCols", "partitionCols", "sparkOpts", "threads",
     "badRowsDest")
@@ -69,7 +70,8 @@ object ImporterCli {
       sortCols = list("sortCols"),
       partitionCols = list("partitionCols"),
       twitterCleanse = opts.contains("twitterCleanse"),
-      badRowsDest = opts.get("badRowsDest"))
+      badRowsDest = opts.get("badRowsDest"),
+      multiLine = opts.contains("multiLine"))
     // fail at parse time, before a Spark session exists — the runtime check
     // in Importer.readCsv would surface the same error much later
     if (conf.badRowsDest.isDefined && conf.schemaFile.isEmpty)
@@ -104,6 +106,9 @@ object ImporterCli {
       |      --removeArraySrc        Drop source columns after array parse (graft extension)
       |      --badRowsDest <path>    Quarantine malformed rows to this path instead of
       |                              silently dropping them (graft extension; needs --schemaFile)
+      |      --multiLine             Parse quoted fields containing newlines as one record
+      |                              (graft extension; multiLine files are not splittable —
+      |                              shard large inputs)
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -57,8 +57,13 @@ class ImporterCliSpec extends AnyFunSuite {
   test("graft extensions stay available in long form") {
     val (conf, _, _) = ImporterCli.parseArgs(Array(
       "--srcFile", "a", "--destFile", "b", "--arrayCols", "hashtags,urls",
-      "--removeArraySrc"))
+      "--removeArraySrc", "--multiLine"))
     assert(conf.arrayCols === Seq("hashtags", "urls"))
     assert(conf.removeArraySrc)
+    assert(conf.multiLine)
+    // default stays reference-parity false
+    val (conf2, _, _) = ImporterCli.parseArgs(Array(
+      "--srcFile", "a", "--destFile", "b"))
+    assert(!conf2.multiLine)
   }
 }

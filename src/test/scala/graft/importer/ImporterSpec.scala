@@ -104,6 +104,66 @@ class ImporterSpec extends SparkSpec with BeforeAndAfterAll {
       s"quarantine must hold exactly the malformed raw line, got ${bad.toSeq}")
   }
 
+  test("multiLine imports intact the embedded-newline rows the default mode truncates") {
+    // the reference's headline use case is tweet CSVs, and tweet text
+    // routinely contains newlines inside quoted fields — which the default
+    // line-split parser reads as 2+ malformed physical lines that
+    // DROPMALFORMED silently discards (reference parity, pinned below).
+    // --multiLine (graft extension) parses them as one record.
+    val dir = Files.createTempDirectory("graft-multiline")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "id,text\n1,\"plain tweet\"\n2,\"first line\nsecond line\"\n3,\"last\"\n")
+    val schema = dir.resolve("in.schema")
+    Files.writeString(schema, "id=Long\ntext=String\n")
+    // reference-parity default: the embedded-newline record is silently
+    // TRUNCATED at the newline (measured — worse than a drop: corrupted
+    // data survives) and the continuation physical line disappears
+    val dropped = Importer.readCsvWriteParquet(ImportConfig(
+      srcFile = csv.toString, destFile = dir.resolve("out1").toString,
+      schemaFile = Some(schema.toString)))(spark)
+    val defRows = spark.read.parquet(dir.resolve("out1").toString)
+      .orderBy("id").collect()
+    assert(defRows.length === 3, s"default parse kept ${defRows.length} rows")
+    assert(defRows(1).getString(1) === "first line",
+      s"default mode silently truncates at the newline, got '${defRows(1).getString(1)}'")
+    // the count-vs-collect parity wart, pinned: a column-free count() on
+    // the DROPMALFORMED source skips parsing, so malformed continuation
+    // lines are NOT filtered and the count disagrees with any parsed read
+    // (4 vs 3 here) — the written parquet above is the trustworthy view
+    val rawCount = Importer.readCsv(ImportConfig(
+      srcFile = csv.toString, destFile = "unused",
+      schemaFile = Some(schema.toString)))(spark).count()
+    assert(rawCount === 4,
+      s"pinned Spark CSV wart drifted: column-free count read $rawCount")
+    // default + quarantine SURFACES the damage: the orphaned continuation
+    // line lands in the quarantine for audit instead of vanishing
+    val q0 = dir.resolve("bad0").toString
+    Importer.readCsvWriteParquet(ImportConfig(
+      srcFile = csv.toString, destFile = dir.resolve("out0").toString,
+      schemaFile = Some(schema.toString), badRowsDest = Some(q0)))(spark)
+    val quarantined = spark.read.text(q0).collect().map(_.getString(0))
+    assert(quarantined.toSeq === Seq("second line\""),
+      s"quarantine must hold the orphaned continuation line, got ${quarantined.toSeq}")
+    // multiLine: all 3 records import, the newline survives in the value
+    val full = Importer.readCsvWriteParquet(ImportConfig(
+      srcFile = csv.toString, destFile = dir.resolve("out2").toString,
+      schemaFile = Some(schema.toString), multiLine = true))(spark)
+    assert(full.count() === 3)
+    val row2 = full.filter("id = 2").collect().head.getString(1)
+    assert(row2 === "first line\nsecond line",
+      s"embedded newline must survive the multiLine parse, got '$row2'")
+    // multiLine + quarantine: nothing is malformed, quarantine stays empty
+    val q = dir.resolve("bad").toString
+    val clean = Importer.readCsvWriteParquet(ImportConfig(
+      srcFile = csv.toString, destFile = dir.resolve("out3").toString,
+      schemaFile = Some(schema.toString), multiLine = true,
+      badRowsDest = Some(q)))(spark)
+    assert(clean.count() === 3)
+    assert(spark.read.text(q).count() === 0,
+      "multiLine parse must leave the quarantine empty on this input")
+  }
+
   test("badRowsDest + partitionCols preserves the written schema and column order") {
     val dir = Files.createTempDirectory("graft-quarantine-part")
     val csv = dir.resolve("in.csv")
