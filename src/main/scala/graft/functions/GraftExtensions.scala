@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(VectorFunctions.JaroWinklerName),
       new ExpressionInfo(classOf[JaroWinkler].getName, VectorFunctions.JaroWinklerName),
       exprs => JaroWinkler(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier(VectorFunctions.NfcName),
+      new ExpressionInfo(classOf[NfcNormalize].getName, VectorFunctions.NfcName),
+      exprs => NfcNormalize(exprs.head)))
   }
 }

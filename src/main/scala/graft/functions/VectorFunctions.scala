@@ -17,9 +17,12 @@ object VectorFunctions {
   val HilbertName = "graft_hilbert"
   val BpeName = "graft_bpe"
   val JaroWinklerName = "graft_jaro_winkler"
+  val NfcName = "graft_nfc"
 
   /** Idempotently register the vector functions in this session. */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NfcName, exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       JaroWinklerName, exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -50,4 +53,7 @@ object VectorFunctions {
   /** Jaro–Winkler similarity of two STRING columns (requires [[register]]). */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function(JaroWinklerName, a, b)
+
+  /** Unicode NFC normalization of a STRING column (requires [[register]]). */
+  def nfc(s: Column): Column = call_function(NfcName, s)
 }

@@ -2287,6 +2287,104 @@ object Text {
       .orderBy(col("pair_id"))
   }
 
+  /** Q511: Unicode NFC normalization audit — the canonical-composition
+    * conformance battery for the multilingual-dedup prerequisite: 'café'
+    * composed (U+00E9) and decomposed (e + U+0301) are the same text to
+    * every reader but different bytes to every hash, so an unnormalized
+    * exact/minhash dedup keeps both copies. Scored by the codegen'd
+    * [[graft.functions.NfcNormalize]] expression (java.text.Normalizer)
+    * against DuckDB's utf8proc `nfc_normalize` — same Unicode data,
+    * verified equal on composed/decomposed/reordering/compat samples
+    * (NFC keeps the ﬁ ligature; only NFKC folds it). Also reports
+    * codepoint counts before/after so the composition is visible.
+    */
+  def q511NfcAudit: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val battery = Seq(
+      (1L, "café"),            // composed é
+      (2L, "cafe\u0301"),           // decomposed e + combining acute → composes
+      (3L, "\u212B"),               // ANGSTROM SIGN → Å (singleton)
+      (4L, "A\u030A"),              // A + combining ring → Å
+      (5L, "ﬁle"),             // ﬁ ligature: NFC identity (NFKC-only fold)
+      (6L, "\u30AB\u3099"),         // カ + voiced mark → ガ
+      (7L, "plain ascii"),          // ASCII fast path: identity
+      (8L, "\u0438\u0306"),         // Cyrillic и + breve → й
+      (9L, "Ångström"),   // already NFC: identity
+      (10L, "q\u0307\u0323"))       // canonical REORDER: ccc 230 after ccc 220
+    val nfc = graft.functions.VectorFunctions.nfc(col("s"))
+    battery.toDF("id", "s")
+      .select(col("id"), col("s"), nfc.as("nfc"),
+        (col("s") =!= nfc).as("changed"),
+        big(length(col("s"))).as("cp_before"),
+        big(length(nfc)).as("cp_after"))
+      .orderBy(col("id"))
+  }
+
+  /** Q512: per-source Unicode script profile — the corpus-composition
+    * report a multilingual curation pipeline reads first: how many
+    * codepoints of Latin / Cyrillic / Han / Greek / decimal-digit each
+    * source contributes, plus the byte-per-codepoint inflation (the
+    * multibyte share estimator that sizes UTF-8 storage against token
+    * budgets). Runs over the REAL documents table union a fixed
+    * multilingual battery source, so the script counters are exercised on
+    * nonzero multibyte input even on an ASCII-biased corpus. Engine note:
+    * Spark counts with Java script classes (`\p{IsCyrillic}`), the oracle
+    * with RE2's (`\p{Cyrillic}`) — same Unicode script data; the battery
+    * sticks to unambiguous script members.
+    */
+  def q512ScriptProfile: Q = (s, d) => {
+    import s.implicits._
+    val battery = Seq(
+      ("_battery", "Привет мир Hello"),
+      ("_battery", "山田太郎 reads 漢字 daily"),
+      ("_battery", "αβγ mixed with Latin123"),
+      ("_battery", "чисто кириллица"))
+      .toDF("source", "text")
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(battery)
+    def cps(pat: String) = sum(regexp_count(col("text"), lit(pat)))
+    docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        big(sum(length(col("text")))).as("n_cp"),
+        big(sum(octet_length(col("text")))).as("n_bytes"),
+        big(cps("\\p{IsLatin}")).as("latin_cp"),
+        big(cps("\\p{IsCyrillic}")).as("cyrillic_cp"),
+        big(cps("\\p{IsHan}")).as("han_cp"),
+        big(cps("\\p{IsGreek}")).as("greek_cp"),
+        big(cps("\\p{Nd}")).as("digit_cp"))
+      .withColumn("byte_inflation",
+        round(col("n_bytes").cast("double") / col("n_cp").cast("double"), 4))
+      .orderBy(col("source"))
+  }
+
+  /** Q513: mixed-script (homoglyph) token audit — the spoof/spam signal a
+    * multilingual curation pipeline filters on: a token mixing Latin and
+    * Cyrillic letters ("pаypal" with Cyrillic а) is near-always
+    * an attack or OCR artifact, never natural text. Whitespace tokens over
+    * documents union a crafted battery source; per source: token count,
+    * mixed-token count, and the lexicographically-first mixed token as the
+    * audit exemplar (binary collation on both engines).
+    */
+  def q513MixedScript: Q = (s, d) => {
+    import s.implicits._
+    val battery = Seq(
+      ("_battery", "pаypal is sаfe"),          // Cyrillic а homoglyphs
+      ("_battery", "обычный русский текст"),
+      ("_battery", "normal latin text"),
+      ("_battery", "смешанный tокен here"))
+      .toDF("source", "text")
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(battery)
+    val tok = docs.select(col("source"), explode(toks).as("t"))
+    val mixed = col("t").rlike("\\p{IsLatin}") && col("t").rlike("\\p{IsCyrillic}")
+    tok.groupBy(col("source")).agg(
+        count(lit(1)).as("n_tokens"),
+        big(sum(when(mixed, 1L).otherwise(0L))).as("n_mixed"),
+        min(when(mixed, col("t"))).as("first_mixed"))
+      .orderBy(col("source"))
+  }
+
   /** Q464: lexical-richness battery per source — Yule's K (repeat-rate,
     * length-robust), Simpson's D (collision probability) and Herdan's C
     * (log-log type/token slope), all from ONE (source, token) frequency
@@ -2432,6 +2530,9 @@ object Text {
     "q395_good_turing" -> q395GoodTuring,
     "q392_burrows_delta" -> q392BurrowsDelta,
     "q385_heaps_law" -> q385HeapsLaw,
+    "q513_mixed_script" -> q513MixedScript,
+    "q512_script_profile" -> q512ScriptProfile,
+    "q511_nfc_audit" -> q511NfcAudit,
     "q510_multibyte_fuzzy" -> q510MultibyteFuzzy,
     "q388_char_bigram_entropy" -> q388CharBigramEntropy,
     "q360_self_bleu" -> q360SelfBleu,
@@ -2603,6 +2704,60 @@ object Text {
         |      * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS simpson_d,
         |  ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6) AS herdan_c
         |FROM per ORDER BY source""".stripMargin,
+    "q511_nfc_audit" ->
+      """WITH p(id, s) AS (VALUES
+        |  (1, 'café'),
+        |  (2, 'cafe' || chr(769)),
+        |  (3, chr(8491)),
+        |  (4, 'A' || chr(778)),
+        |  (5, chr(64257) || 'le'),
+        |  (6, chr(12459) || chr(12441)),
+        |  (7, 'plain ascii'),
+        |  (8, chr(1080) || chr(774)),
+        |  (9, 'Ångström'),
+        |  (10, 'q' || chr(775) || chr(803)))
+        |SELECT CAST(id AS BIGINT) AS id, s, nfc_normalize(s) AS nfc,
+        |  (s <> nfc_normalize(s)) AS changed,
+        |  CAST(length(s) AS BIGINT) AS cp_before,
+        |  CAST(length(nfc_normalize(s)) AS BIGINT) AS cp_after
+        |FROM p ORDER BY id""".stripMargin,
+    "q512_script_profile" ->
+      """WITH b(source, text) AS (VALUES
+        |  ('_battery', 'Привет мир Hello'),
+        |  ('_battery', '山田太郎 reads 漢字 daily'),
+        |  ('_battery', 'αβγ mixed with Latin123'),
+        |  ('_battery', 'чисто кириллица')),
+        |d AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT source, text FROM b)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_cp,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(len(regexp_extract_all(text, '\p{Latin}'))) AS BIGINT) AS latin_cp,
+        |  CAST(SUM(len(regexp_extract_all(text, '\p{Cyrillic}'))) AS BIGINT) AS cyrillic_cp,
+        |  CAST(SUM(len(regexp_extract_all(text, '\p{Han}'))) AS BIGINT) AS han_cp,
+        |  CAST(SUM(len(regexp_extract_all(text, '\p{Greek}'))) AS BIGINT) AS greek_cp,
+        |  CAST(SUM(len(regexp_extract_all(text, '\p{Nd}'))) AS BIGINT) AS digit_cp,
+        |  ROUND(CAST(SUM(strlen(text)) AS DOUBLE)
+        |    / CAST(SUM(length(text)) AS DOUBLE), 4) AS byte_inflation
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q513_mixed_script" ->
+      """WITH b(source, text) AS (VALUES
+        |  ('_battery', 'pаypal is sаfe'),
+        |  ('_battery', 'обычный русский текст'),
+        |  ('_battery', 'normal latin text'),
+        |  ('_battery', 'смешанный tокен here')),
+        |d AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT source, text FROM b),
+        |tok AS (SELECT source, t
+        |  FROM d, unnest(string_split(text, ' ')) AS u(t) WHERE t <> ''),
+        |m AS (SELECT source, t,
+        |    (regexp_matches(t, '\p{Latin}')
+        |      AND regexp_matches(t, '\p{Cyrillic}')) AS mixed
+        |  FROM tok)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+        |  MIN(CASE WHEN mixed THEN t END) AS first_mixed
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q510_multibyte_fuzzy" ->
       """WITH p(pair_id, a, b) AS (VALUES
         |  (1, 'Иванов', 'Иванова'),

@@ -3813,6 +3813,40 @@ class UtilitiesSpec extends SparkSpec {
     assert(math.abs(jw("café", "cafe") - 0.848333) < 5e-7)
   }
 
+  test("q511 NfcNormalize: composition, reordering, identity fast path") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      NfcNormalize(Literal(s)).normalize(UTF8String.fromString(s)).toString
+    assert(nfc("cafe\u0301") === "caf\u00E9", "combining acute must compose")
+    assert(nfc("\u212B") === "\u00C5", "ANGSTROM SIGN singleton must map to \u00C5")
+    assert(nfc("\u30AB\u3099") === "\u30AC", "voiced kana must compose")
+    assert(nfc("q\u0307\u0323") === "q\u0323\u0307",
+      "combining marks must canonically reorder (ccc 220 before 230)")
+    assert(nfc("\uFB01le") === "\uFB01le", "NFC keeps compat ligatures (NFKC folds)")
+    // ASCII fast path returns the SAME UTF8String instance (no copy)
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(NfcNormalize(Literal("x")).normalize(ascii) eq ascii)
+  }
+
+  test("case folding: Spark/Java vs DuckDB divergence pinned (excluded from oracles)") {
+    // upper/lower CANNOT join the multibyte oracle batteries: recorded
+    // DuckDB (utf8proc) values at pin time: upper('ß') = 'ẞ' (U+1E9E,
+    // capital sharp s) and lower('İstanbul') = 'istanbul' (dot dropped),
+    // while Java/Spark expand 'ß' -> 'SS' and lower 'İ' -> 'i' + combining
+    // dot (U+0307). Equal on ASCII; divergent on these multibyte cases —
+    // any future case-insensitive multilingual op needs a shared folding
+    // expression first (the q510/levenshtein lesson).
+    import org.apache.spark.sql.functions.{lower, upper, lit}
+    import spark.implicits._
+    def f(c: org.apache.spark.sql.Column): String =
+      Seq(1).toDF("x").select(c).collect().head.getString(0)
+    assert(f(upper(lit("ß"))) === "SS")            // DuckDB: ẞ
+    assert(f(lower(lit("\u0130stanbul"))) === "i\u0307stanbul") // DuckDB: istanbul
+    assert(f(upper(lit("ascii"))) === "ASCII")          // ASCII: engines agree
+  }
+
   test("q258/q262 levenshtein: Spark codepoint vs DuckDB byte divergence pinned") {
     // Spark's levenshtein counts CODEPOINT edits; DuckDB's counts BYTE
     // edits. Equal on ASCII — the q258/q262/q272 oracle corpus (part/
