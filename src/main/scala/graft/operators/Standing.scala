@@ -69,6 +69,13 @@ object Standing {
     "standing_ivf_blocked" ->
       ((s: SparkSession, d: String) =>
         force(NorthStar.blockedAssigned(graft.Tables(s, d, "embeddings")))),
+    // the r = 6 co-assignment variant q486/q507/q508 share (a DIFFERENT
+    // cache entry than r = 4 — replicas is part of the index key); without
+    // this row the build lands on whichever of the three runs first
+    "standing_ivf_blocked6" ->
+      ((s: SparkSession, d: String) =>
+        force(NorthStar.blockedAssigned(graft.Tables(s, d, "embeddings"),
+          replicas = 6))),
     // PQ codebook (q172/q173/q188)
     "standing_pq_codebook" ->
       ((s: SparkSession, d: String) => force(graft.similarity.Pq.codebookCached(
