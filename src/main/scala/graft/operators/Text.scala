@@ -2333,29 +2333,58 @@ object Text {
     * with RE2's (`\p{Cyrillic}`) — same Unicode script data; the battery
     * sticks to unambiguous script members.
     */
-  def q512ScriptProfile: Q = (s, d) => {
+  /** The fixed multilingual battery source shared by q512/q513 and their
+    * streaming twins.
+    */
+  private[graft] def scriptBattery(s: SparkSession): DataFrame = {
     import s.implicits._
-    val battery = Seq(
+    Seq(
       ("_battery", "Привет мир Hello"),
       ("_battery", "山田太郎 reads 漢字 daily"),
       ("_battery", "αβγ mixed with Latin123"),
       ("_battery", "чисто кириллица"))
       .toDF("source", "text")
-    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
-      .unionByName(battery)
+  }
+
+  /** q512's per-source ADDITIVE cells — pure sums, so micro-batch cells
+    * merge exactly (the q375 mergeable-kernel pattern; the streaming twin
+    * q514 ships these per batch and [[scriptProfileReport]] merges).
+    */
+  private[graft] def scriptCells(docs: DataFrame): DataFrame = {
     def cps(pat: String) = sum(regexp_count(col("text"), lit(pat)))
     docs.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        big(sum(length(col("text")))).as("n_cp"),
-        big(sum(octet_length(col("text")))).as("n_bytes"),
-        big(cps("\\p{IsLatin}")).as("latin_cp"),
-        big(cps("\\p{IsCyrillic}")).as("cyrillic_cp"),
-        big(cps("\\p{IsHan}")).as("han_cp"),
-        big(cps("\\p{IsGreek}")).as("greek_cp"),
-        big(cps("\\p{Nd}")).as("digit_cp"))
+      count(lit(1)).as("n_docs"),
+      big(sum(length(col("text")))).as("n_cp"),
+      big(sum(octet_length(col("text")))).as("n_bytes"),
+      big(cps("\\p{IsLatin}")).as("latin_cp"),
+      big(cps("\\p{IsCyrillic}")).as("cyrillic_cp"),
+      big(cps("\\p{IsHan}")).as("han_cp"),
+      big(cps("\\p{IsGreek}")).as("greek_cp"),
+      big(cps("\\p{Nd}")).as("digit_cp"))
+  }
+
+  /** Merge additive [[scriptCells]] (one or many per source) and attach
+    * the derived inflation ratio — shared verbatim by batch q512 and
+    * streaming q514, so the twins agree at ANY trigger slicing.
+    */
+  private[graft] def scriptProfileReport(cells: DataFrame): DataFrame =
+    cells.groupBy(col("source")).agg(
+        big(sum(col("n_docs"))).as("n_docs"),
+        big(sum(col("n_cp"))).as("n_cp"),
+        big(sum(col("n_bytes"))).as("n_bytes"),
+        big(sum(col("latin_cp"))).as("latin_cp"),
+        big(sum(col("cyrillic_cp"))).as("cyrillic_cp"),
+        big(sum(col("han_cp"))).as("han_cp"),
+        big(sum(col("greek_cp"))).as("greek_cp"),
+        big(sum(col("digit_cp"))).as("digit_cp"))
       .withColumn("byte_inflation",
         round(col("n_bytes").cast("double") / col("n_cp").cast("double"), 4))
       .orderBy(col("source"))
+
+  def q512ScriptProfile: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(scriptBattery(s))
+    scriptProfileReport(scriptCells(docs))
   }
 
   /** Q513: mixed-script (homoglyph) token audit — the spoof/spam signal a
@@ -2366,23 +2395,44 @@ object Text {
     * mixed-token count, and the lexicographically-first mixed token as the
     * audit exemplar (binary collation on both engines).
     */
-  def q513MixedScript: Q = (s, d) => {
+  /** q513's homoglyph battery source (shared by the streaming twin). */
+  private[graft] def homoglyphBattery(s: SparkSession): DataFrame = {
     import s.implicits._
-    val battery = Seq(
+    Seq(
       ("_battery", "pаypal is sаfe"),          // Cyrillic а homoglyphs
       ("_battery", "обычный русский текст"),
       ("_battery", "normal latin text"),
       ("_battery", "смешанный tокен here"))
       .toDF("source", "text")
-    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
-      .unionByName(battery)
+  }
+
+  /** q513's per-source MERGEABLE cells: token/mixed counts are pure sums
+    * and the exemplar is a min — all associative, so micro-batch cells
+    * merge exactly (streaming twin q515).
+    */
+  private[graft] def mixedScriptCells(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("source"), explode(toks).as("t"))
     val mixed = col("t").rlike("\\p{IsLatin}") && col("t").rlike("\\p{IsCyrillic}")
     tok.groupBy(col("source")).agg(
-        count(lit(1)).as("n_tokens"),
-        big(sum(when(mixed, 1L).otherwise(0L))).as("n_mixed"),
-        min(when(mixed, col("t"))).as("first_mixed"))
+      count(lit(1)).as("n_tokens"),
+      big(sum(when(mixed, 1L).otherwise(0L))).as("n_mixed"),
+      min(when(mixed, col("t"))).as("first_mixed"))
+  }
+
+  /** Merge [[mixedScriptCells]] — shared verbatim by batch q513 and
+    * streaming q515.
+    */
+  private[graft] def mixedScriptReport(cells: DataFrame): DataFrame =
+    cells.groupBy(col("source")).agg(
+        big(sum(col("n_tokens"))).as("n_tokens"),
+        big(sum(col("n_mixed"))).as("n_mixed"),
+        min(col("first_mixed")).as("first_mixed"))
       .orderBy(col("source"))
+
+  def q513MixedScript: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(homoglyphBattery(s))
+    mixedScriptReport(mixedScriptCells(docs))
   }
 
   /** Q464: lexical-richness battery per source — Yule's K (repeat-rate,

@@ -2416,7 +2416,93 @@ object Windows {
         .agg(sum(col("r")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
           .as("r")))
 
+  /** Q514: streaming script-profile monitor — q512's per-source Unicode
+    * composition readout fed by a micro-batched document stream: per batch
+    * the ADDITIVE script-codepoint cells ([[graft.operators.Text
+    * .scriptCells]] — pure sums) land in an idempotent `batch=<id>` sink,
+    * and the drain runs q512's merge/report kernel once. Shares q512's
+    * oracle verbatim (the q375 mergeable-cell contract: equal at ANY
+    * trigger slicing). The always-on "did the ingest language mix shift?"
+    * pager — a rising Cyrillic/Han share on a Latin-dominant feed is a
+    * routing or scraping incident before any quality gate sees it.
+    */
+  def q514StreamScriptProfile: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(graft.operators.Text.scriptBattery(s))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q514_").toString
+    try {
+      val sumDir = s"$tmp/cells"
+      val feedDir = graft.Checkpoints.feedDirCached(docs.repartition(3))
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q514Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q514Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q514's per-batch writer (the q337 idempotent `batch=<id>` pattern). */
+  private[graft] def q514Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        graft.operators.Text.scriptCells(batch.toDF())
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q514's drain: merge the additive script cells, report once. */
+  private[graft] def q514Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Text.scriptProfileReport(s.read.parquet(sumDir)))
+
+  /** Q515: streaming mixed-script (homoglyph) monitor — q513's spoof-token
+    * audit as an always-on feed pager: per batch the token/mixed counts and
+    * the min exemplar ([[graft.operators.Text.mixedScriptCells]] — sums
+    * plus an associative min) land in `batch=<id>` cells, and the drain
+    * runs q513's merge kernel once. Shares q513's oracle verbatim. A
+    * homoglyph burst on one source is a phishing/spam injection signature
+    * worth paging on long before dedup or quality scoring runs.
+    */
+  def q515StreamMixedScript: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(graft.operators.Text.homoglyphBattery(s))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q515_").toString
+    try {
+      val sumDir = s"$tmp/cells"
+      val feedDir = graft.Checkpoints.feedDirCached(docs.repartition(3))
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q515Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q515Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q515's per-batch writer. */
+  private[graft] def q515Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        graft.operators.Text.mixedScriptCells(batch.toDF())
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q515's drain: merge the token/mixed/min cells, report once. */
+  private[graft] def q515Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Text.mixedScriptReport(s.read.parquet(sumDir)))
+
   val queries: Map[String, Q] = Map(
+    "q514_stream_script_profile" -> q514StreamScriptProfile,
+    "q515_stream_mixed_script" -> q515StreamMixedScript,
     "q441_stream_hurst" -> q441StreamHurst,
     "q437_stream_ljung_box" -> q437StreamLjungBox,
     "q434_stream_spearman" -> q434StreamSpearman,
@@ -2584,6 +2670,12 @@ object Windows {
     // q498/q499/q500 share their batch twins' oracles verbatim (q437's
     // additive daily-revenue cells — q500's writer adds the count column;
     // the drains run q490/q487/q494's exact kernels once over the merge)
+    // q514/q515 share q512/q513's oracles verbatim (additive script /
+    // token-min cells merge exactly at any trigger slicing)
+    "q514_stream_script_profile" ->
+      graft.operators.Text.oracles("q512_script_profile"),
+    "q515_stream_mixed_script" ->
+      graft.operators.Text.oracles("q513_mixed_script"),
     "q498_stream_cusum" ->
       graft.operators.Stats.oracles("q490_cusum_alarm"),
     "q499_stream_matrix_profile" ->

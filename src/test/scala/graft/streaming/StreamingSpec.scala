@@ -976,7 +976,23 @@ class StreamingSpec extends SparkSpec {
         pmod($"x", lit(2L)) === 0,
         tmp => Windows.q500Writer(s"$tmp/sum"),
         tmp => Windows.q500Drain(spark, s"$tmp/sum"),
-        () => Windows.q500StreamGranger(spark, sf0001)))
+        () => Windows.q500StreamGranger(spark, sf0001)),
+      TwinCase("q514_stream_script_profile",
+        () => graft.Tables(spark, sf0001, "documents")
+          .select($"source", $"text")
+          .unionByName(graft.operators.Text.scriptBattery(spark)),
+        pmod(abs(hash($"text")), lit(2)) === 0, // deterministic content split
+        tmp => Windows.q514Writer(s"$tmp/sum"),
+        tmp => Windows.q514Drain(spark, s"$tmp/sum"),
+        () => Windows.q514StreamScriptProfile(spark, sf0001)),
+      TwinCase("q515_stream_mixed_script",
+        () => graft.Tables(spark, sf0001, "documents")
+          .select($"source", $"text")
+          .unionByName(graft.operators.Text.homoglyphBattery(spark)),
+        pmod(abs(hash($"text")), lit(2)) === 0,
+        tmp => Windows.q515Writer(s"$tmp/sum"),
+        tmp => Windows.q515Drain(spark, s"$tmp/sum"),
+        () => Windows.q515StreamMixedScript(spark, sf0001)))
 
     twins.foreach { tc =>
       test(s"${tc.name}: drained summary survives a checkpointed stop/start") {
