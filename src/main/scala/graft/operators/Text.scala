@@ -2321,6 +2321,44 @@ object Text {
       .orderBy(col("id"))
   }
 
+  /** Q516: NFC-normalized exact dedup — the operational payoff of q511:
+    * the same exact-dup scan as q28, run on md5(NFC(text)) NEXT TO
+    * md5(text), reporting how many duplicate documents the raw-byte hash
+    * MISSES because the copies differ only in canonical form (composed vs
+    * decomposed accents — routine when corpora mix macOS/NFD and
+    * Linux/NFC sources). Raw-equal implies NFC-equal, so
+    * `nfc_only_dup_docs = nfc_dup_docs − raw_dup_docs` is exactly the
+    * missed set. Runs over documents ∪ a fixed battery of canonically
+    * divergent twins (plus one raw-dup control pair) so the missed set is
+    * nonzero on the ASCII-biased corpus.
+    */
+  def q516NfcDedup: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val battery = Seq(
+      (9000001L, "café menu"),                     // composed
+      (9000002L, "cafe\u0301 menu"),               // decomposed twin
+      (9000003L, "Ångström units"),                // composed Å, ö
+      (9000004L, "A\u030Angstro\u0308m units"),    // decomposed twin
+      (9000005L, "plain duplicate"),               // raw-dup control pair
+      (9000006L, "plain duplicate"))
+      .toDF("doc_id", "text")
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(battery)
+    val h = docs.select(col("doc_id"), md5(col("text")).as("hr"),
+      md5(graft.functions.VectorFunctions.nfc(col("text"))).as("hn"))
+    def dupDocs(c: org.apache.spark.sql.Column) = h.groupBy(c.as("g"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as("dd"))
+    val raw = dupDocs(col("hr")).select(col("dd").as("raw_dup_docs"))
+    val nfc = dupDocs(col("hn")).select(col("dd").as("nfc_dup_docs"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(raw)).crossJoin(broadcast(nfc))
+      .select(col("n_docs"), col("raw_dup_docs"), col("nfc_dup_docs"),
+        (col("nfc_dup_docs") - col("raw_dup_docs")).as("nfc_only_dup_docs"))
+  }
+
   /** Q512: per-source Unicode script profile — the corpus-composition
     * report a multilingual curation pipeline reads first: how many
     * codepoints of Latin / Cyrillic / Han / Greek / decimal-digit each
@@ -2580,6 +2618,7 @@ object Text {
     "q395_good_turing" -> q395GoodTuring,
     "q392_burrows_delta" -> q392BurrowsDelta,
     "q385_heaps_law" -> q385HeapsLaw,
+    "q516_nfc_dedup" -> q516NfcDedup,
     "q513_mixed_script" -> q513MixedScript,
     "q512_script_profile" -> q512ScriptProfile,
     "q511_nfc_audit" -> q511NfcAudit,
@@ -2754,6 +2793,26 @@ object Text {
         |      * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS simpson_d,
         |  ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6) AS herdan_c
         |FROM per ORDER BY source""".stripMargin,
+    "q516_nfc_dedup" ->
+      """WITH b(doc_id, text) AS (VALUES
+        |  (9000001, 'café menu'),
+        |  (9000002, 'cafe' || chr(769) || ' menu'),
+        |  (9000003, 'Ångström units'),
+        |  (9000004, 'A' || chr(778) || 'ngstro' || chr(776) || 'm units'),
+        |  (9000005, 'plain duplicate'),
+        |  (9000006, 'plain duplicate')),
+        |d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM b),
+        |h AS (SELECT doc_id, md5(text) AS hr,
+        |    md5(nfc_normalize(text)) AS hn FROM d),
+        |r AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS raw_dup_docs
+        |  FROM (SELECT COUNT(*) AS c FROM h GROUP BY hr) g WHERE c > 1),
+        |n AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS nfc_dup_docs
+        |  FROM (SELECT COUNT(*) AS c FROM h GROUP BY hn) g WHERE c > 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+        |  raw_dup_docs, nfc_dup_docs,
+        |  nfc_dup_docs - raw_dup_docs AS nfc_only_dup_docs
+        |FROM r CROSS JOIN n""".stripMargin,
     "q511_nfc_audit" ->
       """WITH p(id, s) AS (VALUES
         |  (1, 'café'),
