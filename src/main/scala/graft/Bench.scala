@@ -203,8 +203,14 @@ object Bench {
     def priorObj(txt: String, field: String): Map[String, Double] = {
       val obj = ("\"" + field + """":\{([^}]*)\}""").r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(obj)
-        .map(m => m.group(1) -> m.group(2).toDouble)
+      // full numeric pattern incl. scientific notation, and per-entry Try:
+      // one malformed value drops that ENTRY, not the whole map — a regex
+      // half-match like "1.2E" would otherwise throw in toDouble, empty
+      // BOTH prior maps via the outer catch-all, and bypass the
+      // empty-prior warning the silence-detection depends on (r13 ADVICE)
+      """"([^"]+)":(-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)""".r
+        .findAllMatchIn(obj)
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
         .filter(_._2 >= 0).toMap
     }
     val (prior: Map[String, Double], standingPrior: Map[String, Double]) = try {
@@ -291,16 +297,25 @@ object Bench {
     // so the rebuild prices real work — a naive re-run would time a cache
     // hit), keeping the min per row; rows still >2x prior are flagged
     // `standing_outlier` so the judge reads "unadjudicated spike".
+    // Writes synchronize on the map and the shutdown hook snapshots under
+    // the same lock (r13 ADVICE): the hook can fire mid-insert during the
+    // standing + cache-busted re-build phase, and iterating a mutable
+    // LinkedHashMap under concurrent insert throws CME inside the hook,
+    // losing the whole partial artifact. (LinkedHashMap kept for insertion
+    // order in the emitted record; TrieMap would scramble it.)
     val standing = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def standingSnapshot(): Seq[(String, Double)] = standing.synchronized(standing.toSeq)
     val standingOutliers = scala.collection.concurrent.TrieMap.empty[String, Unit]
     def runStandingPass(): Unit = graft.operators.Standing.builds.foreach { case (sn, b) =>
       val t0 = System.nanoTime()
       val ok = try { b(spark, sfDir); true } catch { case _: Throwable => false }
       val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      standing(sn) = (standing.get(sn).filter(_ >= 0), Some(t).filter(_ >= 0)) match {
-        case (Some(o), Some(n)) => math.min(o, n)
-        case (Some(o), None)    => o
-        case (None, n)          => n.getOrElse(-1.0)
+      standing.synchronized {
+        standing(sn) = (standing.get(sn).filter(_ >= 0), Some(t).filter(_ >= 0)) match {
+          case (Some(o), Some(n)) => math.min(o, n)
+          case (Some(o), None)    => o
+          case (None, n)          => n.getOrElse(-1.0)
+        }
       }
     }
     if (only.isEmpty) {
@@ -395,10 +410,11 @@ object Bench {
         s""","importer":{"rows":$rows,"sec":$secS,"rows_per_sec":$rps,"csv_bytes":$bytes}"""
       }.getOrElse("")
       val elS = String.format(java.util.Locale.ROOT, "%.1f", Double.box(elapsedSec))
+      val standingSnap = standingSnapshot() // lock-held copy: hook-safe vs concurrent insert
       val standingJson =
-        if (standing.isEmpty) ""
-        else ","  + "\"standing\":" + jmap(standing.toSeq.map { case (k, v) => k -> fmt(v) }) +
-          ",\"standing_outlier\":" + standing.keys.toSeq.filter(standingOutliers.contains)
+        if (standingSnap.isEmpty) ""
+        else ","  + "\"standing\":" + jmap(standingSnap.map { case (k, v) => k -> fmt(v) }) +
+          ",\"standing_outlier\":" + standingSnap.map(_._1).filter(standingOutliers.contains)
             .map("\"" + _ + "\"").mkString("[", ",", "]")
       // every degraded row carries its committed prior alongside (round-12
       // VERDICT #7): a loaded driver box prices most rows as single-shot

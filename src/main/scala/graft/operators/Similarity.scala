@@ -1351,9 +1351,10 @@ object Similarity {
     * GLOBAL-moment diagnostic (mean/σ over all pairwise distances), so
     * IVF blocking would bias it toward near pairs — the right scale path
     * is a deterministic fixed-size sample. The cut is the 256 ids
-    * smallest under a multiplicative hash (`vec_id·2654435761 mod
-    * 1000003`, ties by id — a pseudo-random but engine-portable total
-    * order; exact in int64 for ids < 3.4e9), so pair volume is ≤ 32 640
+    * smallest under a multiplicative hash (`(vec_id mod 1000003)·
+    * 2654435761 mod 1000003`, ties by id — a pseudo-random but
+    * engine-portable total order; the pre-fold keeps the product ≲2.7e15,
+    * exact in int64 at ANY id range), so pair volume is ≤ 32 640
     * at ANY corpus size while the moment arithmetic is the factored
     * [[concentrationFromEmb]] kernel. Fully SQL-expressible, so unlike
     * the IVF twins this one is ORACLE-CHECKED; ScaleTwinsSpec pins the
@@ -1363,7 +1364,13 @@ object Similarity {
     val emb = Tables(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
       .withColumn("nrm", sqrt(dot(col("ev"), col("ev"))))
-      .withColumn("hk", pmod(col("vec_id") * lit(2654435761L), lit(1000003L)))
+      // id folded BEFORE the multiply (r13 ADVICE): (a·C) mod m ==
+      // ((a mod m)·C) mod m, so the sample is bit-identical, but the
+      // product is now ≤ 1000002·2654435761 ≈ 2.7e15 — exact int64 at ANY
+      // id range, where the unfolded form wrapped in Spark (silent) and
+      // overflowed in DuckDB (error) for vec_id ≳ 3.4e9
+      .withColumn("hk",
+        pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L), lit(1000003L)))
       .orderBy(col("hk"), col("vec_id"))
       .limit(256)
       .select(col("vec_id"), col("ev"), col("nrm"))
@@ -1620,7 +1627,7 @@ object Similarity {
     "q509_concentration_sampled" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
-        |  ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 256),
+        |  ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id LIMIT 256),
         |nr AS MATERIALIZED (SELECT vec_id, ev,
         |    SQRT(list_dot_product(ev, ev)) AS nrm FROM e),
         |pr AS MATERIALIZED (SELECT a.vec_id AS id,

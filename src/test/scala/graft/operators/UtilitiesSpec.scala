@@ -3865,6 +3865,33 @@ class UtilitiesSpec extends SparkSpec {
     assert(lev("kitten", "sitting") === 3) // ASCII: engines agree
   }
 
+  test("q512/q513 oracle precondition: documents corpus is ASCII-only (script tables agree)") {
+    // The script counters (q512/q513 and streaming twins q514/q515) run
+    // over the REAL documents table, so their oracle equality rests on
+    // Java's \p{IsLatin}/\p{IsCyrillic} tables agreeing with DuckDB
+    // RE2's \p{Latin}/\p{Cyrillic} for every corpus codepoint — JRE vs
+    // utf8proc/RE2 Unicode-version skew on edge codepoints would flake
+    // the oracle (r13 ADVICE). This pin makes the precondition explicit
+    // (the StatsSpec 2^53-band pattern): at the oracle scales the corpus
+    // is pure ASCII, where both script databases agree by construction
+    // and can never drift. The deliberately-multibyte cases live in the
+    // CURATED battery sources (scriptBattery/homoglyphBattery), whose
+    // every codepoint is individually oracle-pinned. If multilingual text
+    // ever enters the fixtures this fails loudly — the fix then is to
+    // extend the pin to a known-agreement codepoint allowlist, not to
+    // delete it.
+    import org.apache.spark.sql.functions.{col, max, length, octet_length}
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val nonAscii = spark.read.parquet(s"$sf/documents.parquet")
+        .where(octet_length(col("text")) =!= length(col("text")) ||
+          col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(nonAscii === 0L,
+        s"$sf/documents has $nonAscii non-ASCII rows — q512/q513 oracle " +
+          "needs a script-table agreement audit before extending past ASCII")
+    }
+  }
+
   test("q463 on near-unique names: degenerate self-pairs must not clip real tiers") {
     // Regression: >=40 distinct cnt=1 names put >=40 jw=1.0 self-pair rows
     // in the top rank tier; each expands to ZERO key pairs, so the old
