@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(VectorFunctions.NfcName),
       new ExpressionInfo(classOf[NfcNormalize].getName, VectorFunctions.NfcName),
       exprs => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier(VectorFunctions.ByteLevenshteinName),
+      new ExpressionInfo(classOf[ByteLevenshtein].getName, VectorFunctions.ByteLevenshteinName),
+      exprs => ByteLevenshtein(exprs.head, exprs(1))))
   }
 }

@@ -18,6 +18,7 @@ object VectorFunctions {
   val BpeName = "graft_bpe"
   val JaroWinklerName = "graft_jaro_winkler"
   val NfcName = "graft_nfc"
+  val ByteLevenshteinName = "graft_levenshtein"
 
   /** Idempotently register the vector functions in this session. */
   def register(spark: SparkSession): Unit = {
@@ -25,6 +26,8 @@ object VectorFunctions {
       NfcName, exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       JaroWinklerName, exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ByteLevenshteinName, exprs => ByteLevenshtein(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeName, exprs => BpeEncode(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -53,6 +56,12 @@ object VectorFunctions {
   /** Jaro–Winkler similarity of two STRING columns (requires [[register]]). */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function(JaroWinklerName, a, b)
+
+  /** Byte-walk (DuckDB-semantic) Levenshtein distance of two STRING
+    * columns (requires [[register]]).
+    */
+  def byteLevenshtein(a: Column, b: Column): Column =
+    call_function(ByteLevenshteinName, a, b)
 
   /** Unicode NFC normalization of a STRING column (requires [[register]]). */
   def nfc(s: Column): Column = call_function(NfcName, s)

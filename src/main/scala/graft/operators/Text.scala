@@ -1342,14 +1342,20 @@ object Text {
     * that keeps fan-out flat, and a too-common token pair shows up there
     * before it shows up as a straggler.
     */
+  /** 40-char heads with the (first-token, second-token) blocking key from
+    * any (k, text) relation — the q258/q262/q517 candidate-generation shape.
+    */
+  private def headCols(df: DataFrame): DataFrame =
+    df.select(col("k"), substring(col("text"), 1, 40).as("nm"),
+      coalesce(element_at(split(col("text"), " "), 1), lit("")).as("w0"),
+      coalesce(element_at(split(col("text"), " "), 2), lit("")).as("w1"))
+
   /** 40-char document heads with the (first-token, second-token) blocking
     * key — the q258/q262 candidate-generation relation.
     */
   private def docHeads(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "documents")
-      .select(col("doc_id").as("k"), substring(col("text"), 1, 40).as("nm"),
-        coalesce(element_at(split(col("text"), " "), 1), lit("")).as("w0"),
-        coalesce(element_at(split(col("text"), " "), 2), lit("")).as("w1"))
+    headCols(Tables(s, d, "documents")
+      .select(col("doc_id").as("k"), col("text")))
 
   def q258FuzzyBlockedJoin: Q = (s, d) => {
     val names = docHeads(s, d)
@@ -1361,6 +1367,80 @@ object Text {
       .select(col("k1"), col("k2"),
         big(levenshtein(col("n1"), col("n2"))).as("dist"),
         greatest(length(col("n1")), length(col("n2"))).as("mxl"))
+      .select(col("k1"), col("k2"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double")
+          / col("mxl").cast("double"), 6).as("sim"))
+      .orderBy(col("dist"), col("k1"), col("k2"))
+      .limit(20)
+  }
+
+  /** q517's curated multibyte battery: within-block variant groups across
+    * Cyrillic, CJK, kana, umlaut/transliteration, combining-mark, emoji
+    * and Cyrillic-ё scripts. Rows in a group share their first two tokens
+    * (the q258 blocking key) so they pair under the SAME candidate join;
+    * keys are negative so they can never collide with doc_ids. The
+    * combining-mark row uses the escaped sequence (source-file safety —
+    * invisible combining chars are fragile as raw literals).
+    */
+  private[graft] def multibyteBattery(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      -1L -> "Иванов Сергей Петрович",
+      -2L -> "Иванов Сергей Петрову",
+      -3L -> "Иванов Сергей Пвтрович",
+      -4L -> "山田 太郎 東京都",
+      -5L -> "山田 太郎 京都府",
+      -6L -> "Kunde Herr Müller",
+      -7L -> "Kunde Herr Mueller",
+      -8L -> "Kunde Herr Muller",
+      -9L -> "ja greeting こんにちは",
+      -10L -> "ja greeting こんばんは",
+      -11L -> "menu item cafe\u0301", // decomposed e + combining acute
+      -12L -> "menu item café",       // precomposed U+00E9
+      -13L -> "menu item cafe",       // ASCII control
+      -14L -> "emoji row 😀😁😂",
+      -15L -> "emoji row 😀😂😁",
+      -16L -> "город один Орёл",
+      -17L -> "город один Орел")
+      .toDF("k", "text")
+  }
+
+  /** Q517: multibyte fuzzy blocked join — [[q258FuzzyBlockedJoin]]'s
+    * candidate-join kernel extended past ASCII: document heads union the
+    * curated [[multibyteBattery]], blocked on the first two tokens, and
+    * the MULTIBYTE-SUSPECT candidate pairs (either side has byte length ≠
+    * char length — the rows where engine edit-distance semantics can
+    * diverge) are scored by the codegen'd
+    * [[graft.functions.ByteLevenshtein]] expression. The oracle twin is
+    * DuckDB's own `levenshtein` (UTF-8 byte walk), so the multibyte
+    * semantic is CROSS-ENGINE pinned every round — the oracle extension
+    * the round-13 q510 conformance work called for: Spark's built-in
+    * `levenshtein` counts codepoints and CANNOT take this oracle
+    * (divergence pinned in UtilitiesSpec). Similarity is byte-normalized
+    * (1 − dist/max byte length) to stay on the same scale as the
+    * distance. The ASCII documents corpus (its purity is itself pinned in
+    * UtilitiesSpec) flows through the same blocked join but contributes
+    * no multibyte-suspect pairs, so the audit rows are exactly the
+    * battery's — deterministic at any sf.
+    *
+    * Scale shape: identical to q258 — one shuffle on the blocking key,
+    * bounded per-block fan-out, byte-length filter BEFORE the scorer so
+    * only suspect pairs pay the DP, TakeOrdered(20).
+    */
+  def q517MultibyteFuzzyJoin: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val names = docHeads(s, d).unionByName(headCols(multibyteBattery(s)))
+    val a = names.select(col("k").as("k1"), col("nm").as("n1"),
+      col("w0"), col("w1"))
+    val b = names.select(col("k").as("k2"), col("nm").as("n2"),
+      col("w0"), col("w1"))
+    a.join(b, Seq("w0", "w1")).filter(col("k1") < col("k2"))
+      .filter(octet_length(col("n1")) =!= length(col("n1")) ||
+        octet_length(col("n2")) =!= length(col("n2")))
+      .select(col("k1"), col("k2"),
+        big(graft.functions.VectorFunctions
+          .byteLevenshtein(col("n1"), col("n2"))).as("dist"),
+        greatest(octet_length(col("n1")), octet_length(col("n2"))).as("mxl"))
       .select(col("k1"), col("k2"), col("dist"),
         round(lit(1.0) - col("dist").cast("double")
           / col("mxl").cast("double"), 6).as("sim"))
@@ -2603,6 +2683,7 @@ object Text {
   }
 
   val queries: Map[String, Q] = Map(
+    "q517_multibyte_fuzzy_join" -> q517MultibyteFuzzyJoin,
     "q491_umass_coherence" -> q491UmassCoherence,
     "q488_kneser_ney" -> q488KneserNey,
     "q464_yules_k" -> q464YulesK,
@@ -2714,6 +2795,40 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q517_multibyte_fuzzy_join" ->
+      """WITH batt(k, text) AS (VALUES
+        |  (-1, 'Иванов Сергей Петрович'),
+        |  (-2, 'Иванов Сергей Петрову'),
+        |  (-3, 'Иванов Сергей Пвтрович'),
+        |  (-4, '山田 太郎 東京都'),
+        |  (-5, '山田 太郎 京都府'),
+        |  (-6, 'Kunde Herr Müller'),
+        |  (-7, 'Kunde Herr Mueller'),
+        |  (-8, 'Kunde Herr Muller'),
+        |  (-9, 'ja greeting こんにちは'),
+        |  (-10, 'ja greeting こんばんは'),
+        |  (-11, 'menu item cafe' || chr(769)),
+        |  (-12, 'menu item café'),
+        |  (-13, 'menu item cafe'),
+        |  (-14, 'emoji row 😀😁😂'),
+        |  (-15, 'emoji row 😀😂😁'),
+        |  (-16, 'город один Орёл'),
+        |  (-17, 'город один Орел')),
+        |src AS (SELECT doc_id AS k, text FROM documents
+        |        UNION ALL SELECT k, text FROM batt),
+        |nm AS (SELECT k, substring(text, 1, 40) AS nm,
+        |    split_part(text, ' ', 1) AS w0, split_part(text, ' ', 2) AS w1
+        |  FROM src),
+        |pairs AS (
+        |  SELECT a.k AS k1, b.k AS k2,
+        |    CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+        |    GREATEST(strlen(a.nm), strlen(b.nm)) AS mxl
+        |  FROM nm a JOIN nm b ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.k < b.k
+        |  WHERE strlen(a.nm) <> length(a.nm) OR strlen(b.nm) <> length(b.nm))
+        |SELECT k1, k2, dist,
+        |  ROUND(CAST(1 AS DOUBLE) - CAST(dist AS DOUBLE)
+        |    / CAST(mxl AS DOUBLE), 6) AS sim
+        |FROM pairs ORDER BY dist, k1, k2 LIMIT 20""".stripMargin,
     "q491_umass_coherence" ->
       """WITH dt AS MATERIALIZED (SELECT DISTINCT source, doc_id, u.t AS tok
         |  FROM documents, unnest(string_split(text, ' ')) AS u(t)

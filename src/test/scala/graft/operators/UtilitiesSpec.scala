@@ -3852,9 +3852,10 @@ class UtilitiesSpec extends SparkSpec {
     // edits. Equal on ASCII — the q258/q262/q272 oracle corpus (part/
     // customer names) — divergent on multibyte: recorded DuckDB values at
     // pin time: levenshtein('é','e') = 2 (bytes), ('Иванов','Иванова') =
-    // 2, ('山田太郎','山田花子') = 6. Any future multibyte input to the
-    // edit-distance family needs a byte-based expression (or a DuckDB
-    // codepoint UDF) before its oracle can extend past ASCII.
+    // 2, ('山田太郎','山田花子') = 6. The byte-based path now EXISTS:
+    // graft.functions.ByteLevenshtein (q517's oracle-checked scorer, test
+    // above) — multibyte input to the edit-distance family goes through
+    // it; Spark's builtin stays codepoint-only and ASCII-oracle-only.
     import org.apache.spark.sql.functions.{levenshtein, lit}
     import spark.implicits._
     def lev(a: String, b: String): Int =
@@ -3890,6 +3891,66 @@ class UtilitiesSpec extends SparkSpec {
         s"$sf/documents has $nonAscii non-ASCII rows — q512/q513 oracle " +
           "needs a script-table agreement audit before extending past ASCII")
     }
+  }
+
+  test("q517 ByteLevenshtein: byte-walk equals DuckDB's recorded values") {
+    // DuckDB's levenshtein walks UTF-8 BYTES (pinned in the q258/q262
+    // divergence test below); this expression is that semantic. Values
+    // recorded from DuckDB 14-case battery at pin time; the q517 oracle
+    // re-checks the equivalence cross-engine every round.
+    import graft.functions.ByteLevenshtein
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def lev(a: String, b: String): Int =
+      ByteLevenshtein(Literal(a), Literal(b))
+        .distance(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(lev("é", "e") === 2)                 // Spark builtin: 1
+    assert(lev("Иванов", "Иванова") === 2)      // Spark builtin: 1
+    assert(lev("山田太郎", "山田花子") === 6)     // Spark builtin: 2
+    assert(lev("kitten", "sitting") === 3)      // ASCII: engines agree
+    assert(lev("Пётр", "Петр") === 2)
+    assert(lev("müller", "mueller") === 2)
+    assert(lev("こんにちは", "こんばんは") === 3)
+    assert(lev("😀😁😂", "😀😂😁") === 2)
+    assert(lev("café", "cafe") === 2)
+    assert(lev("", "") === 0)
+    assert(lev("", "abc") === 3)
+    assert(lev("abc", "") === 3)
+    assert(lev("ABC", "АВС") === 6)             // confusables share no bytes
+    assert(lev("straße", "strasse") === 2)
+    assert(lev("ёлка", "елка") === 2)
+  }
+
+  test("q517 multibyte fuzzy join: exactly the battery pairs, brute-force replay") {
+    import graft.functions.ByteLevenshtein
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val batt = Text.multibyteBattery(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    def head40(t: String): String = t.codePoints().toArray.take(40)
+      .foldLeft(new java.lang.StringBuilder)((sb, cp) => sb.appendCodePoint(cp))
+      .toString
+    def tok(t: String, i: Int): String = { val p = t.split(" ", -1); if (p.length > i) p(i) else "" }
+    def bytes(x: String): Int = x.getBytes("UTF-8").length
+    val expect = (for {
+      (ka, ta) <- batt; (kb, tb) <- batt
+      if ka < kb && tok(ta, 0) == tok(tb, 0) && tok(ta, 1) == tok(tb, 1)
+      na = head40(ta); nb = head40(tb)
+      if bytes(na) != na.codePointCount(0, na.length) ||
+        bytes(nb) != nb.codePointCount(0, nb.length)
+      d = ByteLevenshtein(Literal(na), Literal(nb))
+        .distance(UTF8String.fromString(na), UTF8String.fromString(nb))
+      mxl = math.max(bytes(na), bytes(nb))
+      sim = BigDecimal(1.0 - d.toDouble / mxl)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield (ka, kb, d.toLong, sim))
+      .sortBy { case (k1, k2, d, _) => (d, k1, k2) }.take(20)
+    assert(expect.size === 12, s"battery must yield 12 suspect pairs, got ${expect.size}")
+    val got = Text.q517MultibyteFuzzyJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // the ASCII corpus must contribute ZERO suspect pairs (its purity is
+    // pinned above) — the audit rows are exactly the battery's
+    assert(got === expect, s"q517 mismatch:\n got=$got\n want=$expect")
   }
 
   test("q463 on near-unique names: degenerate self-pairs must not clip real tiers") {
