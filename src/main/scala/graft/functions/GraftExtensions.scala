@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(VectorFunctions.ByteLevenshteinName),
       new ExpressionInfo(classOf[ByteLevenshtein].getName, VectorFunctions.ByteLevenshteinName),
       exprs => ByteLevenshtein(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier(VectorFunctions.NormalizeForMatchName),
+      new ExpressionInfo(classOf[NormalizeForMatch].getName, VectorFunctions.NormalizeForMatchName),
+      exprs => NormalizeForMatch(exprs.head)))
   }
 }

@@ -19,6 +19,7 @@ object VectorFunctions {
   val JaroWinklerName = "graft_jaro_winkler"
   val NfcName = "graft_nfc"
   val ByteLevenshteinName = "graft_levenshtein"
+  val NormalizeForMatchName = "graft_norm_match"
 
   /** Idempotently register the vector functions in this session. */
   def register(spark: SparkSession): Unit = {
@@ -28,6 +29,8 @@ object VectorFunctions {
       JaroWinklerName, exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ByteLevenshteinName, exprs => ByteLevenshtein(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NormalizeForMatchName, exprs => NormalizeForMatch(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BpeName, exprs => BpeEncode(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -65,4 +68,10 @@ object VectorFunctions {
 
   /** Unicode NFC normalization of a STRING column (requires [[register]]). */
   def nfc(s: Column): Column = call_function(NfcName, s)
+
+  /** NFKC + locale-free casefold match-normalization of a STRING column
+    * (requires [[register]]; engine-only semantic — see
+    * [[NormalizeForMatch]]).
+    */
+  def normMatch(s: Column): Column = call_function(NormalizeForMatchName, s)
 }

@@ -2439,6 +2439,67 @@ object Text {
         (col("nfc_dup_docs") - col("raw_dup_docs")).as("nfc_only_dup_docs"))
   }
 
+  /** Q518: match-normalized dedup — the canonicalization ladder COMPLETED
+    * (round-13 VERDICT #3): q516's dup scan run at THREE normalization
+    * levels — raw bytes, NFC ([[graft.functions.NfcNormalize]]), and
+    * match-normalization ([[graft.functions.NormalizeForMatch]]: NFKC +
+    * locale-free casefold) — reporting what each rung catches that the
+    * one below misses. raw-equal ⇒ NFC-equal ⇒ match-equal (canonical
+    * equivalence is preserved by NFKC, and folding is deterministic), so
+    * both deltas are ≥ 0 by construction. The battery adds the compat/
+    * case twins a real mixed-source corpus carries: ligature vs letters,
+    * fullwidth vs ASCII, case-only variants, ß vs ss, unit glyphs vs
+    * letter sequences — each invisible to NFC, caught by match-norm.
+    *
+    * ENGINE-ONLY by design: DuckDB's utf8proc case folding measurably
+    * diverges from Java's (upper('ß') ẞ vs SS; lower('İ') — recorded in
+    * UtilitiesSpec at round-13 pin time), so no portable SQL twin exists;
+    * the UtilitiesSpec battery pins the expression's values, idempotency,
+    * and this query's exact counts instead (QueriesGoldenSpec documents
+    * the engine-only membership).
+    *
+    * Scale shape: q516's — two map-side hash aggregations over md5 keys
+    * plus three broadcast 1-row attachments; the codegen'd ASCII fast
+    * path (identity + in-place lowercase) keeps the normalized passes
+    * ~free on ASCII-majority corpora.
+    */
+  def q518MatchNormDedup: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val battery = Seq(
+      (9100001L, "office ﬁle pack"),       // fi ligature
+      (9100002L, "office file pack"),           // compat twin (NFC-distinct)
+      (9100003L, "STRASSE 12 BERLIN"),          // case-only vs ß twin below
+      (9100004L, "straße 12 berlin"),           // ß → ss under full folding
+      (9100005L, "route ㎛ marker"),        // ㎞-class unit glyph (µm)
+      (9100006L, "route µm marker"),       // letter sequence twin
+      (9100007L, "ＦＵＬＬ width text"),         // fullwidth Latin
+      (9100008L, "full width text"),            // ASCII twin
+      (9100009L, "cafe\u0301 menu deux"),      // decomposed e+acute: NFC-level dup
+      (9100010L, "café menu deux"),        // composed twin (NFC catches)
+      (9100011L, "shared raw copy"),            // raw-dup control pair
+      (9100012L, "shared raw copy"))
+      .toDF("doc_id", "text")
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(battery)
+    val fns = graft.functions.VectorFunctions
+    val h = docs.select(col("doc_id"), md5(col("text")).as("hr"),
+      md5(fns.nfc(col("text"))).as("hn"),
+      md5(fns.normMatch(col("text"))).as("hm"))
+    def dupDocs(c: org.apache.spark.sql.Column, as: String) = h.groupBy(c.as("g"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L)).as(as))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dupDocs(col("hr"), "raw_dup_docs")))
+      .crossJoin(broadcast(dupDocs(col("hn"), "nfc_dup_docs")))
+      .crossJoin(broadcast(dupDocs(col("hm"), "match_dup_docs")))
+      .select(col("n_docs"), col("raw_dup_docs"), col("nfc_dup_docs"),
+        col("match_dup_docs"),
+        (col("nfc_dup_docs") - col("raw_dup_docs")).as("nfc_only_dup_docs"),
+        (col("match_dup_docs") - col("nfc_dup_docs")).as("match_only_dup_docs"))
+  }
+
   /** Q512: per-source Unicode script profile — the corpus-composition
     * report a multilingual curation pipeline reads first: how many
     * codepoints of Latin / Cyrillic / Han / Greek / decimal-digit each
@@ -2683,6 +2744,7 @@ object Text {
   }
 
   val queries: Map[String, Q] = Map(
+    "q518_match_norm_dedup" -> q518MatchNormDedup,
     "q517_multibyte_fuzzy_join" -> q517MultibyteFuzzyJoin,
     "q491_umass_coherence" -> q491UmassCoherence,
     "q488_kneser_ney" -> q488KneserNey,

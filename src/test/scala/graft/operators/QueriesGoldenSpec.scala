@@ -79,7 +79,13 @@ class QueriesGoldenSpec extends SparkSpec {
       // q507/q508: TwoNN / hubness over the same IVF-blocked candidate
       // relation as q486 (same no-SQL-twin argument); ScaleTwinsSpec pins
       // edge recall and statistic drift vs the exact q414/q431 baselines
-      "q507_twonn_blocked", "q508_hubness_blocked")
+      "q507_twonn_blocked", "q508_hubness_blocked",
+      // q518: match-normalized dedup uses NFKC + Java locale-free case
+      // folding, which measurably diverges from DuckDB's utf8proc fold
+      // (UtilitiesSpec records upper of sharp-s and lower of dotted-I at
+      // pin time) — no portable SQL twin can exist; UtilitiesSpec pins the
+      // expression battery, idempotency, and the exact q518 counts
+      "q518_match_norm_dedup")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked === engineOnly,
       s"oracle-less queries drifted from the documented engine-only set; " +

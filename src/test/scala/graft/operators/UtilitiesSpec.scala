@@ -3830,6 +3830,70 @@ class UtilitiesSpec extends SparkSpec {
     assert(NfcNormalize(Literal("x")).normalize(ascii) eq ascii)
   }
 
+  test("q518 NormalizeForMatch: NFKC+casefold battery, idempotency, ASCII fast path") {
+    import graft.functions.NormalizeForMatch
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfm(s: String): String =
+      NormalizeForMatch(Literal(s)).normalize(UTF8String.fromString(s)).toString
+    // compatibility folding (NFKC rung — invisible to NFC)
+    assert(nfm("ﬁle") === "file", "fi ligature must fold")
+    assert(nfm("ℕ²") === "n2", "double-struck N + superscript 2")
+    assert(nfm("①②③") === "123", "circled digits")
+    assert(nfm("㎞") === "km", "unit glyph km")
+    assert(nfm("Ⅻ") === "xii", "roman numeral XII folds then cases")
+    assert(nfm("ﾊﾟｰｾﾝﾄ") === "パーセント",
+      "halfwidth katakana composes to fullwidth")
+    assert(nfm("ＦＵＬＬ") === "full", "fullwidth Latin")
+    // case folding rung (upper-then-lower round trip)
+    assert(nfm("STRASSE") === "strasse")
+    assert(nfm("straße") === "strasse", "sharp-s reaches ss via upper")
+    assert(nfm("ΜΑΣ") === nfm("μασ"), "final/medial sigma must agree")
+    assert(nfm("caf\u00E9") === nfm("cafe\u0301"), "canonical twins still agree")
+    assert(nfm("㎛") === nfm("µm"), "micro-sign unit glyph = mu m")
+    // idempotency: one more application is identity (spec-pinned contract)
+    for (x <- Seq("ﬁle", "STRASSE", "straße", "ΜΑΣ", "İstanbul",
+        "㎛", "ＦＵＬＬ", "mixed ﬃx ①"))
+      assert(nfm(nfm(x)) === nfm(x), s"not idempotent on ${x}")
+    // ASCII fast path: already-lowercase ASCII returns the SAME instance
+    val ascii = UTF8String.fromString("plain ascii 123")
+    assert(NormalizeForMatch(Literal("x")).normalize(ascii) eq ascii)
+    assert(nfm("MiXeD Ascii") === "mixed ascii")
+  }
+
+  test("q518 match-norm dedup: brute-force replay at sf0.001") {
+    import graft.functions.{NfcNormalize, NormalizeForMatch}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      NfcNormalize(Literal(s)).normalize(UTF8String.fromString(s)).toString
+    def nfm(s: String): String =
+      NormalizeForMatch(Literal(s)).normalize(UTF8String.fromString(s)).toString
+    val battery = Seq("office ﬁle pack", "office file pack",
+      "STRASSE 12 BERLIN", "straße 12 berlin",
+      "route ㎛ marker", "route µm marker",
+      "ＦＵＬＬ width text", "full width text",
+      "cafe\u0301 menu deux", "caf\u00E9 menu deux",
+      "shared raw copy", "shared raw copy")
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq ++ battery
+    def dup(key: String => String): Long =
+      texts.groupBy(key).valuesIterator.map(_.size).filter(_ > 1).map(_.toLong).sum
+    val (raw, nf, mt) = (dup(identity), dup(nfc), dup(nfm))
+    val r = Text.q518MatchNormDedup(spark, sf0001).collect().head
+    assert(r.getLong(0) === texts.size.toLong, "n_docs")
+    assert(r.getLong(1) === raw, "raw_dup_docs")
+    assert(r.getLong(2) === nf, "nfc_dup_docs")
+    assert(r.getLong(3) === mt, "match_dup_docs")
+    assert(r.getLong(4) === nf - raw, "nfc_only_dup_docs")
+    assert(r.getLong(5) === mt - nf, "match_only_dup_docs")
+    // the ladder is monotone and the battery makes every rung visible:
+    // raw pair (2 docs), nfc adds the canonical twins, match adds the
+    // four compat/case pairs (8 docs) the rungs below cannot see
+    assert(raw >= 2 && nf >= raw + 2 && mt >= nf + 8,
+      s"ladder degenerate: raw=$raw nfc=$nf match=$mt")
+  }
+
   test("case folding: Spark/Java vs DuckDB divergence pinned (excluded from oracles)") {
     // upper/lower CANNOT join the multibyte oracle batteries: recorded
     // DuckDB (utf8proc) values at pin time: upper('ß') = 'ẞ' (U+1E9E,

@@ -116,6 +116,7 @@ PINS = {
     "q486_lof_blocked": "ScaleTwinsSpec (5-NN recall + drift + top-15 vs q478)",
     "q507_twonn_blocked": "ScaleTwinsSpec (2-NN recall + id_mle drift vs q414)",
     "q508_hubness_blocked": "ScaleTwinsSpec (in-degree fidelity + skew drift vs q431)",
+    "q518_match_norm_dedup": "UtilitiesSpec (value battery + idempotency + count replay)",
 }
 
 
