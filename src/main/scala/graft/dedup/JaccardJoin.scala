@@ -64,6 +64,21 @@ object JaccardJoin {
       .transform(graft.Checkpoints.materialize(_))
   }
 
+  /** Precompute the materialized (id, shingle-hash) relation of a delta
+    * ONCE for reuse across [[pairsAgainst]] + [[pairs]] + [[foldInFrozen]]
+    * on the SAME data (the q155 ingest loop probes, self-joins AND folds
+    * every micro-batch — without the seam each call re-ran the
+    * tokenize+shingle+hash+distinct pipeline on identical rows; neutral
+    * at bench sf where a micro-batch shingles in ~0.1 s, but shingling is
+    * the CPU-dominant per-batch cost at corpus scale, where the re-runs
+    * would triple the drain). The relation handed back is exactly what
+    * each callee would have built itself, so passing it changes no
+    * semantics.
+    */
+  private[graft] def shingleRelOf(df: DataFrame, idCol: String, textCol: String,
+                                  shingleWidth: Int): DataFrame =
+    shingleRel(df, idCol, textCol, shingleWidth)
+
   /** Per-document sorted shingle-hash array + set size (verification side). */
   private def setsOf(sh: DataFrame): DataFrame =
     sh.groupBy(col("id"))
@@ -128,8 +143,9 @@ object JaccardJoin {
     * with jaccard rounded to 6 dp (D5) — the threshold itself is integer.
     */
   def pairs(df: DataFrame, idCol: String, textCol: String,
-            tNum: Long, tDen: Long, shingleWidth: Int = 3): DataFrame = {
-    val sh = shingleRel(df, idCol, textCol, shingleWidth)
+            tNum: Long, tDen: Long, shingleWidth: Int = 3,
+            precomputedSh: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedSh.getOrElse(shingleRel(df, idCol, textCol, shingleWidth))
     val sets = setsOf(sh)
     // global rare-first order; ties broken by hash value for determinism
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -307,9 +323,11 @@ object JaccardJoin {
     */
   def foldInFrozen(index: Index, delta: DataFrame,
                    idCol: String, textCol: String,
-                   compactEvery: Int = 32): Index = {
+                   compactEvery: Int = 32,
+                   precomputedSh: Option[DataFrame] = None): Index = {
     assertDisjoint(delta, idCol, index.sets, "id", "foldInFrozen")
-    val shD = graft.Checkpoints.materialize(
+    // shingleRel already ends materialized, so no extra materialize here
+    val shD = precomputedSh.getOrElse(
       shingleRel(delta, idCol, textCol, index.shingleWidth))
     val setsD = graft.Checkpoints.materialize(setsOf(shD))
     val ranked = shD.join(index.freq, Seq("sh"), "left_outer")
@@ -423,9 +441,11 @@ object JaccardJoin {
     * whole-delta result at any batch slicing.
     */
   def pairsAgainst(index: Index, delta: DataFrame,
-                   idCol: String, textCol: String): DataFrame = {
+                   idCol: String, textCol: String,
+                   precomputedSh: Option[DataFrame] = None): DataFrame = {
     assertDisjoint(delta, idCol, index.sets, "id", "pairsAgainst")
-    val shL = shingleRel(delta, idCol, textCol, index.shingleWidth)
+    val shL = precomputedSh.getOrElse(
+      shingleRel(delta, idCol, textCol, index.shingleWidth))
     val setsL = setsOf(shL)
     // rank under the index's order; corpus-unseen shingles get df 0
     val ranked = shL.join(index.freq, Seq("sh"), "left_outer")

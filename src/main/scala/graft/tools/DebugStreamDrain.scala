@@ -37,8 +37,10 @@ object DebugStreamDrain {
           batchMs.synchronized { batchMs += e.progress.durationMs.get("triggerExecution") }
     })
 
-    val targets = Seq("q175_stream_scd2", "q155_stream_ingest_dedup",
-      "q83_stream_outer_join", "q265_stream_bollinger")
+    val targets = sys.env.get("SPARK_GRAFT_DRAIN_TARGETS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("q175_stream_scd2", "q155_stream_ingest_dedup",
+        "q83_stream_outer_join", "q265_stream_bollinger"))
     val reps = 4
     for (name <- targets; rep <- 0 until reps) {
       batchMs.synchronized(batchMs.clear())
