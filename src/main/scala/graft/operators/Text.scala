@@ -2614,6 +2614,140 @@ object Text {
     mixedScriptReport(mixedScriptCells(docs))
   }
 
+  /** q519's curated CJK battery (shared by the streaming twin q521): Han +
+    * Hiragana + Katakana text with and without spaces, so the CJK counter
+    * is exercised on nonzero input even on the ASCII-biased corpus. The
+    * KATAKANA-HIRAGANA PROLONGED SOUND MARK (script=Common) is
+    * deliberately absent — it classifies differently from letter kana and
+    * would couple the oracle to punctuation-script edge tables.
+    */
+  private[graft] def tokenBudgetBattery(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("_battery", "東京は日本の首都です"),
+      ("_battery", "カタカナのテキスト"),
+      ("_battery", "mixed 日本語テキスト and english words"),
+      ("_battery", "plain ascii words only here"))
+      .toDF("source", "text")
+  }
+
+  /** q519's per-source MERGEABLE cells — pure sums (docs, whitespace
+    * tokens, CJK codepoints, bytes), so micro-batch cells merge exactly
+    * (streaming twin q521, the q375 pattern).
+    */
+  private[graft] def tokenBudgetCells(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      big(sum(size(toks))).as("ws_tokens"),
+      big(sum(regexp_count(col("text"),
+        lit("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]")))).as("cjk_cp"),
+      big(sum(octet_length(col("text")))).as("n_bytes"))
+
+  /** Merge [[tokenBudgetCells]] and attach the derived estimates — shared
+    * verbatim by batch q519 and streaming q521.
+    */
+  private[graft] def tokenBudgetReport(cells: DataFrame): DataFrame =
+    cells.groupBy(col("source")).agg(
+        big(sum(col("n_docs"))).as("n_docs"),
+        big(sum(col("ws_tokens"))).as("ws_tokens"),
+        big(sum(col("cjk_cp"))).as("cjk_cp"),
+        big(sum(col("n_bytes"))).as("n_bytes"))
+      .withColumn("est_tokens", col("ws_tokens") + col("cjk_cp"))
+      .withColumn("bytes_per_token",
+        round(col("n_bytes").cast("double") / col("est_tokens").cast("double"), 4))
+      .orderBy(col("source"))
+
+  /** Q519: multilingual token-budget estimator — the tokenizer-cost
+    * forecast a training pipeline needs BEFORE running the tokenizer at
+    * 100 TB: whitespace token counts are a fine proxy for space-delimited
+    * scripts but miss CJK entirely (unsegmented text is one giant
+    * "token"), so the standard heuristic adds ~1 token per CJK codepoint.
+    * Declared estimate: `est_tokens = ws_tokens + cjk_cp` (a pure-CJK run
+    * of n chars inside one whitespace token estimates n+1 — the +1 is
+    * accepted and documented; the point is the ORDER OF MAGNITUDE that
+    * whitespace counting gets wrong by 10-50x on CJK). Per source: doc /
+    * token / CJK-codepoint / byte sums plus bytes-per-estimated-token —
+    * the budget row a corpus-mixing plan reads. Same script-table
+    * agreement posture as q512 (curated battery + ASCII-corpus pin).
+    */
+  def q519TokenBudget: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(tokenBudgetBattery(s))
+    tokenBudgetReport(tokenBudgetCells(docs))
+  }
+
+  /** The unambiguous Cyrillic→Latin homoglyph map (UTS#39-style skeleton,
+    * restricted to the pairs whose glyphs are identical in common fonts):
+    * 10 lowercase + 14 uppercase confusables, as parallel translate()
+    * strings shared VERBATIM by the q520 plan and its DuckDB oracle.
+    */
+  private[graft] val ConfusablesCyr: String =
+    "аеорсухіјѕ" +
+      "АВЕКМНОРСТХЅІЈ"
+  private[graft] val ConfusablesLat: String = "aeopcyxijs" + "ABEKMHOPCTXSIJ"
+
+  /** q520's battery: spoofed tokens NEXT TO their legitimate ASCII twins
+    * (so the vocabulary join has real hits), an all-caps all-confusable
+    * word whose skeleton is NOT a corpus word (masquerading without a
+    * vocab hit), and genuine Russian text (Cyrillic that does NOT fold to
+    * pure Latin — the negative control).
+    */
+  private[graft] def confusableBattery(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("_battery", "pаypal аccount login"),
+      ("_battery", "paypal account login secure"),
+      ("_battery", "сlick mе now"),
+      ("_battery", "click me now please"),
+      ("_battery", "обычный русский текст"),
+      ("_battery", "МОСКВА calling"))
+      .toDF("source", "text")
+  }
+
+  /** Q520: confusable-skeleton spoof audit — q513's operational payoff
+    * (the q516-for-q511 pattern): q513 DETECTS mixed-script tokens; this
+    * resolves them — each token is skeleton-folded through the
+    * [[ConfusablesCyr]]→[[ConfusablesLat]] translate map, a token is
+    * MASQUERADING when it contains Cyrillic yet folds to a pure
+    * `[A-Za-z]+` skeleton (real Russian keeps unmapped Cyrillic and never
+    * qualifies — the negative control), and a masquerading token whose
+    * skeleton EXISTS in the corpus's own ASCII vocabulary is a confirmed
+    * spoof of a real word ("pаypal"→"paypal"). Per source: token count,
+    * masquerading count, vocabulary-hit count, first confirmed exemplar
+    * as `orig=>skeleton`. Cross-engine: translate() is codepoint-parallel
+    * on both engines (verified on the battery), the skeleton regex is
+    * ASCII, and the min exemplar compares bytewise on both.
+    *
+    * Scale shape: one token explode, one broadcastable distinct ASCII
+    * vocab (bounded by corpus vocabulary, not corpus size), the
+    * vocabulary join restricted to the (tiny) masquerading subset.
+    */
+  def q520ConfusableSkeleton: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(confusableBattery(s))
+    val tok = docs.select(col("source"), explode(toks).as("t"))
+    val tk = tok
+      .withColumn("skel", translate(col("t"), ConfusablesCyr, ConfusablesLat))
+      .withColumn("masq", col("t").rlike("\\p{IsCyrillic}") &&
+        col("skel").rlike("^[A-Za-z]+$"))
+    val vocab = tok.filter(col("t").rlike("^[A-Za-z]+$"))
+      .select(col("t").as("skel")).distinct()
+    val hits = tk.filter(col("masq"))
+      .join(broadcast(vocab.withColumn("vhit", lit(1L))), Seq("skel"), "left")
+    val agg = tk.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tokens"),
+      big(sum(when(col("masq"), 1L).otherwise(0L))).as("n_masq"))
+    val hagg = hits.groupBy(col("source")).agg(
+      big(sum(when(col("vhit").isNotNull, 1L).otherwise(0L))).as("n_vocab_hits"),
+      min(when(col("vhit").isNotNull,
+        concat(col("t"), lit("=>"), col("skel")))).as("first_spoof"))
+    agg.join(hagg, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("n_masq"),
+        coalesce(col("n_vocab_hits"), lit(0L)).as("n_vocab_hits"),
+        col("first_spoof"))
+      .orderBy(col("source"))
+  }
+
   /** Q464: lexical-richness battery per source — Yule's K (repeat-rate,
     * length-robust), Simpson's D (collision probability) and Herdan's C
     * (log-log type/token slope), all from ONE (source, token) frequency
@@ -2744,6 +2878,8 @@ object Text {
   }
 
   val queries: Map[String, Q] = Map(
+    "q520_confusable_skeleton" -> q520ConfusableSkeleton,
+    "q519_token_budget" -> q519TokenBudget,
     "q518_match_norm_dedup" -> q518MatchNormDedup,
     "q517_multibyte_fuzzy_join" -> q517MultibyteFuzzyJoin,
     "q491_umass_coherence" -> q491UmassCoherence,
@@ -2857,6 +2993,62 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "q519_token_budget" ->
+      """WITH b(source, text) AS (VALUES
+        |  ('_battery', '東京は日本の首都です'),
+        |  ('_battery', 'カタカナのテキスト'),
+        |  ('_battery', 'mixed 日本語テキスト and english words'),
+        |  ('_battery', 'plain ascii words only here')),
+        |d AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT source, text FROM b),
+        |c AS (SELECT source,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS wt,
+        |    len(regexp_extract_all(text,
+        |      '[\p{Han}\p{Hiragana}\p{Katakana}]')) AS cc,
+        |    strlen(text) AS nb
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(cc) AS BIGINT) AS cjk_cp,
+        |  CAST(SUM(nb) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(wt) + SUM(cc) AS BIGINT) AS est_tokens,
+        |  ROUND(CAST(SUM(nb) AS DOUBLE)
+        |    / CAST(SUM(wt) + SUM(cc) AS DOUBLE), 4) AS bytes_per_token
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q520_confusable_skeleton" ->
+      raw"""WITH b(source, text) AS (VALUES
+        |  ('_battery', 'pаypal аccount login'),
+        |  ('_battery', 'paypal account login secure'),
+        |  ('_battery', 'сlick mе now'),
+        |  ('_battery', 'click me now please'),
+        |  ('_battery', 'обычный русский текст'),
+        |  ('_battery', 'МОСКВА calling')),
+        |d AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT source, text FROM b),
+        |tok AS (SELECT source, t
+        |  FROM d, unnest(string_split(text, ' ')) AS u(t) WHERE t <> ''),
+        |mq AS (SELECT source, t,
+        |    translate(t, '$ConfusablesCyr', '$ConfusablesLat') AS skel,
+        |    (regexp_matches(t, '\p{Cyrillic}') AND regexp_matches(
+        |      translate(t, '$ConfusablesCyr', '$ConfusablesLat'),
+        |      '^[A-Za-z]+$$')) AS masq
+        |  FROM tok),
+        |vocab AS (SELECT DISTINCT t AS skel FROM tok
+        |  WHERE regexp_matches(t, '^[A-Za-z]+$$')),
+        |hits AS (SELECT m.source, m.t, m.skel, (v.skel IS NOT NULL) AS vhit
+        |  FROM mq m LEFT JOIN vocab v ON m.skel = v.skel WHERE m.masq),
+        |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN masq THEN 1 ELSE 0 END) AS BIGINT) AS n_masq
+        |  FROM mq GROUP BY source),
+        |hagg AS (SELECT source,
+        |    CAST(SUM(CASE WHEN vhit THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_hits,
+        |    MIN(CASE WHEN vhit THEN t || '=>' || skel END) AS first_spoof
+        |  FROM hits GROUP BY source)
+        |SELECT a.source, a.n_tokens, a.n_masq,
+        |  CAST(COALESCE(h.n_vocab_hits, 0) AS BIGINT) AS n_vocab_hits,
+        |  h.first_spoof
+        |FROM agg a LEFT JOIN hagg h ON a.source = h.source
+        |ORDER BY a.source""".stripMargin,
     "q517_multibyte_fuzzy_join" ->
       """WITH batt(k, text) AS (VALUES
         |  (-1, 'Иванов Сергей Петрович'),

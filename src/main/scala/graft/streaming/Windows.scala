@@ -2526,7 +2526,52 @@ object Windows {
     graft.Checkpoints.materialize(
       graft.operators.Text.mixedScriptReport(s.read.parquet(sumDir)))
 
+  /** Q521: streaming token-budget monitor — q519's tokenizer-cost
+    * estimator fed by a micro-batched document stream: per batch the
+    * ADDITIVE cells ([[graft.operators.Text.tokenBudgetCells]] — doc /
+    * whitespace-token / CJK-codepoint / byte sums) land in an idempotent
+    * `batch=<id>` sink and the drain runs q519's merge/report kernel
+    * once. Shares q519's oracle verbatim (the q375 mergeable-cell
+    * contract: equal at ANY trigger slicing). The live "is the token
+    * budget tracking the plan?" gauge — a CJK-heavy source joining a
+    * whitespace-budgeted ingest blows the training budget silently
+    * unless this row is watched.
+    */
+  def q521StreamTokenBudget: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select(col("source"), col("text"))
+      .unionByName(graft.operators.Text.tokenBudgetBattery(s))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q521_").toString
+    try {
+      val sumDir = s"$tmp/cells"
+      val feedDir = graft.Checkpoints.feedDirCached(docs.repartition(3))
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q521Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q521Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q521's per-batch writer (the q337 idempotent `batch=<id>` pattern). */
+  private[graft] def q521Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        graft.operators.Text.tokenBudgetCells(batch.toDF())
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q521's drain: merge the additive budget cells, report once. */
+  private[graft] def q521Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Text.tokenBudgetReport(s.read.parquet(sumDir)))
+
   val queries: Map[String, Q] = Map(
+    "q521_stream_token_budget" -> q521StreamTokenBudget,
     "q514_stream_script_profile" -> q514StreamScriptProfile,
     "q515_stream_mixed_script" -> q515StreamMixedScript,
     "q441_stream_hurst" -> q441StreamHurst,
@@ -2696,8 +2741,11 @@ object Windows {
     // q498/q499/q500 share their batch twins' oracles verbatim (q437's
     // additive daily-revenue cells — q500's writer adds the count column;
     // the drains run q490/q487/q494's exact kernels once over the merge)
-    // q514/q515 share q512/q513's oracles verbatim (additive script /
-    // token-min cells merge exactly at any trigger slicing)
+    // q514/q515/q521 share q512/q513/q519's oracles verbatim (additive
+    // script / token-min / budget cells merge exactly at any trigger
+    // slicing)
+    "q521_stream_token_budget" ->
+      graft.operators.Text.oracles("q519_token_budget"),
     "q514_stream_script_profile" ->
       graft.operators.Text.oracles("q512_script_profile"),
     "q515_stream_mixed_script" ->

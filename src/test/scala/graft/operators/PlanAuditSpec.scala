@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     "q508_hubness_blocked", // K-centroid broadcast (q486's blocked candidate relation)
     "q509_concentration_sampled", // bounded 256-id sample cut (<=32.6k pairs at any SF) + 1-row contrast relation
     "q516_nfc_dedup", // two 1-row dup-count relations attached to the 1-row total
+    "q518_match_norm_dedup", // three 1-row dup-count relations (raw/NFC/match rungs) attached to the 1-row total
     "q436_ordinal_association", // 20-cell contingency self-pairing + 1-row total
     "q440_auc_delong",   // 1-row positive/negative total relation
     "q444_weibull_fit",  // 1-row latency-total relation

@@ -4017,6 +4017,67 @@ class UtilitiesSpec extends SparkSpec {
     assert(got === expect, s"q517 mismatch:\n got=$got\n want=$expect")
   }
 
+  test("q519 token budget: brute-force replay at sf0.001") {
+    val battery = Text.tokenBudgetBattery(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ++ battery
+    val cjkPat = java.util.regex.Pattern
+      .compile("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]")
+    def cjk(t: String): Long = {
+      val m = cjkPat.matcher(t); var c = 0L; while (m.find()) c += 1; c
+    }
+    val expect = docs.groupBy(_._1).map { case (src, rows) =>
+      val wt = rows.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      val cc = rows.map(r => cjk(r._2)).sum
+      val nb = rows.map(_._2.getBytes("UTF-8").length.toLong).sum
+      val est = wt + cc
+      (src, rows.size.toLong, wt, cc, nb, est,
+        BigDecimal(nb.toDouble / est.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Text.q519TokenBudget(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got === expect, s"q519 mismatch:\n got=$got\n want=$expect")
+    // the battery must make the CJK counter non-degenerate
+    assert(expect.find(_._1 == "_battery").exists(_._4 >= 20),
+      "battery must contribute >=20 CJK codepoints")
+  }
+
+  test("q520 confusable skeleton: brute-force replay at sf0.001") {
+    val battery = Text.confusableBattery(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ++ battery
+    val skelMap = Text.ConfusablesCyr.zip(Text.ConfusablesLat).toMap
+    def skel(t: String): String = t.map(c => skelMap.getOrElse(c, c))
+    val cyr = java.util.regex.Pattern.compile("\\p{IsCyrillic}")
+    val latOnly = java.util.regex.Pattern.compile("^[A-Za-z]+$")
+    val toks = docs.flatMap { case (s, t) =>
+      t.split(" ").filter(_.nonEmpty).map(tok => (s, tok)) }
+    val vocab = toks.map(_._2).filter(t => latOnly.matcher(t).matches()).toSet
+    val expect = toks.groupBy(_._1).map { case (src, rows) =>
+      val masq = rows.map(_._2).filter(t =>
+        cyr.matcher(t).find() && latOnly.matcher(skel(t)).matches())
+      val spoofs = masq.filter(t => vocab(skel(t)))
+      (src, rows.size.toLong, masq.size.toLong, spoofs.size.toLong,
+        if (spoofs.isEmpty) null
+        else spoofs.map(t => t + "=>" + skel(t)).min)
+    }.toSeq.sortBy(_._1)
+    val got = Text.q520ConfusableSkeleton(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getString(4))).toSeq
+    assert(got === expect, s"q520 mismatch:\n got=$got\n want=$expect")
+    // the battery must light every rung: masquerading tokens exist, some
+    // with vocabulary hits (confirmed spoofs), and real Russian stays out
+    val b = expect.find(_._1 == "_battery").get
+    assert(b._3 >= 5 && b._4 >= 4 && b._3 > b._4,
+      s"battery rungs degenerate: masq=${b._3} vocab_hits=${b._4}")
+  }
+
   test("q463 on near-unique names: degenerate self-pairs must not clip real tiers") {
     // Regression: >=40 distinct cnt=1 names put >=40 jw=1.0 self-pair rows
     // in the top rank tier; each expands to ZERO key pairs, so the old

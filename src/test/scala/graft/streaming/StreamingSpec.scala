@@ -992,7 +992,15 @@ class StreamingSpec extends SparkSpec {
         pmod(abs(hash($"text")), lit(2)) === 0,
         tmp => Windows.q515Writer(s"$tmp/sum"),
         tmp => Windows.q515Drain(spark, s"$tmp/sum"),
-        () => Windows.q515StreamMixedScript(spark, sf0001)))
+        () => Windows.q515StreamMixedScript(spark, sf0001)),
+      TwinCase("q521_stream_token_budget",
+        () => graft.Tables(spark, sf0001, "documents")
+          .select($"source", $"text")
+          .unionByName(graft.operators.Text.tokenBudgetBattery(spark)),
+        pmod(abs(hash($"text")), lit(2)) === 0,
+        tmp => Windows.q521Writer(s"$tmp/sum"),
+        tmp => Windows.q521Drain(spark, s"$tmp/sum"),
+        () => Windows.q521StreamTokenBudget(spark, sf0001)))
 
     twins.foreach { tc =>
       test(s"${tc.name}: drained summary survives a checkpointed stop/start") {
