@@ -2732,8 +2732,17 @@ object Text {
         col("skel").rlike("^[A-Za-z]+$"))
     val vocab = tok.filter(col("t").rlike("^[A-Za-z]+$"))
       .select(col("t").as("skel")).distinct()
-    val hits = tk.filter(col("masq"))
-      .join(broadcast(vocab.withColumn("vhit", lit(1L))), Seq("skel"), "left")
+    // broadcast discipline at 100 TB: the ASCII vocabulary is
+    // corpus-vocabulary-sized (too big to broadcast at scale), but the
+    // masquerading subset is tiny — so the vocab is first SEMI-JOINED
+    // down to the masquerading skeletons (broadcasting the tiny probe
+    // set), and only that bounded hit set is broadcast back. Every
+    // broadcast side is ≤ |masquerading tokens| at any corpus size.
+    val masq = tk.filter(col("masq"))
+    val masqSkel = masq.select(col("skel")).distinct()
+    val vocabHits = vocab.join(broadcast(masqSkel), Seq("skel"), "left_semi")
+    val hits = masq
+      .join(broadcast(vocabHits.withColumn("vhit", lit(1L))), Seq("skel"), "left")
     val agg = tk.groupBy(col("source")).agg(
       count(lit(1)).as("n_tokens"),
       big(sum(when(col("masq"), 1L).otherwise(0L))).as("n_masq"))
