@@ -2412,10 +2412,13 @@ object Text {
     * divergent twins (plus one raw-dup control pair) so the missed set is
     * nonzero on the ASCII-biased corpus.
     */
-  def q516NfcDedup: Q = (s, d) => {
+  /** q516/q522's shared battery of canonically divergent twins + one
+    * raw-dup control pair (factored so the count report and the
+    * resolution op can never drift apart).
+    */
+  private[graft] def nfcDedupBattery(s: SparkSession): DataFrame = {
     import s.implicits._
-    graft.functions.VectorFunctions.register(s)
-    val battery = Seq(
+    Seq(
       (9000001L, "café menu"),                     // composed
       (9000002L, "cafe\u0301 menu"),               // decomposed twin
       (9000003L, "Ångström units"),                // composed Å, ö
@@ -2423,6 +2426,11 @@ object Text {
       (9000005L, "plain duplicate"),               // raw-dup control pair
       (9000006L, "plain duplicate"))
       .toDF("doc_id", "text")
+  }
+
+  def q516NfcDedup: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val battery = nfcDedupBattery(s)
     val docs = Tables(s, d, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .unionByName(battery)
@@ -2437,6 +2445,88 @@ object Text {
       .crossJoin(broadcast(raw)).crossJoin(broadcast(nfc))
       .select(col("n_docs"), col("raw_dup_docs"), col("nfc_dup_docs"),
         (col("nfc_dup_docs") - col("raw_dup_docs")).as("nfc_only_dup_docs"))
+  }
+
+  /** Q522: NFC-normalized dedup RESOLUTION — the operational step q516's
+    * counts exist to drive (the q156/q157 measurement→rewrite pattern):
+    * documents group by their NFC content hash, the smallest doc_id per
+    * group survives, and every other member is emitted as a (dropped,
+    * survivor, kind) action row — `kind` distinguishes 'exact' copies
+    * (raw bytes equal to the survivor's) from 'canonical' copies (NFC-
+    * equal only: the composed/decomposed twins a raw-byte dedup silently
+    * keeps). This is the row a curation pipeline actually executes.
+    * Oracle-checked: DuckDB `nfc_normalize` == java.text.Normalizer NFC
+    * (the q511 pin).
+    *
+    * Scale shape: one hash aggregate for survivors, two hash-keyed
+    * equi-joins (group key, survivor id) — no window over the corpus, no
+    * broadcast of anything data-sized.
+    */
+  def q522NfcDedupResolve: Q = (s, d) => {
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(nfcDedupBattery(s))
+    val h = docs.select(col("doc_id"), md5(col("text")).as("hr"),
+      md5(graft.functions.VectorFunctions.nfc(col("text"))).as("hn"))
+    val surv = h.groupBy(col("hn")).agg(min(col("doc_id")).as("survivor"))
+    h.join(surv, Seq("hn"))
+      .filter(col("doc_id") =!= col("survivor"))
+      .join(h.select(col("doc_id").as("survivor"), col("hr").as("hr_surv")),
+        Seq("survivor"))
+      .select(col("doc_id").as("dropped"), col("survivor"),
+        when(col("hr") === col("hr_surv"), lit("exact"))
+          .otherwise(lit("canonical")).as("kind"))
+      .orderBy(col("dropped"))
+  }
+
+  /** q523's battery: consistent and mislabeled rows for the non-Latin
+    * langs (the corpus's own zh rows are romanized ASCII — the audit's
+    * headline finding — so the battery supplies the consistent zh/ru/ja
+    * positives the corpus lacks).
+    */
+  private[graft] def langScriptBattery(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (9200001L, "zh", "汉字文本在这里"),
+      (9200002L, "zh", "romanized pinyin only"),
+      (9200003L, "ru", "русский текст"),
+      (9200004L, "ru", "translit russkiy"),
+      (9200005L, "ja", "ひらがなと漢字"),
+      (9200006L, "en", "plain english text"))
+      .toDF("doc_id", "lang", "text")
+  }
+
+  /** Q523: language/script consistency audit — the label-hygiene check a
+    * multilingual curation pipeline runs against its OWN metadata: a doc
+    * whose declared `lang` expects a script (zh→Han, ru→Cyrillic,
+    * ja→Han/kana, Latin langs→Latin) but whose text contains zero
+    * codepoints of it is mislabeled, romanized, or mis-routed. Per lang:
+    * doc count, mismatch count + fraction, first offending doc_id. On
+    * THIS corpus the zh rows are ASCII-romanized, so the audit's honest
+    * reading is "every zh row mismatches" — exactly the signal that
+    * pages a real ingest. Same script-table posture as q512 (battery
+    * positives + ASCII-corpus pin); unknown langs pass vacuously.
+    */
+  def q523LangScriptConsistency: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+      .unionByName(langScriptBattery(s))
+    val ok = when(col("lang").isin("en", "es", "de", "fr"),
+        col("text").rlike("\\p{IsLatin}"))
+      .when(col("lang") === "zh", col("text").rlike("\\p{IsHan}"))
+      .when(col("lang") === "ru", col("text").rlike("\\p{IsCyrillic}"))
+      .when(col("lang") === "ja",
+        col("text").rlike("[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"))
+      .otherwise(lit(true))
+    docs.withColumn("ok", ok)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        big(sum(when(!col("ok"), 1L).otherwise(0L))).as("n_mismatch"),
+        min(when(!col("ok"), col("doc_id"))).as("first_mismatch"))
+      .withColumn("mismatch_frac",
+        round(col("n_mismatch").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy(col("lang"))
   }
 
   /** Q518: match-normalized dedup — the canonicalization ladder COMPLETED
@@ -2887,6 +2977,8 @@ object Text {
   }
 
   val queries: Map[String, Q] = Map(
+    "q523_lang_script_consistency" -> q523LangScriptConsistency,
+    "q522_nfc_dedup_resolve" -> q522NfcDedupResolve,
     "q520_confusable_skeleton" -> q520ConfusableSkeleton,
     "q519_token_budget" -> q519TokenBudget,
     "q518_match_norm_dedup" -> q518MatchNormDedup,
@@ -3171,6 +3263,50 @@ object Text {
         |      * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))), 6) AS simpson_d,
         |  ROUND(LN(CAST(v AS DOUBLE)) / LN(CAST(n AS DOUBLE)), 6) AS herdan_c
         |FROM per ORDER BY source""".stripMargin,
+    "q522_nfc_dedup_resolve" ->
+      """WITH b(doc_id, text) AS (VALUES
+        |  (9000001, 'café menu'),
+        |  (9000002, 'cafe' || chr(769) || ' menu'),
+        |  (9000003, 'Ångström units'),
+        |  (9000004, 'A' || chr(778) || 'ngstro' || chr(776) || 'm units'),
+        |  (9000005, 'plain duplicate'),
+        |  (9000006, 'plain duplicate')),
+        |d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM b),
+        |h AS (SELECT doc_id, md5(text) AS hr,
+        |    md5(nfc_normalize(text)) AS hn FROM d),
+        |s AS (SELECT hn, MIN(doc_id) AS survivor FROM h GROUP BY hn)
+        |SELECT x.doc_id AS dropped, s.survivor,
+        |  CASE WHEN x.hr = hs.hr THEN 'exact' ELSE 'canonical' END AS kind
+        |FROM h x JOIN s ON x.hn = s.hn AND x.doc_id <> s.survivor
+        |JOIN h hs ON hs.doc_id = s.survivor
+        |ORDER BY dropped""".stripMargin,
+    "q523_lang_script_consistency" ->
+      """WITH b(doc_id, lang, text) AS (VALUES
+        |  (9200001, 'zh', '汉字文本在这里'),
+        |  (9200002, 'zh', 'romanized pinyin only'),
+        |  (9200003, 'ru', 'русский текст'),
+        |  (9200004, 'ru', 'translit russkiy'),
+        |  (9200005, 'ja', 'ひらがなと漢字'),
+        |  (9200006, 'en', 'plain english text')),
+        |d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, text
+        |    FROM documents
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT), lang, text FROM b),
+        |f AS (SELECT doc_id, lang,
+        |    CASE WHEN lang IN ('en','es','de','fr')
+        |        THEN regexp_matches(text, '\p{Latin}')
+        |      WHEN lang = 'zh' THEN regexp_matches(text, '\p{Han}')
+        |      WHEN lang = 'ru' THEN regexp_matches(text, '\p{Cyrillic}')
+        |      WHEN lang = 'ja' THEN regexp_matches(text,
+        |        '[\p{Han}\p{Hiragana}\p{Katakana}]')
+        |      ELSE TRUE END AS ok
+        |  FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch,
+        |  MIN(CASE WHEN NOT ok THEN doc_id END) AS first_mismatch,
+        |  ROUND(CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS mismatch_frac
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "q516_nfc_dedup" ->
       """WITH b(doc_id, text) AS (VALUES
         |  (9000001, 'café menu'),

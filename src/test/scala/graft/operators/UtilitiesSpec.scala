@@ -4078,6 +4078,61 @@ class UtilitiesSpec extends SparkSpec {
       s"battery rungs degenerate: masq=${b._3} vocab_hits=${b._4}")
   }
 
+  test("q522 NFC dedup resolution: brute-force replay at sf0.001") {
+    val battery = Text.nfcDedupBattery(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ++ battery
+    def nfc(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val expect = docs.groupBy(r => nfc(r._2)).values.flatMap { grp =>
+      val survivor = grp.minBy(_._1)
+      grp.filter(_._1 != survivor._1).map { r =>
+        (r._1, survivor._1, if (r._2 == survivor._2) "exact" else "canonical")
+      }
+    }.toSeq.sortBy(_._1)
+    val got = Text.q522NfcDedupResolve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === expect, s"q522 mismatch:\n got=$got\n want=$expect")
+    // battery guarantees both kinds appear
+    assert(expect.count(_._3 == "canonical") >= 2 &&
+      expect.count(_._3 == "exact") >= 1, s"kinds degenerate: $expect")
+  }
+
+  test("q523 lang/script consistency: brute-force replay at sf0.001") {
+    val battery = Text.langScriptBattery(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ++ battery
+    def has(t: String, pat: String): Boolean =
+      java.util.regex.Pattern.compile(pat).matcher(t).find()
+    def ok(lang: String, t: String): Boolean = lang match {
+      case "en" | "es" | "de" | "fr" => has(t, "\\p{IsLatin}")
+      case "zh" => has(t, "\\p{IsHan}")
+      case "ru" => has(t, "\\p{IsCyrillic}")
+      case "ja" => has(t, "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]")
+      case _ => true
+    }
+    val expect = docs.groupBy(_._2).map { case (lang, rows) =>
+      val bad = rows.filterNot(r => ok(lang, r._3))
+      (lang, rows.size.toLong, bad.size.toLong,
+        if (bad.isEmpty) null else java.lang.Long.valueOf(bad.map(_._1).min),
+        BigDecimal(bad.size.toDouble / rows.size.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Text.q523LangScriptConsistency(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+        r.getDouble(4))).toSeq
+    assert(got === expect, s"q523 mismatch:\n got=$got\n want=$expect")
+    // corpus zh rows are romanized ASCII — the audit must see them ALL
+    val zh = expect.find(_._1 == "zh").get
+    assert(zh._3 == zh._2 - 1 && zh._3 >= 1,
+      s"zh rung degenerate: $zh (only the battery positive is consistent)")
+  }
+
   test("q463 on near-unique names: degenerate self-pairs must not clip real tiers") {
     // Regression: >=40 distinct cnt=1 names put >=40 jw=1.0 self-pair rows
     // in the top rank tier; each expands to ZERO key pairs, so the old
