@@ -2508,10 +2508,11 @@ object Text {
     * pages a real ingest. Same script-table posture as q512 (battery
     * positives + ASCII-corpus pin); unknown langs pass vacuously.
     */
-  def q523LangScriptConsistency: Q = (s, d) => {
-    val docs = Tables(s, d, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
-      .unionByName(langScriptBattery(s))
+  /** q523's per-lang MERGEABLE cells — doc/mismatch sums + min offender,
+    * all associative, so micro-batch cells merge exactly (streaming twin
+    * q524, the q375 pattern).
+    */
+  private[graft] def langScriptCells(docs: DataFrame): DataFrame = {
     val ok = when(col("lang").isin("en", "es", "de", "fr"),
         col("text").rlike("\\p{IsLatin}"))
       .when(col("lang") === "zh", col("text").rlike("\\p{IsHan}"))
@@ -2524,9 +2525,25 @@ object Text {
         count(lit(1)).as("n_docs"),
         big(sum(when(!col("ok"), 1L).otherwise(0L))).as("n_mismatch"),
         min(when(!col("ok"), col("doc_id"))).as("first_mismatch"))
+  }
+
+  /** Merge [[langScriptCells]] and attach the derived fraction — shared
+    * verbatim by batch q523 and streaming q524.
+    */
+  private[graft] def langScriptReport(cells: DataFrame): DataFrame =
+    cells.groupBy(col("lang")).agg(
+        big(sum(col("n_docs"))).as("n_docs"),
+        big(sum(col("n_mismatch"))).as("n_mismatch"),
+        min(col("first_mismatch")).as("first_mismatch"))
       .withColumn("mismatch_frac",
         round(col("n_mismatch").cast("double") / col("n_docs").cast("double"), 4))
       .orderBy(col("lang"))
+
+  def q523LangScriptConsistency: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+      .unionByName(langScriptBattery(s))
+    langScriptReport(langScriptCells(docs))
   }
 
   /** Q518: match-normalized dedup — the canonicalization ladder COMPLETED

@@ -2570,7 +2570,51 @@ object Windows {
     graft.Checkpoints.materialize(
       graft.operators.Text.tokenBudgetReport(s.read.parquet(sumDir)))
 
+  /** Q524: streaming language/script hygiene monitor — q523's label
+    * audit fed by a micro-batched document stream: per batch the
+    * doc/mismatch sums + min-offender cells ([[graft.operators.Text
+    * .langScriptCells]] — sums plus an associative min) land in an
+    * idempotent `batch=<id>` sink and the drain runs q523's merge/report
+    * kernel once. Shares q523's oracle verbatim. The always-on "is a
+    * source suddenly shipping romanized/mislabeled text?" pager —
+    * label drift is a router incident long before it is a quality one.
+    */
+  def q524StreamLangScript: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+      .unionByName(graft.operators.Text.langScriptBattery(s))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q524_").toString
+    try {
+      val sumDir = s"$tmp/cells"
+      val feedDir = graft.Checkpoints.feedDirCached(docs.repartition(3))
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      val q = sdf.writeStream.outputMode(OutputMode.Append)
+        .foreachBatch(q524Writer(sumDir))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q524Drain(s, sumDir)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** q524's per-batch writer (the q337 idempotent `batch=<id>` pattern). */
+  private[graft] def q524Writer(sumDir: String)
+      : (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        graft.operators.Text.langScriptCells(batch.toDF())
+          .write.mode("overwrite").parquet(s"$sumDir/batch=$batchId")
+      }
+      ()
+    }
+
+  /** q524's drain: merge the audit cells, report once. */
+  private[graft] def q524Drain(s: SparkSession, sumDir: String): DataFrame =
+    graft.Checkpoints.materialize(
+      graft.operators.Text.langScriptReport(s.read.parquet(sumDir)))
+
   val queries: Map[String, Q] = Map(
+    "q524_stream_lang_script" -> q524StreamLangScript,
     "q521_stream_token_budget" -> q521StreamTokenBudget,
     "q514_stream_script_profile" -> q514StreamScriptProfile,
     "q515_stream_mixed_script" -> q515StreamMixedScript,
@@ -2746,6 +2790,8 @@ object Windows {
     // slicing)
     "q521_stream_token_budget" ->
       graft.operators.Text.oracles("q519_token_budget"),
+    "q524_stream_lang_script" ->
+      graft.operators.Text.oracles("q523_lang_script_consistency"),
     "q514_stream_script_profile" ->
       graft.operators.Text.oracles("q512_script_profile"),
     "q515_stream_mixed_script" ->

@@ -1000,7 +1000,15 @@ class StreamingSpec extends SparkSpec {
         pmod(abs(hash($"text")), lit(2)) === 0,
         tmp => Windows.q521Writer(s"$tmp/sum"),
         tmp => Windows.q521Drain(spark, s"$tmp/sum"),
-        () => Windows.q521StreamTokenBudget(spark, sf0001)))
+        () => Windows.q521StreamTokenBudget(spark, sf0001)),
+      TwinCase("q524_stream_lang_script",
+        () => graft.Tables(spark, sf0001, "documents")
+          .select($"doc_id".cast("long").as("doc_id"), $"lang", $"text")
+          .unionByName(graft.operators.Text.langScriptBattery(spark)),
+        pmod(abs(hash($"text")), lit(2)) === 0,
+        tmp => Windows.q524Writer(s"$tmp/sum"),
+        tmp => Windows.q524Drain(spark, s"$tmp/sum"),
+        () => Windows.q524StreamLangScript(spark, sf0001)))
 
     twins.foreach { tc =>
       test(s"${tc.name}: drained summary survives a checkpointed stop/start") {
