@@ -489,25 +489,37 @@ object Events {
     val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
     val wr = w.rowsBetween(-3, 0)
     val cents = (dec(col("value")) * 100).cast("long")
-    val taps = (0 until 16).map { k =>
-      val wt = 1L << (15 - k)
-      if (k == 0) (col("cents") * wt, lit(wt))
-      else (coalesce(lag(col("cents"), k).over(w), lit(0L)) * wt,
-        when(lag(col("cents"), k).over(w).isNotNull, lit(wt)).otherwise(lit(0L)))
-    }
-    val num = taps.map(_._1).reduce(_ + _)
-    val den = taps.map(_._2).reduce(_ + _)
+    // Each lag tap is materialized ONCE by the window operator and num/den/
+    // ewma are plain projections over the tap columns: the original inline
+    // formulation repeated `num` and `den` inside `ewma`, and Spark's
+    // window extraction does not deduplicate — the plan carried ~64 window
+    // expressions (4 copies of every lag) where 18 suffice (opt r14,
+    // guide §1.2 "per-task work"; plans/r14/q195_ts_features_before.txt).
+    val tapCols: Seq[Column] = (1 to 15).map(k => lag(col("cents"), k).over(w).as(s"_lg$k"))
+    val num = (1 to 15).map(k => coalesce(col(s"_lg$k"), lit(0L)) * (1L << (15 - k)))
+      .reduce(_ + _) + col("cents") * (1L << 15)
+    val den = (1 to 15).map(k =>
+        when(col(s"_lg$k").isNotNull, lit(1L << (15 - k))).otherwise(lit(0L)))
+      .reduce(_ + _) + lit(1L << 15)
+    // pinned user-keyed exchange: the window input is byte-small but the
+    // per-row window work is CPU-dense, and AQE's byte-based coalescing
+    // collapsed it to ONE task (measured 3.3 s single-threaded vs 1.2 s
+    // wide — the q165 pinned-exchange pattern); REPARTITION_BY_NUM on the
+    // window's own partition key satisfies the window's required
+    // distribution, so no second exchange is added
     events(s, d)
       .select(col("user_id"), col("event_id"), epochSec(col("ts2")).as("es"),
         col("value"), cents.as("cents"))
-      .select(col("user_id"), col("event_id"), col("es"), col("value"),
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      .select(Seq(col("user_id"), col("event_id"), col("es"), col("value"),
         col("cents"),
         lag(col("value"), 1).over(w).as("lag1"),
         (sum(dec(col("value"))).over(wr).cast("double")
-          / count(lit(1)).over(wr)).as("roll4"),
+          / count(lit(1)).over(wr)).as("roll4")) ++ tapCols: _*)
+      .select(col("user_id"), col("event_id"), col("es"), col("value"),
+        col("lag1"), col("roll4"),
         num.as("ewma_num"), den.as("ewma_den"),
         round(num.cast("double") / den.cast("double") / 100.0, 6).as("ewma"))
-      .drop("cents")
       .orderBy(col("user_id"), col("es"), col("event_id"))
   }
 

@@ -584,8 +584,14 @@ object NorthStar {
     val docs = Tables(s, d, "documents")
     val trainTotal = docs.filter(col("source") =!= "src0")
       .agg(count(lit(1)).as("n_train_docs"))
+    // repartition ONCE before the per-width explodes (the shingleRel
+    // discipline): the single-row-group documents scan is one task, so
+    // each width's tokenize+shingle+hash pass ran single-threaded
+    // (measured 3 × 2.4 s single-task stages at sf0.1 — opt r14)
+    val fanned = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     Seq(5, 8, 13).map { w =>
-      val ng = docs
+      val ng = fanned
         .select(col("doc_id"), col("source"),
           explode(MinHashLSH.shingles(toks, w)).as("g"))
         .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
@@ -675,7 +681,10 @@ object NorthStar {
     val w = 8
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val docs = Tables(s, d, "documents")
+    // fan out the shingle pass (one-row-group scan = one task; measured
+    // 2.1 s single-task at sf0.1 — opt r14, the q283 fix)
     val ng = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(MinHashLSH.shingles(toks, w)).as("g"))
       .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))

@@ -1205,7 +1205,12 @@ object Similarity {
       .withColumn("ev", asDouble(col("embedding")))
       .select(col("vec_id"), col("ev"))
     val b = emb.select(col("vec_id").as("nid"), col("ev").as("nv"))
-    emb.crossJoin(broadcast(b)).filter(col("vec_id") =!= col("nid"))
+    // the nested-loop join's parallelism IS the streamed side's partition
+    // count (the [[exactCosinePairs]] lesson, missed here): a single-file
+    // corpus scans on one task, so the whole n² cosine grid ran
+    // single-threaded — measured 4.1 s in one task at sf0.1 (opt r14)
+    emb.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(b)).filter(col("vec_id") =!= col("nid"))
       .select(col("vec_id"), col("nid"),
         round(lit(1.0) - VectorFunctions.cosineSim(col("ev"), col("nv")), 6)
           .as("dist"))

@@ -1272,7 +1272,14 @@ object Stats {
     val reps = s.range(1L, 33L).toDF("rep")
     val permArm = pmod((pmod(pmod(col("event_id") + col("rep"), lit(p))
       * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
-    val perm = ev.crossJoin(broadcast(reps))
+    // fan out the 32×|events| permutation grid: the events scan is one
+    // task (single row group — the BENCH.md one-row-group-scan trap), so
+    // the hash-chain + 32-rep expansion ran single-threaded (measured
+    // 1.5 s in one task at sf0.1 — opt r14); the aggregate is map-side
+    // partial so the repartition adds no extra pass
+    val perm = ev
+      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+      .crossJoin(broadcast(reps))
       .select(col("rep"), permArm.as("a"), col("v"))
       .groupBy(col("rep"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("pna"),
@@ -2268,11 +2275,19 @@ object Stats {
       .join(types.select(col("event_type").as("tb")), col("ta") < col("tb"))
     val vc = ev.groupBy(col("event_type"), col("value"))
       .agg(count(lit(1)).as("c"))
-    val tagged = vc.join(broadcast(prs),
-        col("event_type") === col("ta") || col("event_type") === col("tb"))
+    // two equi BROADCAST HASH joins instead of one OR-condition join: the
+    // disjunction planned as BroadcastNestedLoopJoin — every (type, value)
+    // row scanned ALL |types|² pairs (~11M predicate evaluations at sf0.1
+    // in a byte-small coalesced stage). ta < tb is strict, so a row never
+    // matches both sides and the union reproduces the OR's matches exactly
+    // (opt r14, guide §3.1).
+    val tagged = vc.join(broadcast(prs), col("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), col("value"), col("c").as("ca"), lit(0L).as("cb"))
+      .unionByName(
+        vc.join(broadcast(prs), col("event_type") === col("tb"))
+          .select(col("ta"), col("tb"), col("value"), lit(0L).as("ca"), col("c").as("cb")))
       .groupBy(col("ta"), col("tb"), col("value"))
-      .agg(sum(when(col("event_type") === col("ta"), col("c")).otherwise(0L)).as("ca"),
-        sum(when(col("event_type") === col("tb"), col("c")).otherwise(0L)).as("cb"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val wp = Window.partitionBy(col("ta"), col("tb")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = tagged
@@ -2723,7 +2738,11 @@ object Stats {
     val reps = s.range(1L, 33L).toDF("rep")
     val permArm = pmod((pmod(pmod(col("event_id") + col("rep"), lit(p))
       * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
-    val perm = ev.crossJoin(broadcast(reps))
+    // fan out the 32×|events| rep grid (the q346 single-task measurement;
+    // map-side partial agg makes the repartition pass-free — opt r14)
+    val perm = ev
+      .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+      .crossJoin(broadcast(reps))
       .select(col("event_type"), col("rep"), permArm.as("a"), col("v"))
       .groupBy(col("event_type"), col("rep"))
       .agg(sum(when(col("a"), 1L).otherwise(0L)).cast("long").as("pna"),
@@ -2921,7 +2940,11 @@ object Stats {
     def medianOf(df: DataFrame, valueCol: String): DataFrame = {
       val w = Window.partitionBy(col("g")).orderBy(col(valueCol))
       val wN = Window.partitionBy(col("g"))
-      df.withColumn("rn", row_number().over(w))
+      // pinned exchange on the window key: byte-based coalescing ran the
+      // per-priority rank sorts on one task (2 × ~0.7 s at sf0.1 —
+      // opt r14); width is bounded by |priorities| but 5 tasks beat 1
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("g"))
+        .withColumn("rn", row_number().over(w))
         .withColumn("nn", count(lit(1)).over(wN))
         .filter(col("rn") === expr("(nn + 1) div 2"))
         .select(col("g"), col(valueCol).as("med"))
@@ -5464,7 +5487,15 @@ object Stats {
       .select(col("i"), col("x"), col("arr"), col("ss"), col("qq")))
     val b = sub.select(col("i").as("j"), col("arr").as("brr"),
       col("ss").as("sj"), col("qq").as("qj"))
-    val pairs = sub.crossJoin(broadcast(b))
+    // fan the pair kernel out: `sub` comes out of a GLOBAL ordered window,
+    // i.e. one partition, so the ~5.8M-pair compare grid ran on one task
+    // (measured 2.5 s single-task at sf0.1 — opt r14); the nested-loop
+    // join's parallelism is the streamed side's partition count (the
+    // exactCosinePairs lesson). Grid rows are a few KB — the exchange is
+    // free relative to the pair compute, at any sf.
+    val pairs = sub
+      .repartition(sub.sparkSession.sparkContext.defaultParallelism, col("i"))
+      .crossJoin(broadcast(b))
       .filter(abs(col("i") - col("j")) >= 4)
     // explicit 7-term product sum, NOT zip_with+aggregate: HOFs are
     // interpreted, and over the ~5.8M-pair grid the lambda tree costs
@@ -5557,7 +5588,11 @@ object Stats {
     val w = when(u < 3679, 0L).when(u < 7358, 1L).when(u < 9197, 2L)
       .when(u < 9810, 3L).when(u < 9963, 4L).when(u < 9994, 5L)
       .otherwise(6L)
-    val means = base.crossJoin(broadcast(reps))
+    // fan out the 32×|orders| replica grid (single-row-group scan = one
+    // task otherwise; measured 1.4 s single-task at sf0.1 — opt r14)
+    val means = base
+      .repartition(s.sparkContext.defaultParallelism, col("k"))
+      .crossJoin(broadcast(reps))
       .select(col("b"), col("c"), w.as("w"))
       .groupBy(col("b"))
       .agg(sum(col("w") * col("c")).cast("long").as("swc"),

@@ -185,7 +185,11 @@ object Text {
       val parts = (0 until n).map(i => slice(col("tk"), lit(i + 1), len))
       parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
     }
+    // fan out the per-doc HOF work (interpreted `aggregate` lambdas over
+    // every bigram array): the one-row-group scan ran it single-task
+    // (measured 2 × ~0.9 s at sf0.1 — opt r14)
     val docs = Tables(s, d, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("tk"))
       .withColumn("bi", grams(2)).withColumn("tri", grams(3))
     docs.select(
@@ -1863,14 +1867,22 @@ object Text {
   def q388CharBigramEntropy: Q = (s, d) => {
     // bigrams WITHIN a document (no cross-document seam): substring pairs
     // via transform over positions — codegen'd, no UDF
+    // repartition before the explode (the shingleRel discipline): the
+    // single-row-group documents scan is one task, and the per-character
+    // substring explode is the query's CPU (measured 2×2.1 s single-task
+    // at sf0.1 — opt r14); materialize `counts` because it feeds three
+    // consumers, one of them a broadcast build whose subtree otherwise
+    // re-runs the whole extraction in its own job (the q392 pattern)
     val big2 = Tables(s, d, "documents")
       .filter(length(col("text")) >= 2) // sequence() DESCENDS when stop<start
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("source"),
         explode(expr(
           "transform(sequence(1, length(text) - 1), " +
             "i -> substring(text, i, 2))")).as("bg"))
-    val counts = big2.groupBy(col("source"), col("bg"))
-      .agg(count(lit(1)).as("n12"))
+    val counts = graft.Checkpoints.materialize(
+      big2.groupBy(col("source"), col("bg"))
+        .agg(count(lit(1)).as("n12")))
     val c1tot = counts
       .select(col("source"), substring(col("bg"), 1, 1).as("c1"), col("n12"))
       .groupBy(col("source"), col("c1"))
