@@ -142,6 +142,31 @@ object Checkpoints {
     }
   }
 
+  /** [[materializeCached]] with an EXPLICIT key and a lazy build thunk —
+    * for standing relations whose builder performs EAGER work during plan
+    * CONSTRUCTION (e.g. [[graft.dedup.JaccardJoin.pairs]] localCheckpoints
+    * its shingle/prefix intermediates): a semanticHash-keyed cache can
+    * never hit there, because the key is only computable after the
+    * expensive construction has already run, and checkpointed plans hash
+    * uniquely per call. The thunk runs ONLY on a miss; entries share
+    * [[matCache]] (same LRU bound, same [[clearMaterializeCache]] bust
+    * hook the bench's cache-busted standing re-build relies on). The
+    * caller owns key uniqueness: key must determine the relation's
+    * semantics for the given session (include the data dir).
+    */
+  def materializeCachedByKey(s: org.apache.spark.sql.SparkSession,
+                             cacheKey: String)(build: => DataFrame): DataFrame = {
+    val key = (System.identityHashCode(s).toString +
+      "|" + s.conf.getOption(ConfKey).getOrElse(""), "key:" + cacheKey)
+    val hit = matCache.get(key)
+    if (hit != null && (hit._1.sparkSession eq s)) hit._2
+    else {
+      val m = materialize(build)
+      matCache.put(key, (m, m))
+      m
+    }
+  }
+
   /** Drop every memoized materialization (use after overwriting an input
     * table mid-session).
     */

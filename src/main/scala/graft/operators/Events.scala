@@ -211,8 +211,12 @@ object Events {
   def q132TrajectoryAssembly: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pinned user-keyed exchange (the q195 pattern): the one-row-group scan
+    // plus byte-small window input ran the session windows + per-session
+    // collect/sort single-task (measured 2×0.4 s at sf0.1 — opt r14)
     val e = events(s, d).select(col("user_id"), col("event_id"),
       col("event_type"), epochSec(col("ts2")).as("es"))
+      .repartition(s.sparkContext.defaultParallelism, col("user_id"))
     val flagged = e.withColumn("new_sess",
       when(lag(col("es"), 1).over(w).isNull || col("es") - lag(col("es"), 1).over(w) > 1800, 1L)
         .otherwise(0L))
@@ -1614,18 +1618,31 @@ object Events {
   private[operators] def periodogramPowers(s: SparkSession, d: String): DataFrame =
     periodogramPowersFrom(events(s, d)
       .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
-      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")),
+      pinGrid = true)
 
   /** [[periodogramPowers]] from an already-collapsed (event_type, h, c)
     * hourly relation — the mergeable-cell entry the q477 streaming twin
     * drains through (hourly counts merge by plain sum, q376's argument).
+    * `pinGrid` adds a pinned exchange before the ×23-period trig grid:
+    * the hourly collapse is byte-small so AQE ran the whole trig/decimal
+    * grid on one task (measured ~0.5 s single-task at sf0.1 — opt r14).
+    * Batch callers (q367/q471) want it; the q477 per-micro-batch drain
+    * does NOT — there the extra exchange per batch costs more latency
+    * than the parallelism recovers (measured +0.6 s on the drain), the
+    * same trade as the rejected PPJoin verify pin.
     */
-  private[graft] def periodogramPowersFrom(hourly: DataFrame): DataFrame = {
+  private[graft] def periodogramPowersFrom(hourly: DataFrame,
+                                           pinGrid: Boolean = false): DataFrame = {
     val base = hourly.groupBy(col("event_type"))
       .agg(min(col("h")).as("h0"), count(lit(1)).as("n"))
-    val pts = hourly.join(base, Seq("event_type"))
+    val pts0 = hourly.join(base, Seq("event_type"))
       .select(col("event_type"), (col("h") - col("h0")).as("t"), col("c"),
         col("n"))
+    val pts = if (pinGrid)
+      pts0.repartition(hourly.sparkSession.sparkContext.defaultParallelism,
+        col("event_type"), col("t"))
+    else pts0
     val periods = hourly.sparkSession.range(2L, 25L).toDF("p")
     val ang = lit(2.0) * lit(math.Pi) * col("t").cast("double") /
       col("p").cast("double")
@@ -1691,13 +1708,15 @@ object Events {
   def q368EwmaControl: Q = (s, d) =>
     ewmaReport(events(s, d)
       .select(col("event_type"), expr("CAST(ts2 AS LONG) div 3600").as("h"))
-      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c")),
+      pinJoin = true)
 
   /** The EWMA-chart kernel from a (event_type, h, c) hourly summary — the
     * mergeable state q376's streaming twin folds per batch (hourly counts
     * of disjoint row sets merge by per-cell sum, q348's argument).
     */
-  private[graft] def ewmaReport(counts: DataFrame): DataFrame = {
+  private[graft] def ewmaReport(counts: DataFrame,
+                                pinJoin: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
     val hourly = counts.withColumn("r", row_number().over(w) - 1)
     val mom = hourly.groupBy(col("event_type"))
@@ -1711,8 +1730,19 @@ object Events {
     // per-term rounding maps to exactly 0 — so the pair join is bounded
     // to 81 rows per point (O(n) not O(n^2) in the hour span), the same
     // cap the oracle applies
-    val ew = a.join(hourly.select(col("event_type"), col("r"), col("h"),
-      col("c")), Seq("event_type"))
+    // pinned exchange into the per-type lag join (batch path only — the
+    // q376 per-micro-batch drain pays more in exchange latency than the
+    // parallelism recovers, the periodogramPowersFrom trade): both sides
+    // are byte-small hourly summaries but the join expands hours×hours
+    // per type before the ≤80-lag filter (measured 2×0.7 s narrow stages
+    // at sf0.1 — opt r14); width is bounded by |event types|
+    val aP = if (pinJoin)
+      a.repartition(a.sparkSession.sparkContext.defaultParallelism,
+        col("event_type"))
+    else a
+    val ew = aP
+      .join(hourly.select(col("event_type"), col("r"), col("h"),
+        col("c")), Seq("event_type"))
       .filter(col("rp") <= col("r") && col("r") - col("rp") <= 80L)
       .groupBy(col("event_type"), col("h"), col("r"), col("c"))
       .agg(sum(round(pow(lit(0.8), (col("r") - col("rp")).cast("double"))

@@ -593,21 +593,27 @@ object Extras {
     def fp(canon: Column): Column =
       sum(conv(substring(md5(canon), 1, 8), 16, 10).cast("long").cast(dec38))
         .cast(dec38).cast("string")
-    def row(name: String, df: DataFrame, canon: Column): DataFrame =
-      df.agg(big(count(lit(1))).as("n_rows"), fp(canon).as("fingerprint"))
+    def row(name: String, df: DataFrame, key: Column, canon: Column): DataFrame =
+      // fan the md5-per-row hash out of the one-row-group scan task: the
+      // projection runs with the partial aggregate, so without this the
+      // whole table hashes single-threaded (measured 0.5 s on lineitem at
+      // sf0.1 — opt r14); keyed (not round-robin) so no pre-shuffle local
+      // sort, and the additive fingerprint is partition-independent anyway
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+        .agg(big(count(lit(1))).as("n_rows"), fp(canon).as("fingerprint"))
         .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
     val orders = Tables(s, d, "orders")
     val customer = Tables(s, d, "customer")
     val li = Tables(s, d, "lineitem")
-    row("customer", customer, concat_ws("|",
+    row("customer", customer, col("c_custkey"), concat_ws("|",
       col("c_custkey"), col("c_name"), col("c_nationkey").cast("long"),
       (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
         .cast("long"), col("c_mktsegment")))
-      .unionAll(row("orders", orders, concat_ws("|",
+      .unionAll(row("orders", orders, col("o_orderkey"), concat_ws("|",
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
           .cast("long"), dateStr(col("o_orderdate")), col("o_orderpriority"))))
-      .unionAll(row("lineitem", li, concat_ws("|",
+      .unionAll(row("lineitem", li, col("l_orderkey"), concat_ws("|",
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_linenumber").cast("long"), col("l_quantity").cast("long"),
         col("l_returnflag"), col("l_linestatus"), dateStr(col("l_shipdate")))))

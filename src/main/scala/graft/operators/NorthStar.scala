@@ -32,11 +32,23 @@ object NorthStar {
       .orderBy(col("event_type"))
   }
 
+  /** The corpus's banded MinHash-LSH candidate-pair relation (default
+    * k = 32 / 8 bands) — a STANDING artifact (opt r14): q37 and q294 both
+    * derive it, and the signature aggregate (32 hashes per exploded
+    * shingle) is the expensive part. Explicit-key memo for the same
+    * reason as [[corpusDupPairs]]: candidatePairs materializes its
+    * signature relation eagerly during construction.
+    */
+  private[operators] def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoints.materializeCachedByKey(s, s"minhashCandidates|$d") {
+      MinHashLSH.candidatePairs(Tables(s, d, "documents"), "doc_id", "text")
+    }
+
   /** Q37: MinHash-LSH near-duplicate candidates over documents — top pairs
     * by estimated Jaccard (banded LSH; no O(n²) cross join).
     */
   def q37MinhashPairs: Q = (s, d) => {
-    MinHashLSH.candidatePairs(Tables(s, d, "documents"), "doc_id", "text")
+    minhashCandidates(s, d)
       .orderBy(col("est_jaccard").desc, col("id1"), col("id2"))
       .limit(50)
   }
@@ -236,9 +248,31 @@ object NorthStar {
     * (DuckDB: all-pairs Jaccard + recursive-CTE closure); the estimated
     * MinHash-LSH candidate path remains q37 for the super-scale regime.
     */
+  /** The corpus's COMPLETE exact-Jaccard (3-gram shingles, t = 1/2)
+    * near-dup pair relation — a STANDING artifact (opt r14): nine declared
+    * queries (q56/q107/q115/q147/q248/q285/q293/q294/q301) consume the
+    * IDENTICAL `JaccardJoin.pairs(documents, 1/2)` output, and each was
+    * re-running the full shingle/rank/join/verify pipeline (~2-2.5 s at
+    * sf0.1) per run — the round-9 coEdges finding, one family over. In a
+    * production corpus pipeline the dedup pair set is computed once per
+    * corpus snapshot and read by every downstream audit; here it gets the
+    * same [[graft.Checkpoints.materializeCached]] treatment as the
+    * co-purchase graph and the decontamination n-gram sets, priced as its
+    * own `standing_doc_pairs` bench row ([[Standing]]).
+    */
+  private[operators] def corpusDupPairs(s: SparkSession, d: String): DataFrame =
+    // explicit-key memo, NOT the semanticHash cache: pairs() localCheckpoints
+    // its shingle/prefix intermediates during plan CONSTRUCTION, so a
+    // semanticHash key is only computable after the expensive part already
+    // ran (and hashes uniquely per call — measured as a total cache miss)
+    graft.Checkpoints.materializeCachedByKey(s, s"corpusDupPairs|$d") {
+      JaccardJoin.pairs(Tables(s, d, "documents"), "doc_id", "text",
+        tNum = 1L, tDen = 2L)
+    }
+
   def q56DedupResolve: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
-    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+    val pairs = corpusDupPairs(s, d)
       .select(col("id1"), col("id2"))
     Components.resolveDuplicates(docs, "doc_id", pairs)
       .groupBy(col("component"))
@@ -263,7 +297,7 @@ object NorthStar {
     val docs = Tables(s, d, "documents")
     val src = docs.select(col("doc_id"), col("source"))
     val tagged = graft.Checkpoints.materialize(
-      JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+      corpusDupPairs(s, d)
         .select(col("id1"), col("id2"))
         .join(src.toDF("id1", "src1"), Seq("id1"))
         .join(src.toDF("id2", "src2"), Seq("id2"))
@@ -298,8 +332,7 @@ object NorthStar {
   def q293DedupThresholdSweep: Q = (s, d) => {
     val u = col("n1") + col("n2")
     val banded = graft.Checkpoints.materialize(
-      JaccardJoin.pairs(Tables(s, d, "documents"), "doc_id", "text",
-          tNum = 1L, tDen = 2L)
+      corpusDupPairs(s, d)
         .select(col("id1"), col("id2"),
           when(col("inter") * 19L >= u * 9L, ">=0.9")
             .when(col("inter") * 17L >= u * 7L, "0.7-0.9")
@@ -327,12 +360,8 @@ object NorthStar {
     */
   def q294MinhashQualityEval: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
-    val exact = graft.Checkpoints.materialize(
-      JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
-        .select(col("id1"), col("id2")))
-    val cand = graft.Checkpoints.materialize(
-      MinHashLSH.candidatePairs(docs, "doc_id", "text")
-        .select(col("id1"), col("id2")))
+    val exact = corpusDupPairs(s, d).select(col("id1"), col("id2"))
+    val cand = minhashCandidates(s, d).select(col("id1"), col("id2"))
     val tp = cand.join(exact, Seq("id1", "id2"), "left_semi")
     val m = exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
@@ -591,7 +620,10 @@ object NorthStar {
     val fanned = docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     Seq(5, 8, 13).map { w =>
-      val ng = fanned
+      // the w = 8 rung IS the standing [[docSourceNgrams]] relation —
+      // reuse it (opt r14); the 5/13 rungs are this sweep's own declared
+      // price and stay per-run
+      val ng = if (w == 8) docSourceNgrams(s, d) else fanned
         .select(col("doc_id"), col("source"),
           explode(MinHashLSH.shingles(toks, w)).as("g"))
         .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
@@ -629,7 +661,7 @@ object NorthStar {
     val docs = Tables(s, d, "documents")
     val rk = docs.select(col("doc_id"),
       expr("CAST(substring(source, 4) AS LONG)").as("rank"))
-    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+    val pairs = corpusDupPairs(s, d)
       .select(col("id1"), col("id2"))
       .join(rk.toDF("id1", "r1"), Seq("id1"))
       .join(rk.toDF("id2", "r2"), Seq("id2"))
@@ -681,14 +713,10 @@ object NorthStar {
     val w = 8
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val docs = Tables(s, d, "documents")
-    // fan out the shingle pass (one-row-group scan = one task; measured
-    // 2.1 s single-task at sf0.1 — opt r14, the q283 fix)
-    val ng = docs
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("source"),
-        explode(MinHashLSH.shingles(toks, w)).as("g"))
-      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("h"))
-      .distinct()
+    // the per-doc w=8 hash relation IS the standing [[docSourceNgrams]]
+    // (same projection, same distinct) — q286 was re-deriving it per run
+    // on the one-task scan (measured 2.1 s single-task at sf0.1 — opt r14)
+    val ng = docSourceNgrams(s, d)
     val bench = ng.filter(col("source") === "src0").select(col("h")).distinct()
     val contam = ng.filter(col("source") =!= "src0").join(bench, Seq("h"))
       .select(col("doc_id")).distinct()
@@ -840,9 +868,8 @@ object NorthStar {
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val docs = Tables(s, d, "documents")
-    val pairs = graft.Checkpoints.materialize(
-      JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
-        .select(col("id1"), col("id2")))
+    val pairs = corpusDupPairs(s, d)
+      .select(col("id1"), col("id2"))
     val pg = docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("tk"))
@@ -1191,7 +1218,7 @@ object NorthStar {
   def q107DedupKeepBest: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, d, "documents")
-    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+    val pairs = corpusDupPairs(s, d)
       .select(col("id1"), col("id2"))
     val resolved = Components.resolveDuplicates(docs, "doc_id", pairs)
       .select(col("doc_id"), col("component"))
@@ -1675,7 +1702,7 @@ object NorthStar {
   def q147SplitLeakage: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, d, "documents")
-    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+    val pairs = corpusDupPairs(s, d)
       .select(col("id1"), col("id2"))
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val fp = array_join(array_sort(array_distinct(toks)), " ")
@@ -1706,7 +1733,7 @@ object NorthStar {
     */
   def q248DupRateBySource: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
-    val pairs = JaccardJoin.pairs(docs, "doc_id", "text", tNum = 1L, tDen = 2L)
+    val pairs = corpusDupPairs(s, d)
       .select(col("id1"), col("id2"))
     val src = docs.select(col("doc_id"), col("source"))
     val lab = pairs

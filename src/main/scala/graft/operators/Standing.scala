@@ -96,6 +96,16 @@ object Standing {
           docs.filter(col("source") =!= "src18" && col("source") =!= "src19"),
           "doc_id", "text", tNum = 1L, tDen = 2L)
         ()
-      })
+      }),
+    // the corpus's complete exact-Jaccard (t = 1/2) near-dup pair set —
+    // consumed by nine declared queries (q56/q107/q115/q147/q248/q285/
+    // q293/q294/q301), each of which was re-running the full
+    // shingle/rank/join/verify pipeline per run (opt r14; the round-9
+    // coEdges finding, one family over)
+    "standing_doc_pairs" ->
+      ((s: SparkSession, d: String) => force(NorthStar.corpusDupPairs(s, d))),
+    // the banded MinHash-LSH candidate relation (q37 + q294)
+    "standing_minhash_pairs" ->
+      ((s: SparkSession, d: String) => force(NorthStar.minhashCandidates(s, d)))
   )
 }
