@@ -704,6 +704,10 @@ object Extras {
         .select(col("o_orderkey"), col("o_orderstatus"))
         .join(lines, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("lines"))
+        // pinned width on the nested write: AQE coalesced the join output
+        // to 1-2 tasks, serializing the struct-array encode + parquet
+        // write (opt r14); keyed so rows of an order stay together
+        .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
         .write.mode("overwrite").parquet(s"$tmp/docs")
       val back = s.read.parquet(s"$tmp/docs")
       graft.Checkpoints.materialize(

@@ -386,10 +386,16 @@ object Graph {
     */
   def q221AdamicAdar: Q = (s, d) => {
     val dec6 = DecimalType(18, 6)
+    // pinned exchange under the distinct: the bipartite-build stage was
+    // AQE-coalesced to ~10 tasks while carrying the join+dedup CPU
+    // (measured 1.75 s stage at sf0.1 — opt r14); the distinct reuses the
+    // pinned partitioning, so no extra shuffle
     val cp = Tables(s, d, "lineitem")
       .join(Tables(s, d, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .repartition(s.sparkContext.defaultParallelism, col("c"), col("p"))
+      .distinct()
     val pc = cp.groupBy(col("p")).agg(count(lit(1)).as("nc"))
       .filter(col("nc") >= 2 && col("nc") <= 64)
       .withColumn("w", round(lit(1.0) / log(col("nc").cast("double")), 6).cast(dec6))
@@ -420,46 +426,67 @@ object Graph {
     */
   private def holdoutRecRun(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val o = Tables(s, d, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val wLast = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    val marked = o.withColumn("rn", row_number().over(wLast))
-    val holdout = marked.filter(col("rn") === 1)
-      .select(col("o_orderkey").as("ho_key"), col("o_custkey"))
-    val train = marked.filter(col("rn") > 1)
-      .select(col("o_orderkey").as("tr_key"), col("o_custkey"),
-        col("o_orderdate"))
-    val items = graft.Checkpoints.materialize(
+    // STANDING (opt r14): q234 and q253 evaluate the SAME leakage-free
+    // holdout model run, and each was re-building it per bench run
+    // (training-slice window, item relation, co-pair model, rec ranking —
+    // ~2.3 s at sf0.1). The trained model + holdout sets are build-once
+    // artifacts (exactly the IVF/PQ index argument), so the four base
+    // relations get the explicit-key session cache, priced together as
+    // the `standing_holdout_rec` bench row.
+    def li = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    def marked = {
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val wLast = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      o.withColumn("rn", row_number().over(wLast))
+    }
+    val items = graft.Checkpoints.materializeCachedByKey(s, s"holdoutItems|$d") {
+      val train = marked.filter(col("rn") > 1)
+        .select(col("o_orderkey").as("tr_key"), col("o_custkey"),
+          col("o_orderdate"))
       li.join(train, col("l_orderkey") === col("tr_key"))
         .select(col("tr_key").as("o"), col("l_partkey").as("item"),
-          col("o_custkey"), col("o_orderdate")).distinct())
-    val pairs = items.select(col("o"), col("item").as("u"))
-      .join(items.select(col("o"), col("item").as("v")), Seq("o"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
-    val deg = items.select(col("o"), col("item")).distinct()
-      .groupBy(col("item")).agg(count(lit(1)).as("dg"))
-    val anchors = items
-      .groupBy(col("o_custkey"))
-      .agg(max(struct(col("o_orderdate"), col("o"), col("item"))).as("a"))
-      .select(col("o_custkey"), col("a.item").as("anchor"))
-    val sym = pairs.select(col("u").as("i"), col("v").as("j"), col("co"))
-      .union(pairs.select(col("v"), col("u"), col("co")))
-    val scored = sym
-      .join(deg.select(col("item").as("i"), col("dg").as("di")), Seq("i"))
-      .join(deg.select(col("item").as("j"), col("dg").as("dj")), Seq("j"))
-      .withColumn("cos", round(col("co").cast("double")
-        / sqrt((col("di") * col("dj")).cast("double")), 6))
-    val wRec = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
-    val recs = scored.withColumn("rk", row_number().over(wRec))
-      .filter(col("rk") <= 5).select(col("i"), col("j"), col("rk"))
+          col("o_custkey"), col("o_orderdate")).distinct()
+    }
+    val anchors = graft.Checkpoints.materializeCachedByKey(s, s"holdoutAnchors|$d") {
+      items
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o"), col("item"))).as("a"))
+        .select(col("o_custkey"), col("a.item").as("anchor"))
+    }
+    val recs = graft.Checkpoints.materializeCachedByKey(s, s"holdoutRecs|$d") {
+      val pairs = items.select(col("o"), col("item").as("u"))
+        .join(items.select(col("o"), col("item").as("v")), Seq("o"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("co"))
+      val deg = items.select(col("o"), col("item")).distinct()
+        .groupBy(col("item")).agg(count(lit(1)).as("dg"))
+      val sym = pairs.select(col("u").as("i"), col("v").as("j"), col("co"))
+        .union(pairs.select(col("v"), col("u"), col("co")))
+      val scored = sym
+        .join(deg.select(col("item").as("i"), col("dg").as("di")), Seq("i"))
+        .join(deg.select(col("item").as("j"), col("dg").as("dj")), Seq("j"))
+        .withColumn("cos", round(col("co").cast("double")
+          / sqrt((col("di") * col("dj")).cast("double")), 6))
+      val wRec = Window.partitionBy(col("i")).orderBy(col("cos").desc, col("j"))
+      scored.withColumn("rk", row_number().over(wRec))
+        .filter(col("rk") <= 5).select(col("i"), col("j"), col("rk"))
+    }
+    val hoParts = graft.Checkpoints.materializeCachedByKey(s, s"holdoutHoParts|$d") {
+      val holdout = marked.filter(col("rn") === 1)
+        .select(col("o_orderkey").as("ho_key"), col("o_custkey"))
+      li.join(holdout, col("l_orderkey") === col("ho_key"))
+        .select(col("o_custkey"), col("l_partkey")).distinct()
+    }
     val custRecs = anchors.join(recs, col("anchor") === col("i"))
       .select(col("o_custkey"), col("j"), col("rk"))
-    val hoParts = li.join(holdout, col("l_orderkey") === col("ho_key"))
-      .select(col("o_custkey"), col("l_partkey")).distinct()
     (anchors, custRecs, hoParts)
+  }
+
+  /** Force the [[holdoutRecRun]] standing caches (the [[Standing]] row). */
+  private[operators] def holdoutRecStanding(s: SparkSession, d: String): Unit = {
+    val _ = holdoutRecRun(s, d)
   }
 
   /** Q253: graded ranking evaluation — NDCG@5 and MRR over the SAME

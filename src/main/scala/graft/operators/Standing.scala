@@ -106,6 +106,13 @@ object Standing {
       ((s: SparkSession, d: String) => force(NorthStar.corpusDupPairs(s, d))),
     // the banded MinHash-LSH candidate relation (q37 + q294)
     "standing_minhash_pairs" ->
-      ((s: SparkSession, d: String) => force(NorthStar.minhashCandidates(s, d)))
+      ((s: SparkSession, d: String) => force(NorthStar.minhashCandidates(s, d))),
+    // the leakage-free holdout recommender run (q234 + q253): training
+    // items, anchors, ranked recs, held-out parts
+    "standing_holdout_rec" ->
+      ((s: SparkSession, d: String) => Graph.holdoutRecStanding(s, d)),
+    // the distinct (custkey, item) interaction relation (q298 + q307)
+    "standing_interactions" ->
+      ((s: SparkSession, d: String) => force(NorthStar.custItemInteractions(s, d)))
   )
 }

@@ -535,6 +535,14 @@ object Windows {
     // the residual per-batch cost is the explode+hash of the batch's own
     // n-grams, which streaming genuinely must pay per arrival.
     batch
+      // fan the batch's shingle pass out of the single batch-file split
+      // (the shingleRel discipline applied to the micro-batch kernel): the
+      // feed writes ~1-2 files per trigger, so the explode+hash of ~2M
+      // 8-gram rows (×2 after the count-distinct Expand) ran on ONE task —
+      // the dominant share of the measured ~1.9 s per-batch kernel
+      // (opt r14); the raw-text shuffle it adds is batch-sized and tiny
+      .repartition(batch.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), explode(graft.dedup.MinHashLSH.shingles(toks, 8)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .join(broadcast(bench.withColumn("m", lit(1L))), Seq("h"), "left")
@@ -599,13 +607,18 @@ object Windows {
     import org.apache.spark.sql.expressions.Window
     val w = 8
     val toks = filter(split(col("text"), " "), t => t =!= "")
-    val hitStarts = batch
+    // fan the batch out of its single file split (the q152 kernel fix,
+    // opt r14): both posexplode branches and the final length projection
+    // reference the same exchange (ReuseExchange dedupes it in-plan)
+    val fanned = batch.repartition(
+      batch.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val hitStarts = fanned
       .select(col("doc_id"), posexplode(graft.dedup.MinHashLSH.shingles(toks, w)))
       .select(col("doc_id"), col("pos").cast("long").as("j"), xxhash64(col("col")).as("h"))
       .join(broadcast(bench), Seq("h"), "left_semi") // standing set is KBs — never SMJ per batch
       .select(col("doc_id"), col("j"),
         lit(null).cast("string").as("tok"), lit(1L).as("marker"))
-    val pos = batch.select(col("doc_id"), posexplode(toks))
+    val pos = fanned.select(col("doc_id"), posexplode(toks))
       .select(col("doc_id"), col("pos").cast("long").as("j"),
         col("col").as("tok"), lit(null).cast("long").as("marker"))
     val covWin = Window.partitionBy(col("doc_id")).orderBy(col("j"))
@@ -618,7 +631,7 @@ object Windows {
         array_join(transform(
           array_sort(collect_list(struct(col("j"), col("tok")))),
           x => x.getField("tok")), " ").as("text_clean"))
-    batch.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    fanned.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
       .join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"),
@@ -1359,12 +1372,9 @@ object Windows {
     */
   def q307StreamNegatives: Q = (s, d) => {
     val p = 2147483647L
-    val inter = graft.Checkpoints.materialize(
-      Tables(s, d, "orders").select(col("o_custkey"), col("o_orderkey"))
-        .join(Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("custkey"), col("l_partkey").as("item"))
-        .distinct())
+    // the standing interaction relation shared with batch q298 (opt r14):
+    // re-building it per run was ~2.5 s of this drain's fixed cost
+    val inter = graft.operators.NorthStar.custItemInteractions(s, d)
     val np = graft.Checkpoints.materialize(
       Tables(s, d, "part").agg(max(col("p_partkey")).as("np")))
     val cust = Tables(s, d, "customer").select(col("c_custkey").as("custkey"))
@@ -1768,7 +1778,10 @@ object Windows {
     (batch, batchId) => {
       val p = 2147483647L
       if (!batch.isEmpty) {
-        val b = batch.toDF()
+        // fan the 32× rep grid out of the single batch-file split (the
+        // q346 batch-side fix applied to the micro-batch kernel, opt r14)
+        val b = batch.toDF().repartition(
+          batch.sparkSession.sparkContext.defaultParallelism, col("event_id"))
         val reps = b.sparkSession.range(1L, 33L).toDF("rep")
         val permArm = pmod((pmod(pmod(col("event_id") + col("rep"),
           lit(p)) * 48271L, lit(p)) + 1L) * 16807L, lit(p)) % 2 === 0
