@@ -1866,6 +1866,10 @@ object Events {
     val xcmp = col("c2") - col("c1")
     val ycmp = col("sv2").cast(DecimalType(18, 4)) * col("c1").cast(DecimalType(10, 0)) -
       col("sv1").cast(DecimalType(18, 4)) * col("c2").cast(DecimalType(10, 0))
+    // NOTE (opt r14): pinning this per-type pair join like q368's was
+    // measured WORSE (1.32→1.74 s same-mix A/B) — the hours² volume here
+    // is small enough that the extra exchange latency dominates; left
+    // AQE-planned on purpose.
     val pairs = a.join(b, Seq("event_type"))
       .filter(col("h1") < col("h2"))
       .select(col("event_type"),

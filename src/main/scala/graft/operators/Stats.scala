@@ -262,9 +262,13 @@ object Stats {
     */
   def q194Gini: Q = (s, d) => {
     val w = Window.partitionBy(col("pri")).orderBy(col("x"), col("o_orderkey"))
+    // pinned exchange on the window key (the q373 pattern): the rank sort +
+    // rank-weighted decimal sum over all orders ran single-task (measured
+    // 3.0 s stage at sf0.1 — opt r14); width bounded by |priorities|
     val r = Tables(s, d, "orders")
       .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
         dec(col("o_totalprice")).as("x"))
+      .repartition(s.sparkContext.defaultParallelism, col("pri"))
       .withColumn("rn", row_number().over(w))
     val a = r.groupBy(col("pri"))
       .agg(count(lit(1)).as("n"),
@@ -1565,6 +1569,9 @@ object Stats {
       sum(when(!col("tr") && col("y"), 1L).otherwise(0L)).as("yc"))
     val w = Window.orderBy(col("b").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NOTE (opt r14): materializing `cum` for its two consumers was
+    // measured WORSE (2.12→2.76 s same-mix A/B) — the localCheckpoint job
+    // costs more than the re-run it saves; left as-is on purpose.
     val cum = grid.select(
       sum(col("n")).over(w).as("cn"), sum(col("nt")).over(w).as("cnt"),
       sum(col("yt")).over(w).as("cyt"), sum(col("nc")).over(w).as("cnc"),
@@ -4606,7 +4613,12 @@ object Stats {
       substring(col("o_orderpriority"), 1, 1).cast("long").as("g"),
       expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) div 1000")
         .as("b"))
-    val gb = o.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+    // materialized: `gb` feeds four consumers (the grid's two distinct
+    // sides, the pair join, the per-group totals), each otherwise
+    // re-running the bucket collapse from the one-task scan (measured 4
+    // narrow-hot stages at sf0.1 — opt r14)
+    val gb = graft.Checkpoints.materialize(
+      o.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c")))
     // zero-filled (group × merged-support) grid: a bucket where only ONE
     // group has mass still advances the other's CDF, so the cumulative
     // must run over the full support, not each group's own buckets
@@ -4649,10 +4661,18 @@ object Stats {
     * One orders⋈customer pass + a 5-row group reduction.
     */
   def q470TheilDecomposition: Q = (s, d) => {
-    val base = Tables(s, d, "orders")
-      .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("g"),
-        (dec(col("o_totalprice")) * 100).cast("long").as("x"))
+    // materialized + fanned: `base` feeds three consumers (per / the total
+    // entropy pass / the per-group pass), each otherwise re-running the
+    // orders⋈customer join from the one-task scan, and the per-row
+    // log-term partial aggs ran single-task (measured 3 narrow-hot stages
+    // totalling 1.9 s at sf0.1 — opt r14); keyed by the high-cardinality
+    // cents value so the fan-out avoids round-robin's pre-shuffle sort
+    val base = graft.Checkpoints.materialize(
+      Tables(s, d, "orders")
+        .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("g"),
+          (dec(col("o_totalprice")) * 100).cast("long").as("x"))
+        .repartition(s.sparkContext.defaultParallelism, col("x")))
     val per = base.groupBy(col("g"))
       .agg(count(lit(1)).as("ng"), sum(col("x")).cast(DecimalType(38, 0)).as("xg"))
     val tot = per.agg(sum(col("ng")).cast("long").as("n"),
@@ -5904,6 +5924,11 @@ object Stats {
       ("priority_year", col("pr"), col("yr")),
       ("priority_month", col("pr"), col("mo")),
       ("year_month", col("yr"), col("mo")))
+    // NOTE (opt r14): fanning the explode + materializing `cells` was
+    // measured WORSE (1.68→2.24 s same-mix A/B) despite 10 narrow-hot
+    // stages — those stages run concurrently under AQE, so their sum
+    // overstates wall impact, and the localCheckpoint job is pure added
+    // latency; left as-is on purpose.
     val stacked = li.select(explode(array(pairsOf.map { case (nm, a, b) =>
       struct(lit(nm).as("pair"), a.as("va"), b.as("vb"))
     }: _*)).as("s")).select(col("s.*"))
